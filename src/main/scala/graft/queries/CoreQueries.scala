@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage for SURVEY.md §2 over the driver test
+  * tables (TPC-H-ish star schema + events). Each query exercises one or
+  * more inventory rows (P, F, J, A, W, O) and carries a DuckDB oracle.
+  *
+  * Determinism rules for oracle hash-parity:
+  *  - money sums go through DECIMAL(18,2) (exact, associative) and are
+  *    cast back to DOUBLE so both engines emit the same schema;
+  *  - avg/stddev are rounded to 4 decimals on both sides;
+  *  - int sums are cast to BIGINT on the DuckDB side (DuckDB widens to
+  *    HUGEINT by default, Spark to LONG);
+  *  - timestamps are truncated/cast identically on both sides
+  *    (events.ts is ns-precision in the files; Spark reads µs).
+  */
+object CoreQueries {
+  import QueryDef.table
+
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+  private def odsum(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // A1/A6/P5: TPC-H Q1 shape — scan + filter + hash agg (partial+final).
+    QueryDef("q1_pricing_summary",
+      (s, dir) => table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // P1/P5/P7/P12: projection + SQL-string filter + arithmetic + cast.
+    QueryDef("q2_filter_project",
+      (s, dir) => table(s, dir, "lineitem")
+        .filter("l_returnflag = 'R' AND l_quantity >= 30")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)").cast("double").as("revenue"),
+          col("l_shipdate").cast("date").as("ship_dt")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+             |  CAST(l_shipdate AS DATE) AS ship_dt
+             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30""".stripMargin)),
+
+    // J1/A1: 3-way equi-join + agg (TPC-H Q10 shape). Catalyst broadcasts
+    // the customer side at small SF; at scale AQE picks SMJ on the keys.
+    QueryDef("q3_join_revenue",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        val l = table(s, dir, "lineitem")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name""".stripMargin)),
+
+    // J1 broadcast dims: customer ⋈ nation ⋈ region rollup.
+    QueryDef("q4_region_rollup",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            dsum("c_acctbal").as("total_acctbal"))
+      },
+      Some(s"""SELECT r_name, COUNT(*) AS n_customers,
+              |  ${odsum("c_acctbal")} AS total_acctbal
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name""".stripMargin)),
+
+    // O1/O2: global sort + limit → TakeOrderedAndProject (top-K, no full
+    // sort at scale). Deterministic tiebreak on the key.
+    QueryDef("q5_topk_orders",
+      (s, dir) => table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("order_dt")),
+      Some("""SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_dt
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // W1: lag/lead over a partitioned ordered window (the reference's
+    // interpolation shape, rapid:325-352).
+    QueryDef("q6_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        QueryDef.events(s, dir)
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_value", lead(col("value"), 1).over(w))
+          .withColumn("interpolated",
+            ((col("prev_value") + col("next_value")) / 2).cast("double"))
+          .select("event_id", "user_id", "value", "prev_value", "next_value",
+            "interpolated")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  LAG(value, 1) OVER w AS prev_value,
+             |  LEAD(value, 1) OVER w AS next_value,
+             |  (LAG(value, 1) OVER w + LEAD(value, 1) OVER w) / 2 AS interpolated
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // O3: positional union of two filtered branches.
+    QueryDef("q7_union",
+      (s, dir) => {
+        val e = QueryDef.events(s, dir)
+        e.filter("event_type = 'signup'").select("event_id", "user_id", "event_type")
+          .union(e.filter("event_type = 'purchase'")
+            .select("event_id", "user_id", "event_type"))
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
+             |UNION ALL
+             |SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    // F1/P11: from_json with DDL schema + struct flatten (etl/02:228-256).
+    QueryDef("q8_json_extract",
+      (s, dir) => QueryDef.events(s, dir)
+        .withColumn("nested_json", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("event_type"), col("nested_json.*"))
+        .groupBy("event_type")
+        .agg(sum("k").cast("long").as("sum_k"), count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // F2/F3: date-part extraction (util:33-38) + agg.
+    QueryDef("q9_date_parts",
+      (s, dir) => QueryDef.events(s, dir)
+        .select(month(col("ts")).as("month"), dayofmonth(col("ts")).as("day"),
+          hour(col("ts")).as("hour"), col("value"))
+        .groupBy("month", "day", "hour")
+        .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value")),
+      Some(s"""SELECT CAST(EXTRACT(month FROM ts) AS INTEGER) AS month,
+              |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+              |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+              |  COUNT(*) AS n_events, ${odsum("value")} AS sum_value
+              |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
+    // P9/F6: RLIKE regex predicate (etl/01:184-193).
+    QueryDef("q10_rlike",
+      (s, dir) => table(s, dir, "documents")
+        .filter(col("text").rlike("merge .* join"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs")),
+      Some("""SELECT lang, COUNT(*) AS n_docs FROM documents
+             |WHERE regexp_matches(text, 'merge .* join') GROUP BY lang""".stripMargin)),
+
+    // A4/A5/A6: scalar aggregates incl. count distinct.
+    QueryDef("q11_scalar_aggs",
+      (s, dir) => table(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_shipdate").cast("date")).as("min_ship"),
+          max(col("l_shipdate").cast("date")).as("max_ship"),
+          dsum("l_extendedprice").as("total_price")),
+      Some(s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+              |  CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+              |  CAST(MAX(l_shipdate) AS DATE) AS max_ship,
+              |  ${odsum("l_extendedprice")} AS total_price
+              |FROM lineitem""".stripMargin)),
+
+    // Anti-join (NOT EXISTS): orders with no lineitem rows.
+    QueryDef("q12_anti_join",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val l = table(s, dir, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+          .select("o_orderkey", "o_orderstatus")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin)),
+
+    // Semi-join (EXISTS): customers that placed a high-value order.
+    QueryDef("q13_semi_join",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").filter("o_totalprice > 400000")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)),
+
+    // String scalar functions: upper/length/concat/substring.
+    QueryDef("q14_string_funcs",
+      (s, dir) => table(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          length(col("c_name")).as("name_len"),
+          concat(col("c_name"), lit("#"), col("c_mktsegment")).as("tagged"),
+          substring(col("c_name"), 1, 8).as("name_prefix")),
+      Some("""SELECT c_custkey, UPPER(c_mktsegment) AS seg_upper,
+             |  CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+             |  c_name || '#' || c_mktsegment AS tagged,
+             |  SUBSTRING(c_name, 1, 8) AS name_prefix
+             |FROM customer""".stripMargin)),
+
+    // Distinct (set op surface beyond union).
+    QueryDef("q15_distinct",
+      (s, dir) => table(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // Group-by + HAVING.
+    QueryDef("q16_having",
+      (s, dir) => table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("spend"))
+        .filter("n_orders >= 3"),
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_orders, ${odsum("o_totalprice")} AS spend
+              |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""".stripMargin)),
+
+    // CASE WHEN classification + conditional agg.
+    QueryDef("q17_case_when",
+      (s, dir) => table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+             |            WHEN o_totalprice > 100000 THEN 'mid'
+             |            ELSE 'low' END AS bucket, COUNT(*) AS n
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // W1 ranking variant: top-3 customers per market segment by acctbal.
+    QueryDef("q18_rank_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        table(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter("rn <= 3")
+          .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+      },
+      Some("""SELECT c_mktsegment, CAST(rn AS INTEGER) AS rn, c_custkey, c_acctbal FROM (
+             |  SELECT c_mktsegment, c_custkey, c_acctbal,
+             |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+             |  FROM customer) WHERE rn <= 3""".stripMargin)),
+
+    // Running sum window frame (rowsBetween) over events per user.
+    QueryDef("q19_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        QueryDef.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            sum(col("value").cast("decimal(18,2)")).over(w)
+              .cast("double").as("running_value"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+             |FROM events""".stripMargin)),
+
+    // Multi-way join through the full dim chain with filters on dims.
+    QueryDef("q20_star_join",
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+        val sup = table(s, dir, "supplier")
+        val n = table(s, dir, "nation")
+        val p = table(s, dir, "part").filter("p_size <= 15")
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"), col("p_brand"))
+          .agg(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT n_name, p_brand, ${odsum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_size <= 15
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |GROUP BY n_name, p_brand""".stripMargin))
+  )
+}
