@@ -7,10 +7,11 @@ import graft.queries._
   *
   * Queries are contributed by module registries:
   *  - [[graft.queries.CoreQueries]] — SURVEY §2 relational inventory
+  *  - [[graft.queries.LakeQueries]] — versioned-table DML (SURVEY §2.9)
   */
 object SparkEntry {
 
-  private def registry: Seq[QueryDef] = CoreQueries.all
+  private def registry: Seq[QueryDef] = CoreQueries.all ++ LakeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

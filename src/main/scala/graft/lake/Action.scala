@@ -1,0 +1,82 @@
+package graft.lake
+
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** Actions recorded in the transaction log, one JSON line each.
+  *
+  * Modeled on the Delta Lake protocol (Armbrust et al., VLDB 2020; see
+  * PAPERS.md) as exercised by the reference (delta_batch_etl and
+  * delta_lake_rapid_start notebooks) — the
+  * minimal action set backing append/overwrite (SURVEY §2 K1/K2),
+  * snapshot + time-travel reads (S4/S6), history (D7), schema
+  * enforcement/evolution (D9/D10) and MERGE/DELETE rewrites (D1–D5).
+  */
+sealed trait Action
+
+/** Table-level metadata, re-emitted whenever the schema evolves.
+  *
+  * @param schemaDDL       full table schema as Spark DDL (includes
+  *                        partition columns)
+  * @param partitionColumns partition column names, in order
+  */
+final case class Metadata(
+    schemaDDL: String,
+    partitionColumns: Seq[String] = Nil,
+    createdTime: Long = 0L) extends Action
+
+/** A data file added to the table at some version.
+  *
+  * @param path            file path relative to the table root
+  *                        (Hive-style `p_col=value/part-....parquet`)
+  * @param partitionValues partition column → string value for this file
+  * @param size            bytes
+  * @param numRecords      row count (from the parquet footer)
+  * @param minValues       per-column min (stringified), for data skipping
+  * @param maxValues       per-column max (stringified), for data skipping
+  * @param nullCounts      per-column null count, for IS NULL skipping
+  */
+final case class AddFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    numRecords: Long = -1L,
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty) extends Action
+
+/** A data file logically removed (tombstone retained until VACUUM). */
+final case class RemoveFile(
+    path: String,
+    deletionTimestamp: Long) extends Action
+
+/** Audit record per commit — backs DESCRIBE HISTORY (SURVEY §2 D7). */
+final case class CommitInfo(
+    timestamp: Long,
+    operation: String,
+    operationParameters: Map[String, String] = Map.empty) extends Action
+
+/** One log line: an envelope with exactly one field set (Delta-style). */
+private[lake] final case class LogEntry(
+    metaData: Option[Metadata] = None,
+    add: Option[AddFile] = None,
+    remove: Option[RemoveFile] = None,
+    commitInfo: Option[CommitInfo] = None)
+
+object Action {
+  private implicit val formats: Formats = DefaultFormats
+
+  def toJson(a: Action): String = Serialization.write(a match {
+    case m: Metadata   => LogEntry(metaData = Some(m))
+    case f: AddFile    => LogEntry(add = Some(f))
+    case r: RemoveFile => LogEntry(remove = Some(r))
+    case c: CommitInfo => LogEntry(commitInfo = Some(c))
+  })
+
+  def fromJson(line: String): Action = {
+    val e = Serialization.read[LogEntry](line)
+    e.metaData.orElse(e.add).orElse(e.remove).orElse(e.commitInfo)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unrecognized log line: $line"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.lake
+
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+/** Log-level file pruning: decide from AddFile metadata alone which
+  * files can possibly contain rows matching a predicate. This is the
+  * table format's contribution to scan performance (SURVEY §4 "data
+  * skipping"); Spark's partition pruning and parquet row-group pushdown
+  * still apply afterwards. Always conservative: unknown predicate
+  * shapes keep the file.
+  */
+object FilePruner {
+
+  private def parse(filter: String): Expression =
+    org.apache.spark.sql.SparkSession.active
+      .sessionState.sqlParser.parseExpression(filter)
+
+  /** Files that may satisfy `filter` (partition values + min/max). */
+  def prune(snap: Snapshot, filter: String): Seq[AddFile] = {
+    val conjuncts = splitConjuncts(parse(filter))
+    val schemaByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val partCols = snap.partitionColumns.toSet
+    snap.files.filter { f =>
+      conjuncts.forall(c => mayMatch(c, f, schemaByName, partCols))
+    }
+  }
+
+  /** If `filter` references only partition columns, the EXACT matching
+    * file set (predicate evaluated per-file on its partition values via
+    * a local DataFrame, so full Spark expression semantics apply).
+    * Otherwise None. Enables metadata-only DELETE.
+    */
+  def partitionOnlyMatches(snap: Snapshot, filter: String)
+      : Option[Seq[AddFile]] = {
+    if (snap.partitionColumns.isEmpty) return None
+    val refs = parse(filter).collect {
+      case a: UnresolvedAttribute => a.name
+    }
+    if (refs.isEmpty || !refs.forall(snap.partitionColumns.contains)) return None
+
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val partFields = snap.schema.fields
+      .filter(f => snap.partitionColumns.contains(f.name))
+    val rowsDF = snap.files.zipWithIndex.map { case (f, i) =>
+      (i, snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+    }.toDF("__idx", "__values")
+    var typed = rowsDF
+    partFields.zipWithIndex.foreach { case (f, _) =>
+      val pos = snap.partitionColumns.indexOf(f.name)
+      typed = typed.withColumn(f.name,
+        col("__values").getItem(pos).cast(f.dataType))
+    }
+    val matching = typed.filter(filter).select("__idx")
+      .collect().map(_.getInt(0)).toSet
+    Some(snap.files.zipWithIndex.collect {
+      case (f, i) if matching.contains(i) => f
+    })
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Conservative per-file test of one conjunct against stats. */
+  private def mayMatch(
+      e: Expression, f: AddFile,
+      types: Map[String, DataType], partCols: Set[String]): Boolean = {
+    def bound(name: String): Option[(String, String)] = {
+      if (partCols.contains(name))
+        f.partitionValues.get(name).map(v => (v, v))
+      else for {
+        lo <- f.minValues.get(name)
+        hi <- f.maxValues.get(name)
+      } yield (lo, hi)
+    }
+    def cmpTo(name: String, lit: Any): Option[(Int, Int)] = {
+      // (cmp(min, lit), cmp(max, lit)) under the column's type ordering
+      for {
+        (lo, hi) <- bound(name)
+        dt <- types.get(name)
+        l <- cmp(lo, lit, dt)
+        h <- cmp(hi, lit, dt)
+      } yield (l, h)
+    }
+    e match {
+      case EqualTo(a: UnresolvedAttribute, Literal(v, _)) =>
+        cmpTo(a.name, v).forall { case (l, h) => l <= 0 && h >= 0 }
+      case EqualTo(Literal(v, _), a: UnresolvedAttribute) =>
+        cmpTo(a.name, v).forall { case (l, h) => l <= 0 && h >= 0 }
+      case GreaterThan(a: UnresolvedAttribute, Literal(v, _)) =>
+        cmpTo(a.name, v).forall { case (_, h) => h > 0 }
+      case GreaterThanOrEqual(a: UnresolvedAttribute, Literal(v, _)) =>
+        cmpTo(a.name, v).forall { case (_, h) => h >= 0 }
+      case LessThan(a: UnresolvedAttribute, Literal(v, _)) =>
+        cmpTo(a.name, v).forall { case (l, _) => l < 0 }
+      case LessThanOrEqual(a: UnresolvedAttribute, Literal(v, _)) =>
+        cmpTo(a.name, v).forall { case (l, _) => l <= 0 }
+      case GreaterThan(Literal(v, _), a: UnresolvedAttribute) =>
+        mayMatch(LessThan(a, Literal(v)), f, types, partCols)
+      case LessThan(Literal(v, _), a: UnresolvedAttribute) =>
+        mayMatch(GreaterThan(a, Literal(v)), f, types, partCols)
+      case _ => true // unknown shape: keep the file
+    }
+  }
+
+  /** Compare a stats string against a literal under `dt`'s ordering.
+    * None (no pruning) when the comparison isn't cleanly defined.
+    */
+  private def cmp(statsValue: String, litValue: Any, dt: DataType)
+      : Option[Int] = {
+    try dt match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+        Some(BigDecimal(statsValue).compare(BigDecimal(litValue.toString)))
+      case _: DoubleType | _: FloatType | _: DecimalType =>
+        Some(BigDecimal(statsValue).compare(BigDecimal(litValue.toString)))
+      case _: StringType => litValue match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(statsValue.compareTo(s.toString))
+        case s: String => Some(statsValue.compareTo(s))
+        case _ => None
+      }
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+  }
+}

@@ -1,0 +1,222 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO for lake tables, with the reference's builder shape
+  * (`etl/02:501-506`, `rapid:416-420`, `util:68-73`):
+  *
+  * {{{
+  * LakeTable.forPath(spark, path).as("t")
+  *   .merge(sourceDF.as("s"), "t.value = s.value")
+  *   .whenMatchedUpdate(Map("status" -> "s.status"))
+  *   .whenNotMatchedInsert(Map("value" -> "s.value", ...))
+  *   .execute()
+  * }}}
+  *
+  * Algorithm (SURVEY §7.3, mirroring the Delta MERGE strategy):
+  *  1. inner/semi join source × target to find *touched files*;
+  *  2. full-outer join source × (rows of touched files only), classify
+  *     each row matched / target-only / source-only, apply the clause
+  *     list in order (first clause whose condition holds wins);
+  *  3. atomically commit RemoveFile(touched) + AddFile(rewritten).
+  *
+  * The join condition is an arbitrary expression — non-equi and RLIKE
+  * conditions (J5, `etl/05:100-107`) plan as broadcast-nested-loop
+  * joins automatically. A target row matched by more than one source
+  * row errors when update/delete clauses exist (Delta semantics,
+  * `etl/02:250-252` relies on it).
+  */
+final class LakeMergeBuilder private[lake] (
+    table: LakeTable,
+    targetAlias: Option[String],
+    source: DataFrame,
+    condition: String) {
+
+  private sealed trait MatchedClause {
+    def cond: Option[String]
+  }
+  private case class UpdateClause(cond: Option[String],
+      set: Map[String, String]) extends MatchedClause
+  private case class DeleteClause(cond: Option[String]) extends MatchedClause
+  private case class InsertClause(cond: Option[String],
+      values: Map[String, String])
+
+  private var matchedClauses = Vector.empty[MatchedClause]
+  private var insertClauses = Vector.empty[InsertClause]
+
+  def whenMatchedUpdate(set: Map[String, String]): LakeMergeBuilder =
+    whenMatchedUpdate(null, set)
+
+  def whenMatchedUpdate(condition: String,
+      set: Map[String, String]): LakeMergeBuilder = {
+    matchedClauses :+= UpdateClause(Option(condition), set)
+    this
+  }
+
+  /** UPDATE SET * — every target column from the like-named source
+    * column, qualified by the source alias when given.
+    */
+  def whenMatchedUpdateAll(): LakeMergeBuilder = {
+    matchedClauses :+= UpdateClause(None, null)
+    this
+  }
+
+  def whenMatchedDelete(): LakeMergeBuilder = whenMatchedDelete(null)
+
+  def whenMatchedDelete(condition: String): LakeMergeBuilder = {
+    matchedClauses :+= DeleteClause(Option(condition))
+    this
+  }
+
+  def whenNotMatchedInsert(values: Map[String, String]): LakeMergeBuilder =
+    whenNotMatchedInsert(null, values)
+
+  def whenNotMatchedInsert(condition: String,
+      values: Map[String, String]): LakeMergeBuilder = {
+    insertClauses :+= InsertClause(Option(condition), values)
+    this
+  }
+
+  /** INSERT * — every target column from the like-named source column. */
+  def whenNotMatchedInsertAll(): LakeMergeBuilder = {
+    insertClauses :+= InsertClause(None, null)
+    this
+  }
+
+  def execute(): Unit = {
+    require(matchedClauses.nonEmpty || insertClauses.nonEmpty,
+      "merge needs at least one WHEN MATCHED / WHEN NOT MATCHED clause")
+    val spark = table.spark
+    val snap = table.snapshot()
+    val fields = snap.schema.fields.toSeq
+    val condExpr = expr(condition)
+
+    val FILE = "__graft_file"
+    val RID = "__graft_rid"
+    val SRC = "__graft_src_present"
+    val IDXC = "__graft_clause"
+
+    def aliasTgt(df: DataFrame): DataFrame =
+      targetAlias.map(df.as(_)).getOrElse(df)
+    // Marker column added *after* the caller's .as(alias) — projections
+    // preserve attribute qualifiers, so "s.col" still resolves.
+    val src = source.withColumn(SRC, lit(true))
+
+    def qualTgt(name: String): Column =
+      col(targetAlias.map(a => s"$a.`$name`").getOrElse(s"`$name`"))
+    val sourceAliasName: Option[String] = sourceAliasOf(source)
+    def qualSrc(name: String): Column =
+      col(sourceAliasName.map(a => s"$a.`$name`").getOrElse(s"`$name`"))
+    def clauseCond(c: Option[String]): Column =
+      c.map(expr).getOrElse(lit(true))
+
+    // ---- matched side: touched files → left-outer rewrite ---------------
+    // Phase 1: semi-join finds files containing >=1 match; only those are
+    // rewritten. Any source row matching the table matches within them.
+    val touched: Seq[String] =
+      if (matchedClauses.isEmpty || snap.files.isEmpty) Nil
+      else aliasTgt(snap.toDF(spark).withColumn(FILE, col("_metadata.file_path")))
+        .join(src, condExpr, "left_semi")
+        .select(col(FILE)).distinct().collect()
+        .map(r => table.relativize(r.getString(0))).toSeq
+
+    val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
+      val tgtTouched = aliasTgt(table.readFiles(snap, touched)
+        .withColumn(RID, concat_ws("#",
+          col("_metadata.file_path"), col("_metadata.row_index"))))
+      val joined = tgtTouched.join(src, condExpr, "left_outer")
+      val matched = col(SRC).isNotNull
+
+      // Delta semantics: error if one target row matches several source
+      // rows while the outcome would be nondeterministic — any update,
+      // or a conditional delete. An unconditional delete is unambiguous
+      // (deleting a row twice is still deleting it), which the GDPR
+      // RLIKE-delete (etl/05:100-107) depends on: one record can match
+      // several deletion patterns.
+      val ambiguous = matchedClauses.exists {
+        case _: UpdateClause => true
+        case DeleteClause(c) => c.isDefined
+      }
+      val dup = if (!ambiguous) 0L else joined.filter(matched).groupBy(col(RID))
+        .count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "MERGE failed: a target row was matched by multiple source " +
+        "rows with update/delete clauses present; merge results would " +
+        "be nondeterministic. Deduplicate the source on the merge key.")
+
+      // 0 = no clause applies (keep row as-is); i >= 1 = clause i-1 wins.
+      val clauseIdx = matchedClauses.zipWithIndex.foldLeft(
+        when(lit(false), lit(0))) { case (acc, (cl, i)) =>
+          acc.when(matched && clauseCond(cl.cond), lit(i + 1))
+      }.otherwise(lit(0))
+      val deleteIdxs = matchedClauses.zipWithIndex.collect {
+        case (_: DeleteClause, i) => i + 1
+      }
+      val keep =
+        if (deleteIdxs.isEmpty) lit(true)
+        else !col(IDXC).isin(deleteIdxs: _*)
+
+      Some(joined.withColumn(IDXC, clauseIdx)
+        .filter(keep)
+        .select(fields.map { f =>
+          val updates = matchedClauses.zipWithIndex.collect {
+            case (UpdateClause(_, set), i) =>
+              val e = if (set == null) qualSrc(f.name)
+                else set.get(f.name).map(expr).getOrElse(qualTgt(f.name))
+              (i + 1, e)
+          }
+          updates.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
+            acc.when(col(IDXC) === i, e)
+          }.otherwise(qualTgt(f.name)).cast(f.dataType).as(f.name)
+        }: _*))
+    }
+
+    // ---- not-matched side: anti-join → inserts ---------------------------
+    val inserts: Option[DataFrame] = if (insertClauses.isEmpty) None else {
+      val unmatched =
+        if (snap.files.isEmpty) src
+        else src.join(aliasTgt(snap.toDF(spark)), condExpr, "left_anti")
+      val insertIdx = insertClauses.zipWithIndex.foldLeft(
+        when(lit(false), lit(0))) { case (acc, (cl, i)) =>
+          acc.when(clauseCond(cl.cond), lit(i + 1))
+      }.otherwise(lit(0))
+      Some(unmatched.withColumn(IDXC, insertIdx)
+        .filter(col(IDXC) > 0)
+        .select(fields.map { f =>
+          val values = insertClauses.zipWithIndex.map { case (cl, i) =>
+            val e = if (cl.values == null) qualSrc(f.name)
+              else cl.values.get(f.name).map(expr).getOrElse(lit(null))
+            (i + 1, e)
+          }
+          values.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
+            acc.when(col(IDXC) === i, e)
+          }.otherwise(lit(null)).cast(f.dataType).as(f.name)
+        }: _*))
+    }
+
+    val output = (rewritten, inserts) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (r, i) => r.orElse(i)
+    }
+    val adds = output match {
+      case Some(df) => LakeWriter.stageAndAdopt(df, table.tablePath,
+        snap.partitionColumns)
+      case None => Nil
+    }
+    table.commitRewrite(snap, touched, adds, "MERGE",
+      Map("condition" -> condition,
+        "matchedClauses" -> matchedClauses.size.toString,
+        "notMatchedClauses" -> insertClauses.size.toString))
+  }
+
+  /** Best-effort recovery of the source DataFrame's alias (set by
+    * `df.as("s")`) so UPDATE/INSERT * can qualify source columns.
+    */
+  private def sourceAliasOf(df: DataFrame): Option[String] = {
+    df.queryExecution.logical.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        s.alias
+    }
+  }
+}

@@ -1,0 +1,288 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** User-facing handle to a versioned lake table — the engine's
+  * equivalent of the reference's `DeltaTable` surface
+  * (`etl/02:495`, `rapid:416-420`): snapshot/time-travel reads, MERGE,
+  * UPDATE, DELETE, history, vacuum, compaction, detail.
+  */
+final class LakeTable private (
+    val spark: SparkSession,
+    val log: LakeLog,
+    targetAlias: Option[String]) {
+
+  def tablePath: String = log.tablePath
+
+  /** Alias the target for merge/update conditions ("bronze.value = ..."). */
+  def as(alias: String): LakeTable = new LakeTable(spark, log, Some(alias))
+  def alias(a: String): LakeTable = as(a)
+
+  // ---- reads -------------------------------------------------------------
+
+  def snapshot(version: Long = -1): Snapshot = log.snapshot(version)
+
+  /** Current-version DataFrame (SURVEY §2 S4). */
+  def toDF: DataFrame = applyAlias(snapshot().toDF(spark))
+
+  /** Time-travel read (S6/D6). */
+  def asOf(version: Long): DataFrame = applyAlias(snapshot(version).toDF(spark))
+
+  private def applyAlias(df: DataFrame): DataFrame =
+    targetAlias.map(df.as(_)).getOrElse(df)
+
+  /** Snapshot read with log-level pruning: partition filters drop whole
+    * files by their `partitionValues`; min/max stats drop files whose
+    * range can't satisfy simple `col <op> literal` predicates. At 100 TB
+    * this is what keeps a selective query from opening every file —
+    * Spark's own partition pruning still applies downstream.
+    */
+  def scan(filter: String): DataFrame = {
+    val snap = snapshot()
+    val pruned = FilePruner.prune(snap, filter)
+    if (pruned.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], snap.schema)
+        .where(filter)
+    }
+    val paths = pruned.map(f => s"$tablePath/${f.path}")
+    spark.read.option("basePath", tablePath).schema(snap.schema)
+      .parquet(paths: _*).where(filter)
+  }
+
+  // ---- audit -------------------------------------------------------------
+
+  /** DESCRIBE HISTORY (D7): one row per commit, newest first. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    snapshot().commitInfos.reverse.map { case (v, c) =>
+      (v, new java.sql.Timestamp(c.timestamp), c.operation,
+        c.operationParameters)
+    }.toDF("version", "timestamp", "operation", "operationParameters")
+  }
+
+  /** DESCRIBE DETAIL (K12). */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val s = snapshot()
+    Seq((
+      "lake", tablePath, s.version, s.partitionColumns, s.numFiles.toLong,
+      s.sizeInBytes, s.schema.toDDL
+    )).toDF("format", "location", "version", "partitionColumns", "numFiles",
+      "sizeInBytes", "schema")
+  }
+
+  // ---- DML ---------------------------------------------------------------
+
+  /** Predicate DELETE (D5). Partition-only predicates are metadata-only:
+    * whole files are dropped from the log without reading data.
+    */
+  def delete(condition: String): Unit = {
+    val snap = snapshot()
+    val cond = expr(condition)
+    FilePruner.partitionOnlyMatches(snap, condition) match {
+      case Some(matchedFiles) => // metadata-only path
+        commitRewrite(snap, matchedFiles.map(_.path), Nil, "DELETE",
+          Map("predicate" -> condition))
+      case None =>
+        val touched = touchedFiles(snap, cond)
+        if (touched.nonEmpty) {
+          val kept = readFiles(snap, touched)
+            .filter(!coalesce(cond, lit(false)))
+          val adds = LakeWriter.stageAndAdopt(kept, tablePath,
+            snap.partitionColumns)
+          commitRewrite(snap, touched, adds, "DELETE",
+            Map("predicate" -> condition))
+        }
+    }
+  }
+
+  /** Predicate UPDATE: set columns from expression strings where the
+    * condition holds; only touched files are rewritten.
+    */
+  def update(condition: String, set: Map[String, String]): Unit = {
+    val snap = snapshot()
+    val cond = expr(condition)
+    val touched = touchedFiles(snap, cond)
+    if (touched.isEmpty) return
+    val updated = readFiles(snap, touched).select(
+      snap.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(coalesce(cond, lit(false)), expr(e))
+            .otherwise(col(quoted(f.name))).cast(f.dataType).as(f.name)
+          case None => col(quoted(f.name))
+        }
+      }: _*)
+    val adds = LakeWriter.stageAndAdopt(updated, tablePath,
+      snap.partitionColumns)
+    commitRewrite(snap, touched, adds, "UPDATE",
+      Map("predicate" -> condition))
+  }
+
+  /** MERGE builder (D1–D4). `condition` may be any expression —
+    * including non-equi / RLIKE (J5) — resolved against the aliased
+    * target and source plans.
+    */
+  def merge(source: DataFrame, condition: String): LakeMergeBuilder =
+    new LakeMergeBuilder(this, targetAlias, source, condition)
+
+  // ---- maintenance -------------------------------------------------------
+
+  /** VACUUM (D8): physically delete files tombstoned before the
+    * retention horizon. Retention below the 168 h default throws unless
+    * `spark.graft.lake.retentionDurationCheck.enabled=false`.
+    */
+  def vacuum(retentionHours: Double = LakeTable.DEFAULT_RETENTION_HOURS)
+      : Seq[String] = {
+    val checkEnabled = spark.conf
+      .getOption(LakeTable.RETENTION_CHECK_KEY).forall(_.toBoolean)
+    if (retentionHours < LakeTable.DEFAULT_RETENTION_HOURS && checkEnabled) {
+      throw new IllegalArgumentException(
+        s"requested retention of $retentionHours hours is below the " +
+        s"default ${LakeTable.DEFAULT_RETENTION_HOURS} h safety " +
+        s"threshold. Set ${LakeTable.RETENTION_CHECK_KEY}=false to " +
+        "vacuum recent versions (this breaks time travel to them).")
+    }
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val live = snapshot().files.map(_.path).toSet
+    val tombstones = collection.mutable.LinkedHashMap.empty[String, Long]
+    (0L to log.latestVersion).foreach { v =>
+      log.readVersion(v).foreach {
+        case r: RemoveFile if !live.contains(r.path) =>
+          tombstones(r.path) = r.deletionTimestamp
+        case _ =>
+      }
+    }
+    val deletable = tombstones.collect {
+      case (path, ts) if ts <= cutoff => path
+    }.toSeq
+    deletable.foreach { rel =>
+      Files.deleteIfExists(Paths.get(tablePath, rel))
+    }
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(System.currentTimeMillis(), "VACUUM",
+        Map("retentionHours" -> retentionHours.toString,
+          "filesDeleted" -> deletable.size.toString)))
+    }
+    deletable
+  }
+
+  /** Compaction (SURVEY §7.5): bin-pack files smaller than
+    * `targetFileBytes` into fewer files per partition. Identity rewrite;
+    * readers before/after see the same rows.
+    */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val snap = snapshot()
+    val small = snap.files.filter(_.size < targetFileBytes)
+    // Only partitions with 2+ small files benefit.
+    val byPartition = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
+    if (byPartition.isEmpty) return
+    val toCompact = byPartition.values.flatten.toSeq
+    val totalBytes = toCompact.map(_.size).sum
+    val numOut = math.max(1, (totalBytes / targetFileBytes).toInt)
+    val df = readFiles(snap, toCompact.map(_.path))
+    val repartitioned =
+      if (snap.partitionColumns.nonEmpty)
+        df.repartition(math.max(numOut, byPartition.size),
+          snap.partitionColumns.map(c => col(quoted(c))): _*)
+      else df.repartition(numOut)
+    val adds = LakeWriter.stageAndAdopt(repartitioned, tablePath,
+      snap.partitionColumns)
+    commitRewrite(snap, toCompact.map(_.path), adds, "OPTIMIZE",
+      Map("numFilesRemoved" -> toCompact.size.toString,
+        "numFilesAdded" -> adds.size.toString))
+  }
+
+  // ---- internals ---------------------------------------------------------
+
+  private[lake] def quoted(name: String): String = s"`$name`"
+
+  /** Relative paths of live files containing at least one row matching
+    * `cond` (the Delta touched-file optimization, SURVEY §7.3).
+    */
+  private[lake] def touchedFiles(snap: Snapshot, cond: Column): Seq[String] = {
+    snap.toDF(spark)
+      .filter(coalesce(cond, lit(false)))
+      .select(col("_metadata.file_path"))
+      .distinct().collect()
+      .map(r => relativize(r.getString(0))).toSeq
+  }
+
+  /** Read a subset of the table's files as a DataFrame. */
+  private[lake] def readFiles(snap: Snapshot, relPaths: Seq[String]): DataFrame = {
+    require(relPaths.nonEmpty)
+    spark.read.option("basePath", tablePath).schema(snap.schema)
+      .parquet(relPaths.map(p => s"$tablePath/$p"): _*)
+  }
+
+  private[lake] def relativize(fileUri: String): String = {
+    val p =
+      if (fileUri.startsWith("file:")) Paths.get(java.net.URI.create(fileUri))
+      else Paths.get(fileUri)
+    Paths.get(tablePath).toAbsolutePath.normalize
+      .relativize(p.toAbsolutePath.normalize).toString
+  }
+
+  private[lake] def commitRewrite(
+      snap: Snapshot,
+      removedRelPaths: Seq[String],
+      adds: Seq[AddFile],
+      operation: String,
+      params: Map[String, String]): Long = {
+    val now = System.currentTimeMillis()
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(now, operation, params)) ++
+        removedRelPaths.map(RemoveFile(_, now)) ++ adds
+    }
+  }
+}
+
+object LakeTable {
+  val DEFAULT_RETENTION_HOURS: Double = 168.0
+  val RETENTION_CHECK_KEY = "spark.graft.lake.retentionDurationCheck.enabled"
+
+  def forPath(spark: SparkSession, path: String): LakeTable =
+    new LakeTable(spark, new LakeLog(path), None)
+
+  def isLakeTable(path: String): Boolean = new LakeLog(path).exists
+
+  /** Parquet→lake conversion (K5): synthesize a version-0 log over the
+    * files already in place; no data is rewritten.
+    */
+  def convertToLake(
+      spark: SparkSession, path: String,
+      partitionSchemaDDL: String = ""): LakeTable = {
+    val log = new LakeLog(path)
+    require(!log.exists, s"$path is already a lake table")
+    val partSchema =
+      if (partitionSchemaDDL.isEmpty) new StructType()
+      else StructType.fromDDL(partitionSchemaDDL)
+    var df =
+      if (partitionSchemaDDL.nonEmpty)
+        spark.read.option("basePath", path).parquet(path)
+      else spark.read.parquet(path)
+    // honor the declared partition types over Spark's inference
+    partSchema.fields.foreach { f =>
+      df = df.withColumn(f.name,
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType))
+    }
+    val root = Paths.get(path)
+    val files = LakeWriter.walkParquet(root)
+    val adds = files.map { f =>
+      val rel = root.relativize(f).toString
+      val (rows, mins, maxs, nulls) = ParquetFooters.stats(spark, f.toString)
+      AddFile(rel, LakeWriter.partitionValuesOf(rel), Files.size(f),
+        rows, mins, maxs, nulls)
+    }
+    val partCols = partSchema.fieldNames.toSeq
+    log.commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CONVERT",
+        Map("numFiles" -> adds.size.toString)),
+      Metadata(df.schema.toDDL, partCols, System.currentTimeMillis())
+    ) ++ adds)
+    forPath(spark, path)
+  }
+}

@@ -1,0 +1,234 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** Writes to a lake table (SURVEY §2 K1/K2, §7.1–7.2).
+  *
+  * Protocol: data files are written to a hidden staging dir, moved into
+  * the table's Hive-partitioned layout, and become visible only when
+  * the log commit succeeds (write data first, log last — crash-safe on
+  * the reference's semantics, SURVEY §7.9). Schema enforcement rejects
+  * new columns unless `mergeSchema` (D9/D10).
+  */
+object LakeWriter {
+
+  final case class WriteResult(version: Long, added: Seq[AddFile])
+
+  /** Append or overwrite `df` into the table at `tablePath`. */
+  def write(
+      df: DataFrame,
+      tablePath: String,
+      mode: String = "append",
+      partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = false,
+      operation: String = null,
+      operationParameters: Map[String, String] = Map.empty): WriteResult = {
+    require(mode == "append" || mode == "overwrite",
+      s"unsupported write mode: $mode")
+    val spark = df.sparkSession
+    val log = new LakeLog(tablePath)
+    val existing = if (log.exists) Some(log.snapshot()) else None
+
+    val partCols: Seq[String] = existing match {
+      case Some(s) =>
+        if (partitionBy.nonEmpty && partitionBy != s.partitionColumns)
+          throw new IllegalArgumentException(
+            s"partitioning ${partitionBy.mkString(",")} does not match " +
+            s"table partitioning ${s.partitionColumns.mkString(",")}")
+        s.partitionColumns
+      case None => partitionBy
+    }
+
+    val finalSchema = existing match {
+      case Some(s) => reconcileSchema(s.schema, df.schema, mergeSchema, tablePath)
+      case None    => df.schema
+    }
+    partCols.foreach { c =>
+      require(finalSchema.fieldNames.contains(c),
+        s"partition column $c not in schema ${finalSchema.simpleString}")
+    }
+
+    // Normalize to the final schema: order columns, null-fill missing.
+    val normalized = df.select(finalSchema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+    // Stage the physical write, then adopt files into the table dir.
+    {
+      val adds = stageAndAdopt(normalized, tablePath, partCols)
+
+      val schemaChanged =
+        existing.forall(_.metadata.schemaDDL != finalSchema.toDDL)
+      val op = Option(operation).getOrElse(
+        if (existing.isEmpty) "CREATE TABLE AS" else mode.toUpperCase)
+
+      val version = commitWithRetry(log) { version =>
+        val removes = if (mode == "overwrite" && existing.nonEmpty)
+          log.snapshot().files.map(f =>
+            RemoveFile(f.path, System.currentTimeMillis()))
+        else Nil
+        val meta =
+          if (version == 0L || schemaChanged)
+            Seq(Metadata(finalSchema.toDDL, partCols,
+              System.currentTimeMillis()))
+          else Nil
+        Seq(CommitInfo(System.currentTimeMillis(), op,
+          operationParameters ++ Map("mode" -> mode))) ++
+          meta ++ removes ++ adds
+      }
+      WriteResult(version, adds)
+    }
+  }
+
+  /** Physically write `df` (Hive-partitioned by `partCols`) via a
+    * hidden staging dir inside the table, then move the files into the
+    * table layout and return their AddFile actions. The files are
+    * invisible to readers until a commit references them.
+    */
+  private[lake] def stageAndAdopt(
+      df: DataFrame, tablePath: String, partCols: Seq[String]): Seq[AddFile] = {
+    val spark = df.sparkSession
+    val staging = Paths.get(tablePath, s".staging-${UUID.randomUUID()}")
+    Files.createDirectories(staging)
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(staging.toString)
+      adoptStagedFiles(spark, staging, Paths.get(tablePath))
+    } finally deleteRecursively(staging)
+  }
+
+  /** Enforcement (D9) / evolution (D10): extra incoming columns are
+    * rejected unless mergeSchema, then appended to the table schema;
+    * same-name columns must keep their type; missing columns null-fill.
+    */
+  private[lake] def reconcileSchema(
+      table: StructType,
+      incoming: StructType,
+      mergeSchema: Boolean,
+      tablePath: String): StructType = {
+    val tableByName = table.fields.map(f => f.name -> f).toMap
+    val extra = incoming.fields.filterNot(f => tableByName.contains(f.name))
+    val mismatched = incoming.fields.flatMap { f =>
+      tableByName.get(f.name) match {
+        case Some(tf) if tf.dataType != f.dataType => Some((f, tf))
+        case _ => None
+      }
+    }
+    if (mismatched.nonEmpty) {
+      val (f, tf) = mismatched.head
+      throw new SchemaMismatchException(
+        s"column ${f.name} has type ${f.dataType.simpleString} but table " +
+        s"$tablePath expects ${tf.dataType.simpleString}")
+    }
+    if (extra.nonEmpty && !mergeSchema) {
+      throw new SchemaMismatchException(
+        s"write to $tablePath rejected: columns " +
+        extra.map(_.name).mkString("[", ", ", "]") +
+        " are not in the table schema. Enable schema evolution with " +
+        "option(\"mergeSchema\", \"true\") to add them.")
+    }
+    if (extra.isEmpty) table
+    else StructType(table.fields ++ extra.map(_.copy(nullable = true)))
+  }
+
+  /** Move staged parquet files into the table root (preserving the
+    * Hive partition layout) and build their AddFile actions with
+    * footer-derived row counts and column min/max stats.
+    */
+  private def adoptStagedFiles(
+      spark: SparkSession, staging: Path, tableRoot: Path): Seq[AddFile] = {
+    val files = walkParquet(staging)
+    files.flatMap { f =>
+      val (rows, mins, maxs, nulls) = ParquetFooters.stats(spark, f.toString)
+      if (rows == 0L) { // empty output split: don't pollute the table
+        Files.deleteIfExists(f)
+        None
+      } else {
+        val rel = staging.relativize(f).toString
+        val target = tableRoot.resolve(rel)
+        Files.createDirectories(target.getParent)
+        Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
+        Some(AddFile(
+          path = rel,
+          partitionValues = partitionValuesOf(rel),
+          size = Files.size(target),
+          numRecords = rows,
+          minValues = mins,
+          maxValues = maxs,
+          nullCounts = nulls))
+      }
+    }
+  }
+
+  private[lake] def walkParquet(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq.sortBy(_.toString)
+    finally s.close()
+  }
+
+  /** Parse `k=v/k2=v2/part-....parquet` into partition values. */
+  private[lake] def partitionValuesOf(relPath: String): Map[String, String] = {
+    relPath.split('/').dropRight(1).iterator.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> unescapePathName(v))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Inverse of Hive/Spark's escapePathName (%XX escapes). */
+  private[lake] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Commit with optimistic retry: on version conflict, recompute the
+    * action list against the new latest version and try again.
+    */
+  private[lake] def commitWithRetry(log: LakeLog)(
+      actions: Long => Seq[Action]): Long = {
+    var attempts = 0
+    while (true) {
+      val version = log.latestVersion + 1
+      try {
+        log.commit(version, actions(version))
+        return version
+      } catch {
+        case _: ConcurrentWriteException if attempts < 20 => attempts += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+}
+
+final class SchemaMismatchException(msg: String)
+  extends IllegalArgumentException(msg)

@@ -1,0 +1,76 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The state of a lake table at one version: live files + schema.
+  * Produced by replaying log actions `0..version` (SURVEY §7.1).
+  */
+final case class Snapshot(
+    log: LakeLog,
+    version: Long,
+    metadata: Metadata,
+    files: Seq[AddFile],
+    commitInfos: Seq[(Long, CommitInfo)]) {
+
+  def schema: StructType = StructType.fromDDL(metadata.schemaDDL)
+
+  def partitionColumns: Seq[String] = metadata.partitionColumns
+
+  def numFiles: Int = files.size
+
+  def sizeInBytes: Long = files.map(_.size).sum
+
+  /** DataFrame over the live files. Partition values come from the
+    * Hive-style paths (`basePath` keeps them as columns); the explicit
+    * snapshot schema makes pre-evolution files null-fill new columns.
+    * Missing data files (e.g. after VACUUM of a time-traveled version)
+    * fail loudly here rather than mid-scan.
+    */
+  def toDF(spark: SparkSession): DataFrame = {
+    if (files.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val missing = files.filterNot(f =>
+      Files.exists(Paths.get(log.tablePath, f.path)))
+    if (missing.nonEmpty) {
+      throw new IllegalStateException(
+        s"cannot read version $version of lake table ${log.tablePath}: " +
+        s"${missing.size} data file(s) referenced by the log no longer " +
+        s"exist (first: ${missing.head.path}). They were likely removed " +
+        "by VACUUM; time travel to vacuumed versions is not possible.")
+    }
+    val paths = files.map(f => s"${log.tablePath}/${f.path}")
+    spark.read
+      .option("basePath", log.tablePath)
+      .schema(schema)
+      .parquet(paths: _*)
+  }
+}
+
+object Snapshot {
+
+  /** Replay the log up to `version` (inclusive). */
+  def replay(log: LakeLog, version: Long): Snapshot = {
+    var metadata: Metadata = null
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val commits = Seq.newBuilder[(Long, CommitInfo)]
+    var v = 0L
+    while (v <= version) {
+      log.readVersion(v).foreach {
+        case m: Metadata   => metadata = m
+        case a: AddFile    => live(a.path) = a
+        case r: RemoveFile => live.remove(r.path)
+        case c: CommitInfo => commits += ((v, c))
+      }
+      v += 1
+    }
+    if (metadata == null)
+      throw new IllegalStateException(
+        s"lake table at ${log.tablePath} has no Metadata action by " +
+        s"version $version")
+    Snapshot(log, version, metadata, live.values.toSeq, commits.result())
+  }
+}

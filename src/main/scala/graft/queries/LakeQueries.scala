@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.{LakeTable, LakeWriter}
+
+/** Correctness-gate queries for the lake table format (SURVEY §2.9).
+  * Each builds a scratch lake table from the driver parquet tables,
+  * applies versioned-table DML, and returns a result whose final state
+  * is also expressible as plain SQL over the ORIGINAL parquet — that
+  * SQL is the DuckDB oracle. This puts MERGE/time-travel/evolution
+  * under the same hash-match gate as the relational operators.
+  */
+object LakeQueries {
+  import QueryDef.table
+
+  /** Per-(query, sf) scratch dir, rebuilt on every invocation so the
+    * gate is deterministic and idempotent.
+    */
+  private def scratch(name: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_lake", sf, name)
+    graft.lake.LakeWriter.deleteRecursively(dir)
+    dir.toString
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // K1/K2/S4/D11: create + append, snapshot read.
+    QueryDef("lake_append_read",
+      (s, dir) => {
+        val path = scratch("lake_append_read", dir)
+        val o = table(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        LakeWriter.write(o.filter("o_orderstatus = 'F'"), path)
+        LakeWriter.write(o.filter("o_orderstatus <> 'F'"), path)
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
+
+    // S6/D6: time travel reads the pre-append version.
+    QueryDef("lake_time_travel",
+      (s, dir) => {
+        val path = scratch("lake_time_travel", dir)
+        val o = table(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        LakeWriter.write(o.filter("o_orderstatus = 'F'"), path)   // v0
+        LakeWriter.write(o.filter("o_orderstatus <> 'F'"), path)  // v1
+        LakeTable.forPath(s, path).asOf(0)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderstatus = 'F'")),
+
+    // D2: MERGE upsert — update matched, insert unmatched, one commit.
+    QueryDef("lake_merge_upsert",
+      (s, dir) => {
+        val path = scratch("lake_merge_upsert", dir)
+        val c = table(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        LakeWriter.write(c.filter("c_custkey <= 1000"), path)
+        val src = c.filter("c_custkey > 500")
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        LakeTable.forPath(s, path).as("t")
+          .merge(src.as("s"), "t.c_custkey = s.c_custkey")
+          .whenMatchedUpdate(Map("c_acctbal" -> "s.c_acctbal"))
+          .whenNotMatchedInsert(Map(
+            "c_custkey" -> "s.c_custkey", "c_name" -> "s.c_name",
+            "c_acctbal" -> "s.c_acctbal"))
+          .execute()
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  c_acctbal + (CASE WHEN c_custkey > 500 THEN 100.0 ELSE 0.0 END) AS c_acctbal
+             |FROM customer""".stripMargin)),
+
+    // D3/D4+J5: MERGE delete with a non-equi RLIKE condition.
+    QueryDef("lake_merge_rlike_delete",
+      (s, dir) => {
+        val path = scratch("lake_merge_rlike_delete", dir)
+        val d = table(s, dir, "documents")
+          .select("doc_id", "text", "lang")
+        LakeWriter.write(d, path)
+        import s.implicits._
+        val patterns = Seq("vector join", "slow hash").toDF("pat")
+        LakeTable.forPath(s, path).as("t")
+          .merge(patterns.as("p"), "t.text RLIKE p.pat")
+          .whenMatchedDelete()
+          .execute()
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("""SELECT doc_id, text, lang FROM documents
+             |WHERE NOT regexp_matches(text, 'vector join')
+             |  AND NOT regexp_matches(text, 'slow hash')""".stripMargin)),
+
+    // D5: predicate DELETE with file rewrite.
+    QueryDef("lake_delete",
+      (s, dir) => {
+        val path = scratch("lake_delete", dir)
+        val l = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        LakeWriter.write(l, path)
+        LakeTable.forPath(s, path).delete("l_returnflag = 'R'")
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
+        "FROM lineitem WHERE l_returnflag <> 'R'")),
+
+    // UPDATE: expression update over matching rows.
+    QueryDef("lake_update",
+      (s, dir) => {
+        val path = scratch("lake_update", dir)
+        val e = QueryDef.events(s, dir)
+          .select("event_id", "event_type", "value")
+        LakeWriter.write(e, path)
+        LakeTable.forPath(s, path).update(
+          "event_type = 'error'", Map("value" -> "0.0 - value"))
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("""SELECT event_id, event_type,
+             |  CASE WHEN event_type = 'error' THEN -value ELSE value END AS value
+             |FROM events""".stripMargin)),
+
+    // D9/D10: schema evolution — old rows null-fill the new column.
+    QueryDef("lake_schema_evolution",
+      (s, dir) => {
+        val path = scratch("lake_schema_evolution", dir)
+        val o = table(s, dir, "orders")
+        LakeWriter.write(
+          o.filter("o_orderstatus = 'F'").select("o_orderkey", "o_totalprice"),
+          path)
+        LakeWriter.write(
+          o.filter("o_orderstatus <> 'F'")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+          path, mergeSchema = true)
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CASE WHEN o_orderstatus <> 'F' THEN o_orderpriority END AS o_orderpriority
+             |FROM orders""".stripMargin)),
+
+    // Partitioned table + partition-pruned scan through the log.
+    QueryDef("lake_partition_scan",
+      (s, dir) => {
+        val path = scratch("lake_partition_scan", dir)
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag").as("p_flag"))
+        LakeWriter.write(l, path, partitionBy = Seq("p_flag"))
+        LakeTable.forPath(s, path).scan("p_flag = 'A'")
+      },
+      Some("SELECT l_orderkey, l_quantity, l_returnflag AS p_flag " +
+        "FROM lineitem WHERE l_returnflag = 'A'"))
+  )
+}

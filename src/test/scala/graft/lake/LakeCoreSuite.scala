@@ -1,0 +1,145 @@
+package graft.lake
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Log format, snapshot reads, time travel, schema enforcement and
+  * evolution — SURVEY §2 K1/K2/S4/S6/D6/D7/D9/D10/D11.
+  */
+class LakeCoreSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def users = Seq(
+    (1L, "ana", "2024-01-01", 10.0),
+    (2L, "bo", "2024-01-01", 20.0),
+    (3L, "cy", "2024-01-02", 30.0)
+  ).toDF("id", "name", "p_date", "score").coalesce(1)
+
+  test("append creates version 0 with metadata and reads back") {
+    val path = tablePath("t0")
+    val res = LakeWriter.write(users, path, partitionBy = Seq("p_date"))
+    assert(res.version === 0L)
+    val t = LakeTable.forPath(spark, path)
+    val df = t.toDF
+    assert(df.count() === 3)
+    assert(df.schema.fieldNames.sorted === Array("id", "name", "p_date", "score"))
+    // partition layout on disk
+    assert(new java.io.File(s"$path/p_date=2024-01-01").isDirectory)
+  }
+
+  test("append adds a version; overwrite replaces content atomically") {
+    val path = tablePath("t1")
+    LakeWriter.write(users, path)
+    LakeWriter.write(users.filter($"id" === 1L), path, mode = "append")
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.count() === 4)
+    LakeWriter.write(users.limit(2), path, mode = "overwrite")
+    assert(t.toDF.count() === 2)
+    assert(t.snapshot().version === 2L)
+  }
+
+  test("time travel reads exact old versions; beyond-latest errors") {
+    val path = tablePath("t2")
+    LakeWriter.write(users.filter($"id" <= 1), path) // v0: 1 row
+    LakeWriter.write(users.filter($"id" === 2), path) // v1: +1
+    LakeWriter.write(users.filter($"id" === 3), path) // v2: +1
+    val t = LakeTable.forPath(spark, path)
+    assert(t.asOf(0).count() === 1)
+    assert(t.asOf(1).count() === 2)
+    assert(t.toDF.count() === 3)
+    val e = intercept[IllegalArgumentException](t.asOf(9))
+    assert(e.getMessage.contains("time travel"))
+  }
+
+  test("history lists one commit per version, newest first") {
+    val path = tablePath("t3")
+    LakeWriter.write(users, path)
+    LakeWriter.write(users, path, mode = "append")
+    val h = LakeTable.forPath(spark, path).history().collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 0L))
+    assert(h.map(_.getString(2)).toSeq === Seq("APPEND", "CREATE TABLE AS"))
+  }
+
+  test("schema enforcement rejects new columns (D9)") {
+    val path = tablePath("t4")
+    LakeWriter.write(users, path)
+    val widened = users.withColumn("extra", lit("x"))
+    val e = intercept[SchemaMismatchException](
+      LakeWriter.write(widened, path))
+    assert(e.getMessage.contains("mergeSchema"))
+    // type change also rejected
+    val retyped = users.withColumn("score", $"score".cast("string"))
+    intercept[SchemaMismatchException](LakeWriter.write(retyped, path))
+  }
+
+  test("mergeSchema evolves; old rows read NULL for new column (D10)") {
+    val path = tablePath("t5")
+    LakeWriter.write(users, path)
+    val widened = Seq((4L, "di", "2024-01-03", 40.0, "gold"))
+      .toDF("id", "name", "p_date", "score", "tier")
+    LakeWriter.write(widened, path, mergeSchema = true)
+    val t = LakeTable.forPath(spark, path)
+    val df = t.toDF
+    assert(df.schema.fieldNames.contains("tier"))
+    assert(df.filter($"tier".isNull).count() === 3)
+    assert(df.filter($"tier" === "gold").count() === 1)
+    // missing-column append still works post-evolution (null-filled)
+    LakeWriter.write(users.filter($"id" === 1), path)
+    assert(t.toDF.count() === 5)
+  }
+
+  test("writes are atomic: no partial state visible mid-failure") {
+    val path = tablePath("t6")
+    LakeWriter.write(users, path)
+    val before = LakeTable.forPath(spark, path).snapshot().version
+    // a failing write (schema mismatch) must not advance the version
+    intercept[SchemaMismatchException](
+      LakeWriter.write(users.withColumn("boom", lit(1)), path))
+    assert(LakeTable.forPath(spark, path).snapshot().version === before)
+    assert(LakeTable.forPath(spark, path).toDF.count() === 3)
+  }
+
+  test("AddFile stats carry numRecords and min/max for skipping") {
+    val path = tablePath("t7")
+    LakeWriter.write(users, path, partitionBy = Seq("p_date"))
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    assert(snap.files.map(_.numRecords).sum === 3)
+    val f = snap.files.find(_.partitionValues("p_date") == "2024-01-01").get
+    assert(f.minValues.get("id").contains("1"))
+    assert(f.maxValues.get("id").contains("2"))
+    assert(f.minValues.get("name").contains("ana"))
+  }
+
+  test("scan prunes files by partition value and stats") {
+    val path = tablePath("t8")
+    LakeWriter.write(users, path, partitionBy = Seq("p_date"))
+    val t = LakeTable.forPath(spark, path)
+    val snap = t.snapshot()
+    assert(FilePruner.prune(snap, "p_date = '2024-01-02'").size === 1)
+    assert(FilePruner.prune(snap, "id >= 3").size === 1)
+    assert(FilePruner.prune(snap, "score < 5.0").isEmpty)
+    assert(t.scan("p_date = '2024-01-02'").count() === 1)
+    assert(t.scan("score < 5.0").count() === 0)
+  }
+
+  test("convertToLake adopts existing parquet in place (K5)") {
+    val dir = tablePath("t9")
+    users.write.partitionBy("p_date").parquet(dir)
+    val t = LakeTable.convertToLake(spark, dir, "p_date string")
+    assert(t.toDF.count() === 3)
+    assert(t.snapshot().partitionColumns === Seq("p_date"))
+    // now behaves as a lake table
+    LakeWriter.write(users.filter($"id" === 1), dir)
+    assert(t.toDF.count() === 4)
+  }
+
+  test("detail reports format, files, size, schema (K12)") {
+    val path = tablePath("t10")
+    LakeWriter.write(users, path, partitionBy = Seq("p_date"))
+    val d = LakeTable.forPath(spark, path).detail().collect()(0)
+    assert(d.getAs[String]("format") === "lake")
+    assert(d.getAs[Long]("numFiles") === 2L)
+    assert(d.getAs[Long]("sizeInBytes") > 0)
+  }
+}

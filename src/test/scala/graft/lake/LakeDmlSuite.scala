@@ -1,0 +1,200 @@
+package graft.lake
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** MERGE / UPDATE / DELETE / VACUUM / compaction semantics —
+  * SURVEY §2 D1–D8, §7.3, §7.5.
+  */
+class LakeDmlSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def seed = Seq(
+    (1L, "a", "new", 10.0),
+    (2L, "b", "new", 20.0),
+    (3L, "c", "old", 30.0),
+    (4L, "d", "old", 40.0)
+  ).toDF("id", "k", "status", "v").coalesce(1)
+
+  test("merge whenMatchedUpdate transitions rows (D1, etl status machine)") {
+    val path = tablePath("m1")
+    LakeWriter.write(seed, path)
+    val updates = Seq((1L, "loaded"), (2L, "loaded"))
+      .toDF("id", "new_status")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(updates.as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("status" -> "s.new_status"))
+      .execute()
+    val got = LakeTable.forPath(spark, path).toDF
+      .select("id", "status").as[(Long, String)].collect().sortBy(_._1)
+    assert(got === Array((1L, "loaded"), (2L, "loaded"),
+      (3L, "old"), (4L, "old")))
+  }
+
+  test("merge update + insert = full upsert in one commit (D2)") {
+    val path = tablePath("m2")
+    LakeWriter.write(seed, path)
+    val src = Seq((3L, "c2", 300.0), (9L, "z", 900.0))
+      .toDF("id", "k", "v")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("k" -> "s.k", "v" -> "s.v"))
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "k" -> "s.k", "status" -> "'inserted'", "v" -> "s.v"))
+      .execute()
+    val t = LakeTable.forPath(spark, path).toDF
+    assert(t.count() === 5)
+    assert(t.filter($"id" === 3 && $"k" === "c2" && $"v" === 300.0).count() === 1)
+    assert(t.filter($"id" === 9 && $"status" === "inserted").count() === 1)
+    // single atomic commit
+    assert(LakeTable.forPath(spark, path).snapshot().version === 1L)
+  }
+
+  test("merge whenMatchedDelete removes consumed rows (D3)") {
+    val path = tablePath("m3")
+    LakeWriter.write(seed, path)
+    val consumed = Seq(1L, 3L).toDF("id")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(consumed.as("s"), "t.id = s.id")
+      .whenMatchedDelete()
+      .execute()
+    assert(LakeTable.forPath(spark, path).toDF
+      .select("id").as[Long].collect().sorted === Array(2L, 4L))
+  }
+
+  test("merge with RLIKE non-equi condition (J5/D4, GDPR delete)") {
+    val path = tablePath("m4")
+    val docs = Seq(
+      (1L, """{"user":"u-123","x":1}"""),
+      (2L, """{"user":"u-456","x":2}"""),
+      (3L, """{"user":"u-789","x":3}""")
+    ).toDF("id", "value").coalesce(1)
+    LakeWriter.write(docs, path)
+    val deletions = Seq("u-123", "u-789").toDF("user_id")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(deletions.as("d"), "t.value RLIKE d.user_id")
+      .whenMatchedDelete()
+      .execute()
+    assert(LakeTable.forPath(spark, path).toDF
+      .select("id").as[Long].collect() === Array(2L))
+  }
+
+  test("merge errors when one target row matches multiple source rows") {
+    val path = tablePath("m5")
+    LakeWriter.write(seed, path)
+    val dupSrc = Seq((1L, "x"), (1L, "y")).toDF("id", "new_k")
+    val e = intercept[IllegalStateException] {
+      LakeTable.forPath(spark, path).as("t")
+        .merge(dupSrc.as("s"), "t.id = s.id")
+        .whenMatchedUpdate(Map("k" -> "s.new_k"))
+        .execute()
+    }
+    assert(e.getMessage.contains("multiple source"))
+  }
+
+  test("merge insert-only does not rewrite existing files") {
+    val path = tablePath("m6")
+    LakeWriter.write(seed, path)
+    val before = LakeTable.forPath(spark, path).snapshot().files.map(_.path).toSet
+    val src = Seq((1L, "dup"), (9L, "new")).toDF("id", "k")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .whenNotMatchedInsert(Map("id" -> "s.id", "k" -> "s.k",
+        "status" -> "'inserted'", "v" -> "0.0"))
+      .execute()
+    val after = LakeTable.forPath(spark, path).snapshot().files.map(_.path).toSet
+    assert(before.subsetOf(after)) // old files untouched
+    val t = LakeTable.forPath(spark, path).toDF
+    assert(t.count() === 5) // id=1 NOT duplicated
+    assert(t.filter($"id" === 9).count() === 1)
+  }
+
+  test("predicate delete rewrites only touched files (D5)") {
+    val path = tablePath("d1")
+    LakeWriter.write(seed, path)
+    LakeTable.forPath(spark, path).delete("v >= 30.0")
+    assert(LakeTable.forPath(spark, path).toDF
+      .select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("partition-predicate delete is metadata-only") {
+    val path = tablePath("d2")
+    LakeWriter.write(
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"))
+        .toDF("id", "p_date").coalesce(1),
+      path, partitionBy = Seq("p_date"))
+    val t = LakeTable.forPath(spark, path)
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    t.delete("p_date = '2024-01-02'")
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    // no new files written — pure log change
+    assert(snap.files.map(_.path).toSet.subsetOf(filesBefore))
+    assert(t.toDF.select("id").as[Long].collect() === Array(1L))
+  }
+
+  test("update rewrites matching rows in place") {
+    val path = tablePath("u1")
+    LakeWriter.write(seed, path)
+    LakeTable.forPath(spark, path)
+      .update("status = 'new'", Map("status" -> "'loaded'", "v" -> "v * 2"))
+    val t = LakeTable.forPath(spark, path).toDF
+    assert(t.filter($"status" === "new").count() === 0)
+    assert(t.filter($"id" === 1 && $"v" === 20.0).count() === 1)
+    assert(t.filter($"id" === 3 && $"v" === 30.0).count() === 1) // untouched
+  }
+
+  test("vacuum guard throws below 168h unless disabled; then time travel fails") {
+    val path = tablePath("v1")
+    LakeWriter.write(seed, path)                       // v0
+    LakeTable.forPath(spark, path).delete("id <= 2")   // v1 tombstones v0 file
+    val t = LakeTable.forPath(spark, path)
+
+    val e = intercept[IllegalArgumentException](t.vacuum(0))
+    assert(e.getMessage.contains("retention"))
+    assert(t.asOf(0).count() === 4) // still intact
+
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try {
+      val deleted = t.vacuum(0)
+      assert(deleted.nonEmpty)
+      // current version unaffected
+      assert(LakeTable.forPath(spark, path).toDF.count() === 2)
+      // time travel to the vacuumed version must fail loudly
+      val e2 = intercept[IllegalStateException](
+        LakeTable.forPath(spark, path).asOf(0).count())
+      assert(e2.getMessage.toLowerCase.contains("vacuum"))
+    } finally spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "true")
+  }
+
+  test("compact bin-packs small files without changing content") {
+    val path = tablePath("c1")
+    // 6 appends → 6 tiny files
+    (1 to 6).foreach { i =>
+      LakeWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1), path)
+    }
+    val t = LakeTable.forPath(spark, path)
+    val before = t.snapshot()
+    assert(before.numFiles === 6)
+    val sumBefore = t.toDF.agg(sum("id")).as[Long].collect()(0)
+    t.compact()
+    val after = LakeTable.forPath(spark, path)
+    assert(after.snapshot().numFiles < 6)
+    assert(after.toDF.agg(sum("id")).as[Long].collect()(0) === sumBefore)
+    assert(after.toDF.count() === 6)
+  }
+
+  test("rollback pattern: insert from old version (D12)") {
+    val path = tablePath("r1")
+    LakeWriter.write(seed, path)                      // v0
+    LakeTable.forPath(spark, path).delete("id = 2")   // v1
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.count() === 3)
+    // restore the deleted row from v0 (INSERT INTO t SELECT ... VERSION AS OF 0)
+    val restored = t.asOf(0).filter($"id" === 2)
+    LakeWriter.write(restored, path, operation = "INSERT")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 4)
+    val ops = LakeTable.forPath(spark, path).history()
+      .select("operation").as[String].collect()
+    assert(ops === Array("INSERT", "DELETE", "CREATE TABLE AS"))
+  }
+}
