@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`).
+  *
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query
+  *    set against the corpus, per-partition scoring, top-k via window.
+  *    Correct at any corpus size as long as the QUERY side is small;
+  *    cost is one corpus scan per batch of queries.
+  *  - [[lshTopK]]: the scale path — deterministic random-hyperplane
+  *    buckets shrink the candidate set ~2^bits-fold before scoring;
+  *    recall traded via `bits` (an IVF-style coarse quantizer built
+  *    from seeded hyperplanes instead of k-means centroids, so it
+  *    needs no training pass).
+  *
+  * Dot products use `zip_with` + `aggregate` — built-in higher-order
+  * functions, evaluated per-row without UDF serialization overhead.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x),
+      lit(0.0), (acc, v) => acc + v))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign bucket: `bits` signs,
+    * each from the dot product with a hash-derived ±1 hyperplane.
+    * Same-direction vectors collide with high probability.
+    */
+  def hyperplaneBucket(vec: Column, bits: Int = 8): Column = {
+    val signs = (0 until bits).map { p =>
+      // hyperplane component for dim i: ±1 from xxhash64(p, i)
+      val dot = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+          i => when(xxhash64(lit(p), i).bitwiseAND(1L) === 1L, 1.0)
+            .otherwise(-1.0)),
+          (v, h) => v * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    signs.reduce(_.bitwiseOR(_))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries (qid, vector) — small enough to broadcast
+    * @param corpus  (id, vector) — arbitrarily large
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      qidCol: String = "qid", idCol: String = "id",
+      vecCol: String = "vec"): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("__qid"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q) // broadcast-nested-loop: one corpus scan
+      .filter(col("__qid") =!= col("__id"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cos").desc, col("__id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"),
+        col("__id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Approximate top-k: score only within the query's hyperplane
+    * bucket. ~2^bits speedup at the cost of recall; `bits` tunes the
+    * tradeoff (use multi-probe or fewer bits for higher recall).
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 6,
+      qidCol: String = "qid", idCol: String = "id",
+      vecCol: String = "vec"): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("__qid"),
+      col(vecCol).as("__qv"))
+      .withColumn("__bucket", hyperplaneBucket(col("__qv"), bits)))
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+      .withColumn("__bucket", hyperplaneBucket(col("__cv"), bits))
+    val scored = c.join(q, "__bucket")
+      .filter(col("__qid") =!= col("__id"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cos").desc, col("__id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"),
+        col("__id").as("neighbor_id"), col("cos"))
+  }
+}

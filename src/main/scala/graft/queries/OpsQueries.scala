@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Correctness-gate queries for the LLM-data-pipeline extension
+  * operators (dedup, similarity search, text analysis, multimodal) over
+  * the `documents` / `embeddings` fixtures. Oracles are provided
+  * wherever the computation is SQL-expressible in DuckDB; hash-based
+  * operators (minhash/simhash/LSH) are deterministic but engine-defined,
+  * so they get rows-only checks.
+  */
+object OpsQueries {
+  import QueryDef.table
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Text analysis: token counts + quality score per language.
+    QueryDef("text_quality_stats",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.withColumn("n_tokens", TextOps.tokenCount(col("text")))
+          .withColumn("quality",
+            TextOps.qualityScore(col("text"), col("n_chars")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(avg("quality"), 4).as("avg_quality"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    len(string_split(text, ' ')) AS n_tokens,
+             |    LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+             |      * (CASE WHEN (n_chars - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' '))
+             |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+             |      AS quality
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  ROUND(AVG(ROUND(quality, 4)), 4) AS avg_quality
+             |FROM scored GROUP BY lang""".stripMargin)),
+
+    // Per-doc token accounting (exact + BPE-ish estimate).
+    QueryDef("text_token_counts",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeTokenEstimate(col("text")).as("bpe_estimate")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |  CAST(len(string_split(text, ' ')) + (length(text) // 24) AS BIGINT) AS bpe_estimate
+             |FROM documents""".stripMargin)),
+
+    // Language-ID heuristic (stopword profiles; engine-defined → rows-only).
+    QueryDef("text_lang_id",
+      (s, dir) => TextOps.langId(
+        table(s, dir, "documents"), "text")
+        .select("doc_id", "lang", "lang_guess"),
+      None),
+
+    // Exact dedup via content fingerprint (md5 ⇒ oracle-reproducible).
+    QueryDef("dedup_exact",
+      (s, dir) => DedupOps.exactDedup(
+        table(s, dir, "documents"), "text", "doc_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+             |FROM documents
+             |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""".stripMargin)),
+
+    // Exact n-gram Jaccard pairs within each source shard.
+    QueryDef("dedup_ngram_pairs",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val a = d.as("a")
+        val b = d.as("b")
+        a.join(b, col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            round(DedupOps.ngramJaccard(col("a.text"), col("b.text"), 3), 4)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+             |      THEN [text]
+             |      ELSE list_transform(range(1, len(string_split(text,' '))-1),
+             |        i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))
+             |      END) AS shingles
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  ROUND(len(list_intersect(a.shingles, b.shingles))
+             |    / (len(a.shingles) + len(b.shingles)
+             |       - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+             |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.shingles, b.shingles))
+             |    / (len(a.shingles) + len(b.shingles)
+             |       - len(list_intersect(a.shingles, b.shingles))) >= 0.2""".stripMargin)),
+
+    // MinHash+LSH near-dup pairs (hash-defined → rows-only check).
+    QueryDef("dedup_minhash_lsh",
+      (s, dir) => DedupOps.minhashLshPairs(
+        table(s, dir, "documents"), "text", "doc_id",
+        numHashes = 32, bands = 8, minJaccard = 0.2),
+      None),
+
+    // SimHash signature groups (hash-defined → rows-only check).
+    QueryDef("dedup_simhash",
+      (s, dir) => DedupOps.simhashGroups(
+        table(s, dir, "documents"), "text", "doc_id")
+        .select(col("simhash"), col("n_docs"),
+          concat_ws(",", col("ids")).as("ids_csv")),
+      None),
+
+    // Embedding near-dup: corpus ∪ exact copies (ids shifted) must
+    // rediscover each copy pair through the LSH-bucketed join.
+    QueryDef("dedup_embedding_pairs",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val copies = e.withColumn("vec_id", col("vec_id") + 1000000L)
+        DedupOps.embeddingNearDupPairs(
+          e.union(copies), "embedding", "vec_id", minCos = 0.99)
+      },
+      Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+             |  CAST(1.0 AS DOUBLE) AS cos
+             |FROM embeddings""".stripMargin)),
+
+    // Exact brute-force cosine top-k (the ANN correctness baseline).
+    QueryDef("sim_bruteforce_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+        val corpus = e.select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
+      },
+      // DOUBLE[] casts: DuckDB otherwise scores FLOAT[] in float
+      // precision while Spark accumulates in double.
+      Some("""SELECT qid, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+             |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+             |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+             |               c.vec_id ASC) AS rank
+             |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10)
+             |WHERE rank <= 5""".stripMargin)),
+
+    // LSH-bucketed approximate top-k (scale path; rows-only check).
+    QueryDef("sim_lsh_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+        val corpus = e.select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        SimilarityOps.lshTopK(queries, corpus, k = 5, bits = 4)
+      },
+      None),
+
+    // Multimodal plumbing: binary payloads through the batched decode
+    // stub; byte accounting is oracle-checkable.
+    QueryDef("multimodal_decode",
+      (s, dir) => {
+        val media = MultimodalOps.asMediaTable(
+          table(s, dir, "documents").withColumn("media",
+            encode(col("text"), "UTF-8")),
+          "doc_id", "media", "text/plain")
+        MultimodalOps.decodeAndFeaturize(media).toDF()
+          .select(col("media_id"), col("byte_len"),
+            round(col("mean_byte"), 4).as("mean_byte"))
+      },
+      Some("""WITH bytes AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |    list_transform(string_split(text, ''), c -> ascii(c)) AS cps
+             |  FROM documents)
+             |SELECT doc_id AS media_id, CAST(byte_len AS BIGINT) AS byte_len,
+             |  ROUND(list_aggregate(cps, 'sum') * 1.0 / byte_len, 4) AS mean_byte
+             |FROM bytes""".stripMargin)),
+
+    // Frame-sampling stub: explode shape over binary payloads.
+    QueryDef("multimodal_frames",
+      (s, dir) => {
+        val media = MultimodalOps.asMediaTable(
+          table(s, dir, "documents").withColumn("media",
+            encode(col("text"), "UTF-8")),
+          "doc_id", "media", "video/fake")
+        MultimodalOps.sampleFrames(media, n = 4)
+          .select(col("media_id"), col("frame_idx"),
+            length(col("frame_bytes")).as("frame_len"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(GREATEST(LEAST(octet_length(encode(text)) - f*16, 16), 0) AS INTEGER) AS frame_len
+             |FROM documents, UNNEST([0,1,2,3]) AS t(f)""".stripMargin))
+  )
+}
