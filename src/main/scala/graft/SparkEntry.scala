@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    CoreQueries.all ++ LakeQueries.all ++ OpsQueries.all
+    CoreQueries.all ++ LakeQueries.all ++ OpsQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

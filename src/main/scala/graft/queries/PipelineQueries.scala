@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.lake.LakeTable
+
+/** Gate query running the full reference pipeline spine (etl/04:11-47):
+  * fixture landing table → micro-batch JSON ingest → bronze with
+  * ingestion metadata → silver with quarantine repair. Deterministic
+  * (fixed clock + fixture seed) but fixture-driven, so it carries a
+  * rows-only check rather than a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_medallion",
+      (s, dir) => {
+        val sf = new java.io.File(dir).getName
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_pipeline", sf)
+        graft.lake.LakeWriter.deleteRecursively(root)
+        val (landing, raw, bronze, silver, user) = (
+          s"$root/landing", s"$root/raw", s"$root/bronze",
+          s"$root/silver", s"$root/user")
+        val ingest = new Ingest(landing, raw)
+        ingest.prepareActivityData(s, hours = 24)
+        val pipe = new Pipeline(raw, bronze, silver, user,
+          new Operations(Operations.fixedClock("2020-03-01 00:00:00")))
+        pipe.writeUserDimension(s)
+        ingest.ingestClassicData(s, hours = 16, batchTag = "b1")
+        pipe.runBatch(s)
+        LakeTable.forPath(s, silver).toDF
+          .groupBy("device_id", "p_eventdate")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("steps")).cast("long").as("total_steps"))
+      },
+      None)
+  )
+}
