@@ -38,23 +38,24 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingle set. Computed per-row with array
-    * functions — no explode, no shuffle.
+  /** MinHash signature over a precomputed shingle-array column: for
+    * each of `numHashes` seeded hash functions, the min over the set.
+    * Per-row array math — no explode, no shuffle.
     */
-  def minhashSignature(text: Column, numHashes: Int = 32, shingleN: Int = 3)
-      : Column = {
-    val sh = shingles(text, shingleN)
-    val hashes = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }
-    array(hashes: _*)
-  }
+  def minhashSignature(shingleArr: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
+    }: _*)
 
   /** MinHash + LSH near-dup candidate pairs verified by true n-gram
     * Jaccard. `bands` × `rowsPerBand` must equal the signature length.
-    * Scale shape: explode only `bands` rows per doc, shuffle on the
-    * band key, self-join inside buckets only.
+    *
+    * Scale shape (what survives 100 TB):
+    *  1. shingle each doc ONCE (O(docs), not O(pairs) or O(hashes));
+    *  2. band the signature and explode only (id, band, bucket) —
+    *     candidate generation shuffles compact keys, never text;
+    *  3. dedupe candidate id-pairs, then fetch the two shingle arrays
+    *     back by id-join and verify with exact Jaccard.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJaccard.
     */
@@ -64,36 +65,47 @@ object DedupOps {
       shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__sig", minhashSignature(col("__text"), numHashes, shingleN))
-    val banded = withSig.select(col("__id"), col("__text"),
+    // shingles hashed to LONGs once: signatures and verification both
+    // run on long arrays (cheap hashing/equality; 64-bit collisions
+    // are negligible at any realistic corpus size)
+    val docs = df.select(col(idCol).as("__id"),
+      array_distinct(transform(shingles(col(textCol), shingleN),
+        s => xxhash64(s))).as("__sh"))
+    val withSig = docs
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val banded = withSig.select(col("__id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",",
             slice(col("__sig"), b * r + lit(1), lit(r))), b).as("bucket"))))
         .as("__b"))
-      .select(col("__id"), col("__text"),
+      .select(col("__id"),
         col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val cand = a.join(b,
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__bucket") === col("b.__bucket") &&
         col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__text").as("text_a"), col("b.__text").as("text_b"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("jaccard", ngramJaccard(
-        col("text_a"), col("text_b"), shingleN))
+    val sa = docs.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val sb = docs.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccardFromShingles(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Exact n-gram (shingle-set) Jaccard similarity of two texts. */
-  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val sa = array_distinct(shingles(a, n))
-    val sb = array_distinct(shingles(b, n))
+  /** Exact n-gram (shingle-set) Jaccard similarity of two texts.
+    * NOTE: computes shingles per evaluation — when scoring many pairs,
+    * precompute `array_distinct(shingles(text))` per row once and use
+    * [[jaccardFromShingles]] instead (O(docs) shingling, not O(pairs)).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    jaccardFromShingles(
+      array_distinct(shingles(a, n)), array_distinct(shingles(b, n)))
+
+  /** Jaccard of two precomputed distinct-shingle arrays. */
+  def jaccardFromShingles(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = (size(sa) + size(sb)).cast("double") - inter
     when(union === 0, 1.0).otherwise(inter / union)

@@ -38,12 +38,14 @@ object CoreQueries {
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
+          round(stddev("l_quantity"), 4).as("stddev_qty"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
              |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+             |  ROUND(STDDEV_SAMP(l_quantity), 4) AS stddev_qty,
              |  COUNT(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'

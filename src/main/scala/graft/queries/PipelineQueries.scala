@@ -34,6 +34,33 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_rows"),
             sum(col("steps")).cast("long").as("total_steps"))
       },
+      None),
+
+    // Structured Streaming ingest (SURVEY §2.10): raw JSON-lines files
+    // streamed into a lake table with AvailableNow + foreachBatch;
+    // result is the bronze content (deterministic counts, rows-only).
+    QueryDef("streaming_ingest",
+      (s, dir) => {
+        val sf = new java.io.File(dir).getName
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_streaming", sf)
+        graft.lake.LakeWriter.deleteRecursively(root)
+        val (landing, raw, bronze) =
+          (s"$root/landing", s"$root/raw", s"$root/bronze")
+        val ingest = new Ingest(landing, raw)
+        ingest.prepareActivityData(s, hours = 24)
+        ingest.ingestClassicData(s, hours = 8, batchTag = "s1")
+        val q = graft.streaming.LakeStreaming.streamRawToLake(
+          s, raw, bronze, s"$root/ckpt")
+        q.awaitTermination(120000)
+        LakeTable.forPath(s, bronze).toDF
+          .withColumn("event", from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "time TIMESTAMP, name STRING, device_id STRING, steps INTEGER")))
+          .groupBy(col("event.device_id").as("device_id"), col("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event.steps")).cast("long").as("total_steps"))
+      },
       None)
   )
 }
