@@ -43,6 +43,10 @@ final class LakeLog(val tablePath: String) {
 
   /** Atomically commit `actions` as `version`. Throws
     * [[ConcurrentWriteException]] if that version was already written.
+    * Every [[LakeLog.CHECKPOINT_INTERVAL]] commits a checkpoint of the
+    * replayed state is written so snapshot construction stays O(1) in
+    * table age instead of O(versions) — the Delta checkpoint idea,
+    * essential once a table has thousands of commits.
     */
   def commit(version: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)
@@ -51,11 +55,49 @@ final class LakeLog(val tablePath: String) {
     val tmp = Files.createTempFile(logDir, s".tmp-$version-", ".json")
     try {
       Files.write(tmp, actions.map(Action.toJson).asJava)
-      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      catch { case NonFatal(_) if Files.exists(target) =>
-        throw new ConcurrentWriteException(version)
+      // Exclusive publish: createLink fails atomically if the version
+      // file already exists. (rename() would silently REPLACE an
+      // existing file — a lost commit under concurrent writers.)
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentWriteException(version)
       }
     } finally Files.deleteIfExists(tmp)
+    if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
+      try writeCheckpoint(version)
+      catch { case NonFatal(_) => () } // checkpoint is an optimization only
+    }
+  }
+
+  /** Write `<v>.checkpoint.json`: the full replayed state at v. */
+  private def writeCheckpoint(version: Long): Unit = {
+    val snap = Snapshot.replay(this, version)
+    val lines = (Seq(snap.metadata: Action) ++ snap.files)
+      .map(Action.toJson)
+    val target = logDir.resolve(f"$version%020d.checkpoint.json")
+    val tmp = Files.createTempFile(logDir, s".ckpt-$version-", ".json")
+    try {
+      Files.write(tmp, lines.asJava)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Latest checkpoint at or below `version`, if any: (version, actions). */
+  def latestCheckpointAtOrBefore(version: Long): Option[(Long, Seq[Action])] = {
+    if (!Files.isDirectory(logDir)) return None
+    val s = Files.list(logDir)
+    val candidates =
+      try s.iterator.asScala
+        .filter(p => CHECKPOINT_FILE_RE.matches(p.getFileName.toString))
+        .map(p => (p.getFileName.toString.stripSuffix(".checkpoint.json").toLong, p))
+        .filter(_._1 <= version)
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    candidates.lastOption.map { case (v, p) =>
+      (v, Files.readAllLines(p).asScala.iterator
+        .map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toSeq)
+    }
   }
 
   /** Replay all actions up to and including `version` (-1 = latest). */
@@ -78,7 +120,9 @@ final class LakeLog(val tablePath: String) {
 
 object LakeLog {
   val LOG_DIR = "_lake_log"
+  val CHECKPOINT_INTERVAL = 10L
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
+  private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r
 
   def versionOf(p: Path): Long =
     p.getFileName.toString.stripSuffix(".json").toLong

@@ -55,13 +55,18 @@ final class LakeTable private (
 
   // ---- audit -------------------------------------------------------------
 
-  /** DESCRIBE HISTORY (D7): one row per commit, newest first. */
+  /** DESCRIBE HISTORY (D7): one row per commit, newest first. Scans
+    * the raw log (not the checkpoint) — audit must see every commit.
+    */
   def history(): DataFrame = {
     import spark.implicits._
-    snapshot().commitInfos.reverse.map { case (v, c) =>
-      (v, new java.sql.Timestamp(c.timestamp), c.operation,
-        c.operationParameters)
-    }.toDF("version", "timestamp", "operation", "operationParameters")
+    val rows = (0L to log.latestVersion).flatMap { v =>
+      log.readVersion(v).collect { case c: CommitInfo =>
+        (v, new java.sql.Timestamp(c.timestamp), c.operation,
+          c.operationParameters)
+      }
+    }.reverse
+    rows.toDF("version", "timestamp", "operation", "operationParameters")
   }
 
   /** DESCRIBE DETAIL (K12). */

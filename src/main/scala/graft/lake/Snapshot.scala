@@ -11,8 +11,7 @@ final case class Snapshot(
     log: LakeLog,
     version: Long,
     metadata: Metadata,
-    files: Seq[AddFile],
-    commitInfos: Seq[(Long, CommitInfo)]) {
+    files: Seq[AddFile]) {
 
   def schema: StructType = StructType.fromDDL(metadata.schemaDDL)
 
@@ -52,18 +51,29 @@ final case class Snapshot(
 
 object Snapshot {
 
-  /** Replay the log up to `version` (inclusive). */
+  /** Replay the log up to `version` (inclusive), starting from the
+    * latest checkpoint at or below it (O(delta) not O(versions)).
+    */
   def replay(log: LakeLog, version: Long): Snapshot = {
     var metadata: Metadata = null
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    val commits = Seq.newBuilder[(Long, CommitInfo)]
-    var v = 0L
+    val startAt = log.latestCheckpointAtOrBefore(version) match {
+      case Some((ckptVersion, actions)) =>
+        actions.foreach {
+          case m: Metadata => metadata = m
+          case a: AddFile  => live(a.path) = a
+          case _ => ()
+        }
+        ckptVersion + 1
+      case None => 0L
+    }
+    var v = startAt
     while (v <= version) {
       log.readVersion(v).foreach {
         case m: Metadata   => metadata = m
         case a: AddFile    => live(a.path) = a
         case r: RemoveFile => live.remove(r.path)
-        case c: CommitInfo => commits += ((v, c))
+        case _: CommitInfo => ()
       }
       v += 1
     }
@@ -71,6 +81,6 @@ object Snapshot {
       throw new IllegalStateException(
         s"lake table at ${log.tablePath} has no Metadata action by " +
         s"version $version")
-    Snapshot(log, version, metadata, live.values.toSeq, commits.result())
+    Snapshot(log, version, metadata, live.values.toSeq)
   }
 }

@@ -134,6 +134,28 @@ class LakeCoreSuite extends SparkSuite {
     assert(t.toDF.count() === 4)
   }
 
+  test("checkpoints keep snapshots O(delta) and agree with full replay") {
+    val path = tablePath("t11")
+    (1 to 25).foreach { i =>
+      LakeWriter.write(Seq((i.toLong, s"row$i")).toDF("id", "s").coalesce(1), path)
+    }
+    val log = new LakeLog(path)
+    // checkpoints exist at versions 10 and 20
+    assert(log.latestCheckpointAtOrBefore(24).map(_._1).contains(20L))
+    assert(log.latestCheckpointAtOrBefore(15).map(_._1).contains(10L))
+    assert(log.latestCheckpointAtOrBefore(9).isEmpty)
+    // snapshot through checkpoint == ground truth
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.count() === 25)
+    assert(t.asOf(12).count() === 13)
+    assert(t.snapshot().files.size === 25)
+    // deletes recorded after a checkpoint are honored
+    t.delete("id <= 5")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 20)
+    // history still sees every commit despite checkpointed replay
+    assert(LakeTable.forPath(spark, path).history().count() === 26)
+  }
+
   test("detail reports format, files, size, schema (K12)") {
     val path = tablePath("t10")
     LakeWriter.write(users, path, partitionBy = Seq("p_date"))

@@ -1,0 +1,105 @@
+package graft.lake
+
+import graft.SparkSuite
+import org.scalatest.prop.TableDrivenPropertyChecks
+import org.apache.spark.sql.functions._
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+/** Property-style invariants from SURVEY §5: upsert idempotence,
+  * delete-restore round trip, prefix-replay consistency, and
+  * concurrent-writer safety of the optimistic commit protocol.
+  */
+class LakePropertySuite extends SparkSuite with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private def freshTable(n: Int): String = {
+    val path = tablePath(s"prop-$n-${System.nanoTime()}")
+    val df = (1 to n).map(i => (i.toLong, s"k$i", i * 1.5))
+      .toDF("id", "k", "v").coalesce(2)
+    LakeWriter.write(df, path)
+    path
+  }
+
+  test("merging the same source twice is a no-op (upsert idempotence)") {
+    forAll(Table("n", 10, 57, 200)) { n =>
+      val path = freshTable(n)
+      val src = (n / 2 to n + 5).map(i => (i.toLong, s"u$i", i * 2.0))
+        .toDF("id", "k", "v")
+      def mergeOnce(): Unit =
+        LakeTable.forPath(spark, path).as("t")
+          .merge(src.as("s"), "t.id = s.id")
+          .whenMatchedUpdate(Map("k" -> "s.k", "v" -> "s.v"))
+          .whenNotMatchedInsert(Map(
+            "id" -> "s.id", "k" -> "s.k", "v" -> "s.v"))
+          .execute()
+      mergeOnce()
+      val after1 = LakeTable.forPath(spark, path).toDF
+        .orderBy("id").collect().toSeq
+      mergeOnce()
+      val after2 = LakeTable.forPath(spark, path).toDF
+        .orderBy("id").collect().toSeq
+      assert(after1 === after2)
+    }
+  }
+
+  test("delete then restore-from-previous-version round-trips exactly") {
+    forAll(Table("n", 20, 111)) { n =>
+      val path = freshTable(n)
+      val t = LakeTable.forPath(spark, path)
+      val v0 = t.snapshot().version
+      val before = t.toDF.orderBy("id").collect().toSeq
+      t.delete(s"id % 3 = 0")
+      val restored = LakeTable.forPath(spark, path)
+        .asOf(v0).filter("id % 3 = 0")
+      LakeWriter.write(restored, path, operation = "INSERT")
+      val after = LakeTable.forPath(spark, path).toDF
+        .orderBy("id").collect().toSeq
+      assert(after === before)
+    }
+  }
+
+  test("every log prefix yields a consistent snapshot (counts monotone per op)") {
+    val path = tablePath("prop-prefix")
+    val expected = scala.collection.mutable.ArrayBuffer[Long]()
+    var running = 0L
+    (1 to 12).foreach { i =>
+      LakeWriter.write(
+        Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1), path)
+      running += 1
+      expected += running
+    }
+    val t = LakeTable.forPath(spark, path)
+    expected.zipWithIndex.foreach { case (cnt, v) =>
+      assert(t.asOf(v).count() === cnt, s"at version $v")
+    }
+  }
+
+  test("concurrent appends all land under optimistic retry (D11)") {
+    val path = freshTable(5)
+    val writers = 6
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(writers)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            start.await()
+            LakeWriter.write(
+              Seq((100L + w, s"w$w", 0.0)).toDF("id", "k", "v").coalesce(1),
+              path)
+          } catch { case t: Throwable => errors.add(t) }
+          finally done.countDown()
+        }
+      })
+    }
+    start.countDown()
+    assert(done.await(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errors.isEmpty, s"writer failures: ${errors}")
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.count() === 5 + writers)
+    assert(t.snapshot().version === writers.toLong) // v0 + one per writer
+  }
+}
