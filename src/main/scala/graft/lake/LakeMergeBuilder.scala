@@ -87,21 +87,31 @@ final class LakeMergeBuilder private[lake] (
   def execute(): Unit = {
     require(matchedClauses.nonEmpty || insertClauses.nonEmpty,
       "merge needs at least one WHEN MATCHED / WHEN NOT MATCHED clause")
-    val spark = table.spark
-    val snap = table.snapshot()
-    val fields = snap.schema.fields.toSeq
-    val condExpr = expr(condition)
-
-    val FILE = "__graft_file"
-    val RID = "__graft_rid"
     val SRC = "__graft_src_present"
-    val IDXC = "__graft_clause"
 
     def aliasTgt(df: DataFrame): DataFrame =
       targetAlias.map(df.as(_)).getOrElse(df)
     // Marker column added *after* the caller's .as(alias) — projections
     // preserve attribute qualifiers, so "s.col" still resolves.
+    // Cached: the source participates in up to three jobs (touched-file
+    // semi-join, rewrite join, insert anti-join); without caching an
+    // expensive source plan would be recomputed each time.
     val src = source.withColumn(SRC, lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try executeWith(aliasTgt, src)
+    finally { src.unpersist(false); () }
+  }
+
+  private def executeWith(
+      aliasTgt: DataFrame => DataFrame, src: DataFrame): Unit = {
+    val spark = table.spark
+    val snap = table.snapshot()
+    val fields = snap.schema.fields.toSeq
+    val condExpr = expr(condition)
+    val FILE = "__graft_file"
+    val RID = "__graft_rid"
+    val SRC = "__graft_src_present"
+    val IDXC = "__graft_clause"
 
     def qualTgt(name: String): Column =
       col(targetAlias.map(a => s"$a.`$name`").getOrElse(s"`$name`"))

@@ -22,8 +22,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
-  /** Cosine similarity of two float-array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns — native codegen'd
+    * expression ([[graft.functions.CosineSimilarity]]); bit-identical
+    * to [[cosineComposable]] but stays inside whole-stage codegen.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Reference implementation from built-in higher-order functions
+    * (zip_with + aggregate). Kept as the portable/comparison form.
+    */
+  def cosineComposable(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(transform(a, x => x * x),

@@ -109,6 +109,23 @@ class LakeDmlSuite extends SparkSuite {
     assert(t.filter($"id" === 9).count() === 1)
   }
 
+  test("merge updateAll/insertAll map every column by name") {
+    val path = tablePath("m7")
+    LakeWriter.write(seed, path)
+    val src = Seq((2L, "b2", "sync", 222.0), (8L, "h", "sync", 888.0))
+      .toDF("id", "k", "status", "v")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val got = LakeTable.forPath(spark, path).toDF
+      .orderBy("id").as[(Long, String, String, Double)].collect()
+    assert(got(1) === ((2L, "b2", "sync", 222.0)))
+    assert(got(4) === ((8L, "h", "sync", 888.0)))
+    assert(got.length === 5)
+  }
+
   test("predicate delete rewrites only touched files (D5)") {
     val path = tablePath("d1")
     LakeWriter.write(seed, path)
