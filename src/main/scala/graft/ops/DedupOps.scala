@@ -112,20 +112,13 @@ object DedupOps {
   }
 
   /** 64-bit SimHash: sign-sum over token hashes, one bit per position.
-    * Near-dups land on equal (or low-Hamming) signatures. Per-row array
-    * math only — shuffle happens when the caller groups by signature.
+    * Near-dups land on equal (or low-Hamming) signatures. Single-pass
+    * native expression ([[graft.functions.SimHash64]]); shuffle happens
+    * only when the caller groups by signature.
     */
-  def simhash(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64(
+      transform(TextOps.tokens(text), t => xxhash64(t)))
 
   /** Group docs by identical SimHash → (simhash, doc count, ids). */
   def simhashGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =

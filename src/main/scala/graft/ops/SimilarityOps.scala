@@ -44,21 +44,11 @@ object SimilarityOps {
 
   /** Deterministic pseudo-random hyperplane sign bucket: `bits` signs,
     * each from the dot product with a hash-derived ±1 hyperplane.
-    * Same-direction vectors collide with high probability.
+    * Same-direction vectors collide with high probability. Native
+    * single-pass expression ([[graft.functions.HyperplaneBucket]]).
     */
-  def hyperplaneBucket(vec: Column, bits: Int = 8): Column = {
-    val signs = (0 until bits).map { p =>
-      // hyperplane component for dim i: ±1 from xxhash64(p, i)
-      val dot = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
-          i => when(xxhash64(lit(p), i).bitwiseAND(1L) === 1L, 1.0)
-            .otherwise(-1.0)),
-          (v, h) => v * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    signs.reduce(_.bitwiseOR(_))
-  }
+  def hyperplaneBucket(vec: Column, bits: Int = 8): Column =
+    graft.functions.HyperplaneBucket(vec, bits)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
