@@ -35,6 +35,12 @@ object LakeSql {
   private val CREATE_LAKE_RE =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+""" +
       """USING\s+(?:lake|delta)\s+LOCATION\s+'([^']+)'\s*""").r
+  private val CTAS_LAKE_RE =
+    ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)\s+""" +
+      """USING\s+(?:lake|delta)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT.+)""").r
+  private val CONVERT_RE =
+    ("""(?is)\s*CONVERT\s+TO\s+(?:LAKE|DELTA)\s+(?:parquet\s*\.\s*)?""" +
+      """[`']([^'`]+)[`']\s*(?:PARTITIONED\s+BY\s*\((.+?)\))?\s*""").r
   private val DROP_TABLE_RE =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)\s*""".r
   private val INSERT_SELECT_RE =
@@ -63,8 +69,20 @@ object LakeSql {
       import spark.implicits._
       deleted.toDF("path")
 
+    case CTAS_LAKE_RE(name, location, select) =>
+      val df = sql(spark, select)
+      LakeWriter.write(df, location, mode = "overwrite",
+        operation = "CREATE TABLE AS SELECT")
+      LakeCatalog.register(spark, clean(name), location)
+      emptyDF(spark)
+
     case CREATE_LAKE_RE(name, location) =>
       LakeCatalog.register(spark, clean(name), location)
+      emptyDF(spark)
+
+    case CONVERT_RE(path, partDDL) =>
+      LakeTable.convertToLake(spark, path,
+        Option(partDDL).map(_.trim).getOrElse(""))
       emptyDF(spark)
 
     case DROP_TABLE_RE(name) if LakeCatalog.pathOf(clean(name)).isDefined =>

@@ -74,16 +74,24 @@ object SimilarityOps {
   }
 
   /** Approximate top-k: score only within the query's hyperplane
-    * bucket. ~2^bits speedup at the cost of recall; `bits` tunes the
-    * tradeoff (use multi-probe or fewer bits for higher recall).
+    * bucket, plus (multi-probe) the `bits` adjacent buckets at Hamming
+    * distance 1 — near-boundary neighbors usually differ in exactly one
+    * sign, so probing them recovers most of the recall lost to
+    * quantization at the cost of bits+1 small probes per query (the
+    * corpus is still bucketed once).
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 6,
       qidCol: String = "qid", idCol: String = "id",
-      vecCol: String = "vec"): DataFrame = {
-    val q = broadcast(queries.select(col(qidCol).as("__qid"),
-      col(vecCol).as("__qv"))
-      .withColumn("__bucket", hyperplaneBucket(col("__qv"), bits)))
+      vecCol: String = "vec", multiProbe: Boolean = true): DataFrame = {
+    val base = queries.select(col(qidCol).as("__qid"), col(vecCol).as("__qv"))
+      .withColumn("__base", hyperplaneBucket(col("__qv"), bits))
+    val probed =
+      if (!multiProbe) base.withColumn("__bucket", col("__base"))
+      else base.withColumn("__bucket", explode(array(
+        col("__base") +: (0 until bits).map(i =>
+          col("__base").bitwiseXOR(lit(1L << i))): _*)))
+    val q = broadcast(probed.drop("__base"))
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
       .withColumn("__bucket", hyperplaneBucket(col("__cv"), bits))
     val scored = c.join(q, "__bucket")

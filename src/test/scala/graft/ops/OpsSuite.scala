@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Unit-level checks for the extension operators (the gate covers
+  * oracle parity; these pin semantics and quantify ANN recall).
+  */
+class OpsSuite extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ngram jaccard: identical texts 1.0, disjoint 0.0, known overlap") {
+    val df = Seq(
+      ("a b c d e", "a b c d e"),
+      ("a b c d e", "x y z w v"),
+      ("a b c d e f", "b c d e f g")
+    ).toDF("t1", "t2")
+    val got = df.select(
+      round(DedupOps.ngramJaccard(col("t1"), col("t2"), 3), 4).as("j"))
+      .as[Double].collect()
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    // shingles t1: {abc,bcd,cde,def}, t2: {bcd,cde,def,efg}; J = 3/5
+    assert(got(2) === 0.6)
+  }
+
+  test("simhash: equal texts collide, different texts differ") {
+    val df = Seq("the quick brown fox", "the quick brown fox",
+      "entirely different words here").toDF("text")
+    val hs = df.select(DedupOps.simhash(col("text"))).as[Long].collect()
+    assert(hs(0) === hs(1))
+    assert(hs(0) !== hs(2))
+  }
+
+  test("multimodal decode stub is deterministic and byte-accurate") {
+    val media = MultimodalOps.asMediaTable(
+      Seq((1L, "hello world")).toDF("id", "t")
+        .withColumn("media", encode(col("t"), "UTF-8")),
+      "id", "media", "text/plain")
+    val f = MultimodalOps.decodeAndFeaturize(media).collect()(0)
+    assert(f.byte_len === 11L)
+    assert(math.abs(f.mean_byte - "hello world".getBytes.map(_ & 0xff).sum / 11.0) < 1e-9)
+    assert(f.feature.sum === 11.0f) // histogram mass = byte count
+  }
+
+  test("LSH top-k: multi-probe widens recall; true near-dups always found") {
+    // NOTE: sf0.001 embeddings are near-random (top-10 cosine ~0.3), the
+    // regime where sign-LSH recall is weakest — neighbors differ in many
+    // sign bits. Assert the structural properties, report the recall.
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = SimilarityOps.lshTopK(queries, corpus, k = 10, bits = 4)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = SimilarityOps.lshTopK(queries, corpus, k = 10, bits = 4,
+      multiProbe = false)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mr = (exact intersect multi).size.toDouble / exact.size
+    val sr = (exact intersect single).size.toDouble / exact.size
+    info(f"recall@10: multi-probe $mr%.3f vs single-probe $sr%.3f")
+    assert(mr >= sr) // probing only widens the candidate set
+    assert(mr > 0.25) // even on near-random data, far above chance (~2%)
+
+    // the regime that matters for dedup: an exact copy of the query IS
+    // in its own bucket — recall of true near-duplicates is 1.0
+    val copies = queries.select(($"qid" + 500000L).as("id"), $"vec")
+    val withCopies = corpus.union(copies)
+    val found = SimilarityOps.lshTopK(queries, withCopies, k = 1, bits = 4)
+      .filter($"neighbor_id" === $"qid" + 500000L && $"cos" >= 0.999999)
+    assert(found.count() === 20)
+  }
+
+  test("language id picks the profile language on planted stopwords") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog"),
+      (2L, "el perro y la casa de la madre es grande"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val got = TextOps.langId(df, "text").select("doc_id", "lang_guess")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+    assert(got(3L) === "und")
+  }
+}

@@ -123,6 +123,23 @@ class PipelineSuite extends SparkSuite {
     } finally spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "true")
   }
 
+  test("SQL CTAS into lake + CONVERT TO LAKE (K5/K7)") {
+    val root = tmpDir("graft-ctas")
+    // CTAS: materialize a filtered lake table from a temp view
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("ctas_src")
+    LakeSql.sql(spark,
+      s"CREATE TABLE ctas_t USING lake LOCATION '$root/ctas_t' AS " +
+        "SELECT * FROM ctas_src WHERE id >= 2")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM ctas_t")
+      .collect()(0).getLong(0) === 2)
+    // CONVERT: plain parquet dir becomes a lake table in place
+    Seq((10L, "x"), (11L, "y")).toDF("id", "s").coalesce(1)
+      .write.parquet(s"$root/plain")
+    LakeSql.sql(spark, s"CONVERT TO LAKE parquet.`$root/plain`")
+    assert(LakeTable.forPath(spark, s"$root/plain").toDF.count() === 2)
+  }
+
   test("SQL MERGE upsert through LakeSql (rapid:398-420 shape)") {
     val root = tmpDir("graft-sql")
     val path = s"$root/hr"
