@@ -47,6 +47,8 @@ object LakeSql {
     """(?is)\s*INSERT\s+INTO\s+([\w.`]+)\s+(SELECT\s+.+)""".r
   private val DELETE_FROM_RE =
     """(?is)\s*DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.+))?\s*""".r
+  private val RESTORE_RE =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`/]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
 
   /** Execute a SQL statement, lake-aware. Returns a DataFrame (empty
     * for DML, matching `spark.sql` conventions).
@@ -93,6 +95,11 @@ object LakeSql {
       val df = sql(spark, select) // recurse: SELECT may time-travel
       val path = LakeCatalog.pathOf(clean(t)).get
       LakeWriter.write(df, path, operation = "INSERT")
+      LakeCatalog.refreshView(spark, clean(t))
+      emptyDF(spark)
+
+    case RESTORE_RE(t, version) =>
+      resolve(spark, clean(t)).restoreTo(version.toLong)
       LakeCatalog.refreshView(spark, clean(t))
       emptyDF(spark)
 

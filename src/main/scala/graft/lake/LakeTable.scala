@@ -134,6 +134,35 @@ final class LakeTable private (
   def merge(source: DataFrame, condition: String): LakeMergeBuilder =
     new LakeMergeBuilder(this, targetAlias, source, condition)
 
+  /** RESTORE to an old version as a new commit (first-class form of
+    * the reference's manual rollback, D12/etl/05:203-209): the file set
+    * and schema of `version` become the current state; history is
+    * preserved (nothing is rewritten, only log references change).
+    */
+  def restoreTo(version: Long): Unit = {
+    val target = snapshot(version)
+    val current = snapshot()
+    val missing = target.files.filterNot(f =>
+      Files.exists(Paths.get(tablePath, f.path)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot restore $tablePath to version $version: " +
+      s"${missing.size} of its data files were removed by VACUUM " +
+      s"(first: ${missing.head.path})")
+    val targetPaths = target.files.map(_.path).toSet
+    val currentPaths = current.files.map(_.path).toSet
+    val now = System.currentTimeMillis()
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(now, "RESTORE",
+        Map("version" -> version.toString))) ++
+        (if (target.metadata.schemaDDL != current.metadata.schemaDDL ||
+          target.partitionColumns != current.partitionColumns)
+          Seq(target.metadata) else Nil) ++
+        current.files.filterNot(f => targetPaths.contains(f.path))
+          .map(f => RemoveFile(f.path, now)) ++
+        target.files.filterNot(f => currentPaths.contains(f.path))
+    }
+  }
+
   // ---- maintenance -------------------------------------------------------
 
   /** VACUUM (D8): physically delete files tombstoned before the

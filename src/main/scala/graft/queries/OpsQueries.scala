@@ -79,8 +79,12 @@ object OpsQueries {
               .as("sh"))
         val a = d.as("a")
         val b = d.as("b")
+        // size-ratio bound: J >= 0.2 requires |A|,|B| within 5x of each
+        // other (J <= min/max) — prunes pairs before the intersect
         a.join(b, col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            size(col("a.sh")) <= size(col("b.sh")) * 5 &&
+            size(col("b.sh")) <= size(col("a.sh")) * 5)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
             round(DedupOps.jaccardFromShingles(col("a.sh"), col("b.sh")), 4)
               .as("jaccard"))
@@ -99,6 +103,8 @@ object OpsQueries {
              |    / (len(a.shingles) + len(b.shingles)
              |       - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
              |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  AND len(a.shingles) <= 5 * len(b.shingles)
+             |  AND len(b.shingles) <= 5 * len(a.shingles)
              |WHERE len(list_intersect(a.shingles, b.shingles))
              |    / (len(a.shingles) + len(b.shingles)
              |       - len(list_intersect(a.shingles, b.shingles))) >= 0.2""".stripMargin)),

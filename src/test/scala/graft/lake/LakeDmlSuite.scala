@@ -200,6 +200,23 @@ class LakeDmlSuite extends SparkSuite {
     assert(after.toDF.count() === 6)
   }
 
+  test("RESTORE TO VERSION rewinds the live state, preserving history") {
+    val path = tablePath("r2")
+    LakeWriter.write(seed, path)                      // v0: 4 rows
+    LakeWriter.write(seed.limit(1), path)             // v1: +1
+    LakeTable.forPath(spark, path).delete("id <= 3")  // v2: delete
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.count() === 1) // only id=4 survives the delete
+    t.restoreTo(0)
+    val restored = LakeTable.forPath(spark, path)
+    assert(restored.toDF.count() === 4)
+    assert(restored.snapshot().version === 3L)
+    assert(restored.history().select("operation")
+      .as[String].collect().head === "RESTORE")
+    // restore is itself time-travelable: v2 still shows the deleted state
+    assert(restored.asOf(2).count() === 1)
+  }
+
   test("rollback pattern: insert from old version (D12)") {
     val path = tablePath("r1")
     LakeWriter.write(seed, path)                      // v0

@@ -138,6 +138,13 @@ class PipelineSuite extends SparkSuite {
       .write.parquet(s"$root/plain")
     LakeSql.sql(spark, s"CONVERT TO LAKE parquet.`$root/plain`")
     assert(LakeTable.forPath(spark, s"$root/plain").toDF.count() === 2)
+    // RESTORE via SQL: rewind ctas_t after a delete
+    LakeSql.sql(spark, "DELETE FROM ctas_t WHERE id = 3")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM ctas_t")
+      .collect()(0).getLong(0) === 1)
+    LakeSql.sql(spark, "RESTORE TABLE ctas_t TO VERSION AS OF 0")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM ctas_t")
+      .collect()(0).getLong(0) === 2)
   }
 
   test("SQL MERGE upsert through LakeSql (rapid:398-420 shape)") {
