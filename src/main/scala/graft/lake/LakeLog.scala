@@ -131,3 +131,11 @@ object LakeLog {
 final class ConcurrentWriteException(version: Long) extends RuntimeException(
   s"concurrent write detected: version $version was committed by " +
   "another writer; re-read the table and retry")
+
+/** A concurrent commit logically conflicts with this operation (it
+  * removed a file this operation read and rewrote). Unlike
+  * [[ConcurrentWriteException]] this is NOT transparently retryable:
+  * the caller must re-read the table and re-run the whole operation.
+  */
+final class ConflictingCommitException(msg: String)
+  extends RuntimeException(msg)

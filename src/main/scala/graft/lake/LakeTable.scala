@@ -150,8 +150,9 @@ final class LakeTable private (
       s"(first: ${missing.head.path})")
     val targetPaths = target.files.map(_.path).toSet
     val currentPaths = current.files.map(_.path).toSet
+    val removed = current.files.map(_.path).filterNot(targetPaths.contains)
     val now = System.currentTimeMillis()
-    LakeWriter.commitWithRetry(log) { _ =>
+    LakeWriter.commitWithRetry(log, current.version, removed) { _ =>
       Seq(CommitInfo(now, "RESTORE",
         Map("version" -> version.toString))) ++
         (if (target.metadata.schemaDDL != current.metadata.schemaDDL ||
@@ -267,7 +268,7 @@ final class LakeTable private (
       operation: String,
       params: Map[String, String]): Long = {
     val now = System.currentTimeMillis()
-    LakeWriter.commitWithRetry(log) { _ =>
+    LakeWriter.commitWithRetry(log, snap.version, removedRelPaths) { _ =>
       Seq(CommitInfo(now, operation, params)) ++
         removedRelPaths.map(RemoveFile(_, now)) ++ adds
     }

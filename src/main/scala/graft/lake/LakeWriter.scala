@@ -205,12 +205,43 @@ object LakeWriter {
 
   /** Commit with optimistic retry: on version conflict, recompute the
     * action list against the new latest version and try again.
+    *
+    * Logical conflict detection (Delta optimistic concurrency, SURVEY
+    * §7.1): a rewrite commit carries RemoveFile/AddFile lists computed
+    * from the snapshot it *read* (`readVersion`). If another writer
+    * committed in between, blindly replaying those actions loses that
+    * writer's update — e.g. a concurrent DELETE already removed one of
+    * our files and we'd re-add rows rewritten from its stale contents.
+    * So before every attempt we diff the interleaved commits
+    * (readVersion+1 .. latest): if any of them removed a file this
+    * commit also removes (= a file we read and rewrote), the rewrite is
+    * based on dead data and must abort with
+    * [[ConflictingCommitException]] rather than commit. Version-number
+    * collisions alone (pure appends interleaving) still retry freely.
     */
-  private[lake] def commitWithRetry(log: LakeLog)(
+  private[lake] def commitWithRetry(
+      log: LakeLog,
+      readVersion: Long = -1L,
+      removedRelPaths: Seq[String] = Nil)(
       actions: Long => Seq[Action]): Long = {
     var attempts = 0
+    val ours = removedRelPaths.toSet
     while (true) {
-      val version = log.latestVersion + 1
+      val latest = log.latestVersion
+      if (readVersion >= 0 && ours.nonEmpty && latest > readVersion) {
+        ((readVersion + 1) to latest).foreach { v =>
+          log.readVersion(v).foreach {
+            case r: RemoveFile if ours.contains(r.path) =>
+              throw new ConflictingCommitException(
+                s"conflicting commit: version $v of ${log.tablePath} " +
+                s"removed file ${r.path}, which this operation (reading " +
+                s"version $readVersion) also rewrites. Re-read the table " +
+                "and retry the operation.")
+            case _ =>
+          }
+        }
+      }
+      val version = latest + 1
       try {
         log.commit(version, actions(version))
         return version

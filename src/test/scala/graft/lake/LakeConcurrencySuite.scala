@@ -1,0 +1,88 @@
+package graft.lake
+
+import graft.SparkSuite
+
+/** Logical conflict detection on rewrite commits (Delta optimistic
+  * concurrency, SURVEY §7.1): a rewrite whose RemoveFile set was
+  * computed from a stale snapshot must abort if a concurrent commit
+  * already removed one of those files — not silently resurrect the
+  * deleted rows (the round-1 lost-update anomaly).
+  */
+class LakeConcurrencySuite extends SparkSuite {
+  import spark.implicits._
+
+  private def seed = (1L to 100L).map(i => (i, s"k$i", i * 1.0))
+    .toDF("id", "k", "v").coalesce(2)
+
+  test("stale rewrite after a concurrent DELETE of the same file aborts") {
+    val path = tablePath("conflict1")
+    LakeWriter.write(seed, path)
+    val t = LakeTable.forPath(spark, path)
+    val stale = t.snapshot() // writer A reads here
+
+    // writer B deletes rows, removing (rewriting) data files
+    LakeTable.forPath(spark, path).delete("id <= 50")
+    assert(t.snapshot().version === 1L)
+
+    // writer A now tries to commit a rewrite of the files it read
+    val ex = intercept[ConflictingCommitException] {
+      t.commitRewrite(stale, stale.files.map(_.path), Nil, "DELETE",
+        Map("predicate" -> "id > 90"))
+    }
+    assert(ex.getMessage.contains("removed file"))
+    // and the table still reflects only writer B's delete
+    assert(t.toDF.count() === 50L)
+  }
+
+  test("concurrent UPDATE x DELETE on overlapping files conflicts") {
+    val path = tablePath("conflict2")
+    LakeWriter.write(seed, path)
+    val a = LakeTable.forPath(spark, path)
+    val b = LakeTable.forPath(spark, path)
+
+    // simulate interleaving: A computes its plan from version 0 ...
+    val staleSnap = a.snapshot()
+    val cond = org.apache.spark.sql.functions.expr("id % 2 = 0")
+    val touched = a.touchedFiles(staleSnap, cond)
+    assert(touched.nonEmpty)
+    // ... B commits a delete touching the same files first ...
+    b.delete("id = 2")
+    // ... then A tries to publish its stale rewrite.
+    intercept[ConflictingCommitException] {
+      a.commitRewrite(staleSnap, touched, Nil, "UPDATE", Map.empty)
+    }
+  }
+
+  test("concurrent blind APPEND does not conflict with a rewrite") {
+    val path = tablePath("noconflict")
+    LakeWriter.write(seed, path)
+    val t = LakeTable.forPath(spark, path)
+    val stale = t.snapshot()
+
+    // another writer appends (adds files, removes nothing)
+    LakeWriter.write(Seq((101L, "x", 1.0)).toDF("id", "k", "v"), path)
+
+    // the stale rewrite retries past the version collision and commits
+    val v = t.commitRewrite(stale, stale.files.map(_.path), Nil,
+      "DELETE", Map.empty)
+    assert(v === 2L)
+    // appended row survives; original files removed
+    assert(t.toDF.count() === 1L)
+    assert(t.toDF.select("id").as[Long].collect() === Array(101L))
+  }
+
+  test("restoreTo aborts when a concurrent commit removed its files") {
+    val path = tablePath("conflict3")
+    LakeWriter.write(seed, path) // v0
+    LakeWriter.write(Seq((200L, "y", 2.0)).toDF("id", "k", "v"), path) // v1
+    val t = LakeTable.forPath(spark, path)
+    // concurrently, someone deletes everything (removes v0/v1 files)
+    val racer = new Thread(() =>
+      LakeTable.forPath(spark, path).delete("id <= 1000"))
+    racer.start(); racer.join()
+    // restore computed against the pre-delete snapshot would now be
+    // stale; a fresh restore (reads latest) is fine:
+    t.restoreTo(0L)
+    assert(t.toDF.count() === 100L)
+  }
+}
