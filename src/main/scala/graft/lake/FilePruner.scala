@@ -2,8 +2,9 @@ package graft.lake
 
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression,
-  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 
 /** Log-level file pruning: decide from AddFile metadata alone which
@@ -20,12 +21,31 @@ object FilePruner {
       .sessionState.sqlParser.parseExpression(filter)
 
   /** Files that may satisfy `filter` (partition values + min/max). */
-  def prune(snap: Snapshot, filter: String): Seq[AddFile] = {
-    val conjuncts = splitConjuncts(parse(filter))
+  def prune(snap: Snapshot, filter: String): Seq[AddFile] =
+    pruneWithExpressions(snap, Seq(parse(filter)))
+
+  /** Same, for already-parsed (possibly resolved) predicates — the
+    * planner-integration entry point used by `LakeFileIndex.listFiles`.
+    */
+  def pruneWithExpressions(
+      snap: Snapshot, filters: Seq[Expression]): Seq[AddFile] = {
+    if (filters.isEmpty) return snap.files
+    val conjuncts = filters.flatMap(splitConjuncts)
     val schemaByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val partCols = snap.partitionColumns.toSet
     snap.files.filter { f =>
       conjuncts.forall(c => mayMatch(c, f, schemaByName, partCols))
+    }
+  }
+
+  /** Column reference in either pre-resolution (string filter) or
+    * post-resolution (planner pushdown) form.
+    */
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference  => Some(a.name)
+      case _ => None
     }
   }
 
@@ -89,21 +109,21 @@ object FilePruner {
       } yield (l, h)
     }
     e match {
-      case EqualTo(a: UnresolvedAttribute, Literal(v, _)) =>
-        cmpTo(a.name, v).forall { case (l, h) => l <= 0 && h >= 0 }
-      case EqualTo(Literal(v, _), a: UnresolvedAttribute) =>
-        cmpTo(a.name, v).forall { case (l, h) => l <= 0 && h >= 0 }
-      case GreaterThan(a: UnresolvedAttribute, Literal(v, _)) =>
-        cmpTo(a.name, v).forall { case (_, h) => h > 0 }
-      case GreaterThanOrEqual(a: UnresolvedAttribute, Literal(v, _)) =>
-        cmpTo(a.name, v).forall { case (_, h) => h >= 0 }
-      case LessThan(a: UnresolvedAttribute, Literal(v, _)) =>
-        cmpTo(a.name, v).forall { case (l, _) => l < 0 }
-      case LessThanOrEqual(a: UnresolvedAttribute, Literal(v, _)) =>
-        cmpTo(a.name, v).forall { case (l, _) => l <= 0 }
-      case GreaterThan(Literal(v, _), a: UnresolvedAttribute) =>
+      case EqualTo(Attr(n), Literal(v, _)) =>
+        cmpTo(n, v).forall { case (l, h) => l <= 0 && h >= 0 }
+      case EqualTo(Literal(v, _), Attr(n)) =>
+        cmpTo(n, v).forall { case (l, h) => l <= 0 && h >= 0 }
+      case GreaterThan(Attr(n), Literal(v, _)) =>
+        cmpTo(n, v).forall { case (_, h) => h > 0 }
+      case GreaterThanOrEqual(Attr(n), Literal(v, _)) =>
+        cmpTo(n, v).forall { case (_, h) => h >= 0 }
+      case LessThan(Attr(n), Literal(v, _)) =>
+        cmpTo(n, v).forall { case (l, _) => l < 0 }
+      case LessThanOrEqual(Attr(n), Literal(v, _)) =>
+        cmpTo(n, v).forall { case (l, _) => l <= 0 }
+      case GreaterThan(Literal(v, _), a @ Attr(_)) =>
         mayMatch(LessThan(a, Literal(v)), f, types, partCols)
-      case LessThan(Literal(v, _), a: UnresolvedAttribute) =>
+      case LessThan(Literal(v, _), a @ Attr(_)) =>
         mayMatch(GreaterThan(a, Literal(v)), f, types, partCols)
       case _ => true // unknown shape: keep the file
     }

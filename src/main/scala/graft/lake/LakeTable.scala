@@ -34,24 +34,15 @@ final class LakeTable private (
   private def applyAlias(df: DataFrame): DataFrame =
     targetAlias.map(df.as(_)).getOrElse(df)
 
-  /** Snapshot read with log-level pruning: partition filters drop whole
-    * files by their `partitionValues`; min/max stats drop files whose
-    * range can't satisfy simple `col <op> literal` predicates. At 100 TB
-    * this is what keeps a selective query from opening every file —
-    * Spark's own partition pruning still applies downstream.
+  /** Snapshot read with log-level pruning. Since the `LakeFileIndex`
+    * integration, `toDF` plans every read through the log: partition
+    * filters drop whole files by their `partitionValues` and min/max
+    * stats drop files whose range can't satisfy pushed predicates —
+    * inside the planner's `listFiles`, for any filter applied to the
+    * DataFrame. At 100 TB this is what keeps a selective query from
+    * opening every file. Kept as API surface; now just a filtered read.
     */
-  def scan(filter: String): DataFrame = {
-    val snap = snapshot()
-    val pruned = FilePruner.prune(snap, filter)
-    if (pruned.isEmpty) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], snap.schema)
-        .where(filter)
-    }
-    val paths = pruned.map(f => s"$tablePath/${f.path}")
-    spark.read.option("basePath", tablePath).schema(snap.schema)
-      .parquet(paths: _*).where(filter)
-  }
+  def scan(filter: String): DataFrame = toDF.where(filter)
 
   // ---- audit -------------------------------------------------------------
 

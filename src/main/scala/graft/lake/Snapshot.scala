@@ -21,9 +21,11 @@ final case class Snapshot(
 
   def sizeInBytes: Long = files.map(_.size).sum
 
-  /** DataFrame over the live files. Partition values come from the
-    * Hive-style paths (`basePath` keeps them as columns); the explicit
-    * snapshot schema makes pre-evolution files null-fill new columns.
+  /** DataFrame over the live files, planned through the log-backed
+    * `LakeFileIndex` (same relation as `spark.read.format("lake")`):
+    * the file set stays metadata resolved at planning time, partition
+    * pruning and min/max data skipping happen inside `listFiles`, and
+    * pre-evolution files null-fill new columns via the snapshot schema.
     * Missing data files (e.g. after VACUUM of a time-traveled version)
     * fail loudly here rather than mid-scan.
     */
@@ -41,11 +43,7 @@ final case class Snapshot(
         s"exist (first: ${missing.head.path}). They were likely removed " +
         "by VACUUM; time travel to vacuumed versions is not possible.")
     }
-    val paths = files.map(f => s"${log.tablePath}/${f.path}")
-    spark.read
-      .option("basePath", log.tablePath)
-      .schema(schema)
-      .parquet(paths: _*)
+    graft.sources.LakeDataSource.snapshotDF(spark, this)
   }
 }
 

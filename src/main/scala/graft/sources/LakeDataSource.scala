@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.{LakeLog, LakeWriter, Snapshot}
+
+/** `spark.read.format("lake")` / `df.write.format("lake")` — the
+  * DataSource integration for lake tables (SURVEY §2 S4/S6, §7.1
+  * upgrade path).
+  *
+  * Reads build a [[HadoopFsRelation]] over a [[LakeFileIndex]], so the
+  * planner resolves the file set lazily from the transaction log and
+  * partition pruning + min/max data skipping happen inside
+  * `listFiles` — the plan never materializes per-file paths on the
+  * driver (reference read surface: `ops:57-58`; Delta-protocol design
+  * per PAPERS.md, Armbrust et al. VLDB 2020). Spark's vectorized
+  * parquet reader, predicate pushdown, and schema null-filling for
+  * pre-evolution files all apply unchanged.
+  *
+  * Options: `versionAsOf` (time travel, S6). Writes honor
+  * `SaveMode.Append`/`Overwrite`, `mergeSchema`, and the partitioning
+  * columns passed by `DataFrameWriter.partitionBy`.
+  */
+final class LakeDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "lake"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
+    val snap = new LakeLog(path).snapshot(version)
+    relationFor(spark, snap, parameters)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val writeMode = mode match {
+      case SaveMode.Append => "append"
+      case SaveMode.Overwrite => "overwrite"
+      case SaveMode.ErrorIfExists =>
+        if (new LakeLog(path).exists) throw new IllegalStateException(
+          s"lake table already exists at $path (SaveMode.ErrorIfExists)")
+        else "append"
+      case SaveMode.Ignore =>
+        if (new LakeLog(path).exists) {
+          return createRelation(sqlContext, parameters)
+        } else "append"
+    }
+    LakeWriter.write(
+      data, path, mode = writeMode,
+      partitionBy = partitionColumnsOf(parameters),
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+    createRelation(sqlContext, parameters)
+  }
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"lake\") requires a path: .load(path) / .save(path)"))
+
+  /** `DataFrameWriter.partitionBy` arrives JSON-encoded under the V1
+    * `__partition_columns` key; also accept a plain comma-separated
+    * `partitionBy` option.
+    */
+  private def partitionColumnsOf(
+      parameters: Map[String, String]): Seq[String] = {
+    parameters.get("__partition_columns").map { json =>
+      implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.JsonMethods.parse(json).extract[Seq[String]]
+    }.orElse {
+      parameters.get("partitionBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }.getOrElse(Nil)
+  }
+
+  private def relationFor(
+      spark: SparkSession, snap: Snapshot,
+      parameters: Map[String, String]): BaseRelation = {
+    val index = new LakeFileIndex(spark, snap)
+    val partCols = snap.partitionColumns.toSet
+    val dataSchema =
+      StructType(snap.schema.fields.filterNot(f => partCols.contains(f.name)))
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = parameters)(spark)
+  }
+}
+
+object LakeDataSource {
+  /** Planner-integrated DataFrame over a snapshot — the read path
+    * shared by `LakeTable.toDF` / `asOf` / `format("lake")`.
+    */
+  def snapshotDF(spark: SparkSession, snap: Snapshot): DataFrame =
+    spark.baseRelationToDataFrame(
+      new LakeDataSource().relationFor(spark, snap, Map.empty))
+}

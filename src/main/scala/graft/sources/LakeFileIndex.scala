@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  FileStatusWithMetadata, PartitionDirectory}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{AddFile, FilePruner, Snapshot}
+
+/** Log-backed [[FileIndex]] for lake tables: the planner's
+  * `listFiles(partitionFilters, dataFilters)` call is answered straight
+  * from the transaction log's AddFile metadata — no filesystem listing,
+  * no driver-side path materialization in the plan.
+  *
+  * This is where scan pruning happens for EVERY read path at scale:
+  * partition filters drop whole files by their `partitionValues`, and
+  * data filters drop files whose footer min/max range can't satisfy
+  * them (data skipping), before Spark plans a single task. The round-1
+  * design passed an explicit path list to the parquet reader
+  * (reference behavior: S4, `ops:57-58`), which put every live file
+  * path into the logical plan on the driver — correct, but O(files)
+  * driver memory at millions of files. Here the plan holds one relation
+  * and the file set stays metadata answered on demand.
+  */
+final class LakeFileIndex(spark: SparkSession, snap: Snapshot)
+    extends FileIndex {
+
+  private val tableRoot = new Path(snap.log.tablePath)
+
+  /** Partition schema in partition-column order, typed from the table
+    * schema (partition values are stored as path strings in the log).
+    */
+  override val partitionSchema: StructType = {
+    val byName = snap.schema.fields.map(f => f.name -> f).toMap
+    StructType(snap.partitionColumns.map(byName(_)))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(tableRoot)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // 1. Data skipping on footer min/max stats from the log.
+    val afterStats = FilePruner.pruneWithExpressions(snap, dataFilters)
+
+    // 2. Exact partition pruning: evaluate the pushed partition
+    //    predicates against each file's typed partition values.
+    val survivors =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) afterStats
+      else {
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val idx = partitionSchema.fieldIndex(a.name)
+            BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+        }
+        val predicate = Predicate.create(bound, Nil)
+        predicate.initialize(0)
+        afterStats.filter(f => predicate.eval(partitionRow(f)))
+      }
+
+    // 3. One PartitionDirectory per distinct partition tuple.
+    if (partitionSchema.isEmpty) {
+      Seq(PartitionDirectory(InternalRow.empty, survivors.map(statusOf)))
+    } else {
+      survivors.groupBy(_.partitionValues).map { case (_, files) =>
+        PartitionDirectory(partitionRow(files.head), files.map(statusOf))
+      }.toSeq
+    }
+  }
+
+  /** Typed internal row of a file's partition values (Hive null
+    * sentinel → null; strings stay UTF8String via Cast's internal
+    * representation).
+    */
+  private def partitionRow(f: AddFile): InternalRow = {
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { field =>
+      f.partitionValues.get(field.name) match {
+        case None | Some(null) | Some(LakeFileIndex.HIVE_NULL) => null
+        case Some(v) =>
+          Cast(Literal(UTF8String.fromString(v), StringType),
+            field.dataType, tz, ansiEnabled = false).eval(null)
+      }
+    })
+  }
+
+  private def statusOf(f: AddFile): FileStatusWithMetadata =
+    FileStatusWithMetadata(new FileStatus(
+      f.size, false, 1, 128L * 1024 * 1024, 0L,
+      new Path(tableRoot, f.path)))
+
+  override def inputFiles: Array[String] =
+    snap.files.map(f => new Path(tableRoot, f.path).toString).toArray
+
+  override def refresh(): Unit = () // snapshots are immutable
+
+  override def sizeInBytes: Long = snap.sizeInBytes
+}
+
+object LakeFileIndex {
+  /** Spark/Hive's escape value for a null partition value in a path. */
+  val HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+}
