@@ -56,12 +56,23 @@ final case class CommitInfo(
     operation: String,
     operationParameters: Map[String, String] = Map.empty) extends Action
 
+/** Idempotent-writer watermark (Delta `txn`/SetTransaction): records
+  * that application `appId` has committed through `version` of ITS OWN
+  * sequence (e.g. a streaming query's micro-batch id). A writer that
+  * replays an already-committed version skips the write — this is what
+  * makes foreachBatch sinks exactly-once across restarts.
+  */
+final case class Txn(
+    appId: String,
+    version: Long) extends Action
+
 /** One log line: an envelope with exactly one field set (Delta-style). */
 private[lake] final case class LogEntry(
     metaData: Option[Metadata] = None,
     add: Option[AddFile] = None,
     remove: Option[RemoveFile] = None,
-    commitInfo: Option[CommitInfo] = None)
+    commitInfo: Option[CommitInfo] = None,
+    txn: Option[Txn] = None)
 
 object Action {
   private implicit val formats: Formats = DefaultFormats
@@ -71,11 +82,13 @@ object Action {
     case f: AddFile    => LogEntry(add = Some(f))
     case r: RemoveFile => LogEntry(remove = Some(r))
     case c: CommitInfo => LogEntry(commitInfo = Some(c))
+    case t: Txn        => LogEntry(txn = Some(t))
   })
 
   def fromJson(line: String): Action = {
     val e = Serialization.read[LogEntry](line)
     e.metaData.orElse(e.add).orElse(e.remove).orElse(e.commitInfo)
+      .orElse(e.txn)
       .getOrElse(throw new IllegalArgumentException(
         s"unrecognized log line: $line"))
   }

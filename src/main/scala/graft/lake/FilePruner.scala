@@ -67,13 +67,20 @@ object FilePruner {
     val partFields = snap.schema.fields
       .filter(f => snap.partitionColumns.contains(f.name))
     val rowsDF = snap.files.zipWithIndex.map { case (f, i) =>
-      (i, snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+      (i, snap.partitionColumns.map { c =>
+        f.partitionValues.get(c) match {
+          case None | Some(null) | Some(LakeWriter.HIVE_NULL) => null
+          case Some(v) => v
+        }
+      })
     }.toDF("__idx", "__values")
     var typed = rowsDF
     partFields.zipWithIndex.foreach { case (f, _) =>
       val pos = snap.partitionColumns.indexOf(f.name)
+      // try_cast: a malformed legacy value must not abort the scan
+      // under ANSI mode — it just falls out of the metadata-only path
       typed = typed.withColumn(f.name,
-        col("__values").getItem(pos).cast(f.dataType))
+        expr(s"try_cast(__values[$pos] AS ${f.dataType.sql})"))
     }
     val matching = typed.filter(filter).select("__idx")
       .collect().map(_.getInt(0)).toSet
@@ -93,7 +100,11 @@ object FilePruner {
       types: Map[String, DataType], partCols: Set[String]): Boolean = {
     def bound(name: String): Option[(String, String)] = {
       if (partCols.contains(name))
-        f.partitionValues.get(name).map(v => (v, v))
+        // null partition values (stored as null; legacy logs may carry
+        // the Hive sentinel) have no orderable bound — keep the file
+        f.partitionValues.get(name)
+          .filter(v => v != null && v != LakeWriter.HIVE_NULL)
+          .map(v => (v, v))
       else for {
         lo <- f.minValues.get(name)
         hi <- f.maxValues.get(name)

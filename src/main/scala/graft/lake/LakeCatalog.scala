@@ -37,10 +37,18 @@ object LakeCatalog {
 
   def registeredNames: Seq[String] = tables.keys.toSeq.sorted
 
-  /** Re-publish the current snapshot of `name` as a temp view. */
+  /** Re-publish the current snapshot of `name` as a temp view. Names
+    * that are not valid view identifiers (e.g. backticked names with
+    * spaces) stay resolvable through the catalog but are not SQL-view
+    * addressable — skip rather than fail the operation that triggered
+    * the refresh.
+    */
   def refreshView(spark: SparkSession, name: String): Unit =
     pathOf(name).foreach { p =>
-      LakeTable.forPath(spark, p).toDF.createOrReplaceTempView(name)
+      try LakeTable.forPath(spark, p).toDF.createOrReplaceTempView(name)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => ()
+      }
     }
 
   /** Refresh views for every registered table referenced in `sqlText`. */

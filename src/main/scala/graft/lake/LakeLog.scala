@@ -73,7 +73,9 @@ final class LakeLog(val tablePath: String) {
   /** Write `<v>.checkpoint.json`: the full replayed state at v. */
   private def writeCheckpoint(version: Long): Unit = {
     val snap = Snapshot.replay(this, version)
-    val lines = (Seq(snap.metadata: Action) ++ snap.files)
+    val lines = (Seq(snap.metadata: Action) ++
+      snap.transactions.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) } ++
+      snap.files)
       .map(Action.toJson)
     val target = logDir.resolve(f"$version%020d.checkpoint.json")
     val tmp = Files.createTempFile(logDir, s".ckpt-$version-", ".json")

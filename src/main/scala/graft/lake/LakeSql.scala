@@ -18,20 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LakeSql {
 
-  private val MERGE_RE =
-    ("""(?is)\s*MERGE\s+INTO\s+([\w.`]+)(?:\s+AS\s+(\w+)|\s+(\w+))?""" +
-      """\s+USING\s+([\w.`]+)(?:\s+AS\s+(\w+)|\s+(\w+))?""" +
-      """\s+ON\s+(.+?)\s*(WHEN\s+.+)""").r
-  private val WHEN_SPLIT_RE =
-    """(?is)WHEN\s+(NOT\s+MATCHED|MATCHED)(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
-      """(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))""" +
-      """\s*(?=WHEN\s|$)"""
+  private val MERGE_PREFIX_RE = """(?is)\s*MERGE\s+INTO\s+.*""".r
   private val VERSION_AS_OF_RE =
-    """(?is)(.*\bFROM\s+)([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)(.*)""".r
+    """(?is)(.*\b(?:FROM|JOIN)\s+|.*,\s*)([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)(.*)""".r
   private val DESCRIBE_HISTORY_RE =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`/]+)\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`/\-]+)\s*""".r
+  private val DESCRIBE_DETAIL_RE =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`/\-]+)\s*""".r
   private val VACUUM_RE =
-    """(?is)\s*VACUUM\s+([\w.`/]+)(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`/\-]+)(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?\s*""".r
   private val CREATE_LAKE_RE =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+""" +
       """USING\s+(?:lake|delta)\s+LOCATION\s+'([^']+)'\s*""").r
@@ -48,19 +43,21 @@ object LakeSql {
   private val DELETE_FROM_RE =
     """(?is)\s*DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.+))?\s*""".r
   private val RESTORE_RE =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`/]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`/\-]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
 
   /** Execute a SQL statement, lake-aware. Returns a DataFrame (empty
     * for DML, matching `spark.sql` conventions).
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
-    case MERGE_RE(tgt, a1, a2, src, a3, a4, cond, clauses) =>
-      runMerge(spark, clean(tgt), Option(a1).orElse(Option(a2)),
-        clean(src), Option(a3).orElse(Option(a4)), cond, clauses)
+    case MERGE_PREFIX_RE() =>
+      runMergeText(spark, sqlText)
       emptyDF(spark)
 
     case DESCRIBE_HISTORY_RE(t) =>
       resolve(spark, clean(t)).history()
+
+    case DESCRIBE_DETAIL_RE(t) =>
+      resolve(spark, clean(t)).detail()
 
     case VACUUM_RE(t, retain) =>
       val table = resolve(spark, clean(t))
@@ -110,18 +107,28 @@ object LakeSql {
       emptyDF(spark)
 
     case _ =>
-      // time-travel scans can appear inside larger SELECTs
-      VERSION_AS_OF_RE.findFirstMatchIn(sqlText) match {
-        case Some(m) if isLake(m.group(2)) =>
-          val name = clean(m.group(2))
-          val version = m.group(3).toLong
-          val viewName = s"${name}__v$version"
-          LakeCatalog.table(spark, name).asOf(version)
-            .createOrReplaceTempView(viewName)
-          runSelect(spark,
-            m.group(1) + viewName + m.group(4))
-        case _ => runSelect(spark, sqlText)
+      // Time-travel scans can appear inside larger SELECTs — possibly
+      // several (a self-join of two versions). Rewrite until no lake
+      // `VERSION AS OF` remains, registering one temp view per
+      // (table, version). The greedy leading group makes each pass
+      // rewrite the LAST occurrence; every pass removes one.
+      var text = sqlText
+      var continue = true
+      while (continue) {
+        continue = false
+        VERSION_AS_OF_RE.findFirstMatchIn(text) match {
+          case Some(m) if isLake(m.group(2)) =>
+            val name = clean(m.group(2))
+            val version = m.group(3).toLong
+            val viewName = s"${name}__v$version"
+            LakeCatalog.table(spark, name).asOf(version)
+              .createOrReplaceTempView(viewName)
+            text = m.group(1) + viewName + m.group(4)
+            continue = true
+          case _ => ()
+        }
       }
+      runSelect(spark, text)
   }
 
   /** Plain statement: refresh referenced lake views, let Spark run it. */
@@ -130,28 +137,155 @@ object LakeSql {
     spark.sql(text)
   }
 
-  private def runMerge(
-      spark: SparkSession, tgtName: String, tgtAlias: Option[String],
-      srcName: String, srcAlias: Option[String],
-      cond: String, clausesText: String): Unit = {
-    LakeCatalog.refreshReferenced(spark, srcName)
-    val srcDF0 =
-      LakeCatalog.pathOf(srcName) match {
-        case Some(p) => LakeTable.forPath(spark, p).toDF
-        case None => spark.table(srcName)
+  /** Find `word` (case-insensitive, at identifier boundaries) at
+    * paren-depth 0 and outside '…'/`…` quoting. Returns -1 if absent.
+    * This is what makes the front-end safe for string literals
+    * containing keywords and for `USING (SELECT …)` subqueries — a
+    * plain regex can't respect nesting or quoting.
+    */
+  private[lake] def findTopLevel(s: String, word: String, from: Int = 0): Int = {
+    var i = math.max(from, 0)
+    var depth = 0
+    var inStr = false
+    var inTick = false
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`'  => inTick = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ =>
+          if (depth == 0 &&
+              s.regionMatches(true, i, word, 0, word.length) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length))))
+            return i
       }
-    val srcDF = srcDF0.as(srcAlias.getOrElse(srcName))
+      i += 1
+    }
+    -1
+  }
+
+  /** All top-level occurrences of `word` in `s`. */
+  private def findAllTopLevel(s: String, word: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var at = findTopLevel(s, word)
+    while (at >= 0) {
+      out += at
+      at = findTopLevel(s, word, at + word.length)
+    }
+    out.result()
+  }
+
+  /** `name [AS alias | alias]` → (name, alias). Backticked names may
+    * contain spaces; the alias itself may be backticked too.
+    */
+  private def parseNameAlias(s0: String): (String, Option[String]) = {
+    val s = s0.trim
+    def parseAlias(rest: String): Option[String] = {
+      val r = rest.trim
+      if (r.isEmpty) None
+      else r.split("\\s+").toSeq match {
+        case Seq(as, a) if as.equalsIgnoreCase("AS") => Some(clean(a))
+        case Seq(a) => Some(clean(a))
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse table alias: $rest")
+      }
+    }
+    if (s.startsWith("`")) {
+      val close = s.indexOf('`', 1)
+      require(close > 0, s"unbalanced backtick in table reference: $s")
+      (s.substring(1, close), parseAlias(s.substring(close + 1)))
+    } else s.indexOf(' ') match {
+      case -1 => (clean(s), None)
+      case sp => (clean(s.substring(0, sp)), parseAlias(s.substring(sp)))
+    }
+  }
+
+  /** Scanner-based MERGE: target and USING source (named table OR a
+    * `(SELECT …)` subquery, which recurses through [[sql]] so it may
+    * itself time-travel), ON condition, WHEN clause list — all located
+    * at top level so literals containing WHEN/ON/THEN can't mis-parse.
+    */
+  private def runMergeText(spark: SparkSession, text: String): Unit = {
+    val intoIdx = findTopLevel(text, "INTO")
+    val usingIdx = findTopLevel(text, "USING", intoIdx)
+    require(usingIdx > 0, s"MERGE without USING: $text")
+    val onIdx = findTopLevel(text, "ON", usingIdx)
+    require(onIdx > 0, s"MERGE without ON: $text")
+    val whenIdx = findTopLevel(text, "WHEN", onIdx)
+    require(whenIdx > 0, s"MERGE without WHEN clauses: $text")
+
+    val (tgtName, tgtAlias) =
+      parseNameAlias(text.substring(intoIdx + 4, usingIdx))
+    val sourceText = text.substring(usingIdx + 5, onIdx).trim
+    val cond = text.substring(onIdx + 2, whenIdx).trim
+    val clausesText = text.substring(whenIdx)
+
+    val (srcDF0, srcAlias) =
+      if (sourceText.startsWith("(")) {
+        val close = sourceText.lastIndexOf(')')
+        require(close > 0, s"unbalanced subquery in USING: $sourceText")
+        val inner = sourceText.substring(1, close)
+        val aliasText = sourceText.substring(close + 1).trim
+        val alias =
+          if (aliasText.isEmpty) None
+          else Some(aliasText.split("\\s+").toSeq match {
+            case Seq(as, a) if as.equalsIgnoreCase("AS") => a
+            case Seq(a) => a
+            case other => throw new IllegalArgumentException(
+              s"cannot parse USING subquery alias: $aliasText")
+          })
+        (sql(spark, inner), alias)
+      } else {
+        val (srcName, alias) = parseNameAlias(sourceText)
+        LakeCatalog.refreshReferenced(spark, srcName)
+        val df = LakeCatalog.pathOf(srcName) match {
+          case Some(p) => LakeTable.forPath(spark, p).toDF
+          case None => spark.table(srcName)
+        }
+        (df, alias.orElse(Some(srcName)))
+      }
+    val srcDF = srcAlias.map(srcDF0.as(_)).getOrElse(srcDF0)
+
     var builder = LakeCatalog.table(spark, tgtName)
       .as(tgtAlias.getOrElse(tgtName))
       .merge(srcDF, cond)
 
-    val whenRe = WHEN_SPLIT_RE.r
-    val matches = whenRe.findAllMatchIn(clausesText).toSeq
-    require(matches.nonEmpty, s"MERGE has no parseable WHEN clauses: $clausesText")
-    matches.foreach { m =>
-      val matchedKind = m.group(1).toUpperCase.replaceAll("\\s+", " ")
-      val clauseCond = Option(m.group(2)).map(_.trim).orNull
-      val action = m.group(3).trim
+    // Split the clause text at top-level WHENs, parse each clause.
+    val whenStarts = findAllTopLevel(clausesText, "WHEN")
+    val segments = whenStarts.zip(
+      whenStarts.drop(1) :+ clausesText.length).map {
+      case (s, e) => clausesText.substring(s, e).trim
+    }
+    segments.foreach { seg =>
+      val body = seg.substring(4).trim // after WHEN
+      val (matchedKind, afterKind) =
+        if (body.toUpperCase.startsWith("NOT")) {
+          val m = body.substring(3).trim
+          require(m.toUpperCase.startsWith("MATCHED"),
+            s"cannot parse WHEN clause: $seg")
+          ("NOT MATCHED", m.substring(7))
+        } else {
+          require(body.toUpperCase.startsWith("MATCHED"),
+            s"cannot parse WHEN clause: $seg")
+          ("MATCHED", body.substring(7))
+        }
+      val thenIdx = findTopLevel(afterKind, "THEN")
+      require(thenIdx >= 0, s"WHEN clause without THEN: $seg")
+      val condPart = afterKind.substring(0, thenIdx).trim
+      val clauseCond =
+        if (condPart.isEmpty) null
+        else {
+          require(condPart.toUpperCase.startsWith("AND"),
+            s"cannot parse WHEN condition: $condPart")
+          condPart.substring(3).trim
+        }
+      val action = afterKind.substring(thenIdx + 4).trim
       val actionUpper = action.toUpperCase
       if (matchedKind == "MATCHED") {
         if (actionUpper == "DELETE")
@@ -219,8 +353,14 @@ object LakeSql {
   private def isLake(name: String): Boolean =
     LakeCatalog.pathOf(clean(name)).isDefined
 
+  /** Strip backticks/whitespace but PRESERVE case: the operand may be a
+    * literal filesystem path (DESCRIBE HISTORY / VACUUM / RESTORE all
+    * accept paths), and lowercasing one breaks case-sensitive
+    * filesystems. Catalog-name lookups are case-insensitive anyway —
+    * `LakeCatalog.normalize` lowercases on both register and resolve.
+    */
   private def clean(name: String): String =
-    name.trim.toLowerCase.stripPrefix("`").stripSuffix("`")
+    name.trim.stripPrefix("`").stripSuffix("`")
 
   private def emptyDF(spark: SparkSession): DataFrame =
     spark.emptyDataFrame

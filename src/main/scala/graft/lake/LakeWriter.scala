@@ -19,7 +19,14 @@ object LakeWriter {
 
   final case class WriteResult(version: Long, added: Seq[AddFile])
 
-  /** Append or overwrite `df` into the table at `tablePath`. */
+  /** Append or overwrite `df` into the table at `tablePath`.
+    *
+    * `transaction = Some((appId, version))` makes the write idempotent
+    * (Delta `txn` semantics): if the table already records a commit
+    * from `appId` at or past `version`, the write is skipped entirely —
+    * the exactly-once guarantee for foreachBatch sinks replaying a
+    * micro-batch after a crash between lake commit and checkpoint.
+    */
   def write(
       df: DataFrame,
       tablePath: String,
@@ -27,12 +34,18 @@ object LakeWriter {
       partitionBy: Seq[String] = Nil,
       mergeSchema: Boolean = false,
       operation: String = null,
-      operationParameters: Map[String, String] = Map.empty): WriteResult = {
+      operationParameters: Map[String, String] = Map.empty,
+      transaction: Option[(String, Long)] = None): WriteResult = {
     require(mode == "append" || mode == "overwrite",
       s"unsupported write mode: $mode")
     val spark = df.sparkSession
     val log = new LakeLog(tablePath)
     val existing = if (log.exists) Some(log.snapshot()) else None
+
+    transaction.foreach { case (appId, txnVersion) =>
+      if (existing.exists(_.transactions.get(appId).exists(_ >= txnVersion)))
+        return WriteResult(log.latestVersion, Nil) // already committed
+    }
 
     val partCols: Seq[String] = existing match {
       case Some(s) =>
@@ -68,7 +81,15 @@ object LakeWriter {
       val op = Option(operation).getOrElse(
         if (existing.isEmpty) "CREATE TABLE AS" else mode.toUpperCase)
 
+      try {
       val version = commitWithRetry(log) { version =>
+        transaction.foreach { case (appId, txnVersion) =>
+          // Re-check on every attempt: a concurrent writer of the same
+          // app may have landed this txn while we were staging.
+          if (version > 0 && log.snapshot()
+              .transactions.get(appId).exists(_ >= txnVersion))
+            throw new TxnAlreadyCommittedException(appId, txnVersion)
+        }
         val removes = if (mode == "overwrite" && existing.nonEmpty)
           log.snapshot().files.map(f =>
             RemoveFile(f.path, System.currentTimeMillis()))
@@ -80,9 +101,18 @@ object LakeWriter {
           else Nil
         Seq(CommitInfo(System.currentTimeMillis(), op,
           operationParameters ++ Map("mode" -> mode))) ++
-          meta ++ removes ++ adds
+          meta ++ removes ++ adds ++
+          transaction.map { case (a, v) => Txn(a, v) }.toSeq
       }
       WriteResult(version, adds)
+      } catch {
+        case _: TxnAlreadyCommittedException =>
+          // Lost the race to an identical writer: discard our staged
+          // (still unreferenced) files and report the winner's commit.
+          adds.foreach(a =>
+            Files.deleteIfExists(Paths.get(tablePath, a.path)))
+          WriteResult(log.latestVersion, Nil)
+      }
     }
   }
 
@@ -176,11 +206,19 @@ object LakeWriter {
     finally s.close()
   }
 
-  /** Parse `k=v/k2=v2/part-....parquet` into partition values. */
+  /** Spark/Hive's path encoding of a null partition value. */
+  private[lake] val HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Parse `k=v/k2=v2/part-....parquet` into partition values. The
+    * Hive null sentinel maps to a true null so predicates like
+    * `p IS NULL` (and never `p = '__HIVE_DEFAULT_PARTITION__'`) match.
+    */
   private[lake] def partitionValuesOf(relPath: String): Map[String, String] = {
     relPath.split('/').dropRight(1).iterator.flatMap { seg =>
       seg.split("=", 2) match {
-        case Array(k, v) => Some(k -> unescapePathName(v))
+        case Array(k, v) =>
+          val unescaped = unescapePathName(v)
+          Some(k -> (if (unescaped == HIVE_NULL) null else unescaped))
         case _ => None
       }
     }.toMap
@@ -263,3 +301,7 @@ object LakeWriter {
 
 final class SchemaMismatchException(msg: String)
   extends IllegalArgumentException(msg)
+
+private[lake] final class TxnAlreadyCommittedException(
+    appId: String, version: Long) extends RuntimeException(
+  s"transaction ($appId, $version) was already committed")

@@ -11,7 +11,8 @@ final case class Snapshot(
     log: LakeLog,
     version: Long,
     metadata: Metadata,
-    files: Seq[AddFile]) {
+    files: Seq[AddFile],
+    transactions: Map[String, Long] = Map.empty) {
 
   def schema: StructType = StructType.fromDDL(metadata.schemaDDL)
 
@@ -55,11 +56,13 @@ object Snapshot {
   def replay(log: LakeLog, version: Long): Snapshot = {
     var metadata: Metadata = null
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
     val startAt = log.latestCheckpointAtOrBefore(version) match {
       case Some((ckptVersion, actions)) =>
         actions.foreach {
           case m: Metadata => metadata = m
           case a: AddFile  => live(a.path) = a
+          case t: Txn      => txns(t.appId) = t.version
           case _ => ()
         }
         ckptVersion + 1
@@ -71,6 +74,8 @@ object Snapshot {
         case m: Metadata   => metadata = m
         case a: AddFile    => live(a.path) = a
         case r: RemoveFile => live.remove(r.path)
+        case t: Txn        =>
+          txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
         case _: CommitInfo => ()
       }
       v += 1
@@ -79,6 +84,6 @@ object Snapshot {
       throw new IllegalStateException(
         s"lake table at ${log.tablePath} has no Metadata action by " +
         s"version $version")
-    Snapshot(log, version, metadata, live.values.toSeq)
+    Snapshot(log, version, metadata, live.values.toSeq, txns.toMap)
   }
 }

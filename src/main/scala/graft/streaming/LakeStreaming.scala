@@ -42,10 +42,15 @@ object LakeStreaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // (queryName, batchId) as an idempotent txn: a restart that
+        // replays a micro-batch already in the lake log skips the
+        // write, closing the commit-then-crash-before-checkpoint
+        // duplicate window — true exactly-once, not at-least-once.
         LakeWriter.write(batch, bronzePath,
           partitionBy = Seq("p_ingestdate"),
           operation = "STREAMING UPDATE",
-          operationParameters = Map("batchId" -> batchId.toString))
+          operationParameters = Map("batchId" -> batchId.toString),
+          transaction = Some((queryName, batchId)))
         ()
       }
       .start()

@@ -71,6 +71,41 @@ class LakeConcurrencySuite extends SparkSuite {
     assert(t.toDF.select("id").as[Long].collect() === Array(101L))
   }
 
+  test("idempotent txn write skips an already-committed batch") {
+    val path = tablePath("txn1")
+    val batch = (1L to 10L).toDF("id")
+    val r0 = LakeWriter.write(batch, path, transaction = Some(("q", 0L)))
+    assert(r0.added.nonEmpty)
+    // crash-replay of the same micro-batch: skipped, no duplicates
+    val replay = LakeWriter.write(batch, path, transaction = Some(("q", 0L)))
+    assert(replay.added.isEmpty)
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.count() === 10L)
+    assert(t.snapshot().version === 0L)
+    // next batch proceeds; a different app's id 0 also proceeds
+    assert(LakeWriter.write(batch, path,
+      transaction = Some(("q", 1L))).added.nonEmpty)
+    assert(LakeWriter.write(batch, path,
+      transaction = Some(("other", 0L))).added.nonEmpty)
+    assert(t.toDF.count() === 30L)
+    // and replaying an OLD batch after newer ones is still skipped
+    assert(LakeWriter.write(batch, path,
+      transaction = Some(("q", 1L))).added.isEmpty)
+  }
+
+  test("txn watermarks survive log checkpointing") {
+    val path = tablePath("txn2")
+    val batch = Seq(1L).toDF("id")
+    (0L to 12L).foreach { b => // crosses the checkpoint interval (10)
+      LakeWriter.write(batch, path, transaction = Some(("q", b)))
+    }
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    assert(snap.transactions("q") === 12L)
+    assert(LakeWriter.write(batch, path,
+      transaction = Some(("q", 5L))).added.isEmpty)
+    assert(LakeTable.forPath(spark, path).toDF.count() === 13L)
+  }
+
   test("restoreTo aborts when a concurrent commit removed its files") {
     val path = tablePath("conflict3")
     LakeWriter.write(seed, path) // v0

@@ -119,4 +119,18 @@ class LakeDataSourceSuite extends SparkSuite {
     // IS NULL predicate finds the sentinel-partition file
     assert(t.toDF.where("p IS NULL").count() === 1L)
   }
+
+  test("metadata-only DELETE handles null partitions correctly") {
+    val path = tablePath("dsv2nulldel")
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
+      .toDF("id", "p")
+      .write.format("lake").partitionBy("p").save(path)
+    val t = LakeTable.forPath(spark, path)
+    // the sentinel string must NOT match the null-partition files
+    t.delete("p = '__HIVE_DEFAULT_PARTITION__'")
+    assert(t.toDF.count() === 3L)
+    // ... but IS NULL must (metadata-only partition path)
+    t.delete("p IS NULL")
+    assert(t.toDF.select("id").as[Long].collect() === Array(1L))
+  }
 }

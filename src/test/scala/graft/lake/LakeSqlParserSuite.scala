@@ -1,0 +1,118 @@
+package graft.lake
+
+import graft.SparkSuite
+
+/** Adversarial tests for the LakeSql front-end (SURVEY §7.4): subquery
+  * sources, keywords inside string literals, backticked names, multiple
+  * time-travel references, path case preservation, and the SQL routes
+  * added in round 2 (DESCRIBE DETAIL, MSCK passthrough).
+  */
+class LakeSqlParserSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(name: String, rows: Seq[(Long, String, Double)])
+      : String = {
+    val path = tablePath(name)
+    LakeWriter.write(rows.toDF("id", "k", "v").coalesce(1), path)
+    LakeCatalog.register(spark, name, path)
+    path
+  }
+
+  test("MERGE USING (SELECT ...) subquery source") {
+    freshTable("pt1", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    Seq((1L, "A2"), (3L, "C")).toDF("id", "k2")
+      .createOrReplaceTempView("updates_raw")
+    LakeSql.sql(spark,
+      """MERGE INTO pt1 t
+        |USING (SELECT id, upper(k2) AS k2 FROM updates_raw WHERE id < 3) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET k = s.k2
+        |WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (s.id, s.k2, 0.0)
+        |""".stripMargin)
+    val got = LakeCatalog.table(spark, "pt1").toDF
+      .orderBy("id").select("id", "k").as[(Long, String)].collect()
+    assert(got === Array((1L, "A2"), (2L, "b")))
+  }
+
+  test("string literals containing WHEN / ON / THEN don't mis-parse") {
+    freshTable("pt2", Seq((1L, "WHEN MATCHED THEN", 1.0), (2L, "x", 2.0)))
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("pt2_src")
+    LakeSql.sql(spark,
+      """MERGE INTO pt2 t USING pt2_src s
+        |ON t.id = s.id AND t.k != 'impossible WHEN ON THEN value'
+        |WHEN MATCHED AND t.k = 'WHEN MATCHED THEN' THEN UPDATE SET k = 'matched ON literal'
+        |WHEN MATCHED THEN DELETE
+        |""".stripMargin)
+    val got = LakeCatalog.table(spark, "pt2").toDF
+      .select("id", "k").as[(Long, String)].collect()
+    assert(got === Array((1L, "matched ON literal")))
+  }
+
+  test("multiple VERSION AS OF references in one SELECT") {
+    val path = freshTable("pt3", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    LakeSql.sql(spark, "DELETE FROM pt3 WHERE id = 2") // v1
+    LakeWriter.write(Seq((3L, "c", 3.0)).toDF("id", "k", "v"), path) // v2
+    LakeCatalog.refreshView(spark, "pt3")
+    val joined = LakeSql.sql(spark,
+      """SELECT a.id FROM pt3 VERSION AS OF 0 a
+        |JOIN pt3 VERSION AS OF 1 b ON a.id = b.id""".stripMargin)
+    assert(joined.as[Long].collect().sorted === Array(1L))
+    val commas = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM pt3 VERSION AS OF 0 x, pt3 VERSION AS OF 2 y")
+    assert(commas.as[Long].head() === 4L) // 2 x 2 cross join
+  }
+
+  test("DESCRIBE DETAIL via SQL (rapid:156-157)") {
+    val path = freshTable("pt4", Seq((1L, "a", 1.0)))
+    val byName = LakeSql.sql(spark, "DESCRIBE DETAIL pt4")
+    assert(byName.select("format").as[String].head() === "lake")
+    assert(byName.select("numFiles").as[Long].head() === 1L)
+    val byPath = LakeSql.sql(spark, s"DESCRIBE DETAIL `$path`")
+    assert(byPath.select("location").as[String].head() === path)
+  }
+
+  test("path case is preserved for DESCRIBE HISTORY / VACUUM on paths") {
+    val dir = tmpDir("graftCase") + "/MixedCase_T1"
+    LakeWriter.write(Seq((1L, "a")).toDF("id", "k").coalesce(1), dir)
+    val hist = LakeSql.sql(spark, s"DESCRIBE HISTORY $dir")
+    assert(hist.count() === 1L)
+    // VACUUM on the mixed-case path resolves (nothing to delete)
+    assert(LakeSql.sql(spark, s"VACUUM $dir").count() === 0L)
+  }
+
+  test("backticked target names with spaces resolve") {
+    val path = tablePath("pt6")
+    LakeWriter.write(Seq((1L, "a", 1.0)).toDF("id", "k", "v"), path)
+    LakeCatalog.register(spark, "`spaced name`", path)
+    assert(LakeCatalog.pathOf("spaced name").isDefined)
+    Seq(1L).toDF("id").createOrReplaceTempView("pt6_src")
+    LakeSql.sql(spark,
+      "MERGE INTO `spaced name` t USING pt6_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET k = 'z'")
+    assert(LakeTable.forPath(spark, path).toDF
+      .select("k").as[String].head() === "z")
+  }
+
+  test("MSCK REPAIR TABLE passthrough for plain parquet (rapid:149-151)") {
+    // the reference's contrast case: parquet tables need MSCK after new
+    // partition dirs appear; lake tables never do (the log IS the index)
+    val dir = tmpDir("graftmsck") + "/t"
+    Seq((1L, "a")).toDF("id", "p").write.partitionBy("p").parquet(dir)
+    spark.sql(s"CREATE TABLE msck_t (id BIGINT, p STRING) USING parquet " +
+      s"PARTITIONED BY (p) LOCATION '$dir'")
+    try {
+      assert(spark.table("msck_t").count() === 0L) // partitions unknown
+      LakeSql.sql(spark, "MSCK REPAIR TABLE msck_t")
+      assert(spark.table("msck_t").count() === 1L) // discovered
+    } finally spark.sql("DROP TABLE IF EXISTS msck_t")
+  }
+
+  test("findTopLevel respects quoting and nesting") {
+    assert(LakeSql.findTopLevel("a WHEN b", "WHEN") === 2)
+    assert(LakeSql.findTopLevel("'x WHEN y' WHEN b", "WHEN") === 11)
+    assert(LakeSql.findTopLevel("(WHEN) WHEN", "WHEN") === 7)
+    assert(LakeSql.findTopLevel("`WHEN` WHEN", "WHEN") === 7)
+    assert(LakeSql.findTopLevel("WHENEVER x", "WHEN") === -1)
+    assert(LakeSql.findTopLevel("nowhen", "WHEN") === -1)
+  }
+}
