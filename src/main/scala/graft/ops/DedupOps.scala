@@ -65,12 +65,12 @@ object DedupOps {
       shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // shingles hashed to LONGs once: signatures and verification both
-    // run on long arrays (cheap hashing/equality; 64-bit collisions
-    // are negligible at any realistic corpus size)
+    // shingles hashed to LONGs once (native single-pass expression):
+    // signatures and verification both run on long arrays (cheap
+    // hashing/equality; 64-bit collisions are negligible at any
+    // realistic corpus size)
     val docs = df.select(col(idCol).as("__id"),
-      array_distinct(transform(shingles(col(textCol), shingleN),
-        s => xxhash64(s))).as("__sh"))
+      graft.functions.HashedShingles(col(textCol), shingleN).as("__sh"))
     val withSig = docs
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
     val banded = withSig.select(col("__id"),
@@ -91,6 +91,55 @@ object DedupOps {
     val sb = docs.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard", jaccardFromShingles(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** EXACT all-pairs n-gram Jaccard above a threshold, computed
+    * sub-quadratically: inverted-index (share-a-shingle) candidate
+    * generation + per-pair intersection counting.
+    *
+    * Identical result to a naive all-pairs join for any
+    * `minJaccard > 0` — a pair with J > 0 shares at least one shingle,
+    * so candidate generation is lossless — but the cost is
+    * Σ_shingle k² (k = docs containing that shingle) instead of
+    * O(docs²): explode to (shingle, id), self-join per shingle bucket,
+    * then ONE groupBy counts each pair's intersection size directly
+    * (no per-pair array intersect at all). Jaccard follows from
+    * |A∩B| / (|A| + |B| − |A∩B|).
+    *
+    * 100 TB shape: the shuffles key on shingle hash then (id_a, id_b) —
+    * both compact longs, never text. Skew lives in stop-phrase
+    * shingles (huge k): at this corpus' distribution max k is single
+    * digits; a web-scale corpus would add prefix filtering (order each
+    * doc's shingles by global frequency and only index the first
+    * |A|−⌈t·|A|⌉+1) or a frequency cap — both standard, both exact.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      groupCol: String = null, n: Int = 3,
+      minJaccard: Double = 0.2): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0 for lossless " +
+      "share-a-shingle candidate generation")
+    val grp = Option(groupCol)
+    val docs = df.select(
+      (col(idCol).as("__id") +: grp.map(col(_).as("__g")).toSeq) :+
+        graft.functions.HashedShingles(col(textCol), n).as("__sh"): _*)
+    val exploded = docs.select(
+      (Seq(col("__id"), size(col("__sh")).as("__sz")) ++
+        grp.map(_ => col("__g")).toSeq) :+ explode(col("__sh")).as("__s"): _*)
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val joinCond = grp.foldLeft(
+      col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))(
+      (c, _) => c && col("a.__g") === col("b.__g"))
+    val inter = a.join(b, joinCond)
+      .groupBy(col("a.__id").as("id_a"), col("a.__sz").as("sz_a"),
+        col("b.__id").as("id_b"), col("b.__sz").as("sz_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .withColumn("jaccard",
+        col("c") / (col("sz_a") + col("sz_b") - col("c")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -66,30 +66,14 @@ object OpsQueries {
              |FROM documents
              |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""".stripMargin)),
 
-    // Exact n-gram Jaccard pairs within each source shard.
+    // Exact n-gram Jaccard pairs within each source shard — computed
+    // via the lossless inverted-index shape (share-a-shingle candidates
+    // + group-count intersection), identical output to the all-pairs
+    // oracle below at a Σk² cost instead of O(docs²).
     QueryDef("dedup_ngram_pairs",
-      (s, dir) => {
-        // shingle once per doc (O(docs)) and hash each shingle to a
-        // LONG — per-pair work is a long-array intersect, ~5x cheaper
-        // than string sets (64-bit collisions are ~1e-11 here)
-        val d = table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            array_distinct(transform(
-              DedupOps.shingles(col("text"), 3), sh => xxhash64(sh)))
-              .as("sh"))
-        val a = d.as("a")
-        val b = d.as("b")
-        // size-ratio bound: J >= 0.2 requires |A|,|B| within 5x of each
-        // other (J <= min/max) — prunes pairs before the intersect
-        a.join(b, col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            size(col("a.sh")) <= size(col("b.sh")) * 5 &&
-            size(col("b.sh")) <= size(col("a.sh")) * 5)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            round(DedupOps.jaccardFromShingles(col("a.sh"), col("b.sh")), 4)
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.2)
-      },
+      (s, dir) => DedupOps.ngramJaccardPairs(
+        table(s, dir, "documents"), "text", "doc_id",
+        groupCol = "source", n = 3, minJaccard = 0.2),
       Some("""WITH sh AS (
              |  SELECT doc_id, source,
              |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
