@@ -176,6 +176,48 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"),
         sort_array(collect_list(col(idCol))).as("ids"))
 
+  /** Near-duplicate pairs by SimHash Hamming distance, found WITHOUT
+    * all-pairs comparison: band the 64-bit signature into 4 × 16-bit
+    * chunks and join on chunk equality. Pigeonhole: two signatures
+    * within Hamming distance 3 differ in at most 3 chunks, so they
+    * MUST agree on at least one — banding has guaranteed (not
+    * probabilistic) recall for `maxHamming <= 3`. Join keys are
+    * (band, 16-bit chunk): compact, shuffle-friendly; candidate volume
+    * concentrates only where real near-dup mass exists.
+    */
+  def simhashNearPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashNearPairsFromSigs(
+      df.select(col(idCol), simhash(col(textCol)).as("__simhash")),
+      "__simhash", idCol, maxHamming)
+
+  /** Same, over a precomputed 64-bit signature column. */
+  def simhashNearPairsFromSigs(
+      df: DataFrame, sigCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3, " +
+        s"got $maxHamming")
+    val sigs = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val banded = sigs.select(col("__id"), col("__sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("__sig"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("__b"))
+      .select(col("__id"), col("__sig"),
+        col("__b.band").as("__band"), col("__b.chunk").as("__chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__chunk") === col("b.__chunk") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding cosine near-dup pairs above `minCos`, bucketed by a
     * random-hyperplane LSH prefix so the join never goes all-pairs at
     * scale (see [[SimilarityOps.hyperplaneBucket]]).

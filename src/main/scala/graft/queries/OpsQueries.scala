@@ -108,6 +108,70 @@ object OpsQueries {
           concat_ws(",", col("ids")).as("ids_csv")),
       None),
 
+    // SimHash Hamming-banding near-dup: plant a 1-bit-flipped variant
+    // of every 10th doc's signature; 4x16-bit banding must recover
+    // EVERY planted pair (pigeonhole guarantee for distance <= 3).
+    // Recovery is asserted inside the gate — a miss fails loudly.
+    QueryDef("dedup_simhash_near",
+      (s, dir) => {
+        val sigs = table(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            DedupOps.simhash(col("text")).as("sig"))
+        val planted = sigs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          expr("sig ^ shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(doc_id % 64 AS INT))").as("sig"))
+        val pairs = DedupOps.simhashNearPairsFromSigs(
+          sigs.union(planted), "sig", "doc_id", maxHamming = 3)
+        val nPlanted = sigs.count()
+        val nRecovered = pairs
+          .filter(col("id_b") === col("id_a") + 1000000L &&
+            col("hamming") === 1).count()
+        require(nRecovered >= nPlanted,
+          s"simhash banding missed planted 1-bit pairs: " +
+            s"$nRecovered/$nPlanted recovered")
+        pairs.orderBy("id_a", "id_b")
+      },
+      None),
+
+    // MinHash-LSH recall, measured: plant a 10%-truncated variant of
+    // every doc (shingle Jaccard ~0.85-0.9 vs the original), compute
+    // the TRUE planted pairs above the threshold exactly (per-doc
+    // jaccard, no join), and require LSH to find >= 90% of them at the
+    // production banding (32 hashes x 8 bands).
+    QueryDef("dedup_minhash_recall",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val toks = split(col("text"), "\\s+")
+        val truncated = docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(lit(3), (size(toks) * 0.9).cast("int")))).as("text"))
+        val minJ = 0.8
+        val truth = docs
+          .select(col("doc_id"),
+            graft.functions.HashedShingles(col("text"), 3).as("sh_a"))
+          .join(truncated.select((col("doc_id") - 1000000L).as("doc_id"),
+            graft.functions.HashedShingles(col("text"), 3).as("sh_b")),
+            "doc_id")
+          .withColumn("j",
+            DedupOps.jaccardFromShingles(col("sh_a"), col("sh_b")))
+          .filter(col("j") >= minJ)
+        val nTrue = truth.count()
+        val lsh = DedupOps.minhashLshPairs(docs.union(truncated),
+          "text", "doc_id", numHashes = 32, bands = 8, minJaccard = minJ)
+        val nFound = lsh
+          .filter(col("id_b") === col("id_a") + 1000000L).count()
+        val recall = if (nTrue == 0) 1.0 else nFound.toDouble / nTrue
+        require(recall >= 0.9,
+          s"minhash LSH recall $recall below 0.9 ($nFound/$nTrue)")
+        Seq((nTrue, nFound, math.rint(recall * 10000) / 10000))
+          .toDF("n_true_pairs", "n_found_pairs", "recall")
+      },
+      None),
+
     // Embedding near-dup: corpus ∪ exact copies (ids shifted) must
     // rediscover each copy pair through the LSH-bucketed join.
     QueryDef("dedup_embedding_pairs",
@@ -153,6 +217,50 @@ object OpsQueries {
         val corpus = e.select(col("vec_id").as("id"),
           col("embedding").as("vec"))
         SimilarityOps.lshTopK(queries, corpus, k = 5, bits = 4)
+      },
+      None),
+
+    // ANN recall, measured at the gate's own settings (bits=4,
+    // Hamming-1 multi-probe) on the retrieval task LSH actually serves
+    // at 100 TB: near-duplicate lookup. Queries are deterministic small
+    // perturbations of every 10th corpus vector (cos ~0.99 to their
+    // source, far above the ~0.49 max cosine between unrelated vectors
+    // here, so the source IS each query's true nearest neighbor —
+    // verified against brute force below); recall = fraction of
+    // queries whose source appears in the LSH top-k. The corpus'
+    // embeddings are otherwise near-random (top-10 neighbor cosine
+    // averages 0.30), where NO sub-linear method can recover arbitrary
+    // top-k — asserting 0.9 there would force scanning the whole
+    // corpus and make the gate meaningless. Fails loudly below 0.9.
+    QueryDef("sim_lsh_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        val src = e.filter(col("vec_id") % 10 === 0)
+        val queries = src.select(
+          (col("vec_id") + 1000000L).as("qid"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
+            .as("vec"))
+        val corpus = e.select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        val k = 5
+        // ground truth: brute force must rank each source in the top-k
+        val exact = SimilarityOps.bruteForceTopK(queries, corpus, k)
+        val nQueries = src.count()
+        val exactHits = exact
+          .filter(col("neighbor_id") === col("qid") - 1000000L).count()
+        require(exactHits == nQueries,
+          s"planted sources not exact-NN: $exactHits/$nQueries — " +
+            "perturbation too large for this corpus")
+        val approx = SimilarityOps.lshTopK(queries, corpus, k, bits = 4)
+        val found = approx
+          .filter(col("neighbor_id") === col("qid") - 1000000L).count()
+        val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
+        require(recall >= 0.9,
+          s"LSH near-dup recall $recall below 0.9 ($found/$nQueries)")
+        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+          .toDF("n_queries", "n_found", "recall")
       },
       None),
 

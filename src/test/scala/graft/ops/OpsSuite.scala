@@ -87,4 +87,43 @@ class OpsSuite extends SparkSuite {
     assert(got(2L) === "es")
     assert(got(3L) === "und")
   }
+
+  test("simhash Hamming banding: <=3-bit pairs guaranteed, distances exact") {
+    val base = 0x0123456789ABCDEFL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ 1L),                       // distance 1
+      (3L, base ^ (1L << 17) ^ (1L << 50)),  // distance 2
+      (4L, base ^ 7L ^ (1L << 63)),          // distance 4 from id 1
+      (5L, 0x5555555555555555L)              // far from everything
+    ).toDF("id", "sig")
+    val pairs = DedupOps.simhashNearPairsFromSigs(sigs, "sig", "id")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().sortBy(p => (p._1, p._2))
+    // pigeonhole guarantee: every pair within distance 3 is present
+    assert(pairs.contains((1L, 2L, 1)))
+    assert(pairs.contains((1L, 3L, 2)))
+    assert(pairs.contains((2L, 3L, 3)))
+    // distance-4+ pairs are excluded even when they share a band
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
+    assert(!pairs.exists(p => p._2 == 5L || p._1 == 5L))
+  }
+
+  test("hashed shingles native expr matches composable set semantics") {
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y"), (4L, "a b c x y")
+    ).toDF("id", "text")
+    val native = df.select($"id",
+      graft.functions.HashedShingles($"text", 3).as("sh"))
+    // identical texts -> identical sets; distinct sizes match the
+    // composable definition (n-2 shingles for n>=3 tokens, else 1)
+    val sizes = native.select($"id", size($"sh")).as[(Long, Int)]
+      .collect().toMap
+    assert(sizes === Map(1L -> 3, 2L -> 3, 3L -> 1, 4L -> 3))
+    val j12 = native.as("a").join(native.as("b"),
+        $"a.id" === 1L && $"b.id" === 2L)
+      .select(DedupOps.jaccardFromShingles($"a.sh", $"b.sh"))
+      .as[Double].head()
+    assert(j12 === 1.0)
+  }
 }
