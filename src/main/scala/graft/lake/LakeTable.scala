@@ -46,17 +46,34 @@ final class LakeTable private (
 
   // ---- audit -------------------------------------------------------------
 
-  /** DESCRIBE HISTORY (D7): one row per commit, newest first. Scans
-    * the raw log (not the checkpoint) — audit must see every commit.
+  /** DESCRIBE HISTORY (D7): one row per commit, newest first. Audit
+    * must see every commit (checkpoints don't carry CommitInfo), so
+    * every version file is read — but past
+    * [[LakeTable.DISTRIBUTED_HISTORY_MIN_VERSIONS]] commits the reads
+    * run as a Spark job over the shared log directory instead of a
+    * serial driver loop: a 100k-commit table costs one task wave, not
+    * minutes of driver I/O.
     */
   def history(): DataFrame = {
     import spark.implicits._
-    val rows = (0L to log.latestVersion).flatMap { v =>
-      log.readVersion(v).collect { case c: CommitInfo =>
-        (v, new java.sql.Timestamp(c.timestamp), c.operation,
-          c.operationParameters)
+    val latest = log.latestVersion
+    val rows =
+      if (latest + 1 >= LakeTable.DISTRIBUTED_HISTORY_MIN_VERSIONS) {
+        val tp = tablePath
+        spark.sparkContext.parallelize(0L to latest, 64).flatMap { v =>
+          new LakeLog(tp).readVersion(v).collect { case c: CommitInfo =>
+            (v, new java.sql.Timestamp(c.timestamp), c.operation,
+              c.operationParameters)
+          }
+        }.collect().sortBy(-_._1).toSeq
+      } else {
+        (0L to latest).flatMap { v =>
+          log.readVersion(v).collect { case c: CommitInfo =>
+            (v, new java.sql.Timestamp(c.timestamp), c.operation,
+              c.operationParameters)
+          }
+        }.reverse
       }
-    }.reverse
     rows.toDF("version", "timestamp", "operation", "operationParameters")
   }
 
@@ -185,7 +202,15 @@ final class LakeTable private (
     val deletable = tombstones.collect {
       case (path, ts) if ts <= cutoff => path
     }.toSeq
-    deletable.foreach { rel =>
+    // Large vacuums delete distributed: at millions of tombstones the
+    // serial driver loop is the bottleneck, and deletes are
+    // embarrassingly parallel (idempotent, no ordering).
+    if (deletable.size >= LakeTable.DISTRIBUTED_VACUUM_MIN_FILES) {
+      val tp = tablePath
+      spark.sparkContext
+        .parallelize(deletable, math.min(deletable.size / 32 + 1, 64))
+        .foreach(rel => Files.deleteIfExists(Paths.get(tp, rel)))
+    } else deletable.foreach { rel =>
       Files.deleteIfExists(Paths.get(tablePath, rel))
     }
     LakeWriter.commitWithRetry(log) { _ =>
@@ -269,6 +294,9 @@ final class LakeTable private (
 object LakeTable {
   val DEFAULT_RETENTION_HOURS: Double = 168.0
   val RETENTION_CHECK_KEY = "spark.graft.lake.retentionDurationCheck.enabled"
+  /** Below these sizes the driver loop wins (job-launch overhead). */
+  private[lake] val DISTRIBUTED_HISTORY_MIN_VERSIONS = 128
+  private[lake] val DISTRIBUTED_VACUUM_MIN_FILES = 64
 
   def forPath(spark: SparkSession, path: String): LakeTable =
     new LakeTable(spark, new LakeLog(path), None)

@@ -168,15 +168,43 @@ object LakeWriter {
     else StructType(table.fields ++ extra.map(_.copy(nullable = true)))
   }
 
+  /** Commits with at least this many files gather footer stats as a
+    * Spark job instead of a driver loop (below it, job-launch overhead
+    * dominates — the medallion pipeline commits 1-2 files at a time).
+    */
+  private val DISTRIBUTED_STATS_MIN_FILES = 8
+
   /** Move staged parquet files into the table root (preserving the
     * Hive partition layout) and build their AddFile actions with
     * footer-derived row counts and column min/max stats.
+    *
+    * Stats gathering is distributed for large commits: each executor
+    * reads its files' footers and ships back only the (rows, min/max,
+    * nulls) tuples — at a 10k-file commit the driver never touches a
+    * data file. The final rename into the table layout stays a
+    * driver-side metadata loop: on a POSIX/HDFS-style store rename is
+    * O(1) per file, and the loop is the commit's atomicity boundary
+    * (SCALE.md "known stand-ins" — an object-store port would make the
+    * staging dir the final layout and skip the move entirely).
     */
   private def adoptStagedFiles(
       spark: SparkSession, staging: Path, tableRoot: Path): Seq[AddFile] = {
     val files = walkParquet(staging)
+    val statsByPath: Map[String, (Long, Map[String, String],
+        Map[String, String], Map[String, Long])] =
+      if (files.size >= DISTRIBUTED_STATS_MIN_FILES) {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext
+          .parallelize(files.map(_.toString), math.min(files.size, 64))
+          .map(p => p -> ParquetFooters.statsWithConf(conf.value, p))
+          .collect().toMap
+      } else {
+        files.map(f =>
+          f.toString -> ParquetFooters.stats(spark, f.toString)).toMap
+      }
     files.flatMap { f =>
-      val (rows, mins, maxs, nulls) = ParquetFooters.stats(spark, f.toString)
+      val (rows, mins, maxs, nulls) = statsByPath(f.toString)
       if (rows == 0L) { // empty output split: don't pollute the table
         Files.deleteIfExists(f)
         None

@@ -21,9 +21,17 @@ object ParquetFooters {
 
   /** @return (numRecords, minValues, maxValues, nullCounts) */
   def stats(spark: SparkSession, path: String)
+      : (Long, Map[String, String], Map[String, String], Map[String, Long]) =
+    statsWithConf(spark.sparkContext.hadoopConfiguration, path)
+
+  /** Executor-side variant: takes a plain Hadoop configuration so the
+    * footer read can run inside a Spark job (see
+    * `LakeWriter.adoptStagedFiles` — large commits gather stats
+    * distributed, not in a driver loop).
+    */
+  def statsWithConf(conf: org.apache.hadoop.conf.Configuration, path: String)
       : (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
-    val in = HadoopInputFile.fromPath(
-      new HadoopPath(path), spark.sparkContext.hadoopConfiguration)
+    val in = HadoopInputFile.fromPath(new HadoopPath(path), conf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq

@@ -1,0 +1,69 @@
+package graft.lake
+
+import graft.SparkSuite
+import java.nio.file.{Files, Paths}
+
+/** The driver-side stand-ins distributed in round 2: footer stats as a
+  * Spark job on large commits, parallel vacuum deletes, distributed
+  * history() reads. Each test crosses the respective threshold so the
+  * distributed path actually runs.
+  */
+class LakeDistributedSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("large commit gathers footer stats distributed (>= 8 files)") {
+    val path = tablePath("dist-stats")
+    val res = LakeWriter.write(
+      (1L to 1000L).toDF("id").repartition(10), path)
+    assert(res.added.size >= 8)
+    // stats present and correct on every file
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    assert(snap.files.map(_.numRecords).sum === 1000L)
+    assert(snap.files.forall(f => f.minValues.contains("id") &&
+      f.maxValues.contains("id")))
+    // and data skipping still works off those stats
+    val global = snap.files.map(_.minValues("id").toLong).min
+    assert(global === 1L)
+  }
+
+  test("history() over 128+ commits reads the log distributed") {
+    val path = tablePath("dist-hist")
+    LakeWriter.write(Seq(1L).toDF("id").coalesce(1), path) // v0, real
+    val log = new LakeLog(path)
+    (1L to 140L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(1000000L + v, "APPEND",
+        Map("i" -> v.toString))))
+    }
+    val t = LakeTable.forPath(spark, path)
+    val hist = t.history()
+    assert(hist.count() === 141L)
+    // newest first, versions intact
+    val versions = hist.select("version").as[Long].collect()
+    assert(versions.head === 140L && versions.last === 0L)
+    assert(versions.toSeq === versions.toSeq.sorted.reverse)
+  }
+
+  test("vacuum deletes 64+ tombstoned files distributed") {
+    val path = tablePath("dist-vac")
+    Files.createDirectories(Paths.get(path))
+    val adds = (0 until 70).map { i =>
+      val rel = f"part-$i%05d.parquet"
+      Files.write(Paths.get(path, rel), Array[Byte](1, 2, 3))
+      AddFile(rel, Map.empty, 3L, 1L)
+    }
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(
+      CommitInfo(1L, "CREATE", Map.empty),
+      Metadata("id BIGINT", Nil, 1L)) ++ adds)
+    // tombstone everything long ago (timestamp 2 ms) except one file
+    log.commit(1L, Seq(CommitInfo(2L, "DELETE", Map.empty)) ++
+      adds.tail.map(a => RemoveFile(a.path, 2L)))
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try {
+      val deleted = LakeTable.forPath(spark, path).vacuum(0.0)
+      assert(deleted.size === 69)
+      assert(Files.exists(Paths.get(path, adds.head.path)))
+      assert(adds.tail.forall(a => !Files.exists(Paths.get(path, a.path))))
+    } finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+  }
+}
