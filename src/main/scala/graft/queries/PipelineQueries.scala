@@ -6,9 +6,13 @@ import graft.lake.LakeTable
 
 /** Gate query running the full reference pipeline spine (etl/04:11-47):
   * fixture landing table → micro-batch JSON ingest → bronze with
-  * ingestion metadata → silver with quarantine repair. Deterministic
-  * (fixed clock + fixture seed) but fixture-driven, so it carries a
-  * rows-only check rather than a DuckDB oracle.
+  * ingestion metadata → silver with quarantine repair. The fixture is
+  * closed-form (`HealthFixtures.landingEvents`: steps =
+  * 1000 + 37·idx mod 4000 over a (hour, device) grid), so the silver
+  * aggregate has a DuckDB oracle that regenerates the expected result
+  * from the same constants — any fault in the spine (batch draining,
+  * JSON round-trip, clean/quarantine split, uuid→owner repair) shifts
+  * the counts or sums and fails the hash compare.
   */
 object PipelineQueries {
 
@@ -34,7 +38,17 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_rows"),
             sum(col("steps")).cast("long").as("total_steps"))
       },
-      None),
+      // The ingested slice is hours 0-15 × devices 1-10; every dirty
+      // (uuid-device) event must come back repaired to its owner's
+      // numeric id, or a device's n_rows drops below 16.
+      Some("""WITH seed AS (
+             |  SELECT h, d, 1000 + (37 * (h * 10 + d)) % 4000 AS steps
+             |  FROM range(0, 16) t1(h), range(1, 11) t2(d))
+             |SELECT CAST(d AS INTEGER) AS device_id,
+             |  DATE '2020-01-01' AS p_eventdate,
+             |  COUNT(*) AS n_rows,
+             |  CAST(SUM(steps) AS BIGINT) AS total_steps
+             |FROM seed GROUP BY 1, 2""".stripMargin)),
 
     // Structured Streaming ingest (SURVEY §2.10): raw JSON-lines files
     // streamed into a lake table with AvailableNow + foreachBatch;
