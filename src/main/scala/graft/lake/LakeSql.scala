@@ -44,6 +44,10 @@ object LakeSql {
     """(?is)\s*DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.+))?\s*""".r
   private val RESTORE_RE =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`/\-]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val UPDATE_PREFIX_RE = """(?is)\s*UPDATE\s+[\w.`].*""".r
+  private val OPTIMIZE_RE =
+    ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
+      """(?:\s+BY\s*\((.+?)\))?\s*""").r
 
   /** Execute a SQL statement, lake-aware. Returns a DataFrame (empty
     * for DML, matching `spark.sql` conventions).
@@ -105,6 +109,23 @@ object LakeSql {
       table.delete(Option(where).getOrElse("true"))
       LakeCatalog.refreshView(spark, clean(t))
       emptyDF(spark)
+
+    case UPDATE_PREFIX_RE() if {
+      val t = updateTarget(sqlText); t.exists(isLake)
+    } =>
+      runUpdateText(spark, sqlText)
+      emptyDF(spark)
+
+    case OPTIMIZE_RE(t, byCols) =>
+      val table = resolve(spark, clean(t))
+      Option(byCols) match {
+        case Some(cols) =>
+          table.compactClustered(
+            cols.split(",").map(c => clean(c.trim)).toSeq)
+        case None => table.compact()
+      }
+      LakeCatalog.refreshView(spark, clean(t))
+      resolve(spark, clean(t)).detail()
 
     case _ =>
       // Time-travel scans can appear inside larger SELECTs — possibly
@@ -314,6 +335,32 @@ object LakeSql {
     }
     builder.execute()
     LakeCatalog.refreshView(spark, tgtName)
+  }
+
+  /** Table name of an `UPDATE t SET ...` statement, if parseable. */
+  private def updateTarget(text: String): Option[String] = {
+    val upIdx = findTopLevel(text, "UPDATE")
+    val setIdx = findTopLevel(text, "SET", upIdx)
+    if (upIdx < 0 || setIdx < 0) None
+    else Some(clean(text.substring(upIdx + 6, setIdx)))
+  }
+
+  /** `UPDATE t SET a = e1, b = e2 [WHERE cond]` → `LakeTable.update`
+    * (touched-file rewrite). Scanner-located keywords, so string
+    * literals containing SET/WHERE can't mis-parse.
+    */
+  private def runUpdateText(spark: SparkSession, text: String): Unit = {
+    val upIdx = findTopLevel(text, "UPDATE")
+    val setIdx = findTopLevel(text, "SET", upIdx)
+    require(setIdx > 0, s"UPDATE without SET: $text")
+    val whereIdx = findTopLevel(text, "WHERE", setIdx)
+    val tgt = clean(text.substring(upIdx + 6, setIdx))
+    val setText =
+      if (whereIdx > 0) text.substring(setIdx + 3, whereIdx)
+      else text.substring(setIdx + 3)
+    val cond = if (whereIdx > 0) text.substring(whereIdx + 5).trim else "true"
+    resolve(spark, tgt).update(cond, parseSetMap(setText.trim))
+    LakeCatalog.refreshView(spark, tgt)
   }
 
   private def parseSetMap(setText: String): Map[String, String] =

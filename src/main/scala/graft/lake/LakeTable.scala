@@ -247,6 +247,42 @@ final class LakeTable private (
         "numFilesAdded" -> adds.size.toString))
   }
 
+  /** Clustered compaction — `OPTIMIZE t BY (cols)`, the engine's
+    * analog of Delta's OPTIMIZE ZORDER: rewrite the table
+    * range-partitioned and sorted by `clusterBy`, so each output file
+    * covers a narrow slice of the clustering key space. Per-file
+    * min/max stats then make `FilePruner`/`LakeFileIndex` skipping
+    * selective on those columns — for a 100 TB table this is THE lever
+    * that turns a non-partition-column predicate from a full scan into
+    * a few file reads (linear clustering is optimal for one column,
+    * good for a small set; interleaved bits would generalize further).
+    * Identity rewrite: same rows, one atomic commit, time travel to
+    * the unclustered version still works.
+    */
+  def compactClustered(
+      clusterBy: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(clusterBy.nonEmpty, "compactClustered needs cluster columns")
+    val snap = snapshot()
+    if (snap.files.isEmpty) return
+    clusterBy.foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"cluster column $c not in schema ${snap.schema.simpleString}")
+    }
+    val numOut = math.max(1,
+      math.ceil(snap.sizeInBytes.toDouble / targetFileBytes).toInt)
+    val sortCols = clusterBy.map(c => col(quoted(c)))
+    val clustered = snap.toDF(spark)
+      .repartitionByRange(numOut, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val adds = LakeWriter.stageAndAdopt(clustered, tablePath,
+      snap.partitionColumns)
+    commitRewrite(snap, snap.files.map(_.path), adds, "OPTIMIZE",
+      Map("clusterBy" -> clusterBy.mkString(","),
+        "numFilesRemoved" -> snap.files.size.toString,
+        "numFilesAdded" -> adds.size.toString))
+  }
+
   // ---- internals ---------------------------------------------------------
 
   private[lake] def quoted(name: String): String = s"`$name`"

@@ -107,6 +107,52 @@ class LakeSqlParserSuite extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS msck_t")
   }
 
+  test("UPDATE ... SET ... WHERE routes to the lake touched-file rewrite") {
+    freshTable("pt7", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    LakeSql.sql(spark,
+      "UPDATE pt7 SET v = v * 10, k = 'SET WHERE literal' WHERE id >= 2")
+    val got = LakeCatalog.table(spark, "pt7").toDF
+      .orderBy("id").select("id", "k", "v")
+      .as[(Long, String, Double)].collect()
+    assert(got === Array((1L, "a", 1.0),
+      (2L, "SET WHERE literal", 20.0), (3L, "SET WHERE literal", 30.0)))
+    // one commit for the update
+    assert(LakeCatalog.table(spark, "pt7").snapshot().version === 1L)
+    // non-lake UPDATE falls through to spark.sql (and fails there,
+    // since temp views aren't updatable) — the route must not swallow it
+    intercept[Exception] {
+      LakeSql.sql(spark, "UPDATE some_temp_view SET x = 1")
+    }
+  }
+
+  test("OPTIMIZE BY (col) clusters files and improves data skipping") {
+    val path = tablePath("pt8")
+    // two files, each covering the FULL id range -> nothing skippable
+    val ids = (0L until 400L)
+    LakeWriter.write(ids.filter(_ % 2 == 0).map(i => (i, s"v$i"))
+      .toDF("id", "payload").coalesce(1), path)
+    LakeWriter.write(ids.filter(_ % 2 == 1).map(i => (i, s"v$i"))
+      .toDF("id", "payload").coalesce(1), path)
+    LakeCatalog.register(spark, "pt8", path)
+    val t = LakeTable.forPath(spark, path)
+    assert(FilePruner.prune(t.snapshot(), "id > 350").size === 2)
+
+    // cluster into ~4 files by id
+    val bytes = t.snapshot().sizeInBytes
+    t.compactClustered(Seq("id"), targetFileBytes = bytes / 4)
+    val snap = t.snapshot()
+    assert(snap.files.size >= 3)
+    // same rows, new layout
+    assert(t.toDF.count() === 400L)
+    // now a selective predicate prunes most files from the log stats
+    val pruned = FilePruner.prune(snap, "id > 350")
+    assert(pruned.size < snap.files.size)
+    assert(t.toDF.where("id > 350").count() === 49L)
+    // SQL route, no BY -> plain small-file compaction path works too
+    val detail = LakeSql.sql(spark, s"OPTIMIZE pt8 BY (id)")
+    assert(detail.select("numFiles").as[Long].head() >= 1L)
+  }
+
   test("findTopLevel respects quoting and nesting") {
     assert(LakeSql.findTopLevel("a WHEN b", "WHEN") === 2)
     assert(LakeSql.findTopLevel("'x WHEN y' WHEN b", "WHEN") === 11)
