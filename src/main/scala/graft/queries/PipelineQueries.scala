@@ -50,6 +50,37 @@ object PipelineQueries {
              |  CAST(SUM(steps) AS BIGINT) AS total_steps
              |FROM seed GROUP BY 1, 2""".stripMargin)),
 
+    // Lake table as a STREAMING SOURCE (round 2): version-offset
+    // incremental consumption, lake-to-lake via format("lake") on both
+    // ends, two upstream commits drained by AvailableNow. The copied
+    // content aggregates straight off `documents`, so this streaming
+    // path is DuckDB-hash-checked, not rows-only.
+    QueryDef("streaming_lake_source",
+      (s, dir) => {
+        val sf = new java.io.File(dir).getName
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_stream_src", sf)
+        graft.lake.LakeWriter.deleteRecursively(root)
+        val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+        val docs = QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        graft.lake.LakeWriter.write(docs.filter(col("doc_id") % 2 === 0), src)
+        graft.lake.LakeWriter.write(docs.filter(col("doc_id") % 2 === 1), src)
+        val q = s.readStream.format("lake").load(src)
+          .writeStream.format("lake")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination(120000)
+        graft.lake.LakeTable.forPath(s, dst).toDF
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY lang""".stripMargin)),
+
     // Structured Streaming ingest (SURVEY §2.10): raw JSON-lines files
     // streamed into a lake table with AvailableNow + foreachBatch;
     // result is the bronze content (deterministic counts, rows-only).

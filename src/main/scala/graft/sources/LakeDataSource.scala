@@ -3,8 +3,11 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider}
+  DataSourceRegister, RelationProvider, StreamSinkProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.lake.{LakeLog, LakeWriter, Snapshot}
@@ -27,9 +30,40 @@ import graft.lake.{LakeLog, LakeWriter, Snapshot}
   * columns passed by `DataFrameWriter.partitionBy`.
   */
 final class LakeDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "lake"
+
+  // ---- streaming (SURVEY §2.10; Delta streaming source/sink analog) ----
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      schema.getOrElse(new LakeLog(pathOf(parameters)).snapshot().schema))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new LakeStreamSource(
+      sqlContext.sparkSession, pathOf(parameters), parameters)
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"lake streaming sink supports Append output mode only, " +
+        s"got $outputMode")
+    new LakeStreamSink(pathOf(parameters), partitionColumns, parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.lake.{LakeTable, LakeWriter}
+import org.apache.spark.sql.streaming.Trigger
+
+/** readStream/writeStream format("lake") — the Delta streaming
+  * source/sink analog: version-based offsets, append-only contract,
+  * Txn-idempotent sink commits.
+  */
+class LakeStreamSourceSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def runAvailableNow(
+      src: String, dst: String, ckpt: String,
+      extraReadOptions: Map[String, String] = Map.empty): Unit = {
+    var reader = spark.readStream.format("lake")
+    extraReadOptions.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(src)
+      .writeStream.format("lake")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    ()
+  }
+
+  test("lake-to-lake streaming: appends flow, restart sees only new data") {
+    val src = tablePath("ss-src")
+    val dst = tablePath("ss-dst")
+    val ckpt = tmpDir("ss-ckpt")
+    LakeWriter.write((1L to 100L).toDF("id"), src)
+    LakeWriter.write((101L to 150L).toDF("id"), src)
+
+    runAvailableNow(src, dst, ckpt)
+    val first = LakeTable.forPath(spark, dst).toDF
+    assert(first.count() === 150L)
+
+    // second run with the same checkpoint: nothing new -> no change
+    runAvailableNow(src, dst, ckpt)
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 150L)
+
+    // append upstream, rerun: exactly the delta arrives, no dupes
+    LakeWriter.write((151L to 180L).toDF("id"), src)
+    runAvailableNow(src, dst, ckpt)
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === (1L to 180L).toArray)
+  }
+
+  test("non-append commits fail the stream unless ignoreDeletes") {
+    val src = tablePath("ss-del-src")
+    val dst = tablePath("ss-del-dst")
+    LakeWriter.write((1L to 50L).toDF("id").coalesce(1), src)
+    runAvailableNow(src, dst, tmpDir("ss-del-ck1"))
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 50L)
+
+    LakeTable.forPath(spark, src).delete("id <= 10") // rewrite commit
+
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("lake").load(src)
+        .writeStream.format("lake")
+        .option("checkpointLocation", tmpDir("ss-del-ck2"))
+        .trigger(Trigger.AvailableNow())
+        .start(tablePath("ss-del-dst2"))
+      q.awaitTermination(120000)
+    }
+    assert(failed.getMessage.contains("non-append") ||
+      Option(failed.getCause).exists(_.getMessage.contains("non-append")))
+
+    // ignoreChanges passes the rewrite through. The Delta contract:
+    // the rewritten file's rows are RE-emitted (the original 50 plus
+    // the 40-row rewrite = 90 delivered) — downstream dedupes on key.
+    val dst3 = tablePath("ss-del-dst3")
+    runAvailableNow(src, dst3, tmpDir("ss-del-ck3"),
+      Map("ignoreChanges" -> "true"))
+    assert(LakeTable.forPath(spark, dst3).toDF.count() === 90L)
+    // every live row is present at least once
+    assert(LakeTable.forPath(spark, dst3).toDF
+      .select("id").distinct().count() === 50L)
+  }
+
+  test("startingVersion skips the table's earlier history") {
+    val src = tablePath("ss-sv-src")
+    LakeWriter.write((1L to 10L).toDF("id"), src)   // v0
+    LakeWriter.write((11L to 20L).toDF("id"), src)  // v1
+    val dst = tablePath("ss-sv-dst")
+    runAvailableNow(src, dst, tmpDir("ss-sv-ck"),
+      Map("startingVersion" -> "1"))
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === (11L to 20L).toArray)
+  }
+
+  test("sink partitions output and records batch txns") {
+    val src = tablePath("ss-part-src")
+    LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), src)
+    val dst = tablePath("ss-part-dst")
+    val ckpt = tmpDir("ss-part-ck")
+    val q = spark.readStream.format("lake").load(src)
+      .writeStream.format("lake")
+      .partitionBy("p")
+      .option("checkpointLocation", ckpt)
+      .option("txnAppId", "ss-part-test")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    val t = LakeTable.forPath(spark, dst)
+    assert(t.snapshot().partitionColumns === Seq("p"))
+    assert(t.toDF.count() === 2L)
+    assert(t.snapshot().transactions.get("ss-part-test").contains(0L))
+  }
+}
