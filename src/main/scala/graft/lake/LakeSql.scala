@@ -41,10 +41,10 @@ object LakeSql {
   private val INSERT_SELECT_RE =
     """(?is)\s*INSERT\s+INTO\s+([\w.`]+)\s+(SELECT\s+.+)""".r
   private val DELETE_FROM_RE =
-    """(?is)\s*DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.+))?\s*""".r
+    """(?is)\s*DELETE\s+FROM\s+([\w.`/\-]+)(?:\s+WHERE\s+(.+))?\s*""".r
   private val RESTORE_RE =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`/\-]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
-  private val UPDATE_PREFIX_RE = """(?is)\s*UPDATE\s+[\w.`].*""".r
+  private val UPDATE_PREFIX_RE = """(?is)\s*UPDATE\s+[\w.`/].*""".r
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
       """(?:\s+BY\s*\((.+?)\))?\s*""").r
@@ -397,8 +397,12 @@ object LakeSql {
         s"not a registered lake table or lake path: $nameOrPath")
     }
 
-  private def isLake(name: String): Boolean =
-    LakeCatalog.pathOf(clean(name)).isDefined
+  /** Registered lake name OR a literal lake-table path. */
+  private def isLake(name: String): Boolean = {
+    val n = clean(name)
+    LakeCatalog.pathOf(n).isDefined ||
+      (n.contains("/") && LakeTable.isLakeTable(n))
+  }
 
   /** Strip backticks/whitespace but PRESERVE case: the operand may be a
     * literal filesystem path (DESCRIBE HISTORY / VACUUM / RESTORE all

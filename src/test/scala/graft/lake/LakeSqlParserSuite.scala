@@ -153,6 +153,18 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(detail.select("numFiles").as[Long].head() >= 1L)
   }
 
+  test("DELETE and UPDATE accept literal lake paths") {
+    val path = tmpDir("graftPathDml") + "/t"
+    LakeWriter.write(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      .toDF("id", "v").coalesce(1), path)
+    LakeSql.sql(spark, s"DELETE FROM $path WHERE id = 1")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 2L)
+    LakeSql.sql(spark, s"UPDATE $path SET v = 0.0 WHERE id = 2")
+    val got = LakeTable.forPath(spark, path).toDF
+      .orderBy("id").select("v").as[Double].collect()
+    assert(got === Array(0.0, 3.0))
+  }
+
   test("findTopLevel respects quoting and nesting") {
     assert(LakeSql.findTopLevel("a WHEN b", "WHEN") === 2)
     assert(LakeSql.findTopLevel("'x WHEN y' WHEN b", "WHEN") === 11)
