@@ -24,7 +24,10 @@ object Explain {
       println(s"\n========== $name ==========")
       println(plan)
       val checks = Seq(
-        "PushedFilters: [" -> plan.contains("PushedFilters: ["),
+        // partition-only predicates are pushed as PartitionFilters and
+        // legitimately leave PushedFilters empty
+        "filter pushdown" -> (plan.contains("PushedFilters: [") ||
+          plan.contains("PartitionFilters: [")),
         // AQE defers codegen annotation until the plan finalizes
         "codegen-or-aqe" -> (plan.contains("codegen id") ||
           plan.contains("AdaptiveSparkPlan")),

@@ -42,9 +42,30 @@ final case class LakeStreamOffset(version: Long) extends OffsetV1 {
 final class LakeStreamSource(
     spark: SparkSession,
     tablePath: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val log = new LakeLog(tablePath)
+
+  /** Trigger.AvailableNow latches the end version here; a rate-limited
+    * source then advances in bounded batches UP TO the latch instead
+    * of having its first (limited) offset mistaken for the end.
+    */
+  @volatile private var availableNowCap: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = log.latestVersion
+  }
+
+  /** SupportsAdmissionControl route — the engine prefers this over
+    * `getOffset` once the trait is mixed in; same version arithmetic
+    * (our own maxFilesPerTrigger option carries the rate limit).
+    */
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
   override val schema: StructType = log.snapshot().schema
 
   private val startingVersion: Long =
@@ -53,10 +74,40 @@ final class LakeStreamSource(
     options.get("ignoreDeletes").exists(_.toBoolean)
   private val ignoreChanges =
     options.get("ignoreChanges").exists(_.toBoolean)
+  private val maxFilesPerTrigger: Option[Int] =
+    options.get("maxFilesPerTrigger").map(_.toInt)
+
+  /** Highest version already handed out via getBatch — the rate-limit
+    * cursor. The engine's checkpoint remains the source of truth for
+    * recovery; this only bounds how far the NEXT offset may advance.
+    */
+  @volatile private var deliveredThrough: Long = startingVersion - 1
 
   override def getOffset: Option[OffsetV1] = {
-    val latest = log.latestVersion
-    if (latest < 0) None else Some(LakeStreamOffset(latest))
+    val latest = math.min(log.latestVersion, availableNowCap)
+    if (latest < 0) return None
+    maxFilesPerTrigger match {
+      case None => Some(LakeStreamOffset(latest))
+      case Some(maxFiles) =>
+        // Advance version-by-version until the file budget is spent
+        // (always at least one version per trigger): a 10k-commit
+        // backlog becomes a sequence of bounded batches instead of
+        // one giant first micro-batch.
+        var end = math.max(deliveredThrough, startingVersion - 1)
+        var filesTaken = 0
+        var done = false
+        while (!done && end < latest) {
+          val nFiles =
+            log.readVersion(end + 1).count(_.isInstanceOf[AddFile])
+          if (filesTaken == 0 || filesTaken + nFiles <= maxFiles) {
+            filesTaken += nFiles
+            end += 1
+            done = filesTaken >= maxFiles
+          } else done = true
+        }
+        if (end <= math.max(deliveredThrough, startingVersion - 1)) None
+        else Some(LakeStreamOffset(end))
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
@@ -82,6 +133,10 @@ final class LakeStreamSource(
       // delivered. Plain appends deliver their AddFiles.
       if (removes.isEmpty || ignoreChanges) adds ++= versionAdds
     }
+    // Catch the cursor up to BOTH ends: on restart the engine replays
+    // the checkpointed range before our internal state knows about it.
+    deliveredThrough =
+      math.max(deliveredThrough, math.max(fromExclusive, toInclusive))
     val files = adds.result()
     if (files.isEmpty) {
       StreamingShim.streamingDataFrame(spark,

@@ -106,6 +106,31 @@ class LakeConcurrencySuite extends SparkSuite {
     assert(LakeTable.forPath(spark, path).toDF.count() === 13L)
   }
 
+  test("8 threads x 5 appends: every commit lands, versions contiguous") {
+    val path = tablePath("stress")
+    LakeWriter.write(Seq(0L).toDF("id").coalesce(1), path) // v0
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 5).foreach { i =>
+            LakeWriter.write(
+              Seq(t * 100L + i).toDF("id").coalesce(1), path)
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent appends failed: ${errors.peek()}")
+    val t = LakeTable.forPath(spark, path)
+    // 1 seed + 40 concurrent appends, every version present exactly once
+    assert(t.snapshot().version === 40L)
+    assert(t.toDF.count() === 41L)
+    val log = new LakeLog(path)
+    (0L to 40L).foreach(v => assert(log.readVersion(v).nonEmpty))
+  }
+
   test("restoreTo aborts when a concurrent commit removed its files") {
     val path = tablePath("conflict3")
     LakeWriter.write(seed, path) // v0

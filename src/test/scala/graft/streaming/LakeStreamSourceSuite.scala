@@ -92,6 +92,27 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(ids === (11L to 20L).toArray)
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch") {
+    val src = tablePath("ss-rate-src")
+    // 4 commits x 1 file
+    (0 until 4).foreach { i =>
+      LakeWriter.write(Seq(i.toLong).toDF("id").coalesce(1), src)
+    }
+    val dst = tablePath("ss-rate-dst")
+    val q = spark.readStream.format("lake")
+      .option("maxFilesPerTrigger", "1")
+      .load(src)
+      .writeStream.format("lake")
+      .option("checkpointLocation", tmpDir("ss-rate-ck"))
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    val t = LakeTable.forPath(spark, dst)
+    assert(t.toDF.count() === 4L)
+    // one bounded batch per upstream commit -> multiple sink commits
+    assert(t.snapshot().version >= 3L)
+  }
+
   test("sink partitions output and records batch txns") {
     val src = tablePath("ss-part-src")
     LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), src)
