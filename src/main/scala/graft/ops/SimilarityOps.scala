@@ -73,6 +73,54 @@ object SimilarityOps {
         col("__id").as("neighbor_id"), col("cos"))
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer partitions the
+    * corpus into `nlist` cells, and each query scores only the
+    * `nprobe` cells whose centroids it is closest to.
+    *
+    * Training-free and deterministic: the centroids are the first
+    * `nlist` corpus vectors by id — for near-random high-dimensional
+    * data this quantizes comparably to k-means while needing no
+    * training pass and no RNG (re-runnable, oracle-friendly). The
+    * cell assignment is one broadcast-centroids pass over the corpus
+    * (per-row argmax, `max_by`), the probe is a shuffle join on the
+    * cell id — candidate volume is ~`nprobe/nlist` of the corpus.
+    * At 100 TB the assignment is a cached/materialized index table in
+    * practice; here it is recomputed per call for self-containment.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      qidCol: String = "qid", idCol: String = "id",
+      vecCol: String = "vec"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+    val centroids = broadcast(c.orderBy("__id").limit(nlist)
+      .select(col("__id").as("__cid"), col("__cv").as("__cent")))
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("__cv"), col("__cent")))
+      .groupBy("__id")
+      .agg(max_by(col("__cid"), col("__sim")).as("__cid"),
+        first(col("__cv")).as("__cv"))
+    val qw = Window.partitionBy("__qid").orderBy(
+      col("__qsim").desc, col("__cid").asc)
+    val probes = broadcast(
+      queries.select(col(qidCol).as("__qid"), col(vecCol).as("__qv"))
+        .crossJoin(centroids)
+        .withColumn("__qsim", cosine(col("__qv"), col("__cent")))
+        .withColumn("__prank", row_number().over(qw))
+        .filter(col("__prank") <= nprobe)
+        .select(col("__qid"), col("__qv"), col("__cid")))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cos").desc, col("__id").asc)
+    assigned.join(probes, "__cid")
+      .filter(col("__qid") =!= col("__id"))
+      .withColumn("cos", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"),
+        col("__id").as("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k: score only within the query's hyperplane
     * bucket, plus (multi-probe) the `bits` adjacent buckets at Hamming
     * distance 1 — near-boundary neighbors usually differ in exactly one

@@ -310,6 +310,30 @@ object CoreQueries {
               |JOIN part ON l_partkey = p_partkey AND p_size <= 15
               |JOIN supplier ON l_suppkey = s_suppkey
               |JOIN nation ON s_nationkey = n_nationkey
-              |GROUP BY n_name, p_brand""".stripMargin))
+              |GROUP BY n_name, p_brand""".stripMargin)),
+
+    // Skew-safe salted join: the probe side is scattered over `salt`
+    // buckets and the build side replicated once per bucket, so one
+    // hot join key spreads across salt tasks instead of stalling a
+    // single straggler. Result identical to the plain join (the
+    // oracle IS the plain join) — the idiom for fact-fact joins whose
+    // key histogram is Zipfian at 100 TB, complementing AQE's runtime
+    // skew splitting (which only triggers past its thresholds).
+    QueryDef("q21_salted_skew_join",
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val salted = graft.ops.JoinOps.saltedJoin(
+          l, o, "l_orderkey", "o_orderkey", salt = 8)
+        salted.groupBy("o_orderpriority")
+          .agg(dsum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT o_orderpriority, ${odsum("l_quantity")} AS sum_qty,
+              |  COUNT(*) AS n_lines
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority""".stripMargin))
   )
 }

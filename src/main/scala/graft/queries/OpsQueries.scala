@@ -264,6 +264,35 @@ object OpsQueries {
       },
       None),
 
+    // IVF coarse-quantizer ANN (the second scale path next to LSH):
+    // same planted near-dup protocol as sim_lsh_recall; recall >= 0.9
+    // required at nlist=16 / nprobe=4 (~25% of the corpus scored).
+    QueryDef("sim_ivf_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        val src = e.filter(col("vec_id") % 10 === 0)
+        val queries = src.select(
+          (col("vec_id") + 1000000L).as("qid"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
+            .as("vec"))
+        val corpus = e.select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        val k = 5
+        val approx = SimilarityOps.ivfTopK(queries, corpus, k,
+          nlist = 16, nprobe = 4)
+        val nQueries = src.count()
+        val found = approx
+          .filter(col("neighbor_id") === col("qid") - 1000000L).count()
+        val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
+        require(recall >= 0.9,
+          s"IVF near-dup recall $recall below 0.9 ($found/$nQueries)")
+        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+          .toDF("n_queries", "n_found", "recall")
+      },
+      None),
+
     // Multimodal plumbing: binary payloads through the batched decode
     // stub; byte accounting is oracle-checkable.
     QueryDef("multimodal_decode",
