@@ -76,6 +76,8 @@ final class LakeStreamSource(
     options.get("ignoreChanges").exists(_.toBoolean)
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
+  private val failOnDataLoss =
+    options.get("failOnDataLoss").forall(_.toBoolean) // default true
 
   /** Highest version already handed out via getBatch — the rate-limit
     * cursor. The engine's checkpoint remains the source of truth for
@@ -137,7 +139,21 @@ final class LakeStreamSource(
     // the checkpointed range before our internal state knows about it.
     deliveredThrough =
       math.max(deliveredThrough, math.max(fromExclusive, toInclusive))
-    val files = adds.result()
+    // A lagging consumer can reference files VACUUM already deleted.
+    // Surface that as an explicit data-loss decision, not a mid-scan
+    // task failure: fail by default, or skip with failOnDataLoss=false.
+    val allAdds = adds.result()
+    val (present, missing) = allAdds.partition(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(tablePath, f.path)))
+    if (missing.nonEmpty && failOnDataLoss) {
+      throw new IllegalStateException(
+        s"lake streaming source at $tablePath: ${missing.size} file(s) " +
+        s"in versions (${fromExclusive + 1}..$toInclusive] no longer " +
+        s"exist (first: ${missing.head.path}) — likely removed by " +
+        "VACUUM while this consumer lagged. Set failOnDataLoss=false " +
+        "to skip the lost files and continue.")
+    }
+    val files = present
     if (files.isEmpty) {
       StreamingShim.streamingDataFrame(spark,
         spark.sparkContext.emptyRDD, schema)

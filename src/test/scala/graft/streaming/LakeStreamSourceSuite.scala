@@ -113,6 +113,42 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(t.snapshot().version >= 3L)
   }
 
+  test("vacuumed files fail the stream unless failOnDataLoss=false") {
+    val src = tablePath("ss-loss-src")
+    LakeWriter.write(Seq(1L, 2L).toDF("id").coalesce(1), src)   // v0
+    LakeWriter.write(Seq(3L, 4L).toDF("id").coalesce(1), src)   // v1
+    // rewrite v0's file away, then vacuum it so the physical file is gone
+    LakeTable.forPath(spark, src).delete("id = 1")              // v2
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try LakeTable.forPath(spark, src).vacuum(0.0)
+    finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+
+    // a fresh consumer reading from version 0 hits the lost file
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("lake")
+        .option("ignoreChanges", "true").load(src)
+        .writeStream.format("lake")
+        .option("checkpointLocation", tmpDir("ss-loss-ck1"))
+        .trigger(Trigger.AvailableNow())
+        .start(tablePath("ss-loss-d1"))
+      q.awaitTermination(120000)
+    }
+
+    val dst = tablePath("ss-loss-d2")
+    val q2 = spark.readStream.format("lake")
+      .option("ignoreChanges", "true")
+      .option("failOnDataLoss", "false").load(src)
+      .writeStream.format("lake")
+      .option("checkpointLocation", tmpDir("ss-loss-ck2"))
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q2.awaitTermination(120000)
+    // surviving files' rows arrive: v1 (3,4) + v2 rewrite (2)
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === Array(2L, 3L, 4L))
+  }
+
   test("sink partitions output and records batch txns") {
     val src = tablePath("ss-part-src")
     LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), src)
