@@ -168,11 +168,15 @@ object LakeWriter {
     else StructType(table.fields ++ extra.map(_.copy(nullable = true)))
   }
 
-  /** Commits with at least this many files gather footer stats as a
-    * Spark job instead of a driver loop (below it, job-launch overhead
-    * dominates — the medallion pipeline commits 1-2 files at a time).
+  /** Commits gather footer stats as a Spark job instead of a driver
+    * loop only when BOTH hold — enough files to parallelize over and
+    * enough bytes that footer I/O (not the ~100 ms job launch)
+    * dominates. A micro-batch committing 30 tiny files stays on the
+    * driver; a 10 GB append distributes.
     */
   private val DISTRIBUTED_STATS_MIN_FILES = 8
+  /** var only so tests can exercise the distributed path cheaply. */
+  private[lake] var DISTRIBUTED_STATS_MIN_BYTES = 32L * 1024 * 1024
 
   /** Move staged parquet files into the table root (preserving the
     * Hive partition layout) and build their AddFile actions with
@@ -190,9 +194,11 @@ object LakeWriter {
   private def adoptStagedFiles(
       spark: SparkSession, staging: Path, tableRoot: Path): Seq[AddFile] = {
     val files = walkParquet(staging)
+    val stagedBytes = files.map(f => Files.size(f)).sum
     val statsByPath: Map[String, (Long, Map[String, String],
         Map[String, String], Map[String, Long])] =
-      if (files.size >= DISTRIBUTED_STATS_MIN_FILES) {
+      if (files.size >= DISTRIBUTED_STATS_MIN_FILES &&
+          stagedBytes >= DISTRIBUTED_STATS_MIN_BYTES) {
         val conf = new org.apache.spark.util.SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration)
         spark.sparkContext

@@ -13,8 +13,11 @@ class LakeDistributedSuite extends SparkSuite {
 
   test("large commit gathers footer stats distributed (>= 8 files)") {
     val path = tablePath("dist-stats")
-    val res = LakeWriter.write(
+    val saved = LakeWriter.DISTRIBUTED_STATS_MIN_BYTES
+    LakeWriter.DISTRIBUTED_STATS_MIN_BYTES = 0L
+    val res = try LakeWriter.write(
       (1L to 1000L).toDF("id").repartition(10), path)
+    finally LakeWriter.DISTRIBUTED_STATS_MIN_BYTES = saved
     assert(res.added.size >= 8)
     // stats present and correct on every file
     val snap = LakeTable.forPath(spark, path).snapshot()
