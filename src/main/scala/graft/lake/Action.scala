@@ -14,16 +14,22 @@ import org.json4s.jackson.Serialization
   */
 sealed trait Action
 
-/** Table-level metadata, re-emitted whenever the schema evolves.
+/** Table-level metadata, re-emitted whenever the schema evolves or a
+  * constraint is added/dropped.
   *
   * @param schemaDDL       full table schema as Spark DDL (includes
   *                        partition columns)
   * @param partitionColumns partition column names, in order
+  * @param constraints     CHECK constraints: name → boolean SQL
+  *                        expression every row must satisfy (Delta
+  *                        `delta.constraints.*` analog). Absent in
+  *                        pre-round-2 logs → default empty map.
   */
 final case class Metadata(
     schemaDDL: String,
     partitionColumns: Seq[String] = Nil,
-    createdTime: Long = 0L) extends Action
+    createdTime: Long = 0L,
+    constraints: Map[String, String] = Map.empty) extends Action
 
 /** A data file added to the table at some version.
   *

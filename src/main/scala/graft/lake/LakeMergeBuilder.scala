@@ -210,8 +210,12 @@ final class LakeMergeBuilder private[lake] (
       case (r, i) => r.orElse(i)
     }
     val adds = output match {
-      case Some(df) => LakeWriter.stageAndAdopt(df, table.tablePath,
-        snap.partitionColumns)
+      case Some(df) =>
+        if (snap.metadata.constraints.nonEmpty)
+          LakeWriter.enforceConstraints(df,
+            snap.metadata.constraints, table.tablePath)
+        LakeWriter.stageAndAdopt(df, table.tablePath,
+          snap.partitionColumns)
       case None => Nil
     }
     table.commitRewrite(snap, touched, adds, "MERGE",

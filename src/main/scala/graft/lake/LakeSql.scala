@@ -45,6 +45,11 @@ object LakeSql {
   private val RESTORE_RE =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`/\-]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val UPDATE_PREFIX_RE = """(?is)\s*UPDATE\s+[\w.`/].*""".r
+  private val ADD_CONSTRAINT_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+ADD\s+CONSTRAINT\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*""").r
+  private val DROP_CONSTRAINT_RE =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
       """(?:\s+BY\s*\((.+?)\))?\s*""").r
@@ -108,6 +113,14 @@ object LakeSql {
       val table = resolve(spark, clean(t))
       table.delete(Option(where).getOrElse("true"))
       LakeCatalog.refreshView(spark, clean(t))
+      emptyDF(spark)
+
+    case ADD_CONSTRAINT_RE(t, name, check) =>
+      resolve(spark, clean(t)).addConstraint(name, check.trim)
+      emptyDF(spark)
+
+    case DROP_CONSTRAINT_RE(t, name) =>
+      resolve(spark, clean(t)).dropConstraint(name)
       emptyDF(spark)
 
     case UPDATE_PREFIX_RE() if {

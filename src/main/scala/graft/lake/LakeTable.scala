@@ -83,9 +83,10 @@ final class LakeTable private (
     val s = snapshot()
     Seq((
       "lake", tablePath, s.version, s.partitionColumns, s.numFiles.toLong,
-      s.sizeInBytes, s.schema.toDDL
+      s.sizeInBytes, s.schema.toDDL,
+      s.metadata.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" }
     )).toDF("format", "location", "version", "partitionColumns", "numFiles",
-      "sizeInBytes", "schema")
+      "sizeInBytes", "schema", "constraints")
   }
 
   // ---- DML ---------------------------------------------------------------
@@ -129,10 +130,49 @@ final class LakeTable private (
           case None => col(quoted(f.name))
         }
       }: _*)
+    if (snap.metadata.constraints.nonEmpty)
+      LakeWriter.enforceConstraints(updated,
+        snap.metadata.constraints, tablePath)
     val adds = LakeWriter.stageAndAdopt(updated, tablePath,
       snap.partitionColumns)
     commitRewrite(snap, touched, adds, "UPDATE",
       Map("predicate" -> condition))
+  }
+
+  /** ADD CONSTRAINT (Delta CHECK-constraint analog): the existing data
+    * must already satisfy the expression (one full-table validation
+    * pass, exactly Delta's behavior), after which every append,
+    * UPDATE, and MERGE enforces it on the rows it writes. NULL
+    * evaluations satisfy, per the SQL standard.
+    */
+  def addConstraint(name: String, checkExpr: String): Unit = {
+    val snap = snapshot()
+    require(!snap.metadata.constraints.contains(name),
+      s"constraint $name already exists on $tablePath")
+    expr(checkExpr) // must parse
+    LakeWriter.enforceConstraints(
+      snap.toDF(spark), Map(name -> checkExpr), tablePath)
+    val meta = snap.metadata.copy(
+      constraints = snap.metadata.constraints + (name -> checkExpr))
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(System.currentTimeMillis(), "ADD CONSTRAINT",
+        Map("name" -> name, "expr" -> checkExpr)), meta)
+    }
+    ()
+  }
+
+  /** DROP CONSTRAINT. */
+  def dropConstraint(name: String): Unit = {
+    val snap = snapshot()
+    require(snap.metadata.constraints.contains(name),
+      s"no constraint $name on $tablePath")
+    val meta = snap.metadata.copy(
+      constraints = snap.metadata.constraints - name)
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(System.currentTimeMillis(), "DROP CONSTRAINT",
+        Map("name" -> name)), meta)
+    }
+    ()
   }
 
   /** MERGE builder (D1–D4). `condition` may be any expression —

@@ -47,6 +47,7 @@ object LakeWriter {
         return WriteResult(log.latestVersion, Nil) // already committed
     }
 
+
     val partCols: Seq[String] = existing match {
       case Some(s) =>
         if (partitionBy.nonEmpty && partitionBy != s.partitionColumns)
@@ -71,6 +72,10 @@ object LakeWriter {
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+
+    existing.map(_.metadata.constraints).filter(_.nonEmpty).foreach {
+      cs => enforceConstraints(normalized, cs, tablePath)
+    }
 
     // Stage the physical write, then adopt files into the table dir.
     {
@@ -97,7 +102,8 @@ object LakeWriter {
         val meta =
           if (version == 0L || schemaChanged)
             Seq(Metadata(finalSchema.toDDL, partCols,
-              System.currentTimeMillis()))
+              System.currentTimeMillis(),
+              existing.map(_.metadata.constraints).getOrElse(Map.empty)))
           else Nil
         Seq(CommitInfo(System.currentTimeMillis(), op,
           operationParameters ++ Map("mode" -> mode))) ++
@@ -324,6 +330,26 @@ object LakeWriter {
     -1L // unreachable
   }
 
+  /** CHECK enforcement (Delta `delta.constraints.*` semantics): a row
+    * violates a constraint only when the expression evaluates to
+    * FALSE — NULL/unknown satisfies, per the SQL standard. One
+    * filter + limit(1) action per constraint, run only on tables that
+    * declare constraints; the scan is the data about to be committed
+    * (already in memory/shuffle), not the whole table.
+    */
+  private[lake] def enforceConstraints(
+      df: DataFrame,
+      constraints: Map[String, String],
+      tablePath: String): Unit = {
+    constraints.toSeq.sortBy(_._1).foreach { case (name, exprStr) =>
+      val violating = df.filter(s"NOT coalesce(($exprStr), true)")
+        .limit(1).count()
+      if (violating > 0) throw new ConstraintViolationException(
+        s"write to $tablePath violates CHECK constraint $name " +
+        s"($exprStr)")
+    }
+  }
+
   def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
     val s = Files.walk(p)
@@ -339,3 +365,6 @@ final class SchemaMismatchException(msg: String)
 private[lake] final class TxnAlreadyCommittedException(
     appId: String, version: Long) extends RuntimeException(
   s"transaction ($appId, $version) was already committed")
+
+final class ConstraintViolationException(msg: String)
+  extends IllegalArgumentException(msg)

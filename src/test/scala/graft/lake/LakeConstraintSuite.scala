@@ -1,0 +1,118 @@
+package graft.lake
+
+import graft.SparkSuite
+
+/** CHECK constraints (Delta `delta.constraints.*` analog): declared in
+  * table metadata, validated against existing data when added, then
+  * enforced on append/overwrite, UPDATE, and MERGE writes. NULL
+  * evaluations satisfy (SQL standard).
+  */
+class LakeConstraintSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def seed = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    .toDF("id", "v").coalesce(1)
+
+  test("add validates existing data; violating add commits nothing") {
+    val path = tablePath("c1")
+    LakeWriter.write(seed, path)
+    val t = LakeTable.forPath(spark, path)
+    intercept[ConstraintViolationException] {
+      t.addConstraint("v_big", "v > 15.0") // rows 10.0 violate
+    }
+    assert(t.snapshot().metadata.constraints.isEmpty)
+    t.addConstraint("v_pos", "v > 0.0")
+    assert(t.snapshot().metadata.constraints === Map("v_pos" -> "v > 0.0"))
+  }
+
+  test("append enforcement: good rows pass, violations abort, NULL passes") {
+    val path = tablePath("c2")
+    LakeWriter.write(seed, path)
+    val t = LakeTable.forPath(spark, path)
+    t.addConstraint("v_pos", "v > 0.0")
+
+    LakeWriter.write(Seq((4L, 40.0)).toDF("id", "v"), path)
+    assert(t.toDF.count() === 4L)
+
+    intercept[ConstraintViolationException] {
+      LakeWriter.write(Seq((5L, -1.0)).toDF("id", "v"), path)
+    }
+    assert(t.toDF.count() === 4L) // nothing committed
+
+    // NULL evaluation satisfies the constraint (SQL CHECK semantics)
+    LakeWriter.write(
+      Seq((6L, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "v"), path)
+    assert(t.toDF.count() === 5L)
+  }
+
+  test("UPDATE and MERGE enforce constraints on rewritten rows") {
+    val path = tablePath("c3")
+    LakeWriter.write(seed, path)
+    val t = LakeTable.forPath(spark, path)
+    t.addConstraint("v_pos", "v > 0.0")
+
+    intercept[ConstraintViolationException] {
+      t.update("id = 1", Map("v" -> "-5.0"))
+    }
+    t.update("id = 1", Map("v" -> "100.0")) // fine
+    assert(t.toDF.filter("id = 1").select("v").as[Double].head() === 100.0)
+
+    val badSrc = Seq((2L, -7.0)).toDF("id", "new_v")
+    intercept[ConstraintViolationException] {
+      LakeTable.forPath(spark, path).as("t")
+        .merge(badSrc.as("s"), "t.id = s.id")
+        .whenMatchedUpdate(Map("v" -> "s.new_v"))
+        .execute()
+    }
+    assert(t.toDF.filter("id = 2").select("v").as[Double].head() === 20.0)
+  }
+
+  test("drop lifts enforcement; constraints survive evolution + checkpoints") {
+    val path = tablePath("c4")
+    LakeWriter.write(seed, path)
+    val t = LakeTable.forPath(spark, path)
+    t.addConstraint("v_pos", "v > 0.0")
+
+    // schema evolution re-emits metadata — constraints must survive
+    LakeWriter.write(Seq((7L, 70.0, "x")).toDF("id", "v", "tag"), path,
+      mergeSchema = true)
+    assert(t.snapshot().metadata.constraints.contains("v_pos"))
+
+    // cross the checkpoint interval; constraint persists through replay
+    (0 until 10).foreach { i =>
+      LakeWriter.write(Seq((100L + i, 1.0, "y")).toDF("id", "v", "tag"), path)
+    }
+    assert(LakeTable.forPath(spark, path)
+      .snapshot().metadata.constraints.contains("v_pos"))
+
+    t.dropConstraint("v_pos")
+    LakeWriter.write(
+      Seq((8L, -8.0, "z")).toDF("id", "v", "tag"), path)
+    assert(t.toDF.filter("v < 0").count() === 1L)
+  }
+
+  test("SQL routes: ALTER TABLE ADD/DROP CONSTRAINT; detail() shows them") {
+    val path = tablePath("c5")
+    LakeWriter.write(seed, path)
+    LakeCatalog.register(spark, "ct5", path)
+    LakeSql.sql(spark, "ALTER TABLE ct5 ADD CONSTRAINT v_pos CHECK (v > 0.0)")
+    val detail = LakeTable.forPath(spark, path).detail()
+    assert(detail.select("constraints").as[Seq[String]].head()
+      === Seq("v_pos: v > 0.0"))
+    intercept[ConstraintViolationException] {
+      LakeSql.sql(spark, "INSERT INTO ct5 SELECT CAST(-1 AS BIGINT) AS id, " +
+        "CAST(-1.0 AS DOUBLE) AS v")
+    }
+    LakeSql.sql(spark, "ALTER TABLE ct5 DROP CONSTRAINT v_pos")
+    assert(LakeTable.forPath(spark, path)
+      .snapshot().metadata.constraints.isEmpty)
+  }
+
+  test("pre-constraint log lines (no constraints field) still parse") {
+    val line = """{"metaData":{"schemaDDL":"id BIGINT","partitionColumns":[],"createdTime":5}}"""
+    val m = Action.fromJson(line).asInstanceOf[Metadata]
+    assert(m.constraints === Map.empty)
+    assert(m.schemaDDL === "id BIGINT")
+  }
+}
