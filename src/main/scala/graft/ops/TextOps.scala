@@ -96,4 +96,33 @@ object TextOps {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Winnowing (MOSS) fingerprints — see
+    * [[graft.functions.WinnowFingerprints]]: any shared token run of
+    * length >= n + window - 1 produces an identical fingerprint in
+    * both documents.
+    */
+  def winnowingFingerprints(
+      text: Column, n: Int = 3, window: Int = 4): Column =
+    graft.functions.WinnowFingerprints(text, n, window)
+
+  /** Passage-overlap pairs: documents sharing >= `minShared` winnowing
+    * fingerprints. Detects CONTAMINATION — a copied passage inside an
+    * otherwise-different document — which whole-document similarity
+    * (Jaccard/MinHash/SimHash) dilutes to invisibility. Inverted-index
+    * join on fingerprints: cost Σk² over fingerprint frequencies,
+    * never all-pairs; shuffles carry only (fingerprint, id) longs.
+    */
+  def passageOverlapPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+    val docs = df.select(col(idCol).as("__id"),
+      winnowingFingerprints(col(textCol), n, window).as("__fp"))
+    val e = docs.select(col("__id"), explode(col("__fp")).as("__f"))
+    e.as("a").join(e.as("b"),
+        col("a.__f") === col("b.__f") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
 }

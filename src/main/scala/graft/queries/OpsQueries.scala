@@ -108,6 +108,37 @@ object OpsQueries {
           concat_ws(",", col("ids")).as("ids_csv")),
       None),
 
+    // Winnowing (MOSS) passage-overlap: plant contaminated composites
+    // (25 tokens lifted from a real doc + unique filler). Whole-doc
+    // similarity can't see a short shared passage; winnowing
+    // guarantees a shared fingerprint for any run >= n + w - 1 tokens,
+    // and the gate asserts every planted pair is recovered.
+    QueryDef("text_passage_overlap",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val toks = split(col("text"), "\\s+")
+        val base = docs.filter(col("doc_id") % 20 === 0 && size(toks) >= 30)
+        val composite = base.select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ",
+            concat(slice(toks, 1, 25),
+              transform(sequence(lit(1), lit(40)), i =>
+                concat_ws("_", lit("zz"),
+                  col("doc_id").cast("string"), i.cast("string")))))
+            .as("text"))
+        val pairs = TextOps.passageOverlapPairs(
+          docs.union(composite), "text", "doc_id",
+          n = 3, window = 4, minShared = 2)
+        val nPlanted = base.count()
+        val found = pairs
+          .filter(col("id_b") === col("id_a") + 2000000L).count()
+        require(found >= nPlanted,
+          s"winnowing missed planted contaminated pairs: $found/$nPlanted")
+        pairs.orderBy("id_a", "id_b")
+      },
+      None),
+
     // SimHash Hamming-banding near-dup: plant a 1-bit-flipped variant
     // of every 10th doc's signature; 4x16-bit banding must recover
     // EVERY planted pair (pigeonhole guarantee for distance <= 3).

@@ -109,6 +109,26 @@ class OpsSuite extends SparkSuite {
     assert(!pairs.exists(p => p._2 == 5L || p._1 == 5L))
   }
 
+  test("winnowing: shared >= n+w-1 token run guarantees a shared fingerprint") {
+    val sharedPassage = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq(
+      (1L, s"unrelated prefix words here $sharedPassage and a suffix"),
+      (2L, s"$sharedPassage totally different continuation tokens now"),
+      (3L, "nothing in common with anyone at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.passageOverlapPairs(df, "text", "doc_id",
+      n = 3, window = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))     // 7-token shared run >= 3+4-1
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // short docs fingerprint whole-text; identical shorts collide
+    val shorts = Seq((10L, "tiny doc"), (11L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val sp = TextOps.passageOverlapPairs(shorts, "text", "doc_id",
+      minShared = 1).count()
+    assert(sp === 1L)
+  }
+
   test("hashed shingles native expr matches composable set semantics") {
     val df = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y"), (4L, "a b c x y")
