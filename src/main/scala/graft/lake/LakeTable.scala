@@ -287,6 +287,74 @@ final class LakeTable private (
         "numFilesAdded" -> adds.size.toString))
   }
 
+  /** Row-level changes between two versions (a Change-Data-Feed read,
+    * Delta `table_changes` analog), reconstructed from the log:
+    *
+    *  - append commits: their AddFiles' rows as `insert`;
+    *  - rewrite commits (DELETE/UPDATE/MERGE/RESTORE): the multiset
+    *    diff — removed-files' rows minus added-files' rows are
+    *    `delete`, the reverse are `insert` (an UPDATE appears as
+    *    delete+insert, the CDF representation when no change files
+    *    are written);
+    *  - OPTIMIZE commits rewrite identical rows, so their diff is
+    *    empty and they contribute nothing (correctly).
+    *
+    * Cost: O(data touched by the requested versions) — reading CDC
+    * from a table that doesn't persist change files requires diffing
+    * the rewritten files; appends (the bulk of most logs) cost only
+    * their own scan. Columns: table schema + `_change_type`,
+    * `_commit_version`. Requires the versions' files to still exist
+    * (VACUUM limits how far back changes can be read — same as Delta).
+    */
+  def changes(fromVersion: Long, toVersion: Long = -1): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val to = if (toVersion < 0) log.latestVersion else toVersion
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"invalid change range [$fromVersion, $to]")
+    val schema = snapshot(to).schema
+    def readRel(paths: Seq[String]): DataFrame = {
+      val missing = paths.filterNot(p =>
+        Files.exists(Paths.get(tablePath, p)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"cannot read changes of $tablePath: ${missing.size} file(s) " +
+        s"were removed by VACUUM (first: ${missing.head}); change " +
+        "reads are bounded by the vacuum retention horizon")
+      spark.read.option("basePath", tablePath).schema(schema)
+        .parquet(paths.map(p => s"$tablePath/$p"): _*)
+    }
+    val perVersion: Seq[DataFrame] = (fromVersion to to).flatMap { v =>
+      val actions = log.readVersion(v)
+      val adds = actions.collect { case a: AddFile => a.path }
+      val removes = actions.collect { case r: RemoveFile => r.path }
+      val parts: Seq[DataFrame] =
+        if (removes.isEmpty) {
+          if (adds.isEmpty) Nil
+          else Seq(readRel(adds).withColumn("_change_type", lit("insert")))
+        } else {
+          val before = if (removes.isEmpty) None else Some(readRel(removes))
+          val after = if (adds.isEmpty) None else Some(readRel(adds))
+          (before, after) match {
+            case (Some(b), Some(a)) => Seq(
+              b.exceptAll(a).withColumn("_change_type", lit("delete")),
+              a.exceptAll(b).withColumn("_change_type", lit("insert")))
+            case (Some(b), None) =>
+              Seq(b.withColumn("_change_type", lit("delete")))
+            case (None, a) =>
+              a.map(_.withColumn("_change_type", lit("insert"))).toSeq
+          }
+        }
+      parts.map(_.withColumn("_commit_version", lit(v)))
+    }
+    perVersion.reduceOption(_.unionByName(_)).getOrElse {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+  }
+
   /** Clustered compaction — `OPTIMIZE t BY (cols)`, the engine's
     * analog of Delta's OPTIMIZE ZORDER: rewrite the table
     * range-partitioned and sorted by `clusterBy`, so each output file

@@ -151,5 +151,41 @@ object LakeQueries {
       },
       Some("SELECT l_orderkey, l_quantity, l_returnflag AS p_flag " +
         "FROM lineitem WHERE l_returnflag = 'A'"))
+      ,
+
+    // Change-data-feed read (round 2): v0 append, v1 append, v2 DELETE.
+    // The change stream is fully derivable from `customer` in SQL:
+    // every row inserts once (in its half's version), and the deleted
+    // segment's rows appear again as v2 deletes — oracled, not
+    // rows-only, so the exceptAll diff is hash-checked too.
+    QueryDef("lake_changes",
+      (s, dir) => {
+        val path = scratch("lake_changes", dir)
+        val c = table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        LakeWriter.write(c.filter("c_custkey % 2 = 0"), path) // v0
+        LakeWriter.write(c.filter("c_custkey % 2 = 1"), path) // v1
+        LakeTable.forPath(s, path)
+          .delete("c_mktsegment = 'BUILDING'")                // v2
+        LakeTable.forPath(s, path).changes(0)
+          .groupBy("_commit_version", "_change_type", "c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("c_custkey")).cast("long").as("key_sum"))
+      },
+      Some("""WITH changes AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(c_custkey % 2 = 1 AS BIGINT) AS _commit_version,
+             |    'insert' AS _change_type
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(2 AS BIGINT) AS _commit_version,
+             |    'delete' AS _change_type
+             |  FROM customer WHERE c_mktsegment = 'BUILDING')
+             |SELECT _commit_version, _change_type, c_mktsegment,
+             |  COUNT(*) AS n_rows,
+             |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+             |FROM changes
+             |GROUP BY 1, 2, 3""".stripMargin))
   )
 }

@@ -109,6 +109,39 @@ class LakeConstraintSuite extends SparkSuite {
       .snapshot().metadata.constraints.isEmpty)
   }
 
+  test("changes(): appends are inserts, DML diffs to delete+insert") {
+    val path = tablePath("cdc1")
+    LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .coalesce(1), path)                                  // v0
+    LakeWriter.write(Seq((3L, "c")).toDF("id", "k")
+      .coalesce(1), path)                                  // v1
+    val t = LakeTable.forPath(spark, path)
+    t.update("id = 2", Map("k" -> "'B'"))                  // v2
+    t.delete("id = 1")                                     // v3
+    t.compact(targetFileBytes = 1L)                        // maybe no-op
+
+    val ch = t.changes(0)
+      .select("_commit_version", "_change_type", "id", "k")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(ch === Set(
+      (0L, "insert", 1L, "a"), (0L, "insert", 2L, "b"),
+      (1L, "insert", 3L, "c"),
+      (2L, "delete", 2L, "b"), (2L, "insert", 2L, "B"),
+      (3L, "delete", 1L, "a")))
+    // range read: only v2+
+    assert(t.changes(2).count() === 3L)
+    // final state reconstructable: inserts minus deletes
+    val net = t.changes(0)
+    val inserts = net.filter("_change_type = 'insert'")
+      .select("id", "k")
+    val deletes = net.filter("_change_type = 'delete'")
+      .select("id", "k")
+    val reconstructed = inserts.exceptAll(deletes)
+      .as[(Long, String)].collect().toSet
+    val actual = t.toDF.select("id", "k").as[(Long, String)].collect().toSet
+    assert(reconstructed === actual)
+  }
+
   test("pre-constraint log lines (no constraints field) still parse") {
     val line = """{"metaData":{"schemaDDL":"id BIGINT","partitionColumns":[],"createdTime":5}}"""
     val m = Action.fromJson(line).asInstanceOf[Metadata]
