@@ -21,6 +21,8 @@ object LakeSql {
   private val MERGE_PREFIX_RE = """(?is)\s*MERGE\s+INTO\s+.*""".r
   private val VERSION_AS_OF_RE =
     """(?is)(.*\b(?:FROM|JOIN)\s+|.*,\s*)([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)(.*)""".r
+  private val TIMESTAMP_AS_OF_RE =
+    """(?is)(.*\b(?:FROM|JOIN)\s+|.*,\s*)([\w.`]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'(.*)""".r
   private val DESCRIBE_HISTORY_RE =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`/\-]+)\s*""".r
   private val DESCRIBE_DETAIL_RE =
@@ -50,6 +52,9 @@ object LakeSql {
       """(\w+)\s+CHECK\s*\((.+)\)\s*""").r
   private val DROP_CONSTRAINT_RE =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  private val ADD_COLUMN_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+ADD\s+COLUMNS?\s*""" +
+      """\(?\s*(\w+)\s+([\w()<>,\s]+?)\s*\)?\s*""").r
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
       """(?:\s+BY\s*\((.+?)\))?\s*""").r
@@ -123,6 +128,11 @@ object LakeSql {
       resolve(spark, clean(t)).dropConstraint(name)
       emptyDF(spark)
 
+    case ADD_COLUMN_RE(t, name, ddlType) =>
+      resolve(spark, clean(t)).addColumn(name, ddlType.trim)
+      LakeCatalog.refreshView(spark, clean(t))
+      emptyDF(spark)
+
     case UPDATE_PREFIX_RE() if {
       val t = updateTarget(sqlText); t.exists(isLake)
     } =>
@@ -157,6 +167,19 @@ object LakeSql {
             val viewName = s"${name}__v$version"
             LakeCatalog.table(spark, name).asOf(version)
               .createOrReplaceTempView(viewName)
+            text = m.group(1) + viewName + m.group(4)
+            continue = true
+          case _ => ()
+        }
+        TIMESTAMP_AS_OF_RE.findFirstMatchIn(text) match {
+          case Some(m) if isLake(m.group(2)) =>
+            val name = clean(m.group(2))
+            val table = LakeCatalog.table(spark, name)
+            val millis =
+              java.sql.Timestamp.valueOf(m.group(3)).getTime
+            val version = table.versionAtTimestamp(millis)
+            val viewName = s"${name}__v$version"
+            table.asOf(version).createOrReplaceTempView(viewName)
             text = m.group(1) + viewName + m.group(4)
             continue = true
           case _ => ()

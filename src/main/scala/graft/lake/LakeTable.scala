@@ -31,6 +31,46 @@ final class LakeTable private (
   /** Time-travel read (S6/D6). */
   def asOf(version: Long): DataFrame = applyAlias(snapshot(version).toDF(spark))
 
+  /** Timestamp-based time travel: the state as of the LAST commit at
+    * or before `timestampMillis` (Delta `TIMESTAMP AS OF`). Commit
+    * timestamps come from CommitInfo; throws if the timestamp predates
+    * the table.
+    */
+  def versionAtTimestamp(timestampMillis: Long): Long = {
+    val versions = (0L to log.latestVersion).flatMap { v =>
+      log.readVersion(v).collectFirst { case c: CommitInfo =>
+        (v, c.timestamp)
+      }
+    }
+    versions.filter(_._2 <= timestampMillis).map(_._1).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before timestamp $timestampMillis for " +
+        s"$tablePath (earliest: ${versions.headOption.map(_._2)})"))
+  }
+
+  def asOfTimestamp(timestampMillis: Long): DataFrame =
+    asOf(versionAtTimestamp(timestampMillis))
+
+  /** ALTER TABLE ADD COLUMN: metadata-only commit appending a nullable
+    * column; existing files null-fill it on read (same mechanism as
+    * mergeSchema evolution, made explicit DDL).
+    */
+  def addColumn(name: String, ddlType: String): Unit = {
+    val snap = snapshot()
+    require(!snap.schema.fieldNames.contains(name),
+      s"column $name already exists on $tablePath")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      snap.schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
+        nullable = true))
+    val meta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
+        Map("column" -> name, "type" -> ddlType)), meta)
+    }
+    ()
+  }
+
   private def applyAlias(df: DataFrame): DataFrame =
     targetAlias.map(df.as(_)).getOrElse(df)
 

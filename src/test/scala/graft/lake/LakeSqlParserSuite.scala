@@ -165,6 +165,41 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(got === Array(0.0, 3.0))
   }
 
+  test("TIMESTAMP AS OF resolves the commit at-or-before a timestamp") {
+    val path = freshTable("pt9", Seq((1L, "a", 1.0)))
+    Thread.sleep(30)
+    LakeWriter.write(Seq((2L, "b", 2.0)).toDF("id", "k", "v"), path) // v1
+    LakeCatalog.refreshView(spark, "pt9")
+    val t = LakeTable.forPath(spark, path)
+    val ts0 = t.history().filter("version = 0")
+      .select("timestamp").collect().head.getTimestamp(0)
+
+    assert(t.asOfTimestamp(ts0.getTime).count() === 1L)
+    assert(t.asOfTimestamp(System.currentTimeMillis()).count() === 2L)
+    intercept[IllegalArgumentException] {
+      t.versionAtTimestamp(ts0.getTime - 100000)
+    }
+    val viaSql = LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM pt9 TIMESTAMP AS OF '$ts0'")
+    assert(viaSql.as[Long].head() === 1L)
+  }
+
+  test("ALTER TABLE ADD COLUMN is a metadata-only evolution commit") {
+    freshTable("pt10", Seq((1L, "a", 1.0)))
+    LakeSql.sql(spark, "ALTER TABLE pt10 ADD COLUMN extra DOUBLE")
+    val t = LakeCatalog.table(spark, "pt10")
+    assert(t.snapshot().schema.fieldNames.contains("extra"))
+    // existing rows null-fill; new writes may populate it
+    assert(t.toDF.select("extra").as[Option[Double]].head().isEmpty)
+    LakeWriter.write(Seq((2L, "b", 2.0, 9.5))
+      .toDF("id", "k", "v", "extra"), t.tablePath)
+    assert(t.toDF.filter("extra = 9.5").count() === 1L)
+    // duplicate add rejected
+    intercept[IllegalArgumentException] {
+      t.addColumn("extra", "DOUBLE")
+    }
+  }
+
   test("findTopLevel respects quoting and nesting") {
     assert(LakeSql.findTopLevel("a WHEN b", "WHEN") === 2)
     assert(LakeSql.findTopLevel("'x WHEN y' WHEN b", "WHEN") === 11)
