@@ -122,6 +122,14 @@ final class LakeLog(val tablePath: String) {
 
 object LakeLog {
   val LOG_DIR = "_lake_log"
+
+  /** Resolve an AddFile path against its table root. Paths are
+    * table-relative except for SHALLOW CLONE entries, which reference
+    * the source table's files absolutely (zero copy).
+    */
+  def resolveFile(tablePath: String, filePath: String): java.nio.file.Path =
+    if (filePath.startsWith("/")) java.nio.file.Paths.get(filePath)
+    else java.nio.file.Paths.get(tablePath, filePath)
   val CHECKPOINT_INTERVAL = 10L
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
   private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r

@@ -29,6 +29,9 @@ object LakeSql {
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`/\-]+)\s*""".r
   private val VACUUM_RE =
     """(?is)\s*VACUUM\s+([\w.`/\-]+)(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?\s*""".r
+  private val CLONE_RE =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+""" +
+      """([\w.`/\-]+)\s+LOCATION\s+'([^']+)'\s*""").r
   private val CREATE_LAKE_RE =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+""" +
       """USING\s+(?:lake|delta)\s+LOCATION\s+'([^']+)'\s*""").r
@@ -81,6 +84,11 @@ object LakeSql {
       }
       import spark.implicits._
       deleted.toDF("path")
+
+    case CLONE_RE(name, src, location) =>
+      resolve(spark, clean(src)).shallowCloneTo(location)
+      LakeCatalog.register(spark, clean(name), location)
+      emptyDF(spark)
 
     case CTAS_LAKE_RE(name, location, select) =>
       val df = sql(spark, select)

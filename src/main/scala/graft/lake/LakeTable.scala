@@ -231,7 +231,7 @@ final class LakeTable private (
     val target = snapshot(version)
     val current = snapshot()
     val missing = target.files.filterNot(f =>
-      Files.exists(Paths.get(tablePath, f.path)))
+      Files.exists(LakeLog.resolveFile(tablePath, f.path)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot restore $tablePath to version $version: " +
       s"${missing.size} of its data files were removed by VACUUM " +
@@ -250,6 +250,40 @@ final class LakeTable private (
           .map(f => RemoveFile(f.path, now)) ++
         target.files.filterNot(f => currentPaths.contains(f.path))
     }
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` analog):
+    * create a new table at `destPath` whose version 0 references this
+    * table's current data files by ABSOLUTE path — zero data copied,
+    * metadata (schema, partitioning, constraints) carried over.
+    *
+    * The clone then lives its own life: appends land in its own
+    * directory; DML rewrites copy-on-write (rewritten rows become
+    * clone-local files, the commit tombstones the absolute source
+    * reference without touching the source); VACUUM never deletes
+    * outside the clone's root, so the source's files are safe.
+    * The experimentation primitive at 100 TB — try a cleaning recipe
+    * on a clone, compare, throw it away. (Caveat, same as Delta's:
+    * the SOURCE's vacuum can delete files the clone still references;
+    * clone from a version you retain.)
+    */
+  def shallowCloneTo(destPath: String): LakeTable = {
+    val destLog = new LakeLog(destPath)
+    require(!destLog.exists, s"$destPath is already a lake table")
+    val snap = snapshot()
+    val root = Paths.get(tablePath).toAbsolutePath.normalize
+    val cloneAdds = snap.files.map { f =>
+      f.copy(path = LakeLog.resolveFile(root.toString, f.path)
+        .toAbsolutePath.normalize.toString)
+    }
+    java.nio.file.Files.createDirectories(Paths.get(destPath))
+    destLog.commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CLONE",
+        Map("source" -> tablePath,
+          "sourceVersion" -> snap.version.toString)),
+      snap.metadata.copy(createdTime = System.currentTimeMillis())
+    ) ++ cloneAdds)
+    LakeTable.forPath(spark, destPath)
   }
 
   // ---- maintenance -------------------------------------------------------
@@ -279,8 +313,11 @@ final class LakeTable private (
         case _ =>
       }
     }
+    // Never delete outside the table root: absolute-path tombstones
+    // reference a shallow-clone SOURCE's files, which this table does
+    // not own (Delta's rule for cloned files).
     val deletable = tombstones.collect {
-      case (path, ts) if ts <= cutoff => path
+      case (path, ts) if ts <= cutoff && !path.startsWith("/") => path
     }.toSeq
     // Large vacuums delete distributed: at millions of tombstones the
     // serial driver loop is the bottleneck, and deletes are
@@ -351,36 +388,40 @@ final class LakeTable private (
     val to = if (toVersion < 0) log.latestVersion else toVersion
     require(fromVersion >= 0 && fromVersion <= to,
       s"invalid change range [$fromVersion, $to]")
-    val schema = snapshot(to).schema
-    def readRel(paths: Seq[String]): DataFrame = {
-      val missing = paths.filterNot(p =>
-        Files.exists(Paths.get(tablePath, p)))
+    val snapAtTo = snapshot(to)
+    val schema = snapAtTo.schema
+    def readRel(files: Seq[AddFile]): DataFrame = {
+      val missing = files.filterNot(f =>
+        Files.exists(LakeLog.resolveFile(tablePath, f.path)))
       if (missing.nonEmpty) throw new IllegalStateException(
         s"cannot read changes of $tablePath: ${missing.size} file(s) " +
-        s"were removed by VACUUM (first: ${missing.head}); change " +
+        s"were removed by VACUUM (first: ${missing.head.path}); change " +
         "reads are bounded by the vacuum retention horizon")
-      spark.read.option("basePath", tablePath).schema(schema)
-        .parquet(paths.map(p => s"$tablePath/$p"): _*)
+      graft.sources.LakeDataSource.snapshotDF(spark,
+        snapAtTo.copy(files = files))
     }
     val perVersion: Seq[DataFrame] = (fromVersion to to).flatMap { v =>
       val actions = log.readVersion(v)
-      val adds = actions.collect { case a: AddFile => a.path }
-      val removes = actions.collect { case r: RemoveFile => r.path }
+      val adds = actions.collect { case a: AddFile => a }
+      val removePaths = actions.collect { case r: RemoveFile => r.path }.toSet
+      // removed files' AddFile entries (with partition values) come
+      // from the pre-commit snapshot
+      val removes =
+        if (removePaths.isEmpty) Nil
+        else snapshot(v - 1).files.filter(f => removePaths(f.path))
       val parts: Seq[DataFrame] =
         if (removes.isEmpty) {
           if (adds.isEmpty) Nil
           else Seq(readRel(adds).withColumn("_change_type", lit("insert")))
         } else {
-          val before = if (removes.isEmpty) None else Some(readRel(removes))
-          val after = if (adds.isEmpty) None else Some(readRel(adds))
-          (before, after) match {
-            case (Some(b), Some(a)) => Seq(
+          val b = readRel(removes)
+          if (adds.isEmpty)
+            Seq(b.withColumn("_change_type", lit("delete")))
+          else {
+            val a = readRel(adds)
+            Seq(
               b.exceptAll(a).withColumn("_change_type", lit("delete")),
               a.exceptAll(b).withColumn("_change_type", lit("insert")))
-            case (Some(b), None) =>
-              Seq(b.withColumn("_change_type", lit("delete")))
-            case (None, a) =>
-              a.map(_.withColumn("_change_type", lit("insert"))).toSeq
           }
         }
       parts.map(_.withColumn("_commit_version", lit(v)))
@@ -446,19 +487,33 @@ final class LakeTable private (
       .map(r => relativize(r.getString(0))).toSeq
   }
 
-  /** Read a subset of the table's files as a DataFrame. */
+  /** Read a subset of the table's files as a DataFrame — through the
+    * snapshot relation (LakeFileIndex), so partition values come from
+    * the log, not path inference, and shallow-cloned absolute-path
+    * files read the same as table-local ones.
+    */
   private[lake] def readFiles(snap: Snapshot, relPaths: Seq[String]): DataFrame = {
     require(relPaths.nonEmpty)
-    spark.read.option("basePath", tablePath).schema(snap.schema)
-      .parquet(relPaths.map(p => s"$tablePath/$p"): _*)
+    val wanted = relPaths.toSet
+    val subset = snap.files.filter(f => wanted(f.path))
+    require(subset.size == wanted.size,
+      s"readFiles: ${wanted.size - subset.size} paths not in snapshot")
+    graft.sources.LakeDataSource.snapshotDF(spark,
+      snap.copy(files = subset))
   }
 
+  /** Map a scan-reported file URI back to its AddFile path: relative
+    * when under the table root, absolute otherwise (shallow-cloned
+    * source files live outside the root).
+    */
   private[lake] def relativize(fileUri: String): String = {
     val p =
       if (fileUri.startsWith("file:")) Paths.get(java.net.URI.create(fileUri))
       else Paths.get(fileUri)
-    Paths.get(tablePath).toAbsolutePath.normalize
-      .relativize(p.toAbsolutePath.normalize).toString
+    val abs = p.toAbsolutePath.normalize
+    val root = Paths.get(tablePath).toAbsolutePath.normalize
+    if (abs.startsWith(root)) root.relativize(abs).toString
+    else abs.toString
   }
 
   private[lake] def commitRewrite(

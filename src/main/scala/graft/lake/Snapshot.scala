@@ -36,7 +36,7 @@ final case class Snapshot(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val missing = files.filterNot(f =>
-      Files.exists(Paths.get(log.tablePath, f.path)))
+      Files.exists(LakeLog.resolveFile(log.tablePath, f.path)))
     if (missing.nonEmpty) {
       throw new IllegalStateException(
         s"cannot read version $version of lake table ${log.tablePath}: " +

@@ -92,10 +92,12 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot)
   private def statusOf(f: AddFile): FileStatusWithMetadata =
     FileStatusWithMetadata(new FileStatus(
       f.size, false, 1, 128L * 1024 * 1024, 0L,
-      new Path(tableRoot, f.path)))
+      new Path(graft.lake.LakeLog
+        .resolveFile(snap.log.tablePath, f.path).toString)))
 
   override def inputFiles: Array[String] =
-    snap.files.map(f => new Path(tableRoot, f.path).toString).toArray
+    snap.files.map(f => graft.lake.LakeLog
+      .resolveFile(snap.log.tablePath, f.path).toString).toArray
 
   override def refresh(): Unit = () // snapshots are immutable
 

@@ -144,7 +144,7 @@ final class LakeStreamSource(
     // task failure: fail by default, or skip with failOnDataLoss=false.
     val allAdds = adds.result()
     val (present, missing) = allAdds.partition(f =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(tablePath, f.path)))
+      java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, f.path)))
     if (missing.nonEmpty && failOnDataLoss) {
       throw new IllegalStateException(
         s"lake streaming source at $tablePath: ${missing.size} file(s) " +
@@ -158,10 +158,15 @@ final class LakeStreamSource(
       StreamingShim.streamingDataFrame(spark,
         spark.sparkContext.emptyRDD, schema)
     } else {
-      val batch = spark.read
-        .option("basePath", tablePath)
-        .schema(schema)
-        .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+      // read through the snapshot relation (log-sourced partition
+      // values; shallow-cloned absolute paths work unchanged), pinned
+      // to the source's declared schema so mid-range evolution
+      // null-fills instead of shifting columns
+      val snapAt = log.snapshot(toInclusive)
+      val pseudo = snapAt.copy(
+        metadata = snapAt.metadata.copy(schemaDDL = schema.toDDL),
+        files = files)
+      val batch = LakeDataSource.snapshotDF(spark, pseudo)
       StreamingShim.streamingDataFrame(spark,
         batch.queryExecution.toRdd, schema)
     }

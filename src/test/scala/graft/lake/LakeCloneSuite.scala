@@ -1,0 +1,92 @@
+package graft.lake
+
+import graft.SparkSuite
+import java.nio.file.{Files, Paths}
+
+/** SHALLOW CLONE: zero-copy table copies referencing the source's
+  * files absolutely; copy-on-write DML; vacuum never crosses the
+  * clone's root.
+  */
+class LakeCloneSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def seed = (1L to 100L).map(i => (i, s"k$i", i * 1.0))
+    .toDF("id", "k", "v").coalesce(2)
+
+  test("clone reads the source's data without copying any file") {
+    val src = tablePath("clsrc1")
+    val dst = tablePath("cldst1")
+    LakeWriter.write(seed, src)
+    val clone = LakeTable.forPath(spark, src).shallowCloneTo(dst)
+
+    assert(clone.toDF.count() === 100L)
+    assert(clone.toDF.agg(org.apache.spark.sql.functions.sum("v"))
+      .as[Double].head() === (1 to 100).map(_.toDouble).sum)
+    // no parquet under the clone dir — only the log
+    assert(LakeWriter.walkParquet(Paths.get(dst)).isEmpty)
+    // schema + partitioning carried over
+    assert(clone.snapshot().schema ===
+      LakeTable.forPath(spark, src).snapshot().schema)
+  }
+
+  test("appends and DML on the clone never touch the source") {
+    val src = tablePath("clsrc2")
+    val dst = tablePath("cldst2")
+    LakeWriter.write(seed, src)
+    val srcFiles = LakeWriter.walkParquet(Paths.get(src)).map(_.toString)
+    val clone = LakeTable.forPath(spark, src).shallowCloneTo(dst)
+
+    LakeWriter.write(Seq((101L, "x", 0.5)).toDF("id", "k", "v"), dst)
+    assert(clone.toDF.count() === 101L)
+    assert(LakeTable.forPath(spark, src).toDF.count() === 100L)
+
+    // copy-on-write delete: rewritten data lands in the clone's dir;
+    // untouched files legitimately remain absolute source references
+    clone.delete("id <= 50")
+    assert(clone.toDF.count() === 51L)
+    assert(LakeTable.forPath(spark, src).toDF.count() === 100L)
+    srcFiles.foreach(f => assert(Files.exists(Paths.get(f))))
+    assert(clone.snapshot().files.exists(!_.path.startsWith("/")))
+    // and the mixed local/absolute file set reads consistently
+    assert(clone.toDF.select("id").as[Long].collect().sorted
+      === ((51L to 101L).toArray))
+  }
+
+  test("vacuum on the clone never deletes the source's files") {
+    val src = tablePath("clsrc3")
+    val dst = tablePath("cldst3")
+    LakeWriter.write(seed, src)
+    val srcFiles = LakeWriter.walkParquet(Paths.get(src)).map(_.toString)
+    val clone = LakeTable.forPath(spark, src).shallowCloneTo(dst)
+    clone.delete("id <= 99") // tombstones the absolute source refs
+
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    val deleted = try clone.vacuum(0.0)
+    finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+    assert(deleted.forall(!_.startsWith("/")))
+    srcFiles.foreach(f => assert(Files.exists(Paths.get(f))))
+    assert(LakeTable.forPath(spark, src).toDF.count() === 100L)
+    assert(clone.toDF.count() === 1L)
+  }
+
+  test("changes() on a clone reports v0 as inserts; SQL route works") {
+    val src = tablePath("clsrc4")
+    LakeWriter.write(seed, src)
+    LakeCatalog.register(spark, "clone_src4", src)
+    val dst = tablePath("cldst4")
+    LakeSql.sql(spark,
+      s"CREATE TABLE clone_dst4 SHALLOW CLONE clone_src4 LOCATION '$dst'")
+    val clone = LakeCatalog.table(spark, "clone_dst4")
+    val ch = clone.changes(0)
+    assert(ch.filter("_change_type = 'insert'").count() === 100L)
+    // and a clone is streamable from version 0
+    val out = tablePath("cldst4-stream")
+    val q = spark.readStream.format("lake").load(dst)
+      .writeStream.format("lake")
+      .option("checkpointLocation", tmpDir("cl-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination(120000)
+    assert(LakeTable.forPath(spark, out).toDF.count() === 100L)
+  }
+}
