@@ -334,6 +334,60 @@ object CoreQueries {
       Some(s"""SELECT o_orderpriority, ${odsum("l_quantity")} AS sum_qty,
               |  COUNT(*) AS n_lines
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              |GROUP BY o_orderpriority""".stripMargin))
+              |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ROLLUP: hierarchical subtotals in one pass (partial aggregation
+    // still map-side; the grouping-set expansion happens pre-shuffle).
+    QueryDef("q22_rollup",
+      (s, dir) => table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum("l_quantity").as("sum_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+              |  ${odsum("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // PIVOT with an explicit value list (never let the engine scan for
+    // distinct pivot values at 100 TB — list them).
+    QueryDef("q23_pivot",
+      (s, dir) => table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1))),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+             |  COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+             |  COUNT(*) FILTER (o_orderstatus = 'P') AS P
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // Exact interpolated percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont` semantics). For 100 TB pipelines
+    // approx_percentile is the scale path; the exact form is the
+    // oracle-checkable baseline.
+    QueryDef("q24_percentiles",
+      (s, dir) => table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+             |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+             |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Array functions over the embedding column (higher-order
+    // fold/slice — per-row math, no shuffle).
+    QueryDef("q25_array_funcs",
+      (s, dir) => table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(expr(
+            "aggregate(slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 8), " +
+              "0D, (acc, x) -> acc + x)"), 4).as("head_sum")),
+      Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+             |  ROUND(list_aggregate(list_slice(CAST(embedding AS DOUBLE[]), 1, 8), 'sum'), 4) AS head_sum
+             |FROM embeddings""".stripMargin))
   )
 }
