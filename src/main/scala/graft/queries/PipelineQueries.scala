@@ -81,6 +81,52 @@ object PipelineQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
              |FROM documents GROUP BY lang""".stripMargin)),
 
+    // Watermarked windowed streaming aggregation, DuckDB-oracled: the
+    // events table streamed through the file source, 5-minute tumbling
+    // windows per event type, drained with AvailableNow into a lake
+    // sink. Tumbling windows are time_bucket in DuckDB, so the whole
+    // streaming pipeline (source replay, watermark state, window
+    // close, sink commit) is hash-checked, not rows-only.
+    QueryDef("streaming_windowed_counts",
+      (s, dir) => {
+        val sf = new java.io.File(dir).getName
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_stream_win", sf)
+        graft.lake.LakeWriter.deleteRecursively(root)
+        val events = s.readStream
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val windowed = graft.streaming.LakeStreaming
+          .windowedEventCounts(events)
+        // complete mode: append-mode watermarking would (correctly)
+        // hold back the final, never-closed windows — the gate wants
+        // the full aggregation state, overwritten per micro-batch
+        val outPath = s"$root/out"
+        val q = windowed
+          .select(col("window.start").as("w_start"),
+            col("event_type"), col("n"), col("total_value"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.lake.LakeWriter.write(batch, outPath, mode = "overwrite")
+            ()
+          }
+          .start()
+        q.awaitTermination(120000)
+        graft.lake.LakeTable.forPath(s, outPath).toDF
+          .select(col("w_start"), col("event_type"),
+            col("n"), round(col("total_value"), 4).as("total_value"))
+      },
+      Some("""SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w_start,
+             |  event_type, COUNT(*) AS n,
+             |  ROUND(SUM(value), 4) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // Structured Streaming ingest (SURVEY §2.10): raw JSON-lines files
     // streamed into a lake table with AvailableNow + foreachBatch;
     // result is the bronze content (deterministic counts, rows-only).
