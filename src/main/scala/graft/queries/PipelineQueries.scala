@@ -81,6 +81,30 @@ object PipelineQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
              |FROM documents GROUP BY lang""".stripMargin)),
 
+    // Typed stateful sessionization (KeyValueGroupedDataset /
+    // flatMapGroups — SURVEY §2.10 custom state): 30-minute
+    // inactivity-gap sessions per user over events, hash-checked
+    // against the classic gaps-and-islands SQL in DuckDB.
+    QueryDef("sessionize_events",
+      (s, dir) => graft.streaming.LakeStreaming
+        .sessionize(QueryDef.events(s, dir), gapMinutes = 30)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 4).as("total_value")),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |         <= INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |  MAX(ts) AS session_end, COUNT(*) AS n_events,
+             |  ROUND(SUM(value), 4) AS total_value
+             |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
     // Watermarked windowed streaming aggregation, DuckDB-oracled: the
     // events table streamed through the file source, 5-minute tumbling
     // windows per event type, drained with AvailableNow into a lake

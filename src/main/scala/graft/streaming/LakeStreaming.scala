@@ -70,6 +70,114 @@ object LakeStreaming {
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Inactivity-gap sessionization over (user_id, ts, value) rows via
+    * the typed `KeyValueGroupedDataset` API (SURVEY §2.10's custom-
+    * state surface): group by user, order each user's events in state,
+    * split where consecutive events are more than `gapMinutes` apart.
+    *
+    * Batch form (`flatMapGroups`): each group's events fit the
+    * executor that owns the key — the shuffle is one hash partition
+    * per user, state is bounded by a user's events. For the streaming
+    * form see [[sessionizeStream]].
+    */
+  def sessionize(
+      events: DataFrame, gapMinutes: Int,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60000000L
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tsu"),
+        col(valueCol).cast("double").as("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        sessionsOf(uid, it.toSeq.map(e => (e._2, e._3)), gapMicros)
+      }
+      .toDF("user_id", "session_start", "session_end",
+        "n_events", "total_value")
+      .withColumn("session_start", timestamp_micros(col("session_start")))
+      .withColumn("session_end", timestamp_micros(col("session_end")))
+  }
+
+  /** Streaming sessionization: `flatMapGroupsWithState` with an
+    * event-time timeout — a user's open session lives in the state
+    * store and is emitted once the watermark passes its close. Append
+    * output; sessions still open at the end of input stay in state
+    * (exactly the semantics a continuous pipeline wants; a batch
+    * backfill should use [[sessionize]]).
+    */
+  def sessionizeStream(
+      events: DataFrame, gapMinutes: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Double)],
+        (Long, Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[List[(Long, Double)]]) =>
+          val incoming = it.map(e => (e._2.getTime, e._3)).toList
+          if (state.hasTimedOut) {
+            val events = state.get
+            state.remove()
+            sessionsOf(uid, events, gapMs).iterator
+          } else {
+            val all = (state.getOption.getOrElse(Nil) ++ incoming)
+              .sortBy(_._1)
+            // emit closed sessions, keep the open tail in state
+            val sessions = sessionsOf(uid, all, gapMs)
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = sessions.partition(_._3 + gapMs <= wm)
+            val keep = all.filter(e =>
+              open.exists(s => e._1 >= s._2 && e._1 <= s._3))
+            if (keep.nonEmpty) {
+              state.update(keep)
+              state.setTimeoutTimestamp(keep.map(_._1).max + gapMs)
+            } else state.remove()
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end",
+        "n_events", "total_value")
+      .withColumn("session_start", timestamp_millis(col("session_start")))
+      .withColumn("session_end", timestamp_millis(col("session_end")))
+  }
+
+  /** Split one user's (epochMs, value) events into gap-delimited
+    * sessions → (uid, startMs, endMs, n, total).
+    */
+  private def sessionsOf(
+      uid: Long, events: Seq[(Long, Double)],
+      gapMs: Long): Seq[(Long, Long, Long, Long, Double)] = {
+    if (events.isEmpty) return Nil
+    val sorted = events.sortBy(_._1)
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+    var start = sorted.head._1
+    var last = sorted.head._1
+    var n = 0L
+    var total = 0.0
+    sorted.foreach { case (ts, v) =>
+      if (ts - last > gapMs) {
+        out += ((uid, start, last, n, total))
+        start = ts; n = 0L; total = 0.0
+      }
+      last = ts; n += 1; total += v
+    }
+    out += ((uid, start, last, n, total))
+    out.result()
+  }
+
   /** util:78-84 — poll until the named stream has made progress. */
   def untilStreamIsReady(
       spark: SparkSession, name: String, progressions: Int = 3,

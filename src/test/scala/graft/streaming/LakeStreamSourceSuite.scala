@@ -149,6 +149,34 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(ids === Array(2L, 3L, 4L))
   }
 
+  test("streaming sessionization: closed sessions emitted from state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = LakeStreaming.sessionizeStream(df, gapMinutes = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    // offset from epoch 0: the initial watermark is 0 and would drop
+    // an event AT the epoch as late
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    try {
+      input.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (2L, ts(1), 7.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(120), 5.0)) // advances watermark past gap
+      q.processAllAvailable()
+      input.addData((1L, ts(121), 0.5)) // watermark now covers session 1
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((1L, 2L, 3.0))) // user 1's first session closed
+      assert(got.contains((2L, 1L, 7.0))) // user 2's lone session closed
+      // the open session (120-121 min) is still in state, not emitted
+      assert(!got.exists(s => s._1 == 1L && s._3 == 5.5))
+    } finally q.stop()
+  }
+
   test("sink partitions output and records batch txns") {
     val src = tablePath("ss-part-src")
     LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), src)
