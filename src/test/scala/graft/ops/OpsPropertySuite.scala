@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.scalatest.prop.TableDrivenPropertyChecks
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style invariants for the round-2 operators: the
+  * inverted-index Jaccard must EQUAL the naive all-pairs join on
+  * arbitrary corpora (the losslessness claim), salted joins must be
+  * row-identical to plain joins, sessionization must partition events
+  * exactly, and simhash banding must never miss a close pair.
+  */
+class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  /** Deterministic random corpus with planted overlap structure. */
+  private def corpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = (0 until 40).map(i => s"w$i")
+    (0 until nDocs).map { i =>
+      val len = 5 + rnd.nextInt(30)
+      val toks = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "))
+    }
+  }
+
+  test("inverted-index Jaccard == naive all-pairs on random corpora") {
+    forAll(Table(("seed", "n"), (1, 30), (7, 60), (42, 45))) { (seed, n) =>
+      val df = corpus(seed, n).toDF("doc_id", "text")
+      val fast = DedupOps.ngramJaccardPairs(df, "text", "doc_id",
+          n = 3, minJaccard = 0.15)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // naive: all pairs, exact jaccard on the same hashed shingles
+      val sh = df.select(col("doc_id"),
+        graft.functions.HashedShingles(col("text"), 3).as("sh"))
+      val naive = sh.as("a").join(sh.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          round(DedupOps.jaccardFromShingles(col("a.sh"), col("b.sh")), 4)
+            .as("j"))
+        .filter(expr(
+          "size(array_intersect(a.sh, b.sh)) / " +
+          "(size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)))" +
+          " >= 0.15"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast === naive)
+    }
+  }
+
+  test("salted join is row-identical to the plain join") {
+    forAll(Table(("seed", "salt"), (3, 2), (9, 8), (21, 16))) { (seed, salt) =>
+      val rnd = new Random(seed)
+      // skewed probe: 60% of rows share one key
+      val probe = (0 until 500).map { i =>
+        val k = if (rnd.nextDouble() < 0.6) 7L else rnd.nextInt(50).toLong
+        (k, i.toLong)
+      }.toDF("k", "payload")
+      val build = (0L until 50L).map(k => (k, s"b$k")).toDF("bk", "attr")
+      val salted = JoinOps.saltedJoin(probe, build, "k", "bk", salt)
+        .select("k", "payload", "attr")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      val plain = probe.join(build, col("k") === col("bk"))
+        .select("k", "payload", "attr")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(salted === plain)
+    }
+  }
+
+  test("sessionization partitions each user's events exactly") {
+    forAll(Table("seed", 5, 11)) { seed =>
+      val rnd = new Random(seed)
+      val base = 1700000000000L
+      val events = (0 until 400).map { i =>
+        val uid = rnd.nextInt(8).toLong
+        val ts = new java.sql.Timestamp(
+          base + rnd.nextInt(48 * 60) * 60000L)
+        (uid, ts, rnd.nextInt(100) / 10.0)
+      }.toDF("user_id", "ts", "value")
+      val sessions = graft.streaming.LakeStreaming
+        .sessionize(events, gapMinutes = 45)
+      // every event is in exactly one session; totals add up
+      val sumN = sessions.agg(sum("n_events")).as[Long].head()
+      assert(sumN === 400L)
+      val sumV = sessions.agg(round(sum("total_value"), 4))
+        .as[Double].head()
+      val expectV = events.agg(round(sum("value"), 4)).as[Double].head()
+      assert(math.abs(sumV - expectV) < 1e-6)
+      // sessions of one user never overlap and respect the gap
+      val perUser = sessions
+        .select("user_id", "session_start", "session_end")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().groupBy(_._1)
+      perUser.values.foreach { ss =>
+        val sorted = ss.sortBy(_._2.getTime)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._2.getTime - a._3.getTime > 45 * 60000L)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("simhash banding finds every pair within Hamming distance 3") {
+    val rnd = new Random(13)
+    val sigs = (0 until 200).map { i =>
+      (i.toLong, rnd.nextLong())
+    }
+    // plant close pairs: flip 1-3 random bits of existing signatures
+    val planted = (0 until 40).map { i =>
+      val (srcId, sig) = sigs(rnd.nextInt(sigs.size))
+      val flips = 1 + rnd.nextInt(3)
+      val flipped = (0 until flips).foldLeft(sig)((s, _) =>
+        s ^ (1L << rnd.nextInt(64)))
+      (1000L + i, flipped, srcId)
+    }
+    val all = (sigs ++ planted.map(p => (p._1, p._2))).toDF("id", "sig")
+    val found = DedupOps.simhashNearPairsFromSigs(all, "sig", "id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth by brute force
+    val rows = sigs ++ planted.map(p => (p._1, p._2))
+    for {
+      (i, si) <- rows
+      (j, sj) <- rows if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= 3
+    } assert(found.contains((i, j)),
+      s"missed pair ($i, $j) at distance ${java.lang.Long.bitCount(si ^ sj)}")
+  }
+}
