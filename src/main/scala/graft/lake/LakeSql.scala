@@ -3,18 +3,23 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** SQL front-end for the lake verb set (SURVEY §7.4, phase 2): a
-  * statement pre-processor that recognizes the four Delta-verb shapes
-  * the reference uses —
+  * statement pre-processor that recognizes the Delta-verb shapes the
+  * reference uses —
   *
-  *   - `MERGE INTO t USING s ON cond WHEN ...`        (etl/05:100-138)
-  *   - `SELECT ... FROM t VERSION AS OF n`            (etl/05:161-209)
-  *   - `DESCRIBE HISTORY t`                           (etl/05:142-148)
-  *   - `VACUUM t [RETAIN n HOURS]`                    (etl/05:300,334)
+  *   - `MERGE INTO t USING s|(SELECT ...) ON cond WHEN ...` (etl/05:100-138)
+  *   - `SELECT ... FROM t VERSION|TIMESTAMP AS OF ...`   (etl/05:161-209)
+  *   - `DESCRIBE HISTORY|DETAIL t`                       (etl/05:142-148)
+  *   - `VACUUM t [RETAIN n HOURS]`                       (etl/05:300,334)
   *
-  * plus lake DDL (`CREATE TABLE name USING lake LOCATION p`,
-  * `DROP TABLE name`, `INSERT INTO t SELECT ...`, `DELETE FROM t`) —
-  * routes them to the programmatic API, and hands everything else to
-  * `spark.sql` with the referenced lake temp views refreshed first.
+  * plus the round-2 verbs (`UPDATE`, `OPTIMIZE [BY (cols)]`,
+  * `RESTORE`, `ALTER TABLE ADD/DROP CONSTRAINT`, `ALTER TABLE ADD
+  * COLUMN`, `CREATE TABLE n SHALLOW CLONE src LOCATION p`) and lake
+  * DDL (`CREATE TABLE ... USING lake LOCATION`, CTAS, CONVERT, DROP,
+  * `INSERT INTO t SELECT ...`, `DELETE FROM t|path`). MERGE/UPDATE
+  * keyword location uses a quote/paren-aware scanner ([[findTopLevel]])
+  * so subquery sources and keyword-bearing string literals parse
+  * correctly; everything else flows to `spark.sql` with the referenced
+  * lake temp views refreshed first.
   */
 object LakeSql {
 
