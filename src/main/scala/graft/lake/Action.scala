@@ -56,6 +56,18 @@ final case class RemoveFile(
     path: String,
     deletionTimestamp: Long) extends Action
 
+/** A change-data file (Delta `cdc` action): the row-level changes of
+  * this commit, written by DELETE/UPDATE at DML time under
+  * `_change_data/`. Not part of the live table state — only
+  * `LakeTable.changes` reads them, making CDC reads O(changes)
+  * instead of O(rewritten data). Commits without cdc files (MERGE,
+  * OPTIMIZE, plain appends) fall back to the read-time diff.
+  */
+final case class CdcFile(
+    path: String,
+    size: Long = 0L,
+    numRecords: Long = -1L) extends Action
+
 /** Audit record per commit — backs DESCRIBE HISTORY (SURVEY §2 D7). */
 final case class CommitInfo(
     timestamp: Long,
@@ -78,7 +90,8 @@ private[lake] final case class LogEntry(
     add: Option[AddFile] = None,
     remove: Option[RemoveFile] = None,
     commitInfo: Option[CommitInfo] = None,
-    txn: Option[Txn] = None)
+    txn: Option[Txn] = None,
+    cdc: Option[CdcFile] = None)
 
 object Action {
   private implicit val formats: Formats = DefaultFormats
@@ -89,12 +102,13 @@ object Action {
     case r: RemoveFile => LogEntry(remove = Some(r))
     case c: CommitInfo => LogEntry(commitInfo = Some(c))
     case t: Txn        => LogEntry(txn = Some(t))
+    case c: CdcFile    => LogEntry(cdc = Some(c))
   })
 
   def fromJson(line: String): Action = {
     val e = Serialization.read[LogEntry](line)
     e.metaData.orElse(e.add).orElse(e.remove).orElse(e.commitInfo)
-      .orElse(e.txn)
+      .orElse(e.txn).orElse(e.cdc)
       .getOrElse(throw new IllegalArgumentException(
         s"unrecognized log line: $line"))
   }

@@ -148,8 +148,14 @@ final class LakeTable private (
             .filter(!coalesce(cond, lit(false)))
           val adds = LakeWriter.stageAndAdopt(kept, tablePath,
             snap.partitionColumns)
+          // persisted CDC: the deleted rows, so changes() never has
+          // to diff the rewritten files
+          val cdc = LakeWriter.stageCdc(
+            readFiles(snap, touched).filter(coalesce(cond, lit(false)))
+              .withColumn("_change_type", lit("delete")),
+            tablePath)
           commitRewrite(snap, touched, adds, "DELETE",
-            Map("predicate" -> condition))
+            Map("predicate" -> condition), cdc)
         }
     }
   }
@@ -175,8 +181,22 @@ final class LakeTable private (
         snap.metadata.constraints, tablePath)
     val adds = LakeWriter.stageAndAdopt(updated, tablePath,
       snap.partitionColumns)
+    // persisted CDC: preimage (delete) + postimage (insert) of ONLY
+    // the matched rows
+    val matched = readFiles(snap, touched).filter(coalesce(cond, lit(false)))
+    val post = matched.select(
+      snap.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => expr(e).cast(f.dataType).as(f.name)
+          case None => col(quoted(f.name))
+        }
+      }: _*)
+    val cdc = LakeWriter.stageCdc(
+      matched.withColumn("_change_type", lit("delete"))
+        .unionByName(post.withColumn("_change_type", lit("insert"))),
+      tablePath)
     commitRewrite(snap, touched, adds, "UPDATE",
-      Map("predicate" -> condition))
+      Map("predicate" -> condition), cdc)
   }
 
   /** ADD CONSTRAINT (Delta CHECK-constraint analog): the existing data
@@ -306,19 +326,28 @@ final class LakeTable private (
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     val live = snapshot().files.map(_.path).toSet
     val tombstones = collection.mutable.LinkedHashMap.empty[String, Long]
+    val agedCdc = Seq.newBuilder[String]
     (0L to log.latestVersion).foreach { v =>
-      log.readVersion(v).foreach {
+      val actions = log.readVersion(v)
+      val commitTs = actions.collectFirst {
+        case c: CommitInfo => c.timestamp
+      }.getOrElse(Long.MaxValue)
+      actions.foreach {
         case r: RemoveFile if !live.contains(r.path) =>
           tombstones(r.path) = r.deletionTimestamp
+        // change-data files age out with their commit: past the
+        // retention horizon the versions themselves are no longer
+        // change-readable (their removed data files are gone too)
+        case c: CdcFile if commitTs <= cutoff => agedCdc += c.path
         case _ =>
       }
     }
     // Never delete outside the table root: absolute-path tombstones
     // reference a shallow-clone SOURCE's files, which this table does
     // not own (Delta's rule for cloned files).
-    val deletable = tombstones.collect {
+    val deletable = (tombstones.collect {
       case (path, ts) if ts <= cutoff && !path.startsWith("/") => path
-    }.toSeq
+    } ++ agedCdc.result().filterNot(_.startsWith("/"))).toSeq.distinct
     // Large vacuums delete distributed: at millions of tombstones the
     // serial driver loop is the bottleneck, and deletes are
     // embarrassingly parallel (idempotent, no ordering).
@@ -402,26 +431,43 @@ final class LakeTable private (
     }
     val perVersion: Seq[DataFrame] = (fromVersion to to).flatMap { v =>
       val actions = log.readVersion(v)
-      val adds = actions.collect { case a: AddFile => a }
-      val removePaths = actions.collect { case r: RemoveFile => r.path }.toSet
-      // removed files' AddFile entries (with partition values) come
-      // from the pre-commit snapshot
-      val removes =
-        if (removePaths.isEmpty) Nil
-        else snapshot(v - 1).files.filter(f => removePaths(f.path))
+      // Persisted CDC (written by DELETE/UPDATE at DML time): read it
+      // directly — O(changes), no diff of rewritten files. Falls back
+      // to the diff when a commit carries no cdc files (appends,
+      // MERGE, OPTIMIZE) or they were vacuumed away.
+      val cdcFiles = actions.collect { case c: CdcFile => c.path }
       val parts: Seq[DataFrame] =
-        if (removes.isEmpty) {
-          if (adds.isEmpty) Nil
-          else Seq(readRel(adds).withColumn("_change_type", lit("insert")))
+        if (cdcFiles.nonEmpty && cdcFiles.forall(p =>
+            Files.exists(LakeLog.resolveFile(tablePath, p)))) {
+          val cdcSchema = org.apache.spark.sql.types.StructType(
+            schema.fields :+ org.apache.spark.sql.types.StructField(
+              "_change_type", org.apache.spark.sql.types.StringType))
+          Seq(spark.read.schema(cdcSchema).parquet(
+            cdcFiles.map(p =>
+              LakeLog.resolveFile(tablePath, p).toString): _*))
         } else {
-          val b = readRel(removes)
-          if (adds.isEmpty)
-            Seq(b.withColumn("_change_type", lit("delete")))
-          else {
-            val a = readRel(adds)
-            Seq(
-              b.exceptAll(a).withColumn("_change_type", lit("delete")),
-              a.exceptAll(b).withColumn("_change_type", lit("insert")))
+          val adds = actions.collect { case a: AddFile => a }
+          val removePaths =
+            actions.collect { case r: RemoveFile => r.path }.toSet
+          // removed files' AddFile entries (with partition values)
+          // come from the pre-commit snapshot
+          val removes =
+            if (removePaths.isEmpty) Nil
+            else snapshot(v - 1).files.filter(f => removePaths(f.path))
+          if (removes.isEmpty) {
+            if (adds.isEmpty) Nil
+            else Seq(readRel(adds)
+              .withColumn("_change_type", lit("insert")))
+          } else {
+            val b = readRel(removes)
+            if (adds.isEmpty)
+              Seq(b.withColumn("_change_type", lit("delete")))
+            else {
+              val a = readRel(adds)
+              Seq(
+                b.exceptAll(a).withColumn("_change_type", lit("delete")),
+                a.exceptAll(b).withColumn("_change_type", lit("insert")))
+            }
           }
         }
       parts.map(_.withColumn("_commit_version", lit(v)))
@@ -521,11 +567,12 @@ final class LakeTable private (
       removedRelPaths: Seq[String],
       adds: Seq[AddFile],
       operation: String,
-      params: Map[String, String]): Long = {
+      params: Map[String, String],
+      cdc: Seq[CdcFile] = Nil): Long = {
     val now = System.currentTimeMillis()
     LakeWriter.commitWithRetry(log, snap.version, removedRelPaths) { _ =>
       Seq(CommitInfo(now, operation, params)) ++
-        removedRelPaths.map(RemoveFile(_, now)) ++ adds
+        removedRelPaths.map(RemoveFile(_, now)) ++ adds ++ cdc
     }
   }
 }

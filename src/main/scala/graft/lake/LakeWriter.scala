@@ -330,6 +330,23 @@ object LakeWriter {
     -1L // unreachable
   }
 
+  /** Write a commit's row-level change set (table schema +
+    * `_change_type`) under `_change_data/` and return the CdcFile
+    * actions for the commit. One extra scan-shaped write per DML —
+    * the Delta CDF trade: pay O(changes) at write time so change
+    * reads never have to diff rewritten files.
+    */
+  private[lake] def stageCdc(df: DataFrame, tablePath: String): Seq[CdcFile] = {
+    val root = Paths.get(tablePath).toAbsolutePath.normalize
+    val dir = root.resolve("_change_data")
+      .resolve(s"cdc-${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(dir.toString)
+    walkParquet(dir).map { f =>
+      CdcFile(root.relativize(f.toAbsolutePath.normalize).toString,
+        Files.size(f))
+    }
+  }
+
   /** CHECK enforcement (Delta `delta.constraints.*` semantics): a row
     * violates a constraint only when the expression evaluates to
     * FALSE — NULL/unknown satisfies, per the SQL standard. One

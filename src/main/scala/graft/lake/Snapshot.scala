@@ -76,7 +76,7 @@ object Snapshot {
         case r: RemoveFile => live.remove(r.path)
         case t: Txn        =>
           txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
-        case _: CommitInfo => ()
+        case _ => () // CommitInfo / CdcFile: not table state
       }
       v += 1
     }

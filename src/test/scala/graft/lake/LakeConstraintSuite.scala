@@ -142,6 +142,38 @@ class LakeConstraintSuite extends SparkSuite {
     assert(reconstructed === actual)
   }
 
+  test("DML persists cdc files; changes() reads them; vacuum ages them out") {
+    val path = tablePath("cdc2")
+    LakeWriter.write(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "k").coalesce(1), path)
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id = 1")                         // v1: cdc written
+    t.update("id = 2", Map("k" -> "'B'"))      // v2: cdc written
+    val log = new LakeLog(path)
+    assert(log.readVersion(1).exists(_.isInstanceOf[CdcFile]))
+    assert(log.readVersion(2).exists(_.isInstanceOf[CdcFile]))
+    val cdcPaths = (1L to 2L).flatMap(v => log.readVersion(v).collect {
+      case c: CdcFile => c.path
+    })
+    assert(cdcPaths.forall(p =>
+      java.nio.file.Files.exists(LakeLog.resolveFile(path, p))))
+
+    // change stream identical to the log-diff semantics
+    val ch = t.changes(1)
+      .select("_commit_version", "_change_type", "id", "k")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(ch === Set(
+      (1L, "delete", 1L, "a"),
+      (2L, "delete", 2L, "b"), (2L, "insert", 2L, "B")))
+
+    // vacuum past retention deletes the aged cdc files too
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try t.vacuum(0.0)
+    finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+    assert(cdcPaths.forall(p =>
+      !java.nio.file.Files.exists(LakeLog.resolveFile(path, p))))
+  }
+
   test("pre-constraint log lines (no constraints field) still parse") {
     val line = """{"metaData":{"schemaDDL":"id BIGINT","partitionColumns":[],"createdTime":5}}"""
     val m = Action.fromJson(line).asInstanceOf[Metadata]
