@@ -131,6 +131,7 @@ final class LakeMergeBuilder private[lake] (
         .select(col(FILE)).distinct().collect()
         .map(r => table.relativize(r.getString(0))).toSeq
 
+    var cdcMatched: Option[DataFrame] = None
     val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
       val tgtTouched = aliasTgt(table.readFiles(snap, touched)
         .withColumn(RID, concat_ws("#",
@@ -167,9 +168,10 @@ final class LakeMergeBuilder private[lake] (
         if (deleteIdxs.isEmpty) lit(true)
         else !col(IDXC).isin(deleteIdxs: _*)
 
-      Some(joined.withColumn(IDXC, clauseIdx)
-        .filter(keep)
-        .select(fields.map { f =>
+      // clause-applied projection: update expressions where an update
+      // clause won, the original target values otherwise
+      def applyClauses(df: DataFrame): DataFrame =
+        df.select(fields.map { f =>
           val updates = matchedClauses.zipWithIndex.collect {
             case (UpdateClause(_, set), i) =>
               val e = if (set == null) qualSrc(f.name)
@@ -179,7 +181,27 @@ final class LakeMergeBuilder private[lake] (
           updates.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
             acc.when(col(IDXC) === i, e)
           }.otherwise(qualTgt(f.name)).cast(f.dataType).as(f.name)
-        }: _*))
+        }: _*)
+
+      val classified = joined.withColumn(IDXC, clauseIdx)
+
+      // persisted CDC for the matched side: every clause-hit row's
+      // preimage as delete; update-clause rows also emit a postimage
+      // insert (the same representation changes() uses everywhere)
+      val updateIdxs = matchedClauses.zipWithIndex.collect {
+        case (_: UpdateClause, i) => i + 1
+      }
+      val applied = classified.filter(col(IDXC) > 0)
+      val pre = applied.select(fields.map(f =>
+          qualTgt(f.name).cast(f.dataType).as(f.name)): _*)
+        .withColumn("_change_type", lit("delete"))
+      cdcMatched = Some(
+        if (updateIdxs.isEmpty) pre
+        else pre.unionByName(
+          applyClauses(classified.filter(col(IDXC).isin(updateIdxs: _*)))
+            .withColumn("_change_type", lit("insert"))))
+
+      Some(applyClauses(classified.filter(keep)))
     }
 
     // ---- not-matched side: anti-join → inserts ---------------------------
@@ -218,10 +240,16 @@ final class LakeMergeBuilder private[lake] (
           snap.partitionColumns)
       case None => Nil
     }
+    val cdcInserts = inserts.map(
+      _.withColumn("_change_type", lit("insert")))
+    val cdcDf = (cdcMatched.toSeq ++ cdcInserts.toSeq)
+      .reduceOption(_.unionByName(_))
+    val cdc = cdcDf.map(LakeWriter.stageCdc(_, table.tablePath))
+      .getOrElse(Nil)
     table.commitRewrite(snap, touched, adds, "MERGE",
       Map("condition" -> condition,
         "matchedClauses" -> matchedClauses.size.toString,
-        "notMatchedClauses" -> insertClauses.size.toString))
+        "notMatchedClauses" -> insertClauses.size.toString), cdc)
   }
 
   /** Best-effort recovery of the source DataFrame's alias (set by

@@ -174,6 +174,27 @@ class LakeConstraintSuite extends SparkSuite {
       !java.nio.file.Files.exists(LakeLog.resolveFile(path, p))))
   }
 
+  test("MERGE persists cdc: upsert emits preimage delete + postimage insert") {
+    val path = tablePath("cdc3")
+    LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .coalesce(1), path)
+    val src = Seq((2L, "B2"), (9L, "z")).toDF("id", "new_k")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("k" -> "s.new_k"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "k" -> "s.new_k"))
+      .execute()                                // v1
+    val log = new LakeLog(path)
+    assert(log.readVersion(1).exists(_.isInstanceOf[CdcFile]))
+    val ch = LakeTable.forPath(spark, path).changes(1)
+      .select("_change_type", "id", "k")
+      .as[(String, Long, String)].collect().toSet
+    assert(ch === Set(
+      ("delete", 2L, "b"), ("insert", 2L, "B2"), ("insert", 9L, "z")))
+    // untouched row 1 appears in no change
+    assert(!ch.exists(_._2 == 1L))
+  }
+
   test("pre-constraint log lines (no constraints field) still parse") {
     val line = """{"metaData":{"schemaDDL":"id BIGINT","partitionColumns":[],"createdTime":5}}"""
     val m = Action.fromJson(line).asInstanceOf[Metadata]
