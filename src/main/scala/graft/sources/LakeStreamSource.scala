@@ -121,7 +121,11 @@ final class LakeStreamSource(
       val removes = actions.collect { case r: RemoveFile => r }
       val versionAdds = actions.collect { case a: AddFile => a }
       if (removes.nonEmpty && !ignoreChanges) {
-        if (versionAdds.isEmpty || !ignoreDeletes) {
+        // Delete-only commits (no AddFiles) are tolerated iff
+        // ignoreDeletes; rewrites (removes AND adds) always need
+        // ignoreChanges — silently dropping their AddFiles would lose
+        // MERGE-inserted/updated rows from the stream.
+        if (versionAdds.nonEmpty || !ignoreDeletes) {
           throw new IllegalStateException(
             s"lake streaming source at $tablePath found a non-append " +
             s"commit at version $v (${removes.size} file removals). " +

@@ -80,6 +80,46 @@ class LakeStreamSourceSuite extends SparkSuite {
       .select("id").distinct().count() === 50L)
   }
 
+  test("ignoreDeletes skips delete-only commits; later appends still flow") {
+    val src = tablePath("ss-id-src")
+    val dst = tablePath("ss-id-dst")
+    val ckpt = tmpDir("ss-id-ck")
+    // partitioned so a partition-predicate delete is metadata-only:
+    // a RemoveFile-only commit, the exact case ignoreDeletes documents
+    LakeWriter.write(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p"),
+      src, partitionBy = Seq("p"))
+    runAvailableNow(src, dst, ckpt, Map("ignoreDeletes" -> "true"))
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 3L)
+
+    LakeTable.forPath(spark, src).delete("p = 'a'") // delete-only commit
+    LakeWriter.write(Seq((4L, "c")).toDF("id", "p"), src,
+      partitionBy = Seq("p"))
+    // the delete-only commit is skipped (nothing re-delivered), the
+    // append after it arrives
+    runAvailableNow(src, dst, ckpt, Map("ignoreDeletes" -> "true"))
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L, 4L))
+  }
+
+  test("ignoreDeletes alone does NOT pass rewrite commits through") {
+    val src = tablePath("ss-idrw-src")
+    LakeWriter.write((1L to 50L).toDF("id").coalesce(1), src)
+    LakeTable.forPath(spark, src).delete("id <= 10") // rewrite: rm+add
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("lake")
+        .option("ignoreDeletes", "true").load(src)
+        .writeStream.format("lake")
+        .option("checkpointLocation", tmpDir("ss-idrw-ck"))
+        .trigger(Trigger.AvailableNow())
+        .start(tablePath("ss-idrw-dst"))
+      q.awaitTermination(120000)
+    }
+    assert(failed.getMessage.contains("non-append") ||
+      Option(failed.getCause).exists(_.getMessage.contains("non-append")))
+  }
+
   test("startingVersion skips the table's earlier history") {
     val src = tablePath("ss-sv-src")
     LakeWriter.write((1L to 10L).toDF("id"), src)   // v0
