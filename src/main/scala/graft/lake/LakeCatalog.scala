@@ -43,20 +43,40 @@ object LakeCatalog {
     * addressable — skip rather than fail the operation that triggered
     * the refresh.
     */
+  /** Error conditions Spark raises for a name that cannot be a temp
+    * view identifier — the only failures refreshView may swallow.
+    */
+  private val InvalidViewNameConditions = Set(
+    "_LEGACY_ERROR_TEMP_1321",            // invalid chars / spaces
+    "TEMP_VIEW_NAME_TOO_MANY_NAME_PARTS") // a.b.c.d
+
   def refreshView(spark: SparkSession, name: String): Unit =
     pathOf(name).foreach { p =>
       try LakeTable.forPath(spark, p).toDF.createOrReplaceTempView(name)
       catch {
-        case _: org.apache.spark.sql.AnalysisException => ()
+        case e: org.apache.spark.sql.AnalysisException
+            if InvalidViewNameConditions(String.valueOf(e.getCondition)) =>
+          () // name not view-addressable; catalog lookup still works
+        // any other analysis failure would leave a silently stale
+        // view behind — let it surface
       }
     }
 
-  /** Refresh views for every registered table referenced in `sqlText`. */
+  private val IdentTokenRe = """`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*""".r
+
+  /** Refresh views for every registered table referenced in `sqlText`.
+    * Matches whole identifiers (including dotted/backticked forms and
+    * their parts), not substrings — a statement mentioning `tx` must
+    * not refresh a table named `t`, or every statement churns
+    * O(tables) snapshot replays.
+    */
   def refreshReferenced(spark: SparkSession, sqlText: String): Unit = {
-    val lower = sqlText.toLowerCase
-    tables.keys.foreach { n =>
-      if (lower.contains(n)) refreshView(spark, n)
-    }
+    if (tables.isEmpty) return
+    val tokens = IdentTokenRe.findAllIn(sqlText).flatMap { t =>
+      val base = t.toLowerCase.stripPrefix("`").stripSuffix("`")
+      Iterator(base) ++ base.split('.').iterator
+    }.toSet
+    tables.keys.foreach(n => if (tokens(n)) refreshView(spark, n))
   }
 
   private def normalize(name: String): String =

@@ -25,9 +25,9 @@ object LakeSql {
 
   private val MERGE_PREFIX_RE = """(?is)\s*MERGE\s+INTO\s+.*""".r
   private val VERSION_AS_OF_RE =
-    """(?is)(.*\b(?:FROM|JOIN)\s+|.*,\s*)([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)(.*)""".r
+    """(?is)(\b(?:FROM|JOIN)\s+|,\s*)([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val TIMESTAMP_AS_OF_RE =
-    """(?is)(.*\b(?:FROM|JOIN)\s+|.*,\s*)([\w.`]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'(.*)""".r
+    """(?is)(\b(?:FROM|JOIN)\s+|,\s*)([\w.`]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val DESCRIBE_HISTORY_RE =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`/\-]+)\s*""".r
   private val DESCRIBE_DETAIL_RE =
@@ -165,39 +165,34 @@ object LakeSql {
 
     case _ =>
       // Time-travel scans can appear inside larger SELECTs — possibly
-      // several (a self-join of two versions). Rewrite until no lake
-      // `VERSION AS OF` remains, registering one temp view per
-      // (table, version). The greedy leading group makes each pass
-      // rewrite the LAST occurrence; every pass removes one.
-      var text = sqlText
-      var continue = true
-      while (continue) {
-        continue = false
-        VERSION_AS_OF_RE.findFirstMatchIn(text) match {
-          case Some(m) if isLake(m.group(2)) =>
-            val name = clean(m.group(2))
-            val version = m.group(3).toLong
-            val viewName = s"${name}__v$version"
-            LakeCatalog.table(spark, name).asOf(version)
-              .createOrReplaceTempView(viewName)
-            text = m.group(1) + viewName + m.group(4)
-            continue = true
-          case _ => ()
-        }
-        TIMESTAMP_AS_OF_RE.findFirstMatchIn(text) match {
-          case Some(m) if isLake(m.group(2)) =>
-            val name = clean(m.group(2))
-            val table = LakeCatalog.table(spark, name)
-            val millis =
-              java.sql.Timestamp.valueOf(m.group(3)).getTime
-            val version = table.versionAtTimestamp(millis)
-            val viewName = s"${name}__v$version"
-            table.asOf(version).createOrReplaceTempView(viewName)
-            text = m.group(1) + viewName + m.group(4)
-            continue = true
-          case _ => ()
-        }
-      }
+      // several (a self-join of two versions), possibly interleaved
+      // with occurrences that are NOT lake tables (another source's
+      // AS OF, or the phrase inside a string literal). Rewrite EVERY
+      // lake occurrence in one pass, registering one temp view per
+      // (table, version); non-lake occurrences pass through untouched
+      // for spark.sql to resolve or reject on their own merits —
+      // they must not stop earlier lake clauses from rewriting.
+      import scala.util.matching.Regex
+      var text = VERSION_AS_OF_RE.replaceAllIn(sqlText, m =>
+        if (isLake(m.group(2))) {
+          val name = clean(m.group(2))
+          val version = m.group(3).toLong
+          val viewName = s"${name}__v$version"
+          LakeCatalog.table(spark, name).asOf(version)
+            .createOrReplaceTempView(viewName)
+          Regex.quoteReplacement(m.group(1) + viewName)
+        } else Regex.quoteReplacement(m.matched))
+      text = TIMESTAMP_AS_OF_RE.replaceAllIn(text, m =>
+        if (isLake(m.group(2))) {
+          val name = clean(m.group(2))
+          val table = LakeCatalog.table(spark, name)
+          val millis =
+            java.sql.Timestamp.valueOf(m.group(3)).getTime
+          val version = table.versionAtTimestamp(millis)
+          val viewName = s"${name}__v$version"
+          table.asOf(version).createOrReplaceTempView(viewName)
+          Regex.quoteReplacement(m.group(1) + viewName)
+        } else Regex.quoteReplacement(m.matched))
       runSelect(spark, text)
   }
 

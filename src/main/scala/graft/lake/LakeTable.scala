@@ -168,35 +168,45 @@ final class LakeTable private (
     val cond = expr(condition)
     val touched = touchedFiles(snap, cond)
     if (touched.isEmpty) return
-    val updated = readFiles(snap, touched).select(
-      snap.schema.fields.toSeq.map { f =>
-        set.get(f.name) match {
-          case Some(e) => when(coalesce(cond, lit(false)), expr(e))
-            .otherwise(col(quoted(f.name))).cast(f.dataType).as(f.name)
+    val matchedFlag = coalesce(cond, lit(false))
+    val fields = snap.schema.fields.toSeq
+    def newName(n: String) = s"_graft_upd_$n"
+    // ONE evaluated projection carries the original values, the new
+    // values, and the matched flag, persisted so the SET expressions
+    // are evaluated exactly once per row. That makes the CDC postimage
+    // byte-identical to the rewritten data even for non-deterministic
+    // SETs (rand(), uuid(), current_timestamp) and scans the touched
+    // files once instead of twice.
+    val projected = readFiles(snap, touched).select(
+      fields.map(f => col(quoted(f.name))) ++
+      fields.map { f =>
+        (set.get(f.name) match {
+          case Some(e) => when(matchedFlag, expr(e))
+            .otherwise(col(quoted(f.name)))
           case None => col(quoted(f.name))
-        }
-      }: _*)
-    if (snap.metadata.constraints.nonEmpty)
-      LakeWriter.enforceConstraints(updated,
-        snap.metadata.constraints, tablePath)
-    val adds = LakeWriter.stageAndAdopt(updated, tablePath,
-      snap.partitionColumns)
-    // persisted CDC: preimage (delete) + postimage (insert) of ONLY
-    // the matched rows
-    val matched = readFiles(snap, touched).filter(coalesce(cond, lit(false)))
-    val post = matched.select(
-      snap.schema.fields.toSeq.map { f =>
-        set.get(f.name) match {
-          case Some(e) => expr(e).cast(f.dataType).as(f.name)
-          case None => col(quoted(f.name))
-        }
-      }: _*)
-    val cdc = LakeWriter.stageCdc(
-      matched.withColumn("_change_type", lit("delete"))
-        .unionByName(post.withColumn("_change_type", lit("insert"))),
-      tablePath)
-    commitRewrite(snap, touched, adds, "UPDATE",
-      Map("predicate" -> condition), cdc)
+        }).cast(f.dataType).as(newName(f.name))
+      } :+ matchedFlag.as("_graft_upd_matched"): _*).persist()
+    try {
+      val updated = projected.select(
+        fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
+      if (snap.metadata.constraints.nonEmpty)
+        LakeWriter.enforceConstraints(updated,
+          snap.metadata.constraints, tablePath)
+      val adds = LakeWriter.stageAndAdopt(updated, tablePath,
+        snap.partitionColumns)
+      // persisted CDC: preimage (delete) + postimage (insert) of ONLY
+      // the matched rows, read back from the same cached projection
+      val matchedRows = projected.filter(col("_graft_upd_matched"))
+      val pre = matchedRows
+        .select(fields.map(f => col(quoted(f.name))): _*)
+        .withColumn("_change_type", lit("delete"))
+      val post = matchedRows
+        .select(fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
+        .withColumn("_change_type", lit("insert"))
+      val cdc = LakeWriter.stageCdc(pre.unionByName(post), tablePath)
+      commitRewrite(snap, touched, adds, "UPDATE",
+        Map("predicate" -> condition), cdc)
+    } finally projected.unpersist()
   }
 
   /** ADD CONSTRAINT (Delta CHECK-constraint analog): the existing data

@@ -174,6 +174,28 @@ class LakeConstraintSuite extends SparkSuite {
       !java.nio.file.Files.exists(LakeLog.resolveFile(path, p))))
   }
 
+  test("UPDATE cdc postimage matches table data for non-deterministic SET") {
+    val path = tablePath("cdc-nd")
+    LakeWriter.write((1L to 20L).map(i => (i, 0.0)).toDF("id", "v")
+      .coalesce(1), path)
+    val t = LakeTable.forPath(spark, path)
+    // uuid()-style SET: a second evaluation would produce different
+    // values than the ones committed to the table
+    t.update("id <= 10", Map("v" -> "rand() + id"))         // v1
+    val tableRows = t.toDF.filter("id <= 10")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    val postimages = t.changes(1)
+      .filter("_change_type = 'insert'")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(postimages.keySet === tableRows.keySet)
+    // byte-identical, not merely statistically similar
+    postimages.foreach { case (id, v) => assert(v === tableRows(id)) }
+    // preimages are the original values
+    val pre = t.changes(1).filter("_change_type = 'delete'")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(pre.values.forall(_ == 0.0) && pre.size === 10)
+  }
+
   test("MERGE persists cdc: upsert emits preimage delete + postimage insert") {
     val path = tablePath("cdc3")
     LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k")

@@ -62,6 +62,32 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(commas.as[Long].head() === 4L) // 2 x 2 cross join
   }
 
+  test("lake VERSION AS OF rewrites even when a later occurrence is non-lake") {
+    freshTable("pt3b", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    LakeSql.sql(spark, "DELETE FROM pt3b WHERE id = 2") // v1
+    // The string literal AFTER the lake clause also matches the
+    // AS OF pattern but names no lake table; it must not stop the
+    // earlier lake clause from rewriting.
+    val got = LakeSql.sql(spark,
+      """SELECT id FROM pt3b VERSION AS OF 0
+        |WHERE k <> 'see FROM ledger VERSION AS OF 3'""".stripMargin)
+    assert(got.as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("refreshReferenced matches identifiers, not substrings") {
+    val path = freshTable("t", Seq((1L, "a", 1.0)))
+    freshTable("tx", Seq((9L, "z", 9.0)))
+    // external append: t's published view is now one snapshot behind
+    LakeWriter.write(Seq((2L, "b", 2.0)).toDF("id", "k", "v"), path)
+    // statement references only tx (and the letter t appears all over
+    // the text) -> t must NOT be refreshed
+    LakeSql.sql(spark, "SELECT id, k FROM tx WHERE k <> 'tt'").collect()
+    assert(spark.table("t").count() === 1L)
+    // statement referencing t itself does refresh it
+    assert(LakeSql.sql(spark, "SELECT id FROM t").count() === 2L)
+    LakeCatalog.drop(spark, "t"); LakeCatalog.drop(spark, "tx")
+  }
+
   test("DESCRIBE DETAIL via SQL (rapid:156-157)") {
     val path = freshTable("pt4", Seq((1L, "a", 1.0)))
     val byName = LakeSql.sql(spark, "DESCRIBE DETAIL pt4")
