@@ -2,16 +2,25 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: executes every SparkEntry query once, in
-  * registry order, against SPARK_GRAFT_SF_DIR, and prints ONE JSON
-  * line {"metric":...,"value":...,"queries":{name:sec,...}}. A small
-  * warmup action first so JIT/codegen startup isn't billed to the
-  * first query.
+/** Driver-run benchmark: executes every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints the canonical ONE-JSON-line result
+  * {"metric":"total",...} as the LAST stdout line.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 2) and
+  * reports the MIN — streaming gates mix stream/JVM startup into their
+  * first pass, and a single-pass number can show a phantom regression
+  * that is pure noise. A second JSON line {"metric":"spread",...}
+  * (printed BEFORE the canonical line) carries max-min per query so
+  * round-over-round comparisons can tell signal from variance.
+  *
+  * Optional args: query names to run (default: all), for focused
+  * profiling of one gate.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -23,22 +32,36 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
 
     val queries = SparkEntry.queries
-    val results = SparkEntry.queryOrder.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { queries(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s ${sec}%8.2f s")
-      name -> (if (ok) sec else -1.0)
+    val names =
+      if (args.nonEmpty) SparkEntry.queryOrder.filter(args.toSet)
+      else SparkEntry.queryOrder
+    val results = names.map { name =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -1.0
+      }
+      val best =
+        if (times.exists(_ < 0)) -1.0 else times.min
+      val spread =
+        if (times.exists(_ < 0)) -1.0 else times.max - times.min
+      System.err.println(
+        f"[bench] $name%-28s ${best}%8.2f s  (±$spread%.2f over $runs runs)")
+      (name, best, spread)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spread","unit":"sec","runs":$runs,"queries":${
+      jsonMap(results.map(r => r._1 -> r._3))}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      jsonMap(results.map(r => r._1 -> r._2))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

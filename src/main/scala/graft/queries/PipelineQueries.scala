@@ -152,8 +152,14 @@ object PipelineQueries {
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Structured Streaming ingest (SURVEY §2.10): raw JSON-lines files
-    // streamed into a lake table with AvailableNow + foreachBatch;
-    // result is the bronze content (deterministic counts, rows-only).
+    // streamed into a lake table with AvailableNow + foreachBatch.
+    // The bronze content is fully closed-form — the ingested slice is
+    // hours 0-7 × devices 1-10 with steps = 1000 + 37·idx mod 4000,
+    // and the dirty rows' uuid device ids are UUIDv3 (= MD5 with
+    // version/variant nibbles patched), reproducible in DuckDB from
+    // md5() — so the whole streaming spine (file-source replay, JSON
+    // round-trip, bronze metadata, txn-idempotent sink commits) is
+    // hash-checked, not rows-only.
     QueryDef("streaming_ingest",
       (s, dir) => {
         val sf = new java.io.File(dir).getName
@@ -176,6 +182,28 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_rows"),
             sum(col("event.steps")).cast("long").as("total_steps"))
       },
-      None)
+      // uuidFor(d) = java.util.UUID.nameUUIDFromBytes("graft-user-d"):
+      // md5 with hex char 13 forced to '3' (version) and char 17
+      // mapped (n & 3) | 8 (variant) — the translate() below.
+      Some("""WITH seed AS (
+             |  SELECT h, d, h * 10 + d AS idx,
+             |    1000 + (37 * (h * 10 + d)) % 4000 AS steps
+             |  FROM range(0, 8) t1(h), range(1, 11) t2(d)),
+             |uu AS (
+             |  SELECT d, md5('graft-user-' || CAST(d AS VARCHAR)) AS hx
+             |  FROM range(1, 11) t(d)),
+             |uuids AS (
+             |  SELECT d, substr(hx, 1, 8) || '-' || substr(hx, 9, 4) ||
+             |    '-3' || substr(hx, 14, 3) || '-' ||
+             |    translate(substr(hx, 17, 1),
+             |      '0123456789abcdef', '89ab89ab89ab89ab') ||
+             |    substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS u
+             |  FROM uu)
+             |SELECT CASE WHEN seed.idx % 7 = 0 THEN uuids.u
+             |            ELSE CAST(seed.d AS VARCHAR) END AS device_id,
+             |  'new' AS status, COUNT(*) AS n_rows,
+             |  CAST(SUM(seed.steps) AS BIGINT) AS total_steps
+             |FROM seed JOIN uuids ON uuids.d = seed.d
+             |GROUP BY 1, 2""".stripMargin))
   )
 }
