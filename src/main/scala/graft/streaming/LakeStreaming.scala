@@ -70,17 +70,51 @@ object LakeStreaming {
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
-  /** Inactivity-gap sessionization over (user_id, ts, value) rows via
-    * the typed `KeyValueGroupedDataset` API (SURVEY §2.10's custom-
-    * state surface): group by user, order each user's events in state,
-    * split where consecutive events are more than `gapMinutes` apart.
+  /** Inactivity-gap sessionization over (user_id, ts, value) rows —
+    * the gaps-and-islands window plan: mark session starts with lag(),
+    * number sessions with a running sum, aggregate per (user, sid).
     *
-    * Batch form (`flatMapGroups`): each group's events fit the
-    * executor that owns the key — the shuffle is one hash partition
-    * per user, state is bounded by a user's events. For the streaming
-    * form see [[sessionizeStream]].
+    * This is the 100 TB-safe batch form: ONE shuffle on user_id, the
+    * per-user ordering comes from Spark's spillable sort, and both
+    * window functions stream over the sorted iterator with O(1) frame
+    * state — no per-user materialization, so a hot key (one bot
+    * account with 10⁸ events) spills instead of OOMing the task. The
+    * typed `flatMapGroups` equivalent is kept as [[sessionizeTyped]];
+    * for the streaming form see [[sessionizeStream]].
     */
   def sessionize(
+      events: DataFrame, gapMinutes: Int,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMicros = gapMinutes * 60000000L
+    val byUser = Window.partitionBy("user_id").orderBy("tsu")
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tsu"),
+        col(valueCol).cast("double").as("value"))
+      .withColumn("new_sess",
+        when(col("tsu") - lag("tsu", 1).over(byUser) <= gapMicros, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("sid", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        timestamp_micros(min("tsu")).as("session_start"),
+        timestamp_micros(max("tsu")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("total_value"))
+      .select("user_id", "session_start", "session_end",
+        "n_events", "total_value")
+  }
+
+  /** [[sessionize]] via the typed `KeyValueGroupedDataset` API
+    * (SURVEY §2.10's custom-state surface) — the API demo. Each user's
+    * events are materialized on the executor that owns the key, so
+    * state is bounded by the largest single user; prefer [[sessionize]]
+    * for backfills where a hot key may not fit.
+    */
+  def sessionizeTyped(
       events: DataFrame, gapMinutes: Int,
       userCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {

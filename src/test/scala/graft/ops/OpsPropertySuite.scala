@@ -100,6 +100,24 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
           case _ =>
         }
       }
+      // the spill-safe window plan and the typed flatMapGroups API
+      // demo compute the same sessions, row for row
+      val typed = graft.streaming.LakeStreaming
+        .sessionizeTyped(events, gapMinutes = 45)
+        .select("user_id", "session_start", "session_end",
+          "n_events", "total_value")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().sortBy(t => (t._1, t._2.getTime)).toSeq
+      val windowed = sessions
+        .select("user_id", "session_start", "session_end",
+          "n_events", "total_value")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().sortBy(t => (t._1, t._2.getTime)).toSeq
+      assert(windowed.map(t => (t._1, t._2, t._3, t._4)) ===
+        typed.map(t => (t._1, t._2, t._3, t._4)))
+      windowed.zip(typed).foreach { case (w, t) =>
+        assert(math.abs(w._5 - t._5) < 1e-9)
+      }
     }
   }
 

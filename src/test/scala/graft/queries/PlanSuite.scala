@@ -46,6 +46,15 @@ class PlanSuite extends SparkSuite {
     assert(plan.contains("PartitionFilters: ["))
   }
 
+  test("sessionize plans as window+sort, not a group materialization") {
+    val plan = planOf("sessionize_events")
+    // gaps-and-islands: spillable sort + streaming window frames;
+    // a typed flatMapGroups plan (MapGroups over materialized groups)
+    // would OOM on one hot user at scale
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("MapGroups"), plan)
+  }
+
   test("salted join stays a shuffled equi-join on (key, salt)") {
     val plan = planOf("q21_salted_skew_join")
     // the salt must be part of the join keys (no cartesian, no BNLJ)
