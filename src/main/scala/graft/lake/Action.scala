@@ -68,11 +68,18 @@ final case class CdcFile(
     size: Long = 0L,
     numRecords: Long = -1L) extends Action
 
-/** Audit record per commit — backs DESCRIBE HISTORY (SURVEY §2 D7). */
+/** Audit record per commit — backs DESCRIBE HISTORY (SURVEY §2 D7).
+  *
+  * @param version set (≥ 0) only in aggregated history sidecars, where
+  *                the entry is divorced from its version file; inside
+  *                a version file the filename is the version and this
+  *                stays -1. Absent in older logs → default.
+  */
 final case class CommitInfo(
     timestamp: Long,
     operation: String,
-    operationParameters: Map[String, String] = Map.empty) extends Action
+    operationParameters: Map[String, String] = Map.empty,
+    version: Long = -1L) extends Action
 
 /** Idempotent-writer watermark (Delta `txn`/SetTransaction): records
   * that application `appId` has committed through `version` of ITS OWN

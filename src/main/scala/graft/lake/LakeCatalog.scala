@@ -1,48 +1,128 @@
 package graft.lake
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.SparkSession
+import org.json4s.DefaultFormats
+import org.json4s.jackson.Serialization
 
 /** Engine-level name → path catalog for lake tables (SURVEY §1.4):
   * the equivalent of the reference's metastore registration
   * (`CREATE TABLE ... USING DELTA LOCATION`, K6). Registered names are
   * exposed to Spark SQL as temp views refreshed on demand by
   * [[LakeSql]], so plain DQL over lake tables "just works".
+  *
+  * Registrations are PERSISTENT: the name → path map is written
+  * through to `_graft_catalog.json` under the warehouse directory
+  * (override with `-Dgraft.catalog.dir`), so a brand-new session —
+  * like the reference's metastore-backed `CREATE TABLE ... USING
+  * DELTA LOCATION` (etl/01:149-161, rapid:166-171) — resolves every
+  * previously registered table by name without re-registration.
+  * Writes are atomic (temp file + move); entries whose path no longer
+  * holds a lake log are pruned on load, so dead test/tmp tables
+  * self-clean instead of accumulating.
   */
 object LakeCatalog {
 
+  private implicit val formats: DefaultFormats.type = DefaultFormats
+
   private val tables = TrieMap.empty[String, String]
+  private val ioLock = new Object
+  @volatile private var loadedFrom: Option[Path] = None
+
+  private def stripScheme(dir: String): String =
+    dir.stripPrefix("file://").stripPrefix("file:")
+
+  /** Resolution order: explicit system property, the (active)
+    * session's warehouse dir, then ./spark-warehouse — the same
+    * location Spark's own embedded metastore would use.
+    */
+  private def catalogFile(spark: Option[SparkSession]): Path = {
+    val dir = sys.props.get("graft.catalog.dir")
+      .orElse(spark.orElse(SparkSession.getActiveSession)
+        .flatMap(s => s.conf.getOption("spark.sql.warehouse.dir")))
+      .getOrElse(sys.props("user.dir") + "/spark-warehouse")
+    Paths.get(stripScheme(dir), "_graft_catalog.json")
+  }
+
+  /** Merge persisted registrations into memory once per catalog file.
+    * In-memory entries win (they are newer); disk entries whose path
+    * no longer holds a lake log are dropped.
+    */
+  private def ensureLoaded(spark: Option[SparkSession]): Unit = {
+    val f = catalogFile(spark)
+    if (loadedFrom.contains(f)) return
+    ioLock.synchronized {
+      if (loadedFrom.contains(f)) return
+      if (Files.isRegularFile(f)) {
+        val disk = Serialization.read[Map[String, String]](
+          new String(Files.readAllBytes(f), "UTF-8"))
+        disk.foreach { case (n, p) =>
+          if (!tables.contains(n) && LakeTable.isLakeTable(p))
+            tables.put(n, p)
+        }
+      }
+      loadedFrom = Some(f)
+    }
+  }
+
+  private def persist(spark: Option[SparkSession]): Unit = {
+    val f = catalogFile(spark)
+    Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    Files.write(tmp, Serialization.write(tables.toMap).getBytes("UTF-8"))
+    Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Test hook: forget in-memory state so the next access re-reads the
+    * on-disk catalog — simulates a fresh JVM/session.
+    */
+  private[graft] def resetForTest(): Unit = ioLock.synchronized {
+    tables.clear()
+    loadedFrom = None
+  }
 
   /** K6 — register (or re-register) a name for a lake path. */
   def register(spark: SparkSession, name: String, path: String): Unit = {
     require(LakeTable.isLakeTable(path),
       s"$path is not a lake table (no ${LakeLog.LOG_DIR})")
-    tables.put(normalize(name), path)
+    ioLock.synchronized {
+      ensureLoaded(Some(spark))
+      tables.put(normalize(name), path)
+      persist(Some(spark))
+    }
     refreshView(spark, name)
   }
 
   /** K8 — drop the registration (data/log untouched). */
   def drop(spark: SparkSession, name: String): Unit = {
-    tables.remove(normalize(name))
+    ioLock.synchronized {
+      ensureLoaded(Some(spark))
+      tables.remove(normalize(name))
+      persist(Some(spark))
+    }
     spark.catalog.dropTempView(name)
     ()
   }
 
-  def pathOf(name: String): Option[String] = tables.get(normalize(name))
+  def pathOf(name: String): Option[String] = {
+    ensureLoaded(None)
+    tables.get(normalize(name))
+  }
 
-  def table(spark: SparkSession, name: String): LakeTable =
+  def table(spark: SparkSession, name: String): LakeTable = {
+    ensureLoaded(Some(spark))
     LakeTable.forPath(spark, pathOf(name).getOrElse(
       throw new IllegalArgumentException(
         s"lake table not registered: $name")))
+  }
 
-  def registeredNames: Seq[String] = tables.keys.toSeq.sorted
+  def registeredNames: Seq[String] = {
+    ensureLoaded(None)
+    tables.keys.toSeq.sorted
+  }
 
-  /** Re-publish the current snapshot of `name` as a temp view. Names
-    * that are not valid view identifiers (e.g. backticked names with
-    * spaces) stay resolvable through the catalog but are not SQL-view
-    * addressable — skip rather than fail the operation that triggered
-    * the refresh.
-    */
   /** Error conditions Spark raises for a name that cannot be a temp
     * view identifier — the only failures refreshView may swallow.
     */
@@ -71,6 +151,7 @@ object LakeCatalog {
     * O(tables) snapshot replays.
     */
   def refreshReferenced(spark: SparkSession, sqlText: String): Unit = {
+    ensureLoaded(Some(spark))
     if (tables.isEmpty) return
     val tokens = IdentTokenRe.findAllIn(sqlText).flatMap { t =>
       val base = t.toLowerCase.stripPrefix("`").stripSuffix("`")

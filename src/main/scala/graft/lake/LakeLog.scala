@@ -65,8 +65,11 @@ final class LakeLog(val tablePath: String) {
       }
     } finally Files.deleteIfExists(tmp)
     if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
+      // both are optimizations only — never fail the commit
       try writeCheckpoint(version)
-      catch { case NonFatal(_) => () } // checkpoint is an optimization only
+      catch { case NonFatal(_) => () }
+      try writeHistorySidecar(version)
+      catch { case NonFatal(_) => () }
     }
   }
 
@@ -83,6 +86,45 @@ final class LakeLog(val tablePath: String) {
       Files.write(tmp, lines.asJava)
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Write `<v>.history.json`: every CommitInfo through v with its
+    * version stamped — the aggregated DESCRIBE HISTORY sidecar, kept
+    * OUT of the checkpoint so snapshot replay stays O(live state).
+    * Built incrementally from the previous sidecar, so each write
+    * costs O(CHECKPOINT_INTERVAL) version reads and `history()` costs
+    * O(tail since last checkpoint) at any table age.
+    */
+  private def writeHistorySidecar(version: Long): Unit = {
+    val (prevV, prev) = latestHistoryAtOrBefore(version - 1)
+      .getOrElse((-1L, Seq.empty[CommitInfo]))
+    val entries = prev ++ ((prevV + 1) to version).flatMap { v =>
+      readVersion(v).collect { case c: CommitInfo => c.copy(version = v) }
+    }
+    val target = logDir.resolve(f"$version%020d.history.json")
+    val tmp = Files.createTempFile(logDir, s".hist-$version-", ".json")
+    try {
+      Files.write(tmp, entries.map(c => Action.toJson(c)).asJava)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Latest history sidecar at or below `version`: (version, entries). */
+  def latestHistoryAtOrBefore(version: Long): Option[(Long, Seq[CommitInfo])] = {
+    if (!Files.isDirectory(logDir)) return None
+    val s = Files.list(logDir)
+    val candidates =
+      try s.iterator.asScala
+        .filter(p => HISTORY_FILE_RE.matches(p.getFileName.toString))
+        .map(p => (p.getFileName.toString.stripSuffix(".history.json").toLong, p))
+        .filter(_._1 <= version)
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    candidates.lastOption.map { case (v, p) =>
+      (v, Files.readAllLines(p).asScala.iterator
+        .map(_.trim).filter(_.nonEmpty).map(Action.fromJson)
+        .collect { case c: CommitInfo => c }.toSeq)
+    }
   }
 
   /** Latest checkpoint at or below `version`, if any: (version, actions). */
@@ -133,6 +175,7 @@ object LakeLog {
   val CHECKPOINT_INTERVAL = 10L
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
   private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r
+  private val HISTORY_FILE_RE = "\\d{20}\\.history\\.json".r
 
   def versionOf(p: Path): Long =
     p.getFileName.toString.stripSuffix(".json").toLong

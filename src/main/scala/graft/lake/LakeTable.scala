@@ -97,24 +97,38 @@ final class LakeTable private (
   def history(): DataFrame = {
     import spark.implicits._
     val latest = log.latestVersion
-    val rows =
-      if (latest + 1 >= LakeTable.DISTRIBUTED_HISTORY_MIN_VERSIONS) {
+    // Start from the aggregated-history sidecar written at checkpoint
+    // time: only the commits SINCE the last checkpoint read their
+    // version files, so DESCRIBE HISTORY is O(tail) at any table age.
+    // Tables checkpointed before sidecars existed fall back to the
+    // full scan (distributed past the threshold).
+    val (head, from) = log.latestHistoryAtOrBefore(latest) match {
+      case Some((hv, entries)) =>
+        (entries.map(c => (c.version, new java.sql.Timestamp(c.timestamp),
+          c.operation, c.operationParameters)), hv + 1)
+      case None =>
+        (Seq.empty[(Long, java.sql.Timestamp, String, Map[String, String])],
+          0L)
+    }
+    val tail =
+      if (latest - from + 1 >= LakeTable.DISTRIBUTED_HISTORY_MIN_VERSIONS) {
         val tp = tablePath
-        spark.sparkContext.parallelize(0L to latest, 64).flatMap { v =>
+        spark.sparkContext.parallelize(from to latest, 64).flatMap { v =>
           new LakeLog(tp).readVersion(v).collect { case c: CommitInfo =>
             (v, new java.sql.Timestamp(c.timestamp), c.operation,
               c.operationParameters)
           }
-        }.collect().sortBy(-_._1).toSeq
+        }.collect().toSeq
       } else {
-        (0L to latest).flatMap { v =>
+        (from to latest).flatMap { v =>
           log.readVersion(v).collect { case c: CommitInfo =>
             (v, new java.sql.Timestamp(c.timestamp), c.operation,
               c.operationParameters)
           }
-        }.reverse
+        }
       }
-    rows.toDF("version", "timestamp", "operation", "operationParameters")
+    (head ++ tail).sortBy(-_._1)
+      .toDF("version", "timestamp", "operation", "operationParameters")
   }
 
   /** DESCRIBE DETAIL (K12). */

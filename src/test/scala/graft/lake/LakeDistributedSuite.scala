@@ -2,6 +2,7 @@ package graft.lake
 
 import graft.SparkSuite
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The driver-side stand-ins distributed in round 2: footer stats as a
   * Spark job on large commits, parallel vacuum deletes, distributed
@@ -37,6 +38,14 @@ class LakeDistributedSuite extends SparkSuite {
       log.commit(v, Seq(CommitInfo(1000000L + v, "APPEND",
         Map("i" -> v.toString))))
     }
+    // drop the aggregated sidecars: this test exercises the
+    // pre-sidecar fallback, which must go distributed past the
+    // threshold instead of a serial driver loop
+    val s = Files.list(Paths.get(path, LakeLog.LOG_DIR))
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".history.json"))
+      .foreach(Files.delete)
+    finally s.close()
     val t = LakeTable.forPath(spark, path)
     val hist = t.history()
     assert(hist.count() === 141L)
@@ -44,6 +53,30 @@ class LakeDistributedSuite extends SparkSuite {
     val versions = hist.select("version").as[Long].collect()
     assert(versions.head === 140L && versions.last === 0L)
     assert(versions.toSeq === versions.toSeq.sorted.reverse)
+  }
+
+  test("history() on a checkpointed 200-commit table reads only the tail") {
+    val path = tablePath("ckpt-hist")
+    LakeWriter.write(Seq(1L).toDF("id").coalesce(1), path) // v0, real
+    val log = new LakeLog(path)
+    (1L to 200L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(2000000L + v, "APPEND",
+        Map("i" -> v.toString))))
+    }
+    // Prove O(tail): delete the version files the sidecar covers —
+    // if history() tried to read them it would throw. Only the files
+    // after the last checkpoint (at v200, so none) may be touched.
+    (1L to 195L).foreach(v => Files.delete(log.versionFile(v)))
+    val hist = LakeTable.forPath(spark, path).history()
+    assert(hist.count() === 201L)
+    val versions = hist.select("version").as[Long].collect()
+    assert(versions.head === 200L && versions.last === 0L)
+    assert(versions.toSeq === versions.toSeq.sorted.reverse)
+    // entries carry the right audit payload, not blanks
+    val ops = hist.select("operation").distinct()
+      .as[String].collect().toSet
+    assert(ops === Set("APPEND", "WRITE") ||
+      ops.contains("APPEND"), ops.toString)
   }
 
   test("vacuum deletes 64+ tombstoned files distributed") {
