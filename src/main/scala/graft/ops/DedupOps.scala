@@ -110,15 +110,20 @@ object DedupOps {
     *
     * 100 TB shape: the shuffles key on shingle hash then (id_a, id_b) —
     * both compact longs, never text. Skew lives in stop-phrase
-    * shingles (huge k): at this corpus' distribution max k is single
-    * digits; a web-scale corpus would add prefix filtering (order each
-    * doc's shingles by global frequency and only index the first
-    * |A|−⌈t·|A|⌉+1) or a frequency cap — both standard, both exact.
+    * shingles (huge k): `prefixFilter` (default on) applies EXACT
+    * prefix filtering — order each doc's shingles by ascending global
+    * frequency and index only the first |A|−⌈t·|A|⌉+1. By the prefix
+    * filtering theorem (Bayardo et al., "Scaling Up All Pairs", WWW'07:
+    * two sets with J ≥ t must share a shingle within both frequency-
+    * ordered prefixes), candidate generation stays lossless while the
+    * hottest (most frequent) shingles drop out of the index first —
+    * the Σk² term is computed over prefix postings, not full postings.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       groupCol: String = null, n: Int = 3,
-      minJaccard: Double = 0.2): DataFrame = {
+      minJaccard: Double = 0.2,
+      prefixFilter: Boolean = true): DataFrame = {
     require(minJaccard > 0, "minJaccard must be > 0 for lossless " +
       "share-a-shingle candidate generation")
     val grp = Option(groupCol)
@@ -128,18 +133,50 @@ object DedupOps {
     val exploded = docs.select(
       (Seq(col("__id"), size(col("__sh")).as("__sz")) ++
         grp.map(_ => col("__g")).toSeq) :+ explode(col("__sh")).as("__s"): _*)
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    val joinCond = grp.foldLeft(
-      col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))(
-      (c, _) => c && col("a.__g") === col("b.__g"))
-    val inter = a.join(b, joinCond)
-      .groupBy(col("a.__id").as("id_a"), col("a.__sz").as("sz_a"),
-        col("b.__id").as("id_b"), col("b.__sz").as("sz_b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .withColumn("jaccard",
-        col("c") / (col("sz_a") + col("sz_b") - col("c")))
+    def pairJoin(index: DataFrame): DataFrame = {
+      val joinCond = grp.foldLeft(
+        col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))(
+        (c, _) => c && col("a.__g") === col("b.__g"))
+      index.as("a").join(index.as("b"), joinCond)
+        .select(col("a.__id").as("id_a"), col("a.__sz").as("sz_a"),
+          col("b.__id").as("id_b"), col("b.__sz").as("sz_b"))
+    }
+    val scored =
+      if (!prefixFilter) {
+        // full inverted index: ONE groupBy counts each candidate
+        // pair's intersection size directly (no array intersect)
+        pairJoin(exploded)
+          .groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("jaccard",
+            col("c") / (col("sz_a") + col("sz_b") - col("c")))
+      } else {
+        // prefix filtering: attach global shingle frequencies, keep
+        // each doc's |A|−⌈t·|A|⌉+1 LEAST-frequent shingles as its
+        // indexed prefix, join prefixes, then verify the (much
+        // smaller) candidate set with an exact set intersection.
+        val freq = exploded.groupBy(col("__s"))
+          .agg(count(lit(1)).as("__f"))
+        val prefix = exploded.join(freq, "__s")
+          .groupBy(
+            (Seq(col("__id"), col("__sz")) ++ grp.map(_ => col("__g"))): _*)
+          .agg(sort_array(collect_list(struct(col("__f"), col("__s"))))
+            .as("__fs"))
+          .withColumn("__plen",
+            (col("__sz") - ceil(lit(minJaccard) * col("__sz")) + 1)
+              .cast("int"))
+          .select(
+            (Seq(col("__id"), col("__sz")) ++ grp.map(_ => col("__g"))) :+
+              explode(transform(
+                slice(col("__fs"), lit(1), col("__plen")),
+                fs => fs.getField("__s"))).as("__s"): _*)
+        val cand = pairJoin(prefix).dropDuplicates("id_a", "id_b")
+        val sa = docs.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+        val sb = docs.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+        cand.join(sa, "id_a").join(sb, "id_b")
+          .withColumn("jaccard", jaccardFromShingles(col("sh_a"), col("sh_b")))
+      }
+    scored
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -49,6 +49,33 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     }
   }
 
+  test("prefix filtering is exact on a stop-phrase-skewed corpus") {
+    forAll(Table(("seed", "n"), (4, 60), (19, 90))) { (seed, n) =>
+      val rnd = new Random(seed)
+      val vocab = (0 until 30).map(i => s"w$i")
+      // 70% of docs embed the same hot stop phrase — the skew that
+      // makes full-posting inverted indexes quadratic on the web
+      val stop = "the quick brown fox jumps over the lazy dog again"
+      val docs = (0 until n).map { i =>
+        val len = 6 + rnd.nextInt(25)
+        val toks = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        val text =
+          if (rnd.nextDouble() < 0.7) {
+            val cut = rnd.nextInt(toks.size)
+            (toks.take(cut) ++ stop.split(" ") ++ toks.drop(cut))
+              .mkString(" ")
+          } else toks.mkString(" ")
+        (i.toLong, text)
+      }
+      val df = docs.toDF("doc_id", "text")
+      def run(filtered: Boolean) =
+        DedupOps.ngramJaccardPairs(df, "text", "doc_id",
+            n = 3, minJaccard = 0.25, prefixFilter = filtered)
+          .as[(Long, Long, Double)].collect().toSet
+      assert(run(true) === run(false))
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     forAll(Table(("seed", "salt"), (3, 2), (9, 8), (21, 16))) { (seed, salt) =>
       val rnd = new Random(seed)
