@@ -91,11 +91,15 @@ object SimilarityOps {
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       qidCol: String = "qid", idCol: String = "id",
-      vecCol: String = "vec"): DataFrame = {
+      vecCol: String = "vec",
+      refineIterations: Int = 0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
-    val centroids = broadcast(c.orderBy("__id").limit(nlist)
-      .select(col("__id").as("__cid"), col("__cv").as("__cent")))
+    val centroids =
+      if (refineIterations <= 0)
+        broadcast(c.orderBy("__id").limit(nlist)
+          .select(col("__id").as("__cid"), col("__cv").as("__cent")))
+      else broadcast(kmeansCentroids(c, nlist, refineIterations))
     val assigned = c.crossJoin(centroids)
       .withColumn("__sim", cosine(col("__cv"), col("__cent")))
       .groupBy("__id")
@@ -119,6 +123,74 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("__qid").as("qid"), col("rank"),
         col("__id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Sampled, deterministic k-means centroids for [[ivfTopK]]'s
+    * `refineIterations` option. First-n-by-id centroids are fine for
+    * near-random embeddings, but on CLUSTERED real-world data they can
+    * all land inside one cluster: cell assignment then rides on noise
+    * dot-products, a perturbed query probes different cells than its
+    * source, and recall collapses. This path fixes that without RNG
+    * (same corpus → same centroids, re-runnable and oracle-friendly):
+    *
+    *  1. sample ~8·nlist candidates by xxhash64(id) order — the
+    *     deterministic stand-in for k-means||'s random oversampling;
+    *  2. greedy farthest-point seeding over the candidates (driver
+    *     side: the sample is metadata-sized) — one seed per real
+    *     cluster with high probability;
+    *  3. `iters` distributed Lloyd steps: broadcast-assign (one corpus
+    *     pass, max_by argmax), per-dimension mean via posexplode +
+    *     partial-aggregating groupBy. Empty cells keep their previous
+    *     centroid. Per step: one corpus scan + a shuffle of
+    *     nlist × dims rows — nothing driver-sized but the centroids.
+    */
+  private[graft] def kmeansCentroids(
+      c: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val sample = c.withColumn("__h", xxhash64(col("__id")))
+      .orderBy("__h").limit(math.max(8 * nlist, 64))
+      .select("__cv").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    def cosv(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (chosen.size < nlist && chosen.size < sample.length) {
+      chosen += sample.minBy(v => chosen.map(cosv(v, _)).max)
+    }
+    var cents: Seq[(Long, Seq[Double])] =
+      chosen.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    (1 to iters).foreach { _ =>
+      val cdf = broadcast(cents.toDF("__cid", "__cent")
+        .withColumn("__centf",
+          transform(col("__cent"), x => x.cast("float"))))
+      val updated = c.crossJoin(cdf)
+        .withColumn("__sim", cosine(col("__cv"), col("__centf")))
+        .groupBy("__id")
+        .agg(max_by(col("__cid"), col("__sim")).as("__cid"),
+          first(col("__cv")).as("__cv"))
+        .select(col("__cid"), posexplode(col("__cv")))
+        .toDF("__cid", "__pos", "__x")
+        .groupBy("__cid", "__pos").agg(avg("__x").as("__m"))
+        .groupBy("__cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("__cent"))
+        .as[(Long, Seq[Double])].collect().toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
+    }
+    cents.toDF("__cid", "__cent")
+      .select(col("__cid"),
+        transform(col("__cent"), x => x.cast("float")).as("__cent"))
   }
 
   /** Approximate top-k: score only within the query's hyperplane

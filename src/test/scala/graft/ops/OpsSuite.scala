@@ -75,6 +75,48 @@ class OpsSuite extends SparkSuite {
     assert(found.count() === 20)
   }
 
+  test("IVF on clustered data: k-means centroids rescue first-n recall") {
+    // 16 clusters around orthogonal directions, corpus ids SORTED BY
+    // CLUSTER — the first nlist ids all sit inside cluster 0, the
+    // degenerate case for training-free first-n centroids. With point
+    // noise sized so the noise dot-product term rivals the cluster
+    // term, a cluster's members scatter across many noise-defined
+    // cells: a query's nprobe cells can't cover its true top-k and
+    // recall@k collapses. Deterministic k-means centroids put each
+    // cluster back in one cell and recall recovers.
+    val rnd = new scala.util.Random(7)
+    val d = 32; val kClusters = 16; val perCluster = 50
+    def point(j: Int): Array[Float] = {
+      val v = Array.fill(d)(rnd.nextGaussian() * 0.22)
+      v(j) += 1.0f
+      v.map(_.toFloat)
+    }
+    val corpusRows = (0 until kClusters).flatMap { j =>
+      (0 until perCluster).map(i => ((j * perCluster + i).toLong, point(j)))
+    }
+    val corpus = corpusRows.toDF("id", "vec")
+    val queryRows = corpusRows.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 1000000L, v.zipWithIndex.map { case (x, i) =>
+        (x * (1.0 + 0.1 * math.sin(id * 31 + i))).toFloat })
+    }
+    val queries = queryRows.toDF("qid", "vec")
+    val truth = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(refine: Int): Double = {
+      val got = SimilarityOps.ivfTopK(queries, corpus, k = 5,
+          nlist = 16, nprobe = 4, refineIterations = refine)
+        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val firstN = recallOf(0)
+    val kmeans = recallOf(3)
+    info(f"clustered recall@5: first-n $firstN%.3f vs k-means $kmeans%.3f")
+    assert(firstN < 0.9,
+      f"fixture too easy: first-n recall $firstN%.3f should collapse")
+    assert(kmeans >= 0.9,
+      f"k-means refinement failed to hold recall: $kmeans%.3f")
+  }
+
   test("language id picks the profile language on planted stopwords") {
     val df = Seq(
       (1L, "the cat sat on the mat and the dog"),
