@@ -186,6 +186,50 @@ object LakeQueries {
              |  COUNT(*) AS n_rows,
              |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
              |FROM changes
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Streaming CHANGE FEED (round 3): the same versioned DML as
+    // lake_changes, but the change rows are DELIVERED through
+    // readStream.format("lake").option("readChangeFeed") into a lake
+    // sink with AvailableNow — gating the incremental-CDC path
+    // (version offsets, per-batch change computation, exactly-once
+    // sink) against the identical closed-form oracle.
+    QueryDef("streaming_lake_cdf",
+      (s, dir) => {
+        val root = scratch("streaming_lake_cdf", dir)
+        val (path, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+        val c = table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        LakeWriter.write(c.filter("c_custkey % 2 = 0"), path) // v0
+        LakeWriter.write(c.filter("c_custkey % 2 = 1"), path) // v1
+        LakeTable.forPath(s, path)
+          .delete("c_mktsegment = 'BUILDING'")                // v2
+        val q = s.readStream.format("lake")
+          .option("readChangeFeed", "true").load(path)
+          .writeStream.format("lake")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination(120000)
+        LakeTable.forPath(s, out).toDF
+          .groupBy("_commit_version", "_change_type", "c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("c_custkey")).cast("long").as("key_sum"))
+      },
+      Some("""WITH changes AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(c_custkey % 2 = 1 AS BIGINT) AS _commit_version,
+             |    'insert' AS _change_type
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(2 AS BIGINT) AS _commit_version,
+             |    'delete' AS _change_type
+             |  FROM customer WHERE c_mktsegment = 'BUILDING')
+             |SELECT _commit_version, _change_type, c_mktsegment,
+             |  COUNT(*) AS n_rows,
+             |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+             |FROM changes
              |GROUP BY 1, 2, 3""".stripMargin))
   )
 }

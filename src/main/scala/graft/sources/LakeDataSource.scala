@@ -41,9 +41,22 @@ final class LakeDataSource extends RelationProvider
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      schema.getOrElse(new LakeLog(pathOf(parameters)).snapshot().schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base =
+      schema.getOrElse(new LakeLog(pathOf(parameters)).snapshot().schema)
+    // the change feed carries two extra audit columns — the relation
+    // schema must agree with LakeStreamSource.schema or micro-batch
+    // planning rejects the batch
+    val resolved =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType)))
+      else base
+    (shortName(), resolved)
+  }
 
   override def createSource(
       sqlContext: SQLContext,

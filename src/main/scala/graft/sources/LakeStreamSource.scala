@@ -33,6 +33,12 @@ final case class LakeStreamOffset(version: Long) extends OffsetV1 {
   *    downstream must dedupe on key). Without these, a non-append
   *    commit fails the stream: an append-only source must not
   *    silently drop or duplicate.
+  *  - `readChangeFeed` (bool) — deliver the CHANGE FEED instead of
+  *    the data: each batch carries the row-level changes
+  *    (`_change_type` insert/delete, `_commit_version`) of the new
+  *    versions, computed like batch `changes()` (persisted CDC files
+  *    when present, read-time diff otherwise). DML commits are the
+  *    point here, so the non-append guards don't apply.
   *
   * 100 TB shape: getOffset is one log-tail stat; getBatch ships only
   * the new files' paths into a parquet scan (pruning, vectorized read,
@@ -66,7 +72,17 @@ final class LakeStreamSource(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset =
     getOffset.orNull
-  override val schema: StructType = log.snapshot().schema
+  private val readChangeFeed =
+    options.get("readChangeFeed").exists(_.toBoolean)
+
+  override val schema: StructType =
+    if (readChangeFeed)
+      StructType(log.snapshot().schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+    else log.snapshot().schema
 
   private val startingVersion: Long =
     options.get("startingVersion").map(_.toLong).getOrElse(0L)
@@ -115,6 +131,7 @@ final class LakeStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromExclusive = start.map(versionOf).getOrElse(startingVersion - 1)
     val toInclusive = versionOf(end)
+    if (readChangeFeed) return changeFeedBatch(fromExclusive, toInclusive)
     val adds = Seq.newBuilder[AddFile]
     ((fromExclusive + 1) to toInclusive).foreach { v =>
       val actions = log.readVersion(v)
@@ -174,6 +191,28 @@ final class LakeStreamSource(
       StreamingShim.streamingDataFrame(spark,
         batch.queryExecution.toRdd, schema)
     }
+  }
+
+  /** One change-feed micro-batch: the row-level changes of versions
+    * (from, to], via the same plan as batch `changes()` — persisted
+    * CDC parquet when the commit wrote it, read-time diff otherwise.
+    * Delivered columns are pinned to the source's declared schema so
+    * mid-stream evolution cannot shift them.
+    */
+  private def changeFeedBatch(
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    deliveredThrough =
+      math.max(deliveredThrough, math.max(fromExclusive, toInclusive))
+    if (fromExclusive + 1 > toInclusive) {
+      return StreamingShim.streamingDataFrame(spark,
+        spark.sparkContext.emptyRDD, schema)
+    }
+    val cdf = graft.lake.LakeTable.forPath(spark, tablePath)
+      .changes(fromExclusive + 1, toInclusive)
+      .select(schema.fieldNames.map(
+        n => org.apache.spark.sql.functions.col(s"`$n`")): _*)
+    StreamingShim.streamingDataFrame(spark,
+      cdf.queryExecution.toRdd, schema)
   }
 
   private def versionOf(o: OffsetV1): Long = o match {

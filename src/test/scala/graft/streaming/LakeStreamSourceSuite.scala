@@ -189,6 +189,43 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(ids === Array(2L, 3L, 4L))
   }
 
+  test("readChangeFeed streams row-level changes incrementally") {
+    val src = tablePath("ss-cdf-src")
+    LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .coalesce(1), src)                                         // v0
+    LakeWriter.write(Seq((3L, "c")).toDF("id", "k")
+      .coalesce(1), src)                                         // v1
+    LakeTable.forPath(spark, src).update("id = 2", Map("k" -> "'B'")) // v2
+    val dst = tablePath("ss-cdf-dst")
+    val ckpt = tmpDir("ss-cdf-ck")
+    def drain(): Unit = {
+      val q = spark.readStream.format("lake")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("lake")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(120000)
+      ()
+    }
+    drain()
+    def delivered() = LakeTable.forPath(spark, dst).toDF
+      .select("_commit_version", "_change_type", "id", "k")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(delivered() === Set(
+      (0L, "insert", 1L, "a"), (0L, "insert", 2L, "b"),
+      (1L, "insert", 3L, "c"),
+      (2L, "delete", 2L, "b"), (2L, "insert", 2L, "B")))
+    // incremental: one more DML, same checkpoint -> only the delta
+    LakeTable.forPath(spark, src).delete("id = 1")               // v3
+    drain()
+    assert(delivered() === Set(
+      (0L, "insert", 1L, "a"), (0L, "insert", 2L, "b"),
+      (1L, "insert", 3L, "c"),
+      (2L, "delete", 2L, "b"), (2L, "insert", 2L, "B"),
+      (3L, "delete", 1L, "a")))
+  }
+
   test("streaming sessionization: closed sessions emitted from state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
