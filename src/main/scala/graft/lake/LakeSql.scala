@@ -65,7 +65,8 @@ object LakeSql {
       """\(?\s*(\w+)\s+([\w()<>,\s]+?)\s*\)?\s*""").r
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
-      """(?:\s+BY\s*\((.+?)\))?\s*""").r
+      """(?:\s+(ZORDER\s+)?BY\s*\((.+?)\))?\s*""").r
+  private val SHOW_TABLES_RE = """(?is)\s*SHOW\s+(?:LAKE\s+)?TABLES\s*""".r
 
   /** Execute a SQL statement, lake-aware. Returns a DataFrame (empty
     * for DML, matching `spark.sql` conventions).
@@ -74,6 +75,14 @@ object LakeSql {
     case MERGE_PREFIX_RE() =>
       runMergeText(spark, sqlText)
       emptyDF(spark)
+
+    // every registered lake table (the persistent catalog), with its
+    // location — the engine-side complement of Spark's SHOW TABLES
+    case SHOW_TABLES_RE() =>
+      import spark.implicits._
+      LakeCatalog.registeredNames
+        .map(n => (n, LakeCatalog.pathOf(n).getOrElse("")))
+        .toDF("tableName", "location")
 
     case DESCRIBE_HISTORY_RE(t) =>
       resolve(spark, clean(t)).history()
@@ -152,12 +161,13 @@ object LakeSql {
       runUpdateText(spark, sqlText)
       emptyDF(spark)
 
-    case OPTIMIZE_RE(t, byCols) =>
+    case OPTIMIZE_RE(t, zorder, byCols) =>
       val table = resolve(spark, clean(t))
       Option(byCols) match {
         case Some(cols) =>
           table.compactClustered(
-            cols.split(",").map(c => clean(c.trim)).toSeq)
+            cols.split(",").map(c => clean(c.trim)).toSeq,
+            zOrder = Option(zorder).isDefined)
         case None => table.compact()
       }
       LakeCatalog.refreshView(spark, clean(t))

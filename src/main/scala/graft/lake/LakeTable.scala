@@ -506,21 +506,27 @@ final class LakeTable private (
     }
   }
 
-  /** Clustered compaction — `OPTIMIZE t BY (cols)`, the engine's
-    * analog of Delta's OPTIMIZE ZORDER: rewrite the table
-    * range-partitioned and sorted by `clusterBy`, so each output file
-    * covers a narrow slice of the clustering key space. Per-file
-    * min/max stats then make `FilePruner`/`LakeFileIndex` skipping
-    * selective on those columns — for a 100 TB table this is THE lever
-    * that turns a non-partition-column predicate from a full scan into
-    * a few file reads (linear clustering is optimal for one column,
-    * good for a small set; interleaved bits would generalize further).
-    * Identity rewrite: same rows, one atomic commit, time travel to
-    * the unclustered version still works.
+  /** Clustered compaction — `OPTIMIZE t BY (cols)` /
+    * `OPTIMIZE t ZORDER BY (cols)`: rewrite the table range-partitioned
+    * and sorted by the clustering key, so each output file covers a
+    * narrow slice of the key space. Per-file min/max stats then make
+    * `FilePruner`/`LakeFileIndex` skipping selective on those columns —
+    * for a 100 TB table this is THE lever that turns a non-partition-
+    * column predicate from a full scan into a few file reads. Identity
+    * rewrite: same rows, one atomic commit, time travel to the
+    * unclustered version still works.
+    *
+    * `zOrder = false` clusters lexicographically: optimal for the
+    * FIRST column, nothing for the rest. `zOrder = true` clusters on
+    * the interleaved-bit Morton key ([[ZOrder.zOrderKey]], the Delta
+    * ZORDER analog), giving every clustered column partial min/max
+    * locality — the right choice when queries filter the columns
+    * independently.
     */
   def compactClustered(
       clusterBy: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zOrder: Boolean = false): Unit = {
     require(clusterBy.nonEmpty, "compactClustered needs cluster columns")
     val snap = snapshot()
     if (snap.files.isEmpty) return
@@ -530,14 +536,23 @@ final class LakeTable private (
     }
     val numOut = math.max(1,
       math.ceil(snap.sizeInBytes.toDouble / targetFileBytes).toInt)
-    val sortCols = clusterBy.map(c => col(quoted(c)))
-    val clustered = snap.toDF(spark)
-      .repartitionByRange(numOut, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+    val df = snap.toDF(spark)
+    val clustered =
+      if (zOrder && clusterBy.size > 1) {
+        df.withColumn("__zkey", ZOrder.zOrderKey(df, clusterBy))
+          .repartitionByRange(numOut, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      } else {
+        val sortCols = clusterBy.map(c => col(quoted(c)))
+        df.repartitionByRange(numOut, sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+      }
     val adds = LakeWriter.stageAndAdopt(clustered, tablePath,
       snap.partitionColumns)
     commitRewrite(snap, snap.files.map(_.path), adds, "OPTIMIZE",
       Map("clusterBy" -> clusterBy.mkString(","),
+        "zOrder" -> (zOrder && clusterBy.size > 1).toString,
         "numFilesRemoved" -> snap.files.size.toString,
         "numFilesAdded" -> adds.size.toString))
   }

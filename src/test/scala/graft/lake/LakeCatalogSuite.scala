@@ -52,6 +52,22 @@ class LakeCatalogSuite extends SparkSuite {
     }
   }
 
+  test("SHOW TABLES lists registered lake tables with locations") {
+    withCatalogDir {
+      LakeCatalog.resetForTest()
+      val p1 = tablePath("show-a")
+      val p2 = tablePath("show-b")
+      LakeWriter.write(Seq(1L).toDF("id"), p1)
+      LakeWriter.write(Seq(2L).toDF("id"), p2)
+      LakeCatalog.register(spark, "show_a", p1)
+      LakeCatalog.register(spark, "show_b", p2)
+      val got = LakeSql.sql(spark, "SHOW TABLES")
+        .as[(String, String)].collect().toMap
+      assert(got.get("show_a").contains(p1))
+      assert(got.get("show_b").contains(p2))
+    }
+  }
+
   test("stale entries (path no longer a lake table) are pruned on load") {
     withCatalogDir {
       LakeCatalog.resetForTest()
