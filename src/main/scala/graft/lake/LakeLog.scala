@@ -65,12 +65,35 @@ final class LakeLog(val tablePath: String) {
       }
     } finally Files.deleteIfExists(tmp)
     if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
-      // both are optimizations only — never fail the commit
+      // all three are optimizations only — never fail the commit
       try writeCheckpoint(version)
       catch { case NonFatal(_) => () }
       try writeHistorySidecar(version)
       catch { case NonFatal(_) => () }
+      try cleanupAuxFiles(version)
+      catch { case NonFatal(_) => () }
     }
+  }
+
+  /** Drop checkpoints/history sidecars older than the newest
+    * [[LakeLog.RETAINED_AUX]]. They are pure accelerators — replay and
+    * history() fall back to version files, which are never deleted
+    * here — but each is O(live state)/O(commits) big, so at
+    * CHECKPOINT_INTERVAL cadence an old table would otherwise carry
+    * O(versions) of them. Delta's log-retention cleanup analog.
+    */
+  private def cleanupAuxFiles(latest: Long): Unit = {
+    val keepFrom = latest - (RETAINED_AUX - 1) * CHECKPOINT_INTERVAL
+    val s = Files.list(logDir)
+    try s.iterator.asScala.foreach { p =>
+      val n = p.getFileName.toString
+      val stale =
+        (CHECKPOINT_FILE_RE.matches(n) &&
+          n.stripSuffix(".checkpoint.json").toLong < keepFrom) ||
+        (HISTORY_FILE_RE.matches(n) &&
+          n.stripSuffix(".history.json").toLong < keepFrom)
+      if (stale) Files.deleteIfExists(p)
+    } finally s.close()
   }
 
   /** Write `<v>.checkpoint.json`: the full replayed state at v. */
@@ -173,6 +196,8 @@ object LakeLog {
     if (filePath.startsWith("/")) java.nio.file.Paths.get(filePath)
     else java.nio.file.Paths.get(tablePath, filePath)
   val CHECKPOINT_INTERVAL = 10L
+  /** Newest checkpoints/history sidecars kept by the log cleanup. */
+  val RETAINED_AUX = 3L
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
   private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r
   private val HISTORY_FILE_RE = "\\d{20}\\.history\\.json".r

@@ -25,9 +25,11 @@ import graft.lake.{LakeLog, LakeWriter, Snapshot}
   * parquet reader, predicate pushdown, and schema null-filling for
   * pre-evolution files all apply unchanged.
   *
-  * Options: `versionAsOf` (time travel, S6). Writes honor
-  * `SaveMode.Append`/`Overwrite`, `mergeSchema`, and the partitioning
-  * columns passed by `DataFrameWriter.partitionBy`.
+  * Read options: `versionAsOf` / `timestampAsOf` (time travel, S6).
+  * Writes honor `SaveMode.Append`/`Overwrite`, `mergeSchema`, the
+  * partitioning columns passed by `DataFrameWriter.partitionBy`, and
+  * `txnAppId`+`txnVersion` (idempotent-writer watermark: a replayed
+  * pair skips the write).
   */
 final class LakeDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
@@ -83,7 +85,12 @@ final class LakeDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        graft.lake.LakeTable.forPath(spark, path)
+          .versionAtTimestamp(java.sql.Timestamp.valueOf(ts).getTime)
+      })
+      .getOrElse(-1L)
     val snap = new LakeLog(path).snapshot(version)
     relationFor(spark, snap, parameters)
   }
@@ -106,10 +113,17 @@ final class LakeDataSource extends RelationProvider
           return createRelation(sqlContext, parameters)
         } else "append"
     }
+    // idempotent-writer options (Delta txnAppId/txnVersion parity):
+    // a replayed (appId, version) pair skips the write
+    val txn = for {
+      appId <- parameters.get("txnAppId")
+      v <- parameters.get("txnVersion")
+    } yield (appId, v.toLong)
     LakeWriter.write(
       data, path, mode = writeMode,
       partitionBy = partitionColumnsOf(parameters),
-      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+      transaction = txn)
     createRelation(sqlContext, parameters)
   }
 

@@ -42,6 +42,28 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(v0.count() === 100L)
     assert(v0.agg(org.apache.spark.sql.functions.max("id"))
       .as[Long].head() === 100L)
+
+    // timestampAsOf resolves the commit at-or-before the timestamp
+    val v0time = new LakeLog(path).readVersion(0)
+      .collectFirst { case c: CommitInfo => c.timestamp }.get
+    val byTs = spark.read.format("lake")
+      .option("timestampAsOf", new java.sql.Timestamp(v0time).toString)
+      .load(path)
+    assert(byTs.count() === 100L)
+  }
+
+  test("write options txnAppId/txnVersion make batch writes idempotent") {
+    val path = tablePath("dsv2txn")
+    def writeOnce(batch: Long): Unit =
+      Seq(batch * 10).toDF("id").write.format("lake").mode("append")
+        .option("txnAppId", "loader").option("txnVersion", batch.toString)
+        .save(path)
+    writeOnce(1)
+    writeOnce(1) // replay of the same (appId, version): skipped
+    writeOnce(2)
+    assert(LakeTable.forPath(spark, path).toDF.count() === 2L)
+    assert(LakeTable.forPath(spark, path)
+      .snapshot().transactions.get("loader").contains(2L))
   }
 
   test("format(\"lake\") write: append, overwrite, partitionBy") {

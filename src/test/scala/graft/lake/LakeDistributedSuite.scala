@@ -79,6 +79,31 @@ class LakeDistributedSuite extends SparkSuite {
       ops.contains("APPEND"), ops.toString)
   }
 
+  test("old checkpoints/history sidecars cleaned up; newest retained") {
+    val path = tablePath("aux-clean")
+    LakeWriter.write(Seq(1L).toDF("id").coalesce(1), path) // v0
+    val log = new LakeLog(path)
+    (1L to 50L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(3000000L + v, "APPEND",
+        Map("i" -> v.toString))))
+    }
+    def auxVersions(suffix: String): Set[Long] = {
+      val s = Files.list(Paths.get(path, LakeLog.LOG_DIR))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix).toLong).toSet
+      finally s.close()
+    }
+    // only the newest RETAINED_AUX of each remain
+    assert(auxVersions(".checkpoint.json") === Set(30L, 40L, 50L))
+    assert(auxVersions(".history.json") === Set(30L, 40L, 50L))
+    val t = LakeTable.forPath(spark, path)
+    // time travel BELOW the oldest retained checkpoint still works:
+    // replay falls back to the (never deleted) version files
+    assert(t.asOf(5).count() === 1L)
+    // and history is still complete through the newest sidecar
+    assert(t.history().count() === 51L)
+  }
+
   test("vacuum deletes 64+ tombstoned files distributed") {
     val path = tablePath("dist-vac")
     Files.createDirectories(Paths.get(path))
