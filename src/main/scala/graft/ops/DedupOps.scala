@@ -103,27 +103,45 @@ object DedupOps {
     * `minJaccard > 0` — a pair with J > 0 shares at least one shingle,
     * so candidate generation is lossless — but the cost is
     * Σ_shingle k² (k = docs containing that shingle) instead of
-    * O(docs²): explode to (shingle, id), self-join per shingle bucket,
-    * then ONE groupBy counts each pair's intersection size directly
-    * (no per-pair array intersect at all). Jaccard follows from
-    * |A∩B| / (|A| + |B| − |A∩B|).
+    * O(docs²).
     *
-    * 100 TB shape: the shuffles key on shingle hash then (id_a, id_b) —
-    * both compact longs, never text. Skew lives in stop-phrase
-    * shingles (huge k): `prefixFilter` (default on) applies EXACT
-    * prefix filtering — order each doc's shingles by ascending global
-    * frequency and index only the first |A|−⌈t·|A|⌉+1. By the prefix
-    * filtering theorem (Bayardo et al., "Scaling Up All Pairs", WWW'07:
-    * two sets with J ≥ t must share a shingle within both frequency-
-    * ordered prefixes), candidate generation stays lossless while the
-    * hottest (most frequent) shingles drop out of the index first —
-    * the Σk² term is computed over prefix postings, not full postings.
+    * The index is ADAPTIVE, split by posting length at `hotThreshold`:
+    *
+    *  - COLD shingles (posting length ≤ `hotThreshold`): the direct
+    *    path — explode to (shingle, id), self-join per shingle bucket,
+    *    then ONE groupBy counts each pair's shared-cold-shingle count
+    *    (no per-pair array work). The pair's full intersection is that
+    *    count plus an `array_intersect` of the two docs' (usually
+    *    empty) hot-shingle arrays.
+    *  - HOT shingles (stop-phrase skew, huge k): EXACT prefix
+    *    filtering (Bayardo et al., "Scaling Up All Pairs", WWW'07) —
+    *    order each doc's shingles by ascending frequency, index only
+    *    the first |A|−⌈t·|A|⌉+1, and of those only the hot ones (a
+    *    pair sharing any cold shingle is already covered by the cold
+    *    path; a pair sharing ONLY hot shingles must, by the prefix
+    *    theorem, share a hot shingle inside both prefixes). Candidates
+    *    are verified with an exact set intersection.
+    *
+    * Both paths are exact, so their union (deduplicated) equals the
+    * naive all-pairs join for ANY threshold: `hotThreshold =
+    * Int.MaxValue` degenerates to the pure direct path,
+    * `hotThreshold = 0` to pure prefix filtering.
+    *
+    * 100 TB shape: shuffles key on shingle hash then (id_a, id_b) —
+    * compact longs, never text. The Σk² term is bounded by
+    * `hotThreshold`·postings on the cold side, and on the hot side
+    * arises only for docs whose frequency-ordered prefix reaches into
+    * hot territory — i.e. docs composed almost entirely of
+    * stop-phrases, exactly the ones that are near-dups of each other.
+    * On an unskewed corpus the hot branch's build sides are empty and
+    * AQE eliminates the joins, so the plan collapses to the direct
+    * path plus one window count.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       groupCol: String = null, n: Int = 3,
       minJaccard: Double = 0.2,
-      prefixFilter: Boolean = true): DataFrame = {
+      hotThreshold: Int = 64): DataFrame = {
     require(minJaccard > 0, "minJaccard must be > 0 for lossless " +
       "share-a-shingle candidate generation")
     val grp = Option(groupCol)
@@ -133,6 +151,14 @@ object DedupOps {
     val exploded = docs.select(
       (Seq(col("__id"), size(col("__sh")).as("__sz")) ++
         grp.map(_ => col("__g")).toSeq) :+ explode(col("__sh")).as("__s"): _*)
+    // Posting length per shingle (per group — pairs never cross
+    // groups) via ONE shuffle-on-shingle window; the window's sort
+    // order doubles as the cold self-join's SMJ order, so the join
+    // below adds no exchange and no re-sort.
+    val postingKeys = col("__s") +: grp.map(_ => col("__g")).toSeq
+    val withF = exploded.withColumn("__f",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(postingKeys: _*)))
     def pairJoin(index: DataFrame): DataFrame = {
       val joinCond = grp.foldLeft(
         col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))(
@@ -141,43 +167,55 @@ object DedupOps {
         .select(col("a.__id").as("id_a"), col("a.__sz").as("sz_a"),
           col("b.__id").as("id_b"), col("b.__sz").as("sz_b"))
     }
-    val scored =
-      if (!prefixFilter) {
-        // full inverted index: ONE groupBy counts each candidate
-        // pair's intersection size directly (no array intersect)
-        pairJoin(exploded)
-          .groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("jaccard",
-            col("c") / (col("sz_a") + col("sz_b") - col("c")))
-      } else {
-        // prefix filtering: attach global shingle frequencies, keep
-        // each doc's |A|−⌈t·|A|⌉+1 LEAST-frequent shingles as its
-        // indexed prefix, join prefixes, then verify the (much
-        // smaller) candidate set with an exact set intersection.
-        val freq = exploded.groupBy(col("__s"))
-          .agg(count(lit(1)).as("__f"))
-        val prefix = exploded.join(freq, "__s")
-          .groupBy(
-            (Seq(col("__id"), col("__sz")) ++ grp.map(_ => col("__g"))): _*)
-          .agg(sort_array(collect_list(struct(col("__f"), col("__s"))))
-            .as("__fs"))
-          .withColumn("__plen",
-            (col("__sz") - ceil(lit(minJaccard) * col("__sz")) + 1)
-              .cast("int"))
-          .select(
-            (Seq(col("__id"), col("__sz")) ++ grp.map(_ => col("__g"))) :+
-              explode(transform(
-                slice(col("__fs"), lit(1), col("__plen")),
-                fs => fs.getField("__s"))).as("__s"): _*)
-        val cand = pairJoin(prefix).dropDuplicates("id_a", "id_b")
-        val sa = docs.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
-        val sb = docs.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
-        cand.join(sa, "id_a").join(sb, "id_b")
-          .withColumn("jaccard", jaccardFromShingles(col("sh_a"), col("sh_b")))
-      }
-    scored
+    // ---- cold path: direct group-count intersection ----
+    val cold = withF.filter(col("__f") <= hotThreshold)
+    val hot = withF.filter(col("__f") > hotThreshold)
+    // per-doc hot-shingle sets (empty relation on an unskewed corpus)
+    val hotArrs = hot.groupBy(col("__id"))
+      .agg(collect_list(col("__s")).as("__hot"))
+    val coldScored = pairJoin(cold)
+      .groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
+      .agg(count(lit(1)).as("__c_cold"))
+      .join(hotArrs.select(col("__id").as("id_a"), col("__hot").as("__hot_a")),
+        Seq("id_a"), "left")
+      .join(hotArrs.select(col("__id").as("id_b"), col("__hot").as("__hot_b")),
+        Seq("id_b"), "left")
+      .withColumn("__c", col("__c_cold") +
+        when(col("__hot_a").isNull || col("__hot_b").isNull, lit(0))
+          .otherwise(size(array_intersect(col("__hot_a"), col("__hot_b")))))
+      .withColumn("jaccard",
+        col("__c") / (col("sz_a") + col("sz_b") - col("__c")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // ---- hot path: prefix-filtered candidates over hot shingles ----
+    // Only docs containing a hot shingle can be in a hot-only pair;
+    // on an unskewed corpus this semi-join's build side is empty and
+    // AQE eliminates the whole branch.
+    val hotDocIds = hot.select(col("__id")).distinct()
+    val prefixIdx = withF.join(hotDocIds, Seq("__id"), "left_semi")
+      .groupBy(
+        (Seq(col("__id"), col("__sz")) ++ grp.map(_ => col("__g"))): _*)
+      .agg(sort_array(collect_list(struct(col("__f"), col("__s"))))
+        .as("__fs"))
+      .withColumn("__plen",
+        (col("__sz") - ceil(lit(minJaccard) * col("__sz")) + 1)
+          .cast("int"))
+      .select(
+        (Seq(col("__id"), col("__sz")) ++ grp.map(_ => col("__g"))) :+
+          explode(transform(
+            filter(slice(col("__fs"), lit(1), col("__plen")),
+              fs => fs.getField("__f") > hotThreshold),
+            fs => fs.getField("__s"))).as("__s"): _*)
+    val cand = pairJoin(prefixIdx).dropDuplicates("id_a", "id_b")
+    val sa = docs.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val sb = docs.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+    val hotScored = cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccardFromShingles(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Both paths are exact, so overlapping pairs carry identical
+    // jaccard values and dropDuplicates is value-safe.
+    coldScored.unionByName(hotScored)
       .filter(col("jaccard") >= minJaccard)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 

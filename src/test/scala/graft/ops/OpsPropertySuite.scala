@@ -68,11 +68,17 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
         (i.toLong, text)
       }
       val df = docs.toDF("doc_id", "text")
-      def run(filtered: Boolean) =
+      // hotThreshold = 0 → pure prefix filtering; Int.MaxValue → pure
+      // direct group-count; 16 → genuine hybrid (the planted stop
+      // phrase lands in ~70% of docs, so its postings exceed 16 and
+      // route through the prefix path while the rest stay direct).
+      def run(hotThreshold: Int) =
         DedupOps.ngramJaccardPairs(df, "text", "doc_id",
-            n = 3, minJaccard = 0.25, prefixFilter = filtered)
+            n = 3, minJaccard = 0.25, hotThreshold = hotThreshold)
           .as[(Long, Long, Double)].collect().toSet
-      assert(run(true) === run(false))
+      val direct = run(Int.MaxValue)
+      assert(run(0) === direct)
+      assert(run(16) === direct)
     }
   }
 
