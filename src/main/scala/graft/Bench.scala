@@ -27,9 +27,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: a scan+agg touches codegen, parquet reader, shuffle paths
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // warmup: a scan+agg touches codegen, parquet reader, shuffle
+    // paths. Non-fatal — if the data dir itself is broken, every query
+    // fails below and the canonical line still reports it.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+
+    // Self-test hook: comma-separated query names forced to fail, so
+    // the loud-failure contract (non-zero exit + "failed" field) can
+    // be exercised without breaking a real query.
+    val forceFail = sys.env.get("SPARK_GRAFT_BENCH_FORCE_FAIL")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
 
     val queries = SparkEntry.queries
     val names =
@@ -39,7 +50,11 @@ object Bench {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { queries(name)(spark, sfDir).count(); true }
+          try {
+            if (forceFail(name))
+              throw new RuntimeException("forced failure (self-test)")
+            queries(name)(spark, sfDir).count(); true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
@@ -57,11 +72,22 @@ object Bench {
     }
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // A failed query must be LOUD: it is excluded from the sum (a -1
+    // would fake a speedup the other way), but the canonical line
+    // names it in "failed" and the process exits non-zero, so a crash
+    // can never read as a faster total.
+    val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"spread","unit":"sec","runs":$runs,"queries":${
       jsonMap(results.map(r => r._1 -> r._3))}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      jsonMap(results.map(r => r._1 -> r._2))},"sf":"$sfDir"}""")
+      jsonMap(results.map(r => r._1 -> r._2))},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] FAILED queries (${failed.size}): ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
