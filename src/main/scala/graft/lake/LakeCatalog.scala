@@ -27,6 +27,9 @@ object LakeCatalog {
   private implicit val formats: DefaultFormats.type = DefaultFormats
 
   private val tables = TrieMap.empty[String, String]
+  // Names dropped by THIS session — merge-on-persist must not
+  // resurrect them from a stale on-disk map. Guarded by ioLock.
+  private val dropped = scala.collection.mutable.Set.empty[String]
   private val ioLock = new Object
   @volatile private var loadedFrom: Option[Path] = None
 
@@ -45,30 +48,45 @@ object LakeCatalog {
     Paths.get(stripScheme(dir), "_graft_catalog.json")
   }
 
-  /** Merge persisted registrations into memory once per catalog file.
-    * In-memory entries win (they are newer); disk entries whose path
-    * no longer holds a lake log are dropped.
+  /** Merge the on-disk map into memory. In-memory entries win per key
+    * (they are newer), names dropped by this session stay dropped, and
+    * disk entries whose path no longer holds a lake log are pruned.
+    * Caller must hold ioLock.
     */
+  private def mergeFromDisk(f: Path): Unit =
+    if (Files.isRegularFile(f)) {
+      val disk =
+        try Serialization.read[Map[String, String]](
+          new String(Files.readAllBytes(f), "UTF-8"))
+        catch { case _: Throwable => Map.empty[String, String] }
+      disk.foreach { case (n, p) =>
+        if (!tables.contains(n) && !dropped(n) && LakeTable.isLakeTable(p))
+          tables.put(n, p)
+      }
+    }
+
+  /** Merge persisted registrations into memory once per catalog file. */
   private def ensureLoaded(spark: Option[SparkSession]): Unit = {
     val f = catalogFile(spark)
     if (loadedFrom.contains(f)) return
     ioLock.synchronized {
       if (loadedFrom.contains(f)) return
-      if (Files.isRegularFile(f)) {
-        val disk = Serialization.read[Map[String, String]](
-          new String(Files.readAllBytes(f), "UTF-8"))
-        disk.foreach { case (n, p) =>
-          if (!tables.contains(n) && LakeTable.isLakeTable(p))
-            tables.put(n, p)
-        }
-      }
+      mergeFromDisk(f)
       loadedFrom = Some(f)
     }
   }
 
+  /** Write-through with MERGE-ON-PERSIST: re-read the on-disk map
+    * under the lock immediately before writing, so a concurrent
+    * process's registrations made since our last read survive our
+    * write (read-once-then-overwrite would drop them — last writer
+    * wins per FILE; with the merge, last writer wins per KEY).
+    * Caller must hold ioLock.
+    */
   private def persist(spark: Option[SparkSession]): Unit = {
     val f = catalogFile(spark)
     Files.createDirectories(f.getParent)
+    mergeFromDisk(f)
     val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
     Files.write(tmp, Serialization.write(tables.toMap).getBytes("UTF-8"))
     Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
@@ -80,6 +98,7 @@ object LakeCatalog {
     */
   private[graft] def resetForTest(): Unit = ioLock.synchronized {
     tables.clear()
+    dropped.clear()
     loadedFrom = None
   }
 
@@ -89,7 +108,9 @@ object LakeCatalog {
       s"$path is not a lake table (no ${LakeLog.LOG_DIR})")
     ioLock.synchronized {
       ensureLoaded(Some(spark))
-      tables.put(normalize(name), path)
+      val key = normalize(name)
+      dropped -= key
+      tables.put(key, path)
       persist(Some(spark))
     }
     refreshView(spark, name)
@@ -99,7 +120,9 @@ object LakeCatalog {
   def drop(spark: SparkSession, name: String): Unit = {
     ioLock.synchronized {
       ensureLoaded(Some(spark))
-      tables.remove(normalize(name))
+      val key = normalize(name)
+      dropped += key
+      tables.remove(key)
       persist(Some(spark))
     }
     spark.catalog.dropTempView(name)
@@ -108,7 +131,14 @@ object LakeCatalog {
 
   def pathOf(name: String): Option[String] = {
     ensureLoaded(None)
-    tables.get(normalize(name))
+    val key = normalize(name)
+    tables.get(key).orElse {
+      // Another process may have registered the name since this JVM
+      // last read the catalog file — re-merge from disk on a miss
+      // (misses are rare, so this costs nothing on the happy path).
+      ioLock.synchronized(mergeFromDisk(catalogFile(None)))
+      tables.get(key)
+    }
   }
 
   def table(spark: SparkSession, name: String): LakeTable = {
@@ -123,19 +153,23 @@ object LakeCatalog {
     tables.keys.toSeq.sorted
   }
 
-  /** Error conditions Spark raises for a name that cannot be a temp
-    * view identifier — the only failures refreshView may swallow.
+  /** True for error conditions Spark raises when a name cannot be a
+    * temp view identifier — the only failures refreshView may swallow.
+    * Matches the condition families (INVALID_*, TEMP_VIEW_*) rather
+    * than two pinned codes, and treats a null condition (legacy,
+    * un-classified errors — all name-validation-shaped in practice)
+    * as non-addressable too, matching register()'s tolerance.
     */
-  private val InvalidViewNameConditions = Set(
-    "_LEGACY_ERROR_TEMP_1321",            // invalid chars / spaces
-    "TEMP_VIEW_NAME_TOO_MANY_NAME_PARTS") // a.b.c.d
+  private def invalidViewNameCondition(c: String): Boolean =
+    c == null || c.startsWith("INVALID_") || c.startsWith("TEMP_VIEW_") ||
+      c == "_LEGACY_ERROR_TEMP_1321" // invalid chars / spaces
 
   def refreshView(spark: SparkSession, name: String): Unit =
     pathOf(name).foreach { p =>
       try LakeTable.forPath(spark, p).toDF.createOrReplaceTempView(name)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if InvalidViewNameConditions(String.valueOf(e.getCondition)) =>
+            if invalidViewNameCondition(e.getCondition) =>
           () // name not view-addressable; catalog lookup still works
         // any other analysis failure would leave a silently stale
         // view behind — let it surface

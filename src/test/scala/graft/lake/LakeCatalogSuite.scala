@@ -68,6 +68,51 @@ class LakeCatalogSuite extends SparkSuite {
     }
   }
 
+  test("merge-on-persist keeps a concurrent process's registration") {
+    withCatalogDir {
+      LakeCatalog.resetForTest()
+      val pa = tablePath("conc-a")
+      val pb = tablePath("conc-b")
+      LakeWriter.write(Seq(1L).toDF("id"), pa)
+      LakeWriter.write(Seq(2L).toDF("id"), pb)
+
+      // Session B loads the (empty) catalog first...
+      assert(LakeCatalog.registeredNames.isEmpty)
+      // ...then "another process" registers conc_a directly on disk
+      // (simulated by an out-of-band file write, the exact state a
+      // concurrent JVM's persist leaves behind)...
+      val f = java.nio.file.Paths.get(
+        sys.props("graft.catalog.dir"), "_graft_catalog.json")
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f,
+        s"""{"conc_a":"$pa"}""".getBytes("UTF-8"))
+      // ...and B registers conc_b. Read-once-then-overwrite would
+      // drop conc_a here; merge-on-persist must keep BOTH.
+      LakeCatalog.register(spark, "conc_b", pb)
+
+      val disk = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      assert(disk.contains("conc_a") && disk.contains("conc_b"))
+      assert(LakeCatalog.pathOf("conc_a").contains(pa))
+
+      // a registration landing on disk AFTER this JVM's last read is
+      // still resolvable without a restart: a lookup miss re-merges
+      val pc = tablePath("conc-c")
+      LakeWriter.write(Seq(3L).toDF("id"), pc)
+      java.nio.file.Files.write(f,
+        s"""{"conc_a":"$pa","conc_b":"$pb","conc_c":"$pc"}"""
+          .getBytes("UTF-8"))
+      assert(LakeCatalog.pathOf("conc_c").contains(pc))
+
+      // a name dropped by this session must NOT be resurrected by the
+      // merge from a stale disk map
+      LakeCatalog.drop(spark, "conc_a")
+      LakeCatalog.register(spark, "conc_b", pb) // triggers another persist
+      val disk2 = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      assert(!disk2.contains("conc_a") && disk2.contains("conc_b"))
+      ()
+    }
+  }
+
   test("stale entries (path no longer a lake table) are pruned on load") {
     withCatalogDir {
       LakeCatalog.resetForTest()
