@@ -186,12 +186,18 @@ final class LakeTable private (
     val fields = snap.schema.fields.toSeq
     def newName(n: String) = s"_graft_upd_$n"
     // ONE evaluated projection carries the original values, the new
-    // values, and the matched flag, persisted so the SET expressions
-    // are evaluated exactly once per row. That makes the CDC postimage
-    // byte-identical to the rewritten data even for non-deterministic
-    // SETs (rand(), uuid(), current_timestamp) and scans the touched
-    // files once instead of twice.
-    val projected = readFiles(snap, touched).select(
+    // values, and the matched flag, so the SET expressions are
+    // evaluated exactly once per row, the CDC postimage is
+    // byte-identical to the rewritten data, and the touched files are
+    // scanned once instead of twice. Materialization strategy:
+    //  - deterministic SETs: DISK_ONLY cache — a best-effort recompute
+    //    after block loss reproduces identical values, and touched
+    //    rows at 2x width never pressure executor memory;
+    //  - non-deterministic SETs (rand(), uuid(), current_timestamp):
+    //    staged to parquet scratch, because cache blocks are
+    //    best-effort and a recompute would silently diverge between
+    //    the data files and the CDC files.
+    val raw = readFiles(snap, touched).select(
       fields.map(f => col(quoted(f.name))) ++
       fields.map { f =>
         (set.get(f.name) match {
@@ -199,7 +205,20 @@ final class LakeTable private (
             .otherwise(col(quoted(f.name)))
           case None => col(quoted(f.name))
         }).cast(f.dataType).as(newName(f.name))
-      } :+ matchedFlag.as("_graft_upd_matched"): _*).persist()
+      } :+ matchedFlag.as("_graft_upd_matched"): _*)
+    val setsDeterministic =
+      raw.queryExecution.analyzed.expressions.forall(_.deterministic)
+    var scratch: Option[java.nio.file.Path] = None
+    val projected =
+      if (setsDeterministic)
+        raw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else {
+        val dir = Paths.get(tablePath,
+          s".staging-upd-${java.util.UUID.randomUUID()}")
+        raw.write.mode("overwrite").parquet(dir.toString)
+        scratch = Some(dir)
+        spark.read.parquet(dir.toString)
+      }
     try {
       val updated = projected.select(
         fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
@@ -220,7 +239,10 @@ final class LakeTable private (
       val cdc = LakeWriter.stageCdc(pre.unionByName(post), tablePath)
       commitRewrite(snap, touched, adds, "UPDATE",
         Map("predicate" -> condition), cdc)
-    } finally projected.unpersist()
+    } finally {
+      if (setsDeterministic) projected.unpersist()
+      scratch.foreach(LakeWriter.deleteRecursively)
+    }
   }
 
   /** ADD CONSTRAINT (Delta CHECK-constraint analog): the existing data
@@ -494,15 +516,15 @@ final class LakeTable private (
             }
           }
         }
-      parts.map(_.withColumn("_commit_version", lit(v)))
+      val commitTs = actions.collectFirst { case ci: CommitInfo =>
+        ci.timestamp }.getOrElse(0L)
+      parts.map(_.withColumn(Cdf.COMMIT_VERSION, lit(v))
+        .withColumn(Cdf.COMMIT_TIMESTAMP,
+          lit(new java.sql.Timestamp(commitTs))))
     }
     perVersion.reduceOption(_.unionByName(_)).getOrElse {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+        Cdf.schema(schema))
     }
   }
 
