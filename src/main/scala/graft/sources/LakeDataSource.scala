@@ -46,16 +46,13 @@ final class LakeDataSource extends RelationProvider
       parameters: Map[String, String]): (String, StructType) = {
     val base =
       schema.getOrElse(new LakeLog(pathOf(parameters)).snapshot().schema)
-    // the change feed carries two extra audit columns — the relation
-    // schema must agree with LakeStreamSource.schema or micro-batch
-    // planning rejects the batch
+    // the change feed carries extra audit columns — one shared
+    // definition (graft.lake.Cdf) keeps this relation schema and
+    // LakeStreamSource.schema in lockstep, or micro-batch planning
+    // would reject the batch
     val resolved =
       if (parameters.get("readChangeFeed").exists(_.toBoolean))
-        StructType(base.fields ++ Seq(
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType)))
+        graft.lake.Cdf.schema(base)
       else base
     (shortName(), resolved)
   }

@@ -35,7 +35,8 @@ final case class LakeStreamOffset(version: Long) extends OffsetV1 {
   *    silently drop or duplicate.
   *  - `readChangeFeed` (bool) — deliver the CHANGE FEED instead of
   *    the data: each batch carries the row-level changes
-  *    (`_change_type` insert/delete, `_commit_version`) of the new
+  *    (`_change_type` insert/delete, `_commit_version`,
+  *    `_commit_timestamp`) of the new
   *    versions, computed like batch `changes()` (persisted CDC files
   *    when present, read-time diff otherwise). DML commits are the
   *    point here, so the non-append guards don't apply.
@@ -76,12 +77,7 @@ final class LakeStreamSource(
     options.get("readChangeFeed").exists(_.toBoolean)
 
   override val schema: StructType =
-    if (readChangeFeed)
-      StructType(log.snapshot().schema.fields ++ Seq(
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType)))
+    if (readChangeFeed) graft.lake.Cdf.schema(log.snapshot().schema)
     else log.snapshot().schema
 
   private val startingVersion: Long =

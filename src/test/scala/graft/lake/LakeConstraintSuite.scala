@@ -142,6 +142,23 @@ class LakeConstraintSuite extends SparkSuite {
     assert(reconstructed === actual)
   }
 
+  test("changes() carries _commit_timestamp matching the commit's history") {
+    val path = tablePath("cdc-ts")
+    LakeWriter.write(Seq((1L, "a")).toDF("id", "k").coalesce(1), path) // v0
+    val t = LakeTable.forPath(spark, path)
+    t.update("id = 1", Map("k" -> "'A'"))                              // v1
+    val byVersion = t.changes(0)
+      .select("_commit_version", "_commit_timestamp")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    // one non-null timestamp per version, shared by every change row
+    assert(byVersion.keySet === Set(0L, 1L))
+    assert(byVersion.values.forall(ts => ts.size == 1 && ts.head != null))
+    val hist = t.history().select("version", "timestamp")
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    byVersion.foreach { case (v, ts) => assert(ts.head === hist(v)) }
+  }
+
   test("DML persists cdc files; changes() reads them; vacuum ages them out") {
     val path = tablePath("cdc2")
     LakeWriter.write(Seq((1L, "a"), (2L, "b"), (3L, "c"))
