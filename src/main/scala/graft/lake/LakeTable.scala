@@ -561,7 +561,11 @@ final class LakeTable private (
     val df = snap.toDF(spark)
     val clustered =
       if (zOrder && clusterBy.size > 1) {
-        df.withColumn("__zkey", ZOrder.zOrderKey(df, clusterBy))
+        // adapt interleave width to the column count so any number of
+        // ZORDER columns fits a 62-bit key (Delta accepts arbitrary
+        // counts); 6 bits (64 quantile buckets) when room allows
+        val bits = math.max(1, math.min(6, 62 / clusterBy.size))
+        df.withColumn("__zkey", ZOrder.zOrderKey(df, clusterBy, bits))
           .repartitionByRange(numOut, col("__zkey"))
           .sortWithinPartitions(col("__zkey"))
           .drop("__zkey")

@@ -130,6 +130,55 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(idx.sizeInBytes === snap.sizeInBytes)
   }
 
+  test("Z-ORDER makes single-column filters skip files at scan time") {
+    val path = tablePath("dsv2zorder")
+    // shuffled 96x96 grid across 8 files: no column has locality, so
+    // every file spans both full ranges
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle(
+      (0 until 96).flatMap(x => (0 until 96).map(y => (x.toLong, y.toLong))))
+    LakeWriter.write(rows.toDF("x", "y").repartition(8), path)
+    val t = LakeTable.forPath(spark, path)
+    val before = t.snapshot().numFiles.toLong
+    assert(before === 8L)
+    // pre-OPTIMIZE: the selective y filter reads EVERY file
+    assert(scannedFiles(t.toDF.where("y < 6")) === before)
+
+    t.compactClustered(Seq("x", "y"),
+      targetFileBytes = t.snapshot().sizeInBytes / 16, zOrder = true)
+    val total = t.snapshot().numFiles.toLong
+    assert(total >= 8L)
+    // post-OPTIMIZE: the same filter — and one on x alone — reach the
+    // parquet scan over a small fraction of the files (planner-side
+    // skipping through LakeFileIndex, measured by scan metrics)
+    val yScan = scannedFiles(t.toDF.where("y < 6"))
+    val xScan = scannedFiles(t.toDF.where("x < 6"))
+    assert(yScan * 2 <= total, s"y filter scanned $yScan/$total files")
+    assert(xScan * 2 <= total, s"x filter scanned $xScan/$total files")
+    // and the skipped scans still return exactly the right rows
+    assert(t.toDF.where("y < 6").count() === 96L * 6L)
+    assert(t.toDF.where("x < 6").count() === 96L * 6L)
+  }
+
+  test("ZORDER BY accepts more than 10 columns (adaptive bit width)") {
+    val path = tablePath("dsv2zwide")
+    val cols = (0 until 12).map(i => s"c$i")
+    val df = spark.range(0, 256).select(
+      cols.map(c => (org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id") *
+          (cols.indexOf(c) + 17), org.apache.spark.sql.functions.lit(97L)))
+        .as(c)): _*)
+    LakeWriter.write(df.repartition(4), path)
+    val t = LakeTable.forPath(spark, path)
+    // 12 clustered columns: bits adapts to 62/12 = 5 instead of the
+    // require(6*12 <= 62) failure
+    t.compactClustered(cols,
+      targetFileBytes = t.snapshot().sizeInBytes / 4, zOrder = true)
+    assert(t.toDF.count() === 256L)
+    assert(t.history().select("operationParameters").head()
+      .getMap[String, String](0).get("zOrder").contains("true"))
+  }
+
   test("null partition values (Hive sentinel) read back as null") {
     val path = tablePath("dsv2null")
     Seq((1L, "a"), (2L, null.asInstanceOf[String]))
