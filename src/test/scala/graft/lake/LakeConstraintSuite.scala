@@ -142,6 +142,81 @@ class LakeConstraintSuite extends SparkSuite {
     assert(reconstructed === actual)
   }
 
+  test("every rewrite DML persists cdc so changes() never exceptAll-diffs") {
+    // For any commit that rewrote files (removes AND adds), changes()
+    // without persisted CDC would pay an exceptAll diff of the old and
+    // new files. Assert every DML verb that rewrites also stages CDC;
+    // only OPTIMIZE (row-preserving by construction) is exempt.
+    def actionsOf(path: String, v: Long) = new LakeLog(path).readVersion(v)
+    def assertCdcCommit(path: String, v: Long, verb: String): Unit = {
+      val as = actionsOf(path, v)
+      assert(as.exists(_.isInstanceOf[CdcFile]),
+        s"$verb commit at v$v carries no CdcFile — changes() would " +
+          "fall back to an exceptAll diff")
+    }
+    def fresh(tag: String): (String, LakeTable) = {
+      val path = tablePath(s"cdc-verb-$tag")
+      LakeWriter.write(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")
+          .coalesce(1), path)
+      (path, LakeTable.forPath(spark, path))
+    }
+
+    val (p1, t1) = fresh("upd")
+    t1.update("id = 2", Map("k" -> "'B'"))
+    assertCdcCommit(p1, 1, "UPDATE")
+
+    val (p2, t2) = fresh("del")
+    t2.delete("id <= 2")
+    assertCdcCommit(p2, 1, "DELETE")
+
+    val (p3, t3) = fresh("m-upd")
+    t3.as("t").merge(Seq((1L, "A")).toDF("id", "nk").as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("k" -> "s.nk")).execute()
+    assertCdcCommit(p3, 1, "MERGE update")
+
+    val (p4, t4) = fresh("m-del")
+    t4.as("t").merge(Seq(Tuple1(3L)).toDF("id").as("s"), "t.id = s.id")
+      .whenMatchedDelete().execute()
+    assertCdcCommit(p4, 1, "MERGE delete")
+
+    val (p5, t5) = fresh("m-ins")
+    t5.as("t").merge(Seq((9L, "z")).toDF("id", "nk").as("s"), "t.id = s.id")
+      .whenNotMatchedInsert(Map("id" -> "s.id", "k" -> "s.nk")).execute()
+    assertCdcCommit(p5, 1, "MERGE insert")
+
+    // mixed MERGE: all three verbs in one commit; the persisted CDC
+    // must reproduce the full change set
+    val (p6, t6) = fresh("m-mix")
+    t6.as("t").merge(
+        Seq((1L, "A", false), (3L, "c", true), (9L, "z", false))
+          .toDF("id", "nk", "del").as("s"), "t.id = s.id")
+      .whenMatchedDelete("s.del")
+      .whenMatchedUpdate(Map("k" -> "s.nk"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "k" -> "s.nk"))
+      .execute()
+    assertCdcCommit(p6, 1, "MERGE mixed")
+    val got = t6.changes(1)
+      .select("_change_type", "id", "k")
+      .as[(String, Long, String)].collect().toSet
+    assert(got === Set(
+      ("delete", 1L, "a"), ("insert", 1L, "A"),
+      ("delete", 3L, "c"),
+      ("insert", 9L, "z")))
+    // metadata-only partition DELETE is remove-only: no CDC needed and
+    // no diff either — changes() reads the removed files as deletes
+    val p7 = tablePath("cdc-verb-part")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "p")
+      .write.format("lake").partitionBy("p").save(p7)
+    val t7 = LakeTable.forPath(spark, p7)
+    t7.delete("p = 'x'")
+    val as7 = actionsOf(p7, 1)
+    assert(as7.exists(_.isInstanceOf[RemoveFile]) &&
+      !as7.exists(_.isInstanceOf[AddFile]))
+    assert(t7.changes(1).select("_change_type").as[String]
+      .collect().toSeq === Seq("delete"))
+  }
+
   test("changes() carries _commit_timestamp matching the commit's history") {
     val path = tablePath("cdc-ts")
     LakeWriter.write(Seq((1L, "a")).toDF("id", "k").coalesce(1), path) // v0
