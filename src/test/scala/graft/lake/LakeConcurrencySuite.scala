@@ -131,6 +131,44 @@ class LakeConcurrencySuite extends SparkSuite {
     (0L to 40L).foreach(v => assert(log.readVersion(v).nonEmpty))
   }
 
+  test("cross-process commit race: every writer's commit lands exactly once") {
+    // Three SEPARATE JVMs plus this one race CommitInfo-only commits
+    // through the exclusive-createLink publish path — certifying the
+    // atomicity claim ACROSS processes, where in-JVM locks can't help.
+    // A lost update would show up as a missing (writer, seq) tag.
+    val path = tablePath("xproc")
+    LakeWriter.write(Seq(0L).toDF("id").coalesce(1), path) // v0
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val perWriter = 25
+    val children = (1 to 3).map { c =>
+      new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.lake.CommitRaceChild", path, s"child$c", perWriter.toString)
+        .inheritIO().start()
+    }
+    // drop the start-line marker, then race in-process as writer 4
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_race_go"))
+    CommitRaceChild.main(Array(path, "parent", perWriter.toString))
+    children.foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM timed out")
+      assert(p.exitValue() === 0, s"child JVM exited ${p.exitValue()}")
+    }
+    val log = new LakeLog(path)
+    val latest = log.latestVersion
+    assert(latest === 4L * perWriter, s"expected ${4 * perWriter} race " +
+      s"commits after v0, log ends at v$latest")
+    val tags = (1L to latest).flatMap(v => log.readVersion(v).collect {
+      case ci: CommitInfo if ci.operation == "RACE" =>
+        (ci.operationParameters("writer"), ci.operationParameters("seq"))
+    })
+    assert(tags.size === 4 * perWriter)
+    assert(tags.distinct.size === 4 * perWriter,
+      "a (writer, seq) tag landed twice — duplicated commit")
+    // and the log replays cleanly through the raced range
+    assert(LakeTable.forPath(spark, path).snapshot().version === latest)
+  }
+
   test("restoreTo aborts when a concurrent commit removed its files") {
     val path = tablePath("conflict3")
     LakeWriter.write(seed, path) // v0
