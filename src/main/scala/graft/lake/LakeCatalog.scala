@@ -77,20 +77,33 @@ object LakeCatalog {
   }
 
   /** Write-through with MERGE-ON-PERSIST: re-read the on-disk map
-    * under the lock immediately before writing, so a concurrent
-    * process's registrations made since our last read survive our
-    * write (read-once-then-overwrite would drop them — last writer
-    * wins per FILE; with the merge, last writer wins per KEY).
-    * Caller must hold ioLock.
+    * immediately before writing, so a concurrent process's
+    * registrations made since our last read survive our write
+    * (read-once-then-overwrite would drop them — last writer wins per
+    * FILE; with the merge, last writer wins per KEY). The
+    * read-merge-write runs under an OS file lock on a `.lock` sidecar
+    * so two processes can't interleave their reads before both writes
+    * either (ioLock already serializes threads of THIS JVM, which is
+    * also why the advisory FileLock can't self-overlap). Caller must
+    * hold ioLock.
     */
   private def persist(spark: Option[SparkSession]): Unit = {
     val f = catalogFile(spark)
     Files.createDirectories(f.getParent)
-    mergeFromDisk(f)
-    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-    Files.write(tmp, Serialization.write(tables.toMap).getBytes("UTF-8"))
-    Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val lockPath = f.resolveSibling(f.getFileName.toString + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val osLock = ch.lock()
+      try {
+        mergeFromDisk(f)
+        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+        Files.write(tmp, Serialization.write(tables.toMap).getBytes("UTF-8"))
+        Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      } finally osLock.release()
+    } finally ch.close()
   }
 
   /** Test hook: forget in-memory state so the next access re-reads the
