@@ -104,6 +104,31 @@ final class LakeMergeBuilder private[lake] (
 
   private def executeWith(
       aliasTgt: DataFrame => DataFrame, src: DataFrame): Unit = {
+    // The rewritten data and the persisted CDC derive from the SAME
+    // frame; when any clause expression (or the source plan) is
+    // non-deterministic, that frame is materialized to scratch parquet
+    // ONCE so a second evaluation can't diverge rand()/uuid()/
+    // current_timestamp between the data files and the CDC files
+    // (cache blocks are best-effort; a parquet stage is not).
+    // Deterministic merges — the common case — keep today's plan
+    // shape: re-evaluation is byte-identical by definition.
+    val scratches = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+    def materializeIfNonDeterministic(df: DataFrame): DataFrame =
+      if (df.queryExecution.analyzed.exists(
+          _.expressions.exists(!_.deterministic))) {
+        val dir = java.nio.file.Paths.get(table.tablePath,
+          s".staging-mrg-${java.util.UUID.randomUUID()}")
+        df.write.mode("overwrite").parquet(dir.toString)
+        scratches += dir
+        table.spark.read.parquet(dir.toString)
+      } else df
+    try executeStaged(aliasTgt, src, materializeIfNonDeterministic)
+    finally scratches.foreach(LakeWriter.deleteRecursively)
+  }
+
+  private def executeStaged(
+      aliasTgt: DataFrame => DataFrame, src: DataFrame,
+      materializeIfNonDeterministic: DataFrame => DataFrame): Unit = {
     val spark = table.spark
     val snap = table.snapshot()
     val fields = snap.schema.fields.toSeq
@@ -168,40 +193,53 @@ final class LakeMergeBuilder private[lake] (
         if (deleteIdxs.isEmpty) lit(true)
         else !col(IDXC).isin(deleteIdxs: _*)
 
-      // clause-applied projection: update expressions where an update
-      // clause won, the original target values otherwise
-      def applyClauses(df: DataFrame): DataFrame =
-        df.select(fields.map { f =>
-          val updates = matchedClauses.zipWithIndex.collect {
-            case (UpdateClause(_, set), i) =>
-              val e = if (set == null) qualSrc(f.name)
-                else set.get(f.name).map(expr).getOrElse(qualTgt(f.name))
-              (i + 1, e)
-          }
-          updates.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
-            acc.when(col(IDXC) === i, e)
-          }.otherwise(qualTgt(f.name)).cast(f.dataType).as(f.name)
-        }: _*)
+      // clause-applied new value for a field: the winning update
+      // clause's expression, the original target value otherwise
+      def newValue(f: org.apache.spark.sql.types.StructField): Column = {
+        val updates = matchedClauses.zipWithIndex.collect {
+          case (UpdateClause(_, set), i) =>
+            val e = if (set == null) qualSrc(f.name)
+              else set.get(f.name).map(expr).getOrElse(qualTgt(f.name))
+            (i + 1, e)
+        }
+        updates.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
+          acc.when(col(IDXC) === i, e)
+        }.otherwise(qualTgt(f.name)).cast(f.dataType)
+      }
+      def newName(n: String) = s"_graft_mrg_$n"
 
-      val classified = joined.withColumn(IDXC, clauseIdx)
+      // ONE combined frame carries (old values, clause-applied new
+      // values, winning clause index); the rewritten data, the CDC
+      // preimage, and the CDC postimage are all column-subsets of it,
+      // so non-deterministic SETs can be staged once and stay
+      // byte-identical everywhere. For deterministic merges Catalyst
+      // prunes the unused side per branch — same plan as before.
+      val combined = materializeIfNonDeterministic(
+        joined.withColumn(IDXC, clauseIdx).select(
+          fields.map(f => qualTgt(f.name).cast(f.dataType).as(f.name)) ++
+          fields.map(f => newValue(f).as(newName(f.name))) :+
+          col(IDXC): _*))
+
+      val updateIdxs = matchedClauses.zipWithIndex.collect {
+        case (_: UpdateClause, i) => i + 1
+      }
+      def newSide(df: DataFrame): DataFrame =
+        df.select(fields.map(f => col(s"`${newName(f.name)}`").as(f.name)): _*)
+      def oldSide(df: DataFrame): DataFrame =
+        df.select(fields.map(f => col(s"`${f.name}`")): _*)
 
       // persisted CDC for the matched side: every clause-hit row's
       // preimage as delete; update-clause rows also emit a postimage
       // insert (the same representation changes() uses everywhere)
-      val updateIdxs = matchedClauses.zipWithIndex.collect {
-        case (_: UpdateClause, i) => i + 1
-      }
-      val applied = classified.filter(col(IDXC) > 0)
-      val pre = applied.select(fields.map(f =>
-          qualTgt(f.name).cast(f.dataType).as(f.name)): _*)
+      val pre = oldSide(combined.filter(col(IDXC) > 0))
         .withColumn("_change_type", lit("delete"))
       cdcMatched = Some(
         if (updateIdxs.isEmpty) pre
         else pre.unionByName(
-          applyClauses(classified.filter(col(IDXC).isin(updateIdxs: _*)))
+          newSide(combined.filter(col(IDXC).isin(updateIdxs: _*)))
             .withColumn("_change_type", lit("insert"))))
 
-      Some(applyClauses(classified.filter(keep)))
+      Some(newSide(combined.filter(keep)))
     }
 
     // ---- not-matched side: anti-join → inserts ---------------------------
@@ -213,18 +251,21 @@ final class LakeMergeBuilder private[lake] (
         when(lit(false), lit(0))) { case (acc, (cl, i)) =>
           acc.when(clauseCond(cl.cond), lit(i + 1))
       }.otherwise(lit(0))
-      Some(unmatched.withColumn(IDXC, insertIdx)
-        .filter(col(IDXC) > 0)
-        .select(fields.map { f =>
-          val values = insertClauses.zipWithIndex.map { case (cl, i) =>
-            val e = if (cl.values == null) qualSrc(f.name)
-              else cl.values.get(f.name).map(expr).getOrElse(lit(null))
-            (i + 1, e)
-          }
-          values.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
-            acc.when(col(IDXC) === i, e)
-          }.otherwise(lit(null)).cast(f.dataType).as(f.name)
-        }: _*))
+      // staged once when non-deterministic: the same rows feed the
+      // table write AND the CDC insert records below
+      Some(materializeIfNonDeterministic(
+        unmatched.withColumn(IDXC, insertIdx)
+          .filter(col(IDXC) > 0)
+          .select(fields.map { f =>
+            val values = insertClauses.zipWithIndex.map { case (cl, i) =>
+              val e = if (cl.values == null) qualSrc(f.name)
+                else cl.values.get(f.name).map(expr).getOrElse(lit(null))
+              (i + 1, e)
+            }
+            values.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
+              acc.when(col(IDXC) === i, e)
+            }.otherwise(lit(null)).cast(f.dataType).as(f.name)
+          }: _*)))
     }
 
     val output = (rewritten, inserts) match {

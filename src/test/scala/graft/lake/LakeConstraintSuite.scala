@@ -288,6 +288,38 @@ class LakeConstraintSuite extends SparkSuite {
     assert(pre.values.forall(_ == 0.0) && pre.size === 10)
   }
 
+  test("MERGE cdc matches table data for non-deterministic SET and INSERT") {
+    val path = tablePath("cdc-nd-merge")
+    LakeWriter.write((1L to 20L).map(i => (i, 0.0)).toDF("id", "v")
+      .coalesce(1), path)
+    val t = LakeTable.forPath(spark, path)
+    // rand()-valued update AND insert: a second evaluation would
+    // produce different values than the ones written to the table
+    t.as("t").merge(
+        (1L to 30L).map(Tuple1(_)).toDF("sid").as("s"), "t.id = s.sid")
+      .whenMatchedUpdate(Map("v" -> "rand() + t.id"))
+      .whenNotMatchedInsert(
+        Map("id" -> "s.sid", "v" -> "rand() + s.sid"))
+      .execute()                                           // v1
+    val tableRows = t.toDF.select("id", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(tableRows.size === 30)
+    val postimages = t.changes(1).filter("_change_type = 'insert'")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(postimages.keySet === (1L to 30L).toSet)
+    // byte-identical to the committed data, for updates AND inserts
+    postimages.foreach { case (id, v) => assert(v === tableRows(id)) }
+    // preimages: the 20 original rows
+    val pre = t.changes(1).filter("_change_type = 'delete'")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(pre.size === 20 && pre.values.forall(_ == 0.0))
+    // scratch staging cleaned up after commit
+    val stray = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .filter(_.getFileName.toString.startsWith(".staging"))
+      .count()
+    assert(stray === 0L)
+  }
+
   test("MERGE persists cdc: upsert emits preimage delete + postimage insert") {
     val path = tablePath("cdc3")
     LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k")
