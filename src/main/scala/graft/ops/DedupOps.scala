@@ -189,8 +189,10 @@ object DedupOps {
     // ---- hot path: prefix-filtered candidates over hot shingles ----
     // Only docs containing a hot shingle can be in a hot-only pair;
     // on an unskewed corpus this semi-join's build side is empty and
-    // AQE eliminates the whole branch.
-    val hotDocIds = hot.select(col("__id")).distinct()
+    // AQE eliminates the whole branch. (The ids come from hotArrs —
+    // already distinct-by-construction — instead of a fresh
+    // hot.distinct(), saving one recompute of the windowed postings.)
+    val hotDocIds = hotArrs.select(col("__id"))
     val prefixIdx = withF.join(hotDocIds, Seq("__id"), "left_semi")
       .groupBy(
         (Seq(col("__id"), col("__sz")) ++ grp.map(_ => col("__g"))): _*)
