@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `DESCRIBE HISTORY|DETAIL t`                       (etl/05:142-148)
   *   - `VACUUM t [RETAIN n HOURS]`                       (etl/05:300,334)
   *
-  * plus the round-2 verbs (`UPDATE`, `OPTIMIZE [BY (cols)]`,
+  * plus the round-2 verbs (`UPDATE`,
+  * `OPTIMIZE [WHERE partPred] [[ZORDER] BY (cols)]`,
   * `RESTORE`, `ALTER TABLE ADD/DROP CONSTRAINT`, `ALTER TABLE ADD
   * COLUMN`, `CREATE TABLE n SHALLOW CLONE src LOCATION p`) and lake
   * DDL (`CREATE TABLE ... USING lake LOCATION`, CTAS, CONVERT, DROP,
@@ -65,6 +66,7 @@ object LakeSql {
       """\(?\s*(\w+)\s+([\w()<>,\s]+?)\s*\)?\s*""").r
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+(ZORDER\s+)?BY\s*\((.+?)\))?\s*""").r
   private val SHOW_TABLES_RE = """(?is)\s*SHOW\s+(?:LAKE\s+)?TABLES\s*""".r
 
@@ -161,14 +163,18 @@ object LakeSql {
       runUpdateText(spark, sqlText)
       emptyDF(spark)
 
-    case OPTIMIZE_RE(t, zorder, byCols) =>
+    case OPTIMIZE_RE(t, where, zorder, byCols) =>
       val table = resolve(spark, clean(t))
+      // Delta parity: `OPTIMIZE t WHERE <partition predicate>` scopes
+      // the rewrite to matching partitions' files (metadata-only
+      // selection; non-partition predicates are rejected).
+      val whereOpt = Option(where).map(_.trim).filter(_.nonEmpty)
       Option(byCols) match {
         case Some(cols) =>
           table.compactClustered(
             cols.split(",").map(c => clean(c.trim)).toSeq,
-            zOrder = Option(zorder).isDefined)
-        case None => table.compact()
+            zOrder = Option(zorder).isDefined, where = whereOpt)
+        case None => table.compact(where = whereOpt)
       }
       LakeCatalog.refreshView(spark, clean(t))
       resolve(spark, clean(t)).detail()

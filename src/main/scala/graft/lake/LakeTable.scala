@@ -417,9 +417,26 @@ final class LakeTable private (
     * `targetFileBytes` into fewer files per partition. Identity rewrite;
     * readers before/after see the same rows.
     */
-  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+  /** Restrict a maintenance rewrite to the files of partitions
+    * matching `where` (Delta's `OPTIMIZE t WHERE ...` semantics: the
+    * predicate must reference partition columns only, so scoping is a
+    * metadata decision — no data is read to pick the file set).
+    */
+  private def scopeFiles(snap: Snapshot, where: Option[String]): Seq[AddFile] =
+    where match {
+      case None => snap.files
+      case Some(pred) =>
+        FilePruner.partitionOnlyMatches(snap, pred).getOrElse(
+          throw new IllegalArgumentException(
+            s"OPTIMIZE ... WHERE supports partition-column predicates " +
+              s"only (partition columns: " +
+              s"${snap.partitionColumns.mkString(", ")}), got: $pred"))
+    }
+
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+      where: Option[String] = None): Unit = {
     val snap = snapshot()
-    val small = snap.files.filter(_.size < targetFileBytes)
+    val small = scopeFiles(snap, where).filter(_.size < targetFileBytes)
     // Only partitions with 2+ small files benefit.
     val byPartition = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
     if (byPartition.isEmpty) return
@@ -436,7 +453,8 @@ final class LakeTable private (
       snap.partitionColumns)
     commitRewrite(snap, toCompact.map(_.path), adds, "OPTIMIZE",
       Map("numFilesRemoved" -> toCompact.size.toString,
-        "numFilesAdded" -> adds.size.toString))
+        "numFilesAdded" -> adds.size.toString) ++
+        where.map("where" -> _))
   }
 
   /** Row-level changes between two versions (a Change-Data-Feed read,
@@ -548,17 +566,21 @@ final class LakeTable private (
   def compactClustered(
       clusterBy: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
-      zOrder: Boolean = false): Unit = {
+      zOrder: Boolean = false,
+      where: Option[String] = None): Unit = {
     require(clusterBy.nonEmpty, "compactClustered needs cluster columns")
     val snap = snapshot()
-    if (snap.files.isEmpty) return
+    val scoped = scopeFiles(snap, where)
+    if (scoped.isEmpty) return
     clusterBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"cluster column $c not in schema ${snap.schema.simpleString}")
     }
     val numOut = math.max(1,
-      math.ceil(snap.sizeInBytes.toDouble / targetFileBytes).toInt)
-    val df = snap.toDF(spark)
+      math.ceil(scoped.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    // quantile boundaries computed over the SCOPED rows only — a
+    // partition-local re-cluster gets partition-local cut points
+    val df = readFiles(snap, scoped.map(_.path))
     val clustered =
       if (zOrder && clusterBy.size > 1) {
         // adapt interleave width to the column count so any number of
@@ -576,11 +598,12 @@ final class LakeTable private (
       }
     val adds = LakeWriter.stageAndAdopt(clustered, tablePath,
       snap.partitionColumns)
-    commitRewrite(snap, snap.files.map(_.path), adds, "OPTIMIZE",
+    commitRewrite(snap, scoped.map(_.path), adds, "OPTIMIZE",
       Map("clusterBy" -> clusterBy.mkString(","),
         "zOrder" -> (zOrder && clusterBy.size > 1).toString,
-        "numFilesRemoved" -> snap.files.size.toString,
-        "numFilesAdded" -> adds.size.toString))
+        "numFilesRemoved" -> scoped.size.toString,
+        "numFilesAdded" -> adds.size.toString) ++
+        where.map("where" -> _))
   }
 
   // ---- internals ---------------------------------------------------------

@@ -219,6 +219,59 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(t.toDF.where("y < 6").count() === 96L * 6L)
   }
 
+  test("OPTIMIZE WHERE scopes the rewrite to matching partitions") {
+    val path = tablePath("pt8w")
+    // 3 partitions x 4 small files each
+    (0 until 4).foreach { _ =>
+      (0 until 3).flatMap(p => (1L to 50L).map(i => (i, s"p$p")))
+        .toDF("id", "p").repartition(3, $"p")
+        .write.format("lake").mode("append").partitionBy("p").save(path)
+    }
+    LakeCatalog.register(spark, "pt8w", path)
+    val t = LakeTable.forPath(spark, path)
+    val before = t.snapshot().files
+    val p1Before = before.filter(_.partitionValues.get("p").contains("p1"))
+    assert(p1Before.size >= 4)
+
+    LakeSql.sql(spark, "OPTIMIZE pt8w WHERE p = 'p1'")
+    val after = LakeTable.forPath(spark, path).snapshot().files
+    // untouched partitions keep their exact file sets
+    def others(fs: Seq[AddFile]) =
+      fs.filterNot(_.partitionValues.get("p").contains("p1"))
+        .map(_.path).toSet
+    assert(others(after) === others(before))
+    // the scoped partition was compacted
+    val p1After = after.filter(_.partitionValues.get("p").contains("p1"))
+    assert(p1After.size < p1Before.size)
+    assert(p1After.map(_.path).toSet.intersect(
+      p1Before.map(_.path).toSet).isEmpty)
+    // rows intact
+    assert(t.toDF.count() === 4L * 3 * 50)
+    assert(t.toDF.where("p = 'p1'").count() === 4L * 50)
+    val params = t.history().select("operationParameters").head()
+      .getMap[String, String](0)
+    assert(params.get("where").contains("p = 'p1'"))
+
+    // scoped clustering: only p2's files rewritten, clustered by id
+    val p2Bytes = after.filter(_.partitionValues.get("p").contains("p2"))
+      .map(_.size).sum
+    LakeSql.sql(spark,
+      s"OPTIMIZE $path WHERE p = 'p2' BY (id)")
+    val after2 = LakeTable.forPath(spark, path).snapshot().files
+    assert(after2.filter(_.partitionValues.get("p").contains("p1"))
+      .map(_.path).toSet ===
+      after.filter(_.partitionValues.get("p").contains("p1"))
+        .map(_.path).toSet)
+    assert(t.toDF.where("p = 'p2'").count() === 4L * 50)
+    assert(p2Bytes >= 0)
+
+    // non-partition predicates are rejected, not silently full-table
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "OPTIMIZE pt8w WHERE id > 10")
+    }
+    assert(e.getMessage.contains("partition-column predicates"))
+  }
+
   test("DELETE and UPDATE accept literal lake paths") {
     val path = tmpDir("graftPathDml") + "/t"
     LakeWriter.write(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
