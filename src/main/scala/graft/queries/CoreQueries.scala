@@ -388,6 +388,34 @@ object CoreQueries {
               "0D, (acc, x) -> acc + x)"), 4).as("head_sum")),
       Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
              |  ROUND(list_aggregate(list_slice(CAST(embedding AS DOUBLE[]), 1, 8), 'sum'), 4) AS head_sum
-             |FROM embeddings""".stripMargin))
+             |FROM embeddings""".stripMargin)),
+
+    // AS-OF join: each purchase event picks up the same user's most
+    // recent prior (inclusive) click — the point-in-time lookup shape
+    // (feature stores, SCD, market data). Planned as union + running
+    // window (ONE shuffle on user_id, O(1) state per row), never a
+    // range join's per-key cross product; oracle is DuckDB's native
+    // ASOF LEFT JOIN.
+    QueryDef("q26_asof_join",
+      (s, dir) => {
+        val ev = QueryDef.events(s, dir)
+        val purchases = ev.filter("event_type = 'purchase'")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter("event_type = 'click'")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value"))
+        graft.ops.JoinOps.asOfJoin(purchases, clicks,
+          keyCols = Seq("user_id"), leftTime = "ts",
+          rightTime = "click_ts",
+          rightValueCols = Seq("click_ts", "click_value"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts AS click_ts, value AS click_value
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, p.ts, p.value,
+             |  c.click_ts, c.click_value
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin))
   )
 }

@@ -101,6 +101,42 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     }
   }
 
+  test("asOfJoin equals the naive greatest-prior-row join") {
+    forAll(Table("seed", 2, 13, 31)) { seed =>
+      val rnd = new Random(seed)
+      // distinct (key, ts) per side, overlapping key ranges, some keys
+      // with no right rows at all; a null right value exercises the
+      // same-matched-row guarantee (struct transport, not per-column)
+      val left = (0 until 300).map { i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(5000).toLong, i.toLong)
+      }.distinct.toDF("k", "t", "lid")
+      val right = (0 until 200).map { i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(5000).toLong,
+          if (i % 7 == 0) null else s"r$i")
+      }.distinct.toDF("k", "rt", "rv")
+        .dropDuplicates("k", "rt")
+      val fast = JoinOps.asOfJoin(left, right,
+          keyCols = Seq("k"), leftTime = "t", rightTime = "rt",
+          rightValueCols = Seq("rt", "rv"))
+        .select("k", "t", "lid", "rt", "rv")
+        .as[(Long, Long, Long, Option[Long], Option[String])]
+        .collect().toSet
+      // naive: left join on key + rt <= t, keep the max-rt row per
+      // left row (rt unique per (k, rt) so the max row is unique)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lid").orderBy(col("rt").desc_nulls_last)
+      val naive = left.join(right,
+          left("k") === right("k") && col("rt") <= col("t"), "left")
+        .drop(right("k"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .select("k", "t", "lid", "rt", "rv")
+        .as[(Long, Long, Long, Option[Long], Option[String])]
+        .collect().toSet
+      assert(fast === naive)
+    }
+  }
+
   test("sessionization partitions each user's events exactly") {
     forAll(Table("seed", 5, 11)) { seed =>
       val rnd = new Random(seed)
