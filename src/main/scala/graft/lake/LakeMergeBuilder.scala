@@ -137,6 +137,24 @@ final class LakeMergeBuilder private[lake] (
     val RID = "__graft_rid"
     val SRC = "__graft_src_present"
     val IDXC = "__graft_clause"
+    val MATCHED = "__graft_matched"
+
+    // Single-evaluation discipline: each side's combined frame feeds up
+    // to three consumers (dup fail-fast, table rewrite, CDC). A
+    // non-deterministic frame is staged to parquet (durable, so rand()/
+    // uuid() can't diverge between consumers); a deterministic one is
+    // cached MEMORY_AND_DISK so the target×source join runs once per
+    // MERGE instead of once per consumer — cache-block loss recomputes
+    // byte-identically by definition.
+    val caches = scala.collection.mutable.Buffer.empty[DataFrame]
+    def evaluateOnce(df: DataFrame): DataFrame = {
+      val out = materializeIfNonDeterministic(df)
+      if (out eq df) {
+        out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        caches += out
+      }
+      out
+    }
 
     def qualTgt(name: String): Column =
       col(targetAlias.map(a => s"$a.`$name`").getOrElse(s"`$name`"))
@@ -149,6 +167,7 @@ final class LakeMergeBuilder private[lake] (
     // ---- matched side: touched files → left-outer rewrite ---------------
     // Phase 1: semi-join finds files containing >=1 match; only those are
     // rewritten. Any source row matching the table matches within them.
+    try {
     val touched: Seq[String] =
       if (matchedClauses.isEmpty || snap.files.isEmpty) Nil
       else aliasTgt(snap.toDF(spark).withColumn(FILE, col("_metadata.file_path")))
@@ -163,23 +182,6 @@ final class LakeMergeBuilder private[lake] (
           col("_metadata.file_path"), col("_metadata.row_index"))))
       val joined = tgtTouched.join(src, condExpr, "left_outer")
       val matched = col(SRC).isNotNull
-
-      // Delta semantics: error if one target row matches several source
-      // rows while the outcome would be nondeterministic — any update,
-      // or a conditional delete. An unconditional delete is unambiguous
-      // (deleting a row twice is still deleting it), which the GDPR
-      // RLIKE-delete (etl/05:100-107) depends on: one record can match
-      // several deletion patterns.
-      val ambiguous = matchedClauses.exists {
-        case _: UpdateClause => true
-        case DeleteClause(c) => c.isDefined
-      }
-      val dup = if (!ambiguous) 0L else joined.filter(matched).groupBy(col(RID))
-        .count().filter(col("count") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "MERGE failed: a target row was matched by multiple source " +
-        "rows with update/delete clauses present; merge results would " +
-        "be nondeterministic. Deduplicate the source on the merge key.")
 
       // 0 = no clause applies (keep row as-is); i >= 1 = clause i-1 wins.
       val clauseIdx = matchedClauses.zipWithIndex.foldLeft(
@@ -209,16 +211,36 @@ final class LakeMergeBuilder private[lake] (
       def newName(n: String) = s"_graft_mrg_$n"
 
       // ONE combined frame carries (old values, clause-applied new
-      // values, winning clause index); the rewritten data, the CDC
-      // preimage, and the CDC postimage are all column-subsets of it,
-      // so non-deterministic SETs can be staged once and stay
-      // byte-identical everywhere. For deterministic merges Catalyst
-      // prunes the unused side per branch — same plan as before.
-      val combined = materializeIfNonDeterministic(
+      // values, matched flag, winning clause index); the duplicate-match
+      // fail-fast, the rewritten data, the CDC preimage, and the CDC
+      // postimage are all column-subsets of it, and evaluateOnce
+      // (stage-to-parquet or cache) guarantees the target×source join
+      // runs a single time for all four consumers.
+      val combined = evaluateOnce(
         joined.withColumn(IDXC, clauseIdx).select(
           fields.map(f => qualTgt(f.name).cast(f.dataType).as(f.name)) ++
-          fields.map(f => newValue(f).as(newName(f.name))) :+
-          col(IDXC): _*))
+          fields.map(f => newValue(f).as(newName(f.name))) ++
+          Seq(col(RID), matched.as(MATCHED), col(IDXC)): _*))
+
+      // Delta semantics: error if one target row matches several source
+      // rows while the outcome would be nondeterministic — any update,
+      // or a conditional delete. An unconditional delete is unambiguous
+      // (deleting a row twice is still deleting it), which the GDPR
+      // RLIKE-delete (etl/05:100-107) depends on: one record can match
+      // several deletion patterns. The check is an agg over the shared
+      // combined frame — it no longer re-evaluates the join as its own
+      // job — and still fails eagerly, before any table/CDC file write.
+      val ambiguous = matchedClauses.exists {
+        case _: UpdateClause => true
+        case DeleteClause(c) => c.isDefined
+      }
+      val dup = if (!ambiguous) 0L else combined.filter(col(MATCHED))
+        .groupBy(col(RID))
+        .count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "MERGE failed: a target row was matched by multiple source " +
+        "rows with update/delete clauses present; merge results would " +
+        "be nondeterministic. Deduplicate the source on the merge key.")
 
       val updateIdxs = matchedClauses.zipWithIndex.collect {
         case (_: UpdateClause, i) => i + 1
@@ -251,9 +273,9 @@ final class LakeMergeBuilder private[lake] (
         when(lit(false), lit(0))) { case (acc, (cl, i)) =>
           acc.when(clauseCond(cl.cond), lit(i + 1))
       }.otherwise(lit(0))
-      // staged once when non-deterministic: the same rows feed the
-      // table write AND the CDC insert records below
-      Some(materializeIfNonDeterministic(
+      // evaluated once: the same rows feed the table write AND the
+      // CDC insert records below, without re-running the anti-join
+      Some(evaluateOnce(
         unmatched.withColumn(IDXC, insertIdx)
           .filter(col(IDXC) > 0)
           .select(fields.map { f =>
@@ -291,6 +313,7 @@ final class LakeMergeBuilder private[lake] (
       Map("condition" -> condition,
         "matchedClauses" -> matchedClauses.size.toString,
         "notMatchedClauses" -> insertClauses.size.toString), cdc)
+    } finally caches.foreach(_.unpersist(false))
   }
 
   /** Best-effort recovery of the source DataFrame's alias (set by
