@@ -40,6 +40,27 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
+    // Calibration: the same fixed scan+agg timed (min-of-3, after the
+    // warmup has paid codegen/reader init) BEFORE and AFTER the query
+    // loop. The query is constant across rounds, so its time moves only
+    // with the host. A before/after ratio over 2x marks the snapshot
+    // CONTENDED: round-4's recorded streaming numbers were host-stall
+    // artifacts (3x inflation, x8 run-to-run spread) that min-of-N
+    // cannot dodge when the stall spans the whole bench window — this
+    // field makes such a snapshot self-identifying instead of
+    // masquerading as a regression.
+    def calibrate(): Double = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").count().collect()
+        catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+    val calBefore = calibrate()
+
     // Self-test hook: comma-separated query names forced to fail, so
     // the loud-failure contract (non-zero exit + "failed" field) can
     // be exercised without breaking a real query.
@@ -83,10 +104,19 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calAfter = calibrate()
+    val calRatio = math.max(calBefore, calAfter) /
+      math.max(math.min(calBefore, calAfter), 1e-9)
+    val contended = calRatio > 2.0
+    System.err.println(
+      f"[bench] calibration before=$calBefore%.3f s after=$calAfter%.3f s " +
+      f"ratio=$calRatio%.2f contended=$contended")
     println(s"""{"metric":"spread","unit":"sec","runs":$runs,"queries":${
       jsonMap(results.map(r => r._1 -> r._3))}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      jsonMap(results.map(r => r._1 -> r._2))},"failed":$failedJson,"sf":"$sfDir"}""")
+      jsonMap(results.map(r => r._1 -> r._2))},"failed":$failedJson,${""
+      }"calibration":{"before":$calBefore,"after":$calAfter,${""
+      }"ratio":${f"$calRatio%.3f"},"contended":$contended},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(
