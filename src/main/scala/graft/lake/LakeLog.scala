@@ -33,6 +33,7 @@ final class LakeLog(val tablePath: String) {
   }
 
   def readVersion(version: Long): Seq[Action] = {
+    LakeLog.readVersionCalls.incrementAndGet()
     val p = versionFile(version)
     if (!Files.exists(p))
       throw new NoSuchFileException(
@@ -187,6 +188,12 @@ final class LakeLog(val tablePath: String) {
 
 object LakeLog {
   val LOG_DIR = "_lake_log"
+
+  /** Process-wide count of per-version log-file reads. Tests assert
+    * O(tail) claims with it (history/time-travel/vacuum must not replay
+    * a checkpointed table's whole log); never used for logic.
+    */
+  val readVersionCalls = new java.util.concurrent.atomic.AtomicLong
 
   /** Resolve an AddFile path against its table root. Paths are
     * table-relative except for SHALLOW CLONE entries, which reference

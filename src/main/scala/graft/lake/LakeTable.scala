@@ -1,6 +1,7 @@
 package graft.lake
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -34,18 +35,36 @@ final class LakeTable private (
   /** Timestamp-based time travel: the state as of the LAST commit at
     * or before `timestampMillis` (Delta `TIMESTAMP AS OF`). Commit
     * timestamps come from CommitInfo; throws if the timestamp predates
-    * the table.
+    * the table. Rides the aggregated history sidecar — only commits
+    * SINCE the last checkpoint read their version files, so the
+    * timestamp→version mapping is O(tail), not O(table age); the
+    * reference leans on time travel constantly (`etl/05:161-209`,
+    * `rapid:256-260`) and a 100k-commit table must not pay a full
+    * serial log replay per read.
     */
   def versionAtTimestamp(timestampMillis: Long): Long = {
-    val versions = (0L to log.latestVersion).flatMap { v =>
-      log.readVersion(v).collectFirst { case c: CommitInfo =>
-        (v, c.timestamp)
-      }
-    }
+    val versions = commitTimestamps
     versions.filter(_._2 <= timestampMillis).map(_._1).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no commit at or before timestamp $timestampMillis for " +
         s"$tablePath (earliest: ${versions.headOption.map(_._2)})"))
+  }
+
+  /** (version, CommitInfo timestamp) for every commit, ascending:
+    * sidecar head + per-file tail since the last checkpoint.
+    */
+  private def commitTimestamps: Seq[(Long, Long)] = {
+    val latest = log.latestVersion
+    val (head, from) = log.latestHistoryAtOrBefore(latest) match {
+      case Some((hv, entries)) =>
+        (entries.map(c => (c.version, c.timestamp)), hv + 1)
+      case None => (Seq.empty[(Long, Long)], 0L)
+    }
+    head ++ (from to latest).flatMap { v =>
+      log.readVersion(v).collectFirst { case c: CommitInfo =>
+        (v, c.timestamp)
+      }
+    }
   }
 
   def asOfTimestamp(timestampMillis: Long): DataFrame =
@@ -354,9 +373,29 @@ final class LakeTable private (
 
   // ---- maintenance -------------------------------------------------------
 
-  /** VACUUM (D8): physically delete files tombstoned before the
-    * retention horizon. Retention below the 168 h default throws unless
-    * `spark.graft.lake.retentionDurationCheck.enabled=false`.
+  /** VACUUM (D8): physically delete files no longer reachable within
+    * the retention horizon. Retention below the 168 h default throws
+    * unless `spark.graft.lake.retentionDurationCheck.enabled=false`.
+    *
+    * Delta's production model — directory listing, not log replay:
+    * a candidate is any file under the table root (log excluded) that
+    * is (a) not in the CURRENT snapshot, (b) not protected by a
+    * tombstone or change-data entry of a commit INSIDE the retention
+    * window, and (c) older than the horizon by modification time. The
+    * protection set comes from the history sidecar's timestamps plus
+    * only the version files of in-window commits, so vacuum is
+    * O(listing + retention window) at any table age — a 100k-commit
+    * table no longer pays a full serial driver replay. The mtime
+    * clause (c) is what retires EXPIRED tombstones without ever
+    * enumerating them, and what sweeps untracked debris: scratch
+    * `.staging-*` dirs orphaned by a crashed MERGE/UPDATE, aged
+    * change-data files, conversion leftovers. Files of a shallow-clone
+    * source are referenced by absolute path and live outside this
+    * table's root, so the listing never sees (and never deletes) them
+    * — Delta's rule for cloned files. As with Delta, retention 0 is
+    * unsafe under concurrent writers (an in-flight commit's staged
+    * files are untracked and unprotected by mtime); that is exactly
+    * what the retention guard fences.
     */
   def vacuum(retentionHours: Double = LakeTable.DEFAULT_RETENTION_HOURS)
       : Seq[String] = {
@@ -371,29 +410,28 @@ final class LakeTable private (
     }
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     val live = snapshot().files.map(_.path).toSet
-    val tombstones = collection.mutable.LinkedHashMap.empty[String, Long]
-    val agedCdc = Seq.newBuilder[String]
-    (0L to log.latestVersion).foreach { v =>
-      val actions = log.readVersion(v)
-      val commitTs = actions.collectFirst {
-        case c: CommitInfo => c.timestamp
-      }.getOrElse(Long.MaxValue)
-      actions.foreach {
-        case r: RemoveFile if !live.contains(r.path) =>
-          tombstones(r.path) = r.deletionTimestamp
-        // change-data files age out with their commit: past the
-        // retention horizon the versions themselves are no longer
-        // change-readable (their removed data files are gone too)
-        case c: CdcFile if commitTs <= cutoff => agedCdc += c.path
-        case _ =>
-      }
+    // Tombstones/change-data of commits still inside the retention
+    // window: their files stay reachable by time travel / CDF reads.
+    val protectedPaths: Set[String] = commitTimestamps
+      .filter(_._2 > cutoff).flatMap { case (v, _) =>
+        log.readVersion(v).collect {
+          case r: RemoveFile => r.path
+          case c: CdcFile => c.path
+        }
+      }.toSet
+    val root = Paths.get(tablePath).toAbsolutePath.normalize
+    val logRoot = root.resolve(LakeLog.LOG_DIR)
+    val candidates = {
+      val s = Files.walk(root)
+      try s.iterator.asScala
+        .filter(p => Files.isRegularFile(p) && !p.startsWith(logRoot))
+        .map(p => root.relativize(p).toString).toSeq
+      finally s.close()
     }
-    // Never delete outside the table root: absolute-path tombstones
-    // reference a shallow-clone SOURCE's files, which this table does
-    // not own (Delta's rule for cloned files).
-    val deletable = (tombstones.collect {
-      case (path, ts) if ts <= cutoff && !path.startsWith("/") => path
-    } ++ agedCdc.result().filterNot(_.startsWith("/"))).toSeq.distinct
+    val deletable = candidates.filter { rel =>
+      !live.contains(rel) && !protectedPaths.contains(rel) &&
+        Files.getLastModifiedTime(root.resolve(rel)).toMillis <= cutoff
+    }.sorted
     // Large vacuums delete distributed: at millions of tombstones the
     // serial driver loop is the bottleneck, and deletes are
     // embarrassingly parallel (idempotent, no ordering).
@@ -404,6 +442,22 @@ final class LakeTable private (
         .foreach(rel => Files.deleteIfExists(Paths.get(tp, rel)))
     } else deletable.foreach { rel =>
       Files.deleteIfExists(Paths.get(tablePath, rel))
+    }
+    // Sweep now-empty directories (drained partitions, .staging-* and
+    // cdc-* scratch) bottom-up; the deepest-first sort makes children
+    // go before parents. No mtime gate: removing an EMPTY directory
+    // never loses data, and every writer recreates its directories on
+    // write (stageAndAdopt/parquet both mkdir before writing).
+    locally {
+      val s = Files.walk(root)
+      try s.iterator.asScala.toSeq
+        .filter(p => Files.isDirectory(p) && p != root && !p.startsWith(logRoot))
+        .sortBy(p => -p.getNameCount)
+        .foreach { d =>
+          val empty = { val l = Files.list(d); try !l.iterator.hasNext finally l.close() }
+          if (empty) Files.deleteIfExists(d)
+        }
+      finally s.close()
     }
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "VACUUM",

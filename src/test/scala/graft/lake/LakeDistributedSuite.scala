@@ -104,6 +104,93 @@ class LakeDistributedSuite extends SparkSuite {
     assert(t.history().count() === 51L)
   }
 
+  test("timestamp time travel on a checkpointed 200-commit table is O(tail)") {
+    val path = tablePath("ckpt-ts")
+    LakeWriter.write(Seq(1L).toDF("id").coalesce(1), path) // v0, real
+    val log = new LakeLog(path)
+    (1L to 200L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(2000000L + 10L * v, "APPEND",
+        Map("i" -> v.toString))))
+    }
+    // Prove O(tail): the history sidecar at v200 covers every commit,
+    // so mapping timestamp->version must not replay the log. Deleting
+    // the covered version files makes any replay throw...
+    (1L to 195L).foreach(v => Files.delete(log.versionFile(v)))
+    val t = LakeTable.forPath(spark, path)
+    // ...and the counter pins the read count to the (empty) tail.
+    LakeLog.readVersionCalls.set(0L)
+    assert(t.versionAtTimestamp(2001370L) === 137L) // exact commit hit
+    assert(t.versionAtTimestamp(2001375L) === 137L) // between commits
+    assert(t.versionAtTimestamp(2002000L + 5L) === 200L) // past the last
+    intercept[IllegalArgumentException](t.versionAtTimestamp(42L))
+    assert(LakeLog.readVersionCalls.get() <= 5L,
+      s"timestamp travel replayed the log: ${LakeLog.readVersionCalls.get()}")
+    // the mapped version still READS correctly through the checkpoint
+    assert(t.asOfTimestamp(2002000L).count() === 1L)
+  }
+
+  test("vacuum on a checkpointed 200-commit table reads only the tail") {
+    val path = tablePath("ckpt-vac")
+    Files.createDirectories(Paths.get(path))
+    val adds = (0 until 3).map { i =>
+      val rel = f"part-$i%05d.parquet"
+      Files.write(Paths.get(path, rel), Array[Byte](1, 2, 3))
+      AddFile(rel, Map.empty, 3L, 1L)
+    }
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(
+      CommitInfo(1L, "CREATE", Map.empty),
+      Metadata("id BIGINT", Nil, 1L)) ++ adds)
+    // v1 tombstones two of the three, long outside any retention
+    log.commit(1L, Seq(CommitInfo(2L, "DELETE", Map.empty)) ++
+      adds.tail.map(a => RemoveFile(a.path, 2L)))
+    (2L to 199L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(2000000L + v, "APPEND",
+        Map("i" -> v.toString))))
+    }
+    // crashed-MERGE debris: an orphaned scratch dir with an old file
+    val staging = Paths.get(path, ".staging-mrg-dead")
+    Files.createDirectories(staging)
+    val orphan = staging.resolve("part-00000.parquet")
+    Files.write(orphan, Array[Byte](9, 9))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    // checkpoint+sidecar live at v190: versions before that must not
+    // be read — delete them so a full replay would throw
+    (1L to 190L).foreach(v => Files.delete(log.versionFile(v)))
+    Files.delete(log.versionFile(0L))
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    LakeLog.readVersionCalls.set(0L)
+    val deleted = try LakeTable.forPath(spark, path).vacuum(0.0)
+    finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+    // tail is 191..199 (+ the vacuum commit's own checkpoint write);
+    // a full 0..199 replay would both throw and blow this bound
+    assert(LakeLog.readVersionCalls.get() <= 60L,
+      s"vacuum replayed the log: ${LakeLog.readVersionCalls.get()}")
+    // expired tombstoned files are gone, the live file stays
+    assert(!Files.exists(Paths.get(path, adds(1).path)))
+    assert(!Files.exists(Paths.get(path, adds(2).path)))
+    assert(Files.exists(Paths.get(path, adds.head.path)))
+    // and the orphaned staging debris was swept, dir included
+    assert(!Files.exists(orphan) && !Files.exists(staging))
+    assert(deleted.contains(".staging-mrg-dead/part-00000.parquet"))
+  }
+
+  test("vacuum protects files tombstoned inside the retention window") {
+    val path = tablePath("vac-protect")
+    LakeWriter.write(Seq(1L, 2L).toDF("id").coalesce(1), path) // v0
+    val fileA = LakeWriter.walkParquet(Paths.get(path)).head
+    // ancient by mtime — only the in-window tombstone protects it
+    Files.setLastModifiedTime(fileA,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    LakeTable.forPath(spark, path).delete("id >= 1") // v1: removes fileA now
+    val deleted = LakeTable.forPath(spark, path).vacuum(1000.0)
+    assert(deleted.isEmpty, deleted.toString)
+    assert(Files.exists(fileA))
+    // time travel inside the window still reads the protected file
+    assert(LakeTable.forPath(spark, path).asOf(0).count() === 2L)
+  }
+
   test("vacuum deletes 64+ tombstoned files distributed") {
     val path = tablePath("dist-vac")
     Files.createDirectories(Paths.get(path))
