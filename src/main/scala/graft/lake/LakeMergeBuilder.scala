@@ -164,6 +164,26 @@ final class LakeMergeBuilder private[lake] (
     def clauseCond(c: Option[String]): Column =
       c.map(expr).getOrElse(lit(true))
 
+    // Explicit insert maps must supply EVERY table column — the
+    // reference's discipline (`rapid:610-629` redefines the insert map
+    // after schema evolution rather than relying on null-fill), which
+    // SURVEY §7.9 requires replicating. This intentionally diverges
+    // from Delta's silent null-fill: a merge written before an ALTER
+    // TABLE ADD COLUMN fails loudly here, before any job runs, instead
+    // of quietly writing nulls. Intentional nulls stay expressible
+    // (`CAST(NULL AS ...)`), and INSERT * (`whenNotMatchedInsertAll`)
+    // is unaffected.
+    insertClauses.withFilter(_.values != null).foreach { cl =>
+      val missing = fields.map(_.name).filterNot(cl.values.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        "MERGE insert clause must supply every table column " +
+        s"(missing: ${missing.mkString(", ")}). After schema " +
+        "evolution, redefine the insert map explicitly — use " +
+        "CAST(NULL AS <type>) for intentional nulls, or " +
+        "whenNotMatchedInsertAll() / INSERT * for like-named " +
+        "source columns.")
+    }
+
     // ---- matched side: touched files → left-outer rewrite ---------------
     // Phase 1: semi-join finds files containing >=1 match; only those are
     // rewritten. Any source row matching the table matches within them.

@@ -92,6 +92,35 @@ class LakeDmlSuite extends SparkSuite {
     assert(e.getMessage.contains("multiple source"))
   }
 
+  test("merge insert map must supply every column after schema evolution") {
+    // SURVEY §7.9: the reference redefines its insert map explicitly
+    // after ALTER TABLE ADD COLUMN (rapid:610-629); an insert map that
+    // silently null-fills unlisted columns is a bug factory, so the
+    // builder rejects it (documented divergence from Delta's null-fill).
+    val path = tablePath("m8")
+    LakeWriter.write(seed, path)
+    LakeTable.forPath(spark, path).addColumn("extra", "INT")
+    val src = Seq((9L, "z")).toDF("id", "k")
+    def mergeWith(values: Map[String, String]): Unit =
+      LakeTable.forPath(spark, path).as("t")
+        .merge(src.as("s"), "t.id = s.id")
+        .whenNotMatchedInsert(values)
+        .execute()
+    // pre-evolution map: fails loudly, naming the missing column
+    val e = intercept[IllegalArgumentException] {
+      mergeWith(Map("id" -> "s.id", "k" -> "s.k",
+        "status" -> "'inserted'", "v" -> "0.0"))
+    }
+    assert(e.getMessage.contains("extra"))
+    assert(LakeTable.forPath(spark, path).toDF.count() === 4) // nothing ran
+    // the redefined map (explicit NULL) goes through
+    mergeWith(Map("id" -> "s.id", "k" -> "s.k", "status" -> "'inserted'",
+      "v" -> "0.0", "extra" -> "CAST(NULL AS INT)"))
+    val got = LakeTable.forPath(spark, path).toDF.filter($"id" === 9)
+      .select("k", "extra").as[(String, Option[Int])].collect()
+    assert(got === Array(("z", None)))
+  }
+
   test("merge insert-only does not rewrite existing files") {
     val path = tablePath("m6")
     LakeWriter.write(seed, path)
