@@ -26,10 +26,29 @@ object LakeCatalog {
 
   private implicit val formats: DefaultFormats.type = DefaultFormats
 
+  /** On-disk shape: registrations and drop TOMBSTONES, each stamped
+    * with its wall-clock time so concurrent sessions can merge by
+    * last-writer-wins PER KEY. Tombstones are what let a drop in one
+    * process survive another live process's merge-on-persist (which
+    * would otherwise write its older in-memory registration back).
+    * Legacy flat `{name: path}` files read as timestamp-0 entries —
+    * any newer state beats them. Tombstones are not GC'd: they are
+    * one (name, long) pair per distinct dropped name, erased again by
+    * re-registration.
+    */
+  private case class CatalogDisk(
+      tables: Map[String, String] = Map.empty,
+      registeredAt: Map[String, Long] = Map.empty,
+      dropped: Map[String, Long] = Map.empty)
+
   private val tables = TrieMap.empty[String, String]
-  // Names dropped by THIS session — merge-on-persist must not
-  // resurrect them from a stale on-disk map. Guarded by ioLock.
-  private val dropped = scala.collection.mutable.Set.empty[String]
+  // When each in-memory registration happened (millis) — the local
+  // side of the per-key last-writer-wins merge. Guarded by ioLock.
+  private val regTime = scala.collection.mutable.Map.empty[String, Long]
+  // Names dropped, with drop time: kept in memory AND persisted, so
+  // neither this session's next merge nor another process's
+  // merge-on-persist resurrects them from stale state.
+  private val dropped = scala.collection.mutable.Map.empty[String, Long]
   private val ioLock = new Object
   @volatile private var loadedFrom: Option[Path] = None
 
@@ -48,20 +67,51 @@ object LakeCatalog {
     Paths.get(stripScheme(dir), "_graft_catalog.json")
   }
 
-  /** Merge the on-disk map into memory. In-memory entries win per key
-    * (they are newer), names dropped by this session stay dropped, and
-    * disk entries whose path no longer holds a lake log are pruned.
+  /** Merge the on-disk state into memory, last-writer-wins per key by
+    * timestamp (ties go to the drop), pruning disk entries whose path
+    * no longer holds a lake log. A file that cannot be parsed must NOT
+    * read as empty — the next persist would atomically replace it with
+    * only this session's entries, silently discarding every other
+    * session's registrations — so the unreadable file is backed up
+    * aside (`.corrupt`) and the failure logged before starting fresh.
     * Caller must hold ioLock.
     */
   private def mergeFromDisk(f: Path): Unit =
     if (Files.isRegularFile(f)) {
-      val disk =
-        try Serialization.read[Map[String, String]](
-          new String(Files.readAllBytes(f), "UTF-8"))
-        catch { case _: Throwable => Map.empty[String, String] }
-      disk.foreach { case (n, p) =>
-        if (!tables.contains(n) && !dropped(n) && LakeTable.isLakeTable(p))
+      val disk: CatalogDisk =
+        try {
+          val jv = org.json4s.jackson.JsonMethods.parse(
+            new String(Files.readAllBytes(f), "UTF-8"))
+          jv \ "tables" match {
+            case _: org.json4s.JObject => jv.extract[CatalogDisk]
+            case _ => // legacy flat {name: path}: timestamp-0 entries
+              CatalogDisk(tables = jv.extract[Map[String, String]])
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val backup = f.resolveSibling(f.getFileName.toString + ".corrupt")
+            System.err.println(s"[graft] unreadable catalog $f " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              s"preserving it as $backup")
+            try Files.move(f, backup, StandardCopyOption.REPLACE_EXISTING)
+            catch { case scala.util.control.NonFatal(_) => () }
+            CatalogDisk()
+        }
+      disk.dropped.foreach { case (n, t) =>
+        if (!regTime.get(n).exists(_ > t)) { // our re-register is newer?
+          tables.remove(n); regTime.remove(n)
+          dropped(n) = math.max(dropped.getOrElse(n, 0L), t)
+        }
+      }
+      disk.tables.foreach { case (n, p) =>
+        val t = disk.registeredAt.getOrElse(n, 0L)
+        val newerLocal =
+          regTime.get(n).exists(_ >= t) || dropped.get(n).exists(_ >= t)
+        if (!newerLocal && LakeTable.isLakeTable(p)) {
+          dropped.remove(n)
           tables.put(n, p)
+          regTime(n) = t
+        }
       }
     }
 
@@ -99,7 +149,8 @@ object LakeCatalog {
       try {
         mergeFromDisk(f)
         val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-        Files.write(tmp, Serialization.write(tables.toMap).getBytes("UTF-8"))
+        Files.write(tmp, Serialization.write(CatalogDisk(
+          tables.toMap, regTime.toMap, dropped.toMap)).getBytes("UTF-8"))
         Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
       } finally osLock.release()
@@ -111,9 +162,23 @@ object LakeCatalog {
     */
   private[graft] def resetForTest(): Unit = ioLock.synchronized {
     tables.clear()
+    regTime.clear()
     dropped.clear()
     loadedFrom = None
   }
+
+  /** Test hook: plant an in-memory registration with a chosen
+    * timestamp, bypassing persist — simulates another JVM that is
+    * still holding the name from before a cross-process drop.
+    */
+  private[graft] def seedForTest(name: String, path: String, at: Long): Unit =
+    ioLock.synchronized {
+      val key = normalize(name)
+      tables.put(key, path)
+      regTime(key) = at
+      dropped.remove(key)
+      ()
+    }
 
   /** K6 — register (or re-register) a name for a lake path. */
   def register(spark: SparkSession, name: String, path: String): Unit = {
@@ -122,8 +187,9 @@ object LakeCatalog {
     ioLock.synchronized {
       ensureLoaded(Some(spark))
       val key = normalize(name)
-      dropped -= key
+      dropped.remove(key)
       tables.put(key, path)
+      regTime(key) = System.currentTimeMillis()
       persist(Some(spark))
     }
     refreshView(spark, name)
@@ -134,8 +200,9 @@ object LakeCatalog {
     ioLock.synchronized {
       ensureLoaded(Some(spark))
       val key = normalize(name)
-      dropped += key
+      dropped(key) = System.currentTimeMillis()
       tables.remove(key)
+      regTime.remove(key)
       persist(Some(spark))
     }
     spark.catalog.dropTempView(name)
@@ -166,16 +233,18 @@ object LakeCatalog {
     tables.keys.toSeq.sorted
   }
 
-  /** True for error conditions Spark raises when a name cannot be a
-    * temp view identifier — the only failures refreshView may swallow.
-    * Matches the condition families (INVALID_*, TEMP_VIEW_*) rather
-    * than two pinned codes, and treats a null condition (legacy,
-    * un-classified errors — all name-validation-shaped in practice)
-    * as non-addressable too, matching register()'s tolerance.
+  /** True ONLY for the error conditions Spark raises when a name
+    * cannot be a temp view identifier — the sole failures refreshView
+    * may swallow (probed against Spark 4.1: invalid characters/spaces
+    * raise `_LEGACY_ERROR_TEMP_1321`, dotted names raise
+    * `TEMP_VIEW_NAME_TOO_MANY_NAME_PARTS`). Anything else — including
+    * other members of the INVALID_ and TEMP_VIEW_ families, like
+    * INVALID_OPTIONS — signals a real analysis problem and must
+    * surface rather than leave a silently stale view behind.
     */
   private def invalidViewNameCondition(c: String): Boolean =
-    c == null || c.startsWith("INVALID_") || c.startsWith("TEMP_VIEW_") ||
-      c == "_LEGACY_ERROR_TEMP_1321" // invalid chars / spaces
+    c == "_LEGACY_ERROR_TEMP_1321" ||
+      (c != null && c.startsWith("TEMP_VIEW_NAME_"))
 
   def refreshView(spark: SparkSession, name: String): Unit =
     pathOf(name).foreach { p =>

@@ -588,8 +588,12 @@ final class LakeTable private (
             }
           }
         }
+      // Delta CDF's fallback when a commit carries no CommitInfo is
+      // the commit file's modification time — epoch-0 would mislead
+      // downstream time-based consumers.
       val commitTs = actions.collectFirst { case ci: CommitInfo =>
-        ci.timestamp }.getOrElse(0L)
+        ci.timestamp }.getOrElse(
+        Files.getLastModifiedTime(log.versionFile(v)).toMillis)
       parts.map(_.withColumn(Cdf.COMMIT_VERSION, lit(v))
         .withColumn(Cdf.COMMIT_TIMESTAMP,
           lit(new java.sql.Timestamp(commitTs))))

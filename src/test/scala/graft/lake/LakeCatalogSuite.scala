@@ -104,12 +104,69 @@ class LakeCatalogSuite extends SparkSuite {
       assert(LakeCatalog.pathOf("conc_c").contains(pc))
 
       // a name dropped by this session must NOT be resurrected by the
-      // merge from a stale disk map
+      // merge from a stale disk map: it stays resolvable-nowhere and
+      // the persisted file records it only as a tombstone, not a path
       LakeCatalog.drop(spark, "conc_a")
       LakeCatalog.register(spark, "conc_b", pb) // triggers another persist
       val disk2 = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      assert(!disk2.contains("conc_a") && disk2.contains("conc_b"))
+      assert(!disk2.contains(s""""conc_a":"$pa""""))
+      assert(disk2.contains("conc_b"))
+      assert(LakeCatalog.pathOf("conc_a").isEmpty)
+      LakeCatalog.resetForTest()
+      assert(LakeCatalog.pathOf("conc_a").isEmpty)
       ()
+    }
+  }
+
+  test("cross-process drop defeats a live session's merge-on-persist") {
+    withCatalogDir {
+      LakeCatalog.resetForTest()
+      val pa = tablePath("tomb-a")
+      val pb = tablePath("tomb-b")
+      LakeWriter.write(Seq(1L).toDF("id"), pa)
+      LakeWriter.write(Seq(2L).toDF("id"), pb)
+      // process A registers...
+      LakeCatalog.register(spark, "tomb_a", pa)
+      // ...process B drops it (tombstone persisted)...
+      LakeCatalog.resetForTest()
+      LakeCatalog.drop(spark, "tomb_a")
+      // ...process A is STILL LIVE, holding its older registration in
+      // memory; its next merge-on-persist must honor B's newer
+      // tombstone instead of writing the name back
+      LakeCatalog.resetForTest()
+      LakeCatalog.seedForTest("tomb_a", pa,
+        System.currentTimeMillis() - 60000)
+      LakeCatalog.register(spark, "tomb_b", pb)
+      assert(LakeCatalog.pathOf("tomb_a").isEmpty)
+      LakeCatalog.resetForTest() // and the drop survived on disk
+      assert(LakeCatalog.pathOf("tomb_a").isEmpty)
+      assert(LakeCatalog.pathOf("tomb_b").contains(pb))
+      // a re-registration NEWER than the tombstone wins again
+      LakeCatalog.register(spark, "tomb_a", pa)
+      LakeCatalog.resetForTest()
+      assert(LakeCatalog.pathOf("tomb_a").contains(pa))
+    }
+  }
+
+  test("corrupt catalog file is backed up aside, never overwritten") {
+    withCatalogDir {
+      LakeCatalog.resetForTest()
+      val f = java.nio.file.Paths.get(
+        sys.props("graft.catalog.dir"), "_graft_catalog.json")
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, "{ not json at all".getBytes("UTF-8"))
+      val p = tablePath("cor-a")
+      LakeWriter.write(Seq(1L).toDF("id"), p)
+      LakeCatalog.register(spark, "cor_a", p) // must not throw
+      // the unreadable file was preserved, byte-for-byte, as evidence
+      val backup = f.resolveSibling("_graft_catalog.json.corrupt")
+      assert(java.nio.file.Files.exists(backup))
+      assert(new String(java.nio.file.Files.readAllBytes(backup), "UTF-8")
+        .startsWith("{ not json"))
+      // and the fresh catalog works
+      assert(LakeCatalog.pathOf("cor_a").contains(p))
+      LakeCatalog.resetForTest()
+      assert(LakeCatalog.pathOf("cor_a").contains(p))
     }
   }
 
