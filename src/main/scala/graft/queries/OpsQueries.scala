@@ -51,12 +51,38 @@ object OpsQueries {
              |  CAST(len(string_split(text, ' ')) + (length(text) // 24) AS BIGINT) AS bpe_estimate
              |FROM documents""".stripMargin)),
 
-    // Language-ID heuristic (stopword profiles; engine-defined → rows-only).
+    // Language-ID heuristic. The whole decision rule — per-language
+    // stopword-hit counts, argmax with alphabetical tiebreak, "und" on
+    // zero hits — is deterministic and closed-form, so the oracle
+    // replays it exactly in DuckDB (round-5: was rows-only).
     QueryDef("text_lang_id",
       (s, dir) => TextOps.langId(
         table(s, dir, "documents"), "text")
         .select("doc_id", "lang", "lang_guess"),
-      None),
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('der','die','das','und','zu','in','ist','ein'))) AS score_de,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('the','a','of','and','to','in','is','that'))) AS score_en,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('el','la','de','y','que','en','un','es'))) AS score_es,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('le','la','de','et','que','en','un','est'))) AS score_fr,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('的','了','是','在','我','有','和','不'))) AS score_zh
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |  CASE WHEN GREATEST(score_de, score_en, score_es, score_fr, score_zh) <= 0
+             |       THEN 'und'
+             |       WHEN score_de >= score_en AND score_de >= score_es
+             |        AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             |       WHEN score_en >= score_es AND score_en >= score_fr
+             |        AND score_en >= score_zh THEN 'en'
+             |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             |       WHEN score_fr >= score_zh THEN 'fr'
+             |       ELSE 'zh' END AS lang_guess
+             |FROM s""".stripMargin)),
 
     // Exact dedup via content fingerprint (md5 ⇒ oracle-reproducible).
     QueryDef("dedup_exact",
@@ -131,13 +157,25 @@ object OpsQueries {
           docs.union(composite), "text", "doc_id",
           n = 3, window = 4, minShared = 2)
         val nPlanted = base.count()
-        val found = pairs
-          .filter(col("id_b") === col("id_a") + 2000000L).count()
+        val planted = pairs
+          .filter(col("id_b") === col("id_a") + 2000000L &&
+            col("id_a") < 2000000L)
+        val found = planted.count()
         require(found >= nPlanted,
           s"winnowing missed planted contaminated pairs: $found/$nPlanted")
-        pairs.orderBy("id_a", "id_b")
+        // Returned rows = the DETERMINISTIC subset (round-5): the
+        // planted contaminated pairs, whose ids are closed-form, so
+        // the driver hash-checks them against DuckDB. The fingerprint
+        // COUNTS and the organic pair set are winnow-sampling-defined
+        // (hash-dependent) by construction and stay in-gate-asserted
+        // via the require above, which runs over the FULL pair set.
+        planted.select(col("id_a"), col("id_b")).orderBy("id_a")
       },
-      None),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS id_a,
+             |  CAST(doc_id + 2000000 AS BIGINT) AS id_b
+             |FROM documents
+             |WHERE doc_id % 20 = 0
+             |  AND len(string_split_regex(text, '\s+')) >= 30""".stripMargin)),
 
     // SimHash Hamming-banding near-dup: plant a 1-bit-flipped variant
     // of every 10th doc's signature; 4x16-bit banding must recover
