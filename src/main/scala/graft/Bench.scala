@@ -40,26 +40,32 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
-    // Calibration: the same fixed scan+agg timed (min-of-3, after the
-    // warmup has paid codegen/reader init) BEFORE and AFTER the query
-    // loop. The query is constant across rounds, so its time moves only
-    // with the host. A before/after ratio over 2x marks the snapshot
-    // CONTENDED: round-4's recorded streaming numbers were host-stall
-    // artifacts (3x inflation, x8 run-to-run spread) that min-of-N
-    // cannot dodge when the stall spans the whole bench window — this
-    // field makes such a snapshot self-identifying instead of
-    // masquerading as a regression.
+    // Calibration: a fixed PURE-COMPUTE probe (range + hash agg — no
+    // file I/O, so OS page-cache state can't skew it) sampled min-of-3
+    // before the query loop, after every 10th query, and at the end.
+    // The probe is constant across rounds, so its time moves only with
+    // host CPU availability; a sample taken during a host stall
+    // inflates against the run's median. Round-4's recorded streaming
+    // numbers were host-stall artifacts (3x inflation, x8 run-to-run
+    // spread) that min-of-N cannot dodge when the stall spans a whole
+    // query's bench window — interleaved probes make such a snapshot
+    // self-identifying instead of masquerading as a regression. The
+    // first sample is excluded from the flag (it rides the JVM's
+    // progressive warm-up, measured ~2.4x the warm floor on a quiet
+    // host); CONTENDED = max/median over the rest exceeding 2x.
     def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{sum, xxhash64, col}
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .groupBy("l_returnflag").count().collect()
+        try spark.range(0, 20000000L, 1, 32)
+          .select(sum(xxhash64(col("id")))).collect()
         catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
       times.min
     }
-    val calBefore = calibrate()
+    locally { calibrate(); () } // pay the probe's one-time codegen/JIT
+    val calSamples = scala.collection.mutable.Buffer(calibrate())
 
     // Self-test hook: comma-separated query names forced to fail, so
     // the loud-failure contract (non-zero exit + "failed" field) can
@@ -71,7 +77,8 @@ object Bench {
     val names =
       if (args.nonEmpty) SparkEntry.queryOrder.filter(args.toSet)
       else SparkEntry.queryOrder
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, qi) =>
+      if (qi > 0 && qi % 10 == 0) calSamples += calibrate()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -104,19 +111,26 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calAfter = calibrate()
-    val calRatio = math.max(calBefore, calAfter) /
-      math.max(math.min(calBefore, calAfter), 1e-9)
+    calSamples += calibrate()
+    // flag from the post-warm-up samples: median = the run's quiet
+    // floor, max = the worst window the probe landed in
+    val flagSamples = calSamples.drop(1).toSeq.sorted
+    val calMedian = flagSamples(flagSamples.size / 2)
+    val calMax = flagSamples.last
+    val calRatio = calMax / math.max(calMedian, 1e-9)
     val contended = calRatio > 2.0
+    val samplesJson = calSamples
+      .map(s => f"$s%.4f").mkString("[", ",", "]")
     System.err.println(
-      f"[bench] calibration before=$calBefore%.3f s after=$calAfter%.3f s " +
-      f"ratio=$calRatio%.2f contended=$contended")
+      f"[bench] calibration median=$calMedian%.3f s max=$calMax%.3f s " +
+      f"ratio=$calRatio%.2f contended=$contended samples=$samplesJson")
     println(s"""{"metric":"spread","unit":"sec","runs":$runs,"queries":${
       jsonMap(results.map(r => r._1 -> r._3))}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       jsonMap(results.map(r => r._1 -> r._2))},"failed":$failedJson,${""
-      }"calibration":{"before":$calBefore,"after":$calAfter,${""
-      }"ratio":${f"$calRatio%.3f"},"contended":$contended},"sf":"$sfDir"}""")
+      }"calibration":{"samples":$samplesJson,"median":${f"$calMedian%.4f"},${""
+      }"max":${f"$calMax%.4f"},"ratio":${f"$calRatio%.3f"},${""
+      }"contended":$contended},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(
