@@ -143,9 +143,13 @@ final class LakeMergeBuilder private[lake] (
     // to three consumers (dup fail-fast, table rewrite, CDC). A
     // non-deterministic frame is staged to parquet (durable, so rand()/
     // uuid() can't diverge between consumers); a deterministic one is
-    // cached MEMORY_AND_DISK so the target×source join runs once per
-    // MERGE instead of once per consumer — cache-block loss recomputes
-    // byte-identically by definition.
+    // cached so the target×source join runs once per MERGE instead of
+    // once per consumer — a lost block recomputes byte-identically by
+    // definition. MEMORY_AND_DISK, not UPDATE's DISK_ONLY: merge
+    // rewrite frames are hot for milliseconds between the dup check
+    // and the two writes, per-block spill already bounds memory use
+    // under pressure, and the A/B on the 4-merge medallion measured
+    // DISK_ONLY ~8% slower (5.34 vs 4.95 s min-of-6).
     val caches = scala.collection.mutable.Buffer.empty[DataFrame]
     def evaluateOnce(df: DataFrame): DataFrame = {
       val out = materializeIfNonDeterministic(df)
