@@ -200,6 +200,7 @@ final class LakeMergeBuilder private[lake] (
         .map(r => table.relativize(r.getString(0))).toSeq
 
     var cdcMatched: Option[DataFrame] = None
+    var dupCheck: Option[java.util.concurrent.FutureTask[Long]] = None
     val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
       val tgtTouched = aliasTgt(table.readFiles(snap, touched)
         .withColumn(RID, concat_ws("#",
@@ -252,19 +253,25 @@ final class LakeMergeBuilder private[lake] (
       // (deleting a row twice is still deleting it), which the GDPR
       // RLIKE-delete (etl/05:100-107) depends on: one record can match
       // several deletion patterns. The check is an agg over the shared
-      // combined frame — it no longer re-evaluates the join as its own
-      // job — and still fails eagerly, before any table/CDC file write.
+      // combined frame (no second join evaluation), launched on its own
+      // thread so it OVERLAPS the rewrite write — both consumers
+      // materialize the same cache blocks under Spark's block locks.
+      // The result is awaited before anything is committed; on a dup
+      // the staged (still unreferenced) files are deleted and the
+      // operation fails exactly as an eager check would.
       val ambiguous = matchedClauses.exists {
         case _: UpdateClause => true
         case DeleteClause(c) => c.isDefined
       }
-      val dup = if (!ambiguous) 0L else combined.filter(col(MATCHED))
-        .groupBy(col(RID))
-        .count().filter(col("count") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "MERGE failed: a target row was matched by multiple source " +
-        "rows with update/delete clauses present; merge results would " +
-        "be nondeterministic. Deduplicate the source on the merge key.")
+      if (ambiguous) {
+        val task = new java.util.concurrent.FutureTask[Long](() =>
+          combined.filter(col(MATCHED)).groupBy(col(RID))
+            .count().filter(col("count") > 1).limit(1).count())
+        val t = new Thread(task, "graft-merge-dup-check")
+        t.setDaemon(true)
+        t.start()
+        dupCheck = Some(task)
+      }
 
       val updateIdxs = matchedClauses.zipWithIndex.collect {
         case (_: UpdateClause, i) => i + 1
@@ -326,6 +333,25 @@ final class LakeMergeBuilder private[lake] (
         LakeWriter.stageAndAdopt(df, table.tablePath,
           snap.partitionColumns)
       case None => Nil
+    }
+    // Await the overlapped duplicate-match verdict before any CDC
+    // write or commit; staged files are still unreferenced by the log,
+    // so on failure they are deleted and the table is untouched.
+    dupCheck.foreach { f =>
+      val dup =
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+        }
+      if (dup > 0) {
+        adds.foreach(a => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table.tablePath, a.path)))
+        throw new IllegalStateException(
+          "MERGE failed: a target row was matched by multiple source " +
+          "rows with update/delete clauses present; merge results " +
+          "would be nondeterministic. Deduplicate the source on the " +
+          "merge key.")
+      }
     }
     val cdcInserts = inserts.map(
       _.withColumn("_change_type", lit("insert")))
