@@ -325,6 +325,26 @@ final class LakeMergeBuilder private[lake] (
       case (Some(r), Some(i)) => Some(r.unionByName(i))
       case (r, i) => r.orElse(i)
     }
+    def unwrap[A](f: java.util.concurrent.FutureTask[A]): A =
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+      }
+    // The CDC write overlaps the data write on its own thread — the
+    // two stage to disjoint scratch dirs and share the same cached
+    // frames, so wall time is max(data, cdc) instead of the sum.
+    val cdcInserts = inserts.map(
+      _.withColumn("_change_type", lit("insert")))
+    val cdcDf = (cdcMatched.toSeq ++ cdcInserts.toSeq)
+      .reduceOption(_.unionByName(_))
+    val cdcTask = cdcDf.map { df =>
+      val task = new java.util.concurrent.FutureTask[Seq[CdcFile]](() =>
+        LakeWriter.stageCdc(df, table.tablePath))
+      val t = new Thread(task, "graft-merge-cdc-stage")
+      t.setDaemon(true)
+      t.start()
+      task
+    }
     val adds = output match {
       case Some(df) =>
         if (snap.metadata.constraints.nonEmpty)
@@ -334,18 +354,17 @@ final class LakeMergeBuilder private[lake] (
           snap.partitionColumns)
       case None => Nil
     }
-    // Await the overlapped duplicate-match verdict before any CDC
-    // write or commit; staged files are still unreferenced by the log,
-    // so on failure they are deleted and the table is untouched.
+    val cdc = cdcTask.map(unwrap(_)).getOrElse(Nil)
+    // Await the overlapped duplicate-match verdict before the commit;
+    // everything staged so far is still unreferenced by the log, so on
+    // failure the staged data and CDC files are deleted and the table
+    // is untouched.
     dupCheck.foreach { f =>
-      val dup =
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
-          throw Option(e.getCause).getOrElse(e)
-        }
-      if (dup > 0) {
+      if (unwrap(f) > 0) {
         adds.foreach(a => java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(table.tablePath, a.path)))
+        cdc.foreach(c => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table.tablePath, c.path)))
         throw new IllegalStateException(
           "MERGE failed: a target row was matched by multiple source " +
           "rows with update/delete clauses present; merge results " +
@@ -353,12 +372,6 @@ final class LakeMergeBuilder private[lake] (
           "merge key.")
       }
     }
-    val cdcInserts = inserts.map(
-      _.withColumn("_change_type", lit("insert")))
-    val cdcDf = (cdcMatched.toSeq ++ cdcInserts.toSeq)
-      .reduceOption(_.unionByName(_))
-    val cdc = cdcDf.map(LakeWriter.stageCdc(_, table.tablePath))
-      .getOrElse(Nil)
     table.commitRewrite(snap, touched, adds, "MERGE",
       Map("condition" -> condition,
         "matchedClauses" -> matchedClauses.size.toString,
