@@ -54,11 +54,15 @@ object Bench {
     // progressive warm-up, measured ~2.4x the warm floor on a quiet
     // host); CONTENDED = max/median over the rest exceeding 2x.
     def calibrate(): Double = {
-      import org.apache.spark.sql.functions.{sum, xxhash64, col}
+      import org.apache.spark.sql.functions.{sum, pmod, xxhash64, col, lit}
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
+        // pmod keeps the summed terms < 2^20 so the 20M-row sum stays
+        // ~2^44 — a raw sum(xxhash64) overflows Long and under ANSI
+        // (Spark 4 default) aborts the probe job, timing the abort
+        // instead of the compute
         try spark.range(0, 20000000L, 1, 32)
-          .select(sum(xxhash64(col("id")))).collect()
+          .select(sum(pmod(xxhash64(col("id")), lit(1048576L)))).collect()
         catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }

@@ -263,15 +263,11 @@ final class LakeMergeBuilder private[lake] (
         case _: UpdateClause => true
         case DeleteClause(c) => c.isDefined
       }
-      if (ambiguous) {
-        val task = new java.util.concurrent.FutureTask[Long](() =>
+      if (ambiguous)
+        dupCheck = Some(LakeWriter.inParallel("graft-merge-dup-check") {
           combined.filter(col(MATCHED)).groupBy(col(RID))
-            .count().filter(col("count") > 1).limit(1).count())
-        val t = new Thread(task, "graft-merge-dup-check")
-        t.setDaemon(true)
-        t.start()
-        dupCheck = Some(task)
-      }
+            .count().filter(col("count") > 1).limit(1).count()
+        })
 
       val updateIdxs = matchedClauses.zipWithIndex.collect {
         case (_: UpdateClause, i) => i + 1
@@ -325,11 +321,6 @@ final class LakeMergeBuilder private[lake] (
       case (Some(r), Some(i)) => Some(r.unionByName(i))
       case (r, i) => r.orElse(i)
     }
-    def unwrap[A](f: java.util.concurrent.FutureTask[A]): A =
-      try f.get()
-      catch { case e: java.util.concurrent.ExecutionException =>
-        throw Option(e.getCause).getOrElse(e)
-      }
     // The CDC write overlaps the data write on its own thread — the
     // two stage to disjoint scratch dirs and share the same cached
     // frames, so wall time is max(data, cdc) instead of the sum.
@@ -337,14 +328,10 @@ final class LakeMergeBuilder private[lake] (
       _.withColumn("_change_type", lit("insert")))
     val cdcDf = (cdcMatched.toSeq ++ cdcInserts.toSeq)
       .reduceOption(_.unionByName(_))
-    val cdcTask = cdcDf.map { df =>
-      val task = new java.util.concurrent.FutureTask[Seq[CdcFile]](() =>
-        LakeWriter.stageCdc(df, table.tablePath))
-      val t = new Thread(task, "graft-merge-cdc-stage")
-      t.setDaemon(true)
-      t.start()
-      task
-    }
+    val cdcTask = cdcDf.map(df =>
+      LakeWriter.inParallel("graft-merge-cdc-stage") {
+        LakeWriter.stageCdc(df, table.tablePath)
+      })
     val adds = output match {
       case Some(df) =>
         if (snap.metadata.constraints.nonEmpty)
@@ -354,13 +341,13 @@ final class LakeMergeBuilder private[lake] (
           snap.partitionColumns)
       case None => Nil
     }
-    val cdc = cdcTask.map(unwrap(_)).getOrElse(Nil)
+    val cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)
     // Await the overlapped duplicate-match verdict before the commit;
     // everything staged so far is still unreferenced by the log, so on
     // failure the staged data and CDC files are deleted and the table
     // is untouched.
     dupCheck.foreach { f =>
-      if (unwrap(f) > 0) {
+      if (LakeWriter.awaitTask(f) > 0) {
         adds.foreach(a => java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(table.tablePath, a.path)))
         cdc.foreach(c => java.nio.file.Files.deleteIfExists(

@@ -179,16 +179,21 @@ final class LakeTable private (
         if (touched.nonEmpty) {
           val kept = readFiles(snap, touched)
             .filter(!coalesce(cond, lit(false)))
+          // persisted CDC: the deleted rows, so changes() never has
+          // to diff the rewritten files. Staged on its own thread so
+          // the CDC scan OVERLAPS the kept-rows write (two independent
+          // scans of the same touched files); nothing commits until
+          // both staging writes are joined.
+          val cdcTask = LakeWriter.inParallel("graft-delete-cdc-stage") {
+            LakeWriter.stageCdc(
+              readFiles(snap, touched).filter(coalesce(cond, lit(false)))
+                .withColumn("_change_type", lit("delete")),
+              tablePath)
+          }
           val adds = LakeWriter.stageAndAdopt(kept, tablePath,
             snap.partitionColumns)
-          // persisted CDC: the deleted rows, so changes() never has
-          // to diff the rewritten files
-          val cdc = LakeWriter.stageCdc(
-            readFiles(snap, touched).filter(coalesce(cond, lit(false)))
-              .withColumn("_change_type", lit("delete")),
-            tablePath)
           commitRewrite(snap, touched, adds, "DELETE",
-            Map("predicate" -> condition), cdc)
+            Map("predicate" -> condition), LakeWriter.awaitTask(cdcTask))
         }
     }
   }
@@ -244,10 +249,12 @@ final class LakeTable private (
       if (snap.metadata.constraints.nonEmpty)
         LakeWriter.enforceConstraints(updated,
           snap.metadata.constraints, tablePath)
-      val adds = LakeWriter.stageAndAdopt(updated, tablePath,
-        snap.partitionColumns)
       // persisted CDC: preimage (delete) + postimage (insert) of ONLY
-      // the matched rows, read back from the same cached projection
+      // the matched rows, read back from the same cached projection.
+      // Staged on its own thread so it OVERLAPS the data write — both
+      // consume the shared materialized projection, so wall time is
+      // max(data, cdc) instead of the sum; nothing commits until both
+      // staging writes are joined.
       val matchedRows = projected.filter(col("_graft_upd_matched"))
       val pre = matchedRows
         .select(fields.map(f => col(quoted(f.name))): _*)
@@ -255,9 +262,13 @@ final class LakeTable private (
       val post = matchedRows
         .select(fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
         .withColumn("_change_type", lit("insert"))
-      val cdc = LakeWriter.stageCdc(pre.unionByName(post), tablePath)
+      val cdcTask = LakeWriter.inParallel("graft-update-cdc-stage") {
+        LakeWriter.stageCdc(pre.unionByName(post), tablePath)
+      }
+      val adds = LakeWriter.stageAndAdopt(updated, tablePath,
+        snap.partitionColumns)
       commitRewrite(snap, touched, adds, "UPDATE",
-        Map("predicate" -> condition), cdc)
+        Map("predicate" -> condition), LakeWriter.awaitTask(cdcTask))
     } finally {
       if (setsDeterministic) projected.unpersist()
       scratch.foreach(LakeWriter.deleteRecursively)

@@ -330,6 +330,26 @@ object LakeWriter {
     -1L // unreachable
   }
 
+  /** Run `body` on a daemon thread — DML paths use this to overlap
+    * independent Spark jobs (the CDC stage vs the data stage, the
+    * MERGE dup check vs the rewrite). Await with [[awaitTask]].
+    */
+  private[lake] def inParallel[A](name: String)(body: => A)
+      : java.util.concurrent.FutureTask[A] = {
+    val task = new java.util.concurrent.FutureTask[A](() => body)
+    val t = new Thread(task, name)
+    t.setDaemon(true)
+    t.start()
+    task
+  }
+
+  /** Join an [[inParallel]] task, rethrowing the original cause. */
+  private[lake] def awaitTask[A](f: java.util.concurrent.FutureTask[A]): A =
+    try f.get()
+    catch { case e: java.util.concurrent.ExecutionException =>
+      throw Option(e.getCause).getOrElse(e)
+    }
+
   /** Write a commit's row-level change set (table schema +
     * `_change_type`) under `_change_data/` and return the CdcFile
     * actions for the commit. One extra scan-shaped write per DML —
