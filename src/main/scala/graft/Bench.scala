@@ -53,6 +53,12 @@ object Bench {
     // first sample is excluded from the flag (it rides the JVM's
     // progressive warm-up, measured ~2.4x the warm floor on a quiet
     // host); CONTENDED = max/median over the rest exceeding 2x.
+    // A probe sample that ABORTED measures time-to-failure, not host
+    // availability — count failures and surface them in the JSON so a
+    // systematically broken probe (e.g. a future ANSI regression) is
+    // distinguishable from a quiet host instead of silently defeating
+    // the contended flag.
+    var probeFailures = 0
     def calibrate(): Double = {
       import org.apache.spark.sql.functions.{sum, pmod, xxhash64, col, lit}
       val times = (1 to 3).map { _ =>
@@ -63,7 +69,11 @@ object Bench {
         // instead of the compute
         try spark.range(0, 20000000L, 1, 32)
           .select(sum(pmod(xxhash64(col("id")), lit(1048576L)))).collect()
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          probeFailures += 1
+          System.err.println(s"[bench] calibration probe failed: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       times.min
@@ -127,14 +137,15 @@ object Bench {
       .map(s => f"$s%.4f").mkString("[", ",", "]")
     System.err.println(
       f"[bench] calibration median=$calMedian%.3f s max=$calMax%.3f s " +
-      f"ratio=$calRatio%.2f contended=$contended samples=$samplesJson")
+      f"ratio=$calRatio%.2f contended=$contended " +
+      f"probeFailures=$probeFailures samples=$samplesJson")
     println(s"""{"metric":"spread","unit":"sec","runs":$runs,"queries":${
       jsonMap(results.map(r => r._1 -> r._3))}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       jsonMap(results.map(r => r._1 -> r._2))},"failed":$failedJson,${""
       }"calibration":{"samples":$samplesJson,"median":${f"$calMedian%.4f"},${""
       }"max":${f"$calMax%.4f"},"ratio":${f"$calRatio%.3f"},${""
-      }"contended":$contended},"sf":"$sfDir"}""")
+      }"contended":$contended,"probeFailures":$probeFailures},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

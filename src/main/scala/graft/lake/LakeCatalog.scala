@@ -35,6 +35,16 @@ object LakeCatalog {
     * any newer state beats them. Tombstones are not GC'd: they are
     * one (name, long) pair per distinct dropped name, erased again by
     * re-registration.
+    *
+    * CLOCK ASSUMPTION: per-key LWW orders operations by wall-clock
+    * stamps taken in different processes, so correctness across HOSTS
+    * assumes clocks synchronized to within the smallest interesting
+    * register/drop gap (NTP-class skew; same assumption Delta makes
+    * for commit timestamps). Within what one session has SEEN, the
+    * assumption is discharged: stamps are taken as
+    * max(now, maxSeenStamp + 1), so a session never writes a stamp
+    * behind state it has already merged, even if its own clock steps
+    * backwards.
     */
   private case class CatalogDisk(
       tables: Map[String, String] = Map.empty,
@@ -51,6 +61,18 @@ object LakeCatalog {
   private val dropped = scala.collection.mutable.Map.empty[String, Long]
   private val ioLock = new Object
   @volatile private var loadedFrom: Option[Path] = None
+  // Largest timestamp observed in merged disk state or stamped by this
+  // session — the monotonic floor for new stamps. Guarded by ioLock.
+  private var maxSeenStamp = 0L
+
+  /** New LWW stamp: wall clock, but never at-or-behind anything this
+    * session has merged or written (see the clock note on CatalogDisk).
+    * Caller must hold ioLock.
+    */
+  private def stampNow(): Long = {
+    maxSeenStamp = math.max(System.currentTimeMillis(), maxSeenStamp + 1)
+    maxSeenStamp
+  }
 
   private def stripScheme(dir: String): String =
     dir.stripPrefix("file://").stripPrefix("file:")
@@ -97,6 +119,8 @@ object LakeCatalog {
             catch { case scala.util.control.NonFatal(_) => () }
             CatalogDisk()
         }
+      maxSeenStamp = (maxSeenStamp +:
+        (disk.registeredAt.values ++ disk.dropped.values).toSeq).max
       disk.dropped.foreach { case (n, t) =>
         if (!regTime.get(n).exists(_ > t)) { // our re-register is newer?
           tables.remove(n); regTime.remove(n)
@@ -164,6 +188,7 @@ object LakeCatalog {
     tables.clear()
     regTime.clear()
     dropped.clear()
+    maxSeenStamp = 0L
     loadedFrom = None
   }
 
@@ -189,7 +214,7 @@ object LakeCatalog {
       val key = normalize(name)
       dropped.remove(key)
       tables.put(key, path)
-      regTime(key) = System.currentTimeMillis()
+      regTime(key) = stampNow()
       persist(Some(spark))
     }
     refreshView(spark, name)
@@ -200,7 +225,7 @@ object LakeCatalog {
     ioLock.synchronized {
       ensureLoaded(Some(spark))
       val key = normalize(name)
-      dropped(key) = System.currentTimeMillis()
+      dropped(key) = stampNow()
       tables.remove(key)
       regTime.remove(key)
       persist(Some(spark))

@@ -328,41 +328,71 @@ final class LakeMergeBuilder private[lake] (
       _.withColumn("_change_type", lit("insert")))
     val cdcDf = (cdcMatched.toSeq ++ cdcInserts.toSeq)
       .reduceOption(_.unionByName(_))
+    // The scratch dir is allocated HERE, not inside the task, so the
+    // failure sweep below can remove it even if the stage died mid-write.
+    val cdcDir = cdcDf.map(_ => LakeWriter.newCdcDir(table.tablePath))
     val cdcTask = cdcDf.map(df =>
       LakeWriter.inParallel("graft-merge-cdc-stage") {
-        LakeWriter.stageCdc(df, table.tablePath)
+        LakeWriter.stageCdc(df, table.tablePath, cdcDir.get)
       })
-    val adds = output match {
-      case Some(df) =>
-        if (snap.metadata.constraints.nonEmpty)
-          LakeWriter.enforceConstraints(df,
-            snap.metadata.constraints, table.tablePath)
-        LakeWriter.stageAndAdopt(df, table.tablePath,
-          snap.partitionColumns)
-      case None => Nil
-    }
-    val cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)
-    // Await the overlapped duplicate-match verdict before the commit;
-    // everything staged so far is still unreferenced by the log, so on
-    // failure the staged data and CDC files are deleted and the table
-    // is untouched.
-    dupCheck.foreach { f =>
-      if (LakeWriter.awaitTask(f) > 0) {
-        adds.foreach(a => java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table.tablePath, a.path)))
-        cdc.foreach(c => java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table.tablePath, c.path)))
-        throw new IllegalStateException(
-          "MERGE failed: a target row was matched by multiple source " +
-          "rows with update/delete clauses present; merge results " +
-          "would be nondeterministic. Deduplicate the source on the " +
-          "merge key.")
+    // Everything staged below is unreferenced by the log until the
+    // final commit, so ANY failure past this point — the data write,
+    // the overlapped CDC stage, the duplicate-match verdict, or the
+    // commit itself — must sweep the staged files back out; otherwise
+    // they sit as untracked debris until a vacuum ages them past the
+    // mtime horizon. (Now-empty cdc-/partition dirs are left for
+    // vacuum's bottom-up sweep; removing an empty dir never loses
+    // data.)
+    var adds: Seq[AddFile] = Nil
+    var cdc: Seq[CdcFile] = Nil
+    try {
+      adds = output match {
+        case Some(df) =>
+          if (snap.metadata.constraints.nonEmpty)
+            LakeWriter.enforceConstraints(df,
+              snap.metadata.constraints, table.tablePath)
+          LakeWriter.stageAndAdopt(df, table.tablePath,
+            snap.partitionColumns)
+        case None => Nil
       }
+      cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)
+      // Await the overlapped duplicate-match verdict before the commit.
+      dupCheck.foreach { f =>
+        if (LakeWriter.awaitTask(f) > 0)
+          throw new IllegalStateException(
+            "MERGE failed: a target row was matched by multiple source " +
+            "rows with update/delete clauses present; merge results " +
+            "would be nondeterministic. Deduplicate the source on the " +
+            "merge key.")
+      }
+      table.commitRewrite(snap, touched, adds, "MERGE",
+        Map("condition" -> condition,
+          "matchedClauses" -> matchedClauses.size.toString,
+          "notMatchedClauses" -> insertClauses.size.toString), cdc)
+    } catch { case e: Throwable =>
+      // If the data write died while the CDC stage was still running,
+      // settle the CDC task first (swallowing its own failure) so the
+      // scratch dir is quiescent before the sweep.
+      cdcTask.foreach(t =>
+        try { LakeWriter.awaitTask(t); () }
+        catch { case _: Throwable => () })
+      adds.map(_.path).foreach { p =>
+        try java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table.tablePath, p))
+        catch { case _: java.io.IOException => () }
+      }
+      // The whole cdc-UUID dir is this merge's scratch: nothing in it
+      // was committed, so it goes recursively — committer crumbs
+      // (_SUCCESS, .crc) included, not just the CdcFile parquet paths.
+      cdcDir.filter(java.nio.file.Files.exists(_)).foreach { d =>
+        val (files, dirs) = LakeTable.walkTolerant(d)
+        (files ++ dirs.sortBy(p => -p.getNameCount) :+ d).foreach { p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      throw e
     }
-    table.commitRewrite(snap, touched, adds, "MERGE",
-      Map("condition" -> condition,
-        "matchedClauses" -> matchedClauses.size.toString,
-        "notMatchedClauses" -> insertClauses.size.toString), cdc)
     } finally caches.foreach(_.unpersist(false))
   }
 

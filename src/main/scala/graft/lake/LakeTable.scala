@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,8 +50,13 @@ final class LakeTable private (
         s"$tablePath (earliest: ${versions.headOption.map(_._2)})"))
   }
 
-  /** (version, CommitInfo timestamp) for every commit, ascending:
-    * sidecar head + per-file tail since the last checkpoint.
+  /** (version, commit timestamp) for EVERY commit, ascending: sidecar
+    * head + per-file tail since the last checkpoint. A commit that
+    * carries no CommitInfo (raw protocol append) is invisible to both,
+    * so it falls back to the version file's modification time — the
+    * same clock `changes()` uses for `_commit_timestamp`. Without the
+    * fallback such a commit would get no vacuum retention-window
+    * protection and be unreachable by timestamp travel.
     */
   private def commitTimestamps: Seq[(Long, Long)] = {
     val latest = log.latestVersion
@@ -60,11 +65,19 @@ final class LakeTable private (
         (entries.map(c => (c.version, c.timestamp)), hv + 1)
       case None => (Seq.empty[(Long, Long)], 0L)
     }
-    head ++ (from to latest).flatMap { v =>
+    val tail = (from to latest).map { v =>
       log.readVersion(v).collectFirst { case c: CommitInfo =>
         (v, c.timestamp)
-      }
+      }.getOrElse((v, Files.getLastModifiedTime(log.versionFile(v)).toMillis))
     }
+    val known = head ++ tail
+    val seen = known.map(_._1).toSet
+    // Sidecar-era versions the sidecar never recorded (CommitInfo-less
+    // commits before the last checkpoint): same mtime fallback.
+    val gaps = (0L until from).filterNot(seen)
+      .filter(v => Files.exists(log.versionFile(v)))
+      .map(v => (v, Files.getLastModifiedTime(log.versionFile(v)).toMillis))
+    (known ++ gaps).sortBy(_._1)
   }
 
   def asOfTimestamp(timestampMillis: Long): DataFrame =
@@ -432,16 +445,18 @@ final class LakeTable private (
       }.toSet
     val root = Paths.get(tablePath).toAbsolutePath.normalize
     val logRoot = root.resolve(LakeLog.LOG_DIR)
-    val candidates = {
-      val s = Files.walk(root)
-      try s.iterator.asScala
-        .filter(p => Files.isRegularFile(p) && !p.startsWith(logRoot))
-        .map(p => root.relativize(p).toString).toSeq
-      finally s.close()
-    }
+    val candidates = LakeTable.walkTolerant(root)._1
+      .filterNot(_.startsWith(logRoot))
+      .map(p => root.relativize(p).toString)
+    // The stat races with concurrent deleters (a crashed MERGE's
+    // finally-block sweeping its .staging-* dir, a second vacuum): a
+    // file that vanished between listing and stat is simply already
+    // gone — skip it rather than aborting the whole vacuum.
     val deletable = candidates.filter { rel =>
-      !live.contains(rel) && !protectedPaths.contains(rel) &&
-        Files.getLastModifiedTime(root.resolve(rel)).toMillis <= cutoff
+      !live.contains(rel) && !protectedPaths.contains(rel) && {
+        try Files.getLastModifiedTime(root.resolve(rel)).toMillis <= cutoff
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
     }.sorted
     // Large vacuums delete distributed: at millions of tombstones the
     // serial driver loop is the bottleneck, and deletes are
@@ -459,17 +474,20 @@ final class LakeTable private (
     // go before parents. No mtime gate: removing an EMPTY directory
     // never loses data, and every writer recreates its directories on
     // write (stageAndAdopt/parquet both mkdir before writing).
-    locally {
-      val s = Files.walk(root)
-      try s.iterator.asScala.toSeq
-        .filter(p => Files.isDirectory(p) && p != root && !p.startsWith(logRoot))
-        .sortBy(p => -p.getNameCount)
-        .foreach { d =>
+    LakeTable.walkTolerant(root)._2
+      .filterNot(_.startsWith(logRoot))
+      .sortBy(p => -p.getNameCount)
+      .foreach { d =>
+        try {
           val empty = { val l = Files.list(d); try !l.iterator.hasNext finally l.close() }
           if (empty) Files.deleteIfExists(d)
+        } catch {
+          // Vanished concurrently, or a writer dropped a file into it
+          // between the emptiness check and the delete — both fine.
+          case _: java.nio.file.NoSuchFileException =>
+          case _: java.nio.file.DirectoryNotEmptyException =>
         }
-      finally s.close()
-    }
+      }
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "VACUUM",
         Map("retentionHours" -> retentionHours.toString,
@@ -740,6 +758,40 @@ object LakeTable {
   /** Below these sizes the driver loop wins (job-launch overhead). */
   private[lake] val DISTRIBUTED_HISTORY_MIN_VERSIONS = 128
   private[lake] val DISTRIBUTED_VACUUM_MIN_FILES = 64
+
+  /** Recursive (files, dirs) listing tolerant of entries vanishing
+    * mid-traversal. `Files.walk`'s lazy iterator throws an
+    * UncheckedIOException when a concurrent deleter (another vacuum's
+    * sweep, a crashed writer's finally-block) removes a directory it
+    * is about to descend into — and once thrown the stream is dead.
+    * `walkFileTree` with a CONTINUE-on-failure visitor skips the
+    * vanished entry and keeps going, which is the right semantics for
+    * vacuum: already-gone is success.
+    */
+  private[lake] def walkTolerant(root: Path): (Seq[Path], Seq[Path]) = {
+    val files = Seq.newBuilder[Path]
+    val dirs = Seq.newBuilder[Path]
+    Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+      import java.nio.file.FileVisitResult.CONTINUE
+      override def visitFile(f: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        if (attrs.isRegularFile) files += f
+        CONTINUE
+      }
+      override def visitFileFailed(f: Path, e: java.io.IOException)
+          : java.nio.file.FileVisitResult = CONTINUE
+      override def preVisitDirectory(d: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        if (d != root) dirs += d
+        CONTINUE
+      }
+      override def postVisitDirectory(d: Path, e: java.io.IOException)
+          : java.nio.file.FileVisitResult = CONTINUE
+    })
+    (files.result(), dirs.result())
+  }
 
   def forPath(spark: SparkSession, path: String): LakeTable =
     new LakeTable(spark, new LakeLog(path), None)

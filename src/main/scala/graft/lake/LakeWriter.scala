@@ -356,16 +356,28 @@ object LakeWriter {
     * the Delta CDF trade: pay O(changes) at write time so change
     * reads never have to diff rewritten files.
     */
-  private[lake] def stageCdc(df: DataFrame, tablePath: String): Seq[CdcFile] = {
+  /** Fresh scratch dir for one commit's change-data files. Exposed so
+    * a caller that stages CDC on a side thread (MERGE) knows the dir
+    * BEFORE the write starts and can sweep the whole thing — committer
+    * crumbs (`_SUCCESS`, `.crc`) included — if anything fails after
+    * staging.
+    */
+  private[lake] def newCdcDir(tablePath: String): Path =
+    Paths.get(tablePath).toAbsolutePath.normalize
+      .resolve("_change_data").resolve(s"cdc-${UUID.randomUUID()}")
+
+  private[lake] def stageCdc(df: DataFrame, tablePath: String,
+      dir: Path): Seq[CdcFile] = {
     val root = Paths.get(tablePath).toAbsolutePath.normalize
-    val dir = root.resolve("_change_data")
-      .resolve(s"cdc-${UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(dir.toString)
     walkParquet(dir).map { f =>
       CdcFile(root.relativize(f.toAbsolutePath.normalize).toString,
         Files.size(f))
     }
   }
+
+  private[lake] def stageCdc(df: DataFrame, tablePath: String): Seq[CdcFile] =
+    stageCdc(df, tablePath, newCdcDir(tablePath))
 
   /** CHECK enforcement (Delta `delta.constraints.*` semantics): a row
     * violates a constraint only when the expression evaluates to

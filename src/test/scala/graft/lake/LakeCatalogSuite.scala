@@ -148,6 +148,38 @@ class LakeCatalogSuite extends SparkSuite {
     }
   }
 
+  test("drop beats a fast-clock peer's registration (monotonic stamps)") {
+    withCatalogDir {
+      LakeCatalog.resetForTest()
+      val pa = tablePath("skew-a")
+      LakeWriter.write(Seq(1L).toDF("id"), pa)
+      // A peer whose clock runs an hour AHEAD registered the name; its
+      // stamp is in this host's future. A drop stamped with the raw
+      // local clock would lose the LWW merge and the name would
+      // resurrect on the next load — stamps must be taken as
+      // max(now, maxSeen + 1).
+      val f = java.nio.file.Paths.get(
+        sys.props("graft.catalog.dir"), "_graft_catalog.json")
+      java.nio.file.Files.createDirectories(f.getParent)
+      val future = System.currentTimeMillis() + 3600000L
+      java.nio.file.Files.write(f,
+        s"""{"tables":{"skew_a":"$pa"},"registeredAt":{"skew_a":$future},"dropped":{}}"""
+          .getBytes("UTF-8"))
+      assert(LakeCatalog.pathOf("skew_a").contains(pa))
+      LakeCatalog.drop(spark, "skew_a")
+      assert(LakeCatalog.pathOf("skew_a").isEmpty)
+      // fresh session replaying the on-disk LWW state: drop still wins
+      LakeCatalog.resetForTest()
+      assert(LakeCatalog.pathOf("skew_a").isEmpty)
+      // and a later re-registration (also stamped past the tombstone)
+      // brings the name back
+      LakeCatalog.register(spark, "skew_a", pa)
+      LakeCatalog.resetForTest()
+      assert(LakeCatalog.pathOf("skew_a").contains(pa))
+      ()
+    }
+  }
+
   test("corrupt catalog file is backed up aside, never overwritten") {
     withCatalogDir {
       LakeCatalog.resetForTest()

@@ -191,6 +191,65 @@ class LakeDistributedSuite extends SparkSuite {
     assert(LakeTable.forPath(spark, path).asOf(0).count() === 2L)
   }
 
+  test("vacuum protects tombstones of a CommitInfo-less commit (mtime fallback)") {
+    val path = tablePath("vac-rawcommit")
+    LakeWriter.write(Seq(1L, 2L).toDF("id").coalesce(1), path) // v0
+    val fileA = LakeWriter.walkParquet(Paths.get(path)).head
+    // ancient by mtime — only in-window tombstone protection saves it
+    Files.setLastModifiedTime(fileA,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    // raw protocol append tombstoning the file, with NO CommitInfo:
+    // invisible to the sidecar/CommitInfo scan, so the protection pass
+    // must date it from the version file's modification time
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val rel = root.relativize(fileA.toAbsolutePath.normalize).toString
+    new LakeLog(path).commit(1L,
+      Seq(RemoveFile(rel, System.currentTimeMillis())))
+    val deleted = LakeTable.forPath(spark, path).vacuum(1000.0)
+    assert(deleted.isEmpty, deleted.toString)
+    assert(Files.exists(fileA))
+    // the raw commit is also reachable by timestamp travel (same
+    // mtime fallback), consistent with changes()' _commit_timestamp
+    assert(LakeTable.forPath(spark, path)
+      .versionAtTimestamp(System.currentTimeMillis() + 60000L) >= 1L)
+  }
+
+  test("vacuum tolerates candidates vanishing between listing and stat") {
+    val path = tablePath("vac-stat-race")
+    Files.createDirectories(Paths.get(path))
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty),
+      Metadata("id BIGINT", Nil, 1L)))
+    // expired orphan debris: candidates for BOTH concurrent vacuums,
+    // so each thread's stat loop races the other's deletes — the
+    // pre-fix behavior was a NoSuchFileException aborting the vacuum
+    val old = java.nio.file.attribute.FileTime.fromMillis(1000L)
+    val orphans = (0 until 1500).map { i =>
+      val p = Paths.get(path, f"scrap-$i%05d/part.bin")
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array[Byte](1))
+      Files.setLastModifiedTime(p, old)
+      Files.setLastModifiedTime(p.getParent, old)
+      p
+    }
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (1 to 2).map { _ =>
+        val th = new Thread(() => {
+          try { barrier.await(); LakeTable.forPath(spark, path).vacuum(0.0); () }
+          catch { case t: Throwable => errs.add(t); () }
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      assert(errs.isEmpty,
+        errs.asScala.map(_.toString).mkString("; "))
+      assert(orphans.forall(p => !Files.exists(p)))
+    } finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+  }
+
   test("vacuum deletes 64+ tombstoned files distributed") {
     val path = tablePath("dist-vac")
     Files.createDirectories(Paths.get(path))

@@ -90,6 +90,22 @@ class LakeDmlSuite extends SparkSuite {
         .execute()
     }
     assert(e.getMessage.contains("multiple source"))
+    // the failed merge swept its staged data AND CDC files back out:
+    // every file left under the table root is referenced by the log
+    val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    val logRoot = root.resolve(LakeLog.LOG_DIR)
+    val s = java.nio.file.Files.walk(root)
+    val onDisk = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator.asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.startsWith(logRoot))
+        .map(p => root.relativize(p).toString).toSet
+    } finally s.close()
+    val live = LakeTable.forPath(spark, path).snapshot().files
+      .map(_.path).toSet
+    assert(onDisk === live,
+      s"staged debris left behind: ${(onDisk -- live).mkString(", ")}")
   }
 
   test("merge insert map must supply every column after schema evolution") {
