@@ -370,27 +370,7 @@ final class LakeMergeBuilder private[lake] (
           "matchedClauses" -> matchedClauses.size.toString,
           "notMatchedClauses" -> insertClauses.size.toString), cdc)
     } catch { case e: Throwable =>
-      // If the data write died while the CDC stage was still running,
-      // settle the CDC task first (swallowing its own failure) so the
-      // scratch dir is quiescent before the sweep.
-      cdcTask.foreach(t =>
-        try { LakeWriter.awaitTask(t); () }
-        catch { case _: Throwable => () })
-      adds.map(_.path).foreach { p =>
-        try java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table.tablePath, p))
-        catch { case _: java.io.IOException => () }
-      }
-      // The whole cdc-UUID dir is this merge's scratch: nothing in it
-      // was committed, so it goes recursively — committer crumbs
-      // (_SUCCESS, .crc) included, not just the CdcFile parquet paths.
-      cdcDir.filter(java.nio.file.Files.exists(_)).foreach { d =>
-        val (files, dirs) = LakeTable.walkTolerant(d)
-        (files ++ dirs.sortBy(p => -p.getNameCount) :+ d).foreach { p =>
-          try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: java.io.IOException => () }
-        }
-      }
+      LakeWriter.sweepStaged(table.tablePath, adds, cdcTask, cdcDir)
       throw e
     }
     } finally caches.foreach(_.unpersist(false))

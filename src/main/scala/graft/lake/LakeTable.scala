@@ -197,16 +197,24 @@ final class LakeTable private (
           // the CDC scan OVERLAPS the kept-rows write (two independent
           // scans of the same touched files); nothing commits until
           // both staging writes are joined.
+          val cdcDir = LakeWriter.newCdcDir(tablePath)
           val cdcTask = LakeWriter.inParallel("graft-delete-cdc-stage") {
             LakeWriter.stageCdc(
               readFiles(snap, touched).filter(coalesce(cond, lit(false)))
                 .withColumn("_change_type", lit("delete")),
-              tablePath)
+              tablePath, cdcDir)
           }
-          val adds = LakeWriter.stageAndAdopt(kept, tablePath,
-            snap.partitionColumns)
-          commitRewrite(snap, touched, adds, "DELETE",
-            Map("predicate" -> condition), LakeWriter.awaitTask(cdcTask))
+          var adds: Seq[AddFile] = Nil
+          try {
+            adds = LakeWriter.stageAndAdopt(kept, tablePath,
+              snap.partitionColumns)
+            commitRewrite(snap, touched, adds, "DELETE",
+              Map("predicate" -> condition), LakeWriter.awaitTask(cdcTask))
+          } catch { case e: Throwable =>
+            // staged output is unreferenced until the commit: sweep it
+            LakeWriter.sweepStaged(tablePath, adds, Some(cdcTask), Some(cdcDir))
+            throw e
+          }
         }
     }
   }
@@ -275,13 +283,22 @@ final class LakeTable private (
       val post = matchedRows
         .select(fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
         .withColumn("_change_type", lit("insert"))
+      val cdcDir = LakeWriter.newCdcDir(tablePath)
       val cdcTask = LakeWriter.inParallel("graft-update-cdc-stage") {
-        LakeWriter.stageCdc(pre.unionByName(post), tablePath)
+        LakeWriter.stageCdc(pre.unionByName(post), tablePath, cdcDir)
       }
-      val adds = LakeWriter.stageAndAdopt(updated, tablePath,
-        snap.partitionColumns)
-      commitRewrite(snap, touched, adds, "UPDATE",
-        Map("predicate" -> condition), LakeWriter.awaitTask(cdcTask))
+      var adds: Seq[AddFile] = Nil
+      try {
+        adds = LakeWriter.stageAndAdopt(updated, tablePath,
+          snap.partitionColumns)
+        commitRewrite(snap, touched, adds, "UPDATE",
+          Map("predicate" -> condition), LakeWriter.awaitTask(cdcTask))
+        ()
+      } catch { case e: Throwable =>
+        // staged output is unreferenced until the commit: sweep it
+        LakeWriter.sweepStaged(tablePath, adds, Some(cdcTask), Some(cdcDir))
+        throw e
+      }
     } finally {
       if (setsDeterministic) projected.unpersist()
       scratch.foreach(LakeWriter.deleteRecursively)

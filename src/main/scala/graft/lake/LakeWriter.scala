@@ -379,6 +379,32 @@ object LakeWriter {
   private[lake] def stageCdc(df: DataFrame, tablePath: String): Seq[CdcFile] =
     stageCdc(df, tablePath, newCdcDir(tablePath))
 
+  /** Best-effort sweep of everything a FAILED DML staged: the adopted
+    * data files by path, and — after settling the side-thread CDC task
+    * so its dir is quiescent — the whole cdc scratch dir, committer
+    * crumbs (`_SUCCESS`, `.crc`) included. Staged files are
+    * unreferenced by the log until the commit, so the sweep leaves the
+    * table exactly as before the DML instead of leaving untracked
+    * debris for vacuum to age out. Never throws: it runs on a failure
+    * path that must re-raise the ORIGINAL error.
+    */
+  private[lake] def sweepStaged(tablePath: String, adds: Seq[AddFile],
+      cdcTask: Option[java.util.concurrent.FutureTask[Seq[CdcFile]]],
+      cdcDir: Option[Path]): Unit = {
+    cdcTask.foreach(t => try { awaitTask(t); () } catch { case _: Throwable => () })
+    adds.map(_.path).foreach { p =>
+      try { Files.deleteIfExists(Paths.get(tablePath, p)); () }
+      catch { case _: java.io.IOException => () }
+    }
+    cdcDir.filter(Files.exists(_)).foreach { d =>
+      val (files, dirs) = LakeTable.walkTolerant(d)
+      (files ++ dirs.sortBy(p => -p.getNameCount) :+ d).foreach { p =>
+        try { Files.deleteIfExists(p); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
   /** CHECK enforcement (Delta `delta.constraints.*` semantics): a row
     * violates a constraint only when the expression evaluates to
     * FALSE — NULL/unknown satisfies, per the SQL standard. One

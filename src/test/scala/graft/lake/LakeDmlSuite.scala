@@ -90,8 +90,14 @@ class LakeDmlSuite extends SparkSuite {
         .execute()
     }
     assert(e.getMessage.contains("multiple source"))
-    // the failed merge swept its staged data AND CDC files back out:
-    // every file left under the table root is referenced by the log
+    // the failed merge swept its staged data AND CDC files back out
+    assertNoStagedDebris(path)
+  }
+
+  /** Every file under the table root (log aside) must be referenced by
+    * the current snapshot — a failed DML may leave NOTHING staged.
+    */
+  private def assertNoStagedDebris(path: String): Unit = {
     val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
     val logRoot = root.resolve(LakeLog.LOG_DIR)
     val s = java.nio.file.Files.walk(root)
@@ -106,6 +112,22 @@ class LakeDmlSuite extends SparkSuite {
       .map(_.path).toSet
     assert(onDisk === live,
       s"staged debris left behind: ${(onDisk -- live).mkString(", ")}")
+  }
+
+  test("failed UPDATE sweeps its staged data and CDC files") {
+    val path = tablePath("dml-sweep")
+    LakeWriter.write(seed, path)
+    // the SET expression detonates only when the staged projection is
+    // materialized — i.e. AFTER the CDC stage thread has launched and
+    // scratch dirs exist — exercising the failure-path sweep (DELETE
+    // routes through the same sweepStaged helper)
+    intercept[Exception] {
+      LakeTable.forPath(spark, path)
+        .update("id >= 1", Map("k" -> "raise_error('post-staging boom')"))
+    }
+    assertNoStagedDebris(path)
+    // and the table still works after the failure
+    assert(LakeTable.forPath(spark, path).toDF.count() === seed.count())
   }
 
   test("merge insert map must supply every column after schema evolution") {
