@@ -29,7 +29,8 @@ final case class Metadata(
     schemaDDL: String,
     partitionColumns: Seq[String] = Nil,
     createdTime: Long = 0L,
-    constraints: Map[String, String] = Map.empty) extends Action
+    constraints: Map[String, String] = Map.empty,
+    properties: Map[String, String] = Map.empty) extends Action
 
 /** A data file added to the table at some version.
   *

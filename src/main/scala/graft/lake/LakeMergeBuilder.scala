@@ -326,8 +326,10 @@ final class LakeMergeBuilder private[lake] (
     // frames, so wall time is max(data, cdc) instead of the sum.
     val cdcInserts = inserts.map(
       _.withColumn("_change_type", lit("insert")))
-    val cdcDf = (cdcMatched.toSeq ++ cdcInserts.toSeq)
-      .reduceOption(_.unionByName(_))
+    val cdcDf =
+      if (!LakeTable.cdfEnabled(snap)) None
+      else (cdcMatched.toSeq ++ cdcInserts.toSeq)
+        .reduceOption(_.unionByName(_))
     // The scratch dir is allocated HERE, not inside the task, so the
     // failure sweep below can remove it even if the stage died mid-write.
     val cdcDir = cdcDf.map(_ => LakeWriter.newCdcDir(table.tablePath))

@@ -69,6 +69,16 @@ object LakeSql {
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+(ZORDER\s+)?BY\s*\((.+?)\))?\s*""").r
   private val SHOW_TABLES_RE = """(?is)\s*SHOW\s+(?:LAKE\s+)?TABLES\s*""".r
+  private val SET_TBLPROPS_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+SET\s+TBLPROPERTIES\s*""" +
+      """\((.+)\)\s*""").r
+  private val UNSET_TBLPROPS_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+UNSET\s+TBLPROPERTIES\s*""" +
+      """(?:IF\s+EXISTS\s*)?\((.+)\)\s*""").r
+  private val SHOW_TBLPROPS_RE =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([\w.`/\-]+)\s*""".r
+  private val PROP_PAIR_RE = """'([^']+)'\s*=\s*'([^']*)'""".r
+  private val PROP_KEY_RE = """'([^']+)'""".r
 
   /** Execute a SQL statement, lake-aware. Returns a DataFrame (empty
     * for DML, matching `spark.sql` conventions).
@@ -143,6 +153,24 @@ object LakeSql {
       table.delete(Option(where).getOrElse("true"))
       LakeCatalog.refreshView(spark, clean(t))
       emptyDF(spark)
+
+    case SET_TBLPROPS_RE(t, pairs) =>
+      val props = PROP_PAIR_RE.findAllMatchIn(pairs)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      require(props.nonEmpty,
+        s"no 'key'='value' pairs in TBLPROPERTIES($pairs)")
+      resolve(spark, clean(t)).setTblProperties(props)
+      emptyDF(spark)
+
+    case UNSET_TBLPROPS_RE(t, keys) =>
+      resolve(spark, clean(t)).unsetTblProperties(
+        PROP_KEY_RE.findAllMatchIn(keys).map(_.group(1)).toSeq)
+      emptyDF(spark)
+
+    case SHOW_TBLPROPS_RE(t) if isLake(t) || LakeTable.isLakeTable(clean(t)) =>
+      import spark.implicits._
+      resolve(spark, clean(t)).tblProperties.toSeq.sorted
+        .toDF("key", "value")
 
     case ADD_CONSTRAINT_RE(t, name, check) =>
       resolve(spark, clean(t)).addConstraint(name, check.trim)

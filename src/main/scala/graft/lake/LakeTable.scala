@@ -170,9 +170,10 @@ final class LakeTable private (
     Seq((
       "lake", tablePath, s.version, s.partitionColumns, s.numFiles.toLong,
       s.sizeInBytes, s.schema.toDDL,
-      s.metadata.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" }
+      s.metadata.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" },
+      s.metadata.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
     )).toDF("format", "location", "version", "partitionColumns", "numFiles",
-      "sizeInBytes", "schema", "constraints")
+      "sizeInBytes", "schema", "constraints", "properties")
   }
 
   // ---- DML ---------------------------------------------------------------
@@ -198,21 +199,24 @@ final class LakeTable private (
           // scans of the same touched files); nothing commits until
           // both staging writes are joined.
           val cdcDir = LakeWriter.newCdcDir(tablePath)
-          val cdcTask = LakeWriter.inParallel("graft-delete-cdc-stage") {
-            LakeWriter.stageCdc(
-              readFiles(snap, touched).filter(coalesce(cond, lit(false)))
-                .withColumn("_change_type", lit("delete")),
-              tablePath, cdcDir)
-          }
+          val cdcTask =
+            if (!LakeTable.cdfEnabled(snap)) None
+            else Some(LakeWriter.inParallel("graft-delete-cdc-stage") {
+              LakeWriter.stageCdc(
+                readFiles(snap, touched).filter(coalesce(cond, lit(false)))
+                  .withColumn("_change_type", lit("delete")),
+                tablePath, cdcDir)
+            })
           var adds: Seq[AddFile] = Nil
           try {
             adds = LakeWriter.stageAndAdopt(kept, tablePath,
               snap.partitionColumns)
             commitRewrite(snap, touched, adds, "DELETE",
-              Map("predicate" -> condition), LakeWriter.awaitTask(cdcTask))
+              Map("predicate" -> condition),
+              cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil))
           } catch { case e: Throwable =>
             // staged output is unreferenced until the commit: sweep it
-            LakeWriter.sweepStaged(tablePath, adds, Some(cdcTask), Some(cdcDir))
+            LakeWriter.sweepStaged(tablePath, adds, cdcTask, Some(cdcDir))
             throw e
           }
         }
@@ -284,19 +288,22 @@ final class LakeTable private (
         .select(fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
         .withColumn("_change_type", lit("insert"))
       val cdcDir = LakeWriter.newCdcDir(tablePath)
-      val cdcTask = LakeWriter.inParallel("graft-update-cdc-stage") {
-        LakeWriter.stageCdc(pre.unionByName(post), tablePath, cdcDir)
-      }
+      val cdcTask =
+        if (!LakeTable.cdfEnabled(snap)) None
+        else Some(LakeWriter.inParallel("graft-update-cdc-stage") {
+          LakeWriter.stageCdc(pre.unionByName(post), tablePath, cdcDir)
+        })
       var adds: Seq[AddFile] = Nil
       try {
         adds = LakeWriter.stageAndAdopt(updated, tablePath,
           snap.partitionColumns)
         commitRewrite(snap, touched, adds, "UPDATE",
-          Map("predicate" -> condition), LakeWriter.awaitTask(cdcTask))
+          Map("predicate" -> condition),
+          cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil))
         ()
       } catch { case e: Throwable =>
         // staged output is unreferenced until the commit: sweep it
-        LakeWriter.sweepStaged(tablePath, adds, Some(cdcTask), Some(cdcDir))
+        LakeWriter.sweepStaged(tablePath, adds, cdcTask, Some(cdcDir))
         throw e
       }
     } finally {
@@ -340,6 +347,64 @@ final class LakeTable private (
     }
     ()
   }
+
+  /** ALTER TABLE SET TBLPROPERTIES (Delta parity): arbitrary
+    * key→value metadata on the table, committed like any schema
+    * change. `graft.`-prefixed keys are HONORED, not just stored:
+    *
+    *  - [[LakeTable.PROP_RETENTION_HOURS]] — per-table vacuum
+    *    retention default and safety floor (Delta's
+    *    `delta.deletedFileRetentionDuration`);
+    *  - [[LakeTable.PROP_ENABLE_CDF]] — `false` stops DELETE/UPDATE/
+    *    MERGE from staging change-data files; `changes()` falls back
+    *    to the read-time diff (Delta's `delta.enableChangeDataFeed`,
+    *    default `true` here because CDC files make CDF reads
+    *    O(changes) instead of O(rewritten data)).
+    *
+    * Unknown `graft.*` keys are rejected (a typo must not silently
+    * store-and-ignore a knob); other namespaces pass through freely.
+    */
+  def setTblProperties(props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      if (k.startsWith("graft.")) k match {
+        case LakeTable.PROP_RETENTION_HOURS =>
+          require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
+            s"$k must be a non-negative number of hours, got '$v'")
+        case LakeTable.PROP_ENABLE_CDF =>
+          require(v == "true" || v == "false",
+            s"$k must be true or false, got '$v'")
+        case _ => throw new IllegalArgumentException(
+          s"unknown graft table property: $k (known: " +
+            s"${LakeTable.PROP_RETENTION_HOURS}, " +
+            s"${LakeTable.PROP_ENABLE_CDF})")
+      }
+    }
+    val snap = snapshot()
+    val meta = snap.metadata.copy(
+      properties = snap.metadata.properties ++ props)
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+        props), meta)
+    }
+    ()
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES. Missing keys are a no-op, per
+    * Delta's IF EXISTS behavior.
+    */
+  def unsetTblProperties(keys: Seq[String]): Unit = {
+    val snap = snapshot()
+    val meta = snap.metadata.copy(
+      properties = snap.metadata.properties -- keys)
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(System.currentTimeMillis(), "UNSET TBLPROPERTIES",
+        Map("keys" -> keys.mkString(","))), meta)
+    }
+    ()
+  }
+
+  /** Current table properties (SHOW TBLPROPERTIES). */
+  def tblProperties: Map[String, String] = snapshot().metadata.properties
 
   /** MERGE builder (D1–D4). `condition` may be any expression —
     * including non-equi / RLIKE (J5) — resolved against the aliased
@@ -415,7 +480,8 @@ final class LakeTable private (
   // ---- maintenance -------------------------------------------------------
 
   /** VACUUM (D8): physically delete files no longer reachable within
-    * the retention horizon. Retention below the 168 h default throws
+    * the retention horizon. Retention below the table's default (the
+    * `graft.deletedFileRetentionHours` property, else 168 h) throws
     * unless `spark.graft.lake.retentionDurationCheck.enabled=false`.
     *
     * Delta's production model — directory listing, not log replay:
@@ -438,19 +504,28 @@ final class LakeTable private (
     * files are untracked and unprotected by mtime); that is exactly
     * what the retention guard fences.
     */
-  def vacuum(retentionHours: Double = LakeTable.DEFAULT_RETENTION_HOURS)
-      : Seq[String] = {
+  def vacuum(retentionHours: Double = -1.0): Seq[String] = {
+    val snap0 = snapshot()
+    // The table's own retention property (Delta's
+    // deletedFileRetentionDuration) is both the no-arg default and the
+    // safety floor the guard compares against — a table whose owner
+    // set a short retention has opted in for THAT table.
+    val tableDefault = snap0.metadata.properties
+      .get(LakeTable.PROP_RETENTION_HOURS).map(_.toDouble)
+      .getOrElse(LakeTable.DEFAULT_RETENTION_HOURS)
+    val retention = if (retentionHours < 0) tableDefault else retentionHours
     val checkEnabled = spark.conf
       .getOption(LakeTable.RETENTION_CHECK_KEY).forall(_.toBoolean)
-    if (retentionHours < LakeTable.DEFAULT_RETENTION_HOURS && checkEnabled) {
+    if (retention < tableDefault && checkEnabled) {
       throw new IllegalArgumentException(
-        s"requested retention of $retentionHours hours is below the " +
-        s"default ${LakeTable.DEFAULT_RETENTION_HOURS} h safety " +
-        s"threshold. Set ${LakeTable.RETENTION_CHECK_KEY}=false to " +
-        "vacuum recent versions (this breaks time travel to them).")
+        s"requested retention of $retention hours is below this " +
+        s"table's $tableDefault h safety threshold. Set " +
+        s"${LakeTable.RETENTION_CHECK_KEY}=false or lower the table's " +
+        s"${LakeTable.PROP_RETENTION_HOURS} property to vacuum recent " +
+        "versions (this breaks time travel to them).")
     }
-    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
-    val live = snapshot().files.map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - (retention * 3600 * 1000).toLong
+    val live = snap0.files.map(_.path).toSet
     // Tombstones/change-data of commits still inside the retention
     // window: their files stay reachable by time travel / CDF reads.
     val protectedPaths: Set[String] = commitTimestamps
@@ -507,7 +582,7 @@ final class LakeTable private (
       }
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "VACUUM",
-        Map("retentionHours" -> retentionHours.toString,
+        Map("retentionHours" -> retention.toString,
           "filesDeleted" -> deletable.size.toString)))
     }
     deletable
@@ -772,6 +847,17 @@ final class LakeTable private (
 object LakeTable {
   val DEFAULT_RETENTION_HOURS: Double = 168.0
   val RETENTION_CHECK_KEY = "spark.graft.lake.retentionDurationCheck.enabled"
+  /** Per-table vacuum retention default/floor, in hours. */
+  val PROP_RETENTION_HOURS = "graft.deletedFileRetentionHours"
+  /** `false` disables persisted change-data files for DML on this
+    * table; CDF reads fall back to the read-time diff.
+    */
+  val PROP_ENABLE_CDF = "graft.enableChangeDataFeed"
+
+  /** Whether DML on this snapshot's table should persist CDC files. */
+  private[lake] def cdfEnabled(snap: Snapshot): Boolean =
+    snap.metadata.properties
+      .get(PROP_ENABLE_CDF).forall(_.toBoolean)
   /** Below these sizes the driver loop wins (job-launch overhead). */
   private[lake] val DISTRIBUTED_HISTORY_MIN_VERSIONS = 128
   private[lake] val DISTRIBUTED_VACUUM_MIN_FILES = 64

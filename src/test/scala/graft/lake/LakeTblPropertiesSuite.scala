@@ -1,0 +1,116 @@
+package graft.lake
+
+import graft.SparkSuite
+import java.nio.file.{Files, Paths}
+
+/** TBLPROPERTIES (Delta parity): stored on the Metadata action,
+  * committed like any schema change, and the `graft.*` namespace is
+  * HONORED — per-table vacuum retention and the change-data-feed
+  * toggle actually change engine behavior.
+  */
+class LakeTblPropertiesSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def seed = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")
+
+  test("SET/UNSET/SHOW TBLPROPERTIES round-trip through SQL") {
+    val path = tablePath("props-sql")
+    LakeWriter.write(seed.coalesce(1), path)
+    LakeSql.sql(spark, s"CREATE TABLE props_t USING lake LOCATION '$path'")
+    LakeSql.sql(spark, "ALTER TABLE props_t SET TBLPROPERTIES " +
+      "('team.owner'='data-eng', 'graft.deletedFileRetentionHours'='720')")
+    val shown = LakeSql.sql(spark, "SHOW TBLPROPERTIES props_t")
+      .as[(String, String)].collect().toMap
+    assert(shown === Map("team.owner" -> "data-eng",
+      "graft.deletedFileRetentionHours" -> "720"))
+    // DESCRIBE DETAIL carries them too
+    val detail = LakeSql.sql(spark, "DESCRIBE DETAIL props_t")
+      .select("properties").as[Seq[String]].head()
+    assert(detail === Seq("graft.deletedFileRetentionHours=720",
+      "team.owner=data-eng"))
+    LakeSql.sql(spark,
+      "ALTER TABLE props_t UNSET TBLPROPERTIES ('team.owner')")
+    assert(LakeTable.forPath(spark, path).tblProperties ===
+      Map("graft.deletedFileRetentionHours" -> "720"))
+    // properties survive a fresh snapshot read and show in history
+    val ops = LakeTable.forPath(spark, path).history()
+      .select("operation").as[String].collect().toSet
+    assert(ops.contains("SET TBLPROPERTIES") &&
+      ops.contains("UNSET TBLPROPERTIES"))
+    LakeCatalog.drop(spark, "props_t")
+  }
+
+  test("unknown or malformed graft.* properties are rejected") {
+    val path = tablePath("props-bad")
+    LakeWriter.write(seed.coalesce(1), path)
+    val t = LakeTable.forPath(spark, path)
+    intercept[IllegalArgumentException] {
+      t.setTblProperties(Map("graft.enableChangeDataFed" -> "true")) // typo
+    }
+    intercept[IllegalArgumentException] {
+      t.setTblProperties(Map("graft.deletedFileRetentionHours" -> "-3"))
+    }
+    intercept[IllegalArgumentException] {
+      t.setTblProperties(Map("graft.enableChangeDataFeed" -> "maybe"))
+    }
+    // nothing was committed by the failures
+    assert(t.tblProperties.isEmpty)
+  }
+
+  test("vacuum honors the per-table retention property as default AND floor") {
+    val path = tablePath("props-vac")
+    LakeWriter.write(seed.coalesce(1), path) // v0
+    val fileA = LakeWriter.walkParquet(Paths.get(path)).head
+    LakeTable.forPath(spark, path).delete("id >= 1") // v1 tombstones fileA
+    Files.setLastModifiedTime(fileA,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    // without the property, the no-arg vacuum uses the 168 h default:
+    // the tombstone is in-window, nothing is deleted, and an explicit
+    // short retention trips the guard (check stays ENABLED throughout)
+    assert(LakeTable.forPath(spark, path).vacuum().isEmpty)
+    intercept[IllegalArgumentException](
+      LakeTable.forPath(spark, path).vacuum(0.0))
+    // the table owner opts THIS table into short retention
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(LakeTable.PROP_RETENTION_HOURS -> "0"))
+    val deleted = LakeTable.forPath(spark, path).vacuum()
+    assert(deleted.nonEmpty && !Files.exists(fileA))
+    // and the vacuumed version now fails loudly, as always
+    intercept[IllegalStateException](
+      LakeTable.forPath(spark, path).asOf(0).collect())
+  }
+
+  test("graft.enableChangeDataFeed=false: DML persists no CDC, CDF falls back") {
+    val path = tablePath("props-nocdf")
+    LakeWriter.write(seed.coalesce(1), path) // v0
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(LakeTable.PROP_ENABLE_CDF -> "false")) // v1
+    LakeTable.forPath(spark, path).update("id = 2", Map("k" -> "'B'")) // v2
+    LakeTable.forPath(spark, path).delete("id = 3") // v3
+    LakeTable.forPath(spark, path).as("t")
+      .merge(Seq((1L, "A"), (9L, "i")).toDF("id", "nk").as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("k" -> "s.nk"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "k" -> "s.nk"))
+      .execute() // v4
+    // no change-data files anywhere: neither on disk nor in the log
+    assert(!Files.exists(Paths.get(path, "_change_data")))
+    val log = new LakeLog(path)
+    (0L to log.latestVersion).foreach { v =>
+      assert(!log.readVersion(v).exists(_.isInstanceOf[CdcFile]),
+        s"version $v carries cdc files despite CDF off")
+    }
+    // changes() still answers, via the read-time diff fallback
+    val ch = LakeTable.forPath(spark, path).changes(2, 4)
+      .select("id", "k", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(ch === Set(
+      (2L, "b", "delete"), (2L, "B", "insert"),   // update v2
+      (3L, "c", "delete"),                         // delete v3
+      (1L, "a", "delete"), (1L, "A", "insert"),    // merge update v4
+      (9L, "i", "insert")))                        // merge insert v4
+    // table state is right
+    assert(LakeTable.forPath(spark, path).toDF
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "A"), (2L, "B"), (9L, "i")))
+  }
+}
