@@ -50,10 +50,67 @@ final case class Snapshot(
 
 object Snapshot {
 
+  /** (canonical table path, version) → snapshot. A version's state is
+    * IMMUTABLE once committed — the log is append-only and vacuum
+    * deletes only data files (missing ones still fail loudly in
+    * `toDF`) — so the cache needs no invalidation, only bounding:
+    * an access-ordered LRU of soft references, so a huge table's file
+    * list is reclaimable under memory pressure instead of pinned.
+    * This is Delta's `DeltaLog` snapshot cache: without it every
+    * read/DML of a busy table re-parses the O(live files) checkpoint
+    * on the driver — at 1M files that is the dominant driver cost of
+    * a 100 TB table's metadata path.
+    */
+  private val MAX_CACHED = 64
+  private final case class Entry(
+      fingerprint: Option[(Long, Long)], // version file (size, mtime)
+      ref: java.lang.ref.SoftReference[Snapshot])
+  private val cache =
+    new java.util.LinkedHashMap[(String, Long), Entry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Entry]): Boolean =
+        size() > MAX_CACHED
+    }
+
+  /** Test hook: count of replays served from the cache. */
+  private[lake] val cacheHits = new java.util.concurrent.atomic.AtomicLong
+  private[lake] def clearCacheForTest(): Unit =
+    cache.synchronized(cache.clear())
+
+  /** (size, mtime) of the version file — the cheap identity check
+    * that catches a table DELETED AND RECREATED at the same path
+    * (new commit file → new fingerprint → recompute). None when the
+    * file is absent (aged out by log cleanup after a checkpoint),
+    * which still compares equal against a cached None.
+    */
+  private def fingerprint(log: LakeLog, version: Long): Option[(Long, Long)] = {
+    val p = log.versionFile(version)
+    try Some((Files.size(p), Files.getLastModifiedTime(p).toMillis))
+    catch { case _: java.io.IOException => None }
+  }
+
   /** Replay the log up to `version` (inclusive), starting from the
-    * latest checkpoint at or below it (O(delta) not O(versions)).
+    * latest checkpoint at or below it (O(delta) not O(versions)),
+    * memoized per (table, version).
     */
   def replay(log: LakeLog, version: Long): Snapshot = {
+    val key = (Paths.get(log.tablePath).toAbsolutePath.normalize.toString,
+      version)
+    val fp = fingerprint(log, version)
+    val cached = cache.synchronized(Option(cache.get(key)))
+      .filter(_.fingerprint == fp).flatMap(e => Option(e.ref.get))
+    cached match {
+      case Some(s) => cacheHits.incrementAndGet(); s
+      case None =>
+        val s = doReplay(log, version)
+        cache.synchronized {
+          cache.put(key, Entry(fp, new java.lang.ref.SoftReference(s))); ()
+        }
+        s
+    }
+  }
+
+  private def doReplay(log: LakeLog, version: Long): Snapshot = {
     var metadata: Metadata = null
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]

@@ -156,6 +156,27 @@ class LakeCoreSuite extends SparkSuite {
     assert(LakeTable.forPath(spark, path).history().count() === 26)
   }
 
+  test("snapshot replays are memoized; recreation at the path invalidates") {
+    val path = tablePath("snap-cache")
+    LakeWriter.write(Seq(1L, 2L).toDF("id").coalesce(1), path)
+    Snapshot.clearCacheForTest()
+    assert(LakeTable.forPath(spark, path).toDF.count() === 2L) // populates
+    val h0 = Snapshot.cacheHits.get()
+    LakeLog.readVersionCalls.set(0L)
+    assert(LakeTable.forPath(spark, path).toDF.count() === 2L)
+    assert(LakeTable.forPath(spark, path).toDF.count() === 2L)
+    assert(Snapshot.cacheHits.get() >= h0 + 2)
+    // cached replays re-read NO version files — the metadata path of a
+    // hot table costs a dir listing + one stat, not a checkpoint parse
+    assert(LakeLog.readVersionCalls.get() === 0L,
+      s"cached snapshot re-read the log: ${LakeLog.readVersionCalls.get()}")
+    // destroy and recreate the table at the SAME path and version ids:
+    // the version-file fingerprint must invalidate the stale entry
+    LakeWriter.deleteRecursively(java.nio.file.Paths.get(path))
+    LakeWriter.write(Seq(10L, 20L, 30L).toDF("id").coalesce(1), path)
+    assert(LakeTable.forPath(spark, path).toDF.count() === 3L)
+  }
+
   test("detail reports format, files, size, schema (K12)") {
     val path = tablePath("t10")
     LakeWriter.write(users, path, partitionBy = Seq("p_date"))
