@@ -88,6 +88,8 @@ final class LakeStreamSource(
     options.get("ignoreChanges").exists(_.toBoolean)
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
+  private val maxBytesPerTrigger: Option[Long] =
+    options.get("maxBytesPerTrigger").map(_.toLong)
   private val failOnDataLoss =
     options.get("failOnDataLoss").forall(_.toBoolean) // default true
 
@@ -100,28 +102,31 @@ final class LakeStreamSource(
   override def getOffset: Option[OffsetV1] = {
     val latest = math.min(log.latestVersion, availableNowCap)
     if (latest < 0) return None
-    maxFilesPerTrigger match {
-      case None => Some(LakeStreamOffset(latest))
-      case Some(maxFiles) =>
-        // Advance version-by-version until the file budget is spent
-        // (always at least one version per trigger): a 10k-commit
-        // backlog becomes a sequence of bounded batches instead of
-        // one giant first micro-batch.
-        var end = math.max(deliveredThrough, startingVersion - 1)
-        var filesTaken = 0
-        var done = false
-        while (!done && end < latest) {
-          val nFiles =
-            log.readVersion(end + 1).count(_.isInstanceOf[AddFile])
-          if (filesTaken == 0 || filesTaken + nFiles <= maxFiles) {
-            filesTaken += nFiles
-            end += 1
-            done = filesTaken >= maxFiles
-          } else done = true
-        }
-        if (end <= math.max(deliveredThrough, startingVersion - 1)) None
-        else Some(LakeStreamOffset(end))
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      return Some(LakeStreamOffset(latest))
+    // Advance version-by-version until a budget (files and/or bytes,
+    // whichever binds first) is spent — always at least one version
+    // per trigger: a 10k-commit backlog becomes a sequence of bounded
+    // batches instead of one giant first micro-batch.
+    val maxFiles = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxBytes = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var end = math.max(deliveredThrough, startingVersion - 1)
+    var filesTaken = 0
+    var bytesTaken = 0L
+    var done = false
+    while (!done && end < latest) {
+      val adds = log.readVersion(end + 1).collect { case a: AddFile => a }
+      val fits = filesTaken + adds.size <= maxFiles &&
+        bytesTaken + adds.map(_.size).sum <= maxBytes
+      if (filesTaken == 0 && bytesTaken == 0 || fits) {
+        filesTaken += adds.size
+        bytesTaken += adds.map(_.size).sum
+        end += 1
+        done = filesTaken >= maxFiles || bytesTaken >= maxBytes
+      } else done = true
     }
+    if (end <= math.max(deliveredThrough, startingVersion - 1)) None
+    else Some(LakeStreamOffset(end))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {

@@ -153,6 +153,27 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(t.snapshot().version >= 3L)
   }
 
+  test("maxBytesPerTrigger bounds each micro-batch by size") {
+    val src = tablePath("ss-bytes-src")
+    (0 until 4).foreach { i =>
+      LakeWriter.write(Seq(i.toLong).toDF("id").coalesce(1), src)
+    }
+    val dst = tablePath("ss-bytes-dst")
+    val q = spark.readStream.format("lake")
+      .option("maxBytesPerTrigger", "1") // < any parquet file: 1 commit/batch
+      .load(src)
+      .writeStream.format("lake")
+      .option("checkpointLocation", tmpDir("ss-bytes-ck"))
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    val t = LakeTable.forPath(spark, dst)
+    assert(t.toDF.count() === 4L)
+    // the byte budget binds below one commit's size, so each upstream
+    // commit became its own bounded micro-batch -> multiple sink commits
+    assert(t.snapshot().version >= 3L)
+  }
+
   test("vacuumed files fail the stream unless failOnDataLoss=false") {
     val src = tablePath("ss-loss-src")
     LakeWriter.write(Seq(1L, 2L).toDF("id").coalesce(1), src)   // v0
