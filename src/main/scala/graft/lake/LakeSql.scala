@@ -34,7 +34,8 @@ object LakeSql {
   private val DESCRIBE_DETAIL_RE =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`/\-]+)\s*""".r
   private val VACUUM_RE =
-    """(?is)\s*VACUUM\s+([\w.`/\-]+)(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?\s*""".r
+    ("""(?is)\s*VACUUM\s+([\w.`/\-]+)(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?""" +
+      """(\s+DRY\s+RUN)?\s*""").r
   private val CLONE_RE =
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+""" +
       """([\w.`/\-]+)\s+LOCATION\s+'([^']+)'\s*""").r
@@ -55,6 +56,12 @@ object LakeSql {
     """(?is)\s*DELETE\s+FROM\s+([\w.`/\-]+)(?:\s+WHERE\s+(.+))?\s*""".r
   private val RESTORE_RE =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`/\-]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val RESTORE_TS_RE =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`/\-]+)\s+TO\s+TIMESTAMP\s+""" +
+      """AS\s+OF\s+'([^']+)'\s*""").r
+  private val TABLE_CHANGES_RE =
+    ("""(?is)(.*\bFROM\s+)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)""" +
+      """\s*(?:,\s*(\d+)\s*)?\)(.*)""").r
   private val UPDATE_PREFIX_RE = """(?is)\s*UPDATE\s+[\w.`/].*""".r
   private val ADD_CONSTRAINT_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+ADD\s+CONSTRAINT\s+""" +
@@ -102,12 +109,11 @@ object LakeSql {
     case DESCRIBE_DETAIL_RE(t) =>
       resolve(spark, clean(t)).detail()
 
-    case VACUUM_RE(t, retain) =>
+    case VACUUM_RE(t, retain, dryRun) =>
       val table = resolve(spark, clean(t))
-      val deleted = Option(retain) match {
-        case Some(h) => table.vacuum(h.toDouble)
-        case None => table.vacuum()
-      }
+      val deleted = table.vacuum(
+        Option(retain).map(_.toDouble).getOrElse(-1.0),
+        dryRun = Option(dryRun).isDefined)
       import spark.implicits._
       deleted.toDF("path")
 
@@ -147,6 +153,25 @@ object LakeSql {
       resolve(spark, clean(t)).restoreTo(version.toLong)
       LakeCatalog.refreshView(spark, clean(t))
       emptyDF(spark)
+
+    case RESTORE_TS_RE(t, ts) =>
+      val table = resolve(spark, clean(t))
+      table.restoreTo(table.versionAtTimestamp(
+        java.sql.Timestamp.valueOf(ts).getTime))
+      LakeCatalog.refreshView(spark, clean(t))
+      emptyDF(spark)
+
+    // Delta's table_changes TVF: rewrite the call to a temp view over
+    // changes(from[, to]) and let spark.sql run the surrounding query.
+    case TABLE_CHANGES_RE(before, t, from, to, after) if isLake(t) =>
+      val table = resolve(spark, clean(t))
+      val viewName = (s"${clean(t)}__changes_${from}_" +
+        Option(to).getOrElse("latest")).replace('.', '_').replace('/', '_')
+        .replace('-', '_')
+      table.changes(from.toLong,
+        Option(to).map(_.toLong).getOrElse(-1L))
+        .createOrReplaceTempView(viewName)
+      sql(spark, before + viewName + after)
 
     case DELETE_FROM_RE(t, where) if isLake(t) =>
       val table = resolve(spark, clean(t))

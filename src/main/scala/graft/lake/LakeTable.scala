@@ -504,7 +504,8 @@ final class LakeTable private (
     * files are untracked and unprotected by mtime); that is exactly
     * what the retention guard fences.
     */
-  def vacuum(retentionHours: Double = -1.0): Seq[String] = {
+  def vacuum(retentionHours: Double = -1.0,
+      dryRun: Boolean = false): Seq[String] = {
     val snap0 = snapshot()
     // The table's own retention property (Delta's
     // deletedFileRetentionDuration) is both the no-arg default and the
@@ -550,6 +551,9 @@ final class LakeTable private (
         catch { case _: java.nio.file.NoSuchFileException => false }
       }
     }.sorted
+    // DRY RUN (Delta parity): report what WOULD go, touch nothing,
+    // commit nothing.
+    if (dryRun) return deletable
     // Large vacuums delete distributed: at millions of tombstones the
     // serial driver loop is the bottleneck, and deletes are
     // embarrassingly parallel (idempotent, no ordering).

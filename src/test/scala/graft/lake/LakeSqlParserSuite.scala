@@ -319,6 +319,59 @@ class LakeSqlParserSuite extends SparkSuite {
     }
   }
 
+  test("RESTORE TO TIMESTAMP AS OF rolls back to the at-or-before version") {
+    val path = freshTable("pt10", Seq((1L, "a", 1.0)))
+    Thread.sleep(30)
+    LakeWriter.write(Seq((2L, "b", 2.0)).toDF("id", "k", "v"), path) // v1
+    val t = LakeTable.forPath(spark, path)
+    val ts0 = t.history().filter("version = 0")
+      .select("timestamp").collect().head.getTimestamp(0)
+    LakeSql.sql(spark, s"RESTORE TABLE pt10 TO TIMESTAMP AS OF '$ts0'")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 1L)
+    // history preserved: restore is a new commit, not a rewrite
+    assert(LakeTable.forPath(spark, path).history().count() === 3L)
+  }
+
+  test("VACUUM ... DRY RUN lists deletable files without touching them") {
+    val path = freshTable("pt11", Seq((1L, "a", 1.0)))
+    val fileA = LakeWriter.walkParquet(java.nio.file.Paths.get(path)).head
+    LakeTable.forPath(spark, path).delete("id = 1") // tombstones fileA
+    java.nio.file.Files.setLastModifiedTime(fileA,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try {
+      val wouldDelete = LakeSql.sql(spark, "VACUUM pt11 RETAIN 0 HOURS DRY RUN")
+        .as[String].collect()
+      assert(wouldDelete.nonEmpty)
+      // nothing actually deleted, no VACUUM commit written
+      assert(java.nio.file.Files.exists(fileA))
+      assert(!LakeTable.forPath(spark, path).history()
+        .filter("operation = 'VACUUM'").collect().nonEmpty)
+      // the real vacuum then deletes exactly what the dry run listed
+      val deleted = LakeSql.sql(spark, "VACUUM pt11 RETAIN 0 HOURS")
+        .as[String].collect()
+      assert(deleted.toSet === wouldDelete.toSet)
+      assert(!java.nio.file.Files.exists(fileA))
+    } finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+  }
+
+  test("table_changes TVF reads CDF through plain SQL") {
+    val path = freshTable("pt12", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    LakeTable.forPath(spark, path).update("id = 2", Map("k" -> "'B'")) // v1
+    LakeTable.forPath(spark, path).delete("id = 1") // v2
+    val rows = LakeSql.sql(spark,
+      "SELECT id, k, _change_type, _commit_version " +
+        "FROM table_changes('pt12', 1, 2) ORDER BY _commit_version, id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(rows === Seq(
+      (2L, "b", "delete", 1L), (2L, "B", "insert", 1L),
+      (1L, "a", "delete", 2L)))
+    // open-ended form reaches the latest version
+    val n = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM table_changes('pt12', 1)").as[Long].head()
+    assert(n === 3L)
+  }
+
   test("findTopLevel respects quoting and nesting") {
     assert(LakeSql.findTopLevel("a WHEN b", "WHEN") === 2)
     assert(LakeSql.findTopLevel("'x WHEN y' WHEN b", "WHEN") === 11)
