@@ -37,7 +37,7 @@ object LakeSql {
     ("""(?is)\s*VACUUM\s+([\w.`/\-]+)(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?""" +
       """(\s+DRY\s+RUN)?\s*""").r
   private val CLONE_RE =
-    ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+""" +
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(SHALLOW|DEEP)\s+CLONE\s+""" +
       """([\w.`/\-]+)\s+LOCATION\s+'([^']+)'\s*""").r
   private val CREATE_LAKE_RE =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+""" +
@@ -117,8 +117,10 @@ object LakeSql {
       import spark.implicits._
       deleted.toDF("path")
 
-    case CLONE_RE(name, src, location) =>
-      resolve(spark, clean(src)).shallowCloneTo(location)
+    case CLONE_RE(name, mode, src, location) =>
+      val srcTable = resolve(spark, clean(src))
+      if (mode.equalsIgnoreCase("deep")) srcTable.deepCloneTo(location)
+      else srcTable.shallowCloneTo(location)
       LakeCatalog.register(spark, clean(name), location)
       emptyDF(spark)
 

@@ -477,6 +477,63 @@ final class LakeTable private (
     LakeTable.forPath(spark, destPath)
   }
 
+  /** DEEP CLONE: an independent copy — data files are physically
+    * copied under the destination root (same relative paths, stats
+    * carried over, no re-encode/rewrite) and the clone's log starts
+    * fresh at version 0. Unlike a shallow clone the result shares no
+    * storage with the source: the source can be vacuumed or dropped
+    * freely. The copy is distributed past
+    * [[LakeTable.DISTRIBUTED_VACUUM_MIN_FILES]] files — at 100 TB the
+    * copy is executor-bandwidth-bound, never a serial driver loop.
+    */
+  def deepCloneTo(destPath: String): LakeTable = {
+    val destLog = new LakeLog(destPath)
+    require(!destLog.exists, s"$destPath is already a lake table")
+    val snap = snapshot()
+    val src = Paths.get(tablePath).toAbsolutePath.normalize
+    val dest = Paths.get(destPath).toAbsolutePath.normalize
+    // A shallow-clone source references files by ABSOLUTE path; those
+    // get fresh clone-local names (partition pruning reads
+    // partitionValues from the log, not the directory layout, so the
+    // flat name loses nothing). Ordinary relative paths are preserved.
+    val mapped: Seq[(String, AddFile)] = snap.files.zipWithIndex.map {
+      case (f, i) =>
+        val rel =
+          if (Paths.get(f.path).isAbsolute)
+            s"cloned-$i-${Paths.get(f.path).getFileName}"
+          else f.path
+        (f.path, f.copy(path = rel))
+    }
+    val srcStr = src.toString
+    val destStr = dest.toString
+    def copyOne(fromRel: String, toRel: String): Unit = {
+      val to = Paths.get(destStr).resolve(toRel)
+      Files.createDirectories(to.getParent)
+      Files.copy(LakeLog.resolveFile(srcStr, fromRel), to,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    if (mapped.size >= LakeTable.DISTRIBUTED_VACUUM_MIN_FILES) {
+      spark.sparkContext
+        .parallelize(mapped.map { case (from, f) => (from, f.path) },
+          math.min(mapped.size / 8 + 1, 64))
+        .foreach { case (fromRel, toRel) =>
+          val to = Paths.get(destStr).resolve(toRel)
+          Files.createDirectories(to.getParent)
+          Files.copy(LakeLog.resolveFile(srcStr, fromRel), to,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    } else mapped.foreach { case (from, f) => copyOne(from, f.path) }
+    Files.createDirectories(dest)
+    destLog.commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CLONE",
+        Map("source" -> tablePath, "mode" -> "deep",
+          "sourceVersion" -> snap.version.toString)),
+      snap.metadata.copy(createdTime = System.currentTimeMillis())
+    ) ++ mapped.map(_._2))
+    LakeTable.forPath(spark, destPath)
+  }
+
   // ---- maintenance -------------------------------------------------------
 
   /** VACUUM (D8): physically delete files no longer reachable within

@@ -69,6 +69,51 @@ class LakeCloneSuite extends SparkSuite {
     assert(clone.toDF.count() === 1L)
   }
 
+  test("deep clone is fully independent of the source") {
+    val src = tablePath("clsrc5")
+    val dst = tablePath("cldst5")
+    LakeWriter.write(seed, src)
+    LakeTable.forPath(spark, src).delete("id > 90") // v1: stats + tombstones
+    val clone = LakeTable.forPath(spark, src).deepCloneTo(dst)
+    assert(clone.toDF.count() === 90L)
+    // files physically copied under the clone root, none absolute
+    assert(LakeWriter.walkParquet(Paths.get(dst)).nonEmpty)
+    assert(clone.snapshot().files.forall(!_.path.startsWith("/")))
+    // stats carried over: skipping works without re-reading footers
+    assert(clone.snapshot().files.forall(f =>
+      f.minValues.contains("id") && f.numRecords > 0))
+    // the source can disappear entirely; the clone still reads
+    LakeWriter.deleteRecursively(Paths.get(src))
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 90L)
+  }
+
+  test("deep clone of a SHALLOW clone localizes absolute references") {
+    val src = tablePath("clsrc6")
+    val mid = tablePath("clmid6")
+    val dst = tablePath("cldst6")
+    LakeWriter.write(seed, src)
+    LakeTable.forPath(spark, src).shallowCloneTo(mid) // absolute refs
+    val deep = LakeTable.forPath(spark, mid).deepCloneTo(dst)
+    assert(deep.snapshot().files.forall(!_.path.startsWith("/")))
+    LakeWriter.deleteRecursively(Paths.get(src))
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 100L)
+  }
+
+  test("DEEP CLONE via SQL registers and reads") {
+    val src = tablePath("clsrc7")
+    LakeWriter.write(seed, src)
+    LakeCatalog.register(spark, "clone_src7", src)
+    val dst = tablePath("cldst7")
+    LakeSql.sql(spark,
+      s"CREATE TABLE clone_dst7 DEEP CLONE clone_src7 LOCATION '$dst'")
+    assert(LakeCatalog.table(spark, "clone_dst7").toDF.count() === 100L)
+    val hist = LakeCatalog.table(spark, "clone_dst7").history()
+      .filter("operation = 'CLONE'").count()
+    assert(hist === 1L)
+    LakeCatalog.drop(spark, "clone_dst7")
+    LakeCatalog.drop(spark, "clone_src7")
+  }
+
   test("changes() on a clone reports v0 as inserts; SQL route works") {
     val src = tablePath("clsrc4")
     LakeWriter.write(seed, src)

@@ -250,6 +250,19 @@ class LakeDistributedSuite extends SparkSuite {
     } finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
   }
 
+  test("deep clone copies 64+ files distributed") {
+    val path = tablePath("dist-clone-src")
+    LakeWriter.write((1L to 700L).toDF("id").repartition(70), path)
+    val dst = tablePath("dist-clone-dst")
+    val clone = LakeTable.forPath(spark, path).deepCloneTo(dst)
+    assert(clone.snapshot().files.size ===
+      LakeTable.forPath(spark, path).snapshot().files.size)
+    assert(clone.toDF.count() === 700L)
+    // independence: drop the source, the clone still reads
+    LakeWriter.deleteRecursively(Paths.get(path))
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 700L)
+  }
+
   test("vacuum deletes 64+ tombstoned files distributed") {
     val path = tablePath("dist-vac")
     Files.createDirectories(Paths.get(path))
