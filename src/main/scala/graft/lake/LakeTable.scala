@@ -359,7 +359,10 @@ final class LakeTable private (
     *    MERGE from staging change-data files; `changes()` falls back
     *    to the read-time diff (Delta's `delta.enableChangeDataFeed`,
     *    default `true` here because CDC files make CDF reads
-    *    O(changes) instead of O(rewritten data)).
+    *    O(changes) instead of O(rewritten data));
+    *  - [[LakeTable.PROP_OPTIMIZE_WRITE]] — `true` pre-shuffles
+    *    partitioned appends by the partition columns (small-file
+    *    prevention; Delta's `delta.autoOptimize.optimizeWrite`).
     *
     * Unknown `graft.*` keys are rejected (a typo must not silently
     * store-and-ignore a knob); other namespaces pass through freely.
@@ -370,13 +373,14 @@ final class LakeTable private (
         case LakeTable.PROP_RETENTION_HOURS =>
           require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
             s"$k must be a non-negative number of hours, got '$v'")
-        case LakeTable.PROP_ENABLE_CDF =>
+        case LakeTable.PROP_ENABLE_CDF | LakeTable.PROP_OPTIMIZE_WRITE =>
           require(v == "true" || v == "false",
             s"$k must be true or false, got '$v'")
         case _ => throw new IllegalArgumentException(
           s"unknown graft table property: $k (known: " +
             s"${LakeTable.PROP_RETENTION_HOURS}, " +
-            s"${LakeTable.PROP_ENABLE_CDF})")
+            s"${LakeTable.PROP_ENABLE_CDF}, " +
+            s"${LakeTable.PROP_OPTIMIZE_WRITE})")
       }
     }
     val snap = snapshot()
@@ -914,11 +918,20 @@ object LakeTable {
     * table; CDF reads fall back to the read-time diff.
     */
   val PROP_ENABLE_CDF = "graft.enableChangeDataFeed"
+  /** `true` pre-shuffles partitioned appends by the partition columns
+    * so each partition value is written by one task (small-file
+    * prevention; Delta's `delta.autoOptimize.optimizeWrite`).
+    */
+  val PROP_OPTIMIZE_WRITE = "graft.optimizeWrite"
 
   /** Whether DML on this snapshot's table should persist CDC files. */
   private[lake] def cdfEnabled(snap: Snapshot): Boolean =
     snap.metadata.properties
       .get(PROP_ENABLE_CDF).forall(_.toBoolean)
+
+  private[lake] def optimizeWriteEnabled(snap: Snapshot): Boolean =
+    snap.metadata.properties
+      .get(PROP_OPTIMIZE_WRITE).exists(_.toBoolean)
   /** Below these sizes the driver loop wins (job-launch overhead). */
   private[lake] val DISTRIBUTED_HISTORY_MIN_VERSIONS = 128
   private[lake] val DISTRIBUTED_VACUUM_MIN_FILES = 64

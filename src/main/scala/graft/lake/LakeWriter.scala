@@ -77,9 +77,21 @@ object LakeWriter {
       cs => enforceConstraints(normalized, cs, tablePath)
     }
 
+    // optimizeWrite (Delta's autoOptimize.optimizeWrite): pre-shuffle
+    // the output by the partition columns so each partition value is
+    // written by ONE task. Without it, N write tasks × P live
+    // partitions can emit N×P small files per append — the classic
+    // small-file explosion a 100 TB table dies of. One extra shuffle
+    // of the written rows buys one file per partition per commit.
+    val toWrite =
+      if (partCols.nonEmpty && existing.exists(
+          s => LakeTable.optimizeWriteEnabled(s)))
+        normalized.repartition(partCols.map(col): _*)
+      else normalized
+
     // Stage the physical write, then adopt files into the table dir.
     {
-      val adds = stageAndAdopt(normalized, tablePath, partCols)
+      val adds = stageAndAdopt(toWrite, tablePath, partCols)
 
       val schemaChanged =
         existing.forall(_.metadata.schemaDDL != finalSchema.toDDL)
@@ -103,7 +115,8 @@ object LakeWriter {
           if (version == 0L || schemaChanged)
             Seq(Metadata(finalSchema.toDDL, partCols,
               System.currentTimeMillis(),
-              existing.map(_.metadata.constraints).getOrElse(Map.empty)))
+              existing.map(_.metadata.constraints).getOrElse(Map.empty),
+              existing.map(_.metadata.properties).getOrElse(Map.empty)))
           else Nil
         Seq(CommitInfo(System.currentTimeMillis(), op,
           operationParameters ++ Map("mode" -> mode))) ++

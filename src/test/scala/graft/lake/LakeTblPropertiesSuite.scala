@@ -80,6 +80,38 @@ class LakeTblPropertiesSuite extends SparkSuite {
       LakeTable.forPath(spark, path).asOf(0).collect())
   }
 
+  test("properties survive a mergeSchema evolution write") {
+    val path = tablePath("props-evolve")
+    LakeWriter.write(seed.coalesce(1), path)
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map("team.owner" -> "data-eng",
+        LakeTable.PROP_RETENTION_HOURS -> "720"))
+    // evolution rewrites the Metadata action — properties must ride it
+    LakeWriter.write(Seq((4L, "d", 1.5)).toDF("id", "k", "extra"),
+      path, mergeSchema = true)
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().schema.fieldNames.contains("extra"))
+    assert(t.tblProperties === Map("team.owner" -> "data-eng",
+      LakeTable.PROP_RETENTION_HOURS -> "720"))
+  }
+
+  test("graft.optimizeWrite pre-shuffles partitioned appends") {
+    val path = tablePath("props-ow")
+    val rows = (1L to 100L).map(i => (i, s"p${i % 2}")).toDF("id", "p")
+    LakeWriter.write(rows.repartition(8), path, partitionBy = Seq("p"))
+    // baseline: 8 tasks x 2 partition values -> many small files
+    val before = LakeTable.forPath(spark, path).snapshot().files.size
+    assert(before > 2, s"expected a small-file explosion, got $before")
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(LakeTable.PROP_OPTIMIZE_WRITE -> "true"))
+    LakeWriter.write(rows.repartition(8), path)
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    val added = snap.files.size - before
+    // the pre-shuffle routes each partition value to ONE task
+    assert(added === 2, s"optimizeWrite appended $added files, want 2")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 200L)
+  }
+
   test("graft.enableChangeDataFeed=false: DML persists no CDC, CDF falls back") {
     val path = tablePath("props-nocdf")
     LakeWriter.write(seed.coalesce(1), path) // v0
