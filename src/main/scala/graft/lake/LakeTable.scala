@@ -368,21 +368,7 @@ final class LakeTable private (
     * store-and-ignore a knob); other namespaces pass through freely.
     */
   def setTblProperties(props: Map[String, String]): Unit = {
-    props.foreach { case (k, v) =>
-      if (k.startsWith("graft.")) k match {
-        case LakeTable.PROP_RETENTION_HOURS =>
-          require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
-            s"$k must be a non-negative number of hours, got '$v'")
-        case LakeTable.PROP_ENABLE_CDF | LakeTable.PROP_OPTIMIZE_WRITE =>
-          require(v == "true" || v == "false",
-            s"$k must be true or false, got '$v'")
-        case _ => throw new IllegalArgumentException(
-          s"unknown graft table property: $k (known: " +
-            s"${LakeTable.PROP_RETENTION_HOURS}, " +
-            s"${LakeTable.PROP_ENABLE_CDF}, " +
-            s"${LakeTable.PROP_OPTIMIZE_WRITE})")
-      }
-    }
+    LakeTable.validateProperties(props)
     val snap = snapshot()
     val meta = snap.metadata.copy(
       properties = snap.metadata.properties ++ props)
@@ -929,9 +915,34 @@ object LakeTable {
     snap.metadata.properties
       .get(PROP_ENABLE_CDF).forall(_.toBoolean)
 
-  private[lake] def optimizeWriteEnabled(snap: Snapshot): Boolean =
-    snap.metadata.properties
-      .get(PROP_OPTIMIZE_WRITE).exists(_.toBoolean)
+  /** Map a case-mangled `graft.*` key (the V1 writer lower-cases
+    * option keys) back to its canonical casing; unknown keys pass
+    * through unchanged for validateProperties to reject.
+    */
+  private[graft] def canonicalPropertyKey(k: String): String =
+    Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE)
+      .find(_.equalsIgnoreCase(k)).getOrElse(k)
+
+  /** Shared by SET TBLPROPERTIES and create-time writer properties:
+    * `graft.*` keys must be known with a well-formed value (a typo
+    * must not silently store-and-ignore a knob); other namespaces
+    * pass through freely.
+    */
+  private[graft] def validateProperties(props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      if (k.startsWith("graft.")) k match {
+        case PROP_RETENTION_HOURS =>
+          require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
+            s"$k must be a non-negative number of hours, got '$v'")
+        case PROP_ENABLE_CDF | PROP_OPTIMIZE_WRITE =>
+          require(v == "true" || v == "false",
+            s"$k must be true or false, got '$v'")
+        case _ => throw new IllegalArgumentException(
+          s"unknown graft table property: $k (known: " +
+            s"$PROP_RETENTION_HOURS, $PROP_ENABLE_CDF, " +
+            s"$PROP_OPTIMIZE_WRITE)")
+      }
+    }
   /** Below these sizes the driver loop wins (job-launch overhead). */
   private[lake] val DISTRIBUTED_HISTORY_MIN_VERSIONS = 128
   private[lake] val DISTRIBUTED_VACUUM_MIN_FILES = 64

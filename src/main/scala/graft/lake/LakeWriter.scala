@@ -26,6 +26,14 @@ object LakeWriter {
     * from `appId` at or past `version`, the write is skipped entirely —
     * the exactly-once guarantee for foreachBatch sinks replaying a
     * micro-batch after a crash between lake commit and checkpoint.
+    *
+    * `properties` are table properties applied when this write CREATES
+    * the table (Delta's writer-option `delta.*` create semantics, e.g.
+    * `graft.enableChangeDataFeed=false` for a table whose change feed
+    * nothing will consume). On an existing table they must already
+    * match the stored values — a loud error beats silently diverging
+    * from what the caller believes the table is configured as; use
+    * `setTblProperties` to change configuration.
     */
   def write(
       df: DataFrame,
@@ -35,12 +43,25 @@ object LakeWriter {
       mergeSchema: Boolean = false,
       operation: String = null,
       operationParameters: Map[String, String] = Map.empty,
-      transaction: Option[(String, Long)] = None): WriteResult = {
+      transaction: Option[(String, Long)] = None,
+      properties: Map[String, String] = Map.empty): WriteResult = {
     require(mode == "append" || mode == "overwrite",
       s"unsupported write mode: $mode")
     val spark = df.sparkSession
     val log = new LakeLog(tablePath)
     val existing = if (log.exists) Some(log.snapshot()) else None
+
+    if (properties.nonEmpty) {
+      LakeTable.validateProperties(properties)
+      existing.foreach { s =>
+        val clash = properties.filter { case (k, v) =>
+          !s.metadata.properties.get(k).contains(v) }
+        if (clash.nonEmpty) throw new IllegalArgumentException(
+          s"write properties ${clash.keys.mkString(", ")} differ from " +
+          s"the table's stored values at $tablePath; use " +
+          "setTblProperties / ALTER TABLE to change configuration")
+      }
+    }
 
     transaction.foreach { case (appId, txnVersion) =>
       if (existing.exists(_.transactions.get(appId).exists(_ >= txnVersion)))
@@ -83,9 +104,11 @@ object LakeWriter {
     // partitions can emit N×P small files per append — the classic
     // small-file explosion a 100 TB table dies of. One extra shuffle
     // of the written rows buys one file per partition per commit.
+    val effectiveProps = existing.map(_.metadata.properties)
+      .getOrElse(Map.empty) ++ properties
     val toWrite =
-      if (partCols.nonEmpty && existing.exists(
-          s => LakeTable.optimizeWriteEnabled(s)))
+      if (partCols.nonEmpty && effectiveProps
+          .get(LakeTable.PROP_OPTIMIZE_WRITE).exists(_.toBoolean))
         normalized.repartition(partCols.map(col): _*)
       else normalized
 
@@ -116,7 +139,8 @@ object LakeWriter {
             Seq(Metadata(finalSchema.toDDL, partCols,
               System.currentTimeMillis(),
               existing.map(_.metadata.constraints).getOrElse(Map.empty),
-              existing.map(_.metadata.properties).getOrElse(Map.empty)))
+              existing.map(_.metadata.properties)
+                .getOrElse(Map.empty) ++ properties))
           else Nil
         Seq(CommitInfo(System.currentTimeMillis(), op,
           operationParameters ++ Map("mode" -> mode))) ++

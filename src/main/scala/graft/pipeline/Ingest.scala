@@ -14,11 +14,17 @@ import graft.lake.{LakeTable, LakeWriter}
   */
 final class Ingest(landingPath: String, rawPath: String) {
 
-  /** util:27-42 — seed the landing table from fixture events. */
+  /** util:27-42 — seed the landing table from fixture events. CDF is
+    * off: the landing table is internal micro-batch state whose change
+    * feed nothing consumes, so its per-ingest MERGE-delete should not
+    * pay a CDC staging write (Delta's own default for
+    * `delta.enableChangeDataFeed` is false for the same reason).
+    */
   def prepareActivityData(spark: SparkSession, hours: Int = 48): Unit = {
     LakeWriter.write(
       HealthFixtures.landingEvents(spark, hours),
-      landingPath, mode = "overwrite")
+      landingPath, mode = "overwrite",
+      properties = Map(LakeTable.PROP_ENABLE_CDF -> "false"))
   }
 
   /** util:45-75 — take the next `10 * hours` rows in (month, day, hour)

@@ -28,15 +28,19 @@ final class Operations(val clock: () => Timestamp = Operations.systemClock) {
       now.cast("date").as("p_ingestdate"))
   }
 
-  /** ops:23-36 — partitioned append (drop excluded cols) to a lake path. */
+  /** ops:23-36 — partitioned append (drop excluded cols) to a lake
+    * path. `properties` apply only when the append creates the table.
+    */
   def batchWriter(
       dataframe: DataFrame,
       partitionColumn: String,
       excludeColumns: Seq[String] = Nil,
-      mode: String = "append")(path: String): Unit = {
+      mode: String = "append",
+      properties: Map[String, String] = Map.empty)(path: String): Unit = {
     LakeWriter.write(
       dataframe.drop(excludeColumns: _*),
-      path, mode = mode, partitionBy = Seq(partitionColumn))
+      path, mode = mode, partitionBy = Seq(partitionColumn),
+      properties = properties)
   }
 
   /** ops:52-53 — bronze rows awaiting processing. */

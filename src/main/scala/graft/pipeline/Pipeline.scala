@@ -24,10 +24,14 @@ final class Pipeline(
     * quarantine repair → final status MERGE.
     */
   def runBatch(spark: SparkSession): Unit = {
-    // raw → bronze
+    // raw → bronze. Bronze CDF is off: its change feed has no
+    // consumer (the silver path reads by status), so the three
+    // status MERGEs per batch skip the CDC staging write each —
+    // Delta's own enableChangeDataFeed default for the same reason.
     val rawDF = ops.readBatchRaw(spark, rawPath)
     val transformedRaw = ops.transformRaw(rawDF)
-    ops.batchWriter(transformedRaw, "p_ingestdate")(bronzePath)
+    ops.batchWriter(transformedRaw, "p_ingestdate", properties =
+      Map(graft.lake.LakeTable.PROP_ENABLE_CDF -> "false"))(bronzePath)
 
     // bronze → silver
     val bronzeDF = ops.readBatchBronze(spark, bronzePath)

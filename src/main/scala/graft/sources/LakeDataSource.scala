@@ -120,7 +120,15 @@ final class LakeDataSource extends RelationProvider
       data, path, mode = writeMode,
       partitionBy = partitionColumnsOf(parameters),
       mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
-      transaction = txn)
+      transaction = txn,
+      // create-time table properties ride writer options (Delta's
+      // `.option("delta.enableChangeDataFeed", ...)` shape). The V1
+      // writer lower-cases option keys, so known graft.* knobs are
+      // mapped back to their canonical casing before validation.
+      properties = parameters.collect {
+        case (k, v) if k.startsWith("graft.") =>
+          graft.lake.LakeTable.canonicalPropertyKey(k) -> v
+      })
     createRelation(sqlContext, parameters)
   }
 

@@ -2,6 +2,7 @@ package graft.lake
 
 import graft.SparkSuite
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** TBLPROPERTIES (Delta parity): stored on the Metadata action,
   * committed like any schema change, and the `graft.*` namespace is
@@ -78,6 +79,50 @@ class LakeTblPropertiesSuite extends SparkSuite {
     // and the vacuumed version now fails loudly, as always
     intercept[IllegalStateException](
       LakeTable.forPath(spark, path).asOf(0).collect())
+  }
+
+  test("create-time properties: set at v0, loud on mismatch, DML honors") {
+    val path = tablePath("props-create")
+    LakeWriter.write(seed.coalesce(1), path,
+      properties = Map(LakeTable.PROP_ENABLE_CDF -> "false",
+        "team.owner" -> "ingest"))
+    val t = LakeTable.forPath(spark, path)
+    assert(t.tblProperties === Map(
+      LakeTable.PROP_ENABLE_CDF -> "false", "team.owner" -> "ingest"))
+    // matching properties on a later write are fine (idempotent create)
+    LakeWriter.write(seed.coalesce(1), path,
+      properties = Map(LakeTable.PROP_ENABLE_CDF -> "false"))
+    // conflicting or new properties on an existing table fail loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.write(seed.coalesce(1), path,
+        properties = Map(LakeTable.PROP_ENABLE_CDF -> "true"))
+    }
+    assert(e.getMessage.contains("setTblProperties"))
+    intercept[IllegalArgumentException] {
+      LakeWriter.write(seed.coalesce(1), path,
+        properties = Map("team.area" -> "billing"))
+    }
+    // the honored semantics apply from creation: DML stages no CDC
+    t.delete("id = 1")
+    assert(!Files.list(Paths.get(path)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("cdc-")))
+    // unknown graft.* keys rejected at create too
+    intercept[IllegalArgumentException] {
+      LakeWriter.write(seed.coalesce(1), tablePath("props-create-bad"),
+        properties = Map("graft.enableChangeDataFed" -> "false"))
+    }
+  }
+
+  test("create-time properties ride format(\"lake\") writer options") {
+    val path = tablePath("props-dsv1")
+    seed.coalesce(1).write.format("lake")
+      .option(LakeTable.PROP_ENABLE_CDF, "false")
+      .option("team.owner", "stream")
+      .save(path)
+    val props = LakeTable.forPath(spark, path).tblProperties
+    // only graft.* options are table properties; generic writer
+    // options (team.owner is not a graft key) must NOT leak in
+    assert(props === Map(LakeTable.PROP_ENABLE_CDF -> "false"))
   }
 
   test("properties survive a mergeSchema evolution write") {
