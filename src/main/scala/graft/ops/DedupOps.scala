@@ -40,12 +40,11 @@ object DedupOps {
 
   /** MinHash signature over a precomputed shingle-array column: for
     * each of `numHashes` seeded hash functions, the min over the set.
-    * Per-row array math — no explode, no shuffle.
+    * Per-row array math — no explode, no shuffle; one array traversal
+    * updates all `numHashes` minima ([[graft.functions.MinHashSig]]).
     */
   def minhashSignature(shingleArr: Column, numHashes: Int = 32): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
-    }: _*)
+    graft.functions.MinHashSig(shingleArr, numHashes)
 
   /** MinHash + LSH near-dup candidate pairs verified by true n-gram
     * Jaccard. `bands` × `rowsPerBand` must equal the signature length.
@@ -69,8 +68,16 @@ object DedupOps {
     // signatures and verification both run on long arrays (cheap
     // hashing/equality; 64-bit collisions are negligible at any
     // realistic corpus size)
+    // The shingled frame feeds three consumers (banding, and both
+    // sides of the verification join); without a cache each re-runs
+    // tokenize+hash over the full corpus. MEMORY_ONLY: blocks are
+    // evictable under pressure and recompute byte-identically — at
+    // real scale a pipeline would stage this frame explicitly, but a
+    // cache keeps the operator self-contained (and Spark dedupes the
+    // entry by plan identity across repeated calls).
     val docs = df.select(col(idCol).as("__id"),
       graft.functions.HashedShingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val withSig = docs
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
     val banded = withSig.select(col("__id"),
