@@ -152,9 +152,13 @@ object DedupOps {
     require(minJaccard > 0, "minJaccard must be > 0 for lossless " +
       "share-a-shingle candidate generation")
     val grp = Option(groupCol)
+    // Cached (evictable): consumed by the posting explode and both
+    // sides of the hot-path verification join — see the minhash cache
+    // note above for the lifecycle rationale.
     val docs = df.select(
       (col(idCol).as("__id") +: grp.map(col(_).as("__g")).toSeq) :+
         graft.functions.HashedShingles(col(textCol), n).as("__sh"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val exploded = docs.select(
       (Seq(col("__id"), size(col("__sh")).as("__sz")) ++
         grp.map(_ => col("__g")).toSeq) :+ explode(col("__sh")).as("__s"): _*)
@@ -163,9 +167,14 @@ object DedupOps {
     // order doubles as the cold self-join's SMJ order, so the join
     // below adds no exchange and no re-sort.
     val postingKeys = col("__s") +: grp.map(_ => col("__g")).toSeq
+    // Cached too: four consumers (both cold self-join sides, the hot
+    // filter, the prefix index) read the windowed postings; exchange
+    // reuse would dedupe the shuffle but each consumer would still
+    // re-run the window count over the full posting list.
     val withF = exploded.withColumn("__f",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(postingKeys: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     def pairJoin(index: DataFrame): DataFrame = {
       val joinCond = grp.foldLeft(
         col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))(

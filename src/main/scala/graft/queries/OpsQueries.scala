@@ -153,9 +153,13 @@ object OpsQueries {
                 concat_ws("_", lit("zz"),
                   col("doc_id").cast("string"), i.cast("string")))))
             .as("text"))
+        // persisted: the in-gate recovery assertion AND the returned
+        // rows both evaluate this frame — without a cache the
+        // fingerprint self-join runs twice
         val pairs = TextOps.passageOverlapPairs(
           docs.union(composite), "text", "doc_id",
           n = 3, window = 4, minShared = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         val nPlanted = base.count()
         val planted = pairs
           .filter(col("id_b") === col("id_a") + 2000000L &&
@@ -191,8 +195,11 @@ object OpsQueries {
           (col("doc_id") + 1000000L).as("doc_id"),
           expr("sig ^ shiftleft(CAST(1 AS BIGINT), " +
             "CAST(doc_id % 64 AS INT))").as("sig"))
+        // persisted: the recovery assertion and the returned rows both
+        // evaluate the banded self-join (see passage-overlap note)
         val pairs = DedupOps.simhashNearPairsFromSigs(
           sigs.union(planted), "sig", "doc_id", maxHamming = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         val nPlanted = sigs.count()
         val nRecovered = pairs
           .filter(col("id_b") === col("id_a") + 1000000L &&
