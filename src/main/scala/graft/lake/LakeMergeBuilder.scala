@@ -131,6 +131,10 @@ final class LakeMergeBuilder private[lake] (
       materializeIfNonDeterministic: DataFrame => DataFrame): Unit = {
     val spark = table.spark
     val snap = table.snapshot()
+    // insert-only merges are appends; matched clauses rewrite rows
+    if (matchedClauses.nonEmpty)
+      LakeTable.assertNotAppendOnly(snap, "MERGE with matched clauses",
+        table.tablePath)
     val fields = snap.schema.fields.toSeq
     val condExpr = expr(condition)
     val FILE = "__graft_file"

@@ -50,6 +50,18 @@ final class LakeTable private (
         s"$tablePath (earliest: ${versions.headOption.map(_._2)})"))
   }
 
+  /** First version committed AT OR AFTER the timestamp — the streaming
+    * `startingTimestamp` contract (time travel uses at-or-BEFORE
+    * above). A timestamp past the last commit starts at the next
+    * future version, matching Delta: the stream begins empty and picks
+    * up commits as they arrive.
+    */
+  def versionAtOrAfterTimestamp(timestampMillis: Long): Long = {
+    val versions = commitTimestamps
+    versions.find(_._2 >= timestampMillis).map(_._1)
+      .getOrElse(log.latestVersion + 1)
+  }
+
   /** (version, commit timestamp) for EVERY commit, ascending: sidecar
     * head + per-file tail since the last checkpoint. A commit that
     * carries no CommitInfo (raw protocol append) is invisible to both,
@@ -183,6 +195,7 @@ final class LakeTable private (
     */
   def delete(condition: String): Unit = {
     val snap = snapshot()
+    LakeTable.assertNotAppendOnly(snap, "DELETE", tablePath)
     val cond = expr(condition)
     FilePruner.partitionOnlyMatches(snap, condition) match {
       case Some(matchedFiles) => // metadata-only path
@@ -228,6 +241,7 @@ final class LakeTable private (
     */
   def update(condition: String, set: Map[String, String]): Unit = {
     val snap = snapshot()
+    LakeTable.assertNotAppendOnly(snap, "UPDATE", tablePath)
     val cond = expr(condition)
     val touched = touchedFiles(snap, cond)
     if (touched.isEmpty) return
@@ -909,18 +923,34 @@ object LakeTable {
     * prevention; Delta's `delta.autoOptimize.optimizeWrite`).
     */
   val PROP_OPTIMIZE_WRITE = "graft.optimizeWrite"
+  /** `true` makes the table append-only (Delta's `delta.appendOnly`):
+    * DELETE, UPDATE, MERGE with matched clauses, and overwrite writes
+    * are rejected. The audit-log / immutable-bronze contract — a
+    * misdirected DML cannot silently destroy history.
+    */
+  val PROP_APPEND_ONLY = "graft.appendOnly"
 
   /** Whether DML on this snapshot's table should persist CDC files. */
   private[lake] def cdfEnabled(snap: Snapshot): Boolean =
     snap.metadata.properties
       .get(PROP_ENABLE_CDF).forall(_.toBoolean)
 
+  /** Throws if the table forbids row-removing operations. */
+  private[graft] def assertNotAppendOnly(
+      snap: Snapshot, op: String, tablePath: String): Unit =
+    if (snap.metadata.properties.get(PROP_APPEND_ONLY).exists(_.toBoolean))
+      throw new UnsupportedOperationException(
+        s"$op is not allowed on append-only table $tablePath " +
+        s"($PROP_APPEND_ONLY=true); unset the property first if this " +
+        "table is genuinely mutable")
+
   /** Map a case-mangled `graft.*` key (the V1 writer lower-cases
     * option keys) back to its canonical casing; unknown keys pass
     * through unchanged for validateProperties to reject.
     */
   private[graft] def canonicalPropertyKey(k: String): String =
-    Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE)
+    Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE,
+      PROP_APPEND_ONLY)
       .find(_.equalsIgnoreCase(k)).getOrElse(k)
 
   /** Shared by SET TBLPROPERTIES and create-time writer properties:
@@ -934,13 +964,13 @@ object LakeTable {
         case PROP_RETENTION_HOURS =>
           require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
             s"$k must be a non-negative number of hours, got '$v'")
-        case PROP_ENABLE_CDF | PROP_OPTIMIZE_WRITE =>
+        case PROP_ENABLE_CDF | PROP_OPTIMIZE_WRITE | PROP_APPEND_ONLY =>
           require(v == "true" || v == "false",
             s"$k must be true or false, got '$v'")
         case _ => throw new IllegalArgumentException(
           s"unknown graft table property: $k (known: " +
             s"$PROP_RETENTION_HOURS, $PROP_ENABLE_CDF, " +
-            s"$PROP_OPTIMIZE_WRITE)")
+            s"$PROP_OPTIMIZE_WRITE, $PROP_APPEND_ONLY)")
       }
     }
   /** Below these sizes the driver loop wins (job-launch overhead). */

@@ -51,6 +51,9 @@ object LakeWriter {
     val log = new LakeLog(tablePath)
     val existing = if (log.exists) Some(log.snapshot()) else None
 
+    if (mode == "overwrite")
+      existing.foreach(
+        LakeTable.assertNotAppendOnly(_, "overwrite write", tablePath))
     if (properties.nonEmpty) {
       LakeTable.validateProperties(properties)
       existing.foreach { s =>

@@ -44,6 +44,11 @@ final class LakeDataSource extends RelationProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    // fail at load() time, not first trigger (the Source itself is
+    // constructed lazily when the stream starts)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     val base =
       schema.getOrElse(new LakeLog(pathOf(parameters)).snapshot().schema)
     // the change feed carries extra audit columns — one shared

@@ -24,9 +24,14 @@ final case class LakeStreamOffset(version: Long) extends OffsetV1 {
   *
   * Options:
   *  - `startingVersion` (long, default: all existing data) — first
-  *    version whose files are delivered;
+  *    version whose files are delivered; `startingTimestamp`
+  *    (mutually exclusive) maps to the first version committed at or
+  *    after it;
   *  - `ignoreDeletes` (bool) — tolerate delete-only commits (their
   *    removes are skipped; nothing is re-delivered);
+  *  - `skipChangeCommits` (bool) — skip remove-carrying commits
+  *    WHOLESALE (their AddFiles are not delivered either); the
+  *    append-pure alternative to `ignoreChanges`;
   *  - `ignoreChanges` (bool) — additionally tolerate rewrites
   *    (UPDATE/MERGE/OPTIMIZE); their AddFiles ARE delivered, which
   *    re-emits the untouched rows they carry (the Delta contract —
@@ -80,12 +85,23 @@ final class LakeStreamSource(
     if (readChangeFeed) graft.lake.Cdf.schema(log.snapshot().schema)
     else log.snapshot().schema
 
-  private val startingVersion: Long =
-    options.get("startingVersion").map(_.toLong).getOrElse(0L)
+  private val startingVersion: Long = {
+    require(!(options.contains("startingVersion") &&
+        options.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    options.get("startingVersion").map(_.toLong)
+      .orElse(options.get("startingTimestamp").map { ts =>
+        graft.lake.LakeTable.forPath(spark, tablePath)
+          .versionAtOrAfterTimestamp(java.sql.Timestamp.valueOf(ts).getTime)
+      })
+      .getOrElse(0L)
+  }
   private val ignoreDeletes =
     options.get("ignoreDeletes").exists(_.toBoolean)
   private val ignoreChanges =
     options.get("ignoreChanges").exists(_.toBoolean)
+  private val skipChangeCommits =
+    options.get("skipChangeCommits").exists(_.toBoolean)
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
   private val maxBytesPerTrigger: Option[Long] =
@@ -138,7 +154,12 @@ final class LakeStreamSource(
       val actions = log.readVersion(v)
       val removes = actions.collect { case r: RemoveFile => r }
       val versionAdds = actions.collect { case a: AddFile => a }
-      if (removes.nonEmpty && !ignoreChanges) {
+      if (removes.nonEmpty && skipChangeCommits) {
+        // Delta's skipChangeCommits: a commit that removed files is
+        // skipped WHOLESALE — none of its AddFiles are delivered (vs
+        // ignoreChanges, which re-emits them). The stream stays
+        // append-pure at the cost of missing rows DML inserted.
+      } else if (removes.nonEmpty && !ignoreChanges) {
         // Delete-only commits (no AddFiles) are tolerated iff
         // ignoreDeletes; rewrites (removes AND adds) always need
         // ignoreChanges — silently dropping their AddFiles would lose
@@ -155,7 +176,9 @@ final class LakeStreamSource(
       // For rewrites under ignoreChanges, Delta semantics: deliver the
       // commit's AddFiles as-is. For delete-only commits nothing is
       // delivered. Plain appends deliver their AddFiles.
-      if (removes.isEmpty || ignoreChanges) adds ++= versionAdds
+      // skipChangeCommits suppresses every remove-carrying commit.
+      if (removes.isEmpty || (ignoreChanges && !skipChangeCommits))
+        adds ++= versionAdds
     }
     // Catch the cursor up to BOTH ends: on restart the engine replays
     // the checkpointed range before our internal state knows about it.

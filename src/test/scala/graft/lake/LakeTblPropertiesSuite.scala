@@ -125,6 +125,35 @@ class LakeTblPropertiesSuite extends SparkSuite {
     assert(props === Map(LakeTable.PROP_ENABLE_CDF -> "false"))
   }
 
+  test("graft.appendOnly rejects row-removing ops, allows appends") {
+    val path = tablePath("props-ao")
+    LakeWriter.write(seed.coalesce(1), path,
+      properties = Map(LakeTable.PROP_APPEND_ONLY -> "true"))
+    val t = LakeTable.forPath(spark, path)
+    // appends and insert-only merges stay legal
+    LakeWriter.write(Seq((4L, "d")).toDF("id", "k"), path)
+    t.as("t").merge(Seq((9L, "z")).toDF("id", "k").as("s"),
+        "t.id = s.id")
+      .whenNotMatchedInsertAll().execute()
+    assert(t.toDF.count() === 5L)
+    intercept[UnsupportedOperationException] { t.delete("id = 1") }
+    intercept[UnsupportedOperationException] {
+      t.update("id = 1", Map("k" -> "'x'")) }
+    intercept[UnsupportedOperationException] {
+      t.as("t").merge(seed.as("s"), "t.id = s.id")
+        .whenMatchedDelete().execute()
+    }
+    intercept[UnsupportedOperationException] {
+      LakeWriter.write(seed, path, mode = "overwrite")
+    }
+    // nothing was mutated by the rejected ops
+    assert(t.toDF.count() === 5L)
+    // unset makes it mutable again
+    t.unsetTblProperties(Seq(LakeTable.PROP_APPEND_ONLY))
+    t.delete("id = 1")
+    assert(t.toDF.count() === 4L)
+  }
+
   test("properties survive a mergeSchema evolution write") {
     val path = tablePath("props-evolve")
     LakeWriter.write(seed.coalesce(1), path)

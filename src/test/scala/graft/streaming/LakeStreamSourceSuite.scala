@@ -132,6 +132,43 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(ids === (11L to 20L).toArray)
   }
 
+  test("skipChangeCommits drops remove-carrying commits wholesale") {
+    val src = tablePath("ss-scc-src")
+    LakeWriter.write((1L to 50L).toDF("id").coalesce(1), src)   // v0
+    // v1 is a rewrite (rm+add): under skipChangeCommits neither its
+    // removes nor its adds are delivered
+    LakeTable.forPath(spark, src).update("id = 1", Map("id" -> "1000"))
+    LakeWriter.write((51L to 60L).toDF("id"), src)              // v2 append
+    val dst = tablePath("ss-scc-dst")
+    runAvailableNow(src, dst, tmpDir("ss-scc-ck"),
+      Map("skipChangeCommits" -> "true"))
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    // v0's original file + v2's append; the rewritten file (999 rows
+    // incl. 1000) never arrives
+    assert(ids === (1L to 60L).toArray)
+  }
+
+  test("startingTimestamp maps to the first commit at or after it") {
+    val src = tablePath("ss-st-src")
+    LakeWriter.write((1L to 10L).toDF("id"), src)   // v0
+    Thread.sleep(20)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    LakeWriter.write((11L to 20L).toDF("id"), src)  // v1, after cut
+    val dst = tablePath("ss-st-dst")
+    runAvailableNow(src, dst, tmpDir("ss-st-ck"),
+      Map("startingTimestamp" -> cut.toString))
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === (11L to 20L).toArray)
+    intercept[Exception] {
+      spark.readStream.format("lake")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", cut.toString).load(src)
+    }
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch") {
     val src = tablePath("ss-rate-src")
     // 4 commits x 1 file
