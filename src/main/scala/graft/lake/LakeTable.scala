@@ -680,6 +680,19 @@ final class LakeTable private (
     // Only partitions with 2+ small files benefit.
     val byPartition = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
     if (byPartition.isEmpty) return
+    compactFileSet(snap, byPartition, targetFileBytes,
+      where.map("where" -> _).toMap)
+  }
+
+  /** Identity-rewrite the given per-partition file groups into
+    * `targetFileBytes`-sized bins (shared by OPTIMIZE and auto
+    * compaction).
+    */
+  private def compactFileSet(
+      snap: Snapshot,
+      byPartition: Map[Map[String, String], Seq[AddFile]],
+      targetFileBytes: Long,
+      extraParams: Map[String, String]): Unit = {
     val toCompact = byPartition.values.flatten.toSeq
     val totalBytes = toCompact.map(_.size).sum
     val numOut = math.max(1, (totalBytes / targetFileBytes).toInt)
@@ -693,8 +706,33 @@ final class LakeTable private (
       snap.partitionColumns)
     commitRewrite(snap, toCompact.map(_.path), adds, "OPTIMIZE",
       Map("numFilesRemoved" -> toCompact.size.toString,
-        "numFilesAdded" -> adds.size.toString) ++
-        where.map("where" -> _))
+        "numFilesAdded" -> adds.size.toString) ++ extraParams)
+  }
+
+  /** Auto compaction (Delta's `delta.autoOptimize.autoCompact`): after
+    * a write, compact any JUST-TOUCHED partition that has accumulated
+    * at least [[LakeTable.PROP_AUTO_COMPACT_MIN_FILES]] (default 50)
+    * files under `targetFileBytes`. Scoped to the write's partitions —
+    * the steady-state cost rides the ingest that created the debris,
+    * never a full-table sweep; a 100k-partition table pays only for
+    * the partitions this commit touched.
+    */
+  private[lake] def autoCompactAfterWrite(
+      written: Seq[AddFile],
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val snap = snapshot()
+    val minFiles = snap.metadata.properties
+      .get(LakeTable.PROP_AUTO_COMPACT_MIN_FILES).map(_.toInt)
+      .getOrElse(LakeTable.AUTO_COMPACT_DEFAULT_MIN_FILES)
+    val touched = written.map(_.partitionValues).toSet
+    val byPartition = snap.files
+      .filter(f => touched.contains(f.partitionValues) &&
+        f.size < targetFileBytes)
+      .groupBy(_.partitionValues)
+      .filter(_._2.size >= minFiles)
+    if (byPartition.nonEmpty)
+      compactFileSet(snap, byPartition, targetFileBytes,
+        Map("auto" -> "true"))
   }
 
   /** Row-level changes between two versions (a Change-Data-Feed read,
@@ -929,6 +967,31 @@ object LakeTable {
     * misdirected DML cannot silently destroy history.
     */
   val PROP_APPEND_ONLY = "graft.appendOnly"
+  /** `true` compacts a just-written partition once it accumulates
+    * [[PROP_AUTO_COMPACT_MIN_FILES]] small files (Delta's
+    * `delta.autoOptimize.autoCompact`). Runs synchronously after the
+    * write commit, scoped to the partitions that write touched.
+    */
+  val PROP_AUTO_COMPACT = "graft.autoOptimize.autoCompact"
+  /** Small-file count per partition that triggers auto compaction. */
+  val PROP_AUTO_COMPACT_MIN_FILES = "graft.autoOptimize.minNumFiles"
+  val AUTO_COMPACT_DEFAULT_MIN_FILES = 50
+  /** Prefix for generated columns (Delta's GENERATED ALWAYS AS):
+    * `graft.generated.<col> = <sql expr>`. A write that omits the
+    * column gets it computed from the expression; a write that
+    * supplies it has the values CHECKED against the expression (a
+    * divergent value is rejected like a constraint violation). The
+    * date-partition-from-timestamp pattern without trusting every
+    * writer to derive it consistently.
+    */
+  val PROP_GENERATED_PREFIX = "graft.generated."
+
+  /** (column -> generation expr) declared on this snapshot's table. */
+  private[lake] def generatedColumns(
+      props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(PROP_GENERATED_PREFIX) =>
+      k.stripPrefix(PROP_GENERATED_PREFIX) -> v
+    }
 
   /** Whether DML on this snapshot's table should persist CDC files. */
   private[lake] def cdfEnabled(snap: Snapshot): Boolean =
@@ -950,7 +1013,7 @@ object LakeTable {
     */
   private[graft] def canonicalPropertyKey(k: String): String =
     Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE,
-      PROP_APPEND_ONLY)
+      PROP_APPEND_ONLY, PROP_AUTO_COMPACT, PROP_AUTO_COMPACT_MIN_FILES)
       .find(_.equalsIgnoreCase(k)).getOrElse(k)
 
   /** Shared by SET TBLPROPERTIES and create-time writer properties:
@@ -964,13 +1027,24 @@ object LakeTable {
         case PROP_RETENTION_HOURS =>
           require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
             s"$k must be a non-negative number of hours, got '$v'")
-        case PROP_ENABLE_CDF | PROP_OPTIMIZE_WRITE | PROP_APPEND_ONLY =>
+        case PROP_ENABLE_CDF | PROP_OPTIMIZE_WRITE | PROP_APPEND_ONLY |
+            PROP_AUTO_COMPACT =>
           require(v == "true" || v == "false",
             s"$k must be true or false, got '$v'")
+        case PROP_AUTO_COMPACT_MIN_FILES =>
+          require(scala.util.Try(v.toInt).toOption.exists(_ >= 2),
+            s"$k must be an integer >= 2, got '$v'")
+        case g if g.startsWith(PROP_GENERATED_PREFIX) =>
+          require(g.length > PROP_GENERATED_PREFIX.length,
+            s"$k is missing the column name")
+          // syntax-check the generation expression up front
+          org.apache.spark.sql.SparkSession.active
+            .sessionState.sqlParser.parseExpression(v)
         case _ => throw new IllegalArgumentException(
           s"unknown graft table property: $k (known: " +
             s"$PROP_RETENTION_HOURS, $PROP_ENABLE_CDF, " +
-            s"$PROP_OPTIMIZE_WRITE, $PROP_APPEND_ONLY)")
+            s"$PROP_OPTIMIZE_WRITE, $PROP_APPEND_ONLY, " +
+            s"$PROP_AUTO_COMPACT, $PROP_AUTO_COMPACT_MIN_FILES)")
       }
     }
   /** Below these sizes the driver loop wins (job-launch overhead). */

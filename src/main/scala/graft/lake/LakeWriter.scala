@@ -82,9 +82,21 @@ object LakeWriter {
       case None => partitionBy
     }
 
+    // Generated columns (Delta GENERATED ALWAYS AS): a write that
+    // omits a declared column gets it computed here — BEFORE schema
+    // reconciliation, so at create time the column lands in the table
+    // schema and on an existing table it is never null-filled.
+    val genCols = LakeTable.generatedColumns(
+      existing.map(_.metadata.properties).getOrElse(Map.empty) ++ properties)
+    val withGen = genCols.foldLeft(df) { case (d, (name, genExpr)) =>
+      if (d.columns.contains(name)) d
+      else d.withColumn(name, org.apache.spark.sql.functions.expr(genExpr))
+    }
+
     val finalSchema = existing match {
-      case Some(s) => reconcileSchema(s.schema, df.schema, mergeSchema, tablePath)
-      case None    => df.schema
+      case Some(s) =>
+        reconcileSchema(s.schema, withGen.schema, mergeSchema, tablePath)
+      case None => withGen.schema
     }
     partCols.foreach { c =>
       require(finalSchema.fieldNames.contains(c),
@@ -92,10 +104,19 @@ object LakeWriter {
     }
 
     // Normalize to the final schema: order columns, null-fill missing.
-    val normalized = df.select(finalSchema.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+    val normalized = withGen.select(finalSchema.fields.toSeq.map { f =>
+      if (withGen.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+
+    // Caller-supplied values for a generated column must match its
+    // expression (null-safe equality, so a NULL mismatch still fails).
+    val genChecks = genCols.collect {
+      case (n, e) if df.columns.contains(n) =>
+        s"generated_$n" -> s"`$n` <=> ($e)"
+    }
+    if (genChecks.nonEmpty)
+      enforceConstraints(normalized, genChecks, tablePath)
 
     existing.map(_.metadata.constraints).filter(_.nonEmpty).foreach {
       cs => enforceConstraints(normalized, cs, tablePath)
@@ -149,6 +170,18 @@ object LakeWriter {
           operationParameters ++ Map("mode" -> mode))) ++
           meta ++ removes ++ adds ++
           transaction.map { case (a, v) => Txn(a, v) }.toSeq
+      }
+      // Auto compaction rides the write that created the debris. Its
+      // failure must not fail the already-committed user write — the
+      // data is durable; compaction retries on the next write.
+      if (adds.nonEmpty && effectiveProps
+          .get(LakeTable.PROP_AUTO_COMPACT).exists(_.toBoolean)) {
+        try LakeTable.forPath(spark, tablePath).autoCompactAfterWrite(adds)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[lake] auto compaction after write to $tablePath failed " +
+            s"(write itself committed): ${e.getMessage}")
+        }
       }
       WriteResult(version, adds)
       } catch {

@@ -3,6 +3,7 @@ package graft.lake
 import graft.SparkSuite
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions.col
 
 /** TBLPROPERTIES (Delta parity): stored on the Metadata action,
   * committed like any schema change, and the `graft.*` namespace is
@@ -152,6 +153,66 @@ class LakeTblPropertiesSuite extends SparkSuite {
     t.unsetTblProperties(Seq(LakeTable.PROP_APPEND_ONLY))
     t.delete("id = 1")
     assert(t.toDF.count() === 4L)
+  }
+
+  test("graft.autoOptimize.autoCompact compacts touched partitions") {
+    val path = tablePath("props-ac")
+    val rows = (1L to 100L).map(i => (i, s"p${i % 2}")).toDF("id", "p")
+    LakeWriter.write(rows.repartition(4), path,
+      partitionBy = Seq("p"),
+      properties = Map(
+        LakeTable.PROP_AUTO_COMPACT -> "true",
+        LakeTable.PROP_AUTO_COMPACT_MIN_FILES -> "4"))
+    val t = LakeTable.forPath(spark, path)
+    // 4 tasks x 2 partitions = 8 small files >= 4 per partition ->
+    // compaction fired on the same write
+    val snap = t.snapshot()
+    assert(snap.files.size === 2,
+      s"auto compact left ${snap.files.size} files, want 1/partition")
+    assert(t.toDF.count() === 100L)
+    val ops = t.history().select("operation")
+      .as[String].collect()
+    assert(ops.contains("OPTIMIZE"))
+    // a small append below the threshold does NOT trigger another pass
+    LakeWriter.write(Seq((101L, "p0")).toDF("id", "p"), path)
+    assert(LakeTable.forPath(spark, path).snapshot().files.size === 3)
+  }
+
+  test("generated columns: computed when omitted, checked when supplied") {
+    val path = tablePath("props-gen")
+    val events = Seq((1L, "2024-03-05 10:00:00"), (2L, "2024-03-06 11:30:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    LakeWriter.write(events, path, partitionBy = Seq("p_date"),
+      properties = Map(
+        LakeTable.PROP_GENERATED_PREFIX + "p_date" -> "CAST(ts AS DATE)"))
+    val t = LakeTable.forPath(spark, path)
+    // the generated partition column landed in the schema, computed
+    assert(t.snapshot().schema.fieldNames.toSeq ===
+      Seq("id", "ts", "p_date"))
+    assert(t.toDF.select("p_date").as[java.sql.Date].collect().map(_.toString)
+      .sorted === Array("2024-03-05", "2024-03-06"))
+    // a write SUPPLYING a consistent value passes
+    LakeWriter.write(
+      Seq((3L, "2024-03-07 09:00:00", "2024-03-07"))
+        .toDF("id", "ts", "p_date")
+        .select(col("id"), col("ts").cast("timestamp"),
+          col("p_date").cast("date")), path)
+    assert(t.toDF.count() === 3L)
+    // a divergent supplied value is a constraint violation
+    intercept[ConstraintViolationException] {
+      LakeWriter.write(
+        Seq((4L, "2024-03-08 09:00:00", "2099-01-01"))
+          .toDF("id", "ts", "p_date")
+          .select(col("id"), col("ts").cast("timestamp"),
+            col("p_date").cast("date")), path)
+    }
+    assert(t.toDF.count() === 3L)
+    // malformed generation expression rejected up front
+    intercept[Exception] {
+      LakeWriter.write(events, tablePath("props-gen-bad"),
+        properties = Map(
+          LakeTable.PROP_GENERATED_PREFIX + "x" -> "CAST(("))
+    }
   }
 
   test("properties survive a mergeSchema evolution write") {
