@@ -71,6 +71,9 @@ object LakeSql {
   private val ADD_COLUMN_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+ADD\s+COLUMNS?\s*""" +
       """\(?\s*(\w+)\s+([\w()<>,\s]+?)\s*\)?\s*""").r
+  private val DROP_COLUMN_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+DROP\s+COLUMNS?\s*""" +
+      """\(?\s*(\w+)\s*\)?\s*""").r
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
@@ -209,6 +212,11 @@ object LakeSql {
 
     case ADD_COLUMN_RE(t, name, ddlType) =>
       resolve(spark, clean(t)).addColumn(name, ddlType.trim)
+      LakeCatalog.refreshView(spark, clean(t))
+      emptyDF(spark)
+
+    case DROP_COLUMN_RE(t, name) =>
+      resolve(spark, clean(t)).dropColumn(name)
       LakeCatalog.refreshView(spark, clean(t))
       emptyDF(spark)
 

@@ -103,6 +103,7 @@ final class LakeTable private (
     val snap = snapshot()
     require(!snap.schema.fieldNames.contains(name),
       s"column $name already exists on $tablePath")
+    LakeTable.assertNotDropped(snap, name, tablePath)
     val newSchema = org.apache.spark.sql.types.StructType(
       snap.schema.fields :+ org.apache.spark.sql.types.StructField(
         name, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
@@ -111,6 +112,53 @@ final class LakeTable private (
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
         Map("column" -> name, "type" -> ddlType)), meta)
+    }
+    ()
+  }
+
+  /** ALTER TABLE DROP COLUMN: metadata-only — readers stop projecting
+    * the column; the bytes stay in existing data files until DML or
+    * OPTIMIZE rewrites them. The name is tombstoned
+    * ([[LakeTable.PROP_DROPPED_COLUMNS]]): re-adding it would silently
+    * resurrect the old file data for pre-drop rows (Delta requires
+    * column mapping to make that safe), so the re-add fails loudly
+    * instead. Partition columns and columns referenced by a CHECK
+    * constraint or a generation expression cannot be dropped.
+    */
+  def dropColumn(name: String): Unit = {
+    val snap = snapshot()
+    require(snap.schema.fieldNames.contains(name),
+      s"no column $name on $tablePath " +
+      s"(columns: ${snap.schema.fieldNames.mkString(", ")})")
+    require(!snap.partitionColumns.contains(name),
+      s"cannot drop partition column $name")
+    val parser = spark.sessionState.sqlParser
+    def references(exprStr: String): Boolean =
+      parser.parseExpression(exprStr).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.exists(_.equalsIgnoreCase(name))
+    snap.metadata.constraints.foreach { case (cn, ce) =>
+      require(!references(ce),
+        s"cannot drop $name: CHECK constraint $cn references it ($ce)")
+    }
+    LakeTable.generatedColumns(snap.metadata.properties).foreach {
+      case (gc, ge) =>
+        require(gc != name && !references(ge),
+          s"cannot drop $name: generated column $gc depends on it ($ge)")
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.filterNot(_.name == name))
+    require(newSchema.nonEmpty, s"cannot drop the last column of $tablePath")
+    val dropped = (LakeTable.droppedColumns(snap.metadata.properties) +
+      name).toSeq.sorted.mkString(",")
+    val meta = snap.metadata.copy(
+      schemaDDL = newSchema.toDDL,
+      properties = snap.metadata.properties +
+        (LakeTable.PROP_DROPPED_COLUMNS -> dropped))
+    LakeWriter.commitWithRetry(log) { _ =>
+      Seq(CommitInfo(System.currentTimeMillis(), "DROP COLUMNS",
+        Map("column" -> name)), meta)
     }
     ()
   }
@@ -985,6 +1033,30 @@ object LakeTable {
     * writer to derive it consistently.
     */
   val PROP_GENERATED_PREFIX = "graft.generated."
+  /** Comma-separated tombstones of dropped column names (engine-
+    * maintained by [[LakeTable.dropColumn]]): pre-drop data files
+    * still carry these columns' bytes, so re-introducing a tombstoned
+    * name (ADD COLUMN or mergeSchema) is rejected — it would silently
+    * resurrect old values for pre-drop rows.
+    */
+  val PROP_DROPPED_COLUMNS = "graft.droppedColumns"
+
+  private[lake] def droppedColumns(props: Map[String, String]): Set[String] =
+    props.get(PROP_DROPPED_COLUMNS)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Throws if `name` is tombstoned as dropped on this snapshot. */
+  private[lake] def assertNotDropped(
+      snap: Snapshot, name: String, tablePath: String): Unit =
+    if (droppedColumns(snap.metadata.properties)
+        .exists(_.equalsIgnoreCase(name)))
+      throw new IllegalArgumentException(
+        s"column $name was previously dropped from $tablePath and " +
+        "pre-drop data files still carry its old values; re-adding the " +
+        "name would resurrect them for old rows. Use a different name, " +
+        "or rewrite the table (e.g. CREATE TABLE AS) to physically " +
+        "shed the column first.")
 
   /** (column -> generation expr) declared on this snapshot's table. */
   private[lake] def generatedColumns(

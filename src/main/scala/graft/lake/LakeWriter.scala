@@ -95,6 +95,11 @@ object LakeWriter {
 
     val finalSchema = existing match {
       case Some(s) =>
+        // a mergeSchema write must not re-introduce a dropped column —
+        // same resurrection hazard ADD COLUMN guards against
+        withGen.schema.fieldNames
+          .filterNot(s.schema.fieldNames.contains)
+          .foreach(LakeTable.assertNotDropped(s, _, tablePath))
         reconcileSchema(s.schema, withGen.schema, mergeSchema, tablePath)
       case None => withGen.schema
     }

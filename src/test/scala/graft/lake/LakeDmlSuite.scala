@@ -201,6 +201,53 @@ class LakeDmlSuite extends SparkSuite {
       .select("id").as[Long].collect().sorted === Array(1L, 2L))
   }
 
+  test("DROP COLUMN is metadata-only with a resurrection tombstone") {
+    val path = tablePath("dml-dropcol")
+    LakeWriter.write(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "k", "v").coalesce(1),
+      path)
+    val t = LakeTable.forPath(spark, path)
+    t.dropColumn("v")
+    // readers stop projecting it; rows intact; files untouched
+    assert(t.toDF.columns.toSeq === Seq("id", "k"))
+    assert(t.toDF.count() === 2L)
+    // time travel to the pre-drop version still sees the column
+    assert(t.asOf(0).columns.toSeq === Seq("id", "k", "v"))
+    // writes omitting the dropped column just work
+    LakeWriter.write(Seq((3L, "c")).toDF("id", "k"), path)
+    assert(t.toDF.count() === 3L)
+    // re-adding the name is rejected (old files still carry values)
+    intercept[IllegalArgumentException] { t.addColumn("v", "INT") }
+    intercept[IllegalArgumentException] {
+      LakeWriter.write(Seq((4L, "d", 99)).toDF("id", "k", "v"), path,
+        mergeSchema = true)
+    }
+    // a fresh name is fine
+    t.addColumn("v2", "INT")
+    assert(t.toDF.columns.toSeq === Seq("id", "k", "v2"))
+  }
+
+  test("DROP COLUMN guards: partition / constraint / generated deps") {
+    val path = tablePath("dml-dropcol-guard")
+    LakeWriter.write(
+      Seq((1L, "a", 10)).toDF("id", "k", "v"), path,
+      partitionBy = Seq("k"))
+    val t = LakeTable.forPath(spark, path)
+    intercept[IllegalArgumentException] { t.dropColumn("k") }  // partition
+    intercept[IllegalArgumentException] { t.dropColumn("nope") } // absent
+    t.addConstraint("v_pos", "v >= 0")
+    intercept[IllegalArgumentException] { t.dropColumn("v") }  // constraint
+    t.dropConstraint("v_pos")
+    t.dropColumn("v")
+    assert(t.toDF.columns.toSeq === Seq("id", "k"))
+    // SQL route
+    val sqlPath = tablePath("dml-dropcol-sql")
+    LakeWriter.write(Seq((1L, 2, 3)).toDF("a", "b", "c"), sqlPath)
+    LakeSql.sql(spark, s"ALTER TABLE `$sqlPath` DROP COLUMN b")
+    assert(LakeTable.forPath(spark, sqlPath).toDF.columns.toSeq ===
+      Seq("a", "c"))
+  }
+
   test("partition-predicate delete is metadata-only") {
     val path = tablePath("d2")
     LakeWriter.write(
