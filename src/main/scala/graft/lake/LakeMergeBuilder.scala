@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * joins automatically. A target row matched by more than one source
   * row errors when update/delete clauses exist (Delta semantics,
   * `etl/02:250-252` relies on it).
+  *
+  * `WHEN NOT MATCHED BY SOURCE` clauses (Delta parity) act on target
+  * rows with no source match — the table-sync idiom
+  * (matched-update + not-matched-insert + by-source-delete) in one
+  * atomic commit. Their file-touch set comes from an anti-join, and
+  * their expressions must resolve against the target alone.
   */
 final class LakeMergeBuilder private[lake] (
     table: LakeTable,
@@ -44,6 +50,7 @@ final class LakeMergeBuilder private[lake] (
 
   private var matchedClauses = Vector.empty[MatchedClause]
   private var insertClauses = Vector.empty[InsertClause]
+  private var bySourceClauses = Vector.empty[MatchedClause]
 
   def whenMatchedUpdate(set: Map[String, String]): LakeMergeBuilder =
     whenMatchedUpdate(null, set)
@@ -84,9 +91,40 @@ final class LakeMergeBuilder private[lake] (
     this
   }
 
+  /** WHEN NOT MATCHED BY SOURCE ... UPDATE — acts on TARGET rows with
+    * no matching source row (Delta's by-source clauses; the standard
+    * table-sync idiom is matched-update + not-matched-insert +
+    * by-source-delete). Set expressions and the clause condition may
+    * reference target columns only: source columns are definitionally
+    * NULL for these rows, so a source reference would silently
+    * null-poison the update — rejected up front in [[execute]].
+    */
+  def whenNotMatchedBySourceUpdate(
+      set: Map[String, String]): LakeMergeBuilder =
+    whenNotMatchedBySourceUpdate(null, set)
+
+  def whenNotMatchedBySourceUpdate(condition: String,
+      set: Map[String, String]): LakeMergeBuilder = {
+    require(set != null, "BY SOURCE update requires an explicit set map " +
+      "(UPDATE SET * is undefined when there is no source row)")
+    bySourceClauses :+= UpdateClause(Option(condition), set)
+    this
+  }
+
+  /** WHEN NOT MATCHED BY SOURCE ... DELETE. */
+  def whenNotMatchedBySourceDelete(): LakeMergeBuilder =
+    whenNotMatchedBySourceDelete(null)
+
+  def whenNotMatchedBySourceDelete(condition: String): LakeMergeBuilder = {
+    bySourceClauses :+= DeleteClause(Option(condition))
+    this
+  }
+
   def execute(): Unit = {
-    require(matchedClauses.nonEmpty || insertClauses.nonEmpty,
-      "merge needs at least one WHEN MATCHED / WHEN NOT MATCHED clause")
+    require(matchedClauses.nonEmpty || insertClauses.nonEmpty ||
+      bySourceClauses.nonEmpty,
+      "merge needs at least one WHEN MATCHED / WHEN NOT MATCHED / " +
+      "WHEN NOT MATCHED BY SOURCE clause")
     val SRC = "__graft_src_present"
 
     def aliasTgt(df: DataFrame): DataFrame =
@@ -131,8 +169,9 @@ final class LakeMergeBuilder private[lake] (
       materializeIfNonDeterministic: DataFrame => DataFrame): Unit = {
     val spark = table.spark
     val snap = table.snapshot()
-    // insert-only merges are appends; matched clauses rewrite rows
-    if (matchedClauses.nonEmpty)
+    // insert-only merges are appends; matched / by-source clauses
+    // rewrite rows
+    if (matchedClauses.nonEmpty || bySourceClauses.nonEmpty)
       LakeTable.assertNotAppendOnly(snap, "MERGE with matched clauses",
         table.tablePath)
     val fields = snap.schema.fields.toSeq
@@ -192,16 +231,56 @@ final class LakeMergeBuilder private[lake] (
         "source columns.")
     }
 
-    // ---- matched side: touched files → left-outer rewrite ---------------
-    // Phase 1: semi-join finds files containing >=1 match; only those are
-    // rewritten. Any source row matching the table matches within them.
+    // BY SOURCE clause expressions must resolve against the target
+    // alone — a source-column reference would be silently NULL for
+    // every not-matched row. Analyzed (not executed) on the driver
+    // against the target plan; unresolvable ⇒ loud failure before any
+    // job runs.
+    if (bySourceClauses.nonEmpty) {
+      val tgtOnly = aliasTgt(snap.toDF(spark))
+      val exprs = bySourceClauses.flatMap {
+        case UpdateClause(c, set) => c.toSeq ++ set.values
+        case DeleteClause(c) => c.toSeq
+      }
+      exprs.foreach { e =>
+        try tgtOnly.select(expr(e)).queryExecution.analyzed
+        catch { case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"WHEN NOT MATCHED BY SOURCE expression '$e' must " +
+            "reference target columns only (source columns are NULL " +
+            s"for by-source rows): ${ex.getMessage}")
+        }
+      }
+    }
+
+    // ---- rewrite side: touched files → left-outer rewrite ---------------
+    // Phase 1: find the files that must be rewritten. Matched clauses
+    // touch files containing >=1 join match (semi-join); by-source
+    // clauses touch files containing >=1 row with NO match where some
+    // clause condition holds (anti-join). Only those files are
+    // rewritten — an unconditional by-source clause degrades to
+    // all-files-with-unmatched-rows, which is what the semantics
+    // require.
     try {
-    val touched: Seq[String] =
+    val withFile = aliasTgt(
+      snap.toDF(spark).withColumn(FILE, col("_metadata.file_path")))
+    val bySourceHit: Column = bySourceClauses
+      .map(cl => clauseCond(cl.cond))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val touchedMatched: Seq[String] =
       if (matchedClauses.isEmpty || snap.files.isEmpty) Nil
-      else aliasTgt(snap.toDF(spark).withColumn(FILE, col("_metadata.file_path")))
+      else withFile
         .join(src, condExpr, "left_semi")
         .select(col(FILE)).distinct().collect()
         .map(r => table.relativize(r.getString(0))).toSeq
+    val touchedBySource: Seq[String] =
+      if (bySourceClauses.isEmpty || snap.files.isEmpty) Nil
+      else withFile
+        .join(src, condExpr, "left_anti")
+        .filter(bySourceHit)
+        .select(col(FILE)).distinct().collect()
+        .map(r => table.relativize(r.getString(0))).toSeq
+    val touched: Seq[String] = (touchedMatched ++ touchedBySource).distinct
 
     var cdcMatched: Option[DataFrame] = None
     var dupCheck: Option[java.util.concurrent.FutureTask[Long]] = None
@@ -209,15 +288,38 @@ final class LakeMergeBuilder private[lake] (
       val tgtTouched = aliasTgt(table.readFiles(snap, touched)
         .withColumn(RID, concat_ws("#",
           col("_metadata.file_path"), col("_metadata.row_index"))))
-      val joined = tgtTouched.join(src, condExpr, "left_outer")
+      val joined =
+        if (matchedClauses.nonEmpty)
+          tgtTouched.join(src, condExpr, "left_outer")
+        else {
+          // By-source-only merge: no clause reads source values, so
+          // only a match FLAG is needed. A plain left-outer would
+          // duplicate a target row that matches k source rows (every
+          // copy kept, clause 0); semi-join + RID equi-join keeps
+          // exactly one copy per target row. (With matched clauses
+          // present the duplicate either errors via the multi-match
+          // check or is deleted, so this case is the only exposure.)
+          val matchedRids = tgtTouched.join(src, condExpr, "left_semi")
+            .select(col(RID)).withColumn(SRC, lit(true))
+          tgtTouched.join(matchedRids, Seq(RID), "left_outer")
+        }
       val matched = col(SRC).isNotNull
 
+      // One ordered clause list drives the whole rewrite: matched
+      // clauses guard on `matched`, by-source clauses on `!matched`
+      // (a target row is exactly one of the two, so the relative order
+      // across the groups never changes an outcome — within each group
+      // first-hit wins, Delta semantics).
+      val allClauses = matchedClauses ++ bySourceClauses
+      def clauseGuard(i: Int): Column =
+        if (i < matchedClauses.size) matched else !matched
+
       // 0 = no clause applies (keep row as-is); i >= 1 = clause i-1 wins.
-      val clauseIdx = matchedClauses.zipWithIndex.foldLeft(
+      val clauseIdx = allClauses.zipWithIndex.foldLeft(
         when(lit(false), lit(0))) { case (acc, (cl, i)) =>
-          acc.when(matched && clauseCond(cl.cond), lit(i + 1))
+          acc.when(clauseGuard(i) && clauseCond(cl.cond), lit(i + 1))
       }.otherwise(lit(0))
-      val deleteIdxs = matchedClauses.zipWithIndex.collect {
+      val deleteIdxs = allClauses.zipWithIndex.collect {
         case (_: DeleteClause, i) => i + 1
       }
       val keep =
@@ -227,7 +329,7 @@ final class LakeMergeBuilder private[lake] (
       // clause-applied new value for a field: the winning update
       // clause's expression, the original target value otherwise
       def newValue(f: org.apache.spark.sql.types.StructField): Column = {
-        val updates = matchedClauses.zipWithIndex.collect {
+        val updates = allClauses.zipWithIndex.collect {
           case (UpdateClause(_, set), i) =>
             val e = if (set == null) qualSrc(f.name)
               else set.get(f.name).map(expr).getOrElse(qualTgt(f.name))
@@ -273,7 +375,7 @@ final class LakeMergeBuilder private[lake] (
             .count().filter(col("count") > 1).limit(1).count()
         })
 
-      val updateIdxs = matchedClauses.zipWithIndex.collect {
+      val updateIdxs = allClauses.zipWithIndex.collect {
         case (_: UpdateClause, i) => i + 1
       }
       def newSide(df: DataFrame): DataFrame =
@@ -374,7 +476,9 @@ final class LakeMergeBuilder private[lake] (
       table.commitRewrite(snap, touched, adds, "MERGE",
         Map("condition" -> condition,
           "matchedClauses" -> matchedClauses.size.toString,
-          "notMatchedClauses" -> insertClauses.size.toString), cdc)
+          "notMatchedClauses" -> insertClauses.size.toString,
+          "notMatchedBySourceClauses" -> bySourceClauses.size.toString),
+        cdc)
     } catch { case e: Throwable =>
       LakeWriter.sweepStaged(table.tablePath, adds, cdcTask, cdcDir)
       throw e

@@ -413,7 +413,15 @@ object LakeSql {
           val m = body.substring(3).trim
           require(m.toUpperCase.startsWith("MATCHED"),
             s"cannot parse WHEN clause: $seg")
-          ("NOT MATCHED", m.substring(7))
+          val rest = m.substring(7).trim
+          val restUpper = rest.toUpperCase
+          // Delta grammar: NOT MATCHED [BY TARGET] → insert side;
+          // NOT MATCHED BY SOURCE → unmatched-target side.
+          if (restUpper.startsWith("BY SOURCE"))
+            ("NOT MATCHED BY SOURCE", rest.substring(9))
+          else if (restUpper.startsWith("BY TARGET"))
+            ("NOT MATCHED", rest.substring(9))
+          else ("NOT MATCHED", m.substring(7))
         } else {
           require(body.toUpperCase.startsWith("MATCHED"),
             s"cannot parse WHEN clause: $seg")
@@ -439,6 +447,14 @@ object LakeSql {
             parseSetMap(action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")))
         else throw new IllegalArgumentException(
           s"unsupported WHEN MATCHED action: $action")
+      } else if (matchedKind == "NOT MATCHED BY SOURCE") {
+        if (actionUpper == "DELETE")
+          builder = builder.whenNotMatchedBySourceDelete(clauseCond)
+        else if (actionUpper.startsWith("UPDATE"))
+          builder = builder.whenNotMatchedBySourceUpdate(clauseCond,
+            parseSetMap(action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")))
+        else throw new IllegalArgumentException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action: $action")
       } else {
         if (actionUpper.startsWith("INSERT *") || actionUpper == "INSERT*")
           builder = builder.whenNotMatchedInsertAll()

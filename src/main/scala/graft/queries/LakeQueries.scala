@@ -74,6 +74,34 @@ object LakeQueries {
              |  c_acctbal + (CASE WHEN c_custkey > 500 THEN 100.0 ELSE 0.0 END) AS c_acctbal
              |FROM customer""".stripMargin)),
 
+    // D2 + by-source: full table sync — matched update, unmatched
+    // insert, by-source delete/update — one atomic commit.
+    QueryDef("lake_merge_by_source",
+      (s, dir) => {
+        val path = scratch("lake_merge_by_source", dir)
+        val c = table(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        LakeWriter.write(c.filter("c_custkey <= 1000"), path)
+        val src = c.filter("c_custkey > 500 AND c_custkey <= 1500")
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        LakeTable.forPath(s, path).as("t")
+          .merge(src.as("s"), "t.c_custkey = s.c_custkey")
+          .whenMatchedUpdate(Map("c_acctbal" -> "s.c_acctbal"))
+          .whenNotMatchedInsert(Map(
+            "c_custkey" -> "s.c_custkey", "c_name" -> "s.c_name",
+            "c_acctbal" -> "s.c_acctbal"))
+          .whenNotMatchedBySourceDelete("t.c_acctbal < 0")
+          .whenNotMatchedBySourceUpdate(Map("c_name" -> "'retired'"))
+          .execute()
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey <= 500 THEN 'retired' ELSE c_name END AS c_name,
+             |  c_acctbal + (CASE WHEN c_custkey > 500 THEN 100.0 ELSE 0.0 END) AS c_acctbal
+             |FROM customer
+             |WHERE c_custkey <= 1500
+             |  AND NOT (c_custkey <= 500 AND c_acctbal < 0)""".stripMargin)),
+
     // D3/D4+J5: MERGE delete with a non-equi RLIKE condition.
     QueryDef("lake_merge_rlike_delete",
       (s, dir) => {

@@ -79,6 +79,65 @@ class LakeDmlSuite extends SparkSuite {
       .select("id").as[Long].collect() === Array(2L))
   }
 
+  test("by-source clauses: full table sync in one atomic commit") {
+    val path = tablePath("mbs1")
+    LakeWriter.write(seed, path)
+    // Source carries ids 2,3,9: 2/3 update, 9 inserts, 1/4 (absent
+    // from source) hit the by-source clauses.
+    val src = Seq((2L, "b2", 200.0), (3L, "c2", 300.0), (9L, "z", 900.0))
+      .toDF("id", "k", "v")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("k" -> "s.k", "v" -> "s.v"))
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "k" -> "s.k", "status" -> "'inserted'", "v" -> "s.v"))
+      .whenNotMatchedBySourceUpdate("t.v < 15.0",
+        Map("status" -> "'stale'"))
+      .whenNotMatchedBySourceDelete("t.v >= 15.0")
+      .execute()
+    val t = LakeTable.forPath(spark, path)
+    val got = t.toDF.select("id", "k", "status", "v")
+      .as[(Long, String, String, Double)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "a", "stale", 10.0),       // not matched by source, v<15
+      (2L, "b2", "new", 200.0),       // matched update
+      (3L, "c2", "old", 300.0),       // matched update
+      (9L, "z", "inserted", 900.0)))  // not matched insert; 4 deleted
+    assert(t.snapshot().version === 1L) // one atomic commit
+    // CDC: by-source update = delete+insert pair, by-source delete =
+    // delete, same representation as the matched side.
+    val ch = t.changes(1).filter($"id" === 1L || $"id" === 4L)
+      .select("id", "_change_type").as[(Long, String)].collect().sorted
+    assert(ch === Array((1L, "delete"), (1L, "insert"), (4L, "delete")))
+  }
+
+  test("by-source-only merge keeps one copy of a multiply-matched row") {
+    val path = tablePath("mbs2")
+    LakeWriter.write(seed, path)
+    // id=1 matches TWO source rows; with no matched clause the row is
+    // kept — exactly once, not once per source match.
+    val src = Seq((1L, "x"), (1L, "y")).toDF("id", "tag")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    assert(LakeTable.forPath(spark, path).toDF
+      .select("id").as[Long].collect().sorted === Array(1L))
+  }
+
+  test("by-source expressions must not reference source columns") {
+    val path = tablePath("mbs3")
+    LakeWriter.write(seed, path)
+    val src = Seq((1L, "x")).toDF("id", "tag")
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.forPath(spark, path).as("t")
+        .merge(src.as("s"), "t.id = s.id")
+        .whenNotMatchedBySourceUpdate(Map("k" -> "s.tag"))
+        .execute()
+    }
+    assert(e.getMessage.contains("target columns only"))
+  }
+
   test("merge errors when one target row matches multiple source rows") {
     val path = tablePath("m5")
     LakeWriter.write(seed, path)

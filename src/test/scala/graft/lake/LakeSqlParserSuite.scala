@@ -34,6 +34,21 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(got === Array((1L, "A2"), (2L, "b")))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE / BY TARGET clauses") {
+    freshTable("ptbs", Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    Seq((2L, "B")).toDF("id", "k2").createOrReplaceTempView("ptbs_src")
+    LakeSql.sql(spark,
+      """MERGE INTO ptbs t USING ptbs_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET k = s.k2
+        |WHEN NOT MATCHED BY TARGET THEN INSERT (id, k, v) VALUES (s.id, s.k2, 0.0)
+        |WHEN NOT MATCHED BY SOURCE AND t.v > 2.5 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 'stale'
+        |""".stripMargin)
+    val got = LakeCatalog.table(spark, "ptbs").toDF
+      .orderBy("id").select("id", "k").as[(Long, String)].collect()
+    assert(got === Array((1L, "stale"), (2L, "B")))
+  }
+
   test("string literals containing WHEN / ON / THEN don't mis-parse") {
     freshTable("pt2", Seq((1L, "WHEN MATCHED THEN", 1.0), (2L, "x", 2.0)))
     Seq(1L, 2L).toDF("id").createOrReplaceTempView("pt2_src")
