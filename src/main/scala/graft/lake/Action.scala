@@ -42,6 +42,15 @@ final case class Metadata(
   * @param minValues       per-column min (stringified), for data skipping
   * @param maxValues       per-column max (stringified), for data skipping
   * @param nullCounts      per-column null count, for IS NULL skipping
+  * @param dvPath          deletion vector sidecar (table-relative path)
+  *                        holding the ROW INDICES soft-deleted from
+  *                        this file (Delta deletion-vector analog);
+  *                        None = every physical row is live. A DV
+  *                        delete re-adds the same `path` with a new
+  *                        descriptor — replay replaces by path, so no
+  *                        RemoveFile is needed for the supersession.
+  * @param dvCardinality   number of indices in the DV (0 when absent);
+  *                        live rows = numRecords - dvCardinality
   */
 final case class AddFile(
     path: String,
@@ -50,7 +59,9 @@ final case class AddFile(
     numRecords: Long = -1L,
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty,
-    nullCounts: Map[String, Long] = Map.empty) extends Action
+    nullCounts: Map[String, Long] = Map.empty,
+    dvPath: Option[String] = None,
+    dvCardinality: Long = 0L) extends Action
 
 /** A data file logically removed (tombstone retained until VACUUM). */
 final case class RemoveFile(

@@ -262,8 +262,12 @@ final class LakeMergeBuilder private[lake] (
     // all-files-with-unmatched-rows, which is what the semantics
     // require.
     try {
+    // snapshotDFWithMeta (not toDF): `_metadata` is materialized as a
+    // real column so file identity survives the deletion-vector
+    // anti-join/union on DV-carrying tables.
     val withFile = aliasTgt(
-      snap.toDF(spark).withColumn(FILE, col("_metadata.file_path")))
+      graft.sources.LakeDataSource.snapshotDFWithMeta(spark, snap)
+        .withColumn(FILE, col("_metadata.file_path")))
     val bySourceHit: Column = bySourceClauses
       .map(cl => clauseCond(cl.cond))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -285,9 +289,10 @@ final class LakeMergeBuilder private[lake] (
     var cdcMatched: Option[DataFrame] = None
     var dupCheck: Option[java.util.concurrent.FutureTask[Long]] = None
     val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
-      val tgtTouched = aliasTgt(table.readFiles(snap, touched)
+      val tgtTouched = aliasTgt(table.readFilesWithMeta(snap, touched)
         .withColumn(RID, concat_ws("#",
-          col("_metadata.file_path"), col("_metadata.row_index"))))
+          col("_metadata.file_path"), col("_metadata.row_index")))
+        .drop(graft.sources.LakeDataSource.META))
       val joined =
         if (matchedClauses.nonEmpty)
           tgtTouched.join(src, condExpr, "left_outer")

@@ -78,6 +78,10 @@ object LakeSql {
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+(ZORDER\s+)?BY\s*\((.+?)\))?\s*""").r
+  private val REORG_PURGE_RE =
+    ("""(?is)\s*REORG\s+TABLE\s+([\w.`/\-]+)""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
+      """\s+APPLY\s*\(\s*PURGE\s*\)\s*""").r
   private val SHOW_TABLES_RE = """(?is)\s*SHOW\s+(?:LAKE\s+)?TABLES\s*""".r
   private val SET_TBLPROPS_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+SET\s+TBLPROPERTIES\s*""" +
@@ -224,6 +228,13 @@ object LakeSql {
       val t = updateTarget(sqlText); t.exists(isLake)
     } =>
       runUpdateText(spark, sqlText)
+      emptyDF(spark)
+
+    // Delta parity: REORG TABLE t [WHERE ...] APPLY (PURGE) rewrites
+    // deletion-vector-carrying files into clean physical copies.
+    case REORG_PURGE_RE(t, where) =>
+      resolve(spark, clean(t)).purgeDeletionVectors(
+        Option(where).map(_.trim).filter(_.nonEmpty))
       emptyDF(spark)
 
     case OPTIMIZE_RE(t, where, zorder, byCols) =>

@@ -231,9 +231,12 @@ final class LakeTable private (
       "lake", tablePath, s.version, s.partitionColumns, s.numFiles.toLong,
       s.sizeInBytes, s.schema.toDDL,
       s.metadata.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" },
-      s.metadata.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      s.metadata.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" },
+      s.files.count(_.dvPath.isDefined).toLong,
+      s.files.map(_.dvCardinality).sum
     )).toDF("format", "location", "version", "partitionColumns", "numFiles",
-      "sizeInBytes", "schema", "constraints", "properties")
+      "sizeInBytes", "schema", "constraints", "properties",
+      "numDeletionVectors", "numDeletedRows")
   }
 
   // ---- DML ---------------------------------------------------------------
@@ -249,6 +252,8 @@ final class LakeTable private (
       case Some(matchedFiles) => // metadata-only path
         commitRewrite(snap, matchedFiles.map(_.path), Nil, "DELETE",
           Map("predicate" -> condition))
+      case None if LakeTable.dvEnabled(snap) =>
+        deleteWithDv(snap, cond, condition)
       case None =>
         val touched = touchedFiles(snap, cond)
         if (touched.nonEmpty) {
@@ -287,6 +292,131 @@ final class LakeTable private (
   /** Predicate UPDATE: set columns from expression strings where the
     * condition holds; only touched files are rewritten.
     */
+  /** Merge-on-read DELETE: soft-delete matching rows by writing their
+    * physical row indices to [[DeletionVector]] sidecars and
+    * re-adding each touched file's log entry with the DV descriptor.
+    * I/O is O(matching rows) — at a 100 TB table where a predicate
+    * touches 1% of rows in every file, copy-on-write rewrites the
+    * whole table while this writes a few MB of index sidecars per
+    * file. The only shuffle carries (file, row_index) pairs of the
+    * DELETED rows; DV files are written from executors (one task per
+    * file group), and the driver sees only per-file descriptors.
+    * A file whose remaining live count reaches zero is removed
+    * outright instead of carrying a full-file DV.
+    */
+  private def deleteWithDv(
+      snap: Snapshot, cond: Column, condition: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val touched = touchedFiles(snap, cond)
+    if (touched.isEmpty) return
+    val fields = snap.schema.fields.toSeq
+    val FILE = "__graft_dv_file"
+    val IDX = "__graft_dv_idx"
+    // One scan feeds both consumers (CDC preimage + DV indices):
+    // matching rows only, already filtered through any EXISTING DVs by
+    // readFilesWithMeta, so re-deleting a soft-deleted row is
+    // impossible by construction.
+    val hits = readFilesWithMeta(snap, touched)
+      .filter(coalesce(cond, lit(false)))
+      .select(fields.map(f => col(quoted(f.name))) ++ Seq(
+        col("_metadata.file_path").as(FILE),
+        col("_metadata.row_index").as(IDX)): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dvRelsWritten =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val cdcDir = LakeWriter.newCdcDir(tablePath)
+      val cdcTask =
+        if (!LakeTable.cdfEnabled(snap)) None
+        else Some(LakeWriter.inParallel("graft-dv-delete-cdc-stage") {
+          LakeWriter.stageCdc(
+            hits.select(fields.map(f => col(quoted(f.name))): _*)
+              .withColumn("_change_type", lit("delete")),
+            tablePath, cdcDir)
+        })
+      try {
+        // Existing DVs of touched files: merged into the new vector on
+        // the executor writing that file's DV (metadata-sized map).
+        val touchedSet = touched.toSet
+        // Keyed by plain absolute path — the exact string
+        // `_metadata.file_path` carries for our FileIndex's listings.
+        val oldDvByFile: Map[String, String] = snap.files
+          .filter(f => touchedSet(f.path) && f.dvPath.isDefined)
+          .map(f => LakeLog.resolveFile(tablePath, f.path).toString ->
+            LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
+          .toMap
+        val tp = tablePath
+        import spark.implicits._
+        // (file uri, dv rel path, merged cardinality) per touched file.
+        // repartition+sort streams each file's indices in order into
+        // one task; only (file, idx) pairs shuffle, never row data.
+        val results: Seq[(String, String, Long)] = hits
+          .select(col(FILE), col(IDX)).as[(String, Long)]
+          .repartition(col(FILE))
+          .sortWithinPartitions(FILE, IDX)
+          .mapPartitions { iter =>
+            val out = Seq.newBuilder[(String, String, Long)]
+            var curFile: String = null
+            var buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            def flush(): Unit = if (curFile != null && buf.nonEmpty) {
+              var idxs = buf.toArray
+              oldDvByFile.get(curFile).foreach { old =>
+                idxs = DeletionVector.merge(
+                  DeletionVector.read(java.nio.file.Paths.get(old)), idxs)
+              }
+              out += ((curFile, DeletionVector.write(tp, idxs),
+                idxs.length.toLong))
+              buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            }
+            iter.foreach { case (f, i) =>
+              if (f != curFile) { flush(); curFile = f }
+              buf += i
+            }
+            flush()
+            out.result().iterator
+          }.collect().toSeq
+        results.foreach { case (_, rel, _) => dvRelsWritten.add(rel); () }
+        val addByPath = snap.files.map(f => f.path -> f).toMap
+        val now = System.currentTimeMillis()
+        val (gone, kept) = results.partition { case (uri, _, card) =>
+          val f = addByPath(relativize(uri))
+          f.numRecords >= 0 && card >= f.numRecords
+        }
+        val removes = gone.map { case (uri, rel, _) =>
+          // full-file deletion: drop the entry entirely; the
+          // just-written DV is unreferenced scratch
+          try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+          catch { case _: java.io.IOException => () }
+          RemoveFile(relativize(uri), now)
+        }
+        val dvAdds = kept.map { case (uri, rel, card) =>
+          addByPath(relativize(uri)).copy(
+            dvPath = Some(rel), dvCardinality = card)
+        }
+        val cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)
+        // Conflict set = every file this DELETE supersedes (DV re-add
+        // or removal) — commitWithRetry treats a concurrent re-add of
+        // the same path as a conflict too.
+        LakeWriter.commitWithRetry(log, snap.version,
+          results.map { case (uri, _, _) => relativize(uri) }) { _ =>
+          Seq(CommitInfo(now, "DELETE",
+            Map("predicate" -> condition,
+              "deletionVectors" -> dvAdds.size.toString))) ++
+            removes ++ dvAdds ++ cdc
+        }
+        ()
+      } catch { case e: Throwable =>
+        // staged DV files + CDC are unreferenced until the commit
+        dvRelsWritten.forEach { rel =>
+          try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+          catch { case _: java.io.IOException => () }
+        }
+        LakeWriter.sweepStaged(tablePath, Nil, cdcTask, Some(cdcDir))
+        throw e
+      }
+    } finally { hits.unpersist(false); () }
+  }
+
   def update(condition: String, set: Map[String, String]): Unit = {
     val snap = snapshot()
     LakeTable.assertNotAppendOnly(snap, "UPDATE", tablePath)
@@ -635,16 +765,27 @@ final class LakeTable private (
         "versions (this breaks time travel to them).")
     }
     val cutoff = System.currentTimeMillis() - (retention * 3600 * 1000).toLong
-    val live = snap0.files.map(_.path).toSet
+    val live = snap0.files.map(_.path).toSet ++
+      snap0.files.flatMap(_.dvPath)
     // Tombstones/change-data of commits still inside the retention
-    // window: their files stay reachable by time travel / CDF reads.
-    val protectedPaths: Set[String] = commitTimestamps
-      .filter(_._2 > cutoff).flatMap { case (v, _) =>
-        log.readVersion(v).collect {
-          case r: RemoveFile => r.path
-          case c: CdcFile => c.path
+    // window stay reachable by time travel / CDF reads — as do
+    // deletion-vector sidecars referenced by in-window commits. A DV
+    // superseded in-window has no tombstone of its own (the re-add IS
+    // its supersession), so the DVs live at the window start are
+    // protected from the snapshot at the last pre-cutoff commit.
+    val inWindow = commitTimestamps.filter(_._2 > cutoff)
+    val preCutoffDvs: Set[String] = commitTimestamps
+      .filter(_._2 <= cutoff).lastOption.map { case (v, _) =>
+        snapshot(v).files.flatMap(_.dvPath).toSet
+      }.getOrElse(Set.empty)
+    val protectedPaths: Set[String] = inWindow.flatMap { case (v, _) =>
+        log.readVersion(v).flatMap {
+          case r: RemoveFile => Seq(r.path)
+          case c: CdcFile => Seq(c.path)
+          case a: AddFile => a.dvPath.toSeq
+          case _ => Nil
         }
-      }.toSet
+      }.toSet ++ preCutoffDvs
     val root = Paths.get(tablePath).toAbsolutePath.normalize
     val logRoot = root.resolve(LakeLog.LOG_DIR)
     val candidates = LakeTable.walkTolerant(root)._1
@@ -730,6 +871,28 @@ final class LakeTable private (
     if (byPartition.isEmpty) return
     compactFileSet(snap, byPartition, targetFileBytes,
       where.map("where" -> _).toMap)
+  }
+
+  /** REORG TABLE ... APPLY (PURGE): rewrite every deletion-vector-
+    * carrying file to a physical copy without the soft-deleted rows.
+    * Identity rewrite of LIVE rows (readFiles applies DVs), one atomic
+    * commit; the orphaned DV sidecars age out via vacuum's mtime
+    * sweep. The steady-state pattern at scale: DELETEs accrue cheap
+    * DVs, a periodic partition-scoped REORG folds them into clean
+    * files off the ingest path.
+    */
+  def purgeDeletionVectors(where: Option[String] = None): Int = {
+    val snap = snapshot()
+    val dvFiles = scopeFiles(snap, where).filter(_.dvPath.isDefined)
+    if (dvFiles.isEmpty) return 0
+    val df = readFiles(snap, dvFiles.map(_.path))
+    val adds = LakeWriter.stageAndAdopt(df, tablePath,
+      snap.partitionColumns)
+    commitRewrite(snap, dvFiles.map(_.path), adds, "REORG",
+      Map("applyPurge" -> "true",
+        "numFilesPurged" -> dvFiles.size.toString) ++
+        where.map("where" -> _).toMap)
+    dvFiles.size
   }
 
   /** Identity-rewrite the given per-partition file groups into
@@ -837,8 +1000,14 @@ final class LakeTable private (
               LakeLog.resolveFile(tablePath, p).toString): _*))
         } else {
           val adds = actions.collect { case a: AddFile => a }
+          // A deletion-vector commit re-adds a path with a grown DV
+          // and no RemoveFile; for the diff it is a remove+re-add of
+          // that file (old DV state vs new), so the exceptAll below
+          // yields exactly the newly-deleted rows.
+          val dvChanged = adds.filter(_.dvPath.isDefined).map(_.path).toSet
           val removePaths =
-            actions.collect { case r: RemoveFile => r.path }.toSet
+            actions.collect { case r: RemoveFile => r.path }.toSet ++
+              dvChanged
           // removed files' AddFile entries (with partition values)
           // come from the pre-commit snapshot
           val removes =
@@ -944,7 +1113,8 @@ final class LakeTable private (
     * `cond` (the Delta touched-file optimization, SURVEY §7.3).
     */
   private[lake] def touchedFiles(snap: Snapshot, cond: Column): Seq[String] = {
-    snap.toDF(spark)
+    if (snap.files.isEmpty) return Nil
+    graft.sources.LakeDataSource.snapshotDFWithMeta(spark, snap)
       .filter(coalesce(cond, lit(false)))
       .select(col("_metadata.file_path"))
       .distinct().collect()
@@ -957,13 +1127,28 @@ final class LakeTable private (
     * files read the same as table-local ones.
     */
   private[lake] def readFiles(snap: Snapshot, relPaths: Seq[String]): DataFrame = {
+    graft.sources.LakeDataSource.snapshotDF(spark,
+      snap.copy(files = fileSubset(snap, relPaths)))
+  }
+
+  /** [[readFiles]] with `_metadata` materialized as a column (DML
+    * paths that need (file, row) identity plan through this; deletion
+    * vectors are applied on both variants).
+    */
+  private[lake] def readFilesWithMeta(
+      snap: Snapshot, relPaths: Seq[String]): DataFrame = {
+    graft.sources.LakeDataSource.snapshotDFWithMeta(spark,
+      snap.copy(files = fileSubset(snap, relPaths)))
+  }
+
+  private def fileSubset(
+      snap: Snapshot, relPaths: Seq[String]): Seq[AddFile] = {
     require(relPaths.nonEmpty)
     val wanted = relPaths.toSet
     val subset = snap.files.filter(f => wanted(f.path))
     require(subset.size == wanted.size,
       s"readFiles: ${wanted.size - subset.size} paths not in snapshot")
-    graft.sources.LakeDataSource.snapshotDF(spark,
-      snap.copy(files = subset))
+    subset
   }
 
   /** Map a scan-reported file URI back to its AddFile path: relative
@@ -1023,6 +1208,17 @@ object LakeTable {
   val PROP_AUTO_COMPACT = "graft.autoOptimize.autoCompact"
   /** Small-file count per partition that triggers auto compaction. */
   val PROP_AUTO_COMPACT_MIN_FILES = "graft.autoOptimize.minNumFiles"
+  /** `true` makes DELETE merge-on-read (Delta's
+    * `delta.enableDeletionVectors`): matching rows are soft-deleted by
+    * writing their row indices to a [[DeletionVector]] sidecar and
+    * re-adding the file's log entry with the DV descriptor — O(deleted
+    * indices) bytes written instead of rewriting every touched file.
+    * Reads apply the DV transparently; UPDATE/MERGE/OPTIMIZE rewrites
+    * materialize it away; `REORG TABLE ... APPLY (PURGE)` /
+    * [[LakeTable.purgeDeletionVectors]] rewrites DV-carrying files
+    * eagerly.
+    */
+  val PROP_ENABLE_DV = "graft.enableDeletionVectors"
   val AUTO_COMPACT_DEFAULT_MIN_FILES = 50
   /** Prefix for generated columns (Delta's GENERATED ALWAYS AS):
     * `graft.generated.<col> = <sql expr>`. A write that omits the
@@ -1070,6 +1266,13 @@ object LakeTable {
     snap.metadata.properties
       .get(PROP_ENABLE_CDF).forall(_.toBoolean)
 
+  /** Whether DELETE on this snapshot's table writes deletion vectors
+    * (merge-on-read) instead of rewriting files (copy-on-write).
+    */
+  private[lake] def dvEnabled(snap: Snapshot): Boolean =
+    snap.metadata.properties
+      .get(PROP_ENABLE_DV).exists(_.toBoolean)
+
   /** Throws if the table forbids row-removing operations. */
   private[graft] def assertNotAppendOnly(
       snap: Snapshot, op: String, tablePath: String): Unit =
@@ -1085,7 +1288,8 @@ object LakeTable {
     */
   private[graft] def canonicalPropertyKey(k: String): String =
     Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE,
-      PROP_APPEND_ONLY, PROP_AUTO_COMPACT, PROP_AUTO_COMPACT_MIN_FILES)
+      PROP_APPEND_ONLY, PROP_AUTO_COMPACT, PROP_AUTO_COMPACT_MIN_FILES,
+      PROP_ENABLE_DV)
       .find(_.equalsIgnoreCase(k)).getOrElse(k)
 
   /** Shared by SET TBLPROPERTIES and create-time writer properties:
@@ -1100,7 +1304,7 @@ object LakeTable {
           require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
             s"$k must be a non-negative number of hours, got '$v'")
         case PROP_ENABLE_CDF | PROP_OPTIMIZE_WRITE | PROP_APPEND_ONLY |
-            PROP_AUTO_COMPACT =>
+            PROP_AUTO_COMPACT | PROP_ENABLE_DV =>
           require(v == "true" || v == "false",
             s"$k must be true or false, got '$v'")
         case PROP_AUTO_COMPACT_MIN_FILES =>
@@ -1116,7 +1320,8 @@ object LakeTable {
           s"unknown graft table property: $k (known: " +
             s"$PROP_RETENTION_HOURS, $PROP_ENABLE_CDF, " +
             s"$PROP_OPTIMIZE_WRITE, $PROP_APPEND_ONLY, " +
-            s"$PROP_AUTO_COMPACT, $PROP_AUTO_COMPACT_MIN_FILES)")
+            s"$PROP_AUTO_COMPACT, $PROP_AUTO_COMPACT_MIN_FILES, " +
+            s"$PROP_ENABLE_DV)")
       }
     }
   /** Below these sizes the driver loop wins (job-launch overhead). */

@@ -393,6 +393,18 @@ object LakeWriter {
                 s"removed file ${r.path}, which this operation (reading " +
                 s"version $readVersion) also rewrites. Re-read the table " +
                 "and retry the operation.")
+            // A deletion-vector commit modifies a file by RE-ADDING its
+            // path (no RemoveFile) — a concurrent rewrite/DV-write of
+            // the same file must conflict too, or the later DV would
+            // silently resurrect rows the earlier commit deleted.
+            // Appends/rewrites always mint fresh uuid paths, so only
+            // genuine same-file supersessions can match here.
+            case a: AddFile if ours.contains(a.path) =>
+              throw new ConflictingCommitException(
+                s"conflicting commit: version $v of ${log.tablePath} " +
+                s"superseded file ${a.path} (deletion vector), which " +
+                s"this operation (reading version $readVersion) also " +
+                "rewrites. Re-read the table and retry the operation.")
             case _ =>
           }
         }

@@ -134,6 +134,26 @@ object LakeQueries {
       Some("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
         "FROM lineitem WHERE l_returnflag <> 'R'")),
 
+    // D5 merge-on-read: deletion-vector DELETE — two deletes (the
+    // second merges vectors) soft-delete without rewriting files; the
+    // read applies the DVs. Oracle: plain filtered parquet.
+    QueryDef("lake_delete_dv",
+      (s, dir) => {
+        val path = scratch("lake_delete_dv", dir)
+        val l = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        LakeWriter.write(l, path,
+          properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+        LakeTable.forPath(s, path).delete("l_returnflag = 'R'")
+        LakeTable.forPath(s, path).delete("l_quantity > 45.0")
+        val t = LakeTable.forPath(s, path)
+        require(t.snapshot().files.exists(_.dvPath.isDefined),
+          "gate integrity: DELETE should have produced deletion vectors")
+        t.toDF
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
+        "FROM lineitem WHERE l_returnflag <> 'R' AND l_quantity <= 45.0")),
+
     // UPDATE: expression update over matching rows.
     QueryDef("lake_update",
       (s, dir) => {

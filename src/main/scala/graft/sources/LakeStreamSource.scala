@@ -152,8 +152,16 @@ final class LakeStreamSource(
     val adds = Seq.newBuilder[AddFile]
     ((fromExclusive + 1) to toInclusive).foreach { v =>
       val actions = log.readVersion(v)
-      val removes = actions.collect { case r: RemoveFile => r }
-      val versionAdds = actions.collect { case a: AddFile => a }
+      // A DV-carrying re-add is a change commit even without a
+      // RemoveFile (a deletion-vector DELETE supersedes the file's
+      // entry in place); treating its AddFile as fresh appended data
+      // would re-deliver the whole file. Count it with the removes.
+      val dvAdds = actions.collect {
+        case a: AddFile if a.dvPath.isDefined => a }
+      val removes = actions.collect { case r: RemoveFile => r } ++
+        dvAdds.map(a => RemoveFile(a.path, 0L))
+      val versionAdds = actions.collect {
+        case a: AddFile if a.dvPath.isEmpty => a }
       if (removes.nonEmpty && skipChangeCommits) {
         // Delta's skipChangeCommits: a commit that removed files is
         // skipped WHOLESALE — none of its AddFiles are delivered (vs

@@ -1,0 +1,197 @@
+package graft.lake
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Deletion vectors: merge-on-read DELETE, DV-aware reads, REORG
+  * PURGE, vacuum protection, CDC and streaming interplay.
+  */
+class LakeDeletionVectorSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def seed = Seq.tabulate(100)(i =>
+    (i.toLong, s"k$i", i % 10, i * 1.0))
+    .toDF("id", "k", "bucket", "v").coalesce(2)
+
+  private def dvTable(name: String): String = {
+    val path = tablePath(name)
+    LakeWriter.write(seed, path,
+      properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    path
+  }
+
+  test("codec: write/read/merge roundtrip") {
+    val dir = tmpDir("dv-codec")
+    val a = Array(0L, 1L, 5L, 1000L, 1000000L)
+    val rel = DeletionVector.write(dir, a)
+    assert(DeletionVector.read(Paths.get(dir, rel)) === a)
+    val b = Array(2L, 5L, 999999L)
+    assert(DeletionVector.merge(a, b) ===
+      Array(0L, 1L, 2L, 5L, 1000L, 999999L, 1000000L))
+  }
+
+  test("DV delete soft-deletes without rewriting data files") {
+    val path = dvTable("dv1")
+    val t = LakeTable.forPath(spark, path)
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    t.delete("id % 10 = 3") // 10 rows across both files
+    val snap = t.snapshot()
+    assert(snap.version === 1L)
+    // same physical files, now carrying DVs — nothing was rewritten
+    assert(snap.files.map(_.path).toSet === filesBefore)
+    assert(snap.files.forall(_.dvPath.isDefined))
+    assert(snap.files.map(_.dvCardinality).sum === 10L)
+    val got = t.toDF.select("id").as[Long].collect().sorted
+    assert(got.length === 90)
+    assert(!got.exists(_ % 10 == 3))
+    // filters + aggregates read through the DV
+    assert(t.toDF.filter($"bucket" === 3).count() === 0L)
+    assert(t.toDF.count() === 90L)
+  }
+
+  test("second DV delete merges vectors; time travel sees all states") {
+    val path = dvTable("dv2")
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id < 10")   // v1
+    t.delete("id >= 90")  // v2: DVs must merge, not replace
+    val snap = t.snapshot()
+    assert(snap.files.map(_.dvCardinality).sum === 20L)
+    assert(t.toDF.count() === 80L)
+    assert(t.toDF.agg(min("id"), max("id")).as[(Long, Long)].head ===
+      ((10L, 89L)))
+    assert(t.asOf(0).count() === 100L)
+    assert(t.asOf(1).count() === 90L)
+  }
+
+  test("full-file deletion removes the entry instead of carrying a DV") {
+    val path = tablePath("dv3")
+    // two single-partition files via partitioning on bucket parity
+    LakeWriter.write(
+      seed.withColumn("par", $"id" % 2).repartition(2, $"par"),
+      path, partitionBy = Seq("par"),
+      properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    val t = LakeTable.forPath(spark, path)
+    // delete every odd row by a NON-partition predicate (partition
+    // predicates take the metadata-only path, not the DV path)
+    t.delete("id % 2 = 1")
+    val snap = t.snapshot()
+    // the par=1 file is fully dead: removed outright, no DV entry
+    assert(snap.files.size === 1)
+    assert(snap.files.forall(_.dvPath.isEmpty))
+    assert(t.toDF.count() === 50L)
+  }
+
+  test("UPDATE and MERGE on a DV table read through the DV") {
+    val path = dvTable("dv4")
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id < 50")
+    // UPDATE rewrites the touched file and materializes the deletion
+    t.update("id >= 90", Map("v" -> "v + 1000"))
+    val afterUpd = LakeTable.forPath(spark, path)
+    assert(afterUpd.toDF.count() === 50L)
+    assert(afterUpd.toDF.filter($"v" >= 1000).count() === 10L)
+    // a deleted row must NOT be matchable by MERGE
+    val src = Seq((10L, "ghost"), (60L, "live")).toDF("id", "nk")
+    afterUpd.as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("k" -> "s.nk"))
+      .whenNotMatchedInsert(Map("id" -> "s.id", "k" -> "s.nk",
+        "bucket" -> "CAST(0 AS INT)", "v" -> "CAST(0.0 AS DOUBLE)"))
+      .execute()
+    val end = LakeTable.forPath(spark, path).toDF
+    assert(end.filter($"id" === 60 && $"k" === "live").count() === 1L)
+    // id=10 was soft-deleted → the merge INSERTED it fresh
+    assert(end.filter($"id" === 10).count() === 1L)
+    assert(end.filter($"id" === 10 && $"k" === "ghost").count() === 1L)
+  }
+
+  test("REORG APPLY (PURGE) rewrites DV files clean; SQL route") {
+    val path = dvTable("dv5")
+    LakeCatalog.register(spark, "dv5t", path)
+    val t = LakeTable.forPath(spark, path)
+    t.delete("bucket = 7")
+    val before = t.toDF.select("id").as[Long].collect().sorted
+    LakeSql.sql(spark, "REORG TABLE dv5t APPLY (PURGE)")
+    val after = LakeTable.forPath(spark, path)
+    assert(after.snapshot().files.forall(_.dvPath.isEmpty))
+    assert(after.toDF.select("id").as[Long].collect().sorted === before)
+    // purging twice is a no-op commit-wise
+    val v = after.snapshot().version
+    assert(after.purgeDeletionVectors() === 0)
+    assert(LakeTable.forPath(spark, path).snapshot().version === v)
+  }
+
+  test("CDC records DV deletes; detail() surfaces DV counts") {
+    val path = dvTable("dv6")
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id = 42")
+    val ch = t.changes(1)
+    assert(ch.filter($"_change_type" === "delete")
+      .select("id").as[Long].collect() === Array(42L))
+    val d = t.detail().select("numDeletionVectors", "numDeletedRows")
+      .as[(Long, Long)].head
+    assert(d === ((1L, 1L)))
+  }
+
+  test("vacuum keeps live DV sidecars, sweeps them after purge") {
+    val path = dvTable("dv7")
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id < 5")
+    val dvRel = t.snapshot().files.flatMap(_.dvPath).head
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try {
+      t.vacuum(0.0)
+      assert(Files.exists(Paths.get(path, dvRel)),
+        "live DV sidecar must survive vacuum")
+      assert(t.toDF.count() === 95L)
+      t.purgeDeletionVectors()
+      LakeTable.forPath(spark, path).vacuum(0.0)
+      assert(!Files.exists(Paths.get(path, dvRel)),
+        "orphaned DV sidecar should be swept once unreferenced")
+    } finally spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "true")
+  }
+
+  test("streaming source treats a DV delete as a change commit") {
+    val path = dvTable("dv8")
+    LakeTable.forPath(spark, path).delete("id < 10") // v1: DV commit
+    val out = tmpDir("dv8-sink")
+    // default options: a change commit must fail the stream loudly
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("lake").load(path)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("path", s"$out/data")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("non-append") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-append")))
+    // ignoreDeletes: the DV commit is a delete-only change — skipped,
+    // only the original append's rows flow
+    val out2 = tmpDir("dv8-sink2")
+    val q2 = spark.readStream.format("lake")
+      .option("ignoreDeletes", "true").load(path)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$out2/ckpt")
+      .option("path", s"$out2/data")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$out2/data").count() === 100L)
+  }
+
+  test("copy-on-write stays the default without the property") {
+    val path = tablePath("dv9")
+    LakeWriter.write(seed, path)
+    val t = LakeTable.forPath(spark, path)
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    t.delete("id < 10")
+    val snap = t.snapshot()
+    assert(snap.files.forall(_.dvPath.isEmpty))
+    // the touched file was physically rewritten (untouched ones stay)
+    assert((filesBefore -- snap.files.map(_.path).toSet).nonEmpty)
+    assert(t.toDF.count() === 90L)
+  }
+}
