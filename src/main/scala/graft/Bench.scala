@@ -93,6 +93,15 @@ object Bench {
       else SparkEntry.queryOrder
     val results = names.zipWithIndex.map { case (name, qi) =>
       if (qi > 0 && qi % 10 == 0) calSamples += calibrate()
+      // Query isolation: several gates persist() frames they consume
+      // more than once and cannot unpersist before the caller has
+      // materialized the result — without this, cached blocks pile up
+      // across the run and a later query's time depends on which
+      // predecessors ran (r5 measured dedup_simhash 4x slower
+      // in-sequence than solo purely from inherited storage-memory
+      // pressure). Each query starts with an empty block store and
+      // pays exactly its own cache fills.
+      spark.sharedState.cacheManager.clearCache()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -307,21 +307,26 @@ final class LakeTable private (
   private def deleteWithDv(
       snap: Snapshot, cond: Column, condition: String): Unit = {
     import org.apache.spark.storage.StorageLevel
-    val touched = touchedFiles(snap, cond)
-    if (touched.isEmpty) return
+    if (snap.files.isEmpty) return
     val fields = snap.schema.fields.toSeq
     val FILE = "__graft_dv_file"
     val IDX = "__graft_dv_idx"
-    // One scan feeds both consumers (CDC preimage + DV indices):
-    // matching rows only, already filtered through any EXISTING DVs by
-    // readFilesWithMeta, so re-deleting a soft-deleted row is
-    // impossible by construction.
-    val hits = readFilesWithMeta(snap, touched)
+    // ONE full scan feeds everything: unlike copy-on-write (which
+    // needs a touched-file list up front to rewrite whole files), a DV
+    // delete only needs the MATCHING rows — so the touched set is
+    // derived from the cached hits instead of a separate
+    // touchedFiles() pass, halving the table scans per DELETE.
+    // Existing DVs are already applied by snapshotDFWithMeta, so
+    // re-deleting a soft-deleted row is impossible by construction.
+    val hits = graft.sources.LakeDataSource.snapshotDFWithMeta(spark, snap)
       .filter(coalesce(cond, lit(false)))
       .select(fields.map(f => col(quoted(f.name))) ++ Seq(
         col("_metadata.file_path").as(FILE),
         col("_metadata.row_index").as(IDX)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val touched: Seq[String] = hits.select(col(FILE)).distinct()
+      .collect().map(r => relativize(r.getString(0))).toSeq
+    if (touched.isEmpty) { hits.unpersist(false); return }
     val dvRelsWritten =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
@@ -335,70 +340,14 @@ final class LakeTable private (
             tablePath, cdcDir)
         })
       try {
-        // Existing DVs of touched files: merged into the new vector on
-        // the executor writing that file's DV (metadata-sized map).
-        val touchedSet = touched.toSet
-        // Keyed by plain absolute path — the exact string
-        // `_metadata.file_path` carries for our FileIndex's listings.
-        val oldDvByFile: Map[String, String] = snap.files
-          .filter(f => touchedSet(f.path) && f.dvPath.isDefined)
-          .map(f => LakeLog.resolveFile(tablePath, f.path).toString ->
-            LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
-          .toMap
-        val tp = tablePath
-        import spark.implicits._
-        // (file uri, dv rel path, merged cardinality) per touched file.
-        // repartition+sort streams each file's indices in order into
-        // one task; only (file, idx) pairs shuffle, never row data.
-        val results: Seq[(String, String, Long)] = hits
-          .select(col(FILE), col(IDX)).as[(String, Long)]
-          .repartition(col(FILE))
-          .sortWithinPartitions(FILE, IDX)
-          .mapPartitions { iter =>
-            val out = Seq.newBuilder[(String, String, Long)]
-            var curFile: String = null
-            var buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-            def flush(): Unit = if (curFile != null && buf.nonEmpty) {
-              var idxs = buf.toArray
-              oldDvByFile.get(curFile).foreach { old =>
-                idxs = DeletionVector.merge(
-                  DeletionVector.read(java.nio.file.Paths.get(old)), idxs)
-              }
-              out += ((curFile, DeletionVector.write(tp, idxs),
-                idxs.length.toLong))
-              buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-            }
-            iter.foreach { case (f, i) =>
-              if (f != curFile) { flush(); curFile = f }
-              buf += i
-            }
-            flush()
-            out.result().iterator
-          }.collect().toSeq
-        results.foreach { case (_, rel, _) => dvRelsWritten.add(rel); () }
-        val addByPath = snap.files.map(f => f.path -> f).toMap
-        val now = System.currentTimeMillis()
-        val (gone, kept) = results.partition { case (uri, _, card) =>
-          val f = addByPath(relativize(uri))
-          f.numRecords >= 0 && card >= f.numRecords
-        }
-        val removes = gone.map { case (uri, rel, _) =>
-          // full-file deletion: drop the entry entirely; the
-          // just-written DV is unreferenced scratch
-          try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
-          catch { case _: java.io.IOException => () }
-          RemoveFile(relativize(uri), now)
-        }
-        val dvAdds = kept.map { case (uri, rel, card) =>
-          addByPath(relativize(uri)).copy(
-            dvPath = Some(rel), dvCardinality = card)
-        }
+        val (removes, dvAdds, conflictPaths) = stageDeletionVectors(
+          snap, touched, hits.select(col(FILE), col(IDX)), dvRelsWritten)
         val cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)
+        val now = System.currentTimeMillis()
         // Conflict set = every file this DELETE supersedes (DV re-add
         // or removal) — commitWithRetry treats a concurrent re-add of
         // the same path as a conflict too.
-        LakeWriter.commitWithRetry(log, snap.version,
-          results.map { case (uri, _, _) => relativize(uri) }) { _ =>
+        LakeWriter.commitWithRetry(log, snap.version, conflictPaths) { _ =>
           Seq(CommitInfo(now, "DELETE",
             Map("predicate" -> condition,
               "deletionVectors" -> dvAdds.size.toString))) ++
@@ -417,10 +366,177 @@ final class LakeTable private (
     } finally { hits.unpersist(false); () }
   }
 
+  /** DV-staging core shared by merge-on-read DELETE and UPDATE: write
+    * (or grow) one deletion-vector sidecar per file for the given
+    * (file path, row index) pairs. Only those pairs shuffle
+    * (repartition by file + in-partition sort streams each file's
+    * indices into one task in order); existing DVs are merged on the
+    * executor; the driver sees only per-file descriptors. Returns
+    * (full-dead removes, DV re-adds, conflict-set rel paths).
+    */
+  private def stageDeletionVectors(
+      snap: Snapshot, touched: Seq[String], pairs: DataFrame,
+      dvRelsWritten: java.util.concurrent.ConcurrentLinkedQueue[String])
+      : (Seq[RemoveFile], Seq[AddFile], Seq[String]) = {
+    // Existing DVs of touched files: merged into the new vector on
+    // the executor writing that file's DV (metadata-sized map).
+    // Keyed by plain absolute path — the exact string
+    // `_metadata.file_path` carries for our FileIndex's listings.
+    val touchedSet = touched.toSet
+    val oldDvByFile: Map[String, String] = snap.files
+      .filter(f => touchedSet(f.path) && f.dvPath.isDefined)
+      .map(f => LakeLog.resolveFile(tablePath, f.path).toString ->
+        LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
+      .toMap
+    val tp = tablePath
+    import spark.implicits._
+    val Seq(fileCol, idxCol) = pairs.columns.toSeq.map(c => col(quoted(c)))
+    val results: Seq[(String, String, Long)] = pairs
+      .select(fileCol, idxCol).as[(String, Long)]
+      .repartition(fileCol)
+      .sortWithinPartitions(fileCol, idxCol)
+      .mapPartitions { iter =>
+        val out = Seq.newBuilder[(String, String, Long)]
+        var curFile: String = null
+        var buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def flush(): Unit = if (curFile != null && buf.nonEmpty) {
+          var idxs = buf.toArray
+          oldDvByFile.get(curFile).foreach { old =>
+            idxs = DeletionVector.merge(
+              DeletionVector.read(java.nio.file.Paths.get(old)), idxs)
+          }
+          out += ((curFile, DeletionVector.write(tp, idxs),
+            idxs.length.toLong))
+          buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        }
+        iter.foreach { case (f, i) =>
+          if (f != curFile) { flush(); curFile = f }
+          buf += i
+        }
+        flush()
+        out.result().iterator
+      }.collect().toSeq
+    results.foreach { case (_, rel, _) => dvRelsWritten.add(rel); () }
+    val addByPath = snap.files.map(f => f.path -> f).toMap
+    val now = System.currentTimeMillis()
+    val (gone, kept) = results.partition { case (uri, _, card) =>
+      val f = addByPath(relativize(uri))
+      f.numRecords >= 0 && card >= f.numRecords
+    }
+    val removes = gone.map { case (uri, rel, _) =>
+      // full-file deletion: drop the entry entirely; the just-written
+      // DV is unreferenced scratch
+      try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+      catch { case _: java.io.IOException => () }
+      RemoveFile(relativize(uri), now)
+    }
+    val dvAdds = kept.map { case (uri, rel, card) =>
+      addByPath(relativize(uri)).copy(
+        dvPath = Some(rel), dvCardinality = card)
+    }
+    (removes, dvAdds, results.map { case (uri, _, _) => relativize(uri) })
+  }
+
+  /** Merge-on-read UPDATE (deletion-vector tables): soft-delete the
+    * OLD versions of matching rows via DV sidecars and append only the
+    * UPDATED rows as new files. Write volume is O(matching rows) —
+    * copy-on-write rewrites every touched file wholesale, so a 1%-hit
+    * UPDATE across a 100 TB table writes ~1 TB there vs ~1% of that
+    * here plus index sidecars. Same single-evaluation discipline as
+    * copy-on-write UPDATE: one projection feeds the appended data, the
+    * CDC pre/postimage, and the DV index pairs.
+    */
+  private def updateWithDv(snap: Snapshot, cond: Column,
+      condition: String, set: Map[String, String]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    if (snap.files.isEmpty) return
+    val fields = snap.schema.fields.toSeq
+    def newName(n: String) = s"_graft_upd_$n"
+    val FILE = "__graft_dv_file"
+    val IDX = "__graft_dv_idx"
+    // Matching rows only, in ONE full scan (the touched set falls out
+    // of the materialized projection below — no separate
+    // touchedFiles() pass; see deleteWithDv): old values for CDC,
+    // SET-applied new values, (file, idx) identity for the DV.
+    // Existing DVs are applied by the scan.
+    val raw = graft.sources.LakeDataSource.snapshotDFWithMeta(spark, snap)
+      .filter(coalesce(cond, lit(false)))
+      .select(fields.map(f => col(quoted(f.name))) ++
+        fields.map { f =>
+          set.get(f.name).map(e => expr(e)).getOrElse(col(quoted(f.name)))
+            .cast(f.dataType).as(newName(f.name))
+        } ++ Seq(
+          col("_metadata.file_path").as(FILE),
+          col("_metadata.row_index").as(IDX)): _*)
+    val setsDeterministic =
+      raw.queryExecution.analyzed.expressions.forall(_.deterministic)
+    var scratch: Option[java.nio.file.Path] = None
+    val projected =
+      if (setsDeterministic) raw.persist(StorageLevel.DISK_ONLY)
+      else {
+        val dir = Paths.get(tablePath,
+          s".staging-upd-${java.util.UUID.randomUUID()}")
+        raw.write.mode("overwrite").parquet(dir.toString)
+        scratch = Some(dir)
+        spark.read.parquet(dir.toString)
+      }
+    val dvRelsWritten =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val touched: Seq[String] = projected.select(col(FILE)).distinct()
+        .collect().map(r => relativize(r.getString(0))).toSeq
+      if (touched.isEmpty) return
+      val updated = projected.select(
+        fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
+      if (snap.metadata.constraints.nonEmpty)
+        LakeWriter.enforceConstraints(updated,
+          snap.metadata.constraints, tablePath)
+      val pre = projected
+        .select(fields.map(f => col(quoted(f.name))): _*)
+        .withColumn("_change_type", lit("delete"))
+      val post = updated.withColumn("_change_type", lit("insert"))
+      val cdcDir = LakeWriter.newCdcDir(tablePath)
+      val cdcTask =
+        if (!LakeTable.cdfEnabled(snap)) None
+        else Some(LakeWriter.inParallel("graft-dv-update-cdc-stage") {
+          LakeWriter.stageCdc(pre.unionByName(post), tablePath, cdcDir)
+        })
+      var adds: Seq[AddFile] = Nil
+      try {
+        adds = LakeWriter.stageAndAdopt(updated, tablePath,
+          snap.partitionColumns)
+        val (removes, dvAdds, conflictPaths) = stageDeletionVectors(
+          snap, touched, projected.select(col(FILE), col(IDX)),
+          dvRelsWritten)
+        val cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)
+        val now = System.currentTimeMillis()
+        LakeWriter.commitWithRetry(log, snap.version, conflictPaths) { _ =>
+          Seq(CommitInfo(now, "UPDATE",
+            Map("predicate" -> condition,
+              "deletionVectors" -> dvAdds.size.toString))) ++
+            removes ++ dvAdds ++ adds ++ cdc
+        }
+        ()
+      } catch { case e: Throwable =>
+        dvRelsWritten.forEach { rel =>
+          try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+          catch { case _: java.io.IOException => () }
+        }
+        LakeWriter.sweepStaged(tablePath, adds, cdcTask, Some(cdcDir))
+        throw e
+      }
+    } finally {
+      if (setsDeterministic) { projected.unpersist(false); () }
+      scratch.foreach(LakeWriter.deleteRecursively)
+    }
+  }
+
   def update(condition: String, set: Map[String, String]): Unit = {
     val snap = snapshot()
     LakeTable.assertNotAppendOnly(snap, "UPDATE", tablePath)
     val cond = expr(condition)
+    if (LakeTable.dvEnabled(snap))
+      return updateWithDv(snap, cond, condition, set)
     val touched = touchedFiles(snap, cond)
     if (touched.isEmpty) return
     val matchedFlag = coalesce(cond, lit(false))

@@ -86,7 +86,7 @@ class LakeDeletionVectorSuite extends SparkSuite {
     val path = dvTable("dv4")
     val t = LakeTable.forPath(spark, path)
     t.delete("id < 50")
-    // UPDATE rewrites the touched file and materializes the deletion
+    // merge-on-read UPDATE: DVs the old row versions + appends new
     t.update("id >= 90", Map("v" -> "v + 1000"))
     val afterUpd = LakeTable.forPath(spark, path)
     assert(afterUpd.toDF.count() === 50L)
@@ -180,6 +180,28 @@ class LakeDeletionVectorSuite extends SparkSuite {
       .start()
     q2.awaitTermination()
     assert(spark.read.parquet(s"$out2/data").count() === 100L)
+  }
+
+  test("merge-on-read UPDATE appends only updated rows, DVs the old") {
+    val path = dvTable("dv10")
+    val t = LakeTable.forPath(spark, path)
+    val origFiles = t.snapshot().files.map(_.path).toSet
+    t.update("id % 10 = 0", Map("v" -> "v + 0.5", "k" -> "concat(k, '!')"))
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    // original files survive (now DV-carrying); updated rows appended
+    assert(origFiles.subsetOf(snap.files.map(_.path).toSet))
+    val dvd = snap.files.filter(_.dvPath.isDefined)
+    assert(dvd.nonEmpty && dvd.map(_.dvCardinality).sum === 10L)
+    assert(snap.files.size > origFiles.size)
+    val got = LakeTable.forPath(spark, path).toDF
+    assert(got.count() === 100L)
+    assert(got.filter($"k".endsWith("!")).count() === 10L)
+    assert(got.filter($"id" === 40L).select("v").as[Double].head === 40.5)
+    // CDC carries the pre/post pair
+    val ch = LakeTable.forPath(spark, path).changes(1)
+      .filter($"id" === 40L)
+      .select("_change_type", "v").as[(String, Double)].collect().sortBy(_._1)
+    assert(ch === Array(("delete", 40.0), ("insert", 40.5)))
   }
 
   test("copy-on-write stays the default without the property") {
