@@ -331,4 +331,97 @@ object DedupOps {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** Connected components over a dup-pair edge list — the clustering
+    * step every near-dup pipeline needs after candidate pairs: A~B and
+    * B~C put A, B, C in ONE cluster even though (A, C) was never
+    * emitted as a pair, and the cluster's canonical representative is
+    * its minimum id ("keep the lowest id, drop the rest").
+    *
+    * Algorithm: alternating large-star / small-star edge rewrites
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — each round is one groupBy-min plus one join over the
+    * CURRENT edge set, and the edge set converges to per-component
+    * stars in O(log n) rounds, versus O(diameter) for naive label
+    * propagation (a 1M-node chain needs ~20 rounds here, 1M there).
+    * Per round everything shuffles on node id; no driver-side graph
+    * state, no collect. Each round's result is localCheckpoint'ed to
+    * cut the growing lineage; re-running the whole job on block loss
+    * is the documented trade (acceptable for a maintenance op).
+    *
+    * Skew note: the final star concentrates each component's edges on
+    * its root's partition — a 10M-doc duplicate cluster makes one
+    * heavy key. That is inherent to emitting (root, member) output at
+    * all; intermediate rounds keep degrees balanced because
+    * large-star splits high-degree nodes' edges across their
+    * neighborhoods.
+    *
+    * Returns (id, cluster): every node that appears in an edge, with
+    * its component's minimum id.
+    */
+  def connectedComponents(
+      edges0: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIterations: Int = 30): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin}
+    // canonical undirected edges (u < v), self-loops dropped
+    var edges = edges0.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    def symmetric(e: DataFrame): DataFrame =
+      e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+    // min(Γ(u) ∪ {u}) per node
+    def minsOf(sym: DataFrame): DataFrame =
+      sym.groupBy("u").agg(fmin(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("m"))
+    // Fixpoint detection by (count, hash-xor) signature: the star
+    // rewrites are deterministic and monotone toward the fixpoint, so
+    // an unchanged signature means an unchanged edge set (modulo a
+    // ~2^-64 hash-collision chance; the alternative exact except()
+    // would cost two extra shuffles per round). XOR, not sum: the
+    // edges are distinct, xor is order-insensitive, and it cannot
+    // overflow under ANSI mode.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // large-star: every neighbor LARGER than u links to u's min
+      val symL = symmetric(edges)
+      val large = symL.join(minsOf(symL), "u")
+        .where(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // small-star: every neighbor AT MOST u (plus u itself) links to
+      // u's min
+      val symS = symmetric(large)
+      val minsS = minsOf(symS)
+      val small = symS.join(minsS, "u")
+        .where(col("v") < col("u"))
+        .select(col("m").as("u"), col("v"))
+        .union(minsS.select(col("m").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val newSig = signature(small)
+      converged = newSig == sig
+      sig = newSig
+      edges = small
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations rounds " +
+        "(large-star/small-star converges in O(log n); this graph " +
+        "would need > 2^30 nodes — likely a bug or corrupt edge ids)")
+    // fixpoint = per-component stars rooted at the minimum id
+    edges.select(col("v").as("id"), col("u").as("cluster"))
+      .union(edges.select(col("u").as("id"), col("u").as("cluster")))
+      .distinct()
+  }
 }

@@ -92,6 +92,41 @@ object OpsQueries {
              |FROM documents
              |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""".stripMargin)),
 
+    // Connected-components dedup clustering (large-star/small-star):
+    // CHAIN edges link consecutive ids within each duplicate-text
+    // group — a path graph, the worst case for naive propagation —
+    // and the clusters must collapse each chain to its minimum id.
+    // Oracle: the same grouping, closed-form (min over the group).
+    QueryDef("dedup_clusters",
+      (s, dir) => {
+        // The corpus has (almost) no exact duplicates at gate scale,
+        // so plant them: 3 copies of every 7th doc → each group is a
+        // 4-node CHAIN after consecutive-id linking.
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = (1 to 3).map(k => docs
+          .filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + k * 1000000L))
+        val all = planted.foldLeft(docs)(_.unionByName(_))
+        val fp = all.select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val edges = fp.withColumn("prev", lag("doc_id", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("a"), col("doc_id").as("b"))
+        DedupOps.connectedComponents(edges)
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 7 = 0)
+             |SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY fp) AS cluster
+             |FROM (SELECT doc_id,
+             |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |      FROM all_docs)
+             |QUALIFY COUNT(*) OVER (PARTITION BY fp) > 1""".stripMargin)),
+
     // Exact n-gram Jaccard pairs within each source shard — computed
     // via the lossless inverted-index shape (share-a-shingle candidates
     // + group-count intersection), identical output to the all-pairs

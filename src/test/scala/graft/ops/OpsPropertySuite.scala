@@ -215,4 +215,48 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     } assert(found.contains((i, j)),
       s"missed pair ($i, $j) at distance ${java.lang.Long.bitCount(si ^ sj)}")
   }
+
+  /** Driver-side union-find ground truth for component labels. */
+  private def unionFindLabels(
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents equals union-find on adversarial shapes") {
+    // chain (worst case for naive propagation), star, two merged
+    // blobs, isolated pair — plus random graphs
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 40L).map(i => (i, i + 1)),                // long chain
+      (1L to 20L).map(i => (100L, 100L + i)),             // star
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+        (3L, 10L)),                                       // merged blobs
+      Seq((500L, 501L)),                                  // isolated pair
+      {
+        val rnd = new Random(7)
+        Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+          .filter(e => e._1 != e._2)
+      },
+      {
+        val rnd = new Random(42)
+        // descending chains stress the v <= u small-star side
+        (0 until 5).flatMap(c =>
+          (0 until 15).map(i =>
+            ((c * 1000 + 15 - i).toLong, (c * 1000 + 14 - i).toLong)))
+      })
+    shapes.zipWithIndex.foreach { case (edges, si) =>
+      val got = DedupOps.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val want = unionFindLabels(edges)
+      assert(got === want, s"shape $si")
+    }
+  }
 }

@@ -55,6 +55,33 @@ class PlanSuite extends SparkSuite {
     assert(!plan.contains("MapGroups"), plan)
   }
 
+  test("DV-free lake scans keep the single-relation plan; DV scans keep pushdown") {
+    import org.apache.spark.sql.functions.col
+    import graft.lake.{LakeTable, LakeWriter}
+    import spark.implicits._
+    val path = tablePath("plan-dv")
+    LakeWriter.write(
+      Seq.tabulate(100)(i => (i.toLong, i % 10, s"r$i"))
+        .toDF("id", "bucket", "s").coalesce(2),
+      path, properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    // no DVs yet: one relation, no join in the plan
+    val clean = LakeTable.forPath(spark, path).toDF
+      .filter(col("bucket") === 3)
+      .queryExecution.explainString(FormattedMode)
+    assert(!clean.contains("Join"), clean)
+    assert(clean.contains("PushedFilters: [") &&
+      !clean.contains("PushedFilters: []"), clean)
+    // with DVs: anti-join appears, but the data filter still reaches
+    // the parquet scan on the DV'd branch (pushed through the join)
+    LakeTable.forPath(spark, path).delete("id % 7 = 0")
+    val dv = LakeTable.forPath(spark, path).toDF
+      .filter(col("bucket") === 3)
+      .queryExecution.explainString(FormattedMode)
+    assert(dv.contains("Join"), dv)
+    assert(dv.contains("EqualTo(bucket,3)"), dv)
+    assert(!dv.contains("PushedFilters: []"), dv)
+  }
+
   test("salted join stays a shuffled equi-join on (key, salt)") {
     val plan = planOf("q21_salted_skew_join")
     // the salt must be part of the join keys (no cartesian, no BNLJ)
