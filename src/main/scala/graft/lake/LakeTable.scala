@@ -534,6 +534,11 @@ final class LakeTable private (
   def update(condition: String, set: Map[String, String]): Unit = {
     val snap = snapshot()
     LakeTable.assertNotAppendOnly(snap, "UPDATE", tablePath)
+    val identityTargets = set.keySet.intersect(
+      LakeTable.identityColumns(snap.metadata.properties).keySet)
+    require(identityTargets.isEmpty,
+      s"cannot UPDATE identity column(s) ${identityTargets.mkString(", ")}" +
+      s" of $tablePath (GENERATED ALWAYS AS IDENTITY)")
     val cond = expr(condition)
     if (LakeTable.dvEnabled(snap))
       return updateWithDv(snap, cond, condition, set)
@@ -1336,6 +1341,33 @@ object LakeTable {
     */
   val PROP_ENABLE_DV = "graft.enableDeletionVectors"
   val AUTO_COMPACT_DEFAULT_MIN_FILES = 50
+  /** Prefix for identity columns (Delta's GENERATED ALWAYS AS
+    * IDENTITY): `graft.identity.<col> = "<start>,<step>"`. A write
+    * that omits the column gets monotonically unique LONG ids assigned
+    * executor-side (no global coordination — see LakeWriter); a write
+    * that supplies it is rejected (ALWAYS semantics). The allocation
+    * high-water mark rides the table metadata as
+    * `graft.identity.<col>.hwm`, updated transactionally with each
+    * identity write; ids are unique and move in `step` direction but
+    * may have gaps (Delta documents the same).
+    */
+  val PROP_IDENTITY_PREFIX = "graft.identity."
+  private val IDENTITY_HWM_SUFFIX = ".hwm"
+
+  /** Declared identity columns: name → (start, step). */
+  private[lake] def identityColumns(
+      props: Map[String, String]): Map[String, (Long, Long)] =
+    props.collect {
+      case (k, v) if k.startsWith(PROP_IDENTITY_PREFIX) &&
+          !k.endsWith(IDENTITY_HWM_SUFFIX) =>
+        val name = k.stripPrefix(PROP_IDENTITY_PREFIX)
+        val Array(start, step) = v.split(",").map(_.trim.toLong)
+        name -> (start, step)
+    }
+
+  private[lake] def identityHwmKey(col: String): String =
+    s"$PROP_IDENTITY_PREFIX$col$IDENTITY_HWM_SUFFIX"
+
   /** Prefix for generated columns (Delta's GENERATED ALWAYS AS):
     * `graft.generated.<col> = <sql expr>`. A write that omits the
     * column gets it computed from the expression; a write that
@@ -1432,6 +1464,19 @@ object LakeTable {
           // syntax-check the generation expression up front
           org.apache.spark.sql.SparkSession.active
             .sessionState.sqlParser.parseExpression(v)
+        case g if g.startsWith(PROP_IDENTITY_PREFIX) =>
+          require(g.length > PROP_IDENTITY_PREFIX.length,
+            s"$k is missing the column name")
+          if (g.endsWith(IDENTITY_HWM_SUFFIX))
+            require(scala.util.Try(v.toLong).isSuccess,
+              s"$k must be a long, got '$v'")
+          else {
+            val parts = v.split(",").map(_.trim)
+            require(parts.length == 2 &&
+              parts.forall(p => scala.util.Try(p.toLong).isSuccess) &&
+              parts(1).toLong != 0L,
+              s"$k must be '<start>,<step>' with step != 0, got '$v'")
+          }
         case _ => throw new IllegalArgumentException(
           s"unknown graft table property: $k (known: " +
             s"$PROP_RETENTION_HOURS, $PROP_ENABLE_CDF, " +

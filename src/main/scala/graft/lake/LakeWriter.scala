@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
 import org.apache.spark.sql.types.StructType
 
 /** Writes to a lake table (SURVEY §2 K1/K2, §7.1–7.2).
@@ -82,26 +82,53 @@ object LakeWriter {
       case None => partitionBy
     }
 
+    val effectiveProps = existing.map(_.metadata.properties)
+      .getOrElse(Map.empty) ++ properties
+
     // Generated columns (Delta GENERATED ALWAYS AS): a write that
     // omits a declared column gets it computed here — BEFORE schema
     // reconciliation, so at create time the column lands in the table
     // schema and on an existing table it is never null-filled.
-    val genCols = LakeTable.generatedColumns(
-      existing.map(_.metadata.properties).getOrElse(Map.empty) ++ properties)
+    val genCols = LakeTable.generatedColumns(effectiveProps)
     val withGen = genCols.foldLeft(df) { case (d, (name, genExpr)) =>
       if (d.columns.contains(name)) d
       else d.withColumn(name, org.apache.spark.sql.functions.expr(genExpr))
+    }
+
+    // Identity columns (Delta GENERATED ALWAYS AS IDENTITY): assign
+    // monotonically unique LONG ids executor-side — no global sort, no
+    // driver coordination; `monotonically_increasing_id` spreads a
+    // 2^33 stride per task, so ids are unique within the write and the
+    // stored high-water mark (advanced below from the written files'
+    // footer stats) keeps them unique ACROSS writes. Gaps are allowed
+    // (Delta documents the same); values always move in `step`
+    // direction. ALWAYS semantics: a write supplying the column fails.
+    val idCols = LakeTable.identityColumns(effectiveProps)
+    idCols.keys.foreach { n =>
+      require(!df.columns.contains(n),
+        s"column $n is GENERATED ALWAYS AS IDENTITY on $tablePath and " +
+        "cannot be assigned by the writer; omit it from the dataframe")
+    }
+    val baseHwm: Map[String, Option[Long]] = idCols.map { case (n, _) =>
+      n -> effectiveProps.get(LakeTable.identityHwmKey(n)).map(_.toLong)
+    }
+    val withIdentity = idCols.foldLeft(withGen) {
+      case (d, (n, (start, step))) =>
+        val base = baseHwm(n).getOrElse(start - step)
+        d.withColumn(n,
+          (lit(base) + (monotonically_increasing_id() + 1L) * step)
+            .cast("long"))
     }
 
     val finalSchema = existing match {
       case Some(s) =>
         // a mergeSchema write must not re-introduce a dropped column —
         // same resurrection hazard ADD COLUMN guards against
-        withGen.schema.fieldNames
+        withIdentity.schema.fieldNames
           .filterNot(s.schema.fieldNames.contains)
           .foreach(LakeTable.assertNotDropped(s, _, tablePath))
-        reconcileSchema(s.schema, withGen.schema, mergeSchema, tablePath)
-      case None => withGen.schema
+        reconcileSchema(s.schema, withIdentity.schema, mergeSchema, tablePath)
+      case None => withIdentity.schema
     }
     partCols.foreach { c =>
       require(finalSchema.fieldNames.contains(c),
@@ -109,8 +136,8 @@ object LakeWriter {
     }
 
     // Normalize to the final schema: order columns, null-fill missing.
-    val normalized = withGen.select(finalSchema.fields.toSeq.map { f =>
-      if (withGen.columns.contains(f.name)) col(f.name).cast(f.dataType)
+    val normalized = withIdentity.select(finalSchema.fields.toSeq.map { f =>
+      if (withIdentity.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
@@ -133,8 +160,6 @@ object LakeWriter {
     // partitions can emit N×P small files per append — the classic
     // small-file explosion a 100 TB table dies of. One extra shuffle
     // of the written rows buys one file per partition per commit.
-    val effectiveProps = existing.map(_.metadata.properties)
-      .getOrElse(Map.empty) ++ properties
     val toWrite =
       if (partCols.nonEmpty && effectiveProps
           .get(LakeTable.PROP_OPTIMIZE_WRITE).exists(_.toBoolean))
@@ -144,6 +169,21 @@ object LakeWriter {
     // Stage the physical write, then adopt files into the table dir.
     {
       val adds = stageAndAdopt(toWrite, tablePath, partCols)
+
+      // Identity high-water mark advance, read back from the WRITTEN
+      // files' footer stats — the staged parquet is the only safe
+      // source, because monotonically_increasing_id is
+      // non-deterministic and re-evaluating the frame could diverge
+      // from what landed on disk.
+      val hwmUpdates: Map[String, String] = idCols.flatMap {
+        case (n, (_, step)) =>
+          val vals = adds.flatMap(a =>
+            (if (step > 0) a.maxValues else a.minValues).get(n))
+            .map(_.toLong)
+          if (vals.isEmpty) None
+          else Some(LakeTable.identityHwmKey(n) ->
+            (if (step > 0) vals.max else vals.min).toString)
+      }
 
       val schemaChanged =
         existing.forall(_.metadata.schemaDDL != finalSchema.toDDL)
@@ -159,17 +199,33 @@ object LakeWriter {
               .transactions.get(appId).exists(_ >= txnVersion))
             throw new TxnAlreadyCommittedException(appId, txnVersion)
         }
+        // Identity allocation conflict: a concurrent identity write
+        // that advanced the high-water mark we based assignment on
+        // would make our staged ids collide with its — fail loudly
+        // (the caller re-runs the write against the new mark) rather
+        // than commit duplicates. Re-checked on every retry attempt.
+        if (hwmUpdates.nonEmpty && version > 0) {
+          val cur = log.snapshot().metadata.properties
+          idCols.keys.foreach { n =>
+            val key = LakeTable.identityHwmKey(n)
+            if (cur.get(key).map(_.toLong) != baseHwm(n))
+              throw new ConflictingCommitException(
+                s"identity column $n of $tablePath was advanced by a " +
+                s"concurrent write (mark now ${cur.get(key)}, this " +
+                s"write assigned from ${baseHwm(n)}); re-run the write")
+          }
+        }
         val removes = if (mode == "overwrite" && existing.nonEmpty)
           log.snapshot().files.map(f =>
             RemoveFile(f.path, System.currentTimeMillis()))
         else Nil
         val meta =
-          if (version == 0L || schemaChanged)
+          if (version == 0L || schemaChanged || hwmUpdates.nonEmpty)
             Seq(Metadata(finalSchema.toDDL, partCols,
               System.currentTimeMillis(),
               existing.map(_.metadata.constraints).getOrElse(Map.empty),
               existing.map(_.metadata.properties)
-                .getOrElse(Map.empty) ++ properties))
+                .getOrElse(Map.empty) ++ properties ++ hwmUpdates))
           else Nil
         Seq(CommitInfo(System.currentTimeMillis(), op,
           operationParameters ++ Map("mode" -> mode))) ++
