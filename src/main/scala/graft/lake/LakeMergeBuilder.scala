@@ -181,6 +181,13 @@ final class LakeMergeBuilder private[lake] (
     val SRC = "__graft_src_present"
     val IDXC = "__graft_clause"
     val MATCHED = "__graft_matched"
+    val DVFILE = "__graft_dv_file"
+    val DVIDX = "__graft_dv_idx"
+    // Merge-on-read MERGE (deletion-vector tables): clause-hit rows
+    // are soft-deleted via DV sidecars and only the UPDATED versions
+    // and inserts are written — write volume O(clause-hit rows)
+    // instead of O(touched files).
+    val dvMode = LakeTable.dvEnabled(snap)
 
     // Single-evaluation discipline: each side's combined frame feeds up
     // to three consumers (dup fail-fast, table rewrite, CDC). A
@@ -287,11 +294,16 @@ final class LakeMergeBuilder private[lake] (
     val touched: Seq[String] = (touchedMatched ++ touchedBySource).distinct
 
     var cdcMatched: Option[DataFrame] = None
+    var dvPairs: Option[DataFrame] = None
+    val dvRelsWritten =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
     var dupCheck: Option[java.util.concurrent.FutureTask[Long]] = None
     val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
       val tgtTouched = aliasTgt(table.readFilesWithMeta(snap, touched)
         .withColumn(RID, concat_ws("#",
           col("_metadata.file_path"), col("_metadata.row_index")))
+        .withColumn(DVFILE, col("_metadata.file_path"))
+        .withColumn(DVIDX, col("_metadata.row_index"))
         .drop(graft.sources.LakeDataSource.META))
       val joined =
         if (matchedClauses.nonEmpty)
@@ -356,7 +368,8 @@ final class LakeMergeBuilder private[lake] (
         joined.withColumn(IDXC, clauseIdx).select(
           fields.map(f => qualTgt(f.name).cast(f.dataType).as(f.name)) ++
           fields.map(f => newValue(f).as(newName(f.name))) ++
-          Seq(col(RID), matched.as(MATCHED), col(IDXC)): _*))
+          Seq(col(RID), matched.as(MATCHED), col(IDXC)) ++
+          (if (dvMode) Seq(col(DVFILE), col(DVIDX)) else Nil): _*))
 
       // Delta semantics: error if one target row matches several source
       // rows while the outcome would be nondeterministic — any update,
@@ -399,7 +412,14 @@ final class LakeMergeBuilder private[lake] (
           newSide(combined.filter(col(IDXC).isin(updateIdxs: _*)))
             .withColumn("_change_type", lit("insert"))))
 
-      Some(newSide(combined.filter(keep)))
+      if (dvMode) {
+        // every clause-hit row (update or delete) is soft-deleted;
+        // update clauses additionally append their new version below
+        dvPairs = Some(combined.filter(col(IDXC) > 0)
+          .select(col(DVFILE), col(DVIDX)))
+        if (updateIdxs.isEmpty) None
+        else Some(newSide(combined.filter(col(IDXC).isin(updateIdxs: _*))))
+      } else Some(newSide(combined.filter(keep)))
     }
 
     // ---- not-matched side: anti-join → inserts ---------------------------
@@ -478,13 +498,37 @@ final class LakeMergeBuilder private[lake] (
             "would be nondeterministic. Deduplicate the source on the " +
             "merge key.")
       }
-      table.commitRewrite(snap, touched, adds, "MERGE",
-        Map("condition" -> condition,
-          "matchedClauses" -> matchedClauses.size.toString,
-          "notMatchedClauses" -> insertClauses.size.toString,
-          "notMatchedBySourceClauses" -> bySourceClauses.size.toString),
-        cdc)
+      val params = Map("condition" -> condition,
+        "matchedClauses" -> matchedClauses.size.toString,
+        "notMatchedClauses" -> insertClauses.size.toString,
+        "notMatchedBySourceClauses" -> bySourceClauses.size.toString)
+      if (dvMode) {
+        // merge-on-read commit: DV re-adds supersede the touched
+        // files' entries in place (clause-hit rows soft-deleted),
+        // full-dead files drop out, and only updated/inserted rows
+        // were staged as new files.
+        val (removes, dvAdds, conflictPaths) = dvPairs match {
+          case Some(p) =>
+            table.stageDeletionVectors(snap, touched, p, dvRelsWritten)
+          case None => (Nil, Nil, Nil)
+        }
+        val now = System.currentTimeMillis()
+        LakeWriter.commitWithRetry(table.log, snap.version,
+          conflictPaths) { _ =>
+          Seq(CommitInfo(now, "MERGE",
+            params + ("deletionVectors" -> dvAdds.size.toString))) ++
+            removes ++ dvAdds ++ adds ++ cdc
+        }
+        ()
+      } else
+        table.commitRewrite(snap, touched, adds, "MERGE", params, cdc)
     } catch { case e: Throwable =>
+      dvRelsWritten.forEach { rel =>
+        try {
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(table.tablePath, rel)); ()
+        } catch { case _: java.io.IOException => () }
+      }
       LakeWriter.sweepStaged(table.tablePath, adds, cdcTask, cdcDir)
       throw e
     }

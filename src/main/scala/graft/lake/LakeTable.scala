@@ -374,7 +374,7 @@ final class LakeTable private (
     * executor; the driver sees only per-file descriptors. Returns
     * (full-dead removes, DV re-adds, conflict-set rel paths).
     */
-  private def stageDeletionVectors(
+  private[lake] def stageDeletionVectors(
       snap: Snapshot, touched: Seq[String], pairs: DataFrame,
       dvRelsWritten: java.util.concurrent.ConcurrentLinkedQueue[String])
       : (Seq[RemoveFile], Seq[AddFile], Seq[String]) = {

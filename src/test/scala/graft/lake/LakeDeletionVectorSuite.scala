@@ -204,6 +204,56 @@ class LakeDeletionVectorSuite extends SparkSuite {
     assert(ch === Array(("delete", 40.0), ("insert", 40.5)))
   }
 
+  test("merge-on-read MERGE: DVs clause hits, appends updates+inserts") {
+    val path = dvTable("dv11")
+    val t = LakeTable.forPath(spark, path)
+    val origFiles = t.snapshot().files.map(_.path).toSet
+    val src = Seq((5L, 5000.0), (15L, 15000.0), (999L, 999000.0))
+      .toDF("id", "nv")
+    t.as("t").merge(src.as("s"), "t.id = s.id")
+      .whenMatchedUpdate("t.id = 5", Map("v" -> "s.nv"))
+      .whenMatchedDelete("t.id = 15")
+      .whenNotMatchedInsert(Map("id" -> "s.id", "k" -> "'new'",
+        "bucket" -> "CAST(0 AS INT)", "v" -> "s.nv"))
+      .execute()
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    // touched files kept in place with DVs (2 clause-hit rows),
+    // new files appended for the update's new version + the insert
+    assert(origFiles.subsetOf(snap.files.map(_.path).toSet))
+    assert(snap.files.flatMap(_.dvPath).nonEmpty)
+    assert(snap.files.map(_.dvCardinality).sum === 2L)
+    val got = LakeTable.forPath(spark, path).toDF
+    assert(got.count() === 100L) // 100 - deleted(1) + inserted(1)
+    assert(got.filter($"id" === 5L).select("v").as[Double].head === 5000.0)
+    assert(got.filter($"id" === 15L).count() === 0L)
+    assert(got.filter($"id" === 999L && $"k" === "new").count() === 1L)
+    // CDC: update pre+post, delete pre, insert
+    val ch = LakeTable.forPath(spark, path).changes(1)
+      .select("id", "_change_type").as[(Long, String)].collect().sorted
+    assert(ch === Array((5L, "delete"), (5L, "insert"),
+      (15L, "delete"), (999L, "insert")))
+  }
+
+  test("merge-on-read MERGE with by-source delete over DV'd rows") {
+    val path = dvTable("dv12")
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id >= 90") // DVs exist before the merge
+    val src = Seq.range(0L, 50L).toDF("id")
+    t.as("t").merge(src.as("s"), "t.id = s.id")
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    val after = LakeTable.forPath(spark, path)
+    // rows 50..89 by-source-deleted (90..99 already gone), 0..49 stay
+    assert(after.toDF.count() === 50L)
+    assert(after.toDF.agg(max("id")).as[Long].head === 49L)
+    // the second file's merge DV (40 new + 10 pre-existing = all 50
+    // physical rows) proves the vectors MERGED: a replace would leave
+    // cardinality 40 and the file alive; the merged full-dead file is
+    // removed outright instead
+    assert(after.snapshot().files.size === 1)
+    assert(after.snapshot().files.forall(_.dvPath.isEmpty))
+  }
+
   test("copy-on-write stays the default without the property") {
     val path = tablePath("dv9")
     LakeWriter.write(seed, path)
