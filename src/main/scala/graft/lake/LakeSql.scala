@@ -74,6 +74,9 @@ object LakeSql {
   private val DROP_COLUMN_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+DROP\s+COLUMNS?\s*""" +
       """\(?\s*(\w+)\s*\)?\s*""").r
+  private val RENAME_COLUMN_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+RENAME\s+COLUMN\s+""" +
+      """(\w+)\s+TO\s+(\w+)\s*""").r
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
@@ -221,6 +224,11 @@ object LakeSql {
 
     case DROP_COLUMN_RE(t, name) =>
       resolve(spark, clean(t)).dropColumn(name)
+      LakeCatalog.refreshView(spark, clean(t))
+      emptyDF(spark)
+
+    case RENAME_COLUMN_RE(t, from, to) =>
+      resolve(spark, clean(t)).renameColumn(from, to)
       LakeCatalog.refreshView(spark, clean(t))
       emptyDF(spark)
 

@@ -163,6 +163,80 @@ final class LakeTable private (
     ()
   }
 
+  /** ALTER TABLE RENAME COLUMN: an identity rewrite of the whole
+    * table under the new name, in one atomic commit (time travel to
+    * the old name still works — history is untouched).
+    *
+    * Deliberately NOT metadata-only: parquet resolves columns by
+    * name, so a pure-metadata rename would silently null-out the
+    * column in every existing file. The alternatives are (a) this
+    * rewrite, or (b) Delta-style column mapping — a stable physical
+    * name per column carried through every write, read, stats and CDC
+    * path. Delta itself REJECTS rename unless column mapping is
+    * enabled; this engine takes the rewrite: rename is a rare,
+    * deliberate operation, and an explicit O(table) rewrite beats
+    * threading a logical→physical indirection through every hot path
+    * for it. At 100 TB, scope renames to young tables or accept the
+    * one-off rewrite cost (executor-parallel, one commit).
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    val snap = snapshot()
+    require(snap.schema.fieldNames.contains(oldName),
+      s"no column $oldName on $tablePath " +
+      s"(columns: ${snap.schema.fieldNames.mkString(", ")})")
+    require(!snap.schema.fieldNames.contains(newName),
+      s"column $newName already exists on $tablePath")
+    require(!snap.partitionColumns.contains(oldName),
+      s"cannot rename partition column $oldName (partition values are " +
+      "encoded in file paths; recreate the table instead)")
+    LakeTable.assertNotDropped(snap, newName, tablePath)
+    val parser = spark.sessionState.sqlParser
+    def references(exprStr: String): Boolean =
+      parser.parseExpression(exprStr).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.exists(_.equalsIgnoreCase(oldName))
+    snap.metadata.constraints.foreach { case (cn, ce) =>
+      require(!references(ce),
+        s"cannot rename $oldName: CHECK constraint $cn references it " +
+        s"($ce); drop and re-add the constraint around the rename")
+    }
+    (LakeTable.generatedColumns(snap.metadata.properties) ++
+      LakeTable.identityColumns(snap.metadata.properties)
+        .map { case (n, _) => n -> "" }).foreach { case (gc, ge) =>
+      require(gc != oldName && (ge.isEmpty || !references(ge)),
+        s"cannot rename $oldName: generated/identity column $gc " +
+        s"depends on it")
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+    val meta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
+    if (snap.files.isEmpty) {
+      LakeWriter.commitWithRetry(log) { _ =>
+        Seq(CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
+          Map("from" -> oldName, "to" -> newName)), meta)
+      }
+      return
+    }
+    val renamed = toDF.withColumnRenamed(oldName, newName)
+    val adds = LakeWriter.stageAndAdopt(renamed, tablePath,
+      snap.partitionColumns)
+    val now = System.currentTimeMillis()
+    try {
+      LakeWriter.commitWithRetry(log, snap.version,
+        snap.files.map(_.path)) { _ =>
+        Seq(CommitInfo(now, "RENAME COLUMN",
+          Map("from" -> oldName, "to" -> newName)), meta) ++
+          snap.files.map(f => RemoveFile(f.path, now)) ++ adds
+      }
+      ()
+    } catch { case e: Throwable =>
+      LakeWriter.sweepStaged(tablePath, adds, None, None)
+      throw e
+    }
+  }
+
   private def applyAlias(df: DataFrame): DataFrame =
     targetAlias.map(df.as(_)).getOrElse(df)
 

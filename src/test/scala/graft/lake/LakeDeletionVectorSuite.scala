@@ -254,6 +254,25 @@ class LakeDeletionVectorSuite extends SparkSuite {
     assert(after.snapshot().files.forall(_.dvPath.isEmpty))
   }
 
+  test("concurrent re-add of the same file conflicts (DV-DV race)") {
+    val path = dvTable("dv13")
+    val t = LakeTable.forPath(spark, path)
+    val v0 = t.snapshot().version
+    val file = t.snapshot().files.head
+    // a "concurrent" DV delete lands first
+    t.delete("id = 1")
+    // a second writer that read v0 and supersedes the same file must
+    // fail its commit rather than silently drop the first delete
+    val e = intercept[ConflictingCommitException] {
+      LakeWriter.commitWithRetry(t.log, v0, Seq(file.path)) { _ =>
+        Seq(CommitInfo(System.currentTimeMillis(), "DELETE", Map.empty),
+          file.copy(dvPath = Some("_deletion_vectors/bogus.bin"),
+            dvCardinality = 1L))
+      }
+    }
+    assert(e.getMessage.contains("superseded"))
+  }
+
   test("copy-on-write stays the default without the property") {
     val path = tablePath("dv9")
     LakeWriter.write(seed, path)

@@ -286,6 +286,30 @@ class LakeDmlSuite extends SparkSuite {
     assert(t.toDF.columns.toSeq === Seq("id", "k", "v2"))
   }
 
+  test("RENAME COLUMN rewrites under the new name, keeps history") {
+    val path = tablePath("ren1")
+    LakeWriter.write(seed, path)
+    LakeCatalog.register(spark, "ren1t", path)
+    LakeSql.sql(spark, "ALTER TABLE ren1t RENAME COLUMN v TO amount")
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().schema.fieldNames.toSeq ===
+      Seq("id", "k", "status", "amount"))
+    assert(t.toDF.select("amount").as[Double].collect().sorted ===
+      Array(10.0, 20.0, 30.0, 40.0))
+    // time travel to the pre-rename version still reads the old name
+    assert(t.asOf(0).select("v").as[Double].collect().sorted ===
+      Array(10.0, 20.0, 30.0, 40.0))
+    // guards
+    assert(intercept[IllegalArgumentException](
+      t.renameColumn("missing", "x")).getMessage.contains("no column"))
+    assert(intercept[IllegalArgumentException](
+      t.renameColumn("id", "k")).getMessage.contains("already exists"))
+    t.addConstraint("amt_pos", "amount >= 0")
+    assert(intercept[IllegalArgumentException](
+      LakeTable.forPath(spark, path).renameColumn("amount", "x"))
+      .getMessage.contains("constraint"))
+  }
+
   test("DROP COLUMN guards: partition / constraint / generated deps") {
     val path = tablePath("dml-dropcol-guard")
     LakeWriter.write(
