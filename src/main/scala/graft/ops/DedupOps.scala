@@ -361,7 +361,8 @@ object DedupOps {
     */
   def connectedComponents(
       edges0: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIterations: Int = 30): DataFrame = {
+      maxIterations: Int = 30,
+      smallGraphEdges: Long = 2_000_000L): DataFrame = {
     import org.apache.spark.sql.functions.{min => fmin}
     // canonical undirected edges (u < v), self-loops dropped
     var edges = edges0.select(
@@ -369,6 +370,30 @@ object DedupOps {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    // Adaptive small-graph fast path (same pattern as the ngram
+    // hot/cold split): each distributed round costs a fixed several
+    // hundred ms of job overhead, so a pair set that fits comfortably
+    // on the driver — the common case even for large corpora, since
+    // EDGES are near-dup pairs, not documents — is solved with one
+    // collect + union-find and one parallelize. The distributed
+    // star rounds below are the ≥millions-of-pairs path.
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphEdges) {
+      val spark = edges0.sparkSession
+      import spark.implicits._
+      val local = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      local.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("id", "cluster")
+    }
     def symmetric(e: DataFrame): DataFrame =
       e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))

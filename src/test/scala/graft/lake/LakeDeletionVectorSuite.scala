@@ -273,6 +273,25 @@ class LakeDeletionVectorSuite extends SparkSuite {
     assert(e.getMessage.contains("superseded"))
   }
 
+  test("streaming change feed delivers DV-deleted rows") {
+    val path = dvTable("dv14")
+    LakeTable.forPath(spark, path).delete("id = 7") // v1, DV commit
+    val out = tmpDir("dv14-sink")
+    val q = spark.readStream.format("lake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(path)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$out/ckpt")
+      .option("path", s"$out/data")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$out/data")
+      .select("id", "_change_type").as[(Long, String)].collect()
+    assert(got === Array((7L, "delete")))
+  }
+
   test("copy-on-write stays the default without the property") {
     val path = tablePath("dv9")
     LakeWriter.write(seed, path)

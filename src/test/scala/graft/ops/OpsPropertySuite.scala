@@ -253,10 +253,16 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
             ((c * 1000 + 15 - i).toLong, (c * 1000 + 14 - i).toLong)))
       })
     shapes.zipWithIndex.foreach { case (edges, si) =>
-      val got = DedupOps.connectedComponents(edges.toDF("a", "b"))
-        .as[(Long, Long)].collect().toMap
       val want = unionFindLabels(edges)
-      assert(got === want, s"shape $si")
+      // small-graph fast path (default) AND the distributed
+      // large-star/small-star rounds (forced) must both match
+      val fast = DedupOps.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(fast === want, s"shape $si (fast path)")
+      val dist = DedupOps.connectedComponents(edges.toDF("a", "b"),
+          smallGraphEdges = -1L)
+        .as[(Long, Long)].collect().toMap
+      assert(dist === want, s"shape $si (distributed path)")
     }
   }
 }
