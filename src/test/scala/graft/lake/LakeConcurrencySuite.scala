@@ -169,6 +169,45 @@ class LakeConcurrencySuite extends SparkSuite {
     assert(LakeTable.forPath(spark, path).snapshot().version === latest)
   }
 
+  test("cross-process DV supersession race: no increment is ever lost") {
+    // Three separate JVMs plus this one race deletion-vector re-adds
+    // of the SAME data file (the merge-on-read DELETE commit shape).
+    // The re-add conflict rule must serialize them: every successful
+    // commit increments the cardinality read from ITS OWN fresh base,
+    // so a single lost update shows as a final cardinality below the
+    // total commit count.
+    val path = tablePath("dvrace")
+    LakeWriter.write(Seq(0L).toDF("id").coalesce(1), path) // v0
+    val sharedFile = LakeTable.forPath(spark, path).snapshot().files.head.path
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val perWriter = 15
+    val children = (1 to 3).map { c =>
+      new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.lake.DvRaceChild", path, s"child$c", perWriter.toString,
+        sharedFile).inheritIO().start()
+    }
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_race_go"))
+    DvRaceChild.main(Array(path, "parent", perWriter.toString, sharedFile))
+    children.foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM timed out")
+      assert(p.exitValue() === 0, s"child JVM exited ${p.exitValue()}")
+    }
+    val log = new LakeLog(path)
+    Snapshot.clearCacheForTest() // other JVMs advanced the log
+    val finalSnap = log.snapshot()
+    val entry = finalSnap.files.find(_.path == sharedFile).get
+    assert(entry.dvCardinality === 4L * perWriter,
+      s"${4 * perWriter - entry.dvCardinality} DV supersessions lost " +
+      "to the race — the re-add conflict rule missed cross-process")
+    // every landed commit's increment is +1 over its predecessor
+    val cards = (1L to finalSnap.version).flatMap(v =>
+      log.readVersion(v).collect {
+        case a: AddFile if a.path == sharedFile => a.dvCardinality })
+    assert(cards === (1L to 4L * perWriter))
+  }
+
   test("restoreTo aborts when a concurrent commit removed its files") {
     val path = tablePath("conflict3")
     LakeWriter.write(seed, path) // v0
