@@ -44,9 +44,12 @@ object LakeWriter {
       operation: String = null,
       operationParameters: Map[String, String] = Map.empty,
       transaction: Option[(String, Long)] = None,
-      properties: Map[String, String] = Map.empty): WriteResult = {
+      properties: Map[String, String] = Map.empty,
+      replaceWhere: Option[String] = None): WriteResult = {
     require(mode == "append" || mode == "overwrite",
       s"unsupported write mode: $mode")
+    require(replaceWhere.isEmpty || mode == "overwrite",
+      "replaceWhere requires SaveMode.Overwrite")
     val spark = df.sparkSession
     val log = new LakeLog(tablePath)
     val existing = if (log.exists) Some(log.snapshot()) else None
@@ -154,6 +157,35 @@ object LakeWriter {
       cs => enforceConstraints(normalized, cs, tablePath)
     }
 
+    // replaceWhere (Delta's selective overwrite): atomically replace
+    // ONLY the rows matching the predicate with the incoming frame —
+    // the idempotent partition-reload idiom. Partition-only predicates
+    // select their removal set from log metadata (no data read);
+    // arbitrary predicates rewrite the boundary files' kept rows, like
+    // DELETE. Incoming rows must all satisfy the predicate (a row
+    // outside the replaced region would silently survive the next
+    // idempotent re-run — rejected up front, Delta's default).
+    val replaceInfo: Option[(Seq[String], Seq[AddFile])] =
+      replaceWhere.flatMap { pred =>
+        existing.map { snap =>
+          enforceConstraints(normalized,
+            Map("replaceWhere" -> pred), tablePath)
+          val t = LakeTable.forPath(spark, tablePath)
+          FilePruner.partitionOnlyMatches(snap, pred) match {
+            case Some(matched) => (matched.map(_.path), Seq.empty[AddFile])
+            case None =>
+              val cond = org.apache.spark.sql.functions.expr(pred)
+              val touched = t.touchedFiles(snap, cond)
+              if (touched.isEmpty) (Nil, Nil)
+              else {
+                val kept = t.readFiles(snap, touched).filter(
+                  !org.apache.spark.sql.functions.coalesce(cond, lit(false)))
+                (touched, stageAndAdopt(kept, tablePath, partCols))
+              }
+          }
+        }
+      }
+
     // optimizeWrite (Delta's autoOptimize.optimizeWrite): pre-shuffle
     // the output by the partition columns so each partition value is
     // written by ONE task. Without it, N write tasks × P live
@@ -191,7 +223,12 @@ object LakeWriter {
         if (existing.isEmpty) "CREATE TABLE AS" else mode.toUpperCase)
 
       try {
-      val version = commitWithRetry(log) { version =>
+      // replaceWhere rewrites specific files → participate in rewrite
+      // conflict detection (a concurrent DML superseding one of them
+      // must abort this commit, like any other rewrite)
+      val version = commitWithRetry(log,
+        readVersion = if (replaceInfo.isDefined) existing.get.version else -1L,
+        removedRelPaths = replaceInfo.map(_._1).getOrElse(Nil)) { version =>
         transaction.foreach { case (appId, txnVersion) =>
           // Re-check on every attempt: a concurrent writer of the same
           // app may have landed this txn while we were staging.
@@ -215,10 +252,14 @@ object LakeWriter {
                 s"write assigned from ${baseHwm(n)}); re-run the write")
           }
         }
-        val removes = if (mode == "overwrite" && existing.nonEmpty)
-          log.snapshot().files.map(f =>
-            RemoveFile(f.path, System.currentTimeMillis()))
-        else Nil
+        val removes = replaceInfo match {
+          case Some((paths, _)) =>
+            paths.map(RemoveFile(_, System.currentTimeMillis()))
+          case None if mode == "overwrite" && existing.nonEmpty =>
+            log.snapshot().files.map(f =>
+              RemoveFile(f.path, System.currentTimeMillis()))
+          case None => Nil
+        }
         val meta =
           if (version == 0L || schemaChanged || hwmUpdates.nonEmpty)
             Seq(Metadata(finalSchema.toDDL, partCols,
@@ -228,8 +269,10 @@ object LakeWriter {
                 .getOrElse(Map.empty) ++ properties ++ hwmUpdates))
           else Nil
         Seq(CommitInfo(System.currentTimeMillis(), op,
-          operationParameters ++ Map("mode" -> mode))) ++
+          operationParameters ++ Map("mode" -> mode) ++
+            replaceWhere.map("replaceWhere" -> _))) ++
           meta ++ removes ++ adds ++
+          replaceInfo.map(_._2).getOrElse(Nil) ++
           transaction.map { case (a, v) => Txn(a, v) }.toSeq
       }
       // Auto compaction rides the write that created the debris. Its

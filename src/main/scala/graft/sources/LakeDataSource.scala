@@ -125,6 +125,8 @@ final class LakeDataSource extends RelationProvider
       data, path, mode = writeMode,
       partitionBy = partitionColumnsOf(parameters),
       mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+      replaceWhere = parameters.get("replaceWhere")
+        .orElse(parameters.get("replacewhere")),
       transaction = txn,
       // create-time table properties ride writer options (Delta's
       // `.option("delta.enableChangeDataFeed", ...)` shape). The V1

@@ -185,4 +185,61 @@ class LakeCoreSuite extends SparkSuite {
     assert(d.getAs[Long]("numFiles") === 2L)
     assert(d.getAs[Long]("sizeInBytes") > 0)
   }
+
+  test("replaceWhere: partition-scoped selective overwrite is metadata-only") {
+    val path = tablePath("rw1")
+    val base = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-02", 40.0)
+    ).toDF("id", "day", "v")
+    LakeWriter.write(base, path, partitionBy = Seq("day"))
+    val untouched = LakeTable.forPath(spark, path).snapshot().files
+      .filter(_.partitionValues("day") == "2024-01-01").map(_.path).toSet
+    // idempotent reload of day 2024-01-02
+    val reload = Seq((30L, "2024-01-02", 300.0), (40L, "2024-01-02", 400.0))
+      .toDF("id", "day", "v")
+    LakeWriter.write(reload, path, mode = "overwrite",
+      replaceWhere = Some("day = '2024-01-02'"))
+    val t = LakeTable.forPath(spark, path)
+    val got = t.toDF.select("id").as[Long].collect().sorted
+    assert(got === Array(1L, 2L, 30L, 40L))
+    // day-01 files untouched (metadata-only file selection)
+    assert(untouched.subsetOf(t.snapshot().files.map(_.path).toSet))
+  }
+
+  test("replaceWhere: arbitrary predicate rewrites boundary files") {
+    val path = tablePath("rw2")
+    LakeWriter.write(
+      Seq.tabulate(20)(i => (i.toLong, i % 2)).toDF("id", "par").coalesce(1),
+      path)
+    LakeWriter.write(
+      Seq((100L, 0), (101L, 0)).toDF("id", "par"), path,
+      mode = "overwrite", replaceWhere = Some("id >= 10"))
+    val got = LakeTable.forPath(spark, path).toDF
+      .select("id").as[Long].collect().sorted
+    assert(got === ((0L until 10L) ++ Seq(100L, 101L)).toArray)
+  }
+
+  test("replaceWhere rejects rows outside the replaced region") {
+    val path = tablePath("rw3")
+    LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "g"), path)
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.write(Seq((5L, "a"), (6L, "c")).toDF("id", "g"), path,
+        mode = "overwrite", replaceWhere = Some("g = 'a'"))
+    }
+    assert(e.getMessage.toLowerCase.contains("replacewhere"))
+    // nothing committed; table unchanged
+    assert(LakeTable.forPath(spark, path).toDF.count() === 2L)
+  }
+
+  test("replaceWhere via the DataFrame writer option") {
+    val path = tablePath("rw4")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "g")
+      .write.format("lake").save(path)
+    Seq((20L, "y")).toDF("id", "g")
+      .write.format("lake").mode("overwrite")
+      .option("replaceWhere", "g = 'y'").save(path)
+    assert(spark.read.format("lake").load(path)
+      .select("id").as[Long].collect().sorted === Array(1L, 20L))
+  }
 }
