@@ -97,6 +97,111 @@ object TextOps {
   def fingerprint64(text: Column): Column =
     xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Email/phone patterns for PII scrubbing. Kept to syntax both Java
+    * regex and RE2-family engines agree on (no lookarounds), so the
+    * redaction is reproducible outside Spark.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrub: counts and masks email addresses and phone-shaped
+    * digit groups. Pure codegen'd regexes — a narrow map over the
+    * corpus, no shuffle; at 100 TB this runs at scan speed and is the
+    * canonical pre-training hygiene pass.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0))))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+
+  /** Repetition / boilerplate stats per document: the fraction of
+    * tokens that are repeats of an earlier token (high ⇒ boilerplate,
+    * keyword stuffing, generation loops). Narrow map, no shuffle.
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct", size(array_distinct(toks)))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4))
+  }
+
+  /** Corpus-level heavy hitters: the `k` most frequent word n-grams
+    * with a deterministic tiebreak (ngram ascending). The aggregation
+    * is partial (map-side combine) and the top-k is
+    * `TakeOrderedAndProject` — per-partition heaps, driver merges k
+    * rows — so neither the shuffle nor the driver ever sees the full
+    * n-gram vocabulary ranked.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.filter(size(toks) >= n)
+      .select(explode(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Okapi BM25 scores for a bag-of-terms query against every document
+    * (k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
+    *
+    * Shape for 100 TB: one narrow pass computes per-doc term
+    * frequencies as array lookups (no explode of the corpus); the
+    * per-term document frequencies and the average length are a few
+    * scalar aggregates broadcast back as a literal-free cross join of
+    * ONE row — the corpus is scanned twice, shuffled never.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(col(textCol))
+    val termsSorted = terms.sorted
+    def tf(t: String): Column = size(filter(toks, x => x === lit(t)))
+    val tfs = df.select(col(idCol) +: size(toks).as("dl") +:
+      termsSorted.map(t => tf(t).as(s"tf_$t")): _*)
+    val aggs = tfs.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl") +: termsSorted.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val scored = tfs.crossJoin(broadcast(aggs))
+    val score = termsSorted.map { t =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      val tfc = col(s"tf_$t").cast("double")
+      idf * tfc * (k1 + 1.0) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col(idCol), round(score, 4).as("bm25"))
+  }
+
+  /** Token-window chunking: windows of `size` tokens every `stride`
+    * tokens, the canonical context-length split for training. The last
+    * window is the shortest suffix still starting inside the doc; every
+    * token lands in at least one chunk. Narrow flatMap — rows explode
+    * ~size/stride ×, but nothing shuffles; at 100 TB this is the
+    * map-side of whatever writer follows it.
+    */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+      size_ : Int, stride: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val kMax = floor((greatest(n - size_, lit(0)) + (stride - 1))
+      / lit(stride)).cast("int")
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
+        explode(sequence(lit(0), kMax)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("chunk_start"),
+        least(lit(size_), col("__n") - col("chunk_idx") * stride)
+          .as("chunk_len"),
+        md5(encode(concat_ws(" ",
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size_))),
+          "UTF-8")).as("chunk_md5"))
+  }
+
   /** Winnowing (MOSS) fingerprints — see
     * [[graft.functions.WinnowFingerprints]]: any shared token run of
     * length >= n + window - 1 produces an identical fingerprint in

@@ -84,6 +84,128 @@ object OpsQueries {
              |       ELSE 'zh' END AS lang_guess
              |FROM s""".stripMargin)),
 
+    // Deterministic uniform sample: md5-of-key threshold (26/256
+    // ≈ 10%). Reproducible in any engine with md5 — the property that
+    // makes corpus samples auditable and joinable across tables.
+    QueryDef("text_sample_hash",
+      (s, dir) => SampleOps.hashSample(
+        table(s, dir, "documents"), "doc_id", pct256 = 26)
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin)),
+
+    // Deterministic stratified sample: smallest-md5 20 docs per lang.
+    QueryDef("text_sample_stratified",
+      (s, dir) => SampleOps.stratifiedSample(
+        table(s, dir, "documents"), "lang", "doc_id", perStratum = 20)
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+             |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""".stripMargin)),
+
+    // PII scrub: plant one email + one phone per doc, redact, count.
+    QueryDef("text_pii_redact",
+      (s, dir) => {
+        val planted = table(s, dir, "documents")
+          .withColumn("text", concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        TextOps.redactPii(planted, "text")
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            length(col("text")).as("redacted_len"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@example.com or 555-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+             |  CAST(length(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS INTEGER) AS redacted_len
+             |FROM planted""".stripMargin)),
+
+    // Repetition / boilerplate: duplicate-token fraction per doc.
+    QueryDef("text_repetition",
+      (s, dir) => TextOps.repetitionStats(
+        table(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_distinct", "dup_ratio"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+             |  ROUND(1.0 - len(list_distinct(string_split(text, ' ')))
+             |    / len(string_split(text, ' ')), 4) AS dup_ratio
+             |FROM documents""".stripMargin)),
+
+    // Corpus heavy hitters: top-20 trigrams, deterministic tiebreak.
+    QueryDef("text_top_ngrams",
+      (s, dir) => TextOps.topNgrams(
+        table(s, dir, "documents"), "text", n = 3, k = 20),
+      Some("""SELECT ngram, COUNT(*) AS freq FROM (
+             |  SELECT unnest(list_transform(
+             |    range(1, len(string_split(text, ' ')) - 1),
+             |    i -> array_to_string(
+             |      list_slice(string_split(text, ' '), i, i + 2), ' '))) AS ngram
+             |  FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3)
+             |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""".stripMargin)),
+
+    // Okapi BM25 against a fixed bag-of-terms query.
+    QueryDef("text_bm25",
+      (s, dir) => TextOps.bm25(
+        table(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("join", "vector", "spark", "stream")),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             |    len(list_filter(string_split(text, ' '), x -> x = 'join')) AS tf_join,
+             |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf_spark,
+             |    len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf_stream,
+             |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf_vector
+             |  FROM documents),
+             |st AS (
+             |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+             |    SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+             |    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+             |    SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream,
+             |    SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+             |  FROM tf)
+             |SELECT doc_id, ROUND(
+             |    ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+             |      * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |  + ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+             |      * tf_spark * 2.2 / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |  + ln(1.0 + (n_docs - df_stream + 0.5) / (df_stream + 0.5))
+             |      * tf_stream * 2.2 / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |  + ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5))
+             |      * tf_vector * 2.2 / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             |  4) AS bm25
+             |FROM tf, st""".stripMargin)),
+
+    // Token-window chunking (size 64, stride 48): every token lands in
+    // >= 1 chunk; chunk content pinned by md5.
+    QueryDef("text_chunking",
+      (s, dir) => TextOps.chunkTokens(
+        table(s, dir, "documents"), "text", "doc_id",
+        size_ = 64, stride = 48),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             |k AS (
+             |  SELECT doc_id, sp, unnest(range(0,
+             |    (GREATEST(len(sp) - 64, 0) + 47) // 48 + 1)) AS chunk_idx
+             |  FROM t)
+             |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             |  CAST(chunk_idx * 48 + 1 AS INTEGER) AS chunk_start,
+             |  CAST(LEAST(64, len(sp) - chunk_idx * 48) AS INTEGER) AS chunk_len,
+             |  md5(array_to_string(
+             |    list_slice(sp, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+             |FROM k""".stripMargin)),
+
     // Exact dedup via content fingerprint (md5 ⇒ oracle-reproducible).
     QueryDef("dedup_exact",
       (s, dir) => DedupOps.exactDedup(

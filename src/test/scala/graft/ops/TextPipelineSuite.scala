@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Unit checks for the round-6 corpus-hygiene operators: deterministic
+  * sampling, PII redaction, repetition stats, heavy-hitter n-grams,
+  * BM25 and token-window chunking. The gates cover DuckDB oracle
+  * parity; these pin the semantics on closed-form fixtures.
+  */
+class TextPipelineSuite extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hash sample: deterministic, key-consistent, near-nominal rate") {
+    val a = SampleOps.hashSample(docs, "doc_id", 26)
+    val b = SampleOps.hashSample(docs, "doc_id", 26)
+    val idsA = a.select("doc_id").as[Long].collect().sorted
+    assert(idsA.sameElements(b.select("doc_id").as[Long].collect().sorted))
+    // same keys sample identically from a DIFFERENT table projection —
+    // the cross-table-consistency property random sampling lacks
+    val other = docs.select(col("doc_id"), col("lang"))
+    val idsO = SampleOps.hashSample(other, "doc_id", 26)
+      .select("doc_id").as[Long].collect().sorted
+    assert(idsA.sameElements(idsO))
+    val rate = idsA.length.toDouble / docs.count()
+    assert(rate > 0.03 && rate < 0.25, s"rate $rate implausible for ~10%")
+    // threshold monotone: a wider threshold strictly contains a narrower
+    val wide = SampleOps.hashSample(docs, "doc_id", 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(idsA.forall(wide.contains))
+  }
+
+  test("stratified sample: exactly min(N, stratum size) per stratum") {
+    val got = SampleOps.stratifiedSample(docs, "lang", "doc_id", 5)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("total"))
+    val joined = got.join(sizes, "lang")
+      .select("lang", "n", "total").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) === math.min(5L, r.getLong(2)),
+        s"stratum ${r.getString(0)}")
+    }
+  }
+
+  test("pii redaction: counts and masks emails + phones") {
+    val df = Seq(
+      (1L, "mail me at a.b-c_1@foo-bar.example.org today"),
+      (2L, "call 555-0199 or 555-0200 thanks"),
+      (3L, "no pii here at all"),
+      (4L, "x@y.io and 123-4567 both")).toDF("id", "text")
+    val got = TextOps.redactPii(df, "text")
+      .select("id", "n_emails", "n_phones", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1) === ((1, 0, "mail me at <EMAIL> today")))
+    assert(got(2) === ((0, 2, "call <PHONE> or <PHONE> thanks")))
+    assert(got(3) === ((0, 0, "no pii here at all")))
+    assert(got(4) === ((1, 1, "<EMAIL> and <PHONE> both")))
+  }
+
+  test("repetition stats: closed-form ratios") {
+    val df = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct -> 0.75
+      (2L, "a b c d"),          // all distinct -> 0.0
+      (3L, "a b a b a b")       // 6 tokens, 2 distinct -> 0.6667
+    ).toDF("id", "text")
+    val got = TextOps.repetitionStats(df, "text")
+      .select("id", "dup_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1) === 0.75)
+    assert(got(2) === 0.0)
+    assert(got(3) === 0.6667)
+  }
+
+  test("top ngrams: frequency order with deterministic tiebreak") {
+    val df = Seq("x y z x y z", "x y z q", "a b c").toDF("text")
+    // doc1 [x,y,z,x,y,z] -> "x y z","y z x","z x y","x y z";
+    // doc2 -> "x y z","y z q"; doc3 -> "a b c"
+    val got = TextOps.topNgrams(df, "text", 3, 3)
+      .as[(String, Long)].collect()
+    // freq order first, then ngram ascending among the freq-1 ties
+    assert(got.toSeq === Seq(("x y z", 3L), ("a b c", 1L), ("y z q", 1L)))
+  }
+
+  test("bm25: docs with more query-term mass score higher; absent terms zero") {
+    val df = Seq(
+      (1L, "join join join filter scan"),
+      (2L, "join filter scan sort hash"),
+      (3L, "filter scan sort hash group")).toDF("doc_id", "text")
+    val got = TextOps.bm25(df, "text", "doc_id", Seq("join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1) > got(2), "higher tf must outrank")
+    assert(got(3) === 0.0, "absent term scores zero")
+  }
+
+  test("chunking: full coverage, stride geometry, suffix last chunk") {
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val got = TextOps.chunkTokens(
+      Seq((1L, text)).toDF("id", "text"), "text", "id", 64, 48)
+      .select("chunk_idx", "chunk_start", "chunk_len")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted
+    // n=150: kMax = ceil(86/48) = 2 -> chunks at 1, 49, 97
+    assert(got.toSeq === Seq((0, 1, 64), (1, 49, 64), (2, 97, 54)))
+    // every token covered: last chunk reaches 97+54-1 = 150
+    assert(got.last._2 + got.last._3 - 1 === 150)
+    // short doc: single whole-doc chunk
+    val one = TextOps.chunkTokens(
+      Seq((1L, "a b c")).toDF("id", "text"), "text", "id", 64, 48)
+      .select("chunk_idx", "chunk_len").as[(Int, Int)].collect()
+    assert(one.toSeq === Seq((0, 3)))
+  }
+}
