@@ -86,6 +86,9 @@ object LakeSql {
       """(?:\s+WHERE\s+(.+?))?""" +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*""").r
   private val SHOW_TABLES_RE = """(?is)\s*SHOW\s+(?:LAKE\s+)?TABLES\s*""".r
+  private val COPY_INTO_RE =
+    ("""(?is)\s*COPY\s+INTO\s+([\w.`/\-]+)\s+FROM\s+'([^']+)'\s+""" +
+      """FILEFORMAT\s*=\s*(\w+)(?:\s+FORCE\s*=\s*(\w+))?\s*""").r
   private val SET_TBLPROPS_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+SET\s+TBLPROPERTIES\s*""" +
       """\((.+)\)\s*""").r
@@ -112,6 +115,15 @@ object LakeSql {
       LakeCatalog.registeredNames
         .map(n => (n, LakeCatalog.pathOf(n).getOrElse("")))
         .toDF("tableName", "location")
+
+    case COPY_INTO_RE(t, src, fmt, force) =>
+      // The target may not exist yet — the first COPY creates it, so
+      // resolve registered names but fall back to treating the target
+      // as a path rather than requiring an existing table.
+      val path = LakeCatalog.pathOf(clean(t)).getOrElse(clean(t))
+      LakeTable.forPath(spark, path)
+        .copyInto(src, fmt.toLowerCase,
+          force = Option(force).exists(_.equalsIgnoreCase("true")))
 
     case DESCRIBE_HISTORY_RE(t) =>
       resolve(spark, clean(t)).history()
@@ -256,7 +268,19 @@ object LakeSql {
           table.compactClustered(
             cols.split(",").map(c => clean(c.trim)).toSeq,
             zOrder = Option(zorder).isDefined, where = whereOpt)
-        case None => table.compact(where = whereOpt)
+        case None =>
+          // Liquid-clustering-style default: a table carrying
+          // `graft.clusterBy` re-clusters on those columns whenever
+          // it is OPTIMIZEd, no BY clause needed — the clustering
+          // policy travels with the table, so every maintenance cron
+          // in a 100k-table lakehouse runs the same plain OPTIMIZE.
+          table.tblProperties.get(LakeTable.PROP_CLUSTER_BY)
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .filter(_.nonEmpty) match {
+            case Some(cols) => table.compactClustered(
+              cols, zOrder = cols.size > 1, where = whereOpt)
+            case None => table.compact(where = whereOpt)
+          }
       }
       LakeCatalog.refreshView(spark, clean(t))
       resolve(spark, clean(t)).detail()

@@ -911,6 +911,97 @@ final class LakeTable private (
     LakeTable.forPath(spark, destPath)
   }
 
+  // ---- incremental ingest ------------------------------------------------
+
+  /** COPY INTO: idempotent incremental file ingest (Databricks COPY
+    * INTO semantics). Lists `sourceDir`, loads only files not already
+    * recorded, and commits the data together with one `Txn` action per
+    * source file (appId = file URI, version = mtime), so:
+    *
+    *  - re-running the same COPY is a no-op (retryable ingest crons);
+    *  - a file REPLACED in place (newer mtime) is picked up again;
+    *  - two concurrent COPYs of overlapping file sets cannot
+    *    double-load: the commit conflicts on the shared Txn and the
+    *    loser re-filters and retries with only the files it still owns.
+    *
+    * Scale shape: the per-file ledger lives in the checkpointed
+    * transactions map — O(source files) entries, the same order as the
+    * table's own file list; discovery is one directory listing and the
+    * load is an ordinary distributed read+append (schema enforcement
+    * included). `force = true` reloads everything regardless of the
+    * ledger (stamped at load time, so later non-force runs still skip).
+    *
+    * Returns a 1-row frame: (num_loaded_files, num_skipped_files,
+    * num_loaded_rows).
+    */
+  def copyInto(
+      sourceDir: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      force: Boolean = false,
+      attemptsLeft: Int = 5): DataFrame = {
+    import spark.implicits._
+    val root = Paths.get(sourceDir).toAbsolutePath.normalize
+    require(Files.exists(root), s"COPY INTO source not found: $sourceDir")
+    val files: Seq[Path] =
+      if (Files.isDirectory(root)) {
+        val stream = Files.list(root)
+        try stream.iterator.asScala
+          .filter(p => Files.isRegularFile(p))
+          .filterNot { p =>
+            val n = p.getFileName.toString
+            n.startsWith(".") || n.startsWith("_")
+          }.toSeq.sortBy(_.toString)
+        finally stream.close()
+      } else Seq(root)
+    def txnId(p: Path): String = s"copy-into:${p.toUri}"
+    val recorded: Map[String, Long] =
+      if (log.exists) snapshot().transactions else Map.empty
+    val stamped = files.map { p =>
+      val v = if (force) System.currentTimeMillis()
+              else Files.getLastModifiedTime(p).toMillis
+      (p, txnId(p), v)
+    }
+    val toLoad = stamped.filter { case (_, id, v) =>
+      force || !recorded.get(id).exists(_ >= v) }
+    val skipped = files.size - toLoad.size
+    if (toLoad.isEmpty)
+      return Seq((0L, skipped.toLong, 0L))
+        .toDF("num_loaded_files", "num_skipped_files", "num_loaded_rows")
+    var reader = spark.read.format(format).options(options)
+    // For self-describing parquet the files carry the schema; for
+    // text formats read with the TABLE's schema when it exists —
+    // inference must not get to redefine an established table.
+    if (log.exists && format != "parquet")
+      reader = reader.schema(StructType.fromDDL(
+        snapshot().metadata.schemaDDL))
+    val df = reader.load(toLoad.map(_._1.toString): _*)
+    val res = LakeWriter.write(df, tablePath,
+      mode = "append",
+      operation = "COPY INTO",
+      operationParameters = Map(
+        "source" -> sourceDir, "format" -> format,
+        "numSourceFiles" -> toLoad.size.toString,
+        "force" -> force.toString),
+      transactions = toLoad.map { case (_, id, v) => (id, v) })
+    val nowRecorded = log.snapshot().transactions
+    val unrecorded = toLoad.filterNot { case (_, id, v) =>
+      nowRecorded.get(id).exists(_ >= v) }
+    if (res.added.isEmpty && unrecorded.nonEmpty) {
+      // Lost a Txn race to a concurrent COPY of an overlapping file
+      // set (the write staged, conflicted, and cleaned up). Re-filter
+      // against the winner's ledger and load the remainder.
+      require(attemptsLeft > 0,
+        s"COPY INTO $tablePath kept losing txn races; re-run to resume")
+      copyInto(sourceDir, format, options, force, attemptsLeft - 1)
+    } else {
+      val rows = res.added.map(_.numRecords).filter(_ >= 0).sum
+      val loaded = if (res.added.isEmpty) 0L else toLoad.size.toLong
+      Seq((loaded, skipped.toLong, rows))
+        .toDF("num_loaded_files", "num_skipped_files", "num_loaded_rows")
+    }
+  }
+
   // ---- maintenance -------------------------------------------------------
 
   /** VACUUM (D8): physically delete files no longer reachable within
@@ -1414,6 +1505,12 @@ object LakeTable {
     * eagerly.
     */
   val PROP_ENABLE_DV = "graft.enableDeletionVectors"
+  /** Liquid-clustering-style policy property: comma-separated columns
+    * a plain `OPTIMIZE t` (no BY clause) re-clusters on — the
+    * clustering choice travels with the table rather than with each
+    * maintenance job. Multi-column values interleave (Z-order).
+    */
+  val PROP_CLUSTER_BY = "graft.clusterBy"
   val AUTO_COMPACT_DEFAULT_MIN_FILES = 50
   /** Prefix for identity columns (Delta's GENERATED ALWAYS AS
     * IDENTITY): `graft.identity.<col> = "<start>,<step>"`. A write
@@ -1532,6 +1629,11 @@ object LakeTable {
         case PROP_AUTO_COMPACT_MIN_FILES =>
           require(scala.util.Try(v.toInt).toOption.exists(_ >= 2),
             s"$k must be an integer >= 2, got '$v'")
+        case PROP_CLUSTER_BY =>
+          // column existence is checked at OPTIMIZE time (the schema
+          // can evolve after the property is set)
+          require(v.split(",").exists(_.trim.nonEmpty),
+            s"$k must name at least one column, got '$v'")
         case g if g.startsWith(PROP_GENERATED_PREFIX) =>
           require(g.length > PROP_GENERATED_PREFIX.length,
             s"$k is missing the column name")
@@ -1556,7 +1658,7 @@ object LakeTable {
             s"$PROP_RETENTION_HOURS, $PROP_ENABLE_CDF, " +
             s"$PROP_OPTIMIZE_WRITE, $PROP_APPEND_ONLY, " +
             s"$PROP_AUTO_COMPACT, $PROP_AUTO_COMPACT_MIN_FILES, " +
-            s"$PROP_ENABLE_DV)")
+            s"$PROP_ENABLE_DV, $PROP_CLUSTER_BY)")
       }
     }
   /** Below these sizes the driver loop wins (job-launch overhead). */

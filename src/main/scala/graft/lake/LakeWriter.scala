@@ -44,6 +44,7 @@ object LakeWriter {
       operation: String = null,
       operationParameters: Map[String, String] = Map.empty,
       transaction: Option[(String, Long)] = None,
+      transactions: Seq[(String, Long)] = Nil,
       properties: Map[String, String] = Map.empty,
       replaceWhere: Option[String] = None): WriteResult = {
     require(mode == "append" || mode == "overwrite",
@@ -69,10 +70,15 @@ object LakeWriter {
       }
     }
 
-    transaction.foreach { case (appId, txnVersion) =>
-      if (existing.exists(_.transactions.get(appId).exists(_ >= txnVersion)))
-        return WriteResult(log.latestVersion, Nil) // already committed
-    }
+    // Multi-txn (COPY INTO records one Txn per source file) and the
+    // single foreachBatch txn share one idempotence rule: skip the
+    // write only when EVERY claimed txn already landed; a partial
+    // overlap must go to commit-time conflict so the caller can
+    // re-plan around the subset a concurrent writer took.
+    val allTxns = transaction.toSeq ++ transactions
+    if (allTxns.nonEmpty && existing.exists(s => allTxns.forall {
+        case (appId, v) => s.transactions.get(appId).exists(_ >= v) }))
+      return WriteResult(log.latestVersion, Nil) // already committed
 
 
     val partCols: Seq[String] = existing match {
@@ -229,9 +235,11 @@ object LakeWriter {
       val version = commitWithRetry(log,
         readVersion = if (replaceInfo.isDefined) existing.get.version else -1L,
         removedRelPaths = replaceInfo.map(_._1).getOrElse(Nil)) { version =>
-        transaction.foreach { case (appId, txnVersion) =>
+        allTxns.foreach { case (appId, txnVersion) =>
           // Re-check on every attempt: a concurrent writer of the same
-          // app may have landed this txn while we were staging.
+          // app may have landed this txn while we were staging. ANY
+          // overlap aborts — committing the rest here could double-load
+          // files whose txns raced; the caller re-filters and retries.
           if (version > 0 && log.snapshot()
               .transactions.get(appId).exists(_ >= txnVersion))
             throw new TxnAlreadyCommittedException(appId, txnVersion)
@@ -273,7 +281,7 @@ object LakeWriter {
             replaceWhere.map("replaceWhere" -> _))) ++
           meta ++ removes ++ adds ++
           replaceInfo.map(_._2).getOrElse(Nil) ++
-          transaction.map { case (a, v) => Txn(a, v) }.toSeq
+          allTxns.map { case (a, v) => Txn(a, v) }
       }
       // Auto compaction rides the write that created the debris. Its
       // failure must not fail the already-committed user write — the

@@ -278,6 +278,46 @@ object LakeQueries {
              |  COUNT(*) AS n_rows,
              |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
              |FROM changes
-             |GROUP BY 1, 2, 3""".stripMargin))
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // COPY INTO: idempotent incremental ingest. Shard documents into
+    // two source files; pass 1 sees only shard 0, pass 2 picks up
+    // shard 1 without re-loading shard 0, pass 3 is a full no-op —
+    // each pass's (loaded, skipped) ledger behavior is asserted
+    // in-gate, and the final table must equal the whole parquet table.
+    QueryDef("lake_copy_into",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val root = scratch("lake_copy_into", dir)
+        val src = s"$root/src"
+        val path = s"$root/table"
+        def stage(cond: String, name: String): Unit = {
+          val staging = s"$root/staging_$name"
+          table(s, dir, "documents").filter(cond)
+            .coalesce(1).write.mode("overwrite").parquet(staging)
+          val part = Files.list(Paths.get(staging)).iterator()
+          val f = Iterator.continually(part).takeWhile(_.hasNext)
+            .map(_.next())
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.createDirectories(Paths.get(src))
+          Files.move(f, Paths.get(src, name),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        def metrics(df: DataFrame): (Long, Long) = {
+          val r = df.collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        val t = LakeTable.forPath(s, path)
+        stage("doc_id % 2 = 0", "shard0.parquet")
+        require(metrics(t.copyInto(src)) == ((1L, 0L)),
+          "pass 1 must load shard0")
+        stage("doc_id % 2 = 1", "shard1.parquet")
+        require(metrics(t.copyInto(src)) == ((1L, 1L)),
+          "pass 2 must load only shard1")
+        require(metrics(t.copyInto(src)) == ((0L, 2L)),
+          "pass 3 must be a no-op")
+        t.toDF
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))
   )
 }

@@ -151,6 +151,59 @@ object PipelineQueries {
              |  ROUND(SUM(value), 4) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Streaming exact dedup: the same events file staged TWICE in the
+    // landing dir simulates at-least-once redelivery (a connector
+    // replaying a file after a crash). `dropDuplicates` on the event
+    // key holds the seen-key set in streaming state — with
+    // maxFilesPerTrigger=1 the replay arrives in a LATER micro-batch,
+    // so suppression crosses batch boundaries through the state store,
+    // not within-batch distinct. Unbounded state is the point here
+    // (replay can be arbitrarily late); bounded-lateness pipelines use
+    // dropDuplicatesWithinWatermark instead. Oracle: the dedup must
+    // reconstruct exactly the single-delivery aggregate.
+    QueryDef("streaming_dedup",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        val sf = new java.io.File(dir).getName
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_stream_dedup", sf)
+        graft.lake.LakeWriter.deleteRecursively(root)
+        val landing = root.resolve("landing")
+        Files.createDirectories(landing)
+        Files.copy(Paths.get(dir, "events.parquet"),
+          landing.resolve("a.parquet"))
+        Files.copy(Paths.get(dir, "events.parquet"),
+          landing.resolve("b.parquet"))
+        val outPath = s"$root/out"
+        val q = s.readStream
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+          .dropDuplicates("event_id")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.lake.LakeWriter.write(
+              batch.select("event_id", "event_type", "value"), outPath)
+            ()
+          }
+          .start()
+        q.awaitTermination(120000)
+        // exact integer sum (value at 1e-4 grain): float SUM order
+        // differs between engines at this group size
+        graft.lake.LakeTable.forPath(s, outPath).toDF
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 10000).cast("long"))
+              .as("value_sum_e4"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT)
+             |    AS value_sum_e4
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // Structured Streaming ingest (SURVEY §2.10): raw JSON-lines files
     // streamed into a lake table with AvailableNow + foreachBatch.
     // The bronze content is fully closed-form — the ingested slice is
