@@ -141,8 +141,8 @@ object TextOps {
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     val toks = tokens(col(textCol))
     df.filter(size(toks) >= n)
-      .select(explode(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("ngram"))
+      .select(explode(
+        graft.functions.StringShingles(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram").asc)
       .limit(k)
@@ -200,6 +200,57 @@ object TextOps {
         md5(encode(concat_ws(" ",
           slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size_))),
           "UTF-8")).as("chunk_md5"))
+  }
+
+  /** Global token offsets + context-block spans — the pretraining
+    * "concatenate and slice" packing layout: all documents' tokens are
+    * laid out contiguously in `idCol` order and cut into fixed
+    * `blockTokens` blocks; each doc's offset is the exclusive prefix
+    * sum of token counts before it.
+    *
+    * The prefix sum is computed the way it must be at 100 TB — NOT as
+    * one global-order window (a single-partition sort): docs hash into
+    * `shards` ranges by id, a window sums WITHIN each shard, and the
+    * tiny per-shard totals (one row per shard) come to the driver to
+    * form each shard's base offset, broadcast back as a literal map.
+    * Two narrow passes + one shard-local window; nothing global ever
+    * sorts. Requires ids be range-shardable (monotonic id order =
+    * shard order, here id div docsPerShard).
+    *
+    * Output: id, n_tokens, offset, first_block, last_block.
+    */
+  def packOffsets(df: DataFrame, textCol: String, idCol: String,
+      blockTokens: Int, docsPerShard: Long = 1000000L): DataFrame = {
+    val n = size(tokens(col(textCol)))
+    val base = df.select(col(idCol), n.as("n_tokens"),
+      (col(idCol).cast("long") / docsPerShard).cast("long").as("__shard"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shardTotals = base.groupBy("__shard")
+      .agg(sum("n_tokens").as("__t"))
+      .orderBy("__shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exclusive prefix over the (tiny, one-per-shard) totals —
+    // broadcast back as a join, never a codegen'd literal chain
+    val bases: Seq[(Long, Long)] = {
+      var acc = 0L
+      shardTotals.toSeq.map { case (s, t) =>
+        val b = (s, acc); acc += t; b
+      }
+    }
+    val baseDf = broadcast(bases.toDF("__shard", "__base"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.join(baseDf, "__shard")
+      .withColumn("offset",
+        col("__base") + coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("first_block",
+        floor(col("offset") / blockTokens).cast("long"))
+      .withColumn("last_block",
+        floor((col("offset") + col("n_tokens") - 1) / blockTokens)
+          .cast("long"))
+      .drop("__shard", "__base")
   }
 
   /** Winnowing (MOSS) fingerprints — see

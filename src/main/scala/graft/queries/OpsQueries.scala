@@ -206,6 +206,29 @@ object OpsQueries {
              |    list_slice(sp, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
              |FROM k""".stripMargin)),
 
+    // Concatenate-and-slice packing layout: global token offsets via
+    // the sharded two-phase prefix sum (docsPerShard=100 forces ~5
+    // shards at gate scale). The oracle is the GLOBAL-order window sum
+    // — the gate proves sharded == global.
+    QueryDef("text_pack_offsets",
+      (s, dir) => TextOps.packOffsets(
+        table(s, dir, "documents"), "text", "doc_id",
+        blockTokens = 256, docsPerShard = 100L),
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS nt
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, nt,
+             |    COALESCE(SUM(nt) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS off
+             |  FROM t)
+             |SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens,
+             |  CAST(off AS BIGINT) AS offset,
+             |  CAST(off // 256 AS BIGINT) AS first_block,
+             |  CAST((off + nt - 1) // 256 AS BIGINT) AS last_block
+             |FROM o""".stripMargin)),
+
     // Exact dedup via content fingerprint (md5 ⇒ oracle-reproducible).
     QueryDef("dedup_exact",
       (s, dir) => DedupOps.exactDedup(

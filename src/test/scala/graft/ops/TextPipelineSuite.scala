@@ -86,6 +86,19 @@ class TextPipelineSuite extends SparkSuite {
     assert(got.toSeq === Seq(("x y z", 3L), ("a b c", 1L), ("y z q", 1L)))
   }
 
+  test("StringShingles: equals the composable transform/slice form") {
+    val df = docs.select(col("text"))
+    val native = df.select(
+      graft.functions.StringShingles(col("text"), 3).as("s"))
+    val toks = split(col("text"), "\\s+")
+    val composed = df.select(
+      when(size(toks) < 3, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))).as("s"))
+    assert(native.collect().map(_.getSeq[String](0)).toSeq ===
+      composed.collect().map(_.getSeq[String](0)).toSeq)
+  }
+
   test("bm25: docs with more query-term mass score higher; absent terms zero") {
     val df = Seq(
       (1L, "join join join filter scan"),
@@ -95,6 +108,25 @@ class TextPipelineSuite extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got(1) > got(2), "higher tf must outrank")
     assert(got(3) === 0.0, "absent term scores zero")
+  }
+
+  test("pack offsets: sharded prefix sum equals sequential cumsum") {
+    val df = (1L to 10L).map(i => (i, (1L to i).map(_ => "w").mkString(" ")))
+      .toDF("id", "text") // doc i has i tokens
+    val got = TextOps.packOffsets(df, "text", "id",
+      blockTokens = 8, docsPerShard = 3)
+      .select("id", "n_tokens", "offset", "first_block", "last_block")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    var acc = 0L
+    got.foreach { case (id, nt, off, fb, lb) =>
+      assert(nt === id.toInt)
+      assert(off === acc, s"doc $id offset")
+      assert(fb === off / 8)
+      assert(lb === (off + nt - 1) / 8)
+      acc += nt
+    }
+    assert(acc === 55L)
   }
 
   test("chunking: full coverage, stride geometry, suffix last chunk") {
