@@ -51,6 +51,21 @@ final class LakeMergeBuilder private[lake] (
   private var matchedClauses = Vector.empty[MatchedClause]
   private var insertClauses = Vector.empty[InsertClause]
   private var bySourceClauses = Vector.empty[MatchedClause]
+  private var schemaEvolution = false
+
+  /** Enable automatic schema evolution (Delta's
+    * `withSchemaEvolution()` / SQL `MERGE WITH SCHEMA EVOLUTION`):
+    * source columns absent from the target are added to the table —
+    * nullable, in ONE metadata commit — before the merge runs, so
+    * `UPDATE SET *` / `INSERT *` carry them through. Existing rows
+    * read NULL for the new columns (same read-schema mechanics as
+    * ALTER TABLE ADD COLUMN). Explicit set/values maps keep the
+    * all-columns-explicit discipline against the WIDENED schema.
+    */
+  def withSchemaEvolution(): LakeMergeBuilder = {
+    schemaEvolution = true
+    this
+  }
 
   def whenMatchedUpdate(set: Map[String, String]): LakeMergeBuilder =
     whenMatchedUpdate(null, set)
@@ -66,6 +81,12 @@ final class LakeMergeBuilder private[lake] (
     */
   def whenMatchedUpdateAll(): LakeMergeBuilder = {
     matchedClauses :+= UpdateClause(None, null)
+    this
+  }
+
+  /** UPDATE SET * guarded by a clause condition. */
+  def whenMatchedUpdateAll(condition: String): LakeMergeBuilder = {
+    matchedClauses :+= UpdateClause(Option(condition), null)
     this
   }
 
@@ -125,6 +146,14 @@ final class LakeMergeBuilder private[lake] (
       bySourceClauses.nonEmpty,
       "merge needs at least one WHEN MATCHED / WHEN NOT MATCHED / " +
       "WHEN NOT MATCHED BY SOURCE clause")
+    if (schemaEvolution) {
+      val tgt = table.snapshot().schema.fieldNames
+        .map(_.toLowerCase).toSet
+      val newCols = source.schema.fields
+        .filterNot(f => tgt.contains(f.name.toLowerCase))
+        .map(f => f.name -> f.dataType.sql).toSeq
+      if (newCols.nonEmpty) table.addColumns(newCols)
+    }
     val SRC = "__graft_src_present"
 
     def aliasTgt(df: DataFrame): DataFrame =

@@ -24,7 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LakeSql {
 
-  private val MERGE_PREFIX_RE = """(?is)\s*MERGE\s+INTO\s+.*""".r
+  private val MERGE_PREFIX_RE =
+    """(?is)\s*MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+.*""".r
+  private val MERGE_EVOLVE_RE =
+    """(?is)\s*MERGE\s+WITH\s+SCHEMA\s+EVOLUTION\s+INTO\s+.*""".r
   private val VERSION_AS_OF_RE =
     """(?is)(\b(?:FROM|JOIN)\s+|,\s*)([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val TIMESTAMP_AS_OF_RE =
@@ -442,6 +445,8 @@ object LakeSql {
     var builder = LakeCatalog.table(spark, tgtName)
       .as(tgtAlias.getOrElse(tgtName))
       .merge(srcDF, cond)
+    if (MERGE_EVOLVE_RE.pattern.matcher(text).matches)
+      builder = builder.withSchemaEvolution()
 
     // Split the clause text at top-level WHENs, parse each clause.
     val whenStarts = findAllTopLevel(clausesText, "WHEN")
@@ -485,6 +490,8 @@ object LakeSql {
       if (matchedKind == "MATCHED") {
         if (actionUpper == "DELETE")
           builder = builder.whenMatchedDelete(clauseCond)
+        else if (actionUpper.matches("(?is)UPDATE\\s+SET\\s*\\*"))
+          builder = builder.whenMatchedUpdateAll(clauseCond)
         else if (actionUpper.startsWith("UPDATE"))
           builder = builder.whenMatchedUpdate(clauseCond,
             parseSetMap(action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")))

@@ -99,19 +99,32 @@ final class LakeTable private (
     * column; existing files null-fill it on read (same mechanism as
     * mergeSchema evolution, made explicit DDL).
     */
-  def addColumn(name: String, ddlType: String): Unit = {
+  def addColumn(name: String, ddlType: String): Unit =
+    addColumns(Seq(name -> ddlType))
+
+  /** Add several nullable columns in ONE metadata commit (used by
+    * MERGE schema evolution so an N-column source widens the table in
+    * a single atomic step, not N racing commits).
+    */
+  def addColumns(cols: Seq[(String, String)]): Unit = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
     val snap = snapshot()
-    require(!snap.schema.fieldNames.contains(name),
-      s"column $name already exists on $tablePath")
-    LakeTable.assertNotDropped(snap, name, tablePath)
+    cols.foreach { case (name, _) =>
+      require(!snap.schema.fieldNames.contains(name),
+        s"column $name already exists on $tablePath")
+      LakeTable.assertNotDropped(snap, name, tablePath)
+    }
     val newSchema = org.apache.spark.sql.types.StructType(
-      snap.schema.fields :+ org.apache.spark.sql.types.StructField(
-        name, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
-        nullable = true))
+      snap.schema.fields ++ cols.map { case (name, ddlType) =>
+        org.apache.spark.sql.types.StructField(
+          name, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
+          nullable = true)
+      })
     val meta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
-        Map("column" -> name, "type" -> ddlType)), meta)
+        Map("columns" -> cols.map { case (n, t) => s"$n $t" }
+          .mkString(", "))), meta)
     }
     ()
   }

@@ -428,4 +428,61 @@ class LakeDmlSuite extends SparkSuite {
       .select("operation").as[String].collect()
     assert(ops === Array("INSERT", "DELETE", "CREATE TABLE AS"))
   }
+
+  test("merge withSchemaEvolution: source-only columns widen the table") {
+    val path = tablePath("m-evolve")
+    LakeWriter.write(seed, path)
+    val src = Seq((3L, "c2", "upd", 300.0, "eu"), (9L, "z", "new", 900.0, "us"))
+      .toDF("id", "k", "status", "v", "region")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .withSchemaEvolution()
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().schema.fieldNames.contains("region"))
+    val got = t.toDF.select("id", "k", "region")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "a", None), (2L, "b", None),        // untouched: NULL region
+      (3L, "c2", Some("eu")),                  // updated, carries region
+      (4L, "d", None),
+      (9L, "z", Some("us"))))                  // inserted, carries region
+    // evolution is ONE metadata commit before the merge commit
+    val ops = t.history().select("operation").as[String].collect()
+    assert(ops === Array("MERGE", "ADD COLUMNS", "CREATE TABLE AS"))
+  }
+
+  test("merge without evolution silently ignores extra source columns") {
+    val path = tablePath("m-noevolve")
+    LakeWriter.write(seed, path)
+    val src = Seq((9L, "z", "new", 900.0, "us"))
+      .toDF("id", "k", "status", "v", "region")
+    LakeTable.forPath(spark, path).as("t")
+      .merge(src.as("s"), "t.id = s.id")
+      .whenNotMatchedInsertAll()
+      .execute()
+    val t = LakeTable.forPath(spark, path)
+    assert(!t.snapshot().schema.fieldNames.contains("region"))
+    assert(t.toDF.count() === 5)
+  }
+
+  test("SQL: MERGE WITH SCHEMA EVOLUTION INTO") {
+    val path = tablePath("m-evolve-sql")
+    LakeWriter.write(seed, path)
+    LakeSql.sql(spark,
+      s"CREATE TABLE m_evolve_sql USING lake LOCATION '$path'")
+    Seq((1L, "a1", "upd", 11.0, 7L))
+      .toDF("id", "k", "status", "v", "score")
+      .createOrReplaceTempView("m_evolve_src")
+    LakeSql.sql(spark, """MERGE WITH SCHEMA EVOLUTION INTO m_evolve_sql t
+      USING m_evolve_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val t = LakeTable.forPath(spark, path)
+    val got = t.toDF.select("id", "score")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got === Array((1L, Some(7L)), (2L, None), (3L, None), (4L, None)))
+  }
 }
