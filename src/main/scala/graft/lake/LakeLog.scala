@@ -53,9 +53,34 @@ final class LakeLog(val tablePath: String) {
     Files.createDirectories(logDir)
     val target = versionFile(version)
     if (Files.exists(target)) throw new ConcurrentWriteException(version)
+    // In-commit timestamp monotonicity (Delta's inCommitTimestamps):
+    // clamp this commit's CommitInfo to strictly after the previous
+    // commit's, so history order == timestamp order even under
+    // same-millisecond commit bursts or cross-writer clock skew.
+    // TIMESTAMP AS OF / startingTimestamp / vacuum windows all key off
+    // these timestamps; without the clamp two commits in one ms are
+    // not separately addressable and a backdated writer could make
+    // time travel non-monotonic. One O(1) read of the previous
+    // version file; absent CommitInfo falls back to its mtime (the
+    // same fallback `commitTimestamps` uses).
+    val stamped =
+      if (version == 0 || !actions.exists(_.isInstanceOf[CommitInfo])) actions
+      else {
+        val prevTs = readVersion(version - 1)
+          .collectFirst { case c: CommitInfo => c.timestamp }
+          .orElse(scala.util.Try(
+            Files.getLastModifiedTime(versionFile(version - 1)).toMillis)
+            .toOption)
+          .getOrElse(Long.MinValue)
+        actions.map {
+          case c: CommitInfo if c.timestamp <= prevTs =>
+            c.copy(timestamp = prevTs + 1)
+          case a => a
+        }
+      }
     val tmp = Files.createTempFile(logDir, s".tmp-$version-", ".json")
     try {
-      Files.write(tmp, actions.map(Action.toJson).asJava)
+      Files.write(tmp, stamped.map(Action.toJson).asJava)
       // Exclusive publish: createLink fails atomically if the version
       // file already exists. (rename() would silently REPLACE an
       // existing file — a lost commit under concurrent writers.)

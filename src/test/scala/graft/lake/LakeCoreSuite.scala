@@ -242,4 +242,30 @@ class LakeCoreSuite extends SparkSuite {
     assert(spark.read.format("lake").load(path)
       .select("id").as[Long].collect().sorted === Array(1L, 20L))
   }
+
+  test("in-commit timestamps: strictly monotonic even for same-ms bursts") {
+    val path = tablePath("ict")
+    LakeWriter.write(users, path)
+    val log = new LakeLog(path)
+    val v0 = log.latestVersion
+    // adversarial: every caller stamps the SAME wall-clock value (a
+    // same-millisecond burst), and one is outright backdated
+    val frozen = System.currentTimeMillis()
+    (1 to 20).foreach { i =>
+      log.commit(v0 + i,
+        Seq(CommitInfo(frozen, "TEST", Map("i" -> i.toString))))
+    }
+    log.commit(v0 + 21, Seq(CommitInfo(0L, "TEST", Map()))) // backdated
+    val ts = (0L to v0 + 21).flatMap(v =>
+      log.readVersion(v).collectFirst { case c: CommitInfo => c.timestamp })
+    assert(ts.size === v0 + 22)
+    ts.sliding(2).foreach { case Seq(a, b) =>
+      assert(a < b, s"timestamps not strictly increasing: $ts")
+    }
+    // every version is now addressable by its own timestamp
+    val t = LakeTable.forPath(spark, path)
+    Seq(v0, v0 + 7, v0 + 21).foreach { v =>
+      assert(t.versionAtTimestamp(ts(v.toInt)) === v)
+    }
+  }
 }

@@ -108,8 +108,13 @@ class LakeDistributedSuite extends SparkSuite {
     val path = tablePath("ckpt-ts")
     LakeWriter.write(Seq(1L).toDF("id").coalesce(1), path) // v0, real
     val log = new LakeLog(path)
+    // FUTURE-dated synthetic stamps: strictly increasing, so the
+    // in-commit-timestamp monotonicity clamp stores them verbatim
+    // (backdated stamps would be rewritten to prev+1 — that behavior
+    // has its own test in LakeCoreSuite)
+    val base = System.currentTimeMillis() + 86400000L
     (1L to 200L).foreach { v =>
-      log.commit(v, Seq(CommitInfo(2000000L + 10L * v, "APPEND",
+      log.commit(v, Seq(CommitInfo(base + 10L * v, "APPEND",
         Map("i" -> v.toString))))
     }
     // Prove O(tail): the history sidecar at v200 covers every commit,
@@ -119,14 +124,14 @@ class LakeDistributedSuite extends SparkSuite {
     val t = LakeTable.forPath(spark, path)
     // ...and the counter pins the read count to the (empty) tail.
     LakeLog.readVersionCalls.set(0L)
-    assert(t.versionAtTimestamp(2001370L) === 137L) // exact commit hit
-    assert(t.versionAtTimestamp(2001375L) === 137L) // between commits
-    assert(t.versionAtTimestamp(2002000L + 5L) === 200L) // past the last
+    assert(t.versionAtTimestamp(base + 1370L) === 137L) // exact commit hit
+    assert(t.versionAtTimestamp(base + 1375L) === 137L) // between commits
+    assert(t.versionAtTimestamp(base + 2005L) === 200L) // past the last
     intercept[IllegalArgumentException](t.versionAtTimestamp(42L))
     assert(LakeLog.readVersionCalls.get() <= 5L,
       s"timestamp travel replayed the log: ${LakeLog.readVersionCalls.get()}")
     // the mapped version still READS correctly through the checkpoint
-    assert(t.asOfTimestamp(2002000L).count() === 1L)
+    assert(t.asOfTimestamp(base + 2000L).count() === 1L)
   }
 
   test("vacuum on a checkpointed 200-commit table reads only the tail") {

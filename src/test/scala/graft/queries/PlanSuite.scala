@@ -91,4 +91,43 @@ class PlanSuite extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("small lake tables auto-broadcast from log-derived stats") {
+    import graft.lake.{LakeTable, LakeWriter}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = tablePath("plan-stats")
+    LakeWriter.write(
+      Seq.tabulate(50)(i => (i.toLong, s"dim$i")).toDF("id", "name")
+        .coalesce(1), path)
+    // no broadcast() hint anywhere: the optimizer must see the lake
+    // relation's size (LakeFileIndex.sizeInBytes, from log metadata —
+    // never a directory listing) and pick the broadcast side itself
+    val fact = spark.range(0, 100000).select(
+      (col("id") % 50).as("id"), col("id").as("v"))
+    val plan = fact.join(LakeTable.forPath(spark, path).toDF, "id")
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("hash sampling is a scan-level filter: no shuffle in the plan") {
+    val plan = planOf("text_sample_hash")
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("heavy hitters: partial agg + TakeOrderedAndProject, never a full sort") {
+    val plan = planOf("text_top_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // map-side combine before the shuffle
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("pack offsets never funnel through one partition") {
+    val plan = planOf("text_pack_offsets")
+    // shard-local window + broadcast base-offset join; a global-order
+    // window would show Exchange SinglePartition
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
