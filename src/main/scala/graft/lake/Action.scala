@@ -93,6 +93,19 @@ final case class CommitInfo(
     operationParameters: Map[String, String] = Map.empty,
     version: Long = -1L) extends Action
 
+/** Protocol versioning + feature gating (Delta `protocol` action): a
+  * reader/writer must refuse a table whose log demands a version or
+  * feature it does not implement — silently misreading a log written
+  * under unknown semantics (e.g. ignoring deletion vectors it does not
+  * understand) would return WRONG DATA, not an error. Absent in older
+  * logs → implicit (1, 1) with no features.
+  */
+final case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 1,
+    readerFeatures: Seq[String] = Nil,
+    writerFeatures: Seq[String] = Nil) extends Action
+
 /** Idempotent-writer watermark (Delta `txn`/SetTransaction): records
   * that application `appId` has committed through `version` of ITS OWN
   * sequence (e.g. a streaming query's micro-batch id). A writer that
@@ -110,7 +123,8 @@ private[lake] final case class LogEntry(
     remove: Option[RemoveFile] = None,
     commitInfo: Option[CommitInfo] = None,
     txn: Option[Txn] = None,
-    cdc: Option[CdcFile] = None)
+    cdc: Option[CdcFile] = None,
+    protocol: Option[Protocol] = None)
 
 object Action {
   private implicit val formats: Formats = DefaultFormats
@@ -122,12 +136,13 @@ object Action {
     case c: CommitInfo => LogEntry(commitInfo = Some(c))
     case t: Txn        => LogEntry(txn = Some(t))
     case c: CdcFile    => LogEntry(cdc = Some(c))
+    case p: Protocol   => LogEntry(protocol = Some(p))
   })
 
   def fromJson(line: String): Action = {
     val e = Serialization.read[LogEntry](line)
     e.metaData.orElse(e.add).orElse(e.remove).orElse(e.commitInfo)
-      .orElse(e.txn).orElse(e.cdc)
+      .orElse(e.txn).orElse(e.cdc).orElse(e.protocol)
       .getOrElse(throw new IllegalArgumentException(
         s"unrecognized log line: $line"))
   }

@@ -125,7 +125,7 @@ final class LakeLog(val tablePath: String) {
   /** Write `<v>.checkpoint.json`: the full replayed state at v. */
   private def writeCheckpoint(version: Long): Unit = {
     val snap = Snapshot.replay(this, version)
-    val lines = (Seq(snap.metadata: Action) ++
+    val lines = (Seq(snap.protocol: Action, snap.metadata: Action) ++
       snap.transactions.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) } ++
       snap.files)
       .map(Action.toJson)

@@ -1,0 +1,68 @@
+package graft.lake
+
+/** What THIS engine implements, and the gates that refuse anything
+  * beyond it (Delta protocol-versioning analog). The whole point is to
+  * fail loudly instead of misreading: a reader that ignored a
+  * deletion-vector descriptor it did not understand would silently
+  * resurrect deleted rows.
+  */
+object LakeProtocol {
+
+  /** Highest reader/writer protocol version this engine implements. */
+  val SUPPORTED_READER_VERSION = 3
+  val SUPPORTED_WRITER_VERSION = 3
+
+  val FEATURE_DELETION_VECTORS = "deletionVectors"
+
+  val SUPPORTED_READER_FEATURES: Set[String] = Set(FEATURE_DELETION_VECTORS)
+  val SUPPORTED_WRITER_FEATURES: Set[String] = Set(FEATURE_DELETION_VECTORS)
+
+  /** The protocol a table with `props` requires. Feature-bearing
+    * tables use version 3 (feature-list form); plain tables stay at
+    * the implicit (1, 1).
+    */
+  def requiredFor(props: Map[String, String]): Protocol =
+    if (props.get(LakeTable.PROP_ENABLE_DV).contains("true"))
+      Protocol(3, 3,
+        readerFeatures = Seq(FEATURE_DELETION_VECTORS),
+        writerFeatures = Seq(FEATURE_DELETION_VECTORS))
+    else Protocol()
+
+  /** `current` upgraded (never downgraded) to also satisfy `needed` —
+    * Delta semantics: versions and features only ratchet up.
+    */
+  def upgraded(current: Protocol, needed: Protocol): Protocol =
+    Protocol(
+      math.max(current.minReaderVersion, needed.minReaderVersion),
+      math.max(current.minWriterVersion, needed.minWriterVersion),
+      (current.readerFeatures ++ needed.readerFeatures).distinct,
+      (current.writerFeatures ++ needed.writerFeatures).distinct)
+
+  def assertReadable(p: Protocol, tablePath: String): Unit = {
+    if (p.minReaderVersion > SUPPORTED_READER_VERSION)
+      throw new IllegalStateException(
+        s"cannot read lake table $tablePath: its log requires reader " +
+        s"protocol version ${p.minReaderVersion}, this engine supports " +
+        s"up to $SUPPORTED_READER_VERSION")
+    val unknown = p.readerFeatures.filterNot(SUPPORTED_READER_FEATURES)
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot read lake table $tablePath: its log requires reader " +
+        s"feature(s) ${unknown.mkString(", ")} this engine does not " +
+        s"implement (supported: ${SUPPORTED_READER_FEATURES.mkString(", ")})")
+  }
+
+  def assertWritable(p: Protocol, tablePath: String): Unit = {
+    if (p.minWriterVersion > SUPPORTED_WRITER_VERSION)
+      throw new IllegalStateException(
+        s"cannot write lake table $tablePath: its log requires writer " +
+        s"protocol version ${p.minWriterVersion}, this engine supports " +
+        s"up to $SUPPORTED_WRITER_VERSION")
+    val unknown = p.writerFeatures.filterNot(SUPPORTED_WRITER_FEATURES)
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot write lake table $tablePath: its log requires writer " +
+        s"feature(s) ${unknown.mkString(", ")} this engine does not " +
+        s"implement (supported: ${SUPPORTED_WRITER_FEATURES.mkString(", ")})")
+  }
+}

@@ -65,6 +65,9 @@ object LakeSql {
   private val TABLE_CHANGES_RE =
     ("""(?is)(.*\bFROM\s+)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)""" +
       """\s*(?:,\s*(\d+)\s*)?\)(.*)""").r
+  private val TABLE_CHANGES_TS_RE =
+    ("""(?is)(.*\bFROM\s+)table_changes\s*\(\s*'([^']+)'\s*,\s*'([^']+)'""" +
+      """\s*(?:,\s*'([^']+)'\s*)?\)(.*)""").r
   private val UPDATE_PREFIX_RE = """(?is)\s*UPDATE\s+[\w.`/].*""".r
   private val ADD_CONSTRAINT_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+ADD\s+CONSTRAINT\s+""" +
@@ -197,6 +200,18 @@ object LakeSql {
         .replace('-', '_')
       table.changes(from.toLong,
         Option(to).map(_.toLong).getOrElse(-1L))
+        .createOrReplaceTempView(viewName)
+      sql(spark, before + viewName + after)
+
+    // timestamp-bounded change feed: table_changes('t', 'ts'[, 'ts'])
+    case TABLE_CHANGES_TS_RE(before, t, from, to, after) if isLake(t) =>
+      val table = resolve(spark, clean(t))
+      def ms(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
+      val viewName = (s"${clean(t)}__changes_ts_" +
+        s"${ms(from)}_${Option(to).map(ms).getOrElse(-1L)}")
+        .replace('.', '_').replace('/', '_').replace('-', '_')
+      table.changesByTimestamp(ms(from),
+        Option(to).map(ms).getOrElse(-1L))
         .createOrReplaceTempView(viewName)
       sql(spark, before + viewName + after)
 

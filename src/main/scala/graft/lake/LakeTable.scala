@@ -772,9 +772,17 @@ final class LakeTable private (
     val snap = snapshot()
     val meta = snap.metadata.copy(
       properties = snap.metadata.properties ++ props)
+    // Enabling a protocol-gated feature (deletion vectors) ratchets
+    // the table's protocol in the SAME commit, so a feature-unaware
+    // engine refuses the table from the moment DVs can exist.
+    val needed = LakeProtocol.requiredFor(meta.properties)
+    val upgradedP = LakeProtocol.upgraded(snap.protocol, needed)
+    val protocolActions: Seq[Action] =
+      if (upgradedP != snap.protocol) Seq(upgradedP) else Nil
     LakeWriter.commitWithRetry(log) { _ =>
-      Seq(CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
-        props), meta)
+      protocolActions ++ Seq(
+        CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+          props), meta)
     }
     ()
   }
@@ -859,6 +867,7 @@ final class LakeTable private (
     }
     java.nio.file.Files.createDirectories(Paths.get(destPath))
     destLog.commit(0L, Seq(
+      snap.protocol,
       CommitInfo(System.currentTimeMillis(), "CLONE",
         Map("source" -> tablePath,
           "sourceVersion" -> snap.version.toString)),
@@ -916,6 +925,7 @@ final class LakeTable private (
     } else mapped.foreach { case (from, f) => copyOne(from, f.path) }
     Files.createDirectories(dest)
     destLog.commit(0L, Seq(
+      snap.protocol,
       CommitInfo(System.currentTimeMillis(), "CLONE",
         Map("source" -> tablePath, "mode" -> "deep",
           "sourceVersion" -> snap.version.toString)),
@@ -1264,6 +1274,20 @@ final class LakeTable private (
     * `_commit_version`. Requires the versions' files to still exist
     * (VACUUM limits how far back changes can be read — same as Delta).
     */
+  /** Change feed bounded by TIMESTAMPS (Delta's
+    * `startingTimestamp`/`endingTimestamp` for `table_changes`):
+    * `from` maps to the first commit at-or-after it, `to` (when >= 0)
+    * to the last commit at-or-before it — both O(tail) through the
+    * history sidecar, then the version-bounded [[changes]].
+    */
+  def changesByTimestamp(fromMillis: Long, toMillis: Long = -1L): DataFrame = {
+    val from = versionAtOrAfterTimestamp(fromMillis)
+    require(from <= log.latestVersion,
+      s"no commits of $tablePath at or after timestamp $fromMillis")
+    val to = if (toMillis < 0) -1L else versionAtTimestamp(toMillis)
+    changes(from, to)
+  }
+
   def changes(fromVersion: Long, toVersion: Long = -1): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val to = if (toVersion < 0) log.latestVersion else toVersion

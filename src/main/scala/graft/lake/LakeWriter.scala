@@ -276,6 +276,14 @@ object LakeWriter {
               existing.map(_.metadata.properties)
                 .getOrElse(Map.empty) ++ properties ++ hwmUpdates))
           else Nil
+        // v0 declares the protocol the table's properties require
+        // (feature-bearing tables — e.g. deletion vectors — ratchet
+        // reader/writer versions so a feature-unaware engine refuses
+        // instead of misreading)
+        val protocolActions: Seq[Action] =
+          if (version == 0L) Seq(LakeProtocol.requiredFor(effectiveProps))
+          else Nil
+        protocolActions ++
         Seq(CommitInfo(System.currentTimeMillis(), op,
           operationParameters ++ Map("mode" -> mode) ++
             replaceWhere.map("replaceWhere" -> _))) ++
@@ -489,6 +497,12 @@ object LakeWriter {
       actions: Long => Seq[Action]): Long = {
     var attempts = 0
     val ours = removedRelPaths.toSet
+    // Writer protocol gate — centralized here so EVERY commit path
+    // (write, DML rewrite, DDL, maintenance) refuses a table whose log
+    // demands writer semantics this engine does not implement.
+    if (log.exists && log.latestVersion >= 0)
+      LakeProtocol.assertWritable(
+        log.snapshot().protocol, log.tablePath)
     while (true) {
       val latest = log.latestVersion
       if (readVersion >= 0 && ours.nonEmpty && latest > readVersion) {

@@ -12,7 +12,8 @@ final case class Snapshot(
     version: Long,
     metadata: Metadata,
     files: Seq[AddFile],
-    transactions: Map[String, Long] = Map.empty) {
+    transactions: Map[String, Long] = Map.empty,
+    protocol: Protocol = Protocol()) {
 
   def schema: StructType = StructType.fromDDL(metadata.schemaDDL)
 
@@ -112,6 +113,7 @@ object Snapshot {
 
   private def doReplay(log: LakeLog, version: Long): Snapshot = {
     var metadata: Metadata = null
+    var protocol: Protocol = Protocol()
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
     val startAt = log.latestCheckpointAtOrBefore(version) match {
@@ -120,6 +122,7 @@ object Snapshot {
           case m: Metadata => metadata = m
           case a: AddFile  => live(a.path) = a
           case t: Txn      => txns(t.appId) = t.version
+          case p: Protocol => protocol = p
           case _ => ()
         }
         ckptVersion + 1
@@ -133,6 +136,7 @@ object Snapshot {
         case r: RemoveFile => live.remove(r.path)
         case t: Txn        =>
           txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+        case p: Protocol   => protocol = p
         case _ => () // CommitInfo / CdcFile: not table state
       }
       v += 1
@@ -141,6 +145,9 @@ object Snapshot {
       throw new IllegalStateException(
         s"lake table at ${log.tablePath} has no Metadata action by " +
         s"version $version")
-    Snapshot(log, version, metadata, live.values.toSeq, txns.toMap)
+    // Refuse to expose state replayed under semantics we may not
+    // implement — every read and DML path goes through here.
+    LakeProtocol.assertReadable(protocol, log.tablePath)
+    Snapshot(log, version, metadata, live.values.toSeq, txns.toMap, protocol)
   }
 }

@@ -32,7 +32,8 @@ object SampleOps {
     */
   def hashSample(df: DataFrame, keyCol: String, pct256: Int): DataFrame = {
     require(pct256 >= 0 && pct256 <= 256, s"pct256 out of range: $pct256")
-    df.filter(hashCoord(col(keyCol)) < lit(f"$pct256%02x"))
+    if (pct256 == 256) df // keep-everything: "100" would compare as text
+    else df.filter(hashCoord(col(keyCol)) < lit(f"$pct256%02x"))
   }
 
   /** Deterministic stratified sample: the `perStratum` rows of each

@@ -229,6 +229,76 @@ object OpsQueries {
              |  CAST((off + nt - 1) // 256 AS BIGINT) AS last_block
              |FROM o""".stripMargin)),
 
+    // The flagship end-to-end curation pass: lang filter → quality
+    // filter → exact dedup (planted duplicate copies must collapse to
+    // the lowest id) → deterministic 50% downsample. Every stage is
+    // closed-form, so the WHOLE pipeline is one DuckDB oracle — this
+    // is the "could you run your pre-training data curation on it"
+    // check, not a single-operator probe.
+    QueryDef("text_curation_pipeline",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val planted = (1 to 2).map(k => docs
+          .filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + k * 1000000L))
+        CurationOps.curate(
+          planted.foldLeft(docs)(_.unionByName(_)),
+          "text", "doc_id", "n_chars",
+          langs = Seq("en", "de"), minQuality = 0.5,
+          samplePct256 = 128)
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text, n_chars FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text, n_chars
+             |    FROM documents WHERE doc_id % 11 = 0
+             |  UNION ALL SELECT doc_id + 2000000, text, n_chars
+             |    FROM documents WHERE doc_id % 11 = 0),
+             |s AS (
+             |  SELECT doc_id, text, n_chars,
+             |    len(string_split(text, ' ')) AS nt,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('der','die','das','und','zu','in','ist','ein'))) AS score_de,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('the','a','of','and','to','in','is','that'))) AS score_en,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('el','la','de','y','que','en','un','es'))) AS score_es,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('le','la','de','et','que','en','un','est'))) AS score_fr,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x IN ('的','了','是','在','我','有','和','不'))) AS score_zh
+             |  FROM all_docs),
+             |g AS (
+             |  SELECT doc_id, text, nt AS n_tokens,
+             |    CASE WHEN GREATEST(score_de, score_en, score_es, score_fr, score_zh) <= 0
+             |         THEN 'und'
+             |         WHEN score_de >= score_en AND score_de >= score_es
+             |          AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             |         WHEN score_en >= score_es AND score_en >= score_fr
+             |          AND score_en >= score_zh THEN 'en'
+             |         WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             |         WHEN score_fr >= score_zh THEN 'fr'
+             |         ELSE 'zh' END AS lang_guess,
+             |    ROUND(LEAST(nt / 50.0, 1.0)
+             |      * (CASE WHEN (n_chars - nt + 1.0) / nt
+             |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END),
+             |      4) AS quality
+             |  FROM s),
+             |f AS (
+             |  SELECT * FROM g
+             |  WHERE lang_guess IN ('en', 'de') AND quality >= 0.5),
+             |d AS (
+             |  SELECT doc_id, lang_guess, n_tokens, quality,
+             |    ROW_NUMBER() OVER (
+             |      PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             |      ORDER BY doc_id) AS rn
+             |  FROM f)
+             |SELECT doc_id, lang_guess,
+             |  CAST(n_tokens AS INTEGER) AS n_tokens, quality
+             |FROM d
+             |WHERE rn = 1
+             |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'""".stripMargin)),
+
     // Exact dedup via content fingerprint (md5 ⇒ oracle-reproducible).
     QueryDef("dedup_exact",
       (s, dir) => DedupOps.exactDedup(

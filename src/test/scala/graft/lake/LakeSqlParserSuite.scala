@@ -387,6 +387,35 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(n === 3L)
   }
 
+  test("table_changes accepts timestamp bounds (API + TVF)") {
+    val path = freshTable("pt13", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    LakeTable.forPath(spark, path).update("id = 2", Map("k" -> "'B'")) // v1
+    LakeTable.forPath(spark, path).delete("id = 1") // v2
+    val t = LakeTable.forPath(spark, path)
+    val hist = t.history().select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    // from = v1's own timestamp (at-or-after), to = v1's (at-or-before)
+    val only1 = t.changesByTimestamp(hist(1L), hist(1L))
+      .select("_commit_version").distinct()
+      .as[Long].collect().toSeq
+    assert(only1 === Seq(1L))
+    // open-ended reaches v2
+    assert(t.changesByTimestamp(hist(1L))
+      .select("_commit_version").distinct().count() === 2)
+    // a from-timestamp past the last commit refuses loudly
+    intercept[IllegalArgumentException] {
+      t.changesByTimestamp(hist(2L) + 60000L)
+    }
+    // the TVF form with quoted timestamps
+    val tsFrom = new java.sql.Timestamp(hist(1L)).toString
+    val tsTo = new java.sql.Timestamp(hist(1L)).toString
+    val rows = LakeSql.sql(spark,
+      s"SELECT id, k, _change_type FROM table_changes('pt13', " +
+        s"'$tsFrom', '$tsTo') ORDER BY id, _change_type")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows === Seq((2L, "b", "delete"), (2L, "B", "insert")))
+  }
+
   test("findTopLevel respects quoting and nesting") {
     assert(LakeSql.findTopLevel("a WHEN b", "WHEN") === 2)
     assert(LakeSql.findTopLevel("'x WHEN y' WHEN b", "WHEN") === 11)

@@ -129,6 +129,22 @@ class TextPipelineSuite extends SparkSuite {
     assert(acc === 55L)
   }
 
+  test("curation: lang+quality filters, dup collapse to lowest id") {
+    val enText = (1 to 60).map(_ => "the of and to in is that").mkString(" ")
+    val esText = (1 to 60).map(_ => "el la de y que en un es").mkString(" ")
+    val df = Seq(
+      (1L, enText), (5L, enText),              // dup pair -> keep 1
+      (2L, esText),                             // wrong lang -> dropped
+      (3L, "the of and")                        // en but low quality
+    ).toDF("id", "text")
+      .withColumn("n_chars", length(col("text")))
+    // stopword-only fixtures mean-word-length below 3 -> quality 0.5
+    val got = CurationOps.curate(df, "text", "id", "n_chars",
+      langs = Seq("en"), minQuality = 0.4, samplePct256 = 256)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
+
   test("chunking: full coverage, stride geometry, suffix last chunk") {
     val text = (1 to 150).map(i => s"t$i").mkString(" ")
     val got = TextOps.chunkTokens(
