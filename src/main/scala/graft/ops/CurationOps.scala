@@ -32,6 +32,13 @@ object CurationOps {
         TextOps.qualityScore(col(textCol), col(nCharsCol)))
       .filter(col("lang_guess").isin(langs: _*) &&
         col("quality") >= minQuality)
+      // Evaluation barrier: without it CollapseProject textually
+      // re-inlines the interpreted lang-score lambdas (each carrying
+      // its own copy of the tokenizing split) into the dedup window,
+      // the depth expression and the final filter — measured 4.4 s vs
+      // 0.9 s at sf0.1 purely from duplicated expression trees. The
+      // cached frame is the filtered survivor set, already small.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window
       .partitionBy(TextOps.fingerprint(col(textCol)))
       .orderBy(col(idCol))

@@ -416,6 +416,37 @@ object CoreQueries {
              |SELECT p.event_id, p.user_id, p.ts, p.value,
              |  c.click_ts, c.click_value
              |FROM p ASOF LEFT JOIN c
-             |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin))
+             |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin)),
+
+    // Ordered-sequence funnel: per user, earliest view -> first click
+    // strictly after it -> first purchase strictly after that. One
+    // shuffle on user_id, k windowed conditional minima — never k
+    // joins. Oracle replays the same greedy-earliest chain as
+    // explicit per-step joins.
+    QueryDef("q27_funnel",
+      (s, dir) => graft.ops.SequenceOps.funnel(
+        QueryDef.events(s, dir), "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+             |SELECT u.user_id, s1.t1 AS step_1_ts, s2.t2 AS step_2_ts,
+             |  s3.t3 AS step_3_ts,
+             |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+             |            WHEN s2.t2 IS NOT NULL THEN 2
+             |            WHEN s1.t1 IS NOT NULL THEN 1
+             |            ELSE 0 END AS INTEGER) AS funnel_depth
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN s1 ON u.user_id = s1.user_id
+             |LEFT JOIN s2 ON u.user_id = s2.user_id
+             |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin))
   )
 }

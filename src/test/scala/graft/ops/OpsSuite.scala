@@ -188,4 +188,28 @@ class OpsSuite extends SparkSuite {
       .as[Double].head()
     assert(j12 === 1.0)
   }
+
+  test("funnel: strict ordering, greedy-earliest, depth per entity") {
+    val ev = Seq(
+      // user 1: complete ordered funnel
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // user 2: click BEFORE the first view -> stalls at depth 1
+      (2L, 1L, "click"), (2L, 2L, "view"), (2L, 3L, "purchase"),
+      // user 3: never views -> depth 0
+      (3L, 1L, "click"), (3L, 2L, "purchase"),
+      // user 4: two views; the EARLIEST one admits the later click
+      (4L, 5L, "view"), (4L, 1L, "view"), (4L, 3L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = SequenceOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select("user_id", "funnel_depth", "step_1_ts", "step_2_ts")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L)._1 === 3)
+    assert(got(2L) === ((1, Some(2L), None)))
+    assert(got(3L) === ((0, None, None)))
+    // greedy-earliest: step_1 = ts 1, so click@3 completes step 2
+    assert(got(4L) === ((2, Some(1L), Some(3L))))
+  }
 }
