@@ -123,6 +123,18 @@ class PlanSuite extends SparkSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("k-step funnel plans ONE shuffle, not k joins") {
+    val plan = planOf("q27_funnel")
+    assert(!plan.contains("Join"), plan)
+    // all step windows + the final agg share the entity partitioning:
+    // exactly one exchange operator in the whole plan (formatted mode
+    // lists each operator twice — tree + detail — so count the
+    // detail headers)
+    val exchanges = plan.linesIterator
+      .count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges === 1, s"$exchanges exchanges:\n$plan")
+  }
+
   test("pack offsets never funnel through one partition") {
     val plan = planOf("text_pack_offsets")
     // shard-local window + broadcast base-offset join; a global-order
