@@ -148,6 +148,32 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-document mean unigram surprisal (-ln p(token) averaged over
+    * the doc, p from the corpus itself) — the language-model
+    * perplexity proxy for statistical quality filtering: gibberish and
+    * rare-token spam score HIGH, formulaic boilerplate scores LOW,
+    * complementing the heuristic [[qualityScore]].
+    *
+    * Shape for 100 TB: pass 1 aggregates the unigram table (output is
+    * vocab-sized, tiny next to the corpus) and broadcasts it; pass 2
+    * explodes tokens, hits the broadcast table, and re-aggregates per
+    * doc — so the corpus shuffles ONCE (on the doc id, compact
+    * (id, surprisal) pairs), never on tokens.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    val total = freq.agg(sum("__cnt").as("__total"))
+    toks
+      .join(broadcast(freq), "__tok")
+      .crossJoin(broadcast(total))
+      .withColumn("__s", -log(col("__cnt") * lit(1.0) / col("__total")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__s")), 4).as("avg_surprisal"))
+  }
+
   /** Okapi BM25 scores for a bag-of-terms query against every document
     * (k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
     *

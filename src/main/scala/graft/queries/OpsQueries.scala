@@ -229,6 +229,22 @@ object OpsQueries {
              |  CAST((off + nt - 1) // 256 AS BIGINT) AS last_block
              |FROM o""".stripMargin)),
 
+    // Statistical quality: per-doc mean unigram surprisal against the
+    // corpus's own unigram distribution (the perplexity-proxy filter).
+    QueryDef("text_unigram_surprisal",
+      (s, dir) => TextOps.unigramSurprisal(
+        table(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |freq AS (
+             |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+             |total AS (SELECT SUM(cnt) AS total FROM freq)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  ROUND(AVG(-ln(cnt * 1.0 / total)), 4) AS avg_surprisal
+             |FROM toks JOIN freq USING (tok), total
+             |GROUP BY doc_id""".stripMargin)),
+
     // The flagship end-to-end curation pass: lang filter → quality
     // filter → exact dedup (planted duplicate copies must collapse to
     // the lowest id) → deterministic 50% downsample. Every stage is

@@ -99,6 +99,18 @@ class TextPipelineSuite extends SparkSuite {
       composed.collect().map(_.getSeq[String](0)).toSeq)
   }
 
+  test("unigram surprisal: rare tokens score higher than common ones") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare")).toDF("id", "text")
+    val got = TextOps.unigramSurprisal(df, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // p(common)=7/8, p(rare)=1/8: doc 2 mixes in the rare token
+    assert(got(2L) > got(1L))
+    val expected1 = -math.log(7.0 / 8.0)
+    assert(math.abs(got(1L) - expected1) < 1e-4)
+  }
+
   test("bm25: docs with more query-term mass score higher; absent terms zero") {
     val df = Seq(
       (1L, "join join join filter scan"),
