@@ -36,6 +36,31 @@ object SampleOps {
     else df.filter(hashCoord(col(keyCol)) < lit(f"$pct256%02x"))
   }
 
+  /** Per-group quota sampling — the "data mixing weights" pass: each
+    * group (domain/source/language) gets its own deterministic keep
+    * rate out of 256 (e.g. web 10%, books 100%, low-quality crawl 2%).
+    * Groups absent from `quotas` are DROPPED — an unlisted domain
+    * silently sampled at some default is how unvetted data leaks into
+    * a training mix. Zero shuffle: the per-group threshold is a
+    * codegen'd CASE over the group column, the keep test the same
+    * md5 coordinate as [[hashSample]] — so quota samples of DIFFERENT
+    * tables keyed by the same id stay consistent per group.
+    */
+  def quotaSample(
+      df: DataFrame, groupCol: String, keyCol: String,
+      quotas: Map[String, Int]): DataFrame = {
+    quotas.values.foreach(q =>
+      require(q >= 0 && q <= 256, s"quota out of range: $q"))
+    val threshold = quotas.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("string")) { case (acc, (g, q)) =>
+        when(col(groupCol) === g,
+          lit(if (q >= 256) "zz" else f"$q%02x")).otherwise(acc)
+      }
+    // NULL threshold (unlisted group) fails the comparison -> dropped;
+    // "zz" sorts above every hex coordinate -> keep-all
+    df.filter(hashCoord(col(keyCol)) < threshold)
+  }
+
   /** Deterministic stratified sample: the `perStratum` rows of each
     * stratum with the smallest md5(key) (ties broken by key). One
     * shuffle on the stratum column; per-group state is the top-N heap

@@ -103,6 +103,21 @@ object OpsQueries {
              |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
              |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""".stripMargin)),
 
+    // Data-mixing quota sample: per-source keep rates (books-like
+    // src0 kept whole, web-like src1 at ~25%, src2 at ~6%; every
+    // OTHER source dropped — unlisted domains must not leak in).
+    QueryDef("text_quota_sample",
+      (s, dir) => SampleOps.quotaSample(
+        table(s, dir, "documents"), "source", "doc_id",
+        quotas = Map("src0" -> 256, "src1" -> 64, "src2" -> 16))
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+             |  CASE source WHEN 'src0' THEN 'zz'
+             |              WHEN 'src1' THEN '40'
+             |              WHEN 'src2' THEN '10'
+             |              ELSE NULL END""".stripMargin)),
+
     // PII scrub: plant one email + one phone per doc, redact, count.
     QueryDef("text_pii_redact",
       (s, dir) => {

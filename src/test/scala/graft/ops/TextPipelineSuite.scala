@@ -46,6 +46,25 @@ class TextPipelineSuite extends SparkSuite {
     }
   }
 
+  test("quota sample: per-group rates, unlisted groups dropped") {
+    val df = (1L to 400L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val got = SampleOps.quotaSample(df, "g", "id",
+      Map("g0" -> 256, "g1" -> 64, "g2" -> 0))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("g0") === 100L)             // 256 = keep everything
+    assert(got.get("g2").isEmpty)          // quota 0 -> nothing
+    assert(!got.contains("g3"))            // unlisted -> dropped
+    val g1 = got("g1")
+    assert(g1 > 5 && g1 < 60, s"g1 kept $g1 of 100 at nominal 25%")
+    // consistency with the uniform sampler: same keys survive
+    val uni = SampleOps.hashSample(df.filter(col("g") === "g1"), "id", 64)
+      .select("id").as[Long].collect().toSet
+    val quo = SampleOps.quotaSample(df, "g", "id", Map("g1" -> 64))
+      .select("id").as[Long].collect().toSet
+    assert(uni === quo)
+  }
+
   test("pii redaction: counts and masks emails + phones") {
     val df = Seq(
       (1L, "mail me at a.b-c_1@foo-bar.example.org today"),
