@@ -312,6 +312,33 @@ class LakeStreamSourceSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: bounded-state streaming dedup") {
+    // the bounded-lateness sibling of the streaming_dedup gate's
+    // unbounded dropDuplicates: state for a key is evictable once the
+    // watermark passes it, the right trade when redelivery lag is
+    // bounded (the gate's at-least-once replay scenario keeps the
+    // unbounded form — arbitrarily late replays)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = df.writeStream.format("memory")
+      .queryName("wmdedup_out").outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    try {
+      input.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      // duplicate of 1 arrives within the watermark window: suppressed
+      input.addData((1L, ts(2)), (3L, ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("wmdedup_out")
+        .select("event_id").as[Long].collect().toSeq
+      assert(got.sorted === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sink partitions output and records batch txns") {
     val src = tablePath("ss-part-src")
     LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), src)
