@@ -1,0 +1,149 @@
+package graft.lake
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+import java.lang.ref.SoftReference
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate,
+  TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** In-scan deletion-vector membership test:
+  * `graft_dv_deleted(_metadata.file_path, _metadata.row_index, dvMap)`
+  * is true iff the row's physical index is in its file's deletion
+  * vector.
+  *
+  * This replaces the old (file, row_index) anti-join read path. The
+  * anti-join exploded DVs into O(deleted rows) join rows — fine
+  * broadcast-sized, but past a cardinality threshold it degraded to a
+  * FULL-TABLE shuffle on every read of a big-delete table until a
+  * rewrite purged the DVs. Here deletion never plans a join at all:
+  * the file→DV-path map (O(files with DVs), a few MB at 100k files)
+  * rides the plan as ONE binary literal, executors lazily read each
+  * DV sidecar once (process-wide soft-referenced cache — DV files are
+  * immutable, uuid-named), and membership is a binary search inside
+  * the scan's whole-stage-codegen'd filter. Cost per row: one cached
+  * pointer-equality file check + O(log deletions-in-file). This is how
+  * Delta applies DVs — a per-file row-index bitmap inside the scan,
+  * no join at any cardinality.
+  *
+  * The third child is a foldable [[BinaryType]] literal encoding the
+  * map (length-prefixed UTF-8 pairs), so the expression round-trips
+  * through the function registry like every other graft expression —
+  * no per-snapshot registry entries, one registration per session.
+  */
+case class DvRowDeleted(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with Predicate {
+
+  // no inputTypes contract: the only call sites are internal
+  // (string file path, long row index, binary literal)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = first.nullable || second.nullable
+
+  /** file → DV sidecar path, decoded once per task from the literal. */
+  @transient private lazy val dvFor: java.util.HashMap[String, String] = {
+    require(third.foldable, "dv map must be a literal")
+    DvRowDeleted.decode(third.eval(null).asInstanceOf[Array[Byte]])
+  }
+
+  // Per-file memo: `_metadata.file_path` is constant across a file's
+  // rows (and usually the SAME UTF8String instance per batch), so the
+  // common per-row cost is one reference/equality check. Expression
+  // instances are task-confined (deserialized from the stage's
+  // taskBinary), so plain fields are safe.
+  @transient private var lastFile: UTF8String = _
+  @transient private var lastDv: Array[Long] = _
+
+  def contains(file: UTF8String, idx: Long): Boolean = {
+    if (lastFile == null || !lastFile.equals(file)) {
+      lastFile = file.clone()
+      lastDv = dvFor.get(file.toString) match {
+        case null => null
+        case dv => DvRowDeleted.indices(dv)
+      }
+    }
+    lastDv != null && java.util.Arrays.binarySearch(lastDv, idx) >= 0
+  }
+
+  override def nullSafeEval(file: Any, idx: Any, bytes: Any): Any =
+    contains(file.asInstanceOf[UTF8String], idx.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvDeleted", this,
+      classOf[DvRowDeleted].getName)
+    nullSafeCodeGen(ctx, ev,
+      (f, i, _) => s"${ev.value} = $ref.contains($f, $i);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object DvRowDeleted {
+
+  /** Executor-local cache of decoded DV index arrays, keyed by sidecar
+    * path. DV files are immutable and uuid-named — no invalidation,
+    * only memory bounding via soft references.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, SoftReference[Array[Long]]]()
+
+  def indices(dvPath: String): Array[Long] = {
+    val ref = cache.get(dvPath)
+    val cached = if (ref == null) null else ref.get()
+    if (cached != null) return cached
+    val arr = DeletionVector.read(java.nio.file.Paths.get(dvPath))
+    cache.put(dvPath, new SoftReference(arr))
+    arr
+  }
+
+  def encode(dvFor: Seq[(String, String)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(dvFor.size)
+    dvFor.foreach { case (file, dv) =>
+      val f = file.getBytes(UTF_8); val d = dv.getBytes(UTF_8)
+      out.writeInt(f.length); out.write(f)
+      out.writeInt(d.length); out.write(d)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def decode(bytes: Array[Byte]): java.util.HashMap[String, String] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[String, String](n * 2)
+    var i = 0
+    while (i < n) {
+      val f = new String(in.readNBytes(in.readInt()), UTF_8)
+      val d = new String(in.readNBytes(in.readInt()), UTF_8)
+      m.put(f, d)
+      i += 1
+    }
+    m
+  }
+
+  private val NAME = "graft_dv_deleted"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NAME, exprs => DvRowDeleted(exprs(0), exprs(1), exprs(2)), "built-in")
+
+  /** Column API: row (filePath, rowIndex) is deleted per `dvFor`
+    * (absolute data-file path → absolute DV sidecar path).
+    */
+  def apply(filePath: Column, rowIndex: Column,
+      dvFor: Seq[(String, String)]): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function(NAME, filePath, rowIndex,
+      org.apache.spark.sql.functions.lit(encode(dvFor)))
+  }
+}

@@ -60,14 +60,15 @@ final class LakeLog(val tablePath: String) {
     // TIMESTAMP AS OF / startingTimestamp / vacuum windows all key off
     // these timestamps; without the clamp two commits in one ms are
     // not separately addressable and a backdated writer could make
-    // time travel non-monotonic. One O(1) read of the previous
-    // version file; absent CommitInfo falls back to its mtime (the
-    // same fallback `commitTimestamps` uses).
+    // time travel non-monotonic. Reads the previous version file only
+    // UP TO its first CommitInfo line — a prior commit carrying many
+    // AddFile actions must not make every subsequent commit pay
+    // O(prev-commit-size) JSON parsing. Absent CommitInfo falls back
+    // to the file's mtime (the same fallback `commitTimestamps` uses).
     val stamped =
       if (version == 0 || !actions.exists(_.isInstanceOf[CommitInfo])) actions
       else {
-        val prevTs = readVersion(version - 1)
-          .collectFirst { case c: CommitInfo => c.timestamp }
+        val prevTs = firstCommitInfoTimestamp(version - 1)
           .orElse(scala.util.Try(
             Files.getLastModifiedTime(versionFile(version - 1)).toMillis)
             .toOption)
@@ -99,6 +100,23 @@ final class LakeLog(val tablePath: String) {
       try cleanupAuxFiles(version)
       catch { case NonFatal(_) => () }
     }
+  }
+
+  /** Timestamp of `version`'s CommitInfo, streaming the file and
+    * stopping at the first CommitInfo line (commits write it first, so
+    * this is normally one line regardless of how many AddFiles follow).
+    * The cheap substring pre-filter skips JSON parsing of non-matches.
+    */
+  private def firstCommitInfoTimestamp(version: Long): Option[Long] = {
+    val p = versionFile(version)
+    if (!Files.exists(p)) return None
+    val lines = Files.lines(p)
+    try lines.iterator.asScala
+      .map(_.trim)
+      .filter(l => l.nonEmpty && l.contains("\"commitInfo\""))
+      .map(Action.fromJson)
+      .collectFirst { case c: CommitInfo => c.timestamp }
+    finally lines.close()
   }
 
   /** Drop checkpoints/history sidecars older than the newest

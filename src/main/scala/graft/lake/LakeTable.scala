@@ -977,7 +977,14 @@ final class LakeTable private (
           }.toSeq.sortBy(_.toString)
         finally stream.close()
       } else Seq(root)
-    def txnId(p: Path): String = s"copy-into:${p.toUri}"
+    // Identity includes the file SIZE (Databricks COPY INTO keys on
+    // path+mtime+size): a file replaced in place with an equal-or-older
+    // mtime (mtime-preserving cp -p/rsync, coarse object-store stamps)
+    // but different length gets a fresh ledger key and reloads instead
+    // of being silently skipped. A same-size same-mtime replacement is
+    // indistinguishable without content hashing and stays skipped.
+    def txnId(p: Path): String =
+      s"copy-into:${p.toUri}:${Files.size(p)}"
     val recorded: Map[String, Long] =
       if (log.exists) snapshot().transactions else Map.empty
     val stamped = files.map { p =>

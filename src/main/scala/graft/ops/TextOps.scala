@@ -213,6 +213,12 @@ object TextOps {
     */
   def chunkTokens(df: DataFrame, textCol: String, idCol: String,
       size_ : Int, stride: Int): DataFrame = {
+    // stride > size_ would leave tokens between windows uncovered (and
+    // drive chunk_len non-positive), violating the every-token
+    // guarantee above — reject the configuration at call time.
+    require(size_ > 0 && stride > 0 && stride <= size_,
+      s"chunkTokens requires 0 < stride <= size (got size=${size_}, " +
+        s"stride=$stride)")
     val toks = tokens(col(textCol))
     val n = size(toks)
     val kMax = floor((greatest(n - size_, lit(0)) + (stride - 1))
@@ -248,8 +254,11 @@ object TextOps {
   def packOffsets(df: DataFrame, textCol: String, idCol: String,
       blockTokens: Int, docsPerShard: Long = 1000000L): DataFrame = {
     val n = size(tokens(col(textCol)))
+    // integral `div`, NOT double `/`: ids above 2^53 would round
+    // through the double and could land boundary ids in the wrong
+    // shard, breaking the monotonic shard-order assumption
     val base = df.select(col(idCol), n.as("n_tokens"),
-      (col(idCol).cast("long") / docsPerShard).cast("long").as("__shard"))
+      expr(s"CAST(`$idCol` AS BIGINT) div ${docsPerShard}L").as("__shard"))
     val spark = df.sparkSession
     import spark.implicits._
     val shardTotals = base.groupBy("__shard")

@@ -180,10 +180,10 @@ object LakeDataSource {
 
   /** Planner-integrated DataFrame over a snapshot — the read path
     * shared by `LakeTable.toDF` / `asOf` / `format("lake")`. Applies
-    * deletion vectors: files carrying a DV scan with
-    * `_metadata.row_index` and anti-join their deleted indices away;
-    * DV-free files (the common case — and the ONLY case when no live
-    * file has a DV) keep today's single-relation plan untouched.
+    * deletion vectors IN-SCAN: a codegen'd
+    * [[graft.lake.DvRowDeleted]] filter on `_metadata.row_index`
+    * drops deleted rows with no join at any DV cardinality; DV-free
+    * snapshots (the common case) keep the bare single-relation plan.
     */
   def snapshotDF(spark: SparkSession, snap: Snapshot): DataFrame = {
     if (!snap.files.exists(_.dvPath.isDefined)) rawDF(spark, snap)
@@ -202,44 +202,27 @@ object LakeDataSource {
     * applied — the scan every DML path that needs (file, row) identity
     * (MERGE rewrite ids, touched-file detection, DV DELETE) plans
     * through. Output schema: table columns + the `_metadata` struct.
+    *
+    * DV application is ONE relation + one codegen'd filter — no union,
+    * no join, no exchange at any deleted-row cardinality. The driver
+    * contributes only the file→DV-path map (O(files with DVs)); DV
+    * CONTENTS are read and cached on executors (see
+    * [[graft.lake.DvRowDeleted]]). Keyed by the PLAIN absolute path:
+    * `_metadata.file_path` reflects the schemeless paths our
+    * LakeFileIndex lists (probe-verified), so `toUri` ("file://...")
+    * would never match.
     */
   def snapshotDFWithMeta(spark: SparkSession, snap: Snapshot): DataFrame = {
-    val (dvFiles, cleanFiles) = snap.files.partition(_.dvPath.isDefined)
-    def metaDF(files: Seq[graft.lake.AddFile]): DataFrame =
-      rawDF(spark, snap.copy(files = files)).withColumn(META, col(META))
-    if (dvFiles.isEmpty) return metaDF(snap.files)
+    val df = rawDF(spark, snap).withColumn(META, col(META))
+    val dvFiles = snap.files.filter(_.dvPath.isDefined)
+    if (dvFiles.isEmpty) return df
     val tablePath = snap.log.tablePath
-    // (data file path, dv file path) pairs: tiny, driver-built; the DV
-    // CONTENTS are read on executors — flatMap below ships only paths.
-    // Keyed by the PLAIN absolute path: `_metadata.file_path` reflects
-    // the schemeless paths our LakeFileIndex lists (probe-verified),
-    // so `toUri` ("file://...") would never match.
-    val pairs = dvFiles.map { f =>
+    val dvFor = dvFiles.map { f =>
       (LakeLog.resolveFile(tablePath, f.path).toString,
         LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
     }
-    import spark.implicits._
-    val FILE = "__graft_dv_file"
-    val IDX = "__graft_dv_idx"
-    val deleted = spark.createDataset(pairs)
-      .flatMap { case (file, dv) =>
-        graft.lake.DeletionVector.read(
-          java.nio.file.Paths.get(dv)).iterator.map((file, _))
-      }.toDF(FILE, IDX)
-    // DV cardinality is known exactly from the log — broadcast the
-    // deleted set when it is small (the overwhelmingly common case:
-    // point deletes over many files), shuffle anti-join otherwise.
-    val totalDeleted = dvFiles.map(_.dvCardinality).sum
-    val deletedSide =
-      if (totalDeleted > 0 && totalDeleted <= 4_000_000) broadcast(deleted)
-      else deleted
-    val dvSide = metaDF(dvFiles)
-      .withColumn(FILE, col(s"$META.file_path"))
-      .withColumn(IDX, col(s"$META.row_index"))
-      .join(deletedSide, Seq(FILE, IDX), "left_anti")
-      .drop(FILE, IDX)
-    if (cleanFiles.isEmpty) dvSide
-    else metaDF(cleanFiles).unionByName(dvSide)
+    df.filter(!graft.lake.DvRowDeleted(
+      col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
   }
 
   private def rawDF(spark: SparkSession, snap: Snapshot): DataFrame =
