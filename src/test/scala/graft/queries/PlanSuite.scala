@@ -71,13 +71,16 @@ class PlanSuite extends SparkSuite {
     assert(!clean.contains("Join"), clean)
     assert(clean.contains("PushedFilters: [") &&
       !clean.contains("PushedFilters: []"), clean)
-    // with DVs: anti-join appears, but the data filter still reaches
-    // the parquet scan on the DV'd branch (pushed through the join)
+    // with DVs: membership is applied IN the scan's filter (binary
+    // search over the decoded vector) — still one relation, no join,
+    // no exchange at any deleted-row cardinality, and the data filter
+    // still reaches the parquet scan
     LakeTable.forPath(spark, path).delete("id % 7 = 0")
     val dv = LakeTable.forPath(spark, path).toDF
       .filter(col("bucket") === 3)
       .queryExecution.explainString(FormattedMode)
-    assert(dv.contains("Join"), dv)
+    assert(!dv.contains("Join"), dv)
+    assert(!dv.contains("Exchange"), dv)
     assert(dv.contains("EqualTo(bucket,3)"), dv)
     assert(!dv.contains("PushedFilters: []"), dv)
   }
