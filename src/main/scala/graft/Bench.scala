@@ -87,6 +87,35 @@ object Bench {
     val forceFail = sys.env.get("SPARK_GRAFT_BENCH_FORCE_FAIL")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
 
+    // Per-query contention sentinel: the interleaved calibration probe
+    // flags RUN-level contention, but a host stall that spans one
+    // query's whole bench window slips between probe samples and
+    // records a phantom regression (r5-r7 each recorded 2-6x
+    // inflations on queries whose code had not changed). The prior
+    // file — written by the previous bench run AT THE SAME SF — gives
+    // a per-query floor; a query whose min lands >1.5x its prior AND
+    // whose spread exceeds 1.5x its min is re-run once after the main
+    // loop (when any mid-run stall has passed) and the better number
+    // is recorded, with the re-run logged under "reran". The prior is
+    // keyed by SF-dir basename so local sf0.01 iteration never
+    // poisons the driver's sf0.1 floor.
+    val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      s"bench_prior_${new java.io.File(sfDir).getName}.json")
+    val prior: Map[String, Double] = {
+      val f = new java.io.File(priorFile)
+      if (!f.isFile) Map.empty
+      else {
+        val text = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+          .findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    if (prior.nonEmpty)
+      System.err.println(
+        s"[bench] loaded ${prior.size} prior query floors from $priorFile")
+
     val queries = SparkEntry.queries
     val names =
       if (args.nonEmpty) SparkEntry.queryOrder.filter(args.toSet)
@@ -125,14 +154,41 @@ object Bench {
         f"[bench] $name%-28s ${best}%8.2f s  (±$spread%.2f over $runs runs)")
       (name, best, spread)
     }
+    // Sentinel pass: re-run each suspicious query once, now that any
+    // mid-run stall window has had the whole main loop to pass. A
+    // query with no prior (new gate, or first run at this SF) is
+    // eligible on the spread condition alone — better one wasted
+    // re-run than a third round of phantom regressions.
+    val reran = scala.collection.mutable.Buffer.empty[(String, Double, Double)]
+    val adjudicated = results.map { case r @ (name, best, spread) =>
+      val suspicious = best > 0 && spread > 1.5 * best &&
+        prior.get(name).forall(p => best > 1.5 * p)
+      if (!suspicious) r
+      else {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val ok =
+          try { queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name re-run failed: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val better = if (ok) math.min(best, sec) else best
+        reran += ((name, best, better))
+        System.err.println(
+          f"[bench] reran $name%-22s $best%8.2f s -> $better%8.2f s")
+        (name, better, spread)
+      }
+    }
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // A failed query must be LOUD: it is excluded from the sum (a -1
     // would fake a speedup the other way), but the canonical line
     // names it in "failed" and the process exits non-zero, so a crash
     // can never read as a faster total.
-    val failed = results.filter(_._2 < 0).map(_._1)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = adjudicated.filter(_._2 < 0).map(_._1)
+    val total = adjudicated.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     calSamples += calibrate()
     // flag from the post-warm-up samples: median = the run's quiet
@@ -148,10 +204,28 @@ object Bench {
       f"[bench] calibration median=$calMedian%.3f s max=$calMax%.3f s " +
       f"ratio=$calRatio%.2f contended=$contended " +
       f"probeFailures=$probeFailures samples=$samplesJson")
+    val reranJson = reran.map { case (n, before, after) =>
+      s"""{"name":"$n","before":$before,"after":$after}"""
+    }.mkString("[", ",", "]")
+    // Persist this run's per-query mins as the next run's floors.
+    // Failed queries keep their previous floor (dropped here, merged
+    // below) so one crash doesn't erase the sentinel's reference.
+    try {
+      // floors only ratchet DOWN: a slow (possibly stalled) round must
+      // not raise next round's reference and mask a repeat
+      val merged = prior ++ adjudicated.filter(_._2 >= 0)
+        .map(r => r._1 -> prior.get(r._1).fold(r._2)(math.min(_, r._2))).toMap
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(priorFile),
+        jsonMap(merged.toSeq.sortBy(_._1)).getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $priorFile: ${e.getMessage}")
+    }
     println(s"""{"metric":"spread","unit":"sec","runs":$runs,"queries":${
       jsonMap(results.map(r => r._1 -> r._3))}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      jsonMap(results.map(r => r._1 -> r._2))},"failed":$failedJson,${""
+      jsonMap(adjudicated.map(r => r._1 -> r._2))},"failed":$failedJson,${""
+      }"reran":$reranJson,${""
       }"calibration":{"samples":$samplesJson,"median":${f"$calMedian%.4f"},${""
       }"max":${f"$calMax%.4f"},"ratio":${f"$calRatio%.3f"},${""
       }"contended":$contended,"probeFailures":$probeFailures},"sf":"$sfDir"}""")
