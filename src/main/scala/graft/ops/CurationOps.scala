@@ -26,19 +26,18 @@ object CurationOps {
       df: DataFrame, textCol: String, idCol: String, nCharsCol: String,
       langs: Seq[String], minQuality: Double,
       samplePct256: Int = 256): DataFrame = {
+    // No evaluation barrier needed: lang_guess is the native
+    // codegen'd LangGuess expression (one static call per inlining
+    // site), so CollapseProject duplicating it into the dedup window
+    // and the final filter costs a few extra string splits — not the
+    // 4.4-s re-inlining of five interpreted lambdas that once forced
+    // a persist() here (and leaked cache for the session lifetime).
     val scored = TextOps.langId(df, textCol)
       .withColumn("n_tokens", TextOps.tokenCount(col(textCol)))
       .withColumn("quality",
         TextOps.qualityScore(col(textCol), col(nCharsCol)))
       .filter(col("lang_guess").isin(langs: _*) &&
         col("quality") >= minQuality)
-      // Evaluation barrier: without it CollapseProject textually
-      // re-inlines the interpreted lang-score lambdas (each carrying
-      // its own copy of the tokenizing split) into the dedup window,
-      // the depth expression and the final filter — measured 4.4 s vs
-      // 0.9 s at sf0.1 purely from duplicated expression trees. The
-      // cached frame is the filtered survivor set, already small.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window
       .partitionBy(TextOps.fingerprint(col(textCol)))
       .orderBy(col(idCol))

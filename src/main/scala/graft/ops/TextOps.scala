@@ -69,21 +69,16 @@ object TextOps {
 
   /** Language guess: argmax stopword-hit count, ties broken by
     * alphabetical language code; "und" (undetermined) when no hits.
+    *
+    * Computed by the native codegen'd [[graft.functions.LangGuess]]
+    * expression (one tokenize pass, all profiles at once); the
+    * composable [[langIdScores]] fold it replaces carried five
+    * interpreted higher-order lambdas that CollapseProject re-inlined
+    * into every downstream consumer.
     */
   def langId(df: DataFrame, textCol: String, out: String = "lang_guess")
-      : DataFrame = {
-    val scored = langIdScores(df, textCol)
-    val langs = stopwordProfiles.keys.toSeq.sorted
-    val best = langs.foldLeft(struct(lit(-1).as("s"), lit("und").as("l"))) {
-      case (acc, lang) =>
-        when(col(s"score_$lang") > acc.getField("s"),
-          struct(col(s"score_$lang").as("s"), lit(lang).as("l")))
-          .otherwise(acc)
-    }
-    scored.withColumn(out,
-      when(best.getField("s") <= 0, "und").otherwise(best.getField("l")))
-      .drop(langs.map(l => s"score_$l"): _*)
-  }
+      : DataFrame =
+    df.withColumn(out, graft.functions.LangGuess(col(textCol)))
 
   /** Stable 128-bit content fingerprint (md5 of normalized text) for
     * exact-dup detection; md5 so external engines can reproduce it.
