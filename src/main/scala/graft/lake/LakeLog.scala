@@ -143,8 +143,9 @@ final class LakeLog(val tablePath: String) {
   /** Write `<v>.checkpoint.json`: the full replayed state at v. */
   private def writeCheckpoint(version: Long): Unit = {
     val snap = Snapshot.replay(this, version)
+    val txns = expireCopyIntoLedger(snap)
     val lines = (Seq(snap.protocol: Action, snap.metadata: Action) ++
-      snap.transactions.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) } ++
+      txns.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) } ++
       snap.files)
       .map(Action.toJson)
     val target = logDir.resolve(f"$version%020d.checkpoint.json")
@@ -153,6 +154,38 @@ final class LakeLog(val tablePath: String) {
       Files.write(tmp, lines.asJava)
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
+    // the replay above cached the PRE-expiry snapshot for this
+    // version; align the cache with the checkpoint just written
+    if (txns.size != snap.transactions.size)
+      Snapshot.reseed(this, version, snap.copy(transactions = txns))
+  }
+
+  /** COPY INTO ledger expiry: the per-source-file Txn entries grow
+    * O(all files ever ingested) and ride inside every checkpoint
+    * forever. At checkpoint time, drop entries whose local source file
+    * is GONE and whose recorded stamp (the file's mtime at load) is
+    * older than the retention horizon — a vanished file cannot be
+    * re-listed, so the entry's only remaining effect is checkpoint
+    * bloat. Entries for live files, recent entries (grace against a
+    * file briefly moved aside), non-file URIs (not cheaply probeable)
+    * and non-COPY-INTO appIds (streaming sinks' idempotent txns) are
+    * always kept. If an expired file later REAPPEARS with its old
+    * mtime+size it reloads once — the same behavior as a brand-new
+    * file, and the price of a bounded ledger.
+    *
+    * Version files are never rewritten, so time travel to a
+    * pre-expiry version still replays the full historical ledger.
+    */
+  private def expireCopyIntoLedger(snap: Snapshot): Map[String, Long] = {
+    val hours = snap.metadata.properties
+      .get(COPY_INTO_RETENTION_PROP).map(_.toDouble)
+      .getOrElse(COPY_INTO_RETENTION_HOURS_DEFAULT)
+    if (hours < 0) return snap.transactions // negative disables expiry
+    val horizon = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    snap.transactions.filter { case (appId, stamp) =>
+      !(stamp < horizon &&
+        copyIntoLocalPath(appId).exists(p => !Files.exists(p)))
+    }
   }
 
   /** Write `<v>.history.json`: every CommitInfo through v with its
@@ -248,6 +281,24 @@ object LakeLog {
   val CHECKPOINT_INTERVAL = 10L
   /** Newest checkpoints/history sidecars kept by the log cleanup. */
   val RETAINED_AUX = 3L
+  /** Table property bounding the COPY INTO ledger (hours a dead
+    * source file's entry survives past its stamp); negative disables.
+    */
+  val COPY_INTO_RETENTION_PROP = "graft.copyIntoLedgerRetentionHours"
+  val COPY_INTO_RETENTION_HOURS_DEFAULT = 168.0
+
+  /** The local filesystem path inside a COPY INTO ledger appId
+    * (`copy-into:<uri>[:<size>]`), when the URI is file-scheme.
+    */
+  private[lake] def copyIntoLocalPath(appId: String): Option[Path] = {
+    if (!appId.startsWith("copy-into:")) return None
+    val uriStr = appId.stripPrefix("copy-into:")
+      .replaceFirst(":\\d+$", "") // size-keyed form → bare URI
+    scala.util.Try {
+      val uri = new java.net.URI(uriStr)
+      if (uri.getScheme == "file") Some(Paths.get(uri)) else None
+    }.toOption.flatten
+  }
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
   private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r
   private val HISTORY_FILE_RE = "\\d{20}\\.history\\.json".r

@@ -983,17 +983,27 @@ final class LakeTable private (
     // but different length gets a fresh ledger key and reloads instead
     // of being silently skipped. A same-size same-mtime replacement is
     // indistinguishable without content hashing and stays skipped.
-    def txnId(p: Path): String =
-      s"copy-into:${p.toUri}:${Files.size(p)}"
+    // Tables ingested before the size-keyed identity carry ledger
+    // entries under the legacy `copy-into:<uri>` key; those must keep
+    // skipping (not silently re-load), so the filter honors EITHER key.
     val recorded: Map[String, Long] =
       if (log.exists) snapshot().transactions else Map.empty
-    val stamped = files.map { p =>
-      val v = if (force) System.currentTimeMillis()
-              else Files.getLastModifiedTime(p).toMillis
-      (p, txnId(p), v)
+    // A source file can vanish between the directory listing and the
+    // per-file stat (compaction jobs, aggressive retention): stat
+    // inside Try and drop vanished files from this run instead of
+    // aborting the whole COPY — the next run simply won't list them.
+    val stamped = files.flatMap { p =>
+      scala.util.Try {
+        val id = s"copy-into:${p.toUri}:${Files.size(p)}"
+        val v = if (force) System.currentTimeMillis()
+                else Files.getLastModifiedTime(p).toMillis
+        (p, id, s"copy-into:${p.toUri}", v)
+      }.toOption
     }
-    val toLoad = stamped.filter { case (_, id, v) =>
-      force || !recorded.get(id).exists(_ >= v) }
+    val toLoad = stamped.filter { case (_, id, legacyId, v) =>
+      force || !(recorded.get(id).exists(_ >= v) ||
+        recorded.get(legacyId).exists(_ >= v))
+    }.map { case (p, id, _, v) => (p, id, v) }
     val skipped = files.size - toLoad.size
     if (toLoad.isEmpty)
       return Seq((0L, skipped.toLong, 0L))

@@ -73,6 +73,22 @@ object Snapshot {
         size() > MAX_CACHED
     }
 
+  /** Re-seed the cache after a checkpoint rewrote derived state
+    * (COPY INTO ledger expiry): the version FILE is unchanged — the
+    * fingerprint stays valid — but replay-from-checkpoint now yields
+    * the expired ledger, and this process must see the same state a
+    * fresh process reading its checkpoint would.
+    */
+  private[lake] def reseed(log: LakeLog, version: Long, s: Snapshot): Unit = {
+    val key = (Paths.get(log.tablePath).toAbsolutePath.normalize.toString,
+      version)
+    cache.synchronized {
+      cache.put(key,
+        Entry(fingerprint(log, version), new java.lang.ref.SoftReference(s)))
+      ()
+    }
+  }
+
   /** Test hook: count of replays served from the cache. */
   private[lake] val cacheHits = new java.util.concurrent.atomic.AtomicLong
   private[lake] def clearCacheForTest(): Unit =

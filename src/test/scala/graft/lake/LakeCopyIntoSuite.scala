@@ -108,6 +108,67 @@ class LakeCopyIntoSuite extends SparkSuite {
       Set((1L, "a"), (5L, "j")))
   }
 
+  test("copy into: ledger entries under the legacy (pre-size) key still skip") {
+    val src = tmpDir("copy-src")
+    writeOne(Seq((1L, "a")).toDF("id", "v"), src, "f1.parquet")
+    val f = Paths.get(src, "f1.parquet")
+    // seed a table whose ledger recorded f1 under the pre-size-keyed
+    // identity, as every table ingested before the key change has
+    val path = tablePath("copy-legacy")
+    LakeWriter.write(Seq((1L, "a")).toDF("id", "v"), path,
+      transactions = Seq(
+        (s"copy-into:${f.toUri}", Files.getLastModifiedTime(f).toMillis)))
+    val t = LakeTable.forPath(spark, path)
+    // honored: no silent duplicate re-load of the already-ingested file
+    assert(metrics(t.copyInto(src)) === ((0L, 1L, 0L)))
+    assert(t.toDF.count() === 1)
+    // a genuine replacement (newer mtime) still reloads through it
+    writeOne(Seq((9L, "z")).toDF("id", "v"), src, "f1.parquet")
+    Files.setLastModifiedTime(f,
+      FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(metrics(t.copyInto(src)) === ((1L, 0L, 1L)))
+  }
+
+  test("copy into: dead source files age out of the checkpointed ledger") {
+    val src = tmpDir("copy-src")
+    writeOne(Seq((1L, "a")).toDF("id", "v"), src, "old1.parquet")
+    writeOne(Seq((2L, "b")).toDF("id", "v"), src, "old2.parquet")
+    writeOne(Seq((3L, "c")).toDF("id", "v"), src, "live.parquet")
+    // the ledger stamps each file's mtime; dating the doomed files 8
+    // days back puts their entries past the 168 h retention horizon
+    val old = FileTime.fromMillis(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    Files.setLastModifiedTime(Paths.get(src, "old1.parquet"), old)
+    Files.setLastModifiedTime(Paths.get(src, "old2.parquet"), old)
+    val path = tablePath("copy-expiry")
+    val t = LakeTable.forPath(spark, path)
+    assert(metrics(t.copyInto(src)) === ((3L, 0L, 3L)))
+    assert(t.snapshot().transactions.size === 3)
+    Files.delete(Paths.get(src, "old1.parquet"))
+    Files.delete(Paths.get(src, "old2.parquet"))
+    // drive commits to the next checkpoint boundary, where expiry runs
+    while (t.log.latestVersion <= 0 ||
+        t.log.latestVersion % LakeLog.CHECKPOINT_INTERVAL != 0)
+      LakeWriter.write(Seq((100L, "x")).toDF("id", "v"), path,
+        mode = "append")
+    val txns = LakeTable.forPath(spark, path).snapshot().transactions
+    assert(txns.keys.count(_.startsWith("copy-into:")) === 1, txns)
+    assert(txns.keys.exists(_.contains("live.parquet")), txns)
+    // the survivor still skips on re-COPY (vanished files just aren't
+    // listed any more — they count toward nothing)
+    assert(metrics(LakeTable.forPath(spark, path).copyInto(src)) ===
+      ((0L, 1L, 0L)))
+  }
+
+  test("copy into: ledger appId parsing (size-keyed, legacy, non-file)") {
+    val p = Paths.get("/tmp/some dir/f1.parquet")
+    assert(LakeLog.copyIntoLocalPath(s"copy-into:${p.toUri}:12345")
+      === Some(p))
+    assert(LakeLog.copyIntoLocalPath(s"copy-into:${p.toUri}") === Some(p))
+    assert(LakeLog.copyIntoLocalPath("copy-into:s3://bucket/k:77") === None)
+    assert(LakeLog.copyIntoLocalPath("stream-sink-42") === None)
+  }
+
   test("SQL: COPY INTO path FROM src FILEFORMAT = PARQUET [FORCE]") {
     val src = tmpDir("copy-src")
     writeOne(Seq((1L, "a")).toDF("id", "v"), src, "f1.parquet")
