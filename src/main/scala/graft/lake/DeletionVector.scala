@@ -55,7 +55,35 @@ object DeletionVector {
     rel
   }
 
-  /** Read a DV file back to its sorted index array. */
+  /** Read a DV file into the compressed [[RowIndexSet]] form — the
+    * long-lived executor-side representation (see [[DvRowDeleted]]).
+    * Streams the varint decode straight into containers; the raw
+    * index array is never materialized.
+    */
+  def readSet(file: Path): RowIndexSet = {
+    val in = new BufferedInputStream(Files.newInputStream(file))
+    try {
+      val magic = in.readNBytes(4)
+      require(java.util.Arrays.equals(magic, MAGIC),
+        s"not a deletion vector file: $file")
+      val n = readVarint(in).toInt
+      RowIndexSet.fromSorted(new Iterator[Long] {
+        private var prev = -1L
+        private var i = 0
+        def hasNext: Boolean = i < n
+        def next(): Long = {
+          val gap = readVarint(in)
+          prev = prev + gap + (if (i == 0) 0 else 1)
+          i += 1
+          prev
+        }
+      })
+    } finally in.close()
+  }
+
+  /** Read a DV file back to its sorted index array (the transient
+    * per-file form the DML merge/rewrite paths use).
+    */
   def read(file: Path): Array[Long] = {
     val in = new BufferedInputStream(Files.newInputStream(file))
     try {

@@ -24,13 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * FULL-TABLE shuffle on every read of a big-delete table until a
   * rewrite purged the DVs. Here deletion never plans a join at all:
   * the file→DV-path map (O(files with DVs), a few MB at 100k files)
-  * rides the plan as ONE binary literal, executors lazily read each
-  * DV sidecar once (process-wide soft-referenced cache — DV files are
-  * immutable, uuid-named), and membership is a binary search inside
-  * the scan's whole-stage-codegen'd filter. Cost per row: one cached
-  * pointer-equality file check + O(log deletions-in-file). This is how
-  * Delta applies DVs — a per-file row-index bitmap inside the scan,
-  * no join at any cardinality.
+  * rides the plan as ONE binary literal, executors lazily decode each
+  * DV sidecar once into a compressed [[RowIndexSet]] (process-wide
+  * soft-referenced cache — DV files are immutable, uuid-named; memory
+  * is bounded ≲1 bit/row per file, not 8 B/deletion), and membership
+  * is a container lookup + bit test inside the scan's
+  * whole-stage-codegen'd filter. This is how Delta applies DVs — a
+  * per-file roaring row-index bitmap inside the scan, no join at any
+  * cardinality.
   *
   * The third child is a foldable [[BinaryType]] literal encoding the
   * map (length-prefixed UTF-8 pairs), so the expression round-trips
@@ -57,17 +58,17 @@ case class DvRowDeleted(first: Expression, second: Expression,
   // instances are task-confined (deserialized from the stage's
   // taskBinary), so plain fields are safe.
   @transient private var lastFile: UTF8String = _
-  @transient private var lastDv: Array[Long] = _
+  @transient private var lastDv: RowIndexSet = _
 
   def contains(file: UTF8String, idx: Long): Boolean = {
     if (lastFile == null || !lastFile.equals(file)) {
       lastFile = file.clone()
       lastDv = dvFor.get(file.toString) match {
         case null => null
-        case dv => DvRowDeleted.indices(dv)
+        case dv => DvRowDeleted.indexSet(dv)
       }
     }
-    lastDv != null && java.util.Arrays.binarySearch(lastDv, idx) >= 0
+    lastDv != null && lastDv.contains(idx)
   }
 
   override def nullSafeEval(file: Any, idx: Any, bytes: Any): Any =
@@ -88,20 +89,27 @@ case class DvRowDeleted(first: Expression, second: Expression,
 
 object DvRowDeleted {
 
-  /** Executor-local cache of decoded DV index arrays, keyed by sidecar
-    * path. DV files are immutable and uuid-named — no invalidation,
-    * only memory bounding via soft references.
+  /** Executor-local cache of decoded DVs in compressed
+    * [[RowIndexSet]] form (bounded ≲1 bit/row per file instead of
+    * 8 B/deletion), keyed by sidecar path. DV files are immutable and
+    * uuid-named — no content invalidation, only memory bounding via
+    * soft references; a key whose referent the GC cleared is removed
+    * on the next miss so the map itself cannot accumulate dead
+    * entries across snapshots on a long-lived executor.
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, SoftReference[Array[Long]]]()
+    String, SoftReference[RowIndexSet]]()
 
-  def indices(dvPath: String): Array[Long] = {
+  def indexSet(dvPath: String): RowIndexSet = {
     val ref = cache.get(dvPath)
-    val cached = if (ref == null) null else ref.get()
-    if (cached != null) return cached
-    val arr = DeletionVector.read(java.nio.file.Paths.get(dvPath))
-    cache.put(dvPath, new SoftReference(arr))
-    arr
+    if (ref != null) {
+      val cached = ref.get()
+      if (cached != null) return cached
+      cache.remove(dvPath, ref)
+    }
+    val set = DeletionVector.readSet(java.nio.file.Paths.get(dvPath))
+    cache.put(dvPath, new SoftReference(set))
+    set
   }
 
   def encode(dvFor: Seq[(String, String)]): Array[Byte] = {
@@ -138,11 +146,16 @@ object DvRowDeleted {
       NAME, exprs => DvRowDeleted(exprs(0), exprs(1), exprs(2)), "built-in")
 
   /** Column API: row (filePath, rowIndex) is deleted per `dvFor`
-    * (absolute data-file path → absolute DV sidecar path).
+    * (absolute data-file path → absolute DV sidecar path). Takes the
+    * session the Column will be ANALYZED against — registering on
+    * `SparkSession.active` instead would leave the function
+    * unresolved when the consuming DataFrame belongs to a different
+    * session (cloned streaming-microbatch sessions, multi-session
+    * apps).
     */
-  def apply(filePath: Column, rowIndex: Column,
+  def apply(spark: SparkSession, filePath: Column, rowIndex: Column,
       dvFor: Seq[(String, String)]): Column = {
-    register(SparkSession.active)
+    register(spark)
     org.apache.spark.sql.functions.call_function(NAME, filePath, rowIndex,
       org.apache.spark.sql.functions.lit(encode(dvFor)))
   }

@@ -221,7 +221,7 @@ object LakeDataSource {
       (LakeLog.resolveFile(tablePath, f.path).toString,
         LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
     }
-    df.filter(!graft.lake.DvRowDeleted(
+    df.filter(!graft.lake.DvRowDeleted(df.sparkSession,
       col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
   }
 

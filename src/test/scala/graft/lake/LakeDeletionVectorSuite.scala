@@ -31,6 +31,42 @@ class LakeDeletionVectorSuite extends SparkSuite {
       Array(0L, 1L, 2L, 5L, 1000L, 999999L, 1000000L))
   }
 
+  test("RowIndexSet: sparse/dense containers agree with the raw set") {
+    val rnd = new scala.util.Random(42)
+    // mixed shape: a sparse low container, a DENSE container (forces
+    // the bitmap conversion at >4096), a gap of empty containers, and
+    // boundary values at 65535/65536 and a huge index
+    val dense = (0 until 30000).map(_ => (65536L * 3) + rnd.nextInt(65536))
+    val sparse = Seq(0L, 1L, 17L, 65535L, 65536L, 1L << 40)
+    val all = (dense ++ sparse).distinct.sorted.toArray
+    val set = RowIndexSet.fromSorted(all)
+    assert(set.cardinality === all.length.toLong)
+    val member = all.toSet
+    assert(all.forall(set.contains))
+    val probes = (0 until 20000).map(_ => rnd.nextLong(65536L * 5))
+    probes.foreach { p =>
+      assert(set.contains(p) === member(p), s"probe $p")
+    }
+    assert(!set.contains(-1L))
+    assert(!set.contains((1L << 40) + 1))
+  }
+
+  test("RowIndexSet: streaming DV decode matches array decode") {
+    val dir = tmpDir("dv-set")
+    val rnd = new scala.util.Random(7)
+    val idxs = (0 until 9000).map(_ => rnd.nextLong(1L << 30))
+      .distinct.sorted.toArray
+    val rel = DeletionVector.write(dir, idxs)
+    val set = DeletionVector.readSet(Paths.get(dir, rel))
+    assert(set.cardinality === idxs.length.toLong)
+    assert(idxs.forall(set.contains))
+    val member = idxs.toSet
+    (0 until 9000).foreach { _ =>
+      val p = rnd.nextLong(1L << 30)
+      assert(set.contains(p) === member(p))
+    }
+  }
+
   test("DV delete soft-deletes without rewriting data files") {
     val path = dvTable("dv1")
     val t = LakeTable.forPath(spark, path)
