@@ -33,8 +33,12 @@ object FilePruner {
     val conjuncts = filters.flatMap(splitConjuncts)
     val schemaByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val partCols = snap.partitionColumns.toSet
+    // AddFile min/max stats are keyed by the PHYSICAL column names the
+    // footers carry; predicates arrive under logical names — translate
+    // at lookup so skipping keeps working across renames
+    val physFor = ColumnMapping.overrides(snap.metadata)
     snap.files.filter { f =>
-      conjuncts.forall(c => mayMatch(c, f, schemaByName, partCols))
+      conjuncts.forall(c => mayMatch(c, f, schemaByName, partCols, physFor))
     }
   }
 
@@ -97,18 +101,23 @@ object FilePruner {
   /** Conservative per-file test of one conjunct against stats. */
   private def mayMatch(
       e: Expression, f: AddFile,
-      types: Map[String, DataType], partCols: Set[String]): Boolean = {
+      types: Map[String, DataType], partCols: Set[String],
+      physFor: Map[String, String] = Map.empty): Boolean = {
     def bound(name: String): Option[(String, String)] = {
       if (partCols.contains(name))
         // null partition values (stored as null; legacy logs may carry
         // the Hive sentinel) have no orderable bound — keep the file
+        // (partition columns are always identity-mapped)
         f.partitionValues.get(name)
           .filter(v => v != null && v != LakeWriter.HIVE_NULL)
           .map(v => (v, v))
-      else for {
-        lo <- f.minValues.get(name)
-        hi <- f.maxValues.get(name)
-      } yield (lo, hi)
+      else {
+        val statsKey = physFor.getOrElse(name, name)
+        for {
+          lo <- f.minValues.get(statsKey)
+          hi <- f.maxValues.get(statsKey)
+        } yield (lo, hi)
+      }
     }
     def cmpTo(name: String, lit: Any): Option[(Int, Int)] = {
       // (cmp(min, lit), cmp(max, lit)) under the column's type ordering
@@ -133,9 +142,9 @@ object FilePruner {
       case LessThanOrEqual(Attr(n), Literal(v, _)) =>
         cmpTo(n, v).forall { case (l, _) => l <= 0 }
       case GreaterThan(Literal(v, _), a @ Attr(_)) =>
-        mayMatch(LessThan(a, Literal(v)), f, types, partCols)
+        mayMatch(LessThan(a, Literal(v)), f, types, partCols, physFor)
       case LessThan(Literal(v, _), a @ Attr(_)) =>
-        mayMatch(GreaterThan(a, Literal(v)), f, types, partCols)
+        mayMatch(GreaterThan(a, Literal(v)), f, types, partCols, physFor)
       case _ => true // unknown shape: keep the file
     }
   }

@@ -13,20 +13,29 @@ object LakeProtocol {
   val SUPPORTED_WRITER_VERSION = 3
 
   val FEATURE_DELETION_VECTORS = "deletionVectors"
+  val FEATURE_COLUMN_MAPPING = "columnMapping"
 
-  val SUPPORTED_READER_FEATURES: Set[String] = Set(FEATURE_DELETION_VECTORS)
-  val SUPPORTED_WRITER_FEATURES: Set[String] = Set(FEATURE_DELETION_VECTORS)
+  val SUPPORTED_READER_FEATURES: Set[String] =
+    Set(FEATURE_DELETION_VECTORS, FEATURE_COLUMN_MAPPING)
+  val SUPPORTED_WRITER_FEATURES: Set[String] =
+    Set(FEATURE_DELETION_VECTORS, FEATURE_COLUMN_MAPPING)
 
   /** The protocol a table with `props` requires. Feature-bearing
     * tables use version 3 (feature-list form); plain tables stay at
-    * the implicit (1, 1).
+    * the implicit (1, 1). Both features gate READERS too: an unaware
+    * engine would resurrect DV-deleted rows or null-out renamed
+    * columns.
     */
-  def requiredFor(props: Map[String, String]): Protocol =
-    if (props.get(LakeTable.PROP_ENABLE_DV).contains("true"))
-      Protocol(3, 3,
-        readerFeatures = Seq(FEATURE_DELETION_VECTORS),
-        writerFeatures = Seq(FEATURE_DELETION_VECTORS))
-    else Protocol()
+  def requiredFor(props: Map[String, String]): Protocol = {
+    val features = Seq(
+      FEATURE_DELETION_VECTORS ->
+        props.get(LakeTable.PROP_ENABLE_DV).contains("true"),
+      FEATURE_COLUMN_MAPPING -> ColumnMapping.enabled(props)
+    ).collect { case (f, true) => f }
+    if (features.isEmpty) Protocol()
+    else Protocol(3, 3,
+      readerFeatures = features, writerFeatures = features)
+  }
 
   /** `current` upgraded (never downgraded) to also satisfy `needed` —
     * Delta semantics: versions and features only ratchet up.

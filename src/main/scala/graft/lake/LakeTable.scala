@@ -109,10 +109,13 @@ final class LakeTable private (
   def addColumns(cols: Seq[(String, String)]): Unit = {
     require(cols.nonEmpty, "addColumns needs at least one column")
     val snap = snapshot()
+    val mapped = ColumnMapping.enabled(snap.metadata)
     cols.foreach { case (name, _) =>
       require(!snap.schema.fieldNames.contains(name),
         s"column $name already exists on $tablePath")
-      LakeTable.assertNotDropped(snap, name, tablePath)
+      // under column mapping a re-added name gets a FRESH physical
+      // name, so the resurrection hazard the tombstone guards is gone
+      if (!mapped) LakeTable.assertNotDropped(snap, name, tablePath)
     }
     val newSchema = org.apache.spark.sql.types.StructType(
       snap.schema.fields ++ cols.map { case (name, ddlType) =>
@@ -120,7 +123,14 @@ final class LakeTable private (
           name, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
           nullable = true)
       })
-    val meta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
+    val schemaMeta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
+    val meta =
+      if (!mapped) schemaMeta
+      else schemaMeta.copy(properties = schemaMeta.properties +
+        (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(
+          ColumnMapping.overrides(snap.metadata) ++
+            cols.map { case (n, _) =>
+              n -> ColumnMapping.freshPhysical() })))
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
         Map("columns" -> cols.map { case (n, t) => s"$n $t" }
@@ -163,12 +173,24 @@ final class LakeTable private (
     val newSchema = org.apache.spark.sql.types.StructType(
       snap.schema.fields.filterNot(_.name == name))
     require(newSchema.nonEmpty, s"cannot drop the last column of $tablePath")
-    val dropped = (LakeTable.droppedColumns(snap.metadata.properties) +
-      name).toSeq.sorted.mkString(",")
-    val meta = snap.metadata.copy(
-      schemaDDL = newSchema.toDDL,
-      properties = snap.metadata.properties +
-        (LakeTable.PROP_DROPPED_COLUMNS -> dropped))
+    val meta =
+      if (ColumnMapping.enabled(snap.metadata)) {
+        // no tombstone needed: a re-added name gets a fresh physical
+        // name (LakeWriter evolution / addColumns), so the dropped
+        // column's bytes can never resurrect. Just retire the entry.
+        val ov = ColumnMapping.overrides(snap.metadata) - name
+        snap.metadata.copy(
+          schemaDDL = newSchema.toDDL,
+          properties = snap.metadata.properties +
+            (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(ov)))
+      } else {
+        val dropped = (LakeTable.droppedColumns(snap.metadata.properties) +
+          name).toSeq.sorted.mkString(",")
+        snap.metadata.copy(
+          schemaDDL = newSchema.toDDL,
+          properties = snap.metadata.properties +
+            (LakeTable.PROP_DROPPED_COLUMNS -> dropped))
+      }
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "DROP COLUMNS",
         Map("column" -> name)), meta)
@@ -176,21 +198,21 @@ final class LakeTable private (
     ()
   }
 
-  /** ALTER TABLE RENAME COLUMN: an identity rewrite of the whole
-    * table under the new name, in one atomic commit (time travel to
-    * the old name still works — history is untouched).
+  /** ALTER TABLE RENAME COLUMN.
     *
-    * Deliberately NOT metadata-only: parquet resolves columns by
-    * name, so a pure-metadata rename would silently null-out the
-    * column in every existing file. The alternatives are (a) this
-    * rewrite, or (b) Delta-style column mapping — a stable physical
-    * name per column carried through every write, read, stats and CDC
-    * path. Delta itself REJECTS rename unless column mapping is
-    * enabled; this engine takes the rewrite: rename is a rare,
-    * deliberate operation, and an explicit O(table) rewrite beats
-    * threading a logical→physical indirection through every hot path
-    * for it. At 100 TB, scope renames to young tables or accept the
-    * one-off rewrite cost (executor-parallel, one commit).
+    * On a column-mapped table ([[ColumnMapping]], Delta's
+    * `columnMapping.mode=name` analog) the rename is METADATA-ONLY:
+    * the column keeps its stable physical name, only the
+    * logical→physical override table moves — O(1) at any table size,
+    * no file touched, time travel across the rename correct on both
+    * sides because each version reads through its own mapping.
+    *
+    * Without mapping it is an identity rewrite of the whole table
+    * under the new name, in one atomic commit (parquet resolves
+    * columns by name, so a pure-metadata rename would silently
+    * null-out the column in every existing file; Delta REJECTS rename
+    * outright in this mode). At 100 TB: enable column mapping first —
+    * `setTblProperties(Map("graft.columnMapping.mode" -> "name"))`.
     */
   def renameColumn(oldName: String, newName: String): Unit = {
     val snap = snapshot()
@@ -202,7 +224,8 @@ final class LakeTable private (
     require(!snap.partitionColumns.contains(oldName),
       s"cannot rename partition column $oldName (partition values are " +
       "encoded in file paths; recreate the table instead)")
-    LakeTable.assertNotDropped(snap, newName, tablePath)
+    if (!ColumnMapping.enabled(snap.metadata))
+      LakeTable.assertNotDropped(snap, newName, tablePath)
     val parser = spark.sessionState.sqlParser
     def references(exprStr: String): Boolean =
       parser.parseExpression(exprStr).collect {
@@ -225,6 +248,22 @@ final class LakeTable private (
       snap.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
     val meta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
+    if (ColumnMapping.enabled(snap.metadata)) {
+      // metadata-only: the column keeps its PHYSICAL name; only the
+      // logical→physical override table moves. No file is touched —
+      // rename is O(1) at any table size.
+      val ov = ColumnMapping.overrides(snap.metadata)
+      val newOv = (ov - oldName) +
+        (newName -> ColumnMapping.physicalName(oldName, ov))
+      val mappedMeta = meta.copy(properties = meta.properties +
+        (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(
+          newOv.filter { case (l, p) => l != p })))
+      LakeWriter.commitWithRetry(log) { _ =>
+        Seq(CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
+          Map("from" -> oldName, "to" -> newName)), mappedMeta)
+      }
+      return
+    }
     if (snap.files.isEmpty) {
       LakeWriter.commitWithRetry(log) { _ =>
         Seq(CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
@@ -770,6 +809,12 @@ final class LakeTable private (
   def setTblProperties(props: Map[String, String]): Unit = {
     LakeTable.validateProperties(props)
     val snap = snapshot()
+    // column mapping is a one-way door: files already written under
+    // override physical names would be misread the moment the
+    // translation stops
+    require(!(ColumnMapping.enabled(snap.metadata) &&
+        props.get(ColumnMapping.MODE_PROP).exists(_ != "name")),
+      s"${ColumnMapping.MODE_PROP} cannot be disabled once enabled")
     val meta = snap.metadata.copy(
       properties = snap.metadata.properties ++ props)
     // Enabling a protocol-gated feature (deletion vectors) ratchets
@@ -792,6 +837,11 @@ final class LakeTable private (
     */
   def unsetTblProperties(keys: Seq[String]): Unit = {
     val snap = snapshot()
+    require(!(ColumnMapping.enabled(snap.metadata) &&
+        keys.exists(k => k == ColumnMapping.MODE_PROP ||
+          k == ColumnMapping.TABLE_PROP)),
+      "column mapping properties cannot be removed once enabled " +
+      "(files already carry physical column names)")
     val meta = snap.metadata.copy(
       properties = snap.metadata.properties -- keys)
     LakeWriter.commitWithRetry(log) { _ =>
@@ -1662,7 +1712,8 @@ object LakeTable {
   private[graft] def canonicalPropertyKey(k: String): String =
     Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE,
       PROP_APPEND_ONLY, PROP_AUTO_COMPACT, PROP_AUTO_COMPACT_MIN_FILES,
-      PROP_ENABLE_DV)
+      PROP_ENABLE_DV, ColumnMapping.MODE_PROP,
+      LakeLog.COPY_INTO_RETENTION_PROP)
       .find(_.equalsIgnoreCase(k)).getOrElse(k)
 
   /** Shared by SET TBLPROPERTIES and create-time writer properties:
@@ -1688,6 +1739,16 @@ object LakeTable {
           // can evolve after the property is set)
           require(v.split(",").exists(_.trim.nonEmpty),
             s"$k must name at least one column, got '$v'")
+        case ColumnMapping.MODE_PROP =>
+          require(v == "name" || v == "none",
+            s"$k must be 'name' or 'none', got '$v'")
+        case ColumnMapping.TABLE_PROP =>
+          throw new IllegalArgumentException(
+            s"$k is maintained by the engine (RENAME/ADD/DROP COLUMN); " +
+            s"set ${ColumnMapping.MODE_PROP}=name to enable column mapping")
+        case LakeLog.COPY_INTO_RETENTION_PROP =>
+          require(scala.util.Try(v.toDouble).isSuccess,
+            s"$k must be a number of hours (negative disables), got '$v'")
         case g if g.startsWith(PROP_GENERATED_PREFIX) =>
           require(g.length > PROP_GENERATED_PREFIX.length,
             s"$k is missing the column name")
@@ -1712,7 +1773,9 @@ object LakeTable {
             s"$PROP_RETENTION_HOURS, $PROP_ENABLE_CDF, " +
             s"$PROP_OPTIMIZE_WRITE, $PROP_APPEND_ONLY, " +
             s"$PROP_AUTO_COMPACT, $PROP_AUTO_COMPACT_MIN_FILES, " +
-            s"$PROP_ENABLE_DV, $PROP_CLUSTER_BY)")
+            s"$PROP_ENABLE_DV, $PROP_CLUSTER_BY, " +
+            s"${ColumnMapping.MODE_PROP}, " +
+            s"${LakeLog.COPY_INTO_RETENTION_PROP})")
       }
     }
   /** Below these sizes the driver loop wins (job-launch overhead). */

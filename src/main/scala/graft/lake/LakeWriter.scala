@@ -129,16 +129,38 @@ object LakeWriter {
             .cast("long"))
     }
 
+    val mappingOn = ColumnMapping.enabled(effectiveProps)
     val finalSchema = existing match {
       case Some(s) =>
         // a mergeSchema write must not re-introduce a dropped column —
-        // same resurrection hazard ADD COLUMN guards against
-        withIdentity.schema.fieldNames
-          .filterNot(s.schema.fieldNames.contains)
-          .foreach(LakeTable.assertNotDropped(s, _, tablePath))
+        // same resurrection hazard ADD COLUMN guards against. Under
+        // column mapping the hazard does not exist: the re-added
+        // column gets a fresh physical name, so old bytes stay dark.
+        if (!mappingOn)
+          withIdentity.schema.fieldNames
+            .filterNot(s.schema.fieldNames.contains)
+            .foreach(LakeTable.assertNotDropped(s, _, tablePath))
         reconcileSchema(s.schema, withIdentity.schema, mergeSchema, tablePath)
       case None => withIdentity.schema
     }
+    // Column-mapped evolution: columns this commit INTRODUCES get
+    // fresh physical names, recorded in the same metadata action the
+    // schema change rides (a crash can never leave files whose
+    // physical names the log does not explain).
+    val curOverrides = existing.map(s => ColumnMapping.overrides(s.metadata))
+      .getOrElse(Map.empty[String, String])
+    val newMappingEntries: Map[String, String] =
+      if (!mappingOn) Map.empty
+      else finalSchema.fieldNames
+        .filterNot(existing.map(_.schema.fieldNames.toSet)
+          .getOrElse(finalSchema.fieldNames.toSet))
+        .map(n => n -> ColumnMapping.freshPhysical()).toMap
+    val effectiveMapping: Map[String, String] =
+      if (!mappingOn) Map.empty else curOverrides ++ newMappingEntries
+    val mappingProps: Map[String, String] =
+      if (newMappingEntries.isEmpty) Map.empty
+      else Map(ColumnMapping.TABLE_PROP ->
+        ColumnMapping.encode(effectiveMapping))
     partCols.foreach { c =>
       require(finalSchema.fieldNames.contains(c),
         s"partition column $c not in schema ${finalSchema.simpleString}")
@@ -186,7 +208,8 @@ object LakeWriter {
               else {
                 val kept = t.readFiles(snap, touched).filter(
                   !org.apache.spark.sql.functions.coalesce(cond, lit(false)))
-                (touched, stageAndAdopt(kept, tablePath, partCols))
+                (touched,
+                  stageAndAdopt(kept, tablePath, partCols, effectiveMapping))
               }
           }
         }
@@ -206,7 +229,7 @@ object LakeWriter {
 
     // Stage the physical write, then adopt files into the table dir.
     {
-      val adds = stageAndAdopt(toWrite, tablePath, partCols)
+      val adds = stageAndAdopt(toWrite, tablePath, partCols, effectiveMapping)
 
       // Identity high-water mark advance, read back from the WRITTEN
       // files' footer stats — the staged parquet is the only safe
@@ -215,8 +238,11 @@ object LakeWriter {
       // from what landed on disk.
       val hwmUpdates: Map[String, String] = idCols.flatMap {
         case (n, (_, step)) =>
+          // footer stats are keyed by physical name (identity columns
+          // cannot be renamed, so this is normally the identity map)
+          val statsKey = ColumnMapping.physicalName(n, effectiveMapping)
           val vals = adds.flatMap(a =>
-            (if (step > 0) a.maxValues else a.minValues).get(n))
+            (if (step > 0) a.maxValues else a.minValues).get(statsKey))
             .map(_.toLong)
           if (vals.isEmpty) None
           else Some(LakeTable.identityHwmKey(n) ->
@@ -269,12 +295,14 @@ object LakeWriter {
           case None => Nil
         }
         val meta =
-          if (version == 0L || schemaChanged || hwmUpdates.nonEmpty)
+          if (version == 0L || schemaChanged || hwmUpdates.nonEmpty ||
+              mappingProps.nonEmpty)
             Seq(Metadata(finalSchema.toDDL, partCols,
               System.currentTimeMillis(),
               existing.map(_.metadata.constraints).getOrElse(Map.empty),
               existing.map(_.metadata.properties)
-                .getOrElse(Map.empty) ++ properties ++ hwmUpdates))
+                .getOrElse(Map.empty) ++ properties ++ hwmUpdates ++
+                mappingProps))
           else Nil
         // v0 declares the protocol the table's properties require
         // (feature-bearing tables — e.g. deletion vectors — ratchet
@@ -319,14 +347,29 @@ object LakeWriter {
     * hidden staging dir inside the table, then move the files into the
     * table layout and return their AddFile actions. The files are
     * invisible to readers until a commit references them.
+    *
+    * Column-mapped tables ([[ColumnMapping]]) write PHYSICAL names:
+    * `physicalFor` null (the default) resolves the current overrides
+    * from the table's log — right for every DML/compaction caller,
+    * which writes the current schema; `write()` passes its computed
+    * mapping explicitly because a schema-evolving commit assigns
+    * physical names for columns the log does not know yet.
     */
   private[lake] def stageAndAdopt(
-      df: DataFrame, tablePath: String, partCols: Seq[String]): Seq[AddFile] = {
+      df: DataFrame, tablePath: String, partCols: Seq[String],
+      physicalFor: Map[String, String] = null): Seq[AddFile] = {
     val spark = df.sparkSession
+    val mapping = Option(physicalFor).getOrElse {
+      val log = new LakeLog(tablePath)
+      if (log.exists) ColumnMapping.overrides(log.snapshot().metadata)
+      else Map.empty[String, String]
+    }
+    val physDf = ColumnMapping.toPhysical(df, mapping)
     val staging = Paths.get(tablePath, s".staging-${UUID.randomUUID()}")
     Files.createDirectories(staging)
     try {
-      val writer = df.write.mode("overwrite")
+      val writer = physDf.write.mode("overwrite")
+      // partition columns are identity-mapped by invariant
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(staging.toString)
       adoptStagedFiles(spark, staging, Paths.get(tablePath))

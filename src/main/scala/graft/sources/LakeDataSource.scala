@@ -165,12 +165,20 @@ final class LakeDataSource extends RelationProvider
     val partCols = snap.partitionColumns.toSet
     val dataSchema =
       StructType(snap.schema.fields.filterNot(f => partCols.contains(f.name)))
+    // column-mapped tables read through the name-translating format;
+    // the mapping is the SNAPSHOT's (time travel to a pre-rename
+    // version uses that version's own logical→physical table)
+    val mapping = graft.lake.ColumnMapping.overrides(snap.metadata)
+      .filter { case (l, p) => l != p }
+    val format =
+      if (mapping.isEmpty) new ParquetFileFormat
+      else new MappedParquetFileFormat(mapping)
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = format,
       options = parameters)(spark)
   }
 }

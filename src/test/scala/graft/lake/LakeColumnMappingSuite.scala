@@ -1,0 +1,187 @@
+package graft.lake
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Column mapping (Delta columnMapping.mode=name analog): metadata-only
+  * RENAME COLUMN, physical-name writes, stats skipping across renames,
+  * safe drop/re-add, time travel through the rename, protocol gating.
+  */
+class LakeColumnMappingSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def seed = Seq.tabulate(100)(i => (i.toLong, s"k$i", i % 10))
+    .toDF("id", "k", "bucket").coalesce(2)
+
+  private def mappedTable(name: String): String = {
+    val path = tablePath(name)
+    LakeWriter.write(seed, path)
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(ColumnMapping.MODE_PROP -> "name"))
+    path
+  }
+
+  test("rename is metadata-only: file set unchanged, data correct") {
+    val path = mappedTable("cm1")
+    val t = LakeTable.forPath(spark, path)
+    val filesBefore = t.snapshot().files.map(f => (f.path, f.size)).toSet
+    t.renameColumn("k", "label")
+    val after = LakeTable.forPath(spark, path)
+    assert(after.snapshot().files.map(f => (f.path, f.size)).toSet ===
+      filesBefore, "rename must not touch a single data file")
+    assert(after.toDF.columns.toSeq === Seq("id", "label", "bucket"))
+    assert(after.toDF.filter($"id" === 7L).select("label").as[String].head
+      === "k7")
+    assert(after.toDF.count() === 100L)
+  }
+
+  test("time travel across the rename: each version has its own names") {
+    val path = mappedTable("cm2")
+    val t = LakeTable.forPath(spark, path)
+    val preRename = t.snapshot().version
+    t.renameColumn("k", "label")
+    val after = LakeTable.forPath(spark, path)
+    assert(after.asOf(preRename).columns.contains("k"))
+    assert(after.asOf(preRename).filter($"id" === 3L)
+      .select("k").as[String].head === "k3")
+    assert(after.toDF.columns.contains("label"))
+  }
+
+  test("appends after the rename land under the stable physical name") {
+    val path = mappedTable("cm3")
+    val t = LakeTable.forPath(spark, path)
+    t.renameColumn("k", "label")
+    LakeWriter.write(
+      Seq((100L, "k100", 0)).toDF("id", "label", "bucket"), path)
+    val got = LakeTable.forPath(spark, path).toDF
+    assert(got.count() === 101L)
+    // rows from both pre- and post-rename files resolve the column
+    assert(got.filter($"id".isin(7L, 100L)).select("label")
+      .as[String].collect().sorted === Array("k100", "k7"))
+    // physical file actually carries the ORIGINAL name
+    val newest = LakeTable.forPath(spark, path).snapshot().files
+      .map(_.path).filterNot(
+        LakeTable.forPath(spark, path).asOf(0).inputFiles
+          .map(f => f.substring(f.indexOf(path) + path.length + 1)).toSet)
+    val raw = spark.read.parquet(
+      newest.map(p => s"$path/$p"): _*)
+    assert(raw.columns.contains("k") && !raw.columns.contains("label"))
+  }
+
+  test("filter pushdown and stats skipping survive the rename") {
+    val path = tablePath("cm4")
+    // two files with disjoint id ranges → skippable stats
+    LakeWriter.write(
+      spark.range(0, 50).select($"id", lit("a").as("k")).coalesce(1), path)
+    LakeWriter.write(
+      spark.range(50, 100).select($"id", lit("b").as("k")).coalesce(1), path)
+    val t = LakeTable.forPath(spark, path)
+    t.setTblProperties(Map(ColumnMapping.MODE_PROP -> "name"))
+    t.renameColumn("id", "row_id")
+    val after = LakeTable.forPath(spark, path)
+    // data skipping via the log: only one file survives pruning
+    val pruned = FilePruner.prune(after.snapshot(), "row_id >= 50")
+    assert(pruned.size === 1, pruned.map(_.path))
+    // parquet pushdown: PushedFilters non-empty (under the physical
+    // name) and the result correct
+    val df = after.toDF.filter($"row_id" === 60L)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("PushedFilters: []"), plan)
+    assert(df.select("k").as[String].head === "b")
+  }
+
+  test("drop then re-add under mapping: no resurrection, fresh physical") {
+    val path = mappedTable("cm5")
+    val t = LakeTable.forPath(spark, path)
+    t.dropColumn("k")
+    val t2 = LakeTable.forPath(spark, path)
+    assert(!t2.toDF.columns.contains("k"))
+    // re-add is ALLOWED (unmapped tables reject this) and reads null
+    t2.addColumn("k", "STRING")
+    val got = LakeTable.forPath(spark, path).toDF
+    assert(got.columns.contains("k"))
+    assert(got.filter($"k".isNotNull).count() === 0L,
+      "old bytes must not resurrect under the re-added name")
+    // and the re-added column round-trips through a write
+    LakeWriter.write(Seq((200L, "fresh", 0)).toDF("id", "k", "bucket"), path)
+    assert(LakeTable.forPath(spark, path).toDF
+      .filter($"k" === "fresh").count() === 1L)
+  }
+
+  test("DML on a mapped table after rename (CoW delete + update)") {
+    val path = mappedTable("cm6")
+    val t = LakeTable.forPath(spark, path)
+    t.renameColumn("k", "label")
+    LakeTable.forPath(spark, path).delete("label = 'k5'")
+    val afterDel = LakeTable.forPath(spark, path)
+    assert(afterDel.toDF.count() === 99L)
+    afterDel.update("id = 6", Map("label" -> "'updated'"))
+    val got = LakeTable.forPath(spark, path).toDF
+    assert(got.filter($"label" === "updated")
+      .select("id").as[Long].head === 6L)
+    assert(got.count() === 99L)
+  }
+
+  test("mergeSchema evolution post-enable assigns a fresh physical name") {
+    val path = mappedTable("cm7")
+    LakeWriter.write(
+      Seq((300L, "k300", 1, 9.5)).toDF("id", "k", "bucket", "score"),
+      path, mergeSchema = true)
+    val t = LakeTable.forPath(spark, path)
+    val ov = ColumnMapping.overrides(t.snapshot().metadata)
+    assert(ov.contains("score") && ov("score").startsWith("col-"), ov)
+    val got = t.toDF
+    assert(got.filter($"score".isNotNull).count() === 1L)
+    assert(got.filter($"id" === 300L).select("score").as[Double].head === 9.5)
+    // old files null-fill the new column
+    assert(got.filter($"id" === 1L).select("score").isEmpty
+      || got.filter($"id" === 1L).select("score").as[Option[Double]]
+        .head.isEmpty)
+  }
+
+  test("rename of a partition column stays rejected; mapping is one-way") {
+    val path = tablePath("cm8")
+    LakeWriter.write(seed.withColumn("par", $"id" % 2), path,
+      partitionBy = Seq("par"))
+    val t = LakeTable.forPath(spark, path)
+    t.setTblProperties(Map(ColumnMapping.MODE_PROP -> "name"))
+    intercept[IllegalArgumentException] {
+      LakeTable.forPath(spark, path).renameColumn("par", "parity")
+    }
+    intercept[IllegalArgumentException] {
+      LakeTable.forPath(spark, path).setTblProperties(
+        Map(ColumnMapping.MODE_PROP -> "none"))
+    }
+    intercept[IllegalArgumentException] {
+      LakeTable.forPath(spark, path).unsetTblProperties(
+        Seq(ColumnMapping.MODE_PROP))
+    }
+  }
+
+  test("protocol gates mapped tables with the columnMapping feature") {
+    val path = mappedTable("cm9")
+    val p = LakeTable.forPath(spark, path).snapshot().protocol
+    assert(p.readerFeatures.contains(LakeProtocol.FEATURE_COLUMN_MAPPING), p)
+    assert(p.writerFeatures.contains(LakeProtocol.FEATURE_COLUMN_MAPPING), p)
+  }
+
+  test("repeated renames chase the same physical name; swap-safe") {
+    val path = mappedTable("cm10")
+    LakeTable.forPath(spark, path).renameColumn("k", "a")
+    LakeTable.forPath(spark, path).renameColumn("a", "b")
+    // swap: rename id→k (k is free), then b→id, exercising the
+    // one-projection physical rename (chained renames would collide)
+    LakeTable.forPath(spark, path).renameColumn("id", "k")
+    LakeTable.forPath(spark, path).renameColumn("b", "id")
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.columns.toSet === Set("k", "id", "bucket"))
+    // "id" now holds the ORIGINAL k strings; "k" the original ids
+    assert(t.toDF.filter($"k" === 7L).select("id").as[String].head === "k7")
+    // a write through the swapped names lands correctly
+    LakeWriter.write(Seq((999L, "k999", 3))
+      .toDF("k", "id", "bucket"), path)
+    assert(LakeTable.forPath(spark, path).toDF
+      .filter($"k" === 999L).select("id").as[String].head === "k999")
+  }
+}
