@@ -13,32 +13,33 @@ import scala.util.control.NonFatal
 final class LakeLog(val tablePath: String) {
   import LakeLog._
 
+  /** All log-critical storage I/O goes through the [[LogStore]] seam
+    * (commit publish, sidecar replace, listing, reads) — the local
+    * default preserves POSIX semantics; an object-store port swaps
+    * [[LogStore.current]] without touching this class.
+    */
+  private def store: LogStore = LogStore.current
+
   val logDir: Path = Paths.get(tablePath, LOG_DIR)
 
-  def exists: Boolean = Files.isDirectory(logDir) && latestVersion >= 0
+  def exists: Boolean = latestVersion >= 0
 
   /** Highest committed version, or -1 for a nonexistent table. */
-  def latestVersion: Long = {
-    if (!Files.isDirectory(logDir)) return -1L
+  def latestVersion: Long =
     listVersionFiles.lastOption.map(versionOf).getOrElse(-1L)
-  }
 
-  def listVersionFiles: Seq[Path] = {
-    if (!Files.isDirectory(logDir)) return Nil
-    val s = Files.list(logDir)
-    try s.iterator.asScala
+  def listVersionFiles: Seq[Path] =
+    store.listDir(logDir)
       .filter(p => VERSION_FILE_RE.matches(p.getFileName.toString))
-      .toSeq.sortBy(_.getFileName.toString)
-    finally s.close()
-  }
+      .sortBy(_.getFileName.toString)
 
   def readVersion(version: Long): Seq[Action] = {
     LakeLog.readVersionCalls.incrementAndGet()
     val p = versionFile(version)
-    if (!Files.exists(p))
+    if (!store.exists(p))
       throw new NoSuchFileException(
         s"version $version does not exist for lake table at $tablePath")
-    Files.readAllLines(p).asScala.iterator
+    store.readLines(p).iterator
       .map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toSeq
   }
 
@@ -52,7 +53,7 @@ final class LakeLog(val tablePath: String) {
   def commit(version: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)
     val target = versionFile(version)
-    if (Files.exists(target)) throw new ConcurrentWriteException(version)
+    if (store.exists(target)) throw new ConcurrentWriteException(version)
     // In-commit timestamp monotonicity (Delta's inCommitTimestamps):
     // clamp this commit's CommitInfo to strictly after the previous
     // commit's, so history order == timestamp order even under
@@ -79,18 +80,13 @@ final class LakeLog(val tablePath: String) {
           case a => a
         }
       }
-    val tmp = Files.createTempFile(logDir, s".tmp-$version-", ".json")
-    try {
-      Files.write(tmp, stamped.map(Action.toJson).asJava)
-      // Exclusive publish: createLink fails atomically if the version
-      // file already exists. (rename() would silently REPLACE an
-      // existing file — a lost commit under concurrent writers.)
-      try Files.createLink(target, tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrentWriteException(version)
-      }
-    } finally Files.deleteIfExists(tmp)
+    // Exclusive publish — put-if-absent is THE commit primitive:
+    // whoever wins the version file name owns the version.
+    try store.putIfAbsent(target, stamped.map(Action.toJson))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentWriteException(version)
+    }
     if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
       // all three are optimizations only — never fail the commit
       try writeCheckpoint(version)
@@ -109,14 +105,12 @@ final class LakeLog(val tablePath: String) {
     */
   private def firstCommitInfoTimestamp(version: Long): Option[Long] = {
     val p = versionFile(version)
-    if (!Files.exists(p)) return None
-    val lines = Files.lines(p)
-    try lines.iterator.asScala
+    if (!store.exists(p)) return None
+    store.readLines(p).iterator
       .map(_.trim)
       .filter(l => l.nonEmpty && l.contains("\"commitInfo\""))
       .map(Action.fromJson)
       .collectFirst { case c: CommitInfo => c.timestamp }
-    finally lines.close()
   }
 
   /** Drop checkpoints/history sidecars older than the newest
@@ -128,16 +122,15 @@ final class LakeLog(val tablePath: String) {
     */
   private def cleanupAuxFiles(latest: Long): Unit = {
     val keepFrom = latest - (RETAINED_AUX - 1) * CHECKPOINT_INTERVAL
-    val s = Files.list(logDir)
-    try s.iterator.asScala.foreach { p =>
+    store.listDir(logDir).foreach { p =>
       val n = p.getFileName.toString
       val stale =
         (CHECKPOINT_FILE_RE.matches(n) &&
           n.stripSuffix(".checkpoint.json").toLong < keepFrom) ||
         (HISTORY_FILE_RE.matches(n) &&
           n.stripSuffix(".history.json").toLong < keepFrom)
-      if (stale) Files.deleteIfExists(p)
-    } finally s.close()
+      if (stale) store.delete(p)
+    }
   }
 
   /** Write `<v>.checkpoint.json`: the full replayed state at v. */
@@ -148,12 +141,8 @@ final class LakeLog(val tablePath: String) {
       txns.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) } ++
       snap.files)
       .map(Action.toJson)
-    val target = logDir.resolve(f"$version%020d.checkpoint.json")
-    val tmp = Files.createTempFile(logDir, s".ckpt-$version-", ".json")
-    try {
-      Files.write(tmp, lines.asJava)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    } finally Files.deleteIfExists(tmp)
+    store.atomicReplace(
+      logDir.resolve(f"$version%020d.checkpoint.json"), lines)
     // the replay above cached the PRE-expiry snapshot for this
     // version; align the cache with the checkpoint just written
     if (txns.size != snap.transactions.size)
@@ -201,27 +190,20 @@ final class LakeLog(val tablePath: String) {
     val entries = prev ++ ((prevV + 1) to version).flatMap { v =>
       readVersion(v).collect { case c: CommitInfo => c.copy(version = v) }
     }
-    val target = logDir.resolve(f"$version%020d.history.json")
-    val tmp = Files.createTempFile(logDir, s".hist-$version-", ".json")
-    try {
-      Files.write(tmp, entries.map(c => Action.toJson(c)).asJava)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    } finally Files.deleteIfExists(tmp)
+    store.atomicReplace(
+      logDir.resolve(f"$version%020d.history.json"),
+      entries.map(c => Action.toJson(c)))
   }
 
   /** Latest history sidecar at or below `version`: (version, entries). */
   def latestHistoryAtOrBefore(version: Long): Option[(Long, Seq[CommitInfo])] = {
-    if (!Files.isDirectory(logDir)) return None
-    val s = Files.list(logDir)
-    val candidates =
-      try s.iterator.asScala
-        .filter(p => HISTORY_FILE_RE.matches(p.getFileName.toString))
-        .map(p => (p.getFileName.toString.stripSuffix(".history.json").toLong, p))
-        .filter(_._1 <= version)
-        .toSeq.sortBy(_._1)
-      finally s.close()
+    val candidates = store.listDir(logDir)
+      .filter(p => HISTORY_FILE_RE.matches(p.getFileName.toString))
+      .map(p => (p.getFileName.toString.stripSuffix(".history.json").toLong, p))
+      .filter(_._1 <= version)
+      .sortBy(_._1)
     candidates.lastOption.map { case (v, p) =>
-      (v, Files.readAllLines(p).asScala.iterator
+      (v, store.readLines(p).iterator
         .map(_.trim).filter(_.nonEmpty).map(Action.fromJson)
         .collect { case c: CommitInfo => c }.toSeq)
     }
@@ -229,17 +211,13 @@ final class LakeLog(val tablePath: String) {
 
   /** Latest checkpoint at or below `version`, if any: (version, actions). */
   def latestCheckpointAtOrBefore(version: Long): Option[(Long, Seq[Action])] = {
-    if (!Files.isDirectory(logDir)) return None
-    val s = Files.list(logDir)
-    val candidates =
-      try s.iterator.asScala
-        .filter(p => CHECKPOINT_FILE_RE.matches(p.getFileName.toString))
-        .map(p => (p.getFileName.toString.stripSuffix(".checkpoint.json").toLong, p))
-        .filter(_._1 <= version)
-        .toSeq.sortBy(_._1)
-      finally s.close()
+    val candidates = store.listDir(logDir)
+      .filter(p => CHECKPOINT_FILE_RE.matches(p.getFileName.toString))
+      .map(p => (p.getFileName.toString.stripSuffix(".checkpoint.json").toLong, p))
+      .filter(_._1 <= version)
+      .sortBy(_._1)
     candidates.lastOption.map { case (v, p) =>
-      (v, Files.readAllLines(p).asScala.iterator
+      (v, store.readLines(p).iterator
         .map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toSeq)
     }
   }

@@ -1,0 +1,104 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Storage seam for the commit-critical log primitives (Delta's
+  * LogStore analog). The transaction protocol needs exactly four
+  * storage guarantees, and everything else in the engine is ordinary
+  * streaming I/O:
+  *
+  *  1. [[putIfAbsent]] — atomically publish a finished file, failing
+  *     if the name exists. THE commit primitive: whoever wins the
+  *     name owns the version.
+  *  2. [[atomicReplace]] — atomically (re)place an auxiliary file
+  *     (checkpoints, history sidecars); last writer wins is fine,
+  *     readers must never see a torn file.
+  *  3. [[listDir]] — list a directory's entries.
+  *  4. [[readLines]] — read a published file back.
+  *
+  * The default [[LocalLogStore]] implements them with POSIX/HDFS
+  * semantics (exclusive `createLink`, `ATOMIC_MOVE`). An object-store
+  * port supplies conditional-PUT (`If-None-Match: *`) for 1, plain PUT
+  * for 2, LIST for 3 — S3/GCS/ABFS all offer these today, which is
+  * why Delta runs there with the same four-call surface. Swap via
+  * [[LogStore.current]] before any table I/O; one store per process
+  * (mixing stores against one table forfeits the mutual-exclusion
+  * guarantee, same as Delta's single-LogStore rule).
+  */
+trait LogStore {
+
+  /** Write `lines` and publish them as `target` atomically; throw
+    * [[java.nio.file.FileAlreadyExistsException]] if `target` already
+    * exists. MUST be all-or-nothing: readers never observe a partial
+    * file under `target`.
+    */
+  def putIfAbsent(target: Path, lines: Seq[String]): Unit
+
+  /** Write `lines` as `target` atomically, REPLACING any previous
+    * content. Readers must never observe a torn file.
+    */
+  def atomicReplace(target: Path, lines: Seq[String]): Unit
+
+  /** Entries of `dir` (non-recursive); empty if `dir` is missing. */
+  def listDir(dir: Path): Seq[Path]
+
+  /** Lines of `p`. */
+  def readLines(p: Path): Seq[String]
+
+  def exists(p: Path): Boolean
+
+  def delete(p: Path): Boolean
+}
+
+/** POSIX/HDFS implementation: exclusive hard-link publish, tmp-file +
+  * `ATOMIC_MOVE` replace.
+  */
+object LocalLogStore extends LogStore {
+
+  override def putIfAbsent(target: Path, lines: Seq[String]): Unit = {
+    val dir = target.getParent
+    Files.createDirectories(dir)
+    if (Files.exists(target))
+      throw new java.nio.file.FileAlreadyExistsException(target.toString)
+    val tmp = Files.createTempFile(dir, s".put-${target.getFileName}-", ".tmp")
+    try {
+      Files.write(tmp, lines.asJava)
+      // createLink fails atomically if the name exists (rename would
+      // silently REPLACE — a lost commit under concurrent writers)
+      Files.createLink(target, tmp)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def atomicReplace(target: Path, lines: Seq[String]): Unit = {
+    val dir = target.getParent
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, s".rep-${target.getFileName}-", ".tmp")
+    try {
+      Files.write(tmp, lines.asJava)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def listDir(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator.asScala.toSeq
+    finally s.close()
+  }
+
+  override def readLines(p: Path): Seq[String] =
+    Files.readAllLines(p).asScala.toSeq
+
+  override def exists(p: Path): Boolean = Files.exists(p)
+
+  override def delete(p: Path): Boolean = Files.deleteIfExists(p)
+}
+
+object LogStore {
+  /** Process-wide store. Replace before any table I/O to port the
+    * engine to a different storage system; the default is correct for
+    * local disks, NFS with O_EXCL, and HDFS.
+    */
+  @volatile var current: LogStore = LocalLogStore
+}

@@ -208,6 +208,44 @@ class LakeConcurrencySuite extends SparkSuite {
     assert(cards === (1L to 4L * perWriter))
   }
 
+  test("a custom LogStore carries every commit and conflicts intact") {
+    // instrumented wrapper: same semantics, counts the seam calls —
+    // proves LakeLog routes publish/list/read through LogStore.current
+    val puts = new java.util.concurrent.atomic.AtomicInteger
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val wrapped = new LogStore {
+      private val d = LocalLogStore
+      override def putIfAbsent(t: java.nio.file.Path, l: Seq[String]) = {
+        puts.incrementAndGet()
+        try d.putIfAbsent(t, l)
+        catch { case e: java.nio.file.FileAlreadyExistsException =>
+          conflicts.incrementAndGet(); throw e
+        }
+      }
+      override def atomicReplace(t: java.nio.file.Path, l: Seq[String]) =
+        d.atomicReplace(t, l)
+      override def listDir(p: java.nio.file.Path) = d.listDir(p)
+      override def readLines(p: java.nio.file.Path) = d.readLines(p)
+      override def exists(p: java.nio.file.Path) = d.exists(p)
+      override def delete(p: java.nio.file.Path) = d.delete(p)
+    }
+    val prev = LogStore.current
+    LogStore.current = wrapped
+    try {
+      val path = tablePath("logstore1")
+      LakeWriter.write(seed, path) // v0
+      LakeTable.forPath(spark, path).delete("id <= 10") // v1
+      assert(puts.get() >= 2, s"commits bypassed the LogStore seam")
+      // a direct same-version race surfaces as ConcurrentWrite via
+      // the store's put-if-absent contract
+      val log = new LakeLog(path)
+      intercept[ConcurrentWriteException] {
+        log.commit(1L, Seq(CommitInfo(1L, "APPEND", Map.empty)))
+      }
+      assert(LakeTable.forPath(spark, path).toDF.count() === 90L)
+    } finally LogStore.current = prev
+  }
+
   test("restoreTo aborts when a concurrent commit removed its files") {
     val path = tablePath("conflict3")
     LakeWriter.write(seed, path) // v0
