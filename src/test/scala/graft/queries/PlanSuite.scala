@@ -145,4 +145,23 @@ class PlanSuite extends SparkSuite {
     assert(!plan.contains("SinglePartition"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("stratified sample under 99% skew keeps the rank-pushdown heap") {
+    // one stratum holding ~99% of rows: per-group state must stay the
+    // top-N heap Spark's WindowGroupLimit keeps for rank <= k — a full
+    // per-partition sort of the hot stratum would spill at scale
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    val skewed = spark.range(0, 100000).select(
+      col("id"),
+      when(col("id") % 100 === 0, "rare").otherwise("hot").as("stratum"))
+    val sampled = graft.ops.SampleOps.stratifiedSample(
+      skewed.toDF, "stratum", "id", 10)
+    val plan = sampled.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // correctness under the same skew: exactly 10 per stratum
+    val counts = sampled.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map("hot" -> 10L, "rare" -> 10L))
+  }
 }
