@@ -125,6 +125,92 @@ object SimilarityOps {
         col("__id").as("neighbor_id"), col("cos"))
   }
 
+  /** Build a PERSISTED IVF index over `corpus` as a pair of lake
+    * tables under `indexPath` — the build-once/probe-many form of
+    * [[ivfTopK]], which recomputes the cell assignment on every call:
+    *
+    *  - `<indexPath>/centroids` — (cell, centroid), `nlist` rows; its
+    *    log-derived size makes probe-time joins auto-broadcast.
+    *  - `<indexPath>/assignments` — (id, vec, cell) PARTITIONED BY
+    *    cell, so a probe's `cell IN (...)` filter prunes to exactly
+    *    the probed cells' files at planning time.
+    *
+    * At 100 TB this is the difference between "ANN query = one corpus
+    * scan + assignment shuffle, every time" and "ANN query = read
+    * ~nprobe/nlist of the corpus, nothing else": the expensive
+    * assignment pass happens once per index build, rides lake ACID
+    * (rebuilds are atomic overwrites, readers never see a half-built
+    * index), and the probe path is pure partition-pruned scan + one
+    * broadcast join.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, indexPath: String,
+      nlist: Int = 16, refineIterations: Int = 0,
+      idCol: String = "id", vecCol: String = "vec"): Unit = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+    val centroids =
+      if (refineIterations <= 0)
+        broadcast(c.orderBy("__id").limit(nlist)
+          .select(col("__id").as("__cid"), col("__cv").as("__cent")))
+      else broadcast(kmeansCentroids(c, nlist, refineIterations))
+    // canonical nullable array<float>: schema enforcement must see
+    // the same type on every rebuild regardless of the source frame's
+    // containsNull flag
+    graft.lake.LakeWriter.write(
+      centroids.select(col("__cid").cast("long").as("cell"),
+        col("__cent").cast("array<float>").as("centroid")),
+      s"$indexPath/centroids", mode = "overwrite",
+      operation = "BUILD IVF INDEX")
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("__cv"), col("__cent")))
+      .groupBy("__id")
+      .agg(max_by(col("__cid"), col("__sim")).as("cell"),
+        first(col("__cv")).as("vec"))
+      .select(col("__id").as("id"),
+        col("vec").cast("array<float>").as("vec"),
+        col("cell").cast("long").as("cell"))
+    graft.lake.LakeWriter.write(assigned, s"$indexPath/assignments",
+      mode = "overwrite", partitionBy = Seq("cell"),
+      operation = "BUILD IVF INDEX")
+  }
+
+  /** Probe a [[buildIvfIndex]] index: per query, rank the centroids,
+    * take the top `nprobe` cells, scan ONLY those cells' partitions
+    * (static `isin` pruning — the probed-cell set is ≤ nlist, driver
+    * metadata-sized regardless of query count) and score candidates.
+    */
+  def ivfIndexTopK(
+      queries: DataFrame, indexPath: String, k: Int, nprobe: Int = 4,
+      qidCol: String = "qid", vecCol: String = "vec"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = broadcast(
+      graft.lake.LakeTable.forPath(spark, s"$indexPath/centroids").toDF
+        .select(col("cell").as("__cid"), col("centroid").as("__cent")))
+    val qw = Window.partitionBy("__qid").orderBy(
+      col("__qsim").desc, col("__cid").asc)
+    val probes = broadcast(
+      queries.select(col(qidCol).as("__qid"), col(vecCol).as("__qv"))
+        .crossJoin(centroids)
+        .withColumn("__qsim", cosine(col("__qv"), col("__cent")))
+        .withColumn("__prank", row_number().over(qw))
+        .filter(col("__prank") <= nprobe)
+        .select(col("__qid"), col("__qv"), col("__cid")))
+    val probedCells = probes.select(col("__cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val candidates = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").toDF
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cos").desc, col("id").asc)
+    candidates.join(probes, candidates("cell") === probes("__cid"))
+      .filter(col("__qid") =!= col("id"))
+      .withColumn("cos", round(cosine(col("__qv"), col("vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"),
+        col("id").as("neighbor_id"), col("cos"))
+  }
+
   /** Sampled, deterministic k-means centroids for [[ivfTopK]]'s
     * `refineIterations` option. First-n-by-id centroids are fine for
     * near-random embeddings, but on CLUSTERED real-world data they can

@@ -650,6 +650,40 @@ object OpsQueries {
       },
       None),
 
+    // Persisted IVF index: build-once as lake tables (centroids +
+    // cell-partitioned assignments), probe-many with partition-pruned
+    // candidate scans. Same planted-near-dup protocol and recall bar
+    // as sim_ivf_recall, but the probe runs against the PREBUILT
+    // index, exercising the build/probe split a 100 TB ANN service
+    // actually uses.
+    QueryDef("sim_ivf_index_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        val src = e.filter(col("vec_id") % 10 === 0)
+        val queries = src.select(
+          (col("vec_id") + 1000000L).as("qid"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
+            .as("vec"))
+        val corpus = e.select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        val indexPath = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft-ivf-index-${math.abs(dir.hashCode)}"
+        SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 16)
+        val approx = SimilarityOps.ivfIndexTopK(
+          queries, indexPath, k = 5, nprobe = 4)
+        val nQueries = src.count()
+        val found = approx
+          .filter(col("neighbor_id") === col("qid") - 1000000L).count()
+        val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
+        require(recall >= 0.9,
+          s"persisted-IVF recall $recall below 0.9 ($found/$nQueries)")
+        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+          .toDF("n_queries", "n_found", "recall")
+      },
+      None),
+
     // Multimodal plumbing: binary payloads through the batched decode
     // stub; byte accounting is oracle-checkable.
     QueryDef("multimodal_decode",

@@ -117,6 +117,48 @@ class OpsSuite extends SparkSuite {
       f"k-means refinement failed to hold recall: $kmeans%.3f")
   }
 
+  test("persisted IVF index: probe matches in-memory IVF, scan prunes cells") {
+    val rnd = new scala.util.Random(11)
+    val corpusRows = (0L until 400L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = corpusRows.toDF("id", "vec")
+    val queries = corpusRows.filter(_._1 % 20 == 0).map { case (id, v) =>
+      (id + 1000L, v.map(x => (x * 1.02f)))
+    }.toDF("qid", "vec")
+    val indexPath = tmpDir("ivf-index")
+    SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 8)
+    val fromIndex = SimilarityOps.ivfIndexTopK(
+        queries, indexPath, k = 3, nprobe = 2)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val inMemory = SimilarityOps.ivfTopK(queries, corpus, k = 3,
+        nlist = 8, nprobe = 2)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fromIndex === inMemory,
+      "persisted probe must agree with the per-call IVF path")
+    // the probe's candidate scan prunes to the probed cells' partitions
+    val candidates = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").toDF
+      .filter(col("cell").isin(0L, 1L))
+    val plan = candidates.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("LakeFileIndex"), plan)
+    assert(plan.contains("PartitionFilters: ["), plan)
+    val filesRead = candidates.select(input_file_name())
+      .distinct().count()
+    val filesTotal = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").toDF
+      .select(input_file_name()).distinct().count()
+    assert(filesRead < filesTotal,
+      s"cell filter should prune assignment files at planning time " +
+      s"($filesRead of $filesTotal read)")
+    // rebuild is an atomic overwrite, probe still consistent
+    SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 8)
+    assert(SimilarityOps.ivfIndexTopK(queries, indexPath, k = 3, nprobe = 2)
+      .count() > 0)
+  }
+
   test("language id picks the profile language on planted stopwords") {
     val df = Seq(
       (1L, "the cat sat on the mat and the dog"),
