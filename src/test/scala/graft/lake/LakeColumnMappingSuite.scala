@@ -166,6 +166,75 @@ class LakeColumnMappingSuite extends SparkSuite {
     assert(p.writerFeatures.contains(LakeProtocol.FEATURE_COLUMN_MAPPING), p)
   }
 
+  test("deletion vectors on a mapped table: DV delete after rename") {
+    val path = tablePath("cm11")
+    LakeWriter.write(seed, path,
+      properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(ColumnMapping.MODE_PROP -> "name"))
+    LakeTable.forPath(spark, path).renameColumn("k", "label")
+    val filesBefore = LakeTable.forPath(spark, path)
+      .snapshot().files.map(_.path).toSet
+    // predicate over the RENAMED column takes the merge-on-read path
+    LakeTable.forPath(spark, path).delete("label rlike 'k[0-9]$'") // k0..k9
+    val after = LakeTable.forPath(spark, path)
+    assert(after.snapshot().files.map(_.path).toSet === filesBefore,
+      "DV delete must not rewrite files on the mapped table")
+    // only files containing matches carry a DV (k0..k9 live in one of
+    // the two coalesced files)
+    assert(after.snapshot().files.exists(_.dvPath.isDefined))
+    assert(after.snapshot().files.map(_.dvCardinality).sum === 10L)
+    assert(after.toDF.count() === 90L)
+    assert(after.toDF.filter($"label" === "k5").count() === 0L)
+    // CDF carries the deleted rows under the CURRENT logical name
+    val ch = after.changes(after.snapshot().version)
+    assert(ch.columns.contains("label"))
+    assert(ch.filter($"_change_type" === "delete").count() === 10L)
+  }
+
+  test("OPTIMIZE compaction preserves mapped data and skipping stats") {
+    val path = mappedTable("cm12")
+    LakeTable.forPath(spark, path).renameColumn("k", "label")
+    // a second small append creates compactable debris
+    LakeWriter.write(
+      Seq((100L, "k100", 0), (101L, "k101", 1))
+        .toDF("id", "label", "bucket").coalesce(1), path)
+    val t = LakeTable.forPath(spark, path)
+    val filesBefore = t.snapshot().files.size
+    t.compact()
+    val after = LakeTable.forPath(spark, path)
+    assert(after.snapshot().files.size < filesBefore,
+      "compaction should have coalesced small files")
+    assert(after.toDF.count() === 102L)
+    assert(after.toDF.filter($"label" === "k100").count() === 1L)
+    // compacted files still carry PHYSICAL names + translated stats:
+    // pruning on the renamed column must keep working
+    val pruned = FilePruner.prune(after.snapshot(), "label = 'k5'")
+    assert(pruned.nonEmpty)
+    pruned.foreach { f =>
+      assert(f.minValues.contains("k") || f.minValues.isEmpty,
+        s"stats must stay under the physical name: ${f.minValues.keys}")
+    }
+  }
+
+  test("streaming reads of a mapped table resolve physical names") {
+    val path = mappedTable("cm13")
+    LakeTable.forPath(spark, path).renameColumn("k", "label")
+    val out = tmpDir("cm13-sink")
+    val q = spark.readStream.format("lake").load(path)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$out/ckpt")
+      .option("path", s"$out/data")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$out/data")
+    assert(got.columns.contains("label"))
+    assert(got.count() === 100L)
+    assert(got.filter($"label" === "k7").count() === 1L,
+      "streamed rows must carry the physical column's data")
+  }
+
   test("repeated renames chase the same physical name; swap-safe") {
     val path = mappedTable("cm10")
     LakeTable.forPath(spark, path).renameColumn("k", "a")
