@@ -39,6 +39,29 @@ object LakeQueries {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
 
+    // Column mapping (round 8): enable, METADATA-ONLY rename, append
+    // under the new logical name, read back rows from files written
+    // on BOTH sides of the rename — hash-oracled against a plain
+    // aliased SELECT, so the physical-name translation (read schema,
+    // pushdown, null-fill) is verified byte-for-byte.
+    QueryDef("lake_rename_mapped",
+      (s, dir) => {
+        val path = scratch("lake_rename_mapped", dir)
+        val o = table(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        LakeWriter.write(o.filter("o_orderstatus = 'F'"), path)
+        LakeTable.forPath(s, path).setTblProperties(
+          Map(graft.lake.ColumnMapping.MODE_PROP -> "name"))
+        LakeTable.forPath(s, path)
+          .renameColumn("o_totalprice", "price")
+        LakeWriter.write(
+          o.filter("o_orderstatus <> 'F'")
+            .withColumnRenamed("o_totalprice", "price"), path)
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("SELECT o_orderkey, o_orderstatus, " +
+        "o_totalprice AS price FROM orders")),
+
     // S6/D6: time travel reads the pre-append version.
     QueryDef("lake_time_travel",
       (s, dir) => {
