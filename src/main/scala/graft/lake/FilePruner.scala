@@ -3,8 +3,8 @@ package graft.lake
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
-  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal}
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull,
+  IsNull, LessThan, LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 
 /** Log-level file pruning: decide from AddFile metadata alone which
@@ -145,8 +145,72 @@ object FilePruner {
         mayMatch(LessThan(a, Literal(v)), f, types, partCols, physFor)
       case LessThan(Literal(v, _), a @ Attr(_)) =>
         mayMatch(GreaterThan(a, Literal(v)), f, types, partCols, physFor)
+      // IN: the file survives iff ANY listed value can be in range —
+      // each value checks like an EqualTo; an unparseable value (or a
+      // column with no stats) keeps the file
+      case In(Attr(n), values) if values.forall(_.isInstanceOf[Literal]) =>
+        values.exists { case Literal(v, _) =>
+          cmpTo(n, v).forall { case (l, h) => l <= 0 && h >= 0 } }
+      // large IN lists arrive optimizer-converted to InSet
+      case InSet(Attr(n), hset) =>
+        hset.exists(v =>
+          cmpTo(n, v).forall { case (l, h) => l <= 0 && h >= 0 })
+      // IS NULL prunes files whose footer counted ZERO nulls for the
+      // column; partition columns check their (single) value instead
+      case IsNull(Attr(n)) =>
+        if (partCols.contains(n))
+          f.partitionValues.get(n)
+            .forall(v => v == null || v == LakeWriter.HIVE_NULL)
+        else
+          f.nullCounts.get(physFor.getOrElse(n, n)).forall(_ > 0)
+      // IS NOT NULL prunes all-null files (every row counted null);
+      // conservative when numRecords is unknown (< 0)
+      case IsNotNull(Attr(n)) =>
+        if (partCols.contains(n))
+          f.partitionValues.get(n)
+            .exists(v => v != null && v != LakeWriter.HIVE_NULL) ||
+          !f.partitionValues.contains(n)
+        else
+          !(f.numRecords > 0 && f.nullCounts
+            .get(physFor.getOrElse(n, n)).contains(f.numRecords))
+      // prefix match: strings starting with `p` form the range
+      // [p, successor(p)); overlap test against [min, max]. The
+      // planner pushes StartsWith (LikeSimplification has run); a
+      // string filter parses as Like, prefix-shaped iff the only
+      // wildcard is one trailing unescaped %
+      case StartsWith(Attr(n), Literal(p, StringType)) if p != null =>
+        prefixMayMatch(p.toString, n, bound)
+      case like: org.apache.spark.sql.catalyst.expressions.Like =>
+        (like.left, like.right) match {
+          case (Attr(n), Literal(p, StringType))
+              if p != null && p.toString.length > 1 &&
+                p.toString.endsWith("%") &&
+                !p.toString.dropRight(1)
+                  .exists(c => c == '%' || c == '_' || c == '\\') =>
+            prefixMayMatch(p.toString.dropRight(1), n, bound)
+          case _ => true
+        }
       case _ => true // unknown shape: keep the file
     }
+  }
+
+  private def prefixMayMatch(prefix: String, n: String,
+      bound: String => Option[(String, String)]): Boolean =
+    bound(n) match {
+      case None => true
+      case Some((lo, hi)) =>
+        hi.compareTo(prefix) >= 0 &&
+        prefixSuccessor(prefix).forall(succ => lo.compareTo(succ) < 0)
+    }
+
+  /** Smallest string strictly greater than every string with this
+    * prefix: increment the last non-￿ char and truncate. None if
+    * the prefix is all ￿ (then nothing bounds it above).
+    */
+  private def prefixSuccessor(prefix: String): Option[String] = {
+    val idx = prefix.lastIndexWhere(_ != '￿')
+    if (idx < 0) None
+    else Some(prefix.substring(0, idx) + (prefix.charAt(idx) + 1).toChar)
   }
 
   /** Compare a stats string against a literal under `dt`'s ordering.

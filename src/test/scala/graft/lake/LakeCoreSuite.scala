@@ -123,6 +123,39 @@ class LakeCoreSuite extends SparkSuite {
     assert(t.scan("score < 5.0").count() === 0)
   }
 
+  test("pruning handles IN, IS [NOT] NULL and prefix predicates") {
+    val path = tablePath("t8b")
+    // two files with disjoint id ranges; one all-null nick column
+    LakeWriter.write(
+      Seq((1L, "ana", Some("annie")), (2L, "bob", None))
+        .toDF("id", "name", "nick").coalesce(1), path)
+    LakeWriter.write(
+      Seq((10L, "zoe", None: Option[String]),
+        (11L, "zed", None)).toDF("id", "name", "nick").coalesce(1), path)
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    assert(snap.files.size === 2)
+    // IN: only the file whose [min,max] can contain a listed value
+    assert(FilePruner.prune(snap, "id IN (10, 11)").size === 1)
+    assert(FilePruner.prune(snap, "id IN (5, 6)").isEmpty)
+    // big list → optimizer InSet route, same result
+    val bigList = ((100 to 120).map(_.toString) :+ "10").mkString(", ")
+    assert(FilePruner.prune(snap, s"id IN ($bigList)").size === 1)
+    // IS NULL skips the file whose footer counted zero nulls... both
+    // files have nulls in nick except the test below on name:
+    assert(FilePruner.prune(snap, "name IS NULL").isEmpty)
+    assert(FilePruner.prune(snap, "nick IS NULL").size === 2)
+    // IS NOT NULL skips the ALL-null file
+    assert(FilePruner.prune(snap, "nick IS NOT NULL").size === 1)
+    // prefix: only the z-file can hold names starting with 'z'
+    assert(FilePruner.prune(snap, "name LIKE 'z%'").size === 1)
+    assert(FilePruner.prune(snap, "name LIKE 'm%'").isEmpty)
+    // results still correct through the planner path
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.filter("id IN (10, 11)").count() === 2)
+    assert(t.toDF.filter("nick IS NOT NULL").count() === 1)
+    assert(t.toDF.filter("name LIKE 'z%'").count() === 2)
+  }
+
   test("convertToLake adopts existing parquet in place (K5)") {
     val dir = tablePath("t9")
     users.write.partitionBy("p_date").parquet(dir)
