@@ -235,6 +235,42 @@ class LakeColumnMappingSuite extends SparkSuite {
       "streamed rows must carry the physical column's data")
   }
 
+  test("mapping enabled at CREATE via writer properties; protocol at v0") {
+    val path = tablePath("cm14")
+    LakeWriter.write(seed, path,
+      properties = Map(ColumnMapping.MODE_PROP -> "name"))
+    val t = LakeTable.forPath(spark, path)
+    assert(ColumnMapping.enabled(t.snapshot().metadata))
+    assert(t.snapshot().protocol.readerFeatures
+      .contains(LakeProtocol.FEATURE_COLUMN_MAPPING))
+    // identity physical names at creation: rename is already O(1)
+    val files = t.snapshot().files.map(_.path).toSet
+    t.renameColumn("k", "label")
+    assert(LakeTable.forPath(spark, path).snapshot()
+      .files.map(_.path).toSet === files)
+    assert(LakeTable.forPath(spark, path).toDF
+      .filter($"label" === "k3").count() === 1L)
+  }
+
+  test("append under the pre-rename name is rejected, not misfiled") {
+    val path = mappedTable("cm15")
+    LakeTable.forPath(spark, path).renameColumn("k", "label")
+    // a writer still using the old logical name must fail schema
+    // enforcement (the column set no longer matches) — silently
+    // accepting it would bind "k" to a NEW physical slot and split
+    // the logical column across files
+    intercept[SchemaMismatchException] {
+      LakeWriter.write(
+        Seq((500L, "k500", 5)).toDF("id", "k", "bucket"), path)
+    }
+    assert(LakeTable.forPath(spark, path).toDF.count() === 100L)
+    // the new name lands and reads back through the stable physical
+    LakeWriter.write(
+      Seq((500L, "k500", 5)).toDF("id", "label", "bucket"), path)
+    assert(LakeTable.forPath(spark, path).toDF
+      .filter($"id" === 500L).select("label").as[String].head === "k500")
+  }
+
   test("repeated renames chase the same physical name; swap-safe") {
     val path = mappedTable("cm10")
     LakeTable.forPath(spark, path).renameColumn("k", "a")
