@@ -62,6 +62,27 @@ object LakeQueries {
       Some("SELECT o_orderkey, o_orderstatus, " +
         "o_totalprice AS price FROM orders")),
 
+    // OPTIMIZE ZORDER (clustered compaction): three appends' worth of
+    // debris re-clustered on (l_partkey, l_orderkey) — the rewrite
+    // must be exactly row-preserving, which the oracle hash checks;
+    // the clustering itself is the data-skipping lever PlanSuite and
+    // LakeOptimizeSuite pin.
+    QueryDef("lake_optimize_zorder",
+      (s, dir) => {
+        val path = scratch("lake_optimize_zorder", dir)
+        val l = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice")
+        LakeWriter.write(l.filter("l_orderkey % 3 = 0"), path)
+        LakeWriter.write(l.filter("l_orderkey % 3 = 1"), path)
+        LakeWriter.write(l.filter("l_orderkey % 3 = 2"), path)
+        LakeTable.forPath(s, path).compactClustered(
+          Seq("l_partkey", "l_orderkey"), zOrder = true)
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("SELECT l_orderkey, l_partkey, l_quantity, " +
+        "l_extendedprice FROM lineitem")),
+
     // S6/D6: time travel reads the pre-append version.
     QueryDef("lake_time_travel",
       (s, dir) => {
