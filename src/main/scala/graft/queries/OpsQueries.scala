@@ -13,6 +13,17 @@ import graft.ops._
 object OpsQueries {
   import QueryDef.table
 
+  /** Fresh scratch dir for gates that persist lake state (same
+    * convention as LakeQueries.scratch).
+    */
+  private def scratch(name: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_lake", sf, name)
+    graft.lake.LakeWriter.deleteRecursively(dir)
+    dir.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Text analysis: token counts + quality score per language.
@@ -337,6 +348,39 @@ object OpsQueries {
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
              |FROM documents
              |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""".stripMargin)),
+
+    // Incremental exact dedup against a PERSISTED fingerprint store —
+    // the daily-ingest shape at 100 TB: the historical corpus's
+    // fingerprints live in a lake table; a new batch anti-joins
+    // against it (cost = O(batch) + a join against O(history
+    // fingerprints), never a rescan of history text) and in-batch
+    // duplicates collapse to the lowest id.
+    QueryDef("dedup_incremental",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val path = scratch("dedup_incremental", dir)
+        graft.lake.LakeWriter.write(
+          d.filter("doc_id % 2 = 0")
+            .select(TextOps.fingerprint(col("text")).as("fp")).distinct(),
+          path, mode = "overwrite")
+        val store = graft.lake.LakeTable.forPath(s, path).toDF
+        val incoming = d.filter("doc_id % 2 = 1")
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        incoming.join(store, Seq("fp"), "left_anti")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select("doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+             |  FROM documents),
+             |seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+             |incoming AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+             |SELECT min(doc_id) AS doc_id FROM incoming
+             |WHERE f NOT IN (SELECT f FROM seen)
+             |GROUP BY f""".stripMargin)),
 
     // Connected-components dedup clustering (large-star/small-star):
     // CHAIN edges link consecutive ids within each duplicate-text
