@@ -155,14 +155,20 @@ object Bench {
       (name, best, spread)
     }
     // Sentinel pass: re-run each suspicious query once, now that any
-    // mid-run stall window has had the whole main loop to pass. A
-    // query with no prior (new gate, or first run at this SF) is
-    // eligible on the spread condition alone — better one wasted
-    // re-run than a third round of phantom regressions.
+    // mid-run stall window has had the whole main loop to pass.
+    // With a prior floor, min > 1.5x floor ALONE triggers — a stall
+    // spanning the query's whole window inflates every run uniformly
+    // (small spread), which is exactly the phantom-regression shape
+    // r5-r7 recorded; a spread gate would wave it through. Without a
+    // prior (new gate, first run at this SF), high spread is the only
+    // available signal. Cost is bounded: one extra run per flagged
+    // query.
     val reran = scala.collection.mutable.Buffer.empty[(String, Double, Double)]
     val adjudicated = results.map { case r @ (name, best, spread) =>
-      val suspicious = best > 0 && spread > 1.5 * best &&
-        prior.get(name).forall(p => best > 1.5 * p)
+      val suspicious = best > 0 && (prior.get(name) match {
+        case Some(p) => best > 1.5 * p
+        case None => spread > 1.5 * best
+      })
       if (!suspicious) r
       else {
         spark.sharedState.cacheManager.clearCache()

@@ -99,9 +99,19 @@ object LangGuess {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => LangGuess(exprs.head), "built-in")
 
-  /** Column API: the language guess for `text`. */
-  def apply(text: Column): Column = {
-    register(SparkSession.active)
-    org.apache.spark.sql.functions.call_function(fnName, text)
+  /** Column API: the language guess for `text`. Takes the session the
+    * Column is ANALYZED against (SparkSession.active would leave the
+    * function unresolved in cloned-session consumers — the hazard
+    * documented on [[graft.lake.DvRowDeleted]]). NULL text guesses
+    * "und", matching the column-fold this expression replaced (null
+    * scores never beat the (-1, "und") accumulator there); the
+    * expression itself is null-intolerant, so the coalesce supplies
+    * that default without custom null codegen.
+    */
+  def apply(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.coalesce(
+      org.apache.spark.sql.functions.call_function(fnName, text),
+      org.apache.spark.sql.functions.lit("und"))
   }
 }

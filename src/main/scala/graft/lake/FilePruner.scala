@@ -147,13 +147,16 @@ object FilePruner {
         mayMatch(GreaterThan(a, Literal(v)), f, types, partCols, physFor)
       // IN: the file survives iff ANY listed value can be in range —
       // each value checks like an EqualTo; an unparseable value (or a
-      // column with no stats) keeps the file
+      // column with no stats) keeps the file. A NULL in the list can
+      // never make the predicate TRUE (three-valued logic), so nulls
+      // are dropped before the range test — they must not reach cmp()
       case In(Attr(n), values) if values.forall(_.isInstanceOf[Literal]) =>
         values.exists { case Literal(v, _) =>
-          cmpTo(n, v).forall { case (l, h) => l <= 0 && h >= 0 } }
+          v != null &&
+            cmpTo(n, v).forall { case (l, h) => l <= 0 && h >= 0 } }
       // large IN lists arrive optimizer-converted to InSet
       case InSet(Attr(n), hset) =>
-        hset.exists(v =>
+        hset.exists(v => v != null &&
           cmpTo(n, v).forall { case (l, h) => l <= 0 && h >= 0 })
       // IS NULL prunes files whose footer counted ZERO nulls for the
       // column; partition columns check their (single) value instead

@@ -172,8 +172,9 @@ final class LakeLog(val tablePath: String) {
     if (hours < 0) return snap.transactions // negative disables expiry
     val horizon = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
     snap.transactions.filter { case (appId, stamp) =>
-      !(stamp < horizon &&
-        copyIntoLocalPath(appId).exists(p => !Files.exists(p)))
+      val candidates = copyIntoLocalPaths(appId)
+      !(stamp < horizon && candidates.nonEmpty &&
+        candidates.forall(p => !Files.exists(p)))
     }
   }
 
@@ -265,18 +266,29 @@ object LakeLog {
   val COPY_INTO_RETENTION_PROP = "graft.copyIntoLedgerRetentionHours"
   val COPY_INTO_RETENTION_HOURS_DEFAULT = 168.0
 
-  /** The local filesystem path inside a COPY INTO ledger appId
-    * (`copy-into:<uri>[:<size>]`), when the URI is file-scheme.
+  /** The candidate local filesystem paths inside a COPY INTO ledger
+    * appId. `copy-into:<uri>[:<size>]` is ambiguous for a legacy
+    * (size-less) key naming a file that itself ends in `:<digits>` —
+    * so BOTH readings are returned and expiry treats an entry as dead
+    * only when EVERY candidate is gone (a live file under either
+    * reading keeps it). Non-file URIs yield no candidates (never
+    * expired).
     */
-  private[lake] def copyIntoLocalPath(appId: String): Option[Path] = {
-    if (!appId.startsWith("copy-into:")) return None
-    val uriStr = appId.stripPrefix("copy-into:")
-      .replaceFirst(":\\d+$", "") // size-keyed form → bare URI
-    scala.util.Try {
-      val uri = new java.net.URI(uriStr)
-      if (uri.getScheme == "file") Some(Paths.get(uri)) else None
-    }.toOption.flatten
+  private[lake] def copyIntoLocalPaths(appId: String): Seq[Path] = {
+    if (!appId.startsWith("copy-into:")) return Nil
+    val raw = appId.stripPrefix("copy-into:")
+    val stripped = raw.replaceFirst(":\\d+$", "") // size-keyed reading
+    Seq(raw, stripped).distinct.flatMap { uriStr =>
+      scala.util.Try {
+        val uri = new java.net.URI(uriStr)
+        if (uri.getScheme == "file") Some(Paths.get(uri)) else None
+      }.toOption.flatten
+    }
   }
+
+  /** Single-reading form used by tests; prefers the size-keyed parse. */
+  private[lake] def copyIntoLocalPath(appId: String): Option[Path] =
+    copyIntoLocalPaths(appId).lastOption
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
   private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r
   private val HISTORY_FILE_RE = "\\d{20}\\.history\\.json".r

@@ -117,21 +117,28 @@ final class LakeTable private (
       // name, so the resurrection hazard the tombstone guards is gone
       if (!mapped) LakeTable.assertNotDropped(snap, name, tablePath)
     }
-    val newSchema = org.apache.spark.sql.types.StructType(
-      snap.schema.fields ++ cols.map { case (name, ddlType) =>
-        org.apache.spark.sql.types.StructField(
-          name, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
-          nullable = true)
-      })
-    val schemaMeta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
-    val meta =
-      if (!mapped) schemaMeta
-      else schemaMeta.copy(properties = schemaMeta.properties +
-        (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(
-          ColumnMapping.overrides(snap.metadata) ++
-            cols.map { case (n, _) =>
-              n -> ColumnMapping.freshPhysical() })))
     LakeWriter.commitWithRetry(log) { _ =>
+      // re-derived per attempt so a retry composes with (instead of
+      // reverting) any metadata a concurrent commit landed
+      val cur = snapshot()
+      cols.foreach { case (name, _) =>
+        require(!cur.schema.fieldNames.contains(name),
+          s"column $name appeared concurrently on $tablePath")
+      }
+      val newSchema = org.apache.spark.sql.types.StructType(
+        cur.schema.fields ++ cols.map { case (name, ddlType) =>
+          org.apache.spark.sql.types.StructField(
+            name, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
+            nullable = true)
+        })
+      val schemaMeta = cur.metadata.copy(schemaDDL = newSchema.toDDL)
+      val meta =
+        if (!ColumnMapping.enabled(cur.metadata)) schemaMeta
+        else schemaMeta.copy(properties = schemaMeta.properties +
+          (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(
+            ColumnMapping.overrides(cur.metadata) ++
+              cols.map { case (n, _) =>
+                n -> ColumnMapping.freshPhysical() })))
       Seq(CommitInfo(System.currentTimeMillis(), "ADD COLUMNS",
         Map("columns" -> cols.map { case (n, t) => s"$n $t" }
           .mkString(", "))), meta)
@@ -170,28 +177,38 @@ final class LakeTable private (
         require(gc != name && !references(ge),
           s"cannot drop $name: generated column $gc depends on it ($ge)")
     }
-    val newSchema = org.apache.spark.sql.types.StructType(
-      snap.schema.fields.filterNot(_.name == name))
-    require(newSchema.nonEmpty, s"cannot drop the last column of $tablePath")
-    val meta =
-      if (ColumnMapping.enabled(snap.metadata)) {
-        // no tombstone needed: a re-added name gets a fresh physical
-        // name (LakeWriter evolution / addColumns), so the dropped
-        // column's bytes can never resurrect. Just retire the entry.
-        val ov = ColumnMapping.overrides(snap.metadata) - name
-        snap.metadata.copy(
-          schemaDDL = newSchema.toDDL,
-          properties = snap.metadata.properties +
-            (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(ov)))
-      } else {
-        val dropped = (LakeTable.droppedColumns(snap.metadata.properties) +
-          name).toSeq.sorted.mkString(",")
-        snap.metadata.copy(
-          schemaDDL = newSchema.toDDL,
-          properties = snap.metadata.properties +
-            (LakeTable.PROP_DROPPED_COLUMNS -> dropped))
-      }
+    require(snap.schema.fields.count(_.name != name) > 0,
+      s"cannot drop the last column of $tablePath")
     LakeWriter.commitWithRetry(log) { _ =>
+      // re-derived per attempt (see addColumns): compose with, never
+      // revert, concurrently-landed metadata
+      val cur = snapshot()
+      require(cur.schema.fieldNames.contains(name),
+        s"column $name disappeared concurrently on $tablePath")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        cur.schema.fields.filterNot(_.name == name))
+      require(newSchema.nonEmpty,
+        s"cannot drop the last column of $tablePath")
+      val meta =
+        if (ColumnMapping.enabled(cur.metadata)) {
+          // no tombstone needed: a re-added name gets a fresh
+          // physical name (LakeWriter evolution / addColumns), so the
+          // dropped column's bytes can never resurrect. Just retire
+          // the entry.
+          val ov = ColumnMapping.overrides(cur.metadata) - name
+          cur.metadata.copy(
+            schemaDDL = newSchema.toDDL,
+            properties = cur.metadata.properties +
+              (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(ov)))
+        } else {
+          val dropped =
+            (LakeTable.droppedColumns(cur.metadata.properties) +
+              name).toSeq.sorted.mkString(",")
+          cur.metadata.copy(
+            schemaDDL = newSchema.toDDL,
+            properties = cur.metadata.properties +
+              (LakeTable.PROP_DROPPED_COLUMNS -> dropped))
+        }
       Seq(CommitInfo(System.currentTimeMillis(), "DROP COLUMNS",
         Map("column" -> name)), meta)
     }
@@ -244,33 +261,45 @@ final class LakeTable private (
         s"cannot rename $oldName: generated/identity column $gc " +
         s"depends on it")
     }
+    def renamedMetaOf(cur: Snapshot): Metadata = {
+      // recomputed per commit attempt: a retry after a concurrent
+      // commit must re-derive schema AND mapping from the winner's
+      // state, never re-emit metadata built from a stale snapshot
+      // (which would silently revert the concurrent DDL)
+      require(cur.schema.fieldNames.contains(oldName),
+        s"column $oldName disappeared concurrently on $tablePath")
+      require(!cur.schema.fieldNames.contains(newName),
+        s"column $newName appeared concurrently on $tablePath")
+      val curSchema = org.apache.spark.sql.types.StructType(
+        cur.schema.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f))
+      val base = cur.metadata.copy(schemaDDL = curSchema.toDDL)
+      if (!ColumnMapping.enabled(cur.metadata)) base
+      else {
+        val ov = ColumnMapping.overrides(cur.metadata)
+        val newOv = (ov - oldName) +
+          (newName -> ColumnMapping.physicalName(oldName, ov))
+        base.copy(properties = base.properties +
+          (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(
+            newOv.filter { case (l, p) => l != p })))
+      }
+    }
+    if (ColumnMapping.enabled(snap.metadata) || snap.files.isEmpty) {
+      // metadata-only: under mapping the column keeps its PHYSICAL
+      // name and only the override table moves — no file touched,
+      // O(1) at any table size. (An empty table is trivially the
+      // same commit shape.)
+      LakeWriter.commitWithRetry(log) { _ =>
+        Seq(CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
+          Map("from" -> oldName, "to" -> newName)),
+          renamedMetaOf(snapshot()))
+      }
+      return
+    }
     val newSchema = org.apache.spark.sql.types.StructType(
       snap.schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
     val meta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
-    if (ColumnMapping.enabled(snap.metadata)) {
-      // metadata-only: the column keeps its PHYSICAL name; only the
-      // logical→physical override table moves. No file is touched —
-      // rename is O(1) at any table size.
-      val ov = ColumnMapping.overrides(snap.metadata)
-      val newOv = (ov - oldName) +
-        (newName -> ColumnMapping.physicalName(oldName, ov))
-      val mappedMeta = meta.copy(properties = meta.properties +
-        (ColumnMapping.TABLE_PROP -> ColumnMapping.encode(
-          newOv.filter { case (l, p) => l != p })))
-      LakeWriter.commitWithRetry(log) { _ =>
-        Seq(CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
-          Map("from" -> oldName, "to" -> newName)), mappedMeta)
-      }
-      return
-    }
-    if (snap.files.isEmpty) {
-      LakeWriter.commitWithRetry(log) { _ =>
-        Seq(CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
-          Map("from" -> oldName, "to" -> newName)), meta)
-      }
-      return
-    }
     val renamed = toDF.withColumnRenamed(oldName, newName)
     val adds = LakeWriter.stageAndAdopt(renamed, tablePath,
       snap.partitionColumns)
@@ -815,16 +844,20 @@ final class LakeTable private (
     require(!(ColumnMapping.enabled(snap.metadata) &&
         props.get(ColumnMapping.MODE_PROP).exists(_ != "name")),
       s"${ColumnMapping.MODE_PROP} cannot be disabled once enabled")
-    val meta = snap.metadata.copy(
-      properties = snap.metadata.properties ++ props)
-    // Enabling a protocol-gated feature (deletion vectors) ratchets
-    // the table's protocol in the SAME commit, so a feature-unaware
-    // engine refuses the table from the moment DVs can exist.
-    val needed = LakeProtocol.requiredFor(meta.properties)
-    val upgradedP = LakeProtocol.upgraded(snap.protocol, needed)
-    val protocolActions: Seq[Action] =
-      if (upgradedP != snap.protocol) Seq(upgradedP) else Nil
     LakeWriter.commitWithRetry(log) { _ =>
+      // re-derived per attempt: merge into the CURRENT properties so
+      // a retry composes with, never reverts, a concurrent commit
+      val cur = snapshot()
+      val meta = cur.metadata.copy(
+        properties = cur.metadata.properties ++ props)
+      // Enabling a protocol-gated feature (deletion vectors, column
+      // mapping) ratchets the table's protocol in the SAME commit, so
+      // a feature-unaware engine refuses the table from the moment
+      // the feature can exist.
+      val needed = LakeProtocol.requiredFor(meta.properties)
+      val upgradedP = LakeProtocol.upgraded(cur.protocol, needed)
+      val protocolActions: Seq[Action] =
+        if (upgradedP != cur.protocol) Seq(upgradedP) else Nil
       protocolActions ++ Seq(
         CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
           props), meta)
@@ -842,11 +875,11 @@ final class LakeTable private (
           k == ColumnMapping.TABLE_PROP)),
       "column mapping properties cannot be removed once enabled " +
       "(files already carry physical column names)")
-    val meta = snap.metadata.copy(
-      properties = snap.metadata.properties -- keys)
     LakeWriter.commitWithRetry(log) { _ =>
+      val cur = snapshot()
       Seq(CommitInfo(System.currentTimeMillis(), "UNSET TBLPROPERTIES",
-        Map("keys" -> keys.mkString(","))), meta)
+        Map("keys" -> keys.mkString(","))),
+        cur.metadata.copy(properties = cur.metadata.properties -- keys))
     }
     ()
   }

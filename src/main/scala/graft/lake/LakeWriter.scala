@@ -296,14 +296,25 @@ object LakeWriter {
         }
         val meta =
           if (version == 0L || schemaChanged || hwmUpdates.nonEmpty ||
-              mappingProps.nonEmpty)
+              mappingProps.nonEmpty) {
+            // Metadata conflict detection (Delta's rule): this commit
+            // is about to WRITE a Metadata action derived from the
+            // snapshot read before staging; if a concurrent commit
+            // changed the metadata since (a rename, a property flip),
+            // re-emitting ours would silently revert it. Loud abort —
+            // the caller re-runs against the new state.
+            if (version > 0 && !existing.map(_.metadata)
+                .contains(log.snapshot().metadata))
+              throw new ConflictingCommitException(
+                s"table metadata of $tablePath changed concurrently " +
+                "with this schema-changing write; re-run the write")
             Seq(Metadata(finalSchema.toDDL, partCols,
               System.currentTimeMillis(),
               existing.map(_.metadata.constraints).getOrElse(Map.empty),
               existing.map(_.metadata.properties)
                 .getOrElse(Map.empty) ++ properties ++ hwmUpdates ++
                 mappingProps))
-          else Nil
+          } else Nil
         // v0 declares the protocol the table's properties require
         // (feature-bearing tables — e.g. deletion vectors — ratchet
         // reader/writer versions so a feature-unaware engine refuses

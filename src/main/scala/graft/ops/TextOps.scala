@@ -78,7 +78,8 @@ object TextOps {
     */
   def langId(df: DataFrame, textCol: String, out: String = "lang_guess")
       : DataFrame =
-    df.withColumn(out, graft.functions.LangGuess(col(textCol)))
+    df.withColumn(out,
+      graft.functions.LangGuess(df.sparkSession, col(textCol)))
 
   /** Stable 128-bit content fingerprint (md5 of normalized text) for
     * exact-dup detection; md5 so external engines can reproduce it.

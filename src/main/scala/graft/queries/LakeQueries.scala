@@ -17,13 +17,8 @@ object LakeQueries {
   /** Per-(query, sf) scratch dir, rebuilt on every invocation so the
     * gate is deterministic and idempotent.
     */
-  private def scratch(name: String, sfDir: String): String = {
-    val sf = new java.io.File(sfDir).getName
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_lake", sf, name)
-    graft.lake.LakeWriter.deleteRecursively(dir)
-    dir.toString
-  }
+  private def scratch(name: String, sfDir: String): String =
+    QueryDef.scratch(name, sfDir)
 
   val all: Seq[QueryDef] = Seq(
 

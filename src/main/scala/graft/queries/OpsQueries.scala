@@ -11,18 +11,7 @@ import graft.ops._
   * so they get rows-only checks.
   */
 object OpsQueries {
-  import QueryDef.table
-
-  /** Fresh scratch dir for gates that persist lake state (same
-    * convention as LakeQueries.scratch).
-    */
-  private def scratch(name: String, sfDir: String): String = {
-    val sf = new java.io.File(sfDir).getName
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_lake", sf, name)
-    graft.lake.LakeWriter.deleteRecursively(dir)
-    dir.toString
-  }
+  import QueryDef.{scratch, table}
 
   val all: Seq[QueryDef] = Seq(
 
@@ -712,8 +701,7 @@ object OpsQueries {
             .as("vec"))
         val corpus = e.select(col("vec_id").as("id"),
           col("embedding").as("vec"))
-        val indexPath = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft-ivf-index-${math.abs(dir.hashCode)}"
+        val indexPath = scratch("sim_ivf_index", dir)
         SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 16)
         val approx = SimilarityOps.ivfIndexTopK(
           queries, indexPath, k = 5, nprobe = 4)

@@ -28,4 +28,15 @@ object QueryDef {
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Fresh per-(sf, gate) scratch dir for gates that persist lake
+    * state — deleted up front so every run starts clean.
+    */
+  def scratch(name: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_lake", sf, name)
+    graft.lake.LakeWriter.deleteRecursively(dir)
+    dir.toString
+  }
 }

@@ -252,6 +252,22 @@ class LakeColumnMappingSuite extends SparkSuite {
       .filter($"label" === "k3").count() === 1L)
   }
 
+  test("two concurrent renames of different columns both land") {
+    val path = mappedTable("cm16")
+    // both threads read the same snapshot; the commit loser retries
+    // and must COMPOSE with the winner's metadata (a stale re-emit
+    // would silently revert one rename)
+    val t1 = new Thread(() =>
+      LakeTable.forPath(spark, path).renameColumn("k", "label"))
+    val t2 = new Thread(() =>
+      LakeTable.forPath(spark, path).renameColumn("bucket", "cell"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val cols = LakeTable.forPath(spark, path).toDF.columns.toSet
+    assert(cols === Set("id", "label", "cell"), cols)
+    assert(LakeTable.forPath(spark, path).toDF
+      .filter($"label" === "k3").select("cell").as[Int].head === 3)
+  }
+
   test("append under the pre-rename name is rejected, not misfiled") {
     val path = mappedTable("cm15")
     LakeTable.forPath(spark, path).renameColumn("k", "label")

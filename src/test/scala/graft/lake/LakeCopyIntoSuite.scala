@@ -167,6 +167,14 @@ class LakeCopyIntoSuite extends SparkSuite {
     assert(LakeLog.copyIntoLocalPath(s"copy-into:${p.toUri}") === Some(p))
     assert(LakeLog.copyIntoLocalPath("copy-into:s3://bucket/k:77") === None)
     assert(LakeLog.copyIntoLocalPath("stream-sink-42") === None)
+    // ambiguity guard: a legacy key naming a file that itself ends in
+    // ':<digits>' yields BOTH readings, so expiry can only fire when
+    // every candidate is dead — the live 'part:2020' file keeps its
+    // ledger entry even though the size-keyed parse points elsewhere
+    val tricky = Paths.get("/tmp/some dir/part:2020")
+    val both = LakeLog.copyIntoLocalPaths(s"copy-into:${tricky.toUri}")
+    assert(both.contains(tricky), both)
+    assert(both.size === 2, both)
   }
 
   test("SQL: COPY INTO path FROM src FILEFORMAT = PARQUET [FORCE]") {

@@ -149,6 +149,10 @@ class LakeCoreSuite extends SparkSuite {
     // prefix: only the z-file can hold names starting with 'z'
     assert(FilePruner.prune(snap, "name LIKE 'z%'").size === 1)
     assert(FilePruner.prune(snap, "name LIKE 'm%'").isEmpty)
+    // a NULL in the list can never match — and must not crash the
+    // numeric range test
+    assert(FilePruner.prune(snap, "id IN (10, NULL)").size === 1)
+    assert(FilePruner.prune(snap, "id IN (NULL)").isEmpty)
     // results still correct through the planner path
     val t = LakeTable.forPath(spark, path)
     assert(t.toDF.filter("id IN (10, 11)").count() === 2)

@@ -159,6 +159,16 @@ class OpsSuite extends SparkSuite {
       .count() > 0)
   }
 
+  test("language id guesses 'und' for null text (fold parity)") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, null))
+      .toDF("doc_id", "text")
+    val got = TextOps.langId(df, "text")
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "und",
+      "null text must guess 'und', not SQL NULL")
+  }
+
   test("language id picks the profile language on planted stopwords") {
     val df = Seq(
       (1L, "the cat sat on the mat and the dog"),
