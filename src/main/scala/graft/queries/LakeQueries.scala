@@ -60,8 +60,8 @@ object LakeQueries {
     // OPTIMIZE ZORDER (clustered compaction): three appends' worth of
     // debris re-clustered on (l_partkey, l_orderkey) — the rewrite
     // must be exactly row-preserving, which the oracle hash checks;
-    // the clustering itself is the data-skipping lever PlanSuite and
-    // LakeOptimizeSuite pin.
+    // the clustering/skipping behavior itself is pinned by
+    // LakeDataSourceSuite and LakeSqlParserSuite.
     QueryDef("lake_optimize_zorder",
       (s, dir) => {
         val path = scratch("lake_optimize_zorder", dir)

@@ -102,4 +102,36 @@ class LakePropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     assert(t.toDF.count() === 5 + writers)
     assert(t.snapshot().version === writers.toLong) // v0 + one per writer
   }
+
+  test("RowIndexSet agrees with a reference Set across density regimes") {
+    // generative sweep over sparsity shapes: per seed, draw indices
+    // from a window whose width sets container density (dense windows
+    // exercise the bitmap path, wide ones the sorted-shorts path, and
+    // sizes straddle the 4096 conversion cutoff)
+    forAll(Table(("seed", "n", "window"),
+      (1, 100, 1L << 14),          // single sparse container
+      (2, 6000, 1L << 15),         // dense: forces bitmap conversion
+      (3, 5000, 1L << 34),         // spread: many sparse containers
+      (4, 4096, 1L << 16),         // exactly at the cutoff, one key
+      (5, 20000, 1L << 20))) { (seed, n, window) =>
+      val rnd = new scala.util.Random(seed)
+      val reference = Iterator.continually(rnd.nextLong(window))
+        .take(n).toSet
+      val sorted = reference.toArray.sorted
+      val set = RowIndexSet.fromSorted(sorted)
+      assert(set.cardinality === sorted.length.toLong)
+      sorted.foreach(i => assert(set.contains(i)))
+      (0 until 2 * n).foreach { _ =>
+        val probe = rnd.nextLong(window * 2)
+        assert(set.contains(probe) === reference(probe), s"probe $probe")
+      }
+      // round-trip through the sidecar codec preserves membership
+      val dir = tmpDir(s"rixs-$seed")
+      val rel = DeletionVector.write(dir, sorted)
+      val decoded = DeletionVector.readSet(
+        java.nio.file.Paths.get(dir, rel))
+      assert(decoded.cardinality === sorted.length.toLong)
+      sorted.foreach(i => assert(decoded.contains(i)))
+    }
+  }
 }
