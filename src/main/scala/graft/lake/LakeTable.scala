@@ -1415,12 +1415,37 @@ final class LakeTable private (
       val parts: Seq[DataFrame] =
         if (cdcFiles.nonEmpty && cdcFiles.forall(p =>
             Files.exists(LakeLog.resolveFile(tablePath, p)))) {
-          val cdcSchema = org.apache.spark.sql.types.StructType(
-            schema.fields :+ org.apache.spark.sql.types.StructField(
+          // CDC files carry the LOGICAL column names of the version
+          // that wrote them; a range spanning a mapped RENAME must
+          // read each version with ITS schema and conform to the
+          // request schema via the stable PHYSICAL identity —
+          // pinning the end schema onto older files would silently
+          // null the renamed column for pre-rename changes. (The
+          // read-time-diff branch below reads through the snapshot
+          // relation, whose mapping translation already handles
+          // this.) A column the end schema lacks is dropped; one the
+          // writing version lacked null-fills.
+          val snapV = snapshot(v)
+          val mapV = ColumnMapping.overrides(snapV.metadata)
+          val mapTo = ColumnMapping.overrides(snapAtTo.metadata)
+          val physToLogicalV: Map[String, String] = snapV.schema.fields
+            .map(f => ColumnMapping.physicalName(f.name, mapV) -> f.name)
+            .toMap
+          val cdcSchemaV = org.apache.spark.sql.types.StructType(
+            snapV.schema.fields :+ org.apache.spark.sql.types.StructField(
               "_change_type", org.apache.spark.sql.types.StringType))
-          Seq(spark.read.schema(cdcSchema).parquet(
+          val raw = spark.read.schema(cdcSchemaV).parquet(
             cdcFiles.map(p =>
-              LakeLog.resolveFile(tablePath, p).toString): _*))
+              LakeLog.resolveFile(tablePath, p).toString): _*)
+          Seq(raw.select((schema.fields.toSeq.map { f =>
+            physToLogicalV
+              .get(ColumnMapping.physicalName(f.name, mapTo)) match {
+              case Some(lv) =>
+                col(quoted(lv)).cast(f.dataType).as(f.name)
+              case None =>
+                lit(null).cast(f.dataType).as(f.name)
+            }
+          } :+ col("_change_type")): _*))
         } else {
           val adds = actions.collect { case a: AddFile => a }
           // A deletion-vector commit re-adds a path with a grown DV

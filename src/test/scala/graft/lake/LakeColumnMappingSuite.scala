@@ -252,6 +252,26 @@ class LakeColumnMappingSuite extends SparkSuite {
       .filter($"label" === "k3").count() === 1L)
   }
 
+  test("CDF range spanning a rename conforms via physical identity") {
+    val path = mappedTable("cm17")
+    LakeTable.forPath(spark, path).delete("id = 5")            // v2 CDC
+    LakeTable.forPath(spark, path).renameColumn("k", "label")  // v3
+    LakeTable.forPath(spark, path).delete("id = 7")            // v4 CDC
+    val ch = LakeTable.forPath(spark, path).changes(2, 4)
+    assert(ch.columns.contains("label") && !ch.columns.contains("k"))
+    // the PRE-rename change's value must ride into the current name,
+    // not null out (the CDC file stores the old logical name; the
+    // stable physical name is the bridge)
+    val got = ch.filter($"_change_type" === "delete")
+      .select("id", "label").as[(Long, String)].collect().toMap
+    assert(got === Map(5L -> "k5", 7L -> "k7"), got)
+    // a bounded read BEFORE the rename keeps that version's own name
+    val pre = LakeTable.forPath(spark, path).changes(2, 2)
+    assert(pre.columns.contains("k"))
+    assert(pre.filter($"_change_type" === "delete")
+      .select("k").as[String].head === "k5")
+  }
+
   test("two concurrent renames of different columns both land") {
     val path = mappedTable("cm16")
     // both threads read the same snapshot; the commit loser retries
