@@ -252,6 +252,26 @@ class LakeColumnMappingSuite extends SparkSuite {
       .filter($"label" === "k3").count() === 1L)
   }
 
+  test("RESTORE to a pre-rename version reverts schema AND mapping") {
+    val path = mappedTable("cm18")
+    val preRename = LakeTable.forPath(spark, path).snapshot().version
+    LakeTable.forPath(spark, path).renameColumn("k", "label")
+    LakeWriter.write(
+      Seq((200L, "k200", 0)).toDF("id", "label", "bucket"), path)
+    LakeTable.forPath(spark, path).restoreTo(preRename)
+    val t = LakeTable.forPath(spark, path)
+    // old logical name back, post-rename append gone, data readable
+    assert(t.toDF.columns.toSeq === Seq("id", "k", "bucket"))
+    assert(t.toDF.count() === 100L)
+    assert(t.toDF.filter($"k" === "k7").count() === 1L)
+    // the restored mapping is the pre-rename one (no stale override)
+    assert(!ColumnMapping.overrides(t.snapshot().metadata).contains("label"))
+    // and the table keeps working: rename again post-restore
+    t.renameColumn("k", "tag")
+    assert(LakeTable.forPath(spark, path).toDF
+      .filter($"tag" === "k7").count() === 1L)
+  }
+
   test("CDF range spanning a rename conforms via physical identity") {
     val path = mappedTable("cm17")
     LakeTable.forPath(spark, path).delete("id = 5")            // v2 CDC
