@@ -124,6 +124,12 @@ final class LakeTable private (
       cols.foreach { case (name, _) =>
         require(!cur.schema.fieldNames.contains(name),
           s"column $name appeared concurrently on $tablePath")
+        // the tombstone check must hold against the COMPOSED state: a
+        // concurrent dropColumn landing first would otherwise have
+        // its dropped bytes resurrected by this retry (mapped tables
+        // are immune — the re-add gets a fresh physical name)
+        if (!ColumnMapping.enabled(cur.metadata))
+          LakeTable.assertNotDropped(cur, name, tablePath)
       }
       val newSchema = org.apache.spark.sql.types.StructType(
         cur.schema.fields ++ cols.map { case (name, ddlType) =>
@@ -290,9 +296,19 @@ final class LakeTable private (
       // O(1) at any table size. (An empty table is trivially the
       // same commit shape.)
       LakeWriter.commitWithRetry(log) { _ =>
+        val cur = snapshot()
+        // the branch condition must still hold on retry: an append
+        // that raced onto a bare (unmapped, was-empty) table makes a
+        // metadata-only rename unsound — its files store the old
+        // name, a pure-metadata flip would null the column
+        if (!(ColumnMapping.enabled(cur.metadata) || cur.files.isEmpty))
+          throw new ConflictingCommitException(
+            s"rename of $oldName on $tablePath raced a concurrent " +
+            "append onto an unmapped table; re-run (the rewrite path " +
+            "now applies)")
         Seq(CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
           Map("from" -> oldName, "to" -> newName)),
-          renamedMetaOf(snapshot()))
+          renamedMetaOf(cur))
       }
       return
     }
@@ -307,6 +323,19 @@ final class LakeTable private (
     try {
       LakeWriter.commitWithRetry(log, snap.version,
         snap.files.map(_.path)) { _ =>
+        // file-level conflict detection won't catch a concurrent
+        // METADATA change (addColumn, property flip — no file
+        // overlap); re-emitting `meta` built from the stale snapshot
+        // would silently revert it. Nor a concurrent plain append:
+        // its file would survive the rewrite carrying the OLD column
+        // name (silent nulls under the new schema). Either way: loud
+        // abort, caller re-runs against the new state.
+        val cur = snapshot()
+        if (cur.metadata != snap.metadata ||
+            cur.files.map(_.path).toSet != snap.files.map(_.path).toSet)
+          throw new ConflictingCommitException(
+            s"rename of $oldName on $tablePath raced a concurrent " +
+            "commit; re-run the rename")
         Seq(CommitInfo(now, "RENAME COLUMN",
           Map("from" -> oldName, "to" -> newName)), meta) ++
           snap.files.map(f => RemoveFile(f.path, now)) ++ adds
@@ -846,8 +875,13 @@ final class LakeTable private (
       s"${ColumnMapping.MODE_PROP} cannot be disabled once enabled")
     LakeWriter.commitWithRetry(log) { _ =>
       // re-derived per attempt: merge into the CURRENT properties so
-      // a retry composes with, never reverts, a concurrent commit
+      // a retry composes with, never reverts, a concurrent commit —
+      // and the one-way door re-checks against the COMPOSED state (a
+      // concurrent enable must not be disabled by this retry)
       val cur = snapshot()
+      require(!(ColumnMapping.enabled(cur.metadata) &&
+          props.get(ColumnMapping.MODE_PROP).exists(_ != "name")),
+        s"${ColumnMapping.MODE_PROP} cannot be disabled once enabled")
       val meta = cur.metadata.copy(
         properties = cur.metadata.properties ++ props)
       // Enabling a protocol-gated feature (deletion vectors, column
@@ -877,6 +911,13 @@ final class LakeTable private (
       "(files already carry physical column names)")
     LakeWriter.commitWithRetry(log) { _ =>
       val cur = snapshot()
+      // re-check against the CURRENT state: a concurrent enable must
+      // not have its mapping properties stripped by this retry
+      require(!(ColumnMapping.enabled(cur.metadata) &&
+          keys.exists(k => k == ColumnMapping.MODE_PROP ||
+            k == ColumnMapping.TABLE_PROP)),
+        "column mapping properties cannot be removed once enabled " +
+        "(files already carry physical column names)")
       Seq(CommitInfo(System.currentTimeMillis(), "UNSET TBLPROPERTIES",
         Map("keys" -> keys.mkString(","))),
         cur.metadata.copy(properties = cur.metadata.properties -- keys))
@@ -1414,6 +1455,20 @@ final class LakeTable private (
       val cdcFiles = actions.collect { case c: CdcFile => c.path }
       val parts: Seq[DataFrame] =
         if (cdcFiles.nonEmpty && cdcFiles.forall(p =>
+            Files.exists(LakeLog.resolveFile(tablePath, p))) &&
+            !ColumnMapping.enabled(snapAtTo.metadata)) {
+          // unmapped fast path: logical names never moved (mapping is
+          // a one-way door, so end-unmapped proves every version in
+          // range is unmapped) — pin the end schema; by-name parquet
+          // resolution null-fills evolution gaps, no per-version
+          // snapshot replay needed
+          val cdcSchema = org.apache.spark.sql.types.StructType(
+            schema.fields :+ org.apache.spark.sql.types.StructField(
+              "_change_type", org.apache.spark.sql.types.StringType))
+          Seq(spark.read.schema(cdcSchema).parquet(
+            cdcFiles.map(p =>
+              LakeLog.resolveFile(tablePath, p).toString): _*))
+        } else if (cdcFiles.nonEmpty && cdcFiles.forall(p =>
             Files.exists(LakeLog.resolveFile(tablePath, p)))) {
           // CDC files carry the LOGICAL column names of the version
           // that wrote them; a range spanning a mapped RENAME must

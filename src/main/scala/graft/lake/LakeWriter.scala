@@ -294,27 +294,29 @@ object LakeWriter {
               RemoveFile(f.path, System.currentTimeMillis()))
           case None => Nil
         }
+        // Metadata conflict detection (Delta's rule: ANY transaction
+        // fails when the table metadata changed under it, not only
+        // metadata-writing ones). A schema-changing write re-emitting
+        // stale metadata would silently revert the concurrent DDL; a
+        // plain append staged under the old schema would land files
+        // whose columns the new schema reads as null (e.g. racing a
+        // rewrite-mode rename). Loud abort — the caller re-runs
+        // against the new state.
+        if (version > 0 && !existing.map(_.metadata)
+            .contains(log.snapshot().metadata))
+          throw new ConflictingCommitException(
+            s"table metadata of $tablePath changed concurrently with " +
+            "this write; re-run the write")
         val meta =
           if (version == 0L || schemaChanged || hwmUpdates.nonEmpty ||
-              mappingProps.nonEmpty) {
-            // Metadata conflict detection (Delta's rule): this commit
-            // is about to WRITE a Metadata action derived from the
-            // snapshot read before staging; if a concurrent commit
-            // changed the metadata since (a rename, a property flip),
-            // re-emitting ours would silently revert it. Loud abort —
-            // the caller re-runs against the new state.
-            if (version > 0 && !existing.map(_.metadata)
-                .contains(log.snapshot().metadata))
-              throw new ConflictingCommitException(
-                s"table metadata of $tablePath changed concurrently " +
-                "with this schema-changing write; re-run the write")
+              mappingProps.nonEmpty)
             Seq(Metadata(finalSchema.toDDL, partCols,
               System.currentTimeMillis(),
               existing.map(_.metadata.constraints).getOrElse(Map.empty),
               existing.map(_.metadata.properties)
                 .getOrElse(Map.empty) ++ properties ++ hwmUpdates ++
                 mappingProps))
-          } else Nil
+          else Nil
         // v0 declares the protocol the table's properties require
         // (feature-bearing tables — e.g. deletion vectors — ratchet
         // reader/writer versions so a feature-unaware engine refuses
