@@ -58,7 +58,8 @@ object FilePruner {
     * a local DataFrame, so full Spark expression semantics apply).
     * Otherwise None. Enables metadata-only DELETE.
     */
-  def partitionOnlyMatches(snap: Snapshot, filter: String)
+  def partitionOnlyMatches(snap: Snapshot, filter: String,
+      sparkOpt: Option[org.apache.spark.sql.SparkSession] = None)
       : Option[Seq[AddFile]] = {
     if (snap.partitionColumns.isEmpty) return None
     val refs = parse(filter).collect {
@@ -66,7 +67,10 @@ object FilePruner {
     }
     if (refs.isEmpty || !refs.forall(snap.partitionColumns.contains)) return None
 
-    val spark = org.apache.spark.sql.SparkSession.active
+    // callers on the DML path thread their own session; the active
+    // session is only the fallback for ad-hoc/test use
+    val spark =
+      sparkOpt.getOrElse(org.apache.spark.sql.SparkSession.active)
     import spark.implicits._
     val partFields = snap.schema.fields
       .filter(f => snap.partitionColumns.contains(f.name))

@@ -432,7 +432,7 @@ final class LakeTable private (
     val snap = snapshot()
     LakeTable.assertNotAppendOnly(snap, "DELETE", tablePath)
     val cond = expr(condition)
-    FilePruner.partitionOnlyMatches(snap, condition) match {
+    FilePruner.partitionOnlyMatches(snap, condition, Some(spark)) match {
       case Some(matchedFiles) => // metadata-only path
         commitRewrite(snap, matchedFiles.map(_.path), Nil, "DELETE",
           Map("predicate" -> condition))
@@ -1305,7 +1305,7 @@ final class LakeTable private (
     where match {
       case None => snap.files
       case Some(pred) =>
-        FilePruner.partitionOnlyMatches(snap, pred).getOrElse(
+        FilePruner.partitionOnlyMatches(snap, pred, Some(spark)).getOrElse(
           throw new IllegalArgumentException(
             s"OPTIMIZE ... WHERE supports partition-column predicates " +
               s"only (partition columns: " +

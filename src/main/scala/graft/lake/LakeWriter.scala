@@ -199,7 +199,7 @@ object LakeWriter {
           enforceConstraints(normalized,
             Map("replaceWhere" -> pred), tablePath)
           val t = LakeTable.forPath(spark, tablePath)
-          FilePruner.partitionOnlyMatches(snap, pred) match {
+          FilePruner.partitionOnlyMatches(snap, pred, Some(spark)) match {
             case Some(matched) => (matched.map(_.path), Seq.empty[AddFile])
             case None =>
               val cond = org.apache.spark.sql.functions.expr(pred)

@@ -252,6 +252,24 @@ class LakeColumnMappingSuite extends SparkSuite {
       .filter($"label" === "k3").count() === 1L)
   }
 
+  test("full SQL route: enable mapping, rename, read — metadata-only") {
+    val path = mappedTable("cm19")
+    LakeCatalog.register(spark, "cm19t", path)
+    val filesBefore = LakeTable.forPath(spark, path)
+      .snapshot().files.map(_.path).toSet
+    LakeSql.sql(spark, "ALTER TABLE cm19t RENAME COLUMN k TO label")
+    assert(LakeTable.forPath(spark, path).snapshot()
+      .files.map(_.path).toSet === filesBefore,
+      "SQL rename on a mapped table must stay metadata-only")
+    val got = LakeSql.sql(spark,
+      "SELECT label FROM cm19t WHERE id = 7")
+    assert(got.as[String].head === "k7")
+    // SHOW TBLPROPERTIES surfaces the mapping state
+    val props = LakeSql.sql(spark, "SHOW TBLPROPERTIES cm19t")
+      .as[(String, String)].collect().toMap
+    assert(props.get(ColumnMapping.MODE_PROP).contains("name"))
+  }
+
   test("RESTORE to a pre-rename version reverts schema AND mapping") {
     val path = mappedTable("cm18")
     val preRename = LakeTable.forPath(spark, path).snapshot().version
