@@ -146,6 +146,15 @@ class PlanSuite extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("incremental dedup anti-joins against a broadcast fingerprint store") {
+    // the persisted store's size comes from the lake log (never a
+    // directory listing); the optimizer must pick broadcast for the
+    // anti-join so the incoming batch never shuffles on fingerprint
+    val plan = planOf("dedup_incremental")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("stratified sample under 99% skew keeps the rank-pushdown heap") {
     // one stratum holding ~99% of rows: per-group state must stay the
     // top-N heap Spark's WindowGroupLimit keeps for rank <= k — a full
