@@ -352,6 +352,14 @@ object LakeWriter {
           adds.foreach(a =>
             Files.deleteIfExists(Paths.get(tablePath, a.path)))
           WriteResult(log.latestVersion, Nil)
+        case e: ConflictingCommitException =>
+          // Non-retryable conflict (metadata changed, replaceWhere
+          // rewrite superseded): the commit never happened, so the
+          // staged files are unreferenced debris — sweep them before
+          // surfacing the conflict to the caller.
+          (adds ++ replaceInfo.map(_._2).getOrElse(Nil)).foreach(a =>
+            Files.deleteIfExists(Paths.get(tablePath, a.path)))
+          throw e
       }
     }
   }
