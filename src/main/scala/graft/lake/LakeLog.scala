@@ -51,7 +51,8 @@ final class LakeLog(val tablePath: String) {
     * essential once a table has thousands of commits.
     */
   def commit(version: Long, actions: Seq[Action]): Unit = {
-    Files.createDirectories(logDir)
+    // No direct filesystem calls here: putIfAbsent prepares its own
+    // directory, so the whole commit path rides the LogStore seam.
     val target = versionFile(version)
     if (store.exists(target)) throw new ConcurrentWriteException(version)
     // In-commit timestamp monotonicity (Delta's inCommitTimestamps):
@@ -81,11 +82,29 @@ final class LakeLog(val tablePath: String) {
         }
       }
     // Exclusive publish — put-if-absent is THE commit primitive:
-    // whoever wins the version file name owns the version.
-    try store.putIfAbsent(target, stamped.map(Action.toJson))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new ConcurrentWriteException(version)
+    // whoever wins the version file name owns the version. Object
+    // stores add one failure mode POSIX doesn't have: an AMBIGUOUS
+    // put — the request times out but the object landed. Blindly
+    // retrying at the next version would then commit the same actions
+    // twice (the classic S3 double-commit), so ambiguity is resolved
+    // by content: on conflict, read the winner back — if it is
+    // byte-identical to what we wrote, OUR earlier put landed and the
+    // commit succeeded (commits carry fresh timestamps/uuid paths, so
+    // accidental equality with another writer is not a real case).
+    val json = stamped.map(Action.toJson)
+    var published = false
+    var ioRetries = 0
+    while (!published) {
+      try { store.putIfAbsent(target, json); published = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (scala.util.Try(store.readLines(target) == json)
+              .getOrElse(false)) published = true
+          else throw new ConcurrentWriteException(version)
+        case _: java.io.IOException if ioRetries < MAX_PUT_RETRIES =>
+          ioRetries += 1 // may or may not have landed; the retry's
+                         // conflict + readback above resolves it
+      }
     }
     if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
       // all three are optimizations only — never fail the commit
@@ -127,26 +146,80 @@ final class LakeLog(val tablePath: String) {
       val stale =
         (CHECKPOINT_FILE_RE.matches(n) &&
           n.stripSuffix(".checkpoint.json").toLong < keepFrom) ||
+        (CHECKPOINT_PART_FILE_RE.matches(n) &&
+          n.split("\\.")(0).toLong < keepFrom) ||
         (HISTORY_FILE_RE.matches(n) &&
           n.stripSuffix(".history.json").toLong < keepFrom)
       if (stale) store.delete(p)
     }
+    // Stores that stage tmp files sweep their own crash orphans (a
+    // writer killed between write and publish leaves a tmp behind
+    // forever otherwise; harmless to correctness — the version/
+    // checkpoint regexes exclude them — but they accumulate).
+    store.cleanupStaging(logDir, TMP_ORPHAN_HORIZON_MS)
   }
 
-  /** Write `<v>.checkpoint.json`: the full replayed state at v. */
+  /** Write the checkpoint of the full replayed state at v. Small
+    * states write the single atomic `<v>.checkpoint.json`; above
+    * [[LakeLog.CHECKPOINT_PART_MAX_ACTIONS]] actions the state splits
+    * into `<v>.checkpoint.<part>.<numParts>.json` parts written
+    * incrementally — each write materializes only one part's lines,
+    * so checkpointing a 10⁷-AddFile table never builds an O(table)
+    * string buffer on the driver (Delta's multi-part checkpoint
+    * layout, which exists for exactly this cliff). Parts carry their
+    * total count in the name, so a reader can tell a complete set
+    * from a crashed writer's partial one without any extra marker
+    * file; an incomplete set is simply ignored ([[checkpointVersionsIn]]).
+    */
   private def writeCheckpoint(version: Long): Unit = {
     val snap = Snapshot.replay(this, version)
     val txns = expireCopyIntoLedger(snap)
-    val lines = (Seq(snap.protocol: Action, snap.metadata: Action) ++
-      txns.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) } ++
-      snap.files)
-      .map(Action.toJson)
-    store.atomicReplace(
-      logDir.resolve(f"$version%020d.checkpoint.json"), lines)
+    def actionIterator: Iterator[Action] =
+      Iterator[Action](snap.protocol, snap.metadata) ++
+        txns.toSeq.sortBy(_._1).iterator.map { case (a, v) => Txn(a, v) } ++
+        snap.files.iterator
+    val total = 2 + txns.size + snap.files.size
+    val partMax = CHECKPOINT_PART_MAX_ACTIONS
+    if (total <= partMax) {
+      store.atomicReplace(
+        logDir.resolve(f"$version%020d.checkpoint.json"),
+        actionIterator.map(Action.toJson).toSeq)
+    } else {
+      val numParts = ((total + partMax - 1) / partMax).toInt
+      val it = actionIterator
+      var part = 1
+      while (it.hasNext) {
+        store.atomicReplace(
+          checkpointPartFile(version, part, numParts),
+          it.take(partMax).map(Action.toJson).toSeq)
+        part += 1
+      }
+    }
     // the replay above cached the PRE-expiry snapshot for this
     // version; align the cache with the checkpoint just written
     if (txns.size != snap.transactions.size)
       Snapshot.reseed(this, version, snap.copy(transactions = txns))
+  }
+
+  private def checkpointPartFile(
+      version: Long, part: Int, numParts: Int): Path =
+    logDir.resolve(f"$version%020d.checkpoint.$part%04d.$numParts%04d.json")
+
+  /** Versions in `names` with a COMPLETE checkpoint: the single-file
+    * form, or a multi-part set whose distinct part count equals the
+    * declared total (a crashed writer's partial set never qualifies).
+    */
+  private def checkpointVersionsIn(names: Seq[String]): Seq[Long] = {
+    val singles = names.filter(CHECKPOINT_FILE_RE.matches)
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+    val multi = names.filter(CHECKPOINT_PART_FILE_RE.matches)
+      .map { n =>
+        val Array(v, _, part, numParts, _) = n.split("\\.")
+        (v.toLong, numParts.toInt, part.toInt)
+      }
+      .groupBy(p => (p._1, p._2))
+      .collect { case ((v, np), ps) if ps.map(_._3).distinct.size == np => v }
+    (singles ++ multi).distinct
   }
 
   /** COPY INTO ledger expiry: the per-source-file Txn entries grow
@@ -210,16 +283,33 @@ final class LakeLog(val tablePath: String) {
     }
   }
 
-  /** Latest checkpoint at or below `version`, if any: (version, actions). */
-  def latestCheckpointAtOrBefore(version: Long): Option[(Long, Seq[Action])] = {
-    val candidates = store.listDir(logDir)
-      .filter(p => CHECKPOINT_FILE_RE.matches(p.getFileName.toString))
-      .map(p => (p.getFileName.toString.stripSuffix(".checkpoint.json").toLong, p))
-      .filter(_._1 <= version)
-      .sortBy(_._1)
-    candidates.lastOption.map { case (v, p) =>
-      (v, store.readLines(p).iterator
-        .map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toSeq)
+  /** Latest COMPLETE checkpoint at or below `version`, if any:
+    * (version, streamed actions). The iterator reads one checkpoint
+    * part at a time — replay memory is bounded by the part size plus
+    * the live-file map it feeds, never the whole serialized state.
+    */
+  def latestCheckpointAtOrBefore(
+      version: Long): Option[(Long, Iterator[Action])] = {
+    val names = store.listDir(logDir).map(_.getFileName.toString)
+    checkpointVersionsIn(names).filter(_ <= version).maxOption.map { v =>
+      val single = logDir.resolve(f"$v%020d.checkpoint.json")
+      val files =
+        if (store.exists(single)) Seq(single)
+        else {
+          // two checkpointers at v can leave complete sets with
+          // DIFFERENT part counts (ledger expiry is time-dependent);
+          // pin ONE complete set — never concatenate across sets
+          val byCount = names.filter(n =>
+            CHECKPOINT_PART_FILE_RE.matches(n) &&
+              n.split("\\.")(0).toLong == v)
+            .groupBy(_.split("\\.")(3).toInt)
+          val np = byCount.collect {
+            case (count, ps) if ps.distinct.size == count => count
+          }.max
+          byCount(np).sorted.map(logDir.resolve)
+        }
+      (v, files.iterator.flatMap(p => store.readLines(p).iterator
+        .map(_.trim).filter(_.nonEmpty).map(Action.fromJson)))
     }
   }
 
@@ -258,6 +348,13 @@ object LakeLog {
     if (filePath.startsWith("/")) java.nio.file.Paths.get(filePath)
     else java.nio.file.Paths.get(tablePath, filePath)
   val CHECKPOINT_INTERVAL = 10L
+  /** Age past which a store's orphaned staging tmp files are swept. */
+  val TMP_ORPHAN_HORIZON_MS: Long = 3600L * 1000
+  /** Retries of an ambiguous (IOException) commit publish before the
+    * failure surfaces; each retry resolves a landed-but-timed-out put
+    * via the content readback in [[LakeLog.commit]].
+    */
+  val MAX_PUT_RETRIES = 3
   /** Newest checkpoints/history sidecars kept by the log cleanup. */
   val RETAINED_AUX = 3L
   /** Table property bounding the COPY INTO ledger (hours a dead
@@ -289,8 +386,17 @@ object LakeLog {
   /** Single-reading form used by tests; prefers the size-keyed parse. */
   private[lake] def copyIntoLocalPath(appId: String): Option[Path] =
     copyIntoLocalPaths(appId).lastOption
+  /** Actions per checkpoint part; above this the checkpoint splits
+    * into multi-part files. 100k JSON lines ≈ tens of MB per part —
+    * bounded driver memory per write/read regardless of table size.
+    * var only so tests can exercise the multi-part path cheaply.
+    */
+  private[lake] var CHECKPOINT_PART_MAX_ACTIONS: Int = 100000
+
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
   private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r
+  private val CHECKPOINT_PART_FILE_RE =
+    "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.json".r
   private val HISTORY_FILE_RE = "\\d{20}\\.history\\.json".r
 
   def versionOf(p: Path): Long =

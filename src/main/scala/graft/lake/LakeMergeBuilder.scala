@@ -514,7 +514,7 @@ final class LakeMergeBuilder private[lake] (
             LakeWriter.enforceConstraints(df,
               snap.metadata.constraints, table.tablePath)
           LakeWriter.stageAndAdopt(df, table.tablePath,
-            snap.partitionColumns)
+            snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
         case None => Nil
       }
       cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)
@@ -544,6 +544,15 @@ final class LakeMergeBuilder private[lake] (
         val now = System.currentTimeMillis()
         LakeWriter.commitWithRetry(table.log, snap.version,
           conflictPaths) { _ =>
+          // Same metadata conflict rule as commitRewrite: a racing
+          // mapped RENAME/ADD COLUMN invalidates files staged under
+          // the read snapshot's mapping epoch.
+          if (table.log.latestVersion > snap.version &&
+              table.log.snapshot().metadata != snap.metadata)
+            throw new ConflictingCommitException(
+              s"table metadata of ${table.tablePath} changed " +
+              s"concurrently with this MERGE (read version " +
+              s"${snap.version}); re-run the operation")
           Seq(CommitInfo(now, "MERGE",
             params + ("deletionVectors" -> dvAdds.size.toString))) ++
             removes ++ dvAdds ++ adds ++ cdc

@@ -318,7 +318,7 @@ final class LakeTable private (
     val meta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
     val renamed = toDF.withColumnRenamed(oldName, newName)
     val adds = LakeWriter.stageAndAdopt(renamed, tablePath,
-      snap.partitionColumns)
+      snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
     val now = System.currentTimeMillis()
     try {
       LakeWriter.commitWithRetry(log, snap.version,
@@ -460,7 +460,7 @@ final class LakeTable private (
           var adds: Seq[AddFile] = Nil
           try {
             adds = LakeWriter.stageAndAdopt(kept, tablePath,
-              snap.partitionColumns)
+              snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
             commitRewrite(snap, touched, adds, "DELETE",
               Map("predicate" -> condition),
               cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil))
@@ -688,7 +688,7 @@ final class LakeTable private (
       var adds: Seq[AddFile] = Nil
       try {
         adds = LakeWriter.stageAndAdopt(updated, tablePath,
-          snap.partitionColumns)
+          snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
         val (removes, dvAdds, conflictPaths) = stageDeletionVectors(
           snap, touched, projected.select(col(FILE), col(IDX)),
           dvRelsWritten)
@@ -793,7 +793,7 @@ final class LakeTable private (
       var adds: Seq[AddFile] = Nil
       try {
         adds = LakeWriter.stageAndAdopt(updated, tablePath,
-          snap.partitionColumns)
+          snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
         commitRewrite(snap, touched, adds, "UPDATE",
           Map("predicate" -> condition),
           cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil))
@@ -1238,18 +1238,56 @@ final class LakeTable private (
       }.toSet ++ preCutoffDvs
     val root = Paths.get(tablePath).toAbsolutePath.normalize
     val logRoot = root.resolve(LakeLog.LOG_DIR)
-    val candidates = LakeTable.walkTolerant(root)._1
-      .filterNot(_.startsWith(logRoot))
-      .map(p => root.relativize(p).toString)
-    // The stat races with concurrent deleters (a crashed MERGE's
-    // finally-block sweeping its .staging-* dir, a second vacuum): a
-    // file that vanished between listing and stat is simply already
-    // gone — skip it rather than aborting the whole vacuum.
-    val deletable = candidates.filter { rel =>
-      !live.contains(rel) && !protectedPaths.contains(rel) && {
-        try Files.getLastModifiedTime(root.resolve(rel)).toMillis <= cutoff
-        catch { case _: java.nio.file.NoSuchFileException => false }
+    // Candidate listing. Small tables walk on the driver; above the
+    // threshold the walk fans out as a Spark job over the table's
+    // top-level directories — at 100-TB file counts (10⁶–10⁷ entries)
+    // the serial driver walk+stat is the vacuum bottleneck, and
+    // listing subtrees is embarrassingly parallel (Delta's parallel
+    // vacuum listing). Each task returns (relative path, mtime), so
+    // the age gate below never re-stats on the driver. The filter
+    // itself stays driver-side: the live/protected sets are already
+    // in driver memory and the test is pure set lookup — shipping
+    // those sets to executors would cost more than it saves.
+    val distributed =
+      snap0.numFiles >= LakeTable.DISTRIBUTED_VACUUM_LIST_MIN_FILES
+    def mtimeOf(p: Path): Long =
+      // vanished between listing and stat = a concurrent deleter got
+      // it first; MaxValue keeps it out of the deletable set
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => Long.MaxValue }
+    val candidatesWithMtime: Seq[(String, Long)] =
+      if (!distributed) {
+        LakeTable.walkTolerant(root)._1
+          .filterNot(_.startsWith(logRoot))
+          .map(p => (root.relativize(p).toString, mtimeOf(p)))
+      } else {
+        val top = {
+          val l = Files.list(root)
+          try l.iterator.asScala.toSeq finally l.close()
+        }
+        val (topDirs, topFiles) = top.filterNot(_ == logRoot)
+          .partition(Files.isDirectory(_))
+        val rootStr = root.toString // no `this` in the task closure
+        val subtree =
+          if (topDirs.isEmpty) Nil
+          else spark.sparkContext
+            .parallelize(topDirs.map(_.toString).sorted,
+              math.min(topDirs.size, 64))
+            .flatMap { d =>
+              val base = Paths.get(rootStr)
+              LakeTable.walkTolerant(Paths.get(d))._1.map { f =>
+                val m = try Files.getLastModifiedTime(f).toMillis
+                  catch { case _: java.io.IOException => Long.MaxValue }
+                (base.relativize(f).toString, m)
+              }
+            }.collect().toSeq
+        topFiles.filter(Files.isRegularFile(_))
+          .map(p => (root.relativize(p).toString, mtimeOf(p))) ++ subtree
       }
+    val deletable = candidatesWithMtime.collect {
+      case (rel, mtime)
+        if !live.contains(rel) && !protectedPaths.contains(rel) &&
+          mtime <= cutoff => rel
     }.sorted
     // DRY RUN (Delta parity): report what WOULD go, touch nothing,
     // commit nothing.
@@ -1337,7 +1375,7 @@ final class LakeTable private (
     if (dvFiles.isEmpty) return 0
     val df = readFiles(snap, dvFiles.map(_.path))
     val adds = LakeWriter.stageAndAdopt(df, tablePath,
-      snap.partitionColumns)
+      snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
     commitRewrite(snap, dvFiles.map(_.path), adds, "REORG",
       Map("applyPurge" -> "true",
         "numFilesPurged" -> dvFiles.size.toString) ++
@@ -1364,7 +1402,7 @@ final class LakeTable private (
           snap.partitionColumns.map(c => col(quoted(c))): _*)
       else df.repartition(numOut)
     val adds = LakeWriter.stageAndAdopt(repartitioned, tablePath,
-      snap.partitionColumns)
+      snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
     commitRewrite(snap, toCompact.map(_.path), adds, "OPTIMIZE",
       Map("numFilesRemoved" -> toCompact.size.toString,
         "numFilesAdded" -> adds.size.toString) ++ extraParams)
@@ -1599,7 +1637,7 @@ final class LakeTable private (
           .sortWithinPartitions(sortCols: _*)
       }
     val adds = LakeWriter.stageAndAdopt(clustered, tablePath,
-      snap.partitionColumns)
+      snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
     commitRewrite(snap, scoped.map(_.path), adds, "OPTIMIZE",
       Map("clusterBy" -> clusterBy.mkString(","),
         "zOrder" -> (zOrder && clusterBy.size > 1).toString,
@@ -1676,9 +1714,36 @@ final class LakeTable private (
       params: Map[String, String],
       cdc: Seq[CdcFile] = Nil): Long = {
     val now = System.currentTimeMillis()
-    LakeWriter.commitWithRetry(log, snap.version, removedRelPaths) { _ =>
-      Seq(CommitInfo(now, operation, params)) ++
-        removedRelPaths.map(RemoveFile(_, now)) ++ adds ++ cdc
+    try {
+      LakeWriter.commitWithRetry(log, snap.version, removedRelPaths) { _ =>
+        // Metadata conflict detection (Delta's rule: ANY transaction
+        // fails when the table metadata changed under it). A DML whose
+        // rewrite/CDC stage raced a metadata commit (mapped RENAME, ADD
+        // COLUMN) staged files under the OLD mapping epoch — committing
+        // them would mis-map columns for readers of the new schema.
+        // Re-checked on every retry attempt; loud abort, caller re-runs.
+        if (log.latestVersion > snap.version &&
+            log.snapshot().metadata != snap.metadata)
+          throw new ConflictingCommitException(
+            s"table metadata of $tablePath changed concurrently with " +
+            s"this $operation (read version ${snap.version}); re-run " +
+            "the operation")
+        Seq(CommitInfo(now, operation, params)) ++
+          removedRelPaths.map(RemoveFile(_, now)) ++ adds ++ cdc
+      }
+    } catch {
+      case e: ConflictingCommitException =>
+        // The commit never happened: the staged rewrite/CDC files are
+        // unreferenced debris — sweep them before surfacing the
+        // conflict (mirrors LakeWriter.write's conflict sweep).
+        LakeWriter.sweepStaged(tablePath, adds, None, None)
+        cdc.foreach { c =>
+          try {
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(tablePath, c.path)); ()
+          } catch { case _: java.io.IOException => () }
+        }
+        throw e
     }
   }
 }
@@ -1894,6 +1959,11 @@ object LakeTable {
   /** Below these sizes the driver loop wins (job-launch overhead). */
   private[lake] val DISTRIBUTED_HISTORY_MIN_VERSIONS = 128
   private[lake] val DISTRIBUTED_VACUUM_MIN_FILES = 64
+  /** Live-file count above which vacuum's candidate LISTING fans out
+    * as a Spark job over top-level dirs instead of a driver walk.
+    * var only so tests can exercise the distributed path cheaply.
+    */
+  private[lake] var DISTRIBUTED_VACUUM_LIST_MIN_FILES = 10000
 
   /** Recursive (files, dirs) listing tolerant of entries vanishing
     * mid-traversal. `Files.walk`'s lazy iterator throws an

@@ -49,6 +49,14 @@ trait LogStore {
   def exists(p: Path): Boolean
 
   def delete(p: Path): Boolean
+
+  /** Sweep this store's own staging debris in `dir` older than
+    * `horizonMs` — a writer crashed between staging and publish
+    * orphans its tmp file forever otherwise. Stores that stage
+    * nothing (pure conditional-PUT) need not override. Must never
+    * throw: it runs on commit-side maintenance paths.
+    */
+  def cleanupStaging(dir: Path, horizonMs: Long): Unit = ()
 }
 
 /** POSIX/HDFS implementation: exclusive hard-link publish, tmp-file +
@@ -93,6 +101,25 @@ object LocalLogStore extends LogStore {
   override def exists(p: Path): Boolean = Files.exists(p)
 
   override def delete(p: Path): Boolean = Files.deleteIfExists(p)
+
+  /** Sweep `.put-*`/`.rep-*` tmp orphans a crashed writer left between
+    * write and link/move. Age-gated so a LIVE writer's in-flight tmp
+    * (milliseconds old) is never yanked from under it.
+    */
+  override def cleanupStaging(dir: Path, horizonMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - horizonMs
+    listDir(dir).foreach { p =>
+      val n = p.getFileName.toString
+      if ((n.startsWith(".put-") || n.startsWith(".rep-")) &&
+          n.endsWith(".tmp")) {
+        try {
+          if (Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.deleteIfExists(p)
+          ()
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+  }
 }
 
 object LogStore {

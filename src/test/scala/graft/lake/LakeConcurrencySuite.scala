@@ -2,134 +2,16 @@ package graft.lake
 
 import graft.SparkSuite
 
-/** Logical conflict detection on rewrite commits (Delta optimistic
-  * concurrency, SURVEY §7.1): a rewrite whose RemoveFile set was
-  * computed from a stale snapshot must abort if a concurrent commit
-  * already removed one of those files — not silently resurrect the
-  * deleted rows (the round-1 lost-update anomaly).
+/** The [[StoreContractSuite]] commit-protocol contract on the default
+  * POSIX-semantics [[LocalLogStore]], plus the local-only scenarios:
+  * cross-process races (exclusive createLink is a filesystem-wide
+  * primitive; the emulated object store's server lock is per-JVM) and
+  * the seam-instrumentation test.
   */
-class LakeConcurrencySuite extends SparkSuite {
+class LakeConcurrencySuite extends StoreContractSuite {
   import spark.implicits._
 
-  private def seed = (1L to 100L).map(i => (i, s"k$i", i * 1.0))
-    .toDF("id", "k", "v").coalesce(2)
-
-  test("stale rewrite after a concurrent DELETE of the same file aborts") {
-    val path = tablePath("conflict1")
-    LakeWriter.write(seed, path)
-    val t = LakeTable.forPath(spark, path)
-    val stale = t.snapshot() // writer A reads here
-
-    // writer B deletes rows, removing (rewriting) data files
-    LakeTable.forPath(spark, path).delete("id <= 50")
-    assert(t.snapshot().version === 1L)
-
-    // writer A now tries to commit a rewrite of the files it read
-    val ex = intercept[ConflictingCommitException] {
-      t.commitRewrite(stale, stale.files.map(_.path), Nil, "DELETE",
-        Map("predicate" -> "id > 90"))
-    }
-    assert(ex.getMessage.contains("removed file"))
-    // and the table still reflects only writer B's delete
-    assert(t.toDF.count() === 50L)
-  }
-
-  test("concurrent UPDATE x DELETE on overlapping files conflicts") {
-    val path = tablePath("conflict2")
-    LakeWriter.write(seed, path)
-    val a = LakeTable.forPath(spark, path)
-    val b = LakeTable.forPath(spark, path)
-
-    // simulate interleaving: A computes its plan from version 0 ...
-    val staleSnap = a.snapshot()
-    val cond = org.apache.spark.sql.functions.expr("id % 2 = 0")
-    val touched = a.touchedFiles(staleSnap, cond)
-    assert(touched.nonEmpty)
-    // ... B commits a delete touching the same files first ...
-    b.delete("id = 2")
-    // ... then A tries to publish its stale rewrite.
-    intercept[ConflictingCommitException] {
-      a.commitRewrite(staleSnap, touched, Nil, "UPDATE", Map.empty)
-    }
-  }
-
-  test("concurrent blind APPEND does not conflict with a rewrite") {
-    val path = tablePath("noconflict")
-    LakeWriter.write(seed, path)
-    val t = LakeTable.forPath(spark, path)
-    val stale = t.snapshot()
-
-    // another writer appends (adds files, removes nothing)
-    LakeWriter.write(Seq((101L, "x", 1.0)).toDF("id", "k", "v"), path)
-
-    // the stale rewrite retries past the version collision and commits
-    val v = t.commitRewrite(stale, stale.files.map(_.path), Nil,
-      "DELETE", Map.empty)
-    assert(v === 2L)
-    // appended row survives; original files removed
-    assert(t.toDF.count() === 1L)
-    assert(t.toDF.select("id").as[Long].collect() === Array(101L))
-  }
-
-  test("idempotent txn write skips an already-committed batch") {
-    val path = tablePath("txn1")
-    val batch = (1L to 10L).toDF("id")
-    val r0 = LakeWriter.write(batch, path, transaction = Some(("q", 0L)))
-    assert(r0.added.nonEmpty)
-    // crash-replay of the same micro-batch: skipped, no duplicates
-    val replay = LakeWriter.write(batch, path, transaction = Some(("q", 0L)))
-    assert(replay.added.isEmpty)
-    val t = LakeTable.forPath(spark, path)
-    assert(t.toDF.count() === 10L)
-    assert(t.snapshot().version === 0L)
-    // next batch proceeds; a different app's id 0 also proceeds
-    assert(LakeWriter.write(batch, path,
-      transaction = Some(("q", 1L))).added.nonEmpty)
-    assert(LakeWriter.write(batch, path,
-      transaction = Some(("other", 0L))).added.nonEmpty)
-    assert(t.toDF.count() === 30L)
-    // and replaying an OLD batch after newer ones is still skipped
-    assert(LakeWriter.write(batch, path,
-      transaction = Some(("q", 1L))).added.isEmpty)
-  }
-
-  test("txn watermarks survive log checkpointing") {
-    val path = tablePath("txn2")
-    val batch = Seq(1L).toDF("id")
-    (0L to 12L).foreach { b => // crosses the checkpoint interval (10)
-      LakeWriter.write(batch, path, transaction = Some(("q", b)))
-    }
-    val snap = LakeTable.forPath(spark, path).snapshot()
-    assert(snap.transactions("q") === 12L)
-    assert(LakeWriter.write(batch, path,
-      transaction = Some(("q", 5L))).added.isEmpty)
-    assert(LakeTable.forPath(spark, path).toDF.count() === 13L)
-  }
-
-  test("8 threads x 5 appends: every commit lands, versions contiguous") {
-    val path = tablePath("stress")
-    LakeWriter.write(Seq(0L).toDF("id").coalesce(1), path) // v0
-    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = (1 to 8).map { t =>
-      new Thread(() => {
-        try {
-          (0 until 5).foreach { i =>
-            LakeWriter.write(
-              Seq(t * 100L + i).toDF("id").coalesce(1), path)
-          }
-        } catch { case e: Throwable => errors.add(e) }
-      })
-    }
-    threads.foreach(_.start())
-    threads.foreach(_.join(120000))
-    assert(errors.isEmpty, s"concurrent appends failed: ${errors.peek()}")
-    val t = LakeTable.forPath(spark, path)
-    // 1 seed + 40 concurrent appends, every version present exactly once
-    assert(t.snapshot().version === 40L)
-    assert(t.toDF.count() === 41L)
-    val log = new LakeLog(path)
-    (0L to 40L).foreach(v => assert(log.readVersion(v).nonEmpty))
-  }
+  override protected def makeStore(): LogStore = LocalLogStore
 
   test("cross-process commit race: every writer's commit lands exactly once") {
     // Three SEPARATE JVMs plus this one race CommitInfo-only commits
@@ -246,18 +128,24 @@ class LakeConcurrencySuite extends SparkSuite {
     } finally LogStore.current = prev
   }
 
-  test("restoreTo aborts when a concurrent commit removed its files") {
-    val path = tablePath("conflict3")
-    LakeWriter.write(seed, path) // v0
-    LakeWriter.write(Seq((200L, "y", 2.0)).toDF("id", "k", "v"), path) // v1
-    val t = LakeTable.forPath(spark, path)
-    // concurrently, someone deletes everything (removes v0/v1 files)
-    val racer = new Thread(() =>
-      LakeTable.forPath(spark, path).delete("id <= 1000"))
-    racer.start(); racer.join()
-    // restore computed against the pre-delete snapshot would now be
-    // stale; a fresh restore (reads latest) is fine:
-    t.restoreTo(0L)
-    assert(t.toDF.count() === 100L)
+  test("stale LocalLogStore tmp orphans are swept at checkpoint time") {
+    val path = tablePath("tmpsweep")
+    LakeWriter.write(Seq(1L).toDF("id").coalesce(1), path) // v0
+    val logDir = new LakeLog(path).logDir
+    // plant a crash orphan, aged past the horizon
+    val orphan = logDir.resolve(".put-00000000000000000099.json-x.tmp")
+    java.nio.file.Files.write(orphan, java.util.List.of("junk"))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * LakeLog.TMP_ORPHAN_HORIZON_MS))
+    // and a FRESH tmp (a live writer's in-flight staging): must survive
+    val fresh = logDir.resolve(".rep-live-x.tmp")
+    java.nio.file.Files.write(fresh, java.util.List.of("live"))
+    // drive commits across a checkpoint boundary to trigger cleanup
+    (1 to 10).foreach(i =>
+      LakeWriter.write(Seq(i.toLong).toDF("id").coalesce(1), path))
+    assert(!java.nio.file.Files.exists(orphan), "aged orphan not swept")
+    assert(java.nio.file.Files.exists(fresh), "live tmp wrongly swept")
+    java.nio.file.Files.delete(fresh)
   }
 }

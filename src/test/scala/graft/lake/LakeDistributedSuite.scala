@@ -268,6 +268,49 @@ class LakeDistributedSuite extends SparkSuite {
     assert(LakeTable.forPath(spark, dst).toDF.count() === 700L)
   }
 
+  test("vacuum's candidate LISTING distributes above the threshold") {
+    // same candidate set from the driver walk and the partition-
+    // parallel walk, and the distributed path actually deletes it
+    val path = tablePath("dist-vac-list")
+    Files.createDirectories(Paths.get(path))
+    val adds = (0 until 40).map { i =>
+      val rel = f"p=${i % 4}/part-$i%05d.parquet"
+      val abs = Paths.get(path, rel)
+      Files.createDirectories(abs.getParent)
+      Files.write(abs, Array[Byte](1, 2, 3))
+      AddFile(rel, Map("p" -> (i % 4).toString), 3L, 1L)
+    }
+    // top-level orphan debris (a file with no partition dir), aged out
+    Files.write(Paths.get(path, "orphan.bin"), Array[Byte](9))
+    Files.setLastModifiedTime(Paths.get(path, "orphan.bin"),
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(
+      CommitInfo(1L, "CREATE", Map.empty),
+      Metadata("id BIGINT, p STRING", Seq("p"), 1L)) ++ adds)
+    log.commit(1L, Seq(CommitInfo(2L, "DELETE", Map.empty)) ++
+      adds.tail.map(a => RemoveFile(a.path, 2L)))
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    val prevThreshold = LakeTable.DISTRIBUTED_VACUUM_LIST_MIN_FILES
+    try {
+      val t = LakeTable.forPath(spark, path)
+      val localSet = t.vacuum(0.0, dryRun = true)
+      assert(localSet.size === 40) // 39 tombstoned + the orphan
+      LakeTable.DISTRIBUTED_VACUUM_LIST_MIN_FILES = 1 // force distributed
+      val distSet = t.vacuum(0.0, dryRun = true)
+      assert(distSet === localSet,
+        "distributed listing found a different candidate set")
+      val deleted = t.vacuum(0.0)
+      assert(deleted === localSet)
+      assert(Files.exists(Paths.get(path, adds.head.path)))
+      assert(adds.tail.forall(a => !Files.exists(Paths.get(path, a.path))))
+      assert(!Files.exists(Paths.get(path, "orphan.bin")))
+    } finally {
+      LakeTable.DISTRIBUTED_VACUUM_LIST_MIN_FILES = prevThreshold
+      spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+    }
+  }
+
   test("vacuum deletes 64+ tombstoned files distributed") {
     val path = tablePath("dist-vac")
     Files.createDirectories(Paths.get(path))

@@ -1,0 +1,128 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+/** The full [[StoreContractSuite]] contract on conditional-PUT
+  * object-store semantics, plus the failure modes POSIX never shows:
+  * the ambiguous timed-out PUT (landed but reported failed), lagged
+  * LIST-after-write, and a writer crashing between data-file staging
+  * and log publish (VERDICT r8 item 1's fault-injection matrix).
+  */
+class LakeObjectStoreSuite extends StoreContractSuite {
+  import spark.implicits._
+
+  private val objStore = new ObjectStoreLogStore
+
+  override protected def makeStore(): LogStore = objStore
+
+  /** Scope faults to one table's log and run `body`; always clears
+    * leftover budgets so a failing test can't poison the next one.
+    */
+  private def withFaults[A](path: String)(body: => A): A = {
+    objStore.faultScope =
+      java.nio.file.Paths.get(path).toAbsolutePath.toString
+    try body
+    finally {
+      objStore.faultScope = ""
+      objStore.timeoutPutsRemaining.set(0)
+      objStore.lostPutsRemaining.set(0)
+      objStore.lagListsRemaining.set(0)
+    }
+  }
+
+  test("ambiguous timed-out PUT commits exactly once (no double commit)") {
+    val path = tablePath("objtimeout")
+    LakeWriter.write(seed, path) // v0
+    withFaults(path) {
+      objStore.timeoutPutsRemaining.set(1)
+      // the commit PUT lands but the client sees a timeout; the retry
+      // hits its OWN object and must resolve by content readback —
+      // NOT commit the same actions again at the next version
+      LakeWriter.write(Seq((101L, "x", 1.0)).toDF("id", "k", "v"), path)
+    }
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().version === 1L,
+      "timed-out-but-landed PUT was re-committed at a second version")
+    assert(t.toDF.count() === 101L)
+    assert(t.toDF.filter($"id" === 101L).count() === 1L)
+  }
+
+  test("lagged LIST costs retries, never a lost or duplicated commit") {
+    val path = tablePath("objlag")
+    LakeWriter.write(seed, path) // v0
+    LakeWriter.write(Seq((101L, "x", 1.0)).toDF("id", "k", "v"), path) // v1
+    withFaults(path) {
+      // the next LISTs hide the newest key: the writer computes a
+      // stale latest version, loses the conditional PUT to v1's
+      // existing object, and must retry to a fresh version — the
+      // put-if-absent authority, not the listing, decides ownership
+      objStore.lagListsRemaining.set(2)
+      LakeWriter.write(Seq((102L, "y", 2.0)).toDF("id", "k", "v"), path)
+    }
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().version === 2L)
+    assert(t.toDF.count() === 102L)
+    val log = new LakeLog(path)
+    (0L to 2L).foreach(v => assert(log.readVersion(v).nonEmpty))
+  }
+
+  test("crash between data staging and log publish leaves no visible version") {
+    val path = tablePath("objcrash")
+    LakeWriter.write(seed, path) // v0
+    val t = LakeTable.forPath(spark, path)
+    val before = t.snapshot()
+    val dataFilesBefore = LakeWriter.walkParquet(
+      java.nio.file.Paths.get(path)).toSet
+    withFaults(path) {
+      // every publish attempt dies before reaching the store — the
+      // writer stages its rewrite files, then "crashes" at publish
+      objStore.lostPutsRemaining.set(100)
+      intercept[java.io.IOException] {
+        LakeTable.forPath(spark, path).delete("id <= 50")
+      }
+    }
+    Snapshot.clearCacheForTest()
+    val after = LakeTable.forPath(spark, path)
+    // no version became visible; readers see the pre-crash table
+    assert(after.snapshot().version === before.version)
+    assert(after.toDF.count() === 100L)
+    assert(after.toDF.agg(sum($"id")).as[Long].head === 5050L)
+    // and the failed DML swept its staged files — the table tree holds
+    // exactly the files the log references, no untracked debris
+    val dataFilesAfter = LakeWriter.walkParquet(
+      java.nio.file.Paths.get(path)).toSet
+    assert(dataFilesAfter === dataFilesBefore,
+      s"staged debris left behind: ${dataFilesAfter -- dataFilesBefore}")
+  }
+
+  test("unswept crash debris is invisible to readers until vacuumed") {
+    val path = tablePath("objdebris")
+    LakeWriter.write(seed, path) // v0
+    val t = LakeTable.forPath(spark, path)
+    // a kill -9'd writer: files staged into the table layout, no
+    // commit, no sweep (stageAndAdopt is exactly the pre-publish step)
+    val staged = LakeWriter.stageAndAdopt(
+      Seq((999L, "z", 9.0)).toDF("id", "k", "v"), path, Nil)
+    assert(staged.nonEmpty)
+    // readers replay the log, not the directory: the orphan is invisible
+    assert(t.toDF.count() === 100L)
+    assert(t.toDF.filter($"id" === 999L).count() === 0L)
+  }
+
+  test("conditional PUT refuses an existing key; replace swaps atomically") {
+    // direct store-contract check, no engine on top
+    val dir = java.nio.file.Paths.get(tmpDir("objstore-contract"))
+    val key = dir.resolve("00000000000000000000.json")
+    objStore.putIfAbsent(key, Seq("a"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      objStore.putIfAbsent(key, Seq("b"))
+    }
+    assert(objStore.readLines(key) === Seq("a"))
+    objStore.atomicReplace(key, Seq("c", "d"))
+    assert(objStore.readLines(key) === Seq("c", "d"))
+    assert(objStore.listDir(dir).map(_.getFileName.toString) ===
+      Seq("00000000000000000000.json"))
+    assert(objStore.delete(key))
+    assert(!objStore.exists(key))
+  }
+}
