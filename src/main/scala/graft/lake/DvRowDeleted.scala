@@ -46,10 +46,13 @@ case class DvRowDeleted(first: Expression, second: Expression,
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = first.nullable || second.nullable
 
-  /** file → DV sidecar path, decoded once per task from the literal. */
+  /** file → DV sidecar path, decoded once per task from the literal
+    * (inline payload) or fetched from the riding broadcast (large
+    * maps — see [[DvRowDeleted.payload]]).
+    */
   @transient private lazy val dvFor: java.util.HashMap[String, String] = {
     require(third.foldable, "dv map must be a literal")
-    DvRowDeleted.decode(third.eval(null).asInstanceOf[Array[Byte]])
+    DvRowDeleted.decodePayload(third.eval(null).asInstanceOf[Array[Byte]])
   }
 
   // Per-file memo: `_metadata.file_path` is constant across a file's
@@ -125,8 +128,72 @@ object DvRowDeleted {
     bos.toByteArray
   }
 
-  private def decode(bytes: Array[Byte]): java.util.HashMap[String, String] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+  /** Map entries above which the payload rides a Spark broadcast
+    * instead of sitting inline in the plan literal: a 10⁵-DV-file
+    * map is a few MB — harmless once, but it would be re-rendered in
+    * every explain string and copied through every plan-string
+    * context. var only so tests can exercise the broadcast path.
+    */
+  private[lake] var BROADCAST_MIN_ENTRIES = 4096
+
+  /** Driver-side pin of created broadcasts, keyed by content hash:
+    * the only other reference to the handle is JAVA-SERIALIZED inside
+    * the plan literal, which the ContextCleaner cannot see — without
+    * the pin it could reap a broadcast whose plan is still live.
+    * Keyed by content so repeated reads of the same snapshot reuse
+    * one broadcast; growth is bounded by distinct large-DV-map
+    * snapshots read in the session (handles are tiny, the values are
+    * evictable storage blocks).
+    */
+  private val pinned = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+
+  private val TAG_INLINE: Byte = 'I'
+  private val TAG_BROADCAST: Byte = 'B'
+
+  /** The literal payload for `dvFor`: tag byte + inline map encoding
+    * (small maps), or tag byte + java-serialized Broadcast handle
+    * whose value is the map encoding (large maps). Either way the
+    * expression surface is ONE foldable binary literal, so the
+    * registry round-trip and the join-free plan shape are identical.
+    */
+  def payload(spark: SparkSession,
+      dvFor: Seq[(String, String)]): Array[Byte] = {
+    val body = encode(dvFor)
+    val bos = new ByteArrayOutputStream()
+    if (dvFor.size < BROADCAST_MIN_ENTRIES) {
+      bos.write(TAG_INLINE.toInt)
+      bos.write(body)
+    } else {
+      val key = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256").digest(body))
+      val b = pinned.computeIfAbsent(key,
+        _ => spark.sparkContext.broadcast(body))
+      bos.write(TAG_BROADCAST.toInt)
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(b)
+      oos.flush()
+    }
+    bos.toByteArray
+  }
+
+  private[lake] def decodePayload(
+      bytes: Array[Byte]): java.util.HashMap[String, String] =
+    bytes(0) match {
+      case TAG_INLINE =>
+        decode(new DataInputStream(
+          new ByteArrayInputStream(bytes, 1, bytes.length - 1)))
+      case TAG_BROADCAST =>
+        val ois = new java.io.ObjectInputStream(
+          new ByteArrayInputStream(bytes, 1, bytes.length - 1))
+        val b = ois.readObject()
+          .asInstanceOf[org.apache.spark.broadcast.Broadcast[Array[Byte]]]
+        decode(new DataInputStream(new ByteArrayInputStream(b.value)))
+      case other => throw new IllegalArgumentException(
+        s"unknown dv map payload tag: $other")
+    }
+
+  private def decode(in: DataInputStream): java.util.HashMap[String, String] = {
     val n = in.readInt()
     val m = new java.util.HashMap[String, String](n * 2)
     var i = 0
@@ -157,6 +224,6 @@ object DvRowDeleted {
       dvFor: Seq[(String, String)]): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function(NAME, filePath, rowIndex,
-      org.apache.spark.sql.functions.lit(encode(dvFor)))
+      org.apache.spark.sql.functions.lit(payload(spark, dvFor)))
   }
 }

@@ -157,6 +157,50 @@ final class LakeLog(val tablePath: String) {
     // forever otherwise; harmless to correctness — the version/
     // checkpoint regexes exclude them — but they accumulate).
     store.cleanupStaging(logDir, TMP_ORPHAN_HORIZON_MS)
+    cleanupOldVersionFiles(latest, keepFrom)
+  }
+
+  /** Log retention (Delta `delta.logRetentionDuration` analog): drop
+    * version files older than [[LakeLog.LOG_RETENTION_PROP]] hours
+    * (default 30 days; negative disables) that are ALSO below the
+    * oldest retained checkpoint, so every surviving version stays
+    * replayable from a surviving checkpoint. Deletion is restricted
+    * to a contiguous prefix — a surviving version file must never
+    * depend on a deleted one for replay — and in-commit timestamps
+    * are monotonic, so the age gate can only stop the prefix early,
+    * never punch holes. Time travel below the horizon fails loudly
+    * in [[Snapshot]] with the earliest replayable version.
+    */
+  private def cleanupOldVersionFiles(latest: Long, keepFrom: Long): Unit = {
+    if (keepFrom <= 0) return
+    // cached: writeCheckpoint replayed `latest` moments ago
+    val props = Snapshot.replay(this, latest).metadata.properties
+    val hours = props.get(LOG_RETENTION_PROP).map(_.toDouble)
+      .getOrElse(LOG_RETENTION_HOURS_DEFAULT)
+    if (hours < 0) return
+    val horizon = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    val it = listVersionFiles.iterator
+    var continue = true
+    while (continue && it.hasNext) {
+      val p = it.next()
+      val v = versionOf(p)
+      val ts = firstCommitInfoTimestamp(v)
+        .orElse(scala.util.Try(
+          Files.getLastModifiedTime(p).toMillis).toOption)
+        .getOrElse(Long.MaxValue)
+      if (v < keepFrom && ts < horizon) { store.delete(p); () }
+      else continue = false
+    }
+  }
+
+  /** Oldest version a replay can reconstruct: 0 while the full log
+    * survives, else the oldest complete checkpoint.
+    */
+  def earliestReplayableVersion: Long = {
+    if (store.exists(versionFile(0L))) 0L
+    else checkpointVersionsIn(
+      store.listDir(logDir).map(_.getFileName.toString))
+      .minOption.getOrElse(0L)
   }
 
   /** Write the checkpoint of the full replayed state at v. Small
@@ -362,6 +406,11 @@ object LakeLog {
     */
   val COPY_INTO_RETENTION_PROP = "graft.copyIntoLedgerRetentionHours"
   val COPY_INTO_RETENTION_HOURS_DEFAULT = 168.0
+  /** Table property: hours a version file is kept once it falls below
+    * the oldest retained checkpoint; negative disables cleanup.
+    */
+  val LOG_RETENTION_PROP = "graft.logRetentionHours"
+  val LOG_RETENTION_HOURS_DEFAULT = 720.0
 
   /** The candidate local filesystem paths inside a COPY INTO ledger
     * appId. `copy-into:<uri>[:<size>]` is ambiguous for a legacy

@@ -1226,7 +1226,12 @@ final class LakeTable private (
     val inWindow = commitTimestamps.filter(_._2 > cutoff)
     val preCutoffDvs: Set[String] = commitTimestamps
       .filter(_._2 <= cutoff).lastOption.map { case (v, _) =>
-        snapshot(v).files.flatMap(_.dvPath).toSet
+        // log cleanup may have dropped the replay prefix below the
+        // retention horizon; the oldest REPLAYABLE version is then
+        // the earliest state any reader can reach, so its DVs are
+        // the right protection set
+        snapshot(math.max(v, log.earliestReplayableVersion))
+          .files.flatMap(_.dvPath).toSet
       }.getOrElse(Set.empty)
     val protectedPaths: Set[String] = inWindow.flatMap { case (v, _) =>
         log.readVersion(v).flatMap {

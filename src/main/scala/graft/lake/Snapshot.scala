@@ -146,7 +146,22 @@ object Snapshot {
     }
     var v = startAt
     while (v <= version) {
-      log.readVersion(v).foreach {
+      val actions =
+        try log.readVersion(v)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            // log cleanup removed the prefix this replay needs: say
+            // so, with the horizon, instead of a bare missing-file
+            val earliest = log.earliestReplayableVersion
+            if (version < earliest)
+              throw new IllegalStateException(
+                s"cannot time travel to version $version of lake " +
+                s"table ${log.tablePath}: version files below the log " +
+                s"retention horizon were removed by log cleanup " +
+                s"(earliest replayable version: $earliest)", e)
+            else throw e
+        }
+      actions.foreach {
         case m: Metadata   => metadata = m
         case a: AddFile    => live(a.path) = a
         case r: RemoveFile => live.remove(r.path)

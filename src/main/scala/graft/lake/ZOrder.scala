@@ -19,10 +19,12 @@ import org.apache.spark.sql.types._
   * beat uniform buckets in Delta's implementation. Numeric, date and
   * timestamp columns bucket by quantile; string columns fall back to a
   * hash bucket (equality locality only — a range filter on a string
-  * column won't skip, same caveat as any hash layout). The bucket
-  * ladder and the interleave are plain `when`/bit-op expressions —
-  * fully codegen'd, no UDFs; the only driver work is the boundary
-  * collection (≤ 2^bits doubles per column).
+  * column won't skip, same caveat as any hash layout). Bucketing is a
+  * codegen'd binary search against the broadcast boundary array
+  * ([[graft.functions.QuantileBucket]], O(bits) per row) and the
+  * interleave is plain bit-op expressions — fully codegen'd, no UDFs;
+  * the only driver work is the boundary collection (≤ 2^bits doubles
+  * per column).
   */
 object ZOrder {
 
@@ -61,11 +63,14 @@ object ZOrder {
       }
     val buckets: Seq[Column] = casts.map {
       case (c, Some(e)) =>
-        // bucket = number of boundaries strictly below the value — a
-        // when-ladder of ≤ 2^bits-1 literal comparisons, codegen'd
-        boundaries(c).foldLeft(lit(0L)) { (acc, b) =>
-          acc + when(e > lit(b), 1L).otherwise(0L)
-        }
+        // bucket = number of boundaries strictly below the value —
+        // binary search in the codegen'd QuantileBucket expression,
+        // O(bits) per row instead of the former O(2^bits) when-ladder.
+        // NULLs keep the ladder's bucket-0 behavior via coalesce.
+        val bs = boundaries(c)
+        if (bs.isEmpty) lit(0L)
+        else coalesce(
+          graft.functions.QuantileBucket(e, bs), lit(0L))
       case (c, None) =>
         pmod(xxhash64(col(s"`$c`")), lit(1L << bits))
     }

@@ -151,6 +151,91 @@ class LakeCheckpointSuite extends SparkSuite {
     assert(!names.exists(_.contains(".checkpoint.0")))
   }
 
+  test("log retention drops aged pre-horizon version files; travel fails loudly") {
+    val path = tablePath("logret")
+    val log = new LakeLog(path)
+    val retMeta = Metadata("id BIGINT", Nil, 0L, Map.empty,
+      Map(LakeLog.LOG_RETENTION_PROP -> "0")) // expire immediately
+    // ancient commit timestamps (v+1 ms) so the age gate passes
+    log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), retMeta,
+      Protocol()))
+    (1L to 30L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"r$v")))
+    }
+    // checkpoints at 10/20/30 retained; keepFrom = 30 - 2*10 = 10 →
+    // version files 0..9 are below the horizon AND aged → deleted
+    val names = LogStore.current.listDir(log.logDir)
+      .map(_.getFileName.toString)
+    (0L to 9L).foreach(v =>
+      assert(!names.contains(f"$v%020d.json"), s"v$v not cleaned"))
+    (10L to 30L).foreach(v =>
+      assert(names.contains(f"$v%020d.json"), s"v$v wrongly deleted"))
+    assert(log.earliestReplayableVersion === 10L)
+    // travel below the horizon: loud, names the horizon
+    Snapshot.clearCacheForTest()
+    val ex = intercept[IllegalStateException](log.snapshot(5L))
+    assert(ex.getMessage.contains("retention horizon"))
+    assert(ex.getMessage.contains("earliest replayable version: 10"))
+    // at and above the horizon: unaffected
+    assert(log.snapshot(10L).files.size === 10)
+    assert(log.snapshot(30L).files.map(_.path).toSet ===
+      naiveLiveSetFrom(log, 10L, 30L, log.snapshot(10L)))
+    // history is sidecar-backed: still sees every commit
+    val hist = log.latestHistoryAtOrBefore(30L)
+    assert(hist.exists(_._2.size === 31))
+  }
+
+  test("default retention keeps version files; negative disables cleanup") {
+    // fresh commits + default 720h retention → nothing is deleted
+    val path = tablePath("logret-off")
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty), meta,
+      Protocol()))
+    (1L to 30L).foreach { v =>
+      log.commit(v, Seq(
+        CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+        addFile(s"k$v")))
+    }
+    val names = LogStore.current.listDir(log.logDir)
+      .map(_.getFileName.toString)
+    (0L to 30L).foreach(v => assert(names.contains(f"$v%020d.json")))
+    assert(log.earliestReplayableVersion === 0L)
+    Snapshot.clearCacheForTest()
+    assert(log.snapshot(5L).files.size === 5) // full-log travel intact
+
+    // ancient commits + retention -1 → cleanup disabled entirely
+    val path2 = tablePath("logret-neg")
+    val log2 = new LakeLog(path2)
+    log2.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty),
+      Metadata("id BIGINT", Nil, 0L, Map.empty,
+        Map(LakeLog.LOG_RETENTION_PROP -> "-1")),
+      Protocol()))
+    (1L to 30L).foreach { v =>
+      log2.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"n$v")))
+    }
+    val names2 = LogStore.current.listDir(log2.logDir)
+      .map(_.getFileName.toString)
+    (0L to 30L).foreach(v => assert(names2.contains(f"$v%020d.json")))
+  }
+
+  /** Live set from replaying [from..to] on top of snapshot(from). */
+  private def naiveLiveSetFrom(log: LakeLog, from: Long, to: Long,
+      base: Snapshot): Set[String] = {
+    val live = scala.collection.mutable.LinkedHashSet(
+      base.files.map(_.path): _*)
+    ((from + 1) to to).foreach { v =>
+      log.readVersion(v).foreach {
+        case a: AddFile    => live += a.path; ()
+        case r: RemoveFile => live -= r.path; ()
+        case _             => ()
+      }
+    }
+    live.toSet
+  }
+
   test("stale multi-part checkpoints are cleaned up with the aux files") {
     withPartMax(2) {
       val path = tablePath("ckpt-clean")

@@ -160,6 +160,31 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(t.toDF.where("x < 6").count() === 96L * 6L)
   }
 
+  test("QuantileBucket binary search matches the when-ladder semantics") {
+    // the O(bits) bucket expression must agree with the reference
+    // ladder (count of boundaries STRICTLY below) on boundary-equal
+    // values, out-of-range values, and nulls (→ bucket 0 at the
+    // Z-order call site via coalesce)
+    import org.apache.spark.sql.functions.{coalesce, lit, when, col}
+    val bounds = Array(10.0, 20.0, 30.0)
+    val vals: Seq[java.lang.Double] =
+      Seq(5.0, 10.0, 10.5, 20.0, 25.0, 30.0, 35.0, null)
+    val df = vals.toDF("v")
+    val ladder = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("v") > lit(b), 1L).otherwise(0L)
+    }
+    val fast = coalesce(graft.functions.QuantileBucket(col("v"), bounds),
+      lit(0L))
+    val rows = df.select(ladder.as("ladder"), fast.as("fast"))
+      .collect()
+    rows.zip(vals).foreach { case (r, v) =>
+      assert(r.getLong(0) === r.getLong(1), s"mismatch for value $v")
+    }
+    // expected absolute buckets: strictly-below counts
+    assert(df.select(fast).as[Long].collect() ===
+      Array(0L, 0L, 1L, 1L, 2L, 2L, 3L, 0L))
+  }
+
   test("ZORDER BY accepts more than 10 columns (adaptive bit width)") {
     val path = tablePath("dsv2zwide")
     val cols = (0 until 12).map(i => s"c$i")

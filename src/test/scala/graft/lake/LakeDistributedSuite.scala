@@ -161,9 +161,12 @@ class LakeDistributedSuite extends SparkSuite {
     Files.setLastModifiedTime(orphan,
       java.nio.file.attribute.FileTime.fromMillis(1000L))
     // checkpoint+sidecar live at v190: versions before that must not
-    // be read — delete them so a full replay would throw
-    (1L to 190L).foreach(v => Files.delete(log.versionFile(v)))
-    Files.delete(log.versionFile(0L))
+    // be read — delete them so a full replay would throw. (The aged
+    // prefix is usually ALREADY gone: these synthetic commit
+    // timestamps are ancient, so round-9 log retention swept the
+    // pre-checkpoint files at commit time — hence deleteIfExists.)
+    (1L to 190L).foreach(v => Files.deleteIfExists(log.versionFile(v)))
+    Files.deleteIfExists(log.versionFile(0L))
     spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
     LakeLog.readVersionCalls.set(0L)
     val deleted = try LakeTable.forPath(spark, path).vacuum(0.0)
