@@ -36,14 +36,22 @@ final case class Snapshot(
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val missing = files.filterNot(f =>
-      Files.exists(LakeLog.resolveFile(log.tablePath, f.path)))
-    if (missing.nonEmpty) {
-      throw new IllegalStateException(
-        s"cannot read version $version of lake table ${log.tablePath}: " +
-        s"${missing.size} data file(s) referenced by the log no longer " +
-        s"exist (first: ${missing.head.path}). They were likely removed " +
-        "by VACUUM; time travel to vacuumed versions is not possible.")
+    // The existence sweep is O(files) driver stat calls — a real cost
+    // at 10⁶-file tables — and only TIME-TRAVELED snapshots can be
+    // legitimately missing files (VACUUM never deletes the current
+    // version's live set; it protects `live` explicitly). Current-
+    // version reads skip the sweep; a tampered-with table still fails
+    // at scan time, just without this message.
+    if (version != log.latestVersion) {
+      val missing = files.filterNot(f =>
+        Files.exists(LakeLog.resolveFile(log.tablePath, f.path)))
+      if (missing.nonEmpty) {
+        throw new IllegalStateException(
+          s"cannot read version $version of lake table ${log.tablePath}: " +
+          s"${missing.size} data file(s) referenced by the log no longer " +
+          s"exist (first: ${missing.head.path}). They were likely removed " +
+          "by VACUUM; time travel to vacuumed versions is not possible.")
+      }
     }
     graft.sources.LakeDataSource.snapshotDF(spark, this)
   }
