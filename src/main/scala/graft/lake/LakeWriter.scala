@@ -445,52 +445,68 @@ object LakeWriter {
     * Hive partition layout) and build their AddFile actions with
     * footer-derived row counts and column min/max stats.
     *
-    * Stats gathering is distributed for large commits: each executor
-    * reads its files' footers and ships back only the (rows, min/max,
-    * nulls) tuples — at a 10k-file commit the driver never touches a
-    * data file. The final rename into the table layout stays a
-    * driver-side metadata loop: on a POSIX/HDFS-style store rename is
-    * O(1) per file, and the loop is the commit's atomicity boundary
-    * (SCALE.md "known stand-ins" — an object-store port would make the
-    * staging dir the final layout and skip the move entirely).
+    * Large commits run ONE Spark job that does everything per file —
+    * footer stats, empty-split cleanup, the rename into the table
+    * layout, and AddFile construction — and ships back only the
+    * actions: at a 10k-file commit the driver touches no data file
+    * and runs no per-file loop (the serial rename loop was the last
+    * driver-side O(files) step on the write path). Files are
+    * invisible to readers either way until the log commit publishes
+    * them — adoption placement is not the atomicity boundary, the
+    * version file is. Small commits keep the driver loop (job-launch
+    * overhead dominates below the thresholds).
     */
   private def adoptStagedFiles(
       spark: SparkSession, staging: Path, tableRoot: Path): Seq[AddFile] = {
     val files = walkParquet(staging)
     val stagedBytes = files.map(f => Files.size(f)).sum
-    val statsByPath: Map[String, (Long, Map[String, String],
-        Map[String, String], Map[String, Long])] =
-      if (files.size >= DISTRIBUTED_STATS_MIN_FILES &&
-          stagedBytes >= DISTRIBUTED_STATS_MIN_BYTES) {
-        val conf = new org.apache.spark.util.SerializableConfiguration(
-          spark.sparkContext.hadoopConfiguration)
-        spark.sparkContext
-          .parallelize(files.map(_.toString), math.min(files.size, 64))
-          .map(p => p -> ParquetFooters.statsWithConf(conf.value, p))
-          .collect().toMap
-      } else {
-        files.map(f =>
-          f.toString -> ParquetFooters.stats(spark, f.toString)).toMap
+    if (files.size >= DISTRIBUTED_STATS_MIN_FILES &&
+        stagedBytes >= DISTRIBUTED_STATS_MIN_BYTES) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val stagingStr = staging.toString
+      val rootStr = tableRoot.toString
+      spark.sparkContext
+        .parallelize(files.map(_.toString).sorted,
+          math.min(files.size, 64))
+        .flatMap { p =>
+          val f = Paths.get(p)
+          adoptOne(f, Paths.get(stagingStr), Paths.get(rootStr),
+            ParquetFooters.statsWithConf(conf.value, p))
+        }
+        .collect().toSeq.sortBy(_.path)
+    } else {
+      files.flatMap { f =>
+        adoptOne(f, staging, tableRoot,
+          ParquetFooters.stats(spark, f.toString))
       }
-    files.flatMap { f =>
-      val (rows, mins, maxs, nulls) = statsByPath(f.toString)
-      if (rows == 0L) { // empty output split: don't pollute the table
-        Files.deleteIfExists(f)
-        None
-      } else {
-        val rel = staging.relativize(f).toString
-        val target = tableRoot.resolve(rel)
-        Files.createDirectories(target.getParent)
-        Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
-        Some(AddFile(
-          path = rel,
-          partitionValues = partitionValuesOf(rel),
-          size = Files.size(target),
-          numRecords = rows,
-          minValues = mins,
-          maxValues = maxs,
-          nullCounts = nulls))
-      }
+    }
+  }
+
+  /** Adopt one staged file: drop empty splits, else move it into the
+    * table layout and build its AddFile. Runs on executors for large
+    * commits — no driver state beyond the two base paths.
+    */
+  private def adoptOne(f: Path, staging: Path, tableRoot: Path,
+      stats: (Long, Map[String, String], Map[String, String],
+        Map[String, Long])): Option[AddFile] = {
+    val (rows, mins, maxs, nulls) = stats
+    if (rows == 0L) { // empty output split: don't pollute the table
+      Files.deleteIfExists(f)
+      None
+    } else {
+      val rel = staging.relativize(f).toString
+      val target = tableRoot.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
+      Some(AddFile(
+        path = rel,
+        partitionValues = partitionValuesOf(rel),
+        size = Files.size(target),
+        numRecords = rows,
+        minValues = mins,
+        maxValues = maxs,
+        nullCounts = nulls))
     }
   }
 

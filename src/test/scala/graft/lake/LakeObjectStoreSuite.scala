@@ -109,6 +109,34 @@ class LakeObjectStoreSuite extends StoreContractSuite {
     assert(t.toDF.filter($"id" === 999L).count() === 0L)
   }
 
+  test("end-to-end DML flow is identical under object-store semantics") {
+    // merge → update → delete → optimize → time travel → vacuum, all
+    // committing through conditional-PUT; checkpoint boundary crossed
+    val path = tablePath("objdml")
+    LakeWriter.write(seed, path) // v0: ids 1..100
+    val t = LakeTable.forPath(spark, path)
+    t.as("t").merge(Seq((50L, "updated", -1.0), (101L, "new", 101.0))
+        .toDF("id", "k", "v").as("s"), "t.id = s.id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute() // v1
+    t.update("id = 60", Map("v" -> "0.0"))                        // v2
+    t.delete("id <= 10")                                          // v3
+    (1 to 7).foreach(i => LakeWriter.write(
+      Seq((200L + i, "pad", 0.0)).toDF("id", "k", "v"), path)) // v4..v10
+    val snap = t.snapshot()
+    assert(snap.version === 10L) // crossed the checkpoint at v10
+    assert(t.toDF.count() === 98L) // 100 - 10 + 1 + 7
+    assert(t.toDF.filter($"id" === 50L).select("k").as[String].head ===
+      "updated")
+    assert(t.toDF.filter($"id" === 60L).select("v").as[Double].head === 0.0)
+    // time travel reads exact history through the object store
+    assert(t.asOf(0).count() === 100L)
+    assert(t.asOf(3).count() === 91L)
+    // compaction + vacuum still work; nothing live is deletable
+    t.compact()
+    assert(t.toDF.count() === 98L)
+    assert(t.vacuum(dryRun = true).forall(p => !p.endsWith(".json")))
+  }
+
   test("conditional PUT refuses an existing key; replace swaps atomically") {
     // direct store-contract check, no engine on top
     val dir = java.nio.file.Paths.get(tmpDir("objstore-contract"))
