@@ -179,6 +179,16 @@ final class LakeLog(val tablePath: String) {
       .getOrElse(LOG_RETENTION_HOURS_DEFAULT)
     if (hours < 0) return
     val horizon = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    // bound by the oldest SURVIVING complete checkpoint, not the
+    // nominal retention window: checkpoint writes are best-effort
+    // (never fail a commit), so a missing one must shrink the
+    // deletable prefix rather than strand the versions above it
+    val oldestCkpt = checkpointVersionsIn(
+      store.listDir(logDir).map(_.getFileName.toString)).minOption
+    val bound = oldestCkpt match {
+      case Some(c) => math.min(keepFrom, c)
+      case None => return // no checkpoint at all: delete nothing
+    }
     val it = listVersionFiles.iterator
     var continue = true
     while (continue && it.hasNext) {
@@ -188,7 +198,7 @@ final class LakeLog(val tablePath: String) {
         .orElse(scala.util.Try(
           Files.getLastModifiedTime(p).toMillis).toOption)
         .getOrElse(Long.MaxValue)
-      if (v < keepFrom && ts < horizon) { store.delete(p); () }
+      if (v < bound && ts < horizon) { store.delete(p); () }
       else continue = false
     }
   }

@@ -1477,6 +1477,13 @@ final class LakeTable private (
     val to = if (toVersion < 0) log.latestVersion else toVersion
     require(fromVersion >= 0 && fromVersion <= to,
       s"invalid change range [$fromVersion, $to]")
+    // the feed replays version files; below the log-retention horizon
+    // they are gone — say so instead of a bare missing-file error
+    val earliest = log.earliestReplayableVersion
+    if (fromVersion < earliest) throw new IllegalStateException(
+      s"cannot read changes of $tablePath from version $fromVersion: " +
+      s"version files below the log retention horizon were removed by " +
+      s"log cleanup (earliest available version: $earliest)")
     val snapAtTo = snapshot(to)
     val schema = snapAtTo.schema
     def readRel(files: Seq[AddFile]): DataFrame = {

@@ -184,6 +184,10 @@ class LakeCheckpointSuite extends SparkSuite {
     // history is sidecar-backed: still sees every commit
     val hist = log.latestHistoryAtOrBefore(30L)
     assert(hist.exists(_._2.size === 31))
+    // the change feed names the horizon too
+    val cdfEx = intercept[IllegalStateException](
+      LakeTable.forPath(spark, path).changes(5L).count())
+    assert(cdfEx.getMessage.contains("retention horizon"))
   }
 
   test("default retention keeps version files; negative disables cleanup") {
