@@ -134,10 +134,11 @@ final class LakeLog(val tablePath: String) {
 
   /** Drop checkpoints/history sidecars older than the newest
     * [[LakeLog.RETAINED_AUX]]. They are pure accelerators — replay and
-    * history() fall back to version files, which are never deleted
-    * here — but each is O(live state)/O(commits) big, so at
-    * CHECKPOINT_INTERVAL cadence an old table would otherwise carry
-    * O(versions) of them. Delta's log-retention cleanup analog.
+    * history() fall back to version files — but each is
+    * O(live state)/O(commits) big, so at CHECKPOINT_INTERVAL cadence
+    * an old table would otherwise carry O(versions) of them. Version
+    * files themselves age out separately (and far more conservatively)
+    * in [[cleanupOldVersionFiles]].
     */
   private def cleanupAuxFiles(latest: Long): Unit = {
     val keepFrom = latest - (RETAINED_AUX - 1) * CHECKPOINT_INTERVAL
