@@ -141,12 +141,27 @@ object DvRowDeleted {
     * the plan literal, which the ContextCleaner cannot see — without
     * the pin it could reap a broadcast whose plan is still live.
     * Keyed by content so repeated reads of the same snapshot reuse
-    * one broadcast; growth is bounded by distinct large-DV-map
-    * snapshots read in the session (handles are tiny, the values are
-    * evictable storage blocks).
+    * one broadcast. Each entry remembers the OWNING applicationId: a
+    * handle from a stopped SparkContext is unusable (executors throw
+    * on `.value`), so a hit under a different context rebuilds
+    * instead of resurrecting a dead handle. Access-ordered and capped
+    * at [[PINNED_MAX]]: evicted entries are unpersisted (NOT
+    * destroyed — a still-live plan re-fetches from the driver), so a
+    * long-lived process reading many distinct large-DV-map snapshots
+    * cannot accumulate block-manager storage without bound.
     */
-  private val pinned = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+  private val PINNED_MAX = 64
+  private val pinned = new java.util.LinkedHashMap[
+      String, (String, org.apache.spark.broadcast.Broadcast[Array[Byte]])](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, (String, org.apache.spark.broadcast.Broadcast[Array[Byte]])])
+        : Boolean = {
+      val evict = size > PINNED_MAX
+      if (evict) scala.util.Try(e.getValue._2.unpersist(blocking = false))
+      evict
+    }
+  }
 
   private val TAG_INLINE: Byte = 'I'
   private val TAG_BROADCAST: Byte = 'B'
@@ -167,8 +182,16 @@ object DvRowDeleted {
     } else {
       val key = java.util.Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("SHA-256").digest(body))
-      val b = pinned.computeIfAbsent(key,
-        _ => spark.sparkContext.broadcast(body))
+      val appId = spark.sparkContext.applicationId
+      val b = pinned.synchronized {
+        pinned.get(key) match {
+          case (`appId`, cached) => cached
+          case _ => // miss, or a dead handle from a stopped context
+            val fresh = spark.sparkContext.broadcast(body)
+            pinned.put(key, (appId, fresh))
+            fresh
+        }
+      }
       bos.write(TAG_BROADCAST.toInt)
       val oos = new java.io.ObjectOutputStream(bos)
       oos.writeObject(b)

@@ -98,8 +98,17 @@ final class LakeLog(val tablePath: String) {
       try { store.putIfAbsent(target, json); published = true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          if (scala.util.Try(store.readLines(target) == json)
-              .getOrElse(false)) published = true
+          // The name is taken — by another writer, or by our OWN
+          // earlier put that landed despite its timeout. The readback
+          // that distinguishes them can itself fail transiently, and
+          // a failed read MUST NOT be classified as "lost the race":
+          // callers treat ConcurrentWriteException as a clean loss,
+          // and for rewrite commits that cascades into retrying
+          // against our own landed RemoveFiles and sweeping staged
+          // data files the landed commit references. Retry the read;
+          // if it stays unreadable surface the I/O error as what it
+          // is — an ambiguous commit — instead of a fake conflict.
+          if (readbackWithRetry(target) == json) published = true
           else throw new ConcurrentWriteException(version)
         case _: java.io.IOException if ioRetries < MAX_PUT_RETRIES =>
           ioRetries += 1 // may or may not have landed; the retry's
@@ -117,6 +126,23 @@ final class LakeLog(val tablePath: String) {
     }
   }
 
+  /** Read `target` back for ambiguity resolution, retrying transient
+    * I/O failures; the final failure propagates (NOT a conflict — see
+    * the call site in [[commit]]).
+    */
+  private def readbackWithRetry(target: Path): Seq[String] = {
+    var attempt = 0
+    while (true) {
+      try return store.readLines(target)
+      catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > MAX_PUT_RETRIES) throw e
+      }
+    }
+    Nil // unreachable
+  }
+
   /** Timestamp of `version`'s CommitInfo, streaming the file and
     * stopping at the first CommitInfo line (commits write it first, so
     * this is normally one line regardless of how many AddFiles follow).
@@ -132,23 +158,59 @@ final class LakeLog(val tablePath: String) {
       .collectFirst { case c: CommitInfo => c.timestamp }
   }
 
-  /** Drop checkpoints/history sidecars older than the newest
-    * [[LakeLog.RETAINED_AUX]]. They are pure accelerators — replay and
-    * history() fall back to version files — but each is
-    * O(live state)/O(commits) big, so at CHECKPOINT_INTERVAL cadence
-    * an old table would otherwise carry O(versions) of them. Version
-    * files themselves age out separately (and far more conservatively)
-    * in [[cleanupOldVersionFiles]].
+  /** Log maintenance, run at checkpoint boundaries. ORDER MATTERS:
+    * version-file retention first (it may WRITE an anchor checkpoint
+    * and advance the oldest surviving version), then the aux sweep,
+    * which drops checkpoints/history sidecars older than the newest
+    * [[LakeLog.RETAINED_AUX]] — EXCEPT the anchor checkpoint the
+    * oldest surviving version file replays from. Sidecars are pure
+    * accelerators (history() reads the newest one, which is
+    * cumulative), but each is O(live state)/O(commits) big, so at
+    * CHECKPOINT_INTERVAL cadence an old table would otherwise carry
+    * O(versions) of them. Total retained checkpoints stay bounded at
+    * RETAINED_AUX + 1 (the rolling anchor).
+    *
+    * Serialized per table within the process: two interleaved
+    * cleaners could otherwise sweep a checkpoint the other just wrote
+    * as its anchor (list → anchor-exempt → delete is not atomic).
+    * Cross-process cleaner overlap keeps a narrow version of that
+    * window — same as Delta's metadata cleanup, which also lists and
+    * deletes non-atomically; the exposure is two writers hitting
+    * checkpoint boundaries in the same instant, and a later cleanup
+    * self-heals once the horizon passes the next surviving checkpoint.
     */
-  private def cleanupAuxFiles(latest: Long): Unit = {
+  private def cleanupAuxFiles(latest: Long): Unit =
+    LakeLog.cleanupLockFor(tablePath).synchronized {
+      cleanupAuxFilesLocked(latest)
+    }
+
+  private def cleanupAuxFilesLocked(latest: Long): Unit = {
     val keepFrom = latest - (RETAINED_AUX - 1) * CHECKPOINT_INTERVAL
+    try cleanupOldVersionFiles(latest, keepFrom)
+    catch { case NonFatal(_) => () }
+    // The anchor: the newest checkpoint at or below the oldest
+    // surviving version file. Once v0 is gone, every version in
+    // [anchor, keepFrom) replays only from it — deleting it would
+    // strand all of them (unreplayable yet younger than the log
+    // retention horizon), silently shrinking time-travel depth from
+    // the documented 30 days to RETAINED_AUX*CHECKPOINT_INTERVAL
+    // commits.
+    val anchor: Option[Long] =
+      if (store.exists(versionFile(0L))) None // full prefix: no anchor
+      else {
+        val s = oldestSurvivingVersion
+        checkpointVersionsIn(
+          store.listDir(logDir).map(_.getFileName.toString))
+          .filter(_ <= s).maxOption
+      }
     store.listDir(logDir).foreach { p =>
       val n = p.getFileName.toString
+      def ckptStale(v: Long) = v < keepFrom && !anchor.contains(v)
       val stale =
         (CHECKPOINT_FILE_RE.matches(n) &&
-          n.stripSuffix(".checkpoint.json").toLong < keepFrom) ||
+          ckptStale(n.stripSuffix(".checkpoint.json").toLong)) ||
         (CHECKPOINT_PART_FILE_RE.matches(n) &&
-          n.split("\\.")(0).toLong < keepFrom) ||
+          ckptStale(n.split("\\.")(0).toLong)) ||
         (HISTORY_FILE_RE.matches(n) &&
           n.stripSuffix(".history.json").toLong < keepFrom)
       if (stale) store.delete(p)
@@ -158,19 +220,27 @@ final class LakeLog(val tablePath: String) {
     // forever otherwise; harmless to correctness — the version/
     // checkpoint regexes exclude them — but they accumulate).
     store.cleanupStaging(logDir, TMP_ORPHAN_HORIZON_MS)
-    cleanupOldVersionFiles(latest, keepFrom)
   }
+
+  /** Oldest version file still present (0 for an empty log). */
+  def oldestSurvivingVersion: Long =
+    listVersionFiles.headOption.map(versionOf).getOrElse(0L)
 
   /** Log retention (Delta `delta.logRetentionDuration` analog): drop
     * version files older than [[LakeLog.LOG_RETENTION_PROP]] hours
-    * (default 30 days; negative disables) that are ALSO below the
-    * oldest retained checkpoint, so every surviving version stays
-    * replayable from a surviving checkpoint. Deletion is restricted
-    * to a contiguous prefix — a surviving version file must never
-    * depend on a deleted one for replay — and in-commit timestamps
-    * are monotonic, so the age gate can only stop the prefix early,
-    * never punch holes. Time travel below the horizon fails loudly
-    * in [[Snapshot]] with the earliest replayable version.
+    * (default 30 days; negative disables), keeping the newest
+    * RETAINED_AUX checkpoint span regardless of age. Deletion is
+    * bounded at a CHECKPOINT version — the cut — so every surviving
+    * version stays replayable; when no checkpoint exists at the cut
+    * (the count-based aux sweep deleted old checkpoints long before
+    * their versions aged out), one is WRITTEN there first, which is
+    * always possible because nothing below the cut has been deleted
+    * yet. Deletion is restricted to a contiguous prefix — a surviving
+    * version file must never depend on a deleted one for replay — and
+    * in-commit timestamps are monotonic, so the age gate can only
+    * stop the prefix early, never punch holes. Time travel below the
+    * horizon fails loudly in [[Snapshot]] with the earliest
+    * replayable version.
     */
   private def cleanupOldVersionFiles(latest: Long, keepFrom: Long): Unit = {
     if (keepFrom <= 0) return
@@ -180,27 +250,43 @@ final class LakeLog(val tablePath: String) {
       .getOrElse(LOG_RETENTION_HOURS_DEFAULT)
     if (hours < 0) return
     val horizon = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
-    // bound by the oldest SURVIVING complete checkpoint, not the
-    // nominal retention window: checkpoint writes are best-effort
-    // (never fail a commit), so a missing one must shrink the
-    // deletable prefix rather than strand the versions above it
-    val oldestCkpt = checkpointVersionsIn(
-      store.listDir(logDir).map(_.getFileName.toString)).minOption
-    val bound = oldestCkpt match {
-      case Some(c) => math.min(keepFrom, c)
-      case None => return // no checkpoint at all: delete nothing
-    }
-    val it = listVersionFiles.iterator
+    // the contiguous age-eligible prefix: stop at the first commit
+    // younger than the horizon
+    val files = listVersionFiles
+    var prefixEnd = -1L
+    val it = files.iterator
     var continue = true
     while (continue && it.hasNext) {
       val p = it.next()
-      val v = versionOf(p)
-      val ts = firstCommitInfoTimestamp(v)
+      val ts = firstCommitInfoTimestamp(versionOf(p))
         .orElse(scala.util.Try(
           Files.getLastModifiedTime(p).toMillis).toOption)
         .getOrElse(Long.MaxValue)
-      if (v < bound && ts < horizon) { store.delete(p); () }
+      if (ts < horizon) prefixEnd = versionOf(p)
       else continue = false
+    }
+    if (prefixEnd < 0) return
+    val cut = math.min(keepFrom, prefixEnd + 1)
+    val oldest = files.headOption.map(versionOf).getOrElse(return)
+    if (cut <= oldest) return // nothing deletable
+    val ckpts = checkpointVersionsIn(
+      store.listDir(logDir).map(_.getFileName.toString))
+    val anchor: Option[Long] = ckpts.filter(_ <= cut).maxOption match {
+      case Some(a) if a == cut => Some(a)
+      case existing =>
+        // No checkpoint at the cut. Write one THERE rather than
+        // anchoring on a lower (or no) checkpoint: `cut` is still
+        // replayable right now — version files [oldest, cut] all
+        // exist and `oldest` is replayable by invariant — and once
+        // the prefix below is gone it becomes the new replay base.
+        // Best-effort: on failure fall back to the highest existing
+        // checkpoint (partial progress), never to deleting anyway.
+        scala.util.Try { writeCheckpoint(cut); cut }.toOption
+          .orElse(existing)
+    }
+    anchor.foreach { a =>
+      files.iterator.takeWhile(p => versionOf(p) < a)
+        .foreach(store.delete)
     }
   }
 
@@ -412,6 +498,16 @@ object LakeLog {
   val MAX_PUT_RETRIES = 3
   /** Newest checkpoints/history sidecars kept by the log cleanup. */
   val RETAINED_AUX = 3L
+
+  /** Per-table in-process cleanup serialization (see
+    * [[LakeLog.cleanupAuxFiles]]). Keyed by table path; the map only
+    * ever holds one tiny monitor object per table touched by this
+    * process.
+    */
+  private val cleanupLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def cleanupLockFor(tablePath: String): Object =
+    cleanupLocks.computeIfAbsent(tablePath, _ => new Object)
   /** Table property bounding the COPY INTO ledger (hours a dead
     * source file's entry survives past its stamp); negative disables.
     */

@@ -1233,13 +1233,21 @@ final class LakeTable private (
         snapshot(math.max(v, log.earliestReplayableVersion))
           .files.flatMap(_.dvPath).toSet
       }.getOrElse(Set.empty)
-    val protectedPaths: Set[String] = inWindow.flatMap { case (v, _) =>
-        log.readVersion(v).flatMap {
+    // The sidecar-backed timestamp index still lists versions whose
+    // files log retention deleted (short graft.logRetentionHours can
+    // undercut the vacuum window); those versions are unreachable by
+    // replay and CDF alike, so their tombstones need no protection —
+    // and reading them would crash the whole vacuum. The NoSuchFile
+    // catch covers the same deletion racing this loop.
+    val oldestSurviving = log.oldestSurvivingVersion
+    val protectedPaths: Set[String] = inWindow
+      .filter(_._1 >= oldestSurviving).flatMap { case (v, _) =>
+        try log.readVersion(v).flatMap {
           case r: RemoveFile => Seq(r.path)
           case c: CdcFile => Seq(c.path)
           case a: AddFile => a.dvPath.toSeq
           case _ => Nil
-        }
+        } catch { case _: java.nio.file.NoSuchFileException => Nil }
       }.toSet ++ preCutoffDvs
     val root = Paths.get(tablePath).toAbsolutePath.normalize
     val logRoot = root.resolve(LakeLog.LOG_DIR)

@@ -470,44 +470,66 @@ object LakeWriter {
         .parallelize(files.map(_.toString).sorted,
           math.min(files.size, 64))
         .flatMap { p =>
-          val f = Paths.get(p)
-          adoptOne(f, Paths.get(stagingStr), Paths.get(rootStr),
-            ParquetFooters.statsWithConf(conf.value, p))
+          adoptOne(Paths.get(p), Paths.get(stagingStr), Paths.get(rootStr),
+            q => ParquetFooters.statsWithConf(conf.value, q.toString))
         }
         .collect().toSeq.sortBy(_.path)
     } else {
       files.flatMap { f =>
         adoptOne(f, staging, tableRoot,
-          ParquetFooters.stats(spark, f.toString))
+          q => ParquetFooters.stats(spark, q.toString))
       }
     }
   }
 
   /** Adopt one staged file: drop empty splits, else move it into the
     * table layout and build its AddFile. Runs on executors for large
-    * commits — no driver state beyond the two base paths.
+    * commits — no driver state beyond the two base paths — so it MUST
+    * be idempotent under Spark task retry and speculation: a twin
+    * attempt may already have moved this file (or deleted an empty
+    * split), and a naive re-move would turn one transient task
+    * failure into a permanent job failure with half-adopted debris.
+    * Every landing point re-derives the same AddFile from whichever
+    * of staged/target exists.
     */
-  private def adoptOne(f: Path, staging: Path, tableRoot: Path,
-      stats: (Long, Map[String, String], Map[String, String],
+  private[lake] def adoptOne(f: Path, staging: Path, tableRoot: Path,
+      statsOf: Path => (Long, Map[String, String], Map[String, String],
         Map[String, Long])): Option[AddFile] = {
-    val (rows, mins, maxs, nulls) = stats
-    if (rows == 0L) { // empty output split: don't pollute the table
-      Files.deleteIfExists(f)
-      None
-    } else {
-      val rel = staging.relativize(f).toString
-      val target = tableRoot.resolve(rel)
-      Files.createDirectories(target.getParent)
-      Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
-      Some(AddFile(
-        path = rel,
-        partitionValues = partitionValuesOf(rel),
-        size = Files.size(target),
-        numRecords = rows,
-        minValues = mins,
-        maxValues = maxs,
-        nullCounts = nulls))
+    val rel = staging.relativize(f).toString
+    val target = tableRoot.resolve(rel)
+    def build(source: Path): Option[AddFile] = {
+      val (rows, mins, maxs, nulls) = statsOf(source)
+      if (rows == 0L) { // empty output split: don't pollute the table
+        Files.deleteIfExists(source)
+        None
+      } else {
+        if (source == f) {
+          Files.createDirectories(target.getParent)
+          try { Files.move(f, target, StandardCopyOption.ATOMIC_MOVE); () }
+          catch { // a twin attempt won the move between stat and here
+            case _: java.nio.file.NoSuchFileException
+              if Files.exists(target) => ()
+          }
+        }
+        Some(AddFile(
+          path = rel,
+          partitionValues = partitionValuesOf(rel),
+          size = Files.size(target),
+          numRecords = rows,
+          minValues = mins,
+          maxValues = maxs,
+          nullCounts = nulls))
+      }
     }
+    if (Files.exists(f)) {
+      try build(f)
+      catch { // the footer read raced a twin attempt's move
+        case _: java.io.IOException
+          if !Files.exists(f) && Files.exists(target) => build(target)
+      }
+    }
+    else if (Files.exists(target)) build(target) // already adopted
+    else None // empty split a prior attempt already deleted
   }
 
   private[lake] def walkParquet(dir: Path): Seq[Path] = {

@@ -55,6 +55,12 @@ final class ObjectStoreLogStore extends LogStore {
   val lostPutsRemaining = new AtomicInteger(0)
   val lagListsRemaining = new AtomicInteger(0)
 
+  /** GETs that fail before the body arrives (transient read fault).
+    * Exercises the commit readback's retry: an ambiguous put resolved
+    * through a flaky read must not be misclassified as a lost race.
+    */
+  val failReadsRemaining = new AtomicInteger(0)
+
   private def inScope(p: Path): Boolean =
     faultScope.isEmpty || p.toAbsolutePath.toString.startsWith(faultScope)
 
@@ -77,9 +83,7 @@ final class ObjectStoreLogStore extends LogStore {
       if (Files.exists(target))
         throw new FileAlreadyExistsException(target.toString)
       Files.createDirectories(target.getParent)
-      // server-side materialization of one atomic PUT; the tmp file
-      // lives OUTSIDE the bucket so clients can never list it
-      val tmp = Files.createTempFile("objstore-put-", ".tmp")
+      val tmp = stageTmp(target)
       try {
         Files.write(tmp, lines.asJava)
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -90,10 +94,24 @@ final class ObjectStoreLogStore extends LogStore {
         s"injected fault: PUT of $target timed out (object landed)")
   }
 
+  /** Server-side materialization of one atomic PUT stages next to the
+    * target in a hidden subdirectory: ATOMIC_MOVE requires source and
+    * target on the SAME filesystem (java.io.tmpdir is commonly tmpfs,
+    * and a cross-filesystem move throws — every commit would fail for
+    * tables outside the temp filesystem). Clients still never list the
+    * staged body: LIST is non-recursive, and the bucket's key regexes
+    * exclude the directory entry itself.
+    */
+  private def stageTmp(target: Path): Path = {
+    val staging = target.getParent.resolve(ObjectStoreLogStore.STAGING_DIR)
+    Files.createDirectories(staging)
+    Files.createTempFile(staging, "objstore-put-", ".tmp")
+  }
+
   override def atomicReplace(target: Path, lines: Seq[String]): Unit =
     serverLock.synchronized {
       Files.createDirectories(target.getParent)
-      val tmp = Files.createTempFile("objstore-put-", ".tmp")
+      val tmp = stageTmp(target)
       try {
         Files.write(tmp, lines.asJava)
         Files.move(tmp, target,
@@ -106,7 +124,9 @@ final class ObjectStoreLogStore extends LogStore {
       if (!Files.isDirectory(dir)) Nil
       else {
         val s = Files.list(dir)
-        try s.iterator.asScala.toSeq
+        // the staging area is server-internal, never a listable key
+        try s.iterator.asScala.filterNot(
+          _.getFileName.toString == ObjectStoreLogStore.STAGING_DIR).toSeq
         finally s.close()
       }
     if (entries.nonEmpty && inScope(dir) && consume(lagListsRemaining))
@@ -114,13 +134,40 @@ final class ObjectStoreLogStore extends LogStore {
     else entries
   }
 
-  override def readLines(p: Path): Seq[String] =
+  override def readLines(p: Path): Seq[String] = {
+    if (inScope(p) && consume(failReadsRemaining))
+      throw new IOException(s"injected fault: GET of $p failed")
     Files.readAllLines(p).asScala.toSeq
+  }
 
   override def exists(p: Path): Boolean = Files.exists(p)
 
   override def delete(p: Path): Boolean = Files.deleteIfExists(p)
 
-  // No staging debris inside the bucket: PUT bodies stage in the
-  // system temp dir, so the default no-op cleanupStaging is right.
+  /** Sweep aged crash orphans out of the staging subdirectory (a
+    * writer killed between write and move leaves its body behind).
+    * Age-gated so a live writer's in-flight body is never yanked.
+    */
+  override def cleanupStaging(dir: Path, horizonMs: Long): Unit = {
+    val staging = dir.resolve(ObjectStoreLogStore.STAGING_DIR)
+    if (!Files.isDirectory(staging)) return
+    val cutoff = System.currentTimeMillis() - horizonMs
+    try {
+      val s = Files.list(staging)
+      try s.iterator.asScala.foreach { p =>
+        try {
+          if (Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.deleteIfExists(p)
+          ()
+        } catch { case _: IOException => () }
+      } finally s.close()
+    } catch { case _: IOException => () }
+  }
+}
+
+object ObjectStoreLogStore {
+  /** Server-internal staging area inside each "bucket" directory —
+    * same filesystem as the targets so the publish move stays atomic.
+    */
+  private[lake] val STAGING_DIR = ".objstore-staging"
 }

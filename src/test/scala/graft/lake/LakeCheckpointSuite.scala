@@ -190,6 +190,79 @@ class LakeCheckpointSuite extends SparkSuite {
     assert(cdfEx.getMessage.contains("retention horizon"))
   }
 
+  test("aged prefix ending mid-interval writes an anchor checkpoint; " +
+      "no surviving version is ever stranded") {
+    // The steady-state lifecycle: by the time versions age past the
+    // horizon, the count-based aux sweep deleted the checkpoints near
+    // them LONG ago. Retention must then write its own anchor at the
+    // cut (still possible — nothing below is deleted yet) instead of
+    // either stranding survivors (deleting versions the remaining
+    // checkpoints can't reach) or silently never deleting anything.
+    val path = tablePath("logret-anchor")
+    val log = new LakeLog(path)
+    val retMeta = Metadata("id BIGINT", Nil, 0L, Map.empty,
+      Map(LakeLog.LOG_RETENTION_PROP -> "1")) // 1-hour horizon
+    // v0..34 ancient (aged out), v35..60 stamped now (inside horizon)
+    log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), retMeta,
+      Protocol()))
+    (1L to 60L).foreach { v =>
+      val ts = if (v <= 34) v + 1 else System.currentTimeMillis()
+      log.commit(v, Seq(CommitInfo(ts, "APPEND", Map.empty),
+        addFile(s"a$v")))
+    }
+    val names = LogStore.current.listDir(log.logDir)
+      .map(_.getFileName.toString)
+    // the aged prefix 0..34 is gone, the young tail intact
+    (0L to 34L).foreach(v =>
+      assert(!names.contains(f"$v%020d.json"), s"v$v not cleaned"))
+    (35L to 60L).foreach(v =>
+      assert(names.contains(f"$v%020d.json"), s"v$v wrongly deleted"))
+    // the anchor checkpoint was written AT the cut (35 — not a
+    // checkpoint-interval boundary) and survived the aux sweep
+    val ckptVersions = names.filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted
+    assert(ckptVersions.contains(35L),
+      s"no anchor checkpoint at the cut; checkpoints: $ckptVersions")
+    assert(ckptVersions.size <= LakeLog.RETAINED_AUX + 1,
+      s"checkpoint count unbounded: $ckptVersions")
+    assert(log.earliestReplayableVersion === 35L)
+    // THE invariant: every surviving version file is replayable
+    (35L to 60L).foreach { v =>
+      Snapshot.clearCacheForTest()
+      assert(log.snapshot(v).files.size === v, s"version $v stranded")
+    }
+    Snapshot.clearCacheForTest()
+    val ex = intercept[IllegalStateException](log.snapshot(34L))
+    assert(ex.getMessage.contains("earliest replayable version: 35"))
+  }
+
+  test("vacuum survives versions deleted by log retention") {
+    // Sidecar-backed commitTimestamps still list versions whose files
+    // log retention removed; vacuum's tombstone-protection loop must
+    // skip them (they are unreachable by replay and CDF alike), not
+    // crash the whole vacuum on a missing version file.
+    val path = tablePath("logret-vacuum")
+    val log = new LakeLog(path)
+    val retMeta = Metadata("id BIGINT", Nil, 0L, Map.empty,
+      Map(LakeLog.LOG_RETENTION_PROP -> "0")) // everything aged
+    // current timestamps: inside the 168h vacuum window, yet aged for
+    // the 0-hour log horizon
+    log.commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty),
+      retMeta, Protocol()))
+    (1L to 30L).foreach { v =>
+      log.commit(v, Seq(
+        CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+        addFile(s"w$v")))
+    }
+    // retention dropped a prefix…
+    assert(log.earliestReplayableVersion > 0L)
+    // …and vacuum still runs (pre-fix: NoSuchFileException from
+    // reading a deleted version in the protection loop)
+    val t = LakeTable.forPath(spark, path)
+    assert(t.vacuum(dryRun = true).isEmpty)
+  }
+
   test("default retention keeps version files; negative disables cleanup") {
     // fresh commits + default 720h retention → nothing is deleted
     val path = tablePath("logret-off")

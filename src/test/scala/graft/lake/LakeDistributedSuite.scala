@@ -30,6 +30,40 @@ class LakeDistributedSuite extends SparkSuite {
     assert(global === 1L)
   }
 
+  test("file adoption is idempotent under task retry and speculation") {
+    // the distributed adoption step runs Files.move on executors; a
+    // retried (or speculative twin) task re-visits files its first
+    // attempt already moved — every landing point must re-derive the
+    // same AddFile instead of failing the job
+    val root = Paths.get(tablePath("dist-adopt-retry"))
+    val staging = root.resolve("_staging")
+    Files.createDirectories(staging.resolve("k=1"))
+    val staged = staging.resolve("k=1/part-0.parquet")
+    Files.write(staged, Array[Byte](1, 2, 3, 4))
+    val stats = Map(staged.toString ->
+      ((4L, Map("id" -> "1"), Map("id" -> "9"), Map("id" -> 0L))))
+    def adopt() = LakeWriter.adoptOne(staged, staging, root,
+      p => stats(staged.toString))
+    val first = adopt()
+    assert(first.exists(_.path === "k=1/part-0.parquet"))
+    assert(!Files.exists(staged) &&
+      Files.exists(root.resolve("k=1/part-0.parquet")))
+    // attempt 2: staged file gone, target in place — same AddFile back
+    val second = adopt()
+    assert(second === first, "retried adoption diverged")
+    assert(Files.exists(root.resolve("k=1/part-0.parquet")))
+
+    // empty split: first attempt deletes it, the retry sees nothing —
+    // both return None, neither throws
+    val empty = staging.resolve("k=1/part-1.parquet")
+    Files.write(empty, Array[Byte](0))
+    def adoptEmpty() = LakeWriter.adoptOne(empty, staging, root,
+      _ => (0L, Map.empty, Map.empty, Map.empty))
+    assert(adoptEmpty().isEmpty)
+    assert(!Files.exists(empty))
+    assert(adoptEmpty().isEmpty)
+  }
+
   test("history() over 128+ commits reads the log distributed") {
     val path = tablePath("dist-hist")
     LakeWriter.write(Seq(1L).toDF("id").coalesce(1), path) // v0, real

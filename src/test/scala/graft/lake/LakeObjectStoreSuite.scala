@@ -27,7 +27,56 @@ class LakeObjectStoreSuite extends StoreContractSuite {
       objStore.timeoutPutsRemaining.set(0)
       objStore.lostPutsRemaining.set(0)
       objStore.lagListsRemaining.set(0)
+      objStore.failReadsRemaining.set(0)
     }
+  }
+
+  test("ambiguous PUT with a flaky readback still commits exactly once") {
+    val path = tablePath("objflakyread")
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty),
+      Metadata("id BIGINT", Nil, 0L, Map.empty, Map.empty), Protocol()))
+    // scope faults to THE commit object so only the publish PUT and
+    // its resolution readback are hit, not the pre-commit log reads
+    objStore.faultScope = log.versionFile(1L).toAbsolutePath.toString
+    try {
+      objStore.timeoutPutsRemaining.set(1)
+      // the PUT lands but times out; the retry hits FileAlreadyExists
+      // and resolves by readback — which itself fails twice before
+      // succeeding. A failed readback must be RETRIED, not classified
+      // as a lost race: that misclassification makes a rewrite retry
+      // against its OWN landed RemoveFiles and sweep data files the
+      // landed commit references.
+      objStore.failReadsRemaining.set(2)
+      log.commit(1L, Seq(CommitInfo(2L, "APPEND", Map.empty),
+        AddFile("f1.parquet", Map.empty, 10L, 1L, Map.empty, Map.empty,
+          Map.empty)))
+    } finally {
+      objStore.faultScope = ""
+      objStore.timeoutPutsRemaining.set(0)
+      objStore.failReadsRemaining.set(0)
+    }
+    assert(log.latestVersion === 1L)
+    assert(log.readVersion(1L).exists(_.isInstanceOf[AddFile]))
+  }
+
+  test("PUT bodies stage inside the bucket's hidden area and get swept") {
+    // same-filesystem staging: ATOMIC_MOVE from java.io.tmpdir fails
+    // whenever /tmp is a different filesystem than the table (tmpfs is
+    // the Linux default) — the body must stage NEXT to its target
+    val dir = java.nio.file.Paths.get(tmpDir("objstore-staging"))
+    objStore.putIfAbsent(dir.resolve("00000000000000000000.json"), Seq("a"))
+    // the staging area is server-internal: never a listable key
+    assert(objStore.listDir(dir).map(_.getFileName.toString) ===
+      Seq("00000000000000000000.json"))
+    // a crashed writer's orphaned body is swept once aged
+    val staging = dir.resolve(".objstore-staging")
+    val orphan = java.nio.file.Files.createTempFile(
+      staging, "objstore-put-", ".tmp")
+    objStore.cleanupStaging(dir, horizonMs = 3600L * 1000)
+    assert(java.nio.file.Files.exists(orphan), "young tmp wrongly swept")
+    objStore.cleanupStaging(dir, horizonMs = -1000L)
+    assert(!java.nio.file.Files.exists(orphan), "aged orphan not swept")
   }
 
   test("ambiguous timed-out PUT commits exactly once (no double commit)") {

@@ -170,6 +170,62 @@ abstract class StoreContractSuite extends SparkSuite with BeforeAndAfterAll {
     (0L to 40L).foreach(v => assert(log.readVersion(v).nonEmpty))
   }
 
+  test("4 writers x 30 commits under aggressive retention: no lost " +
+      "commit, no stranded version") {
+    // retention "0" keeps the cleanup machinery (version deletion,
+    // anchor checkpoint writes, aux sweeps) constantly active WHILE
+    // commits race — the invariants that must hold through any
+    // interleaving: every commit lands exactly once, and every
+    // surviving version file is still replayable.
+    val path = tablePath("retention-race")
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty),
+      Metadata("id BIGINT", Nil, 0L, Map.empty,
+        Map(LakeLog.LOG_RETENTION_PROP -> "0")),
+      Protocol()))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 30).foreach { i =>
+            var done = false
+            while (!done) {
+              val next = log.latestVersion + 1
+              try {
+                log.commit(next, Seq(
+                  CommitInfo(System.currentTimeMillis(), "APPEND",
+                    Map.empty),
+                  AddFile(s"t$t-$i.parquet", Map.empty, 1L, 1L,
+                    Map.empty, Map.empty, Map.empty)))
+                done = true
+              } catch { case _: ConcurrentWriteException => () }
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer died: ${errors.peek()}")
+    val log2 = new LakeLog(path)
+    assert(log2.latestVersion === 120L)
+    // exactly-once: the final state holds every writer's every add
+    Snapshot.clearCacheForTest()
+    val files = log2.snapshot(120L).files.map(_.path)
+    assert(files.size === 120 && files.distinct.size === 120)
+    // replayability: cleanup deleted a prefix, and EVERY survivor —
+    // not just the latest — still replays (the stranding invariant)
+    val survivors = log2.listVersionFiles.map(LakeLog.versionOf)
+    assert(survivors.head === log2.earliestReplayableVersion,
+      s"oldest surviving version ${survivors.head} is not replayable " +
+      s"(earliest replayable: ${log2.earliestReplayableVersion})")
+    survivors.foreach { v =>
+      Snapshot.clearCacheForTest()
+      assert(log2.snapshot(v).version === v, s"version $v stranded")
+    }
+  }
+
   test("writes are atomic: no partial state visible mid-failure") {
     val path = tablePath("atomic1")
     LakeWriter.write(seed, path)
