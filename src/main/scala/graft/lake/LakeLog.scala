@@ -425,12 +425,10 @@ final class LakeLog(val tablePath: String) {
   }
 
   /** Latest COMPLETE checkpoint at or below `version`, if any:
-    * (version, streamed actions). The iterator reads one checkpoint
-    * part at a time — replay memory is bounded by the part size plus
-    * the live-file map it feeds, never the whole serialized state.
+    * (version, part files — one entry for the single-file form).
     */
-  def latestCheckpointAtOrBefore(
-      version: Long): Option[(Long, Iterator[Action])] = {
+  def latestCheckpointFilesAtOrBefore(
+      version: Long): Option[(Long, Seq[Path])] = {
     val names = store.listDir(logDir).map(_.getFileName.toString)
     checkpointVersionsIn(names).filter(_ <= version).maxOption.map { v =>
       val single = logDir.resolve(f"$v%020d.checkpoint.json")
@@ -449,10 +447,26 @@ final class LakeLog(val tablePath: String) {
           }.max
           byCount(np).sorted.map(logDir.resolve)
         }
+      (v, files)
+    }
+  }
+
+  /** Parsed actions of one checkpoint part file. */
+  def readCheckpointPart(p: Path): Seq[Action] =
+    store.readLines(p).iterator
+      .map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toSeq
+
+  /** Latest COMPLETE checkpoint at or below `version`, if any:
+    * (version, streamed actions). The iterator reads one checkpoint
+    * part at a time — memory is bounded by the part size plus
+    * whatever the consumer retains, never the whole serialized state.
+    */
+  def latestCheckpointAtOrBefore(
+      version: Long): Option[(Long, Iterator[Action])] =
+    latestCheckpointFilesAtOrBefore(version).map { case (v, files) =>
       (v, files.iterator.flatMap(p => store.readLines(p).iterator
         .map(_.trim).filter(_.nonEmpty).map(Action.fromJson)))
     }
-  }
 
   /** Replay all actions up to and including `version` (-1 = latest). */
   def snapshot(version: Long = -1): Snapshot = {

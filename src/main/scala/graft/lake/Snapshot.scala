@@ -140,15 +140,28 @@ object Snapshot {
     var protocol: Protocol = Protocol()
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
-    val startAt = log.latestCheckpointAtOrBefore(version) match {
-      case Some((ckptVersion, actions)) =>
-        actions.foreach {
+    val startAt = log.latestCheckpointFilesAtOrBefore(version) match {
+      case Some((ckptVersion, partFiles)) =>
+        // JSON parsing is THE driver-side cost of opening a big table
+        // (10⁶ AddFiles ≈ 10⁶ lines): checkpoint parts hold disjoint
+        // slices of ONE immutable state, so a multi-part checkpoint
+        // parses across cores and the fold below stays order-free
+        // (each path occurs once; metadata/protocol occur once total).
+        // The materialized per-part lists add no asymptotic memory —
+        // the live map retains every parsed AddFile anyway.
+        val parsed: Seq[Seq[Action]] =
+          if (partFiles.size <= 1) partFiles.map(log.readCheckpointPart)
+          else {
+            import scala.collection.parallel.CollectionConverters._
+            partFiles.par.map(log.readCheckpointPart).seq
+          }
+        parsed.foreach(_.foreach {
           case m: Metadata => metadata = m
           case a: AddFile  => live(a.path) = a
           case t: Txn      => txns(t.appId) = t.version
           case p: Protocol => protocol = p
           case _ => ()
-        }
+        })
         ckptVersion + 1
       case None => 0L
     }
