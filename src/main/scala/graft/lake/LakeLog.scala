@@ -18,7 +18,7 @@ final class LakeLog(val tablePath: String) {
     * default preserves POSIX semantics; an object-store port swaps
     * [[LogStore.current]] without touching this class.
     */
-  private def store: LogStore = LogStore.current
+  private[lake] def store: LogStore = LogStore.current
 
   val logDir: Path = Paths.get(tablePath, LOG_DIR)
 
@@ -71,9 +71,7 @@ final class LakeLog(val tablePath: String) {
       if (version == 0 || !actions.exists(_.isInstanceOf[CommitInfo])) actions
       else {
         val prevTs = firstCommitInfoTimestamp(version - 1)
-          .orElse(scala.util.Try(
-            Files.getLastModifiedTime(versionFile(version - 1)).toMillis)
-            .toOption)
+          .orElse(store.stat(versionFile(version - 1)).map(_._2))
           .getOrElse(Long.MinValue)
         actions.map {
           case c: CommitInfo if c.timestamp <= prevTs =>
@@ -259,8 +257,7 @@ final class LakeLog(val tablePath: String) {
     while (continue && it.hasNext) {
       val p = it.next()
       val ts = firstCommitInfoTimestamp(versionOf(p))
-        .orElse(scala.util.Try(
-          Files.getLastModifiedTime(p).toMillis).toOption)
+        .orElse(store.stat(p).map(_._2))
         .getOrElse(Long.MaxValue)
       if (ts < horizon) prefixEnd = versionOf(p)
       else continue = false

@@ -80,15 +80,21 @@ final class LakeTable private (
     val tail = (from to latest).map { v =>
       log.readVersion(v).collectFirst { case c: CommitInfo =>
         (v, c.timestamp)
-      }.getOrElse((v, Files.getLastModifiedTime(log.versionFile(v)).toMillis))
+      }.getOrElse((v, log.store.stat(log.versionFile(v))
+        .map(_._2).getOrElse(0L)))
     }
     val known = head ++ tail
     val seen = known.map(_._1).toSet
     // Sidecar-era versions the sidecar never recorded (CommitInfo-less
-    // commits before the last checkpoint): same mtime fallback.
-    val gaps = (0L until from).filterNot(seen)
-      .filter(v => Files.exists(log.versionFile(v)))
-      .map(v => (v, Files.getLastModifiedTime(log.versionFile(v)).toMillis))
+    // commits before the last checkpoint): same mtime fallback. ONE
+    // seam-routed directory listing finds them — a per-version
+    // existence probe would cost O(table age) driver stat calls on
+    // every vacuum / timestamp-travel of a 100k-commit table.
+    val gaps = log.listVersionFiles
+      .filter(p => LakeLog.versionOf(p) < from &&
+        !seen(LakeLog.versionOf(p)))
+      .map(p => (LakeLog.versionOf(p),
+        Files.getLastModifiedTime(p).toMillis))
     (known ++ gaps).sortBy(_._1)
   }
 
@@ -1595,7 +1601,7 @@ final class LakeTable private (
       // downstream time-based consumers.
       val commitTs = actions.collectFirst { case ci: CommitInfo =>
         ci.timestamp }.getOrElse(
-        Files.getLastModifiedTime(log.versionFile(v)).toMillis)
+        log.store.stat(log.versionFile(v)).map(_._2).getOrElse(0L))
       parts.map(_.withColumn(Cdf.COMMIT_VERSION, lit(v))
         .withColumn(Cdf.COMMIT_TIMESTAMP,
           lit(new java.sql.Timestamp(commitTs))))

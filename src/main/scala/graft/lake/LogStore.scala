@@ -50,6 +50,17 @@ trait LogStore {
 
   def delete(p: Path): Boolean
 
+  /** (size bytes, modification time millis) of `p`, or None if it is
+    * absent or unreadable — an object store's HEAD request. Used for
+    * the cheap identity/age probes of log files (snapshot-cache
+    * fingerprints, retention age gates, commit-timestamp fallbacks),
+    * so a port needs no extra local-filesystem calls for them. The
+    * default covers any locally-backed store.
+    */
+  def stat(p: Path): Option[(Long, Long)] =
+    try Some((Files.size(p), Files.getLastModifiedTime(p).toMillis))
+    catch { case _: java.io.IOException => None }
+
   /** Sweep this store's own staging debris in `dir` older than
     * `horizonMs` — a writer crashed between staging and publish
     * orphans its tmp file forever otherwise. Stores that stage

@@ -108,11 +108,8 @@ object Snapshot {
     * file is absent (aged out by log cleanup after a checkpoint),
     * which still compares equal against a cached None.
     */
-  private def fingerprint(log: LakeLog, version: Long): Option[(Long, Long)] = {
-    val p = log.versionFile(version)
-    try Some((Files.size(p), Files.getLastModifiedTime(p).toMillis))
-    catch { case _: java.io.IOException => None }
-  }
+  private def fingerprint(log: LakeLog, version: Long): Option[(Long, Long)] =
+    log.store.stat(log.versionFile(version))
 
   /** Replay the log up to `version` (inclusive), starting from the
     * latest checkpoint at or below it (O(delta) not O(versions)),

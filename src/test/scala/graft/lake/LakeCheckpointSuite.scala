@@ -298,6 +298,90 @@ class LakeCheckpointSuite extends SparkSuite {
     (0L to 30L).foreach(v => assert(names2.contains(f"$v%020d.json")))
   }
 
+  test("retention invariants hold across aged-prefix splits (property sweep)") {
+    // For every split point k (commits 0..k aged, k+1.. young), after
+    // the full commit stream the three invariants must hold:
+    //   1. no stranded version — every surviving version replays, and
+    //      the oldest one IS the earliest replayable;
+    //   2. retained checkpoints stay bounded (RETAINED_AUX + anchor);
+    //   3. the replayed state at every surviving version equals the
+    //      ground truth (one add per commit, never removed).
+    val n = 45L
+    Seq(0L, 4L, 9L, 14L, 15L, 23L, 34L, 44L).foreach { k =>
+      val path = tablePath(s"logret-sweep-$k")
+      val log = new LakeLog(path)
+      val retMeta = Metadata("id BIGINT", Nil, 0L, Map.empty,
+        Map(LakeLog.LOG_RETENTION_PROP -> "1"))
+      log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), retMeta,
+        Protocol()))
+      (1L to n).foreach { v =>
+        val ts = if (v <= k) v + 1 else System.currentTimeMillis()
+        log.commit(v, Seq(CommitInfo(ts, "APPEND", Map.empty),
+          addFile(s"p$v")))
+      }
+      val survivors = log.listVersionFiles.map(LakeLog.versionOf)
+      assert(survivors.last === n)
+      assert(survivors === (survivors.head to n),
+        s"k=$k: version files not contiguous: $survivors")
+      assert(survivors.head === log.earliestReplayableVersion,
+        s"k=$k: oldest survivor ${survivors.head} not replayable " +
+        s"(earliest: ${log.earliestReplayableVersion})")
+      val ckpts = LogStore.current.listDir(log.logDir)
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".checkpoint.json"))
+        .map(_.stripSuffix(".checkpoint.json").toLong)
+      assert(ckpts.size <= LakeLog.RETAINED_AUX + 1,
+        s"k=$k: unbounded checkpoints $ckpts")
+      survivors.foreach { v =>
+        Snapshot.clearCacheForTest()
+        val snap = log.snapshot(v)
+        assert(snap.files.map(_.path).toSet ===
+          (1L to v).map(s => s"p$s.parquet").toSet,
+          s"k=$k: wrong state at version $v")
+      }
+    }
+  }
+
+  test("flipping retention off mid-stream stops deletion; re-enabling resumes") {
+    // Every commit is ancient (ts = v+1), so ONLY the table property
+    // gates deletion. Retention "0" → flip "-1" before the first
+    // boundary where deletion could act (v30, keepFrom=10) → flip
+    // back "0" before v40.
+    val path = tablePath("logret-flip")
+    val log = new LakeLog(path)
+    def meta(ret: String) = Metadata("id BIGINT", Nil, 0L, Map.empty,
+      Map(LakeLog.LOG_RETENTION_PROP -> ret))
+    log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta("0"),
+      Protocol()))
+    (1L to 14L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"f$v")))
+    }
+    log.commit(15L, Seq(CommitInfo(16L, "SET TBLPROPERTIES", Map.empty),
+      meta("-1")))
+    (16L to 30L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"f$v")))
+    }
+    // v30's cleanup ran with keepFrom=10 and every version aged — the
+    // "-1" must be the only thing that kept them
+    assert(log.listVersionFiles.size === 31, "retention -1 must disable")
+    // flip back ON: the next boundary (v40, keepFrom=20) resumes
+    log.commit(31L, Seq(CommitInfo(32L, "SET TBLPROPERTIES", Map.empty),
+      meta("0")))
+    (32L to 40L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"f$v")))
+    }
+    val survivors = log.listVersionFiles.map(LakeLog.versionOf)
+    assert(survivors.head === 20L,
+      s"resumed cleanup should cut at keepFrom=20; survivors $survivors")
+    assert(survivors.head === log.earliestReplayableVersion)
+    Snapshot.clearCacheForTest()
+    // appends: 1..14, 16..30, 32..40 = 38 files
+    assert(log.snapshot(40L).files.size === 38)
+  }
+
   /** Live set from replaying [from..to] on top of snapshot(from). */
   private def naiveLiveSetFrom(log: LakeLog, from: Long, to: Long,
       base: Snapshot): Set[String] = {
