@@ -183,13 +183,23 @@ object DvRowDeleted {
       val key = java.util.Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("SHA-256").digest(body))
       val appId = spark.sparkContext.applicationId
-      val b = pinned.synchronized {
+      // the multi-MB broadcast build runs OUTSIDE the monitor (holding
+      // it would serialize concurrent reads of different snapshots);
+      // a losing twin's handle is destroyed — nothing references it
+      val cached = pinned.synchronized {
         pinned.get(key) match {
-          case (`appId`, cached) => cached
-          case _ => // miss, or a dead handle from a stopped context
-            val fresh = spark.sparkContext.broadcast(body)
-            pinned.put(key, (appId, fresh))
-            fresh
+          case (`appId`, c) => Some(c)
+          case _ => None // miss, or a dead handle from a stopped context
+        }
+      }
+      val b = cached.getOrElse {
+        val fresh = spark.sparkContext.broadcast(body)
+        pinned.synchronized {
+          pinned.get(key) match {
+            case (`appId`, c) =>
+              scala.util.Try(fresh.destroy()); c
+            case _ => pinned.put(key, (appId, fresh)); fresh
+          }
         }
       }
       bos.write(TAG_BROADCAST.toInt)

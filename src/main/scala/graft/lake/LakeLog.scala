@@ -186,6 +186,13 @@ final class LakeLog(val tablePath: String) {
     val keepFrom = latest - (RETAINED_AUX - 1) * CHECKPOINT_INTERVAL
     try cleanupOldVersionFiles(latest, keepFrom)
     catch { case NonFatal(_) => () }
+    // ONE listing serves the anchor probe and the sweep below — on an
+    // object store each listing is a LIST round trip, and this runs
+    // at every checkpoint boundary.
+    val entries = store.listDir(logDir)
+    val names = entries.map(_.getFileName.toString)
+    val oldestVersion = names.filter(VERSION_FILE_RE.matches)
+      .minOption.map(_.stripSuffix(".json").toLong)
     // The anchor: the newest checkpoint at or below the oldest
     // surviving version file. Once v0 is gone, every version in
     // [anchor, keepFrom) replays only from it — deleting it would
@@ -193,15 +200,11 @@ final class LakeLog(val tablePath: String) {
     // retention horizon), silently shrinking time-travel depth from
     // the documented 30 days to RETAINED_AUX*CHECKPOINT_INTERVAL
     // commits.
-    val anchor: Option[Long] =
-      if (store.exists(versionFile(0L))) None // full prefix: no anchor
-      else {
-        val s = oldestSurvivingVersion
-        checkpointVersionsIn(
-          store.listDir(logDir).map(_.getFileName.toString))
-          .filter(_ <= s).maxOption
-      }
-    store.listDir(logDir).foreach { p =>
+    val anchor: Option[Long] = oldestVersion match {
+      case Some(0L) | None => None // full prefix: no anchor needed
+      case Some(s) => checkpointVersionsIn(names).filter(_ <= s).maxOption
+    }
+    entries.foreach { p =>
       val n = p.getFileName.toString
       def ckptStale(v: Long) = v < keepFrom && !anchor.contains(v)
       val stale =
@@ -248,9 +251,14 @@ final class LakeLog(val tablePath: String) {
       .getOrElse(LOG_RETENTION_HOURS_DEFAULT)
     if (hours < 0) return
     val horizon = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    // one listing serves the version walk and the checkpoint scan
+    val entries = store.listDir(logDir)
+    val names = entries.map(_.getFileName.toString)
+    val files = entries
+      .filter(p => VERSION_FILE_RE.matches(p.getFileName.toString))
+      .sortBy(_.getFileName.toString)
     // the contiguous age-eligible prefix: stop at the first commit
     // younger than the horizon
-    val files = listVersionFiles
     var prefixEnd = -1L
     val it = files.iterator
     var continue = true
@@ -266,8 +274,7 @@ final class LakeLog(val tablePath: String) {
     val cut = math.min(keepFrom, prefixEnd + 1)
     val oldest = files.headOption.map(versionOf).getOrElse(return)
     if (cut <= oldest) return // nothing deletable
-    val ckpts = checkpointVersionsIn(
-      store.listDir(logDir).map(_.getFileName.toString))
+    val ckpts = checkpointVersionsIn(names)
     val anchor: Option[Long] = ckpts.filter(_ <= cut).maxOption match {
       case Some(a) if a == cut => Some(a)
       case existing =>
@@ -287,14 +294,25 @@ final class LakeLog(val tablePath: String) {
     }
   }
 
-  /** Oldest version a replay can reconstruct: 0 while the full log
-    * survives, else the oldest complete checkpoint.
+  /** Oldest version from which replay is CONTIGUOUSLY possible: 0
+    * while the full log survives; else the checkpoint at the oldest
+    * surviving version file (the normal post-retention state — the
+    * cut always lands on a checkpoint). A stale checkpoint BELOW the
+    * oldest surviving version (a transiently failed sweep delete) is
+    * individually replayable but versions between it and the
+    * survivors are not — reporting it would overstate replayability,
+    * so the answer is the first version at or above the survivors
+    * that a checkpoint covers.
     */
   def earliestReplayableVersion: Long = {
-    if (store.exists(versionFile(0L))) 0L
-    else checkpointVersionsIn(
+    if (store.exists(versionFile(0L))) return 0L
+    val ckpts = checkpointVersionsIn(
       store.listDir(logDir).map(_.getFileName.toString))
-      .minOption.getOrElse(0L)
+    val s = oldestSurvivingVersion
+    ckpts.filter(_ <= s).maxOption match {
+      case Some(c) if c == s => s
+      case _ => ckpts.filter(_ >= s).minOption.getOrElse(s)
+    }
   }
 
   /** Write the checkpoint of the full replayed state at v. Small
@@ -461,8 +479,7 @@ final class LakeLog(val tablePath: String) {
   def latestCheckpointAtOrBefore(
       version: Long): Option[(Long, Iterator[Action])] =
     latestCheckpointFilesAtOrBefore(version).map { case (v, files) =>
-      (v, files.iterator.flatMap(p => store.readLines(p).iterator
-        .map(_.trim).filter(_.nonEmpty).map(Action.fromJson)))
+      (v, files.iterator.flatMap(p => readCheckpointPart(p).iterator))
     }
 
   /** Replay all actions up to and including `version` (-1 = latest). */

@@ -80,8 +80,9 @@ final class LakeTable private (
     val tail = (from to latest).map { v =>
       log.readVersion(v).collectFirst { case c: CommitInfo =>
         (v, c.timestamp)
-      }.getOrElse((v, log.store.stat(log.versionFile(v))
-        .map(_._2).getOrElse(0L)))
+      }.getOrElse((v, log.store.stat(log.versionFile(v)).map(_._2)
+        .getOrElse(throw new IllegalStateException(
+          s"cannot stat just-read version file $v of $tablePath"))))
     }
     val known = head ++ tail
     val seen = known.map(_._1).toSet
@@ -89,12 +90,15 @@ final class LakeTable private (
     // commits before the last checkpoint): same mtime fallback. ONE
     // seam-routed directory listing finds them — a per-version
     // existence probe would cost O(table age) driver stat calls on
-    // every vacuum / timestamp-travel of a 100k-commit table.
+    // every vacuum / timestamp-travel of a 100k-commit table. A file
+    // a concurrent retention cleanup deletes between the listing and
+    // the stat is simply dropped — a deleted version is unreachable
+    // by every reader, so it needs no timestamp entry.
     val gaps = log.listVersionFiles
       .filter(p => LakeLog.versionOf(p) < from &&
         !seen(LakeLog.versionOf(p)))
-      .map(p => (LakeLog.versionOf(p),
-        Files.getLastModifiedTime(p).toMillis))
+      .flatMap(p => log.store.stat(p).map(s => (LakeLog.versionOf(p),
+        s._2)))
     (known ++ gaps).sortBy(_._1)
   }
 
@@ -1601,7 +1605,9 @@ final class LakeTable private (
       // downstream time-based consumers.
       val commitTs = actions.collectFirst { case ci: CommitInfo =>
         ci.timestamp }.getOrElse(
-        log.store.stat(log.versionFile(v)).map(_._2).getOrElse(0L))
+        log.store.stat(log.versionFile(v)).map(_._2)
+          .getOrElse(throw new IllegalStateException(
+            s"cannot stat just-read version file $v of $tablePath")))
       parts.map(_.withColumn(Cdf.COMMIT_VERSION, lit(v))
         .withColumn(Cdf.COMMIT_TIMESTAMP,
           lit(new java.sql.Timestamp(commitTs))))

@@ -523,9 +523,12 @@ object LakeWriter {
     }
     if (Files.exists(f)) {
       try build(f)
-      catch { // the footer read raced a twin attempt's move
-        case _: java.io.IOException
-          if !Files.exists(f) && Files.exists(target) => build(target)
+      catch {
+        // the footer read raced a twin attempt: the twin either moved
+        // the file into the table (re-derive from the target) or
+        // deleted an empty split (nothing to adopt)
+        case _: java.io.IOException if !Files.exists(f) =>
+          if (Files.exists(target)) build(target) else None
       }
     }
     else if (Files.exists(target)) build(target) // already adopted

@@ -31,7 +31,7 @@ class LakeColumnMappingSuite extends SparkSuite {
     assert(after.snapshot().files.map(f => (f.path, f.size)).toSet ===
       filesBefore, "rename must not touch a single data file")
     assert(after.toDF.columns.toSeq === Seq("id", "label", "bucket"))
-    assert(after.toDF.filter($"id" === 7L).select("label").as[String].head
+    assert(after.toDF.filter($"id" === 7L).select("label").as[String].head()
       === "k7")
     assert(after.toDF.count() === 100L)
   }
@@ -44,7 +44,7 @@ class LakeColumnMappingSuite extends SparkSuite {
     val after = LakeTable.forPath(spark, path)
     assert(after.asOf(preRename).columns.contains("k"))
     assert(after.asOf(preRename).filter($"id" === 3L)
-      .select("k").as[String].head === "k3")
+      .select("k").as[String].head() === "k3")
     assert(after.toDF.columns.contains("label"))
   }
 
@@ -88,7 +88,7 @@ class LakeColumnMappingSuite extends SparkSuite {
     val df = after.toDF.filter($"row_id" === 60L)
     val plan = df.queryExecution.explainString(FormattedMode)
     assert(!plan.contains("PushedFilters: []"), plan)
-    assert(df.select("k").as[String].head === "b")
+    assert(df.select("k").as[String].head() === "b")
   }
 
   test("drop then re-add under mapping: no resurrection, fresh physical") {
@@ -119,7 +119,7 @@ class LakeColumnMappingSuite extends SparkSuite {
     afterDel.update("id = 6", Map("label" -> "'updated'"))
     val got = LakeTable.forPath(spark, path).toDF
     assert(got.filter($"label" === "updated")
-      .select("id").as[Long].head === 6L)
+      .select("id").as[Long].head() === 6L)
     assert(got.count() === 99L)
   }
 
@@ -133,11 +133,11 @@ class LakeColumnMappingSuite extends SparkSuite {
     assert(ov.contains("score") && ov("score").startsWith("col-"), ov)
     val got = t.toDF
     assert(got.filter($"score".isNotNull).count() === 1L)
-    assert(got.filter($"id" === 300L).select("score").as[Double].head === 9.5)
+    assert(got.filter($"id" === 300L).select("score").as[Double].head() === 9.5)
     // old files null-fill the new column
     assert(got.filter($"id" === 1L).select("score").isEmpty
       || got.filter($"id" === 1L).select("score").as[Option[Double]]
-        .head.isEmpty)
+        .head().isEmpty)
   }
 
   test("rename of a partition column stays rejected; mapping is one-way") {
@@ -263,7 +263,7 @@ class LakeColumnMappingSuite extends SparkSuite {
       "SQL rename on a mapped table must stay metadata-only")
     val got = LakeSql.sql(spark,
       "SELECT label FROM cm19t WHERE id = 7")
-    assert(got.as[String].head === "k7")
+    assert(got.as[String].head() === "k7")
     // SHOW TBLPROPERTIES surfaces the mapping state
     val props = LakeSql.sql(spark, "SHOW TBLPROPERTIES cm19t")
       .as[(String, String)].collect().toMap
@@ -307,7 +307,7 @@ class LakeColumnMappingSuite extends SparkSuite {
     val pre = LakeTable.forPath(spark, path).changes(2, 2)
     assert(pre.columns.contains("k"))
     assert(pre.filter($"_change_type" === "delete")
-      .select("k").as[String].head === "k5")
+      .select("k").as[String].head() === "k5")
   }
 
   test("two concurrent renames of different columns both land") {
@@ -323,7 +323,7 @@ class LakeColumnMappingSuite extends SparkSuite {
     val cols = LakeTable.forPath(spark, path).toDF.columns.toSet
     assert(cols === Set("id", "label", "cell"), cols)
     assert(LakeTable.forPath(spark, path).toDF
-      .filter($"label" === "k3").select("cell").as[Int].head === 3)
+      .filter($"label" === "k3").select("cell").as[Int].head() === 3)
   }
 
   test("append under the pre-rename name is rejected, not misfiled") {
@@ -342,7 +342,7 @@ class LakeColumnMappingSuite extends SparkSuite {
     LakeWriter.write(
       Seq((500L, "k500", 5)).toDF("id", "label", "bucket"), path)
     assert(LakeTable.forPath(spark, path).toDF
-      .filter($"id" === 500L).select("label").as[String].head === "k500")
+      .filter($"id" === 500L).select("label").as[String].head() === "k500")
   }
 
   test("repeated renames chase the same physical name; swap-safe") {
@@ -356,11 +356,11 @@ class LakeColumnMappingSuite extends SparkSuite {
     val t = LakeTable.forPath(spark, path)
     assert(t.toDF.columns.toSet === Set("k", "id", "bucket"))
     // "id" now holds the ORIGINAL k strings; "k" the original ids
-    assert(t.toDF.filter($"k" === 7L).select("id").as[String].head === "k7")
+    assert(t.toDF.filter($"k" === 7L).select("id").as[String].head() === "k7")
     // a write through the swapped names lands correctly
     LakeWriter.write(Seq((999L, "k999", 3))
       .toDF("k", "id", "bucket"), path)
     assert(LakeTable.forPath(spark, path).toDF
-      .filter($"k" === 999L).select("id").as[String].head === "k999")
+      .filter($"k" === 999L).select("id").as[String].head() === "k999")
   }
 }
