@@ -177,7 +177,7 @@ final class LakeLog(val tablePath: String) {
     * checkpoint boundaries in the same instant, and a later cleanup
     * self-heals once the horizon passes the next surviving checkpoint.
     */
-  private def cleanupAuxFiles(latest: Long): Unit =
+  private[lake] def cleanupAuxFiles(latest: Long): Unit =
     LakeLog.cleanupLockFor(tablePath).synchronized {
       cleanupAuxFilesLocked(latest)
     }
@@ -204,6 +204,14 @@ final class LakeLog(val tablePath: String) {
       case Some(0L) | None => None // full prefix: no anchor needed
       case Some(s) => checkpointVersionsIn(names).filter(_ <= s).maxOption
     }
+    // The newest sidecar is exempt from the age sweep: sidecar writes
+    // are best-effort (a NonFatal failure at RETAINED_AUX consecutive
+    // checkpoint boundaries is swallowed), so without the exemption
+    // the sweep could delete the LAST sidecar while no newer one
+    // exists — and once retention has also dropped version 0, history
+    // rebuild and timestamp travel would have no base to read from.
+    val newestHistory = names.filter(HISTORY_FILE_RE.matches)
+      .map(_.stripSuffix(".history.json").toLong).maxOption
     entries.foreach { p =>
       val n = p.getFileName.toString
       def ckptStale(v: Long) = v < keepFrom && !anchor.contains(v)
@@ -212,8 +220,10 @@ final class LakeLog(val tablePath: String) {
           ckptStale(n.stripSuffix(".checkpoint.json").toLong)) ||
         (CHECKPOINT_PART_FILE_RE.matches(n) &&
           ckptStale(n.split("\\.")(0).toLong)) ||
-        (HISTORY_FILE_RE.matches(n) &&
-          n.stripSuffix(".history.json").toLong < keepFrom)
+        (HISTORY_FILE_RE.matches(n) && {
+          val v = n.stripSuffix(".history.json").toLong
+          v < keepFrom && !newestHistory.contains(v)
+        })
       if (stale) store.delete(p)
     }
     // Stores that stage tmp files sweep their own crash orphans (a
@@ -415,8 +425,13 @@ final class LakeLog(val tablePath: String) {
     * O(tail since last checkpoint) at any table age.
     */
   private def writeHistorySidecar(version: Long): Unit = {
+    // No previous sidecar (fresh table, or every sidecar was lost to
+    // failed best-effort writes + the age sweep): rebuild from the
+    // oldest version file that still EXISTS — retention may have
+    // deleted the prefix, and entries below it are gone for good
+    // (history is bounded by log retention, as in Delta).
     val (prevV, prev) = latestHistoryAtOrBefore(version - 1)
-      .getOrElse((-1L, Seq.empty[CommitInfo]))
+      .getOrElse((oldestSurvivingVersion - 1L, Seq.empty[CommitInfo]))
     val entries = prev ++ ((prevV + 1) to version).flatMap { v =>
       readVersion(v).collect { case c: CommitInfo => c.copy(version = v) }
     }
@@ -445,25 +460,33 @@ final class LakeLog(val tablePath: String) {
   def latestCheckpointFilesAtOrBefore(
       version: Long): Option[(Long, Seq[Path])] = {
     val names = store.listDir(logDir).map(_.getFileName.toString)
-    checkpointVersionsIn(names).filter(_ <= version).maxOption.map { v =>
-      val single = logDir.resolve(f"$v%020d.checkpoint.json")
-      val files =
-        if (store.exists(single)) Seq(single)
-        else {
-          // two checkpointers at v can leave complete sets with
-          // DIFFERENT part counts (ledger expiry is time-dependent);
-          // pin ONE complete set — never concatenate across sets
-          val byCount = names.filter(n =>
-            CHECKPOINT_PART_FILE_RE.matches(n) &&
-              n.split("\\.")(0).toLong == v)
-            .groupBy(_.split("\\.")(3).toInt)
-          val np = byCount.collect {
-            case (count, ps) if ps.distinct.size == count => count
-          }.max
-          byCount(np).sorted.map(logDir.resolve)
-        }
-      (v, files)
-    }
+    // Newest candidate first; a candidate the listing promised can
+    // vanish before the exists() probe (a cleaner in ANOTHER process —
+    // the cleanup lock is per-JVM — deleting a stale checkpoint
+    // between our LIST and the read). Skip it and fall back to the
+    // next older one rather than crashing the read path.
+    checkpointVersionsIn(names).filter(_ <= version)
+      .sorted(Ordering[Long].reverse).iterator.map { v =>
+        val single = logDir.resolve(f"$v%020d.checkpoint.json")
+        val files =
+          if (store.exists(single)) Seq(single)
+          else {
+            // two checkpointers at v can leave complete sets with
+            // DIFFERENT part counts (ledger expiry is time-dependent);
+            // pin ONE complete set — never concatenate across sets
+            val byCount = names.filter(n =>
+              CHECKPOINT_PART_FILE_RE.matches(n) &&
+                n.split("\\.")(0).toLong == v)
+              .groupBy(_.split("\\.")(3).toInt)
+            byCount.collect {
+              case (count, ps) if ps.distinct.size == count => count
+            }.maxOption match {
+              case Some(np) => byCount(np).sorted.map(logDir.resolve)
+              case None => Nil // vanished under us
+            }
+          }
+        (v, files)
+      }.collectFirst { case (v, files) if files.nonEmpty => (v, files) }
   }
 
   /** Parsed actions of one checkpoint part file. */

@@ -75,7 +75,10 @@ final class LakeTable private (
     val (head, from) = log.latestHistoryAtOrBefore(latest) match {
       case Some((hv, entries)) =>
         (entries.map(c => (c.version, c.timestamp)), hv + 1)
-      case None => (Seq.empty[(Long, Long)], 0L)
+      // no sidecar at all (lost to failed best-effort writes + age
+      // sweep): walk from the oldest version file that still exists —
+      // retention may have deleted the prefix including version 0
+      case None => (Seq.empty[(Long, Long)], log.oldestSurvivingVersion)
     }
     val tail = (from to latest).map { v =>
       log.readVersion(v).collectFirst { case c: CommitInfo =>
@@ -393,8 +396,10 @@ final class LakeTable private (
         (entries.map(c => (c.version, new java.sql.Timestamp(c.timestamp),
           c.operation, c.operationParameters)), hv + 1)
       case None =>
+        // no sidecar: walk from the oldest version file that still
+        // exists — retention may have deleted the prefix
         (Seq.empty[(Long, java.sql.Timestamp, String, Map[String, String])],
-          0L)
+          log.oldestSurvivingVersion)
     }
     val tail =
       if (latest - from + 1 >= LakeTable.DISTRIBUTED_HISTORY_MIN_VERSIONS) {
@@ -542,6 +547,8 @@ final class LakeTable private (
         // or removal) — commitWithRetry treats a concurrent re-add of
         // the same path as a conflict too.
         LakeWriter.commitWithRetry(log, snap.version, conflictPaths) { _ =>
+          // cdc files were staged under snap's mapping epoch
+          assertMetadataUnchanged(snap, "DELETE")
           Seq(CommitInfo(now, "DELETE",
             Map("predicate" -> condition,
               "deletionVectors" -> dvAdds.size.toString))) ++
@@ -705,6 +712,8 @@ final class LakeTable private (
         val cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)
         val now = System.currentTimeMillis()
         LakeWriter.commitWithRetry(log, snap.version, conflictPaths) { _ =>
+          // adds and cdc were staged under snap's mapping epoch
+          assertMetadataUnchanged(snap, "UPDATE")
           Seq(CommitInfo(now, "UPDATE",
             Map("predicate" -> condition,
               "deletionVectors" -> dvAdds.size.toString))) ++
@@ -1233,8 +1242,11 @@ final class LakeTable private (
     // superseded in-window has no tombstone of its own (the re-add IS
     // its supersession), so the DVs live at the window start are
     // protected from the snapshot at the last pre-cutoff commit.
-    val inWindow = commitTimestamps.filter(_._2 > cutoff)
-    val preCutoffDvs: Set[String] = commitTimestamps
+    // one evaluation: commitTimestamps is a sidecar read + O(tail)
+    // version reads + a log listing per call
+    val stamps = commitTimestamps
+    val inWindow = stamps.filter(_._2 > cutoff)
+    val preCutoffDvs: Set[String] = stamps
       .filter(_._2 <= cutoff).lastOption.map { case (v, _) =>
         // log cleanup may have dropped the replay prefix below the
         // retention horizon; the oldest REPLAYABLE version is then
@@ -1738,6 +1750,23 @@ final class LakeTable private (
     else abs.toString
   }
 
+  /** Metadata conflict detection (Delta's rule: ANY transaction fails
+    * when the table metadata changed under it). A DML whose rewrite/DV/
+    * CDC stage raced a metadata commit (mapped RENAME, ADD COLUMN, new
+    * constraint) staged files under the OLD mapping epoch — committing
+    * them would mis-map columns (or skip the new check) for readers of
+    * the new schema. Call inside the commit closure so it re-runs on
+    * every retry attempt; loud abort, caller re-runs the operation.
+    */
+  private def assertMetadataUnchanged(
+      snap: Snapshot, operation: String): Unit =
+    if (log.latestVersion > snap.version &&
+        log.snapshot().metadata != snap.metadata)
+      throw new ConflictingCommitException(
+        s"table metadata of $tablePath changed concurrently with " +
+        s"this $operation (read version ${snap.version}); re-run " +
+        "the operation")
+
   private[lake] def commitRewrite(
       snap: Snapshot,
       removedRelPaths: Seq[String],
@@ -1748,18 +1777,7 @@ final class LakeTable private (
     val now = System.currentTimeMillis()
     try {
       LakeWriter.commitWithRetry(log, snap.version, removedRelPaths) { _ =>
-        // Metadata conflict detection (Delta's rule: ANY transaction
-        // fails when the table metadata changed under it). A DML whose
-        // rewrite/CDC stage raced a metadata commit (mapped RENAME, ADD
-        // COLUMN) staged files under the OLD mapping epoch — committing
-        // them would mis-map columns for readers of the new schema.
-        // Re-checked on every retry attempt; loud abort, caller re-runs.
-        if (log.latestVersion > snap.version &&
-            log.snapshot().metadata != snap.metadata)
-          throw new ConflictingCommitException(
-            s"table metadata of $tablePath changed concurrently with " +
-            s"this $operation (read version ${snap.version}); re-run " +
-            "the operation")
+        assertMetadataUnchanged(snap, operation)
         Seq(CommitInfo(now, operation, params)) ++
           removedRelPaths.map(RemoveFile(_, now)) ++ adds ++ cdc
       }

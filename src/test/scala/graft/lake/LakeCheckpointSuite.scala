@@ -263,6 +263,106 @@ class LakeCheckpointSuite extends SparkSuite {
     assert(t.vacuum(dryRun = true).isEmpty)
   }
 
+  test("a checkpoint deleted after listing falls back to the older one") {
+    // The cleanup lock is per-process: a cleaner in ANOTHER JVM can
+    // delete a stale checkpoint between this reader's LIST and its
+    // read. The reader must fall back to the next older checkpoint,
+    // not crash (pre-fix: UnsupportedOperationException empty.max).
+    val path = tablePath("ckpt-vanish")
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
+      Protocol()))
+    (1L to 30L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"c$v")))
+    }
+    val phantom = log.logDir.resolve(f"${30L}%020d.checkpoint.json")
+    assert(LogStore.current.delete(phantom)) // gone on disk…
+    val prev = LogStore.current
+    LogStore.current = new LogStore { // …but still in the listing
+      override def putIfAbsent(t: java.nio.file.Path, l: Seq[String]) =
+        prev.putIfAbsent(t, l)
+      override def atomicReplace(t: java.nio.file.Path, l: Seq[String]) =
+        prev.atomicReplace(t, l)
+      override def listDir(dir: java.nio.file.Path) = {
+        val real = prev.listDir(dir)
+        if (dir == log.logDir && !real.contains(phantom))
+          real :+ phantom
+        else real
+      }
+      override def readLines(p: java.nio.file.Path) = prev.readLines(p)
+      override def exists(p: java.nio.file.Path) = prev.exists(p)
+      override def delete(p: java.nio.file.Path) = prev.delete(p)
+    }
+    try {
+      val got = log.latestCheckpointAtOrBefore(30L)
+      assert(got.exists(_._1 === 20L), "must fall back to v20")
+      Snapshot.clearCacheForTest()
+      assert(log.snapshot(30L).files.size === 30)
+    } finally LogStore.current = prev
+  }
+
+  test("losing every history sidecar degrades to the surviving tail") {
+    // Sidecar writes are best-effort; if every sidecar is lost AND
+    // retention has deleted version 0, history/timestamp reads must
+    // walk from the oldest SURVIVING version file, not crash reading
+    // v0 — and the next checkpoint boundary must rebuild a sidecar
+    // from the same base.
+    val path = tablePath("sidecar-loss")
+    val log = new LakeLog(path)
+    val retMeta = Metadata("id BIGINT", Nil, 0L, Map.empty,
+      Map(LakeLog.LOG_RETENTION_PROP -> "0"))
+    log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), retMeta,
+      Protocol()))
+    (1L to 30L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"s$v")))
+    }
+    assert(log.earliestReplayableVersion === 10L) // prefix 0..9 gone
+    LogStore.current.listDir(log.logDir)
+      .filter(_.getFileName.toString.endsWith(".history.json"))
+      .foreach(LogStore.current.delete)
+    // pre-fix: NoSuchFileException replaying from version 0
+    val hist = LakeTable.forPath(spark, path).history()
+    assert(hist.count() === 21L) // versions 10..30
+    assert(hist.agg(org.apache.spark.sql.functions.min("version"))
+      .head().getLong(0) === 10L)
+    // the next boundary rebuilds the sidecar from the surviving base
+    (31L to 40L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"s$v")))
+    }
+    val rebuilt = log.latestHistoryAtOrBefore(40L)
+    assert(rebuilt.exists(_._1 === 40L))
+    assert(rebuilt.exists(_._2.map(_.version).min === 10L))
+  }
+
+  test("the newest history sidecar is exempt from the age sweep") {
+    // If sidecar writes fail at several consecutive boundaries, the
+    // age sweep must not delete the last surviving sidecar: it is the
+    // only base history rebuild and timestamp travel have once the
+    // version prefix below it is gone.
+    val path = tablePath("sidecar-exempt")
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
+      Protocol()))
+    (1L to 30L).foreach { v =>
+      log.commit(v, Seq(CommitInfo(v + 1, "APPEND", Map.empty),
+        addFile(s"e$v")))
+    }
+    // leave only the v10 sidecar — aged below keepFrom at latest=40
+    LogStore.current.listDir(log.logDir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".history.json") && !n.startsWith(f"${10L}%020d")
+      }.foreach(LogStore.current.delete)
+    log.cleanupAuxFiles(40L) // keepFrom = 20: v10 sidecar is aged
+    val names = LogStore.current.listDir(log.logDir)
+      .map(_.getFileName.toString)
+    assert(names.contains(f"${10L}%020d.history.json"),
+      "age sweep deleted the last surviving history sidecar")
+  }
+
   test("default retention keeps version files; negative disables cleanup") {
     // fresh commits + default 720h retention → nothing is deleted
     val path = tablePath("logret-off")

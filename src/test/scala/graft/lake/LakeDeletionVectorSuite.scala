@@ -396,4 +396,51 @@ class LakeDeletionVectorSuite extends SparkSuite {
     assert((filesBefore -- snap.files.map(_.path).toSet).nonEmpty)
     assert(t.toDF.count() === 90L)
   }
+
+  test("DV update racing a metadata commit aborts, commits nothing") {
+    // A DV-mode UPDATE stages its rewritten rows and CDC under the
+    // READ snapshot's mapping/constraint epoch. If a metadata commit
+    // (rename, new constraint, property change) lands between the
+    // read and the commit, the update must abort — same rule as
+    // commitRewrite — not land files from the stale epoch. The race
+    // is forced deterministically: the store wrapper commits a
+    // property change right before the update's own commit attempt.
+    val path = dvTable("dv-meta-race")
+    val prev = LogStore.current
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reentrant = new ThreadLocal[java.lang.Boolean] {
+      override def initialValue = java.lang.Boolean.FALSE
+    }
+    LogStore.current = new LogStore {
+      override def putIfAbsent(t: java.nio.file.Path, l: Seq[String]) = {
+        if (!reentrant.get && t.getFileName.toString.matches("\\d{20}\\.json")
+            && fired.compareAndSet(false, true)) {
+          reentrant.set(true)
+          try LakeTable.forPath(spark, path)
+            .setTblProperties(Map("user.epoch" -> "2"))
+          finally reentrant.set(false)
+        }
+        prev.putIfAbsent(t, l)
+      }
+      override def atomicReplace(t: java.nio.file.Path, l: Seq[String]) =
+        prev.atomicReplace(t, l)
+      override def listDir(d: java.nio.file.Path) = prev.listDir(d)
+      override def readLines(p: java.nio.file.Path) = prev.readLines(p)
+      override def exists(p: java.nio.file.Path) = prev.exists(p)
+      override def delete(p: java.nio.file.Path) = prev.delete(p)
+    }
+    try {
+      val ex = intercept[ConflictingCommitException] {
+        LakeTable.forPath(spark, path).update("id = 6", Map("v" -> "99.0"))
+      }
+      assert(ex.getMessage.contains("changed concurrently"))
+    } finally LogStore.current = prev
+    // nothing landed: the value is unchanged and no commit after the
+    // property change exists
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.filter($"id" === 6L).select("v").as[Double].head()
+      === 6.0)
+    assert(t.snapshot().metadata.properties.get("user.epoch")
+      .contains("2"))
+  }
 }
