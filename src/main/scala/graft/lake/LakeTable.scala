@@ -1941,7 +1941,7 @@ object LakeTable {
     Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE,
       PROP_APPEND_ONLY, PROP_AUTO_COMPACT, PROP_AUTO_COMPACT_MIN_FILES,
       PROP_ENABLE_DV, ColumnMapping.MODE_PROP,
-      LakeLog.COPY_INTO_RETENTION_PROP)
+      LakeLog.COPY_INTO_RETENTION_PROP, LakeLog.LOG_RETENTION_PROP)
       .find(_.equalsIgnoreCase(k)).getOrElse(k)
 
   /** Shared by SET TBLPROPERTIES and create-time writer properties:
@@ -1977,6 +1977,9 @@ object LakeTable {
         case LakeLog.COPY_INTO_RETENTION_PROP =>
           require(scala.util.Try(v.toDouble).isSuccess,
             s"$k must be a number of hours (negative disables), got '$v'")
+        case LakeLog.LOG_RETENTION_PROP =>
+          require(scala.util.Try(v.toDouble).isSuccess,
+            s"$k must be a number of hours (negative disables), got '$v'")
         case g if g.startsWith(PROP_GENERATED_PREFIX) =>
           require(g.length > PROP_GENERATED_PREFIX.length,
             s"$k is missing the column name")
@@ -2003,7 +2006,8 @@ object LakeTable {
             s"$PROP_AUTO_COMPACT, $PROP_AUTO_COMPACT_MIN_FILES, " +
             s"$PROP_ENABLE_DV, $PROP_CLUSTER_BY, " +
             s"${ColumnMapping.MODE_PROP}, " +
-            s"${LakeLog.COPY_INTO_RETENTION_PROP})")
+            s"${LakeLog.COPY_INTO_RETENTION_PROP}, " +
+            s"${LakeLog.LOG_RETENTION_PROP})")
       }
     }
   /** Below these sizes the driver loop wins (job-launch overhead). */

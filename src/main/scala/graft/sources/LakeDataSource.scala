@@ -49,8 +49,15 @@ final class LakeDataSource extends RelationProvider
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "startingVersion and startingTimestamp are mutually exclusive")
-    val base =
-      schema.getOrElse(new LakeLog(pathOf(parameters)).snapshot().schema)
+    // A user-specified readStream schema would be accepted here but
+    // silently ignored by the Source (every batch is pinned to the
+    // table schema), failing micro-batch planning at trigger 1 — or
+    // worse, binding columns positionally if shapes coincide. Reject
+    // up front, as Delta does.
+    require(schema.isEmpty,
+      "lake streaming source does not support a user-specified schema;" +
+      " the table's own schema is used")
+    val base = new LakeLog(pathOf(parameters)).snapshot().schema
     // the change feed carries extra audit columns — one shared
     // definition (graft.lake.Cdf) keeps this relation schema and
     // LakeStreamSource.schema in lockstep, or micro-batch planning

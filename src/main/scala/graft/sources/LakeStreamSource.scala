@@ -85,7 +85,7 @@ final class LakeStreamSource(
     if (readChangeFeed) graft.lake.Cdf.schema(log.snapshot().schema)
     else log.snapshot().schema
 
-  private val startingVersion: Long = {
+  private val explicitStart: Option[Long] = {
     require(!(options.contains("startingVersion") &&
         options.contains("startingTimestamp")),
       "startingVersion and startingTimestamp are mutually exclusive")
@@ -94,7 +94,16 @@ final class LakeStreamSource(
         graft.lake.LakeTable.forPath(spark, tablePath)
           .versionAtOrAfterTimestamp(java.sql.Timestamp.valueOf(ts).getTime)
       })
-      .getOrElse(0L)
+  }
+  private val startingVersion: Long = {
+    val floor = log.earliestReplayableVersion
+    explicitStart.foreach { s =>
+      if (s < floor) throw new IllegalStateException(
+        s"startingVersion $s of $tablePath is below the log retention " +
+        s"horizon (earliest replayable version: $floor); those " +
+        "versions' files cannot be replayed")
+    }
+    explicitStart.getOrElse(0L)
   }
   private val ignoreDeletes =
     options.get("ignoreDeletes").exists(_.toBoolean)
@@ -118,6 +127,16 @@ final class LakeStreamSource(
   override def getOffset: Option[OffsetV1] = {
     val latest = math.min(log.latestVersion, availableNowCap)
     if (latest < 0) return None
+    val cursor = math.max(deliveredThrough, startingVersion - 1)
+    // A table older than its log retention has no version files below
+    // the replay floor; the surviving effect of those versions is the
+    // snapshot AT the floor, delivered wholesale as the first batch
+    // (the Delta initial-snapshot shape). One unavoidable unit — the
+    // per-version budget applies from the floor on.
+    val floor = log.earliestReplayableVersion
+    if (cursor + 1 < floor)
+      return Some(LakeStreamOffset(math.min(floor, latest)))
+    if (latest <= cursor) return None // nothing past the start yet
     if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
       return Some(LakeStreamOffset(latest))
     // Advance version-by-version until a budget (files and/or bytes,
@@ -126,31 +145,69 @@ final class LakeStreamSource(
     // batches instead of one giant first micro-batch.
     val maxFiles = maxFilesPerTrigger.getOrElse(Int.MaxValue)
     val maxBytes = maxBytesPerTrigger.getOrElse(Long.MaxValue)
-    var end = math.max(deliveredThrough, startingVersion - 1)
+    var end = cursor
     var filesTaken = 0
     var bytesTaken = 0L
     var done = false
     while (!done && end < latest) {
       val adds = log.readVersion(end + 1).collect { case a: AddFile => a }
+      val sz = adds.map(_.size).sum
       val fits = filesTaken + adds.size <= maxFiles &&
-        bytesTaken + adds.map(_.size).sum <= maxBytes
+        bytesTaken + sz <= maxBytes
       if (filesTaken == 0 && bytesTaken == 0 || fits) {
         filesTaken += adds.size
-        bytesTaken += adds.map(_.size).sum
+        bytesTaken += sz
         end += 1
         done = filesTaken >= maxFiles || bytesTaken >= maxBytes
       } else done = true
     }
-    if (end <= math.max(deliveredThrough, startingVersion - 1)) None
+    if (end <= cursor) None
     else Some(LakeStreamOffset(end))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val fromExclusive = start.map(versionOf).getOrElse(startingVersion - 1)
+    // Clamped to the starting version: a checkpointed offset BELOW an
+    // explicit startingVersion (the engine's restart replay, or a
+    // stale checkpoint reused with a new start option) must not
+    // resurrect versions the user asked to skip.
+    val fromExclusive = math.max(
+      start.map(versionOf).getOrElse(startingVersion - 1),
+      startingVersion - 1)
     val toInclusive = versionOf(end)
     if (readChangeFeed) return changeFeedBatch(fromExclusive, toInclusive)
     val adds = Seq.newBuilder[AddFile]
-    ((fromExclusive + 1) to toInclusive).foreach { v =>
+    // Versions below the replay floor have no log files (log
+    // retention); their surviving effect is the snapshot at the floor.
+    // A FRESH stream (no checkpointed start) delivers that snapshot as
+    // its initial batch — the default "all existing data" contract on
+    // a mature table. A RESTARTED stream finding its cursor below the
+    // floor has genuinely lost versions (retention outran the
+    // consumer): that is the data-loss decision, not a silent skip.
+    val floor = log.earliestReplayableVersion
+    var replayFrom = fromExclusive
+    if (fromExclusive + 1 < floor) {
+      if (start.isEmpty && toInclusive >= floor) {
+        adds ++= log.snapshot(floor).files
+        replayFrom = floor
+      } else if (start.isEmpty) {
+        // Restart replay of a batch delivered BEFORE retention aged
+        // its versions out (the engine re-runs the first batch's
+        // getBatch(None, end) on recovery): those versions are gone
+        // and — if the batch was committed — already consumed, so
+        // there is nothing to produce. If it was NOT committed, the
+        // NEXT batch's cursor is still below the floor and the
+        // start-defined branch below surfaces the loss loudly.
+        replayFrom = toInclusive
+      } else if (failOnDataLoss) {
+        throw new IllegalStateException(
+          s"lake streaming source at $tablePath: versions " +
+          s"(${fromExclusive + 1}..${floor - 1}) were removed by log " +
+          "retention while this consumer lagged; their rows cannot be " +
+          "replayed. Set failOnDataLoss=false to continue from the " +
+          s"earliest replayable version ($floor).")
+      } else replayFrom = floor - 1
+    }
+    ((replayFrom + 1) to toInclusive).foreach { v =>
       val actions = log.readVersion(v)
       // A DV-carrying re-add is a change commit even without a
       // RemoveFile (a deletion-vector DELETE supersedes the file's
@@ -195,9 +252,25 @@ final class LakeStreamSource(
     // A lagging consumer can reference files VACUUM already deleted.
     // Surface that as an explicit data-loss decision, not a mid-scan
     // task failure: fail by default, or skip with failOnDataLoss=false.
+    // Small batches probe through the storage seam on the driver;
+    // above the threshold (an unthrottled first batch over a large
+    // backlog) the probe distributes — O(table) serial driver stats
+    // is the cost Snapshot.toDF explicitly avoids for current reads.
     val allAdds = adds.result()
-    val (present, missing) = allAdds.partition(f =>
-      java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, f.path)))
+    val missingPaths: Set[String] =
+      if (allAdds.size <= LakeStreamSource.DISTRIBUTED_PROBE_MIN_FILES)
+        allAdds.iterator.map(_.path).filterNot(p =>
+          graft.lake.LogStore.current
+            .exists(LakeLog.resolveFile(tablePath, p))).toSet
+      else {
+        val tp = tablePath
+        spark.sparkContext
+          .parallelize(allAdds.map(_.path), 64)
+          .filter(p => !java.nio.file.Files.exists(
+            LakeLog.resolveFile(tp, p)))
+          .collect().toSet
+      }
+    val (missing, present) = allAdds.partition(f => missingPaths(f.path))
     if (missing.nonEmpty && failOnDataLoss) {
       throw new IllegalStateException(
         s"lake streaming source at $tablePath: ${missing.size} file(s) " +
@@ -214,12 +287,17 @@ final class LakeStreamSource(
       // read through the snapshot relation (log-sourced partition
       // values; shallow-cloned absolute paths work unchanged), pinned
       // to the source's declared schema so mid-range evolution
-      // null-fills instead of shifting columns
+      // null-fills instead of shifting columns. The relation emits
+      // rows in dataSchema ++ partitionSchema order — re-select into
+      // DECLARED order before the positional streaming relabel, or a
+      // partition column anywhere but last silently swaps columns.
       val snapAt = log.snapshot(toInclusive)
       val pseudo = snapAt.copy(
         metadata = snapAt.metadata.copy(schemaDDL = schema.toDDL),
         files = files)
       val batch = LakeDataSource.snapshotDF(spark, pseudo)
+        .select(schema.fieldNames.map(
+          n => org.apache.spark.sql.functions.col(s"`$n`")): _*)
       StreamingShim.streamingDataFrame(spark,
         batch.queryExecution.toRdd, schema)
     }
@@ -255,6 +333,13 @@ final class LakeStreamSource(
   override def commit(end: OffsetV1): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+object LakeStreamSource {
+  /** Batch size above which the per-batch vacuum-loss probe runs as a
+    * Spark job instead of serial driver stats.
+    */
+  var DISTRIBUTED_PROBE_MIN_FILES: Int = 2048
 }
 
 /** `df.writeStream.format("lake")` — micro-batch appends with the

@@ -42,15 +42,19 @@ object LakeStreaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // (queryName, batchId) as an idempotent txn: a restart that
+        // (checkpoint, batchId) as an idempotent txn: a restart that
         // replays a micro-batch already in the lake log skips the
         // write, closing the commit-then-crash-before-checkpoint
         // duplicate window — true exactly-once, not at-least-once.
+        // The CHECKPOINT path is the identity, not the defaultable
+        // queryName: two pipelines sharing the default name and one
+        // bronze table must not consume each other's batch watermark
+        // (whichever lagged on batchId would silently skip writes).
         LakeWriter.write(batch, bronzePath,
           partitionBy = Seq("p_ingestdate"),
           operation = "STREAMING UPDATE",
           operationParameters = Map("batchId" -> batchId.toString),
-          transaction = Some((queryName, batchId)))
+          transaction = Some((checkpoint, batchId)))
         ()
       }
       .start()
@@ -64,11 +68,12 @@ object LakeStreaming {
       tsCol: String = "ts",
       typeCol: String = "event_type",
       windowLen: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
   /** Inactivity-gap sessionization over (user_id, ts, value) rows —
     * the gaps-and-islands window plan: mark session starts with lag(),

@@ -247,6 +247,141 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(ids === Array(2L, 3L, 4L))
   }
 
+  /** Pad the log with empty commits (CommitInfo only — no files) so a
+    * checkpoint boundary passes and, with `LOG_RETENTION_PROP = "0"`,
+    * retention deletes the aged version-file prefix below the cut.
+    */
+  private def padLog(src: String, from: Long, to: Long): Unit = {
+    val log = new graft.lake.LakeLog(src)
+    (from to to).foreach { v =>
+      log.commit(v, Seq(graft.lake.CommitInfo(
+        System.currentTimeMillis(), "EMPTY", Map.empty)))
+    }
+  }
+
+  test("fresh stream on a retention-aged table starts from the floor " +
+      "snapshot and loses nothing") {
+    val src = tablePath("ss-ret-fresh-src")
+    val dst = tablePath("ss-ret-fresh-dst")
+    LakeWriter.write((1L to 100L).toDF("id").coalesce(1), src,
+      properties = Map(graft.lake.LakeLog.LOG_RETENTION_PROP -> "0"))
+    LakeWriter.write((101L to 150L).toDF("id").coalesce(1), src)  // v1
+    padLog(src, 2L, 29L)
+    LakeWriter.write((151L to 160L).toDF("id").coalesce(1), src)  // v30
+    // v30's checkpoint ran retention: version files 0..9 are gone
+    assert(new graft.lake.LakeLog(src).earliestReplayableVersion === 10L)
+
+    // versions 0..9 are unreplayable, but their surviving effect IS
+    // the snapshot at the floor — a fresh stream must deliver it as
+    // its first batch (the "all existing data" default), then replay
+    // the surviving tail. No row may be lost.
+    runAvailableNow(src, dst, tmpDir("ss-ret-fresh-ck"))
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === (1L to 160L).toArray)
+  }
+
+  test("restart below the retention floor: loud data-loss error, or " +
+      "resume from the floor with failOnDataLoss=false") {
+    val src = tablePath("ss-ret-lag-src")
+    val dst = tablePath("ss-ret-lag-dst")
+    val ckpt = tmpDir("ss-ret-lag-ck")
+    LakeWriter.write((1L to 50L).toDF("id").coalesce(1), src,
+      properties = Map(graft.lake.LakeLog.LOG_RETENTION_PROP -> "0"))
+    runAvailableNow(src, dst, ckpt)                               // cursor v0
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 50L)
+
+    LakeWriter.write((51L to 60L).toDF("id").coalesce(1), src)    // v1
+    padLog(src, 2L, 29L)
+    LakeWriter.write((61L to 70L).toDF("id").coalesce(1), src)    // v30
+    assert(new graft.lake.LakeLog(src).earliestReplayableVersion === 10L)
+
+    // the consumer's cursor (v0) fell below the floor while it lagged:
+    // v1's rows are gone from the log — that's data loss, surfaced
+    // loudly by default...
+    val failed =
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runAvailableNow(src, dst, ckpt)
+      }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(failed).exists(_.contains("log retention")))
+
+    // ...and an explicit opt-in resumes from the floor; v1's rows
+    // (51..60) are lost — exactly the versions retention outran
+    runAvailableNow(src, dst, ckpt, Map("failOnDataLoss" -> "false"))
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === ((1L to 50L) ++ (61L to 70L)).toArray)
+  }
+
+  test("startingVersion below the retention floor is rejected up front") {
+    val src = tablePath("ss-ret-startv-src")
+    LakeWriter.write((1L to 20L).toDF("id").coalesce(1), src,
+      properties = Map(graft.lake.LakeLog.LOG_RETENTION_PROP -> "0"))
+    padLog(src, 1L, 29L)
+    LakeWriter.write((21L to 30L).toDF("id").coalesce(1), src)    // v30
+    assert(new graft.lake.LakeLog(src).earliestReplayableVersion === 10L)
+
+    val failed =
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runAvailableNow(src, tablePath("ss-ret-startv-dst"),
+          tmpDir("ss-ret-startv-ck"), Map("startingVersion" -> "5"))
+      }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(failed).exists(m =>
+      m.contains("below the log retention") &&
+      m.contains("earliest replayable version: 10")))
+  }
+
+  test("user-specified readStream schema is rejected") {
+    val src = tablePath("ss-schema-src")
+    LakeWriter.write((1L to 10L).toDF("id"), src)
+    val ex = intercept[IllegalArgumentException] {
+      spark.readStream.format("lake")
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("id", "long"))
+        .load(src)
+    }
+    assert(ex.getMessage.contains("user-specified schema"))
+  }
+
+  test("partition column ordered first in the declared schema streams " +
+      "unswapped") {
+    val src = tablePath("ss-part-order-src")
+    val dst = tablePath("ss-part-order-dst")
+    // Partition column FIRST in the declared schema; the snapshot
+    // relation emits it LAST (dataSchema ++ partitionSchema). Both
+    // columns are BIGINT, so a positional relabel would silently swap
+    // values rather than fail — the worst failure mode.
+    val df = spark.range(1, 21).selectExpr("id * 1000 AS bucket", "id AS v")
+    LakeWriter.write(df, src, partitionBy = Seq("bucket"))
+    runAvailableNow(src, dst, tmpDir("ss-part-order-ck"))
+    val out = LakeTable.forPath(spark, dst).toDF
+      .select("bucket", "v").as[(Long, Long)].collect().sorted
+    assert(out === (1L to 20L).map(i => (i * 1000, i)).toArray)
+  }
+
+  test("explicit startingVersion overrides a stale lower checkpoint " +
+      "cursor") {
+    val src = tablePath("ss-startv-src")
+    val dst = tablePath("ss-startv-dst")
+    val ckpt = tmpDir("ss-startv-ck")
+    LakeWriter.write((1L to 10L).toDF("id").coalesce(1), src)     // v0
+    runAvailableNow(src, dst, ckpt)                               // cursor v0
+    LakeWriter.write((11L to 20L).toDF("id").coalesce(1), src)    // v1
+    LakeWriter.write((21L to 30L).toDF("id").coalesce(1), src)    // v2
+    // restart with startingVersion=2: the checkpointed cursor (v0) is
+    // below the requested start — v1 must NOT be resurrected
+    runAvailableNow(src, dst, ckpt, Map("startingVersion" -> "2"))
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === ((1L to 10L) ++ (21L to 30L)).toArray)
+  }
+
   test("readChangeFeed streams row-level changes incrementally") {
     val src = tablePath("ss-cdf-src")
     LakeWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k")
