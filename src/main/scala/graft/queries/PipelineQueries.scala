@@ -117,12 +117,16 @@ object PipelineQueries {
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft_stream_win", sf)
         graft.lake.LakeWriter.deleteRecursively(root)
-        val events = s.readStream
-          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
+        // the stream's declared schema must match the parquet file's
+        // physical types, which the driver regenerates per round (ts
+        // has been TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)) —
+        // derive it from the file and normalize ts type-adaptively
+        val fileSchema = s.read
+          .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+        val events = QueryDef.normalizeTs(s.readStream
+          .schema(fileSchema)
           .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .parquet(dir))
         val windowed = graft.streaming.LakeStreaming
           .windowedEventCounts(events)
         // complete mode: append-mode watermarking would (correctly)
@@ -176,8 +180,7 @@ object PipelineQueries {
           landing.resolve("b.parquet"))
         val outPath = s"$root/out"
         val q = s.readStream
-          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
+          .schema(s.read.parquet(landing.toString).schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(landing.toString)
           .dropDuplicates("event_id")

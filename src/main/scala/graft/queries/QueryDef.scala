@@ -17,16 +17,28 @@ object QueryDef {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with its ns-precision `ts` normalized to a µs TIMESTAMP.
-    * The files store TIMESTAMP(NANOS) which Spark only reads as a LONG
-    * of epoch-nanos (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * [[graft.GraftSession]]); the underlying values are µs-precision, so
-    * `div 1000` loses nothing and matches DuckDB's TIMESTAMP read.
+  /** `events` with `ts` normalized to a session-TZ µs TIMESTAMP,
+    * whatever physical type the driver generated this round:
+    * TIMESTAMP(NANOS) reads as a LONG of epoch-nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * [[graft.GraftSession]]; the values are µs-precision so `div 1000`
+    * loses nothing), TIMESTAMP(MICROS) reads as TIMESTAMP_NTZ and only
+    * needs the NTZ→TZ cast (wall-clock-preserving — the session TZ is
+    * pinned to UTC, matching DuckDB's TIMESTAMP read).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"))
+
+  /** Type-adaptive `ts` normalization shared by the batch and
+    * streaming events readers.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Fresh per-(sf, gate) scratch dir for gates that persist lake
