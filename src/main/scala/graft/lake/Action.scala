@@ -51,6 +51,12 @@ final case class Metadata(
   *                        RemoveFile is needed for the supersession.
   * @param dvCardinality   number of indices in the DV (0 when absent);
   *                        live rows = numRecords - dvCardinality
+  * @param bloomPath       bloom-filter sidecar (table-relative path)
+  *                        holding per-column bloom filters over this
+  *                        file's values ([[BloomIndex]]); None = no
+  *                        index. Pure skipping metadata: a reader
+  *                        that ignores it is correct, just opens
+  *                        files a bloom could have excluded.
   */
 final case class AddFile(
     path: String,
@@ -61,7 +67,8 @@ final case class AddFile(
     maxValues: Map[String, String] = Map.empty,
     nullCounts: Map[String, Long] = Map.empty,
     dvPath: Option[String] = None,
-    dvCardinality: Long = 0L) extends Action
+    dvCardinality: Long = 0L,
+    bloomPath: Option[String] = None) extends Action
 
 /** A data file logically removed (tombstone retained until VACUUM). */
 final case class RemoveFile(

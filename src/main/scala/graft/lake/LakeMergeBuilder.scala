@@ -514,7 +514,8 @@ final class LakeMergeBuilder private[lake] (
             LakeWriter.enforceConstraints(df,
               snap.metadata.constraints, table.tablePath)
           LakeWriter.stageAndAdopt(df, table.tablePath,
-            snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
+            snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
+          snap.metadata.properties)
         case None => Nil
       }
       cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)

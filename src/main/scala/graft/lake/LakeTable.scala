@@ -331,7 +331,8 @@ final class LakeTable private (
     val meta = snap.metadata.copy(schemaDDL = newSchema.toDDL)
     val renamed = toDF.withColumnRenamed(oldName, newName)
     val adds = LakeWriter.stageAndAdopt(renamed, tablePath,
-      snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
+      snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
+          snap.metadata.properties)
     val now = System.currentTimeMillis()
     try {
       LakeWriter.commitWithRetry(log, snap.version,
@@ -475,7 +476,8 @@ final class LakeTable private (
           var adds: Seq[AddFile] = Nil
           try {
             adds = LakeWriter.stageAndAdopt(kept, tablePath,
-              snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
+              snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
+          snap.metadata.properties)
             commitRewrite(snap, touched, adds, "DELETE",
               Map("predicate" -> condition),
               cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil))
@@ -705,7 +707,8 @@ final class LakeTable private (
       var adds: Seq[AddFile] = Nil
       try {
         adds = LakeWriter.stageAndAdopt(updated, tablePath,
-          snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
+          snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
+          snap.metadata.properties)
         val (removes, dvAdds, conflictPaths) = stageDeletionVectors(
           snap, touched, projected.select(col(FILE), col(IDX)),
           dvRelsWritten)
@@ -812,7 +815,8 @@ final class LakeTable private (
       var adds: Seq[AddFile] = Nil
       try {
         adds = LakeWriter.stageAndAdopt(updated, tablePath,
-          snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
+          snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
+          snap.metadata.properties)
         commitRewrite(snap, touched, adds, "UPDATE",
           Map("predicate" -> condition),
           cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil))
@@ -1410,7 +1414,8 @@ final class LakeTable private (
     if (dvFiles.isEmpty) return 0
     val df = readFiles(snap, dvFiles.map(_.path))
     val adds = LakeWriter.stageAndAdopt(df, tablePath,
-      snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
+      snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
+          snap.metadata.properties)
     commitRewrite(snap, dvFiles.map(_.path), adds, "REORG",
       Map("applyPurge" -> "true",
         "numFilesPurged" -> dvFiles.size.toString) ++
@@ -1437,7 +1442,8 @@ final class LakeTable private (
           snap.partitionColumns.map(c => col(quoted(c))): _*)
       else df.repartition(numOut)
     val adds = LakeWriter.stageAndAdopt(repartitioned, tablePath,
-      snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
+      snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
+          snap.metadata.properties)
     commitRewrite(snap, toCompact.map(_.path), adds, "OPTIMIZE",
       Map("numFilesRemoved" -> toCompact.size.toString,
         "numFilesAdded" -> adds.size.toString) ++ extraParams)
@@ -1681,7 +1687,8 @@ final class LakeTable private (
           .sortWithinPartitions(sortCols: _*)
       }
     val adds = LakeWriter.stageAndAdopt(clustered, tablePath,
-      snap.partitionColumns, ColumnMapping.overrides(snap.metadata))
+      snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
+          snap.metadata.properties)
     commitRewrite(snap, scoped.map(_.path), adds, "OPTIMIZE",
       Map("clusterBy" -> clusterBy.mkString(","),
         "zOrder" -> (zOrder && clusterBy.size > 1).toString,

@@ -209,7 +209,8 @@ object LakeWriter {
                 val kept = t.readFiles(snap, touched).filter(
                   !org.apache.spark.sql.functions.coalesce(cond, lit(false)))
                 (touched,
-                  stageAndAdopt(kept, tablePath, partCols, effectiveMapping))
+                  stageAndAdopt(kept, tablePath, partCols, effectiveMapping,
+                    effectiveProps))
               }
           }
         }
@@ -229,7 +230,8 @@ object LakeWriter {
 
     // Stage the physical write, then adopt files into the table dir.
     {
-      val adds = stageAndAdopt(toWrite, tablePath, partCols, effectiveMapping)
+      val adds = stageAndAdopt(toWrite, tablePath, partCols, effectiveMapping,
+        effectiveProps)
 
       // Identity high-water mark advance, read back from the WRITTEN
       // files' footer stats — the staged parquet is the only safe
@@ -374,26 +376,56 @@ object LakeWriter {
     * from the table's log — right for every DML/compaction caller,
     * which writes the current schema; `write()` passes its computed
     * mapping explicitly because a schema-evolving commit assigns
-    * physical names for columns the log does not know yet.
+    * physical names for columns the log does not know yet. Same rule
+    * for `properties` (bloom-index configuration lives there): null
+    * resolves from the log, `write()` threads its effective set.
+    *
+    * Bloom-indexed tables ([[BloomIndex]]) additionally (a) enable
+    * parquet-native bloom filters on the staging write for free
+    * row-group skipping, and (b) run one distributed pass over the
+    * staged files to build the per-file sidecars, attached to the
+    * returned AddFiles.
     */
   private[lake] def stageAndAdopt(
       df: DataFrame, tablePath: String, partCols: Seq[String],
-      physicalFor: Map[String, String] = null): Seq[AddFile] = {
+      physicalFor: Map[String, String] = null,
+      properties: Map[String, String] = null): Seq[AddFile] = {
     val spark = df.sparkSession
-    val mapping = Option(physicalFor).getOrElse {
+    lazy val logSnapshot = {
       val log = new LakeLog(tablePath)
-      if (log.exists) ColumnMapping.overrides(log.snapshot().metadata)
-      else Map.empty[String, String]
+      if (log.exists) Some(log.snapshot()) else None
     }
+    val mapping = Option(physicalFor).getOrElse {
+      logSnapshot.map(s => ColumnMapping.overrides(s.metadata))
+        .getOrElse(Map.empty[String, String])
+    }
+    val props = Option(properties).getOrElse {
+      logSnapshot.map(_.metadata.properties)
+        .getOrElse(Map.empty[String, String])
+    }
+    val bloomPhysCols = BloomIndex.indexedColumns(props)
+      .map(c => ColumnMapping.physicalName(c, mapping))
     val physDf = ColumnMapping.toPhysical(df, mapping)
     val staging = Paths.get(tablePath, s".staging-${UUID.randomUUID()}")
     Files.createDirectories(staging)
     try {
-      val writer = physDf.write.mode("overwrite")
+      val writer = bloomPhysCols.foldLeft(physDf.write.mode("overwrite")) {
+        (w, c) => w
+          .option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c",
+            BloomIndex.numItems(props).toString)
+      }
       // partition columns are identity-mapped by invariant
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(staging.toString)
-      adoptStagedFiles(spark, staging, Paths.get(tablePath))
+      val bloomFor: Map[String, String] =
+        if (bloomPhysCols.isEmpty) Map.empty
+        else BloomIndex.buildSidecars(spark, staging, Paths.get(tablePath),
+          bloomPhysCols, partCols, BloomIndex.numItems(props),
+          BloomIndex.fpp(props))
+      val adds = adoptStagedFiles(spark, staging, Paths.get(tablePath))
+      if (bloomFor.isEmpty) adds
+      else adds.map(a => a.copy(bloomPath = bloomFor.get(a.path)))
     } finally deleteRecursively(staging)
   }
 
@@ -708,7 +740,7 @@ object LakeWriter {
       cdcTask: Option[java.util.concurrent.FutureTask[Seq[CdcFile]]],
       cdcDir: Option[Path]): Unit = {
     cdcTask.foreach(t => try { awaitTask(t); () } catch { case _: Throwable => () })
-    adds.map(_.path).foreach { p =>
+    (adds.map(_.path) ++ adds.flatMap(_.bloomPath)).foreach { p =>
       try { Files.deleteIfExists(Paths.get(tablePath, p)); () }
       catch { case _: java.io.IOException => () }
     }
