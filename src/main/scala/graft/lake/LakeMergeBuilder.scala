@@ -515,7 +515,7 @@ final class LakeMergeBuilder private[lake] (
               snap.metadata.constraints, table.tablePath)
           LakeWriter.stageAndAdopt(df, table.tablePath,
             snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
-          snap.metadata.properties)
+            snap.metadata.properties)
         case None => Nil
       }
       cdc = cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil)

@@ -332,7 +332,7 @@ final class LakeTable private (
     val renamed = toDF.withColumnRenamed(oldName, newName)
     val adds = LakeWriter.stageAndAdopt(renamed, tablePath,
       snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
-          snap.metadata.properties)
+      snap.metadata.properties)
     val now = System.currentTimeMillis()
     try {
       LakeWriter.commitWithRetry(log, snap.version,
@@ -477,7 +477,7 @@ final class LakeTable private (
           try {
             adds = LakeWriter.stageAndAdopt(kept, tablePath,
               snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
-          snap.metadata.properties)
+              snap.metadata.properties)
             commitRewrite(snap, touched, adds, "DELETE",
               Map("predicate" -> condition),
               cdcTask.map(LakeWriter.awaitTask(_)).getOrElse(Nil))
@@ -1239,25 +1239,27 @@ final class LakeTable private (
     }
     val cutoff = System.currentTimeMillis() - (retention * 3600 * 1000).toLong
     val live = snap0.files.map(_.path).toSet ++
-      snap0.files.flatMap(_.dvPath)
+      snap0.files.flatMap(_.dvPath) ++
+      snap0.files.flatMap(_.bloomPath)
     // Tombstones/change-data of commits still inside the retention
     // window stay reachable by time travel / CDF reads — as do
-    // deletion-vector sidecars referenced by in-window commits. A DV
-    // superseded in-window has no tombstone of its own (the re-add IS
-    // its supersession), so the DVs live at the window start are
-    // protected from the snapshot at the last pre-cutoff commit.
+    // deletion-vector and bloom sidecars referenced by in-window
+    // commits. A sidecar superseded in-window has no tombstone of its
+    // own (the re-add IS its supersession), so the sidecars live at
+    // the window start are protected from the snapshot at the last
+    // pre-cutoff commit.
     // one evaluation: commitTimestamps is a sidecar read + O(tail)
     // version reads + a log listing per call
     val stamps = commitTimestamps
     val inWindow = stamps.filter(_._2 > cutoff)
-    val preCutoffDvs: Set[String] = stamps
+    val preCutoffSidecars: Set[String] = stamps
       .filter(_._2 <= cutoff).lastOption.map { case (v, _) =>
         // log cleanup may have dropped the replay prefix below the
         // retention horizon; the oldest REPLAYABLE version is then
-        // the earliest state any reader can reach, so its DVs are
-        // the right protection set
+        // the earliest state any reader can reach, so its sidecars
+        // are the right protection set
         snapshot(math.max(v, log.earliestReplayableVersion))
-          .files.flatMap(_.dvPath).toSet
+          .files.flatMap(f => f.dvPath ++ f.bloomPath).toSet
       }.getOrElse(Set.empty)
     // The sidecar-backed timestamp index still lists versions whose
     // files log retention deleted (short graft.logRetentionHours can
@@ -1271,10 +1273,10 @@ final class LakeTable private (
         try log.readVersion(v).flatMap {
           case r: RemoveFile => Seq(r.path)
           case c: CdcFile => Seq(c.path)
-          case a: AddFile => a.dvPath.toSeq
+          case a: AddFile => a.dvPath.toSeq ++ a.bloomPath.toSeq
           case _ => Nil
         } catch { case _: java.nio.file.NoSuchFileException => Nil }
-      }.toSet ++ preCutoffDvs
+      }.toSet ++ preCutoffSidecars
     val root = Paths.get(tablePath).toAbsolutePath.normalize
     val logRoot = root.resolve(LakeLog.LOG_DIR)
     // Candidate listing. Small tables walk on the driver; above the
@@ -1415,7 +1417,7 @@ final class LakeTable private (
     val df = readFiles(snap, dvFiles.map(_.path))
     val adds = LakeWriter.stageAndAdopt(df, tablePath,
       snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
-          snap.metadata.properties)
+      snap.metadata.properties)
     commitRewrite(snap, dvFiles.map(_.path), adds, "REORG",
       Map("applyPurge" -> "true",
         "numFilesPurged" -> dvFiles.size.toString) ++
@@ -1443,7 +1445,7 @@ final class LakeTable private (
       else df.repartition(numOut)
     val adds = LakeWriter.stageAndAdopt(repartitioned, tablePath,
       snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
-          snap.metadata.properties)
+      snap.metadata.properties)
     commitRewrite(snap, toCompact.map(_.path), adds, "OPTIMIZE",
       Map("numFilesRemoved" -> toCompact.size.toString,
         "numFilesAdded" -> adds.size.toString) ++ extraParams)
@@ -1688,7 +1690,7 @@ final class LakeTable private (
       }
     val adds = LakeWriter.stageAndAdopt(clustered, tablePath,
       snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
-          snap.metadata.properties)
+      snap.metadata.properties)
     commitRewrite(snap, scoped.map(_.path), adds, "OPTIMIZE",
       Map("clusterBy" -> clusterBy.mkString(","),
         "zOrder" -> (zOrder && clusterBy.size > 1).toString,
@@ -1948,6 +1950,8 @@ object LakeTable {
     Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE,
       PROP_APPEND_ONLY, PROP_AUTO_COMPACT, PROP_AUTO_COMPACT_MIN_FILES,
       PROP_ENABLE_DV, ColumnMapping.MODE_PROP,
+      BloomIndex.PROP_COLUMNS, BloomIndex.PROP_FPP,
+      BloomIndex.PROP_NUM_ITEMS,
       LakeLog.COPY_INTO_RETENTION_PROP, LakeLog.LOG_RETENTION_PROP)
       .find(_.equalsIgnoreCase(k)).getOrElse(k)
 
@@ -1981,6 +1985,16 @@ object LakeTable {
           throw new IllegalArgumentException(
             s"$k is maintained by the engine (RENAME/ADD/DROP COLUMN); " +
             s"set ${ColumnMapping.MODE_PROP}=name to enable column mapping")
+        case BloomIndex.PROP_COLUMNS =>
+          require(BloomIndex.indexedColumns(Map(k -> v)).nonEmpty,
+            s"$k must be a non-empty comma-separated column list, got '$v'")
+        case BloomIndex.PROP_FPP =>
+          require(scala.util.Try(v.toDouble).toOption
+              .exists(p => p > 0 && p < 1),
+            s"$k must be a false-positive probability in (0, 1), got '$v'")
+        case BloomIndex.PROP_NUM_ITEMS =>
+          require(scala.util.Try(v.toLong).toOption.exists(_ > 0),
+            s"$k must be a positive expected item count, got '$v'")
         case LakeLog.COPY_INTO_RETENTION_PROP =>
           require(scala.util.Try(v.toDouble).isSuccess,
             s"$k must be a number of hours (negative disables), got '$v'")
@@ -2012,6 +2026,8 @@ object LakeTable {
             s"$PROP_OPTIMIZE_WRITE, $PROP_APPEND_ONLY, " +
             s"$PROP_AUTO_COMPACT, $PROP_AUTO_COMPACT_MIN_FILES, " +
             s"$PROP_ENABLE_DV, $PROP_CLUSTER_BY, " +
+            s"${BloomIndex.PROP_COLUMNS}, ${BloomIndex.PROP_FPP}, " +
+            s"${BloomIndex.PROP_NUM_ITEMS}, " +
             s"${ColumnMapping.MODE_PROP}, " +
             s"${LakeLog.COPY_INTO_RETENTION_PROP}, " +
             s"${LakeLog.LOG_RETENTION_PROP})")

@@ -371,14 +371,15 @@ object LakeWriter {
     * table layout and return their AddFile actions. The files are
     * invisible to readers until a commit references them.
     *
-    * Column-mapped tables ([[ColumnMapping]]) write PHYSICAL names:
-    * `physicalFor` null (the default) resolves the current overrides
-    * from the table's log — right for every DML/compaction caller,
-    * which writes the current schema; `write()` passes its computed
-    * mapping explicitly because a schema-evolving commit assigns
-    * physical names for columns the log does not know yet. Same rule
-    * for `properties` (bloom-index configuration lives there): null
-    * resolves from the log, `write()` threads its effective set.
+    * Column-mapped tables ([[ColumnMapping]]) write PHYSICAL names.
+    * Every caller that holds a read snapshot (DML, compaction,
+    * `write()`) threads that snapshot's mapping and properties
+    * EXPLICITLY, so the staged files agree with the state the commit
+    * will be validated against — re-resolving from the log here could
+    * adopt a concurrent writer's metadata and stage files the commit's
+    * conflict check would then reject. The null defaults re-resolve
+    * from the log and remain only for snapshot-less callers (e.g.
+    * first write to a new table).
     *
     * Bloom-indexed tables ([[BloomIndex]]) additionally (a) enable
     * parquet-native bloom filters on the staging write for free
@@ -403,7 +404,22 @@ object LakeWriter {
       logSnapshot.map(_.metadata.properties)
         .getOrElse(Map.empty[String, String])
     }
-    val bloomPhysCols = BloomIndex.indexedColumns(props)
+    val bloomLogicalCols = BloomIndex.indexedColumns(props)
+    // A configured index that can never be built should fail the
+    // write, not silently not exist: a column unknown to BOTH the
+    // table schema and this frame is a typo. (Known to the table but
+    // absent from this frame — a pre-evolution write — is fine and
+    // skipped per-file by buildSidecars.)
+    if (bloomLogicalCols.nonEmpty) {
+      val known = logSnapshot.map(_.schema.fieldNames.toSet)
+        .getOrElse(Set.empty) ++ df.columns
+      bloomLogicalCols.foreach { c =>
+        require(known.contains(c),
+          s"${BloomIndex.PROP_COLUMNS} names unknown column $c; " +
+          s"table columns: ${known.toSeq.sorted.mkString(", ")}")
+      }
+    }
+    val bloomPhysCols = bloomLogicalCols
       .map(c => ColumnMapping.physicalName(c, mapping))
     val physDf = ColumnMapping.toPhysical(df, mapping)
     val staging = Paths.get(tablePath, s".staging-${UUID.randomUUID()}")
@@ -418,8 +434,12 @@ object LakeWriter {
       // partition columns are identity-mapped by invariant
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(staging.toString)
+      // the empty-staging guard matters: a DML whose kept/updated
+      // frame stages zero part files would otherwise crash the read
+      // inside buildSidecars ("unable to infer schema") on a commit
+      // that is legitimately all-removes
       val bloomFor: Map[String, String] =
-        if (bloomPhysCols.isEmpty) Map.empty
+        if (bloomPhysCols.isEmpty || walkParquet(staging).isEmpty) Map.empty
         else BloomIndex.buildSidecars(spark, staging, Paths.get(tablePath),
           bloomPhysCols, partCols, BloomIndex.numItems(props),
           BloomIndex.fpp(props))

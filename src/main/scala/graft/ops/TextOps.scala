@@ -297,19 +297,68 @@ object TextOps {
     * fingerprints. Detects CONTAMINATION — a copied passage inside an
     * otherwise-different document — which whole-document similarity
     * (Jaccard/MinHash/SimHash) dilutes to invisibility. Inverted-index
-    * join on fingerprints: cost Σk² over fingerprint frequencies,
-    * never all-pairs; shuffles carry only (fingerprint, id) longs.
+    * join on fingerprints; shuffles carry only (fingerprint, id) longs.
+    *
+    * Hot-posting guard (round 10, mirroring [[graft.ops.DedupOps]]'
+    * `ngramJaccardPairs` hot/cold split): the naive self-join is Σk²
+    * over fingerprint frequencies, so ONE boilerplate passage shared
+    * by 10⁵ documents makes a single posting list quadratic. Here
+    * only COLD fingerprints (posting length <= `hotThreshold`)
+    * generate candidate pairs — bounded at `hotThreshold`·postings
+    * join rows — while hot fingerprints ride per-document
+    * (fingerprint -> occurrences) maps and are counted EXACTLY, via a
+    * map intersection, for every pair the cold path surfaced.
+    *
+    * Semantics: a reported pair's `shared_fingerprints` is the exact
+    * full overlap count (occurrence-pair semantics, identical to the
+    * unguarded join), but a pair sharing ONLY hot fingerprints is not
+    * reported. That is deliberate contamination semantics, not an
+    * approximation bound: a fingerprint appearing in more than
+    * `hotThreshold` documents is boilerplate (licenses, headers,
+    * templates) — sharing nothing but boilerplate is exactly what
+    * this detector must NOT flag. On an unskewed corpus the hot
+    * relation is empty, the left joins broadcast nothing, and the
+    * result is bit-identical to the unguarded join.
     */
   def passageOverlapPairs(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+      n: Int = 3, window: Int = 4, minShared: Int = 2,
+      hotThreshold: Int = 4096): DataFrame = {
     val docs = df.select(col(idCol).as("__id"),
       winnowingFingerprints(col(textCol), n, window).as("__fp"))
     val e = docs.select(col("__id"), explode(col("__fp")).as("__f"))
-    e.as("a").join(e.as("b"),
+    // posting length per fingerprint via one shuffle-on-fingerprint
+    // window; the partitioning is reused by the cold self-join below
+    val withK = e.withColumn("__k", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("__f")))
+    val cold = withK.filter(col("__k") <= hotThreshold)
+    val hot = withK.filter(col("__k") > hotThreshold)
+    // per-doc multiset of hot fingerprints (fingerprint -> count):
+    // empty relation on an unskewed corpus
+    val hotMaps = hot.groupBy(col("__id"), col("__f"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(map_from_entries(collect_list(struct(col("__f"), col("__c"))))
+        .as("__hot"))
+    cold.as("a").join(cold.as("b"),
         col("a.__f") === col("b.__f") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("shared_fingerprints"))
+      .agg(count(lit(1)).as("__cold"))
+      .join(hotMaps.select(col("__id").as("id_a"), col("__hot").as("__hot_a")),
+        Seq("id_a"), "left")
+      .join(hotMaps.select(col("__id").as("id_b"), col("__hot").as("__hot_b")),
+        Seq("id_b"), "left")
+      // exact hot-overlap contribution: Σ over shared hot fingerprints
+      // of count_a * count_b — the same occurrence-pair arithmetic the
+      // join performs for cold fingerprints
+      .withColumn("shared_fingerprints",
+        col("__cold") +
+          when(col("__hot_a").isNull || col("__hot_b").isNull, lit(0L))
+            .otherwise(aggregate(map_entries(col("__hot_a")), lit(0L),
+              (acc, kv) => acc + kv.getField("value") *
+                coalesce(element_at(col("__hot_b"), kv.getField("key")),
+                  lit(0L)))))
       .filter(col("shared_fingerprints") >= minShared)
+      .select(col("id_a"), col("id_b"), col("shared_fingerprints"))
   }
 }

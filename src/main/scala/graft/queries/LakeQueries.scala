@@ -240,6 +240,51 @@ object LakeQueries {
         "FROM lineitem WHERE l_returnflag = 'A'"))
       ,
 
+    // Bloom-index point lookup (round 10): orders hash-scattered over
+    // 16 files so every file spans the full key range and min/max
+    // stats prune NOTHING — the shape where only the per-file bloom
+    // sidecars ([[graft.lake.BloomIndex]]) can skip. The gate asserts
+    // the skip actually happened (files read < files total, via the
+    // executor-side skip counter) and the oracle hash-checks the
+    // surviving rows. Needle keys are the 137th/911th smallest
+    // o_orderkey — INTERIOR values on purpose: the extremes would be
+    // pruned by plain min/max stats before the bloom is ever
+    // consulted (measured: min/max alone prunes 14/16 files for the
+    // min key and the bloom sees nothing).
+    QueryDef("lake_point_lookup",
+      (s, dir) => {
+        val path = scratch("lake_point_lookup", dir)
+        val o = table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        LakeWriter.write(o.repartition(16, col("o_custkey")), path,
+          properties = Map(
+            graft.lake.BloomIndex.PROP_COLUMNS -> "o_orderkey",
+            graft.lake.BloomIndex.PROP_NUM_ITEMS -> "20000"))
+        val sorted = o.select("o_orderkey").orderBy("o_orderkey")
+          .limit(912).collect()
+        val needles = Seq(sorted(137), sorted(911)).map(_.getLong(0))
+        val t = LakeTable.forPath(s, path)
+        val before = graft.lake.BloomIndex.skippedFiles.get()
+        val result = t.toDF
+          .filter(col("o_orderkey").isin(needles: _*))
+          .collect() // force the scan so the skip counter moves
+        val skipped = graft.lake.BloomIndex.skippedFiles.get() - before
+        // 2 needles over 16 full-range files: >= 8 must be excluded
+        // by their sidecars even with false positives
+        require(skipped >= 8,
+          s"bloom index skipped only $skipped of 16 files — the " +
+          "point-lookup read the table instead of pruning it")
+        s.createDataFrame(
+          java.util.Arrays.asList(result: _*),
+          t.toDF.schema)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey IN (
+             |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey
+             |   LIMIT 1 OFFSET 137),
+             |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey
+             |   LIMIT 1 OFFSET 911))""".stripMargin)),
+
     // Change-data-feed read (round 2): v0 append, v1 append, v2 DELETE.
     // The change stream is fully derivable from `customer` in SQL:
     // every row inserts once (in its half's version), and the deleted

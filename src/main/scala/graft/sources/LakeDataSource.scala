@@ -177,8 +177,23 @@ final class LakeDataSource extends RelationProvider
     // version uses that version's own logical→physical table)
     val mapping = graft.lake.ColumnMapping.overrides(snap.metadata)
       .filter { case (l, p) => l != p }
+    // Bloom-indexed snapshots read through the skipping format: the
+    // driver contributes only the (file → sidecar) path map; sidecar
+    // CONTENTS are read and cached on executors
+    // ([[BloomParquetFileFormat]]). Bloom-free snapshots (the common
+    // case) keep the stock format and pay nothing.
+    val bloomFiles = snap.files.filter(_.bloomPath.isDefined)
     val format =
-      if (mapping.isEmpty) new ParquetFileFormat
+      if (bloomFiles.nonEmpty) {
+        val tablePath = snap.log.tablePath
+        val bloomFor = bloomFiles.map { f =>
+          (LakeLog.resolveFile(tablePath, f.path).toString,
+            LakeLog.resolveFile(tablePath, f.bloomPath.get).toString)
+        }
+        new BloomParquetFileFormat(
+          mapping, graft.lake.PathMapPayload.payload(spark, bloomFor))
+      }
+      else if (mapping.isEmpty) new ParquetFileFormat
       else new MappedParquetFileFormat(mapping)
     HadoopFsRelation(
       location = index,

@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.StructType
   * dropped from the pushdown list only — Spark always re-evaluates
   * data filters above a file scan, so dropping is correctness-neutral.
   */
-final class MappedParquetFileFormat(
+class MappedParquetFileFormat(
     val physicalFor: Map[String, String]) extends ParquetFileFormat {
 
   private def phys(name: String): String =
@@ -33,7 +33,7 @@ final class MappedParquetFileFormat(
   private def physSchema(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(name = phys(f.name))))
 
-  private def translate(f: Filter): Option[Filter] = f match {
+  protected final def translate(f: Filter): Option[Filter] = f match {
     case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
     case sources.EqualNullSafe(a, v) =>
       Some(sources.EqualNullSafe(phys(a), v))
@@ -80,9 +80,12 @@ final class MappedParquetFileFormat(
       options,
       hadoopConf)
 
-  // distinct mappings must never compare equal (plan/scan reuse)
+  // distinct mappings must never compare equal (plan/scan reuse);
+  // the class check keeps a bloom-skipping subclass instance from
+  // comparing equal to a plain mapped format with the same mapping
   override def equals(other: Any): Boolean = other match {
-    case m: MappedParquetFileFormat => m.physicalFor == physicalFor
+    case m: MappedParquetFileFormat =>
+      m.getClass == getClass && m.physicalFor == physicalFor
     case _ => false
   }
   override def hashCode(): Int = physicalFor.hashCode()

@@ -1,0 +1,201 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter index ([[BloomIndex]]): per-file sidecars built at
+  * write time, whole-file skipping applied executor-side at scan time
+  * ([[graft.sources.BloomParquetFileFormat]]). The skip must be a
+  * pure optimization — every test asserts result equality against an
+  * unindexed read first, then the skip count.
+  */
+class LakeBloomSuite extends SparkSuite {
+  import spark.implicits._
+
+  private val BLOOM_PROPS = Map(
+    BloomIndex.PROP_COLUMNS -> "id",
+    // small per-file cardinality: size the filters to the test data
+    BloomIndex.PROP_NUM_ITEMS -> "10000")
+
+  /** Rows 0..n-1 hash-scattered over `files` files, so every file
+    * spans the full id range and min/max stats can prune NOTHING —
+    * exactly the shape where only a bloom can skip.
+    */
+  private def writeScattered(path: String, n: Int, files: Int): Unit =
+    LakeWriter.write(
+      spark.range(n.toLong).select(col("id"),
+        concat(lit("payload-"), col("id")).as("s"))
+        .repartition(files, col("id")),
+      path, properties = BLOOM_PROPS)
+
+  private def skipsDuring[A](body: => A): (A, Long) = {
+    val before = BloomIndex.skippedFiles.get()
+    val result = body
+    (result, BloomIndex.skippedFiles.get() - before)
+  }
+
+  test("writes attach bloom sidecars; point lookup skips files") {
+    val path = tablePath("bloom-basic")
+    writeScattered(path, 5000, 8)
+    val snap = new LakeLog(path).snapshot()
+    assert(snap.files.size === 8)
+    assert(snap.files.forall(_.bloomPath.isDefined),
+      "every AddFile should carry a bloom sidecar")
+    snap.files.flatMap(_.bloomPath).foreach { rel =>
+      assert(rel.startsWith(BloomIndex.DIR + "/"))
+      assert(Files.exists(Paths.get(path, rel)), s"sidecar missing: $rel")
+    }
+
+    val t = LakeTable.forPath(spark, path)
+    val (rows, skipped) =
+      skipsDuring(t.toDF.filter(col("id") === 4321L).collect())
+    assert(rows.map(_.getLong(0)).toSeq === Seq(4321L))
+    // one file holds the needle; of the other 7 each skips unless a
+    // ~1% false positive keeps it — require most of them gone
+    assert(skipped >= 5, s"expected >=5 of 7 prunable files skipped, " +
+      s"got $skipped")
+
+    // IN-list: only files containing NEITHER value may be skipped
+    val (inRows, inSkipped) = skipsDuring(
+      t.toDF.filter(col("id").isin(7L, 4999L)).as[(Long, String)]
+        .collect().sortBy(_._1))
+    assert(inRows.map(_._1).toSeq === Seq(7L, 4999L))
+    assert(inSkipped >= 1)
+  }
+
+  test("filters on unindexed columns and non-equality shapes skip nothing") {
+    val path = tablePath("bloom-shapes")
+    writeScattered(path, 2000, 4)
+    val t = LakeTable.forPath(spark, path)
+    val (n1, s1) = skipsDuring(
+      t.toDF.filter(col("s") === "payload-7").count())
+    assert(n1 === 1L && s1 === 0L)
+    val (n2, s2) = skipsDuring(t.toDF.filter(col("id") > 1990L).count())
+    assert(n2 === 9L && s2 === 0L)
+    // disjunction across columns cannot use the conjunct rule
+    val (n3, s3) = skipsDuring(t.toDF
+      .filter(col("id") === 5L || col("s") === "payload-9").count())
+    assert(n3 === 2L && s3 === 0L)
+  }
+
+  test("skipping stays correct under DV deletes (conservative bloom)") {
+    val path = tablePath("bloom-dv")
+    LakeWriter.write(
+      spark.range(3000L).select(col("id"),
+        concat(lit("p"), col("id")).as("s")).repartition(6, col("id")),
+      path, properties = BLOOM_PROPS + (LakeTable.PROP_ENABLE_DV -> "true"))
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id = 1234")
+    val snap = new LakeLog(path).snapshot()
+    // the DV re-add keeps the file's sidecar: deletion never adds values
+    assert(snap.files.exists(f => f.dvPath.isDefined && f.bloomPath.isDefined))
+
+    // deleted needle: the bloom still CONTAINS 1234 (conservative), so
+    // its file is opened and the DV filter drops the row
+    assert(t.toDF.filter(col("id") === 1234L).count() === 0L)
+    // a surviving neighbor still reads back, with skipping active
+    val (rows, skipped) =
+      skipsDuring(t.toDF.filter(col("id") === 1233L).collect())
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1233L))
+    assert(skipped >= 3)
+  }
+
+  test("rewrites rebuild sidecars; vacuum keeps live ones, sweeps dead") {
+    val path = tablePath("bloom-vacuum")
+    writeScattered(path, 2000, 4)
+    val sidecarsV0 = new LakeLog(path).snapshot()
+      .files.flatMap(_.bloomPath).toSet
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id < 500") // CoW rewrite: new files, new sidecars
+    val snap1 = new LakeLog(path).snapshot()
+    val sidecarsV1 = snap1.files.flatMap(_.bloomPath).toSet
+    assert(snap1.files.forall(_.bloomPath.isDefined))
+    assert((sidecarsV1 -- sidecarsV0).nonEmpty,
+      "rewritten files must carry fresh sidecars")
+
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try {
+      t.vacuum(retentionHours = 0.0)
+      // live sidecars survive (the ADVICE finding: vacuum's live set
+      // must include bloomPath); superseded v0 sidecars are swept
+      sidecarsV1.foreach(rel =>
+        assert(Files.exists(Paths.get(path, rel)),
+          s"vacuum deleted a LIVE bloom sidecar: $rel"))
+      (sidecarsV0 -- sidecarsV1).foreach(rel =>
+        assert(!Files.exists(Paths.get(path, rel)),
+          s"vacuum kept a dead bloom sidecar: $rel"))
+    } finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+
+    // post-vacuum reads still skip and still answer correctly
+    val (rows, skipped) =
+      skipsDuring(t.toDF.filter(col("id") === 1500L).collect())
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1500L))
+    assert(skipped >= 1)
+  }
+
+  test("column mapping: lookups skip through a rename") {
+    val path = tablePath("bloom-mapped")
+    LakeWriter.write(
+      spark.range(2000L).select(col("id"),
+        concat(lit("p"), col("id")).as("s")).repartition(4, col("id")),
+      path, properties = BLOOM_PROPS +
+        (ColumnMapping.MODE_PROP -> "name"))
+    val t = LakeTable.forPath(spark, path)
+    t.renameColumn("id", "doc_id")
+    // the index follows the LOGICAL name config; the sidecars store
+    // physical names and the scan translates before matching
+    val t2 = LakeTable.forPath(spark, path)
+    val (rows, skipped) =
+      skipsDuring(t2.toDF.filter(col("doc_id") === 42L).collect())
+    assert(rows.map(_.getLong(0)).toSeq === Seq(42L))
+    assert(skipped >= 2)
+  }
+
+  test("all-removes DML on a bloom table commits (empty staging guard)") {
+    val path = tablePath("bloom-empty")
+    writeScattered(path, 100, 2)
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id >= 0") // kept frame is empty: zero staged part files
+    assert(t.toDF.count() === 0L)
+  }
+
+  test("unknown configured column fails the write loudly") {
+    val path = tablePath("bloom-typo")
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.write(Seq((1L, "a")).toDF("id", "s"), path,
+        properties = Map(BloomIndex.PROP_COLUMNS -> "id_typo"))
+    }
+    assert(e.getMessage.contains("id_typo"))
+  }
+
+  test("property validation accepts bloom knobs, rejects bad values") {
+    val path = tablePath("bloom-props")
+    writeScattered(path, 10, 1)
+    val t = LakeTable.forPath(spark, path)
+    intercept[IllegalArgumentException] {
+      t.setTblProperties(Map(BloomIndex.PROP_FPP -> "1.5"))
+    }
+    intercept[IllegalArgumentException] {
+      t.setTblProperties(Map(BloomIndex.PROP_NUM_ITEMS -> "-3"))
+    }
+    t.setTblProperties(Map(BloomIndex.PROP_FPP -> "0.05"))
+    assert(new LakeLog(path).snapshot().metadata
+      .properties(BloomIndex.PROP_FPP) === "0.05")
+  }
+
+  test("large file-count maps ride the broadcast payload path") {
+    val prev = PathMapPayload.BROADCAST_MIN_ENTRIES
+    PathMapPayload.BROADCAST_MIN_ENTRIES = 2 // force broadcast
+    try {
+      val path = tablePath("bloom-broadcast")
+      writeScattered(path, 1000, 5)
+      val t = LakeTable.forPath(spark, path)
+      val (rows, skipped) =
+        skipsDuring(t.toDF.filter(col("id") === 77L).collect())
+      assert(rows.map(_.getLong(0)).toSeq === Seq(77L))
+      assert(skipped >= 2)
+    } finally PathMapPayload.BROADCAST_MIN_ENTRIES = prev
+  }
+}

@@ -332,8 +332,8 @@ class LakeDeletionVectorSuite extends SparkSuite {
     // VERDICT r8 item 5: above the entry threshold the file→DV map is
     // a Spark broadcast — the plan carries only a serialized handle —
     // with identical read results and the same join-free plan shape.
-    val prev = DvRowDeleted.BROADCAST_MIN_ENTRIES
-    DvRowDeleted.BROADCAST_MIN_ENTRIES = 1 // force the broadcast path
+    val prev = PathMapPayload.BROADCAST_MIN_ENTRIES
+    PathMapPayload.BROADCAST_MIN_ENTRIES = 1 // force the broadcast path
     try {
       val path = dvTable("dv-bcast")
       val t = LakeTable.forPath(spark, path)
@@ -360,19 +360,19 @@ class LakeDeletionVectorSuite extends SparkSuite {
         assert(bytes.length < 1024,
           s"dv payload literal is ${bytes.length} B — not a handle")
       }
-    } finally DvRowDeleted.BROADCAST_MIN_ENTRIES = prev
+    } finally PathMapPayload.BROADCAST_MIN_ENTRIES = prev
   }
 
   test("a 1k-entry DV map payload stays bounded via the broadcast") {
-    val prev = DvRowDeleted.BROADCAST_MIN_ENTRIES
-    DvRowDeleted.BROADCAST_MIN_ENTRIES = 4096
+    val prev = PathMapPayload.BROADCAST_MIN_ENTRIES
+    PathMapPayload.BROADCAST_MIN_ENTRIES = 4096
     try {
       val big = (1 to 1000).map(i =>
         (s"/tmp/fake/part-$i.parquet", s"/tmp/fake/dv-$i.bin"))
       // below threshold: inline payload carries the whole map
       val inline = DvRowDeleted.payload(spark, big)
       assert(inline.length > 50000)
-      DvRowDeleted.BROADCAST_MIN_ENTRIES = 100
+      PathMapPayload.BROADCAST_MIN_ENTRIES = 100
       val handle = DvRowDeleted.payload(spark, big)
       assert(handle.length < 1024,
         s"broadcast payload is ${handle.length} B")
@@ -381,7 +381,7 @@ class LakeDeletionVectorSuite extends SparkSuite {
       assert(DvRowDeleted.decodePayload(handle) ===
         DvRowDeleted.decodePayload(inline))
       assert(DvRowDeleted.payload(spark, big) === handle)
-    } finally DvRowDeleted.BROADCAST_MIN_ENTRIES = prev
+    } finally PathMapPayload.BROADCAST_MIN_ENTRIES = prev
   }
 
   test("copy-on-write stays the default without the property") {

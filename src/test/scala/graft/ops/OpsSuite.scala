@@ -223,6 +223,51 @@ class OpsSuite extends SparkSuite {
     assert(sp === 1L)
   }
 
+  test("passage overlap: hot-posting guard is exact on skewed fixtures") {
+    // 30 docs all carry the SAME boilerplate passage (hot under a low
+    // threshold) plus unique filler; two pairs additionally share a
+    // rare passage. The guard must (a) keep reporting the rare-passage
+    // pairs with the EXACT full shared count — including the hot
+    // fingerprints' contribution — and (b) drop boilerplate-only
+    // pairs by documented contamination semantics.
+    val boiler = "standard license header text applies to this file body"
+    val rareA = "quick brown foxes jump over seven lazy sleeping dogs"
+    val rareB = "nine green bottles stand quietly upon the old wall"
+    val docs = (0L until 30L).map { i =>
+      val rare =
+        if (i == 3 || i == 7) rareA
+        else if (i == 11 || i == 19) rareB
+        else s"filler_${i}_a filler_${i}_b filler_${i}_c filler_${i}_d " +
+          s"filler_${i}_e filler_${i}_f filler_${i}_g filler_${i}_h"
+      (i, s"$boiler $rare")
+    }.toDF("doc_id", "text")
+
+    def run(threshold: Int): Map[(Long, Long), Long] =
+      TextOps.passageOverlapPairs(docs, "text", "doc_id",
+        n = 3, window = 4, minShared = 1, hotThreshold = threshold)
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+
+    val unguarded = run(Int.MaxValue) // nothing hot: the naive join
+    val guarded = run(4)              // boilerplate fingerprints hot
+
+    // rare-passage pairs survive with identical exact counts
+    for (pair <- Seq((3L, 7L), (11L, 19L))) {
+      assert(guarded.contains(pair), s"guard lost rare pair $pair")
+      assert(guarded(pair) === unguarded(pair),
+        s"guard changed the shared count for $pair")
+    }
+    // every guarded pair's count matches the unguarded ground truth
+    guarded.foreach { case (pair, n) =>
+      assert(unguarded(pair) === n, s"count mismatch for $pair")
+    }
+    // boilerplate-only pairs (e.g. two filler docs) are dropped
+    assert(!guarded.contains((0L, 1L)),
+      "guard must drop pairs sharing only boilerplate fingerprints")
+    assert(unguarded.contains((0L, 1L)),
+      "fixture broken: boilerplate must overlap in the naive join")
+  }
+
   test("hashed shingles native expr matches composable set semantics") {
     val df = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y"), (4L, "a b c x y")
