@@ -355,9 +355,24 @@ final class LakeLog(val tablePath: String) {
       val it = actionIterator
       var part = 1
       while (it.hasNext) {
-        store.atomicReplace(
-          checkpointPartFile(version, part, numParts),
-          it.take(partMax).map(Action.toJson).toSeq)
+        if (CHECKPOINT_PARQUET_PARTS) {
+          // columnar parts (round 10): typed+compressed decode beats
+          // generic JSON parsing at 10⁶⁺ actions; staged as a tmp
+          // sibling so the name-pattern completeness check can never
+          // observe a torn part, then published through the store
+          val target = checkpointPartFile(version, part, numParts,
+            ext = "parquet")
+          // `.rep-*.tmp` so a crash orphan falls under the store's
+          // existing staging sweep (cleanupStaging)
+          val tmp = target.resolveSibling(
+            s".rep-${java.util.UUID.randomUUID()}.tmp")
+          CheckpointParquet.write(tmp, it.take(partMax))
+          store.atomicReplaceFile(tmp, target)
+        } else {
+          store.atomicReplace(
+            checkpointPartFile(version, part, numParts),
+            it.take(partMax).map(Action.toJson).toSeq)
+        }
         part += 1
       }
     }
@@ -368,8 +383,9 @@ final class LakeLog(val tablePath: String) {
   }
 
   private def checkpointPartFile(
-      version: Long, part: Int, numParts: Int): Path =
-    logDir.resolve(f"$version%020d.checkpoint.$part%04d.$numParts%04d.json")
+      version: Long, part: Int, numParts: Int,
+      ext: String = "json"): Path =
+    logDir.resolve(f"$version%020d.checkpoint.$part%04d.$numParts%04d.$ext")
 
   /** Versions in `names` with a COMPLETE checkpoint: the single-file
     * form, or a multi-part set whose distinct part count equals the
@@ -380,11 +396,17 @@ final class LakeLog(val tablePath: String) {
       .map(_.stripSuffix(".checkpoint.json").toLong)
     val multi = names.filter(CHECKPOINT_PART_FILE_RE.matches)
       .map { n =>
-        val Array(v, _, part, numParts, _) = n.split("\\.")
-        (v.toLong, numParts.toInt, part.toInt)
+        val Array(v, _, part, numParts, ext) = n.split("\\.")
+        (v.toLong, numParts.toInt, ext, part.toInt)
       }
-      .groupBy(p => (p._1, p._2))
-      .collect { case ((v, np), ps) if ps.map(_._3).distinct.size == np => v }
+      // completeness is judged per (version, declared total, FORMAT):
+      // a JSON set and a parquet set at the same version (two
+      // checkpointers on different engine builds) must each stand
+      // alone — counting their parts together could bless neither
+      .groupBy(p => (p._1, p._2, p._3))
+      .collect {
+        case ((v, np, _), ps) if ps.map(_._4).distinct.size == np => v
+      }
     (singles ++ multi).distinct
   }
 
@@ -472,16 +494,21 @@ final class LakeLog(val tablePath: String) {
           if (store.exists(single)) Seq(single)
           else {
             // two checkpointers at v can leave complete sets with
-            // DIFFERENT part counts (ledger expiry is time-dependent);
-            // pin ONE complete set — never concatenate across sets
+            // DIFFERENT part counts (ledger expiry is time-dependent)
+            // or different FORMATS (mixed engine builds); pin ONE
+            // complete set — never concatenate across sets
             val byCount = names.filter(n =>
               CHECKPOINT_PART_FILE_RE.matches(n) &&
                 n.split("\\.")(0).toLong == v)
-              .groupBy(_.split("\\.")(3).toInt)
+              .groupBy { n =>
+                val parts = n.split("\\.")
+                (parts(3).toInt, parts(4))
+              }
             byCount.collect {
-              case (count, ps) if ps.distinct.size == count => count
+              case ((count, ext), ps) if ps.distinct.size == count =>
+                (count, ext)
             }.maxOption match {
-              case Some(np) => byCount(np).sorted.map(logDir.resolve)
+              case Some(key) => byCount(key).sorted.map(logDir.resolve)
               case None => Nil // vanished under us
             }
           }
@@ -489,9 +516,14 @@ final class LakeLog(val tablePath: String) {
       }.collectFirst { case (v, files) if files.nonEmpty => (v, files) }
   }
 
-  /** Parsed actions of one checkpoint part file. */
+  /** Parsed actions of one checkpoint part file — columnar or JSON,
+    * by extension (older logs and single-file checkpoints are JSON;
+    * multi-part checkpoints write parquet since round 10).
+    */
   def readCheckpointPart(p: Path): Seq[Action] =
-    store.readLines(p).iterator
+    if (p.getFileName.toString.endsWith(".parquet"))
+      CheckpointParquet.read(p)
+    else store.readLines(p).iterator
       .map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toSeq
 
   /** Latest COMPLETE checkpoint at or below `version`, if any:
@@ -600,10 +632,16 @@ object LakeLog {
     */
   private[lake] var CHECKPOINT_PART_MAX_ACTIONS: Int = 100000
 
+  /** Multi-part checkpoints write parquet parts (round 10). var only
+    * so the suite can pin the JSON-part writer for format-equivalence
+    * tests; the READER always accepts both.
+    */
+  private[lake] var CHECKPOINT_PARQUET_PARTS: Boolean = true
+
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
   private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r
   private val CHECKPOINT_PART_FILE_RE =
-    "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.json".r
+    "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.(json|parquet)".r
   private val HISTORY_FILE_RE = "\\d{20}\\.history\\.json".r
 
   def versionOf(p: Path): Long =

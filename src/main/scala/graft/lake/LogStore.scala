@@ -61,6 +61,20 @@ trait LogStore {
     try Some((Files.size(p), Files.getLastModifiedTime(p).toMillis))
     catch { case _: java.io.IOException => None }
 
+  /** Atomically publish an already-staged LOCAL binary file as
+    * `target`, replacing previous content — the binary twin of
+    * [[atomicReplace]] for files too large or non-line-oriented to
+    * buffer as strings (parquet checkpoint parts). Same contract:
+    * last writer wins, readers never observe a torn file. An object
+    * store implements this as a single-object upload (PUT is atomic
+    * on S3/GCS/ABFS); the local default moves atomically.
+    */
+  def atomicReplaceFile(staged: Path, target: Path): Unit = {
+    Files.createDirectories(target.getParent)
+    Files.move(staged, target,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Sweep this store's own staging debris in `dir` older than
     * `horizonMs` — a writer crashed between staging and publish
     * orphans its tmp file forever otherwise. Stores that stage

@@ -57,14 +57,14 @@ class LakeCheckpointSuite extends SparkSuite {
       val names = LogStore.current.listDir(log.logDir)
         .map(_.getFileName.toString)
       val partNames = names.filter(_.matches(
-        "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.json"))
+        "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.parquet"))
       assert(partNames.nonEmpty, s"no multi-part checkpoint in $names")
       assert(!names.exists(_.matches("\\d{20}\\.checkpoint\\.json")),
         "above the part budget the single-file form must not be written")
       // every part respects the size bound
       partNames.foreach { n =>
-        val lines = LogStore.current.readLines(log.logDir.resolve(n))
-        assert(lines.size <= 5, s"$n has ${lines.size} actions > partMax")
+        val actions = log.readCheckpointPart(log.logDir.resolve(n))
+        assert(actions.size <= 5, s"$n has ${actions.size} actions > partMax")
       }
       assert(log.latestCheckpointAtOrBefore(14L).map(_._1).contains(10L))
       // replay-through-checkpoint == ground truth, at the boundary,
@@ -96,7 +96,7 @@ class LakeCheckpointSuite extends SparkSuite {
       }
       val parts = LogStore.current.listDir(log.logDir).filter(
         _.getFileName.toString.matches(
-          "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.json"))
+          "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.parquet"))
       assert(parts.size >= 2)
       // simulate the crash: one part of the set never landed
       LogStore.current.delete(parts.sortBy(_.toString).head)
@@ -125,14 +125,81 @@ class LakeCheckpointSuite extends SparkSuite {
       val names = LogStore.current.listDir(log.logDir)
         .map(_.getFileName.toString)
       val partNames = names.filter(_.matches(
-        "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.json")).sorted
+        "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.parquet")).sorted
       // 2 + 100009 actions at 30k/part = 4 parts
       assert(partNames.size === 4, s"parts: $partNames")
-      assert(partNames.forall(_.endsWith(".0004.json")))
+      assert(partNames.forall(_.endsWith(".0004.parquet")))
       Snapshot.clearCacheForTest()
       val snap = log.snapshot(10L)
       assert(snap.files.size === 100009)
       assert(snap.version === 10L)
+    }
+  }
+
+  test("parquet part round-trip preserves every action field") {
+    val actions: Seq[Action] = Seq(
+      Protocol(3, 3, Seq("deletionVectors", "columnMapping"),
+        Seq("deletionVectors", "columnMapping", "identityColumns")),
+      Metadata("id BIGINT, s STRING, p STRING", Seq("p"), 1234L,
+        Map("positive_id" -> "id >= 0"),
+        Map("graft.enableDeletionVectors" -> "true",
+          "graft.columnMapping.mode" -> "name")),
+      Txn("stream-a", 41L),
+      Txn("copyinto:file:///x.csv", 7L),
+      AddFile("p=1/part-0001.parquet", Map("p" -> "1"), 4096L, 100L,
+        Map("id" -> "0", "s" -> "aaa"), Map("id" -> "99", "s" -> "zzz"),
+        Map("id" -> 0L, "s" -> 3L),
+        dvPath = Some("_dv/abc.dv"), dvCardinality = 5L,
+        bloomPath = Some("_bloom/def.bloom")),
+      AddFile("p=__HIVE_DEFAULT_PARTITION__/part-0002.parquet",
+        Map("p" -> "__HIVE_DEFAULT_PARTITION__"), 1L, -1L,
+        Map.empty, Map.empty, Map.empty))
+    val f = java.nio.file.Paths.get(tmpDir("ckpt-rt"), "rt.parquet")
+    CheckpointParquet.write(f, actions.iterator)
+    assert(CheckpointParquet.read(f) === actions)
+  }
+
+  test("parquet and JSON part formats replay to identical state") {
+    withPartMax(4) {
+      def build(path: String, parquet: Boolean): Snapshot = {
+        val prev = LakeLog.CHECKPOINT_PARQUET_PARTS
+        LakeLog.CHECKPOINT_PARQUET_PARTS = parquet
+        try {
+          val log = new LakeLog(path)
+          log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty),
+            Metadata("id BIGINT, s STRING", Nil, 99L,
+              Map("c1" -> "id >= 0"), Map("k" -> "v")),
+            Protocol(3, 3, Seq("deletionVectors"), Seq("deletionVectors"))))
+          (1L to 12L).foreach { v =>
+            log.commit(v, Seq(
+              CommitInfo(v, "APPEND", Map.empty),
+              AddFile(s"f$v.parquet", Map.empty, v * 10, v,
+                Map("id" -> s"$v"), Map("id" -> s"${v * 2}"),
+                Map("id" -> 0L),
+                dvPath = if (v % 3 == 0) Some(s"_dv/$v.dv") else None,
+                dvCardinality = if (v % 3 == 0) 1L else 0L,
+                bloomPath = if (v % 2 == 0) Some(s"_bloom/$v.bloom")
+                  else None),
+              Txn(s"app$v", v)))
+          }
+          Snapshot.clearCacheForTest()
+          log.snapshot(12L)
+        } finally LakeLog.CHECKPOINT_PARQUET_PARTS = prev
+      }
+      val pq = build(tablePath("ckpt-eq-pq"), parquet = true)
+      val js = build(tablePath("ckpt-eq-js"), parquet = false)
+      // both replays crossed their v10 checkpoint in their format
+      assert(pq.files.sortBy(_.path) === js.files.sortBy(_.path))
+      assert(pq.metadata === js.metadata)
+      assert(pq.protocol === js.protocol)
+      assert(pq.transactions === js.transactions)
+      // and the formats actually differ on disk as configured
+      def partExts(p: Snapshot): Set[String] = LogStore.current
+        .listDir(p.log.logDir).map(_.getFileName.toString)
+        .filter(_.contains(".checkpoint.0"))
+        .map(_.split("\\.").last).toSet
+      assert(partExts(pq) === Set("parquet"))
+      assert(partExts(js) === Set("json"))
     }
   }
 
@@ -511,7 +578,7 @@ class LakeCheckpointSuite extends SparkSuite {
       }
       val partVersions = LogStore.current.listDir(log.logDir)
         .map(_.getFileName.toString)
-        .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.json"))
+        .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.parquet"))
         .map(_.split("\\.")(0).toLong).distinct.sorted
       assert(partVersions === Seq(30L, 40L, 50L))
     }
