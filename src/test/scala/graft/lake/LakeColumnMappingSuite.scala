@@ -363,4 +363,90 @@ class LakeColumnMappingSuite extends SparkSuite {
     assert(LakeTable.forPath(spark, path).toDF
       .filter($"k" === 999L).select("id").as[String].head() === "k999")
   }
+
+  test("instrumented race: MERGE loses loudly to a concurrent RENAME; " +
+      "CDC names stay correct") {
+    // ADVICE r8's medium scenario, driven end-to-end: a MERGE stages
+    // its rewrite under the read snapshot's mapping epoch; a mapped
+    // RENAME COLUMN lands between the merge's read and its publish.
+    // The instrumented store fires the rename exactly at the merge's
+    // first commit PUT — the merge MUST abort on the metadata-change
+    // rule (silently committing would publish files whose physical
+    // columns belong to the old epoch), and a rerun under the new
+    // names must produce CDC with the NEW logical column names.
+    val path = mappedTable("cmrace")
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(LakeTable.PROP_ENABLE_CDF -> "true"))
+    val logDir = java.nio.file.Paths
+      .get(path, LakeLog.LOG_DIR).toAbsolutePath
+    val prev = LogStore.current
+    @volatile var armed = true
+    val hook = new LogStore {
+      private def maybeFire(target: java.nio.file.Path): Unit = {
+        val name = target.getFileName.toString
+        if (armed && target.toAbsolutePath.startsWith(logDir) &&
+            name.endsWith(".json") && !name.contains("checkpoint")) {
+          armed = false // the rename's own commits delegate plainly
+          LakeTable.forPath(spark, path).renameColumn("k", "label")
+        }
+      }
+      override def putIfAbsent(t: java.nio.file.Path,
+          lines: Seq[String]): Unit = {
+        maybeFire(t); prev.putIfAbsent(t, lines)
+      }
+      override def atomicReplace(t: java.nio.file.Path,
+          lines: Seq[String]): Unit = prev.atomicReplace(t, lines)
+      override def listDir(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+        prev.listDir(d)
+      override def readLines(p: java.nio.file.Path): Seq[String] =
+        prev.readLines(p)
+      override def exists(p: java.nio.file.Path): Boolean = prev.exists(p)
+      override def delete(p: java.nio.file.Path): Boolean = prev.delete(p)
+    }
+    val src = Seq((3L, "updated3"), (101L, "new101"))
+      .toDF("id", "newk")
+    LogStore.current = hook
+    val ex =
+      try intercept[ConflictingCommitException] {
+        LakeTable.forPath(spark, path).as("t")
+          .merge(src.as("s"), "t.id = s.id")
+          .whenMatchedUpdate(Map("k" -> "s.newk"))
+          .whenNotMatchedInsert(Map(
+            "id" -> "s.id", "k" -> "s.newk", "bucket" -> "0"))
+          .execute()
+      } finally LogStore.current = prev
+    assert(ex.getMessage.contains("metadata"),
+      s"merge must lose on the metadata-change rule, got: ${ex.getMessage}")
+    assert(!armed, "the instrumented rename never fired")
+
+    // the rename WON: new logical schema, merge's effects absent
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.columns.toSeq === Seq("id", "label", "bucket"))
+    assert(t.toDF.filter($"id" === 3L).select("label").as[String].head()
+      === "k3")
+    assert(t.toDF.count() === 100L)
+
+    // rerun under the new name: succeeds, and the change feed speaks
+    // the NEW logical vocabulary (physical identity underneath)
+    val renameV = t.snapshot().version
+    t.as("t").merge(src.as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("label" -> "s.newk"))
+      .whenNotMatchedInsert(Map(
+        "id" -> "s.id", "label" -> "s.newk", "bucket" -> "0"))
+      .execute()
+    val cdc = t.changes(renameV + 1)
+    assert(cdc.columns.contains("label") && !cdc.columns.contains("k"))
+    // MERGE commits use the read-time CDF diff (no staged cdc files),
+    // where an update reads as delete(old image) + insert(new image):
+    // 2 inserts (updated row + fresh row), 1 delete (pre-image)
+    val byType = cdc.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType("insert") === 2L)
+    assert(byType("delete") === 1L)
+    assert(cdc.filter($"_change_type" === "insert")
+      .select("label").as[String].collect().toSet ===
+      Set("updated3", "new101"))
+    assert(cdc.filter($"_change_type" === "delete")
+      .select("label").as[String].head() === "k3")
+  }
 }
