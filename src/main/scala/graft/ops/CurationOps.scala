@@ -32,19 +32,30 @@ object CurationOps {
     // and the final filter costs a few extra string splits — not the
     // 4.4-s re-inlining of five interpreted lambdas that once forced
     // a persist() here (and leaked cache for the session lifetime).
+    // The fingerprint is materialized and TEXT IS DROPPED before the
+    // dedup window (round 10): with text still in scope, Catalyst's
+    // CollapseProject recomputes the scoring expressions after the
+    // window, which forces the full document text through the window's
+    // exchange — at 100 TB the shuffle would carry the corpus instead
+    // of five scalar columns. Projecting first pins each text
+    // expression to exactly one map-side evaluation and shrinks the
+    // shuffle rows to (id, lang, tokens, quality, fingerprint).
     val scored = TextOps.langId(df, textCol)
       .withColumn("n_tokens", TextOps.tokenCount(col(textCol)))
       .withColumn("quality",
         TextOps.qualityScore(col(textCol), col(nCharsCol)))
       .filter(col("lang_guess").isin(langs: _*) &&
         col("quality") >= minQuality)
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .select(col(idCol), col("lang_guess"), col("n_tokens"),
+        col("quality"), col("__fp"))
     val w = Window
-      .partitionBy(TextOps.fingerprint(col(textCol)))
+      .partitionBy(col("__fp"))
       .orderBy(col(idCol))
     val deduped = scored
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__fp")
     SampleOps.hashSample(deduped, idCol, samplePct256)
       .select(col(idCol), col("lang_guess"), col("n_tokens"),
         col("quality"))

@@ -14,8 +14,14 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — `size(split(text, "\\s+"))` computed by
+    * the [[graft.functions.TextStats]] byte scan (byte-identical, no
+    * regex, no fragment array; consumers that also take
+    * [[qualityScore]] share the scan via codegen subexpression
+    * elimination).
+    */
+  def tokenCount(text: Column): Column =
+    graft.functions.TextStats.tokenCount(text)
 
   /** BPE-ish subword count estimate: words plus punctuation marks plus
     * an extra token per 6 characters of long words (approximates how a
@@ -23,8 +29,11 @@ object TextOps {
     * constant, not a real tokenizer).
     */
   def bpeTokenEstimate(text: Column): Column = {
-    val words = tokenCount(text)
-    val puncts = size(split(text, "[\\p{Punct}]")) - 1
+    // both counts from the single-pass byte scan (TextStats) — see
+    // qualityScore for the regex-cost rationale
+    val stats = graft.functions.TextStats(text)
+    val words = shiftright(stats, 32).cast("int")
+    val puncts = stats.bitwiseAND(0xffffffffL).cast("int")
     val chars = length(text)
     (words + puncts + (chars / lit(24))).cast("long")
   }
@@ -34,12 +43,20 @@ object TextOps {
     * Deterministic, SQL-expressible (oracle-parity friendly).
     */
   def qualityScore(text: Column, nChars: Column): Column = {
-    val nTokens = tokenCount(text).cast("double")
+    // ONE byte scan supplies both counts ([[graft.functions.TextStats]]
+    // — byte-identical to the size(split(...)) regex formulation this
+    // replaces, see its scaladoc). The packed-long stat is referenced
+    // several times below; each reference is the same deterministic
+    // scalar call, so codegen subexpression elimination collapses them
+    // — the five per-row regex passes of the old form were the single
+    // hottest expression of the sf0.1 curation pipeline.
+    val stats = graft.functions.TextStats(text)
+    val nTokens = shiftright(stats, 32).cast("double")
     val meanWordLen = (nChars - nTokens + lit(1)) / nTokens
     val lengthScore = least(nTokens / lit(50.0), lit(1.0))
     val wordLenScore =
       when(meanWordLen >= 3.0 && meanWordLen <= 10.0, 1.0).otherwise(0.5)
-    val punctRatio = (size(split(text, "[\\p{Punct}]")) - 1).cast("double") /
+    val punctRatio = stats.bitwiseAND(0xffffffffL).cast("double") /
       greatest(nTokens, lit(1.0))
     val punctScore = when(punctRatio <= 0.3, 1.0).otherwise(0.5)
     round(lengthScore * wordLenScore * punctScore, 4)

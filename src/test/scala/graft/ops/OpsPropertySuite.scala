@@ -265,4 +265,38 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
       assert(dist === want, s"shape $si (distributed path)")
     }
   }
+
+  test("TextStats byte scan == the regex split formulation it replaced") {
+    // the round-10 single-pass scan claims byte-identity with
+    // size(split(text, "\\s+")) and size(split(text, "[\\p{Punct}]"))-1
+    // — pin it on adversarial shapes: empties, pure whitespace,
+    // leading/trailing separators, every ASCII punct char, multi-byte
+    // UTF-8 (which Java \s and \p{Punct} must NOT match), and random
+    // printable soup
+    val fixed = Seq(
+      "", " ", "  ", "a", " a", "a ", " a ", "a b", "a  b", "\t\n\f\r",
+      "a\tb\nc", "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~",
+      "word, word. word!", "ünïcödé tëxt — mit säparatoren",
+      "中文 没有 标点 吗？", "a b", "mixed!@# and spaces  \t x")
+    val rnd = new Random(7)
+    val soup = (1 to 50).map { _ =>
+      (1 to rnd.nextInt(80)).map(_ => (rnd.nextInt(95) + 32).toChar)
+        .mkString
+    }
+    val df = (fixed ++ soup).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"),
+        graft.functions.TextStats.tokenCount(col("text")).as("fast_tok"),
+        size(split(col("text"), "\\s+")).as("regex_tok"),
+        graft.functions.TextStats.punctCount(col("text")).as("fast_p"),
+        (size(split(col("text"), "[\\p{Punct}]")) - 1).as("regex_p"),
+        col("text"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"token count mismatch on ${r.getString(5)}")
+      assert(r.getInt(3) === r.getInt(4),
+        s"punct count mismatch on ${r.getString(5)}")
+    }
+  }
 }
