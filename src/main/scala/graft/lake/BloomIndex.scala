@@ -116,32 +116,44 @@ object BloomIndex {
 
   // ---- write side --------------------------------------------------------
 
-  /** Build one bloom sidecar per staged data file, distributed.
+  /** Build one bloom sidecar per data file, distributed.
     *
     * Reads ONLY the indexed physical columns of the files under
-    * `staging` (plus `_metadata.file_path` to group by file), merges
-    * per-file across splits, and writes each file's sidecar from the
-    * executor that reduced it — the driver ships two base paths and
-    * receives (staged relative path → sidecar relative path) pairs,
-    * O(files) strings, never bloom bytes. Task retries may orphan a
+    * `readPaths` (plus `_metadata.file_path` to group by file),
+    * merges per-file across splits, and writes each file's sidecar
+    * from the executor that reduced it — the driver ships base paths
+    * and receives (rel path → sidecar relative path) pairs, O(files)
+    * strings, never bloom bytes. Task retries may orphan a
     * uuid-named sidecar; orphans are unreferenced and age out via
     * vacuum exactly like crashed staging files.
     *
-    * Returns Map(staged rel path → sidecar rel path). Indexed columns
-    * missing from this frame (pre-evolution writes) are skipped;
-    * partition columns and unsupported types throw — a configured
-    * index that can never be built should fail the write, not
-    * silently not exist.
+    * Two callers: the write path (staging dir, `relBase` = staging,
+    * uniform schema) and the backfill
+    * ([[LakeTable.rebuildBloomIndexes]]: explicit live-file list,
+    * `relBase` = table root, `mergeSchema` because pre-evolution
+    * files may lack an indexed column — a file without the column
+    * contributes an empty bloom for it, which is exactly right: no
+    * value of that column can match there).
+    *
+    * Returns Map(rel path → sidecar rel path). Indexed columns
+    * missing from the read schema entirely are skipped; partition
+    * columns and unsupported types throw — a configured index that
+    * can never be built should fail the write, not silently not
+    * exist.
     */
   private[lake] def buildSidecars(
       spark: SparkSession,
-      staging: Path,
+      readPaths: Seq[String],
+      relBase: Path,
       tableRoot: Path,
       physCols: Seq[String],
       partCols: Seq[String],
       expectedItems: Long,
-      fppValue: Double): Map[String, String] = {
-    val df = spark.read.parquet(staging.toString)
+      fppValue: Double,
+      mergeSchema: Boolean = false): Map[String, String] = {
+    val df = spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(readPaths: _*)
     physCols.foreach { c =>
       require(!partCols.contains(c),
         s"$PROP_COLUMNS names partition column $c: partition values " +
@@ -161,7 +173,7 @@ object BloomIndex {
     val n = present.size
     val items = expectedItems
     val fppV = fppValue
-    val stagingStr = staging.toAbsolutePath.normalize.toString
+    val baseStr = relBase.toAbsolutePath.normalize.toString
     val rootStr = tableRoot.toAbsolutePath.normalize.toString
     val colNames = present.toArray
     sel.rdd.mapPartitions { it =>
@@ -186,7 +198,7 @@ object BloomIndex {
         if (absFile.startsWith("file:"))
           Paths.get(java.net.URI.create(absFile))
         else Paths.get(absFile)
-      val rel = Paths.get(stagingStr)
+      val rel = Paths.get(baseStr)
         .relativize(abs.toAbsolutePath.normalize).toString
       val sidecarRel = s"$DIR/${UUID.randomUUID()}.bloom"
       val target = Paths.get(rootStr).resolve(sidecarRel)

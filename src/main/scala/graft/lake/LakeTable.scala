@@ -1425,6 +1425,71 @@ final class LakeTable private (
     dvFiles.size
   }
 
+  /** Backfill bloom sidecars ([[BloomIndex]]) for live files that
+    * lack them — the path that makes `graft.bloomFilter.columns` on
+    * an EXISTING table useful: writes only index files they create,
+    * so without this the index covers nothing until the table is
+    * rewritten. This is metadata-plus-sidecars, never a data
+    * rewrite: one column-pruned distributed pass over the un-indexed
+    * files builds the sidecars, then each file's log entry is
+    * RE-ADDED with `bloomPath` set (replay replaces by path — the DV
+    * re-add rule, so no RemoveFile). A concurrent rewrite of the
+    * same files conflicts via the re-add check; on abort the
+    * just-written sidecars are swept (they are the only thing this
+    * commit created — live data files are never touched).
+    *
+    * Returns the number of files indexed (0 = all covered already).
+    */
+  def rebuildBloomIndexes(): Int = {
+    val snap = snapshot()
+    val props = snap.metadata.properties
+    val logicalCols = BloomIndex.indexedColumns(props)
+    require(logicalCols.nonEmpty,
+      s"${BloomIndex.PROP_COLUMNS} is not set on $tablePath; " +
+      "configure the indexed columns before rebuilding")
+    logicalCols.foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"${BloomIndex.PROP_COLUMNS} names unknown column $c; " +
+        s"table columns: ${snap.schema.fieldNames.sorted.mkString(", ")}")
+    }
+    val mapping = ColumnMapping.overrides(snap.metadata)
+    val physCols = logicalCols.map(ColumnMapping.physicalName(_, mapping))
+    val missing = snap.files.filter(_.bloomPath.isEmpty)
+    if (missing.isEmpty) return 0
+    val root = Paths.get(tablePath)
+    val bloomFor = BloomIndex.buildSidecars(
+      spark,
+      missing.map(f => LakeLog.resolveFile(tablePath, f.path).toString),
+      relBase = root, tableRoot = root,
+      physCols = physCols, partCols = snap.partitionColumns,
+      expectedItems = BloomIndex.numItems(props),
+      fppValue = BloomIndex.fpp(props),
+      // pre-evolution files may lack an indexed column; a uniform
+      // schema cannot be assumed across the table's history
+      mergeSchema = true)
+    val adds = missing.flatMap(f =>
+      bloomFor.get(f.path).map(rel => f.copy(bloomPath = Some(rel))))
+    if (adds.isEmpty) return 0
+    val now = System.currentTimeMillis()
+    try {
+      LakeWriter.commitWithRetry(log, snap.version, adds.map(_.path)) { _ =>
+        assertMetadataUnchanged(snap, "ADD BLOOM INDEX")
+        Seq(CommitInfo(now, "ADD BLOOM INDEX",
+          Map("columns" -> logicalCols.mkString(","),
+            "numFilesIndexed" -> adds.size.toString))) ++ adds
+      }
+    } catch {
+      case e: ConflictingCommitException =>
+        // the sidecars are this commit's ONLY products; sweep them
+        bloomFor.values.foreach { rel =>
+          try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+          catch { case _: java.io.IOException => () }
+        }
+        throw e
+    }
+    adds.size
+  }
+
   /** Identity-rewrite the given per-partition file groups into
     * `targetFileBytes`-sized bins (shared by OPTIMIZE and auto
     * compaction).

@@ -440,7 +440,8 @@ object LakeWriter {
       // that is legitimately all-removes
       val bloomFor: Map[String, String] =
         if (bloomPhysCols.isEmpty || walkParquet(staging).isEmpty) Map.empty
-        else BloomIndex.buildSidecars(spark, staging, Paths.get(tablePath),
+        else BloomIndex.buildSidecars(spark, Seq(staging.toString),
+          staging, Paths.get(tablePath),
           bloomPhysCols, partCols, BloomIndex.numItems(props),
           BloomIndex.fpp(props))
       val adds = adoptStagedFiles(spark, staging, Paths.get(tablePath))

@@ -185,6 +185,61 @@ class LakeBloomSuite extends SparkSuite {
       .properties(BloomIndex.PROP_FPP) === "0.05")
   }
 
+  test("rebuildBloomIndexes backfills existing files without rewriting") {
+    val path = tablePath("bloom-backfill")
+    // table predates the index: no bloom config at write time
+    LakeWriter.write(
+      spark.range(4000L).select(col("id"),
+        concat(lit("p"), col("id")).as("s")).repartition(8, col("id")),
+      path)
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().files.forall(_.bloomPath.isEmpty))
+    val filesBefore = t.snapshot().files.map(f => (f.path, f.size)).toSet
+
+    t.setTblProperties(Map(
+      BloomIndex.PROP_COLUMNS -> "id",
+      BloomIndex.PROP_NUM_ITEMS -> "10000"))
+    assert(LakeTable.forPath(spark, path).rebuildBloomIndexes() === 8)
+    val after = LakeTable.forPath(spark, path)
+    val snap = after.snapshot()
+    assert(snap.files.forall(_.bloomPath.isDefined))
+    // metadata-only: not one data file rewritten
+    assert(snap.files.map(f => (f.path, f.size)).toSet === filesBefore)
+    // the backfilled index actually skips
+    val (rows, skipped) =
+      skipsDuring(after.toDF.filter(col("id") === 2345L).collect())
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2345L))
+    assert(skipped >= 5)
+    // idempotent: everything covered now
+    assert(after.rebuildBloomIndexes() === 0)
+  }
+
+  test("backfill across schema evolution: pre-evolution files skip entirely") {
+    val path = tablePath("bloom-backfill-evo")
+    LakeWriter.write(
+      spark.range(500L).select(col("id"),
+        concat(lit("p"), col("id")).as("s")).repartition(2, col("id")),
+      path)
+    // evolution adds s2; only the second write's files carry it
+    LakeWriter.write(
+      spark.range(500L, 1000L).select(col("id"),
+        concat(lit("p"), col("id")).as("s"),
+        concat(lit("x"), col("id")).as("s2")).repartition(2, col("id")),
+      path, mergeSchema = true)
+    val t = LakeTable.forPath(spark, path)
+    t.setTblProperties(Map(
+      BloomIndex.PROP_COLUMNS -> "s2",
+      BloomIndex.PROP_NUM_ITEMS -> "10000"))
+    assert(LakeTable.forPath(spark, path).rebuildBloomIndexes() === 4)
+    val after = LakeTable.forPath(spark, path)
+    // pre-evolution files hold NO s2 values: their blooms are empty,
+    // so an s2 needle opens only post-evolution files
+    val (rows, skipped) =
+      skipsDuring(after.toDF.filter(col("s2") === "x777").collect())
+    assert(rows.map(_.getLong(0)).toSeq === Seq(777L))
+    assert(skipped >= 2, s"pre-evolution files not skipped ($skipped)")
+  }
+
   test("large file-count maps ride the broadcast payload path") {
     val prev = PathMapPayload.BROADCAST_MIN_ENTRIES
     PathMapPayload.BROADCAST_MIN_ENTRIES = 2 // force broadcast
