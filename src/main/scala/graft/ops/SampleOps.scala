@@ -75,4 +75,58 @@ object SampleOps {
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
   }
+
+  /** Token-budget domain mixing (the DoReMi-style resampling pass a
+    * pretraining mix needs): given a TARGET share per domain and a
+    * total token budget, derive each domain's keep rate
+    * `rate_d = min(1, budget * share_d / tokens_d)` from the MEASURED
+    * token totals, then select documents deterministically by md5
+    * coordinate at 1/65536 grain. Never upsamples (a rate capping at
+    * 1 keeps the whole domain — repetition policy is a separate,
+    * explicit choice); domains absent from `targetShares` are
+    * DROPPED, the [[quotaSample]] rule — an unlisted source silently
+    * leaking into a training mix is the failure mode this guards.
+    *
+    * 100 TB shape: the totals aggregation is one partial-agg shuffle
+    * collapsing to O(domains) rows; the rates ride back as a
+    * broadcast join; selection is a codegen'd per-row filter at scan
+    * speed. Selection is reproducible anywhere md5 exists, and
+    * consistent across tables keyed by the same id (the
+    * [[hashSample]] coordinate, widened to 4 hex digits so derived
+    * rates round at 2^-16, not 2^-8).
+    */
+  def tokenBudgetMix(
+      df: DataFrame, domainCol: String, keyCol: String,
+      nTokensCol: String, targetShares: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must not be empty")
+    targetShares.foreach { case (d, s) =>
+      require(s >= 0, s"negative target share for domain $d: $s")
+    }
+    require(budgetTokens >= 0, s"negative token budget: $budgetTokens")
+    val shareExpr = targetShares.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (d, s)) =>
+        when(col(domainCol) === d, lit(s)).otherwise(acc)
+      }
+    val rates = df.groupBy(col(domainCol))
+      .agg(sum(col(nTokensCol)).cast("double").as("__dom_tokens"))
+      // the null guard matters: least() SKIPS nulls, so without it an
+      // unlisted domain's null share would yield least(1.0, null) = 1.0
+      // — the whole domain silently kept, the exact leak this op exists
+      // to prevent
+      .withColumn("__rate",
+        when(shareExpr.isNotNull,
+          least(lit(1.0),
+            (lit(budgetTokens.toDouble) * shareExpr) / col("__dom_tokens"))))
+      .filter(col("__rate").isNotNull) // unlisted domain -> dropped
+      .select(col(domainCol), col("__rate"))
+    // 4-hex-digit coordinate vs floor(rate * 65536); rate >= 1 keeps
+    // all ('zzzz' sorts above every hex coordinate)
+    val threshold = when(col("__rate") >= 1.0, lit("zzzz"))
+      .otherwise(format_string("%04x",
+        floor(col("__rate") * lit(65536.0)).cast("int")))
+    df.join(broadcast(rates), domainCol)
+      .filter(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
+      .drop("__rate")
+  }
 }

@@ -118,6 +118,54 @@ object OpsQueries {
              |              WHEN 'src2' THEN '10'
              |              ELSE NULL END""".stripMargin)),
 
+    // Token-budget domain mixing (round 10, DoReMi-style): rates are
+    // DERIVED from measured per-lang token totals against a target
+    // share + a 40%-of-corpus budget — 'de' is over-targeted so its
+    // rate caps at 1 (whole domain kept, never upsampled), en/fr/es
+    // downsample to their budgets, zh is unlisted and must vanish.
+    // Fully hash-deterministic, so the oracle replays the exact
+    // selection.
+    QueryDef("text_token_budget_mix",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tokens"))
+        val total = docs.agg(sum("n_tokens")).head.getLong(0)
+        SampleOps.tokenBudgetMix(docs, "lang", "doc_id", "n_tokens",
+          targetShares = Map(
+            "en" -> 0.25, "de" -> 0.5, "fr" -> 0.15, "es" -> 0.10),
+          budgetTokens = (0.4 * total).toLong)
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+             |      AS n_tokens
+             |  FROM documents),
+             |total AS (
+             |  SELECT CAST(FLOOR(0.4 * SUM(n_tokens)) AS BIGINT)
+             |    AS budget FROM toks),
+             |rates AS (
+             |  SELECT lang,
+             |    LEAST(1.0,
+             |      (CAST((SELECT budget FROM total) AS DOUBLE) * share)
+             |        / tok) AS rate
+             |  FROM (
+             |    SELECT lang,
+             |      CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+             |                WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.10
+             |      END AS share,
+             |      CAST(SUM(n_tokens) AS DOUBLE) AS tok
+             |    FROM toks GROUP BY lang)
+             |  WHERE share IS NOT NULL)
+             |SELECT t.doc_id, t.lang, t.n_tokens
+             |FROM toks t JOIN rates r ON t.lang = r.lang
+             |WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+             |    CASE WHEN r.rate >= 1.0 THEN 'zzzz'
+             |         ELSE printf('%04x',
+             |           CAST(FLOOR(r.rate * 65536.0) AS INT)) END"""
+        .stripMargin)),
+
     // PII scrub: plant one email + one phone per doc, redact, count.
     QueryDef("text_pii_redact",
       (s, dir) => {

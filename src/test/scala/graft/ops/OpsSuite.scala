@@ -223,6 +223,35 @@ class OpsSuite extends SparkSuite {
     assert(sp === 1L)
   }
 
+  test("token-budget mix: derived rates hit shares, cap at 1, drop unlisted") {
+    // 3 domains, 100 docs x 10 tokens each: big=60 docs, mid=30, tiny=10
+    val docs = (0L until 100L).map { i =>
+      val d = if (i < 60) "big" else if (i < 90) "mid" else "tiny"
+      (i, d, 10)
+    }.toDF("id", "domain", "n_tokens")
+    // budget 500 tokens: big -> 250/600 rate .41, tiny -> 250/100 capped
+    val out = SampleOps.tokenBudgetMix(docs, "domain", "id", "n_tokens",
+      targetShares = Map("big" -> 0.5, "tiny" -> 0.5), budgetTokens = 500L)
+      .select("id", "domain").as[(Long, String)].collect()
+    val byDomain = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // capped domain keeps EVERYTHING (never upsamples, never drops)
+    assert(byDomain.getOrElse("tiny", 0) === 10)
+    // unlisted domain vanishes
+    assert(!byDomain.contains("mid"))
+    // downsampled domain lands near its 41.7% rate (hash-binomial;
+    // generous band — determinism is the exact assertion below)
+    val bigKept = byDomain.getOrElse("big", 0)
+    assert(bigKept > 10 && bigKept < 45, s"big kept $bigKept of 60")
+    // deterministic: an identical rerun selects the identical ids
+    val rerun = SampleOps.tokenBudgetMix(docs, "domain", "id", "n_tokens",
+      targetShares = Map("big" -> 0.5, "tiny" -> 0.5), budgetTokens = 500L)
+      .select("id", "domain").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === rerun.sortBy(_._1).toSeq)
+    // zero budget selects nothing
+    assert(SampleOps.tokenBudgetMix(docs, "domain", "id", "n_tokens",
+      Map("big" -> 1.0), budgetTokens = 0L).count() === 0L)
+  }
+
   test("passage overlap: hot-posting guard is exact on skewed fixtures") {
     // 30 docs all carry the SAME boilerplate passage (hot under a low
     // threshold) plus unique filler; two pairs additionally share a
