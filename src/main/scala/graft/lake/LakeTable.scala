@@ -1490,6 +1490,30 @@ final class LakeTable private (
     adds.size
   }
 
+  /** Drop the bloom index: unset the configuration (writes stop
+    * building sidecars) and strip `bloomPath` from every live file in
+    * one metadata-only re-add commit, so the scan path stops
+    * consulting them and the now-unreferenced sidecars age out via
+    * vacuum's mtime sweep. Returns the number of files stripped.
+    */
+  def dropBloomIndexes(): Int = {
+    val configured = Seq(BloomIndex.PROP_COLUMNS, BloomIndex.PROP_FPP,
+      BloomIndex.PROP_NUM_ITEMS)
+      .filter(snapshot().metadata.properties.contains)
+    if (configured.nonEmpty) unsetTblProperties(configured)
+    val snap = snapshot()
+    val carrying = snap.files.filter(_.bloomPath.isDefined)
+    if (carrying.isEmpty) return 0
+    val adds = carrying.map(_.copy(bloomPath = None))
+    val now = System.currentTimeMillis()
+    LakeWriter.commitWithRetry(log, snap.version, adds.map(_.path)) { _ =>
+      assertMetadataUnchanged(snap, "DROP BLOOM INDEX")
+      Seq(CommitInfo(now, "DROP BLOOM INDEX",
+        Map("numFilesStripped" -> adds.size.toString))) ++ adds
+    }
+    adds.size
+  }
+
   /** Identity-rewrite the given per-partition file groups into
     * `targetFileBytes`-sized bins (shared by OPTIMIZE and auto
     * compaction).
@@ -1980,7 +2004,7 @@ object LakeTable {
         "shed the column first.")
 
   /** (column -> generation expr) declared on this snapshot's table. */
-  private[lake] def generatedColumns(
+  private[graft] def generatedColumns(
       props: Map[String, String]): Map[String, String] =
     props.collect { case (k, v) if k.startsWith(PROP_GENERATED_PREFIX) =>
       k.stripPrefix(PROP_GENERATED_PREFIX) -> v

@@ -285,6 +285,52 @@ object LakeQueries {
              |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey
              |   LIMIT 1 OFFSET 911))""".stripMargin)),
 
+    // Generated-column partition pruning (round 10, Delta's rule):
+    // p_day is GENERATED AS CAST(ts AS DATE) and partitions the
+    // table; the query filters on ts — the column users actually
+    // write predicates on — and the planner must prune the p_day
+    // partitions the filter implies. The in-gate require reads the
+    // scan's numFiles metric: most partition files must never be
+    // opened. Rows are oracle-hashed against the same range on the
+    // source parquet.
+    QueryDef("lake_generated_prune",
+      (s, dir) => {
+        val path = scratch("lake_generated_prune", dir)
+        val ev = QueryDef.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        LakeWriter.write(ev.coalesce(4), path,
+          partitionBy = Seq("p_day"),
+          properties =
+            Map("graft.generated.p_day" -> "CAST(ts AS DATE)"))
+        val t = s.read.format("lake").load(path)
+        val totalFiles = graft.lake.LakeTable.forPath(s, path)
+          .snapshot().files.size
+        val filtered = t
+          .filter(col("ts") >=
+            java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        val rows = filtered.collect()
+        val read = {
+          import org.apache.spark.sql.execution.FileSourceScanExec
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          val plan = filtered.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          }
+          plan.collectLeaves().collect {
+            case f: FileSourceScanExec => f.metrics("numFiles").value
+          }.sum
+        }
+        // ~30 day-partitions, filter covers the trailing ~6 days
+        require(read * 2 < totalFiles,
+          s"generated-column pruning read $read of $totalFiles files — " +
+          "the ts filter did not prune p_day partitions")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), filtered.schema)
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'""".stripMargin)),
+
     // Change-data-feed read (round 2): v0 append, v1 append, v2 DELETE.
     // The change stream is fully derivable from `customer` in SQL:
     // every row inserts once (in its half's version), and the deleted

@@ -3,14 +3,18 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
-  BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And,
+  AttributeReference, BoundReference, Cast, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal,
+  Predicate, Year}
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   FileStatusWithMetadata, PartitionDirectory}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+  StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.lake.{AddFile, FilePruner, Snapshot}
+import graft.lake.{AddFile, FilePruner, LakeTable, Snapshot}
 
 /** Log-backed [[FileIndex]] for lake tables: the planner's
   * `listFiles(partitionFilters, dataFilters)` call is answered straight
@@ -48,12 +52,18 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot)
     // 1. Data skipping on footer min/max stats from the log.
     val afterStats = FilePruner.pruneWithExpressions(snap, dataFilters)
 
+    // 1b. Generated-column partition pruning (Delta's rule): a filter
+    //     on the SOURCE column of a generated partition column
+    //     implies a partition predicate the user never wrote.
+    val allPartitionFilters =
+      partitionFilters ++ derivedPartitionFilters(dataFilters)
+
     // 2. Exact partition pruning: evaluate the pushed partition
     //    predicates against each file's typed partition values.
     val survivors =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) afterStats
+      if (allPartitionFilters.isEmpty || partitionSchema.isEmpty) afterStats
       else {
-        val bound = partitionFilters.reduce(And).transform {
+        val bound = allPartitionFilters.reduce(And).transform {
           case a: AttributeReference =>
             val idx = partitionSchema.fieldIndex(a.name)
             BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
@@ -70,6 +80,144 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot)
       survivors.groupBy(_.partitionValues).map { case (_, files) =>
         PartitionDirectory(partitionRow(files.head), files.map(statusOf))
       }.toSeq
+    }
+  }
+
+  /** Generated PARTITION columns with a single-source generation
+    * expression, resolved once per index:
+    * (partition column name, source column name, resolved expr whose
+    * only attribute is the source). Resolution analyzes the stored
+    * SQL against an empty frame of the table schema — the same
+    * semantics the writer used to COMPUTE the column, so a derived
+    * predicate can never disagree with the stored values.
+    */
+  private lazy val generatedPartitionSources
+      : Seq[(String, String, Expression)] = {
+    val partCols = snap.partitionColumns.toSet
+    val gens = LakeTable.generatedColumns(snap.metadata.properties)
+      .filter { case (name, _) => partCols.contains(name) }
+    if (gens.isEmpty) Nil
+    else {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
+      gens.toSeq.flatMap { case (name, genSql) =>
+        try {
+          val analyzed = empty
+            .select(org.apache.spark.sql.functions.expr(genSql))
+            .queryExecution.analyzed
+          val resolved = analyzed match {
+            case Project(Seq(a: Alias), _) => a.child
+            case Project(Seq(e), _) => e
+            case _ => null
+          }
+          val refs = Option(resolved).toSeq
+            .flatMap(_.references.toSeq.map(_.name)).distinct
+          refs match {
+            case Seq(src)
+              if resolved.deterministic && !partCols.contains(src) &&
+                resolved.dataType == partitionSchema(name).dataType =>
+              Seq((name, src, resolved))
+            case _ => Nil
+          }
+        } catch { case _: Exception => Nil } // unparseable: no pruning
+      }
+    }
+  }
+
+  /** g(lit): evaluate the generation expression with its source
+    * attribute replaced by the literal. None when evaluation fails or
+    * yields null (conservative: derive nothing).
+    */
+  private def genAt(gen: Expression, l: Literal): Option[Literal] =
+    try {
+      val bound = gen.transform { case _: AttributeReference => l }
+      Option(bound.eval(InternalRow.empty))
+        .map(Literal.create(_, gen.dataType))
+    } catch { case _: Exception => None }
+
+  /** Monotone (non-decreasing) generation shapes, where a RANGE on
+    * the source implies a range on the partition value: identity,
+    * datetime-to-date/timestamp casts, year(), and the date/timestamp
+    * truncations (all floors). Equality/IN derivations don't need
+    * this — any deterministic g maps src = v to p = g(v).
+    */
+  private def monotone(e: Expression): Boolean = e match {
+    case _: AttributeReference => true
+    case c: Cast =>
+      val ok = (c.child.dataType, c.dataType) match {
+        case (TimestampType | TimestampNTZType | DateType | StringType,
+          DateType | TimestampType | TimestampNTZType) => true
+        case (_: NumericType, _: NumericType) => true // widening only
+        case _ => false
+      }
+      ok && monotone(c.child)
+    case Year(c) => monotone(c)
+    case t: org.apache.spark.sql.catalyst.expressions.TruncDate =>
+      t.format.foldable && monotone(t.date)
+    case t: org.apache.spark.sql.catalyst.expressions.TruncTimestamp =>
+      t.format.foldable && monotone(t.timestamp)
+    case _ => false
+  }
+
+  /** Partition predicates implied by `dataFilters` through generated
+    * partition columns: for `p = g(src)`, `src = v` → `p = g(v)`
+    * (and IN likewise); with monotone g, `src >/>= v` → `p >= g(v)`
+    * and `src </<= v` → `p <= g(v)` (bounds stay closed — g
+    * collapses ranges, so the endpoint partition may still hold
+    * matching rows). Comparisons survive Catalyst in either operand
+    * order. Purely additive: every derived predicate is implied by a
+    * data filter Spark re-evaluates above the scan anyway.
+    */
+  private def derivedPartitionFilters(
+      dataFilters: Seq[Expression]): Seq[Expression] = {
+    if (generatedPartitionSources.isEmpty) return Nil
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val flat = dataFilters.flatMap(conjuncts)
+    generatedPartitionSources.flatMap { case (pName, srcName, gen) =>
+      val pAttr = AttributeReference(
+        pName, partitionSchema(pName).dataType, nullable = true)()
+      def at(l: Literal): Option[Literal] = genAt(gen, l)
+      flat.flatMap {
+        case EqualTo(a: AttributeReference, l: Literal)
+          if a.name == srcName => at(l).map(EqualTo(pAttr, _))
+        case EqualTo(l: Literal, a: AttributeReference)
+          if a.name == srcName => at(l).map(EqualTo(pAttr, _))
+        case In(a: AttributeReference, vs)
+          if a.name == srcName && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+          val mapped = vs.map(v => at(v.asInstanceOf[Literal]))
+          if (mapped.forall(_.isDefined)) Some(In(pAttr, mapped.flatten))
+          else None
+        case GreaterThan(a: AttributeReference, l: Literal)
+          if a.name == srcName && monotone(gen) =>
+          at(l).map(GreaterThanOrEqual(pAttr, _))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+          if a.name == srcName && monotone(gen) =>
+          at(l).map(GreaterThanOrEqual(pAttr, _))
+        case LessThan(a: AttributeReference, l: Literal)
+          if a.name == srcName && monotone(gen) =>
+          at(l).map(LessThanOrEqual(pAttr, _))
+        case LessThanOrEqual(a: AttributeReference, l: Literal)
+          if a.name == srcName && monotone(gen) =>
+          at(l).map(LessThanOrEqual(pAttr, _))
+        // literal-on-the-left comparisons: flip the direction
+        case GreaterThan(l: Literal, a: AttributeReference)
+          if a.name == srcName && monotone(gen) =>
+          at(l).map(LessThanOrEqual(pAttr, _))
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+          if a.name == srcName && monotone(gen) =>
+          at(l).map(LessThanOrEqual(pAttr, _))
+        case LessThan(l: Literal, a: AttributeReference)
+          if a.name == srcName && monotone(gen) =>
+          at(l).map(GreaterThanOrEqual(pAttr, _))
+        case LessThanOrEqual(l: Literal, a: AttributeReference)
+          if a.name == srcName && monotone(gen) =>
+          at(l).map(GreaterThanOrEqual(pAttr, _))
+        case _ => None
+      }
     }
   }
 

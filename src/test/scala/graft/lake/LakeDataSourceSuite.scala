@@ -216,6 +216,50 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(t.toDF.where("p IS NULL").count() === 1L)
   }
 
+  test("generated-column partition pruning: ts filters prune p_day") {
+    // Delta's generated-column pruning rule: p_day is GENERATED AS
+    // CAST(ts AS DATE) and is the partition column; filters on ts —
+    // which the user actually writes — must prune p_day partitions
+    // the query never mentions.
+    val path = tablePath("genprune")
+    val df = spark.range(600).select(
+      $"id",
+      org.apache.spark.sql.functions.expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, " +
+          "CAST(id / 100 AS INT), 0, CAST(id % 100 AS INT), 0)")
+        .as("ts")).coalesce(1)
+    LakeWriter.write(df, path, partitionBy = Seq("p_day"),
+      properties = Map("graft.generated.p_day" -> "CAST(ts AS DATE)"))
+    val t = spark.read.format("lake").load(path)
+    val total = scannedFiles(t)
+    assert(total === 6L, s"expected one file per day, got $total")
+
+    // equality on the SOURCE column: exactly one partition's file read
+    val needle = java.sql.Timestamp.valueOf("2024-01-03 00:05:00")
+    val eq = t.filter($"ts" === needle)
+    assert(eq.count() === 1L)
+    assert(scannedFiles(eq) === 1L, "ts equality should prune to one day")
+
+    // range: only the two trailing days
+    val range = t.filter(
+      $"ts" >= java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+    assert(range.count() === 200L)
+    assert(scannedFiles(range) === 2L)
+    // strict < keeps the boundary partition (the cast collapses the
+    // day; conservative closed bound) but prunes later days
+    val lt = t.filter(
+      $"ts" < java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    assert(lt.count() === 100L)
+    assert(scannedFiles(lt) <= 2L)
+
+    // IN on source timestamps across two days
+    val in = t.filter($"ts".isin(
+      java.sql.Timestamp.valueOf("2024-01-01 00:07:00"),
+      java.sql.Timestamp.valueOf("2024-01-06 00:09:00")))
+    assert(in.count() === 2L)
+    assert(scannedFiles(in) === 2L)
+  }
+
   test("metadata-only DELETE handles null partitions correctly") {
     val path = tablePath("dsv2nulldel")
     Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
