@@ -92,6 +92,16 @@ object LakeSql {
       """(?:\s+WHERE\s+(.+?))?""" +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*""").r
   private val SHOW_TABLES_RE = """(?is)\s*SHOW\s+(?:LAKE\s+)?TABLES\s*""".r
+  // Databricks bloom-filter-index DDL shape; OPTIONS apply to the
+  // whole index (fpp, numItems)
+  private val CREATE_BLOOM_RE =
+    ("""(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" +
+      """([\w.`/\-]+)\s+FOR\s+COLUMNS\s*\(([^)]+)\)""" +
+      """(?:\s+OPTIONS\s*\(([^)]*)\))?\s*""").r
+  private val DROP_BLOOM_RE =
+    ("""(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" +
+      """([\w.`/\-]+)\s*""").r
+  private val BLOOM_OPT_RE = """(\w+)\s*=\s*([\w.\-]+)""".r
   private val COPY_INTO_RE =
     ("""(?is)\s*COPY\s+INTO\s+([\w.`/\-]+)\s+FROM\s+'([^']+)'\s+""" +
       """FILEFORMAT\s*=\s*(\w+)(?:\s+FORCE\s*=\s*(\w+))?\s*""").r
@@ -227,6 +237,28 @@ object LakeSql {
       require(props.nonEmpty,
         s"no 'key'='value' pairs in TBLPROPERTIES($pairs)")
       resolve(spark, clean(t)).setTblProperties(props)
+      emptyDF(spark)
+
+    case CREATE_BLOOM_RE(t, cols, opts) =>
+      // configure + BACKFILL in one statement: after this, existing
+      // files skip too — an index that only covers future writes is
+      // the trap rebuildBloomIndexes exists to avoid
+      val colNames = cols.split(",").map(c => clean(c).trim)
+        .filter(_.nonEmpty)
+      require(colNames.nonEmpty, "FOR COLUMNS (...) names no columns")
+      val optMap = Option(opts).toSeq
+        .flatMap(BLOOM_OPT_RE.findAllMatchIn(_))
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      val props =
+        Map(BloomIndex.PROP_COLUMNS -> colNames.mkString(",")) ++
+          optMap.get("fpp").map(BloomIndex.PROP_FPP -> _) ++
+          optMap.get("numitems").map(BloomIndex.PROP_NUM_ITEMS -> _)
+      resolve(spark, clean(t)).setTblProperties(props)
+      resolve(spark, clean(t)).rebuildBloomIndexes()
+      emptyDF(spark)
+
+    case DROP_BLOOM_RE(t) =>
+      resolve(spark, clean(t)).dropBloomIndexes()
       emptyDF(spark)
 
     case UNSET_TBLPROPS_RE(t, keys) =>

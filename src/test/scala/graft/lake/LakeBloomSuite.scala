@@ -240,6 +240,48 @@ class LakeBloomSuite extends SparkSuite {
     assert(skipped >= 2, s"pre-evolution files not skipped ($skipped)")
   }
 
+  test("SQL: CREATE BLOOMFILTER INDEX backfills; DROP strips and stops") {
+    val path = tablePath("bloom-sql")
+    LakeWriter.write(
+      spark.range(2000L).select(col("id"),
+        concat(lit("p"), col("id")).as("s")).repartition(4, col("id")),
+      path)
+    LakeSql.sql(spark,
+      s"CREATE BLOOMFILTER INDEX ON TABLE `$path` FOR COLUMNS (id) " +
+        "OPTIONS (fpp = 0.02, numItems = 10000)")
+    val snap = new LakeLog(path).snapshot()
+    assert(snap.files.forall(_.bloomPath.isDefined),
+      "CREATE must backfill existing files")
+    assert(snap.metadata.properties(BloomIndex.PROP_FPP) === "0.02")
+    val t = LakeTable.forPath(spark, path)
+    val (rows, skipped) =
+      skipsDuring(t.toDF.filter(col("id") === 1234L).collect())
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1234L))
+    assert(skipped >= 2)
+
+    LakeSql.sql(spark, s"DROP BLOOMFILTER INDEX ON TABLE `$path`")
+    val snap2 = new LakeLog(path).snapshot()
+    assert(snap2.files.forall(_.bloomPath.isEmpty),
+      "DROP must strip bloomPath from every live file")
+    assert(!snap2.metadata.properties.contains(BloomIndex.PROP_COLUMNS))
+    // reads stop skipping, results unchanged
+    val (rows2, skipped2) =
+      skipsDuring(LakeTable.forPath(spark, path).toDF
+        .filter(col("id") === 1234L).collect())
+    assert(rows2.map(_.getLong(0)).toSeq === Seq(1234L))
+    assert(skipped2 === 0L)
+    // the orphaned sidecars are now vacuum-able debris
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try {
+      LakeTable.forPath(spark, path).vacuum(retentionHours = 0.0)
+      val bloomDir = Paths.get(path, BloomIndex.DIR)
+      assert(!Files.exists(bloomDir) || {
+        val l = Files.list(bloomDir)
+        try !l.iterator().hasNext finally l.close()
+      }, "dropped sidecars must be vacuumed")
+    } finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+  }
+
   test("large file-count maps ride the broadcast payload path") {
     val prev = PathMapPayload.BROADCAST_MIN_ENTRIES
     PathMapPayload.BROADCAST_MIN_ENTRIES = 2 // force broadcast
