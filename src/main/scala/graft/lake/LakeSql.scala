@@ -92,6 +92,8 @@ object LakeSql {
       """(?:\s+WHERE\s+(.+?))?""" +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*""").r
   private val SHOW_TABLES_RE = """(?is)\s*SHOW\s+(?:LAKE\s+)?TABLES\s*""".r
+  private val SHOW_PARTITIONS_RE =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`/\-]+)\s*""".r
   // Databricks bloom-filter-index DDL shape; OPTIONS apply to the
   // whole index (fpp, numItems)
   private val CREATE_BLOOM_RE =
@@ -260,6 +262,32 @@ object LakeSql {
     case DROP_BLOOM_RE(t) =>
       resolve(spark, clean(t)).dropBloomIndexes()
       emptyDF(spark)
+
+    case SHOW_PARTITIONS_RE(t) =>
+      // answered from LOG METADATA only — no file listing, no data
+      // read; a 100k-partition table costs one snapshot replay
+      val snap = resolve(spark, clean(t)).snapshot()
+      require(snap.partitionColumns.nonEmpty,
+        s"SHOW PARTITIONS: ${clean(t)} is not a partitioned table")
+      val cols = snap.partitionColumns
+      val tuples = snap.files.map(f => cols.map(c =>
+        f.partitionValues.get(c) match {
+          case None | Some(null) => null
+          case Some(graft.sources.LakeFileIndex.HIVE_NULL) => null
+          case Some(v) => v
+        })).distinct
+      val stringSchema = org.apache.spark.sql.types.StructType(
+        cols.map(c => org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.StringType)))
+      val byName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+          tuples.map(v => org.apache.spark.sql.Row(v: _*)).asJava,
+          stringSchema)
+        .select(cols.map(c =>
+          org.apache.spark.sql.functions.col(c)
+            .cast(byName(c)).as(c)): _*)
+        .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
 
     case UNSET_TBLPROPS_RE(t, keys) =>
       resolve(spark, clean(t)).unsetTblProperties(

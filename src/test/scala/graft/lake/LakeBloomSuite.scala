@@ -1,6 +1,7 @@
 package graft.lake
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import graft.SparkSuite
 import org.apache.spark.sql.functions._
@@ -280,6 +281,82 @@ class LakeBloomSuite extends SparkSuite {
         try !l.iterator().hasNext finally l.close()
       }, "dropped sidecars must be vacuumed")
     } finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
+  }
+
+  test("backfill loses loudly to a concurrent rewrite; sidecars swept") {
+    val path = tablePath("bloom-backfill-race")
+    writeScattered(path, 1000, 4)
+    // strip the index config trick: table was created WITH bloom
+    // props, so drop them and the sidecars to get a clean un-indexed
+    // table, then re-enable for the raced backfill
+    LakeTable.forPath(spark, path).dropBloomIndexes()
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(BloomIndex.PROP_COLUMNS -> "id"))
+    val logDir = java.nio.file.Paths
+      .get(path, LakeLog.LOG_DIR).toAbsolutePath
+    // dropBloomIndexes above orphaned v0's sidecars (they await
+    // vacuum); account for them so the post-race assertion isolates
+    // what the BACKFILL left behind
+    def onDiskSidecars(): Set[String] = {
+      val bloomDir = Paths.get(path, BloomIndex.DIR)
+      if (!Files.exists(bloomDir)) Set.empty
+      else {
+        val l = Files.list(bloomDir)
+        try l.iterator().asScala
+          .map(p => s"${BloomIndex.DIR}/${p.getFileName}").toSet
+        finally l.close()
+      }
+    }
+    val orphansBefore = onDiskSidecars()
+    val prev = LogStore.current
+    @volatile var armed = true
+    LogStore.current = new LogStore {
+      override def putIfAbsent(t: java.nio.file.Path,
+          lines: Seq[String]): Unit = {
+        val n = t.getFileName.toString
+        if (armed && t.toAbsolutePath.startsWith(logDir) &&
+            n.endsWith(".json") && !n.contains("checkpoint")) {
+          armed = false
+          // a rewrite DELETE lands between the backfill's snapshot
+          // and its commit, removing files it wants to re-add
+          LakeTable.forPath(spark, path).delete("id < 500")
+        }
+        prev.putIfAbsent(t, lines)
+      }
+      override def atomicReplace(t: java.nio.file.Path,
+          lines: Seq[String]): Unit = prev.atomicReplace(t, lines)
+      override def listDir(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+        prev.listDir(d)
+      override def readLines(p: java.nio.file.Path): Seq[String] =
+        prev.readLines(p)
+      override def exists(p: java.nio.file.Path): Boolean = prev.exists(p)
+      override def delete(p: java.nio.file.Path): Boolean = prev.delete(p)
+    }
+    try {
+      intercept[ConflictingCommitException] {
+        LakeTable.forPath(spark, path).rebuildBloomIndexes()
+      }
+    } finally LogStore.current = prev
+    assert(!armed, "the instrumented delete never fired")
+    // the aborted backfill swept its sidecars — its only products.
+    // (The concurrent DELETE's rewrite legitimately built sidecars of
+    // its own — bloom config was live — and the pre-race drop's
+    // orphans legitimately await vacuum; the assertion is that the
+    // backfill added NOTHING to the unreferenced set.)
+    val live = new LakeLog(path).snapshot()
+      .files.flatMap(_.bloomPath).toSet
+    val unreferenced = onDiskSidecars() -- live
+    assert(unreferenced === orphansBefore,
+      s"aborted backfill left unreferenced sidecars: " +
+        s"${unreferenced -- orphansBefore}")
+    // data intact (the delete won) — and since the delete's rewrite
+    // ran with bloom config live, its output files already carry
+    // sidecars: the table is fully indexed and a fresh backfill
+    // correctly finds nothing to do
+    val t = LakeTable.forPath(spark, path)
+    assert(t.toDF.count() === 500L)
+    assert(t.snapshot().files.forall(_.bloomPath.isDefined))
+    assert(t.rebuildBloomIndexes() === 0)
   }
 
   test("large file-count maps ride the broadcast payload path") {

@@ -424,4 +424,27 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(LakeSql.findTopLevel("WHENEVER x", "WHEN") === -1)
     assert(LakeSql.findTopLevel("nowhen", "WHEN") === -1)
   }
+
+  test("SHOW PARTITIONS lists typed tuples from log metadata only") {
+    import spark.implicits._
+    val path = tablePath("sqlshowparts")
+    LakeWriter.write(
+      Seq((1L, "a", 10), (2L, "b", 10), (3L, "a", 20),
+        (4L, null.asInstanceOf[String], 30)).toDF("id", "p", "q"),
+      path, partitionBy = Seq("p", "q"))
+    val parts = LakeSql.sql(spark, s"SHOW PARTITIONS `$path`")
+    assert(parts.columns.toSeq === Seq("p", "q"))
+    assert(parts.schema("q").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val got = parts.collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got === Set(("a", 10), ("b", 10), ("a", 20), (null, 30)))
+    // unpartitioned table: loud error, not an empty frame
+    val flat = tablePath("sqlshowparts-flat")
+    LakeWriter.write(Seq(1L).toDF("id"), flat)
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"SHOW PARTITIONS `$flat`")
+    }
+    assert(e.getMessage.contains("not a partitioned table"))
+  }
 }
