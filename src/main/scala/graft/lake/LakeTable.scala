@@ -1438,9 +1438,14 @@ final class LakeTable private (
     * just-written sidecars are swept (they are the only thing this
     * commit created — live data files are never touched).
     *
+    * `where` (partition-column predicate, the OPTIMIZE ... WHERE
+    * rule) scopes the pass: at 100 TB a backfill is run
+    * partition-by-partition from a maintenance cron, not as one
+    * table-wide job.
+    *
     * Returns the number of files indexed (0 = all covered already).
     */
-  def rebuildBloomIndexes(): Int = {
+  def rebuildBloomIndexes(where: Option[String] = None): Int = {
     val snap = snapshot()
     val props = snap.metadata.properties
     val logicalCols = BloomIndex.indexedColumns(props)
@@ -1454,7 +1459,7 @@ final class LakeTable private (
     }
     val mapping = ColumnMapping.overrides(snap.metadata)
     val physCols = logicalCols.map(ColumnMapping.physicalName(_, mapping))
-    val missing = snap.files.filter(_.bloomPath.isEmpty)
+    val missing = scopeFiles(snap, where).filter(_.bloomPath.isEmpty)
     if (missing.isEmpty) return 0
     val root = Paths.get(tablePath)
     val bloomFor = BloomIndex.buildSidecars(

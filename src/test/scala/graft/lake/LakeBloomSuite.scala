@@ -283,6 +283,34 @@ class LakeBloomSuite extends SparkSuite {
     } finally spark.conf.unset(LakeTable.RETENTION_CHECK_KEY)
   }
 
+  test("partition-scoped backfill indexes only the named partition") {
+    val path = tablePath("bloom-backfill-scoped")
+    LakeWriter.write(
+      spark.range(1000L).select(col("id"),
+        (col("id") % 2 === 0).cast("string").as("p")),
+      path, partitionBy = Seq("p"))
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(BloomIndex.PROP_COLUMNS -> "id"))
+    val t = LakeTable.forPath(spark, path)
+    val scoped = t.rebuildBloomIndexes(Some("p = 'true'"))
+    assert(scoped > 0)
+    val snap = new LakeLog(path).snapshot()
+    assert(snap.files.filter(_.partitionValues("p") == "true")
+      .forall(_.bloomPath.isDefined))
+    assert(snap.files.filter(_.partitionValues("p") == "false")
+      .forall(_.bloomPath.isEmpty),
+      "out-of-scope partition must stay un-indexed")
+    // the remainder picks up on an unscoped pass
+    assert(LakeTable.forPath(spark, path).rebuildBloomIndexes() > 0)
+    assert(new LakeLog(path).snapshot()
+      .files.forall(_.bloomPath.isDefined))
+    // non-partition predicates are rejected loudly (scopeFiles rule)
+    intercept[IllegalArgumentException] {
+      LakeTable.forPath(spark, path)
+        .rebuildBloomIndexes(Some("id = 1"))
+    }
+  }
+
   test("backfill loses loudly to a concurrent rewrite; sidecars swept") {
     val path = tablePath("bloom-backfill-race")
     writeScattered(path, 1000, 4)
