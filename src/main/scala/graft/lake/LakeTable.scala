@@ -1008,9 +1008,18 @@ final class LakeTable private (
     require(!destLog.exists, s"$destPath is already a lake table")
     val snap = snapshot()
     val root = Paths.get(tablePath).toAbsolutePath.normalize
+    // sidecars (DV, bloom) absolutize exactly like the data path —
+    // a clone-relative `_deletion_vectors/...` would resolve under
+    // the CLONE's root where no such file exists, crashing every read
+    // of a soft-deleted file (round-10 fix; the bloom analog merely
+    // lost its skipping, but same rule)
+    def abs(rel: String): String =
+      LakeLog.resolveFile(root.toString, rel)
+        .toAbsolutePath.normalize.toString
     val cloneAdds = snap.files.map { f =>
-      f.copy(path = LakeLog.resolveFile(root.toString, f.path)
-        .toAbsolutePath.normalize.toString)
+      f.copy(path = abs(f.path),
+        dvPath = f.dvPath.map(abs),
+        bloomPath = f.bloomPath.map(abs))
     }
     java.nio.file.Files.createDirectories(Paths.get(destPath))
     destLog.commit(0L, Seq(
@@ -1042,14 +1051,22 @@ final class LakeTable private (
     // get fresh clone-local names (partition pruning reads
     // partitionValues from the log, not the directory layout, so the
     // flat name loses nothing). Ordinary relative paths are preserved.
-    val mapped: Seq[(String, AddFile)] = snap.files.zipWithIndex.map {
-      case (f, i) =>
-        val rel =
-          if (Paths.get(f.path).isAbsolute)
-            s"cloned-$i-${Paths.get(f.path).getFileName}"
-          else f.path
-        (f.path, f.copy(path = rel))
-    }
+    // Sidecars (DV, bloom) copy under the same rule — they are part
+    // of the file's state; leaving them behind crashes every read of
+    // a soft-deleted file (round-10 fix).
+    def destRel(srcRef: String, i: Int, tag: String): String =
+      if (Paths.get(srcRef).isAbsolute)
+        s"cloned-$tag$i-${Paths.get(srcRef).getFileName}"
+      else srcRef
+    val mapped: Seq[(Seq[(String, String)], AddFile)] =
+      snap.files.zipWithIndex.map { case (f, i) =>
+        val rel = destRel(f.path, i, "")
+        val dvRel = f.dvPath.map(destRel(_, i, "dv-"))
+        val bloomRel = f.bloomPath.map(destRel(_, i, "bloom-"))
+        val copies = Seq(f.path -> rel) ++
+          f.dvPath.zip(dvRel) ++ f.bloomPath.zip(bloomRel)
+        (copies, f.copy(path = rel, dvPath = dvRel, bloomPath = bloomRel))
+      }
     val srcStr = src.toString
     val destStr = dest.toString
     def copyOne(fromRel: String, toRel: String): Unit = {
@@ -1059,17 +1076,17 @@ final class LakeTable private (
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
-    if (mapped.size >= LakeTable.DISTRIBUTED_VACUUM_MIN_FILES) {
+    val allCopies = mapped.flatMap(_._1)
+    if (allCopies.size >= LakeTable.DISTRIBUTED_VACUUM_MIN_FILES) {
       spark.sparkContext
-        .parallelize(mapped.map { case (from, f) => (from, f.path) },
-          math.min(mapped.size / 8 + 1, 64))
+        .parallelize(allCopies, math.min(allCopies.size / 8 + 1, 64))
         .foreach { case (fromRel, toRel) =>
           val to = Paths.get(destStr).resolve(toRel)
           Files.createDirectories(to.getParent)
           Files.copy(LakeLog.resolveFile(srcStr, fromRel), to,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-    } else mapped.foreach { case (from, f) => copyOne(from, f.path) }
+    } else allCopies.foreach { case (from, to) => copyOne(from, to) }
     Files.createDirectories(dest)
     destLog.commit(0L, Seq(
       snap.protocol,

@@ -134,4 +134,58 @@ class LakeCloneSuite extends SparkSuite {
     q.awaitTermination(120000)
     assert(LakeTable.forPath(spark, out).toDF.count() === 100L)
   }
+
+  test("clones carry deletion vectors: shallow resolves, deep copies") {
+    // round-10 fix: sidecars are part of a file's state — a shallow
+    // clone that absolutized only the data path left dvPath pointing
+    // under the CLONE's root, crashing every read of a soft-deleted
+    // file; a deep clone copied data files but no sidecars
+    val src = tablePath("clonedv-src")
+    LakeWriter.write((1L to 100L).toDF("id").coalesce(1), src,
+      properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    LakeTable.forPath(spark, src).delete("id <= 10")
+
+    val shallow = tablePath("clonedv-shallow")
+    LakeTable.forPath(spark, src).shallowCloneTo(shallow)
+    val sSnap = new LakeLog(shallow).snapshot()
+    assert(sSnap.files.exists(_.dvPath.isDefined))
+    assert(sSnap.files.flatMap(_.dvPath)
+      .forall(p => java.nio.file.Paths.get(p).isAbsolute),
+      "shallow clone must absolutize dv sidecar references")
+    assert(LakeTable.forPath(spark, shallow).toDF.count() === 90L)
+    assert(LakeTable.forPath(spark, shallow).toDF
+      .filter($"id" <= 10L).count() === 0L,
+      "soft-deleted rows must stay deleted through the clone")
+
+    val deep = tablePath("clonedv-deep")
+    LakeTable.forPath(spark, src).deepCloneTo(deep)
+    // fully independent: drop the source wholesale, the deep clone
+    // still applies its own copied DVs
+    LakeWriter.deleteRecursively(java.nio.file.Paths.get(src))
+    Snapshot.clearCacheForTest()
+    assert(LakeTable.forPath(spark, deep).toDF.count() === 90L)
+    assert(LakeTable.forPath(spark, deep).toDF
+      .filter($"id" <= 10L).count() === 0L)
+  }
+
+  test("shallow clone of a bloom-indexed table keeps skipping") {
+    val src = tablePath("clonebloom-src")
+    LakeWriter.write(
+      spark.range(2000L).select($"id",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("p"), $"id").as("s"))
+        .repartition(4, $"id"),
+      src, properties = Map(
+        BloomIndex.PROP_COLUMNS -> "id",
+        BloomIndex.PROP_NUM_ITEMS -> "10000"))
+    val dest = tablePath("clonebloom-dest")
+    LakeTable.forPath(spark, src).shallowCloneTo(dest)
+    val before = BloomIndex.skippedFiles.get()
+    val rows = LakeTable.forPath(spark, dest).toDF
+      .filter($"id" === 777L).collect()
+    val skipped = BloomIndex.skippedFiles.get() - before
+    assert(rows.map(_.getLong(0)).toSeq === Seq(777L))
+    assert(skipped >= 2,
+      "absolutized bloom sidecars must keep skipping through the clone")
+  }
 }
