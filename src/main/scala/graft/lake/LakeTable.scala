@@ -1647,13 +1647,21 @@ final class LakeTable private (
     }
     val perVersion: Seq[DataFrame] = (fromVersion to to).flatMap { v =>
       val actions = log.readVersion(v)
+      // Bloom index build/drop commits re-add every file changing
+      // only skipping metadata — zero row-level changes; the diff
+      // fallback below would misread their AddFiles as a whole-table
+      // insert. Skip them wholesale.
+      val metadataOnlyReadd = actions
+        .collectFirst { case c: CommitInfo => c.operation }
+        .exists(LakeTable.METADATA_ONLY_READD_OPS)
       // Persisted CDC (written by DELETE/UPDATE at DML time): read it
       // directly — O(changes), no diff of rewritten files. Falls back
       // to the diff when a commit carries no cdc files (appends,
       // MERGE, OPTIMIZE) or they were vacuumed away.
       val cdcFiles = actions.collect { case c: CdcFile => c.path }
       val parts: Seq[DataFrame] =
-        if (cdcFiles.nonEmpty && cdcFiles.forall(p =>
+        if (metadataOnlyReadd) Nil
+        else if (cdcFiles.nonEmpty && cdcFiles.forall(p =>
             Files.exists(LakeLog.resolveFile(tablePath, p))) &&
             !ColumnMapping.enabled(snapAtTo.metadata)) {
           // unmapped fast path: logical names never moved (mapping is
@@ -1922,6 +1930,17 @@ object LakeTable {
   val DEFAULT_RETENTION_HOURS: Double = 168.0
   val RETENTION_CHECK_KEY = "spark.graft.lake.retentionDurationCheck.enabled"
   /** Per-table vacuum retention default/floor, in hours. */
+  /** Operations whose commits RE-ADD live files changing only
+    * file-level skipping metadata (bloom sidecar references) — no row
+    * of the table is inserted, deleted or modified. Row-level readers
+    * (the change feed's diff fallback, the streaming source) must
+    * skip them wholesale: classifying their AddFiles as fresh data
+    * would re-deliver the ENTIRE table. Engine-defined operation
+    * names, so the match is within-protocol, not heuristic.
+    */
+  val METADATA_ONLY_READD_OPS: Set[String] =
+    Set("ADD BLOOM INDEX", "DROP BLOOM INDEX")
+
   val PROP_RETENTION_HOURS = "graft.deletedFileRetentionHours"
   /** `false` disables persisted change-data files for DML on this
     * table; CDF reads fall back to the read-time diff.

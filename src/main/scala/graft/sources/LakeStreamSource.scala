@@ -209,6 +209,14 @@ final class LakeStreamSource(
     }
     ((replayFrom + 1) to toInclusive).foreach { v =>
       val actions = log.readVersion(v)
+      // Bloom index build/drop commits re-add EVERY live file
+      // changing only skipping metadata (no row appended, deleted or
+      // modified); classifying those AddFiles as fresh data would
+      // re-deliver the whole table to the stream. Skip wholesale —
+      // engine-defined operation names, within-protocol.
+      val metadataOnlyReadd = actions
+        .collectFirst { case c: graft.lake.CommitInfo => c.operation }
+        .exists(graft.lake.LakeTable.METADATA_ONLY_READD_OPS)
       // A DV-carrying re-add is a change commit even without a
       // RemoveFile (a deletion-vector DELETE supersedes the file's
       // entry in place); treating its AddFile as fresh appended data
@@ -219,7 +227,10 @@ final class LakeStreamSource(
         dvAdds.map(a => RemoveFile(a.path, 0L))
       val versionAdds = actions.collect {
         case a: AddFile if a.dvPath.isEmpty => a }
-      if (removes.nonEmpty && skipChangeCommits) {
+      if (metadataOnlyReadd) {
+        // nothing delivered, no option needed: the commit is not a
+        // change commit at the ROW level at all
+      } else if (removes.nonEmpty && skipChangeCommits) {
         // Delta's skipChangeCommits: a commit that removed files is
         // skipped WHOLESALE — none of its AddFiles are delivered (vs
         // ignoreChanges, which re-emits them). The stream stays
@@ -241,8 +252,10 @@ final class LakeStreamSource(
       // For rewrites under ignoreChanges, Delta semantics: deliver the
       // commit's AddFiles as-is. For delete-only commits nothing is
       // delivered. Plain appends deliver their AddFiles.
-      // skipChangeCommits suppresses every remove-carrying commit.
-      if (removes.isEmpty || (ignoreChanges && !skipChangeCommits))
+      // skipChangeCommits suppresses every remove-carrying commit;
+      // metadata-only re-adds deliver nothing ever.
+      if (!metadataOnlyReadd &&
+          (removes.isEmpty || (ignoreChanges && !skipChangeCommits)))
         adds ++= versionAdds
     }
     // Catch the cursor up to BOTH ends: on restart the engine replays

@@ -311,6 +311,42 @@ class LakeBloomSuite extends SparkSuite {
     }
   }
 
+  test("bloom build/drop commits are invisible to CDF and streams") {
+    // a backfill RE-ADDS every live file with no RemoveFile; row-level
+    // readers must not misread that as a whole-table insert (the
+    // pre-fix behavior: changes() doubled the table, a stream
+    // re-delivered it)
+    val path = tablePath("bloom-cdf")
+    LakeWriter.write(spark.range(100L).select(col("id"))
+      .coalesce(2), path) // v0: no bloom config
+    LakeTable.forPath(spark, path).setTblProperties(
+      Map(BloomIndex.PROP_COLUMNS -> "id"))                // v1
+    assert(LakeTable.forPath(spark, path).rebuildBloomIndexes() === 2) // v2
+    LakeWriter.write(spark.range(100L, 150L).select(col("id"))
+      .coalesce(1), path)                                  // v3
+    LakeTable.forPath(spark, path).dropBloomIndexes()      // v4 + v5
+
+    val t = LakeTable.forPath(spark, path)
+    // change feed: only the two real appends, nothing from v2/v5
+    val cdf = t.changes(0)
+    assert(cdf.count() === 150L)
+    assert(cdf.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap === Map("insert" -> 150L))
+
+    // stream from scratch: version replay crosses the backfill and
+    // drop commits; exactly the 150 appended rows arrive
+    val out = tmpDir("bloom-cdf-sink")
+    val q = spark.readStream.format("lake").load(path)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$out/ckpt")
+      .option("path", s"$out/data")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$out/data").count() === 150L,
+      "bloom metadata commits must not re-deliver rows to streams")
+  }
+
   test("backfill loses loudly to a concurrent rewrite; sidecars swept") {
     val path = tablePath("bloom-backfill-race")
     writeScattered(path, 1000, 4)
