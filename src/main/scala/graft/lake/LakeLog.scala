@@ -352,28 +352,47 @@ final class LakeLog(val tablePath: String) {
         actionIterator.map(Action.toJson).toSeq)
     } else {
       val numParts = ((total + partMax - 1) / partMax).toInt
-      val it = actionIterator
-      var part = 1
-      while (it.hasNext) {
-        if (CHECKPOINT_PARQUET_PARTS) {
-          // columnar parts (round 10): typed+compressed decode beats
-          // generic JSON parsing at 10⁶⁺ actions; staged as a tmp
-          // sibling so the name-pattern completeness check can never
-          // observe a torn part, then published through the store
-          val target = checkpointPartFile(version, part, numParts,
+      if (CHECKPOINT_PARQUET_PARTS) {
+        // Columnar parts (round 10): typed+compressed decode beats
+        // generic JSON parsing at 10⁶⁺ actions. Parts hold disjoint
+        // slices of the in-memory state, so they WRITE concurrently
+        // too (encode+snappy is CPU-bound; the serial driver loop was
+        // the write-side twin of the parse bottleneck the parallel
+        // replay already solved). Each part stages as a `.rep-*.tmp`
+        // sibling — a crash orphan falls under the store's staging
+        // sweep, and the name-pattern completeness check can never
+        // observe a torn part — then publishes through the store.
+        val head: Vector[Action] =
+          Vector[Action](snap.protocol, snap.metadata) ++
+            txns.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) }
+        val files = snap.files.toIndexedSeq
+        def partSlice(p: Int): Iterator[Action] = {
+          val start = (p - 1).toLong * partMax
+          val end = math.min(p.toLong * partMax, total.toLong)
+          val headPart = head.view
+            .slice(start.toInt, math.min(end, head.size.toLong).toInt)
+          val fStart = math.max(0L, start - head.size).toInt
+          val fEnd = math.max(0L, end - head.size).toInt
+          headPart.iterator ++ files.view.slice(fStart, fEnd).iterator
+        }
+        import scala.collection.parallel.CollectionConverters._
+        (1 to numParts).par.foreach { p =>
+          val target = checkpointPartFile(version, p, numParts,
             ext = "parquet")
-          // `.rep-*.tmp` so a crash orphan falls under the store's
-          // existing staging sweep (cleanupStaging)
           val tmp = target.resolveSibling(
             s".rep-${java.util.UUID.randomUUID()}.tmp")
-          CheckpointParquet.write(tmp, it.take(partMax))
+          CheckpointParquet.write(tmp, partSlice(p))
           store.atomicReplaceFile(tmp, target)
-        } else {
+        }
+      } else {
+        val it = actionIterator
+        var part = 1
+        while (it.hasNext) {
           store.atomicReplace(
             checkpointPartFile(version, part, numParts),
             it.take(partMax).map(Action.toJson).toSeq)
+          part += 1
         }
-        part += 1
       }
     }
     // the replay above cached the PRE-expiry snapshot for this
