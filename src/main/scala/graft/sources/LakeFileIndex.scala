@@ -5,13 +5,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, And,
   AttributeReference, BoundReference, Cast, EqualTo, Expression,
-  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal,
-  Predicate, Year}
+  GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual,
+  Literal, Or, Predicate, Year}
 import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   FileStatusWithMetadata, PartitionDirectory}
-import org.apache.spark.sql.types.{DateType, NumericType, StringType,
-  StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StringType, StructType,
+  TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.lake.{AddFile, FilePruner, LakeTable, Snapshot}
@@ -140,14 +141,28 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot)
     * datetime-to-date/timestamp casts, year(), and the date/timestamp
     * truncations (all floors). Equality/IN derivations don't need
     * this — any deterministic g maps src = v to p = g(v).
+    *
+    * Deliberately NOT monotone: string→datetime casts (the source
+    * ordering is lexicographic, so '2020-1-5' < '2020-09-1' yet parses
+    * to a later date — a range on the string implies nothing about the
+    * parsed value), narrowing integral casts (wraparound: cast(2^32+5
+    * as int) = 5 inverts the order), and fractional→integral casts
+    * (kept out conservatively; only exact or round-to-nearest widening
+    * conversions qualify).
     */
   private def monotone(e: Expression): Boolean = e match {
     case _: AttributeReference => true
     case c: Cast =>
       val ok = (c.child.dataType, c.dataType) match {
-        case (TimestampType | TimestampNTZType | DateType | StringType,
+        case (TimestampType | TimestampNTZType | DateType,
           DateType | TimestampType | TimestampNTZType) => true
-        case (_: NumericType, _: NumericType) => true // widening only
+        case (s @ (ByteType | ShortType | IntegerType | LongType),
+          t @ (ByteType | ShortType | IntegerType | LongType)) =>
+          t.defaultSize >= s.defaultSize // widening only, no wraparound
+        case (ByteType | ShortType | IntegerType | LongType | FloatType,
+          DoubleType) => true
+        case (ByteType | ShortType | IntegerType | LongType,
+          FloatType) => true // round-to-nearest is weakly monotone
         case _ => false
       }
       ok && monotone(c.child)
@@ -180,6 +195,14 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot)
       val pAttr = AttributeReference(
         pName, partitionSchema(pName).dataType, nullable = true)()
       def at(l: Literal): Option[Literal] = genAt(gen, l)
+      // Range derivations must keep the null partition: `src > v`
+      // implies `g(src) >= g(v)` only when g(src) is non-null — if the
+      // generation expression nulled out for a stored row (overflow,
+      // bad trunc format), that row lives in the null partition and
+      // the implication does not hold, so an unguarded range predicate
+      // would silently drop matching rows. Equality/IN need no guard:
+      // src = v gives p = g(v) exactly (g deterministic), non-null.
+      def ranged(cmp: Expression): Expression = Or(IsNull(pAttr), cmp)
       flat.flatMap {
         case EqualTo(a: AttributeReference, l: Literal)
           if a.name == srcName => at(l).map(EqualTo(pAttr, _))
@@ -193,29 +216,29 @@ final class LakeFileIndex(spark: SparkSession, snap: Snapshot)
           else None
         case GreaterThan(a: AttributeReference, l: Literal)
           if a.name == srcName && monotone(gen) =>
-          at(l).map(GreaterThanOrEqual(pAttr, _))
+          at(l).map(v => ranged(GreaterThanOrEqual(pAttr, v)))
         case GreaterThanOrEqual(a: AttributeReference, l: Literal)
           if a.name == srcName && monotone(gen) =>
-          at(l).map(GreaterThanOrEqual(pAttr, _))
+          at(l).map(v => ranged(GreaterThanOrEqual(pAttr, v)))
         case LessThan(a: AttributeReference, l: Literal)
           if a.name == srcName && monotone(gen) =>
-          at(l).map(LessThanOrEqual(pAttr, _))
+          at(l).map(v => ranged(LessThanOrEqual(pAttr, v)))
         case LessThanOrEqual(a: AttributeReference, l: Literal)
           if a.name == srcName && monotone(gen) =>
-          at(l).map(LessThanOrEqual(pAttr, _))
+          at(l).map(v => ranged(LessThanOrEqual(pAttr, v)))
         // literal-on-the-left comparisons: flip the direction
         case GreaterThan(l: Literal, a: AttributeReference)
           if a.name == srcName && monotone(gen) =>
-          at(l).map(LessThanOrEqual(pAttr, _))
+          at(l).map(v => ranged(LessThanOrEqual(pAttr, v)))
         case GreaterThanOrEqual(l: Literal, a: AttributeReference)
           if a.name == srcName && monotone(gen) =>
-          at(l).map(LessThanOrEqual(pAttr, _))
+          at(l).map(v => ranged(LessThanOrEqual(pAttr, v)))
         case LessThan(l: Literal, a: AttributeReference)
           if a.name == srcName && monotone(gen) =>
-          at(l).map(GreaterThanOrEqual(pAttr, _))
+          at(l).map(v => ranged(GreaterThanOrEqual(pAttr, v)))
         case LessThanOrEqual(l: Literal, a: AttributeReference)
           if a.name == srcName && monotone(gen) =>
-          at(l).map(GreaterThanOrEqual(pAttr, _))
+          at(l).map(v => ranged(GreaterThanOrEqual(pAttr, v)))
         case _ => None
       }
     }

@@ -260,6 +260,121 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(scannedFiles(in) === 2L)
   }
 
+  test("string-cast generated columns derive NO range pruning " +
+    "(lexicographic order is not date order)") {
+    // p_day = CAST(src AS DATE) from a STRING source: string ordering
+    // is lexicographic, so src > '2020-09-1' matches '2020-1-5' (char
+    // '1' > '0' at position 5) even though it parses to an EARLIER
+    // date. A derived p_day >= 2020-09-01 would wrongly prune that
+    // row's partition — the monotone() allowlist must reject the
+    // string→date cast so ranges on src derive nothing.
+    val path = tablePath("genstrprune")
+    val df = Seq(
+      (1L, "2020-1-5"),   // parses to 2020-01-05; lexic. > '2020-09-1'
+      (2L, "2020-09-1"),  // boundary value itself
+      (3L, "2020-10-15"), // both orders agree
+      (4L, "2019-12-31")  // both orders exclude
+    ).toDF("id", "src").repartition(4, $"src")
+    LakeWriter.write(df, path, partitionBy = Seq("p_day"),
+      properties = Map("graft.generated.p_day" -> "CAST(src AS DATE)"))
+    val t = spark.read.format("lake").load(path)
+    val total = scannedFiles(t)
+    assert(total === 4L)
+
+    // lexicographic comparison on the source: ids 1 and 3 match.
+    // The buggy string→date range derivation pruned the 2020-01-05
+    // partition (its date < 2020-09-01) and lost id 1.
+    val range = t.filter($"src" > "2020-09-1")
+    assert(range.select("id").as[Long].collect().sorted === Array(1L, 3L))
+    // min/max STRING stats legitimately prune the two files whose
+    // lexicographic range can't match ('2019-12-31', '2020-09-1');
+    // the derived-date bug would have dropped a third, leaving 1.
+    assert(scannedFiles(t.filter($"src" > "2020-09-1")) === 2L)
+
+    // equality derivation is still legal for any deterministic g
+    val eq = t.filter($"src" === "2020-10-15")
+    assert(eq.count() === 1L)
+    assert(scannedFiles(t.filter($"src" === "2020-10-15")) === 1L)
+  }
+
+  test("narrowing numeric casts derive NO range pruning (wraparound)") {
+    // p = CAST(src AS INT) from a LONG source narrows: values beyond
+    // 2^31 wrap (non-ANSI cast), so the mapping is not
+    // order-preserving: src = 2^32+5 lands in partition p = 5, yet the
+    // buggy derivation turned `src > 500` into `p >= 500` and pruned
+    // that row's partition. monotone() must reject long→int. The
+    // wraparound row is written under a non-ANSI child session (ANSI
+    // would throw on the overflow instead of wrapping).
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.ansi.enabled", "false")
+    val path = tablePath("gennarrow")
+    val df = {
+      import ns.implicits._
+      Seq((1L, 100L), (2L, (1L << 32) + 5L), (3L, 30000L))
+        .toDF("id", "src").repartition(3, $"src")
+    }
+    LakeWriter.write(df, path, partitionBy = Seq("p"),
+      properties = Map("graft.generated.p" -> "CAST(src AS INT)"))
+    val t = spark.read.format("lake").load(path)
+    assert(scannedFiles(t) === 3L)
+
+    // the wrapped row (src = 2^32+5, partition p = 5) must survive a
+    // range filter on src — the buggy p >= 500 derivation dropped it
+    val range = t.filter($"src" > 500L)
+    assert(range.select("id").as[Long].collect().sorted === Array(2L, 3L))
+    // min/max LONG stats prune the src=100 file; nothing else may go
+    assert(scannedFiles(t.filter($"src" > 500L)) === 2L)
+    // equality (no monotonicity needed) still prunes to one file
+    assert(scannedFiles(t.filter($"src" === 30000L)) === 1L)
+  }
+
+  test("property: derived pruning never drops rows (boundary sweep)") {
+    // ScalaCheck sweep over boundary timestamps (epoch, pre-1970,
+    // month/year edges, leap day) × comparison ops: the result of a
+    // filter through generated-column pruning must equal the answer
+    // computed in memory from the full data. Pruning bugs at scale are
+    // silent wrong answers — this pins the planner rule's soundness.
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val path = tablePath("genpropsweep")
+    val days = Seq("1969-12-28", "1969-12-31", "1970-01-01",
+      "2023-12-31", "2024-01-01", "2024-02-29", "2024-03-01",
+      "2024-12-31")
+    val times = Seq("00:00:00", "00:00:01", "12:00:00", "23:59:59")
+    val rows: Seq[(Long, java.sql.Timestamp)] =
+      for ((d, di) <- days.zipWithIndex; (tm, ti) <- times.zipWithIndex)
+        yield ((di * 10 + ti).toLong,
+          java.sql.Timestamp.valueOf(s"$d $tm"))
+    LakeWriter.write(rows.toDF("id", "ts").coalesce(1), path,
+      partitionBy = Seq("p_day"),
+      properties = Map("graft.generated.p_day" -> "CAST(ts AS DATE)"))
+    val t = spark.read.format("lake").load(path)
+    assert(scannedFiles(t) === days.size.toLong)
+
+    val litGen: Gen[java.sql.Timestamp] = for {
+      d <- Gen.oneOf(days ++ Seq("1970-01-02", "2024-06-15"))
+      tm <- Gen.oneOf(times :+ "23:59:58")
+    } yield java.sql.Timestamp.valueOf(s"$d $tm")
+    val opGen: Gen[String] = Gen.oneOf("<", "<=", ">", ">=", "=")
+    def holds(op: String, ts: java.sql.Timestamp,
+        v: java.sql.Timestamp): Boolean = op match {
+      case "<" => ts.compareTo(v) < 0
+      case "<=" => ts.compareTo(v) <= 0
+      case ">" => ts.compareTo(v) > 0
+      case ">=" => ts.compareTo(v) >= 0
+      case "=" => ts.compareTo(v) == 0
+    }
+    val prop = Prop.forAll(litGen, opGen) { (v, op) =>
+      val got = t.filter(s"ts $op timestamp'$v'")
+        .select("id").as[Long].collect().sorted
+      val want = rows.collect {
+        case (id, ts) if holds(op, ts, v) => id }.sorted.toArray
+      got.sameElements(want)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"boundary sweep failed: ${res.status}")
+  }
+
   test("metadata-only DELETE handles null partitions correctly") {
     val path = tablePath("dsv2nulldel")
     Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
