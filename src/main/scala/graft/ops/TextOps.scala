@@ -344,12 +344,25 @@ object TextOps {
     val docs = df.select(col(idCol).as("__id"),
       winnowingFingerprints(col(textCol), n, window).as("__fp"))
     val e = docs.select(col("__id"), explode(col("__fp")).as("__f"))
-    // posting length per fingerprint via one shuffle-on-fingerprint
-    // window; the partitioning is reused by the cold self-join below
-    val withK = e.withColumn("__k", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("__f")))
-    val cold = withK.filter(col("__k") <= hotThreshold)
-    val hot = withK.filter(col("__k") > hotThreshold)
+    // The hot SET is derived with a partial aggregation — map-side
+    // combine collapses each task's postings to its distinct
+    // fingerprints before the shuffle, and the filter leaves only
+    // fingerprints in more than `hotThreshold` postings: near-zero
+    // rows on any unskewed corpus, metadata-sized even under skew
+    // (bounded by total postings / hotThreshold). The round-10 window
+    // variant (count over partitionBy(__f)) shuffled AND sorted every
+    // exploded posting to learn the same thing, doubling the query in
+    // the common case. Everything stays in ONE lazy plan — the hot
+    // aggregation, the broadcast splits, and the self-join are
+    // independent stage subtrees the scheduler overlaps, which beats
+    // an eager collect-then-plan split on wall-clock (measured: the
+    // doc scan has few partitions, so sequential passes idle cores).
+    val hotFps = e.groupBy(col("__f"))
+      .agg(count(lit(1)).as("__k"))
+      .filter(col("__k") > hotThreshold)
+      .select(col("__f"))
+    val cold = e.join(broadcast(hotFps), Seq("__f"), "left_anti")
+    val hot = e.join(broadcast(hotFps), Seq("__f"), "left_semi")
     // per-doc multiset of hot fingerprints (fingerprint -> count):
     // empty relation on an unskewed corpus
     val hotMaps = hot.groupBy(col("__id"), col("__f"))
