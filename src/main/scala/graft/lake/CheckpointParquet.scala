@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.Path
+import java.nio.file.{Files, Path}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.Group
@@ -215,6 +215,13 @@ object CheckpointParquet {
       .build()
     try actions.foreach(a => writer.write(toGroup(a)))
     finally writer.close()
+    // Hadoop's default file: scheme is the CHECKSUMMED LocalFileSystem,
+    // which drops a ".<name>.crc" sibling next to the staged body; the
+    // publish move takes only the body, so the sibling would accrete
+    // as debris in the log directory forever. Delete it here (the
+    // staging sweeps also match it, as crash-path insurance).
+    Files.deleteIfExists(
+      target.resolveSibling("." + target.getFileName.toString + ".crc"))
   }
 
   /** All actions of the parquet checkpoint part at `p`. */

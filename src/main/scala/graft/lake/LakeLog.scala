@@ -358,10 +358,11 @@ final class LakeLog(val tablePath: String) {
         // slices of the in-memory state, so they WRITE concurrently
         // too (encode+snappy is CPU-bound; the serial driver loop was
         // the write-side twin of the parse bottleneck the parallel
-        // replay already solved). Each part stages as a `.rep-*.tmp`
-        // sibling — a crash orphan falls under the store's staging
-        // sweep, and the name-pattern completeness check can never
-        // observe a torn part — then publishes through the store.
+        // replay already solved). Each part stages where the STORE
+        // says (stageFileTarget) — a crash orphan falls under that
+        // store's staging sweep, and the name-pattern completeness
+        // check can never observe a torn part — then publishes
+        // through the store.
         val head: Vector[Action] =
           Vector[Action](snap.protocol, snap.metadata) ++
             txns.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) }
@@ -379,8 +380,11 @@ final class LakeLog(val tablePath: String) {
         (1 to numParts).par.foreach { p =>
           val target = checkpointPartFile(version, p, numParts,
             ext = "parquet")
-          val tmp = target.resolveSibling(
-            s".rep-${java.util.UUID.randomUUID()}.tmp")
+          // the STORE owns the staging location (local: .rep-* tmp
+          // sibling; object store: its internal staging area) so its
+          // own cleanupStaging sweep covers a crash between write and
+          // publish, and the staged body is never a listable key
+          val tmp = store.stageFileTarget(target)
           CheckpointParquet.write(tmp, partSlice(p))
           store.atomicReplaceFile(tmp, target)
         }

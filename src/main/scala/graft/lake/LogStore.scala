@@ -61,13 +61,29 @@ trait LogStore {
     try Some((Files.size(p), Files.getLastModifiedTime(p).toMillis))
     catch { case _: java.io.IOException => None }
 
+  /** Where a caller must stage a large binary body destined for
+    * `target` before handing it to [[atomicReplaceFile]] — the store
+    * owns the location so ITS [[cleanupStaging]] sweep finds the body
+    * if the writer crashes between staging and publish, and so the
+    * staged file never surfaces as a listable key of the store. The
+    * local default stages as a `.rep-*.tmp` sibling (same directory =
+    * same filesystem, so the publish move stays atomic), which the
+    * local sweep already matches.
+    */
+  def stageFileTarget(target: Path): Path = {
+    Files.createDirectories(target.getParent)
+    target.resolveSibling(
+      s".rep-${java.util.UUID.randomUUID()}.tmp")
+  }
+
   /** Atomically publish an already-staged LOCAL binary file as
     * `target`, replacing previous content — the binary twin of
     * [[atomicReplace]] for files too large or non-line-oriented to
-    * buffer as strings (parquet checkpoint parts). Same contract:
-    * last writer wins, readers never observe a torn file. An object
-    * store implements this as a single-object upload (PUT is atomic
-    * on S3/GCS/ABFS); the local default moves atomically.
+    * buffer as strings (parquet checkpoint parts). The staged file
+    * must come from [[stageFileTarget]]. Same contract: last writer
+    * wins, readers never observe a torn file. An object store
+    * implements this as a single-object upload (PUT is atomic on
+    * S3/GCS/ABFS); the local default moves atomically.
     */
   def atomicReplaceFile(staged: Path, target: Path): Unit = {
     Files.createDirectories(target.getParent)
@@ -128,15 +144,20 @@ object LocalLogStore extends LogStore {
   override def delete(p: Path): Boolean = Files.deleteIfExists(p)
 
   /** Sweep `.put-*`/`.rep-*` tmp orphans a crashed writer left between
-    * write and link/move. Age-gated so a LIVE writer's in-flight tmp
-    * (milliseconds old) is never yanked from under it.
+    * write and link/move, plus the `..rep-*.tmp.crc` siblings Hadoop's
+    * checksummed LocalFileSystem writes next to staged parquet bodies
+    * (deleted eagerly on the happy path, orphaned on a crash).
+    * Age-gated so a LIVE writer's in-flight tmp (milliseconds old) is
+    * never yanked from under it.
     */
   override def cleanupStaging(dir: Path, horizonMs: Long): Unit = {
     val cutoff = System.currentTimeMillis() - horizonMs
     listDir(dir).foreach { p =>
       val n = p.getFileName.toString
-      if ((n.startsWith(".put-") || n.startsWith(".rep-")) &&
-          n.endsWith(".tmp")) {
+      if (((n.startsWith(".put-") || n.startsWith(".rep-")) &&
+            n.endsWith(".tmp")) ||
+          ((n.startsWith("..put-") || n.startsWith("..rep-")) &&
+            n.endsWith(".tmp.crc"))) {
         try {
           if (Files.getLastModifiedTime(p).toMillis < cutoff)
             Files.deleteIfExists(p)

@@ -119,6 +119,32 @@ final class ObjectStoreLogStore extends LogStore {
       } finally Files.deleteIfExists(tmp)
     }
 
+  /** Large binary bodies stage inside the server-internal staging
+    * area, NOT as siblings of the target: a sibling would be a
+    * listable key of the bucket (violating the emulation — a real
+    * client's upload buffer is never a key), and a writer crashing
+    * between staging and publish would orphan it outside this store's
+    * [[cleanupStaging]] sweep. Same filesystem as the target, so the
+    * publish move stays atomic.
+    */
+  override def stageFileTarget(target: Path): Path = {
+    val staging = target.getParent.resolve(ObjectStoreLogStore.STAGING_DIR)
+    Files.createDirectories(staging)
+    staging.resolve(
+      s"objstore-file-${java.util.UUID.randomUUID()}.tmp")
+  }
+
+  /** The single-object upload of an already-staged body: one atomic
+    * unconditional PUT under the server lock, exactly like
+    * [[atomicReplace]] — last writer wins, never torn.
+    */
+  override def atomicReplaceFile(staged: Path, target: Path): Unit =
+    serverLock.synchronized {
+      Files.createDirectories(target.getParent)
+      Files.move(staged, target,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
   override def listDir(dir: Path): Seq[Path] = {
     val entries =
       if (!Files.isDirectory(dir)) Nil

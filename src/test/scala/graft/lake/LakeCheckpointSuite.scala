@@ -564,6 +564,42 @@ class LakeCheckpointSuite extends SparkSuite {
     live.toSet
   }
 
+  test("parquet checkpoint staging leaves no .crc or .tmp debris") {
+    // Hadoop's checksummed LocalFileSystem writes a "..rep-*.tmp.crc"
+    // sibling next to every staged parquet body; the publish move
+    // takes only the body, so without eager deletion the sibling
+    // accretes in _log forever (one per part per checkpoint).
+    withPartMax(5) {
+      val path = tablePath("ckpt-nocrc")
+      val log = new LakeLog(path)
+      log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
+        Protocol()))
+      (1L to 14L).foreach { v =>
+        log.commit(v, Seq(CommitInfo(v, "APPEND", Map.empty),
+          addFile(s"f${v}a"), addFile(s"f${v}b")))
+      }
+      val names = LogStore.current.listDir(log.logDir)
+        .map(_.getFileName.toString)
+      assert(names.exists(_.matches(
+        "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.parquet")),
+        s"no multi-part checkpoint in $names")
+      assert(!names.exists(_.endsWith(".crc")),
+        s"orphaned checksum sibling in _log: $names")
+      assert(!names.exists(_.endsWith(".tmp")),
+        s"orphaned staging body in _log: $names")
+      // and the crash-path sweep matches the checksum-sibling pattern
+      val debris = log.logDir.resolve("..rep-deadbeef.tmp.crc")
+      java.nio.file.Files.write(debris,
+        java.util.Arrays.asList("x"))
+      java.nio.file.Files.setLastModifiedTime(debris,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 24L * 3600 * 1000))
+      LogStore.current.cleanupStaging(log.logDir, 3600 * 1000L)
+      assert(!java.nio.file.Files.exists(debris),
+        "aged ..rep-*.tmp.crc debris must be swept")
+    }
+  }
+
   test("stale multi-part checkpoints are cleaned up with the aux files") {
     withPartMax(2) {
       val path = tablePath("ckpt-clean")

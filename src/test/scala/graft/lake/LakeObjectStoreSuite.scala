@@ -255,4 +255,57 @@ class LakeObjectStoreSuite extends StoreContractSuite {
     assert(objStore.delete(key))
     assert(!objStore.exists(key))
   }
+
+  test("parquet checkpoint parts stage inside the staging area, " +
+    "never as bucket keys") {
+    // The parquet checkpoint path stages large binary bodies through
+    // stageFileTarget; on the object store that MUST be the internal
+    // staging area — a .rep-* sibling in the log dir would be a
+    // listable key (violating the emulation) and, after a crash
+    // between staging and publish, an orphan outside this store's
+    // cleanupStaging sweep.
+    val staged = objStore.stageFileTarget(
+      java.nio.file.Paths.get(tmpDir("objstore-stage"), "part.parquet"))
+    assert(staged.getParent.getFileName.toString === ".objstore-staging",
+      s"binary staging landed at $staged, outside the staging area")
+
+    val prev = LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 5
+    try {
+      val path = tablePath("objstore-ckpt")
+      val log = new LakeLog(path)
+      log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty),
+        Metadata("id BIGINT", Nil, 0L, Map.empty, Map.empty), Protocol()))
+      (1L to 14L).foreach { v =>
+        log.commit(v, Seq(CommitInfo(v, "APPEND", Map.empty),
+          AddFile(s"f${v}a.parquet", Map.empty, 10L, 1L, Map.empty,
+            Map.empty, Map.empty),
+          AddFile(s"f${v}b.parquet", Map.empty, 10L, 1L, Map.empty,
+            Map.empty, Map.empty)))
+      }
+      val names = objStore.listDir(log.logDir)
+        .map(_.getFileName.toString)
+      assert(names.exists(_.matches(
+        "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.parquet")),
+        s"no multi-part parquet checkpoint in $names")
+      // no staging debris of any kind is a listable key
+      assert(!names.exists(n => n.endsWith(".tmp") || n.endsWith(".crc")
+          || n.startsWith(".rep-") || n.startsWith("..rep-")),
+        s"staging debris listable as bucket keys: $names")
+      // and replay through the parquet checkpoint works
+      assert(log.snapshot().numFiles === 28)
+      // a crash between staging and publish (simulated: aged body in
+      // the staging area) is swept by THIS store's cleanupStaging
+      val stagingDir = log.logDir.resolve(".objstore-staging")
+      val orphan = stagingDir.resolve("objstore-file-orphan.tmp")
+      java.nio.file.Files.createDirectories(stagingDir)
+      java.nio.file.Files.write(orphan, java.util.Arrays.asList("x"))
+      java.nio.file.Files.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 24L * 3600 * 1000))
+      objStore.cleanupStaging(log.logDir, 3600 * 1000L)
+      assert(!java.nio.file.Files.exists(orphan),
+        "aged staged checkpoint body must be swept")
+    } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prev
+  }
 }
