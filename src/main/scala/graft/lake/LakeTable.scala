@@ -1489,8 +1489,19 @@ final class LakeTable private (
       // pre-evolution files may lack an indexed column; a uniform
       // schema cannot be assumed across the table's history
       mergeSchema = true)
+    // buildSidecars keys its result by relBase.relativize(absolute
+    // scan path). For table-relative AddFiles that equals f.path, but
+    // a SHALLOW CLONE's AddFile is ABSOLUTE (it references the source
+    // table's file) and relativize turns it into a "../..."-style key
+    // that f.path never equals — so look up by the SAME derivation,
+    // not by the raw log path, or every cloned file is silently
+    // skipped and its just-written sidecar orphaned.
+    val rootAbs = root.toAbsolutePath.normalize
+    def sidecarKey(f: AddFile): String = rootAbs.relativize(
+      LakeLog.resolveFile(tablePath, f.path).toAbsolutePath.normalize)
+      .toString
     val adds = missing.flatMap(f =>
-      bloomFor.get(f.path).map(rel => f.copy(bloomPath = Some(rel))))
+      bloomFor.get(sidecarKey(f)).map(rel => f.copy(bloomPath = Some(rel))))
     if (adds.isEmpty) return 0
     val now = System.currentTimeMillis()
     try {

@@ -215,6 +215,40 @@ class LakeBloomSuite extends SparkSuite {
     assert(after.rebuildBloomIndexes() === 0)
   }
 
+  test("backfill covers a shallow clone's absolute-path files") {
+    // A shallow clone's AddFiles reference the SOURCE table's data
+    // files by absolute path. buildSidecars keys its result by
+    // relativized scan path, so a raw f.path lookup silently skipped
+    // every cloned file: the backfill wrote sidecars, then committed
+    // nothing (returning 0 as if all were covered) and orphaned them.
+    val srcPath = tablePath("bloom-clone-src")
+    LakeWriter.write(
+      spark.range(4000L).select(col("id"),
+        concat(lit("p"), col("id")).as("s")).repartition(8, col("id")),
+      srcPath)
+    val clonePath = tablePath("bloom-clone-dst")
+    val clone = LakeTable.forPath(spark, srcPath).shallowCloneTo(clonePath)
+    assert(clone.snapshot().files.forall(_.path.startsWith("/")),
+      "fixture broken: shallow clone must reference files absolutely")
+
+    clone.setTblProperties(Map(
+      BloomIndex.PROP_COLUMNS -> "id",
+      BloomIndex.PROP_NUM_ITEMS -> "10000"))
+    val indexed = LakeTable.forPath(spark, clonePath).rebuildBloomIndexes()
+    assert(indexed === 8, s"backfill indexed $indexed of 8 cloned files")
+    val after = LakeTable.forPath(spark, clonePath)
+    assert(after.snapshot().files.forall(_.bloomPath.isDefined))
+    // cloned data files untouched; sidecars live under the CLONE
+    assert(after.snapshot().files.forall(_.path.startsWith("/")))
+    // the backfilled index skips on the clone's scan path
+    val (rows, skipped) =
+      skipsDuring(after.toDF.filter(col("id") === 2345L).collect())
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2345L))
+    assert(skipped >= 5)
+    // idempotent second pass: everything covered
+    assert(after.rebuildBloomIndexes() === 0)
+  }
+
   test("backfill across schema evolution: pre-evolution files skip entirely") {
     val path = tablePath("bloom-backfill-evo")
     LakeWriter.write(
