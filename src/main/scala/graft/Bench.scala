@@ -282,6 +282,40 @@ object Bench {
       }"max":${f"$calMax%.4f"},"ratio":${f"$calRatio%.3f"},${""
       }"contended":$contended,"probeFailures":$probeFailures},${""
       }"hostFactor":${f"$hostFactor%.3f"},"sf":"$sfDir"}""")
+    // Full-record artifact: the driver captures only a truncated tail
+    // of stdout (BENCH_r10 hid 37 of 82 per-query numbers from
+    // review), so persist the COMPLETE per-query record — adjudicated
+    // time, raw-min/spread, floor, and ratio — as a repo file that is
+    // committed with the round. Best-effort: the canonical stdout
+    // line above stays the driver contract.
+    try {
+      val fullFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+        "bench_full.json")
+      val spreadOf = results.map(r => r._1 -> r._3).toMap
+      val perQuery = adjudicated.map { case (name, sec, _) =>
+        val floor = prior.get(name)
+        s""""$name":{"sec":$sec,"spread":${spreadOf(name)},${""
+          }"floor":${floor.fold("null")(_.toString)},${""
+          }"ratioToFloor":${
+            floor.filter(_ > 0).filter(_ => sec > 0)
+              .fold("null")(p => f"${sec / p}%.3f")}}"""
+      }.mkString("{", ",", "}")
+      val doc = s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,${""
+        }"total":$total,"hostFactor":${f"$hostFactor%.3f"},${""
+        }"failed":$failedJson,"reran":$reranJson,${""
+        }"unresolved":$unresolvedJson,${""
+        }"calibration":{"samples":$samplesJson,${""
+        }"median":${f"$calMedian%.4f"},"max":${f"$calMax%.4f"},${""
+        }"ratio":${f"$calRatio%.3f"},"contended":$contended,${""
+        }"probeFailures":$probeFailures},${""
+        }"queries":$perQuery}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(fullFile), doc.getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query record -> $fullFile")
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] could not write full record: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(
