@@ -750,12 +750,24 @@ object OpsQueries {
         val corpus = e.select(col("vec_id").as("id"),
           col("embedding").as("vec"))
         val indexPath = scratch("sim_ivf_index", dir)
+        // build/probe wall-time split on stderr: the gate fuses index
+        // construction (two lake-table writes) with the probe, so a
+        // creeping bench number is unattributable without this line
+        // (VERDICT r10; the probe-side scan bound is pinned by the
+        // OpsSuite file-count assertion)
+        val tBuild = System.nanoTime()
         SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 16)
+        val buildSec = (System.nanoTime() - tBuild) / 1e9
         val approx = SimilarityOps.ivfIndexTopK(
           queries, indexPath, k = 5, nprobe = 4)
         val nQueries = src.count()
+        val tProbe = System.nanoTime()
         val found = approx
           .filter(col("neighbor_id") === col("qid") - 1000000L).count()
+        val probeSec = (System.nanoTime() - tProbe) / 1e9
+        System.err.println(
+          f"[gate] sim_ivf_index_recall build=$buildSec%.3fs " +
+          f"probe=$probeSec%.3fs")
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
         require(recall >= 0.9,
           s"persisted-IVF recall $recall below 0.9 ($found/$nQueries)")

@@ -153,6 +153,16 @@ class OpsSuite extends SparkSuite {
     assert(filesRead < filesTotal,
       s"cell filter should prune assignment files at planning time " +
       s"($filesRead of $filesTotal read)")
+    // pin the metric exactly: the scan may touch AT MOST the probed
+    // cells' own files (VERDICT r10: localize probe regressions
+    // before they hide in the fused build+probe gate number)
+    val probedCellFiles = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").snapshot()
+      .files.count(f =>
+        Set("0", "1").contains(f.partitionValues.getOrElse("cell", "")))
+    assert(filesRead <= probedCellFiles,
+      s"probe scanned $filesRead files, more than the probed cells " +
+      s"own ($probedCellFiles)")
     // rebuild is an atomic overwrite, probe still consistent
     SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 8)
     assert(SimilarityOps.ivfIndexTopK(queries, indexPath, k = 3, nprobe = 2)
