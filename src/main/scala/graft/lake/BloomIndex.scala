@@ -77,17 +77,52 @@ object BloomIndex {
     props.get(PROP_NUM_ITEMS).map(_.toLong).getOrElse(1000000L)
 
   /** A type whose write-side Row value and read-side pushed-Filter
-    * value hash identically in [[put]]/[[mightContain]]. Types with
-    * engine-dependent literal representations (dates, timestamps,
-    * decimals, floats) are deliberately out.
+    * value hash identically in [[put]]/[[mightContain]]. Dates and
+    * timestamps normalize to their underlying int64 (epoch days /
+    * epoch micros — the parquet physical representation — via
+    * [[canonical]], covering both the java.sql and java.time external
+    * forms); decimals normalize to a scale-canonical plain string.
+    * Floats/doubles stay out: binary-equality point lookups on
+    * floating point are a user error the index should not encourage.
     */
   def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case StringType | BinaryType => true
+    case DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
     case _ => false
   }
 
-  private def put(bf: BloomFilter, v: Any): Unit = v match {
+  /** Normalize the engine-dependent EXTERNAL representations of one
+    * logical value to a single hashable form. Both sides use this:
+    * the build hashes Row values (java.sql.Date/Timestamp, or
+    * java.time.LocalDate/Instant under the java8 datetime API, or
+    * LocalDateTime for TIMESTAMP_NTZ), the scan hashes pushed-Filter
+    * literals — the same value must hash identically whichever form
+    * it arrives in. Decimals are the subtle one: 1.0 and 1.00 are the
+    * SAME value at different scales, so the canonical form strips
+    * trailing zeros before printing.
+    */
+  private def canonical(v: Any): Any = v match {
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(d).toLong
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case l: java.time.LocalDateTime =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(l)
+    case b: java.math.BigDecimal =>
+      if (b.signum() == 0) "0" else b.stripTrailingZeros.toPlainString
+    case d: org.apache.spark.sql.types.Decimal =>
+      canonical(d.toJavaBigDecimal)
+    case other => other
+  }
+
+  private def put(bf: BloomFilter, v: Any): Unit = canonical(v) match {
     case b: java.lang.Byte => bf.putLong(b.longValue()); ()
     case s: java.lang.Short => bf.putLong(s.longValue()); ()
     case i: java.lang.Integer => bf.putLong(i.longValue()); ()
@@ -102,17 +137,18 @@ object BloomIndex {
   /** Conservative membership for a pushed literal: true (keep the
     * file) whenever the value's type is not one we hash.
     */
-  private def mightContain(bf: BloomFilter, v: Any): Boolean = v match {
-    case b: java.lang.Byte => bf.mightContainLong(b.longValue())
-    case s: java.lang.Short => bf.mightContainLong(s.longValue())
-    case i: java.lang.Integer => bf.mightContainLong(i.longValue())
-    case l: java.lang.Long => bf.mightContainLong(l)
-    case s: String => bf.mightContainString(s)
-    case u: org.apache.spark.unsafe.types.UTF8String =>
-      bf.mightContainString(u.toString)
-    case b: Array[Byte] => bf.mightContainBinary(b)
-    case _ => true
-  }
+  private def mightContain(bf: BloomFilter, v: Any): Boolean =
+    canonical(v) match {
+      case b: java.lang.Byte => bf.mightContainLong(b.longValue())
+      case s: java.lang.Short => bf.mightContainLong(s.longValue())
+      case i: java.lang.Integer => bf.mightContainLong(i.longValue())
+      case l: java.lang.Long => bf.mightContainLong(l)
+      case s: String => bf.mightContainString(s)
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        bf.mightContainString(u.toString)
+      case b: Array[Byte] => bf.mightContainBinary(b)
+      case _ => true
+    }
 
   // ---- write side --------------------------------------------------------
 
@@ -165,7 +201,8 @@ object BloomIndex {
       val dt = df.schema(c).dataType
       require(supported(dt),
         s"$PROP_COLUMNS names $c of unsupported type " +
-        s"${dt.simpleString}; supported: integral, string, binary")
+        s"${dt.simpleString}; supported: integral, string, binary, " +
+        "date, timestamp, decimal")
     }
     if (present.isEmpty) return Map.empty
     val sel = df.select(
@@ -207,12 +244,23 @@ object BloomIndex {
         Files.newOutputStream(target)))
       try {
         out.writeInt(MAGIC)
-        out.writeInt(1)
+        // v2: each bloom is LENGTH-PREFIXED. Spark's
+        // BloomFilter.readFrom(InputStream) over-consumes the stream
+        // past the bloom's own bytes (its internal buffering), so a
+        // v1 sidecar with more than one column was unreadable past
+        // the first entry — every multi-column sidecar silently fell
+        // back to "never skip". The length prefix makes each entry
+        // independently decodable.
+        out.writeInt(2)
         out.writeInt(n)
         var i = 0
         while (i < n) {
           out.writeUTF(colNames(i))
-          blooms(i).writeTo(out)
+          val bb = new java.io.ByteArrayOutputStream()
+          blooms(i).writeTo(bb)
+          val bytes = bb.toByteArray
+          out.writeInt(bytes.length)
+          out.write(bytes)
           i += 1
         }
       } finally out.close()
@@ -242,11 +290,21 @@ object BloomIndex {
     val m =
       try {
         require(in.readInt() == MAGIC, s"not a bloom sidecar: $sidecarPath")
-        require(in.readInt() == 1, s"unknown bloom sidecar version")
+        val version = in.readInt()
+        require(version == 1 || version == 2,
+          s"unknown bloom sidecar version $version")
         val n = in.readInt()
         (0 until n).map { _ =>
           val name = in.readUTF()
-          name -> BloomFilter.readFrom(in)
+          val bf =
+            if (version == 2) {
+              // length-prefixed: decode from an exact-bounds buffer
+              // (BloomFilter.readFrom over-consumes a raw stream)
+              val buf = new Array[Byte](in.readInt())
+              in.readFully(buf)
+              BloomFilter.readFrom(new java.io.ByteArrayInputStream(buf))
+            } else BloomFilter.readFrom(in) // v1: single-column only
+          name -> bf
         }.toMap
       } finally in.close()
     cache.put(sidecarPath, new SoftReference(m))

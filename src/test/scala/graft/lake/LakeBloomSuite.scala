@@ -162,6 +162,68 @@ class LakeBloomSuite extends SparkSuite {
     assert(t.toDF.count() === 0L)
   }
 
+  test("type matrix: date, timestamp, and decimal keys skip files") {
+    // values normalize through BloomIndex.canonical (epoch days /
+    // epoch micros / scale-stripped decimal string), so the write-side
+    // Row form and the read-side pushed-literal form must meet in the
+    // same hash. Hash-scattered layout: every file spans the full
+    // range of every key column, min/max stats prune nothing, and the
+    // needles are interior — only the bloom can skip.
+    val path = tablePath("bloom-types")
+    LakeWriter.write(
+      spark.range(4000L).select(
+        col("id"),
+        expr("date_add(date'2020-01-01', CAST(id AS INT))").as("d"),
+        expr("timestamp'2020-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, 0, id)").as("ts"),
+        expr("CAST(id * 1.25 AS DECIMAL(12,2))").as("dec"))
+        .repartition(8, col("id")),
+      path, properties = Map(
+        BloomIndex.PROP_COLUMNS -> "d,ts,dec",
+        BloomIndex.PROP_NUM_ITEMS -> "10000"))
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().files.forall(_.bloomPath.isDefined))
+
+    // interior needles for row id = 2345
+    val dNeedle = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(2345))
+    val tsNeedle = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0).plusSeconds(2345))
+    val decNeedle = new java.math.BigDecimal("2931.25") // 2345 * 1.25
+
+    val (dRows, dSkip) =
+      skipsDuring(t.toDF.filter(col("d") === dNeedle).collect())
+    assert(dRows.map(_.getLong(0)).toSeq === Seq(2345L))
+    assert(dSkip >= 5, s"date lookup skipped only $dSkip of 8 files")
+
+    val (tsRows, tsSkip) =
+      skipsDuring(t.toDF.filter(col("ts") === tsNeedle).collect())
+    assert(tsRows.map(_.getLong(0)).toSeq === Seq(2345L))
+    assert(tsSkip >= 5, s"timestamp lookup skipped only $tsSkip of 8")
+
+    val (decRows, decSkip) =
+      skipsDuring(t.toDF.filter(col("dec") === decNeedle).collect())
+    assert(decRows.map(_.getLong(0)).toSeq === Seq(2345L))
+    assert(decSkip >= 5, s"decimal lookup skipped only $decSkip of 8")
+
+    // scale variants of the same decimal VALUE hash identically:
+    // an equality written with extra trailing zeros must still match
+    // (and therefore must NOT skip the needle's own file)
+    val padded = t.toDF.filter(
+      col("dec") === new java.math.BigDecimal("2931.2500")).collect()
+    assert(padded.map(_.getLong(0)).toSeq === Seq(2345L))
+
+    // floats remain out: configuring one still fails loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.write(
+        spark.range(10L).select(col("id"),
+          col("id").cast("double").as("x")),
+        tablePath("bloom-float"),
+        properties = Map(BloomIndex.PROP_COLUMNS -> "x"))
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
   test("unknown configured column fails the write loudly") {
     val path = tablePath("bloom-typo")
     val e = intercept[IllegalArgumentException] {
