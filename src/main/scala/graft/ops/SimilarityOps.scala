@@ -146,7 +146,8 @@ object SimilarityOps {
   def buildIvfIndex(
       corpus: DataFrame, indexPath: String,
       nlist: Int = 16, refineIterations: Int = 0,
-      idCol: String = "id", vecCol: String = "vec"): Unit = {
+      idCol: String = "id", vecCol: String = "vec",
+      pq: Boolean = false, pqM: Int = 8, pqK: Int = 16): Unit = {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
     val centroids =
       if (refineIterations <= 0)
@@ -181,7 +182,294 @@ object SimilarityOps {
       mode = "overwrite", partitionBy = Seq("cell"),
       operation = "BUILD IVF INDEX")
     Await.result(centroidWrite, Duration.Inf)
+    if (pq) buildPqTables(corpus.sparkSession, indexPath, pqM, pqK)
+  }
+
+  /** Product-quantize the RESIDUALS of a built IVF index (public:
+    * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 — the IVFADC layout) into two more lake
+    * tables under `indexPath`:
+    *
+    *  - `pq_codebooks` — (m, code, center), `pqM`·`pqK` rows of
+    *    subspace centers trained on residuals (vec − cell centroid).
+    *    Metadata-sized: probes load it like the centroid table.
+    *  - `pq_codes` — (id, codes ARRAY<INT>, norm_hat) PARTITIONED BY
+    *    cell: `pqM` small ints plus one float per vector instead of
+    *    the full float vector. At 100 TB of embeddings this is what a
+    *    probe READS to rank candidates — 16–32× fewer bytes than the
+    *    assignment vectors — with `norm_hat` (the reconstruction's
+    *    norm, fixed at encode time) making the ADC score an exact
+    *    cosine against the reconstruction.
+    *
+    * Codebook training is deterministic and driver-side on a bounded
+    * sample (max(8·pqK, 256) residuals by xxhash64 order — the same
+    * metadata-sized-collect posture as [[kmeansCentroids]]): greedy
+    * farthest-point seeding then 3 Lloyd iterations per subspace.
+    * ENCODING is distributed: one mapPartitions pass over the
+    * committed assignments with the codebooks riding a broadcast —
+    * per-task init (decode codebooks once) is the point, the
+    * mapPartitions escape hatch this repo reserves for exactly that.
+    */
+  private def buildPqTables(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      pqM: Int, pqK: Int): Unit = {
+    import spark.implicits._
+    val centMap: Map[Long, Array[Float]] = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/centroids").toDF
+      .select(col("cell"), col("centroid"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (c, v) => c -> v.toArray }.toMap
+    require(centMap.nonEmpty, "buildPqTables: empty centroid table")
+    val dim = centMap.head._2.length
+    require(pqM >= 1 && pqM <= dim,
+      s"pqM=$pqM must be in [1, $dim] for $dim-dim vectors")
+    val assignments = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").toDF
+    val sample = assignments
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy(col("__h"), col("id"))
+      .limit(math.max(8 * pqK, 256))
+      .select(col("vec"), col("cell"))
+      .as[(Seq[Float], Long)].collect()
+      .map { case (v, cell) =>
+        val va = v.toArray; val cent = centMap(cell)
+        Array.tabulate(dim)(i => va(i) - cent(i))
+      }
+    val bounds = Array.tabulate(pqM)(m =>
+      (m * dim / pqM, (m + 1) * dim / pqM))
+    val codebooks: Array[Array[Array[Float]]] =
+      bounds.map { case (s, e) =>
+        trainSubspaceCodebook(sample.map(_.slice(s, e)), pqK)
+      }
+    val cbRows = for {
+      m <- codebooks.indices; k <- codebooks(m).indices
+    } yield (m, k, codebooks(m)(k).toSeq)
+    // the two PQ tables are independent; write codebooks while the
+    // (heavier) encode pass runs, mirroring the index build above
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val cbWrite = Future {
+      graft.lake.LakeWriter.write(
+        cbRows.toDF("m", "code", "center")
+          .select(col("m").cast("int"), col("code").cast("int"),
+            col("center").cast("array<float>")),
+        s"$indexPath/pq_codebooks", mode = "overwrite",
+        operation = "BUILD IVF PQ")
+    }
+    val centB = spark.sparkContext.broadcast(centMap)
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val mVal = pqM
+    val encoded = assignments.select(col("id"), col("vec"), col("cell"))
+      .as[(Long, Seq[Float], Long)]
+      .mapPartitions { it =>
+        val cents = centB.value; val cbs = cbB.value
+        val d = cents.head._2.length
+        val bds = Array.tabulate(mVal)(m =>
+          (m * d / mVal, (m + 1) * d / mVal))
+        it.map { case (id, vec, cell) =>
+          val va = vec.toArray
+          val cent = cents(cell)
+          val res = Array.tabulate(d)(i => va(i) - cent(i))
+          val vhat = cent.clone()
+          val codes = new Array[Int](mVal)
+          var m = 0
+          while (m < mVal) {
+            val (s, e) = bds(m)
+            val cb = cbs(m)
+            var best = 0; var bestD = Double.MaxValue; var k = 0
+            while (k < cb.length) {
+              var dd = 0.0; var i = s
+              while (i < e) {
+                val diff = res(i) - cb(k)(i - s); dd += diff * diff; i += 1
+              }
+              if (dd < bestD) { bestD = dd; best = k }
+              k += 1
+            }
+            codes(m) = best
+            var i = s
+            while (i < e) { vhat(i) += cb(best)(i - s); i += 1 }
+            m += 1
+          }
+          var nh = 0.0; var i = 0
+          while (i < d) { nh += vhat(i) * vhat(i); i += 1 }
+          (id, codes.toSeq, math.sqrt(nh).toFloat, cell)
+        }
+      }.toDF("id", "codes", "norm_hat", "cell")
+    graft.lake.LakeWriter.write(
+      encoded.select(col("id"), col("codes").cast("array<int>"),
+        col("norm_hat").cast("float"), col("cell").cast("long")),
+      s"$indexPath/pq_codes", mode = "overwrite",
+      partitionBy = Seq("cell"), operation = "BUILD IVF PQ")
+    Await.result(cbWrite, Duration.Inf)
     ()
+  }
+
+  /** Deterministic per-subspace codebook: greedy farthest-point
+    * seeding (max-min L2) over the residual sample, then 3 Lloyd
+    * iterations. Pure driver-side compute on the bounded sample.
+    */
+  private def trainSubspaceCodebook(
+      sub: Array[Array[Float]], pqK: Int): Array[Array[Float]] = {
+    require(sub.nonEmpty, "empty residual sample")
+    val k = math.min(pqK, sub.length)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sub.head)
+    while (seeds.size < k)
+      seeds += sub.maxBy(v => seeds.map(l2(v, _)).min)
+    var centers = seeds.toArray.map(_.clone())
+    (1 to 3).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](sub.head.length))
+      val counts = new Array[Int](k)
+      sub.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = l2(v, centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else Array.tabulate(sub.head.length)(i =>
+          (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    centers
+  }
+
+  /** Probe a PQ-compressed IVF index ([[buildIvfIndex]] with
+    * `pq = true`): rank by ASYMMETRIC DISTANCE COMPUTATION over the
+    * compressed codes, then re-rank the top `rerank` candidates per
+    * query against the full vectors.
+    *
+    * ADC here is exact-cosine-against-the-reconstruction: per task,
+    * each query precomputes `table(m)(k) = dot(q_sub(m), cb(m)(k))`
+    * (pqM·pqK dots) and `dot(q, centroid)` per probed cell, so one
+    * candidate scores in pqM table lookups + one divide by the stored
+    * reconstruction norm — no float vector is read. The ranking scan
+    * touches ONLY `pq_codes` of the probed cells (partition-pruned),
+    * and the full `assignments` vectors are read only for the
+    * re-rank join's probed partitions. Queries ride a broadcast-sized
+    * driver collect, same contract as [[bruteForceTopK]].
+    */
+  def ivfPqTopK(
+      queries: DataFrame, indexPath: String, k: Int, nprobe: Int = 4,
+      rerank: Int = 20, qidCol: String = "qid",
+      vecCol: String = "vec"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/centroids").toDF
+      .select(col("cell"), col("centroid"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (c, v) => (c, v.toArray) }
+    val codebooks: Array[Array[Array[Float]]] = {
+      val rows = graft.lake.LakeTable
+        .forPath(spark, s"$indexPath/pq_codebooks").toDF
+        .select(col("m"), col("code"), col("center"))
+        .as[(Int, Int, Seq[Float])].collect()
+      val byM = rows.groupBy(_._1)
+      Array.tabulate(byM.size)(m =>
+        byM(m).sortBy(_._2).map(_._3.toArray))
+    }
+    def dot(a: Array[Float], b: Array[Float], s: Int): Double = {
+      var d = 0.0; var i = 0
+      while (i < b.length) { d += a(s + i) * b(i); i += 1 }
+      d
+    }
+    // driver-side probe selection from the collected centroids: the
+    // query set is broadcast-sized by contract, the centroid table is
+    // nlist rows — no corpus data touches the driver
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(qidCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (q, v) => (q, v.toArray) }
+    def cosArr(a: Array[Float], b: Array[Float]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dd / math.sqrt(na * nb)
+    }
+    val probesByQ: Array[(Long, Array[Float], Array[Long])] =
+      qRows.map { case (qid, qv) =>
+        val top = cents.map { case (c, cv) => (c, cosArr(qv, cv)) }
+          .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+        (qid, qv, top)
+      }
+    val probedCells = probesByQ.flatMap(_._3).distinct.sorted
+    val qB = spark.sparkContext.broadcast(probesByQ)
+    val centB = spark.sparkContext.broadcast(cents.toMap)
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val approx = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/pq_codes").toDF
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .select(col("id"), col("codes"), col("norm_hat"), col("cell"))
+      .as[(Long, Seq[Int], Float, Long)]
+      .mapPartitions { it =>
+        val cbs = cbB.value
+        val cellCent = centB.value
+        // per-task ADC init: lookup tables + per-probed-cell query dots
+        val entries = qB.value.map { case (qid, qv, cells) =>
+          var nq = 0.0; var i = 0
+          while (i < qv.length) { nq += qv(i) * qv(i); i += 1 }
+          val d = qv.length
+          val tables = Array.tabulate(cbs.length)(m => {
+            val s = m * d / cbs.length
+            cbs(m).map(center => dot(qv, center, s))
+          })
+          val centDots = cells.map(c =>
+            c -> dot(qv, cellCent(c), 0)).toMap
+          (qid, math.sqrt(nq), tables, centDots)
+        }
+        val byCell = entries.flatMap(e =>
+          e._4.keys.map(_ -> e)).groupBy(_._1)
+          .map { case (c, xs) => c -> xs.map(_._2) }
+        it.flatMap { case (id, codes, normHat, cell) =>
+          byCell.getOrElse(cell, Array.empty).iterator.collect {
+            case (qid, nq, tables, centDots) if qid != id =>
+              var s = centDots(cell); var m = 0
+              while (m < tables.length) {
+                s += tables(m)(codes(m)); m += 1
+              }
+              val denom = nq * normHat
+              (qid, id, if (denom == 0.0) 0.0 else s / denom)
+          }
+        }
+      }.toDF("__qid", "id", "approx")
+    val aw = Window.partitionBy("__qid")
+      .orderBy(col("approx").desc, col("id").asc)
+    val candidates = approx
+      .withColumn("__arank", row_number().over(aw))
+      .filter(col("__arank") <= rerank)
+      .select(col("__qid"), col("id"))
+    // exact re-rank: full vectors of the candidates only, read from
+    // the probed cells' assignment partitions
+    val vecs = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").toDF
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .select(col("id"), col("vec"))
+    val qDf = broadcast(
+      qRows.toSeq.map { case (q, v) => (q, v.toSeq) }
+        .toDF("__qid", "__qv")
+        .select(col("__qid"), col("__qv").cast("array<float>")))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cos").desc, col("id").asc)
+    candidates.join(vecs, "id").join(qDf, "__qid")
+      .withColumn("cos", round(cosine(col("__qv"), col("vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"),
+        col("id").as("neighbor_id"), col("cos"))
   }
 
   /** Probe a [[buildIvfIndex]] index: per query, rank the centroids,

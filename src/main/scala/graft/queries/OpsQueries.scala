@@ -776,6 +776,58 @@ object OpsQueries {
       },
       None),
 
+    // IVF-PQ (Jégou et al., TPAMI 2011): the probe ranks candidates
+    // from product-quantized residual CODES (pqM small ints + one
+    // float per vector) instead of full float vectors, then re-ranks
+    // the survivors exactly. Same planted-neighbor recall contract as
+    // sim_ivf_index_recall; the in-gate byte assertion pins the point
+    // of the compression — the ranking scan's table is a fraction of
+    // the full-vector table it replaces.
+    QueryDef("sim_ivf_pq_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        val src = e.filter(col("vec_id") % 10 === 0)
+        val queries = src.select(
+          (col("vec_id") + 1000000L).as("qid"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
+            .as("vec"))
+        val corpus = e.select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        val indexPath = scratch("sim_ivf_pq", dir)
+        val tBuild = System.nanoTime()
+        SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 16,
+          pq = true, pqM = 8, pqK = 16)
+        val buildSec = (System.nanoTime() - tBuild) / 1e9
+        // the compressed ranking table must be a FRACTION of the
+        // full-vector table the ADC scan replaces (probe bytes ∝
+        // table bytes: both scans prune to the same probed cells)
+        val codesBytes = graft.lake.LakeTable
+          .forPath(s, s"$indexPath/pq_codes").snapshot().sizeInBytes
+        val vecBytes = graft.lake.LakeTable
+          .forPath(s, s"$indexPath/assignments").snapshot().sizeInBytes
+        require(codesBytes * 2 < vecBytes,
+          s"PQ codes $codesBytes B should be well under the " +
+          s"full vectors' $vecBytes B")
+        val approx = SimilarityOps.ivfPqTopK(
+          queries, indexPath, k = 5, nprobe = 4, rerank = 64)
+        val nQueries = src.count()
+        val tProbe = System.nanoTime()
+        val found = approx
+          .filter(col("neighbor_id") === col("qid") - 1000000L).count()
+        val probeSec = (System.nanoTime() - tProbe) / 1e9
+        System.err.println(
+          f"[gate] sim_ivf_pq_recall build=$buildSec%.3fs " +
+          f"probe=$probeSec%.3fs codes=${codesBytes}B vecs=${vecBytes}B")
+        val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
+        require(recall >= 0.9,
+          s"IVF-PQ recall $recall below 0.9 ($found/$nQueries)")
+        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+          .toDF("n_queries", "n_found", "recall")
+      },
+      None),
+
     // Multimodal plumbing: binary payloads through the batched decode
     // stub; byte accounting is oracle-checkable.
     QueryDef("multimodal_decode",

@@ -169,6 +169,58 @@ class OpsSuite extends SparkSuite {
       .count() > 0)
   }
 
+  test("IVF-PQ: ADC + re-rank matches brute force; codes are smaller") {
+    val rnd = new scala.util.Random(23)
+    val corpusRows = (0L until 600L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val corpus = corpusRows.toDF("id", "vec")
+    val queries = corpusRows.filter(_._1 % 20 == 0).map { case (id, v) =>
+      (id + 1000L, v.map(x => x * 1.02f))
+    }.toDF("qid", "vec")
+    val indexPath = tmpDir("ivf-pq")
+    SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 8,
+      pq = true, pqM = 8, pqK = 16)
+
+    // compressed codes must actually compress: pqM ints + a float per
+    // vector vs a 32-float vector
+    val codesBytes = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/pq_codes").snapshot().sizeInBytes
+    val vecBytes = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").snapshot().sizeInBytes
+    assert(codesBytes * 2 < vecBytes,
+      s"pq_codes $codesBytes bytes vs assignments $vecBytes bytes")
+
+    val got = SimilarityOps.ivfPqTopK(
+        queries, indexPath, k = 3, nprobe = 6, rerank = 64)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = SimilarityOps.bruteForceTopK(queries, corpus, k = 3)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    info(f"IVF-PQ recall@3 vs brute force: $recall%.3f")
+    assert(recall >= 0.9, f"IVF-PQ recall $recall%.3f below 0.9")
+    // with a generous re-rank list the ADC ranking loses nothing the
+    // IVF probe itself kept: same cells, same answers
+    val ivf = SimilarityOps.ivfIndexTopK(
+        queries, indexPath, k = 3, nprobe = 6)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = (ivf intersect got).size.toDouble / ivf.size
+    assert(overlap >= 0.9,
+      f"PQ diverged from the uncompressed probe: overlap $overlap%.3f")
+    // the planted nearest neighbor (the unperturbed source) survives
+    val planted = got.count { case (q, n) => n == q - 1000L }
+    assert(planted >= 27, s"planted neighbors found: $planted/30")
+    // deterministic: rebuilding yields identical codes
+    val codes1 = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/pq_codes").toDF
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 8,
+      pq = true, pqM = 8, pqK = 16)
+    val codes2 = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/pq_codes").toDF
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes1 === codes2, "PQ encode must be deterministic")
+  }
+
   test("language id guesses 'und' for null text (fold parity)") {
     val df = Seq((1L, "the cat sat on the mat"), (2L, null))
       .toDF("doc_id", "text")
