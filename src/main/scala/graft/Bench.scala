@@ -101,15 +101,42 @@ object Bench {
     // poisons the driver's sf0.1 floor.
     val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
       s"bench_prior_${new java.io.File(sfDir).getName}.json")
+    // Floors are only comparable against the SAME testdata: the r9
+    // data regeneration left text-volume-sensitive floors from r7/r8
+    // that no correct implementation can reach again, and the
+    // sentinel then flags phantom "regressions" forever. Fingerprint
+    // the SF dir (parquet names + sizes) into the floor file; a
+    // mismatch discards the floors instead of comparing against a
+    // different dataset's bests. (Stored as a pseudo-query so the
+    // simple k:v parser round-trips it.)
+    val DataFpKey = "zz_datafp"
+    val dataFp: Double = {
+      val files = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // bounded < 1e7 so Double.toString stays non-scientific and the
+      // simple k:v regex below round-trips it
+      (files.foldLeft(17L) { (acc, f) =>
+        acc * 31 + f.getName.hashCode + f.length()
+      }.abs % 9000000L).toDouble
+    }
     val prior: Map[String, Double] = {
       val f = new java.io.File(priorFile)
       if (!f.isFile) Map.empty
       else {
         val text = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+        val parsed = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
           .findAllMatchIn(text)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        parsed.get(DataFpKey) match {
+          case Some(fp) if fp != dataFp =>
+            System.err.println(
+              s"[bench] testdata fingerprint changed ($fp -> $dataFp); " +
+              "discarding stale floors")
+            Map.empty
+          case _ => parsed - DataFpKey
+        }
       }
     }
     if (prior.nonEmpty)
@@ -266,7 +293,8 @@ object Bench {
       // floors only ratchet DOWN: a slow (possibly stalled) round must
       // not raise next round's reference and mask a repeat
       val merged = prior ++ adjudicated.filter(_._2 >= 0)
-        .map(r => r._1 -> prior.get(r._1).fold(r._2)(math.min(_, r._2))).toMap
+        .map(r => r._1 -> prior.get(r._1).fold(r._2)(math.min(_, r._2)))
+        .toMap + (DataFpKey -> dataFp)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(priorFile),
         jsonMap(merged.toSeq.sortBy(_._1)).getBytes("UTF-8"))
