@@ -224,6 +224,50 @@ class LakeBloomSuite extends SparkSuite {
     assert(e.getMessage.contains("unsupported type"))
   }
 
+  test("java.time literal forms and TIMESTAMP_NTZ hash like java.sql") {
+    // spark.sql.datetime.java8API.enabled changes the EXTERNAL form
+    // of pushed filter literals (LocalDate/Instant instead of
+    // java.sql.Date/Timestamp); the canonical encoding must make both
+    // meet the sidecar the write side built. NTZ keys always arrive
+    // as LocalDateTime.
+    val path = tablePath("bloom-java8")
+    LakeWriter.write(
+      spark.range(4000L).select(
+        col("id"),
+        expr("date_add(date'2020-01-01', CAST(id AS INT))").as("d"),
+        expr("timestamp'2020-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, 0, id)").as("ts"),
+        expr("CAST(timestamp_ntz'2020-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, 0, id) AS TIMESTAMP_NTZ)")
+          .as("tsn"))
+        .repartition(8, col("id")),
+      path, properties = Map(
+        BloomIndex.PROP_COLUMNS -> "d,ts,tsn",
+        BloomIndex.PROP_NUM_ITEMS -> "10000"))
+
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    val t = ns.read.format("lake").load(path)
+    val base = java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0)
+
+    val (dRows, dSkip) = skipsDuring(t.filter(
+      col("d") === java.time.LocalDate.of(2020, 1, 1).plusDays(2345))
+      .collect())
+    assert(dRows.map(_.getLong(0)).toSeq === Seq(2345L))
+    assert(dSkip >= 5, s"LocalDate lookup skipped only $dSkip of 8")
+
+    val (tsRows, tsSkip) = skipsDuring(t.filter(
+      col("ts") === base.plusSeconds(2345)
+        .atZone(java.time.ZoneOffset.UTC).toInstant).collect())
+    assert(tsRows.map(_.getLong(0)).toSeq === Seq(2345L))
+    assert(tsSkip >= 5, s"Instant lookup skipped only $tsSkip of 8")
+
+    val (ntzRows, ntzSkip) = skipsDuring(t.filter(
+      col("tsn") === base.plusSeconds(2345)).collect())
+    assert(ntzRows.map(_.getLong(0)).toSeq === Seq(2345L))
+    assert(ntzSkip >= 5, s"NTZ lookup skipped only $ntzSkip of 8")
+  }
+
   test("unknown configured column fails the write loudly") {
     val path = tablePath("bloom-typo")
     val e = intercept[IllegalArgumentException] {
