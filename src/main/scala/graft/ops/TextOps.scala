@@ -391,4 +391,43 @@ object TextOps {
       .filter(col("shared_fingerprints") >= minShared)
       .select(col("id_a"), col("id_b"), col("shared_fingerprints"))
   }
+
+  /** Benchmark DECONTAMINATION: drop every corpus document sharing at
+    * least `minShared` winnowing fingerprints with the reference set
+    * (an eval benchmark, a heldout split) — the training-data hygiene
+    * step that keeps test passages out of the training corpus. Same
+    * guarantee as [[passageOverlapPairs]]: any copied run of
+    * `n + window - 1` tokens produces a shared fingerprint, so a
+    * document quoting a benchmark question cannot slip through on
+    * whole-document dissimilarity.
+    *
+    * Scale shape — the asymmetry is the point: the reference is
+    * benchmark-sized (MBs) against a corpus of TBs, so its distinct
+    * fingerprint set rides a BROADCAST and the corpus pays ONE
+    * winnowing scan. Postings that hit the broadcast set (rare by
+    * construction) aggregate to per-doc counts — a shuffle of (id,
+    * count) longs for candidate docs only — and the final anti-join
+    * keys on ids alone, with the contaminated side small enough for
+    * AQE to broadcast. Nothing corpus-sized shuffles.
+    *
+    * Returns the KEPT corpus rows, schema unchanged.
+    */
+  def decontaminateAgainst(
+      corpus: DataFrame, textCol: String, idCol: String,
+      reference: DataFrame, refTextCol: String,
+      n: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+    val refFps = reference
+      .select(explode(
+        winnowingFingerprints(col(refTextCol), n, window)).as("__f"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol).as("__did"),
+        explode(winnowingFingerprints(col(textCol), n, window)).as("__f"))
+      .join(broadcast(refFps), Seq("__f"), "left_semi")
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+    corpus.join(contaminated,
+      corpus(idCol) === contaminated("__did"), "left_anti")
+  }
 }

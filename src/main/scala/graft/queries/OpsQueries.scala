@@ -543,6 +543,52 @@ object OpsQueries {
              |WHERE doc_id % 20 = 0
              |  AND len(string_split_regex(text, '\s+')) >= 30""".stripMargin)),
 
+    // Benchmark decontamination: the reference set is the same base
+    // slice the passage gate uses; corpus = all documents + planted
+    // composites quoting 25 reference tokens. EVERY planted id (the
+    // reference docs themselves, present in the corpus verbatim, and
+    // every quoting composite) must drop — that closed-form planted
+    // set is the oracle row set. Organic drops (documents near-dup
+    // to a reference doc) are winnow-defined and asserted in-gate
+    // only by the survivors-exist check.
+    QueryDef("text_decontaminate",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val toks = split(col("text"), "\\s+")
+        val base = docs.filter(col("doc_id") % 20 === 0 && size(toks) >= 30)
+        val composite = base.select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ",
+            concat(slice(toks, 1, 25),
+              transform(sequence(lit(1), lit(40)), i =>
+                concat_ws("_", lit("qq"),
+                  col("doc_id").cast("string"), i.cast("string")))))
+            .as("text"))
+        val kept = TextOps.decontaminateAgainst(
+          docs.union(composite), "text", "doc_id", base, "text",
+          n = 3, window = 4, minShared = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val nBase = base.count()
+        val plantedIds = base.select(col("doc_id"))
+          .union(base.select((col("doc_id") + 3000000L).as("doc_id")))
+        val dropped = plantedIds
+          .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+        require(dropped.count() == 2 * nBase,
+          s"decontamination missed planted contaminated docs " +
+          s"(${dropped.count()} of ${2 * nBase} dropped)")
+        require(kept.count() > 0, "decontamination dropped everything")
+        dropped.orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+             |WHERE doc_id % 20 = 0
+             |  AND len(string_split_regex(text, '\s+')) >= 30
+             |UNION ALL
+             |SELECT CAST(doc_id + 3000000 AS BIGINT) AS doc_id
+             |FROM documents
+             |WHERE doc_id % 20 = 0
+             |  AND len(string_split_regex(text, '\s+')) >= 30""".stripMargin)),
+
     // SimHash Hamming-banding near-dup: plant a 1-bit-flipped variant
     // of every 10th doc's signature; 4x16-bit banding must recover
     // EVERY planted pair (pigeonhole guarantee for distance <= 3).

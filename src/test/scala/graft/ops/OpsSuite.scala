@@ -285,6 +285,36 @@ class OpsSuite extends SparkSuite {
     assert(sp === 1L)
   }
 
+  test("decontamination drops benchmark quoters, keeps clean docs") {
+    val question = "what is the capital city of the ancient empire there"
+    val reference = Seq((100L, question)).toDF("rid", "rtext")
+    val corpus = Seq(
+      // quotes the full benchmark question inside other text: dropped
+      (1L, s"some prose then $question and a conclusion sentence"),
+      // clean document: kept
+      (2L, "entirely unrelated content about cooking pasta at home today"),
+      // shares only a sub-(n+w-1) run (4 tokens < 6): kept at
+      // minShared=2 — short accidental overlaps are not contamination
+      (3L, "what is the capital spelled differently in every other region")
+    ).toDF("doc_id", "text")
+    val kept = TextOps.decontaminateAgainst(
+      corpus, "text", "doc_id", reference, "rtext",
+      n = 3, window = 4, minShared = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L))
+    // minShared = 1 also catches the short-overlap doc only if a
+    // whole >= n+w-1 run is shared — doc 3 shares no 6-token run, so
+    // it survives even the strictest setting
+    val strict = TextOps.decontaminateAgainst(
+      corpus, "text", "doc_id", reference, "rtext",
+      n = 3, window = 4, minShared = 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(strict.contains(2L) && !strict.contains(1L))
+    // schema passes through unchanged
+    assert(TextOps.decontaminateAgainst(corpus, "text", "doc_id",
+      reference, "rtext").columns.toSeq === Seq("doc_id", "text"))
+  }
+
   test("token-budget mix: derived rates hit shares, cap at 1, drop unlisted") {
     // 3 domains, 100 docs x 10 tokens each: big=60 docs, mid=30, tiny=10
     val docs = (0L until 100L).map { i =>
