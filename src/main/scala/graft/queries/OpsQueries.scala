@@ -574,9 +574,10 @@ object OpsQueries {
           .union(base.select((col("doc_id") + 3000000L).as("doc_id")))
         val dropped = plantedIds
           .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
-        require(dropped.count() == 2 * nBase,
+        val nDropped = dropped.count()
+        require(nDropped == 2 * nBase,
           s"decontamination missed planted contaminated docs " +
-          s"(${dropped.count()} of ${2 * nBase} dropped)")
+          s"($nDropped of ${2 * nBase} dropped)")
         require(kept.count() > 0, "decontamination dropped everything")
         dropped.orderBy("doc_id")
       },
