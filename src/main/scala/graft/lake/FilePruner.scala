@@ -230,6 +230,14 @@ object FilePruner {
         Some(BigDecimal(statsValue).compare(BigDecimal(litValue.toString)))
       case _: DoubleType | _: FloatType | _: DecimalType =>
         Some(BigDecimal(statsValue).compare(BigDecimal(litValue.toString)))
+      // stats hold the parquet physical int (days / epoch-micros —
+      // ParquetFooters records only those units), and Catalyst's
+      // internal literal for Date/Timestamp(NTZ) IS that same int, so
+      // the comparison is numeric. A non-numeric side (e.g. a
+      // partition value stored as a date STRING) parses to
+      // NumberFormatException below → None → keep the file.
+      case _: DateType | _: TimestampType | _: TimestampNTZType =>
+        Some(BigDecimal(statsValue).compare(BigDecimal(litValue.toString)))
       case _: StringType => litValue match {
         case s: org.apache.spark.unsafe.types.UTF8String =>
           Some(statsValue.compareTo(s.toString))

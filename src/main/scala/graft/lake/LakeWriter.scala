@@ -432,8 +432,10 @@ object LakeWriter {
             BloomIndex.numItems(props).toString)
       }
       // partition columns are identity-mapped by invariant
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-        .parquet(staging.toString)
+      withMicrosTimestamps(spark) {
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+          .parquet(staging.toString)
+      }
       // the empty-staging guard matters: a DML whose kept/updated
       // frame stages zero part files would otherwise crash the read
       // inside buildSidecars ("unable to infer schema") on a commit
@@ -587,6 +589,42 @@ object LakeWriter {
     else if (Files.exists(target)) build(target) // already adopted
     else None // empty split a prior attempt already deleted
   }
+
+  /** Run `body` with parquet timestamps written as INT64 epoch-micros.
+    * Spark's legacy INT96 default carries no usable footer statistics
+    * (parquet deems INT96 min/max unordered), so timestamp range
+    * predicates — the most common analytical filter — would never
+    * skip a lake file. Scoped to LAKE staging writes rather than set
+    * session-wide: driver-facing result parquet (Verify) must keep
+    * the session default, whose naive DuckDB reading the oracle
+    * harness depends on. Reentrant under the engine's concurrent
+    * writes (index builds overlap two lake writes): a depth count
+    * makes the first entrant set and the last restore; a concurrent
+    * write from a DIFFERENT session during the window merely misses
+    * the optimization (stages INT96, no stats) — never correctness.
+    */
+  private def withMicrosTimestamps[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    microsLock.synchronized {
+      if (microsDepth == 0) {
+        microsPrev = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+      }
+      microsDepth += 1
+    }
+    try body
+    finally microsLock.synchronized {
+      microsDepth -= 1
+      if (microsDepth == 0) microsPrev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+  private val microsLock = new Object
+  private var microsDepth = 0
+  private var microsPrev: Option[String] = None
 
   private[lake] def walkParquet(dir: Path): Seq[Path] = {
     val s = Files.walk(dir)

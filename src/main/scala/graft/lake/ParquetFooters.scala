@@ -71,8 +71,25 @@ object ParquetFooters {
   private def comparable(t: org.apache.parquet.schema.PrimitiveType): Boolean = {
     val ann = t.getLogicalTypeAnnotation
     t.getPrimitiveTypeName match {
-      case INT32 | INT64 =>
-        ann == null || ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+      case INT32 =>
+        // DATE is INT32 days-since-epoch — exactly Catalyst's internal
+        // DateType value, so the raw int stat compares against pushed
+        // date literals with no conversion (round 11)
+        ann == null ||
+          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+          ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case INT64 =>
+        // TIMESTAMP(MICROS) is INT64 epoch-micros — Catalyst's internal
+        // Timestamp(NTZ)Type value. Other units (MILLIS, NANOS — only
+        // foreign files; Spark writes micros) stay excluded rather
+        // than recording stats a micros-literal compare would misread.
+        ann == null ||
+          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+          (ann match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          })
       case FLOAT | DOUBLE | BOOLEAN => ann == null
       case BINARY =>
         ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]

@@ -102,6 +102,39 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(t.toDF.where("id > 150").count() === 50L)
   }
 
+  test("min/max skipping prunes on DATE and TIMESTAMP columns") {
+    // date stats are the parquet int32 days, timestamp stats the
+    // int64 micros — both compare numerically against Catalyst's
+    // internal literals, so range filters on datetime columns skip
+    // whole files (the most common analytical filter shape)
+    val path = tablePath("dsv2dateskip")
+    def slice(lo: Int, hi: Int) =
+      spark.range(lo.toLong, hi.toLong).select(
+        $"id",
+        org.apache.spark.sql.functions.expr(
+          "date_add(date'2021-01-01', CAST(id AS INT))").as("d"),
+        org.apache.spark.sql.functions.expr(
+          "timestamp'2021-01-01 00:00:00' + " +
+            "make_interval(0, 0, 0, 0, 0, 0, id * 60)").as("ts"))
+        .coalesce(1)
+    LakeWriter.write(slice(0, 100), path)    // days 0-99
+    LakeWriter.write(slice(100, 200), path)  // days 100-199
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().numFiles === 2)
+
+    val dLate = t.toDF.where("d > date'2021-04-20'") // day >= 110
+    assert(scannedFiles(dLate) === 1L)
+    assert(dLate.count() === 90L)
+    assert(scannedFiles(t.toDF.where("d <= date'2021-02-01'")) === 1L)
+
+    val tsLate = t.toDF.where(
+      "ts >= timestamp'2021-01-01 02:00:00'") // minute 120+
+    assert(scannedFiles(tsLate) === 1L)
+    assert(tsLate.count() === 80L)
+    // equality on an absent interior value still scans conservatively
+    assert(t.toDF.where("d = date'2021-04-11'").count() === 1L)
+  }
+
   test("partition pruning selects only matching partitions' files") {
     val path = tablePath("dsv2part")
     (1L to 90L).map(i => (i, s"p${i % 3}")).toDF("id", "p")
