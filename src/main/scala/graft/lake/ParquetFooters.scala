@@ -40,6 +40,11 @@ object ParquetFooters {
       val maxs = collection.mutable.Map.empty[String, Any]
       val nulls = collection.mutable.Map.empty[String, Long]
       val unusable = collection.mutable.Set.empty[String]
+      // int-backed DECIMAL stats arrive as UNSCALED ints; the ordering
+      // is scale-invariant per column (one fixed scale), but the
+      // recorded string must be the scaled value or the pruner would
+      // compare unscaled 12345 against literal 123.45
+      val decScale = collection.mutable.Map.empty[String, Int]
       for (b <- blocks; cc <- b.getColumns.asScala) {
         val pathParts = cc.getPath.toArray
         if (pathParts.length == 1) {
@@ -51,6 +56,11 @@ object ParquetFooters {
           } else {
             nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
             if (st.hasNonNullValue && comparable(cc.getPrimitiveType)) {
+              cc.getPrimitiveType.getLogicalTypeAnnotation match {
+                case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  decScale(name) = d.getScale
+                case _ => ()
+              }
               val (lo, hi) = (st.genericGetMin, st.genericGetMax)
               mins(name) = minOf(mins.get(name), lo)
               maxs(name) = maxOf(maxs.get(name), hi)
@@ -61,9 +71,15 @@ object ParquetFooters {
           }
         }
       }
+      def render(k: String, v: Any): String = decScale.get(k) match {
+        case Some(scale) => new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(v.asInstanceOf[Number].longValue),
+          scale).toPlainString
+        case None => stringify(v)
+      }
       (rows,
-        mins.map { case (k, v) => k -> stringify(v) }.toMap,
-        maxs.map { case (k, v) => k -> stringify(v) }.toMap,
+        mins.map { case (k, v) => k -> render(k, v) }.toMap,
+        maxs.map { case (k, v) => k -> render(k, v) }.toMap,
         nulls.toMap)
     } finally reader.close()
   }
@@ -74,10 +90,12 @@ object ParquetFooters {
       case INT32 =>
         // DATE is INT32 days-since-epoch — exactly Catalyst's internal
         // DateType value, so the raw int stat compares against pushed
-        // date literals with no conversion (round 11)
+        // date literals with no conversion; int-backed DECIMAL is
+        // recorded scaled (see render) (round 11)
         ann == null ||
           ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
-          ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+          ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+          ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
       case INT64 =>
         // TIMESTAMP(MICROS) is INT64 epoch-micros — Catalyst's internal
         // Timestamp(NTZ)Type value. Other units (MILLIS, NANOS — only
@@ -85,6 +103,7 @@ object ParquetFooters {
         // than recording stats a micros-literal compare would misread.
         ann == null ||
           ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+          ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] ||
           (ann match {
             case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
               ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS

@@ -115,7 +115,9 @@ class LakeDataSourceSuite extends SparkSuite {
           "date_add(date'2021-01-01', CAST(id AS INT))").as("d"),
         org.apache.spark.sql.functions.expr(
           "timestamp'2021-01-01 00:00:00' + " +
-            "make_interval(0, 0, 0, 0, 0, 0, id * 60)").as("ts"))
+            "make_interval(0, 0, 0, 0, 0, 0, id * 60)").as("ts"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(id * 1.25 AS DECIMAL(10,2))").as("dec"))
         .coalesce(1)
     LakeWriter.write(slice(0, 100), path)    // days 0-99
     LakeWriter.write(slice(100, 200), path)  // days 100-199
@@ -133,6 +135,13 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(tsLate.count() === 80L)
     // equality on an absent interior value still scans conservatively
     assert(t.toDF.where("d = date'2021-04-11'").count() === 1L)
+
+    // int-backed DECIMAL stats record SCALED (unscaled 12345 must not
+    // compare against literal 123.45): file 2 holds dec >= 125.00
+    val decHigh = t.toDF.where("dec > 150.00")
+    assert(scannedFiles(decHigh) === 1L)
+    assert(decHigh.count() === 79L) // ids 121-199: 121*1.25 = 151.25
+    assert(scannedFiles(t.toDF.where("dec <= 100.0")) === 1L)
   }
 
   test("partition pruning selects only matching partitions' files") {
