@@ -19,15 +19,27 @@ object GraftSession {
     .config("spark.sql.parquet.compression.codec", "snappy")
     .config("spark.ui.enabled", "false")
 
+  /** Post-creation setup a Builder cannot express: the engine's
+    * optimizer rules (metadata-only COUNT(*) over lake relations).
+    * Idempotent — safe on a session already enabled.
+    */
+  def enable(s: SparkSession): SparkSession = {
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.MetadataOnlyCount))
+      s.experimental.extraOptimizations ++=
+        Seq(graft.plans.MetadataOnlyCount)
+    s
+  }
+
   /** Local session sized from env (SPARK_GRAFT_CPUS, default all cores). */
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val s = configure(SparkSession.builder()
+    val s = enable(configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
+      .getOrCreate())
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -40,7 +40,7 @@ import graft.lake.{BloomIndex, PathMapPayload}
   * filters are translated logical→physical before matching, exactly
   * as they are for the reader itself.
   */
-final class BloomParquetFileFormat(
+class BloomParquetFileFormat(
     physicalFor: Map[String, String],
     val bloomPayload: Array[Byte])
     extends MappedParquetFileFormat(physicalFor) {

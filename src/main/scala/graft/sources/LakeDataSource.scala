@@ -101,7 +101,7 @@ final class LakeDataSource extends RelationProvider
       })
       .getOrElse(-1L)
     val snap = new LakeLog(path).snapshot(version)
-    relationFor(spark, snap, parameters)
+    relationFor(spark, snap, parameters, applyDvs = true)
   }
 
   override def createRelation(
@@ -167,7 +167,8 @@ final class LakeDataSource extends RelationProvider
 
   private def relationFor(
       spark: SparkSession, snap: Snapshot,
-      parameters: Map[String, String]): BaseRelation = {
+      parameters: Map[String, String],
+      applyDvs: Boolean = false): BaseRelation = {
     val index = new LakeFileIndex(spark, snap)
     val partCols = snap.partitionColumns.toSet
     val dataSchema =
@@ -182,17 +183,32 @@ final class LakeDataSource extends RelationProvider
     // CONTENTS are read and cached on executors
     // ([[BloomParquetFileFormat]]). Bloom-free snapshots (the common
     // case) keep the stock format and pay nothing.
+    val tablePath = snap.log.tablePath
     val bloomFiles = snap.files.filter(_.bloomPath.isDefined)
+    def bloomPayload: Array[Byte] = graft.lake.PathMapPayload.payload(
+      spark, bloomFiles.map { f =>
+        (LakeLog.resolveFile(tablePath, f.path).toString,
+          LakeLog.resolveFile(tablePath, f.bloomPath.get).toString)
+      })
+    // DV-carrying snapshots on the EXTERNAL read path (applyDvs:
+    // format("lake"), where no DataFrame-level filter can attach)
+    // read through the row-filtering format — without it, deleted
+    // rows RESURRECT on exactly this path. Internal callers (rawDF)
+    // keep the bare relation: they attach [[graft.lake.DvRowDeleted]]
+    // themselves and the DML paths need the raw rows + _metadata.
+    val dvFiles =
+      if (applyDvs) snap.files.filter(_.dvPath.isDefined) else Nil
     val format =
-      if (bloomFiles.nonEmpty) {
-        val tablePath = snap.log.tablePath
-        val bloomFor = bloomFiles.map { f =>
+      if (dvFiles.nonEmpty) {
+        val dvFor = dvFiles.map { f =>
           (LakeLog.resolveFile(tablePath, f.path).toString,
-            LakeLog.resolveFile(tablePath, f.bloomPath.get).toString)
+            LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
         }
-        new BloomParquetFileFormat(
-          mapping, graft.lake.PathMapPayload.payload(spark, bloomFor))
+        new DvParquetFileFormat(mapping, bloomPayload,
+          graft.lake.PathMapPayload.payload(spark, dvFor))
       }
+      else if (bloomFiles.nonEmpty)
+        new BloomParquetFileFormat(mapping, bloomPayload)
       else if (mapping.isEmpty) new ParquetFileFormat
       else new MappedParquetFileFormat(mapping)
     HadoopFsRelation(

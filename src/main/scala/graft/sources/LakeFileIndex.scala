@@ -32,7 +32,7 @@ import graft.lake.{AddFile, FilePruner, LakeTable, Snapshot}
   * driver memory at millions of files. Here the plan holds one relation
   * and the file set stays metadata answered on demand.
   */
-final class LakeFileIndex(spark: SparkSession, snap: Snapshot)
+final class LakeFileIndex(spark: SparkSession, val snap: Snapshot)
     extends FileIndex {
 
   private val tableRoot = new Path(snap.log.tablePath)

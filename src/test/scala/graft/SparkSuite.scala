@@ -8,12 +8,13 @@ import java.nio.file.Files
 /** Shared local SparkSession + temp-dir helpers for all suites. */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = GraftSession.configure(
-    SparkSession.builder()
-      .master("local[4]")
-      .appName(getClass.getSimpleName)
-      .config("spark.sql.shuffle.partitions", "4"))
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.enable(
+    GraftSession.configure(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName(getClass.getSimpleName)
+        .config("spark.sql.shuffle.partitions", "4"))
+      .getOrCreate())
 
   def tmpDir(prefix: String): String = {
     val d = Files.createTempDirectory(prefix)

@@ -246,6 +246,74 @@ class LakeDataSourceSuite extends SparkSuite {
       .getMap[String, String](0).get("zOrder").contains("true"))
   }
 
+  test("format(\"lake\") applies deletion vectors — no resurrection") {
+    // the external read path returns a bare relation (no DataFrame
+    // filter can attach), so DVs must apply INSIDE the scan via
+    // DvParquetFileFormat; before round 11 this path resurrected
+    // every soft-deleted row. Bloom sidecars coexist: the DV format
+    // extends the skipping format.
+    val path = tablePath("dsv2dvread")
+    LakeWriter.write(
+      spark.range(1000L).select($"id",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("p"), $"id").as("s"))
+        .repartition(4, $"id"),
+      path, properties = Map(
+        "graft.enableDeletionVectors" -> "true",
+        BloomIndex.PROP_COLUMNS -> "id",
+        BloomIndex.PROP_NUM_ITEMS -> "10000"))
+    LakeTable.forPath(spark, path).delete("id % 5 = 0")
+
+    val viaFormat = spark.read.format("lake").load(path)
+    val viaTable = LakeTable.forPath(spark, path).toDF
+    assert(viaFormat.count() === 800L)
+    assert(viaFormat.where("id % 5 = 0").count() === 0L,
+      "deleted rows resurrected through format(\"lake\")")
+    // row-identical to the toDF path, values included
+    assert(viaFormat.orderBy("id").collect().toSeq ===
+      viaTable.orderBy("id").collect().toSeq)
+    // filters + DV filtering compose
+    assert(viaFormat.where("id > 500").count() ===
+      viaTable.where("id > 500").count())
+    // bloom point lookup still skips on the DV-carrying snapshot
+    assert(viaFormat.where("id = 123").count() === 1L)
+    assert(viaFormat.where("id = 120").count() === 0L) // deleted
+    // time travel to the pre-delete version sees every row
+    assert(spark.read.format("lake").option("versionAsOf", "0")
+      .load(path).count() === 1000L)
+  }
+
+  test("COUNT(*) answers from log metadata without scanning files") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val path = tablePath("dsv2metacount")
+    LakeWriter.write((1L to 500L).toDF("id").repartition(4), path,
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    // DV delete: live rows = numRecords - dvCardinality per file
+    LakeTable.forPath(spark, path).delete("id <= 100")
+
+    val q = spark.read.format("lake").load(path)
+      .agg(count(lit(1)).as("n"))
+    assert(q.as[Long].head() === 400L)
+    val scans = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"metadata-only count still scanned: ${q.queryExecution.executedPlan}")
+    // same through the .count() API shape
+    assert(spark.read.format("lake").load(path).count() === 400L)
+
+    // a FILTER stops the rewrite: the scan path answers, correctly
+    val filtered = spark.read.format("lake").load(path).where("id > 300")
+    assert(filtered.count() === 200L)
+    assert(filtered.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f }.nonEmpty,
+      "filtered count must keep the scan")
+    // grouped and distinct counts keep the scan too
+    assert(spark.read.format("lake").load(path)
+      .agg(org.apache.spark.sql.functions.countDistinct($"id"))
+      .as[Long].head() === 400L)
+  }
+
   test("null partition values (Hive sentinel) read back as null") {
     val path = tablePath("dsv2null")
     Seq((1L, "a"), (2L, null.asInstanceOf[String]))
