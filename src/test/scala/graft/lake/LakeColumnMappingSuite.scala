@@ -190,6 +190,15 @@ class LakeColumnMappingSuite extends SparkSuite {
     val ch = after.changes(after.snapshot().version)
     assert(ch.columns.contains("label"))
     assert(ch.filter($"_change_type" === "delete").count() === 10L)
+    // format("lake") composes the name-mapping and the in-scan DV
+    // filter (DvParquetFileFormat extends the mapped format): same
+    // rows as toDF, logical names, no resurrection
+    val viaFormat = spark.read.format("lake").load(path)
+    assert(viaFormat.columns.toSeq === after.toDF.columns.toSeq)
+    assert(viaFormat.count() === 90L)
+    assert(viaFormat.filter($"label" === "k5").count() === 0L)
+    assert(viaFormat.orderBy("id").collect().toSeq ===
+      after.toDF.orderBy("id").collect().toSeq)
   }
 
   test("OPTIMIZE compaction preserves mapped data and skipping stats") {
