@@ -302,6 +302,16 @@ class LakeDataSourceSuite extends SparkSuite {
     // same through the .count() API shape
     assert(spark.read.format("lake").load(path).count() === 400L)
 
+    // toDF (the engine-attached DV filter shape) is ALSO metadata-only:
+    // the rule verifies the filter's file->DV map against the snapshot
+    val tq = LakeTable.forPath(spark, path).toDF
+      .agg(count(lit(1)).as("n"))
+    assert(tq.as[Long].head() === 400L)
+    assert(tq.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f }.isEmpty,
+      "toDF count on a DV table should be metadata-only")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 400L)
+
     // a FILTER stops the rewrite: the scan path answers, correctly
     val filtered = spark.read.format("lake").load(path).where("id > 300")
     assert(filtered.count() === 200L)
