@@ -283,6 +283,50 @@ class LakeDataSourceSuite extends SparkSuite {
       .load(path).count() === 1000L)
   }
 
+  test("DV row indexes stay exact across row groups under pushdown") {
+    // the in-scan DV filter keys on the parquet row index, which must
+    // stay PHYSICAL (file-absolute) even when predicate pushdown
+    // skips whole row groups; a reader that renumbered surviving
+    // groups from zero would delete the wrong rows. Forced multi-row-
+    // group layout: tiny parquet block size, one file.
+    val path = tablePath("dsv2dvgroups")
+    val df = spark.range(200000L).select($"id",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("payload-padding-"),
+        $"id").as("s")).coalesce(1)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "65536")
+    try LakeWriter.write(df, path,
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    // sanity: the single file really has several row groups
+    val dataFile = LakeTable.forPath(spark, path).snapshot().files.head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          LakeLog.resolveFile(path, dataFile.path).toString),
+        spark.sparkContext.hadoopConfiguration))
+    val nGroups = try footer.getFooter.getBlocks.size finally footer.close()
+    assert(nGroups >= 3, s"fixture needs several row groups, got $nGroups")
+
+    LakeTable.forPath(spark, path).delete("id % 1000 = 0") // 200 rows
+    val t = spark.read.format("lake").load(path)
+    assert(t.count() === 199800L)
+    // selective pushed range lands in LATE row groups: the row
+    // indexes the DV filter sees must still be file-absolute
+    val late = t.where("id >= 150000 AND id < 160000")
+    assert(late.count() === 10000L - 10L)
+    assert(late.where("id % 1000 = 0").count() === 0L)
+    // and the surviving values are exactly the undeleted ids
+    assert(late.agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) ===
+      (150000L until 160000L).filter(_ % 1000 != 0).sum)
+  }
+
   test("COUNT(*) answers from log metadata without scanning files") {
     import org.apache.spark.sql.functions.{count, lit}
     val path = tablePath("dsv2metacount")
