@@ -55,14 +55,22 @@ final class DvParquetFileFormat(
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
     // NULLABLE is load-bearing: the column is absent from the file,
     // and the parquet reader only tolerates (then row-index-fills) a
-    // missing column that is optional — a required one throws at init
+    // missing column that is optional — a required one throws at init.
+    // When the query itself asked for `_metadata.row_index`, Spark has
+    // ALREADY appended the temporary column — reuse it (and keep it
+    // in the output) instead of requesting a duplicate name.
     val idxName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
-    val augmented = requiredSchema.add(StructField(
-      idxName, LongType, nullable = true))
+    val existing = requiredSchema.fieldNames.indexOf(idxName)
+    val (augmented, idxOrdinal, strip) =
+      if (existing >= 0) (requiredSchema, existing, false)
+      else (requiredSchema.add(StructField(
+        idxName, LongType, nullable = true)),
+        requiredSchema.length, true)
     val base = super.buildReaderWithPartitionValues(
       sparkSession, dataSchema, partitionSchema, augmented,
       filters, options, hadoopConf)
-    val applier = new DvRowApplier(dvPayload, requiredSchema)
+    val applier = new DvRowApplier(
+      dvPayload, requiredSchema, idxOrdinal, strip)
     file => applier(base(file), file)
   }
 
@@ -77,12 +85,14 @@ final class DvParquetFileFormat(
 }
 
 /** The serialized-into-the-task part: decodes the file→DV map once
-  * per task, filters each file's rows by the appended row-index
-  * column, and projects the extra column away. DV-free files skip
-  * the membership test but still strip the column.
+  * per task, filters each file's rows by the row-index column at
+  * `idxOrdinal`, and — when the column was appended by the format
+  * rather than requested by the query — projects it away. DV-free
+  * files skip the membership test but still strip when needed.
   */
 private final class DvRowApplier(
-    payload: Array[Byte], out: StructType) extends Serializable {
+    payload: Array[Byte], out: StructType, idxOrdinal: Int,
+    stripIdx: Boolean) extends Serializable {
 
   @transient private lazy val dvFor: java.util.HashMap[String, String] =
     PathMapPayload.decodePayload(payload)
@@ -93,7 +103,6 @@ private final class DvRowApplier(
 
   def apply(rows: Iterator[InternalRow],
       file: PartitionedFile): Iterator[InternalRow] = {
-    val idxOrdinal = out.length
     val dvPath = dvFor.get(file.filePath.toPath.toUri.getPath)
     val kept =
       if (dvPath == null) rows
@@ -101,6 +110,6 @@ private final class DvRowApplier(
         val dv = DvRowDeleted.indexSet(dvPath)
         rows.filter(r => !dv.contains(r.getLong(idxOrdinal)))
       }
-    kept.map(strip)
+    if (stripIdx) kept.map(strip) else kept
   }
 }

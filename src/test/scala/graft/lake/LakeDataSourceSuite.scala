@@ -281,6 +281,24 @@ class LakeDataSourceSuite extends SparkSuite {
     // time travel to the pre-delete version sees every row
     assert(spark.read.format("lake").option("versionAsOf", "0")
       .load(path).count() === 1000L)
+
+    // a query that itself asks for _metadata.row_index shares the
+    // temporary column with the DV filter (no duplicate request):
+    // surviving rows keep their PHYSICAL file indexes
+    val withIdx = viaFormat
+      .select($"id",
+        org.apache.spark.sql.functions.col("_metadata.row_index")
+          .as("ri"))
+    assert(withIdx.count() === 800L)
+    assert(withIdx.where("id % 5 = 0").count() === 0L)
+    // physical indexes: unique per file, within the file's row count
+    val pairs = viaFormat.select(
+      org.apache.spark.sql.functions.col("_metadata.file_path").as("f"),
+      org.apache.spark.sql.functions.col("_metadata.row_index").as("ri"))
+      .as[(String, Long)].collect()
+    assert(pairs.length === 800)
+    assert(pairs.distinct.length === 800, "duplicate (file, row_index)")
+    assert(pairs.forall { case (_, r) => r >= 0 && r < 1000 })
   }
 
   test("DV row indexes stay exact across row groups under pushdown") {
