@@ -1523,6 +1523,53 @@ final class LakeTable private (
     adds.size
   }
 
+  /** Backfill footer STATS (numRecords, min/max, null counts) for
+    * live files that lack them — Databricks' `ANALYZE TABLE ...
+    * COMPUTE DELTA STATISTICS` analog. Files written by this engine
+    * carry stats from birth; entries from foreign or legacy logs may
+    * not (`numRecords = -1`), which disables min/max skipping AND the
+    * metadata-only COUNT(*) rewrite for the whole table (one
+    * uncounted file means the scan is the only truth).
+    *
+    * Footer reads DISTRIBUTE (one task per file batch — at 100 TB
+    * the footers are the only bytes touched, never row data); the
+    * driver receives O(files) stats maps and re-adds the entries in
+    * one metadata-only commit that the change feed and streaming
+    * source skip wholesale (`COMPUTE STATS` rides
+    * [[LakeTable.METADATA_ONLY_READD_OPS]] — no row changed).
+    * `where` scopes the pass partition-by-partition for cron-driven
+    * adoption, mirroring [[rebuildBloomIndexes]].
+    *
+    * Returns the number of files whose stats were computed (0 = all
+    * covered already).
+    */
+  def rebuildStats(where: Option[String] = None): Int = {
+    val snap = snapshot()
+    val missing = scopeFiles(snap, where).filter(_.numRecords < 0L)
+    if (missing.isEmpty) return 0
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val paths = missing.map(f =>
+      f.path -> LakeLog.resolveFile(tablePath, f.path).toString)
+    val statsFor = spark.sparkContext
+      .parallelize(paths, math.min(paths.size, 64).max(1))
+      .map { case (rel, abs) =>
+        rel -> ParquetFooters.statsWithConf(confB.value.value, abs)
+      }.collect().toMap
+    val adds = missing.flatMap(f => statsFor.get(f.path).map {
+      case (rows, mins, maxs, nulls) => f.copy(numRecords = rows,
+        minValues = mins, maxValues = maxs, nullCounts = nulls)
+    })
+    val now = System.currentTimeMillis()
+    LakeWriter.commitWithRetry(log, snap.version, adds.map(_.path)) { _ =>
+      assertMetadataUnchanged(snap, "COMPUTE STATS")
+      Seq(CommitInfo(now, "COMPUTE STATS",
+        Map("numFilesComputed" -> adds.size.toString))) ++ adds
+    }
+    adds.size
+  }
+
   /** Drop the bloom index: unset the configuration (writes stop
     * building sidecars) and strip `bloomPath` from every live file in
     * one metadata-only re-add commit, so the scan path stops
@@ -1950,7 +1997,7 @@ object LakeTable {
     * names, so the match is within-protocol, not heuristic.
     */
   val METADATA_ONLY_READD_OPS: Set[String] =
-    Set("ADD BLOOM INDEX", "DROP BLOOM INDEX")
+    Set("ADD BLOOM INDEX", "DROP BLOOM INDEX", "COMPUTE STATS")
 
   val PROP_RETENTION_HOURS = "graft.deletedFileRetentionHours"
   /** `false` disables persisted change-data files for DML on this

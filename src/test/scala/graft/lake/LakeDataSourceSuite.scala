@@ -386,6 +386,49 @@ class LakeDataSourceSuite extends SparkSuite {
       .as[Long].head() === 400L)
   }
 
+  test("rebuildStats backfills foreign entries; skipping + meta count") {
+    import org.apache.spark.sql.functions.{count, lit}
+    // a "legacy/foreign" log: real parquet files, AddFiles with NO
+    // stats — min/max skipping and the metadata COUNT(*) rewrite are
+    // both disabled until the stats backfill
+    val path = tablePath("dsv2stats")
+    (1L to 100L).toDF("id").coalesce(1)
+      .write.parquet(s"$path/lo")
+    (101L to 200L).toDF("id").coalesce(1)
+      .write.parquet(s"$path/hi")
+    val root = java.nio.file.Paths.get(path)
+    val adds = LakeWriter.walkParquet(root).map { f =>
+      AddFile(root.relativize(f).toString, Map.empty,
+        java.nio.file.Files.size(f), -1L, Map.empty, Map.empty, Map.empty)
+    }
+    val log = new LakeLog(path)
+    log.commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CONVERT", Map.empty),
+      Metadata("id BIGINT", Nil, System.currentTimeMillis())) ++ adds)
+
+    val before = spark.read.format("lake").load(path)
+    assert(before.count() === 200L) // scan path (rule bails, correctly)
+    assert(scannedFiles(before.where("id > 150")) === 2L,
+      "no stats: nothing should prune yet")
+
+    val t = LakeTable.forPath(spark, path)
+    assert(t.rebuildStats() === 2)
+    assert(t.rebuildStats() === 0) // idempotent
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    assert(snap.files.forall(_.numRecords >= 0))
+
+    val after = spark.read.format("lake").load(path)
+    assert(scannedFiles(after.where("id > 150")) === 1L,
+      "backfilled min/max stats should prune")
+    val q = after.agg(count(lit(1)).as("n"))
+    assert(q.as[Long].head() === 200L)
+    assert(q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f }.isEmpty,
+      "metadata-only count should fire once every file is counted")
+    // the stats commit is metadata-only: the change feed skips it
+    assert(t.changes(snap.version).count() === 0L)
+  }
+
   test("null partition values (Hive sentinel) read back as null") {
     val path = tablePath("dsv2null")
     Seq((1L, "a"), (2L, null.asInstanceOf[String]))
