@@ -100,6 +100,11 @@ object LakeSql {
     ("""(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" +
       """([\w.`/\-]+)\s+FOR\s+COLUMNS\s*\(([^)]+)\)""" +
       """(?:\s+OPTIONS\s*\(([^)]*)\))?\s*""").r
+  // DELTA is mandatory: plain ANALYZE ... COMPUTE STATISTICS keeps
+  // passing through to Spark's own catalog-table handler
+  private val ANALYZE_STATS_RE =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`/\-]+)\s+COMPUTE\s+""" +
+      """DELTA\s+STATISTICS\s*""").r
   private val DROP_BLOOM_RE =
     ("""(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" +
       """([\w.`/\-]+)\s*""").r
@@ -261,6 +266,13 @@ object LakeSql {
 
     case DROP_BLOOM_RE(t) =>
       resolve(spark, clean(t)).dropBloomIndexes()
+      emptyDF(spark)
+
+    case ANALYZE_STATS_RE(t) =>
+      // footer-stats backfill for foreign/legacy entries (Databricks'
+      // ANALYZE ... COMPUTE DELTA STATISTICS): restores min/max
+      // skipping and the metadata-only COUNT(*) rewrite
+      resolve(spark, clean(t)).rebuildStats()
       emptyDF(spark)
 
     case SHOW_PARTITIONS_RE(t) =>

@@ -427,6 +427,21 @@ class LakeDataSourceSuite extends SparkSuite {
       "metadata-only count should fire once every file is counted")
     // the stats commit is metadata-only: the change feed skips it
     assert(t.changes(snap.version).count() === 0L)
+
+    // SQL route: a second foreign table through ANALYZE TABLE
+    val path2 = tablePath("dsv2stats-sql")
+    (1L to 50L).toDF("id").coalesce(1).write.parquet(s"$path2/f")
+    val root2 = java.nio.file.Paths.get(path2)
+    val adds2 = LakeWriter.walkParquet(root2).map { f =>
+      AddFile(root2.relativize(f).toString, Map.empty,
+        java.nio.file.Files.size(f), -1L, Map.empty, Map.empty, Map.empty)
+    }
+    new LakeLog(path2).commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CONVERT", Map.empty),
+      Metadata("id BIGINT", Nil, System.currentTimeMillis())) ++ adds2)
+    LakeSql.sql(spark, s"ANALYZE TABLE `$path2` COMPUTE DELTA STATISTICS")
+    assert(LakeTable.forPath(spark, path2).snapshot()
+      .files.forall(_.numRecords >= 0))
   }
 
   test("null partition values (Hive sentinel) read back as null") {
