@@ -30,6 +30,47 @@ object DedupOps {
       .drop("__fp")
   }
 
+  /** Corpus-wide segment-level dedup (CCNet/RefinedWeb-style
+    * boilerplate removal, applied to fixed-width word segments rather
+    * than newline paragraphs — the corpus here is single-line): each
+    * document is cut into consecutive `segWords`-word segments and a
+    * segment OCCURRENCE survives iff it is the FIRST occurrence of
+    * that segment's text anywhere in the corpus, "first" meaning the
+    * lexicographically least (doc_id, seg_idx). Repeated licenses,
+    * headers, and navigation chrome collapse to one copy corpus-wide
+    * while every document keeps its unique prose.
+    *
+    * Scale shape: the only shuffle carries (fingerprint, doc_id,
+    * seg_idx) scalars — never segment text — and the keep-first winner
+    * per fingerprint is a partial-aggregated `min(struct)` (map-side
+    * combine collapses each task's duplicates before the exchange).
+    * No window, no sort, no join-back: the aggregated row already IS
+    * the output row. At 100 TB this is one hash-partitioned exchange
+    * of ~16-byte keys, the same shape as [[exactDedup]].
+    *
+    * Returns (doc_id, seg_idx, seg_md5) — the surviving occurrences.
+    */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+      segWords: Int = 16): DataFrame = {
+    require(segWords > 0, s"segWords must be positive (got $segWords)")
+    val toks = TextOps.tokens(col(textCol))
+    // ceil(len / segWords) segments; split() never yields an empty
+    // array (empty text -> [""]), so every doc has >= 1 segment —
+    // matching DuckDB's string_split/range arithmetic in the oracle.
+    val nSeg = floor((size(toks) + (segWords - 1)) / lit(segWords))
+      .cast("int")
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"),
+        explode(sequence(lit(0), nSeg - 1)).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        md5(encode(concat_ws(" ",
+          slice(col("__toks"), col("seg_idx") * segWords + 1,
+            lit(segWords))), "UTF-8")).as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"),
+        col("__w.seg_idx").as("seg_idx"), col("__fp").as("seg_md5"))
+  }
+
   /** Word n-gram shingles (space-joined) of `text`. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextOps.tokens(text)
@@ -330,6 +371,56 @@ object DedupOps {
       .filter(col("cos") >= minCos)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         round(col("cos"), 4).as("cos"))
+  }
+
+  /** Semantic dedup (SemDeDup — Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023):
+    * k-means clusters the embedding space, and only WITHIN a cluster
+    * are pairwise cosines computed; pairs at or above `tau` are
+    * semantic duplicates, their connected components collapse to the
+    * minimum-id representative, and every other member is reported
+    * dropped. Catches paraphrases and re-renderings that share no
+    * n-grams — the regime where [[minhashLshPairs]] / [[simhash]] are
+    * blind — at the price of an embedding model upstream.
+    *
+    * Scale shape, and why clustering (not LSH) is the candidate
+    * generator here: SemDeDup's insight is that k grows WITH the
+    * corpus (k ≈ N / targetClusterSize), so per-cluster pairwise work
+    * stays O(N · targetClusterSize) total — linear in N for a fixed
+    * cluster-size budget, embarrassingly parallel across clusters.
+    * The plan is one broadcast-assign shuffle (centroids are
+    * metadata-sized), one self-join co-partitioned on the cluster id
+    * (never all-pairs), then [[connectedComponents]]' O(log n) star
+    * rounds. Nothing corpus-quadratic exists at any k.
+    *
+    * Returns (id, rep_id): the DROPPED members only, each with the
+    * representative that survives for it. Anti-join the input on `id`
+    * to materialize the kept corpus.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      tau: Double = 0.95, nClusters: Int = 16,
+      kmeansIters: Int = 2): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1] (got $tau)")
+    val c = df.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+    val centroids = broadcast(
+      SimilarityOps.kmeansCentroids(c, nClusters, kmeansIters))
+    // nearest-centroid assignment: broadcast nested-loop against the
+    // metadata-sized centroid set, then ONE shuffle keyed on __id
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__sim", SimilarityOps.cosine(col("__cv"), col("__cent")))
+      .groupBy("__id")
+      .agg(max_by(col("__cid"), col("__sim")).as("__cid"),
+        first(col("__cv")).as("__cv"))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val pairs = a.join(b, col("a.__cid") === col("b.__cid") &&
+        col("a.__id") < col("b.__id"))
+      .filter(SimilarityOps.cosine(col("a.__cv"), col("b.__cv")) >= tau)
+      .select(col("a.__id").as("a"), col("b.__id").as("b"))
+    connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"), col("cluster").as("rep_id"))
   }
 
   /** Connected components over a dup-pair edge list — the clustering

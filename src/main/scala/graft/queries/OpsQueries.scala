@@ -386,6 +386,30 @@ object OpsQueries {
              |FROM documents
              |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""".stripMargin)),
 
+    // Segment-level keep-first dedup (fixed 16-word segments standing
+    // in for CCNet's newline paragraphs — this corpus is single-line).
+    // The oracle replays keep-first with a window over the RAW segment
+    // text, proving the fingerprint shuffle loses nothing.
+    QueryDef("dedup_segments",
+      (s, dir) => DedupOps.segmentDedup(
+        table(s, dir, "documents"), "text", "doc_id", segWords = 16),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             |seg AS (
+             |  SELECT doc_id, unnest(range(0, (len(sp) + 15) // 16)) AS seg_idx, sp
+             |  FROM t),
+             |s2 AS (
+             |  SELECT doc_id, seg_idx,
+             |    array_to_string(
+             |      list_slice(sp, seg_idx * 16 + 1, seg_idx * 16 + 16), ' ') AS seg
+             |  FROM seg),
+             |r AS (
+             |  SELECT doc_id, seg_idx, seg,
+             |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+             |  FROM s2)
+             |SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx, md5(seg) AS seg_md5
+             |FROM r WHERE rn = 1""".stripMargin)),
+
     // Incremental exact dedup against a PERSISTED fingerprint store —
     // the daily-ingest shape at 100 TB: the historical corpus's
     // fingerprints live in a lake table; a new batch anti-joins
@@ -654,6 +678,42 @@ object OpsQueries {
           s"minhash LSH recall $recall below 0.9 ($nFound/$nTrue)")
         Seq((nTrue, nFound, math.rint(recall * 10000) / 10000))
           .toDF("n_true_pairs", "n_found_pairs", "recall")
+      },
+      None),
+
+    // SemDeDup (cluster-scoped semantic dedup): corpus ∪ perturbed
+    // copies (ids shifted, cos ≈ 0.99 to their source) — every copy
+    // must land in its source's k-means cluster, pair above tau, and
+    // be dropped in favor of the lower-id source; near-random
+    // non-planted vectors must NOT pair at tau = 0.95. Recall and the
+    // false-drop bound are both enforced in-gate (no SQL oracle: the
+    // k-means assignment is not SQL-expressible).
+    QueryDef("dedup_semantic",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val copies = e.select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x * (1.0d + 0.05d * sin(vec_id * 31 + i)) AS FLOAT))")
+            .as("embedding"))
+        val nPlanted = copies.count()
+        val dropped = DedupOps.semanticDedup(
+          e.union(copies), "vec_id", "embedding",
+          tau = 0.95, nClusters = 16, kmeansIters = 2)
+        val caught = dropped.filter(col("id") >= 1000000L &&
+          col("rep_id") === col("id") - 1000000L).count()
+        val falseDrops = dropped.filter(col("id") < 1000000L).count()
+        val recall = if (nPlanted == 0) 1.0 else caught.toDouble / nPlanted
+        require(recall >= 0.9,
+          s"SemDeDup recall $recall below 0.9 ($caught/$nPlanted)")
+        require(falseDrops <= nPlanted / 20,
+          s"SemDeDup dropped $falseDrops non-planted vectors — " +
+            "tau = 0.95 should not pair near-random embeddings")
+        Seq((nPlanted, caught, falseDrops,
+          math.rint(recall * 10000) / 10000))
+          .toDF("n_planted", "n_caught", "n_false_drops", "recall")
       },
       None),
 

@@ -27,6 +27,45 @@ class OpsSuite extends SparkSuite {
     assert(got(2) === 0.6)
   }
 
+  test("segment dedup: keep-first across docs, intra-doc repeats collapse") {
+    // segWords=2 → doc 10 segments: [a b][c d][a b]; doc 11: [a b][x y];
+    // doc 12: [c d]. Corpus-wide keep-first by (doc_id, seg_idx):
+    // "a b" survives only at (10,0); "c d" only at (10,1); "x y" at (11,1).
+    val df = Seq(
+      (10L, "a b c d a b"),
+      (11L, "a b x y"),
+      (12L, "c d")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.segmentDedup(df, "text", "doc_id", segWords = 2)
+      .select("doc_id", "seg_idx").as[(Long, Int)].collect().toSet
+    assert(got === Set((10L, 0), (10L, 1), (11L, 1)))
+    // tail segment shorter than segWords is its own unit: "e" here
+    // does not collide with the full "e f" segment elsewhere
+    val tails = Seq((1L, "e f"), (2L, "e")).toDF("doc_id", "text")
+    val keptTails = DedupOps.segmentDedup(tails, "text", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTails === Set(1L, 2L))
+  }
+
+  test("semantic dedup: near-identical vectors collapse to min id, distinct survive") {
+    // two duplicate groups along different axes + one singleton;
+    // within-group cosine ~1, cross-group cosine ~0
+    def v(xs: Float*): Seq[Float] = xs
+    val rows = Seq(
+      (1L, v(1f, 0.01f, 0f, 0f)),
+      (2L, v(1f, 0f, 0.01f, 0f)),   // dup of 1
+      (5L, v(0.99f, 0.02f, 0f, 0f)), // dup of 1
+      (3L, v(0f, 0f, 1f, 0.01f)),
+      (4L, v(0f, 0.01f, 1f, 0f)),   // dup of 3
+      (9L, v(0f, 1f, 0f, 1f))       // singleton (cos ~0.7 to others at best)
+    )
+    val df = rows.toDF("id", "vec")
+    val dropped = DedupOps.semanticDedup(
+        df, "id", "vec", tau = 0.95, nClusters = 2, kmeansIters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(dropped === Map(2L -> 1L, 5L -> 1L, 4L -> 3L))
+  }
+
   test("simhash: equal texts collide, different texts differ") {
     val df = Seq("the quick brown fox", "the quick brown fox",
       "entirely different words here").toDF("text")
