@@ -57,6 +57,15 @@ final case class Metadata(
   *                        index. Pure skipping metadata: a reader
   *                        that ignores it is correct, just opens
   *                        files a bloom could have excluded.
+  * @param baseRowId       first row id of this file's id range (Delta
+  *                        row tracking's `baseRowId`): physical row i
+  *                        of the file has stable id `baseRowId + i`,
+  *                        unless the file carries a materialized
+  *                        [[RowTracking.COL]] column (written by
+  *                        reorganizing rewrites), which wins.
+  *                        Assigned once at commit time from the
+  *                        [[RowTracking.DOMAIN]] high-water mark;
+  *                        None on tables without the feature.
   */
 final case class AddFile(
     path: String,
@@ -68,7 +77,8 @@ final case class AddFile(
     nullCounts: Map[String, Long] = Map.empty,
     dvPath: Option[String] = None,
     dvCardinality: Long = 0L,
-    bloomPath: Option[String] = None) extends Action
+    bloomPath: Option[String] = None,
+    baseRowId: Option[Long] = None) extends Action
 
 /** A data file logically removed (tombstone retained until VACUUM). */
 final case class RemoveFile(
@@ -113,6 +123,20 @@ final case class Protocol(
     readerFeatures: Seq[String] = Nil,
     writerFeatures: Seq[String] = Nil) extends Action
 
+/** Table-scoped named metadata outside the schema (Delta
+  * `domainMetadata`): a (domain → configuration) entry replayed
+  * last-writer-wins, `removed = true` tombstoning the domain. Exists
+  * because some table state must survive checkpoints WITHOUT riding
+  * [[Metadata.properties]] — a per-commit counter stored in properties
+  * would make every append a metadata change and trip the
+  * metadata-conflict abort for concurrent writers. First user:
+  * [[RowTracking]]'s row-id high-water mark.
+  */
+final case class DomainMetadata(
+    domain: String,
+    configuration: Map[String, String] = Map.empty,
+    removed: Boolean = false) extends Action
+
 /** Idempotent-writer watermark (Delta `txn`/SetTransaction): records
   * that application `appId` has committed through `version` of ITS OWN
   * sequence (e.g. a streaming query's micro-batch id). A writer that
@@ -131,7 +155,8 @@ private[lake] final case class LogEntry(
     commitInfo: Option[CommitInfo] = None,
     txn: Option[Txn] = None,
     cdc: Option[CdcFile] = None,
-    protocol: Option[Protocol] = None)
+    protocol: Option[Protocol] = None,
+    domainMetadata: Option[DomainMetadata] = None)
 
 object Action {
   private implicit val formats: Formats = DefaultFormats
@@ -144,12 +169,14 @@ object Action {
     case t: Txn        => LogEntry(txn = Some(t))
     case c: CdcFile    => LogEntry(cdc = Some(c))
     case p: Protocol   => LogEntry(protocol = Some(p))
+    case d: DomainMetadata => LogEntry(domainMetadata = Some(d))
   })
 
   def fromJson(line: String): Action = {
     val e = Serialization.read[LogEntry](line)
     e.metaData.orElse(e.add).orElse(e.remove).orElse(e.commitInfo)
       .orElse(e.txn).orElse(e.cdc).orElse(e.protocol)
+      .orElse(e.domainMetadata)
       .getOrElse(throw new IllegalArgumentException(
         s"unrecognized log line: $line"))
   }

@@ -67,6 +67,15 @@ object CheckpointParquet {
         optional binary dvPath (STRING);
         required int64 dvCardinality;
         optional binary bloomPath (STRING);
+        optional int64 baseRowId;
+      }
+      optional group domainMetadata {
+        required binary domain (STRING);
+        repeated group configuration {
+          required binary key (STRING);
+          optional binary value (STRING);
+        }
+        required boolean removed;
       }
       optional group metaData {
         required binary schemaDDL (STRING);
@@ -119,6 +128,12 @@ object CheckpointParquet {
         f.dvPath.foreach(add.add("dvPath", _))
         add.add("dvCardinality", f.dvCardinality)
         f.bloomPath.foreach(add.add("bloomPath", _))
+        f.baseRowId.foreach(add.add("baseRowId", _))
+      case d: DomainMetadata =>
+        val dm = g.addGroup("domainMetadata")
+        dm.add("domain", d.domain)
+        addMap(dm, "configuration", d.configuration)
+        dm.add("removed", d.removed)
       case m: Metadata =>
         val md = g.addGroup("metaData")
         md.add("schemaDDL", m.schemaDDL)
@@ -177,7 +192,17 @@ object CheckpointParquet {
           }.toMap,
         dvPath = optString(a, "dvPath"),
         dvCardinality = a.getLong("dvCardinality", 0),
-        bloomPath = optString(a, "bloomPath"))
+        bloomPath = optString(a, "bloomPath"),
+        baseRowId =
+          if (a.getFieldRepetitionCount("baseRowId") > 0)
+            Some(a.getLong("baseRowId", 0))
+          else None)
+    } else if (g.getFieldRepetitionCount("domainMetadata") > 0) {
+      val d = g.getGroup("domainMetadata", 0)
+      DomainMetadata(
+        domain = d.getString("domain", 0),
+        configuration = readMap(d, "configuration"),
+        removed = d.getBoolean("removed", 0))
     } else if (g.getFieldRepetitionCount("metaData") > 0) {
       val m = g.getGroup("metaData", 0)
       Metadata(

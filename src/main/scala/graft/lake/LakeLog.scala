@@ -55,6 +55,20 @@ final class LakeLog(val tablePath: String) {
     // directory, so the whole commit path rides the LogStore seam.
     val target = versionFile(version)
     if (store.exists(target)) throw new ConcurrentWriteException(version)
+    // Row-id assignment ([[RowTracking.stamp]]) happens HERE, at the
+    // single commit choke point, so every path that adds files —
+    // write/CTAS/COPY INTO/streaming, DML rewrites, OPTIMIZE, convert
+    // — is covered without per-call-site wiring. Centralizing inside
+    // commit() also makes optimistic retries safe for free: a version
+    // collision sends the caller back through here, and the re-stamp
+    // reads the WINNING commit's high-water mark from the parent
+    // snapshot (cached), so racing appends never carve overlapping id
+    // blocks. No-op (one map over actions) for untracked tables.
+    val rowStamped =
+      if (version == 0)
+        RowTracking.stamp(None, actions)
+      else RowTracking.stamp(Some(Snapshot.replay(this, version - 1)),
+        actions)
     // In-commit timestamp monotonicity (Delta's inCommitTimestamps):
     // clamp this commit's CommitInfo to strictly after the previous
     // commit's, so history order == timestamp order even under
@@ -68,12 +82,13 @@ final class LakeLog(val tablePath: String) {
     // O(prev-commit-size) JSON parsing. Absent CommitInfo falls back
     // to the file's mtime (the same fallback `commitTimestamps` uses).
     val stamped =
-      if (version == 0 || !actions.exists(_.isInstanceOf[CommitInfo])) actions
+      if (version == 0 || !rowStamped.exists(_.isInstanceOf[CommitInfo]))
+        rowStamped
       else {
         val prevTs = firstCommitInfoTimestamp(version - 1)
           .orElse(store.stat(versionFile(version - 1)).map(_._2))
           .getOrElse(Long.MinValue)
-        actions.map {
+        rowStamped.map {
           case c: CommitInfo if c.timestamp <= prevTs =>
             c.copy(timestamp = prevTs + 1)
           case a => a
@@ -340,11 +355,14 @@ final class LakeLog(val tablePath: String) {
   private def writeCheckpoint(version: Long): Unit = {
     val snap = Snapshot.replay(this, version)
     val txns = expireCopyIntoLedger(snap)
+    val domainActions: Seq[Action] = snap.domains.toSeq.sortBy(_._1)
+      .map { case (d, cfg) => DomainMetadata(d, cfg) }
     def actionIterator: Iterator[Action] =
       Iterator[Action](snap.protocol, snap.metadata) ++
+        domainActions.iterator ++
         txns.toSeq.sortBy(_._1).iterator.map { case (a, v) => Txn(a, v) } ++
         snap.files.iterator
-    val total = 2 + txns.size + snap.files.size
+    val total = 2 + domainActions.size + txns.size + snap.files.size
     val partMax = CHECKPOINT_PART_MAX_ACTIONS
     if (total <= partMax) {
       store.atomicReplace(
@@ -365,6 +383,7 @@ final class LakeLog(val tablePath: String) {
         // through the store.
         val head: Vector[Action] =
           Vector[Action](snap.protocol, snap.metadata) ++
+            domainActions ++
             txns.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) }
         val files = snap.files.toIndexedSeq
         def partSlice(p: Int): Iterator[Action] = {

@@ -15,10 +15,18 @@ object LakeProtocol {
   val FEATURE_DELETION_VECTORS = "deletionVectors"
   val FEATURE_COLUMN_MAPPING = "columnMapping"
 
+  /** WRITER-only (Delta's rowTracking): an unaware reader still reads
+    * correct data — it just cannot see row ids — but an unaware
+    * writer would fail to maintain the id high-water mark and the
+    * rewrite materialization, so writers are fenced.
+    */
+  val FEATURE_ROW_TRACKING = "rowTracking"
+
   val SUPPORTED_READER_FEATURES: Set[String] =
     Set(FEATURE_DELETION_VECTORS, FEATURE_COLUMN_MAPPING)
   val SUPPORTED_WRITER_FEATURES: Set[String] =
-    Set(FEATURE_DELETION_VECTORS, FEATURE_COLUMN_MAPPING)
+    Set(FEATURE_DELETION_VECTORS, FEATURE_COLUMN_MAPPING,
+      FEATURE_ROW_TRACKING)
 
   /** The protocol a table with `props` requires. Feature-bearing
     * tables use version 3 (feature-list form); plain tables stay at
@@ -32,9 +40,13 @@ object LakeProtocol {
         props.get(LakeTable.PROP_ENABLE_DV).contains("true"),
       FEATURE_COLUMN_MAPPING -> ColumnMapping.enabled(props)
     ).collect { case (f, true) => f }
-    if (features.isEmpty) Protocol()
+    val writerOnly = Seq(
+      FEATURE_ROW_TRACKING -> RowTracking.enabled(props)
+    ).collect { case (f, true) => f }
+    if (features.isEmpty && writerOnly.isEmpty) Protocol()
     else Protocol(3, 3,
-      readerFeatures = features, writerFeatures = features)
+      readerFeatures = features,
+      writerFeatures = features ++ writerOnly)
   }
 
   /** `current` upgraded (never downgraded) to also satisfy `needed` —

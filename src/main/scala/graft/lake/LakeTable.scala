@@ -457,7 +457,9 @@ final class LakeTable private (
       case None =>
         val touched = touchedFiles(snap, cond)
         if (touched.nonEmpty) {
-          val kept = readFiles(snap, touched)
+          // readForRewrite: on row-tracked tables the KEPT rows carry
+          // their ids into the rewritten files
+          val kept = readForRewrite(snap, touched)
             .filter(!coalesce(cond, lit(false)))
           // persisted CDC: the deleted rows, so changes() never has
           // to diff the rewritten files. Staged on its own thread so
@@ -1431,7 +1433,7 @@ final class LakeTable private (
     val snap = snapshot()
     val dvFiles = scopeFiles(snap, where).filter(_.dvPath.isDefined)
     if (dvFiles.isEmpty) return 0
-    val df = readFiles(snap, dvFiles.map(_.path))
+    val df = readForRewrite(snap, dvFiles.map(_.path))
     val adds = LakeWriter.stageAndAdopt(df, tablePath,
       snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
       snap.metadata.properties)
@@ -1606,7 +1608,7 @@ final class LakeTable private (
     val toCompact = byPartition.values.flatten.toSeq
     val totalBytes = toCompact.map(_.size).sum
     val numOut = math.max(1, (totalBytes / targetFileBytes).toInt)
-    val df = readFiles(snap, toCompact.map(_.path))
+    val df = readForRewrite(snap, toCompact.map(_.path))
     val repartitioned =
       if (snap.partitionColumns.nonEmpty)
         df.repartition(math.max(numOut, byPartition.size),
@@ -1849,7 +1851,7 @@ final class LakeTable private (
       math.ceil(scoped.map(_.size).sum.toDouble / targetFileBytes).toInt)
     // quantile boundaries computed over the SCOPED rows only — a
     // partition-local re-cluster gets partition-local cut points
-    val df = readFiles(snap, scoped.map(_.path))
+    val df = readForRewrite(snap, scoped.map(_.path))
     val clustered =
       if (zOrder && clusterBy.size > 1) {
         // adapt interleave width to the column count so any number of
@@ -1892,6 +1894,18 @@ final class LakeTable private (
       .map(r => relativize(r.getString(0))).toSeq
   }
 
+  /** What reorganizing rewrites (OPTIMIZE/Z-order/PURGE) read: on
+    * row-tracked tables the rows carry [[RowTracking.COL]] so the
+    * rewrite MATERIALIZES every row's id into the new files — the
+    * step that makes ids survive reorganization (the fresh files'
+    * `baseRowId + index` would otherwise re-key every row).
+    */
+  private def readForRewrite(
+      snap: Snapshot, relPaths: Seq[String]): DataFrame =
+    if (RowTracking.enabled(snap.metadata.properties))
+      readFilesWithRowIds(snap, relPaths)
+    else readFiles(snap, relPaths)
+
   /** Read a subset of the table's files as a DataFrame — through the
     * snapshot relation (LakeFileIndex), so partition values come from
     * the log, not path inference, and shallow-cloned absolute-path
@@ -1911,6 +1925,26 @@ final class LakeTable private (
     graft.sources.LakeDataSource.snapshotDFWithMeta(spark,
       snap.copy(files = fileSubset(snap, relPaths)))
   }
+
+  /** Current table with stable row ids: table columns plus
+    * [[RowTracking.COL]] (see [[RowTracking]] for the semantics and
+    * [[graft.sources.LakeDataSource.snapshotDFWithRowIds]] for the
+    * plan shape). The id column is null for files written before the
+    * feature was enabled and never backfilled.
+    */
+  def toDFWithRowIds: DataFrame =
+    graft.sources.LakeDataSource.snapshotDFWithRowIds(spark, snapshot())
+
+  /** [[readFiles]] carrying [[RowTracking.COL]] — what reorganizing
+    * rewrites read so the ids of the rows they carry land MATERIALIZED
+    * in the new files (the id column is a physical column of the
+    * staged parquet, outside the table schema, so normal reads never
+    * see it).
+    */
+  private[lake] def readFilesWithRowIds(
+      snap: Snapshot, relPaths: Seq[String]): DataFrame =
+    graft.sources.LakeDataSource.snapshotDFWithRowIds(spark,
+      snap.copy(files = fileSubset(snap, relPaths)))
 
   private def fileSubset(
       snap: Snapshot, relPaths: Seq[String]): Seq[AddFile] = {
@@ -2137,7 +2171,7 @@ object LakeTable {
   private[graft] def canonicalPropertyKey(k: String): String =
     Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE,
       PROP_APPEND_ONLY, PROP_AUTO_COMPACT, PROP_AUTO_COMPACT_MIN_FILES,
-      PROP_ENABLE_DV, ColumnMapping.MODE_PROP,
+      PROP_ENABLE_DV, RowTracking.PROP, ColumnMapping.MODE_PROP,
       BloomIndex.PROP_COLUMNS, BloomIndex.PROP_FPP,
       BloomIndex.PROP_NUM_ITEMS,
       LakeLog.COPY_INTO_RETENTION_PROP, LakeLog.LOG_RETENTION_PROP)
@@ -2155,7 +2189,7 @@ object LakeTable {
           require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
             s"$k must be a non-negative number of hours, got '$v'")
         case PROP_ENABLE_CDF | PROP_OPTIMIZE_WRITE | PROP_APPEND_ONLY |
-            PROP_AUTO_COMPACT | PROP_ENABLE_DV =>
+            PROP_AUTO_COMPACT | PROP_ENABLE_DV | RowTracking.PROP =>
           require(v == "true" || v == "false",
             s"$k must be true or false, got '$v'")
         case PROP_AUTO_COMPACT_MIN_FILES =>

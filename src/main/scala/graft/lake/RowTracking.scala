@@ -1,0 +1,127 @@
+package graft.lake
+
+/** Stable row identity (Delta Lake's `rowTracking` table feature,
+  * delta-io PROTOCOL.md "Row Tracking"): every row of a tracked table
+  * has an id that is stable across file REORGANIZATION — OPTIMIZE
+  * compaction, Z-order clustering, REORG ... APPLY (PURGE) — and
+  * across deletion-vector deletes. Downstream incremental consumers
+  * (feature stores, training-example ledgers, CDC joins) can key on
+  * the id instead of re-deriving a content key per run.
+  *
+  * Two representations, exactly Delta's design:
+  *
+  *  - FRESH files: the commit assigns each new [[AddFile]] a
+  *    `baseRowId` — a block of `numRecords` consecutive ids carved
+  *    from a table-level high-water mark — and physical row i of the
+  *    file has id `baseRowId + i`. Zero storage cost: the id is
+  *    computed at scan time from the parquet row index the deletion-
+  *    vector machinery already materializes exactly.
+  *  - REWRITTEN files: reorganization destroys the (file, index) ↦ id
+  *    correspondence, so reorganizing rewrites MATERIALIZE the ids of
+  *    the rows they carry as a physical [[COL]] column in the new
+  *    files. The column is invisible to normal reads (it is not in
+  *    the table schema; scans prune to requested columns) and wins
+  *    over `baseRowId + index` when present.
+  *
+  * The high-water mark lives in a [[DomainMetadata]] entry — NOT in
+  * [[Metadata.properties]], which would turn every append into a
+  * metadata change and abort concurrent writers via the
+  * metadata-conflict rule. Assignment happens centrally in
+  * [[LakeLog.commit]]: optimistic retries re-read the parent
+  * snapshot, so two racing appends can never carve overlapping id
+  * blocks (the loser's version collision forces a re-stamp).
+  *
+  * Preservation scope (v1): ids survive OPTIMIZE compaction, Z-order
+  * clustering, REORG ... APPLY (PURGE), copy-on-write DELETE (kept
+  * rows), deletion-vector DELETE, RESTORE, and clones. UPDATE and
+  * MERGE write the post-image as NEW rows with fresh ids — the
+  * pre-image's id ends with the row version it described. Extending
+  * preservation through UPDATE/MERGE means threading the materialized
+  * column through their projection builders; until then consumers
+  * treat an update as delete+insert, which CDF reports anyway.
+  *
+  * Writer-only feature ([[LakeProtocol.FEATURE_ROW_TRACKING]]): an
+  * engine unaware of row ids still reads the data correctly — it just
+  * cannot see ids — but a writer must maintain the high-water mark
+  * and the rewrite materialization, so unaware writers are fenced.
+  */
+object RowTracking {
+
+  /** Table property that enables the feature (Delta:
+    * `delta.enableRowTracking`).
+    */
+  val PROP = "graft.enableRowTracking"
+
+  /** [[DomainMetadata]] domain holding the id high-water mark. */
+  val DOMAIN = "graft.rowTracking"
+
+  /** Key inside the domain configuration: the NEXT unassigned row id
+    * (i.e. 1 + the highest id ever carved out; 0 on a fresh table).
+    */
+  val HWM_KEY = "rowIdHighWaterMark"
+
+  /** Physical column name for materialized row ids in rewritten
+    * files, and the column name row-id reads expose.
+    */
+  val COL = "_lake_row_id"
+
+  def enabled(props: Map[String, String]): Boolean =
+    props.get(PROP).exists(_.equalsIgnoreCase("true"))
+
+  /** Next unassigned id per the replayed domain state. */
+  def highWaterMark(domains: Map[String, Map[String, String]]): Long =
+    domains.get(DOMAIN).flatMap(_.get(HWM_KEY)).map(_.toLong).getOrElse(0L)
+
+  /** Stamp `actions` for a commit against `parent` (None for version
+    * 0): every un-stamped AddFile gets a consecutive id block, and —
+    * on the commit that first ENABLES the feature — every live parent
+    * file not re-added in this commit is backfilled with a re-add
+    * (metadata-only; replay replaces by path, the DV re-add rule).
+    * Appends the advanced high-water-mark [[DomainMetadata]]. Returns
+    * `actions` unchanged when the feature is off.
+    *
+    * Re-adds of EXISTING files (deletion vectors, bloom/stats
+    * backfill, RESTORE, clones) arrive with `baseRowId` already set —
+    * copied from the entry they supersede — and pass through
+    * untouched: that is precisely what keeps ids stable.
+    */
+  def stamp(parent: Option[Snapshot], actions: Seq[Action]): Seq[Action] = {
+    val commitMeta = actions.collectFirst { case m: Metadata => m }
+    val effective = commitMeta.orElse(parent.map(_.metadata))
+      .map(_.properties).getOrElse(Map.empty)
+    if (!enabled(effective)) return actions
+    val wasEnabled = parent.exists(p => enabled(p.metadata.properties))
+    val addedPaths = actions.collect { case a: AddFile => a.path }.toSet
+    // Enable-commit backfill: existing files get id blocks without a
+    // data rewrite. Requires per-file row counts — foreign entries
+    // (convert, shallow clone of stat-less sources) must be given
+    // stats first.
+    val backfill: Seq[AddFile] =
+      if (wasEnabled) Nil
+      else parent.toSeq.flatMap(_.files)
+        .filter(f => f.baseRowId.isEmpty && !addedPaths.contains(f.path))
+    var next = parent.map(p => highWaterMark(p.domains)).getOrElse(0L)
+    def carve(f: AddFile): AddFile = {
+      if (f.numRecords < 0)
+        throw new IllegalStateException(
+          s"cannot assign row ids to ${f.path}: the log entry has no " +
+          s"row count. Backfill stats first (ANALYZE TABLE ... COMPUTE " +
+          "DELTA STATISTICS) or rewrite the file, then retry.")
+      val stamped = f.copy(baseRowId = Some(next))
+      next += f.numRecords
+      stamped
+    }
+    val stampedActions = actions.map {
+      case a: AddFile if a.baseRowId.isEmpty => carve(a)
+      case other => other
+    }
+    val stampedBackfill = backfill.map(carve)
+    val priorHwm = parent.map(p => highWaterMark(p.domains)).getOrElse(0L)
+    // Emit the domain even when nothing was carved on the enable
+    // commit, so the table's tracked state is explicit in the log.
+    val domain =
+      if (next == priorHwm && wasEnabled) Nil
+      else Seq(DomainMetadata(DOMAIN, Map(HWM_KEY -> next.toString)))
+    stampedActions ++ stampedBackfill ++ domain
+  }
+}

@@ -13,7 +13,8 @@ final case class Snapshot(
     metadata: Metadata,
     files: Seq[AddFile],
     transactions: Map[String, Long] = Map.empty,
-    protocol: Protocol = Protocol()) {
+    protocol: Protocol = Protocol(),
+    domains: Map[String, Map[String, String]] = Map.empty) {
 
   def schema: StructType = StructType.fromDDL(metadata.schemaDDL)
 
@@ -137,6 +138,8 @@ object Snapshot {
     var protocol: Protocol = Protocol()
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
+    val domains =
+      scala.collection.mutable.HashMap.empty[String, Map[String, String]]
     val startAt = log.latestCheckpointFilesAtOrBefore(version) match {
       case Some((ckptVersion, partFiles)) =>
         // JSON parsing is THE driver-side cost of opening a big table
@@ -157,6 +160,9 @@ object Snapshot {
           case a: AddFile  => live(a.path) = a
           case t: Txn      => txns(t.appId) = t.version
           case p: Protocol => protocol = p
+          case d: DomainMetadata =>
+            if (d.removed) domains.remove(d.domain)
+            else domains(d.domain) = d.configuration
           case _ => ()
         })
         ckptVersion + 1
@@ -186,6 +192,9 @@ object Snapshot {
         case t: Txn        =>
           txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
         case p: Protocol   => protocol = p
+        case d: DomainMetadata =>
+          if (d.removed) domains.remove(d.domain)
+          else domains(d.domain) = d.configuration
         case _ => () // CommitInfo / CdcFile: not table state
       }
       v += 1
@@ -197,6 +206,7 @@ object Snapshot {
     // Refuse to expose state replayed under semantics we may not
     // implement — every read and DML path goes through here.
     LakeProtocol.assertReadable(protocol, log.tablePath)
-    Snapshot(log, version, metadata, live.values.toSeq, txns.toMap, protocol)
+    Snapshot(log, version, metadata, live.values.toSeq, txns.toMap, protocol,
+      domains.toMap)
   }
 }

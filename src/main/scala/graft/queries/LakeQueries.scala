@@ -78,6 +78,44 @@ object LakeQueries {
       Some("SELECT l_orderkey, l_partkey, l_quantity, " +
         "l_extendedprice FROM lineitem")),
 
+    // Row tracking ([[graft.lake.RowTracking]]): stable row ids
+    // through OPTIMIZE and a copy-on-write DELETE. The writes are
+    // deterministic single sorted files, so the engine's id
+    // assignment is INDEPENDENTLY recomputable by the oracle as
+    // window ranks over the source table — the hash match proves the
+    // ids both assigned correctly and survived the reorganization.
+    QueryDef("lake_row_tracking",
+      (s, dir) => {
+        val path = scratch("lake_row_tracking", dir)
+        val d = table(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        // v0: even doc_ids (sorted, one file) -> ids 0..nE-1;
+        // v1: odd doc_ids -> ids nE..n-1
+        LakeWriter.write(
+          d.filter("doc_id % 2 = 0").orderBy("doc_id").coalesce(1), path,
+          properties = Map(graft.lake.RowTracking.PROP -> "true"))
+        LakeWriter.write(
+          d.filter("doc_id % 2 = 1").orderBy("doc_id").coalesce(1), path,
+          mode = "append")
+        val t = LakeTable.forPath(s, path)
+        t.compact()                 // ids must survive the merge
+        t.delete("n_chars < 200")   // CoW rewrite: kept rows keep ids
+        t.toDFWithRowIds.select(col("doc_id"),
+          col(graft.lake.RowTracking.COL).as("row_id"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN ROW_NUMBER() OVER (PARTITION BY doc_id % 2
+             |             ORDER BY doc_id) - 1
+             |      ELSE (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+             |           + ROW_NUMBER() OVER (PARTITION BY doc_id % 2
+             |               ORDER BY doc_id) - 1
+             |    END AS row_id
+             |  FROM documents)
+             |SELECT doc_id, CAST(row_id AS BIGINT) AS row_id
+             |FROM ranked WHERE n_chars >= 200""".stripMargin)),
+
     // S6/D6: time travel reads the pre-append version.
     QueryDef("lake_time_travel",
       (s, dir) => {

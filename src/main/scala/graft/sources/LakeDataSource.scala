@@ -165,14 +165,20 @@ final class LakeDataSource extends RelationProvider
     }.getOrElse(Nil)
   }
 
-  private def relationFor(
+  private[sources] def relationFor(
       spark: SparkSession, snap: Snapshot,
       parameters: Map[String, String],
-      applyDvs: Boolean = false): BaseRelation = {
+      applyDvs: Boolean = false,
+      extraCols: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : BaseRelation = {
     val index = new LakeFileIndex(spark, snap)
     val partCols = snap.partitionColumns.toSet
+    // extraCols: physical-only columns outside the table schema (the
+    // materialized row-id column) — parquet null-fills files that lack
+    // them, exactly like pre-evolution files null-fill new columns
     val dataSchema =
-      StructType(snap.schema.fields.filterNot(f => partCols.contains(f.name)))
+      StructType(snap.schema.fields.filterNot(f => partCols.contains(f.name))
+        ++ extraCols)
     // column-mapped tables read through the name-translating format;
     // the mapping is the SNAPSHOT's (time travel to a pre-rename
     // version uses that version's own logical→physical table)
@@ -274,4 +280,55 @@ object LakeDataSource {
   private def rawDF(spark: SparkSession, snap: Snapshot): DataFrame =
     spark.baseRelationToDataFrame(
       new LakeDataSource().relationFor(spark, snap, Map.empty))
+
+  /** Snapshot frame with STABLE ROW IDS ([[graft.lake.RowTracking]]):
+    * table columns plus [[graft.lake.RowTracking.COL]], the id that
+    * survives OPTIMIZE/Z-order/PURGE rewrites and deletion-vector
+    * deletes. Resolution order per the protocol: a materialized
+    * physical id column in the file (written by reorganizing
+    * rewrites) wins; otherwise `AddFile.baseRowId + row_index`.
+    *
+    * Plan shape: ONE scan (the extra physical column null-fills where
+    * absent) + the in-scan DV filter + one BROADCAST join against the
+    * (file → baseRowId) map — metadata-sized, the same O(files)
+    * driver contribution the DV and bloom path maps make. Files from
+    * before the feature was enabled that were never backfilled read
+    * a null id rather than a wrong one.
+    */
+  def snapshotDFWithRowIds(spark: SparkSession, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val rtCol = graft.lake.RowTracking.COL
+    if (snap.files.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snap.schema.fields :+ StructField(rtCol, LongType)))
+    }
+    val tablePath = snap.log.tablePath
+    val rel = new LakeDataSource().relationFor(spark, snap, Map.empty,
+      extraCols = Seq(StructField(rtCol, LongType, nullable = true)))
+    val df0 = spark.baseRelationToDataFrame(rel).withColumn(META, col(META))
+    val dvFiles = snap.files.filter(_.dvPath.isDefined)
+    val df =
+      if (dvFiles.isEmpty) df0
+      else {
+        val dvFor = dvFiles.map { f =>
+          (LakeLog.resolveFile(tablePath, f.path).toString,
+            LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
+        }
+        df0.filter(!graft.lake.DvRowDeleted(df0.sparkSession,
+          col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
+      }
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val bases = snap.files.map(f =>
+      (LakeLog.resolveFile(tablePath, f.path).toString, f.baseRowId))
+    val baseDF = broadcast(
+      bases.toDF("__rt_file_path", "__rt_base"))
+    df.join(baseDF, col(s"$META.file_path") === col("__rt_file_path"), "left")
+      .withColumn(rtCol,
+        coalesce(col(s"`$rtCol`"),
+          col("__rt_base") + col(s"$META.row_index")))
+      .select(snap.schema.fieldNames.map(n => col(s"`$n`"))
+        :+ col(s"`$rtCol`"): _*)
+  }
 }

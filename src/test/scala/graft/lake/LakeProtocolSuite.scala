@@ -64,14 +64,14 @@ class LakeProtocolSuite extends SparkSuite {
     LakeWriter.write(seed, path)
     val log = new LakeLog(path)
     log.commit(1L, Seq(
-      Protocol(1, 3, Nil, Seq("rowTracking")),
+      Protocol(1, 3, Nil, Seq("managedCommitsV9")),
       CommitInfo(System.currentTimeMillis(), "UPGRADE", Map.empty)))
     Snapshot.clearCacheForTest()
     assert(LakeTable.forPath(spark, path).toDF.count() === 2)
     val e = intercept[IllegalStateException] {
       LakeTable.forPath(spark, path).delete("id = 1")
     }
-    assert(e.getMessage.contains("rowTracking"))
+    assert(e.getMessage.contains("managedCommitsV9"))
   }
 
   test("protocol survives checkpoints and clones") {
