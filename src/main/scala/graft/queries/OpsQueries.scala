@@ -386,6 +386,32 @@ object OpsQueries {
              |FROM documents
              |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""".stripMargin)),
 
+    // Distributed BPE vocabulary training (Sennrich 2016): the gate
+    // replays a SEQUENTIAL reference implementation over the same
+    // collected word-frequency table (vocabulary-sized by
+    // construction) and requires the distributed trainer's merge
+    // sequence to match EXACTLY — tie-breaks, early stop and all.
+    // No SQL oracle: the algorithm is inherently iterative.
+    QueryDef("text_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val d = table(s, dir, "documents")
+        val got = BpeOps.trainBpeMerges(d, "text",
+          numMerges = 16, minFreq = 2, vocabPartitions = 4)
+        val wf = BpeOps.wordFrequencies(d, "text")
+          .as[(String, Long)].collect().toSeq
+        val ref = BpeOps.referenceMerges(wf, 16, 2)
+        val gotSeq = got.orderBy("rank").collect().toSeq
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getLong(3)))
+        require(gotSeq == ref,
+          s"distributed BPE diverged from the sequential reference: " +
+            s"got ${gotSeq.take(3)}..., expected ${ref.take(3)}...")
+        require(gotSeq.nonEmpty, "corpus produced no merges")
+        got
+      },
+      None),
+
     // Segment-level keep-first dedup (fixed 16-word segments standing
     // in for CCNet's newline paragraphs — this corpus is single-line).
     // The oracle replays keep-first with a window over the RAW segment

@@ -27,6 +27,31 @@ class OpsSuite extends SparkSuite {
     assert(got(2) === 0.6)
   }
 
+  test("BPE trainer: distributed == sequential reference; apply compresses") {
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest widest widest"
+    ).toDF("text")
+    val got = BpeOps.trainBpeMerges(corpus, "text", numMerges = 10)
+      .orderBy("rank").collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val wf = BpeOps.wordFrequencies(corpus, "text")
+      .as[(String, Long)].collect().toSeq
+    val ref = BpeOps.referenceMerges(wf, 10)
+    assert(got === ref)
+    assert(got.nonEmpty)
+    // highest-frequency first: merges are frequency-sorted per step
+    assert(got.head._4 >= got.last._4)
+    // apply: after training, frequent whole words segment to few units
+    val merges = got.map(t => (t._2, t._3))
+    val counts = BpeOps.applyBpe(
+      Seq("low newest").toDF("text"), "text", merges)
+      .select("bpe_tokens").as[Int].collect()
+    // 8 chars + 2 EOW = 10 raw symbols; learned merges must compress
+    assert(counts(0) < 10)
+  }
+
   test("segment dedup: keep-first across docs, intra-doc repeats collapse") {
     // segWords=2 → doc 10 segments: [a b][c d][a b]; doc 11: [a b][x y];
     // doc 12: [c d]. Corpus-wide keep-first by (doc_id, seg_idx):
