@@ -663,14 +663,19 @@ final class LakeTable private (
     // of the materialized projection below — no separate
     // touchedFiles() pass; see deleteWithDv): old values for CDC,
     // SET-applied new values, (file, idx) identity for the DV.
-    // Existing DVs are applied by the scan.
-    val raw = graft.sources.LakeDataSource.snapshotDFWithMeta(spark, snap)
+    // Existing DVs are applied by the scan. Row-tracked tables also
+    // carry RowTracking.COL so the updated copies keep their ids.
+    val rt = RowTracking.enabled(snap.metadata.properties)
+    val rtCols =
+      if (rt) Seq(col(quoted(RowTracking.COL))) else Nil
+    val raw = graft.sources.LakeDataSource
+      .snapshotDFWithMeta(spark, snap, withRowIds = rt)
       .filter(coalesce(cond, lit(false)))
       .select(fields.map(f => col(quoted(f.name))) ++
         fields.map { f =>
           set.get(f.name).map(e => expr(e)).getOrElse(col(quoted(f.name)))
             .cast(f.dataType).as(newName(f.name))
-        } ++ Seq(
+        } ++ rtCols ++ Seq(
           col("_metadata.file_path").as(FILE),
           col("_metadata.row_index").as(IDX)): _*)
     val setsDeterministic =
@@ -692,14 +697,18 @@ final class LakeTable private (
         .collect().map(r => relativize(r.getString(0))).toSeq
       if (touched.isEmpty) return
       val updated = projected.select(
-        fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
+        fields.map(f => col(quoted(newName(f.name))).as(f.name)) ++
+          rtCols: _*)
       if (snap.metadata.constraints.nonEmpty)
-        LakeWriter.enforceConstraints(updated,
+        LakeWriter.enforceConstraints(updated.drop(RowTracking.COL),
           snap.metadata.constraints, tablePath)
       val pre = projected
         .select(fields.map(f => col(quoted(f.name))): _*)
         .withColumn("_change_type", lit("delete"))
-      val post = updated.withColumn("_change_type", lit("insert"))
+      // CDC carries table columns only — the row id is not part of
+      // the change-feed contract
+      val post = updated.drop(RowTracking.COL)
+        .withColumn("_change_type", lit("insert"))
       val cdcDir = LakeWriter.newCdcDir(tablePath)
       val cdcTask =
         if (!LakeTable.cdfEnabled(snap)) None
@@ -767,7 +776,13 @@ final class LakeTable private (
     //    staged to parquet scratch, because cache blocks are
     //    best-effort and a recompute would silently diverge between
     //    the data files and the CDC files.
-    val raw = readFiles(snap, touched).select(
+    // row-tracked tables thread RowTracking.COL through the
+    // projection so an UPDATED row keeps its id (same logical row,
+    // new version — Delta's row-tracking semantics for updates)
+    val rt = RowTracking.enabled(snap.metadata.properties)
+    val rtCols =
+      if (rt) Seq(col(quoted(RowTracking.COL))) else Nil
+    val raw = readForRewrite(snap, touched).select(
       fields.map(f => col(quoted(f.name))) ++
       fields.map { f =>
         (set.get(f.name) match {
@@ -775,7 +790,7 @@ final class LakeTable private (
             .otherwise(col(quoted(f.name)))
           case None => col(quoted(f.name))
         }).cast(f.dataType).as(newName(f.name))
-      } :+ matchedFlag.as("_graft_upd_matched"): _*)
+      } ++ rtCols :+ matchedFlag.as("_graft_upd_matched"): _*)
     val setsDeterministic =
       raw.queryExecution.analyzed.expressions.forall(_.deterministic)
     var scratch: Option[java.nio.file.Path] = None
@@ -791,9 +806,10 @@ final class LakeTable private (
       }
     try {
       val updated = projected.select(
-        fields.map(f => col(quoted(newName(f.name))).as(f.name)): _*)
+        fields.map(f => col(quoted(newName(f.name))).as(f.name)) ++
+          rtCols: _*)
       if (snap.metadata.constraints.nonEmpty)
-        LakeWriter.enforceConstraints(updated,
+        LakeWriter.enforceConstraints(updated.drop(RowTracking.COL),
           snap.metadata.constraints, tablePath)
       // persisted CDC: preimage (delete) + postimage (insert) of ONLY
       // the matched rows, read back from the same cached projection.

@@ -31,14 +31,14 @@ package graft.lake
   * snapshot, so two racing appends can never carve overlapping id
   * blocks (the loser's version collision forces a re-stamp).
   *
-  * Preservation scope (v1): ids survive OPTIMIZE compaction, Z-order
+  * Preservation scope: ids survive OPTIMIZE compaction, Z-order
   * clustering, REORG ... APPLY (PURGE), copy-on-write DELETE (kept
-  * rows), deletion-vector DELETE, RESTORE, and clones. UPDATE and
-  * MERGE write the post-image as NEW rows with fresh ids — the
-  * pre-image's id ends with the row version it described. Extending
-  * preservation through UPDATE/MERGE means threading the materialized
-  * column through their projection builders; until then consumers
-  * treat an update as delete+insert, which CDF reports anyway.
+  * rows), deletion-vector DELETE, UPDATE on both rewrite paths (an
+  * updated row keeps its id — same logical row, new version),
+  * RESTORE, and clones. MERGE writes its post-image as NEW rows with
+  * fresh ids — the pre-image's id ends with the row version it
+  * described; consumers treat a merge-update as delete+insert, which
+  * CDF reports anyway.
   *
   * Writer-only feature ([[LakeProtocol.FEATURE_ROW_TRACKING]]): an
   * engine unaware of row ids still reads the data correctly — it just

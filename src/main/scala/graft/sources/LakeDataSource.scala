@@ -264,17 +264,43 @@ object LakeDataSource {
     * LakeFileIndex lists (probe-verified), so `toUri` ("file://...")
     * would never match.
     */
-  def snapshotDFWithMeta(spark: SparkSession, snap: Snapshot): DataFrame = {
-    val df = rawDF(spark, snap).withColumn(META, col(META))
-    val dvFiles = snap.files.filter(_.dvPath.isDefined)
-    if (dvFiles.isEmpty) return df
+  def snapshotDFWithMeta(spark: SparkSession, snap: Snapshot,
+      withRowIds: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
     val tablePath = snap.log.tablePath
-    val dvFor = dvFiles.map { f =>
-      (LakeLog.resolveFile(tablePath, f.path).toString,
-        LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
-    }
-    df.filter(!graft.lake.DvRowDeleted(df.sparkSession,
-      col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
+    val rtCol = graft.lake.RowTracking.COL
+    val extra =
+      if (withRowIds) Seq(StructField(rtCol, LongType, nullable = true))
+      else Nil
+    val df0 = spark.baseRelationToDataFrame(
+        new LakeDataSource().relationFor(spark, snap, Map.empty,
+          extraCols = extra))
+      .withColumn(META, col(META))
+    val dvFiles = snap.files.filter(_.dvPath.isDefined)
+    val df =
+      if (dvFiles.isEmpty) df0
+      else {
+        val dvFor = dvFiles.map { f =>
+          (LakeLog.resolveFile(tablePath, f.path).toString,
+            LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
+        }
+        df0.filter(!graft.lake.DvRowDeleted(df0.sparkSession,
+          col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
+      }
+    if (!withRowIds) return df
+    // id resolution (see [[graft.lake.RowTracking]]): materialized
+    // column wins; else baseRowId + row_index via one broadcast join
+    // against the metadata-sized (file → base) map
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val bases = snap.files.map(f =>
+      (LakeLog.resolveFile(tablePath, f.path).toString, f.baseRowId))
+    df.join(broadcast(bases.toDF("__rt_file_path", "__rt_base")),
+        col(s"$META.file_path") === col("__rt_file_path"), "left")
+      .withColumn(rtCol,
+        coalesce(col(s"`$rtCol`"),
+          col("__rt_base") + col(s"$META.row_index")))
+      .drop("__rt_file_path", "__rt_base")
   }
 
   private def rawDF(spark: SparkSession, snap: Snapshot): DataFrame =
@@ -303,31 +329,7 @@ object LakeDataSource {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(snap.schema.fields :+ StructField(rtCol, LongType)))
     }
-    val tablePath = snap.log.tablePath
-    val rel = new LakeDataSource().relationFor(spark, snap, Map.empty,
-      extraCols = Seq(StructField(rtCol, LongType, nullable = true)))
-    val df0 = spark.baseRelationToDataFrame(rel).withColumn(META, col(META))
-    val dvFiles = snap.files.filter(_.dvPath.isDefined)
-    val df =
-      if (dvFiles.isEmpty) df0
-      else {
-        val dvFor = dvFiles.map { f =>
-          (LakeLog.resolveFile(tablePath, f.path).toString,
-            LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
-        }
-        df0.filter(!graft.lake.DvRowDeleted(df0.sparkSession,
-          col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
-      }
-    val spark2 = df.sparkSession
-    import spark2.implicits._
-    val bases = snap.files.map(f =>
-      (LakeLog.resolveFile(tablePath, f.path).toString, f.baseRowId))
-    val baseDF = broadcast(
-      bases.toDF("__rt_file_path", "__rt_base"))
-    df.join(baseDF, col(s"$META.file_path") === col("__rt_file_path"), "left")
-      .withColumn(rtCol,
-        coalesce(col(s"`$rtCol`"),
-          col("__rt_base") + col(s"$META.row_index")))
+    snapshotDFWithMeta(spark, snap, withRowIds = true)
       .select(snap.schema.fieldNames.map(n => col(s"`$n`"))
         :+ col(s"`$rtCol`"): _*)
   }

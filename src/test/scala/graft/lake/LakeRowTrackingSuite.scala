@@ -82,6 +82,26 @@ class LakeRowTrackingSuite extends SparkSuite {
     assert(idMap(t2) === b2.filter(_._2 < 7), "CoW kept rows keep ids")
   }
 
+  test("UPDATE preserves ids on both CoW and DV rewrite paths") {
+    // CoW path
+    val p1 = tablePath("rt_update_cow")
+    LakeWriter.write(docs(8), p1, properties = Map(RT))
+    val t1 = LakeTable.forPath(spark, p1)
+    val before1 = idMap(t1)
+    t1.update("id >= 4", Map("body" -> "'changed'"))
+    assert(idMap(t1) === before1, "CoW UPDATE keeps every row's id")
+    assert(t1.toDF.filter("body = 'changed'").count() === 4)
+    // DV path
+    val p2 = tablePath("rt_update_dv")
+    LakeWriter.write(docs(8), p2,
+      properties = Map(RT, LakeTable.PROP_ENABLE_DV -> "true"))
+    val t2 = LakeTable.forPath(spark, p2)
+    val before2 = idMap(t2)
+    t2.update("id >= 4", Map("body" -> "'changed'"))
+    assert(idMap(t2) === before2, "DV UPDATE keeps every row's id")
+    assert(t2.toDF.filter("body = 'changed'").count() === 4)
+  }
+
   test("enabling on an existing table backfills ids without rewrite") {
     val path = tablePath("rt_backfill")
     LakeWriter.write(docs(4), path)
