@@ -217,6 +217,13 @@ final class LakeMergeBuilder private[lake] (
     // and inserts are written — write volume O(clause-hit rows)
     // instead of O(touched files).
     val dvMode = LakeTable.dvEnabled(snap)
+    // Row-tracked tables ([[RowTracking]]): target-derived rewrite
+    // rows (updates AND untouched keep-side rows) carry their ids
+    // into the new files; merge-INSERTED rows are new logical rows
+    // and read fresh ids from the new file's baseRowId block (their
+    // materialized id is null, so the read-side coalesce falls
+    // through to base + row_index).
+    val rt = RowTracking.enabled(snap.metadata.properties)
 
     // Single-evaluation discipline: each side's combined frame feeds up
     // to three consumers (dup fail-fast, table rewrite, CDC). A
@@ -328,7 +335,8 @@ final class LakeMergeBuilder private[lake] (
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
     var dupCheck: Option[java.util.concurrent.FutureTask[Long]] = None
     val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
-      val tgtTouched = aliasTgt(table.readFilesWithMeta(snap, touched)
+      val tgtTouched = aliasTgt(
+        table.readFilesWithMeta(snap, touched, withRowIds = rt)
         .withColumn(RID, concat_ws("#",
           col("_metadata.file_path"), col("_metadata.row_index")))
         .withColumn(DVFILE, col("_metadata.file_path"))
@@ -398,6 +406,8 @@ final class LakeMergeBuilder private[lake] (
           fields.map(f => qualTgt(f.name).cast(f.dataType).as(f.name)) ++
           fields.map(f => newValue(f).as(newName(f.name))) ++
           Seq(col(RID), matched.as(MATCHED), col(IDXC)) ++
+          (if (rt)
+            Seq(qualTgt(RowTracking.COL).as(RowTracking.COL)) else Nil) ++
           (if (dvMode) Seq(col(DVFILE), col(DVIDX)) else Nil): _*))
 
       // Delta semantics: error if one target row matches several source
@@ -425,8 +435,14 @@ final class LakeMergeBuilder private[lake] (
       val updateIdxs = allClauses.zipWithIndex.collect {
         case (_: UpdateClause, i) => i + 1
       }
+      // newSide: CDC postimages (table columns only); newSideData:
+      // the rows actually written, carrying the row id on tracked
+      // tables
       def newSide(df: DataFrame): DataFrame =
         df.select(fields.map(f => col(s"`${newName(f.name)}`").as(f.name)): _*)
+      def newSideData(df: DataFrame): DataFrame =
+        df.select(fields.map(f => col(s"`${newName(f.name)}`").as(f.name)) ++
+          (if (rt) Seq(col(s"`${RowTracking.COL}`")) else Nil): _*)
       def oldSide(df: DataFrame): DataFrame =
         df.select(fields.map(f => col(s"`${f.name}`")): _*)
 
@@ -447,8 +463,8 @@ final class LakeMergeBuilder private[lake] (
         dvPairs = Some(combined.filter(col(IDXC) > 0)
           .select(col(DVFILE), col(DVIDX)))
         if (updateIdxs.isEmpty) None
-        else Some(newSide(combined.filter(col(IDXC).isin(updateIdxs: _*))))
-      } else Some(newSide(combined.filter(keep)))
+        else Some(newSideData(combined.filter(col(IDXC).isin(updateIdxs: _*))))
+      } else Some(newSideData(combined.filter(keep)))
     }
 
     // ---- not-matched side: anti-join → inserts ---------------------------
@@ -478,7 +494,11 @@ final class LakeMergeBuilder private[lake] (
     }
 
     val output = (rewritten, inserts) match {
-      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      // allowMissingColumns: on tracked tables the rewrite side
+      // carries the id column and the insert side deliberately lacks
+      // it (fresh rows get fresh ids) — it null-fills
+      case (Some(r), Some(i)) =>
+        Some(r.unionByName(i, allowMissingColumns = true))
       case (r, i) => r.orElse(i)
     }
     // The CDC write overlaps the data write on its own thread — the
@@ -511,7 +531,7 @@ final class LakeMergeBuilder private[lake] (
       adds = output match {
         case Some(df) =>
           if (snap.metadata.constraints.nonEmpty)
-            LakeWriter.enforceConstraints(df,
+            LakeWriter.enforceConstraints(df.drop(RowTracking.COL),
               snap.metadata.constraints, table.tablePath)
           LakeWriter.stageAndAdopt(df, table.tablePath,
             snap.partitionColumns, ColumnMapping.overrides(snap.metadata),

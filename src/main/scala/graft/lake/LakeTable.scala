@@ -1937,9 +1937,10 @@ final class LakeTable private (
     * vectors are applied on both variants).
     */
   private[lake] def readFilesWithMeta(
-      snap: Snapshot, relPaths: Seq[String]): DataFrame = {
+      snap: Snapshot, relPaths: Seq[String],
+      withRowIds: Boolean = false): DataFrame = {
     graft.sources.LakeDataSource.snapshotDFWithMeta(spark,
-      snap.copy(files = fileSubset(snap, relPaths)))
+      snap.copy(files = fileSubset(snap, relPaths)), withRowIds)
   }
 
   /** Current table with stable row ids: table columns plus

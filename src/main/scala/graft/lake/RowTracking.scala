@@ -33,12 +33,11 @@ package graft.lake
   *
   * Preservation scope: ids survive OPTIMIZE compaction, Z-order
   * clustering, REORG ... APPLY (PURGE), copy-on-write DELETE (kept
-  * rows), deletion-vector DELETE, UPDATE on both rewrite paths (an
-  * updated row keeps its id — same logical row, new version),
-  * RESTORE, and clones. MERGE writes its post-image as NEW rows with
-  * fresh ids — the pre-image's id ends with the row version it
-  * described; consumers treat a merge-update as delete+insert, which
-  * CDF reports anyway.
+  * rows), deletion-vector DELETE, UPDATE on both rewrite paths, and
+  * MERGE (matched-update and untouched keep-side rows keep their
+  * ids; merge-inserted rows are new logical rows and get fresh ids),
+  * RESTORE, and clones — an updated row keeps its id because it is
+  * the same logical row at a new version.
   *
   * Writer-only feature ([[LakeProtocol.FEATURE_ROW_TRACKING]]): an
   * engine unaware of row ids still reads the data correctly — it just

@@ -20,6 +20,62 @@ class LakePropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     path
   }
 
+  test("row-id stability invariant under random op sequences") {
+    // For ANY sequence of append / delete / update / optimize /
+    // zorder / purge / merge on a tracked table: (a) row ids stay
+    // DISTINCT, and (b) a surviving row keeps the exact id it was
+    // born with. Business key `id` is unique per row by construction,
+    // so the (row_id -> id) map must be a stable injection over time.
+    val seeds = Table("seed", 11, 42, 77)
+    forAll(seeds) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dv = rnd.nextBoolean()
+      val path = tablePath(s"prop-rt-$seed")
+      val props = Map(RowTracking.PROP -> "true") ++
+        (if (dv) Map(LakeTable.PROP_ENABLE_DV -> "true") else Map.empty)
+      var nextKey = 0L
+      def fresh(n: Int) = {
+        val df = (nextKey until nextKey + n)
+          .map(i => (i, s"v$i")).toDF("id", "k").coalesce(1)
+        nextKey += n
+        df
+      }
+      LakeWriter.write(fresh(8), path, properties = props)
+      val t = LakeTable.forPath(spark, path)
+      def ids(): Map[Long, Long] =
+        t.toDFWithRowIds.select(col(RowTracking.COL), col("id"))
+          .as[(Long, Long)].collect().toMap
+      var born = ids() // row_id -> business id, accumulated
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => LakeWriter.write(fresh(4), path, mode = "append")
+          case 1 => t.delete(s"id % 5 = ${rnd.nextInt(5)}")
+          case 2 => t.update(s"id % 4 = ${rnd.nextInt(4)}",
+            Map("k" -> "concat(k, '!')"))
+          case 3 => t.compact()
+          case 4 => t.compactClustered(Seq("id"))
+          case 5 =>
+            val src = fresh(3).union(
+              t.toDF.select(col("id"), concat(col("k"), lit("m")).as("k"))
+                .limit(2))
+            t.as("t").merge(src.as("s"), "t.id = s.id")
+              .whenMatchedUpdate(Map("k" -> "s.k"))
+              .whenNotMatchedInsert(Map("id" -> "s.id", "k" -> "s.k"))
+              .execute()
+        }
+        if (dv) t.purgeDeletionVectors()
+        val now = ids()
+        assert(now.size === t.toDF.count(), s"seed=$seed: ids distinct")
+        now.foreach { case (rid, bid) =>
+          born.get(rid).foreach(orig =>
+            assert(orig === bid,
+              s"seed=$seed: row id $rid moved from key $orig to $bid"))
+        }
+        born ++= now.filter { case (rid, _) => !born.contains(rid) }
+      }
+    }
+  }
+
   test("merging the same source twice is a no-op (upsert idempotence)") {
     forAll(Table("n", 10, 57, 200)) { n =>
       val path = freshTable(n)

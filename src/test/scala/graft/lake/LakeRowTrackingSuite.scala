@@ -102,6 +102,38 @@ class LakeRowTrackingSuite extends SparkSuite {
     assert(t2.toDF.filter("body = 'changed'").count() === 4)
   }
 
+  test("MERGE: updated/kept rows keep ids, inserts get fresh ids") {
+    def run(dv: Boolean): Unit = {
+      val props = if (dv) Map(RT, LakeTable.PROP_ENABLE_DV -> "true")
+        else Map(RT)
+      val path = tablePath(s"rt_merge_dv_$dv")
+      LakeWriter.write(docs(6), path, properties = props)
+      val t = LakeTable.forPath(spark, path)
+      val before = idMap(t)
+      val src = Seq(
+        (4L, "updated-4", 1), (5L, "updated-5", 2),   // matched
+        (100L, "new-100", 0), (101L, "new-101", 1)    // inserted
+      ).toDF("id", "body", "p")
+      t.as("t").merge(src.as("s"), "t.id = s.id")
+        .whenMatchedUpdate(Map("body" -> "s.body"))
+        .whenNotMatchedInsert(Map(
+          "id" -> "s.id", "body" -> "s.body", "p" -> "s.p"))
+        .execute()
+      val after = idMap(t)
+      // matched + untouched rows keep their exact ids
+      before.foreach { case (rid, bid) =>
+        assert(after(rid) === bid, s"dv=$dv: id $rid moved") }
+      // inserted rows have fresh distinct ids beyond the old range
+      val freshIds = after.filter(_._2 >= 100L).keySet
+      assert(freshIds.size === 2)
+      assert(freshIds.forall(i => !before.contains(i)),
+        s"dv=$dv: insert ids must not collide with existing ids")
+      assert(t.toDF.filter("body like 'updated%'").count() === 2)
+    }
+    run(dv = false)
+    run(dv = true)
+  }
+
   test("enabling on an existing table backfills ids without rewrite") {
     val path = tablePath("rt_backfill")
     LakeWriter.write(docs(4), path)
