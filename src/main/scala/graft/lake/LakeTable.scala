@@ -937,6 +937,15 @@ final class LakeTable private (
         CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
           props), meta)
     }
+    // Newly-enabled row tracking: stamp pre-existing files in a
+    // follow-up metadata-only commit (see [[backfillRowIds]] for why
+    // it must be its own commit). Failure here leaves the table
+    // valid — unstamped files read null ids until a retried backfill.
+    if (RowTracking.enabled(props) &&
+        !RowTracking.enabled(snap.metadata.properties)) {
+      backfillRowIds()
+      ()
+    }
     ()
   }
 
@@ -1943,6 +1952,35 @@ final class LakeTable private (
       snap.copy(files = fileSubset(snap, relPaths)), withRowIds)
   }
 
+  /** Assign row-id blocks to live files written BEFORE row tracking
+    * was enabled — a metadata-only maintenance commit re-adding each
+    * unstamped file (replay replaces by path, the DV re-add rule; the
+    * central [[RowTracking.stamp]] in the commit path carves the
+    * actual blocks). Runs as its OWN commit with operation
+    * "ROW ID BACKFILL" ([[LakeTable.METADATA_ONLY_READD_OPS]]) so
+    * streaming and CDF consumers classify it as no-row-changed
+    * instead of re-delivering the whole table. [[setTblProperties]]
+    * invokes it automatically when the property is newly enabled;
+    * it is also callable directly (idempotent — returns the number
+    * of files stamped, 0 when all are covered).
+    */
+  def backfillRowIds(): Int = {
+    val snap = snapshot()
+    require(RowTracking.enabled(snap.metadata.properties),
+      s"${RowTracking.PROP} is not set on $tablePath; enable row " +
+      "tracking before backfilling")
+    val missing = snap.files.filter(_.baseRowId.isEmpty)
+    if (missing.isEmpty) return 0
+    LakeWriter.commitWithRetry(log, snap.version,
+      missing.map(_.path)) { _ =>
+      val cur = snapshot()
+      val stillMissing = cur.files.filter(_.baseRowId.isEmpty)
+      Seq(CommitInfo(System.currentTimeMillis(), "ROW ID BACKFILL",
+        Map("numFiles" -> stillMissing.size.toString))) ++ stillMissing
+    }
+    missing.size
+  }
+
   /** Current table with stable row ids: table columns plus
     * [[RowTracking.COL]] (see [[RowTracking]] for the semantics and
     * [[graft.sources.LakeDataSource.snapshotDFWithRowIds]] for the
@@ -1951,6 +1989,16 @@ final class LakeTable private (
     */
   def toDFWithRowIds: DataFrame =
     graft.sources.LakeDataSource.snapshotDFWithRowIds(spark, snapshot())
+
+  /** Time-traveled [[toDFWithRowIds]]: the ids a row carried AT THAT
+    * VERSION — which, by the preservation guarantee, equal its ids at
+    * every other version where the row exists. Diffing two versions'
+    * id sets is the cheap "which rows appeared/disappeared" question
+    * CDF answers with data reads.
+    */
+  def asOfWithRowIds(version: Long): DataFrame =
+    graft.sources.LakeDataSource.snapshotDFWithRowIds(spark,
+      snapshot(version))
 
   /** [[readFiles]] carrying [[RowTracking.COL]] — what reorganizing
     * rewrites read so the ids of the rows they carry land MATERIALIZED
@@ -2048,7 +2096,8 @@ object LakeTable {
     * names, so the match is within-protocol, not heuristic.
     */
   val METADATA_ONLY_READD_OPS: Set[String] =
-    Set("ADD BLOOM INDEX", "DROP BLOOM INDEX", "COMPUTE STATS")
+    Set("ADD BLOOM INDEX", "DROP BLOOM INDEX", "COMPUTE STATS",
+      "ROW ID BACKFILL")
 
   val PROP_RETENTION_HOURS = "graft.deletedFileRetentionHours"
   /** `false` disables persisted change-data files for DML on this

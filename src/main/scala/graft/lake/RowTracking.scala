@@ -72,17 +72,20 @@ object RowTracking {
     domains.get(DOMAIN).flatMap(_.get(HWM_KEY)).map(_.toLong).getOrElse(0L)
 
   /** Stamp `actions` for a commit against `parent` (None for version
-    * 0): every un-stamped AddFile gets a consecutive id block, and —
-    * on the commit that first ENABLES the feature — every live parent
-    * file not re-added in this commit is backfilled with a re-add
-    * (metadata-only; replay replaces by path, the DV re-add rule).
-    * Appends the advanced high-water-mark [[DomainMetadata]]. Returns
-    * `actions` unchanged when the feature is off.
+    * 0): every un-stamped AddFile gets a consecutive id block, and
+    * the advanced high-water-mark [[DomainMetadata]] is appended.
+    * Returns `actions` unchanged when the feature is off.
     *
     * Re-adds of EXISTING files (deletion vectors, bloom/stats
     * backfill, RESTORE, clones) arrive with `baseRowId` already set —
     * copied from the entry they supersede — and pass through
-    * untouched: that is precisely what keeps ids stable.
+    * untouched: that is precisely what keeps ids stable. Files
+    * written BEFORE the feature was enabled stay unstamped (their
+    * rows read null ids) until [[LakeTable.backfillRowIds]] re-adds
+    * them in its own metadata-only maintenance commit — a separate
+    * commit, not a piggyback on the enable, so streaming/CDF
+    * consumers can classify it by operation name instead of
+    * re-delivering the whole table as fresh data.
     */
   def stamp(parent: Option[Snapshot], actions: Seq[Action]): Seq[Action] = {
     val commitMeta = actions.collectFirst { case m: Metadata => m }
@@ -90,16 +93,8 @@ object RowTracking {
       .map(_.properties).getOrElse(Map.empty)
     if (!enabled(effective)) return actions
     val wasEnabled = parent.exists(p => enabled(p.metadata.properties))
-    val addedPaths = actions.collect { case a: AddFile => a.path }.toSet
-    // Enable-commit backfill: existing files get id blocks without a
-    // data rewrite. Requires per-file row counts — foreign entries
-    // (convert, shallow clone of stat-less sources) must be given
-    // stats first.
-    val backfill: Seq[AddFile] =
-      if (wasEnabled) Nil
-      else parent.toSeq.flatMap(_.files)
-        .filter(f => f.baseRowId.isEmpty && !addedPaths.contains(f.path))
     var next = parent.map(p => highWaterMark(p.domains)).getOrElse(0L)
+    val priorHwm = next
     def carve(f: AddFile): AddFile = {
       if (f.numRecords < 0)
         throw new IllegalStateException(
@@ -114,13 +109,11 @@ object RowTracking {
       case a: AddFile if a.baseRowId.isEmpty => carve(a)
       case other => other
     }
-    val stampedBackfill = backfill.map(carve)
-    val priorHwm = parent.map(p => highWaterMark(p.domains)).getOrElse(0L)
     // Emit the domain even when nothing was carved on the enable
     // commit, so the table's tracked state is explicit in the log.
     val domain =
       if (next == priorHwm && wasEnabled) Nil
       else Seq(DomainMetadata(DOMAIN, Map(HWM_KEY -> next.toString)))
-    stampedActions ++ stampedBackfill ++ domain
+    stampedActions ++ domain
   }
 }

@@ -86,12 +86,14 @@ object BpeOps {
           rank += 1
           merges += ((rank, l, r, f))
           val prev = words
+          // localCheckpoint EVERY round, not persist + periodic
+          // checkpoint: the eager checkpoint caches the round's
+          // result AND truncates the logical plan, so round N's
+          // analysis cost stays O(1) instead of O(N) — measured, the
+          // growing plan (not the 31-row data) dominated per-round
+          // cost from ~round 5 at any corpus size
           words = prev.map { case (syms, fr) => (mergePair(syms, l, r), fr) }
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-          // cut lineage periodically: round N must not replay 1..N-1
-          // on partition loss, and the growing plan would slow the
-          // optimizer long before it slowed execution
-          if (rank % 8 == 0) words = words.localCheckpoint(true)
+            .localCheckpoint(true)
           prev.unpersist(false)
         case _ => done = true
       }

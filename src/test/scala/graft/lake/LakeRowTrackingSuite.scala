@@ -149,6 +149,37 @@ class LakeRowTrackingSuite extends SparkSuite {
     assert(idMap(t).keySet === (0L until 8L).toSet)
   }
 
+  test("row-id backfill commits are invisible to CDF and streams") {
+    // enabling row tracking on an existing table re-adds every live
+    // file (no RemoveFile, no row changed) in its own "ROW ID
+    // BACKFILL" commit; change-feed and streaming consumers must
+    // classify it as metadata-only, not a whole-table insert
+    val path = tablePath("rt_cdf_stream")
+    LakeWriter.write(spark.range(100L).select(col("id"))
+      .coalesce(2), path)                                     // v0
+    LakeTable.forPath(spark, path).setTblProperties(Map(RT))  // v1 + v2
+    LakeWriter.write(spark.range(100L, 150L).select(col("id"))
+      .coalesce(1), path)                                     // v3
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().files.forall(_.baseRowId.isDefined))
+    val cdf = t.changes(0)
+    assert(cdf.count() === 150L)
+    assert(cdf.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap === Map("insert" -> 150L))
+    val out = tmpDir("rt-cdf-sink")
+    val q = spark.readStream.format("lake").load(path)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$out/ckpt")
+      .option("path", s"$out/data")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$out/data").count() === 150L,
+      "row-id backfill commits must not re-deliver rows to streams")
+    // idempotent: everything covered, no second commit
+    assert(t.backfillRowIds() === 0)
+  }
+
   test("hwm domain and baseRowIds survive a checkpoint") {
     val path = tablePath("rt_checkpoint")
     LakeWriter.write(docs(2), path, properties = Map(RT))
