@@ -65,6 +65,10 @@ final class LakeDataSource extends RelationProvider
     val resolved =
       if (parameters.get("readChangeFeed").exists(_.toBoolean))
         graft.lake.Cdf.schema(base)
+      else if (parameters.get("withRowIds").exists(_.toBoolean))
+        StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+          graft.lake.RowTracking.COL,
+          org.apache.spark.sql.types.LongType))
       else base
     (shortName(), resolved)
   }

@@ -81,8 +81,25 @@ final class LakeStreamSource(
   private val readChangeFeed =
     options.get("readChangeFeed").exists(_.toBoolean)
 
+  /** `withRowIds=true`: every delivered row carries its stable
+    * [[graft.lake.RowTracking.COL]] — the streaming face of row
+    * tracking, so an incremental consumer (feature store, example
+    * ledger) keys micro-batch output on an id that a later OPTIMIZE
+    * or UPDATE of the source table will not re-key.
+    */
+  private val withRowIds =
+    options.get("withRowIds").exists(_.toBoolean)
+  require(!(withRowIds && readChangeFeed),
+    "withRowIds and readChangeFeed are mutually exclusive (change-feed " +
+    "rows describe row VERSIONS, not live rows)")
+
   override val schema: StructType =
     if (readChangeFeed) graft.lake.Cdf.schema(log.snapshot().schema)
+    else if (withRowIds)
+      StructType(log.snapshot().schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          graft.lake.RowTracking.COL,
+          org.apache.spark.sql.types.LongType))
     else log.snapshot().schema
 
   private val explicitStart: Option[Long] = {
@@ -305,10 +322,17 @@ final class LakeStreamSource(
       // DECLARED order before the positional streaming relabel, or a
       // partition column anywhere but last silently swaps columns.
       val snapAt = log.snapshot(toInclusive)
+      // the pinned schema must stay the TABLE schema — the row-id
+      // column is computed by the read path, never a stored column
+      val tableSchema =
+        if (withRowIds) StructType(schema.fields.dropRight(1)) else schema
       val pseudo = snapAt.copy(
-        metadata = snapAt.metadata.copy(schemaDDL = schema.toDDL),
+        metadata = snapAt.metadata.copy(schemaDDL = tableSchema.toDDL),
         files = files)
-      val batch = LakeDataSource.snapshotDF(spark, pseudo)
+      val batch0 =
+        if (withRowIds) LakeDataSource.snapshotDFWithRowIds(spark, pseudo)
+        else LakeDataSource.snapshotDF(spark, pseudo)
+      val batch = batch0
         .select(schema.fieldNames.map(
           n => org.apache.spark.sql.functions.col(s"`$n`")): _*)
       StreamingShim.streamingDataFrame(spark,

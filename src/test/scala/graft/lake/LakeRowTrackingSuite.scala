@@ -180,6 +180,50 @@ class LakeRowTrackingSuite extends SparkSuite {
     assert(t.backfillRowIds() === 0)
   }
 
+  test("streaming withRowIds: batch ids delivered, stable across OPTIMIZE") {
+    val src = tablePath("rt_stream_src")
+    val out = tmpDir("rt-stream-out")
+    LakeWriter.write(docs(4), src, properties = Map(RT))
+    LakeWriter.write(docs(4, from = 4), src, mode = "append")
+    def drain(): Unit = {
+      val q = spark.readStream.format("lake")
+        .option("withRowIds", "true").load(src)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$out/ckpt")
+        .option("path", s"$out/data")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val t = LakeTable.forPath(spark, src)
+    val batchIds = idMap(t)
+    val streamed = spark.read.parquet(s"$out/data")
+      .select(col(RowTracking.COL), col("id")).as[(Long, Long)]
+      .collect().toMap
+    assert(streamed === batchIds, "streamed ids == batch ids")
+    // OPTIMIZE is a metadata/rewrite commit the source rejects as a
+    // change commit unless skipped; a subsequent APPEND's fresh rows
+    // must still stream with fresh ids
+    t.compact()
+    LakeWriter.write(docs(4, from = 8), src, mode = "append")
+    val q2 = spark.readStream.format("lake")
+      .option("withRowIds", "true").option("skipChangeCommits", "true")
+      .load(src)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$out/ckpt")
+      .option("path", s"$out/data")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val all = spark.read.parquet(s"$out/data")
+      .select(col(RowTracking.COL), col("id")).as[(Long, Long)]
+      .collect().toMap
+    assert(all.size === 12, "8 original + 4 fresh rows, no re-delivery")
+    assert(all.filter(_._2 < 8) === batchIds,
+      "pre-OPTIMIZE rows keep their streamed ids")
+  }
+
   test("hwm domain and baseRowIds survive a checkpoint") {
     val path = tablePath("rt_checkpoint")
     LakeWriter.write(docs(2), path, properties = Map(RT))
