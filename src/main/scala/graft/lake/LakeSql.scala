@@ -16,7 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `RESTORE`, `ALTER TABLE ADD/DROP CONSTRAINT`, `ALTER TABLE ADD
   * COLUMN`, `CREATE TABLE n SHALLOW CLONE src LOCATION p`) and lake
   * DDL (`CREATE TABLE ... USING lake LOCATION`, CTAS, CONVERT, DROP,
-  * `INSERT INTO t SELECT ...`, `DELETE FROM t|path`). MERGE/UPDATE
+  * `INSERT INTO t SELECT ...`, `DELETE FROM t|path`), and the TVFs
+  * `table_changes('t', from[, to])` /
+  * `table_with_row_ids('t'[, version])`. MERGE/UPDATE
   * keyword location uses a quote/paren-aware scanner ([[findTopLevel]])
   * so subquery sources and keyword-bearing string literals parse
   * correctly; everything else flows to `spark.sql` with the referenced
@@ -68,6 +70,9 @@ object LakeSql {
   private val TABLE_CHANGES_TS_RE =
     ("""(?is)(.*\bFROM\s+)table_changes\s*\(\s*'([^']+)'\s*,\s*'([^']+)'""" +
       """\s*(?:,\s*'([^']+)'\s*)?\)(.*)""").r
+  private val TABLE_ROW_IDS_RE =
+    ("""(?is)(.*\bFROM\s+)table_with_row_ids\s*\(\s*'([^']+)'""" +
+      """\s*(?:,\s*(\d+)\s*)?\)(.*)""").r
   private val UPDATE_PREFIX_RE = """(?is)\s*UPDATE\s+[\w.`/].*""".r
   private val ADD_CONSTRAINT_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+ADD\s+CONSTRAINT\s+""" +
@@ -229,6 +234,19 @@ object LakeSql {
         .replace('.', '_').replace('/', '_').replace('-', '_')
       table.changesByTimestamp(ms(from),
         Option(to).map(ms).getOrElse(-1L))
+        .createOrReplaceTempView(viewName)
+      sql(spark, before + viewName + after)
+
+    // row-tracking TVF: table_with_row_ids('t'[, version]) — table
+    // columns + the stable row-id column ([[RowTracking]]), same
+    // temp-view rewrite shape as table_changes
+    case TABLE_ROW_IDS_RE(before, t, version, after) if isLake(t) =>
+      val table = resolve(spark, clean(t))
+      val viewName = (s"${clean(t)}__row_ids_" +
+        Option(version).getOrElse("latest"))
+        .replace('.', '_').replace('/', '_').replace('-', '_')
+      Option(version).map(v => table.asOfWithRowIds(v.toLong))
+        .getOrElse(table.toDFWithRowIds)
         .createOrReplaceTempView(viewName)
       sql(spark, before + viewName + after)
 

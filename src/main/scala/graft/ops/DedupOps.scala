@@ -43,10 +43,12 @@ object DedupOps {
     * Scale shape: the only shuffle carries (fingerprint, doc_id,
     * seg_idx) scalars — never segment text — and the keep-first winner
     * per fingerprint is a partial-aggregated `min(struct)` (map-side
-    * combine collapses each task's duplicates before the exchange).
-    * No window, no sort, no join-back: the aggregated row already IS
-    * the output row. At 100 TB this is one hash-partitioned exchange
-    * of ~16-byte keys, the same shape as [[exactDedup]].
+    * combine collapses each task's duplicates before the exchange; the
+    * struct buffer makes the aggregate sort-based, so the sorts are
+    * agg-internal over the compact keys — never a global sort). No
+    * window, no join-back: the aggregated row already IS the output
+    * row. At 100 TB this is one hash-partitioned exchange of ~16-byte
+    * keys, the same shape as [[exactDedup]].
     *
     * Returns (doc_id, seg_idx, seg_md5) — the surviving occurrences.
     */
@@ -400,6 +402,21 @@ object DedupOps {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       tau: Double = 0.95, nClusters: Int = 16,
+      kmeansIters: Int = 2): DataFrame =
+    connectedComponents(
+      semanticDupPairs(df, idCol, vecCol, tau, nClusters, kmeansIters))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"), col("cluster").as("rep_id"))
+
+  /** The candidate stage of [[semanticDedup]], exposed for inspection:
+    * the (a, b) pairs with within-cluster cosine at or above `tau`
+    * (a < b). One broadcast of the metadata-sized centroid set, one
+    * id-keyed assignment shuffle, one cluster-co-partitioned
+    * self-join — nothing corpus-quadratic at any k.
+    */
+  def semanticDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      tau: Double = 0.95, nClusters: Int = 16,
       kmeansIters: Int = 2): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1] (got $tau)")
     val c = df.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
@@ -414,13 +431,10 @@ object DedupOps {
         first(col("__cv")).as("__cv"))
     val a = assigned.as("a")
     val b = assigned.as("b")
-    val pairs = a.join(b, col("a.__cid") === col("b.__cid") &&
+    a.join(b, col("a.__cid") === col("b.__cid") &&
         col("a.__id") < col("b.__id"))
       .filter(SimilarityOps.cosine(col("a.__cv"), col("b.__cv")) >= tau)
       .select(col("a.__id").as("a"), col("b.__id").as("b"))
-    connectedComponents(pairs)
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id"), col("cluster").as("rep_id"))
   }
 
   /** Connected components over a dup-pair edge list — the clustering

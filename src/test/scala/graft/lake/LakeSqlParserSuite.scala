@@ -387,6 +387,31 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(n === 3L)
   }
 
+  test("table_with_row_ids TVF exposes stable ids through plain SQL") {
+    val path = tablePath("pt_rowids")
+    LakeWriter.write(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("id", "k", "v").orderBy("id").coalesce(1),
+      path, properties = Map(RowTracking.PROP -> "true"))
+    LakeCatalog.register(spark, "pt_rowids", path)
+    val rows = LakeSql.sql(spark,
+      s"SELECT id, ${RowTracking.COL} AS rid " +
+        "FROM table_with_row_ids('pt_rowids') ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    // version-pinned form: pre-DELETE snapshot still shows all ids
+    LakeTable.forPath(spark, path).delete("id = 2")
+    val v0 = LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM table_with_row_ids('pt_rowids', 0)")
+      .as[Long].head()
+    assert(v0 === 3L)
+    val latest = LakeSql.sql(spark,
+      s"SELECT ${RowTracking.COL} AS rid " +
+        "FROM table_with_row_ids('pt_rowids') ORDER BY rid")
+      .as[Long].collect().toSeq
+    assert(latest === Seq(0L, 2L), "survivors keep ids after DELETE")
+  }
+
   test("table_changes accepts timestamp bounds (API + TVF)") {
     val path = freshTable("pt13", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     LakeTable.forPath(spark, path).update("id = 2", Map("k" -> "'B'")) // v1

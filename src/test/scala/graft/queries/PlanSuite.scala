@@ -85,6 +85,39 @@ class PlanSuite extends SparkSuite {
     assert(!dv.contains("PushedFilters: []"), dv)
   }
 
+  test("segment dedup is one partial-agg shuffle: no window, no join") {
+    val df = graft.ops.DedupOps.segmentDedup(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("Window"), "keep-first must not plan a window")
+    assert(!plan.contains("Join"), "no join-back at any stage")
+    val planOnly = plan.take(plan.indexOf("(1) Scan"))
+    val exchanges = planOnly.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"exactly one exchange, got $exchanges")
+    // map-side combine: a partial aggregate must sit BELOW the
+    // exchange so duplicate segments collapse before they shuffle
+    // (the min(struct) buffer is sort- not hash-aggregable — the
+    // sorts are agg-internal over compact keys, not a global sort)
+    val exchangeIdx = planOnly.linesIterator.indexWhere(_.contains("Exchange"))
+    val aggBelow = planOnly.linesIterator.zipWithIndex.exists {
+      case (l, i) => i > exchangeIdx && l.contains("Aggregate")
+    }
+    assert(aggBelow, "partial aggregate must precede the shuffle")
+  }
+
+  test("semantic dedup candidates broadcast centroids, join within clusters") {
+    val df = graft.ops.DedupOps.semanticDupPairs(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", nClusters = 4, kmeansIters = 0)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "centroid set must ride a broadcast, never a shuffle")
+    assert(!plan.contains("CartesianProduct"),
+      "pair generation must stay cluster-scoped, never all-pairs")
+  }
+
   test("salted join stays a shuffled equi-join on (key, salt)") {
     val plan = planOf("q21_salted_skew_join")
     // the salt must be part of the join keys (no cartesian, no BNLJ)
