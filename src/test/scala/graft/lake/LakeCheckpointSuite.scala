@@ -114,7 +114,9 @@ class LakeCheckpointSuite extends SparkSuite {
       val path = tablePath("ckpt-100k")
       val log = new LakeLog(path)
       log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
-        Protocol()))
+        Protocol(),
+        DomainMetadata("app.domain.a", Map("k" -> "v1")),
+        DomainMetadata("app.domain.b", Map("x" -> "1", "y" -> "2"))))
       // one bulk commit with 100k adds, then drive to the checkpoint
       log.commit(1L, CommitInfo(2L, "APPEND", Map.empty) +:
         (1 to 100000).map(i => addFile(s"bulk$i"): Action))
@@ -133,6 +135,10 @@ class LakeCheckpointSuite extends SparkSuite {
       val snap = log.snapshot(10L)
       assert(snap.files.size === 100009)
       assert(snap.version === 10L)
+      // domain metadata must ride the multi-part checkpoint's head
+      assert(snap.domains === Map(
+        "app.domain.a" -> Map("k" -> "v1"),
+        "app.domain.b" -> Map("x" -> "1", "y" -> "2")))
     }
   }
 
