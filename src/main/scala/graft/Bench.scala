@@ -25,10 +25,11 @@ object Bench {
     // enough to reliably dodge one, and the spread line reports the
     // variance either way.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val spark = GraftSession.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
+    val spark = GraftSession.enable(GraftSession.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: a scan+agg touches codegen, parquet reader, shuffle

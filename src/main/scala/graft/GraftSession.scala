@@ -20,14 +20,14 @@ object GraftSession {
     .config("spark.ui.enabled", "false")
 
   /** Post-creation setup a Builder cannot express: the engine's
-    * optimizer rules (metadata-only COUNT(*) over lake relations).
-    * Idempotent — safe on a session already enabled.
+    * optimizer rules (metadata-only COUNT(*)/MIN/MAX over lake
+    * relations). Idempotent — safe on a session already enabled.
     */
   def enable(s: SparkSession): SparkSession = {
     if (!s.experimental.extraOptimizations
-        .contains(graft.plans.MetadataOnlyCount))
+        .contains(graft.plans.MetadataOnlyAggregate))
       s.experimental.extraOptimizations ++=
-        Seq(graft.plans.MetadataOnlyCount)
+        Seq(graft.plans.MetadataOnlyAggregate)
     s
   }
 

@@ -636,7 +636,7 @@ object LakeWriter {
   }
 
   /** Spark/Hive's path encoding of a null partition value. */
-  private[lake] val HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+  private[graft] val HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
   /** Parse `k=v/k2=v2/part-....parquet` into partition values. The
     * Hive null sentinel maps to a true null so predicates like

@@ -1,0 +1,320 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference, ExprId, Literal, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{AddFile, ColumnMapping, DvRowDeleted, LakeLog,
+  LakeWriter, PathMapPayload}
+import graft.sources.{DvParquetFileFormat, LakeFileIndex}
+
+/** Metadata-only aggregates (Delta's OptimizeMetadataOnlyQuery
+  * analog, widened): an unfiltered `COUNT(*)` / `MIN(col)` /
+  * `MAX(col)` / `COUNT(col)` over a lake relation is answered from
+  * the transaction log — footer row counts, per-file min/max stats
+  * and null counts the snapshot already holds — instead of scanning
+  * the table. At 100 TB that turns the most common data-exploration
+  * queries there are ("how many rows", "what date range does this
+  * table cover") from full-table scans into a driver-side metadata
+  * fold the snapshot has already paid for.
+  *
+  * Strictly guarded, bail-to-scan on anything uncertain:
+  *  - no grouping, and EVERY aggregate in the list is one of
+  *    `count(non-null literal)` (what `count(*)`/`count(1)` analyze
+  *    to), `count(col)`, `min(col)`, `max(col)` — not DISTINCT, no
+  *    FILTER clause;
+  *  - nothing between the aggregate and the relation but
+  *    deterministic projections (they cannot change cardinality; the
+  *    aggregated column is resolved through them by exprId) and AT
+  *    MOST the engine's own deletion-vector filter
+  *    (`Not(DvRowDeleted(...))` — the shape `LakeTable.toDF` attaches
+  *    on DV-carrying snapshots), verified against the snapshot's own
+  *    file→DV map before it is trusted;
+  *  - DELETION VECTORS: `count(*)` nets them exactly
+  *    (Σ numRecords − Σ dvCardinality) when the scan nets them
+  *    ([[DvParquetFileFormat]]) or the verified DV filter is present;
+  *    a RAW relation over a DV snapshot counts physical rows and
+  *    must NOT be answered with the live count. MIN/MAX/COUNT(col)
+  *    bail whenever ANY file carries a DV — a deleted row may be the
+  *    extreme value (or change the column's null count) and the log
+  *    cannot know;
+  *  - MIN/MAX/COUNT(col) types are restricted to the encodings
+  *    [[graft.lake.ParquetFooters]] records exactly: integral, DATE
+  *    (days), TIMESTAMP/TIMESTAMP_NTZ (micros), STRING (full value —
+  *    the footer reader never truncates), DECIMAL (scaled). FLOAT and
+  *    DOUBLE are excluded on purpose: parquet footer stats ignore
+  *    NaN, but Spark's MIN/MAX order NaN above every value — a
+  *    stats-answered max over a NaN-carrying file would be wrong;
+  *  - every file must either carry min/max stats for the column, or
+  *    be provably all-null for it (nullCounts(col) == numRecords) —
+  *    all-null files contribute nothing to MIN/MAX and zero to
+  *    COUNT(col). A file with neither (converted/foreign files,
+  *    pre-evolution files) bails — the scan is the only truth;
+  *  - partition columns (absent from the data files, so no footer
+  *    stats) answer from their partition VALUES instead, null
+  *    partitions excluded per MIN/MAX/COUNT null semantics.
+  */
+object MetadataOnlyAggregate extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Seq(), aggExprs, child, _)
+        if aggExprs.nonEmpty && aggExprs.forall(supportedShape) =>
+      answer(aggExprs, child) match {
+        case Some(row) =>
+          LocalRelation(aggExprs.map(_.toAttribute), Seq(row))
+        case None => agg
+      }
+  }
+
+  // ---------------------------------------------------------------
+  // shape recognition
+  // ---------------------------------------------------------------
+
+  private def supportedShape(ne: NamedExpression): Boolean = ne match {
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _)))         => v != null
+        case Count(Seq(_: AttributeReference)) => true
+        case Min(_: AttributeReference)        => true
+        case Max(_: AttributeReference)        => true
+        case _                                 => false
+      }
+    case _ => false
+  }
+
+  /** What the plan below the aggregate proved: the lake index, how
+    * deletion vectors are handled, and the exprId→relation-column-name
+    * map threaded through the intervening projections.
+    */
+  private final case class Below(
+      idx: LakeFileIndex,
+      dvNetted: Boolean, // scan or verified filter nets DV-deleted rows
+      names: Map[ExprId, String])
+
+  private def walk(p: LogicalPlan): Option[Below] = p match {
+    case Project(projectList, child)
+        if projectList.forall(_.deterministic) =>
+      walk(child).map { b =>
+        val names = projectList.flatMap {
+          case a: AttributeReference =>
+            b.names.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(ar: AttributeReference, _) =>
+            b.names.get(ar.exprId).map(al.exprId -> _)
+          case _ => None // deterministic expr: cardinality-safe, but
+                         // an aggregate over it cannot resolve
+        }.toMap
+        b.copy(names = names)
+      }
+    case Filter(Not(dv: DvRowDeleted), child) =>
+      walk(child).filter(b => !b.dvNetted && dvMapMatches(dv, b.idx))
+        .map(_.copy(dvNetted = true))
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case idx: LakeFileIndex =>
+          Some(Below(idx,
+            h.fileFormat.isInstanceOf[DvParquetFileFormat],
+            l.output.map(a => a.exprId -> a.name).toMap))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------
+  // evaluation
+  // ---------------------------------------------------------------
+
+  private def answer(aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[InternalRow] = {
+    val below = walk(child).getOrElse(return None)
+    val idx = below.idx
+    val files = idx.snap.files
+    val hasDvs = files.exists(_.dvPath.isDefined)
+    // a raw scan over a DV snapshot sees physical rows — even
+    // count(*) must not be answered with the live count
+    if (hasDvs && !below.dvNetted) return None
+    if (!files.forall(_.numRecords >= 0L)) return None
+
+    val physFor = ColumnMapping.overrides(idx.snap.metadata)
+    val partCols = idx.snap.partitionColumns.toSet
+    val schemaByName = idx.snap.schema.fields.map(f => f.name -> f).toMap
+
+    def colName(a: AttributeReference): Option[String] =
+      below.names.get(a.exprId)
+
+    val values = aggExprs.map { case Alias(ae: AggregateExpression, _) =>
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(_, _))) =>
+          files.map(f => f.numRecords -
+            (if (hasDvs) f.dvCardinality else 0L)).sum
+        case Count(Seq(a: AttributeReference)) =>
+          if (hasDvs) return None
+          val n = colName(a).getOrElse(return None)
+          countCol(n, files, physFor, partCols).getOrElse(return None)
+        case Min(a: AttributeReference) =>
+          if (hasDvs) return None
+          val n = colName(a).getOrElse(return None)
+          val dt = schemaByName.get(n).map(_.dataType).getOrElse(return None)
+          if (dt != a.dataType) return None
+          extremum(n, dt, files, physFor, partCols, wantMin = true)
+            .getOrElse(return None)
+        case Max(a: AttributeReference) =>
+          if (hasDvs) return None
+          val n = colName(a).getOrElse(return None)
+          val dt = schemaByName.get(n).map(_.dataType).getOrElse(return None)
+          if (dt != a.dataType) return None
+          extremum(n, dt, files, physFor, partCols, wantMin = false)
+            .getOrElse(return None)
+        case _ => return None
+      }
+    }
+    Some(InternalRow.fromSeq(values))
+  }
+
+  /** COUNT(col): Σ (numRecords − nullCount) — needs an exact null
+    * count for every file. Partition columns count every row of each
+    * non-null partition's files instead (the value is rowwise
+    * constant). None = bail.
+    */
+  private def countCol(n: String, files: Seq[AddFile],
+      physFor: Map[String, String], partCols: Set[String]): Option[Long] = {
+    if (partCols.contains(n)) {
+      var total = 0L
+      for (f <- files) {
+        val v = f.partitionValues.get(n).getOrElse(return None)
+        if (v != null && v != LakeWriter.HIVE_NULL) total += f.numRecords
+      }
+      Some(total)
+    } else {
+      val key = physFor.getOrElse(n, n)
+      var total = 0L
+      for (f <- files) {
+        val nulls = f.nullCounts.get(key).getOrElse(return None)
+        total += f.numRecords - nulls
+      }
+      Some(total)
+    }
+  }
+
+  /** MIN or MAX of `n` from per-file stats (or partition values).
+    * Some(null) is a real answer — every row is null. None = bail.
+    */
+  private def extremum(n: String, dt: DataType, files: Seq[AddFile],
+      physFor: Map[String, String], partCols: Set[String],
+      wantMin: Boolean): Option[Any] = {
+    val ord = orderingFor(dt).getOrElse(return None)
+    var best: Option[Any] = None
+    def consider(v: Any): Unit = best match {
+      case Some(b) =>
+        val c = ord.compare(v, b)
+        if (if (wantMin) c < 0 else c > 0) best = Some(v)
+      case None => best = Some(v)
+    }
+    if (partCols.contains(n)) {
+      for (f <- files) {
+        val raw = f.partitionValues.get(n).getOrElse(return None)
+        if (raw != null && raw != LakeWriter.HIVE_NULL)
+          consider(parsePartition(raw, dt).getOrElse(return None))
+      }
+    } else {
+      val key = physFor.getOrElse(n, n)
+      for (f <- files) {
+        (f.minValues.get(key), f.maxValues.get(key)) match {
+          case (Some(lo), Some(hi)) =>
+            consider(parseStat(if (wantMin) lo else hi, dt)
+              .getOrElse(return None))
+          case _ =>
+            // no stats: only safe if the file is provably all-null
+            if (!f.nullCounts.get(key).contains(f.numRecords)) return None
+        }
+      }
+    }
+    Some(best.orNull)
+  }
+
+  /** Catalyst-internal ordering for the supported stat types. None
+    * for anything else (notably FLOAT/DOUBLE — NaN, see scaladoc).
+    */
+  private def orderingFor(dt: DataType): Option[Ordering[Any]] = {
+    def long(f: Any => Long): Ordering[Any] = Ordering.by(f)
+    dt match {
+      case ByteType    => Some(long(_.asInstanceOf[Byte].toLong))
+      case ShortType   => Some(long(_.asInstanceOf[Short].toLong))
+      case IntegerType | DateType =>
+        Some(long(_.asInstanceOf[Int].toLong))
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(long(_.asInstanceOf[Long]))
+      case StringType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[UTF8String]))
+      case _: DecimalType =>
+        Some(Ordering.by((v: Any) =>
+          v.asInstanceOf[org.apache.spark.sql.types.Decimal]))
+      case _ => None
+    }
+  }
+
+  /** Stats string (the [[graft.lake.ParquetFooters]] rendering: raw
+    * ints for integral/date/micros, scaled decimal, full UTF8 string)
+    * → Catalyst internal value of `dt`. None = unparseable, bail.
+    */
+  private def parseStat(s: String, dt: DataType): Option[Any] =
+    try dt match {
+      case ByteType        => Some(s.toByte)
+      case ShortType       => Some(s.toShort)
+      case IntegerType     => Some(s.toInt)
+      case DateType        => Some(s.toInt)
+      case LongType        => Some(s.toLong)
+      case TimestampType | TimestampNTZType => Some(s.toLong)
+      case StringType      => Some(UTF8String.fromString(s))
+      case d: DecimalType  =>
+        val dec = Decimal(BigDecimal(s))
+        if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+
+  /** Hive partition-value string → internal value. Dates arrive as
+    * `yyyy-MM-dd` directory names (but legacy logs may hold the raw
+    * day int — accept both); timestamps are not attempted (rendering
+    * varies by writer).
+    */
+  private def parsePartition(s: String, dt: DataType): Option[Any] =
+    dt match {
+      case DateType =>
+        try Some(s.toInt) catch {
+          case _: NumberFormatException =>
+            try Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+            catch { case _: java.time.format.DateTimeParseException => None }
+        }
+      case TimestampType | TimestampNTZType => None
+      case _ => parseStat(s, dt)
+    }
+
+  /** The DV filter is trusted only if its file→DV map is exactly the
+    * one this snapshot would build — a handcrafted DvRowDeleted over
+    * a different table must not let the rewrite misattribute counts.
+    */
+  private def dvMapMatches(dv: DvRowDeleted, idx: LakeFileIndex): Boolean =
+    try {
+      val bytes = dv.third.eval(null).asInstanceOf[Array[Byte]]
+      val decoded = PathMapPayload.decodePayload(bytes)
+      val tablePath = idx.snap.log.tablePath
+      val expected = idx.snap.files.filter(_.dvPath.isDefined).map { f =>
+        (LakeLog.resolveFile(tablePath, f.path).toString,
+          LakeLog.resolveFile(tablePath, f.dvPath.get).toString)
+      }.toMap
+      decoded.size == expected.size && expected.forall {
+        case (k, v) => decoded.get(k) == v
+      }
+    } catch { case _: Exception => false }
+}

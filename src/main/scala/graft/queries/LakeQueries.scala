@@ -369,6 +369,42 @@ object LakeQueries {
       Some("""SELECT event_id, ts, user_id, value FROM events
              |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'""".stripMargin)),
 
+    // Metadata-only aggregates (round 11, Delta's
+    // OptimizeMetadataOnlyQuery widened): COUNT(*) / MIN / MAX /
+    // COUNT(col) over an unfiltered lake table answer from the
+    // transaction log's footer stats — at 100 TB the difference
+    // between a full-table scan and a driver-side fold over file
+    // metadata the snapshot already holds. The in-gate require proves
+    // the rewrite actually fired (no FileScan anywhere in the final
+    // plan); the oracle recomputes every aggregate from the source
+    // parquet the honest way.
+    QueryDef("lake_minmax_stats",
+      (s, dir) => {
+        val path = scratch("lake_minmax_stats", dir)
+        val l = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_shipdate")
+        LakeWriter.write(l.repartition(8), path)
+        val q = s.read.format("lake").load(path).agg(
+          count(lit(1)).as("n"),
+          count(col("l_returnflag")).as("n_flag"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_returnflag")).as("min_flag"),
+          max(col("l_returnflag")).as("max_flag"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        q.collect() // materialize the (possibly adaptive) final plan
+        val plan = q.queryExecution.executedPlan.toString
+        require(!plan.contains("FileScan"),
+          s"metadata-only aggregate still scanned the table:\n$plan")
+        q
+      },
+      Some("""SELECT count(*) AS n, count(l_returnflag) AS n_flag,
+             |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+             |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+             |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+             |FROM lineitem""".stripMargin)),
+
     // Change-data-feed read (round 2): v0 append, v1 append, v2 DELETE.
     // The change stream is fully derivable from `customer` in SQL:
     // every row inserts once (in its half's version), and the deleted

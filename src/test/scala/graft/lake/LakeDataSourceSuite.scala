@@ -615,6 +615,114 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(res.passed, s"boundary sweep failed: ${res.status}")
   }
 
+  test("MIN/MAX/COUNT(col) answer from log stats without scanning") {
+    import org.apache.spark.sql.functions._
+    val path = tablePath("dsv2minmax")
+    val df = spark.range(1, 1001).toDF("id")
+      .withColumn("name", concat(lit("u"), format_string("%04d", $"id")))
+      .withColumn("ts",
+        expr("timestampadd(SECOND, id, timestamp'2024-01-01 00:00:00')"))
+      .withColumn("d", expr("date_add(date'2024-01-01', cast(id AS int))"))
+      .withColumn("x", $"id" * 1.5)
+      .withColumn("allnull", lit(null).cast("string"))
+    LakeWriter.write(df.repartition(4), path)
+    val t = spark.read.format("lake").load(path)
+
+    // force execution, then check the RENDERED final plan: AQE query
+    // stages have no children, so a node-collect can miss scans that
+    // sit inside a materialized stage — the tree rendering shows all
+    def planOf(q: org.apache.spark.sql.DataFrame): String = {
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    }
+    def noScan(q: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val p = planOf(q)
+      assert(!p.contains("FileScan"), s"$label should be metadata-only: $p")
+    }
+    def hasScan(q: org.apache.spark.sql.DataFrame, label: String): Unit =
+      assert(planOf(q).contains("FileScan"), s"$label must keep the scan")
+
+    // the full supported mix in ONE aggregate, all from the log
+    val q = t.agg(min("id").as("mn"), max("id").as("mx"),
+      min("name").as("nmn"), max("name").as("nmx"),
+      min("ts").as("tmn"), max("ts").as("tmx"),
+      min("d").as("dmn"), max("d").as("dmx"),
+      count(lit(1)).as("n"), count($"name").as("cn"),
+      min("allnull").as("an"), count($"allnull").as("can"))
+    val r = q.head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 1000L)
+    assert(r.getString(2) === "u0001" && r.getString(3) === "u1000")
+    assert(r.getTimestamp(4).toInstant ===
+      java.time.Instant.parse("2024-01-01T00:00:01Z"))
+    assert(r.getTimestamp(5).toInstant ===
+      java.time.Instant.parse("2024-01-01T00:16:40Z"))
+    assert(r.getDate(6).toLocalDate ===
+      java.time.LocalDate.parse("2024-01-02"))
+    assert(r.getDate(7).toLocalDate ===
+      java.time.LocalDate.parse("2026-09-27"))
+    assert(r.getLong(8) === 1000L && r.getLong(9) === 1000L)
+    assert(r.isNullAt(10) && r.getLong(11) === 0L)
+    noScan(q, "supported mix")
+    // a projection-with-rename between agg and scan still resolves
+    val qp = t.select($"id".as("renamed")).agg(max("renamed").as("m"))
+    assert(qp.head().getLong(0) === 1000L)
+    noScan(qp, "renamed projection")
+
+    // DOUBLE bails (NaN ordering), answers correctly via the scan
+    val qd = t.agg(min("x").as("m"))
+    assert(qd.head().getDouble(0) === 1.5)
+    hasScan(qd, "double min")
+    // a real filter bails
+    val qf = t.where("id > 500").agg(max("id").as("m"))
+    assert(qf.head().getLong(0) === 1000L)
+    hasScan(qf, "filtered max")
+    // min over a derived expression bails
+    val qe = t.agg(min($"id" + 1).as("m"))
+    assert(qe.head().getLong(0) === 2L)
+    hasScan(qe, "derived-expression min")
+
+    // partition columns answer from partition VALUES (no footer stats)
+    val ppath = tablePath("dsv2minmaxpart")
+    df.select($"id", $"d", $"name").write.format("lake")
+      .partitionBy("d").save(ppath)
+    val pt = spark.read.format("lake").load(ppath)
+    val pq = pt.agg(min("d").as("dmn"), max("d").as("dmx"),
+      count($"d").as("cd"))
+    val pr = pq.head()
+    assert(pr.getDate(0).toLocalDate ===
+      java.time.LocalDate.parse("2024-01-02"))
+    assert(pr.getDate(1).toLocalDate ===
+      java.time.LocalDate.parse("2026-09-27"))
+    assert(pr.getLong(2) === 1000L)
+    noScan(pq, "partition-column min/max")
+
+    // a deletion vector poisons min/max (the deleted row WAS the max)
+    // but count(*) still nets exactly
+    val dpath = tablePath("dsv2minmaxdv")
+    LakeWriter.write(df.select("id", "name").repartition(2), dpath,
+      properties = Map("graft.enableDeletionVectors" -> "true"))
+    LakeTable.forPath(spark, dpath).delete("id = 1000")
+    val dt = spark.read.format("lake").load(dpath)
+    val dq = dt.agg(max("id").as("m"))
+    assert(dq.head().getLong(0) === 999L)
+    hasScan(dq, "max over DV table")
+    val dc = dt.agg(count(lit(1)).as("n"))
+    assert(dc.head().getLong(0) === 999L)
+    noScan(dc, "count(*) over DV table")
+
+    // column mapping: stats live under the PHYSICAL name; min/max on
+    // the renamed logical column must still answer from metadata
+    val mpath = tablePath("dsv2minmaxmap")
+    LakeWriter.write(df.select("id", "name").repartition(2), mpath,
+      properties = Map(ColumnMapping.MODE_PROP -> "name"))
+    LakeTable.forPath(spark, mpath).renameColumn("id", "ident")
+    val mt = spark.read.format("lake").load(mpath)
+    val mq = mt.agg(max("ident").as("m"), count($"ident").as("c"))
+    assert(mq.head().getLong(0) === 1000L)
+    assert(mq.head().getLong(1) === 1000L)
+    noScan(mq, "max over mapped rename")
+  }
+
   test("metadata-only DELETE handles null partitions correctly") {
     val path = tablePath("dsv2nulldel")
     Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
