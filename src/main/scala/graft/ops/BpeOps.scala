@@ -161,6 +161,48 @@ object BpeOps {
     merges.toSeq
   }
 
+  /** Sequential reference of the greedy lowest-rank-first apply —
+    * an independent reimplementation (index-scan + in-place splice
+    * vs the UDF's candidate-list + [[mergePair]] rebuild) for
+    * DIFFERENTIAL verification: gates and suites encode the same
+    * texts both ways and require identical token counts.
+    */
+  private[graft] def referenceTokenCount(text: String,
+      mergeList: Seq[(String, String)]): Int = {
+    if (text == null) return 0
+    val rankOf = mergeList.zipWithIndex.toMap
+    text.split("\\s+").iterator.filter(_.nonEmpty).map { w =>
+      val syms = scala.collection.mutable.ArrayBuffer[String](
+        (w.map(_.toString) :+ EOW): _*)
+      var cont = true
+      while (cont && syms.length > 1) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i + 1 < syms.length) {
+          rankOf.get((syms(i), syms(i + 1))).foreach { r =>
+            if (r < bestRank) bestRank = r
+          }
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) cont = false
+        else {
+          // fuse every non-overlapping occurrence left-to-right,
+          // the same step semantics as mergePair
+          val (l, r) = mergeList(bestRank)
+          var j = 0
+          while (j + 1 < syms.length) {
+            if (syms(j) == l && syms(j + 1) == r) {
+              syms(j) = l + r
+              syms.remove(j + 1)
+            }
+            j += 1
+          }
+        }
+      }
+      syms.length
+    }.sum
+  }
+
   /** Greedy left-to-right BPE segmentation of `text`'s words with a
     * learned merge list — the APPLY side of the trainer, for token
     * counting with the real learned vocabulary instead of the

@@ -412,6 +412,43 @@ object OpsQueries {
       },
       None),
 
+    // BPE ENCODE (the apply side): train on the corpus, then segment
+    // every document with the learned merges in one map-only
+    // broadcast pass — the tokenize step of a training-data pipeline,
+    // where the corpus is 100 TB and the merge table is kilobytes.
+    // Differential gate: an independent sequential encoder
+    // (index-scan/in-place-splice vs the UDF's candidate-list
+    // rebuild) re-encodes EVERY document on the driver and the token
+    // counts must match exactly; bounds pin the output to reality
+    // (every word >= 1 token, no word more tokens than chars+1).
+    // No SQL oracle: greedy rank-ordered fusion is inherently
+    // iterative.
+    QueryDef("text_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val d = table(s, dir, "documents")
+        val mergeList = BpeOps.trainBpeMerges(d, "text",
+          numMerges = 16, minFreq = 2, vocabPartitions = 4)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        require(mergeList.nonEmpty, "corpus produced no merges")
+        val got = BpeOps.applyBpe(d.select("doc_id", "text"), "text",
+          mergeList).select("doc_id", "bpe_tokens")
+        val gotMap = got.as[(Long, Int)].collect().toMap
+        val docs = d.select("doc_id", "text").as[(Long, String)].collect()
+        require(docs.length == gotMap.size, "row count changed in apply")
+        docs.foreach { case (id, text) =>
+          val ref = BpeOps.referenceTokenCount(text, mergeList)
+          require(gotMap(id) == ref,
+            s"doc $id: distributed encode ${gotMap(id)} != reference $ref")
+          val words = text.split("\\s+").count(_.nonEmpty)
+          require(gotMap(id) >= words,
+            s"doc $id: fewer tokens than words")
+        }
+        got
+      },
+      None),
+
     // Segment-level keep-first dedup (fixed 16-word segments standing
     // in for CCNet's newline paragraphs — this corpus is single-line).
     // The oracle replays keep-first with a window over the RAW segment

@@ -52,6 +52,26 @@ class OpsSuite extends SparkSuite {
     assert(counts(0) < 10)
   }
 
+  test("BPE encode: distributed UDF matches the sequential reference") {
+    // adversarial merge interactions: self-pairs (a,a), chains where a
+    // later merge consumes an earlier one's output, and overlapping
+    // candidates — the shapes where greedy-apply implementations drift
+    val merges = Seq(("a", "a"), ("aa", "a"), ("b", "c"), ("a", "bc"),
+      ("d", BpeOps.EOW))
+    val texts = Seq("aaaa aaa abc aabc", "bcbc abcd", "dddd xd d", "",
+      "aaaaaaa")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = BpeOps.applyBpe(df, "text", merges)
+      .select("id", "bpe_tokens").as[(Long, Int)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === BpeOps.referenceTokenCount(t, merges),
+        s"diverged on '$t'")
+    }
+    // a null text encodes to zero tokens on both paths
+    assert(BpeOps.referenceTokenCount(null, merges) === 0)
+  }
+
   test("segment dedup: keep-first across docs, intra-doc repeats collapse") {
     // segWords=2 → doc 10 segments: [a b][c d][a b]; doc 11: [a b][x y];
     // doc 12: [c d]. Corpus-wide keep-first by (doc_id, seg_idx):
