@@ -52,6 +52,25 @@ final class LakeMergeBuilder private[lake] (
   private var insertClauses = Vector.empty[InsertClause]
   private var bySourceClauses = Vector.empty[MatchedClause]
   private var schemaEvolution = false
+  private var txn: Option[(String, Long)] = None
+
+  /** Idempotent-writer watermark riding the MERGE commit (the same
+    * Delta `txn` action [[LakeWriter.write]] supports for appends):
+    * when `(appId, version)` is already recorded in the table's
+    * transactions, the whole merge is a silent no-op. This is what
+    * makes a foreachBatch MERGE sink exactly-once — a restarted
+    * streaming query replaying an already-committed micro-batch must
+    * not re-apply it (deletes would no-op but a re-run of
+    * aggregating/expression SETs could diverge, and the replay would
+    * burn a rewrite commit either way). Re-checked on every commit
+    * retry: if a concurrent twin of the same app lands the txn while
+    * this merge stages, the commit aborts and the merge returns
+    * quietly instead of double-applying.
+    */
+  def withTransaction(appId: String, version: Long): LakeMergeBuilder = {
+    txn = Some((appId, version))
+    this
+  }
 
   /** Enable automatic schema evolution (Delta's
     * `withSchemaEvolution()` / SQL `MERGE WITH SCHEMA EVOLUTION`):
@@ -166,6 +185,11 @@ final class LakeMergeBuilder private[lake] (
     val src = source.withColumn(SRC, lit(true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try executeWith(aliasTgt, src)
+    catch {
+      // a concurrent twin of the same app committed this txn while we
+      // were staging: its effect IS this merge's effect — success
+      case _: TxnAlreadyCommittedException => ()
+    }
     finally { src.unpersist(false); () }
   }
 
@@ -198,6 +222,11 @@ final class LakeMergeBuilder private[lake] (
       materializeIfNonDeterministic: DataFrame => DataFrame): Unit = {
     val spark = table.spark
     val snap = table.snapshot()
+    // idempotence: this app already committed through this version —
+    // the merge's effect is in the table, replaying it would not be
+    if (txn.exists { case (a, v) =>
+        snap.transactions.get(a).exists(_ >= v) })
+      return
     // insert-only merges are appends; matched / by-source clauses
     // rewrite rows
     if (matchedClauses.nonEmpty || bySourceClauses.nonEmpty)
@@ -574,13 +603,20 @@ final class LakeMergeBuilder private[lake] (
               s"table metadata of ${table.tablePath} changed " +
               s"concurrently with this MERGE (read version " +
               s"${snap.version}); re-run the operation")
+          txn.foreach { case (a, v) =>
+            if (table.log.latestVersion > snap.version && table.log
+                .snapshot().transactions.get(a).exists(_ >= v))
+              throw new TxnAlreadyCommittedException(a, v)
+          }
           Seq(CommitInfo(now, "MERGE",
             params + ("deletionVectors" -> dvAdds.size.toString))) ++
-            removes ++ dvAdds ++ adds ++ cdc
+            removes ++ dvAdds ++ adds ++ cdc ++
+            txn.map { case (a, v) => Txn(a, v) }
         }
         ()
       } else
-        table.commitRewrite(snap, touched, adds, "MERGE", params, cdc)
+        table.commitRewrite(snap, touched, adds, "MERGE", params, cdc,
+          txn)
     } catch { case e: Throwable =>
       dvRelsWritten.forEach { rel =>
         try {

@@ -2058,13 +2058,23 @@ final class LakeTable private (
       adds: Seq[AddFile],
       operation: String,
       params: Map[String, String],
-      cdc: Seq[CdcFile] = Nil): Long = {
+      cdc: Seq[CdcFile] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     val now = System.currentTimeMillis()
     try {
       LakeWriter.commitWithRetry(log, snap.version, removedRelPaths) { _ =>
         assertMetadataUnchanged(snap, operation)
+        // idempotent-writer re-check on every attempt (mirrors
+        // LakeWriter.write): a concurrent twin of the same app landing
+        // this txn mid-stage means its commit IS this one's effect
+        txn.foreach { case (a, v) =>
+          if (log.latestVersion > snap.version &&
+              log.snapshot().transactions.get(a).exists(_ >= v))
+            throw new TxnAlreadyCommittedException(a, v)
+        }
         Seq(CommitInfo(now, operation, params)) ++
-          removedRelPaths.map(RemoveFile(_, now)) ++ adds ++ cdc
+          removedRelPaths.map(RemoveFile(_, now)) ++ adds ++ cdc ++
+          txn.map { case (a, v) => Txn(a, v) }
       }
     } catch {
       case e: ConflictingCommitException =>

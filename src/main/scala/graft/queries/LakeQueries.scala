@@ -484,6 +484,39 @@ object LakeQueries {
              |FROM changes
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // CDC replication (round 11): APPLY CHANGES INTO — a second table
+    // maintained purely from the source's change feed. The source
+    // takes appends, an expression UPDATE, and a DELETE; the replica
+    // consumes the CDF stream (per-batch latest-state-per-key
+    // collapse + Txn-idempotent MERGE) and must converge to the
+    // source's exact final state, which the oracle recomputes from
+    // the original parquet. Proves insert/update/delete change
+    // routing end to end — not just that changes are emitted
+    // (streaming_lake_cdf) but that they RECONSTRUCT the table.
+    QueryDef("streaming_apply_changes",
+      (s, dir) => {
+        val root = scratch("streaming_apply_changes", dir)
+        val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+        val c = table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        LakeWriter.write(c.filter("c_custkey % 2 = 0"), src) // v0
+        LakeWriter.write(c.filter("c_custkey % 2 = 1"), src) // v1
+        LakeTable.forPath(s, src).update(
+          "c_mktsegment = 'MACHINERY'",
+          Map("c_acctbal" -> "c_acctbal + 1000"))            // v2
+        LakeTable.forPath(s, src)
+          .delete("c_mktsegment = 'BUILDING'")               // v3
+        graft.streaming.LakeStreaming
+          .applyChanges(s, src, dst, ckpt, Seq("c_custkey"))
+          .awaitTermination(180000)
+        LakeTable.forPath(s, dst).toDF
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CASE WHEN c_mktsegment = 'MACHINERY'
+             |       THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal
+             |FROM customer WHERE c_mktsegment <> 'BUILDING'"""
+        .stripMargin)),
+
     // COPY INTO: idempotent incremental ingest. Shard documents into
     // two source files; pass 1 sees only shard 0, pass 2 picks up
     // shard 1 without re-loading shard 0, pass 3 is a full no-op —

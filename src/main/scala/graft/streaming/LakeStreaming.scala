@@ -63,6 +63,105 @@ object LakeStreaming {
   /** Watermarked tumbling-window counts per event type over a stream
     * with an event-time column.
     */
+  /** CDC replication — maintain `targetPath` as a row-for-row replica
+    * of `sourcePath` by consuming its change data feed (the
+    * `APPLY CHANGES INTO` pattern; Databricks' managed form is built
+    * on exactly this loop). Each micro-batch:
+    *
+    *  1. collapses the batch's changes to the LATEST state per key:
+    *     highest `_commit_version` wins, and within one version an
+    *     `insert` (this engine's CDC emits updates as
+    *     delete-preimage + insert-postimage pairs) supersedes the
+    *     `delete` — so a key updated five times in one batch costs
+    *     one MERGE row, not five;
+    *  2. MERGEs the collapsed frame into the target: delete rows
+    *     delete, everything else upserts;
+    *  3. rides the `(checkpoint, batchId)` Txn watermark on the MERGE
+    *     commit ([[graft.lake.LakeMergeBuilder.withTransaction]]), so
+    *     a restart that replays a committed batch is a no-op —
+    *     exactly-once, not at-least-once.
+    *
+    * 100 TB shape: the per-batch work is O(changes in the batch), one
+    * window shuffle on the key plus the MERGE's touched-file rewrite;
+    * the replica's full size is never read or shuffled. The first
+    * batch on a not-yet-created target is a plain keyed write.
+    *
+    * Keys must be unique in the source (the usual CDC contract);
+    * duplicate keys would make "latest row per key" ill-defined and
+    * the MERGE's multi-match guard aborts rather than guessing.
+    */
+  def applyChanges(
+      spark: SparkSession,
+      sourcePath: String,
+      targetPath: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      queryName: String = "apply_changes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    spark.readStream.format("lake")
+      .option("readChangeFeed", "true").load(sourcePath)
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyChangesBatch(batch, targetPath, keyCols,
+          checkpoint, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[applyChanges]] — separated for direct use
+    * from a caller's own foreachBatch and for testability.
+    */
+  def applyChangesBatch(
+      batch: DataFrame,
+      targetPath: String,
+      keyCols: Seq[String],
+      checkpointId: String,
+      batchId: Long): Unit = {
+    import graft.lake.{Cdf, LakeLog, LakeTable}
+    val spark = batch.sparkSession
+    val audit = Set(Cdf.CHANGE_TYPE, Cdf.COMMIT_VERSION,
+      Cdf.COMMIT_TIMESTAMP)
+    val dataCols = batch.columns.filterNot(audit.contains).toSeq
+    require(keyCols.forall(dataCols.contains),
+      s"key columns ${keyCols.mkString(",")} must be source columns")
+    // latest change per key: per-version the insert postimage
+    // supersedes the delete preimage (update = delete + insert)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(Cdf.COMMIT_VERSION).desc,
+        (col(Cdf.CHANGE_TYPE) === "insert").desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((dataCols :+ Cdf.CHANGE_TYPE).map(col): _*)
+    if (!new LakeLog(targetPath).exists) {
+      // first batch: nothing to match — the inserts ARE the table
+      graft.lake.LakeWriter.write(
+        latest.filter(col(Cdf.CHANGE_TYPE) =!= "delete")
+          .select(dataCols.map(col): _*),
+        targetPath,
+        operation = "APPLY CHANGES",
+        operationParameters = Map("batchId" -> batchId.toString),
+        transaction = Some((checkpointId, batchId)))
+      ()
+    } else {
+      val cond = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+      LakeTable.forPath(spark, targetPath).as("t")
+        .merge(latest.as("s"), cond)
+        .whenMatchedDelete(s"s.${Cdf.CHANGE_TYPE} = 'delete'")
+        .whenMatchedUpdate(
+          dataCols.map(c => c -> s"s.$c").toMap)
+        .whenNotMatchedInsert(s"s.${Cdf.CHANGE_TYPE} <> 'delete'",
+          dataCols.map(c => c -> s"s.$c").toMap)
+        .withTransaction(checkpointId, batchId)
+        .execute()
+    }
+  }
+
   def windowedEventCounts(
       events: DataFrame,
       tsCol: String = "ts",

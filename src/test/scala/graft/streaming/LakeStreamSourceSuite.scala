@@ -492,4 +492,45 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(t.toDF.count() === 2L)
     assert(t.snapshot().transactions.get("ss-part-test").contains(0L))
   }
+
+  test("applyChanges maintains a replica through the change feed") {
+    val src = tablePath("ac-src")
+    val dst = tablePath("ac-dst")
+    val ckpt = tmpDir("ac-ckpt")
+    val rows = (1L to 100L).map(i => (i, s"n$i", i * 10.0))
+    LakeWriter.write(rows.toDF("id", "name", "bal"), src)          // v0
+    LakeTable.forPath(spark, src)
+      .update("id <= 10", Map("bal" -> "bal + 5"))                 // v1
+    LakeTable.forPath(spark, src).delete("id > 90")                // v2
+
+    LakeStreaming.applyChanges(spark, src, dst, ckpt, Seq("id"))
+      .awaitTermination(120000)
+    def state(path: String) =
+      LakeTable.forPath(spark, path).toDF
+        .select("id", "name", "bal").orderBy("id").collect().toSeq
+    assert(state(dst) === state(src))
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 90L)
+
+    // incremental: more source DML, same checkpoint — only the new
+    // changes flow, and the replica converges again
+    LakeTable.forPath(spark, src)
+      .update("id = 20", Map("name" -> "'renamed'"))               // v3
+    LakeWriter.write(Seq((200L, "new", 1.0)).toDF("id", "name", "bal"),
+      src)                                                         // v4
+    LakeTable.forPath(spark, src).delete("id = 1")                 // v5
+    LakeStreaming.applyChanges(spark, src, dst, ckpt, Seq("id"))
+      .awaitTermination(120000)
+    assert(state(dst) === state(src))
+
+    // exactly-once: replaying an already-committed micro-batch is a
+    // silent no-op (the Txn watermark rides the MERGE commit)
+    val replica = LakeTable.forPath(spark, dst)
+    val before = replica.snapshot().version
+    assert(replica.snapshot().transactions.get(ckpt).exists(_ >= 0L))
+    val replay = LakeTable.forPath(spark, src).changes(0, 2)
+    LakeStreaming.applyChangesBatch(replay, dst, Seq("id"), ckpt, 0L)
+    assert(LakeTable.forPath(spark, dst).snapshot().version === before,
+      "replayed batch must not commit")
+    assert(state(dst) === state(src))
+  }
 }
