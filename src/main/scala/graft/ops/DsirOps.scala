@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection — importance resampling toward a target
+  * corpus via hashed n-gram features (Xie, Santurkar, Ma & Liang,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023). The question every pre-training mix has to answer —
+  * "which of these 10 billion raw documents look like the data we
+  * actually want?" — reduced to a bag-of-hashed-ngrams likelihood
+  * ratio: score each raw document by Σ_features ln(p̂_target(b) /
+  * p̂_raw(b)) over its hashed unigram+bigram buckets, then sample
+  * documents with probability ∝ exp(weight) via deterministic
+  * Gumbel-top-k.
+  *
+  * Shape for 100 TB: the two bucket-distribution estimates are
+  * partial-agg aggregations collapsing each corpus to `buckets` rows
+  * (kilobytes); the per-document scoring pass explodes features
+  * map-side, hits the BROADCAST log-ratio table, and re-aggregates on
+  * the doc id — so the corpus shuffles exactly once, as compact
+  * (id, contribution) scalars, never as text. Selection adds a
+  * TakeOrdered top-k. Nothing anywhere is corpus-sized on the driver.
+  *
+  * Reproducibility: bucketing is the first 8 hex chars of md5
+  * (cross-engine: `('0x' || substr(md5(f), 1, 8))::BIGINT % B` in
+  * DuckDB is bit-identical), and the Gumbel noise is derived from
+  * md5(id) — the whole selection is a pure function of the data, so
+  * re-runs (and other engines) reproduce it exactly.
+  */
+object DsirOps {
+
+  /** Hashed feature bucket: first 8 md5 hex chars as an int, mod B. */
+  private def bucketOf(feat: Column, buckets: Int): Column =
+    conv(substring(md5(feat), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Deterministic uniform in (0,1) from the row key (same md5
+    * coordinate family as [[SampleOps]], widened to 32 bits).
+    */
+  private def unitCoord(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+
+  /** (id, bucket) — one row per unigram and bigram occurrence. */
+  private def features(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // bigrams as "w1 w2"; guarded — sequence(1, 0) would DESCEND
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol),
+        explode(concat(toks, bigrams)).as("__feat"))
+      .select(col(idCol), bucketOf(col("__feat"), buckets).as("__b"))
+  }
+
+  /** Per-document importance log-weights of `raw` toward `target`:
+    * Σ over the doc's feature occurrences of
+    * ln(p̂_t(b)) − ln(p̂_r(b)), with add-λ smoothing over B buckets
+    * (p̂(b) = (c(b) + λ) / (total + λB)). Returns
+    * (idCol, n_feats, log_weight) — log_weight rounded to 4 decimals
+    * for cross-engine comparison, like [[TextOps.unigramSurprisal]].
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 8192,
+      smoothing: Double = 1.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(smoothing > 0, "add-lambda smoothing must be positive")
+    val rawF = features(raw, textCol, idCol, buckets)
+    val tgtF = features(target, textCol, idCol, buckets)
+    val rawCnt = rawF.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tgtCnt = tgtF.groupBy("__b").agg(count(lit(1)).as("__ct"))
+    // totals as a one-row cross join (no driver collect); every bucket
+    // a raw doc can hit is present in rawCnt by construction, so the
+    // left join only ever smooths the TARGET side
+    val totals = rawCnt.agg(sum("__cr").as("__tr"))
+      .crossJoin(tgtCnt.agg(sum("__ct").as("__tt")))
+    val lam = lit(smoothing)
+    val lamB = lit(smoothing * buckets)
+    val ratio = rawCnt
+      .join(tgtCnt, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + lam) /
+             (coalesce(col("__tt"), lit(0L)) + lamB)) -
+         log((col("__cr") + lam) / (col("__tr") + lamB))).as("__lr"))
+    rawF
+      .join(broadcast(ratio), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum("__lr"), 4).as("log_weight"))
+  }
+
+  /** Importance resampling: k documents drawn without replacement with
+    * probability ∝ exp(log_weight / temperature), via Gumbel-top-k
+    * (Vieira 2014): key = log_weight/T − ln(−ln(u)), u the md5(id)
+    * coordinate — deterministic, so the "random" sample is exactly
+    * reproducible anywhere. temperature → 0 approaches hard top-k by
+    * weight; 1.0 is the paper's sampling.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, k: Int, buckets: Int = 8192,
+      smoothing: Double = 1.0, temperature: Double = 1.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val wts = dsirWeights(raw, target, textCol, idCol, buckets, smoothing)
+    val gumbel = -log(-log(unitCoord(col(idCol))))
+    wts
+      .withColumn("gumbel_key",
+        round(col("log_weight") / temperature + gumbel, 4))
+      .orderBy(desc("gumbel_key"), col(idCol))
+      .limit(k)
+  }
+}

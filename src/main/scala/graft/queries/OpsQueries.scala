@@ -294,6 +294,88 @@ object OpsQueries {
 
     // Statistical quality: per-doc mean unigram surprisal against the
     // corpus's own unigram distribution (the perplexity-proxy filter).
+    // DSIR importance weights (Xie et al. 2023): how much each raw
+    // doc's hashed unigram+bigram profile looks drawn from the TARGET
+    // (here: the corpus's English docs) vs the raw corpus. Bucketing
+    // is md5-based so the entire estimate — two hashed-feature
+    // distributions, add-1 smoothing, per-doc log-likelihood-ratio
+    // sum — replays bit-identically in DuckDB: a full-pipeline
+    // oracle, not a spot check.
+    QueryDef("text_dsir_weights",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        DsirOps.dsirWeights(d, d.filter("lang = 'en'"),
+          "text", "doc_id", buckets = 1024)
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS s
+             |  FROM documents),
+             |rawf AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(f),1,8))::BIGINT % 1024 AS b
+             |  FROM (SELECT doc_id, unnest(s || list_transform(
+             |      range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS f
+             |    FROM sp)),
+             |tgtf AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(f),1,8))::BIGINT % 1024 AS b
+             |  FROM (SELECT doc_id, unnest(s || list_transform(
+             |      range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS f
+             |    FROM sp WHERE lang = 'en')),
+             |rc AS (SELECT b, count(*) AS cr FROM rawf GROUP BY b),
+             |tc AS (SELECT b, count(*) AS ct FROM tgtf GROUP BY b),
+             |tot AS (SELECT (SELECT sum(cr) FROM rc) AS tr,
+             |               (SELECT sum(ct) FROM tc) AS tt),
+             |ratio AS (
+             |  SELECT rc.b,
+             |    ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 1024.0)) -
+             |    ln((rc.cr + 1.0) / (tot.tr + 1024.0)) AS lr
+             |  FROM rc LEFT JOIN tc USING (b), tot)
+             |SELECT doc_id, count(*) AS n_feats,
+             |  round(sum(lr), 4) AS log_weight
+             |FROM rawf JOIN ratio USING (b)
+             |GROUP BY doc_id""".stripMargin)),
+
+    // DSIR resampling (the selection half): Gumbel-top-k over the
+    // importance weights, deterministic via md5-derived noise. No SQL
+    // oracle (the weights leg above is the oracle-checked half);
+    // in-gate planted truth instead: with the corpus's English slice
+    // as the target, the selected set must (a) be exactly k docs,
+    // (b) ENRICH English vs the corpus base rate by a real margin,
+    // (c) prefer high-weight docs on average, and (d) reproduce
+    // EXACTLY on a second run — "importance resampling" that can't
+    // demonstrate bias toward its target or replay deterministically
+    // would be noise with extra steps.
+    QueryDef("text_dsir_select",
+      (s, dir) => {
+        import s.implicits._
+        val d = table(s, dir, "documents")
+        val en = d.filter("lang = 'en'")
+        val total = d.count()
+        val k = (total / 5).toInt
+        def run() = DsirOps.dsirResample(d, en, "text", "doc_id",
+          k, buckets = 1024, temperature = 0.5)
+        val sel = run()
+        val ids = sel.select("doc_id").as[Long].collect().toSet
+        require(ids.size == k, s"expected $k selected, got ${ids.size}")
+        val enFrac = en.count().toDouble / total
+        val selEn = en.filter(col("doc_id").isin(ids.toSeq: _*)).count()
+        val selEnFrac = selEn.toDouble / k
+        require(selEnFrac > enFrac + 0.05,
+          f"no target enrichment: selected en-frac $selEnFrac%.3f vs " +
+          f"base $enFrac%.3f")
+        val wts = DsirOps.dsirWeights(d, en, "text", "doc_id", 1024)
+        val meanAll = wts.agg(avg("log_weight")).head().getDouble(0)
+        val meanSel = wts.filter(col("doc_id").isin(ids.toSeq: _*))
+          .agg(avg("log_weight")).head().getDouble(0)
+        require(meanSel > meanAll,
+          s"selection does not prefer high weights: $meanSel <= $meanAll")
+        val ids2 = run().select("doc_id").as[Long].collect().toSet
+        require(ids2 == ids, "resample is not reproducible")
+        sel
+      },
+      None),
+
     QueryDef("text_unigram_surprisal",
       (s, dir) => TextOps.unigramSurprisal(
         table(s, dir, "documents"), "text", "doc_id"),

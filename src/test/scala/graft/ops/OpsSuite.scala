@@ -72,6 +72,28 @@ class OpsSuite extends SparkSuite {
     assert(BpeOps.referenceTokenCount(null, merges) === 0)
   }
 
+  test("DSIR: weights separate target-like docs; resample selects them") {
+    // two disjoint vocabularies: docs 0-9 speak "alpha", 10-19 "beta";
+    // the target is the alpha slice, so alpha docs must score strictly
+    // above every beta doc, and a k=8 resample must pick only alphas
+    val docs = ((0L until 10L).map(i => (i, s"alpha$i common alpha ax${i % 3} alpha")) ++
+      (10L until 20L).map(i => (i, s"beta$i common beta bx${i % 3} beta")))
+      .toDF("id", "text")
+    val target = docs.filter($"id" < 10)
+    val w = graft.ops.DsirOps.dsirWeights(docs, target, "text", "id",
+      buckets = 512)
+      .select("id", "log_weight").as[(Long, Double)].collect().toMap
+    val alphaMin = (0L until 10L).map(w).min
+    val betaMax = (10L until 20L).map(w).max
+    assert(alphaMin > betaMax,
+      s"alpha docs must outscore beta docs: $alphaMin <= $betaMax")
+    val sel = graft.ops.DsirOps.dsirResample(docs, target, "text", "id",
+      k = 8, buckets = 512, temperature = 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(sel.size === 8)
+    assert(sel.forall(_ < 10L), s"resample leaked beta docs: $sel")
+  }
+
   test("segment dedup: keep-first across docs, intra-doc repeats collapse") {
     // segWords=2 → doc 10 segments: [a b][c d][a b]; doc 11: [a b][x y];
     // doc 12: [c d]. Corpus-wide keep-first by (doc_id, seg_idx):
