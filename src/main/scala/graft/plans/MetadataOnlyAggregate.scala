@@ -73,6 +73,32 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
           LocalRelation(aggExprs.map(_.toAttribute), Seq(row))
         case None => agg
       }
+    // grouped form: GROUP BY over PARTITION columns only ("rows per
+    // day" — the standing dashboard query of every partitioned
+    // table). Files bucket by partition tuple; each bucket answers
+    // like an unfiltered table of its own.
+    case agg @ Aggregate(groupingExprs, aggExprs, child, _)
+        if groupingExprs.nonEmpty &&
+          groupingExprs.forall(_.isInstanceOf[AttributeReference]) &&
+          aggExprs.nonEmpty &&
+          aggExprs.forall(e => supportedShape(e) || groupingRef(e)) =>
+      answerGrouped(
+        groupingExprs.map(_.asInstanceOf[AttributeReference]),
+        aggExprs, child) match {
+        case Some(rows) =>
+          LocalRelation(aggExprs.map(_.toAttribute), rows)
+        case None => agg
+      }
+  }
+
+  /** Output column that is just a grouping attribute (optionally
+    * re-aliased) — `SELECT p, count(*) ... GROUP BY p` carries `p`
+    * through the aggregate list.
+    */
+  private def groupingRef(ne: NamedExpression): Boolean = ne match {
+    case _: AttributeReference => true
+    case Alias(_: AttributeReference, _) => true
+    case _ => false
   }
 
   // ---------------------------------------------------------------
@@ -135,8 +161,18 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
   // evaluation
   // ---------------------------------------------------------------
 
-  private def answer(aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[InternalRow] = {
+  /** Everything one evaluation needs besides the file subset. */
+  private final case class Ctx(
+      below: Below,
+      hasDvs: Boolean,
+      physFor: Map[String, String],
+      partCols: Set[String],
+      schemaByName: Map[String, StructField])
+
+  /** Validate the plan below the aggregate and build the shared
+    * context. None = bail to the scan.
+    */
+  private def contextOf(child: LogicalPlan): Option[Ctx] = {
     val below = walk(child).getOrElse(return None)
     val idx = below.idx
     val files = idx.snap.files
@@ -145,41 +181,104 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
     // count(*) must not be answered with the live count
     if (hasDvs && !below.dvNetted) return None
     if (!files.forall(_.numRecords >= 0L)) return None
+    Some(Ctx(below, hasDvs,
+      ColumnMapping.overrides(idx.snap.metadata),
+      idx.snap.partitionColumns.toSet,
+      idx.snap.schema.fields.map(f => f.name -> f).toMap))
+  }
 
-    val physFor = ColumnMapping.overrides(idx.snap.metadata)
-    val partCols = idx.snap.partitionColumns.toSet
-    val schemaByName = idx.snap.schema.fields.map(f => f.name -> f).toMap
+  /** One aggregate function over one file subset. None = bail. */
+  private def evalAgg(ae: AggregateExpression, files: Seq[AddFile],
+      ctx: Ctx): Option[Any] = ae.aggregateFunction match {
+    case Count(Seq(Literal(_, _))) =>
+      Some(files.map(f => f.numRecords -
+        (if (ctx.hasDvs) f.dvCardinality else 0L)).sum)
+    case Count(Seq(a: AttributeReference)) if !ctx.hasDvs =>
+      ctx.below.names.get(a.exprId)
+        .flatMap(n => countCol(n, files, ctx.physFor, ctx.partCols))
+    case Min(a: AttributeReference) if !ctx.hasDvs =>
+      for {
+        n <- ctx.below.names.get(a.exprId)
+        f <- ctx.schemaByName.get(n)
+        if f.dataType == a.dataType
+        v <- extremum(n, f.dataType, files, ctx.physFor, ctx.partCols,
+          wantMin = true)
+      } yield v
+    case Max(a: AttributeReference) if !ctx.hasDvs =>
+      for {
+        n <- ctx.below.names.get(a.exprId)
+        f <- ctx.schemaByName.get(n)
+        if f.dataType == a.dataType
+        v <- extremum(n, f.dataType, files, ctx.physFor, ctx.partCols,
+          wantMin = false)
+      } yield v
+    case _ => None
+  }
 
-    def colName(a: AttributeReference): Option[String] =
-      below.names.get(a.exprId)
-
-    val values = aggExprs.map { case Alias(ae: AggregateExpression, _) =>
-      ae.aggregateFunction match {
-        case Count(Seq(Literal(_, _))) =>
-          files.map(f => f.numRecords -
-            (if (hasDvs) f.dvCardinality else 0L)).sum
-        case Count(Seq(a: AttributeReference)) =>
-          if (hasDvs) return None
-          val n = colName(a).getOrElse(return None)
-          countCol(n, files, physFor, partCols).getOrElse(return None)
-        case Min(a: AttributeReference) =>
-          if (hasDvs) return None
-          val n = colName(a).getOrElse(return None)
-          val dt = schemaByName.get(n).map(_.dataType).getOrElse(return None)
-          if (dt != a.dataType) return None
-          extremum(n, dt, files, physFor, partCols, wantMin = true)
-            .getOrElse(return None)
-        case Max(a: AttributeReference) =>
-          if (hasDvs) return None
-          val n = colName(a).getOrElse(return None)
-          val dt = schemaByName.get(n).map(_.dataType).getOrElse(return None)
-          if (dt != a.dataType) return None
-          extremum(n, dt, files, physFor, partCols, wantMin = false)
-            .getOrElse(return None)
-        case _ => return None
-      }
+  private def answer(aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[InternalRow] = {
+    val ctx = contextOf(child).getOrElse(return None)
+    val files = ctx.below.idx.snap.files
+    val values = aggExprs.map {
+      case Alias(ae: AggregateExpression, _) =>
+        evalAgg(ae, files, ctx).getOrElse(return None)
+      case _ => return None
     }
     Some(InternalRow.fromSeq(values))
+  }
+
+  /** Grouped form: every grouping attribute must be a partition
+    * column; files bucket by their partition tuple and each bucket
+    * evaluates like a table of its own. Groups whose buckets hold
+    * zero live rows are omitted (SQL emits no group for no rows).
+    */
+  private def answerGrouped(groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[Seq[InternalRow]] = {
+    val ctx = contextOf(child).getOrElse(return None)
+    val files = ctx.below.idx.snap.files
+    val groupCols: Seq[(ExprId, String, DataType)] = groupAttrs.map { a =>
+      val n = ctx.below.names.get(a.exprId).getOrElse(return None)
+      if (!ctx.partCols.contains(n)) return None
+      if (!ctx.schemaByName.get(n).exists(_.dataType == a.dataType))
+        return None
+      (a.exprId, n, a.dataType)
+    }
+    // bucket by RAW partition-value tuple (null and the Hive sentinel
+    // collapse to the same null group); parse each tuple once
+    val buckets = files.groupBy(f => groupCols.map { case (_, n, _) =>
+      f.partitionValues.get(n) match {
+        case None => return None // un-tracked partition value: bail
+        case Some(v) if v == null || v == LakeWriter.HIVE_NULL => None
+        case Some(v) => Some(v)
+      }
+    })
+    val rows = buckets.toSeq.flatMap { case (rawKey, bucket) =>
+      val live = bucket.map(f => f.numRecords -
+        (if (ctx.hasDvs) f.dvCardinality else 0L)).sum
+      if (live == 0L) None // zero-row bucket: SQL emits no group
+      else {
+        val parsed: Map[ExprId, Any] =
+          groupCols.zip(rawKey).map { case ((id, _, dt), raw) =>
+            id -> (raw match {
+              case None => null
+              case Some(v) =>
+                parsePartition(v, dt).getOrElse(return None)
+            })
+          }.toMap
+        val values = aggExprs.map {
+          case Alias(ae: AggregateExpression, _) =>
+            evalAgg(ae, bucket, ctx).getOrElse(return None)
+          case a: AttributeReference =>
+            parsed.get(a.exprId).getOrElse(return None)
+          case Alias(ar: AttributeReference, _) =>
+            parsed.get(ar.exprId).getOrElse(return None)
+          case _ => return None
+        }
+        Some(InternalRow.fromSeq(values))
+      }
+    }
+    Some(rows)
   }
 
   /** COUNT(col): Σ (numRecords − nullCount) — needs an exact null

@@ -405,6 +405,32 @@ object LakeQueries {
              |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
              |FROM lineitem""".stripMargin)),
 
+    // The grouped form: rows + key range PER PARTITION, answered from
+    // the log's per-file stats bucketed by partition tuple — the
+    // standing "rows per day" dashboard query that should never scan
+    // a healthy table.
+    QueryDef("lake_partition_stats",
+      (s, dir) => {
+        val path = scratch("lake_partition_stats", dir)
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag").as("p_flag"))
+        LakeWriter.write(l, path, partitionBy = Seq("p_flag"))
+        val q = s.read.format("lake").load(path)
+          .groupBy("p_flag")
+          .agg(count(lit(1)).as("n"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+        q.collect()
+        val plan = q.queryExecution.executedPlan.toString
+        require(!plan.contains("FileScan"),
+          s"grouped metadata aggregate still scanned the table:\n$plan")
+        q
+      },
+      Some("""SELECT l_returnflag AS p_flag, count(*) AS n,
+             |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // Change-data-feed read (round 2): v0 append, v1 append, v2 DELETE.
     // The change stream is fully derivable from `customer` in SQL:
     // every row inserts once (in its half's version), and the deleted

@@ -710,6 +710,31 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(dc.head().getLong(0) === 999L)
     noScan(dc, "count(*) over DV table")
 
+    // grouped by partition column: per-partition rows + min/max from
+    // the log (the "rows per day" dashboard query)
+    val gq = pt.groupBy("d").agg(count(lit(1)).as("n"), max("id").as("m"))
+    val gRows = gq.collect()
+    assert(gRows.length === 1000) // 1000 distinct dates
+    assert(gRows.forall(_.getLong(1) === 1L))
+    noScan(gq, "grouped partition count")
+    // grouping on a DATA column keeps the scan
+    val gd = t.groupBy("name").agg(count(lit(1)).as("n"))
+    assert(gd.count() === 1000L)
+    hasScan(gd, "grouped data-column count")
+    // null partitions form their own group, answered from metadata
+    val npath = tablePath("dsv2minmaxnullpart")
+    spark.range(0, 10).toDF("id")
+      .withColumn("p", when($"id" < 3, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), $"id" % 2)))
+      .write.format("lake").partitionBy("p").save(npath)
+    val nt = spark.read.format("lake").load(npath)
+    val nq = nt.groupBy("p").agg(count(lit(1)).as("n"), min("id").as("mn"))
+    val nRows = nq.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(nRows === Set((None, 3L, 0L), (Some("g0"), 3L, 4L),
+      (Some("g1"), 4L, 3L)))
+    noScan(nq, "null-partition group")
+
     // column mapping: stats live under the PHYSICAL name; min/max on
     // the renamed logical column must still answer from metadata
     val mpath = tablePath("dsv2minmaxmap")
