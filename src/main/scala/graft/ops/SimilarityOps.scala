@@ -147,8 +147,14 @@ object SimilarityOps {
       corpus: DataFrame, indexPath: String,
       nlist: Int = 16, refineIterations: Int = 0,
       idCol: String = "id", vecCol: String = "vec",
-      pq: Boolean = false, pqM: Int = 8, pqK: Int = 16): Unit = {
-    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+      pq: Boolean = false, pqM: Int = 8, pqK: Int = 16,
+      carryCols: Seq[String] = Nil): Unit = {
+    // carryCols: metadata columns (label/domain/date) stored alongside
+    // each assignment row, so FILTERED search ([[ivfIndexTopK]]'s
+    // `filter`) is a codegen'd predicate on the probed cells' scan —
+    // no join against the corpus at probe time
+    val c = corpus.select(col(idCol).as("__id") +:
+      col(vecCol).as("__cv") +: carryCols.map(col): _*)
     val centroids =
       if (refineIterations <= 0)
         broadcast(c.orderBy("__id").limit(nlist)
@@ -170,14 +176,17 @@ object SimilarityOps {
         s"$indexPath/centroids", mode = "overwrite",
         operation = "BUILD IVF INDEX")
     }
+    val aggCols = first(col("__cv")).as("vec") +:
+      carryCols.map(n => first(col(n)).as(n))
     val assigned = c.crossJoin(centroids)
       .withColumn("__sim", cosine(col("__cv"), col("__cent")))
       .groupBy("__id")
       .agg(max_by(col("__cid"), col("__sim")).as("cell"),
-        first(col("__cv")).as("vec"))
-      .select(col("__id").as("id"),
-        col("vec").cast("array<float>").as("vec"),
-        col("cell").cast("long").as("cell"))
+        aggCols: _*)
+      .select(col("__id").as("id") +:
+        col("vec").cast("array<float>").as("vec") +:
+        col("cell").cast("long").as("cell") +:
+        carryCols.map(col): _*)
     graft.lake.LakeWriter.write(assigned, s"$indexPath/assignments",
       mode = "overwrite", partitionBy = Seq("cell"),
       operation = "BUILD IVF INDEX")
@@ -479,7 +488,8 @@ object SimilarityOps {
     */
   def ivfIndexTopK(
       queries: DataFrame, indexPath: String, k: Int, nprobe: Int = 4,
-      qidCol: String = "qid", vecCol: String = "vec"): DataFrame = {
+      qidCol: String = "qid", vecCol: String = "vec",
+      filter: String = null): DataFrame = {
     val spark = queries.sparkSession
     val centroids = broadcast(
       graft.lake.LakeTable.forPath(spark, s"$indexPath/centroids").toDF
@@ -495,9 +505,16 @@ object SimilarityOps {
         .select(col("__qid"), col("__qv"), col("__cid")))
     val probedCells = probes.select(col("__cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val candidates = graft.lake.LakeTable
+    val unfiltered = graft.lake.LakeTable
       .forPath(spark, s"$indexPath/assignments").toDF
       .filter(col("cell").isin(probedCells.toSeq: _*))
+    // filtered search: the predicate (over id/cell/any carryCols the
+    // build stored) lands IN the probed-cell scan — codegen'd, pushed
+    // to parquet, no corpus join. Recall is per-probe: a highly
+    // selective predicate thins each probed cell, so callers raise
+    // nprobe rather than k when filtering hard.
+    val candidates =
+      if (filter == null) unfiltered else unfiltered.filter(filter)
     val w = Window.partitionBy("__qid")
       .orderBy(col("cos").desc, col("id").asc)
     candidates.join(probes, candidates("cell") === probes("__cid"))

@@ -1028,6 +1028,54 @@ object OpsQueries {
       },
       None),
 
+    // FILTERED ANN (round 11): vector search under a metadata
+    // predicate — "nearest neighbors among label-even vectors" — the
+    // shape every retrieval service actually runs (tenant/language/
+    // date filters). The build carries the label into the
+    // cell-partitioned assignments so the predicate is a codegen'd
+    // filter on the probed cells' scan, never a corpus join. In-gate
+    // truth: (a) ZERO returned neighbors may violate the predicate,
+    // (b) planted near-dups whose sources satisfy the predicate must
+    // be recovered at >= 0.9 — i.e. filtering must not cost the
+    // recall the unfiltered gate guarantees.
+    QueryDef("sim_ivf_filtered_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        // queries derive only from sources that SATISFY the filter,
+        // so each planted nearest neighbor is inside the searched set
+        val src = e.filter(col("vec_id") % 10 === 0 &&
+          col("label") % 2 === 0)
+        val queries = src.select(
+          (col("vec_id") + 1000000L).as("qid"),
+          expr("transform(embedding, (x, i) -> " +
+            "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
+            .as("vec"))
+        val corpus = e.select(col("vec_id").as("id"),
+          col("embedding").as("vec"), col("label"))
+        val indexPath = scratch("sim_ivf_filtered", dir)
+        SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 16,
+          carryCols = Seq("label"))
+        val approx = SimilarityOps.ivfIndexTopK(
+          queries, indexPath, k = 5, nprobe = 4,
+          filter = "label % 2 = 0")
+        val labels = corpus.select(col("id").as("neighbor_id"),
+          col("label"))
+        val violations = approx.join(labels, "neighbor_id")
+          .filter(col("label") % 2 =!= 0).count()
+        require(violations == 0L,
+          s"$violations neighbors violate the search predicate")
+        val nQueries = src.count()
+        val found = approx
+          .filter(col("neighbor_id") === col("qid") - 1000000L).count()
+        val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
+        require(recall >= 0.9,
+          s"filtered-IVF recall $recall below 0.9 ($found/$nQueries)")
+        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+          .toDF("n_queries", "n_found", "recall")
+      },
+      None),
+
     // IVF-PQ (Jégou et al., TPAMI 2011): the probe ranks candidates
     // from product-quantized residual CODES (pqM small ints + one
     // float per vector) instead of full float vectors, then re-ranks

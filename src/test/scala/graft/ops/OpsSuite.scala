@@ -223,6 +223,39 @@ class OpsSuite extends SparkSuite {
       f"k-means refinement failed to hold recall: $kmeans%.3f")
   }
 
+  test("filtered ANN: predicate excludes neighbors, carry column rides") {
+    val rnd = new scala.util.Random(17)
+    val corpusRows = (0L until 300L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), (i % 3).toInt))
+    val corpus = corpusRows.toDF("id", "vec", "tenant")
+    // each query is a slight perturbation of a tenant-0 corpus vector
+    val queries = corpusRows.filter(r => r._1 % 30 == 0 && r._3 == 0)
+      .map { case (id, v, _) => (id + 1000L, v.map(_ * 1.02f)) }
+      .toDF("qid", "vec")
+    val indexPath = tmpDir("ivf-filtered")
+    SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 8,
+      carryCols = Seq("tenant"))
+    // the carry column lands in the assignments table
+    val stored = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").toDF
+    assert(stored.columns.contains("tenant"))
+    assert(stored.select("id", "tenant").as[(Long, Int)].collect()
+      .forall { case (id, t) => t == (id % 3).toInt })
+    val got = SimilarityOps.ivfIndexTopK(queries, indexPath, k = 5,
+      nprobe = 4, filter = "tenant = 0")
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    // hard guarantee: no cross-tenant neighbor ever
+    assert(got.forall { case (_, n) => n % 3 == 0 },
+      s"leaked non-tenant-0 neighbors: ${got.filter(_._2 % 3 != 0).toSeq}")
+    // each query's planted source (tenant 0) must be its top match
+    val top1 = SimilarityOps.ivfIndexTopK(queries, indexPath, k = 1,
+      nprobe = 4, filter = "tenant = 0")
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.forall { case (q, n) => n == q - 1000L },
+      s"planted tenant-0 neighbor not recovered: ${top1.toSeq}")
+  }
+
   test("persisted IVF index: probe matches in-memory IVF, scan prunes cells") {
     val rnd = new scala.util.Random(11)
     val corpusRows = (0L until 400L).map(i =>
