@@ -62,6 +62,18 @@ import graft.sources.{DvParquetFileFormat, LakeFileIndex}
   *  - partition columns (absent from the data files, so no footer
   *    stats) answer from their partition VALUES instead, null
   *    partitions excluded per MIN/MAX/COUNT null semantics.
+  *
+  * Two widenings of the basic form, same guards:
+  *  - GROUP BY over partition columns only ("rows per day"): files
+  *    bucket by partition tuple, each bucket answers like a table of
+  *    its own; zero-live-row buckets emit no group; null and the
+  *    legacy Hive sentinel collapse to the null group;
+  *  - WHERE over partition columns only: the predicate is evaluated
+  *    EXACTLY per file by substituting the file's typed partition
+  *    values (three-valued semantics, NULL excludes) — this is a
+  *    determination, not the scan path's conservative may-match
+  *    pruning, so the rewrite stays answer-exact. Any reference to a
+  *    data column, subquery, or unparseable legacy value bails.
   */
 object MetadataOnlyAggregate extends Rule[LogicalPlan] {
 
@@ -119,13 +131,22 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
   }
 
   /** What the plan below the aggregate proved: the lake index, how
-    * deletion vectors are handled, and the exprId→relation-column-name
-    * map threaded through the intervening projections.
+    * deletion vectors are handled, the exprId→relation-column-name
+    * map threaded through the intervening projections, and any
+    * partition-column-only filters (exactly evaluable per file from
+    * its partition tuple — partition values DETERMINE such a
+    * predicate, so this is not the conservative may-match pruning of
+    * the scan path).
     */
   private final case class Below(
       idx: LakeFileIndex,
       dvNetted: Boolean, // scan or verified filter nets DV-deleted rows
-      names: Map[ExprId, String])
+      names: Map[ExprId, String],
+      // each filter paired with the name map AT ITS OWN LEVEL — a
+      // projection above may drop or rename the filtered column, so
+      // the top-level map cannot resolve its attributes
+      partFilters: Seq[(org.apache.spark.sql.catalyst.expressions
+        .Expression, Map[ExprId, String])] = Nil)
 
   private def walk(p: LogicalPlan): Option[Below] = p match {
     case Project(projectList, child)
@@ -144,6 +165,17 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
     case Filter(Not(dv: DvRowDeleted), child) =>
       walk(child).filter(b => !b.dvNetted && dvMapMatches(dv, b.idx))
         .map(_.copy(dvNetted = true))
+    case Filter(cond, child)
+        if cond.deterministic &&
+          cond.find(_.isInstanceOf[org.apache.spark.sql.catalyst
+            .expressions.PlanExpression[_]]).isEmpty =>
+      walk(child).filter { b =>
+        // every referenced attribute must be a partition column
+        val partCols = b.idx.snap.partitionColumns.toSet
+        cond.references.toSeq.forall(a =>
+          b.names.get(a.exprId).exists(partCols.contains))
+      }.map(b =>
+        b.copy(partFilters = b.partFilters :+ ((cond, b.names))))
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation => h.location match {
         case idx: LakeFileIndex =>
@@ -161,13 +193,16 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
   // evaluation
   // ---------------------------------------------------------------
 
-  /** Everything one evaluation needs besides the file subset. */
+  /** Everything one evaluation needs, plus the EFFECTIVE file subset
+    * (partition-filtered when the plan had partition-only filters).
+    */
   private final case class Ctx(
       below: Below,
       hasDvs: Boolean,
       physFor: Map[String, String],
       partCols: Set[String],
-      schemaByName: Map[String, StructField])
+      schemaByName: Map[String, StructField],
+      files: Seq[AddFile])
 
   /** Validate the plan below the aggregate and build the shared
     * context. None = bail to the scan.
@@ -181,10 +216,56 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
     // count(*) must not be answered with the live count
     if (hasDvs && !below.dvNetted) return None
     if (!files.forall(_.numRecords >= 0L)) return None
+    val schemaByName = idx.snap.schema.fields.map(f => f.name -> f).toMap
+    // partition-only filters evaluate EXACTLY per file — the
+    // partition tuple determines the predicate; any file whose
+    // predicate can't be evaluated (unparseable legacy value,
+    // unresolvable attribute, eval error) bails the whole rewrite
+    val kept = below.partFilters.foldLeft(files) { case (fs, (cond, names)) =>
+      fs.filter { f =>
+        evalPartFilter(cond, names, f, schemaByName) match {
+          case Some(b) => b
+          case None => return None
+        }
+      }
+    }
     Some(Ctx(below, hasDvs,
       ColumnMapping.overrides(idx.snap.metadata),
-      idx.snap.partitionColumns.toSet,
-      idx.snap.schema.fields.map(f => f.name -> f).toMap))
+      idx.snap.partitionColumns.toSet, schemaByName, kept))
+  }
+
+  /** Exact three-valued evaluation of a partition-only predicate
+    * against one file's partition tuple: substitute each attribute
+    * with the file's (typed) partition value and fold constants.
+    * Some(false) for a NULL result (the rows are excluded, like any
+    * WHERE); None = cannot evaluate, bail.
+    */
+  private def evalPartFilter(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      names: Map[ExprId, String], f: AddFile,
+      schemaByName: Map[String, StructField]): Option[Boolean] = {
+    var ok = true
+    val sub = cond.transform {
+      case a: AttributeReference =>
+        val lit: Option[Literal] = for {
+          n <- names.get(a.exprId)
+          fld <- schemaByName.get(n)
+          if fld.dataType == a.dataType
+          v <- f.partitionValues.get(n) match {
+            case None => None
+            case Some(x) if x == null || x == LakeWriter.HIVE_NULL =>
+              Some(null)
+            case Some(x) => parsePartition(x, a.dataType)
+          }
+        } yield Literal(v, a.dataType)
+        lit.getOrElse { ok = false; a }
+    }
+    if (!ok) None
+    else try sub.eval(null) match {
+      case b: Boolean => Some(b)
+      case null => Some(false)
+      case _ => None
+    } catch { case _: Exception => None }
   }
 
   /** One aggregate function over one file subset. None = bail. */
@@ -218,7 +299,7 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
   private def answer(aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[InternalRow] = {
     val ctx = contextOf(child).getOrElse(return None)
-    val files = ctx.below.idx.snap.files
+    val files = ctx.files
     val values = aggExprs.map {
       case Alias(ae: AggregateExpression, _) =>
         evalAgg(ae, files, ctx).getOrElse(return None)
@@ -236,7 +317,7 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[Seq[InternalRow]] = {
     val ctx = contextOf(child).getOrElse(return None)
-    val files = ctx.below.idx.snap.files
+    val files = ctx.files
     val groupCols: Seq[(ExprId, String, DataType)] = groupAttrs.map { a =>
       val n = ctx.below.names.get(a.exprId).getOrElse(return None)
       if (!ctx.partCols.contains(n)) return None

@@ -696,6 +696,28 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(pr.getLong(2) === 1000L)
     noScan(pq, "partition-column min/max")
 
+    // partition-only FILTERS answer from metadata too — the predicate
+    // is determined by the partition tuple, so the evaluation is
+    // exact, not may-match pruning; verify against the plain frame
+    val fq = pt.where("d >= date'2026-09-01'")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("d").as("mx"))
+    val fExp = df.where("d >= date'2026-09-01'")
+      .agg(count(lit(1)), min("id"), max("d")).head()
+    assert(fq.head() === fExp)
+    noScan(fq, "partition-filtered aggregate")
+    // filter + grouping compose
+    val fg = pt.where("d < date'2024-02-01'")
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    assert(fg.count() ===
+      df.where("d < date'2024-02-01'").select("d").distinct().count())
+    noScan(fg, "partition-filtered group")
+    // a filter touching a DATA column keeps the scan
+    val fd = pt.where("d >= date'2026-09-01' AND id > 990")
+      .agg(count(lit(1)).as("n"))
+    assert(fd.head().getLong(0) ===
+      df.where("d >= date'2026-09-01' AND id > 990").count())
+    hasScan(fd, "data-column filter")
+
     // a deletion vector poisons min/max (the deleted row WAS the max)
     // but count(*) still nets exactly
     val dpath = tablePath("dsv2minmaxdv")
@@ -734,6 +756,15 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(nRows === Set((None, 3L, 0L), (Some("g0"), 3L, 4L),
       (Some("g1"), 4L, 3L)))
     noScan(nq, "null-partition group")
+    // IS NULL / IS NOT NULL partition filters evaluate exactly
+    val isn = nt.where("p IS NULL").agg(count(lit(1)).as("n"))
+    assert(isn.head().getLong(0) === 3L)
+    noScan(isn, "IS NULL partition filter")
+    val nn = nt.where("p IS NOT NULL")
+      .groupBy("p").agg(count(lit(1)).as("n"))
+    assert(nn.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("g0", 3L), ("g1", 4L)))
+    noScan(nn, "IS NOT NULL filter + group")
 
     // column mapping: stats live under the PHYSICAL name; min/max on
     // the renamed logical column must still answer from metadata
