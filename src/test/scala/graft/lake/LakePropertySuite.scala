@@ -190,4 +190,59 @@ class LakePropertySuite extends SparkSuite with TableDrivenPropertyChecks {
       sorted.foreach(i => assert(decoded.contains(i)))
     }
   }
+
+  test("metadata-only aggregates equal scan answers on random shapes") {
+    // The MetadataOnlyAggregate rewrite answers from log stats; a bug
+    // there is a silently wrong number, not an exception. Sweep random
+    // combinations of (aggregates × partition filter × grouping) over
+    // a table with nulls, a null partition, and skew, and require the
+    // lake answer (rewrite eligible) to equal the same aggregate
+    // computed on the in-memory source frame (rewrite structurally
+    // inapplicable — LocalRelation, not a lake scan).
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    val rows = (1L to 400L).map { i =>
+      val s = if (i % 17 == 0) null else s"s${i % 50}"
+      val d = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays((i % 37).toInt))
+      val p = if (i % 11 == 0) null else s"p${i % 5}"
+      (i, s, d, p)
+    }
+    val src = rows.toDF("id", "s", "d", "p")
+    val path = tablePath("prop-metaagg")
+    src.write.format("lake").partitionBy("p").save(path)
+    val lake = spark.read.format("lake").load(path)
+
+    val aggPool: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "n" -> count(lit(1)), "cs" -> count(col("s")),
+      "mi" -> min(col("id")), "ma" -> max(col("id")),
+      "ms" -> min(col("s")), "xs" -> max(col("s")),
+      "md" -> min(col("d")), "xd" -> max(col("d")),
+      "mp" -> min(col("p")), "xp" -> max(col("p")))
+    val filterPool: Seq[Option[String]] = Seq(None,
+      Some("p = 'p1'"), Some("p IS NULL"), Some("p IS NOT NULL"),
+      Some("p <> 'p2'"), Some("p IN ('p0', 'p3')"),
+      Some("p > 'p1'"), Some("p = 'absent'"))
+    (1 to 40).foreach { _ =>
+      val aggs = rnd.shuffle(aggPool)
+        .take(1 + rnd.nextInt(4)).map { case (n, c) => c.as(n) }
+      val filt = filterPool(rnd.nextInt(filterPool.size))
+      val grouped = rnd.nextBoolean()
+      def run(df: org.apache.spark.sql.DataFrame) = {
+        val f = filt.fold(df)(df.where)
+        val a = if (grouped)
+          f.groupBy("p").agg(aggs.head, aggs.tail: _*)
+        else f.agg(aggs.head, aggs.tail: _*)
+        a.collect().map(_.toSeq.map {
+          case null => "null"
+          case v => v.toString
+        }.mkString("|")).sorted.toSeq
+      }
+      val got = run(lake)
+      val expected = run(src)
+      assert(got === expected,
+        s"metadata aggregate diverged for aggs=${aggs.mkString(",")} " +
+        s"filter=$filt grouped=$grouped")
+    }
+  }
 }
