@@ -41,18 +41,28 @@ object DsirOps {
     (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
 
-  /** (id, bucket) — one row per unigram and bigram occurrence. */
-  private def features(df: DataFrame, textCol: String, idCol: String,
+  /** (id, bucket, occurrence count) — the corpus collapsed to its
+    * per-doc hashed-feature histogram in ONE pass (explode + one
+    * partial-agg shuffle on (id, bucket)). The token array is
+    * materialized into a column FIRST: `element_at` on the raw
+    * `split(...)` expression re-evaluates the split inside the
+    * bigram lambda per element — measured quadratic in doc length
+    * (2× wall on the gate corpus) — while an attribute reference is
+    * an O(1) array access.
+    */
+  private def docBuckets(df: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    val t = col("__t")
     // bigrams as "w1 w2"; guarded — sequence(1, 0) would DESCEND
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol),
-        explode(concat(toks, bigrams)).as("__feat"))
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(concat(t, bigrams)).as("__feat"))
       .select(col(idCol), bucketOf(col("__feat"), buckets).as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
   }
 
   /** Per-document importance log-weights of `raw` toward `target`:
@@ -67,10 +77,16 @@ object DsirOps {
       smoothing: Double = 1.0): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(smoothing > 0, "add-lambda smoothing must be positive")
-    val rawF = features(raw, textCol, idCol, buckets)
-    val tgtF = features(target, textCol, idCol, buckets)
-    val rawCnt = rawF.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val tgtCnt = tgtF.groupBy("__b").agg(count(lit(1)).as("__ct"))
+    // the raw histogram feeds BOTH the distribution estimate and the
+    // per-doc scoring join — checkpoint it eagerly so the corpus
+    // featurize pass runs once, not once per consumer. Bounded by
+    // docs × min(features-per-doc, B) rows of three longs; at real
+    // scale swap for a scratch-table stage, the shape is unchanged.
+    val rawB = docBuckets(raw, textCol, idCol, buckets)
+      .localCheckpoint(true)
+    val rawCnt = rawB.groupBy("__b").agg(sum("__c").as("__cr"))
+    val tgtCnt = docBuckets(target, textCol, idCol, buckets)
+      .groupBy("__b").agg(sum("__c").as("__ct"))
     // totals as a one-row cross join (no driver collect); every bucket
     // a raw doc can hit is present in rawCnt by construction, so the
     // left join only ever smooths the TARGET side
@@ -85,11 +101,11 @@ object DsirOps {
         (log((coalesce(col("__ct"), lit(0L)) + lam) /
              (coalesce(col("__tt"), lit(0L)) + lamB)) -
          log((col("__cr") + lam) / (col("__tr") + lamB))).as("__lr"))
-    rawF
+    rawB
       .join(broadcast(ratio), "__b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        round(sum("__lr"), 4).as("log_weight"))
+      .agg(sum("__c").as("n_feats"),
+        round(sum(col("__c") * col("__lr")), 4).as("log_weight"))
   }
 
   /** Importance resampling: k documents drawn without replacement with
@@ -101,12 +117,22 @@ object DsirOps {
     */
   def dsirResample(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, k: Int, buckets: Int = 8192,
-      smoothing: Double = 1.0, temperature: Double = 1.0): DataFrame = {
+      smoothing: Double = 1.0, temperature: Double = 1.0): DataFrame =
+    dsirResampleFromWeights(
+      dsirWeights(raw, target, textCol, idCol, buckets, smoothing),
+      idCol, k, temperature)
+
+  /** The ranking half alone, over precomputed [[dsirWeights]] output —
+    * weights are the expensive leg (two corpus featurize passes), so
+    * callers drawing several samples (or re-ranking at another
+    * temperature) reuse them.
+    */
+  def dsirResampleFromWeights(weights: DataFrame, idCol: String,
+      k: Int, temperature: Double = 1.0): DataFrame = {
     require(k > 0, "k must be positive")
     require(temperature > 0, "temperature must be positive")
-    val wts = dsirWeights(raw, target, textCol, idCol, buckets, smoothing)
     val gumbel = -log(-log(unitCoord(col(idCol))))
-    wts
+    weights
       .withColumn("gumbel_key",
         round(col("log_weight") / temperature + gumbel, 4))
       .orderBy(desc("gumbel_key"), col(idCol))

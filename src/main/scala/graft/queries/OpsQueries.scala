@@ -322,7 +322,9 @@ object OpsQueries {
              |  FROM (SELECT doc_id, unnest(s || list_transform(
              |      range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS f
              |    FROM sp WHERE lang = 'en')),
-             |rc AS (SELECT b, count(*) AS cr FROM rawf GROUP BY b),
+             |db AS (SELECT doc_id, b, count(*) AS c
+             |       FROM rawf GROUP BY doc_id, b),
+             |rc AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
              |tc AS (SELECT b, count(*) AS ct FROM tgtf GROUP BY b),
              |tot AS (SELECT (SELECT sum(cr) FROM rc) AS tr,
              |               (SELECT sum(ct) FROM tc) AS tt),
@@ -331,9 +333,9 @@ object OpsQueries {
              |    ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 1024.0)) -
              |    ln((rc.cr + 1.0) / (tot.tr + 1024.0)) AS lr
              |  FROM rc LEFT JOIN tc USING (b), tot)
-             |SELECT doc_id, count(*) AS n_feats,
-             |  round(sum(lr), 4) AS log_weight
-             |FROM rawf JOIN ratio USING (b)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+             |  round(sum(c * lr), 4) AS log_weight
+             |FROM db JOIN ratio USING (b)
              |GROUP BY doc_id""".stripMargin)),
 
     // DSIR resampling (the selection half): Gumbel-top-k over the
@@ -353,8 +355,12 @@ object OpsQueries {
         val en = d.filter("lang = 'en'")
         val total = d.count()
         val k = (total / 5).toInt
-        def run() = DsirOps.dsirResample(d, en, "text", "doc_id",
-          k, buckets = 1024, temperature = 0.5)
+        // weights are the expensive leg (and their determinism is
+        // already oracle-proven above) — compute once, rank twice
+        val wts = DsirOps.dsirWeights(d, en, "text", "doc_id", 1024)
+          .localCheckpoint(true)
+        def run() = DsirOps.dsirResampleFromWeights(wts, "doc_id",
+          k, temperature = 0.5)
         val sel = run()
         val ids = sel.select("doc_id").as[Long].collect().toSet
         require(ids.size == k, s"expected $k selected, got ${ids.size}")
@@ -364,14 +370,13 @@ object OpsQueries {
         require(selEnFrac > enFrac + 0.05,
           f"no target enrichment: selected en-frac $selEnFrac%.3f vs " +
           f"base $enFrac%.3f")
-        val wts = DsirOps.dsirWeights(d, en, "text", "doc_id", 1024)
         val meanAll = wts.agg(avg("log_weight")).head().getDouble(0)
         val meanSel = wts.filter(col("doc_id").isin(ids.toSeq: _*))
           .agg(avg("log_weight")).head().getDouble(0)
         require(meanSel > meanAll,
           s"selection does not prefer high weights: $meanSel <= $meanAll")
         val ids2 = run().select("doc_id").as[Long].collect().toSet
-        require(ids2 == ids, "resample is not reproducible")
+        require(ids2 == ids, "resample ranking is not reproducible")
         sel
       },
       None),
