@@ -510,6 +510,52 @@ object LakeQueries {
              |FROM changes
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Stream-stream interval join (round 11): views joined to the
+    // clicks that follow within 6 hours, both sides WATERMARKED lake
+    // streams — the attribution-join shape (ad view -> purchase,
+    // impression -> click) that needs symmetric buffered state with
+    // event-time eviction, not a broadcast. Each source is a single
+    // commit so AvailableNow delivers one complete micro-batch and
+    // the watermark can't drop rows — results are deterministic and
+    // the DuckDB oracle replays the join in plain SQL.
+    QueryDef("streaming_interval_join",
+      (s, dir) => {
+        val root = scratch("streaming_interval_join", dir)
+        val (vp, cp, out, ckpt) =
+          (s"$root/views", s"$root/clicks", s"$root/out", s"$root/ckpt")
+        val ev = QueryDef.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type")
+        LakeWriter.write(ev.filter("event_type = 'view'")
+          .drop("event_type"), vp)
+        LakeWriter.write(ev.filter("event_type = 'click'")
+          .drop("event_type"), cp)
+        val views = s.readStream.format("lake").load(vp)
+          .withWatermark("ts", "10 minutes").as("l")
+        val clicks = s.readStream.format("lake").load(cp)
+          .withWatermark("ts", "10 minutes").as("r")
+        val joined = views.join(clicks, expr(
+          "l.user_id = r.user_id AND " +
+          "r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOURS"))
+          .select(col("l.event_id").as("view_id"),
+            col("r.event_id").as("click_id"),
+            col("l.user_id").as("user_id"))
+        val q = joined.writeStream.format("lake")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination(180000)
+        LakeTable.forPath(s, out).toDF
+      },
+      Some("""SELECT l.event_id AS view_id, r.event_id AS click_id,
+             |  l.user_id AS user_id
+             |FROM (SELECT event_id, ts, user_id FROM events
+             |      WHERE event_type = 'view') l
+             |JOIN (SELECT event_id, ts, user_id FROM events
+             |      WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id
+             | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR"""
+        .stripMargin)),
+
     // CDC replication (round 11): APPLY CHANGES INTO — a second table
     // maintained purely from the source's change feed. The source
     // takes appends, an expression UPDATE, and a DELETE; the replica
