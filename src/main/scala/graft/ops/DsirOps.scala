@@ -78,12 +78,14 @@ object DsirOps {
     require(buckets > 0, "buckets must be positive")
     require(smoothing > 0, "add-lambda smoothing must be positive")
     // the raw histogram feeds BOTH the distribution estimate and the
-    // per-doc scoring join — checkpoint it eagerly so the corpus
-    // featurize pass runs once, not once per consumer. Bounded by
+    // per-doc scoring join — cache it so the corpus featurize pass
+    // runs once, not once per consumer, and RELEASE it before
+    // returning (the result below is materialized first). Bounded by
     // docs × min(features-per-doc, B) rows of three longs; at real
     // scale swap for a scratch-table stage, the shape is unchanged.
     val rawB = docBuckets(raw, textCol, idCol, buckets)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val rawCnt = rawB.groupBy("__b").agg(sum("__c").as("__cr"))
     val tgtCnt = docBuckets(target, textCol, idCol, buckets)
       .groupBy("__b").agg(sum("__c").as("__ct"))
@@ -101,11 +103,18 @@ object DsirOps {
         (log((coalesce(col("__ct"), lit(0L)) + lam) /
              (coalesce(col("__tt"), lit(0L)) + lamB)) -
          log((col("__cr") + lam) / (col("__tr") + lamB))).as("__lr"))
+    // materialize (and lineage-truncate) the per-doc result — the
+    // smallest frame in the pipeline, one row per document — while
+    // the histogram is still cached, then release the histogram. The
+    // returned frame is therefore already computed; callers ranking
+    // or sampling from it repeatedly pay nothing extra.
     rawB
       .join(broadcast(ratio), "__b")
       .groupBy(col(idCol))
       .agg(sum("__c").as("n_feats"),
         round(sum(col("__c") * col("__lr")), 4).as("log_weight"))
+      .localCheckpoint(true)
+    } finally { rawB.unpersist(false); () }
   }
 
   /** Importance resampling: k documents drawn without replacement with

@@ -275,8 +275,11 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
       Some(files.map(f => f.numRecords -
         (if (ctx.hasDvs) f.dvCardinality else 0L)).sum)
     case Count(Seq(a: AttributeReference)) if !ctx.hasDvs =>
-      ctx.below.names.get(a.exprId)
-        .flatMap(n => countCol(n, files, ctx.physFor, ctx.partCols))
+      for {
+        n <- ctx.below.names.get(a.exprId)
+        f <- ctx.schemaByName.get(n)
+        v <- countCol(n, f.dataType, files, ctx.physFor, ctx.partCols)
+      } yield v
     case Min(a: AttributeReference) if !ctx.hasDvs =>
       for {
         n <- ctx.below.names.get(a.exprId)
@@ -365,15 +368,23 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
   /** COUNT(col): Σ (numRecords − nullCount) — needs an exact null
     * count for every file. Partition columns count every row of each
     * non-null partition's files instead (the value is rowwise
-    * constant). None = bail.
+    * constant) — but only after the raw value PARSES under the
+    * column's type: the scan nulls an uncastable legacy value, so
+    * counting its rows as non-null would overcount. Unparseable →
+    * bail. None = bail.
     */
-  private def countCol(n: String, files: Seq[AddFile],
+  private def countCol(n: String, dt: DataType, files: Seq[AddFile],
       physFor: Map[String, String], partCols: Set[String]): Option[Long] = {
     if (partCols.contains(n)) {
       var total = 0L
       for (f <- files) {
-        val v = f.partitionValues.get(n).getOrElse(return None)
-        if (v != null && v != LakeWriter.HIVE_NULL) total += f.numRecords
+        f.partitionValues.get(n).getOrElse(return None) match {
+          case null | LakeWriter.HIVE_NULL => () // null rows: uncounted
+          case v => parsePartition(v, dt) match {
+            case Some(_) => total += f.numRecords
+            case None => return None
+          }
+        }
       }
       Some(total)
     } else {
@@ -463,21 +474,25 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
       case _ => None
     } catch { case _: NumberFormatException => None }
 
-  /** Hive partition-value string → internal value. Dates arrive as
-    * `yyyy-MM-dd` directory names (but legacy logs may hold the raw
-    * day int — accept both); timestamps are not attempted (rendering
-    * varies by writer).
+  /** Hive partition-value string → internal value, via the EXACT
+    * lenient Cast the scan path types partition values with
+    * (`LakeFileIndex.partitionRow`) — answer-exactness demands the
+    * rewrite see the same typed value the scan would, including for
+    * odd legacy renderings (a day-int string for a DATE column casts
+    * the same way on both paths). A cast that yields null for a
+    * non-null raw string returns None — the scan would read null
+    * where the log shows a value; bail rather than model it.
+    * Timestamps are not attempted (rendering varies by writer).
     */
   private def parsePartition(s: String, dt: DataType): Option[Any] =
     dt match {
-      case DateType =>
-        try Some(s.toInt) catch {
-          case _: NumberFormatException =>
-            try Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
-            catch { case _: java.time.format.DateTimeParseException => None }
-        }
-      case TimestampType | TimestampNTZType => None
-      case _ => parseStat(s, dt)
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           DateType | _: DecimalType =>
+        Option(org.apache.spark.sql.catalyst.expressions.Cast(
+          Literal(UTF8String.fromString(s), StringType), dt,
+          Option(conf.sessionLocalTimeZone), ansiEnabled = false)
+          .eval(null))
+      case _ => None
     }
 
   /** The DV filter is trusted only if its file→DV map is exactly the

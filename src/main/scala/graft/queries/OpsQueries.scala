@@ -356,9 +356,9 @@ object OpsQueries {
         val total = d.count()
         val k = (total / 5).toInt
         // weights are the expensive leg (and their determinism is
-        // already oracle-proven above) — compute once, rank twice
+        // already oracle-proven above) — computed once (dsirWeights
+        // returns a materialized frame), ranked twice
         val wts = DsirOps.dsirWeights(d, en, "text", "doc_id", 1024)
-          .localCheckpoint(true)
         def run() = DsirOps.dsirResampleFromWeights(wts, "doc_id",
           k, temperature = 0.5)
         val sel = run()

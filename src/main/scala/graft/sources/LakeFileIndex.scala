@@ -276,6 +276,10 @@ final class LakeFileIndex(spark: SparkSession, val snap: Snapshot)
 }
 
 object LakeFileIndex {
-  /** Spark/Hive's escape value for a null partition value in a path. */
-  val HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+  /** Spark/Hive's escape value for a null partition value in a path —
+    * ONE definition, aliased from the writer: the scan path and the
+    * metadata-aggregate rewrite must never disagree on what a null
+    * partition looks like.
+    */
+  val HIVE_NULL: String = graft.lake.LakeWriter.HIVE_NULL
 }

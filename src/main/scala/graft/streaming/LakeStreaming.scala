@@ -60,9 +60,6 @@ object LakeStreaming {
       .start()
   }
 
-  /** Watermarked tumbling-window counts per event type over a stream
-    * with an event-time column.
-    */
   /** CDC replication — maintain `targetPath` as a row-for-row replica
     * of `sourcePath` by consuming its change data feed (the
     * `APPLY CHANGES INTO` pattern; Databricks' managed form is built
@@ -76,10 +73,14 @@ object LakeStreaming {
     *     one MERGE row, not five;
     *  2. MERGEs the collapsed frame into the target: delete rows
     *     delete, everything else upserts;
-    *  3. rides the `(checkpoint, batchId)` Txn watermark on the MERGE
-    *     commit ([[graft.lake.LakeMergeBuilder.withTransaction]]), so
-    *     a restart that replays a committed batch is a no-op —
-    *     exactly-once, not at-least-once.
+    *  3. rides a `(checkpoint@queryUUID, batchId)` Txn watermark on
+    *     the MERGE commit
+    *     ([[graft.lake.LakeMergeBuilder.withTransaction]]), so a
+    *     restart that replays a committed batch is a no-op —
+    *     exactly-once, not at-least-once — while a DELETED/reset
+    *     checkpoint (fresh query UUID, batchIds back at 0) gets a
+    *     fresh appId and reprocesses instead of silently no-opping
+    *     against the stale watermark (see [[checkpointAppId]]).
     *
     * 100 TB shape: the per-batch work is O(changes in the batch), one
     * window shuffle on the key plus the MERGE's touched-file rewrite;
@@ -112,6 +113,34 @@ object LakeStreaming {
       .start()
   }
 
+  /** The Txn appId for an applyChanges checkpoint: the checkpoint
+    * PATH plus the streaming query UUID its `metadata` file records.
+    * The path alone is a trap: deleting the checkpoint to reprocess
+    * (a routine ops move) restarts batchIds at 0, and a target that
+    * kept the old `(path -> maxBatchId)` watermark would silently
+    * skip every replayed batch — the replica stops converging with
+    * no error. A fresh checkpoint mints a fresh UUID, so the replay
+    * applies under a new appId and the latest-per-key MERGEs converge
+    * the replica again. Falls back to the bare path when no metadata
+    * file exists (direct applyChangesBatch callers).
+    */
+  private def checkpointAppId(
+      spark: SparkSession, checkpointId: String): String = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpointId, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) checkpointId
+      else {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+          .map(m => s"$checkpointId@${m.group(1)}")
+          .getOrElse(checkpointId)
+      }
+    } catch { case _: java.io.IOException => checkpointId }
+  }
+
   /** One micro-batch of [[applyChanges]] — separated for direct use
     * from a caller's own foreachBatch and for testability.
     */
@@ -138,6 +167,7 @@ object LakeStreaming {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select((dataCols :+ Cdf.CHANGE_TYPE).map(col): _*)
+    val appId = checkpointAppId(spark, checkpointId)
     if (!new LakeLog(targetPath).exists) {
       // first batch: nothing to match — the inserts ARE the table
       graft.lake.LakeWriter.write(
@@ -146,7 +176,7 @@ object LakeStreaming {
         targetPath,
         operation = "APPLY CHANGES",
         operationParameters = Map("batchId" -> batchId.toString),
-        transaction = Some((checkpointId, batchId)))
+        transaction = Some((appId, batchId)))
       ()
     } else {
       val cond = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
@@ -157,11 +187,14 @@ object LakeStreaming {
           dataCols.map(c => c -> s"s.$c").toMap)
         .whenNotMatchedInsert(s"s.${Cdf.CHANGE_TYPE} <> 'delete'",
           dataCols.map(c => c -> s"s.$c").toMap)
-        .withTransaction(checkpointId, batchId)
+        .withTransaction(appId, batchId)
         .execute()
     }
   }
 
+  /** Watermarked tumbling-window counts per event type over a stream
+    * with an event-time column.
+    */
   def windowedEventCounts(
       events: DataFrame,
       tsCol: String = "ts",

@@ -766,6 +766,30 @@ class LakeDataSourceSuite extends SparkSuite {
       === Set(("g0", 3L), ("g1", 4L)))
     noScan(nn, "IS NOT NULL filter + group")
 
+    // a foreign log whose partition value does not CAST under the
+    // column type: the scan nulls those rows, so the rewrite must
+    // bail (never guess) — COUNT(p)/filters answer from the scan
+    val xpath = tablePath("dsv2minmaxforeign")
+    spark.range(0, 7).toDF("id").coalesce(1)
+      .write.parquet(s"$xpath/p=notanumber")
+    val xroot = java.nio.file.Paths.get(xpath)
+    val xadds = LakeWriter.walkParquet(xroot).map { f =>
+      val (rows, mins, maxs, nulls) =
+        ParquetFooters.stats(spark, f.toString)
+      AddFile(xroot.relativize(f).toString,
+        Map("p" -> "notanumber"), java.nio.file.Files.size(f),
+        rows, mins, maxs, nulls)
+    }
+    val xlog = new LakeLog(xpath)
+    xlog.commit(0L, Seq(
+      CommitInfo(System.currentTimeMillis(), "CONVERT", Map.empty),
+      Metadata("id BIGINT, p INT", Seq("p"),
+        System.currentTimeMillis())) ++ xadds)
+    val xt = spark.read.format("lake").load(xpath)
+    val xq = xt.agg(count($"p").as("n"))
+    assert(xq.head().getLong(0) === 0L) // scan: cast('notanumber') IS NULL
+    hasScan(xq, "uncastable foreign partition value")
+
     // column mapping: stats live under the PHYSICAL name; min/max on
     // the renamed logical column must still answer from metadata
     val mpath = tablePath("dsv2minmaxmap")

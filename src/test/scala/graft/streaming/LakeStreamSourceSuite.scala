@@ -526,11 +526,27 @@ class LakeStreamSourceSuite extends SparkSuite {
     // silent no-op (the Txn watermark rides the MERGE commit)
     val replica = LakeTable.forPath(spark, dst)
     val before = replica.snapshot().version
-    assert(replica.snapshot().transactions.get(ckpt).exists(_ >= 0L))
+    // appId = checkpoint path + the query UUID from its metadata file
+    assert(replica.snapshot().transactions.exists { case (k, v) =>
+      k.startsWith(s"$ckpt@") && v >= 0L })
     val replay = LakeTable.forPath(spark, src).changes(0, 2)
     LakeStreaming.applyChangesBatch(replay, dst, Seq("id"), ckpt, 0L)
     assert(LakeTable.forPath(spark, dst).snapshot().version === before,
       "replayed batch must not commit")
     assert(state(dst) === state(src))
+
+    // checkpoint RESET: deleting the checkpoint restarts batchIds at
+    // 0 — the Txn appId carries the fresh query UUID, so the replay
+    // re-applies (converging MERGEs) instead of silently no-opping
+    // against the stale watermark and missing the new change below
+    LakeWriter.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    LakeTable.forPath(spark, src)
+      .update("id = 30", Map("name" -> "'post-reset'"))            // v6
+    LakeStreaming.applyChanges(spark, src, dst, ckpt, Seq("id"))
+      .awaitTermination(120000)
+    assert(state(dst) === state(src),
+      "reset checkpoint must reprocess, not silently skip")
+    assert(LakeTable.forPath(spark, dst).toDF
+      .where("name = 'post-reset'").count() === 1L)
   }
 }
