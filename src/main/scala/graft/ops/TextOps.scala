@@ -62,6 +62,50 @@ object TextOps {
     round(lengthScore * wordLenScore * punctScore, 4)
   }
 
+  /** Gopher quality rules (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1 — the rule set most open curation pipelines start from):
+    * per-document word count bounds, mean word length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, and a
+    * stopword-presence check, plus the conjunction `gopher_pass`.
+    * Every rule is a codegen'd column expression over ONE whitespace
+    * split — no UDFs, no shuffle, SQL-expressible for oracle parity
+    * (ratios rounded to 4 decimals).
+    */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val words = filter(tokens(col(textCol)), w => length(w) > 0)
+    val nWords = size(words).cast("double")
+    val meanLen = round(aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / nWords, 4)
+    // Gopher's symbol set: '#' and ellipsis; occurrences counted via
+    // replace-length deltas (identical in any engine)
+    val hashes = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val dots = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((hashes + dots).cast("double") / nWords, 4)
+    val alphaFrac = round(
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") /
+        nWords, 4)
+    val gopherStops = Seq("the", "be", "to", "of", "and",
+      "that", "have", "with")
+    val stopHits = size(filter(words,
+      w => lower(w).isin(gopherStops.map(x => x: Any): _*)))
+    df.select(col(idCol),
+        size(words).as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"),
+        alphaFrac.as("alpha_word_frac"),
+        stopHits.as("stopword_hits"))
+      .withColumn("gopher_pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("stopword_hits") >= 2)
+  }
+
   /** Tiny per-language stopword profiles (top function words). Used by
     * [[langIdScores]]; a real deployment would ship larger profiles —
     * the *operator shape* (score = stopword-hit ratio per language,

@@ -377,6 +377,39 @@ object CoreQueries {
              |  COUNT(*) AS n
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Approximate sketches (round 11): HyperLogLog++ distinct and the
+    // approx-percentile quantile sketch — at 100 TB these replace
+    // their exact forms (one partial-agg pass, constant sketch state
+    // per task, no giant hash table or global sort). The gate proves
+    // both: the ORACLE checks the exact legs; the in-gate requires
+    // bound each sketch's error against its exact answer (HLL rsd
+    // 0.02 → require <= 5%; quantile accuracy 10000 → require <= 1%),
+    // so a sketch that silently degrades fails the gate, not a
+    // dashboard three months later.
+    QueryDef("q28_approx_sketches",
+      (s, dir) => {
+        import s.implicits._
+        val l = table(s, dir, "lineitem")
+        val probe = l.agg(
+          countDistinct($"l_orderkey").as("exact_distinct"),
+          approx_count_distinct($"l_orderkey", 0.02).as("approx_distinct"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .as("approx_p50")).head()
+        val (ed, ad) = (probe.getLong(0), probe.getLong(1))
+        require(math.abs(ad - ed).toDouble / ed <= 0.05,
+          s"HLL distinct off by ${math.abs(ad - ed)} of $ed (> 5%)")
+        val (ep, ap) = (probe.getDouble(2), probe.getDouble(3))
+        require(math.abs(ap - ep) / math.abs(ep) <= 0.01,
+          s"approx p50 $ap vs exact $ep (> 1%)")
+        l.agg(countDistinct($"l_orderkey").as("exact_distinct"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4)
+            .as("exact_p50"))
+      },
+      Some("""SELECT count(DISTINCT l_orderkey) AS exact_distinct,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50
+             |FROM lineitem""".stripMargin)),
+
     // Array functions over the embedding column (higher-order
     // fold/slice — per-row math, no shuffle).
     QueryDef("q25_array_funcs",

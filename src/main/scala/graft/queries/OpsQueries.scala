@@ -294,6 +294,54 @@ object OpsQueries {
 
     // Statistical quality: per-doc mean unigram surprisal against the
     // corpus's own unigram distribution (the perplexity-proxy filter).
+    // Gopher quality rules (Rae et al. 2021 §A1.1): the rule set most
+    // open curation pipelines start from — word-count bounds, mean
+    // word length, symbol-to-word ratio, alphabetic-word fraction,
+    // stopword presence, and the conjunction. All codegen'd column
+    // math over one whitespace split; the oracle recomputes every
+    // rule and the pass flag in DuckDB.
+    QueryDef("text_gopher_quality",
+      (s, dir) => {
+        val g = TextOps.gopherQuality(
+          table(s, dir, "documents"), "text", "doc_id")
+        g.withColumn("n_words", col("n_words").cast("long"))
+          .withColumn("stopword_hits", col("stopword_hits").cast("long"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '),
+             |                w -> len(w) > 0) AS w
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(w) AS BIGINT) AS n_words,
+             |  round(list_sum(list_transform(w, x -> len(x))) * 1.0
+             |    / len(w), 4) AS mean_word_len,
+             |  round(((len(text) - len(replace(text, '#', ''))) +
+             |    (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+             |    / len(w), 4) AS symbol_word_ratio,
+             |  round(list_sum(list_transform(w, x ->
+             |      CASE WHEN regexp_matches(x, '[a-zA-Z]')
+             |           THEN 1 ELSE 0 END)) * 1.0 / len(w), 4)
+             |    AS alpha_word_frac,
+             |  CAST(list_sum(list_transform(w, x ->
+             |      CASE WHEN lower(x) IN ('the','be','to','of','and',
+             |        'that','have','with') THEN 1 ELSE 0 END))
+             |    AS BIGINT) AS stopword_hits,
+             |  (len(w) >= 50 AND len(w) <= 100000 AND
+             |   round(list_sum(list_transform(w, x -> len(x))) * 1.0
+             |     / len(w), 4) BETWEEN 3.0 AND 10.0 AND
+             |   round(((len(text) - len(replace(text, '#', ''))) +
+             |     (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+             |     / len(w), 4) <= 0.1 AND
+             |   round(list_sum(list_transform(w, x ->
+             |       CASE WHEN regexp_matches(x, '[a-zA-Z]')
+             |            THEN 1 ELSE 0 END)) * 1.0 / len(w), 4) >= 0.8
+             |   AND list_sum(list_transform(w, x ->
+             |       CASE WHEN lower(x) IN ('the','be','to','of','and',
+             |         'that','have','with') THEN 1 ELSE 0 END)) >= 2)
+             |  AS gopher_pass
+             |FROM sp""".stripMargin)),
+
     // DSIR importance weights (Xie et al. 2023): how much each raw
     // doc's hashed unigram+bigram profile looks drawn from the TARGET
     // (here: the corpus's English docs) vs the raw corpus. Bucketing

@@ -72,6 +72,25 @@ class OpsSuite extends SparkSuite {
     assert(BpeOps.referenceTokenCount(null, merges) === 0)
   }
 
+  test("Gopher rules: each gate trips on its own violation") {
+    val good = (("the and of that have with " * 12) +
+      "sensible words here okay fine").trim // 77 words, all alpha
+    val docs = Seq(
+      (1L, good),                                    // passes all
+      (2L, "too short but the and"),                 // word count < 50
+      (3L, ("### " * 60 + "the and").trim),          // symbol ratio
+      (4L, ("123 456 " * 30 + "the and").trim),      // alpha frac
+      (5L, ("zz yy xx ww vv " * 12).trim)            // no stopwords
+    ).toDF("id", "text")
+    val got = graft.ops.TextOps.gopherQuality(docs, "text", "id")
+      .select("id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) === true)
+    assert(got(2L) === false)
+    assert(got(3L) === false)
+    assert(got(4L) === false)
+    assert(got(5L) === false)
+  }
+
   test("DSIR: weights separate target-like docs; resample selects them") {
     // two disjoint vocabularies: docs 0-9 speak "alpha", 10-19 "beta";
     // the target is the alpha slice, so alpha docs must score strictly
