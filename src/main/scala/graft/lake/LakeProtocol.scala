@@ -22,11 +22,24 @@ object LakeProtocol {
     */
   val FEATURE_ROW_TRACKING = "rowTracking"
 
+  /** Reader+writer (Delta's typeWidening): after ALTER COLUMN TYPE,
+    * existing files keep the NARROWER physical type and readers must
+    * upcast at scan time — an unaware reader would refuse the
+    * file/schema mismatch (or misread it), so readers are fenced.
+    */
+  val FEATURE_TYPE_WIDENING = "typeWidening"
+
   val SUPPORTED_READER_FEATURES: Set[String] =
-    Set(FEATURE_DELETION_VECTORS, FEATURE_COLUMN_MAPPING)
+    Set(FEATURE_DELETION_VECTORS, FEATURE_COLUMN_MAPPING,
+      FEATURE_TYPE_WIDENING)
   val SUPPORTED_WRITER_FEATURES: Set[String] =
     Set(FEATURE_DELETION_VECTORS, FEATURE_COLUMN_MAPPING,
-      FEATURE_ROW_TRACKING)
+      FEATURE_ROW_TRACKING, FEATURE_TYPE_WIDENING)
+
+  /** The protocol a type-widened table additionally requires. */
+  val typeWideningProtocol: Protocol = Protocol(3, 3,
+    readerFeatures = Seq(FEATURE_TYPE_WIDENING),
+    writerFeatures = Seq(FEATURE_TYPE_WIDENING))
 
   /** The protocol a table with `props` requires. Feature-bearing
     * tables use version 3 (feature-list form); plain tables stay at

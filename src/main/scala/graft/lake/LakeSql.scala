@@ -88,6 +88,9 @@ object LakeSql {
   private val RENAME_COLUMN_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+RENAME\s+COLUMN\s+""" +
       """(\w+)\s+TO\s+(\w+)\s*""").r
+  private val ALTER_COLUMN_TYPE_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`/\-]+)\s+ALTER\s+COLUMN\s+""" +
+      """(\w+)\s+TYPE\s+([\w()<>,\s]+?)\s*""").r
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
@@ -339,6 +342,12 @@ object LakeSql {
 
     case ADD_COLUMN_RE(t, name, ddlType) =>
       resolve(spark, clean(t)).addColumn(name, ddlType.trim)
+      LakeCatalog.refreshView(spark, clean(t))
+      emptyDF(spark)
+
+    // type widening: ALTER TABLE t ALTER COLUMN c TYPE BIGINT
+    case ALTER_COLUMN_TYPE_RE(t, name, ddlType) =>
+      resolve(spark, clean(t)).widenColumn(name, ddlType.trim)
       LakeCatalog.refreshView(spark, clean(t))
       emptyDF(spark)
 

@@ -165,6 +165,55 @@ final class LakeTable private (
     ()
   }
 
+  /** ALTER TABLE ALTER COLUMN ... TYPE (Delta's typeWidening analog):
+    * metadata-only — existing files keep their narrower physical type
+    * and the parquet readers upcast at scan time (Spark 4's widening
+    * read support); files written after the change carry the wide
+    * type natively. Allowed promotions are the lossless ones whose
+    * physical decode is well-defined: byte→short→int→long and
+    * float→double. The commit ratchets the protocol to the
+    * `typeWidening` reader+writer feature — an engine unaware of it
+    * would refuse (or misread) the file/schema mismatch, so both
+    * sides are fenced. Partition columns are refused (their values
+    * are TYPED from path strings, a different decode path); bloom
+    * sidecars survive integral widening untouched — [[BloomIndex]]
+    * canonicalizes every integral key through putLong, so an int-built
+    * sidecar answers long probes identically. Footer min/max stats
+    * remain valid: they are stored as plain decimal strings and every
+    * consumer compares numerically.
+    */
+  def widenColumn(name: String, newTypeDdl: String): Unit = {
+    import org.apache.spark.sql.types._
+    val newDt = DataType.fromDDL(newTypeDdl)
+    def check(snap: Snapshot): Unit = {
+      val field = snap.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name does not exist on $tablePath"))
+      require(!snap.partitionColumns.contains(name),
+        s"cannot widen partition column $name: partition values are " +
+        "typed from path strings, not parquet data")
+      require(LakeTable.widens(field.dataType, newDt),
+        s"cannot change $name from ${field.dataType.sql} to " +
+        s"${newDt.sql}: only lossless widenings " +
+        "(byte->short->int->long, float->double) are supported")
+    }
+    check(snapshot())
+    LakeWriter.commitWithRetry(log) { _ =>
+      val cur = snapshot() // re-derived per attempt (compose, not revert)
+      check(cur)
+      val newSchema = StructType(cur.schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = newDt) else f))
+      val from = cur.schema.fields.find(_.name == name).get.dataType.sql
+      Seq(
+        CommitInfo(System.currentTimeMillis(), "WIDEN COLUMN",
+          Map("column" -> name, "from" -> from, "to" -> newDt.sql)),
+        LakeProtocol.upgraded(cur.protocol,
+          LakeProtocol.typeWideningProtocol),
+        cur.metadata.copy(schemaDDL = newSchema.toDDL))
+    }
+    ()
+  }
+
   /** ALTER TABLE DROP COLUMN: metadata-only — readers stop projecting
     * the column; the bytes stay in existing data files until DML or
     * OPTIMIZE rewrites them. The name is tombstoned
@@ -2201,6 +2250,24 @@ object LakeTable {
       .getOrElse(Set.empty)
 
   /** Throws if `name` is tombstoned as dropped on this snapshot. */
+  /** Lossless type promotions whose narrow-file decode Spark's
+    * parquet readers perform natively (SPARK-40876 type widening):
+    * integral up-chains and float→double. Everything else —
+    * narrowing, cross-family, decimal reshaping — is refused.
+    */
+  private[lake] def widens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   private[lake] def assertNotDropped(
       snap: Snapshot, name: String, tablePath: String): Unit =
     if (droppedColumns(snap.metadata.properties)

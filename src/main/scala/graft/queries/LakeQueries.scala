@@ -369,6 +369,39 @@ object LakeQueries {
       Some("""SELECT event_id, ts, user_id, value FROM events
              |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'""".stripMargin)),
 
+    // Type widening (round 11, Delta typeWidening): ALTER COLUMN TYPE
+    // int->bigint as a METADATA-ONLY commit — the original INT32
+    // files are never rewritten, readers upcast at scan time, and a
+    // genuinely 64-bit value then appends into the same column. The
+    // oracle rebuilds the final table (cast + the appended row), so
+    // the hash match proves the narrow files decode correctly through
+    // the wide schema.
+    QueryDef("lake_type_widening",
+      (s, dir) => {
+        val path = scratch("lake_type_widening", dir)
+        val l = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber")
+        LakeWriter.write(l.repartition(4), path)
+        val t = LakeTable.forPath(s, path)
+        val filesBefore = t.snapshot().files.map(_.path).toSet
+        t.widenColumn("l_linenumber", "BIGINT")
+        val after = LakeTable.forPath(s, path).snapshot()
+        require(after.files.map(_.path).toSet == filesBefore,
+          "widening must be metadata-only — no file rewrites")
+        require(after.protocol.readerFeatures
+          .contains(graft.lake.LakeProtocol.FEATURE_TYPE_WIDENING),
+          "widen commit must ratchet the typeWidening reader feature")
+        import s.implicits._
+        LakeWriter.write(
+          Seq((0L, 5000000000L)).toDF("l_orderkey", "l_linenumber"),
+          path)
+        LakeTable.forPath(s, path).toDF
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(l_linenumber AS BIGINT) AS l_linenumber
+             |FROM lineitem
+             |UNION ALL SELECT 0, 5000000000""".stripMargin)),
+
     // Metadata-only aggregates (round 11, Delta's
     // OptimizeMetadataOnlyQuery widened): COUNT(*) / MIN / MAX /
     // COUNT(col) over an unfiltered lake table answer from the

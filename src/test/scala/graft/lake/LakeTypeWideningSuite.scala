@@ -1,0 +1,115 @@
+package graft.lake
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** ALTER COLUMN TYPE widening (Delta typeWidening analog): the change
+  * is metadata-only, old narrow-typed files upcast at scan time, new
+  * files write wide, and the protocol fences unaware engines on BOTH
+  * sides.
+  */
+class LakeTypeWideningSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("int->long: old files upcast, new files write wide, DML works") {
+    val path = tablePath("widen-intlong")
+    LakeWriter.write((1 to 100).map(i => (i, s"n$i"))
+      .toDF("id", "name").coalesce(2), path)
+    val t = LakeTable.forPath(spark, path)
+    val preVersion = t.snapshot().version
+    val preFiles = t.snapshot().files.map(_.path).toSet
+
+    t.widenColumn("id", "BIGINT")
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    // metadata-only: same files, one more version
+    assert(snap.version === preVersion + 1)
+    assert(snap.files.map(_.path).toSet === preFiles)
+    assert(snap.schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // protocol fences readers AND writers
+    assert(snap.protocol.readerFeatures
+      .contains(LakeProtocol.FEATURE_TYPE_WIDENING))
+    assert(snap.protocol.writerFeatures
+      .contains(LakeProtocol.FEATURE_TYPE_WIDENING))
+
+    // old INT32 files read through the wide schema
+    val df = spark.read.format("lake").load(path)
+    assert(df.schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(df.count() === 100L)
+    assert(df.agg(sum("id")).head().getLong(0) === 5050L)
+
+    // a genuinely long value appends and reads alongside the old rows
+    LakeWriter.write(Seq((Int.MaxValue.toLong + 5L, "big"))
+      .toDF("id", "name"), path)
+    val all = spark.read.format("lake").load(path)
+    assert(all.count() === 101L)
+    assert(all.where(s"id = ${Int.MaxValue.toLong + 5L}").count() === 1L)
+    // filters cross both narrow and wide files
+    assert(all.where("id > 50").count() === 51L)
+    // DML over the mixed files
+    LakeTable.forPath(spark, path).delete("id <= 10")
+    assert(spark.read.format("lake").load(path).count() === 91L)
+  }
+
+  test("time travel before the widen reads the narrow schema") {
+    val path = tablePath("widen-tt")
+    LakeWriter.write((1 to 10).map(i => (i, i.toFloat)).toDF("id", "x"),
+      path)
+    val t = LakeTable.forPath(spark, path)
+    t.widenColumn("x", "DOUBLE")
+    assert(LakeTable.forPath(spark, path).snapshot()
+      .schema("x").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(t.asOf(0).schema("x").dataType ===
+      org.apache.spark.sql.types.FloatType)
+    assert(t.asOf(0).count() === 10L)
+    // post-widen double math over float-file rows
+    val s = spark.read.format("lake").load(path)
+      .agg(sum($"x")).head().getDouble(0)
+    assert(math.abs(s - 55.0) < 1e-9)
+  }
+
+  test("non-widening changes are refused; partition columns refused") {
+    val path = tablePath("widen-reject")
+    Seq((1L, 1, "a")).toDF("id", "v", "p")
+      .write.format("lake").partitionBy("p").save(path)
+    val t = LakeTable.forPath(spark, path)
+    intercept[IllegalArgumentException](t.widenColumn("id", "INT"))
+    intercept[IllegalArgumentException](t.widenColumn("v", "STRING"))
+    intercept[IllegalArgumentException](t.widenColumn("p", "BINARY"))
+    intercept[IllegalArgumentException](t.widenColumn("nope", "BIGINT"))
+    // nothing committed by the failures
+    assert(t.snapshot().version === 0L)
+  }
+
+  test("SQL route + checkpoint round-trip + stats skipping survive") {
+    val path = tablePath("widen-sql")
+    LakeWriter.write((1 to 50).map(i => (i, i * 2)).toDF("a", "b")
+      .repartition(4), path)
+    LakeSql.sql(spark, s"ALTER TABLE `$path` ALTER COLUMN a TYPE BIGINT")
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().schema("a").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // push the widened protocol + schema through a checkpoint
+    (1 to 12).foreach { i =>
+      LakeWriter.write(Seq((1000L + i, i)).toDF("a", "b"), path)
+    }
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    assert(snap.schema("a").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(snap.protocol.readerFeatures
+      .contains(LakeProtocol.FEATURE_TYPE_WIDENING))
+    assert(spark.read.format("lake").load(path).count() === 62L)
+    // min/max stats (stored as plain ints) still prune under the
+    // wide type: a selective long filter must not read all files
+    val q = spark.read.format("lake").load(path).where("a = 1005")
+    assert(q.count() === 1L)
+    // metadata-only aggregates still fire post-widen
+    val m = spark.read.format("lake").load(path)
+      .agg(max("a").as("m"))
+    assert(m.head().getLong(0) === 1012L)
+    m.collect()
+    assert(!m.queryExecution.executedPlan.toString.contains("FileScan"),
+      "metadata max should survive the widen")
+  }
+}
