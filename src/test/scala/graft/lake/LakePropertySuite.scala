@@ -191,6 +191,59 @@ class LakePropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     }
   }
 
+  test("applyChanges replica converges under random DML sequences") {
+    // CDC replication must converge for ANY interleaving of appends,
+    // expression updates, and deletes — including updates that touch
+    // the same key several times between syncs (the latest-per-key
+    // collapse) and deletes of never-synced rows. Runs with deletion
+    // vectors ON for one seed so the CDC emission path differs.
+    import org.apache.spark.sql.functions._
+    val seeds = Table("seed", 7, 19)
+    forAll(seeds) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dv = seed % 2 == 1
+      val src = tablePath(s"prop-ac-src-$seed")
+      val dst = tablePath(s"prop-ac-dst-$seed")
+      val ckpt = tmpDir(s"prop-ac-ckpt-$seed")
+      val props = if (dv) Map("graft.enableDeletionVectors" -> "true")
+        else Map.empty[String, String]
+      var nextId = 0L
+      def freshRows(n: Int) = {
+        val rows = (0 until n).map { _ =>
+          nextId += 1; (nextId, rnd.nextInt(100).toLong)
+        }
+        rows.toDF("id", "v")
+      }
+      LakeWriter.write(freshRows(30), src, properties = props)
+      def sync(): Unit = {
+        graft.streaming.LakeStreaming
+          .applyChanges(spark, src, dst, ckpt, Seq("id"))
+          .awaitTermination(120000)
+        val sRows = LakeTable.forPath(spark, src).toDF
+          .orderBy("id").collect().toSeq
+        val dRows = LakeTable.forPath(spark, dst).toDF
+          .orderBy("id").collect().toSeq
+        assert(dRows === sRows, s"replica diverged (seed=$seed, dv=$dv)")
+      }
+      sync()
+      (1 to 4).foreach { _ =>
+        (1 to 1 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(3) match {
+            case 0 => LakeWriter.write(freshRows(1 + rnd.nextInt(10)), src)
+            case 1 =>
+              val m = 1 + rnd.nextInt(7)
+              LakeTable.forPath(spark, src)
+                .update(s"id % $m = 0", Map("v" -> s"v + ${rnd.nextInt(9)}"))
+            case 2 =>
+              val m = 2 + rnd.nextInt(9)
+              LakeTable.forPath(spark, src).delete(s"id % $m = 1")
+          }
+        }
+        sync()
+      }
+    }
+  }
+
   test("metadata-only aggregates equal scan answers on random shapes") {
     // The MetadataOnlyAggregate rewrite answers from log stats; a bug
     // there is a silently wrong number, not an exception. Sweep random
