@@ -369,6 +369,32 @@ object LakeQueries {
       Some("""SELECT event_id, ts, user_id, value FROM events
              |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'""".stripMargin)),
 
+    // VARIANT columns (round 11, Delta variantType analog): the
+    // semi-structured type every ingest pipeline wants — JSON parsed
+    // ONCE at write into the binary variant encoding, typed path
+    // extraction at read without re-parsing text. The gate round-trips
+    // lineitem fields through parse_json -> lake write -> snapshot
+    // read -> variant_get and the oracle checks the extracted values
+    // against the source columns; a DELETE over the variant table
+    // proves DML composes with the type.
+    QueryDef("lake_variant",
+      (s, dir) => {
+        val path = scratch("lake_variant", dir)
+        val l = table(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("parse_json(to_json(struct(" +
+            "l_quantity AS q, l_returnflag AS f)))").as("v"))
+        LakeWriter.write(l.repartition(4), path)
+        LakeTable.forPath(s, path).delete("l_linenumber > 4")
+        LakeTable.forPath(s, path).toDF.select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("variant_get(v, '$.q', 'double')").as("q"),
+          expr("variant_get(v, '$.f', 'string')").as("f"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity AS q,
+             |  l_returnflag AS f
+             |FROM lineitem WHERE l_linenumber <= 4""".stripMargin)),
+
     // Type widening (round 11, Delta typeWidening): ALTER COLUMN TYPE
     // int->bigint as a METADATA-ONLY commit — the original INT32
     // files are never rewritten, readers upcast at scan time, and a

@@ -82,6 +82,43 @@ class LakeTypeWideningSuite extends SparkSuite {
     assert(t.snapshot().version === 0L)
   }
 
+  test("VARIANT columns: write, DML, schema enforcement, checkpoint") {
+    val path = tablePath("variant-core")
+    val df = (1 to 30).map(i => (i.toLong, s"""{"k": $i, "s": "v$i"}"""))
+      .toDF("id", "js")
+      .select($"id", expr("parse_json(js)").as("v"))
+    LakeWriter.write(df.coalesce(2), path)
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().schema("v").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    // typed path extraction through the lake read
+    val got = spark.read.format("lake").load(path)
+      .select($"id", expr("variant_get(v, '$.k', 'long')").as("k"))
+      .where("k % 3 = 0")
+    assert(got.count() === 10L)
+    // DML over variant rows: UPDATE rewrites files carrying variant
+    t.update("id = 1", Map("v" -> "parse_json('{\"k\": 100}')"))
+    assert(spark.read.format("lake").load(path)
+      .where("variant_get(v, '$.k', 'long') = 100").count() === 1L)
+    // schema enforcement: a frame with a non-variant v must refuse
+    intercept[Exception] {
+      LakeWriter.write(Seq((99L, "nope")).toDF("id", "v"), path)
+    }
+    // variant DDL survives a checkpoint + replay
+    (1 to 12).foreach { i =>
+      LakeWriter.write(
+        Seq((100L + i, s"""{"k": ${100 + i}}""")).toDF("id", "js")
+          .select($"id", expr("parse_json(js)").as("v")), path)
+    }
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    assert(snap.schema("v").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    assert(spark.read.format("lake").load(path).count() === 42L)
+    // time travel reads pre-update variant content
+    assert(LakeTable.forPath(spark, path).asOf(0)
+      .where("variant_get(v, '$.k', 'long') = 1").count() === 1L)
+  }
+
   test("SQL route + checkpoint round-trip + stats skipping survive") {
     val path = tablePath("widen-sql")
     LakeWriter.write((1 to 50).map(i => (i, i * 2)).toDF("a", "b")
