@@ -194,6 +194,50 @@ object SimilarityOps {
     if (pq) buildPqTables(corpus.sparkSession, indexPath, pqM, pqK)
   }
 
+  /** Incremental index maintenance: assign NEW vectors to the
+    * EXISTING centroids and append them to the assignments table —
+    * the steady-state operation of an ANN service ingesting a feed,
+    * where rebuilding the whole index per batch would be O(corpus)
+    * for O(batch) new data. One broadcast-assign pass over the new
+    * vectors, one partitioned APPEND commit; existing cells' files
+    * are untouched (probes see old and new vectors the moment the
+    * commit lands, atomically). Centroids drift as the distribution
+    * does — periodic full [[buildIvfIndex]] rebuilds re-center, and
+    * the atomic overwrite swap means probes never see a half-built
+    * index. Not supported for PQ indexes (codes would need the
+    * codebooks replayed; rebuild instead — refused loudly).
+    */
+  def appendToIvfIndex(
+      newVectors: DataFrame, indexPath: String,
+      idCol: String = "id", vecCol: String = "vec",
+      carryCols: Seq[String] = Nil): Unit = {
+    val spark = newVectors.sparkSession
+    require(!new graft.lake.LakeLog(s"$indexPath/pq_codes").exists,
+      s"$indexPath is a PQ index: incremental append cannot encode " +
+      "codes against the trained codebooks consistently — rebuild " +
+      "with buildIvfIndex(pq = true)")
+    val centroids = broadcast(
+      graft.lake.LakeTable.forPath(spark, s"$indexPath/centroids").toDF
+        .select(col("cell").as("__cid"), col("centroid").as("__cent")))
+    val c = newVectors.select(col(idCol).as("__id") +:
+      col(vecCol).as("__cv") +: carryCols.map(col): _*)
+    val aggCols = first(col("__cv")).as("vec") +:
+      carryCols.map(n => first(col(n)).as(n))
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("__cv"), col("__cent")))
+      .groupBy("__id")
+      .agg(max_by(col("__cid"), col("__sim")).as("cell"),
+        aggCols: _*)
+      .select(col("__id").as("id") +:
+        col("vec").cast("array<float>").as("vec") +:
+        col("cell").cast("long").as("cell") +:
+        carryCols.map(col): _*)
+    graft.lake.LakeWriter.write(assigned, s"$indexPath/assignments",
+      mode = "append", partitionBy = Seq("cell"),
+      operation = "APPEND IVF INDEX")
+    ()
+  }
+
   /** Product-quantize the RESIDUALS of a built IVF index (public:
     * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
     * Search", TPAMI 2011 — the IVFADC layout) into two more lake

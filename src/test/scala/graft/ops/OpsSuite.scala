@@ -242,6 +242,52 @@ class OpsSuite extends SparkSuite {
       f"k-means refinement failed to hold recall: $kmeans%.3f")
   }
 
+  test("incremental IVF append: new vectors searchable, no rewrite") {
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val indexPath = tmpDir("ivf-append")
+    SimilarityOps.buildIvfIndex(base.toDF("id", "vec"), indexPath,
+      nlist = 8)
+    val t = graft.lake.LakeTable.forPath(spark,
+      s"$indexPath/assignments")
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+
+    // feed batch: DIRECTIONAL perturbations of existing vectors (a
+    // scalar rescale would be cosine-identical to its source and tie)
+    val fresh = (1000L until 1020L).map { i =>
+      val src = base((i % 200L).toInt)._2
+      (i, src.zipWithIndex.map { case (x, j) =>
+        x + 0.05f * math.sin(i * 7.0 + j).toFloat })
+    }
+    SimilarityOps.appendToIvfIndex(fresh.toDF("id", "vec"), indexPath)
+    val after = graft.lake.LakeTable.forPath(spark,
+      s"$indexPath/assignments").snapshot()
+    // pure append: every pre-existing file survives untouched
+    assert(filesBefore.subsetOf(after.files.map(_.path).toSet),
+      "incremental append must not rewrite existing cell files")
+    assert(after.files.size > filesBefore.size)
+
+    // the appended vectors are immediately searchable: querying each
+    // new vector's own perturbation must find IT first
+    val queries = fresh.map { case (id, v) => (id + 9000L, v) }
+      .toDF("qid", "vec")
+    val top1 = SimilarityOps.ivfIndexTopK(queries, indexPath,
+      k = 1, nprobe = 3)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.length === 20)
+    assert(top1.forall { case (q, n) => n == q - 9000L },
+      s"appended vectors not found: ${top1.filter(p => p._2 != p._1 - 9000L).toSeq}")
+
+    // PQ indexes refuse incremental append loudly
+    val pqPath = tmpDir("ivf-append-pq")
+    SimilarityOps.buildIvfIndex(base.toDF("id", "vec"), pqPath,
+      nlist = 8, pq = true, pqM = 4, pqK = 8)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.appendToIvfIndex(fresh.toDF("id", "vec"), pqPath)
+    }
+  }
+
   test("filtered ANN: predicate excludes neighbors, carry column rides") {
     val rnd = new scala.util.Random(17)
     val corpusRows = (0L until 300L).map(i =>
