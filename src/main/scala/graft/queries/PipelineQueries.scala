@@ -81,6 +81,68 @@ object PipelineQueries {
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
              |FROM documents GROUP BY lang""".stripMargin)),
 
+    // Streaming curation (round 11): the quality-filter stage of a
+    // training-data pipeline run AS A STREAM — documents arrive as
+    // lake commits, every micro-batch computes the Gopher rule
+    // columns (pure codegen'd row math, so the operators compose
+    // into Structured Streaming unchanged) and only passing docs
+    // reach the sink. Oracle: the same rules + filter replayed in
+    // DuckDB over the whole corpus.
+    QueryDef("streaming_curation",
+      (s, dir) => {
+        val sf = new java.io.File(dir).getName
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_stream_curate", sf)
+        graft.lake.LakeWriter.deleteRecursively(root)
+        val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+        val docs = QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.lake.LakeWriter.write(docs.filter(col("doc_id") % 2 === 0),
+          src)
+        graft.lake.LakeWriter.write(docs.filter(col("doc_id") % 2 === 1),
+          src)
+        val curated = graft.ops.TextOps.gopherQuality(
+            s.readStream.format("lake").load(src), "text", "doc_id")
+          .filter(col("gopher_pass"))
+          .withColumn("n_words", col("n_words").cast("long"))
+          .withColumn("stopword_hits", col("stopword_hits").cast("long"))
+          .drop("gopher_pass")
+        val q = curated.writeStream.format("lake")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination(120000)
+        graft.lake.LakeTable.forPath(s, dst).toDF
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '),
+             |                w -> len(w) > 0) AS w
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(w) AS BIGINT) AS n_words,
+             |    round(list_sum(list_transform(w, x -> len(x))) * 1.0
+             |      / len(w), 4) AS mean_word_len,
+             |    round(((len(text) - len(replace(text, '#', ''))) +
+             |      (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+             |      / len(w), 4) AS symbol_word_ratio,
+             |    round(list_sum(list_transform(w, x ->
+             |        CASE WHEN regexp_matches(x, '[a-zA-Z]')
+             |             THEN 1 ELSE 0 END)) * 1.0 / len(w), 4)
+             |      AS alpha_word_frac,
+             |    CAST(list_sum(list_transform(w, x ->
+             |        CASE WHEN lower(x) IN ('the','be','to','of','and',
+             |          'that','have','with') THEN 1 ELSE 0 END))
+             |      AS BIGINT) AS stopword_hits
+             |  FROM sp)
+             |SELECT * FROM m
+             |WHERE n_words BETWEEN 50 AND 100000
+             |  AND mean_word_len BETWEEN 3.0 AND 10.0
+             |  AND symbol_word_ratio <= 0.1
+             |  AND alpha_word_frac >= 0.8
+             |  AND stopword_hits >= 2""".stripMargin)),
+
     // Typed stateful sessionization (KeyValueGroupedDataset /
     // flatMapGroups — SURVEY §2.10 custom state): 30-minute
     // inactivity-gap sessions per user over events, hash-checked
