@@ -37,8 +37,13 @@ object FilePruner {
     // footers carry; predicates arrive under logical names — translate
     // at lookup so skipping keeps working across renames
     val physFor = ColumnMapping.overrides(snap.metadata)
+    // columns whose pre-widen float stats compare inexactly against
+    // double literals (see LakeTable.PROP_LOSSY_STATS): min/max must
+    // not prune on them — null counts stay usable
+    val lossy = LakeTable.lossyStatsKeys(snap.metadata.properties)
     snap.files.filter { f =>
-      conjuncts.forall(c => mayMatch(c, f, schemaByName, partCols, physFor))
+      conjuncts.forall(c =>
+        mayMatch(c, f, schemaByName, partCols, physFor, lossy))
     }
   }
 
@@ -106,7 +111,8 @@ object FilePruner {
   private def mayMatch(
       e: Expression, f: AddFile,
       types: Map[String, DataType], partCols: Set[String],
-      physFor: Map[String, String] = Map.empty): Boolean = {
+      physFor: Map[String, String] = Map.empty,
+      lossyStats: Set[String] = Set.empty): Boolean = {
     def bound(name: String): Option[(String, String)] = {
       if (partCols.contains(name))
         // null partition values (stored as null; legacy logs may carry
@@ -117,7 +123,8 @@ object FilePruner {
           .map(v => (v, v))
       else {
         val statsKey = physFor.getOrElse(name, name)
-        for {
+        if (lossyStats.contains(statsKey)) None // widened float: inexact
+        else for {
           lo <- f.minValues.get(statsKey)
           hi <- f.maxValues.get(statsKey)
         } yield (lo, hi)
@@ -146,9 +153,11 @@ object FilePruner {
       case LessThanOrEqual(Attr(n), Literal(v, _)) =>
         cmpTo(n, v).forall { case (l, _) => l <= 0 }
       case GreaterThan(Literal(v, _), a @ Attr(_)) =>
-        mayMatch(LessThan(a, Literal(v)), f, types, partCols, physFor)
+        mayMatch(LessThan(a, Literal(v)), f, types, partCols, physFor,
+          lossyStats)
       case LessThan(Literal(v, _), a @ Attr(_)) =>
-        mayMatch(GreaterThan(a, Literal(v)), f, types, partCols, physFor)
+        mayMatch(GreaterThan(a, Literal(v)), f, types, partCols, physFor,
+          lossyStats)
       // IN: the file survives iff ANY listed value can be in range —
       // each value checks like an EqualTo; an unparseable value (or a
       // column with no stats) keeps the file. A NULL in the list can

@@ -201,15 +201,29 @@ final class LakeTable private (
     LakeWriter.commitWithRetry(log) { _ =>
       val cur = snapshot() // re-derived per attempt (compose, not revert)
       check(cur)
+      val fromDt = cur.schema.fields.find(_.name == name).get.dataType
       val newSchema = StructType(cur.schema.fields.map(f =>
         if (f.name == name) f.copy(dataType = newDt) else f))
-      val from = cur.schema.fields.find(_.name == name).get.dataType.sql
+      // float→double leaves pre-widen footer stats INEXACT under the
+      // new type (Float.toString renderings vs double literals) —
+      // record the column so stats-based pruning skips it rather than
+      // wrongly eliminating files; integral stats stay exact
+      val props =
+        if (fromDt != FloatType) cur.metadata.properties
+        else {
+          val key = ColumnMapping.physicalName(name,
+            ColumnMapping.overrides(cur.metadata))
+          val lossy = LakeTable.lossyStatsKeys(cur.metadata.properties)
+          cur.metadata.properties + (LakeTable.PROP_LOSSY_STATS ->
+            (lossy + key).toSeq.sorted.mkString(","))
+        }
       Seq(
         CommitInfo(System.currentTimeMillis(), "WIDEN COLUMN",
-          Map("column" -> name, "from" -> from, "to" -> newDt.sql)),
+          Map("column" -> name, "from" -> fromDt.sql, "to" -> newDt.sql)),
         LakeProtocol.upgraded(cur.protocol,
           LakeProtocol.typeWideningProtocol),
-        cur.metadata.copy(schemaDDL = newSchema.toDDL))
+        cur.metadata.copy(schemaDDL = newSchema.toDDL,
+          properties = props))
     }
     ()
   }
@@ -2249,7 +2263,24 @@ object LakeTable {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
 
-  /** Throws if `name` is tombstoned as dropped on this snapshot. */
+  /** Stats keys (PHYSICAL column names) whose recorded min/max are no
+    * longer EXACT under the column's current type (engine-maintained
+    * by [[LakeTable.widenColumn]], currently only float→double): a
+    * pre-widen footer stat is the Float.toString shortest rendering,
+    * and comparing it as an exact decimal against a double literal can
+    * wrongly prune a file whose upcast values straddle the literal
+    * (e.g. stat "0.1" vs (double) 0.1f = 0.10000000149…). Consumers
+    * of min/max stats must skip these columns; null counts and row
+    * counts stay exact. Keyed by physical name so metadata-only
+    * mapped renames cannot stale the entry.
+    */
+  val PROP_LOSSY_STATS = "graft.typeWidening.lossyStats"
+
+  private[graft] def lossyStatsKeys(props: Map[String, String]): Set[String] =
+    props.get(PROP_LOSSY_STATS)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   /** Lossless type promotions whose narrow-file decode Spark's
     * parquet readers perform natively (SPARK-40876 type widening):
     * integral up-chains and float→double. Everything else —
@@ -2268,6 +2299,7 @@ object LakeTable {
     }
   }
 
+  /** Throws if `name` is tombstoned as dropped on this snapshot. */
   private[lake] def assertNotDropped(
       snap: Snapshot, name: String, tablePath: String): Unit =
     if (droppedColumns(snap.metadata.properties)

@@ -176,9 +176,25 @@ object SimilarityOps {
         s"$indexPath/centroids", mode = "overwrite",
         operation = "BUILD IVF INDEX")
     }
+    val assigned = assignToCells(c, centroids, carryCols)
+    graft.lake.LakeWriter.write(assigned, s"$indexPath/assignments",
+      mode = "overwrite", partitionBy = Seq("cell"),
+      operation = "BUILD IVF INDEX")
+    Await.result(centroidWrite, Duration.Inf)
+    if (pq) buildPqTables(corpus.sparkSession, indexPath, pqM, pqK)
+  }
+
+  /** Nearest-centroid assignment shared by [[buildIvfIndex]] and
+    * [[appendToIvfIndex]] — ONE definition so an appended batch can
+    * never land in a different cell than a rebuild would put it
+    * (similarity function, tie-break, and cast canonicalization all
+    * shared). `c` carries (__id, __cv, carryCols...).
+    */
+  private def assignToCells(c: DataFrame, centroids: DataFrame,
+      carryCols: Seq[String]): DataFrame = {
     val aggCols = first(col("__cv")).as("vec") +:
       carryCols.map(n => first(col(n)).as(n))
-    val assigned = c.crossJoin(centroids)
+    c.crossJoin(centroids)
       .withColumn("__sim", cosine(col("__cv"), col("__cent")))
       .groupBy("__id")
       .agg(max_by(col("__cid"), col("__sim")).as("cell"),
@@ -187,11 +203,6 @@ object SimilarityOps {
         col("vec").cast("array<float>").as("vec") +:
         col("cell").cast("long").as("cell") +:
         carryCols.map(col): _*)
-    graft.lake.LakeWriter.write(assigned, s"$indexPath/assignments",
-      mode = "overwrite", partitionBy = Seq("cell"),
-      operation = "BUILD IVF INDEX")
-    Await.result(centroidWrite, Duration.Inf)
-    if (pq) buildPqTables(corpus.sparkSession, indexPath, pqM, pqK)
   }
 
   /** Incremental index maintenance: assign NEW vectors to the
@@ -216,23 +227,24 @@ object SimilarityOps {
       s"$indexPath is a PQ index: incremental append cannot encode " +
       "codes against the trained codebooks consistently — rebuild " +
       "with buildIvfIndex(pq = true)")
+    // the append must supply EXACTLY the carry columns the index
+    // stores: a missing one would be silently null-filled by schema
+    // reconciliation and the appended vectors would be permanently
+    // invisible to every filtered search on it
+    val stored = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments").snapshot()
+      .schema.fieldNames.toSet -- Set("id", "vec", "cell")
+    require(stored == carryCols.toSet,
+      s"index at $indexPath stores carry columns " +
+      s"[${stored.toSeq.sorted.mkString(", ")}]; appendToIvfIndex " +
+      s"must supply the same (got [${carryCols.sorted.mkString(", ")}])")
     val centroids = broadcast(
       graft.lake.LakeTable.forPath(spark, s"$indexPath/centroids").toDF
         .select(col("cell").as("__cid"), col("centroid").as("__cent")))
     val c = newVectors.select(col(idCol).as("__id") +:
       col(vecCol).as("__cv") +: carryCols.map(col): _*)
-    val aggCols = first(col("__cv")).as("vec") +:
-      carryCols.map(n => first(col(n)).as(n))
-    val assigned = c.crossJoin(centroids)
-      .withColumn("__sim", cosine(col("__cv"), col("__cent")))
-      .groupBy("__id")
-      .agg(max_by(col("__cid"), col("__sim")).as("cell"),
-        aggCols: _*)
-      .select(col("__id").as("id") +:
-        col("vec").cast("array<float>").as("vec") +:
-        col("cell").cast("long").as("cell") +:
-        carryCols.map(col): _*)
-    graft.lake.LakeWriter.write(assigned, s"$indexPath/assignments",
+    graft.lake.LakeWriter.write(assignToCells(c, centroids, carryCols),
+      s"$indexPath/assignments",
       mode = "append", partitionBy = Seq("cell"),
       operation = "APPEND IVF INDEX")
     ()

@@ -13,6 +13,46 @@ import graft.ops._
 object OpsQueries {
   import QueryDef.{scratch, table}
 
+  /** The Gopher rule metrics as ONE DuckDB CTE chain (`sp` → `m`),
+    * shared by the batch gate here and the streaming gate in
+    * [[PipelineQueries]] — a threshold or rule expression edits in
+    * exactly one place, so the two oracles can never drift from each
+    * other. Tokenization is `string_split_regex(text, '\s+')` to
+    * match [[graft.ops.TextOps.tokens]] on tabs/newlines, same as
+    * every other tokens()-based oracle in this file.
+    */
+  private[queries] val GOPHER_METRICS_SQL: String =
+    """WITH sp AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'),
+      |                w -> len(w) > 0) AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    round(list_sum(list_transform(w, x -> len(x))) * 1.0
+      |      / len(w), 4) AS mean_word_len,
+      |    round(((len(text) - len(replace(text, '#', ''))) +
+      |      (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+      |      / len(w), 4) AS symbol_word_ratio,
+      |    round(list_sum(list_transform(w, x ->
+      |        CASE WHEN regexp_matches(x, '[a-zA-Z]')
+      |             THEN 1 ELSE 0 END)) * 1.0 / len(w), 4)
+      |      AS alpha_word_frac,
+      |    CAST(list_sum(list_transform(w, x ->
+      |        CASE WHEN lower(x) IN ('the','be','to','of','and',
+      |          'that','have','with') THEN 1 ELSE 0 END))
+      |      AS BIGINT) AS stopword_hits
+      |  FROM sp)""".stripMargin
+
+  /** The pass conjunction over the `m` CTE's columns. */
+  private[queries] val GOPHER_PASS_SQL: String =
+    """n_words BETWEEN 50 AND 100000
+      |  AND mean_word_len BETWEEN 3.0 AND 10.0
+      |  AND symbol_word_ratio <= 0.1
+      |  AND alpha_word_frac >= 0.8
+      |  AND stopword_hits >= 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Text analysis: token counts + quality score per language.
@@ -307,40 +347,9 @@ object OpsQueries {
         g.withColumn("n_words", col("n_words").cast("long"))
           .withColumn("stopword_hits", col("stopword_hits").cast("long"))
       },
-      Some("""WITH sp AS (
-             |  SELECT doc_id, text,
-             |    list_filter(string_split(text, ' '),
-             |                w -> len(w) > 0) AS w
-             |  FROM documents)
-             |SELECT doc_id,
-             |  CAST(len(w) AS BIGINT) AS n_words,
-             |  round(list_sum(list_transform(w, x -> len(x))) * 1.0
-             |    / len(w), 4) AS mean_word_len,
-             |  round(((len(text) - len(replace(text, '#', ''))) +
-             |    (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
-             |    / len(w), 4) AS symbol_word_ratio,
-             |  round(list_sum(list_transform(w, x ->
-             |      CASE WHEN regexp_matches(x, '[a-zA-Z]')
-             |           THEN 1 ELSE 0 END)) * 1.0 / len(w), 4)
-             |    AS alpha_word_frac,
-             |  CAST(list_sum(list_transform(w, x ->
-             |      CASE WHEN lower(x) IN ('the','be','to','of','and',
-             |        'that','have','with') THEN 1 ELSE 0 END))
-             |    AS BIGINT) AS stopword_hits,
-             |  (len(w) >= 50 AND len(w) <= 100000 AND
-             |   round(list_sum(list_transform(w, x -> len(x))) * 1.0
-             |     / len(w), 4) BETWEEN 3.0 AND 10.0 AND
-             |   round(((len(text) - len(replace(text, '#', ''))) +
-             |     (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
-             |     / len(w), 4) <= 0.1 AND
-             |   round(list_sum(list_transform(w, x ->
-             |       CASE WHEN regexp_matches(x, '[a-zA-Z]')
-             |            THEN 1 ELSE 0 END)) * 1.0 / len(w), 4) >= 0.8
-             |   AND list_sum(list_transform(w, x ->
-             |       CASE WHEN lower(x) IN ('the','be','to','of','and',
-             |         'that','have','with') THEN 1 ELSE 0 END)) >= 2)
-             |  AS gopher_pass
-             |FROM sp""".stripMargin)),
+      Some(s"""$GOPHER_METRICS_SQL
+             |SELECT m.*, ($GOPHER_PASS_SQL) AS gopher_pass
+             |FROM m""".stripMargin)),
 
     // DSIR importance weights (Xie et al. 2023): how much each raw
     // doc's hashed unigram+bigram profile looks drawn from the TARGET

@@ -114,34 +114,9 @@ object PipelineQueries {
         q.awaitTermination(120000)
         graft.lake.LakeTable.forPath(s, dst).toDF
       },
-      Some("""WITH sp AS (
-             |  SELECT doc_id, text,
-             |    list_filter(string_split(text, ' '),
-             |                w -> len(w) > 0) AS w
-             |  FROM documents),
-             |m AS (
-             |  SELECT doc_id,
-             |    CAST(len(w) AS BIGINT) AS n_words,
-             |    round(list_sum(list_transform(w, x -> len(x))) * 1.0
-             |      / len(w), 4) AS mean_word_len,
-             |    round(((len(text) - len(replace(text, '#', ''))) +
-             |      (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
-             |      / len(w), 4) AS symbol_word_ratio,
-             |    round(list_sum(list_transform(w, x ->
-             |        CASE WHEN regexp_matches(x, '[a-zA-Z]')
-             |             THEN 1 ELSE 0 END)) * 1.0 / len(w), 4)
-             |      AS alpha_word_frac,
-             |    CAST(list_sum(list_transform(w, x ->
-             |        CASE WHEN lower(x) IN ('the','be','to','of','and',
-             |          'that','have','with') THEN 1 ELSE 0 END))
-             |      AS BIGINT) AS stopword_hits
-             |  FROM sp)
+      Some(s"""${OpsQueries.GOPHER_METRICS_SQL}
              |SELECT * FROM m
-             |WHERE n_words BETWEEN 50 AND 100000
-             |  AND mean_word_len BETWEEN 3.0 AND 10.0
-             |  AND symbol_word_ratio <= 0.1
-             |  AND alpha_word_frac >= 0.8
-             |  AND stopword_hits >= 2""".stripMargin)),
+             |WHERE ${OpsQueries.GOPHER_PASS_SQL}""".stripMargin)),
 
     // Typed stateful sessionization (KeyValueGroupedDataset /
     // flatMapGroups — SURVEY §2.10 custom state): 30-minute

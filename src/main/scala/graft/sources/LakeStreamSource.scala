@@ -326,6 +326,21 @@ final class LakeStreamSource(
       // column is computed by the read path, never a stored column
       val tableSchema =
         if (withRowIds) StructType(schema.fields.dropRight(1)) else schema
+      // a TYPE change (widening) after this stream started makes
+      // post-change files unreadable through the pinned narrow schema
+      // (narrowing parquet reads are unsupported) — stop with a clear
+      // schema-changed signal instead of a mid-batch decode crash.
+      // Additive evolution keeps the existing null-fill contract.
+      tableSchema.fields.foreach { f =>
+        snapAt.schema.fields.find(_.name == f.name).foreach { cur =>
+          if (cur.dataType != f.dataType)
+            throw new IllegalStateException(
+              s"lake streaming source: column ${f.name} changed type " +
+              s"${f.dataType.sql} -> ${cur.dataType.sql} after this " +
+              "stream started; restart the streaming query to adopt " +
+              "the new schema")
+        }
+      }
       val pseudo = snapAt.copy(
         metadata = snapAt.metadata.copy(schemaDDL = tableSchema.toDDL),
         files = files)

@@ -198,7 +198,7 @@ class LakePropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     // collapse) and deletes of never-synced rows. Runs with deletion
     // vectors ON for one seed so the CDC emission path differs.
     import org.apache.spark.sql.functions._
-    val seeds = Table("seed", 7, 19)
+    val seeds = Table("seed", 7, 20) // one odd (DV on), one even (CoW)
     forAll(seeds) { seed =>
       val rnd = new scala.util.Random(seed)
       val dv = seed % 2 == 1

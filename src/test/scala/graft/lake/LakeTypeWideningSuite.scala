@@ -69,6 +69,74 @@ class LakeTypeWideningSuite extends SparkSuite {
     assert(math.abs(s - 55.0) < 1e-9)
   }
 
+  test("float->double widen disables inexact stats pruning") {
+    // pre-widen footer stats are Float.toString renderings ("0.1");
+    // the upcast double value is 0.10000000149... — an exact-decimal
+    // compare against literal 0.1 would wrongly prune the file and
+    // silently lose the row. The widen records the column as
+    // lossy-stats and the pruner must keep the file.
+    val path = tablePath("widen-lossy")
+    LakeWriter.write(Seq((1L, 0.1f), (2L, 0.05f)).toDF("id", "x")
+      .coalesce(1), path)
+    val t = LakeTable.forPath(spark, path)
+    t.widenColumn("x", "DOUBLE")
+    val snap = LakeTable.forPath(spark, path).snapshot()
+    assert(LakeTable.lossyStatsKeys(snap.metadata.properties) === Set("x"))
+    // the row whose float-rendered stat equals the literal must survive
+    val rows = spark.read.format("lake").load(path)
+      .where("x > 0.1").select("id").collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(1L),
+      "widened-float range predicate lost the straddling row")
+    // DML through the same predicate shape
+    LakeTable.forPath(spark, path).delete("x > 0.1")
+    assert(spark.read.format("lake").load(path).count() === 1L)
+    // integral widening keeps exact stats pruning (no lossy entry)
+    val ipath = tablePath("widen-lossy-int")
+    LakeWriter.write(Seq((1, 1L)).toDF("a", "b"), ipath)
+    LakeTable.forPath(spark, ipath).widenColumn("a", "BIGINT")
+    assert(LakeTable.lossyStatsKeys(LakeTable.forPath(spark, ipath)
+      .snapshot().metadata.properties).isEmpty)
+  }
+
+  test("in-flight stream fails loudly when a column type widens") {
+    val src = tablePath("widen-stream-src")
+    val dst = tablePath("widen-stream-dst")
+    val ckpt = tmpDir("widen-stream-ckpt")
+    LakeWriter.write((1 to 20).map(i => (i, s"r$i")).toDF("v", "s"), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("lake").load(src)
+        .writeStream.format("lake")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(120000)
+    }
+    run()
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 20L)
+    // widen + post-widen data: the pinned-schema stream must stop
+    // with a CLEAR schema-changed error, not a parquet decode crash
+    LakeTable.forPath(spark, src).widenColumn("v", "BIGINT")
+    LakeWriter.write(Seq((Int.MaxValue.toLong + 1L, "wide"))
+      .toDF("v", "s"), src)
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { run() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("changed type")),
+      s"expected a schema-changed error, got: ${messages(e)}")
+    // a fresh stream (new checkpoint) adopts the wide schema
+    val ckpt2 = tmpDir("widen-stream-ckpt2")
+    val dst2 = tablePath("widen-stream-dst2")
+    val q2 = spark.readStream.format("lake").load(src)
+      .writeStream.format("lake")
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst2)
+    q2.awaitTermination(120000)
+    assert(LakeTable.forPath(spark, dst2).toDF.count() === 21L)
+  }
+
   test("non-widening changes are refused; partition columns refused") {
     val path = tablePath("widen-reject")
     Seq((1L, 1, "a")).toDF("id", "v", "p")

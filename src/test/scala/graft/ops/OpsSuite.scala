@@ -286,6 +286,24 @@ class OpsSuite extends SparkSuite {
     intercept[IllegalArgumentException] {
       SimilarityOps.appendToIvfIndex(fresh.toDF("id", "vec"), pqPath)
     }
+
+    // an index built WITH carry columns refuses an append without
+    // them (silent null-fill would hide the vectors from filtered
+    // search forever)
+    val cPath = tmpDir("ivf-append-carry")
+    SimilarityOps.buildIvfIndex(
+      base.map { case (i, v) => (i, v, (i % 2).toInt) }
+        .toDF("id", "vec", "tenant"),
+      cPath, nlist = 8, carryCols = Seq("tenant"))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.appendToIvfIndex(fresh.toDF("id", "vec"), cPath)
+    }
+    SimilarityOps.appendToIvfIndex(
+      fresh.map { case (i, v) => (i, v, (i % 2).toInt) }
+        .toDF("id", "vec", "tenant"),
+      cPath, carryCols = Seq("tenant"))
+    assert(graft.lake.LakeTable.forPath(spark, s"$cPath/assignments")
+      .toDF.where("tenant IS NULL").count() === 0L)
   }
 
   test("filtered ANN: predicate excludes neighbors, carry column rides") {
