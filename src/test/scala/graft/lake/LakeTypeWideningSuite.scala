@@ -137,6 +137,38 @@ class LakeTypeWideningSuite extends SparkSuite {
     assert(LakeTable.forPath(spark, dst2).toDF.count() === 21L)
   }
 
+  test("RESTORE and CLONE compose with a widen") {
+    val path = tablePath("widen-restore")
+    LakeWriter.write((1 to 20).map(i => (i, i * 2)).toDF("a", "b"), path)
+    val t = LakeTable.forPath(spark, path)
+    t.widenColumn("a", "BIGINT")                               // v1
+    LakeWriter.write(Seq((Int.MaxValue.toLong + 9L, 0))
+      .toDF("a", "b"), path)                                   // v2
+    // clone AFTER the widen: the clone carries the wide schema, the
+    // typeWidening protocol, and reads the narrow+wide file mix
+    val clonePath = tablePath("widen-clone")
+    t.shallowCloneTo(clonePath)
+    val c = LakeTable.forPath(spark, clonePath)
+    assert(c.snapshot().schema("a").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(c.snapshot().protocol.readerFeatures
+      .contains(LakeProtocol.FEATURE_TYPE_WIDENING))
+    assert(c.toDF.count() === 21L)
+    assert(c.toDF.where(s"a = ${Int.MaxValue.toLong + 9L}").count() === 1L)
+    // restore the SOURCE to the pre-widen version: schema reverts to
+    // INT, the post-widen file drops out, protocol stays ratcheted
+    // (features never downgrade), and reads work
+    LakeTable.forPath(spark, path).restoreTo(0L)
+    val restored = LakeTable.forPath(spark, path).snapshot()
+    assert(restored.schema("a").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(spark.read.format("lake").load(path).count() === 20L)
+    assert(restored.protocol.readerFeatures
+      .contains(LakeProtocol.FEATURE_TYPE_WIDENING))
+    // the clone is unaffected by the source restore
+    assert(c.toDF.count() === 21L)
+  }
+
   test("non-widening changes are refused; partition columns refused") {
     val path = tablePath("widen-reject")
     Seq((1L, 1, "a")).toDF("id", "v", "p")
