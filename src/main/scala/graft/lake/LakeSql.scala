@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plus the round-2 verbs (`UPDATE`,
   * `OPTIMIZE [WHERE partPred] [[ZORDER] BY (cols)]`,
   * `RESTORE`, `ALTER TABLE ADD/DROP CONSTRAINT`, `ALTER TABLE ADD
-  * COLUMN`, `CREATE TABLE n SHALLOW CLONE src LOCATION p`) and lake
+  * COLUMN`, `ALTER TABLE t ALTER COLUMN c TYPE <wider>` (type
+  * widening), `CREATE TABLE n SHALLOW CLONE src LOCATION p`) and lake
   * DDL (`CREATE TABLE ... USING lake LOCATION`, CTAS, CONVERT, DROP,
   * `INSERT INTO t SELECT ...`, `DELETE FROM t|path`), and the TVFs
   * `table_changes('t', from[, to])` /
