@@ -189,6 +189,14 @@ final class LakeMergeBuilder private[lake] (
       // a concurrent twin of the same app committed this txn while we
       // were staging: its effect IS this merge's effect — success
       case _: TxnAlreadyCommittedException => ()
+      // the twin's commit can also surface as a REWRITE conflict
+      // (both merges touch the same files, and the file-conflict
+      // check fires before any closure re-check can) — same verdict
+      // iff the txn is now recorded; a conflict with any OTHER
+      // writer stays loud
+      case e: ConflictingCommitException
+          if txn.exists { case (a, v) =>
+            table.snapshot().transactions.get(a).exists(_ >= v) } => ()
     }
     finally { src.unpersist(false); () }
   }

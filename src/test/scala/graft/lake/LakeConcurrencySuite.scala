@@ -148,4 +148,48 @@ class LakeConcurrencySuite extends StoreContractSuite {
     assert(java.nio.file.Files.exists(fresh), "live tmp wrongly swept")
     java.nio.file.Files.delete(fresh)
   }
+
+  test("racing twin MERGEs with one Txn apply exactly once") {
+    // Two threads run the SAME logical merge with the same
+    // (appId, version) — the duplicate-delivery shape of a streaming
+    // foreachBatch replayed concurrently after a partial restart. The
+    // Txn watermark must let exactly ONE apply: the additive SET
+    // would show v + 200 if both landed.
+    val path = tablePath("twin-merge")
+    LakeWriter.write((1L to 50L).map(i => (i, i)).toDF("id", "v"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    try {
+      val runs = (1 to 2).map { _ =>
+        Future {
+          LakeTable.forPath(spark, path).as("t")
+            .merge(
+              (1L to 50L).toDF("id").as("s"), "t.id = s.id")
+            .whenMatchedUpdate(Map("v" -> "t.v + 100"))
+            .withTransaction("twin-app", 7L)
+            .execute()
+        }
+      }
+      // both futures must COMPLETE (a losing twin returns quietly —
+      // success by the winner's hand — rather than throwing)
+      runs.foreach(Await.result(_, 120.seconds))
+    } finally pool.shutdown()
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().transactions.get("twin-app").contains(7L))
+    val vs = t.toDF.select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 50L).forall(i => vs(i) == i + 100L),
+      s"merge applied twice or not at all: ${vs.toSeq.sortBy(_._1).take(5)}")
+    // a replay AFTER both finish is also a no-op
+    val before = t.snapshot().version
+    LakeTable.forPath(spark, path).as("t")
+      .merge((1L to 50L).toDF("id").as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("v" -> "t.v + 100"))
+      .withTransaction("twin-app", 7L)
+      .execute()
+    assert(LakeTable.forPath(spark, path).snapshot().version === before)
+  }
 }

@@ -266,22 +266,44 @@ class LakePropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     src.write.format("lake").partitionBy("p").save(path)
     val lake = spark.read.format("lake").load(path)
 
-    val aggPool: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-      "n" -> count(lit(1)), "cs" -> count(col("s")),
-      "mi" -> min(col("id")), "ma" -> max(col("id")),
-      "ms" -> min(col("s")), "xs" -> max(col("s")),
-      "md" -> min(col("d")), "xd" -> max(col("d")),
-      "mp" -> min(col("p")), "xp" -> max(col("p")))
+    // (alias, kind, target column) — columns are built at use time so
+    // the mapped-twin leg below can retarget "s" to its renamed name
+    val aggPool: Seq[(String, String, String)] = Seq(
+      ("n", "count1", ""), ("cs", "count", "s"),
+      ("mi", "min", "id"), ("ma", "max", "id"),
+      ("ms", "min", "s"), ("xs", "max", "s"),
+      ("md", "min", "d"), ("xd", "max", "d"),
+      ("mp", "min", "p"), ("xp", "max", "p"))
+    def mkAgg(kind: String, c: String): org.apache.spark.sql.Column =
+      kind match {
+        case "count1" => count(lit(1))
+        case "count"  => count(col(c))
+        case "min"    => min(col(c))
+        case "max"    => max(col(c))
+      }
     val filterPool: Seq[Option[String]] = Seq(None,
       Some("p = 'p1'"), Some("p IS NULL"), Some("p IS NOT NULL"),
       Some("p <> 'p2'"), Some("p IN ('p0', 'p3')"),
       Some("p > 'p1'"), Some("p = 'absent'"))
+    // a column-mapped twin of the same data, with a mid-life rename:
+    // stats live under PHYSICAL names there, so the same sweep also
+    // exercises the physFor translation in every aggregate path
+    val mpath = tablePath("prop-metaagg-mapped")
+    LakeWriter.write(src, mpath, partitionBy = Seq("p"),
+      properties = Map(ColumnMapping.MODE_PROP -> "name"))
+    LakeTable.forPath(spark, mpath).renameColumn("s", "s2")
+    val mlake = spark.read.format("lake").load(mpath)
+    val msrc = src.withColumnRenamed("s", "s2")
+
     (1 to 40).foreach { _ =>
-      val aggs = rnd.shuffle(aggPool)
-        .take(1 + rnd.nextInt(4)).map { case (n, c) => c.as(n) }
+      val picked = rnd.shuffle(aggPool).take(1 + rnd.nextInt(4))
       val filt = filterPool(rnd.nextInt(filterPool.size))
       val grouped = rnd.nextBoolean()
-      def run(df: org.apache.spark.sql.DataFrame) = {
+      def run(df: org.apache.spark.sql.DataFrame,
+          renamed: Boolean) = {
+        val aggs = picked.map { case (alias, kind, c) =>
+          mkAgg(kind, if (renamed && c == "s") "s2" else c).as(alias)
+        }
         val f = filt.fold(df)(df.where)
         val a = if (grouped)
           f.groupBy("p").agg(aggs.head, aggs.tail: _*)
@@ -291,11 +313,12 @@ class LakePropertySuite extends SparkSuite with TableDrivenPropertyChecks {
           case v => v.toString
         }.mkString("|")).sorted.toSeq
       }
-      val got = run(lake)
-      val expected = run(src)
-      assert(got === expected,
-        s"metadata aggregate diverged for aggs=${aggs.mkString(",")} " +
+      assert(run(lake, renamed = false) === run(src, renamed = false),
+        s"metadata aggregate diverged for aggs=${picked.mkString(",")} " +
         s"filter=$filt grouped=$grouped")
+      assert(run(mlake, renamed = true) === run(msrc, renamed = true),
+        s"MAPPED metadata aggregate diverged for " +
+        s"aggs=${picked.mkString(",")} filter=$filt grouped=$grouped")
     }
   }
 }
