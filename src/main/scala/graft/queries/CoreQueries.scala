@@ -347,6 +347,21 @@ object CoreQueries {
               |FROM lineitem
               |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // CUBE: the full 2^k grouping-set lattice (ROLLUP's sibling —
+    // q22 covers the hierarchy, this covers every margin). One Expand
+    // + one shuffle regardless of k; at 100 TB the lattice costs k
+    // duplicated lanes map-side, never k separate scans.
+    QueryDef("q29_cube",
+      (s, dir) => table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum("o_totalprice").as("total")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+              |  COUNT(*) AS n_rows, ${odsum("o_totalprice")} AS total
+              |FROM orders
+              |GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+        .stripMargin)),
+
     // PIVOT with an explicit value list (never let the engine scan for
     // distinct pivot values at 100 TB — list them).
     QueryDef("q23_pivot",
