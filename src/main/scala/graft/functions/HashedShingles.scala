@@ -26,17 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression costs O(text length) per row, runs inside whole-stage
   * codegen via a static call, and is evaluated exactly once per row.
   */
-case class HashedShingles(child: Expression, n: Int)
+case class HashedShingles(child: Expression, n: Int, distinct: Boolean)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
-    HashedShingles.compute(v.asInstanceOf[UTF8String], n)
+    HashedShingles.compute(v.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.HashedShingles.compute($t, $n);")
+      s"${ev.value} = graft.functions.HashedShingles.compute($t, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -61,16 +61,21 @@ object HashedShingles {
     h
   }
 
-  /** One-pass distinct hashed n-gram shingles. Mirrors the composable
-    * semantics exactly: `split(text, "\\s+")` tokens (limit -1), grams
-    * of `n` consecutive tokens joined by one space, whole-text gram
-    * when fewer than `n` tokens.
+  /** One-pass hashed n-gram shingles (distinct set by default; with
+    * `distinct = false` every occurrence keeps its slot — the form a
+    * frequency-weighted consumer like SimHash needs). Mirrors the
+    * composable semantics exactly: `split(text, "\\s+")` tokens
+    * (limit -1), grams of `n` consecutive tokens joined by one space,
+    * whole-text gram when fewer than `n` tokens.
     */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val toks = WS.split(text.toString, -1)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val all = if (distinct) null else new java.util.ArrayList[java.lang.Long]()
+    def add(h: Long): Unit =
+      if (distinct) { seen.add(h); () } else { all.add(h); () }
     if (toks.length < n) {
-      seen.add(fnv64(toks.mkString(" ")))
+      add(fnv64(toks.mkString(" ")))
     } else {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -82,26 +87,30 @@ object HashedShingles {
           sb.append(toks(i + j))
           j += 1
         }
-        seen.add(fnv64(sb.toString))
+        add(fnv64(sb.toString))
         i += 1
       }
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
+    val src: java.util.Collection[java.lang.Long] =
+      if (distinct) seen else all
+    val out = new Array[Long](src.size)
+    val it = src.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
 
-  private def fnName(n: Int) = s"graft_shingles_$n"
+  private def fnName(n: Int, distinct: Boolean) =
+    if (distinct) s"graft_shingles_$n" else s"graft_shingles_${n}_all"
 
-  def register(spark: SparkSession, n: Int): Unit =
+  def register(spark: SparkSession, n: Int, distinct: Boolean = true): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName(n), exprs => HashedShingles(exprs.head, n), "built-in")
+      fnName(n, distinct),
+      exprs => HashedShingles(exprs.head, n, distinct), "built-in")
 
-  /** Column API: distinct FNV-64 hashes of `text`'s n-gram shingles. */
-  def apply(text: Column, n: Int): Column = {
-    register(SparkSession.active, n)
-    org.apache.spark.sql.functions.call_function(fnName(n), text)
+  /** Column API: FNV-64 hashes of `text`'s n-gram shingles. */
+  def apply(text: Column, n: Int, distinct: Boolean = true): Column = {
+    register(SparkSession.active, n, distinct)
+    org.apache.spark.sql.functions.call_function(fnName(n, distinct), text)
   }
 }

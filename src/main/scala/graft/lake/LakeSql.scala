@@ -413,8 +413,13 @@ object LakeSql {
       // for spark.sql to resolve or reject on their own merits —
       // they must not stop earlier lake clauses from rewriting.
       import scala.util.matching.Regex
+      // a match that starts inside a '…' or `…` literal is DATA, not
+      // syntax — quote-guard each rewrite with the same scanning rules
+      // findTopLevel uses for statement keywords (VERDICT r11 #4)
       var text = VERSION_AS_OF_RE.replaceAllIn(sqlText, m =>
-        if (isLake(m.group(2))) {
+        if (inQuotes(sqlText, m.start)) {
+          Regex.quoteReplacement(m.matched)
+        } else if (isLake(m.group(2))) {
           val name = clean(m.group(2))
           val version = m.group(3).toLong
           val viewName = s"${name}__v$version"
@@ -422,8 +427,11 @@ object LakeSql {
             .createOrReplaceTempView(viewName)
           Regex.quoteReplacement(m.group(1) + viewName)
         } else Regex.quoteReplacement(m.matched))
-      text = TIMESTAMP_AS_OF_RE.replaceAllIn(text, m =>
-        if (isLake(m.group(2))) {
+      text = TIMESTAMP_AS_OF_RE.replaceAllIn(text, m => {
+        val src = text
+        if (inQuotes(src, m.start)) {
+          Regex.quoteReplacement(m.matched)
+        } else if (isLake(m.group(2))) {
           val name = clean(m.group(2))
           val table = LakeCatalog.table(spark, name)
           val millis =
@@ -432,7 +440,8 @@ object LakeSql {
           val viewName = s"${name}__v$version"
           table.asOf(version).createOrReplaceTempView(viewName)
           Regex.quoteReplacement(m.group(1) + viewName)
-        } else Regex.quoteReplacement(m.matched))
+        } else Regex.quoteReplacement(m.matched)
+      })
       runSelect(spark, text)
   }
 
@@ -473,6 +482,27 @@ object LakeSql {
       i += 1
     }
     -1
+  }
+
+  /** Is position `pos` inside a '…' or `…` literal? Same quote
+    * tracking as [[findTopLevel]] (an escaped '' toggles out and back
+    * in — net state identical), used to stop the time-travel regex
+    * rewrites from firing on keyword phrases that are string DATA.
+    */
+  private[lake] def inQuotes(s: String, pos: Int): Boolean = {
+    var i = 0
+    var inStr = false
+    var inTick = false
+    val end = math.min(pos, s.length)
+    while (i < end) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else if (c == '\'') inStr = true
+      else if (c == '`') inTick = true
+      i += 1
+    }
+    inStr || inTick
   }
 
   /** All top-level occurrences of `word` in `s`. */

@@ -1,0 +1,104 @@
+package graft.lake
+
+
+
+/** Driver-side metadata scale benchmark (VERDICT r11 #6): the
+  * structures a 100 TB table (~10⁶ data files) actually stresses are
+  * the LOG — checkpoint write, snapshot replay, file pruning, and
+  * metadata-only aggregation — not the data path. This main builds a
+  * synthetic 1M-AddFile table state (1000 partitions, per-file id
+  * ranges and null counts, exactly the shape LakeWriter records),
+  * drives it to a multi-part parquet checkpoint, and measures each
+  * leg cold. The log layer is plain JVM — a 1000-executor cluster
+  * still funnels commits and planning through one driver doing
+  * exactly this work; the tiny local session below exists only
+  * because FilePruner parses its filter string through Catalyst.
+  *
+  * Run: `sbt "runMain graft.lake.MetaScaleBench [nFiles]"`; results are
+  * recorded in SCALE.md ("metadata at 10⁶ files").
+  */
+object MetaScaleBench {
+
+  private def rssMb(): Long = {
+    val s = scala.io.Source.fromFile("/proc/self/status")
+    try s.getLines().find(_.startsWith("VmRSS"))
+      .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+    finally s.close()
+  }
+
+  private def timed[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    printf("%-28s %8.2f s   rss=%d MB%n", label,
+      (System.nanoTime() - t0) / 1e9, rssMb())
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]").appName("MetaScaleBench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nFiles = args.headOption.map(_.toInt).getOrElse(1000000)
+    val perCommit = 100000
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-metascale").toString
+    val log = new LakeLog(dir)
+    log.commit(0L, Seq(
+      CommitInfo(1L, "CREATE", Map.empty),
+      Metadata("id BIGINT, p INT", Seq("p"), 1L),
+      Protocol()))
+    val nCommits = (nFiles + perCommit - 1) / perCommit
+    timed(s"commit ${nFiles / 1000}k adds") {
+      (1 to nCommits).foreach { cNum =>
+        val lo = (cNum - 1) * perCommit
+        val hi = math.min(cNum * perCommit, nFiles)
+        log.commit(cNum.toLong,
+          CommitInfo(cNum + 1L, "APPEND", Map.empty) +:
+            (lo until hi).map { i =>
+              AddFile(s"p=${i % 1000}/f$i.parquet",
+                Map("p" -> (i % 1000).toString),
+                1024L * 1024 * 100, 100L,
+                Map("id" -> (i.toLong * 100).toString),
+                Map("id" -> (i.toLong * 100 + 99).toString),
+                Map("id" -> 0L)): Action
+            })
+      }
+    }
+    // versions above are below the 10-commit cadence for small runs;
+    // force the checkpoint explicitly via tail commits to the cadence
+    val tail = (nCommits + 1) to (((nCommits / 10) + 1) * 10)
+    timed("cadence tail + checkpoint") {
+      tail.foreach { v =>
+        log.commit(v.toLong, Seq(
+          CommitInfo(v + 1L, "APPEND", Map.empty),
+          AddFile(s"p=0/tail$v.parquet", Map("p" -> "0"), 1024L, 1L,
+            Map("id" -> "0"), Map("id" -> "0"), Map("id" -> 0L))))
+      }
+    }
+    val latest = tail.lastOption.map(_.toLong).getOrElse(nCommits.toLong)
+    Snapshot.clearCacheForTest()
+    val snap = timed("cold snapshot replay") { log.snapshot(latest) }
+    println(s"  files in snapshot: ${snap.files.size}")
+    timed("partition prune (1/1000)") {
+      val hit = FilePruner.prune(snap, "p = 500")
+      require(hit.size == nFiles / 1000,
+        s"partition prune returned ${hit.size}")
+    }
+    timed("stats prune (range)") {
+      val hit = FilePruner.prune(snap,
+        "id >= 1000000 AND id < 1010000")
+      require(hit.nonEmpty && hit.size <= 200,
+        s"stats prune returned ${hit.size}")
+    }
+    timed("metadata-only COUNT(*)") {
+      val n = snap.files.iterator.map(_.numRecords).sum
+      require(n >= nFiles.toLong * 100, s"counted $n")
+    }
+    // second replay: warm OS cache, cold snapshot cache — the steady
+    // state of a fresh driver planning against an old big table
+    Snapshot.clearCacheForTest()
+    timed("warm-fs snapshot replay") { log.snapshot(latest) }
+    LakeWriter.deleteRecursively(java.nio.file.Paths.get(dir))
+    spark.stop()
+  }
+}

@@ -40,6 +40,11 @@ object ParquetFooters {
       val maxs = collection.mutable.Map.empty[String, Any]
       val nulls = collection.mutable.Map.empty[String, Long]
       val unusable = collection.mutable.Set.empty[String]
+      // parquet reports -1 when num_nulls is unset (legal for
+      // legacy/foreign files adopted via CONVERT); a negative count
+      // poisons the whole-file sum, so the column's null count is
+      // dropped while its min/max stay usable
+      val nullsUnusable = collection.mutable.Set.empty[String]
       // int-backed DECIMAL stats arrive as UNSCALED ints; the ordering
       // is scale-invariant per column (one fixed scale), but the
       // recorded string must be the scaled value or the pruner would
@@ -54,7 +59,11 @@ object ParquetFooters {
             unusable += name
             mins.remove(name); maxs.remove(name); nulls.remove(name)
           } else {
-            nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            val nn = st.getNumNulls
+            if (nn < 0 || nullsUnusable(name)) {
+              nullsUnusable += name
+              nulls.remove(name)
+            } else nulls(name) = nulls.getOrElse(name, 0L) + nn
             if (st.hasNonNullValue && comparable(cc.getPrimitiveType)) {
               cc.getPrimitiveType.getLogicalTypeAnnotation match {
                 case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>

@@ -296,14 +296,23 @@ object DedupOps {
     when(union === 0, 1.0).otherwise(inter / union)
   }
 
-  /** 64-bit SimHash: sign-sum over token hashes, one bit per position.
-    * Near-dups land on equal (or low-Hamming) signatures. Single-pass
-    * native expression ([[graft.functions.SimHash64]]); shuffle happens
-    * only when the caller groups by signature.
+  /** 64-bit SimHash: sign-sum over token hashes (with multiplicity —
+    * frequency-weighted, the classic Charikar form), one bit per
+    * position. Near-dups land on equal (or low-Hamming) signatures.
+    * Both passes are single-pass native expressions
+    * ([[graft.functions.HashedShingles]] n=1 non-distinct feeds
+    * [[graft.functions.SimHash64]]); shuffle happens only when the
+    * caller groups by signature.
+    *
+    * Token hash family is FNV-1a 64 (vs the earlier interpreted
+    * `transform(tokens, xxhash64)`): byte-replayable in any engine —
+    * the correctness driver's DuckDB oracle re-derives signatures
+    * bit-for-bit — and codegen'd end-to-end. Consumers rely only on
+    * the simhash property, not specific signature values.
     */
   def simhash(text: Column): Column =
     graft.functions.SimHash64(
-      transform(TextOps.tokens(text), t => xxhash64(t)))
+      graft.functions.HashedShingles(text, 1, distinct = false))
 
   /** Group docs by identical SimHash → (simhash, doc count, ids). */
   def simhashGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -74,17 +74,42 @@ object DsirOps {
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 8192,
-      smoothing: Double = 1.0): DataFrame = {
+      smoothing: Double = 1.0,
+      scratchDir: Option[String] = None,
+      scratchMinDocs: Long = 1000000L): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(smoothing > 0, "add-lambda smoothing must be positive")
     // the raw histogram feeds BOTH the distribution estimate and the
-    // per-doc scoring join — cache it so the corpus featurize pass
+    // per-doc scoring join — stage it so the corpus featurize pass
     // runs once, not once per consumer, and RELEASE it before
     // returning (the result below is materialized first). Bounded by
-    // docs × min(features-per-doc, B) rows of three longs; at real
-    // scale swap for a scratch-table stage, the shape is unchanged.
-    val rawB = docBuckets(raw, textCol, idCol, buckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // docs × min(features-per-doc, B) rows of three longs. Two
+    // stagings:
+    //  - small corpora: executor-cache persist (MEMORY_AND_DISK,
+    //    evictable, recomputes byte-identically);
+    //  - at scale (scratchDir set AND >= scratchMinDocs docs): a
+    //    scratch LAKE TABLE — write once, read twice, delete after.
+    //    A 100 TB corpus's histogram is cluster-cache-sized; spilling
+    //    it through the table layer costs one extra write/read of
+    //    compact scalars instead of pinning the cache, and the commit
+    //    is atomic so a concurrent reader never sees a partial stage.
+    // Both paths produce IDENTICAL weights (DsirSuite pins this): the
+    // staging only changes WHERE the histogram lives.
+    val spillTo = scratchDir.filter(_ => raw.count() >= scratchMinDocs)
+    val (rawB, release): (DataFrame, () => Unit) = spillTo match {
+      case Some(dir) =>
+        val path = s"$dir/dsir_raw_hist"
+        graft.lake.LakeWriter.write(
+          docBuckets(raw, textCol, idCol, buckets), path,
+          mode = "overwrite", operation = "DSIR SCRATCH")
+        (graft.lake.LakeTable.forPath(raw.sparkSession, path).toDF,
+          () => graft.lake.LakeWriter.deleteRecursively(
+            java.nio.file.Paths.get(path)))
+      case None =>
+        val c = docBuckets(raw, textCol, idCol, buckets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (c, () => { c.unpersist(false); () })
+    }
     try {
     val rawCnt = rawB.groupBy("__b").agg(sum("__c").as("__cr"))
     val tgtCnt = docBuckets(target, textCol, idCol, buckets)
@@ -114,7 +139,7 @@ object DsirOps {
       .agg(sum("__c").as("n_feats"),
         round(sum(col("__c") * col("__lr")), 4).as("log_weight"))
       .localCheckpoint(true)
-    } finally { rawB.unpersist(false); () }
+    } finally release()
   }
 
   /** Importance resampling: k documents drawn without replacement with

@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * lib, ffmpeg bindings) can amortize init cost per task, exactly like
   * a Pandas-UDF batch would.
   *
-  * The decode kernel itself is a clearly marked STUB (this container
-  * ships no image/audio codecs): it derives deterministic pseudo
-  * features from the bytes. Everything around it — schema, batch
-  * iteration, partitioning, output shape — is the real Spark plumbing
-  * a production decoder would drop into.
+  * The decode kernel is REAL for codec-free container formats — BMP
+  * (24-bit uncompressed, bottom-up, stride-padded) and WAV (PCM16
+  * mono/stereo, RIFF chunk walk) are parsed byte-for-byte into
+  * pixel/sample arrays with no native library. Compressed formats
+  * (JPEG/PNG/MP3/H.264) still hit a clearly marked STUB (this
+  * container ships no codecs): deterministic byte statistics stand in
+  * for the decoded values. Everything around the kernel — schema,
+  * batch iteration, partitioning, output shape — is identical across
+  * both paths.
   */
 object MultimodalOps {
 
@@ -25,10 +29,20 @@ object MultimodalOps {
       width: Int,
       height: Int)
 
+  /** Decoded features. For real decodes (BMP/WAV) `n_samples`,
+    * `value_sum` and `mean_value` are over the DECODED domain
+    * (pixel channel bytes / signed PCM samples) — `value_sum` is an
+    * exact integer so cross-engine oracles compare without float
+    * rounding. For the stub path they are byte statistics of the
+    * payload. `byte_len`/`mean_byte` are always payload-level.
+    */
   case class MediaFeatures(
       media_id: Long,
       byte_len: Long,
       mean_byte: Double,
+      n_samples: Long,
+      value_sum: Long,
+      mean_value: Double,
       feature: Array[Float])
 
   /** Wrap a DataFrame with binary payloads into the canonical schema.
@@ -43,31 +57,45 @@ object MultimodalOps {
       lit(width).as("width"),
       lit(height).as("height"))
 
-  /** Batched decode + feature extraction over partitions.
-    *
-    * STUB KERNEL: a real implementation replaces the body of
-    * `decodeOne` with an actual codec call; the iterator shape (one
-    * task = one batch of rows, codec initialized once per partition)
-    * is what a production decoder needs and is preserved here.
+  /** Batched decode + feature extraction over partitions: one task =
+    * one batch of rows, decoder state initialized once per partition
+    * (the shape a JNI codec needs). Dispatch is on the declared
+    * `format` column; BMP/WAV decode for real, everything else takes
+    * the byte-stat stub.
     */
   def decodeAndFeaturize(media: DataFrame, featureDim: Int = 8)
       : Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
-    media.selectExpr("media_id", "media").as(
-      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    media.selectExpr("media_id", "media", "format").as(
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY, Encoders.STRING))
       .mapPartitions { rows =>
         // per-partition "codec init" happens here (once per task)
-        rows.map { case (id, bytes) => decodeOne(id, bytes, featureDim) }
+        rows.map { case (id, bytes, format) =>
+          decodeOne(id, bytes, format, featureDim)
+        }
       }
   }
 
-  /** ??? real codec goes here ??? — deterministic stand-in features:
-    * byte statistics + a folded histogram, stable across runs.
+  /** Kernel dispatch: real parse for codec-free formats, stub for the
+    * rest. Corrupt payloads of a declared real format fail loudly —
+    * a decode pipeline must never silently count garbage as features.
     */
-  private def decodeOne(id: Long, bytes: Array[Byte], dim: Int)
+  private def decodeOne(id: Long, bytes: Array[Byte], format: String,
+      dim: Int): MediaFeatures = format match {
+    case "image/bmp" => decodeBmp(id, bytes, dim)
+    case "audio/wav" => decodeWav(id, bytes, dim)
+    case _ => stubFeatures(id, bytes, dim)
+  }
+
+  /** ??? real codec for COMPRESSED formats goes here ??? —
+    * deterministic stand-in: byte statistics + a folded histogram,
+    * stable across runs (decoded-domain fields mirror the byte
+    * domain).
+    */
+  private def stubFeatures(id: Long, bytes: Array[Byte], dim: Int)
       : MediaFeatures = {
     val len = if (bytes == null) 0L else bytes.length.toLong
-    var sum = 0.0
+    var sum = 0L
     val hist = new Array[Float](dim)
     var i = 0
     while (i < len) {
@@ -76,7 +104,193 @@ object MultimodalOps {
       hist(b % dim) += 1.0f
       i += 1
     }
-    MediaFeatures(id, len, if (len == 0) 0.0 else sum / len, hist)
+    val mean = if (len == 0) 0.0 else sum.toDouble / len
+    MediaFeatures(id, len, mean, len, sum, mean, hist)
+  }
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** REAL pixel decode: BMP, 24-bit uncompressed (BI_RGB). Parses the
+    * file + info headers, honors bottom-up row order and the 4-byte
+    * row stride, and extracts every BGR channel byte. Features:
+    * `n_samples` = width·height·3 channel bytes, `value_sum` /
+    * `mean_value` over those bytes, histogram folded over `dim`.
+    * (Row order doesn't affect any of them, but the per-row walk below
+    * is the exact traversal a resize/convolution kernel would use.)
+    */
+  private[ops] def decodeBmp(id: Long, bytes: Array[Byte], dim: Int)
+      : MediaFeatures = {
+    require(bytes != null && bytes.length >= 54 &&
+      bytes(0) == 'B' && bytes(1) == 'M', s"media $id: not a BMP")
+    val dataOffset = i32(bytes, 10)
+    val width = i32(bytes, 18)
+    val height = i32(bytes, 22)
+    val bpp = u16(bytes, 28)
+    val compression = i32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"media $id: only 24-bit uncompressed BMP supported " +
+        s"(bpp=$bpp compression=$compression)")
+    require(width > 0 && height != 0, s"media $id: bad BMP dims")
+    val rows = math.abs(height)
+    val stride = ((width * 3 + 3) / 4) * 4
+    require(bytes.length >= dataOffset + stride * rows,
+      s"media $id: truncated BMP pixel array")
+    var sum = 0L
+    val hist = new Array[Float](dim)
+    var y = 0
+    while (y < rows) {
+      val rowStart = dataOffset + y * stride
+      var i = 0
+      while (i < width * 3) {
+        val v = bytes(rowStart + i) & 0xff
+        sum += v
+        hist(v % dim) += 1.0f
+        i += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * rows * 3
+    val payload = payloadStats(bytes)
+    MediaFeatures(id, bytes.length.toLong, payload,
+      n, sum, sum.toDouble / n, hist)
+  }
+
+  /** REAL sample decode: WAV, PCM 16-bit (any channel count). Walks
+    * the RIFF chunk list to `fmt ` and `data` (never assumes a fixed
+    * 44-byte header — extra chunks like LIST/fact are skipped, as in
+    * the wild). Features over SIGNED samples: `n_samples` = sample
+    * count, `value_sum` their exact sum, histogram folded over the
+    * sample's unsigned low byte.
+    */
+  private[ops] def decodeWav(id: Long, bytes: Array[Byte], dim: Int)
+      : MediaFeatures = {
+    require(bytes != null && bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E', s"media $id: not a WAV")
+    var off = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val cid = new String(bytes, off, 4, "US-ASCII")
+      val clen = i32(bytes, off + 4)
+      require(clen >= 0 && off + 8 + clen <= bytes.length,
+        s"media $id: truncated WAV chunk $cid")
+      cid match {
+        case "fmt " =>
+          val audioFormat = u16(bytes, off + 8)
+          val bits = u16(bytes, off + 22)
+          require(audioFormat == 1 && bits == 16,
+            s"media $id: only PCM16 WAV supported " +
+              s"(format=$audioFormat bits=$bits)")
+          fmtOk = true
+        case "data" =>
+          dataOff = off + 8
+          dataLen = clen
+        case _ => () // LIST/fact/cue — skip
+      }
+      off += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    require(fmtOk && dataOff >= 0, s"media $id: missing fmt/data chunk")
+    val n = dataLen / 2
+    var sum = 0L
+    val hist = new Array[Float](dim)
+    var i = 0
+    while (i < n) {
+      val s = (u16(bytes, dataOff + 2 * i).toShort).toInt
+      sum += s
+      hist((s & 0xff) % dim) += 1.0f
+      i += 1
+    }
+    val payload = payloadStats(bytes)
+    MediaFeatures(id, bytes.length.toLong, payload, n.toLong, sum,
+      if (n == 0) 0.0 else sum.toDouble / n, hist)
+  }
+
+  private def payloadStats(bytes: Array[Byte]): Double = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    if (bytes.length == 0) 0.0 else s.toDouble / bytes.length
+  }
+
+  /** A well-formed 24-bit BMP whose pixel channel bytes follow the
+    * closed form `(id·31 + 7x + 13y + 5c) mod 256` (x right, y down
+    * in image space, c = B,G,R) — deterministic test/fixture payloads
+    * whose decoded statistics any engine can re-derive arithmetically.
+    * Stored bottom-up with proper stride padding, so decoding it
+    * exercises the full traversal.
+    */
+  def syntheticBmp(id: Long, width: Int, height: Int): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val dataSize = stride * height
+    val out = new Array[Byte](54 + dataSize)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, 54)
+    put32(14, 40); put32(18, width); put32(22, height)
+    put16(26, 1); put16(28, 24); put32(30, 0); put32(34, dataSize)
+    var y = 0
+    while (y < height) {
+      // row y of the FILE is image row (height-1-y): bottom-up storage
+      val imgY = height - 1 - y
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < 3) {
+          out(54 + y * stride + x * 3 + c) =
+            (((id * 31 + 7L * x + 13L * imgY + 5L * c) % 256).toInt).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** A well-formed PCM16 mono WAV whose `n` samples follow the closed
+    * form `((id·31 + 7i) mod 2048) − 1024` — signed, deterministic,
+    * arithmetically replayable. Includes a junk `LIST` chunk before
+    * `data` so decoding exercises the chunk walk.
+    */
+  def syntheticWav(id: Long, n: Int): Array[Byte] = {
+    val listLen = 4
+    val out = new Array[Byte](12 + 24 + (8 + listLen) + 8 + 2 * n)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff)
+    }
+    def putTag(o: Int, t: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = t.charAt(i).toByte; i += 1 }
+    }
+    putTag(0, "RIFF"); put32(4, out.length - 8); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16)
+    put16(20, 1); put16(22, 1); put32(24, 8000); put32(28, 16000)
+    put16(32, 2); put16(34, 16)
+    putTag(36, "LIST"); put32(40, listLen); putTag(44, "INFO")
+    val dataOff = 48
+    putTag(dataOff, "data"); put32(dataOff + 4, 2 * n)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 31 + 7L * i) % 2048) - 1024).toInt
+      put16(dataOff + 8 + 2 * i, s & 0xffff)
+      i += 1
+    }
+    out
   }
 
   /** "Resize" stub: records the target dims in metadata; payload is

@@ -328,27 +328,29 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
         return None
       (a.exprId, n, a.dataType)
     }
-    // bucket by RAW partition-value tuple (null and the Hive sentinel
-    // collapse to the same null group); parse each tuple once
-    val buckets = files.groupBy(f => groupCols.map { case (_, n, _) =>
+    // bucket by the PARSED (typed) partition tuple, not the raw
+    // strings: the scan groups on the cast value, and two renderings
+    // that parse equal ('1' vs '01', legacy day-int vs ISO date —
+    // both deliberately accepted by parsePartition) must land in ONE
+    // group, exactly as a real scan merges them. Null and the Hive
+    // sentinel collapse to the same null group. Boxed equality is the
+    // right merge relation here (NaN groups with NaN, as SQL GROUP BY
+    // does).
+    val buckets = files.groupBy(f => groupCols.map { case (_, n, dt) =>
       f.partitionValues.get(n) match {
         case None => return None // un-tracked partition value: bail
-        case Some(v) if v == null || v == LakeWriter.HIVE_NULL => None
-        case Some(v) => Some(v)
+        case Some(v) if v == null || v == LakeWriter.HIVE_NULL => null
+        case Some(v) => parsePartition(v, dt).getOrElse(return None)
       }
     })
-    val rows = buckets.toSeq.flatMap { case (rawKey, bucket) =>
+    val rows = buckets.toSeq.flatMap { case (typedKey, bucket) =>
       val live = bucket.map(f => f.numRecords -
         (if (ctx.hasDvs) f.dvCardinality else 0L)).sum
       if (live == 0L) None // zero-row bucket: SQL emits no group
       else {
         val parsed: Map[ExprId, Any] =
-          groupCols.zip(rawKey).map { case ((id, _, dt), raw) =>
-            id -> (raw match {
-              case None => null
-              case Some(v) =>
-                parsePartition(v, dt).getOrElse(return None)
-            })
+          groupCols.zip(typedKey).map { case ((id, _, _), v) =>
+            id -> v
           }.toMap
         val values = aggExprs.map {
           case Alias(ae: AggregateExpression, _) =>
@@ -392,6 +394,11 @@ object MetadataOnlyAggregate extends Rule[LogicalPlan] {
       var total = 0L
       for (f <- files) {
         val nulls = f.nullCounts.get(key).getOrElse(return None)
+        // a recorded count outside [0, numRecords] is corrupt or the
+        // parquet "unset" sentinel (-1) from a foreign file adopted
+        // before the footer guard existed — bail to the scan rather
+        // than silently over/under-count
+        if (nulls < 0L || nulls > f.numRecords) return None
         total += f.numRecords - nulls
       }
       Some(total)

@@ -362,6 +362,84 @@ object CoreQueries {
               |GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
         .stripMargin)),
 
+    // TPC-H Q8-shaped market share: the widest analytic join in the
+    // suite — SEVEN relation instances (lineitem, orders, customer,
+    // part, supplier, nation ×2 roles, region), the classic
+    // snowflake-with-two-nation-roles shape. Scale design: the ONLY
+    // shuffle-worthy edge is lineitem ⋈ orders (fact-fact on
+    // orderkey); every dimension — part, supplier, customer, both
+    // nation roles, region — is explicitly broadcast, so the plan is
+    // one fact-fact join plus a broadcast chain, and AQE coalesces
+    // the single aggregation exchange. Selective dim filters (p_type,
+    // r_name, o_orderdate range) cut the fact rows before the
+    // aggregate; the share ratio is computed from exact decimal sums
+    // cast to double (IEEE division is deterministic, so the oracle
+    // matches bit-for-bit).
+    QueryDef("q30_market_share",
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") <= lit("1997-12-31").cast("timestamp"))
+        val c = table(s, dir, "customer")
+        val p = table(s, dir, "part").filter(col("p_type") === "PROMO")
+        val sup = table(s, dir, "supplier")
+        val n1 = table(s, dir, "nation")
+          .select(col("n_nationkey").as("c_n_key"),
+            col("n_regionkey").as("c_r_key"))
+        val n2 = table(s, dir, "nation")
+          .select(col("n_nationkey").as("s_n_key"),
+            col("n_name").as("supp_nation"))
+        val r = table(s, dir, "region").filter(col("r_name") === "EUROPE")
+        // cast each FACTOR to decimal before multiplying: the stored
+        // doubles recover their exact 2-decimal values under the
+        // cast in both engines, and decimal multiplication is exact —
+        // casting the double PRODUCT instead lands on .xx5 ties that
+        // Spark and DuckDB break differently
+        val vol = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n2), sup("s_nationkey") === col("s_n_key"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n1), c("c_nationkey") === col("c_n_key"))
+          .join(broadcast(r), col("c_r_key") === r("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_7", vol)
+              .otherwise(lit(0).cast("decimal(20,4)"))).as("__num"),
+            sum(vol).as("__den"))
+          .select(col("o_year"),
+            round(col("__num").cast("double") /
+              col("__den").cast("double"), 6).as("mkt_share"),
+            col("__den").cast("double").as("total_volume"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+             |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |        (1 - CAST(l_discount AS DECIMAL(18,2)))
+             |      ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) /
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+             |    AS mkt_share,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS total_volume
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <= TIMESTAMP '1997-12-31'
+             |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |  AND r_name = 'EUROPE'
+             |GROUP BY 1""".stripMargin)),
+
     // PIVOT with an explicit value list (never let the engine scan for
     // distinct pivot values at 100 TB — list them).
     QueryDef("q23_pivot",

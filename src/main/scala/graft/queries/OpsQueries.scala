@@ -11,7 +11,69 @@ import graft.ops._
   * so they get rows-only checks.
   */
 object OpsQueries {
-  import QueryDef.{scratch, table}
+  import QueryDef.{scratch, table, fixture, tableFp, fixtureFresh,
+    fixtureMark}
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Planted near-dup protocol shared by every sim_* recall gate:
+    * queries are every 10th corpus vector deterministically perturbed
+    * (cos ≈ 0.99 to its source — far above the ~0.49 max cosine
+    * between unrelated vectors here, so the source IS each query's
+    * true nearest neighbor), qid = source vec_id + 1e6.
+    * @return (src, queries, corpus)
+    */
+  private def plantedSim(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = table(s, dir, "embeddings")
+    val src = e.filter(col("vec_id") % 10 === 0)
+    val queries = src.select(
+      (col("vec_id") + 1000000L).as("qid"),
+      expr("transform(embedding, (x, i) -> " +
+        "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
+        .as("vec"))
+    val corpus = e.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    (src, queries, corpus)
+  }
+
+  /** Exact brute-force top-5 for the planted protocol, persisted as a
+    * fixture keyed by the embeddings file fingerprint: the truth table
+    * is a pure function of the corpus, so it is computed ONCE per
+    * corpus and re-READ (the gates' requires still run against it
+    * every time) instead of re-deriving the full O(queries × corpus)
+    * scan inside every benchmarked gate run (VERDICT r11 #3).
+    */
+  private def exactTruth(s: SparkSession, dir: String): DataFrame = {
+    val path = fixture("sim_exact_truth", dir)
+    val fp = tableFp(dir, "embeddings")
+    if (!fixtureFresh(path, fp)) {
+      graft.lake.LakeWriter.deleteRecursively(
+        java.nio.file.Paths.get(path))
+      val (_, queries, corpus) = plantedSim(s, dir)
+      SimilarityOps.bruteForceTopK(queries, corpus, 5)
+        .write.mode("overwrite").parquet(s"$path/truth")
+      fixtureMark(path, fp)
+    }
+    s.read.parquet(s"$path/truth")
+  }
+
+  /** The persisted-IVF fixture path, built (nlist = 16) iff absent or
+    * stale for the current corpus. The BUILD gate always rebuilds and
+    * re-marks; the PROBE gate calls this and normally finds it fresh.
+    */
+  private def ensureIvfIndex(s: SparkSession, dir: String,
+      force: Boolean = false): String = {
+    val path = fixture("sim_ivf_index", dir)
+    val fp = tableFp(dir, "embeddings")
+    if (force || !fixtureFresh(path, fp)) {
+      graft.lake.LakeWriter.deleteRecursively(
+        java.nio.file.Paths.get(path))
+      val (_, _, corpus) = plantedSim(s, dir)
+      SimilarityOps.buildIvfIndex(corpus, path, nlist = 16)
+      fixtureMark(path, fp)
+    }
+    path
+  }
 
   /** The Gopher rule metrics as ONE DuckDB CTE chain (`sp` → `m`),
     * shared by the batch gate here and the streaming gate in
@@ -712,20 +774,47 @@ object OpsQueries {
              |    / (len(a.shingles) + len(b.shingles)
              |       - len(list_intersect(a.shingles, b.shingles))) >= 0.2""".stripMargin)),
 
-    // MinHash+LSH near-dup pairs (hash-defined → rows-only check).
+    // MinHash+LSH near-dup pairs. Fully deterministic (FNV shingles,
+    // splitmix64 minhash family), so the oracle replays the ENTIRE
+    // pipeline in DuckDB bit math: signatures, 8x4 banding, candidate
+    // join, exact-Jaccard verification (DuckSql generates the hash
+    // arithmetic; band equality is on the raw 4-hash slice, which the
+    // engine's xxhash64 bucket key represents injectively modulo
+    // 2^-64 collisions).
     QueryDef("dedup_minhash_lsh",
       (s, dir) => DedupOps.minhashLshPairs(
         table(s, dir, "documents"), "text", "doc_id",
         numHashes = 32, bands = 8, minJaccard = 0.2),
-      None),
+      Some(s"""WITH ${DuckSql.minhashSigCtes},
+             |banded AS (SELECT doc_id, b,
+             |    array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS bs
+             |  FROM msig, (SELECT unnest(range(0,8)) AS b) bb),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM banded a JOIN banded c
+             |    ON a.b = c.b AND a.bs = c.bs AND a.doc_id < c.doc_id),
+             |jac AS (SELECT id_a, id_b,
+             |    len(list_intersect(x.sh, y.sh)) * 1.0 /
+             |      (len(x.sh) + len(y.sh)
+             |       - len(list_intersect(x.sh, y.sh))) AS j
+             |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+             |    JOIN sh y ON y.doc_id = cand.id_b)
+             |SELECT id_a, id_b, ROUND(j, 4) AS jaccard
+             |FROM jac WHERE j >= 0.2""".stripMargin)),
 
-    // SimHash signature groups (hash-defined → rows-only check).
+    // SimHash signature groups. Deterministic FNV-token SimHash → the
+    // oracle re-derives every 64-bit signature in DuckDB bit math and
+    // regroups (sign-sum votes replayed per bit).
     QueryDef("dedup_simhash",
       (s, dir) => DedupOps.simhashGroups(
         table(s, dir, "documents"), "text", "doc_id")
         .select(col("simhash"), col("n_docs"),
           concat_ws(",", col("ids")).as("ids_csv")),
-      None),
+      Some(s"""WITH docsrc AS (SELECT doc_id, text FROM documents),
+             |${DuckSql.simhashCtes}
+             |SELECT simhash, count(*) AS n_docs,
+             |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             |    AS ids_csv
+             |FROM sig GROUP BY simhash""".stripMargin)),
 
     // Winnowing (MOSS) passage-overlap: plant contaminated composites
     // (25 tokens lifted from a real doc + unique filler). Whole-doc
@@ -849,7 +938,26 @@ object OpsQueries {
             s"$nRecovered/$nPlanted recovered")
         pairs.orderBy("id_a", "id_b")
       },
-      None),
+      // The banded join's output is EXACTLY all pairs at Hamming <= 3
+      // (pigeonhole: <= 3 differing bits leave >= 1 of the 4 16-bit
+      // bands equal), so the oracle replays signatures in DuckDB bit
+      // math and takes the plain quadratic form the banding avoids at
+      // scale.
+      Some(s"""WITH docsrc AS (SELECT doc_id, text FROM documents
+             |    WHERE doc_id % 10 = 0),
+             |${DuckSql.simhashCtes},
+             |sigs AS (SELECT doc_id, simhash AS sig FROM sig
+             |  UNION ALL
+             |  SELECT s.doc_id + 1000000 AS doc_id,
+             |    CASE WHEN s.doc_id % 64 = 63
+             |      THEN xor(s.simhash, CAST(-9223372036854775807 AS BIGINT) - 1)
+             |      ELSE xor(s.simhash,
+             |        CAST(1 AS BIGINT) << CAST(s.doc_id % 64 AS INT)) END AS sig
+             |  FROM sig s)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  bit_count(xor(a.sig, b.sig)) AS hamming
+             |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin)),
 
     // MinHash-LSH recall, measured: plant a 10%-truncated variant of
     // every doc (shingle Jaccard ~0.85-0.9 vs the original), compute
@@ -987,18 +1095,12 @@ object OpsQueries {
     QueryDef("sim_lsh_recall",
       (s, dir) => {
         import s.implicits._
-        val e = table(s, dir, "embeddings")
-        val src = e.filter(col("vec_id") % 10 === 0)
-        val queries = src.select(
-          (col("vec_id") + 1000000L).as("qid"),
-          expr("transform(embedding, (x, i) -> " +
-            "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
-            .as("vec"))
-        val corpus = e.select(col("vec_id").as("id"),
-          col("embedding").as("vec"))
+        val (src, queries, corpus) = plantedSim(s, dir)
         val k = 5
-        // ground truth: brute force must rank each source in the top-k
-        val exact = SimilarityOps.bruteForceTopK(queries, corpus, k)
+        // ground truth: brute force must rank each source in the
+        // top-k — read from the corpus-fingerprint-keyed fixture
+        // (computed once per corpus; the require still runs per-run)
+        val exact = exactTruth(s, dir)
         val nQueries = src.count()
         val exactHits = exact
           .filter(col("neighbor_id") === col("qid") - 1000000L).count()
@@ -1022,19 +1124,17 @@ object OpsQueries {
     QueryDef("sim_ivf_recall",
       (s, dir) => {
         import s.implicits._
-        val e = table(s, dir, "embeddings")
-        val src = e.filter(col("vec_id") % 10 === 0)
-        val queries = src.select(
-          (col("vec_id") + 1000000L).as("qid"),
-          expr("transform(embedding, (x, i) -> " +
-            "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
-            .as("vec"))
-        val corpus = e.select(col("vec_id").as("id"),
-          col("embedding").as("vec"))
+        val (src, queries, corpus) = plantedSim(s, dir)
         val k = 5
+        // exact-NN precondition from the persisted truth fixture
+        // (cheap read; same require the LSH gate enforces)
+        val nQueries = src.count()
+        val exactHits = exactTruth(s, dir)
+          .filter(col("neighbor_id") === col("qid") - 1000000L).count()
+        require(exactHits == nQueries,
+          s"planted sources not exact-NN: $exactHits/$nQueries")
         val approx = SimilarityOps.ivfTopK(queries, corpus, k,
           nlist = 16, nprobe = 4)
-        val nQueries = src.count()
         val found = approx
           .filter(col("neighbor_id") === col("qid") - 1000000L).count()
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
@@ -1045,43 +1145,46 @@ object OpsQueries {
       },
       None),
 
-    // Persisted IVF index: build-once as lake tables (centroids +
-    // cell-partitioned assignments), probe-many with partition-pruned
-    // candidate scans. Same planted-near-dup protocol and recall bar
-    // as sim_ivf_recall, but the probe runs against the PREBUILT
-    // index, exercising the build/probe split a 100 TB ANN service
-    // actually uses.
-    QueryDef("sim_ivf_index_recall",
+    // Persisted IVF index, SPLIT into separately-benchmarked build
+    // and probe gates (VERDICT r11 #1 — three rounds of creep hid in
+    // the fused number). The BUILD gate always rebuilds the
+    // fixture-path index from scratch and marks it fresh; its output
+    // (cell and vector counts of the committed lake tables) is
+    // DuckDB-oracled. The PROBE gate finds the fixture fresh and
+    // times only the partition-pruned probe — the steady-state op of
+    // a 100 TB ANN service, where builds are rare and probes are the
+    // workload.
+    QueryDef("sim_ivf_index_build",
       (s, dir) => {
         import s.implicits._
-        val e = table(s, dir, "embeddings")
-        val src = e.filter(col("vec_id") % 10 === 0)
-        val queries = src.select(
-          (col("vec_id") + 1000000L).as("qid"),
-          expr("transform(embedding, (x, i) -> " +
-            "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
-            .as("vec"))
-        val corpus = e.select(col("vec_id").as("id"),
-          col("embedding").as("vec"))
-        val indexPath = scratch("sim_ivf_index", dir)
-        // build/probe wall-time split on stderr: the gate fuses index
-        // construction (two lake-table writes) with the probe, so a
-        // creeping bench number is unattributable without this line
-        // (VERDICT r10; the probe-side scan bound is pinned by the
-        // OpsSuite file-count assertion)
-        val tBuild = System.nanoTime()
-        SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 16)
-        val buildSec = (System.nanoTime() - tBuild) / 1e9
+        val (_, _, corpus) = plantedSim(s, dir)
+        val path = ensureIvfIndex(s, dir, force = true)
+        val nCells = graft.lake.LakeTable
+          .forPath(s, s"$path/centroids").toDF.count()
+        val nVec = graft.lake.LakeTable
+          .forPath(s, s"$path/assignments").toDF.count()
+        require(nVec == corpus.count(),
+          s"index holds $nVec of ${corpus.count()} corpus vectors")
+        Seq((nCells, nVec)).toDF("n_cells", "n_vectors")
+      },
+      Some("""SELECT CAST(16 AS BIGINT) AS n_cells,
+             |  CAST(count(*) AS BIGINT) AS n_vectors
+             |FROM embeddings""".stripMargin)),
+
+    // Probe-only leg: same planted-near-dup protocol and recall bar
+    // as sim_ivf_recall, against the PREBUILT index (the probe-side
+    // scan bound — only the probed cells' files — is pinned by the
+    // OpsSuite file-count assertion).
+    QueryDef("sim_ivf_index_probe",
+      (s, dir) => {
+        import s.implicits._
+        val (src, queries, _) = plantedSim(s, dir)
+        val indexPath = ensureIvfIndex(s, dir)
         val approx = SimilarityOps.ivfIndexTopK(
           queries, indexPath, k = 5, nprobe = 4)
         val nQueries = src.count()
-        val tProbe = System.nanoTime()
         val found = approx
           .filter(col("neighbor_id") === col("qid") - 1000000L).count()
-        val probeSec = (System.nanoTime() - tProbe) / 1e9
-        System.err.println(
-          f"[gate] sim_ivf_index_recall build=$buildSec%.3fs " +
-          f"probe=$probeSec%.3fs")
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
         require(recall >= 0.9,
           s"persisted-IVF recall $recall below 0.9 ($found/$nQueries)")
@@ -1209,6 +1312,43 @@ object OpsQueries {
              |SELECT doc_id AS media_id, CAST(byte_len AS BIGINT) AS byte_len,
              |  ROUND(list_aggregate(cps, 'sum') * 1.0 / byte_len, 4) AS mean_byte
              |FROM bytes""".stripMargin)),
+
+    // REAL multimodal decode (VERDICT r11 #5): well-formed BMP and
+    // WAV payloads built from a closed-form generator, decoded by the
+    // actual byte-level parsers (BMP header + bottom-up stride walk,
+    // WAV RIFF chunk walk + signed PCM16) — the oracle re-derives
+    // pixel/sample sums ARITHMETICALLY from the same closed form, so
+    // a decoder that misreads stride, row order, chunk layout, or
+    // sample signedness hash-mismatches. value_sum is an exact
+    // integer: no float rounding anywhere in the compare.
+    QueryDef("multimodal_decode_real",
+      (s, dir) => {
+        import s.implicits._
+        val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map { id =>
+          if (id % 2 == 0)
+            (id, MultimodalOps.syntheticBmp(id, 17, 9), "image/bmp")
+          else
+            (id, MultimodalOps.syntheticWav(id, 64 + (id % 32).toInt),
+              "audio/wav")
+        }).toDF("media_id", "media", "format")
+        MultimodalOps.decodeAndFeaturize(media).toDF()
+          .select(col("media_id"), col("n_samples"), col("value_sum"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(459 AS BIGINT) AS n_samples,
+             |  CAST(list_sum(flatten(list_transform(range(0,9), y ->
+             |    flatten(list_transform(range(0,17), x ->
+             |      list_transform(range(0,3), c ->
+             |        (doc_id*31 + 7*x + 13*y + 5*c) % 256))))))
+             |    AS BIGINT) AS value_sum
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT doc_id AS media_id,
+             |  CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+             |  CAST(list_sum(list_transform(range(0, 64 + doc_id % 32),
+             |    i -> ((doc_id*31 + 7*i) % 2048) - 1024))
+             |    AS BIGINT) AS value_sum
+             |FROM documents WHERE doc_id % 2 = 1""".stripMargin)),
 
     // Frame-sampling stub: explode shape over binary payloads.
     QueryDef("multimodal_frames",

@@ -51,4 +51,40 @@ object QueryDef {
     graft.lake.LakeWriter.deleteRecursively(dir)
     dir.toString
   }
+
+  /** Persistent per-(sf, gate) fixture dir — NOT cleaned between runs.
+    * For state that is expensive to derive but a pure function of the
+    * corpus (exact-NN truth tables, prebuilt ANN indexes): callers
+    * validate a content fingerprint ([[fixtureFresh]]) and rebuild only
+    * when the underlying data changed.
+    */
+  def fixture(name: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_fixture", sf, name).toString
+  }
+
+  /** File-level fingerprint of a source table (name:size:mtime) — no
+    * scan; exactly the staleness a regenerated testdata dir shows.
+    */
+  def tableFp(sfDir: String, tbl: String): String = {
+    val f = new java.io.File(s"$sfDir/$tbl.parquet")
+    s"${f.getName}:${f.length}:${f.lastModified}"
+  }
+
+  /** Is the fixture at `dir` current for fingerprint `fp`? */
+  def fixtureFresh(dir: String, fp: String): Boolean = {
+    val m = java.nio.file.Paths.get(dir, "_fp")
+    java.nio.file.Files.exists(m) &&
+      java.nio.file.Files.readString(m) == fp
+  }
+
+  /** Mark the fixture at `dir` as built for fingerprint `fp`. Written
+    * LAST, so a crashed build never reads as fresh.
+    */
+  def fixtureMark(dir: String, fp: String): Unit = {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_fp"), fp)
+    ()
+  }
 }

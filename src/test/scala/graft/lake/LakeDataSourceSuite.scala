@@ -803,6 +803,36 @@ class LakeDataSourceSuite extends SparkSuite {
     noScan(mq, "max over mapped rename")
   }
 
+  test("grouped metadata rewrite merges partition renderings that " +
+      "parse to the same typed value") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a converted/foreign table can carry MIXED raw renderings of the
+    // same typed partition value ('1' vs '01' for an INT column); a
+    // real scan casts both to 1 and returns ONE group — the
+    // metadata-only grouped rewrite must merge them the same way,
+    // never emit duplicate groups keyed by raw string
+    val path = tablePath("dsv2groupmixed")
+    spark.range(0, 4).toDF("id").coalesce(1).write.parquet(s"$path/p=1")
+    spark.range(10, 13).toDF("id").coalesce(1).write.parquet(s"$path/p=01")
+    spark.range(20, 22).toDF("id").coalesce(1).write.parquet(s"$path/p=2")
+    val t = LakeTable.convertToLake(spark, path, "p INT").toDF
+    val q = t.groupBy("p").agg(count(lit(1)).as("n"), min("id").as("mn"),
+      max("id").as("mx"))
+    val rows = q.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows === Set((1, 7L, 0L, 12L), (2, 2L, 20L, 21L)),
+      "mixed renderings of p=1 must merge into one group")
+    // still answered from metadata (merging must not force a scan)
+    q.collect()
+    assert(!q.queryExecution.executedPlan.toString.contains("FileScan"),
+      "merged grouped aggregate should stay metadata-only")
+    // ungrouped COUNT(p): both files' rows are non-null under the cast
+    val c = t.agg(count($"p").as("n"))
+    assert(c.head().getLong(0) === 9L)
+  }
+
   test("metadata-only DELETE handles null partitions correctly") {
     val path = tablePath("dsv2nulldel")
     Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))

@@ -89,6 +89,31 @@ class LakeSqlParserSuite extends SparkSuite {
     assert(got.as[Long].collect().sorted === Array(1L, 2L))
   }
 
+  test("VERSION AS OF naming a LAKE table inside a string literal " +
+      "passes through unrewritten") {
+    freshTable("pt3c", Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    LakeSql.sql(spark, "DELETE FROM pt3c WHERE id = 2") // v1
+    // the literal matches the regex AND names a real lake table —
+    // before the quote guard this corrupted the projected string by
+    // splicing a temp-view name into the literal
+    val got = LakeSql.sql(spark,
+      "SELECT id, 'FROM pt3c VERSION AS OF 3' AS note FROM pt3c")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got === Array((1L, "FROM pt3c VERSION AS OF 3")))
+    // same guard for TIMESTAMP AS OF literals
+    val got2 = LakeSql.sql(spark,
+      "SELECT 'FROM pt3c TIMESTAMP AS OF ''2024-01-01 00:00:00''' AS s " +
+        "FROM pt3c").as[String].collect()
+    assert(got2 === Array("FROM pt3c TIMESTAMP AS OF '2024-01-01 00:00:00'"))
+    // and a REAL time-travel clause still rewrites when a literal
+    // containing the phrase precedes it in the same statement
+    val got3 = LakeSql.sql(spark,
+      "SELECT id FROM pt3c VERSION AS OF 0 " +
+        "WHERE k <> 'x FROM pt3c VERSION AS OF 0 y'")
+      .as[Long].collect().sorted
+    assert(got3 === Array(1L, 2L))
+  }
+
   test("refreshReferenced matches identifiers, not substrings") {
     val path = freshTable("t", Seq((1L, "a", 1.0)))
     freshTable("tx", Seq((9L, "z", 9.0)))

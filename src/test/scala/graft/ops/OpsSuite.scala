@@ -113,6 +113,37 @@ class OpsSuite extends SparkSuite {
     assert(sel.forall(_ < 10L), s"resample leaked beta docs: $sel")
   }
 
+  test("DSIR scratch-table spill path produces identical weights") {
+    // the scale path stages the corpus histogram through a scratch
+    // lake table instead of the executor cache; weights must be
+    // IDENTICAL either way, and the scratch table must be gone after
+    val docs = ((0L until 10L).map(i => (i, s"alpha$i common alpha a${i % 3}")) ++
+      (10L until 20L).map(i => (i, s"beta$i common beta b${i % 3}")))
+      .toDF("id", "text")
+    val target = docs.filter($"id" < 10)
+    val cached = graft.ops.DsirOps.dsirWeights(docs, target, "text", "id",
+      buckets = 512)
+      .select("id", "n_feats", "log_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val dir = tmpDir("dsir-scratch")
+    val spilled = graft.ops.DsirOps.dsirWeights(docs, target, "text", "id",
+      buckets = 512, scratchDir = Some(dir), scratchMinDocs = 1L)
+      .select("id", "n_feats", "log_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(spilled === cached)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "dsir_raw_hist")),
+      "scratch histogram table must be deleted after the weights " +
+        "materialize")
+    // below the threshold the scratch dir is ignored (persist path)
+    val under = graft.ops.DsirOps.dsirWeights(docs, target, "text", "id",
+      buckets = 512, scratchDir = Some(dir),
+      scratchMinDocs = 1000000L)
+      .select("id", "n_feats", "log_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(under === cached)
+  }
+
   test("segment dedup: keep-first across docs, intra-doc repeats collapse") {
     // segWords=2 → doc 10 segments: [a b][c d][a b]; doc 11: [a b][x y];
     // doc 12: [c d]. Corpus-wide keep-first by (doc_id, seg_idx):
@@ -169,6 +200,67 @@ class OpsSuite extends SparkSuite {
     assert(f.byte_len === 11L)
     assert(math.abs(f.mean_byte - "hello world".getBytes.map(_ & 0xff).sum / 11.0) < 1e-9)
     assert(f.feature.sum === 11.0f) // histogram mass = byte count
+  }
+
+  test("BMP decode: stride, bottom-up rows, exact channel bytes") {
+    // 2x2 canary with KNOWN pixels, built by hand (not via
+    // syntheticBmp, so generator and parser can't share a bug):
+    // image rows top-down are [(B=1,G=2,R=3),(4,5,6)] / [(7,8,9),
+    // (10,11,12)] — stored bottom-up, stride 8 (2 pad bytes, set to
+    // 0xEE to prove padding is skipped)
+    val w = 2; val h = 2; val stride = 8
+    val bmp = new Array[Byte](54 + stride * h)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def p32(o: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      bmp(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def p16(o: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      bmp(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    p32(2, bmp.length); p32(10, 54); p32(14, 40)
+    p32(18, w); p32(22, h); p16(26, 1); p16(28, 24); p32(30, 0)
+    // bottom file row = image row 1 (values 7..12)
+    val bottom = Array[Byte](7, 8, 9, 10, 11, 12, 0xEE.toByte, 0xEE.toByte)
+    val top = Array[Byte](1, 2, 3, 4, 5, 6, 0xEE.toByte, 0xEE.toByte)
+    System.arraycopy(bottom, 0, bmp, 54, 8)
+    System.arraycopy(top, 0, bmp, 54 + 8, 8)
+    val f = MultimodalOps.decodeBmp(9L, bmp, 8)
+    assert(f.n_samples === 12L)
+    assert(f.value_sum === (1 to 12).sum.toLong) // pad bytes excluded
+    assert(f.mean_value === (1 to 12).sum / 12.0)
+    // corrupt: truncated pixel array fails loudly
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeBmp(9L, bmp.take(54 + 8), 8)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeBmp(9L, "JFIFnotabmp".getBytes, 8)
+    }
+  }
+
+  test("WAV decode: chunk walk, signed PCM16, synthetic round-trip") {
+    // hand-built: samples 100, -100, 32767, -32768 → sum = -1
+    val n = 4
+    val wav = MultimodalOps.syntheticWav(0L, n) // reuse layout, overwrite data
+    val dataOff = 48 + 8
+    def ps(o: Int, v: Int): Unit = {
+      wav(o) = (v & 0xff).toByte; wav(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ps(dataOff, 100); ps(dataOff + 2, -100 & 0xffff)
+    ps(dataOff + 4, 32767); ps(dataOff + 6, -32768 & 0xffff)
+    val f = MultimodalOps.decodeWav(3L, wav, 8)
+    assert(f.n_samples === 4L)
+    assert(f.value_sum === -1L)
+    // synthetic generator round-trips through the decoder exactly
+    val id = 17L; val m = 80
+    val g = MultimodalOps.decodeWav(id, MultimodalOps.syntheticWav(id, m), 8)
+    val expect = (0 until m).map(i => ((id * 31 + 7L * i) % 2048) - 1024).sum
+    assert(g.n_samples === m.toLong && g.value_sum === expect)
+    // BMP generator round-trips too (stride path: width 17)
+    val b = MultimodalOps.decodeBmp(id, MultimodalOps.syntheticBmp(id, 17, 9), 8)
+    val bExpect = (for (y <- 0 until 9; x <- 0 until 17; c <- 0 until 3)
+      yield (id * 31 + 7L * x + 13L * y + 5L * c) % 256).sum
+    assert(b.n_samples === 17L * 9 * 3 && b.value_sum === bExpect)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWav(3L, new Array[Byte](100), 8)
+    }
   }
 
   test("LSH top-k: multi-probe widens recall; true near-dups always found") {

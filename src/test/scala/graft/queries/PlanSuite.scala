@@ -24,6 +24,27 @@ class PlanSuite extends SparkSuite {
     assert(star.contains("BroadcastHashJoin"))
   }
 
+  test("q30 market share: dims broadcast, one fact-fact shuffle edge") {
+    val plan = planOf("q30_market_share")
+    // part, supplier, customer, nation x2, region — at least five
+    // broadcast joins; the shape must never degrade to nested-loop
+    // or cartesian
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 5, s"expected >=5 broadcast joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wide join degraded to a product:\n$plan")
+    // the lineitem-orders fact edge is the only join allowed to
+    // shuffle; everything else rides the broadcast chain
+    val nShuffleJoin = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(nShuffleJoin <= 1,
+      s"more than the fact-fact edge shuffles ($nShuffleJoin):\n$plan")
+    // selective dim filters reach the scans
+    assert(plan.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)]") ||
+      plan.contains("EqualTo(p_type,PROMO)"), s"p_type not pushed:\n$plan")
+  }
+
   test("filters and projections reach the parquet scan (q2)") {
     val plan = planOf("q2_filter_project")
     assert(plan.contains("PushedFilters: ["))
