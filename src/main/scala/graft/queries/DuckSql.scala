@@ -100,13 +100,14 @@ object DuckSql {
        |sig AS (SELECT doc_id, CAST(s - CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT) THEN CAST($P64 AS HUGEINT) ELSE 0 END AS BIGINT) AS simhash FROM ss)""".stripMargin
   }
 
-  /** CTE chain `documents -> sh(doc_id, sh) -> msig(doc_id, sig)`:
+  /** CTE chain `<src> -> sh(doc_id, sh) -> msig(doc_id, sig)`:
     * distinct FNV 3-gram shingle hashes and the 32-element minhash
     * signature (signed BIGINT list, index order = seed order) —
-    * replays `MinHashSig(HashedShingles(text, 3), 32)`.
+    * replays `MinHashSig(HashedShingles(text, 3), 32)` over a source
+    * CTE/table with (doc_id, text) columns.
     */
-  val minhashSigCtes: String =
-    s"""sh AS (SELECT doc_id, list_distinct(list_transform(${grams(3)}, g -> ${fnv64("g")})) AS sh FROM documents),
+  def minhashSigCtes(src: String = "documents"): String =
+    s"""sh AS (SELECT doc_id, list_distinct(list_transform(${grams(3)}, g -> ${fnv64("g")})) AS sh FROM $src),
        |el AS (SELECT doc_id, unnest(sh) AS e FROM sh),
        |ej AS (SELECT doc_id, e, unnest(range(0, 32)) AS j FROM el),
        |sj AS (SELECT doc_id, e, j, $minhashSeed AS s0 FROM ej),

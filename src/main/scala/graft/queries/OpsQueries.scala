@@ -107,6 +107,45 @@ object OpsQueries {
       |      AS BIGINT) AS stopword_hits
       |  FROM sp)""".stripMargin
 
+  /** The DSIR weights pipeline as a DuckDB CTE chain ending in
+    * `w(doc_id, n_feats, log_weight)` — md5-bucketed unigram+bigram
+    * distributions, add-1 smoothing over 1024 buckets,
+    * log-likelihood-ratio sums (target = the corpus's English docs).
+    * Shared by the weights gate and the Gumbel-top-k selection gate so
+    * the two oracles can never drift.
+    */
+  private[queries] val DSIR_WEIGHTS_CTES: String =
+    """sp AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS s
+      |  FROM documents),
+      |rawf AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(f),1,8))::BIGINT % 1024 AS b
+      |  FROM (SELECT doc_id, unnest(s || list_transform(
+      |      range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS f
+      |    FROM sp)),
+      |tgtf AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(f),1,8))::BIGINT % 1024 AS b
+      |  FROM (SELECT doc_id, unnest(s || list_transform(
+      |      range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS f
+      |    FROM sp WHERE lang = 'en')),
+      |db AS (SELECT doc_id, b, count(*) AS c
+      |       FROM rawf GROUP BY doc_id, b),
+      |rc AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
+      |tc AS (SELECT b, count(*) AS ct FROM tgtf GROUP BY b),
+      |tot AS (SELECT (SELECT sum(cr) FROM rc) AS tr,
+      |               (SELECT sum(ct) FROM tc) AS tt),
+      |ratio AS (
+      |  SELECT rc.b,
+      |    ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 1024.0)) -
+      |    ln((rc.cr + 1.0) / (tot.tr + 1024.0)) AS lr
+      |  FROM rc LEFT JOIN tc USING (b), tot),
+      |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+      |    round(sum(c * lr), 4) AS log_weight
+      |  FROM db JOIN ratio USING (b)
+      |  GROUP BY doc_id)""".stripMargin
+
   /** The pass conjunction over the `m` CTE's columns. */
   private[queries] val GOPHER_PASS_SQL: String =
     """n_words BETWEEN 50 AND 100000
@@ -426,42 +465,16 @@ object OpsQueries {
         DsirOps.dsirWeights(d, d.filter("lang = 'en'"),
           "text", "doc_id", buckets = 1024)
       },
-      Some("""WITH sp AS (
-             |  SELECT doc_id, lang, string_split(text, ' ') AS s
-             |  FROM documents),
-             |rawf AS (
-             |  SELECT doc_id,
-             |    ('0x' || substr(md5(f),1,8))::BIGINT % 1024 AS b
-             |  FROM (SELECT doc_id, unnest(s || list_transform(
-             |      range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS f
-             |    FROM sp)),
-             |tgtf AS (
-             |  SELECT doc_id,
-             |    ('0x' || substr(md5(f),1,8))::BIGINT % 1024 AS b
-             |  FROM (SELECT doc_id, unnest(s || list_transform(
-             |      range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS f
-             |    FROM sp WHERE lang = 'en')),
-             |db AS (SELECT doc_id, b, count(*) AS c
-             |       FROM rawf GROUP BY doc_id, b),
-             |rc AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
-             |tc AS (SELECT b, count(*) AS ct FROM tgtf GROUP BY b),
-             |tot AS (SELECT (SELECT sum(cr) FROM rc) AS tr,
-             |               (SELECT sum(ct) FROM tc) AS tt),
-             |ratio AS (
-             |  SELECT rc.b,
-             |    ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 1024.0)) -
-             |    ln((rc.cr + 1.0) / (tot.tr + 1024.0)) AS lr
-             |  FROM rc LEFT JOIN tc USING (b), tot)
-             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-             |  round(sum(c * lr), 4) AS log_weight
-             |FROM db JOIN ratio USING (b)
-             |GROUP BY doc_id""".stripMargin)),
+      Some(s"""WITH $DSIR_WEIGHTS_CTES
+             |SELECT doc_id, n_feats, log_weight FROM w""".stripMargin)),
 
     // DSIR resampling (the selection half): Gumbel-top-k over the
-    // importance weights, deterministic via md5-derived noise. No SQL
-    // oracle (the weights leg above is the oracle-checked half);
-    // in-gate planted truth instead: with the corpus's English slice
-    // as the target, the selected set must (a) be exactly k docs,
+    // importance weights, deterministic via md5-derived noise.
+    // Round 12: SQL-oracled end to end — the Gumbel key is
+    // round(log_weight/T − ln(−ln(u)), 4) with u an md5 coordinate,
+    // so DuckDB replays the whole selection (weights chain shared
+    // with the gate above via DSIR_WEIGHTS_CTES). The in-gate planted
+    // truths stay: the selected set must (a) be exactly k docs,
     // (b) ENRICH English vs the corpus base rate by a real margin,
     // (c) prefer high-weight docs on average, and (d) reproduce
     // EXACTLY on a second run — "importance resampling" that can't
@@ -498,7 +511,16 @@ object OpsQueries {
         require(ids2 == ids, "resample ranking is not reproducible")
         sel
       },
-      None),
+      Some(s"""WITH $DSIR_WEIGHTS_CTES,
+             |g AS (SELECT doc_id, n_feats, log_weight,
+             |    round(log_weight / 0.5 - ln(-ln(
+             |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+             |        ::BIGINT + 0.5) / 4294967296.0)), 4) AS gumbel_key
+             |  FROM w)
+             |SELECT doc_id, n_feats, log_weight, gumbel_key FROM g
+             |QUALIFY row_number()
+             |    OVER (ORDER BY gumbel_key DESC, doc_id) <=
+             |  (SELECT count(*) // 5 FROM documents)""".stripMargin)),
 
     QueryDef("text_unigram_surprisal",
       (s, dir) => TextOps.unigramSurprisal(
@@ -785,7 +807,7 @@ object OpsQueries {
       (s, dir) => DedupOps.minhashLshPairs(
         table(s, dir, "documents"), "text", "doc_id",
         numHashes = 32, bands = 8, minJaccard = 0.2),
-      Some(s"""WITH ${DuckSql.minhashSigCtes},
+      Some(s"""WITH ${DuckSql.minhashSigCtes()},
              |banded AS (SELECT doc_id, b,
              |    array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS bs
              |  FROM msig, (SELECT unnest(range(0,8)) AS b) bb),
@@ -994,7 +1016,45 @@ object OpsQueries {
         Seq((nTrue, nFound, math.rint(recall * 10000) / 10000))
           .toDF("n_true_pairs", "n_found_pairs", "recall")
       },
-      None),
+      // Round 12: the measured recall itself is DuckDB-replayable —
+      // the truth count is exact shingle Jaccard per planted pair and
+      // the found count re-runs the full signature/banding pipeline
+      // in SQL bit math, so the oracle recomputes BOTH sides of the
+      // recall fraction, not just sanity rows.
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |    array_to_string(list_slice(
+             |      string_split_regex(text, '\\s+'), 1,
+             |      GREATEST(3, CAST(floor(
+             |        len(string_split_regex(text, '\\s+')) * 0.9)
+             |        AS INT))), ' ') AS text
+             |  FROM documents),
+             |${DuckSql.minhashSigCtes("corpus")},
+             |banded AS (SELECT doc_id, b,
+             |    array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS bs
+             |  FROM msig, (SELECT unnest(range(0,8)) AS b) bb),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM banded a JOIN banded c
+             |    ON a.b = c.b AND a.bs = c.bs AND a.doc_id < c.doc_id),
+             |found AS (SELECT count(*) AS nf
+             |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+             |    JOIN sh y ON y.doc_id = cand.id_b
+             |  WHERE id_b = id_a + 1000000 AND id_a < 1000000
+             |    AND len(list_intersect(x.sh, y.sh)) * 1.0 /
+             |      (len(x.sh) + len(y.sh)
+             |       - len(list_intersect(x.sh, y.sh))) >= 0.8),
+             |truth AS (SELECT count(*) AS nt
+             |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+             |  WHERE a.doc_id < 1000000
+             |    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+             |      (len(a.sh) + len(b.sh)
+             |       - len(list_intersect(a.sh, b.sh))) >= 0.8)
+             |SELECT nt AS n_true_pairs, nf AS n_found_pairs,
+             |  CASE WHEN nt = 0 THEN 1.0
+             |       ELSE round(nf * 1.0 / nt, 4) END AS recall
+             |FROM truth, found""".stripMargin)),
 
     // SemDeDup (cluster-scoped semantic dedup): corpus ∪ perturbed
     // copies (ids shifted, cos ≈ 0.99 to their source) — every copy
