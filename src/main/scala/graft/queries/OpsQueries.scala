@@ -522,6 +522,51 @@ object OpsQueries {
              |    OVER (ORDER BY gumbel_key DESC, doc_id) <=
              |  (SELECT count(*) // 5 FROM documents)""".stripMargin)),
 
+    // Trained quality classifier (round 12): hashed-ngram logistic
+    // regression — the model-based selector (GPT-3/CCNet/LLaMA-style)
+    // next to the rule-based Gopher gate. Planted truth: junk twins
+    // of every document (tiny synthetic vocabulary, no natural
+    // structure) labeled 0 against the real docs' 1; the model trains
+    // on even doc_ids and must classify the HELD-OUT odd ids at
+    // >= 95% accuracy — a classifier that can't separate real prose
+    // from low-diversity noise on unseen docs would be selecting
+    // training data by coin flip. No SQL oracle (L-BFGS optimization
+    // is not SQL-expressible); rows-only check + the in-gate
+    // accuracy require.
+    QueryDef("text_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val toks = split(col("text"), " ")
+        val junk = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", transform(
+            sequence(lit(1), greatest(size(toks), lit(5))),
+            i => concat(lit("zq"), pmod(col("doc_id") + i, lit(13)))))
+            .as("text"))
+        val all = docs.withColumn("label", lit(1.0))
+          .union(junk.withColumn("label", lit(0.0)))
+        val train = all.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val heldOut = all.filter(pmod(col("doc_id"), lit(2)) === 1)
+        // 16k-bucket features / 15 L-BFGS iterations: the planted
+        // classes are linearly separable, so the extra capacity of
+        // the defaults buys nothing but bench seconds here
+        val model = QualityModelOps.trainQualityModel(
+          train, "text", "label", numFeatures = 1 << 14, maxIter = 15)
+        val scored = QualityModelOps.scoreQuality(heldOut, model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val nEval = scored.count()
+        val nCorrect = scored.filter(
+          (col("quality_score") >= 0.5) === (col("label") === 1.0))
+          .count()
+        val acc = if (nEval == 0) 0.0 else nCorrect.toDouble / nEval
+        require(acc >= 0.95,
+          s"held-out accuracy $acc below 0.95 ($nCorrect/$nEval)")
+        Seq((nEval, nCorrect, math.rint(acc * 10000) / 10000))
+          .toDF("n_eval", "n_correct", "accuracy")
+      },
+      None),
+
     QueryDef("text_unigram_surprisal",
       (s, dir) => TextOps.unigramSurprisal(
         table(s, dir, "documents"), "text", "doc_id"),

@@ -113,6 +113,33 @@ class OpsSuite extends SparkSuite {
     assert(sel.forall(_ < 10L), s"resample leaked beta docs: $sel")
   }
 
+  test("quality classifier separates prose from noise on held-out docs") {
+    val real = (0L until 40L).map(i =>
+      (i, s"the quick brown fox $i jumps over the lazy dog and runs home", 1.0))
+    val junk = (100L until 140L).map(i =>
+      (i, Seq.fill(12)(s"zz${i % 3}").mkString(" "), 0.0))
+    val all = (real ++ junk).toDF("id", "text", "label")
+    val train = all.filter($"id" % 2 === 0)
+    val eval = all.filter($"id" % 2 === 1)
+    val model = graft.ops.QualityModelOps.trainQualityModel(
+      train, "text", "label", numFeatures = 1 << 12, maxIter = 20)
+    val scored = graft.ops.QualityModelOps.scoreQuality(eval, model)
+      .select("id", "label", "quality_score")
+      .as[(Long, Double, Double)].collect()
+    assert(scored.nonEmpty)
+    assert(scored.forall { case (_, _, s) => s >= 0.0 && s <= 1.0 })
+    // every held-out real doc outscores every held-out junk doc
+    val realMin = scored.filter(_._2 == 1.0).map(_._3).min
+    val junkMax = scored.filter(_._2 == 0.0).map(_._3).max
+    assert(realMin > junkMax,
+      s"no separation: real min $realMin <= junk max $junkMax")
+    // filterByQuality keeps exactly the above-threshold rows
+    val kept = graft.ops.QualityModelOps.filterByQuality(
+      eval, train, "text", "label", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept.forall(_ < 100L), s"junk leaked through the filter: $kept")
+  }
+
   test("DSIR scratch-table spill path produces identical weights") {
     // the scale path stages the corpus histogram through a scratch
     // lake table instead of the executor cache; weights must be
