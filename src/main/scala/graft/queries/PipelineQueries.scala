@@ -192,6 +192,64 @@ object PipelineQueries {
              |  ROUND(SUM(value), 4) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Declarative streaming sessionization (round 12): the built-in
+    // `session_window` aggregate — gap-merged session state in the
+    // state store, closed by watermark — drained with AvailableNow
+    // into a lake sink and hash-checked against gaps-and-islands SQL.
+    // Note the boundary semantics divergence from sessionize_events:
+    // session_window merges an event iff it lands STRICTLY inside
+    // last+gap (an exactly-30-minutes-later event opens a NEW
+    // session), and session_end is last event + gap — the oracle
+    // encodes both, so a drift in either contract hash-mismatches.
+    QueryDef("streaming_session_window",
+      (s, dir) => {
+        val sf = new java.io.File(dir).getName
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_stream_sess", sf)
+        graft.lake.LakeWriter.deleteRecursively(root)
+        val fileSchema = s.read
+          .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+        val events = QueryDef.normalizeTs(s.readStream
+          .schema(fileSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+        val sessions = graft.streaming.LakeStreaming
+          .sessionWindowCounts(events, gapMinutes = 30)
+        // complete mode for the same reason as the windowed gate: the
+        // gate wants every session, including ones the watermark
+        // would still be holding open in append mode
+        val outPath = s"$root/out"
+        val q = sessions.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.lake.LakeWriter.write(batch, outPath, mode = "overwrite")
+            ()
+          }
+          .start()
+        q.awaitTermination(120000)
+        graft.lake.LakeTable.forPath(s, outPath).toDF
+          .select(col("user_id"), col("session_start"),
+            col("session_end"), col("n_events"),
+            round(col("total_value"), 4).as("total_value"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |         < INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |  MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+             |  COUNT(*) AS n_events,
+             |  ROUND(SUM(value), 4) AS total_value
+             |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
     // Streaming exact dedup: the same events file staged TWICE in the
     // landing dir simulates at-least-once redelivery (a connector
     // replaying a file after a crash). `dropDuplicates` on the event

@@ -207,6 +207,38 @@ object LakeStreaming {
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
+  /** Declarative session aggregation via the built-in
+    * `session_window`: events within `gapMinutes` of the session's
+    * last event merge, the window closes after a gap. The native
+    * streaming form of sessionization — watermark-driven state
+    * eviction, merge-on-update session state in the state store,
+    * whole-stage-codegen'd agg — and the one to prefer at 100 TB when
+    * per-session custom logic isn't needed: unlike
+    * [[sessionizeStream]]'s `flatMapGroupsWithState` (arbitrary Scala
+    * state, but opaque to the optimizer) this stays a declarative
+    * aggregate Catalyst can partial-aggregate and AQE can re-plan.
+    * Session end is `last event + gap` (Spark's session_window
+    * contract; the batch gaps-and-islands form reports the last
+    * event itself).
+    */
+  def sessionWindowCounts(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      valueCol: String = "value",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol),
+        session_window(col(tsCol), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("total_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Inactivity-gap sessionization over (user_id, ts, value) rows —
     * the gaps-and-islands window plan: mark session starts with lag(),
     * number sessions with a running sum, aggregate per (user, sid).
