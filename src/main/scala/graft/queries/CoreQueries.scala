@@ -440,6 +440,97 @@ object CoreQueries {
              |  AND r_name = 'EUROPE'
              |GROUP BY 1""".stripMargin)),
 
+    // Set operations beyond UNION (q7): INTERSECT and EXCEPT, both
+    // in their deduplicating and ALL (bag-semantics) forms — the
+    // audit-diff shape ("which customer keys appear in both segments /
+    // only one"). Spark plans these as semi/anti joins or aggregated
+    // counts over one shuffle each; nothing drags a distinct through
+    // the driver.
+    QueryDef("q31_set_ops",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val a = c.filter(col("c_acctbal") > 0)
+          .select(col("c_nationkey").as("k"))
+        val b = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").as("k"))
+        a.intersect(b).withColumn("op", lit("intersect"))
+          .union(a.except(b).withColumn("op", lit("except")))
+          .union(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+          .union(a.exceptAll(b).withColumn("op", lit("except_all")))
+          .groupBy(col("op"), col("k"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH a AS (SELECT c_nationkey AS k FROM customer
+             |    WHERE c_acctbal > 0),
+             |b AS (SELECT c_nationkey AS k FROM customer
+             |    WHERE c_mktsegment = 'BUILDING'),
+             |u AS (
+             |  SELECT 'intersect' AS op, k FROM
+             |    (SELECT k FROM a INTERSECT SELECT k FROM b)
+             |  UNION ALL
+             |  SELECT 'except' AS op, k FROM
+             |    (SELECT k FROM a EXCEPT SELECT k FROM b)
+             |  UNION ALL
+             |  SELECT 'intersect_all' AS op, k FROM
+             |    (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+             |  UNION ALL
+             |  SELECT 'except_all' AS op, k FROM
+             |    (SELECT k FROM a EXCEPT ALL SELECT k FROM b))
+             |SELECT op, k, COUNT(*) AS n FROM u GROUP BY op, k"""
+        .stripMargin)),
+
+    // UNPIVOT (melt): wide → long, the inverse of q23's pivot. The
+    // stack() form is codegen'd row expansion — no shuffle at all
+    // until the caller aggregates.
+    QueryDef("q32_unpivot",
+      (s, dir) => table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, " +
+            "'disc', l_discount) AS (measure, val)"))
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          dsum("val").as("total")),
+      Some(s"""SELECT measure, COUNT(*) AS n,
+              |  ${odsum("val")} AS total
+              |FROM (
+              |  SELECT 'qty' AS measure, l_quantity AS val FROM lineitem
+              |  UNION ALL
+              |  SELECT 'price', l_extendedprice FROM lineitem
+              |  UNION ALL
+              |  SELECT 'disc', l_discount FROM lineitem)
+              |GROUP BY measure""".stripMargin)),
+
+    // Distribution window functions beyond q18's row_number and q6's
+    // lag: ntile quartiles, percent_rank, cume_dist, and a
+    // first/last_value frame — the analyst-facing window surface.
+    QueryDef("q33_window_suite",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        val wFrame = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "customer").select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first(col("c_custkey")).over(wFrame).as("poorest"),
+          last(col("c_custkey")).over(wFrame).as("richest"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+             |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+             |  FIRST_VALUE(c_custkey) OVER
+             |    (w ROWS BETWEEN UNBOUNDED PRECEDING
+             |       AND UNBOUNDED FOLLOWING) AS poorest,
+             |  LAST_VALUE(c_custkey) OVER
+             |    (w ROWS BETWEEN UNBOUNDED PRECEDING
+             |       AND UNBOUNDED FOLLOWING) AS richest
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment
+             |  ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin)),
+
     // PIVOT with an explicit value list (never let the engine scan for
     // distinct pivot values at 100 TB — list them).
     QueryDef("q23_pivot",

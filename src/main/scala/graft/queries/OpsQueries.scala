@@ -494,16 +494,21 @@ object OpsQueries {
         def run() = DsirOps.dsirResampleFromWeights(wts, "doc_id",
           k, temperature = 0.5)
         val sel = run()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         val ids = sel.select("doc_id").as[Long].collect().toSet
         require(ids.size == k, s"expected $k selected, got ${ids.size}")
+        // joins, not isin(ids): an isin over k collected ids compiles
+        // a k-literal predicate per require — the join keeps the
+        // check plan-side and k-independent
+        val selIds = sel.select(col("doc_id"))
         val enFrac = en.count().toDouble / total
-        val selEn = en.filter(col("doc_id").isin(ids.toSeq: _*)).count()
+        val selEn = en.join(selIds, "doc_id").count()
         val selEnFrac = selEn.toDouble / k
         require(selEnFrac > enFrac + 0.05,
           f"no target enrichment: selected en-frac $selEnFrac%.3f vs " +
           f"base $enFrac%.3f")
         val meanAll = wts.agg(avg("log_weight")).head().getDouble(0)
-        val meanSel = wts.filter(col("doc_id").isin(ids.toSeq: _*))
+        val meanSel = wts.join(selIds, "doc_id")
           .agg(avg("log_weight")).head().getDouble(0)
         require(meanSel > meanAll,
           s"selection does not prefer high weights: $meanSel <= $meanAll")
