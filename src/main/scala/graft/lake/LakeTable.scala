@@ -1647,10 +1647,17 @@ final class LakeTable private (
       .map { case (rel, abs) =>
         rel -> ParquetFooters.statsWithConf(confB.value.value, abs)
       }.collect().toMap
-    val adds = missing.flatMap(f => statsFor.get(f.path).map {
-      case (rows, mins, maxs, nulls) => f.copy(numRecords = rows,
-        minValues = mins, maxValues = maxs, nullCounts = nulls)
-    })
+    val adds = LakeWriter.capStats(
+      missing.flatMap(f => statsFor.get(f.path).map {
+        case (rows, mins, maxs, nulls) => f.copy(numRecords = rows,
+          minValues = mins, maxValues = maxs, nullCounts = nulls)
+      }),
+      {
+        val ov = ColumnMapping.overrides(snap.metadata)
+        snap.schema.fieldNames.toSeq
+          .map(n => ColumnMapping.physicalName(n, ov))
+      },
+      snap.metadata.properties)
     val now = System.currentTimeMillis()
     LakeWriter.commitWithRetry(log, snap.version, adds.map(_.path)) { _ =>
       assertMetadataUnchanged(snap, "COMPUTE STATS")
@@ -2213,6 +2220,23 @@ object LakeTable {
     * maintenance job. Multi-column values interleave (Z-order).
     */
   val PROP_CLUSTER_BY = "graft.clusterBy"
+
+  /** Per-file min/max/null stats are recorded only for the first N
+    * schema columns (Delta's dataSkippingNumIndexedCols, default 32):
+    * on a 1000-column table, unbounded per-column stats multiply the
+    * transaction log — the driver-side structure every snapshot
+    * replay and checkpoint carries — by the full column count for
+    * skipping power almost no query uses. Columns past the window
+    * simply fall back to scans (the metadata-only rewrite and
+    * FilePruner already bail on absent stats). -1 = index everything.
+    */
+  val PROP_STATS_COLS = "graft.dataSkippingNumIndexedCols"
+  val DEFAULT_STATS_COLS = 32
+
+  /** The configured stats-column window for a property map. */
+  private[lake] def statsColCap(props: Map[String, String]): Int =
+    props.get(PROP_STATS_COLS).map(_.trim.toInt)
+      .getOrElse(DEFAULT_STATS_COLS)
   val AUTO_COMPACT_DEFAULT_MIN_FILES = 50
   /** Prefix for identity columns (Delta's GENERATED ALWAYS AS
     * IDENTITY): `graft.identity.<col> = "<start>,<step>"`. A write
@@ -2370,6 +2394,11 @@ object LakeTable {
         case PROP_AUTO_COMPACT_MIN_FILES =>
           require(scala.util.Try(v.toInt).toOption.exists(_ >= 2),
             s"$k must be an integer >= 2, got '$v'")
+        case PROP_STATS_COLS =>
+          require(scala.util.Try(v.trim.toInt).toOption
+              .exists(n => n >= -1),
+            s"$k must be an integer >= -1 (-1 = index all columns), " +
+              s"got '$v'")
         case PROP_CLUSTER_BY =>
           // column existence is checked at OPTIMIZE time (the schema
           // can evolve after the property is set)
@@ -2500,12 +2529,12 @@ object LakeTable {
     }
     val root = Paths.get(path)
     val files = LakeWriter.walkParquet(root)
-    val adds = files.map { f =>
+    val adds = LakeWriter.capStats(files.map { f =>
       val rel = root.relativize(f).toString
       val (rows, mins, maxs, nulls) = ParquetFooters.stats(spark, f.toString)
       AddFile(rel, LakeWriter.partitionValuesOf(rel), Files.size(f),
         rows, mins, maxs, nulls)
-    }
+    }, df.schema.fieldNames.toSeq, Map.empty)
     val partCols = partSchema.fieldNames.toSeq
     log.commit(0L, Seq(
       CommitInfo(System.currentTimeMillis(), "CONVERT",

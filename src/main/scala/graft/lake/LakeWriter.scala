@@ -446,10 +446,31 @@ object LakeWriter {
           staging, Paths.get(tablePath),
           bloomPhysCols, partCols, BloomIndex.numItems(props),
           BloomIndex.fpp(props))
-      val adds = adoptStagedFiles(spark, staging, Paths.get(tablePath))
+      val adds = capStats(
+        adoptStagedFiles(spark, staging, Paths.get(tablePath)),
+        physDf.schema.fieldNames, props)
       if (bloomFor.isEmpty) adds
       else adds.map(a => a.copy(bloomPath = bloomFor.get(a.path)))
     } finally deleteRecursively(staging)
+  }
+
+  /** Drop recorded stats for columns past the table's
+    * dataSkippingNumIndexedCols window (first N fields in schema
+    * order — physical names, matching the stats keys). Row counts are
+    * always kept; un-statted columns fall back to scans.
+    */
+  private[lake] def capStats(adds: Seq[AddFile],
+      schemaOrder: Seq[String],
+      props: Map[String, String]): Seq[AddFile] = {
+    val cap = LakeTable.statsColCap(props)
+    if (cap < 0 || schemaOrder.lengthCompare(cap) <= 0) adds
+    else {
+      val keep = schemaOrder.take(cap).toSet
+      adds.map(a => a.copy(
+        minValues = a.minValues.filter { case (k, _) => keep(k) },
+        maxValues = a.maxValues.filter { case (k, _) => keep(k) },
+        nullCounts = a.nullCounts.filter { case (k, _) => keep(k) }))
+    }
   }
 
   /** Enforcement (D9) / evolution (D10): extra incoming columns are

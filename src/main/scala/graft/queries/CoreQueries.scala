@@ -440,6 +440,26 @@ object CoreQueries {
              |  AND r_name = 'EUROPE'
              |GROUP BY 1""".stripMargin)),
 
+    // Explicit GROUPING SETS (the general form behind q22's ROLLUP
+    // and q29's CUBE — hand-picked margins only, with grouping_id()
+    // disambiguating which set produced each row). Still ONE Expand +
+    // one shuffle; at 100 TB you enumerate the margins you need
+    // instead of paying CUBE's full 2^k lattice.
+    QueryDef("q34_grouping_sets",
+      (s, dir) => table(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"),
+          grouping_id().as("gid")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |  ${odsum("o_totalprice")} AS total,
+              |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus),
+              |  (o_orderpriority), ())""".stripMargin)),
+
     // Set operations beyond UNION (q7): INTERSECT and EXCEPT, both
     // in their deduplicating and ALL (bag-semantics) forms — the
     // audit-diff shape ("which customer keys appear in both segments /

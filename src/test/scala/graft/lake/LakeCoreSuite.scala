@@ -305,4 +305,46 @@ class LakeCoreSuite extends SparkSuite {
       assert(t.versionAtTimestamp(ts(v.toInt)) === v)
     }
   }
+
+  test("dataSkippingNumIndexedCols caps per-file stats to the window") {
+    import spark.implicits._
+    // 40 data columns: default window (32) stats the first 32 only
+    val wide = spark.range(0, 100).toDF("c00")
+    val df = (1 until 40).foldLeft(wide) { (d, i) =>
+      d.withColumn(f"c$i%02d", col("c00") + i)
+    }
+    val p1 = tablePath("statscap-default")
+    LakeWriter.write(df.coalesce(2), p1)
+    val adds1 = LakeTable.forPath(spark, p1).snapshot().files
+    assert(adds1.nonEmpty)
+    adds1.foreach { a =>
+      assert(a.minValues.keySet === (0 until 32).map(i => f"c$i%02d").toSet)
+      assert(!a.maxValues.contains("c39"))
+      assert(a.numRecords > 0) // row counts always kept
+    }
+    // explicit narrow window: 4 columns; skipping works inside the
+    // window, queries OUTSIDE it stay correct via plain scans
+    val p2 = tablePath("statscap-four")
+    LakeWriter.write(df.coalesce(2), p2,
+      properties = Map(LakeTable.PROP_STATS_COLS -> "4"))
+    val t2 = LakeTable.forPath(spark, p2)
+    t2.snapshot().files.foreach { a =>
+      assert(a.minValues.keySet === Set("c00", "c01", "c02", "c03"))
+      assert(a.nullCounts.keySet === Set("c00", "c01", "c02", "c03"))
+    }
+    assert(t2.toDF.where("c39 = 138").count() === 1L)
+    assert(t2.toDF.agg(max("c00")).head().getLong(0) === 99L)
+    // -1 disables the cap
+    val p3 = tablePath("statscap-all")
+    LakeWriter.write(df.coalesce(1), p3,
+      properties = Map(LakeTable.PROP_STATS_COLS -> "-1"))
+    LakeTable.forPath(spark, p3).snapshot().files.foreach { a =>
+      assert(a.minValues.size === 40)
+    }
+    // garbage value rejected up front
+    intercept[IllegalArgumentException] {
+      LakeWriter.write(df.limit(1), tablePath("statscap-bad"),
+        properties = Map(LakeTable.PROP_STATS_COLS -> "lots"))
+    }
+  }
 }
