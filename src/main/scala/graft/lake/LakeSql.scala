@@ -484,25 +484,46 @@ object LakeSql {
     -1
   }
 
-  /** Is position `pos` inside a '…' or `…` literal? Same quote
-    * tracking as [[findTopLevel]] (an escaped '' toggles out and back
-    * in — net state identical), used to stop the time-travel regex
-    * rewrites from firing on keyword phrases that are string DATA.
+  /** Is position `pos` inside a '…'/`…` literal or a SQL comment?
+    * Tracks what the Spark parser tracks: backslash escapes inside
+    * string literals (default non-ANSI escape mode — `'don\'t'` stays
+    * one literal), `--` line comments, and bracketed comments; an
+    * escaped `''` toggles out and back in, net state identical. Used
+    * to stop the time-travel regex rewrites from firing on keyword
+    * phrases that are string DATA (and from being suppressed by an
+    * apostrophe inside a comment).
     */
   private[lake] def inQuotes(s: String, pos: Int): Boolean = {
     var i = 0
     var inStr = false
     var inTick = false
+    var inLine = false
+    var inBlock = false
     val end = math.min(pos, s.length)
     while (i < end) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        if (c == '\\') i += 1 // escaped char, including \'
+        else if (c == '\'') inStr = false
+      }
       else if (inTick) { if (c == '`') inTick = false }
+      else if (inLine) { if (c == '\n') inLine = false }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          inBlock = false; i += 1
+        }
+      }
       else if (c == '\'') inStr = true
       else if (c == '`') inTick = true
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        inLine = true; i += 1
+      }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        inBlock = true; i += 1
+      }
       i += 1
     }
-    inStr || inTick
+    inStr || inTick || inLine || inBlock
   }
 
   /** All top-level occurrences of `word` in `s`. */

@@ -93,12 +93,20 @@ object DsirOps {
     //    it through the table layer costs one extra write/read of
     //    compact scalars instead of pinning the cache, and the commit
     //    is atomic so a concurrent reader never sees a partial stage.
-    // Both paths produce IDENTICAL weights (DsirSuite pins this): the
+    // Both paths produce IDENTICAL weights (OpsSuite pins this): the
     // staging only changes WHERE the histogram lives.
-    val spillTo = scratchDir.filter(_ => raw.count() >= scratchMinDocs)
+    //
+    // The threshold probe is one extra corpus count — skipped when
+    // scratchMinDocs <= 0 (caller asserting scale explicitly), which
+    // is what a 100 TB pipeline should pass rather than paying a scan
+    // to learn what it already knows.
+    val spillTo = scratchDir.filter(_ =>
+      scratchMinDocs <= 0L || raw.count() >= scratchMinDocs)
     val (rawB, release): (DataFrame, () => Unit) = spillTo match {
       case Some(dir) =>
-        val path = s"$dir/dsir_raw_hist"
+        // unique per-call leaf: two concurrent calls sharing a
+        // scratchDir must not overwrite or delete each other's stage
+        val path = s"$dir/dsir_raw_hist-${java.util.UUID.randomUUID()}"
         graft.lake.LakeWriter.write(
           docBuckets(raw, textCol, idCol, buckets), path,
           mode = "overwrite", operation = "DSIR SCRATCH")

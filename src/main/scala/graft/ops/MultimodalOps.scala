@@ -134,11 +134,15 @@ object MultimodalOps {
     require(bpp == 24 && compression == 0,
       s"media $id: only 24-bit uncompressed BMP supported " +
         s"(bpp=$bpp compression=$compression)")
-    require(width > 0 && height != 0, s"media $id: bad BMP dims")
+    require(width > 0 && height != 0 && dataOffset >= 54,
+      s"media $id: bad BMP header (w=$width h=$height off=$dataOffset)")
     val rows = math.abs(height)
-    val stride = ((width * 3 + 3) / 4) * 4
-    require(bytes.length >= dataOffset + stride * rows,
+    // Long bounds: a hostile width near Int.MaxValue must hit this
+    // require, not wrap negative and "pass" with garbage features
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    require(bytes.length.toLong >= dataOffset.toLong + strideL * rows,
       s"media $id: truncated BMP pixel array")
+    val stride = strideL.toInt
     var sum = 0L
     val hist = new Array[Float](dim)
     var y = 0
@@ -179,7 +183,10 @@ object MultimodalOps {
     while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
       val cid = new String(bytes, off, 4, "US-ASCII")
       val clen = i32(bytes, off + 4)
-      require(clen >= 0 && off + 8 + clen <= bytes.length,
+      // Long bound: a hostile clen near Int.MaxValue must fail HERE
+      // with the truncation message, not wrap negative past the
+      // check and die downstream on a raw index exception
+      require(clen >= 0 && off.toLong + 8 + clen <= bytes.length.toLong,
         s"media $id: truncated WAV chunk $cid")
       cid match {
         case "fmt " =>

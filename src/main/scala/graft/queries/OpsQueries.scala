@@ -45,7 +45,10 @@ object OpsQueries {
     */
   private def exactTruth(s: SparkSession, dir: String): DataFrame = {
     val path = fixture("sim_exact_truth", dir)
-    val fp = tableFp(dir, "embeddings")
+    // the fingerprint binds the fixture to the corpus AND the
+    // protocol parameters (k, perturbation formula version): editing
+    // either must invalidate, not silently reuse
+    val fp = tableFp(dir, "embeddings") + ":k=5:perturb=sin31-v1"
     if (!fixtureFresh(path, fp)) {
       graft.lake.LakeWriter.deleteRecursively(
         java.nio.file.Paths.get(path))
@@ -64,7 +67,9 @@ object OpsQueries {
   private def ensureIvfIndex(s: SparkSession, dir: String,
       force: Boolean = false): String = {
     val path = fixture("sim_ivf_index", dir)
-    val fp = tableFp(dir, "embeddings")
+    // corpus + build parameters: an nlist (or builder-protocol)
+    // change must rebuild, never probe a mismatched persisted index
+    val fp = tableFp(dir, "embeddings") + ":nlist=16:build=v1"
     if (force || !fixtureFresh(path, fp)) {
       graft.lake.LakeWriter.deleteRecursively(
         java.nio.file.Paths.get(path))
@@ -1063,7 +1068,10 @@ object OpsQueries {
         val recall = if (nTrue == 0) 1.0 else nFound.toDouble / nTrue
         require(recall >= 0.9,
           s"minhash LSH recall $recall below 0.9 ($nFound/$nTrue)")
-        Seq((nTrue, nFound, math.rint(recall * 10000) / 10000))
+        // HALF_UP, matching DuckDB's half-away ROUND — rint (half-
+        // even) diverges from the oracle on exact .00005 ties
+        Seq((nTrue, nFound, BigDecimal(recall)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
           .toDF("n_true_pairs", "n_found_pairs", "recall")
       },
       // Round 12: the measured recall itself is DuckDB-replayable —

@@ -64,12 +64,20 @@ object QueryDef {
       sys.props("java.io.tmpdir"), "graft_fixture", sf, name).toString
   }
 
-  /** File-level fingerprint of a source table (name:size:mtime) — no
-    * scan; exactly the staleness a regenerated testdata dir shows.
+  /** File-level fingerprint of a source table (name:size:mtime per
+    * regular file, recursive) — no data scan; exactly the staleness a
+    * regenerated testdata dir shows. Recursing matters when the table
+    * is a parquet DIRECTORY: a directory's own length/mtime can
+    * survive an in-place regeneration of same-named part files, so
+    * the fingerprint folds every contained file instead.
     */
   def tableFp(sfDir: String, tbl: String): String = {
-    val f = new java.io.File(s"$sfDir/$tbl.parquet")
-    s"${f.getName}:${f.length}:${f.lastModified}"
+    def fold(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).map(fold).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    fold(new java.io.File(s"$sfDir/$tbl.parquet"))
   }
 
   /** Is the fixture at `dir` current for fingerprint `fp`? */

@@ -112,6 +112,19 @@ class LakeSqlParserSuite extends SparkSuite {
         "WHERE k <> 'x FROM pt3c VERSION AS OF 0 y'")
       .as[Long].collect().sorted
     assert(got3 === Array(1L, 2L))
+    // backslash-escaped quote INSIDE the literal must not close it
+    // early (Spark's default escape mode) — the phrase stays data
+    val got4 = LakeSql.sql(spark,
+      """SELECT id, 'don\'t FROM pt3c VERSION AS OF 1' AS s FROM pt3c""")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got4.map(_._2).distinct ===
+      Array("don't FROM pt3c VERSION AS OF 1"))
+    // an apostrophe inside a -- comment is not a string open: the
+    // legitimate clause on the next line must still rewrite
+    val got5 = LakeSql.sql(spark,
+      "SELECT id -- don't trip the scanner\nFROM pt3c VERSION AS OF 1")
+      .as[Long].collect().sorted
+    assert(got5 === Array(1L))
   }
 
   test("refreshReferenced matches identifiers, not substrings") {

@@ -158,10 +158,12 @@ class OpsSuite extends SparkSuite {
       .select("id", "n_feats", "log_weight")
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(spilled === cached)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "dsir_raw_hist")),
-      "scratch histogram table must be deleted after the weights " +
-        "materialize")
+    val leftovers = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("dsir_raw_hist"))
+    assert(leftovers.isEmpty,
+      s"scratch histogram table must be deleted after the weights " +
+        s"materialize: ${leftovers.mkString(", ")}")
     // below the threshold the scratch dir is ignored (persist path)
     val under = graft.ops.DsirOps.dsirWeights(docs, target, "text", "id",
       buckets = 512, scratchDir = Some(dir),
