@@ -299,4 +299,54 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
         s"punct count mismatch on ${r.getString(5)}")
     }
   }
+
+  test("synthetic BMP/WAV round-trip through the decoders exactly") {
+    // generator and parser meet in the middle: for arbitrary dims the
+    // decoded exact integer sum must equal the closed form the
+    // payload was built from (stride padding and bottom-up row order
+    // cancel only if BOTH sides honor them)
+    forAll(Table(("id", "w", "h"),
+      (1L, 1, 1), (7L, 2, 3), (17L, 17, 9), (23L, 33, 2),
+      (40L, 5, 40), (99L, 64, 1))) { (id, w, h) =>
+      val f = MultimodalOps.decodeBmp(id,
+        MultimodalOps.syntheticBmp(id, w, h), 8)
+      val expect = (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        yield (id * 31 + 7L * x + 13L * y + 5L * c) % 256).sum
+      assert(f.n_samples === w.toLong * h * 3)
+      assert(f.value_sum === expect, s"bmp ${w}x$h id=$id")
+    }
+    forAll(Table(("id", "n"), (3L, 1), (11L, 17), (29L, 96), (5L, 640))) {
+      (id, n) =>
+      val f = MultimodalOps.decodeWav(id,
+        MultimodalOps.syntheticWav(id, n), 8)
+      val expect = (0 until n)
+        .map(i => ((id * 31 + 7L * i) % 2048) - 1024).sum
+      assert(f.n_samples === n.toLong)
+      assert(f.value_sum === expect, s"wav n=$n id=$id")
+    }
+  }
+
+  test("simhash is token-order-invariant and multiplicity-sensitive") {
+    val rnd = new Random(77)
+    val vocab = (0 until 20).map(i => s"t$i")
+    (1 to 5).foreach { _ =>
+      val toks = Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val shuffled = rnd.shuffle(toks)
+      val df = Seq((1L, toks.mkString(" ")), (2L, shuffled.mkString(" ")))
+        .toDF("id", "text")
+      val sigs = df.select(DedupOps.simhash(col("text")))
+        .as[Long].collect()
+      // sign-sum is a commutative reduction over token hashes: any
+      // permutation of the same multiset yields the same signature
+      assert(sigs(0) === sigs(1), s"order changed simhash: $toks")
+    }
+    // multiplicity matters (frequency-weighted form): doubling a
+    // token's count must be able to flip vote signs, unlike a
+    // distinct-set simhash which would collapse the two
+    val base = "a b c d e f g h"
+    val heavy = "a a a a a a a a a a a a b c d e f g h"
+    val two = Seq((1L, base), (2L, heavy)).toDF("id", "text")
+      .select(DedupOps.simhash(col("text"))).as[Long].collect()
+    assert(two(0) !== two(1), "multiplicity ignored by simhash")
+  }
 }
