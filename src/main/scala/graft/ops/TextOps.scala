@@ -231,6 +231,57 @@ object TextOps {
         round(avg(col("__s")), 4).as("avg_surprisal"))
   }
 
+  /** Interpolated bigram language-model scoring (the CCNet-style
+    * perplexity filter one step up from [[unigramSurprisal]]):
+    * per-doc average negative log of
+    * `λ·p(w₂|w₁) + (1−λ)·p(w₂)` over consecutive token pairs, with
+    * both distributions estimated from the corpus itself (p(w₂|w₁) =
+    * C(w₁w₂)/C(w₁), MLE with unigram interpolation as the smoothing).
+    * Low scores = text the corpus's own statistics predict well;
+    * high = improbable token transitions — the gibberish/boilerplate
+    * signal LM-perplexity bucketing keys on.
+    *
+    * Shape for 100 TB: the corpus explodes once to bigram scalars;
+    * the count tables join on their own keys — (w₁w₂) for the bigram
+    * table, w for unigrams — as plain shuffle joins (a web-scale
+    * bigram table is NOT broadcastable, unlike the unigram table a
+    * dictionary-sized corpus yields), then one groupBy on the doc id.
+    * Everything shuffled is compact (token, count) pairs.
+    *
+    * Returns (idCol, n_bigrams, avg_neg_log) rounded to 4 — the whole
+    * estimate is count arithmetic, so a DuckDB oracle replays it.
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
+    val t = col("__t")
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val bigrams = withToks
+      .filter(size(t) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val uni = withToks.select(explode(t).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val total = uni.agg(sum("__cu").as("__total"))
+    val bi = bigrams.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+    val lam = lit(lambda)
+    bigrams
+      .join(bi, Seq("__w1", "__w2"))
+      .join(uni.select(col("__w").as("__w1"), col("__cu").as("__c1")),
+        Seq("__w1"))
+      .join(uni.select(col("__w").as("__w2"), col("__cu").as("__c2")),
+        Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__s", -log(
+        lam * (col("__cb") * lit(1.0) / col("__c1")) +
+          (lit(1.0) - lam) * (col("__c2") * lit(1.0) / col("__total"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__s")), 4).as("avg_neg_log"))
+  }
+
   /** Okapi BM25 scores for a bag-of-terms query against every document
     * (k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
     *

@@ -560,9 +560,14 @@ object OpsQueries {
         val heldOut = all.filter(pmod(col("doc_id"), lit(2)) === 1)
         // 16k-bucket features / 15 L-BFGS iterations: the planted
         // classes are linearly separable, so the extra capacity of
-        // the defaults buys nothing but bench seconds here
+        // the defaults buys nothing but bench seconds here. The
+        // training set is a few thousand tiny rows — coalesced so
+        // each L-BFGS iteration schedules 4 tasks, not one per
+        // shuffle partition (at real scale the partition count IS
+        // the parallelism you want; here it's pure scheduling tax)
         val model = QualityModelOps.trainQualityModel(
-          train, "text", "label", numFeatures = 1 << 14, maxIter = 15)
+          train.coalesce(4), "text", "label",
+          numFeatures = 1 << 14, maxIter = 15)
         val scored = QualityModelOps.scoreQuality(heldOut, model)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         val nEval = scored.count()
@@ -576,6 +581,35 @@ object OpsQueries {
           .toDF("n_eval", "n_correct", "accuracy")
       },
       None),
+
+    // Interpolated bigram LM scoring (round 12) — the perplexity
+    // filter one model order above unigram surprisal; pure count
+    // arithmetic, so the ENTIRE estimate (bigram MLE, unigram
+    // interpolation, per-doc averaging) replays in DuckDB.
+    QueryDef("text_bigram_surprisal",
+      (s, dir) => TextOps.bigramSurprisal(
+        table(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS s
+             |  FROM documents),
+             |uni AS (
+             |  SELECT w, COUNT(*) AS cu FROM
+             |    (SELECT unnest(s) AS w FROM tok) GROUP BY w),
+             |tot AS (SELECT SUM(cu) AS total FROM uni),
+             |big AS (
+             |  SELECT doc_id, s[i] AS w1, s[i + 1] AS w2
+             |  FROM tok, UNNEST(range(1, len(s))) AS t(i)
+             |  WHERE len(s) >= 2),
+             |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big
+             |  GROUP BY w1, w2)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  ROUND(AVG(-ln(0.75 * (cb * 1.0 / u1.cu) +
+             |    0.25 * (u2.cu * 1.0 / total))), 4) AS avg_neg_log
+             |FROM big
+             |JOIN bc USING (w1, w2)
+             |JOIN uni u1 ON u1.w = big.w1
+             |JOIN uni u2 ON u2.w = big.w2, tot
+             |GROUP BY doc_id""".stripMargin)),
 
     QueryDef("text_unigram_surprisal",
       (s, dir) => TextOps.unigramSurprisal(
