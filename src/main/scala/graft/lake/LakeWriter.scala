@@ -446,9 +446,12 @@ object LakeWriter {
           staging, Paths.get(tablePath),
           bloomPhysCols, partCols, BloomIndex.numItems(props),
           BloomIndex.fpp(props))
+      val clusterPhys = props.get(LakeTable.PROP_CLUSTER_BY).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(c => ColumnMapping.physicalName(c, mapping)).toSet
       val adds = capStats(
         adoptStagedFiles(spark, staging, Paths.get(tablePath)),
-        physDf.schema.fieldNames, props)
+        physDf.schema.fieldNames, props, clusterPhys)
       if (bloomFor.isEmpty) adds
       else adds.map(a => a.copy(bloomPath = bloomFor.get(a.path)))
     } finally deleteRecursively(staging)
@@ -456,16 +459,23 @@ object LakeWriter {
 
   /** Drop recorded stats for columns past the table's
     * dataSkippingNumIndexedCols window (first N fields in schema
-    * order — physical names, matching the stats keys). Row counts are
-    * always kept; un-statted columns fall back to scans.
+    * order — physical names, matching the stats keys). Declared
+    * `graft.clusterBy` columns stay statted even outside the window:
+    * clustering exists FOR min/max skipping, so capping its own
+    * columns would silently undo OPTIMIZE's locality work on a wide
+    * table. Row counts are always kept; un-statted columns fall back
+    * to scans.
     */
   private[lake] def capStats(adds: Seq[AddFile],
       schemaOrder: Seq[String],
-      props: Map[String, String]): Seq[AddFile] = {
+      props: Map[String, String],
+      keepAlways: Set[String] = Set.empty): Seq[AddFile] = {
     val cap = LakeTable.statsColCap(props)
     if (cap < 0 || schemaOrder.lengthCompare(cap) <= 0) adds
     else {
-      val keep = schemaOrder.take(cap).toSet
+      val keep = schemaOrder.take(cap).toSet ++ keepAlways ++
+        props.get(LakeTable.PROP_CLUSTER_BY).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       adds.map(a => a.copy(
         minValues = a.minValues.filter { case (k, _) => keep(k) },
         maxValues = a.maxValues.filter { case (k, _) => keep(k) },

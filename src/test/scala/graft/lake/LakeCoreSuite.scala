@@ -341,6 +341,16 @@ class LakeCoreSuite extends SparkSuite {
     LakeTable.forPath(spark, p3).snapshot().files.foreach { a =>
       assert(a.minValues.size === 40)
     }
+    // declared cluster-by columns keep stats even outside the window
+    val p4 = tablePath("statscap-cluster")
+    LakeWriter.write(df.coalesce(2), p4,
+      properties = Map(LakeTable.PROP_STATS_COLS -> "4",
+        LakeTable.PROP_CLUSTER_BY -> "c39"))
+    LakeTable.forPath(spark, p4).snapshot().files.foreach { a =>
+      assert(a.minValues.keySet ===
+        Set("c00", "c01", "c02", "c03", "c39"),
+        "clusterBy column must stay statted outside the window")
+    }
     // garbage value rejected up front
     intercept[IllegalArgumentException] {
       LakeWriter.write(df.limit(1), tablePath("statscap-bad"),
