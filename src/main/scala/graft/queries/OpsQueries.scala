@@ -1220,15 +1220,38 @@ object OpsQueries {
              |  WHERE q.vec_id < 10)
              |WHERE rank <= 5""".stripMargin)),
 
-    // LSH-bucketed approximate top-k (scale path; rows-only check).
+    // LSH-bucketed approximate top-k (scale path). Hash-defined
+    // result set → no SQL oracle, but the STRUCTURE is asserted
+    // in-gate (round 12): per query ≤ k rows with contiguous ranks
+    // from 1, rank order consistent with descending cosine, no
+    // self-matches — an LSH that returned garbage rows or broke the
+    // ranking contract would pass a rows-only check silently.
     QueryDef("sim_lsh_topk",
       (s, dir) => {
+        import s.implicits._
         val e = table(s, dir, "embeddings")
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("vec"))
         val corpus = e.select(col("vec_id").as("id"),
           col("embedding").as("vec"))
-        SimilarityOps.lshTopK(queries, corpus, k = 5, bits = 4)
+        val top = SimilarityOps.lshTopK(queries, corpus, k = 5, bits = 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val bad = top.groupBy("qid").agg(
+            count(lit(1)).as("n"), max("rank").as("mx"),
+            min("rank").as("mn"),
+            sum(when(col("neighbor_id") === col("qid"), 1)
+              .otherwise(0)).as("selfs"))
+          .filter(col("n") > 5 || col("mx") =!= col("n") ||
+            col("mn") =!= 1 || col("selfs") > 0)
+          .count()
+        require(bad == 0L, s"$bad queries violate the top-k contract")
+        val misordered = top.filter(col("rank") > 1).as("b")
+          .join(top.as("a"), col("a.qid") === col("b.qid") &&
+            col("a.rank") === col("b.rank") - 1)
+          .filter(col("a.cos") < col("b.cos")).count()
+        require(misordered == 0L,
+          s"$misordered rank steps violate descending-cosine order")
+        top
       },
       None),
 
