@@ -558,19 +558,26 @@ object OpsQueries {
           .union(junk.withColumn("label", lit(0.0)))
         val train = all.filter(pmod(col("doc_id"), lit(2)) === 0)
         val heldOut = all.filter(pmod(col("doc_id"), lit(2)) === 1)
-        // 16k-bucket features / 15 L-BFGS iterations: the planted
-        // classes are linearly separable, so the extra capacity of
-        // the defaults buys nothing but bench seconds here. The
-        // training set is a few thousand tiny rows — coalesced so
+        // The training set is a few thousand tiny rows — coalesced so
         // each L-BFGS iteration schedules 4 tasks, not one per
         // shuffle partition (at real scale the partition count IS
-        // the parallelism you want; here it's pure scheduling tax)
+        // the parallelism you want; here it's pure scheduling tax).
+        // 8k-bucket features / 8 L-BFGS iterations: profiled at sf0.1
+        // — training wall is iterations × line-search evals, and the
+        // planted classes separate in the first few iterations, so
+        // the larger settings bought accuracy 1.0 slightly slower
+        val tTrain = System.nanoTime()
         val model = QualityModelOps.trainQualityModel(
           train.coalesce(4), "text", "label",
-          numFeatures = 1 << 14, maxIter = 15)
+          numFeatures = 1 << 13, maxIter = 8)
+        val trainSec = (System.nanoTime() - tTrain) / 1e9
+        val tScore = System.nanoTime()
         val scored = QualityModelOps.scoreQuality(heldOut, model)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         val nEval = scored.count()
+        System.err.println(f"[gate] text_quality_classifier " +
+          f"train=$trainSec%.3fs score=" +
+          f"${(System.nanoTime() - tScore) / 1e9}%.3fs")
         val nCorrect = scored.filter(
           (col("quality_score") >= 0.5) === (col("label") === 1.0))
           .count()
