@@ -392,8 +392,7 @@ object LakeSql {
           // it is OPTIMIZEd, no BY clause needed — the clustering
           // policy travels with the table, so every maintenance cron
           // in a 100k-table lakehouse runs the same plain OPTIMIZE.
-          table.tblProperties.get(LakeTable.PROP_CLUSTER_BY)
-              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          Some(LakeTable.clusterByCols(table.tblProperties))
               .filter(_.nonEmpty) match {
             case Some(cols) => table.compactClustered(
               cols, zOrder = cols.size > 1, where = whereOpt)

@@ -1647,17 +1647,15 @@ final class LakeTable private (
       .map { case (rel, abs) =>
         rel -> ParquetFooters.statsWithConf(confB.value.value, abs)
       }.collect().toMap
+    val statsOv = ColumnMapping.overrides(snap.metadata)
     val adds = LakeWriter.capStats(
       missing.flatMap(f => statsFor.get(f.path).map {
         case (rows, mins, maxs, nulls) => f.copy(numRecords = rows,
           minValues = mins, maxValues = maxs, nullCounts = nulls)
       }),
-      {
-        val ov = ColumnMapping.overrides(snap.metadata)
-        snap.schema.fieldNames.toSeq
-          .map(n => ColumnMapping.physicalName(n, ov))
-      },
-      snap.metadata.properties)
+      snap.schema.fieldNames.toSeq
+        .map(n => ColumnMapping.physicalName(n, statsOv)),
+      snap.metadata.properties, statsOv)
     val now = System.currentTimeMillis()
     LakeWriter.commitWithRetry(log, snap.version, adds.map(_.path)) { _ =>
       assertMetadataUnchanged(snap, "COMPUTE STATS")
@@ -2237,6 +2235,14 @@ object LakeTable {
   private[lake] def statsColCap(props: Map[String, String]): Int =
     props.get(PROP_STATS_COLS).map(_.trim.toInt)
       .getOrElse(DEFAULT_STATS_COLS)
+
+  /** The declared `graft.clusterBy` columns (LOGICAL names) — the ONE
+    * parse of the comma list, shared by OPTIMIZE routing and the
+    * stats-window exemption.
+    */
+  private[lake] def clusterByCols(props: Map[String, String]): Seq[String] =
+    props.get(PROP_CLUSTER_BY).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
   val AUTO_COMPACT_DEFAULT_MIN_FILES = 50
   /** Prefix for identity columns (Delta's GENERATED ALWAYS AS
     * IDENTITY): `graft.identity.<col> = "<start>,<step>"`. A write

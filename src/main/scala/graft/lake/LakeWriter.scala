@@ -446,12 +446,9 @@ object LakeWriter {
           staging, Paths.get(tablePath),
           bloomPhysCols, partCols, BloomIndex.numItems(props),
           BloomIndex.fpp(props))
-      val clusterPhys = props.get(LakeTable.PROP_CLUSTER_BY).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        .map(c => ColumnMapping.physicalName(c, mapping)).toSet
       val adds = capStats(
         adoptStagedFiles(spark, staging, Paths.get(tablePath)),
-        physDf.schema.fieldNames, props, clusterPhys)
+        physDf.schema.fieldNames, props, mapping)
       if (bloomFor.isEmpty) adds
       else adds.map(a => a.copy(bloomPath = bloomFor.get(a.path)))
     } finally deleteRecursively(staging)
@@ -469,13 +466,16 @@ object LakeWriter {
   private[lake] def capStats(adds: Seq[AddFile],
       schemaOrder: Seq[String],
       props: Map[String, String],
-      keepAlways: Set[String] = Set.empty): Seq[AddFile] = {
+      physicalFor: Map[String, String] = Map.empty): Seq[AddFile] = {
     val cap = LakeTable.statsColCap(props)
     if (cap < 0 || schemaOrder.lengthCompare(cap) <= 0) adds
     else {
-      val keep = schemaOrder.take(cap).toSet ++ keepAlways ++
-        props.get(LakeTable.PROP_CLUSTER_BY).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      // clusterBy names are LOGICAL; stats keys (and schemaOrder)
+      // are PHYSICAL — map through the column-mapping overrides so
+      // the exemption holds on mapped tables too
+      val keep = schemaOrder.take(cap).toSet ++
+        LakeTable.clusterByCols(props)
+          .map(c => ColumnMapping.physicalName(c, physicalFor))
       adds.map(a => a.copy(
         minValues = a.minValues.filter { case (k, _) => keep(k) },
         maxValues = a.maxValues.filter { case (k, _) => keep(k) },

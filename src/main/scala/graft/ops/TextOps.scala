@@ -242,11 +242,12 @@ object TextOps {
     * signal LM-perplexity bucketing keys on.
     *
     * Shape for 100 TB: the corpus explodes once to bigram scalars;
-    * the count tables join on their own keys — (w₁w₂) for the bigram
-    * table, w for unigrams — as plain shuffle joins (a web-scale
-    * bigram table is NOT broadcastable, unlike the unigram table a
-    * dictionary-sized corpus yields), then one groupBy on the doc id.
-    * Everything shuffled is compact (token, count) pairs.
+    * the BIGRAM count table joins on its own (w₁w₂) key as a plain
+    * shuffle join (a web-scale bigram table is NOT broadcastable),
+    * while the unigram table — dictionary-sized — broadcasts for both
+    * of its lookups, exactly as [[unigramSurprisal]] does; then one
+    * groupBy on the doc id. Everything shuffled is compact
+    * (token, count) pairs.
     *
     * Returns (idCol, n_bigrams, avg_neg_log) rounded to 4 — the whole
     * estimate is count arithmetic, so a DuckDB oracle replays it.
@@ -269,9 +270,11 @@ object TextOps {
     val lam = lit(lambda)
     bigrams
       .join(bi, Seq("__w1", "__w2"))
-      .join(uni.select(col("__w").as("__w1"), col("__cu").as("__c1")),
+      .join(broadcast(
+        uni.select(col("__w").as("__w1"), col("__cu").as("__c1"))),
         Seq("__w1"))
-      .join(uni.select(col("__w").as("__w2"), col("__cu").as("__c2")),
+      .join(broadcast(
+        uni.select(col("__w").as("__w2"), col("__cu").as("__c2"))),
         Seq("__w2"))
       .crossJoin(broadcast(total))
       .withColumn("__s", -log(

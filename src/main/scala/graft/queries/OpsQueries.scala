@@ -1241,15 +1241,21 @@ object OpsQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("vec"))
         val corpus = e.select(col("vec_id").as("id"),
           col("embedding").as("vec"))
-        val top = SimilarityOps.lshTopK(queries, corpus, k = 5, bits = 4)
+        val k = 5
+        val top = SimilarityOps.lshTopK(queries, corpus, k, bits = 4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        // n distinct ranks with min 1 and max n ⟺ ranks are exactly
+        // 1..n — a rank()-style tie (1,1,3) has max = n but only n-1
+        // DISTINCT ranks, so it fails here
         val bad = top.groupBy("qid").agg(
             count(lit(1)).as("n"), max("rank").as("mx"),
             min("rank").as("mn"),
+            countDistinct("rank").as("nd"),
             sum(when(col("neighbor_id") === col("qid"), 1)
               .otherwise(0)).as("selfs"))
-          .filter(col("n") > 5 || col("mx") =!= col("n") ||
-            col("mn") =!= 1 || col("selfs") > 0)
+          .filter(col("n") > k || col("mx") =!= col("n") ||
+            col("mn") =!= 1 || col("nd") =!= col("n") ||
+            col("selfs") > 0)
           .count()
         require(bad == 0L, s"$bad queries violate the top-k contract")
         val misordered = top.filter(col("rank") > 1).as("b")

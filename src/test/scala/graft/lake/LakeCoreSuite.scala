@@ -351,6 +351,19 @@ class LakeCoreSuite extends SparkSuite {
         Set("c00", "c01", "c02", "c03", "c39"),
         "clusterBy column must stay statted outside the window")
     }
+    // under column mapping the clusterBy exemption must resolve the
+    // LOGICAL property name to the PHYSICAL stats key
+    val mapped = LakeWriter.capStats(
+      Seq(AddFile("f.parquet", Map.empty, 1L, 10L,
+        Map("pa" -> "1", "pb" -> "2", "pq" -> "3"),
+        Map("pa" -> "1", "pb" -> "2", "pq" -> "3"),
+        Map("pa" -> 0L, "pb" -> 0L, "pq" -> 0L))),
+      Seq("pa", "pb", "pq"),
+      Map(LakeTable.PROP_STATS_COLS -> "1",
+        LakeTable.PROP_CLUSTER_BY -> "q"),
+      Map("q" -> "pq"))
+    assert(mapped.head.minValues.keySet === Set("pa", "pq"),
+      "mapped clusterBy column must survive the window")
     // garbage value rejected up front
     intercept[IllegalArgumentException] {
       LakeWriter.write(df.limit(1), tablePath("statscap-bad"),
