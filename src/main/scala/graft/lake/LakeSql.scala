@@ -42,6 +42,9 @@ object LakeSql {
   private val VACUUM_RE =
     ("""(?is)\s*VACUUM\s+([\w.`/\-]+)(?:\s+RETAIN\s+([\d.]+)\s+HOURS?)?""" +
       """(\s+DRY\s+RUN)?\s*""").r
+  private val FSCK_RE =
+    ("""(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([\w.`/\-]+)""" +
+      """(\s+DRY\s+RUN)?\s*""").r
   private val CLONE_RE =
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(SHALLOW|DEEP)\s+CLONE\s+""" +
       """([\w.`/\-]+)\s+LOCATION\s+'([^']+)'\s*""").r
@@ -170,6 +173,13 @@ object LakeSql {
         dryRun = Option(dryRun).isDefined)
       import spark.implicits._
       deleted.toDF("path")
+
+    case FSCK_RE(t, dryRun) =>
+      val table = resolve(spark, clean(t))
+      val missing = table.fsckRepair(dryRun = Option(dryRun).isDefined)
+      LakeCatalog.refreshView(spark, clean(t))
+      import spark.implicits._
+      missing.toDF("path")
 
     case CLONE_RE(name, mode, src, location) =>
       val srcTable = resolve(spark, clean(src))

@@ -502,6 +502,44 @@ final class LakeTable private (
       "numDeletionVectors", "numDeletedRows")
   }
 
+  /** FSCK: drop log entries whose physical data file is GONE (someone
+    * deleted parquet out-of-band — the operational wound every
+    * long-lived table eventually takes). `dryRun` lists without
+    * committing. Returns the missing files' relative paths.
+    *
+    * Existence probing runs DISTRIBUTED above a file-count threshold
+    * (the LakeStreamSource posture): a 10⁶-file table must not serial
+    * driver-stat its way through the check. The repair commit is
+    * RemoveFile tombstones via the normal conflict-checked path, so a
+    * concurrent writer's commit wins a retry, never a lost update.
+    */
+  def fsckRepair(dryRun: Boolean = false): Seq[String] = {
+    val snap = snapshot()
+    val live = snap.files.map(_.path)
+    val missing: Seq[String] =
+      if (live.size < 2048) {
+        live.filterNot(p =>
+          java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, p)))
+      } else {
+        val root = tablePath
+        spark.sparkContext
+          .parallelize(live, math.min(live.size / 256 + 1, 64))
+          .filter(p => !java.nio.file.Files.exists(
+            LakeLog.resolveFile(root, p)))
+          .collect().toSeq
+      }
+    if (missing.nonEmpty && !dryRun) {
+      val now = System.currentTimeMillis()
+      LakeWriter.commitWithRetry(log, snap.version, missing) { _ =>
+        CommitInfo(now, "FSCK",
+          Map("numRemovedFiles" -> missing.size.toString)) +:
+          missing.map(p => RemoveFile(p, now): Action)
+      }
+      ()
+    }
+    missing
+  }
+
   // ---- DML ---------------------------------------------------------------
 
   /** Predicate DELETE (D5). Partition-only predicates are metadata-only:

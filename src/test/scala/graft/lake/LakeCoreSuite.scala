@@ -306,6 +306,30 @@ class LakeCoreSuite extends SparkSuite {
     }
   }
 
+  test("FSCK REPAIR drops log entries for physically missing files") {
+    import spark.implicits._
+    val path = tablePath("fsck")
+    LakeWriter.write(spark.range(0, 100).toDF("id").repartition(4), path)
+    val victim = LakeTable.forPath(spark, path).snapshot().files.head.path
+    java.nio.file.Files.delete(LakeLog.resolveFile(path, victim))
+    // DRY RUN lists the wound without touching the log
+    val dry = LakeSql.sql(spark, s"FSCK REPAIR TABLE `$path` DRY RUN")
+      .as[String].collect()
+    assert(dry === Array(victim))
+    assert(LakeTable.forPath(spark, path).snapshot()
+      .files.map(_.path).contains(victim))
+    // repair: tombstone committed, reads recover the surviving rows
+    val fixed = LakeSql.sql(spark, s"FSCK REPAIR TABLE `$path`")
+      .as[String].collect()
+    assert(fixed === Array(victim))
+    val snap2 = LakeTable.forPath(spark, path).snapshot()
+    assert(!snap2.files.map(_.path).contains(victim))
+    val n = spark.read.format("lake").load(path).count()
+    assert(n > 0 && n < 100, s"expected partial rows, got $n")
+    // idempotent
+    assert(LakeTable.forPath(spark, path).fsckRepair().isEmpty)
+  }
+
   test("dataSkippingNumIndexedCols caps per-file stats to the window") {
     import spark.implicits._
     // 40 data columns: default window (32) stats the first 32 only
