@@ -440,6 +440,68 @@ object CoreQueries {
              |  AND r_name = 'EUROPE'
              |GROUP BY 1""".stripMargin)),
 
+    // Correlated SCALAR subquery (TPC-H Q17 shape): each lineitem
+    // compares against a per-partkey aggregate of the same table.
+    // Catalyst DECORRELATES this into an aggregate + equi-join — the
+    // only plan that survives 100 TB (a per-row subquery execution
+    // would be O(rows × scan)); the oracle runs the same SQL in
+    // DuckDB. Sums ride decimal for cross-engine exactness.
+    QueryDef("q35_correlated_scalar",
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("q35_l")
+        table(s, dir, "part").createOrReplaceTempView("q35_p")
+        s.sql("""
+          SELECT p_brand,
+            COUNT(*) AS n_small,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS total_price
+          FROM q35_l l1 JOIN q35_p ON p_partkey = l_partkey
+          WHERE p_size <= 5
+            AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+              FROM q35_l l2 WHERE l2.l_partkey = l1.l_partkey)
+          GROUP BY p_brand""")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_small,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total_price
+             |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+             |WHERE p_size <= 5
+             |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+             |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+             |GROUP BY p_brand""".stripMargin)),
+
+    // EXISTS / NOT EXISTS correlated subqueries (TPC-H Q21/Q22
+    // shape): customers above the positive-balance average with no
+    // HIGH-VALUE order. Catalyst plans these as semi/anti joins — q12/
+    // q13 gate the DataFrame forms; this gates the SQL decorrelation
+    // path users actually write.
+    QueryDef("q36_exists",
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("q36_c")
+        table(s, dir, "orders").createOrReplaceTempView("q36_o")
+        s.sql("""
+          SELECT c_mktsegment, COUNT(*) AS n,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              AS total_bal
+          FROM q36_c c
+          WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM q36_c
+              WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM q36_o o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+          GROUP BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_bal
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+             |    WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey
+             |      AND o.o_totalprice > 300000)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // Explicit GROUPING SETS (the general form behind q22's ROLLUP
     // and q29's CUBE — hand-picked margins only, with grouping_id()
     // disambiguating which set produced each row). Still ONE Expand +
