@@ -1972,6 +1972,13 @@ final class LakeTable private (
       where: Option[String] = None): Unit = {
     require(clusterBy.nonEmpty, "compactClustered needs cluster columns")
     val snap = snapshot()
+    // hash bucketing owns file placement on a bucketed table; a
+    // range/Z-order re-cluster would be silently destroyed by the
+    // bucket repartition at staging — refuse loudly instead
+    require(LakeTable.bucketSpecOf(snap.metadata.properties).isEmpty,
+      s"table $tablePath is hash-bucketed " +
+        s"(${LakeTable.PROP_BUCKET_BY}): clustering and bucketing " +
+        "are mutually exclusive file-placement policies")
     val scoped = scopeFiles(snap, where)
     if (scoped.isEmpty) return
     clusterBy.foreach { c =>
@@ -2281,6 +2288,35 @@ object LakeTable {
   private[lake] def clusterByCols(props: Map[String, String]): Seq[String] =
     props.get(PROP_CLUSTER_BY).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Hash bucketing (Spark `bucketBy` parity as table properties):
+    * every write hash-partitions rows into `graft.bucketCount` bucket
+    * files on the `graft.bucketBy` columns — Spark's own bucket hash
+    * (`HashPartitioning.partitionIdExpression`, which `repartition(n,
+    * cols)` evaluates), Spark's own file-name contract — so scans
+    * report `HashPartitioning` and equi-joins/aggregations on the
+    * bucket columns between co-bucketed tables run with NO shuffle on
+    * either side. The 100 TB lever the brief calls "bucketing for
+    * co-located joins": a fact-fact join that would shuffle 100 TB
+    * twice becomes a zipped per-bucket merge.
+    */
+  val PROP_BUCKET_BY = "graft.bucketBy"
+  val PROP_BUCKET_COUNT = "graft.bucketCount"
+
+  /** The configured (bucketColumns, numBuckets), if bucketed. */
+  private[graft] def bucketSpecOf(props: Map[String, String])
+      : Option[(Seq[String], Int)] = {
+    val cols = props.get(PROP_BUCKET_BY).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val n = props.get(PROP_BUCKET_COUNT).map(_.trim.toInt)
+    (cols, n) match {
+      case (Nil, None) => None
+      case (c, Some(k)) if c.nonEmpty && k >= 1 => Some((c, k))
+      case _ => throw new IllegalArgumentException(
+        s"$PROP_BUCKET_BY and $PROP_BUCKET_COUNT must be set together " +
+          s"(columns + a positive bucket count)")
+    }
+  }
   val AUTO_COMPACT_DEFAULT_MIN_FILES = 50
   /** Prefix for identity columns (Delta's GENERATED ALWAYS AS
     * IDENTITY): `graft.identity.<col> = "<start>,<step>"`. A write
@@ -2443,6 +2479,12 @@ object LakeTable {
               .exists(n => n >= -1),
             s"$k must be an integer >= -1 (-1 = index all columns), " +
               s"got '$v'")
+        case PROP_BUCKET_BY =>
+          require(v.split(",").exists(_.trim.nonEmpty),
+            s"$k must name at least one column, got '$v'")
+        case PROP_BUCKET_COUNT =>
+          require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
+            s"$k must be a positive integer, got '$v'")
         case PROP_CLUSTER_BY =>
           // column existence is checked at OPTIMIZE time (the schema
           // can evolve after the property is set)

@@ -421,7 +421,32 @@ object LakeWriter {
     }
     val bloomPhysCols = bloomLogicalCols
       .map(c => ColumnMapping.physicalName(c, mapping))
-    val physDf = ColumnMapping.toPhysical(df, mapping)
+    // bucketed table: EVERY staged frame (appends, DML rewrites,
+    // compaction output — this is the one choke point they all pass)
+    // hash-partitions on the bucket columns with Spark's own bucket
+    // hash: repartition(n, cols) evaluates HashPartitioning's
+    // partitionIdExpression, so task index == bucket id, and the
+    // staged file names get the _%05d suffix Spark's bucketed scan
+    // parses. A caller's own repartition/coalesce is overridden here —
+    // bucket placement is a TABLE invariant, not a writer choice.
+    val bucketSpec = LakeTable.bucketSpecOf(props)
+    bucketSpec.foreach { case (cols, _) =>
+      val known = df.columns.toSet
+      cols.foreach(c => require(known.contains(c),
+        s"${LakeTable.PROP_BUCKET_BY} names unknown column $c; " +
+          s"frame columns: ${df.columns.sorted.mkString(", ")}"))
+      cols.foreach(c => require(!partCols.contains(c),
+        s"${LakeTable.PROP_BUCKET_BY} column $c is a partition " +
+          "column — bucket columns must be data columns"))
+    }
+    val physDf0 = ColumnMapping.toPhysical(df, mapping)
+    val physDf = bucketSpec match {
+      case Some((cols, n)) =>
+        val physCols = cols.map(c => ColumnMapping.physicalName(c, mapping))
+        physDf0.repartition(n,
+          physCols.map(org.apache.spark.sql.functions.col): _*)
+      case None => physDf0
+    }
     val staging = Paths.get(tablePath, s".staging-${UUID.randomUUID()}")
     Files.createDirectories(staging)
     try {
@@ -435,6 +460,31 @@ object LakeWriter {
       withMicrosTimestamps(spark) {
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
           .parquet(staging.toString)
+      }
+      // tag staged bucket files with Spark's `_%05d` bucket-id
+      // suffix: file names carry part-<taskIndex>, and task index ==
+      // bucket id under the explicit repartition above. The suffix is
+      // the bucketed scan's contract (BucketingUtils.getBucketId) —
+      // the read side only declares a BucketSpec when every live file
+      // parses one, so legacy files degrade to a plain scan instead
+      // of a wrong-bucket join.
+      if (bucketSpec.isDefined) {
+        val TaskId = """part-(\d+)-.*""".r
+        walkParquet(staging).foreach { f =>
+          val name = f.getFileName.toString
+          name match {
+            case TaskId(tid) =>
+              val dot = name.indexOf('.')
+              val (base, ext) =
+                if (dot < 0) (name, "") else name.splitAt(dot)
+              Files.move(f, f.resolveSibling(
+                base + f"_${tid.toInt}%05d" + ext))
+              ()
+            case _ => throw new IllegalStateException(
+              s"staged file $name carries no task index; cannot " +
+                "assign its bucket id")
+          }
+        }
       }
       // the empty-staging guard matters: a DML whose kept/updated
       // frame stages zero part files would otherwise crash the read

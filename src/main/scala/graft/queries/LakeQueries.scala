@@ -34,6 +34,51 @@ object LakeQueries {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
 
+    // Hash-bucketed co-located join (round 12): orders and lineitem
+    // written as co-bucketed lake tables on the order key
+    // (graft.bucketBy/bucketCount — Spark's own bucket hash and file
+    // contract), then joined and aggregated ON the bucket key. The
+    // in-gate require pins the 100 TB point: NEITHER side shuffles —
+    // the scan's declared HashPartitioning satisfies both the join
+    // and the aggregation, so a fact-fact join that would move 100 TB
+    // through two exchanges reads co-located bucket pairs instead.
+    // Oracle: the same join over the raw parquet in DuckDB.
+    QueryDef("lake_bucketed_join",
+      (s, dir) => {
+        val op = scratch("lake_bkt_orders", dir)
+        val lp = scratch("lake_bkt_lineitem", dir)
+        val props = Map(LakeTable.PROP_BUCKET_BY -> "k",
+          LakeTable.PROP_BUCKET_COUNT -> "8")
+        LakeWriter.write(table(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+            col("o_totalprice")), op, properties = props)
+        LakeWriter.write(table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_quantity")),
+          lp, properties = props)
+        val o = s.read.format("lake").load(op)
+        val l = s.read.format("lake").load(lp)
+        val joined = l.hint("merge").join(o.hint("merge"), "k")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+        joined.collect() // materialize so the FINAL plan is inspectable
+        val p = joined.queryExecution.executedPlan.toString
+        // the fact-fact JOIN edge must not shuffle (the aggregation
+        // above it keys on o_orderpriority, a different column — its
+        // small exchange is the query's, not the join's)
+        require(!p.contains("Exchange hashpartitioning(k#"),
+          s"co-bucketed join must not shuffle on the bucket key:\n$p")
+        require(p.contains("SortMergeJoin"),
+          s"expected a bucketed sort-merge join:\n$p")
+        joined
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // Column mapping (round 8): enable, METADATA-ONLY rename, append
     // under the new logical name, read back rows from files written
     // on BOTH sides of the rename — hash-oracled against a plain

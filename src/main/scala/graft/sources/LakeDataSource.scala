@@ -221,11 +221,27 @@ final class LakeDataSource extends RelationProvider
         new BloomParquetFileFormat(mapping, bloomPayload)
       else if (mapping.isEmpty) new ParquetFileFormat
       else new MappedParquetFileFormat(mapping)
+    // bucketed table: declare the BucketSpec so the scan reports
+    // HashPartitioning and co-bucketed joins/aggs skip their
+    // shuffles — but ONLY when every live file carries a parsable
+    // bucket id (Spark's `_%05d` name contract). Converted/legacy
+    // files without the tag degrade the whole scan to unbucketed
+    // rather than joining rows under a fabricated bucket id.
+    val bucketSpec = graft.lake.LakeTable
+      .bucketSpecOf(snap.metadata.properties)
+      .filter { _ =>
+        snap.files.forall(f =>
+          org.apache.spark.sql.execution.datasources.BucketingUtils
+            .getBucketId(new java.io.File(f.path).getName).isDefined)
+      }
+      .map { case (cols, n) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil)
+      }
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = format,
       options = parameters)(spark)
   }

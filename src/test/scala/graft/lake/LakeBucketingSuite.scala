@@ -1,0 +1,142 @@
+package graft.lake
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed lake tables (graft.bucketBy / graft.bucketCount):
+  * placement correctness, the no-shuffle co-located join plan, DML
+  * preserving bucket placement, and the legacy-file fallback.
+  *
+  * The deepest check here is implicit: under a declared BucketSpec,
+  * Spark's bucketed SortMergeJoin only compares rows WITHIN a bucket
+  * pair — if any row were placed in the wrong bucket file, the join
+  * would silently MISS its matches. Every row-parity assertion against
+  * the unbucketed plan is therefore also a placement proof.
+  */
+class LakeBucketingSuite extends SparkSuite {
+  import spark.implicits._
+
+  private val bucketProps = Map(
+    LakeTable.PROP_BUCKET_BY -> "k",
+    LakeTable.PROP_BUCKET_COUNT -> "8")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed writes tag files; co-bucketed join runs shuffle-free") {
+    val left = (0L until 2000L).map(i => (i % 97, i, s"l$i"))
+      .toDF("k", "v", "tag")
+    val right = (0L until 500L).map(i => (i % 97, i * 10))
+      .toDF("k", "w")
+    val lp = tablePath("bkt-left")
+    val rp = tablePath("bkt-right")
+    LakeWriter.write(left, lp, properties = bucketProps)
+    LakeWriter.write(right, rp, properties = bucketProps)
+    // every committed file parses a bucket id
+    LakeTable.forPath(spark, lp).snapshot().files.foreach { f =>
+      assert(org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(new java.io.File(f.path).getName).isDefined,
+        s"un-tagged bucket file ${f.path}")
+    }
+    val lt = spark.read.format("lake").load(lp)
+    val rt = spark.read.format("lake").load(rp)
+    val joined = lt.hint("merge").join(rt.hint("merge"), "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"co-bucketed join must not shuffle:\n$p")
+    // row parity vs the plain (unbucketed) computation = placement proof
+    val expect = left.join(right, "k").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = joined.as[(Long, Long, Long)].collect().toSet
+    assert(got === expect)
+    // aggregation on the bucket column alone also skips its exchange
+    val agg = lt.groupBy("k").agg(count(lit(1)).as("n"))
+    val ap = plan(agg)
+    assert(!ap.contains("Exchange hashpartitioning"),
+      s"bucket-column aggregation must not shuffle:\n$ap")
+  }
+
+  test("DML rewrites preserve bucket placement") {
+    val path = tablePath("bkt-dml")
+    val df = (0L until 1000L).map(i => (i % 31, i)).toDF("k", "v")
+    LakeWriter.write(df, path, properties = bucketProps)
+    val t = LakeTable.forPath(spark, path)
+    t.delete("v % 10 = 3")
+    t.update("v % 10 = 4", Map("v" -> "v + 100000"))
+    // rewritten files keep the tag ...
+    LakeTable.forPath(spark, path).snapshot().files.foreach { f =>
+      assert(org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(new java.io.File(f.path).getName).isDefined,
+        s"DML produced un-tagged file ${f.path}")
+    }
+    // ... and the bucketed self-join still finds every row (placement)
+    val cur = spark.read.format("lake").load(path)
+    val self = cur.as("a").hint("merge")
+      .join(cur.as("b").hint("merge"), "k")
+    val p = plan(self.groupBy("k").agg(count(lit(1)).as("n")))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val expectRows = df.filter("v % 10 != 3")
+      .withColumn("v", when($"v" % 10 === 4, $"v" + 100000)
+        .otherwise($"v"))
+    val perK = expectRows.groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    val got = self.groupBy("k").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === perK.map { case (k, n) => k -> n * n })
+  }
+
+  test("legacy un-tagged files degrade to a plain scan, never a wrong join") {
+    val path = tablePath("bkt-legacy")
+    LakeWriter.write((0L until 100L).map(i => (i % 7, i)).toDF("k", "v"),
+      path, properties = bucketProps)
+    // adopt a foreign file with NO bucket tag (simulates CONVERT /
+    // an engine that ignored the property)
+    val foreignDir = tmpDir("bkt-foreign")
+    Seq((3L, 999L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(foreignDir)
+    val src = LakeWriter.walkParquet(java.nio.file.Paths.get(foreignDir)).head
+    val rel = "foreign-untagged.parquet"
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(path).resolve(rel))
+    val log = new LakeLog(path)
+    val v = log.latestVersion
+    log.commit(v + 1, Seq(
+      CommitInfo(System.currentTimeMillis(), "FOREIGN", Map.empty),
+      AddFile(rel, Map.empty, java.nio.file.Files.size(
+        java.nio.file.Paths.get(path).resolve(rel)), 1L)))
+    val t = spark.read.format("lake").load(path)
+    val p = plan(t.groupBy("k").agg(count(lit(1)).as("n")))
+    assert(p.contains("Exchange hashpartitioning"),
+      s"mixed-tag table must fall back to shuffling:\n$p")
+    assert(t.count() === 101L)
+  }
+
+  test("bucketing property validation and clustering exclusivity") {
+    val df = (0L until 10L).map(i => (i, i)).toDF("k", "v")
+    intercept[IllegalArgumentException] { // count without columns
+      LakeWriter.write(df, tablePath("bkt-bad1"),
+        properties = Map(LakeTable.PROP_BUCKET_COUNT -> "8"))
+    }
+    intercept[IllegalArgumentException] { // unknown column
+      LakeWriter.write(df, tablePath("bkt-bad2"),
+        properties = Map(LakeTable.PROP_BUCKET_BY -> "nope",
+          LakeTable.PROP_BUCKET_COUNT -> "8"))
+    }
+    intercept[IllegalArgumentException] { // bucket on partition column
+      LakeWriter.write(df, tablePath("bkt-bad3"),
+        partitionBy = Seq("k"),
+        properties = Map(LakeTable.PROP_BUCKET_BY -> "k",
+          LakeTable.PROP_BUCKET_COUNT -> "8"))
+    }
+    val okPath = tablePath("bkt-ok")
+    LakeWriter.write(df, okPath, properties = bucketProps)
+    intercept[IllegalArgumentException] { // ZORDER on a bucketed table
+      LakeTable.forPath(spark, okPath).compactClustered(Seq("v"))
+    }
+  }
+}
