@@ -261,6 +261,10 @@ final class LakeTable private (
     }
     require(snap.schema.fields.count(_.name != name) > 0,
       s"cannot drop the last column of $tablePath")
+    require(!LakeTable.bucketSpecOf(snap.metadata.properties)
+        .exists(_._1.contains(name)),
+      s"cannot drop $name: it is a ${LakeTable.PROP_BUCKET_BY} " +
+        "bucket column")
     LakeWriter.commitWithRetry(log) { _ =>
       // re-derived per attempt (see addColumns): compose with, never
       // revert, concurrently-landed metadata
@@ -343,6 +347,13 @@ final class LakeTable private (
         s"cannot rename $oldName: generated/identity column $gc " +
         s"depends on it")
     }
+    // bucket columns are placement-load-bearing: a rename would leave
+    // graft.bucketBy naming a ghost (bricking writes) while reads
+    // silently stop declaring the BucketSpec
+    require(!LakeTable.bucketSpecOf(snap.metadata.properties)
+        .exists(_._1.contains(oldName)),
+      s"cannot rename $oldName: it is a ${LakeTable.PROP_BUCKET_BY} " +
+        "bucket column")
     def renamedMetaOf(cur: Snapshot): Metadata = {
       // recomputed per commit attempt: a retry after a concurrent
       // commit must re-derive schema AND mapping from the winner's
@@ -515,18 +526,31 @@ final class LakeTable private (
     */
   def fsckRepair(dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot()
-    val live = snap.files.map(_.path)
+    // probe the data file AND its deletion-vector sidecar: a file
+    // whose DV is gone cannot be read safely (its deleted rows would
+    // resurrect) — Delta's FSCK removes those entries too. Bloom
+    // sidecars are deliberately NOT probed: the bloom read path is
+    // conservative on a missing sidecar (opens the file), so losing
+    // one costs speed, not correctness.
+    val live: Seq[(String, Option[String])] =
+      snap.files.map(f => (f.path, f.dvPath))
+    def damaged(p: String, dv: Option[String]): Boolean =
+      !java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, p)) ||
+        dv.exists(d =>
+          !java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, d)))
     val missing: Seq[String] =
       if (live.size < 2048) {
-        live.filterNot(p =>
-          java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, p)))
+        live.collect { case (p, dv) if damaged(p, dv) => p }
       } else {
         val root = tablePath
         spark.sparkContext
           .parallelize(live, math.min(live.size / 256 + 1, 64))
-          .filter(p => !java.nio.file.Files.exists(
-            LakeLog.resolveFile(root, p)))
-          .collect().toSeq
+          .filter { case (p, dv) =>
+            !java.nio.file.Files.exists(LakeLog.resolveFile(root, p)) ||
+              dv.exists(d => !java.nio.file.Files.exists(
+                LakeLog.resolveFile(root, d)))
+          }
+          .map(_._1).collect().toSeq
       }
     if (missing.nonEmpty && !dryRun) {
       val now = System.currentTimeMillis()
@@ -1024,8 +1048,18 @@ final class LakeTable private (
       require(!(ColumnMapping.enabled(cur.metadata) &&
           props.get(ColumnMapping.MODE_PROP).exists(_ != "name")),
         s"${ColumnMapping.MODE_PROP} cannot be disabled once enabled")
-      val meta = cur.metadata.copy(
-        properties = cur.metadata.properties ++ props)
+      val merged = cur.metadata.properties ++ props
+      LakeTable.validatePropertyCoherence(merged)
+      // bucketing is a one-way door on a populated table: existing
+      // files were PLACED under the current spec, and a different
+      // declared spec makes Spark's bucketed scan silently drop
+      // out-of-range bucket files or prune to the wrong bucket
+      require(LakeTable.bucketSpecOf(cur.metadata.properties) ==
+          LakeTable.bucketSpecOf(merged) || cur.files.isEmpty,
+        "bucketing cannot be changed on a populated table (files " +
+          "are placed under the existing spec); rewrite into a new " +
+          "table instead")
+      val meta = cur.metadata.copy(properties = merged)
       // Enabling a protocol-gated feature (deletion vectors, column
       // mapping) ratchets the table's protocol in the SAME commit, so
       // a feature-unaware engine refuses the table from the moment
@@ -1069,9 +1103,18 @@ final class LakeTable private (
             k == ColumnMapping.TABLE_PROP)),
         "column mapping properties cannot be removed once enabled " +
         "(files already carry physical column names)")
+      val merged = cur.metadata.properties -- keys
+      LakeTable.validatePropertyCoherence(merged)
+      // same one-way door as SET: un-declaring bucketing on a
+      // populated table leaves bucket-placed files behind a scan that
+      // no longer knows it (correct but slow) and, worse, allows a
+      // later RE-declare with a different count over the old files
+      require(LakeTable.bucketSpecOf(cur.metadata.properties) ==
+          LakeTable.bucketSpecOf(merged) || cur.files.isEmpty,
+        "bucketing cannot be removed from a populated table")
       Seq(CommitInfo(System.currentTimeMillis(), "UNSET TBLPROPERTIES",
         Map("keys" -> keys.mkString(","))),
-        cur.metadata.copy(properties = cur.metadata.properties -- keys))
+        cur.metadata.copy(properties = merged))
     }
     ()
   }
@@ -2302,6 +2345,21 @@ object LakeTable {
     */
   val PROP_BUCKET_BY = "graft.bucketBy"
   val PROP_BUCKET_COUNT = "graft.bucketCount"
+
+  /** Cross-key invariants over a table's COMPOSED property map —
+    * enforced wherever a property commit could produce an incoherent
+    * WHOLE (create-time write, SET/UNSET TBLPROPERTIES), so a
+    * half-set bucket spec or a bucket+cluster conflict is rejected at
+    * the ALTER, never discovered by the next read or the nightly
+    * OPTIMIZE cron.
+    */
+  private[lake] def validatePropertyCoherence(
+      merged: Map[String, String]): Unit = {
+    val bucketed = bucketSpecOf(merged) // throws on a half-set spec
+    require(bucketed.isEmpty || clusterByCols(merged).isEmpty,
+      s"$PROP_BUCKET_BY and $PROP_CLUSTER_BY are mutually exclusive " +
+        "file-placement policies")
+  }
 
   /** The configured (bucketColumns, numBuckets), if bucketed. */
   private[graft] def bucketSpecOf(props: Map[String, String])

@@ -222,9 +222,14 @@ object LakeWriter {
     // partitions can emit N×P small files per append — the classic
     // small-file explosion a 100 TB table dies of. One extra shuffle
     // of the written rows buys one file per partition per commit.
+    // ... except on a bucketed table: the bucket repartition at
+    // staging overrides placement anyway (files per partition are
+    // bounded by bucketCount), so the optimizeWrite pre-shuffle
+    // would be a full shuffle whose output is immediately discarded
     val toWrite =
       if (partCols.nonEmpty && effectiveProps
-          .get(LakeTable.PROP_OPTIMIZE_WRITE).exists(_.toBoolean))
+          .get(LakeTable.PROP_OPTIMIZE_WRITE).exists(_.toBoolean) &&
+          LakeTable.bucketSpecOf(effectiveProps).isEmpty)
         normalized.repartition(partCols.map(col): _*)
       else normalized
 
@@ -461,31 +466,6 @@ object LakeWriter {
         (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
           .parquet(staging.toString)
       }
-      // tag staged bucket files with Spark's `_%05d` bucket-id
-      // suffix: file names carry part-<taskIndex>, and task index ==
-      // bucket id under the explicit repartition above. The suffix is
-      // the bucketed scan's contract (BucketingUtils.getBucketId) —
-      // the read side only declares a BucketSpec when every live file
-      // parses one, so legacy files degrade to a plain scan instead
-      // of a wrong-bucket join.
-      if (bucketSpec.isDefined) {
-        val TaskId = """part-(\d+)-.*""".r
-        walkParquet(staging).foreach { f =>
-          val name = f.getFileName.toString
-          name match {
-            case TaskId(tid) =>
-              val dot = name.indexOf('.')
-              val (base, ext) =
-                if (dot < 0) (name, "") else name.splitAt(dot)
-              Files.move(f, f.resolveSibling(
-                base + f"_${tid.toInt}%05d" + ext))
-              ()
-            case _ => throw new IllegalStateException(
-              s"staged file $name carries no task index; cannot " +
-                "assign its bucket id")
-          }
-        }
-      }
       // the empty-staging guard matters: a DML whose kept/updated
       // frame stages zero part files would otherwise crash the read
       // inside buildSidecars ("unable to infer schema") on a commit
@@ -497,10 +477,15 @@ object LakeWriter {
           bloomPhysCols, partCols, BloomIndex.numItems(props),
           BloomIndex.fpp(props))
       val adds = capStats(
-        adoptStagedFiles(spark, staging, Paths.get(tablePath)),
+        adoptStagedFiles(spark, staging, Paths.get(tablePath),
+          bucketTag = bucketSpec.isDefined),
         physDf.schema.fieldNames, props, mapping)
       if (bloomFor.isEmpty) adds
-      else adds.map(a => a.copy(bloomPath = bloomFor.get(a.path)))
+      else adds.map(a => a.copy(bloomPath =
+        // sidecars were built against the STAGED (untagged) names;
+        // adopted paths carry the bucket tag — strip it to look up
+        bloomFor.get(if (bucketSpec.isDefined) bucketUntagged(a.path)
+          else a.path)))
     } finally deleteRecursively(staging)
   }
 
@@ -593,7 +578,8 @@ object LakeWriter {
     * overhead dominates below the thresholds).
     */
   private def adoptStagedFiles(
-      spark: SparkSession, staging: Path, tableRoot: Path): Seq[AddFile] = {
+      spark: SparkSession, staging: Path, tableRoot: Path,
+      bucketTag: Boolean = false): Seq[AddFile] = {
     val files = walkParquet(staging)
     val stagedBytes = files.map(f => Files.size(f)).sum
     if (files.size >= DISTRIBUTED_STATS_MIN_FILES &&
@@ -607,16 +593,38 @@ object LakeWriter {
           math.min(files.size, 64))
         .flatMap { p =>
           adoptOne(Paths.get(p), Paths.get(stagingStr), Paths.get(rootStr),
-            q => ParquetFooters.statsWithConf(conf.value, q.toString))
+            q => ParquetFooters.statsWithConf(conf.value, q.toString),
+            bucketTag)
         }
         .collect().toSeq.sortBy(_.path)
     } else {
       files.flatMap { f =>
         adoptOne(f, staging, tableRoot,
-          q => ParquetFooters.stats(spark, q.toString))
+          q => ParquetFooters.stats(spark, q.toString), bucketTag)
       }
     }
   }
+
+  /** Insert Spark's `_%05d` bucket-id suffix into a staged file's
+    * rel path — bucket id = the writer task index (`part-NNNNN`),
+    * which the staging repartition made equal to the bucket hash.
+    */
+  private[lake] def bucketTagged(rel: String): String = {
+    val slash = rel.lastIndexOf('/')
+    val (dir, name) = rel.splitAt(slash + 1)
+    val m = """part-(\d+)-.*""".r.findFirstMatchIn(name).getOrElse(
+      throw new IllegalStateException(
+        s"staged file $name carries no task index; cannot assign " +
+          "its bucket id"))
+    val tid = m.group(1).toInt
+    val dot = name.indexOf('.')
+    val (base, ext) = if (dot < 0) (name, "") else name.splitAt(dot)
+    dir + base + f"_$tid%05d" + ext
+  }
+
+  /** Inverse of [[bucketTagged]] for sidecar-map lookups. */
+  private[lake] def bucketUntagged(rel: String): String =
+    rel.replaceFirst("""_\d{5}(\.|$)""", "$1")
 
   /** Adopt one staged file: drop empty splits, else move it into the
     * table layout and build its AddFile. Runs on executors for large
@@ -630,8 +638,15 @@ object LakeWriter {
     */
   private[lake] def adoptOne(f: Path, staging: Path, tableRoot: Path,
       statsOf: Path => (Long, Map[String, String], Map[String, String],
-        Map[String, Long])): Option[AddFile] = {
-    val rel = staging.relativize(f).toString
+        Map[String, Long]),
+      bucketTag: Boolean = false): Option[AddFile] = {
+    // bucketed tables: the adoption move doubles as the bucket-id
+    // tagging (part-<taskIndex> == bucket id under the staging
+    // repartition; Spark's `_%05d` name contract) — zero extra I/O,
+    // stays distributed with the rest of adoption
+    val rel =
+      if (bucketTag) bucketTagged(staging.relativize(f).toString)
+      else staging.relativize(f).toString
     val target = tableRoot.resolve(rel)
     def build(source: Path): Option[AddFile] = {
       val (rows, mins, maxs, nulls) = statsOf(source)

@@ -229,11 +229,7 @@ final class LakeDataSource extends RelationProvider
     // rather than joining rows under a fabricated bucket id.
     val bucketSpec = graft.lake.LakeTable
       .bucketSpecOf(snap.metadata.properties)
-      .filter { _ =>
-        snap.files.forall(f =>
-          org.apache.spark.sql.execution.datasources.BucketingUtils
-            .getBucketId(new java.io.File(f.path).getName).isDefined)
-      }
+      .filter(_ => LakeDataSource.allFilesBucketTagged(snap))
       .map { case (cols, n) =>
         org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil)
       }
@@ -249,6 +245,24 @@ final class LakeDataSource extends RelationProvider
 
 object LakeDataSource {
   import org.apache.spark.sql.functions._
+
+  /** Memoized per Snapshot instance: does every live file parse a
+    * bucket id? The answer is immutable for a given snapshot, and
+    * relationFor runs per QUERY — a 10⁶-file table must not pay a
+    * million regex parses on the driver every time it is planned.
+    * Snapshot instances are cached per version by the log layer, so
+    * the weak map is effective; the name check itself short-circuits
+    * on the first untagged file (the common legacy case).
+    */
+  private val bucketTagCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Snapshot, java.lang.Boolean]())
+
+  private[sources] def allFilesBucketTagged(snap: Snapshot): Boolean =
+    bucketTagCache.computeIfAbsent(snap, s =>
+      s.files.forall(f =>
+        org.apache.spark.sql.execution.datasources.BucketingUtils
+          .getBucketId(new java.io.File(f.path).getName).isDefined))
 
   /** Planner-integrated DataFrame over a snapshot — the read path
     * shared by `LakeTable.toDF` / `asOf` / `format("lake")`. Applies

@@ -116,6 +116,50 @@ class LakeBucketingSuite extends SparkSuite {
     assert(t.count() === 101L)
   }
 
+  test("bucket spec is a one-way door; rename/drop of bucket cols refused") {
+    val path = tablePath("bkt-door")
+    LakeWriter.write((0L until 50L).map(i => (i % 5, i)).toDF("k", "v"),
+      path, properties = bucketProps)
+    val t = LakeTable.forPath(spark, path)
+    intercept[IllegalArgumentException] { // change count on populated table
+      t.setTblProperties(Map(LakeTable.PROP_BUCKET_COUNT -> "4"))
+    }
+    intercept[IllegalArgumentException] { // unset half the spec
+      t.unsetTblProperties(Seq(LakeTable.PROP_BUCKET_COUNT))
+    }
+    intercept[IllegalArgumentException] { // clusterBy on a bucketed table
+      t.setTblProperties(Map(LakeTable.PROP_CLUSTER_BY -> "v"))
+    }
+    intercept[IllegalArgumentException] { // half-set spec on a plain table
+      val p2 = tablePath("bkt-door2")
+      LakeWriter.write(Seq((1L, 2L)).toDF("k", "v"), p2)
+      LakeTable.forPath(spark, p2)
+        .setTblProperties(Map(LakeTable.PROP_BUCKET_BY -> "k"))
+    }
+    intercept[IllegalArgumentException] { // rename the bucket column
+      t.renameColumn("k", "key")
+    }
+    intercept[IllegalArgumentException] { // drop the bucket column
+      t.dropColumn("k")
+    }
+    // the table still reads fine after every refused mutation
+    assert(spark.read.format("lake").load(path).count() === 50L)
+  }
+
+  test("FSCK reports files whose deletion-vector sidecar is gone") {
+    val path = tablePath("bkt-fsck-dv")
+    LakeWriter.write(spark.range(0, 100).toDF("id").coalesce(1), path,
+      properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id = 5") // creates a DV sidecar
+    val dv = t.snapshot().files.flatMap(_.dvPath)
+    assert(dv.nonEmpty)
+    java.nio.file.Files.delete(LakeLog.resolveFile(path, dv.head))
+    val missing = LakeTable.forPath(spark, path).fsckRepair(dryRun = true)
+    assert(missing.nonEmpty,
+      "FSCK must flag a file whose DV sidecar is missing")
+  }
+
   test("bucketing property validation and clustering exclusivity") {
     val df = (0L until 10L).map(i => (i, i)).toDF("k", "v")
     intercept[IllegalArgumentException] { // count without columns
