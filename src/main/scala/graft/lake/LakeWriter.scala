@@ -60,6 +60,13 @@ object LakeWriter {
         LakeTable.assertNotAppendOnly(_, "overwrite write", tablePath))
     if (properties.nonEmpty) {
       LakeTable.validateProperties(properties)
+      // Create-time writes commit the FULL property map — coherence
+      // (half-set bucket spec, bucket+cluster conflict) must be
+      // rejected here, not discovered by the next OPTIMIZE. Existing
+      // tables skip this: `properties` may legitimately be a partial
+      // restatement, and the clash check below pins it to the stored
+      // (already-coherent) map.
+      if (existing.isEmpty) LakeTable.validatePropertyCoherence(properties)
       existing.foreach { s =>
         val clash = properties.filter { case (k, v) =>
           !s.metadata.properties.get(k).contains(v) }
@@ -622,9 +629,20 @@ object LakeWriter {
     dir + base + f"_$tid%05d" + ext
   }
 
-  /** Inverse of [[bucketTagged]] for sidecar-map lookups. */
-  private[lake] def bucketUntagged(rel: String): String =
-    rel.replaceFirst("""_\d{5}(\.|$)""", "$1")
+  /** Inverse of [[bucketTagged]] for sidecar-map lookups: strips the
+    * tag ONLY from the end of the final segment's base name (the
+    * exact spot [[bucketTagged]] inserted it), so an `_NNNNN.`
+    * substring inside a partition directory segment is never touched,
+    * and a >5-digit tag (bucket counts past 99999 widen `%05d`) still
+    * strips.
+    */
+  private[lake] def bucketUntagged(rel: String): String = {
+    val slash = rel.lastIndexOf('/')
+    val (dir, name) = rel.splitAt(slash + 1)
+    val dot = name.indexOf('.')
+    val (base, ext) = if (dot < 0) (name, "") else name.splitAt(dot)
+    dir + base.replaceFirst("""_\d{5,}$""", "") + ext
+  }
 
   /** Adopt one staged file: drop empty splits, else move it into the
     * table layout and build its AddFile. Runs on executors for large

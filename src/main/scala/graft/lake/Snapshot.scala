@@ -24,6 +24,18 @@ final case class Snapshot(
 
   def sizeInBytes: Long = files.map(_.size).sum
 
+  /** Every live file carries Spark's `_NNNNN` bucket-id tag — the
+    * precondition for planning a bucketed relation. Immutable for a
+    * snapshot, so memoized per instance (identity keying): the read
+    * path asks per QUERY, and a 10⁶-file table must not re-walk a
+    * million file names on every plan. Short-circuits on the first
+    * untagged file (the common legacy/unbucketed case).
+    */
+  lazy val allFilesBucketTagged: Boolean =
+    files.forall(f =>
+      org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(new java.io.File(f.path).getName).isDefined)
+
   /** DataFrame over the live files, planned through the log-backed
     * `LakeFileIndex` (same relation as `spark.read.format("lake")`):
     * the file set stays metadata resolved at planning time, partition

@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
   * lib, ffmpeg bindings) can amortize init cost per task, exactly like
   * a Pandas-UDF batch would.
   *
-  * The decode kernel is REAL for codec-free container formats — BMP
-  * (24-bit uncompressed, bottom-up, stride-padded) and WAV (PCM16
-  * mono/stereo, RIFF chunk walk) are parsed byte-for-byte into
-  * pixel/sample arrays with no native library. Compressed formats
-  * (JPEG/PNG/MP3/H.264) still hit a clearly marked STUB (this
-  * container ships no codecs): deterministic byte statistics stand in
-  * for the decoded values. Everything around the kernel — schema,
-  * batch iteration, partitioning, output shape — is identical across
-  * both paths.
+  * The decode kernel is REAL for every image format the JDK ships a
+  * reader for — JPEG, PNG, GIF, TIFF decode through `javax.imageio`
+  * into raster samples — plus two hand-rolled byte-level parsers that
+  * double as format conformance tests: BMP (24-bit uncompressed,
+  * bottom-up, stride-padded) and WAV (PCM16 mono/stereo, RIFF chunk
+  * walk). Only formats with no JDK codec (video containers,
+  * compressed audio) hit a clearly marked STUB of deterministic byte
+  * statistics. Everything around the kernel — schema, batch
+  * iteration, partitioning, output shape — is identical across all
+  * paths.
   */
 object MultimodalOps {
 
@@ -84,10 +85,12 @@ object MultimodalOps {
       dim: Int): MediaFeatures = format match {
     case "image/bmp" => decodeBmp(id, bytes, dim)
     case "audio/wav" => decodeWav(id, bytes, dim)
+    case "image/jpeg" | "image/png" | "image/gif" | "image/tiff" =>
+      decodeImage(id, bytes, dim)
     case _ => stubFeatures(id, bytes, dim)
   }
 
-  /** ??? real codec for COMPRESSED formats goes here ??? —
+  /** ??? real codec for video / compressed audio goes here ??? —
     * deterministic stand-in: byte statistics + a folded histogram,
     * stable across runs (decoded-domain fields mirror the byte
     * domain).
@@ -190,6 +193,11 @@ object MultimodalOps {
         s"media $id: truncated WAV chunk $cid")
       cid match {
         case "fmt " =>
+          // the reads below index up to off+23; a malformed fmt chunk
+          // shorter than the 16-byte PCM layout must fail HERE with
+          // the corrupt-payload message, not out-of-bounds downstream
+          require(clen >= 16,
+            s"media $id: fmt chunk too short ($clen bytes)")
           val audioFormat = u16(bytes, off + 8)
           val bits = u16(bytes, off + 22)
           require(audioFormat == 1 && bits == 16,
@@ -217,6 +225,47 @@ object MultimodalOps {
     val payload = payloadStats(bytes)
     MediaFeatures(id, bytes.length.toLong, payload, n.toLong, sum,
       if (n == 0) 0.0 else sum.toDouble / n, hist)
+  }
+
+  /** REAL compressed-image decode via the JDK's own `javax.imageio`
+    * readers (JPEG/PNG/GIF/TIFF register out of the box — no native
+    * install). Walks the decoded RASTER band-interleaved, one row of
+    * samples per `getPixels` call, so a 4K frame never materializes a
+    * boxed per-pixel object: `n_samples` = width·height·bands,
+    * `value_sum` their exact integer sum (lossless formats round-trip
+    * closed-form generators bit-exactly; flat-field JPEG at quality
+    * 1.0 is also exact — both verified properties the oracle gate
+    * leans on), histogram folded over the sample's unsigned low byte.
+    * Undecodable payloads of a declared image format fail loudly.
+    */
+  private[ops] def decodeImage(id: Long, bytes: Array[Byte], dim: Int)
+      : MediaFeatures = {
+    require(bytes != null && bytes.length > 0, s"media $id: empty payload")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"media $id: undecodable image payload")
+    val raster = img.getRaster
+    val w = raster.getWidth
+    val h = raster.getHeight
+    val bands = raster.getNumBands
+    val row = new Array[Int](w * bands)
+    var sum = 0L
+    val hist = new Array[Float](dim)
+    var y = 0
+    while (y < h) {
+      raster.getPixels(0, y, w, 1, row)
+      var i = 0
+      while (i < w * bands) {
+        val v = row(i)
+        sum += v
+        hist((v & 0xff) % dim) += 1.0f
+        i += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h * bands
+    MediaFeatures(id, bytes.length.toLong, payloadStats(bytes),
+      n, sum, if (n == 0) 0.0 else sum.toDouble / n, hist)
   }
 
   private def payloadStats(bytes: Array[Byte]): Double = {
@@ -298,6 +347,65 @@ object MultimodalOps {
       i += 1
     }
     out
+  }
+
+  /** A PNG encoding of the SAME closed-form pixels as
+    * [[syntheticBmp]] — channel values `(id·31 + 7x + 13y + 5c) mod
+    * 256` (c = B,G,R within each pixel; channel order is
+    * sum/histogram-invariant). PNG is lossless, so decoding the
+    * compressed stream must reproduce the closed form bit-exactly:
+    * a real inflate+unfilter runs between generator and features.
+    */
+  def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        def ch(c: Int): Int =
+          ((id * 31 + 7L * x + 13L * y + 5L * c) % 256).toInt
+        img.setRGB(x, y, (ch(2) << 16) | (ch(1) << 8) | ch(0))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A flat-field grayscale JPEG at quality 1.0, sample value
+    * `(id·31) mod 256` everywhere. A constant field quantizes to a
+    * lone DC coefficient that survives quality-1.0 quantization
+    * untouched, so the lossy round trip is EXACT for every value —
+    * measured across all 256 — which lets a closed-form oracle check
+    * a real Huffman+IDCT decode with integer equality, no tolerance.
+    */
+  def syntheticJpeg(id: Long, width: Int, height: Int): Array[Byte] = {
+    val v = ((id * 31) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.getRaster.setSample(x, y, 0, v); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
   }
 
   /** "Resize" stub: records the target dims in metadata; payload is

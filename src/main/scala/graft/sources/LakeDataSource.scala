@@ -246,23 +246,18 @@ final class LakeDataSource extends RelationProvider
 object LakeDataSource {
   import org.apache.spark.sql.functions._
 
-  /** Memoized per Snapshot instance: does every live file parse a
-    * bucket id? The answer is immutable for a given snapshot, and
-    * relationFor runs per QUERY — a 10⁶-file table must not pay a
-    * million regex parses on the driver every time it is planned.
-    * Snapshot instances are cached per version by the log layer, so
-    * the weak map is effective; the name check itself short-circuits
-    * on the first untagged file (the common legacy case).
+  /** Does every live file of the snapshot parse a bucket id?
+    * Memoized ON the Snapshot instance (identity, not value,
+    * keying): relationFor runs per QUERY, and a 10⁶-file table must
+    * not pay a million regex parses on the driver every time it is
+    * planned — nor a full AddFile-list hash per cache lookup, which
+    * is what a case-class-keyed map would cost. Snapshot instances
+    * are cached per version by the log layer, so the per-instance
+    * lazy val is effective; the name check itself short-circuits on
+    * the first untagged file (the common legacy case).
     */
-  private val bucketTagCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Snapshot, java.lang.Boolean]())
-
   private[sources] def allFilesBucketTagged(snap: Snapshot): Boolean =
-    bucketTagCache.computeIfAbsent(snap, s =>
-      s.files.forall(f =>
-        org.apache.spark.sql.execution.datasources.BucketingUtils
-          .getBucketId(new java.io.File(f.path).getName).isDefined))
+    snap.allFilesBucketTagged
 
   /** Planner-integrated DataFrame over a snapshot — the read path
     * shared by `LakeTable.toDF` / `asOf` / `format("lake")`. Applies

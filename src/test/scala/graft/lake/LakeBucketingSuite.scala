@@ -182,5 +182,30 @@ class LakeBucketingSuite extends SparkSuite {
     intercept[IllegalArgumentException] { // ZORDER on a bucketed table
       LakeTable.forPath(spark, okPath).compactClustered(Seq("v"))
     }
+    // CREATE-time coherence (ADVICE r12): bucketBy + clusterBy in the
+    // same create must be rejected at the property commit, not
+    // discovered when the nightly OPTIMIZE routes to compactClustered
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.write(df, tablePath("bkt-bad4"),
+        properties = bucketProps +
+          (LakeTable.PROP_CLUSTER_BY -> "v"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("bucketUntagged strips only the final segment's trailing tag") {
+    import LakeWriter.bucketUntagged
+    // tag at end of base name: stripped
+    assert(bucketUntagged("part-00003-uuid_00003.snappy.parquet")
+      === "part-00003-uuid.snappy.parquet")
+    // _NNNNN. inside a partition DIRECTORY segment: untouched
+    assert(bucketUntagged("p=a_00001.x/part-000-u_00007.parquet")
+      === "p=a_00001.x/part-000-u.parquet")
+    // >5-digit tag (bucket counts past 99999 widen %05d): stripped
+    assert(bucketUntagged("part-0-u_123456.parquet")
+      === "part-0-u.parquet")
+    // no tag: identity
+    assert(bucketUntagged("p=1/part-0-uuid.parquet")
+      === "p=1/part-0-uuid.parquet")
   }
 }

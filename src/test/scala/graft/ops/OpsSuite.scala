@@ -290,6 +290,50 @@ class OpsSuite extends SparkSuite {
     intercept[IllegalArgumentException] {
       MultimodalOps.decodeWav(3L, new Array[Byte](100), 8)
     }
+    // malformed fmt chunk shorter than the 16-byte PCM layout must
+    // hit the descriptive require, not an ArrayIndexOutOfBounds from
+    // reading bits at off+22 past the chunk (ADVICE r12)
+    val shortFmt = MultimodalOps.syntheticWav(0L, 4)
+    def ps2(o: Int, v: Int): Unit = {
+      shortFmt(o) = (v & 0xff).toByte
+      shortFmt(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ps2(16, 2); ps2(18, 0) // fmt clen 16 → 2
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.decodeWav(5L, shortFmt, 8)
+    }
+    assert(e.getMessage.contains("fmt chunk too short"))
+  }
+
+  test("ImageIO decode: PNG lossless + flat-field JPEG are closed-form") {
+    // PNG: inflate + unfilter must reproduce the generator's pixels
+    // bit-exactly (lossless format), arbitrary dims
+    for ((id, w, h) <- Seq((4L, 17, 9), (11L, 1, 1), (250L, 33, 5))) {
+      val f = MultimodalOps.decodeImage(id,
+        MultimodalOps.syntheticPng(id, w, h), 8)
+      val expect = (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        yield (id * 31 + 7L * x + 13L * y + 5L * c) % 256).sum
+      assert(f.n_samples === w.toLong * h * 3)
+      assert(f.value_sum === expect, s"png ${w}x$h id=$id")
+    }
+    // JPEG: flat-field at quality 1.0 survives the lossy round trip
+    // exactly — a real Huffman+IDCT decode checked by integer equality.
+    // ids chosen so (id*31)%256 sweeps low/mid/high sample values.
+    for (id <- Seq(0L, 3L, 7L, 33L, 128L, 255L)) {
+      val v = (id * 31) % 256
+      val f = MultimodalOps.decodeImage(id,
+        MultimodalOps.syntheticJpeg(id, 16, 16), 8)
+      assert(f.n_samples === 256L, s"jpeg id=$id")
+      assert(f.value_sum === 256L * v, s"jpeg id=$id v=$v")
+    }
+    // corrupt: truncated PNG and garbage bytes fail loudly
+    val png = MultimodalOps.syntheticPng(9L, 8, 8)
+    intercept[Exception] {
+      MultimodalOps.decodeImage(9L, png.take(20), 8)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeImage(9L, "not an image at all".getBytes, 8)
+    }
   }
 
   test("LSH top-k: multi-probe widens recall; true near-dups always found") {
