@@ -577,7 +577,7 @@ object LakeQueries {
     // (version offsets, per-batch change computation, exactly-once
     // sink) against the identical closed-form oracle.
     QueryDef("streaming_lake_cdf",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         val root = scratch("streaming_lake_cdf", dir)
         val (path, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
         val c = table(s, dir, "customer")
@@ -623,16 +623,19 @@ object LakeQueries {
     // the watermark can't drop rows — results are deterministic and
     // the DuckDB oracle replays the join in plain SQL.
     QueryDef("streaming_interval_join",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         val root = scratch("streaming_interval_join", dir)
         val (vp, cp, out, ckpt) =
           (s"$root/views", s"$root/clicks", s"$root/out", s"$root/ckpt")
+        val tSetup = System.nanoTime()
         val ev = QueryDef.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type")
         LakeWriter.write(ev.filter("event_type = 'view'")
           .drop("event_type"), vp)
         LakeWriter.write(ev.filter("event_type = 'click'")
           .drop("event_type"), cp)
+        val setupSec = (System.nanoTime() - tSetup) / 1e9
+        val tStream = System.nanoTime()
         val views = s.readStream.format("lake").load(vp)
           .withWatermark("ts", "10 minutes").as("l")
         val clicks = s.readStream.format("lake").load(cp)
@@ -648,6 +651,12 @@ object LakeQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start(out)
         q.awaitTermination(180000)
+        // setup (fixture writes) vs stream (checkpoint + symmetric
+        // join state) split, mirroring the IVF build/probe split —
+        // makes a wall-clock move attributable without re-profiling
+        System.err.println(f"[gate] streaming_interval_join " +
+          f"setup=$setupSec%.3fs " +
+          f"stream=${(System.nanoTime() - tStream) / 1e9}%.3fs")
         LakeTable.forPath(s, out).toDF
       },
       Some("""SELECT l.event_id AS view_id, r.event_id AS click_id,
@@ -670,7 +679,7 @@ object LakeQueries {
     // routing end to end — not just that changes are emitted
     // (streaming_lake_cdf) but that they RECONSTRUCT the table.
     QueryDef("streaming_apply_changes",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         val root = scratch("streaming_apply_changes", dir)
         val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
         val c = table(s, dir, "customer")

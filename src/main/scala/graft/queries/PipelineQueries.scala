@@ -56,7 +56,7 @@ object PipelineQueries {
     // content aggregates straight off `documents`, so this streaming
     // path is DuckDB-hash-checked, not rows-only.
     QueryDef("streaming_lake_source",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         val sf = new java.io.File(dir).getName
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft_stream_src", sf)
@@ -89,7 +89,7 @@ object PipelineQueries {
     // reach the sink. Oracle: the same rules + filter replayed in
     // DuckDB over the whole corpus.
     QueryDef("streaming_curation",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         val sf = new java.io.File(dir).getName
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft_stream_curate", sf)
@@ -149,7 +149,7 @@ object PipelineQueries {
     // streaming pipeline (source replay, watermark state, window
     // close, sink commit) is hash-checked, not rows-only.
     QueryDef("streaming_windowed_counts",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         val sf = new java.io.File(dir).getName
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft_stream_win", sf)
@@ -202,7 +202,7 @@ object PipelineQueries {
     // session), and session_end is last event + gap — the oracle
     // encodes both, so a drift in either contract hash-mismatches.
     QueryDef("streaming_session_window",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         val sf = new java.io.File(dir).getName
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft_stream_sess", sf)
@@ -261,7 +261,7 @@ object PipelineQueries {
     // dropDuplicatesWithinWatermark instead. Oracle: the dedup must
     // reconstruct exactly the single-delivery aggregate.
     QueryDef("streaming_dedup",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         import java.nio.file.{Files, Paths}
         val sf = new java.io.File(dir).getName
         val root = java.nio.file.Paths.get(
@@ -312,7 +312,7 @@ object PipelineQueries {
     // round-trip, bronze metadata, txn-idempotent sink commits) is
     // hash-checked, not rows-only.
     QueryDef("streaming_ingest",
-      (s, dir) => {
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
         val sf = new java.io.File(dir).getName
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft_streaming", sf)

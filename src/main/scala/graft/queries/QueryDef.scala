@@ -41,6 +41,27 @@ object QueryDef {
     }
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to a
+    * CONSTANT, restoring the session value after. Streaming gates
+    * MUST build and run their streams inside this block: the
+    * shuffle-partition count fixes the state-store instance count
+    * (baked into the checkpoint at first micro-batch), which is a
+    * SEMANTIC parallelism knob of the gate, not a host property.
+    * Without the pin, a floor ratcheted on a 4-core bench host
+    * (partitions = cpus = 4) is unreachable on a 32-core driver run —
+    * 8x the state stores and per-batch checkpoint commits measure
+    * harness constant, not the operator (r12's one `unresolved`).
+    * On a real cluster state stores spread across executors; in a
+    * single-JVM gate a fixed 8 keeps the measurement host-portable.
+    */
+  def pinnedShufflePartitions[T](s: SparkSession, n: Int = 8)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Fresh per-(sf, gate) scratch dir for gates that persist lake
     * state — deleted up front so every run starts clean.
     */
