@@ -161,16 +161,113 @@ private[lake] final case class LogEntry(
 object Action {
   private implicit val formats: Formats = DefaultFormats
 
-  def toJson(a: Action): String = Serialization.write(a match {
-    case m: Metadata   => LogEntry(metaData = Some(m))
-    case f: AddFile    => LogEntry(add = Some(f))
-    case r: RemoveFile => LogEntry(remove = Some(r))
-    case c: CommitInfo => LogEntry(commitInfo = Some(c))
-    case t: Txn        => LogEntry(txn = Some(t))
-    case c: CdcFile    => LogEntry(cdc = Some(c))
-    case p: Protocol   => LogEntry(protocol = Some(p))
-    case d: DomainMetadata => LogEntry(domainMetadata = Some(d))
-  })
+  /** Serialize one action to its log line. The two BULK types —
+    * AddFile and RemoveFile, of which a 100k-file commit or
+    * checkpoint carries 100k while every other type appears a handful
+    * of times — take a hand-built writer: json4s' reflective
+    * `Serialization.write` costs ~10 µs/action, which at 10⁶ files is
+    * ~10 s of DRIVER time per big commit (SCALE.md's measured
+    * write-side cost; VERDICT r12 ask #4). The hand path emits the
+    * same shape `fromJson` reads (field order irrelevant to the
+    * parser; None fields omitted, exactly as json4s does) and is
+    * differentially tested against the reflective writer.
+    */
+  def toJson(a: Action): String = a match {
+    case f: AddFile    => addFileJson(f)
+    case r: RemoveFile =>
+      val sb = new java.lang.StringBuilder(64 + r.path.length)
+      sb.append("{\"remove\":{\"path\":")
+      appendEsc(sb, r.path)
+      sb.append(",\"deletionTimestamp\":").append(r.deletionTimestamp)
+      sb.append("}}").toString
+    case other => toJsonReflect(other)
+  }
+
+  /** The reflective (json4s) writer — reference implementation the
+    * fast paths are differentially tested against, and the fallback
+    * for the low-volume action types.
+    */
+  private[lake] def toJsonReflect(a: Action): String =
+    Serialization.write(a match {
+      case m: Metadata   => LogEntry(metaData = Some(m))
+      case f: AddFile    => LogEntry(add = Some(f))
+      case r: RemoveFile => LogEntry(remove = Some(r))
+      case c: CommitInfo => LogEntry(commitInfo = Some(c))
+      case t: Txn        => LogEntry(txn = Some(t))
+      case c: CdcFile    => LogEntry(cdc = Some(c))
+      case p: Protocol   => LogEntry(protocol = Some(p))
+      case d: DomainMetadata => LogEntry(domainMetadata = Some(d))
+    })
+
+  private def appendEsc(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') sb.append("\\\"")
+      else if (c == '\\') sb.append("\\\\")
+      else if (c == '\n') sb.append("\\n")
+      else if (c == '\r') sb.append("\\r")
+      else if (c == '\t') sb.append("\\t")
+      else if (c < ' ') sb.append(f"\\u${c.toInt}%04x")
+      else sb.append(c)
+      i += 1
+    }
+    sb.append('"')
+    ()
+  }
+
+  private def appendStrMap(sb: java.lang.StringBuilder, name: String,
+      m: Map[String, String]): Unit = {
+    sb.append(',').append('"').append(name).append("\":{")
+    var first = true
+    m.foreach { case (k, v) =>
+      if (!first) sb.append(',')
+      first = false
+      appendEsc(sb, k); sb.append(':'); appendEsc(sb, v)
+    }
+    sb.append('}')
+    ()
+  }
+
+  private def addFileJson(f: AddFile): String = {
+    val sb = new java.lang.StringBuilder(192 + f.path.length)
+    sb.append("{\"add\":{\"path\":")
+    appendEsc(sb, f.path)
+    appendStrMap(sb, "partitionValues", f.partitionValues)
+    sb.append(",\"size\":").append(f.size)
+    sb.append(",\"numRecords\":").append(f.numRecords)
+    appendStrMap(sb, "minValues", f.minValues)
+    appendStrMap(sb, "maxValues", f.maxValues)
+    sb.append(",\"nullCounts\":{")
+    var first = true
+    f.nullCounts.foreach { case (k, v) =>
+      if (!first) sb.append(',')
+      first = false
+      appendEsc(sb, k); sb.append(':').append(v)
+    }
+    sb.append('}')
+    f.dvPath.foreach { p =>
+      sb.append(",\"dvPath\":"); appendEsc(sb, p)
+    }
+    sb.append(",\"dvCardinality\":").append(f.dvCardinality)
+    f.bloomPath.foreach { p =>
+      sb.append(",\"bloomPath\":"); appendEsc(sb, p)
+    }
+    f.baseRowId.foreach(id => sb.append(",\"baseRowId\":").append(id))
+    sb.append("}}").toString
+  }
+
+  /** Cheap envelope sniff: does this log line carry a
+    * metadata-bearing action (Metadata / Protocol / DomainMetadata)?
+    * Both writers emit the envelope field FIRST (json4s writes
+    * declaration order with Nones omitted; the fast paths emit their
+    * key literally), so a prefix check skips a commit's 10⁵ add
+    * lines without JSON-parsing any of them.
+    */
+  private[lake] def isMetaLine(s: String): Boolean =
+    s.startsWith("{\"metaData\"") || s.startsWith("{\"protocol\"") ||
+      s.startsWith("{\"domainMetadata\"")
 
   def fromJson(line: String): Action = {
     val e = Serialization.read[LogEntry](line)

@@ -260,4 +260,83 @@ object CheckpointParquet {
       .takeWhile(_ != null).map(fromGroup).toVector
     finally reader.close()
   }
+
+  /** Metadata / Protocol / DomainMetadata rows of the part at `p`,
+    * read under a PROJECTION that never decodes the add columns —
+    * the add group's 10⁶ paths and stats maps are the entire byte
+    * volume of a big checkpoint, and a caller that only needs table
+    * metadata (commit-time row-id stamping) must not pay their
+    * decode. Row iteration over the projected (near-empty) rows is
+    * microseconds per thousand.
+    */
+  private val META_SCHEMA: MessageType = MessageTypeParser
+    .parseMessageType("""message meta {
+      optional group domainMetadata {
+        required binary domain (STRING);
+        repeated group configuration {
+          required binary key (STRING);
+          optional binary value (STRING);
+        }
+        required boolean removed;
+      }
+      optional group metaData {
+        required binary schemaDDL (STRING);
+        repeated binary partitionColumns (STRING);
+        required int64 createdTime;
+        repeated group constraints {
+          required binary key (STRING);
+          required binary value (STRING);
+        }
+        repeated group properties {
+          required binary key (STRING);
+          required binary value (STRING);
+        }
+      }
+      optional group protocol {
+        required int32 minReaderVersion;
+        required int32 minWriterVersion;
+        repeated binary readerFeatures (STRING);
+        repeated binary writerFeatures (STRING);
+      }
+    }""")
+
+  def readMeta(p: Path): Seq[Action] = {
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport
+      .PARQUET_READ_SCHEMA, META_SCHEMA.toString)
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(p.toString))
+      .withConf(conf)
+      .build()
+    // fromGroup probes the `add` field, which the projection dropped
+    // from the record schema — convert against the projected fields
+    // only (add/remove/txn rows project to all-absent groups: skip)
+    def fromMetaGroup(g: Group): Option[Action] =
+      if (g.getFieldRepetitionCount("metaData") > 0) {
+        val m = g.getGroup("metaData", 0)
+        Some(Metadata(
+          schemaDDL = m.getString("schemaDDL", 0),
+          partitionColumns = readStrings(m, "partitionColumns"),
+          createdTime = m.getLong("createdTime", 0),
+          constraints = readMap(m, "constraints"),
+          properties = readMap(m, "properties")))
+      } else if (g.getFieldRepetitionCount("protocol") > 0) {
+        val p = g.getGroup("protocol", 0)
+        Some(Protocol(
+          minReaderVersion = p.getInteger("minReaderVersion", 0),
+          minWriterVersion = p.getInteger("minWriterVersion", 0),
+          readerFeatures = readStrings(p, "readerFeatures"),
+          writerFeatures = readStrings(p, "writerFeatures")))
+      } else if (g.getFieldRepetitionCount("domainMetadata") > 0) {
+        val d = g.getGroup("domainMetadata", 0)
+        Some(DomainMetadata(
+          domain = d.getString("domain", 0),
+          configuration = readMap(d, "configuration"),
+          removed = d.getBoolean("removed", 0)))
+      } else None
+    try Iterator.continually(reader.read())
+      .takeWhile(_ != null).flatMap(fromMetaGroup).toVector
+    finally reader.close()
+  }
 }

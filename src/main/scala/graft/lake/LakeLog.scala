@@ -67,8 +67,14 @@ final class LakeLog(val tablePath: String) {
     val rowStamped =
       if (version == 0)
         RowTracking.stamp(None, actions)
-      else RowTracking.stamp(Some(Snapshot.replay(this, version - 1)),
-        actions)
+      else {
+        // metadata-light parent state: stamping needs properties +
+        // the id high-water mark, never the parent's FILE LIST — a
+        // full replay here would make every commit O(table) on the
+        // driver (cache-miss cost measured in seconds at 10⁶ files)
+        val (meta, domains) = Snapshot.replayMeta(this, version - 1)
+        RowTracking.stampMeta(Some(meta), domains, actions)
+      }
     // In-commit timestamp monotonicity (Delta's inCommitTimestamps):
     // clamp this commit's CommitInfo to strictly after the previous
     // commit's, so history order == timestamp order even under

@@ -87,13 +87,24 @@ object RowTracking {
     * consumers can classify it by operation name instead of
     * re-delivering the whole table as fresh data.
     */
-  def stamp(parent: Option[Snapshot], actions: Seq[Action]): Seq[Action] = {
+  def stamp(parent: Option[Snapshot], actions: Seq[Action]): Seq[Action] =
+    stampMeta(parent.map(_.metadata), parent.map(_.domains)
+      .getOrElse(Map.empty), actions)
+
+  /** [[stamp]] against just the parent's metadata + domain state —
+    * what the commit choke point actually has: it reaches here via
+    * [[Snapshot.replayMeta]], which never materializes the parent's
+    * file list, so commit cost stays O(commit), not O(table).
+    */
+  def stampMeta(parentMeta: Option[Metadata],
+      parentDomains: Map[String, Map[String, String]],
+      actions: Seq[Action]): Seq[Action] = {
     val commitMeta = actions.collectFirst { case m: Metadata => m }
-    val effective = commitMeta.orElse(parent.map(_.metadata))
+    val effective = commitMeta.orElse(parentMeta)
       .map(_.properties).getOrElse(Map.empty)
     if (!enabled(effective)) return actions
-    val wasEnabled = parent.exists(p => enabled(p.metadata.properties))
-    var next = parent.map(p => highWaterMark(p.domains)).getOrElse(0L)
+    val wasEnabled = parentMeta.exists(m => enabled(m.properties))
+    var next = highWaterMark(parentDomains)
     val priorHwm = next
     def carve(f: AddFile): AddFile = {
       if (f.numRecords < 0)

@@ -145,6 +145,75 @@ object Snapshot {
     }
   }
 
+  /** Metadata-light replay: (metadata, domains) at `version` WITHOUT
+    * materializing the file list. The commit path needs exactly this
+    * for row-id stamping ([[RowTracking.stamp]]), and paying a full
+    * O(live files) replay per commit makes commit cost grow with
+    * TABLE size instead of commit size — at 10⁶ files that is seconds
+    * of driver time per commit for a feature the table may not even
+    * have enabled. Cost here: checkpoint HEAD only (parquet parts
+    * read under a meta projection that never decodes the add columns;
+    * JSON parts prefix-skip add lines) plus the post-checkpoint tail
+    * with the same prefix skip. Serves from the full snapshot cache
+    * when one is materialized (the common in-process writer flow).
+    */
+  private[lake] def replayMeta(log: LakeLog, version: Long)
+      : (Metadata, Map[String, Map[String, String]]) = {
+    val key = (Paths.get(log.tablePath).toAbsolutePath.normalize.toString,
+      version)
+    val fp = fingerprint(log, version)
+    val cached = cache.synchronized(Option(cache.get(key)))
+      .filter(_.fingerprint == fp).flatMap(e => Option(e.ref.get))
+    cached match {
+      case Some(s) => (s.metadata, s.domains)
+      case None =>
+        var metadata: Metadata = null
+        val domains =
+          scala.collection.mutable.HashMap.empty[String, Map[String, String]]
+        def fold(a: Action): Unit = a match {
+          case m: Metadata => metadata = m
+          case d: DomainMetadata =>
+            if (d.removed) domains.remove(d.domain)
+            else domains(d.domain) = d.configuration
+          case _ => ()
+        }
+        def metaOfJsonLines(p: java.nio.file.Path): Unit =
+          log.store.readLines(p).iterator.map(_.trim)
+            .filter(Action.isMetaLine).map(Action.fromJson).foreach(fold)
+        val startAt = log.latestCheckpointFilesAtOrBefore(version) match {
+          case Some((ckptVersion, partFiles)) =>
+            // head actions (protocol/metadata/domains/txns) are a
+            // strict PREFIX of the checkpoint part sequence; stop at
+            // the first part that yields nothing once metadata is in
+            // hand — every later part holds only files
+            val it = partFiles.iterator
+            var done = false
+            while (it.hasNext && !done) {
+              val p = it.next()
+              val metaActions =
+                if (p.getFileName.toString.endsWith(".parquet"))
+                  CheckpointParquet.readMeta(p)
+                else log.store.readLines(p).iterator.map(_.trim)
+                  .filter(Action.isMetaLine).map(Action.fromJson).toSeq
+              metaActions.foreach(fold)
+              done = metaActions.isEmpty && metadata != null
+            }
+            ckptVersion + 1
+          case None => 0L
+        }
+        var v = startAt
+        while (v <= version) {
+          metaOfJsonLines(log.versionFile(v))
+          v += 1
+        }
+        if (metadata == null)
+          throw new IllegalStateException(
+            s"lake table at ${log.tablePath} has no Metadata action by " +
+            s"version $version")
+        (metadata, domains.toMap)
+    }
+  }
+
   private def doReplay(log: LakeLog, version: Long): Snapshot = {
     var metadata: Metadata = null
     var protocol: Protocol = Protocol()

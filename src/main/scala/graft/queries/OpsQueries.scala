@@ -756,18 +756,32 @@ object OpsQueries {
           .orderBy("rank").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         require(mergeList.nonEmpty, "corpus produced no merges")
-        val got = BpeOps.applyBpe(d.select("doc_id", "text"), "text",
-          mergeList).select("doc_id", "bpe_tokens")
-        val gotMap = got.as[(Long, Int)].collect().toMap
-        val docs = d.select("doc_id", "text").as[(Long, String)].collect()
-        require(docs.length == gotMap.size, "row count changed in apply")
-        docs.foreach { case (id, text) =>
+        val app = BpeOps.applyBpe(d.select("doc_id", "text"), "text",
+          mergeList)
+        // structural sanity DISTRIBUTED (BPE can only merge, so every
+        // doc has at least one token per word) — no driver text loop
+        val underWords = app.filter(col("bpe_tokens") < size(
+          filter(split(col("text"), "\\s+"), w => length(w) > 0)))
+          .count()
+        require(underWords == 0,
+          s"$underWords docs encoded to fewer tokens than words")
+        val got = app.select("doc_id", "bpe_tokens")
+        // exactness differential vs the sequential reference encoder
+        // on a DETERMINISTIC 5% sample (VERDICT r12 ask #6): the
+        // per-doc driver re-encode IS the check, but run over every
+        // doc it dominated the gate's timed leg 3:1 — the bench then
+        // measured the harness, not the broadcast+map encode.
+        val sample = d.select("doc_id", "text")
+          .filter(col("doc_id") % 20 === 0).as[(Long, String)].collect()
+        require(sample.nonEmpty, "empty differential sample")
+        val gotSample = got.filter(col("doc_id") % 20 === 0)
+          .as[(Long, Int)].collect().toMap
+        require(sample.length == gotSample.size,
+          "row count changed in apply")
+        sample.foreach { case (id, text) =>
           val ref = BpeOps.referenceTokenCount(text, mergeList)
-          require(gotMap(id) == ref,
-            s"doc $id: distributed encode ${gotMap(id)} != reference $ref")
-          val words = text.split("\\s+").count(_.nonEmpty)
-          require(gotMap(id) >= words,
-            s"doc $id: fewer tokens than words")
+          require(gotSample(id) == ref,
+            s"doc $id: distributed encode ${gotSample(id)} != reference $ref")
         }
         got
       },
@@ -1162,6 +1176,18 @@ object OpsQueries {
     // non-planted vectors must NOT pair at tau = 0.95. Recall and the
     // false-drop bound are both enforced in-gate (no SQL oracle: the
     // k-means assignment is not SQL-expressible).
+    // SemDeDup, two legs (VERDICT r12 ask #3 oracle-ized it):
+    //  1. the REAL clustered run over the full corpus ∪ perturbed
+    //     copies keeps its planted-recall and zero-false-drop
+    //     requires in-gate — clustering bounds candidates, so recall
+    //     is the only honest contract for that path;
+    //  2. the OUTPUT is the exact-mode drop-set (nClusters=1 makes
+    //     the within-cluster self-join a true all-pairs over a capped
+    //     deterministic subset), which DuckDB replays end to end:
+    //     all-pairs cosine >= tau edges, transitive closure, min-id
+    //     representative — hash-verifying the threshold math and the
+    //     connected-components collapse, not just recall. The subset
+    //     cap keeps the exact leg O(constant) across SFs.
     QueryDef("dedup_semantic",
       (s, dir) => {
         import s.implicits._
@@ -1185,11 +1211,39 @@ object OpsQueries {
         require(falseDrops <= nPlanted / 20,
           s"SemDeDup dropped $falseDrops non-planted vectors — " +
             "tau = 0.95 should not pair near-random embeddings")
-        Seq((nPlanted, caught, falseDrops,
-          math.rint(recall * 10000) / 10000))
-          .toDF("n_planted", "n_caught", "n_false_drops", "recall")
+        val sub = e.filter(col("vec_id") < 400)
+        val subCopies = copies.filter(col("vec_id") < 1000400L)
+        DedupOps.semanticDedup(
+          sub.union(subCopies), "vec_id", "embedding",
+          tau = 0.95, nClusters = 1, kmeansIters = 1)
+          .select(col("id"), col("rep_id"))
       },
-      None),
+      Some("""WITH RECURSIVE corpus AS (
+             |  SELECT vec_id AS id, embedding FROM embeddings
+             |  WHERE vec_id < 400
+             |  UNION ALL
+             |  SELECT vec_id + 1000000 AS id,
+             |    list_transform(embedding, (x, i) ->
+             |      CAST(x * (1.0 + 0.05 * sin(vec_id * 31 + (i - 1)))
+             |        AS FLOAT))
+             |  FROM embeddings WHERE vec_id < 400
+             |), edges AS (
+             |  SELECT a.id AS x, b.id AS y
+             |  FROM corpus a JOIN corpus b ON a.id < b.id
+             |  WHERE list_dot_product(a.embedding, b.embedding) /
+             |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             |     sqrt(list_dot_product(b.embedding, b.embedding)))
+             |    >= 0.95
+             |), und AS (
+             |  SELECT x, y FROM edges
+             |  UNION SELECT y AS x, x AS y FROM edges
+             |), reach(a, b) AS (
+             |  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+             |  UNION
+             |  SELECT r.a, u.y FROM reach r JOIN und u ON r.b = u.x
+             |)
+             |SELECT a AS id, MIN(b) AS rep_id FROM reach GROUP BY a
+             |HAVING MIN(b) < a""".stripMargin)),
 
     // Embedding near-dup: corpus ∪ exact copies (ids shifted) must
     // rediscover each copy pair through the LSH-bucketed join.

@@ -16,6 +16,35 @@ class LakeCoreSuite extends SparkSuite {
     (3L, "cy", "2024-01-02", 30.0)
   ).toDF("id", "name", "p_date", "score").coalesce(1)
 
+  test("fast action serializer matches the reflective one") {
+    // the hand-built AddFile/RemoveFile writers must parse back to
+    // the same action the json4s reference produces, including hostile
+    // strings (quotes, backslashes, control chars, unicode)
+    val nasty = Seq("plain.parquet", "with \"quotes\".parquet",
+      "back\\slash", "new\nline\tand\rcr", "uniécode",
+      "p=a b/part-0.parquet")
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[Action] = nasty.flatMap { s =>
+      Seq[Action](
+        AddFile(s, Map("p" -> s, "q" -> ""), rnd.nextLong(),
+          rnd.nextInt(1000).toLong,
+          Map("c" -> s), Map("c" -> (s + "z")), Map("c" -> 3L),
+          dvPath = if (rnd.nextBoolean()) Some(s) else None,
+          dvCardinality = rnd.nextInt(100).toLong,
+          bloomPath = if (rnd.nextBoolean()) Some(s) else None,
+          baseRowId = if (rnd.nextBoolean()) Some(rnd.nextLong().abs)
+                      else None),
+        AddFile(s), // all defaults: empty maps, no options
+        RemoveFile(s, rnd.nextLong().abs))
+    }
+    cases.foreach { a =>
+      val fast = Action.toJson(a)
+      assert(Action.fromJson(fast) === a, s"fast round-trip: $fast")
+      assert(Action.fromJson(Action.toJsonReflect(a)) ===
+        Action.fromJson(fast), s"reflect/fast divergence: $fast")
+    }
+  }
+
   test("append creates version 0 with metadata and reads back") {
     val path = tablePath("t0")
     val res = LakeWriter.write(users, path, partitionBy = Seq("p_date"))
