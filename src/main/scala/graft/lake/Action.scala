@@ -224,7 +224,11 @@ object Action {
     m.foreach { case (k, v) =>
       if (!first) sb.append(',')
       first = false
-      appendEsc(sb, k); sb.append(':'); appendEsc(sb, v)
+      appendEsc(sb, k); sb.append(':')
+      // null VALUES are real data: a null partition value's
+      // partitionValues entry is (col -> null), and the reflective
+      // writer emits JSON null for it
+      if (v == null) sb.append("null") else appendEsc(sb, v)
     }
     sb.append('}')
     ()

@@ -50,10 +50,12 @@ object LakeSql {
       """([\w.`/\-]+)\s+LOCATION\s+'([^']+)'\s*""").r
   private val CREATE_LAKE_RE =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+""" +
-      """USING\s+(?:lake|delta)\s+LOCATION\s+'([^']+)'\s*""").r
+      """USING\s+(?:lake|delta)\s+LOCATION\s+'([^']+)'""" +
+      """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s*""").r
   private val CTAS_LAKE_RE =
     ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([\w.`]+)\s+""" +
-      """USING\s+(?:lake|delta)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT.+)""").r
+      """USING\s+(?:lake|delta)\s+LOCATION\s+'([^']+)'""" +
+      """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s+AS\s+(SELECT.+)""").r
   private val CONVERT_RE =
     ("""(?is)\s*CONVERT\s+TO\s+(?:LAKE|DELTA)\s+(?:parquet\s*\.\s*)?""" +
       """[`']([^'`]+)[`']\s*(?:PARTITIONED\s+BY\s*\((.+?)\))?\s*""").r
@@ -188,15 +190,26 @@ object LakeSql {
       LakeCatalog.register(spark, clean(name), location)
       emptyDF(spark)
 
-    case CTAS_LAKE_RE(name, location, select) =>
+    case CTAS_LAKE_RE(name, location, propPairs, select) =>
       val df = sql(spark, select)
+      // create-time properties ride the v0 commit, so bucketing /
+      // clustering declared in the CTAS govern the very first data
+      // layout (and validate coherence before anything is written)
       LakeWriter.write(df, location, mode = "overwrite",
-        operation = "CREATE TABLE AS SELECT")
+        operation = "CREATE TABLE AS SELECT",
+        properties = parseProps(propPairs))
       LakeCatalog.register(spark, clean(name), location)
       emptyDF(spark)
 
-    case CREATE_LAKE_RE(name, location) =>
+    case CREATE_LAKE_RE(name, location, propPairs) =>
       LakeCatalog.register(spark, clean(name), location)
+      // registration targets an EXISTING lake table (register
+      // enforces that), so a TBLPROPERTIES clause routes through
+      // setTblProperties — same validation and one-way doors
+      // (bucketing on a populated table refused) as ALTER TABLE SET
+      val props = parseProps(propPairs)
+      if (props.nonEmpty)
+        LakeTable.forPath(spark, location).setTblProperties(props)
       emptyDF(spark)
 
     case CONVERT_RE(path, partDDL) =>
@@ -271,8 +284,7 @@ object LakeSql {
       emptyDF(spark)
 
     case SET_TBLPROPS_RE(t, pairs) =>
-      val props = PROP_PAIR_RE.findAllMatchIn(pairs)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      val props = parseProps(pairs)
       require(props.nonEmpty,
         s"no 'key'='value' pairs in TBLPROPERTIES($pairs)")
       resolve(spark, clean(t)).setTblProperties(props)
@@ -774,6 +786,14 @@ object LakeSql {
     * filesystems. Catalog-name lookups are case-insensitive anyway —
     * `LakeCatalog.normalize` lowercases on both register and resolve.
     */
+  /** `'k'='v', ...` pairs of a TBLPROPERTIES clause (empty for an
+    * absent optional clause — regex group null).
+    */
+  private def parseProps(pairs: String): Map[String, String] =
+    if (pairs == null) Map.empty
+    else PROP_PAIR_RE.findAllMatchIn(pairs)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
   private def clean(name: String): String =
     name.trim.stripPrefix("`").stripSuffix("`")
 

@@ -1784,7 +1784,9 @@ final class LakeTable private (
     val numOut = math.max(1, (totalBytes / targetFileBytes).toInt)
     val df = readForRewrite(snap, toCompact.map(_.path))
     val repartitioned =
-      if (snap.partitionColumns.nonEmpty)
+      if (LakeTable.bucketSpecOf(snap.metadata.properties).isDefined)
+        df // bucket placement owns the layout; staging repartitions
+      else if (snap.partitionColumns.nonEmpty)
         df.repartition(math.max(numOut, byPartition.size),
           snap.partitionColumns.map(c => col(quoted(c))): _*)
       else df.repartition(numOut)

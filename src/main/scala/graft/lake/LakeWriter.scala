@@ -469,9 +469,11 @@ object LakeWriter {
             BloomIndex.numItems(props).toString)
       }
       // partition columns are identity-mapped by invariant
-      withMicrosTimestamps(spark) {
-        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-          .parquet(staging.toString)
+      withBucketStablePlanning(spark, bucketSpec.isDefined) {
+        withMicrosTimestamps(spark) {
+          (if (partCols.nonEmpty) writer.partitionBy(partCols: _*)
+           else writer).parquet(staging.toString)
+        }
       }
       // the empty-staging guard matters: a DML whose kept/updated
       // frame stages zero part files would otherwise crash the read
@@ -717,6 +719,37 @@ object LakeWriter {
     * write from a DIFFERENT session during the window merely misses
     * the optimization (stages INT96, no stats) — never correctness.
     */
+  /** Pin bucketed-scan planning while staging a BUCKETED table's
+    * write. Two individually-reasonable planner rules compose into
+    * silent bucket corruption on identity rewrites (compact, DV
+    * purge): the staging `repartition(n, bucketCols)` is elided
+    * because the source scan's bucket partitioning already satisfies
+    * it, and then auto-bucketed-scan-disabling re-packs that SAME
+    * scan into split-based partitions ("Bucketed: false (disabled by
+    * query planner)") — task index no longer equals bucket id, and
+    * the adopted files carry wrong bucket tags that a later
+    * co-located join trusts (observed: compact() of an 8-bucket
+    * table wrote 4 task-packed files; the bucketed-join gate then
+    * returned empty). With auto-disabling OFF for the staged write,
+    * an elided shuffle implies the scan really runs
+    * one-partition-per-bucket, so the task-index == bucket-id
+    * contract holds on both the elided and the shuffled path.
+    */
+  private def withBucketStablePlanning[A](
+      spark: org.apache.spark.sql.SparkSession, bucketed: Boolean)
+      (body: => A): A =
+    if (!bucketed) body
+    else {
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   private def withMicrosTimestamps[A](
       spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"

@@ -55,6 +55,24 @@ object LakeQueries {
         LakeWriter.write(table(s, dir, "lineitem")
           .select(col("l_orderkey").as("k"), col("l_quantity")),
           lp, properties = props)
+        // bucket placement is a TABLE invariant, not a write-path
+        // property of the initial load: a MERGE rewrite and a
+        // compaction must re-stage through the same bucket hash, or
+        // the next co-located join silently misses rows (r12 ask #5)
+        val src = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k")).distinct()
+          .filter(col("k") % 50 === 0)
+        LakeTable.forPath(s, lp).as("t")
+          .merge(src.as("s"), "t.k = s.k")
+          .whenMatchedUpdate(Map("l_quantity" -> "t.l_quantity + 1"))
+          .execute()
+        LakeTable.forPath(s, lp).compact()
+        LakeTable.forPath(s, lp).snapshot().files.foreach { f =>
+          require(org.apache.spark.sql.execution.datasources
+            .BucketingUtils
+            .getBucketId(new java.io.File(f.path).getName).isDefined,
+            s"post-MERGE/compact file lost its bucket tag: ${f.path}")
+        }
         val o = s.read.format("lake").load(op)
         val l = s.read.format("lake").load(lp)
         val joined = l.hint("merge").join(o.hint("merge"), "k")
@@ -74,8 +92,9 @@ object LakeQueries {
         joined
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-             |    AS sum_qty
+             |  CAST(SUM(CAST(l_quantity +
+             |    (CASE WHEN l_orderkey % 50 = 0 THEN 1 ELSE 0 END)
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority""".stripMargin)),
 

@@ -88,6 +88,22 @@ class LakeBucketingSuite extends SparkSuite {
     val got = self.groupBy("k").agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
     assert(got === perK.map { case (k, n) => k -> n * n })
+    // compaction is the dangerous rewrite: its identity read comes
+    // back bucket-partitioned, Spark elides the staging repartition,
+    // and (before the withBucketStablePlanning pin) a second planner
+    // rule re-packed the scan into task-packed partitions — files
+    // tagged with WRONG bucket ids that the self-join then trusted.
+    // Placement is re-proved through the join, not just the tags.
+    t.compact()
+    val cur2 = spark.read.format("lake").load(path)
+    val self2 = cur2.as("a").hint("merge")
+      .join(cur2.as("b").hint("merge"), "k")
+    val p2 = plan(self2.groupBy("k").agg(count(lit(1)).as("n")))
+    assert(!p2.contains("Exchange hashpartitioning"), p2)
+    val got2 = self2.groupBy("k").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === perK.map { case (k, n) => k -> n * n },
+      "post-compaction bucket placement broke the co-located join")
   }
 
   test("legacy un-tagged files degrade to a plain scan, never a wrong join") {
@@ -191,6 +207,58 @@ class LakeBucketingSuite extends SparkSuite {
           (LakeTable.PROP_CLUSTER_BY -> "v"))
     }
     assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("bucketing through the SQL surface: CTAS declares, the one-way " +
+      "door holds for SET TBLPROPERTIES and CREATE ... TBLPROPERTIES") {
+    val src = (0L until 500L).map(i => (i % 13, i)).toDF("k", "v")
+    src.createOrReplaceTempView("bkt_sql_src")
+    val p1 = tablePath("bkt-sql-ctas")
+    // CTAS with create-time bucket properties: v0 is bucketed
+    LakeSql.sql(spark, s"""CREATE TABLE bkt_sql_t USING lake
+      LOCATION '$p1'
+      TBLPROPERTIES('graft.bucketBy'='k', 'graft.bucketCount'='8')
+      AS SELECT * FROM bkt_sql_src""")
+    val snap = LakeTable.forPath(spark, p1).snapshot()
+    assert(snap.metadata.properties(LakeTable.PROP_BUCKET_BY) === "k")
+    snap.files.foreach { f =>
+      assert(org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(new java.io.File(f.path).getName).isDefined,
+        s"CTAS produced un-tagged file ${f.path}")
+    }
+    // CTAS coherence: bucketBy + clusterBy refused before any write
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""CREATE TABLE bkt_sql_bad USING lake
+        LOCATION '${tablePath("bkt-sql-bad")}'
+        TBLPROPERTIES('graft.bucketBy'='k', 'graft.bucketCount'='8',
+          'graft.clusterBy'='v')
+        AS SELECT * FROM bkt_sql_src""")
+    }
+    // SET TBLPROPERTIES on a populated unbucketed table: refused
+    val p2 = tablePath("bkt-sql-populated")
+    LakeWriter.write(src, p2)
+    LakeSql.sql(spark,
+      s"CREATE TABLE bkt_sql_pop USING lake LOCATION '$p2'")
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """ALTER TABLE bkt_sql_pop SET TBLPROPERTIES(
+        'graft.bucketBy'='k', 'graft.bucketCount'='8')""")
+    }
+    assert(e1.getMessage.contains("populated"))
+    // ... and the CREATE-registration route hits the same door
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""CREATE TABLE bkt_sql_pop2 USING lake
+        LOCATION '$p2'
+        TBLPROPERTIES('graft.bucketBy'='k', 'graft.bucketCount'='8')""")
+    }
+    assert(e2.getMessage.contains("populated"))
+    // UNSET of a bucket key on a populated bucketed table: refused
+    val e3 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "ALTER TABLE bkt_sql_t UNSET TBLPROPERTIES('graft.bucketBy')")
+    }
+    assert(e3.getMessage.toLowerCase.contains("bucket"))
+    LakeSql.sql(spark, "DROP TABLE bkt_sql_t")
+    LakeSql.sql(spark, "DROP TABLE bkt_sql_pop")
   }
 
   test("bucketUntagged strips only the final segment's trailing tag") {

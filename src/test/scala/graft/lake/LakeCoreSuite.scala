@@ -26,7 +26,7 @@ class LakeCoreSuite extends SparkSuite {
     val rnd = new scala.util.Random(7)
     val cases: Seq[Action] = nasty.flatMap { s =>
       Seq[Action](
-        AddFile(s, Map("p" -> s, "q" -> ""), rnd.nextLong(),
+        AddFile(s, Map("p" -> s, "q" -> "", "n" -> null), rnd.nextLong(),
           rnd.nextInt(1000).toLong,
           Map("c" -> s), Map("c" -> (s + "z")), Map("c" -> 3L),
           dvPath = if (rnd.nextBoolean()) Some(s) else None,
