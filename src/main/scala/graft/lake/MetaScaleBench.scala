@@ -75,7 +75,21 @@ object MetaScaleBench {
             Map("id" -> "0"), Map("id" -> "0"), Map("id" -> 0L))))
       }
     }
-    val latest = tail.lastOption.map(_.toLong).getOrElse(nCommits.toLong)
+    // steady-state ingest: ONE small commit against the now-huge
+    // table, from a cold cache — the cost every incremental append
+    // pays. Must be O(commit), never O(table): the metadata-light
+    // parent replay (Snapshot.replayMeta) is what keeps it there.
+    val tail2 = tail.lastOption.map(_.toLong)
+      .getOrElse(nCommits.toLong) + 1
+    Snapshot.clearCacheForTest()
+    timed(s"100-add commit on ${nFiles / 1000}k-file table (cold)") {
+      log.commit(tail2, CommitInfo(tail2 + 1L, "APPEND", Map.empty) +:
+        (0 until 100).map { i =>
+          AddFile(s"p=0/inc$i.parquet", Map("p" -> "0"), 1024L, 1L,
+            Map("id" -> "0"), Map("id" -> "0"), Map("id" -> 0L)): Action
+        })
+    }
+    val latest = tail2
     Snapshot.clearCacheForTest()
     val snap = timed("cold snapshot replay") { log.snapshot(latest) }
     println(s"  files in snapshot: ${snap.files.size}")

@@ -241,9 +241,22 @@ object MultimodalOps {
   private[ops] def decodeImage(id: Long, bytes: Array[Byte], dim: Int)
       : MediaFeatures = {
     require(bytes != null && bytes.length > 0, s"media $id: empty payload")
-    val img = javax.imageio.ImageIO.read(
+    val decoded = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
-    require(img != null, s"media $id: undecodable image payload")
+    require(decoded != null, s"media $id: undecodable image payload")
+    // palette formats (GIF, indexed PNG) decode to an INDEXED raster
+    // whose samples are palette positions, not colors — features over
+    // indices would depend on the encoder's palette order. Expand to
+    // RGB first; offscreen drawImage needs no display (headless-safe).
+    val img = decoded.getColorModel match {
+      case _: java.awt.image.IndexColorModel =>
+        val c = new java.awt.image.BufferedImage(decoded.getWidth,
+          decoded.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = c.createGraphics()
+        try g.drawImage(decoded, 0, 0, null) finally g.dispose()
+        c
+      case _ => decoded
+    }
     val raster = img.getRaster
     val w = raster.getWidth
     val h = raster.getHeight

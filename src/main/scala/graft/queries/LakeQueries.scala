@@ -98,6 +98,35 @@ object LakeQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority""".stripMargin)),
 
+    // Bucket pruning in the file index (round 13): an equality / IN
+    // on the bucket key pins rows to known bucket ids, and the index
+    // drops every other bucket's files BEFORE Spark builds splits —
+    // the needle-in-haystack lever for UNSORTED bucketed tables where
+    // min/max stats prune nothing. In-gate require pins the file
+    // count; the oracle hash-checks the surviving rows.
+    QueryDef("lake_bucket_prune",
+      (s, dir) => {
+        val p = scratch("lake_bucket_prune", dir)
+        LakeWriter.write(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal")),
+          p, properties = Map(LakeTable.PROP_BUCKET_BY -> "c_custkey",
+            LakeTable.PROP_BUCKET_COUNT -> "16"))
+        val t = s.read.format("lake").load(p)
+        val q = t.filter(col("c_custkey").isin(42L, 777L, 1105L))
+        q.collect()
+        val scanned = q.queryExecution.executedPlan.collectLeaves()
+          .collectFirst {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              sc.metrics("numFiles").value
+          }.getOrElse(-1L)
+        require(scanned >= 1 && scanned <= 3,
+          s"bucket pruning should scan <=3 of 16 files, read $scanned")
+        q
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             |WHERE c_custkey IN (42, 777, 1105)""".stripMargin)),
+
     // Column mapping (round 8): enable, METADATA-ONLY rename, append
     // under the new logical name, read back rows from files written
     // on BOTH sides of the rename — hash-oracled against a plain

@@ -53,7 +53,18 @@ final class LakeFileIndex(spark: SparkSession, val snap: Snapshot)
     // 1. Data skipping on footer min/max stats from the log.
     val afterStats = FilePruner.pruneWithExpressions(snap, dataFilters)
 
-    // 1b. Generated-column partition pruning (Delta's rule): a filter
+    // 1b. Bucket pruning IN THE INDEX: equality (or a small IN) on
+    //     every bucket column pins matching rows to known bucket ids,
+    //     and every live file carries its id in the name — so the
+    //     7/8ths of a bucketed table that cannot contain the key are
+    //     dropped before Spark even builds splits. Done here rather
+    //     than relying on Spark's scan-side SelectedBucketsCount
+    //     because the planner disables the bucketed scan for plain
+    //     filter queries (no operator wants the distribution) and
+    //     loses its own pruning with it; the index prunes either way.
+    val afterBuckets = pruneBuckets(afterStats, dataFilters)
+
+    // 1c. Generated-column partition pruning (Delta's rule): a filter
     //     on the SOURCE column of a generated partition column
     //     implies a partition predicate the user never wrote.
     val allPartitionFilters =
@@ -62,7 +73,8 @@ final class LakeFileIndex(spark: SparkSession, val snap: Snapshot)
     // 2. Exact partition pruning: evaluate the pushed partition
     //    predicates against each file's typed partition values.
     val survivors =
-      if (allPartitionFilters.isEmpty || partitionSchema.isEmpty) afterStats
+      if (allPartitionFilters.isEmpty || partitionSchema.isEmpty)
+        afterBuckets
       else {
         val bound = allPartitionFilters.reduce(And).transform {
           case a: AttributeReference =>
@@ -71,7 +83,7 @@ final class LakeFileIndex(spark: SparkSession, val snap: Snapshot)
         }
         val predicate = Predicate.create(bound, Nil)
         predicate.initialize(0)
-        afterStats.filter(f => predicate.eval(partitionRow(f)))
+        afterBuckets.filter(f => predicate.eval(partitionRow(f)))
       }
 
     // 3. One PartitionDirectory per distinct partition tuple.
@@ -83,6 +95,75 @@ final class LakeFileIndex(spark: SparkSession, val snap: Snapshot)
       }.toSeq
     }
   }
+
+  /** The table's bucket spec, pruning-usable only when every live
+    * file carries its bucket id (mixed/legacy tags could silently
+    * drop rows whose file predates bucketing).
+    */
+  private lazy val bucketSpecForPruning: Option[(Seq[String], Int)] =
+    LakeTable.bucketSpecOf(snap.metadata.properties)
+      .filter(_ => snap.allFilesBucketTagged)
+
+  /** Drop files whose bucket id cannot hold any row matching the
+    * pushed filters. Requires an equality (or a small IN) conjunct on
+    * EVERY bucket column with a literal of the column's exact type —
+    * the id is Spark's own bucket hash of those literals, the same
+    * `HashPartitioning.partitionIdExpression` the staging write
+    * evaluated, so write and prune can never disagree. Conservative
+    * on anything else (type mismatch, ranges, ORs, too many
+    * combinations): returns the input unchanged.
+    */
+  private def pruneBuckets(files: Seq[AddFile],
+      dataFilters: Seq[Expression]): Seq[AddFile] =
+    bucketSpecForPruning match {
+      case Some((cols, n)) if dataFilters.nonEmpty =>
+        def conj(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conj(l) ++ conj(r)
+          case o => Seq(o)
+        }
+        val flat = dataFilters.flatMap(conj)
+        val typeOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+        val candidates: Seq[Option[Seq[Literal]]] = cols.map { c =>
+          val want = typeOf.get(c)
+          flat.collectFirst {
+            case EqualTo(a: AttributeReference, l: Literal)
+                if a.name.equalsIgnoreCase(c) && l.value != null &&
+                  want.contains(l.dataType) => Seq(l)
+            case EqualTo(l: Literal, a: AttributeReference)
+                if a.name.equalsIgnoreCase(c) && l.value != null &&
+                  want.contains(l.dataType) => Seq(l)
+            case In(a: AttributeReference, vs)
+                if a.name.equalsIgnoreCase(c) && vs.nonEmpty &&
+                  vs.size <= 16 && vs.forall {
+                    case l: Literal =>
+                      l.value != null && want.contains(l.dataType)
+                    case _ => false
+                  } => vs.map(_.asInstanceOf[Literal])
+          }
+        }
+        if (candidates.exists(_.isEmpty)) files
+        else {
+          val combos = candidates.map(_.get)
+            .foldLeft(Seq(Seq.empty[Literal])) { (acc, vs) =>
+              for (a <- acc; v <- vs) yield a :+ v
+            }
+          if (combos.size > 64) files // IN-product blowup: skip
+          else {
+            val keep = combos.map { lits =>
+              org.apache.spark.sql.catalyst.plans.physical
+                .HashPartitioning(lits, n)
+                .partitionIdExpression.eval(InternalRow.empty)
+                .asInstanceOf[Int]
+            }.toSet
+            files.filter { f =>
+              org.apache.spark.sql.execution.datasources.BucketingUtils
+                .getBucketId(new java.io.File(f.path).getName)
+                .forall(keep.contains)
+            }
+          }
+        }
+      case _ => files
+    }
 
   /** Generated PARTITION columns with a single-source generation
     * expression, resolved once per index:

@@ -261,6 +261,36 @@ class LakeBucketingSuite extends SparkSuite {
     LakeSql.sql(spark, "DROP TABLE bkt_sql_pop")
   }
 
+  test("index-level bucket pruning: equality/IN prune files, " +
+      "everything else stays conservative") {
+    val path = tablePath("bkt-prune")
+    LakeWriter.write((0L until 5000L).map(i => (i % 61, i)).toDF("k", "v"),
+      path, properties = bucketProps)
+    val t = spark.read.format("lake").load(path)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    assert(filesRead(t.filter($"k" === 42L)) === 1L)
+    assert(filesRead(t.filter($"k".isin(1L, 2L, 3L))) <= 3L)
+    // conservative: ranges, ORs on other cols, and full scans read all
+    assert(filesRead(t) === 8L)
+    assert(filesRead(t.filter($"v" === 17L)) >= 1L) // stats may prune
+    // correctness under pruning: exact per-key row counts
+    val expect = (0L until 5000L).groupBy(_ % 61)
+      .map { case (k, v) => k -> v.size.toLong }
+    for (k <- Seq(0L, 17L, 42L, 60L))
+      assert(t.filter($"k" === k).count() === expect(k), s"k=$k")
+    // a type-mismatched literal must not mis-prune (no pruning, all
+    // rows still found)
+    assert(t.filter($"k" === lit(42).cast("int")).count() === expect(42L))
+    // null-equality matches nothing but must not throw
+    assert(t.filter($"k" === lit(null)).count() === 0L)
+  }
+
   test("bucketUntagged strips only the final segment's trailing tag") {
     import LakeWriter.bucketUntagged
     // tag at end of base name: stripped

@@ -326,6 +326,20 @@ class OpsSuite extends SparkSuite {
       assert(f.n_samples === 256L, s"jpeg id=$id")
       assert(f.value_sum === 256L * v, s"jpeg id=$id v=$v")
     }
+    // GIF: palette-indexed raster must be expanded to RGB before
+    // features — a flat <=256-color image is lossless through GIF,
+    // so the decoded RGB sum is closed-form (indices would not be)
+    for (v <- Seq(0, 77, 255)) {
+      val img = new java.awt.image.BufferedImage(10, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 10)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", bos)
+      val f = MultimodalOps.decodeImage(v.toLong, bos.toByteArray, 8)
+      assert(f.n_samples === 10L * 6 * 3, s"gif v=$v")
+      assert(f.value_sum === 10L * 6 * 3 * v, s"gif v=$v")
+    }
     // corrupt: truncated PNG and garbage bytes fail loudly
     val png = MultimodalOps.syntheticPng(9L, 8, 8)
     intercept[Exception] {
