@@ -66,6 +66,13 @@ final case class Metadata(
   *                        Assigned once at commit time from the
   *                        [[RowTracking.DOMAIN]] high-water mark;
   *                        None on tables without the feature.
+  * @param clusterGen      clustering generation (Delta liquid's ZCUBE
+  *                        id analog): set on files written by a
+  *                        clustering OPTIMIZE — files sharing a
+  *                        generation are range-disjoint on the
+  *                        cluster key. None = never clustered
+  *                        (plain appends, DML rewrite output), the
+  *                        set an INCREMENTAL OPTIMIZE re-clusters.
   */
 final case class AddFile(
     path: String,
@@ -78,7 +85,8 @@ final case class AddFile(
     dvPath: Option[String] = None,
     dvCardinality: Long = 0L,
     bloomPath: Option[String] = None,
-    baseRowId: Option[Long] = None) extends Action
+    baseRowId: Option[Long] = None,
+    clusterGen: Option[Long] = None) extends Action
 
 /** A data file logically removed (tombstone retained until VACUUM). */
 final case class RemoveFile(
@@ -259,6 +267,7 @@ object Action {
       sb.append(",\"bloomPath\":"); appendEsc(sb, p)
     }
     f.baseRowId.foreach(id => sb.append(",\"baseRowId\":").append(id))
+    f.clusterGen.foreach(g => sb.append(",\"clusterGen\":").append(g))
     sb.append("}}").toString
   }
 

@@ -68,6 +68,7 @@ object CheckpointParquet {
         required int64 dvCardinality;
         optional binary bloomPath (STRING);
         optional int64 baseRowId;
+        optional int64 clusterGen;
       }
       optional group domainMetadata {
         required binary domain (STRING);
@@ -129,6 +130,7 @@ object CheckpointParquet {
         add.add("dvCardinality", f.dvCardinality)
         f.bloomPath.foreach(add.add("bloomPath", _))
         f.baseRowId.foreach(add.add("baseRowId", _))
+        f.clusterGen.foreach(add.add("clusterGen", _))
       case d: DomainMetadata =>
         val dm = g.addGroup("domainMetadata")
         dm.add("domain", d.domain)
@@ -196,6 +198,10 @@ object CheckpointParquet {
         baseRowId =
           if (a.getFieldRepetitionCount("baseRowId") > 0)
             Some(a.getLong("baseRowId", 0))
+          else None,
+        clusterGen =
+          if (a.getFieldRepetitionCount("clusterGen") > 0)
+            Some(a.getLong("clusterGen", 0))
           else None)
     } else if (g.getFieldRepetitionCount("domainMetadata") > 0) {
       val d = g.getGroup("domainMetadata", 0)

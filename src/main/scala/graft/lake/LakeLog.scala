@@ -72,7 +72,13 @@ final class LakeLog(val tablePath: String) {
         // the id high-water mark, never the parent's FILE LIST — a
         // full replay here would make every commit O(table) on the
         // driver (cache-miss cost measured in seconds at 10⁶ files)
-        val (meta, domains) = Snapshot.replayMeta(this, version - 1)
+        val (meta, protocol, domains) = Snapshot.replayMeta(this, version - 1)
+        // the meta replay is also where raw commit callers meet the
+        // protocol gate — commitWithRetry paths assert earlier, but a
+        // direct commit() against a table demanding unknown writer
+        // features must refuse here, not stamp a version it cannot
+        // honor the semantics of
+        LakeProtocol.assertWritable(protocol, tablePath)
         RowTracking.stampMeta(Some(meta), domains, actions)
       }
     // In-commit timestamp monotonicity (Delta's inCommitTimestamps):

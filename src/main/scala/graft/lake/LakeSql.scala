@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `VACUUM t [RETAIN n HOURS]`                       (etl/05:300,334)
   *
   * plus the round-2 verbs (`UPDATE`,
-  * `OPTIMIZE [WHERE partPred] [[ZORDER] BY (cols)]`,
+  * `OPTIMIZE [WHERE partPred] [[ZORDER] BY (cols)] [INCREMENTAL]`,
   * `RESTORE`, `ALTER TABLE ADD/DROP CONSTRAINT`, `ALTER TABLE ADD
   * COLUMN`, `ALTER TABLE t ALTER COLUMN c TYPE <wider>` (type
   * widening), `CREATE TABLE n SHALLOW CLONE src LOCATION p`) and lake
@@ -100,7 +100,8 @@ object LakeSql {
   private val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+([\w.`/\-]+)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
-      """(?:\s+(ZORDER\s+)?BY\s*\((.+?)\))?\s*""").r
+      """(?:\s+(ZORDER\s+)?BY\s*\((.+?)\))?""" +
+      """(?:\s+(INCREMENTAL))?\s*""").r
   private val REORG_PURGE_RE =
     ("""(?is)\s*REORG\s+TABLE\s+([\w.`/\-]+)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
@@ -202,14 +203,17 @@ object LakeSql {
       emptyDF(spark)
 
     case CREATE_LAKE_RE(name, location, propPairs) =>
-      LakeCatalog.register(spark, clean(name), location)
       // registration targets an EXISTING lake table (register
       // enforces that), so a TBLPROPERTIES clause routes through
       // setTblProperties — same validation and one-way doors
-      // (bucketing on a populated table refused) as ALTER TABLE SET
+      // (bucketing on a populated table refused) as ALTER TABLE SET.
+      // Properties apply BEFORE the name is registered: a rejected
+      // clause (e.g. bucketing a populated table) must fail the whole
+      // CREATE, not leave the name queryable without its properties.
       val props = parseProps(propPairs)
       if (props.nonEmpty)
         LakeTable.forPath(spark, location).setTblProperties(props)
+      LakeCatalog.register(spark, clean(name), location)
       emptyDF(spark)
 
     case CONVERT_RE(path, partDDL) =>
@@ -397,17 +401,22 @@ object LakeSql {
         Option(where).map(_.trim).filter(_.nonEmpty))
       emptyDF(spark)
 
-    case OPTIMIZE_RE(t, where, zorder, byCols) =>
+    case OPTIMIZE_RE(t, where, zorder, byCols, incr) =>
       val table = resolve(spark, clean(t))
       // Delta parity: `OPTIMIZE t WHERE <partition predicate>` scopes
       // the rewrite to matching partitions' files (metadata-only
-      // selection; non-partition predicates are rejected).
+      // selection; non-partition predicates are rejected). The
+      // trailing INCREMENTAL keyword selects the new-files-only mode
+      // (liquid clustering's steady state): only never-clustered
+      // files and sub-half-target debris are rewritten.
       val whereOpt = Option(where).map(_.trim).filter(_.nonEmpty)
+      val incremental = Option(incr).isDefined
       Option(byCols) match {
         case Some(cols) =>
           table.compactClustered(
             cols.split(",").map(c => clean(c.trim)).toSeq,
-            zOrder = Option(zorder).isDefined, where = whereOpt)
+            zOrder = Option(zorder).isDefined, where = whereOpt,
+            incremental = incremental)
         case None =>
           // Liquid-clustering-style default: a table carrying
           // `graft.clusterBy` re-clusters on those columns whenever
@@ -417,8 +426,14 @@ object LakeSql {
           Some(LakeTable.clusterByCols(table.tblProperties))
               .filter(_.nonEmpty) match {
             case Some(cols) => table.compactClustered(
-              cols, zOrder = cols.size > 1, where = whereOpt)
-            case None => table.compact(where = whereOpt)
+              cols, zOrder = cols.size > 1, where = whereOpt,
+              incremental = incremental)
+            case None =>
+              require(!incremental,
+                "OPTIMIZE ... INCREMENTAL needs cluster columns " +
+                "(BY (...) or the graft.clusterBy table property): " +
+                "plain compaction has no clustered generations to skip")
+              table.compact(where = whereOpt)
           }
       }
       LakeCatalog.refreshView(spark, clean(t))

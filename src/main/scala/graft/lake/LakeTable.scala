@@ -1579,14 +1579,19 @@ final class LakeTable private (
               s"${snap.partitionColumns.mkString(", ")}), got: $pred"))
     }
 
-  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+  def compact(targetFileBytes: Long = -1L,
       where: Option[String] = None): Unit = {
     val snap = snapshot()
-    val small = scopeFiles(snap, where).filter(_.size < targetFileBytes)
+    // -1 = "the table's configured target" (graft.targetFileSize,
+    // 128 MiB default) — an explicit argument still wins
+    val target =
+      if (targetFileBytes > 0) targetFileBytes
+      else LakeTable.targetFileBytes(snap.metadata.properties)
+    val small = scopeFiles(snap, where).filter(_.size < target)
     // Only partitions with 2+ small files benefit.
     val byPartition = small.groupBy(_.partitionValues).filter(_._2.size >= 2)
     if (byPartition.isEmpty) return
-    compactFileSet(snap, byPartition, targetFileBytes,
+    compactFileSet(snap, byPartition, target,
       where.map("where" -> _).toMap)
   }
 
@@ -1808,19 +1813,22 @@ final class LakeTable private (
     */
   private[lake] def autoCompactAfterWrite(
       written: Seq[AddFile],
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = -1L): Unit = {
     val snap = snapshot()
+    val target =
+      if (targetFileBytes > 0) targetFileBytes
+      else LakeTable.targetFileBytes(snap.metadata.properties)
     val minFiles = snap.metadata.properties
       .get(LakeTable.PROP_AUTO_COMPACT_MIN_FILES).map(_.toInt)
       .getOrElse(LakeTable.AUTO_COMPACT_DEFAULT_MIN_FILES)
     val touched = written.map(_.partitionValues).toSet
     val byPartition = snap.files
       .filter(f => touched.contains(f.partitionValues) &&
-        f.size < targetFileBytes)
+        f.size < target)
       .groupBy(_.partitionValues)
       .filter(_._2.size >= minFiles)
     if (byPartition.nonEmpty)
-      compactFileSet(snap, byPartition, targetFileBytes,
+      compactFileSet(snap, byPartition, target,
         Map("auto" -> "true"))
   }
 
@@ -2012,11 +2020,15 @@ final class LakeTable private (
     */
   def compactClustered(
       clusterBy: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024,
+      targetFileBytes: Long = -1L,
       zOrder: Boolean = false,
-      where: Option[String] = None): Unit = {
+      where: Option[String] = None,
+      incremental: Boolean = false): Unit = {
     require(clusterBy.nonEmpty, "compactClustered needs cluster columns")
     val snap = snapshot()
+    val target =
+      if (targetFileBytes > 0) targetFileBytes
+      else LakeTable.targetFileBytes(snap.metadata.properties)
     // hash bucketing owns file placement on a bucketed table; a
     // range/Z-order re-cluster would be silently destroyed by the
     // bucket repartition at staging — refuse loudly instead
@@ -2024,14 +2036,28 @@ final class LakeTable private (
       s"table $tablePath is hash-bucketed " +
         s"(${LakeTable.PROP_BUCKET_BY}): clustering and bucketing " +
         "are mutually exclusive file-placement policies")
-    val scoped = scopeFiles(snap, where)
+    // INCREMENTAL (liquid clustering's steady-state posture): touch
+    // only files that were never clustered — appends and DML-rewrite
+    // output, whose clusterGen is unset. Files a previous OPTIMIZE
+    // already laid out in range-disjoint runs are left alone:
+    // re-sorting yesterday's 100 TB to admit today's 1 % is the
+    // O(partition) cost this mode exists to avoid, and skipping stays
+    // tight because EACH generation is internally disjoint on the
+    // cluster key — a point query opens at most one file per
+    // generation. Generations fold back together on the next FULL
+    // OPTIMIZE (the periodic deep pass of a liquid maintenance
+    // schedule), which re-stamps everything into one generation.
+    val scoped0 = scopeFiles(snap, where)
+    val scoped =
+      if (!incremental) scoped0
+      else scoped0.filter(_.clusterGen.isEmpty)
     if (scoped.isEmpty) return
     clusterBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"cluster column $c not in schema ${snap.schema.simpleString}")
     }
     val numOut = math.max(1,
-      math.ceil(scoped.map(_.size).sum.toDouble / targetFileBytes).toInt)
+      math.ceil(scoped.map(_.size).sum.toDouble / target).toInt)
     // quantile boundaries computed over the SCOPED rows only — a
     // partition-local re-cluster gets partition-local cut points
     val df = readForRewrite(snap, scoped.map(_.path))
@@ -2050,13 +2076,19 @@ final class LakeTable private (
         df.repartitionByRange(numOut, sortCols: _*)
           .sortWithinPartitions(sortCols: _*)
       }
+    // generation stamp: files of one clustering run share a gen id
+    // (read-version + 1 ≈ the commit that writes them — an opaque
+    // marker, only is-set/size matter to the incremental filter)
     val adds = LakeWriter.stageAndAdopt(clustered, tablePath,
       snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
       snap.metadata.properties)
+      .map(_.copy(clusterGen = Some(snap.version + 1)))
     commitRewrite(snap, scoped.map(_.path), adds, "OPTIMIZE",
       Map("clusterBy" -> clusterBy.mkString(","),
         "zOrder" -> (zOrder && clusterBy.size > 1).toString,
+        "incremental" -> incremental.toString,
         "numFilesRemoved" -> scoped.size.toString,
+        "numBytesRemoved" -> scoped.map(_.size).sum.toString,
         "numFilesAdded" -> adds.size.toString) ++
         where.map("where" -> _))
   }
@@ -2273,8 +2305,11 @@ object LakeTable {
     */
   val PROP_ENABLE_CDF = "graft.enableChangeDataFeed"
   /** `true` pre-shuffles partitioned appends by the partition columns
-    * so each partition value is written by one task (small-file
-    * prevention; Delta's `delta.autoOptimize.optimizeWrite`).
+    * via an AQE rebalance binned toward [[PROP_TARGET_FILE_SIZE]]:
+    * trickle appends coalesce to ~one file per partition value, and a
+    * skewed partition value splits across writers instead of
+    * funnelling through one (small-file prevention; Delta's
+    * `delta.autoOptimize.optimizeWrite`).
     */
   val PROP_OPTIMIZE_WRITE = "graft.optimizeWrite"
   /** `true` makes the table append-only (Delta's `delta.appendOnly`):
@@ -2291,6 +2326,18 @@ object LakeTable {
   val PROP_AUTO_COMPACT = "graft.autoOptimize.autoCompact"
   /** Small-file count per partition that triggers auto compaction. */
   val PROP_AUTO_COMPACT_MIN_FILES = "graft.autoOptimize.minNumFiles"
+  /** Target data file size in bytes (Delta's `delta.targetFileSize`).
+    * Governs the optimizeWrite rebalance bin size, the "small file"
+    * threshold of compaction, and auto-compact's output sizing. The
+    * 128 MiB default matches one comfortable scan-task unit — large
+    * enough that a 100 TB table stays under ~10⁶ files, small enough
+    * that a single task's read never dominates a stage.
+    */
+  val PROP_TARGET_FILE_SIZE = "graft.targetFileSize"
+  val DEFAULT_TARGET_FILE_BYTES: Long = 128L * 1024 * 1024
+  private[lake] def targetFileBytes(props: Map[String, String]): Long =
+    props.get(PROP_TARGET_FILE_SIZE).map(_.trim.toLong)
+      .getOrElse(DEFAULT_TARGET_FILE_BYTES)
   /** `true` makes DELETE merge-on-read (Delta's
     * `delta.enableDeletionVectors`): matching rows are soft-deleted by
     * writing their row indices to a [[DeletionVector]] sidecar and
@@ -2510,6 +2557,7 @@ object LakeTable {
   private[graft] def canonicalPropertyKey(k: String): String =
     Seq(PROP_RETENTION_HOURS, PROP_ENABLE_CDF, PROP_OPTIMIZE_WRITE,
       PROP_APPEND_ONLY, PROP_AUTO_COMPACT, PROP_AUTO_COMPACT_MIN_FILES,
+      PROP_TARGET_FILE_SIZE,
       PROP_ENABLE_DV, RowTracking.PROP, ColumnMapping.MODE_PROP,
       BloomIndex.PROP_COLUMNS, BloomIndex.PROP_FPP,
       BloomIndex.PROP_NUM_ITEMS,
@@ -2534,6 +2582,10 @@ object LakeTable {
         case PROP_AUTO_COMPACT_MIN_FILES =>
           require(scala.util.Try(v.toInt).toOption.exists(_ >= 2),
             s"$k must be an integer >= 2, got '$v'")
+        case PROP_TARGET_FILE_SIZE =>
+          require(scala.util.Try(v.trim.toLong).toOption
+              .exists(_ >= 1024 * 1024),
+            s"$k must be a byte count >= 1048576 (1 MiB), got '$v'")
         case PROP_STATS_COLS =>
           require(scala.util.Try(v.trim.toInt).toOption
               .exists(n => n >= -1),

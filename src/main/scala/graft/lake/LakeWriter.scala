@@ -223,27 +223,39 @@ object LakeWriter {
         }
       }
 
-    // optimizeWrite (Delta's autoOptimize.optimizeWrite): pre-shuffle
-    // the output by the partition columns so each partition value is
-    // written by ONE task. Without it, N write tasks × P live
-    // partitions can emit N×P small files per append — the classic
-    // small-file explosion a 100 TB table dies of. One extra shuffle
-    // of the written rows buys one file per partition per commit.
+    // optimizeWrite (Delta's autoOptimize.optimizeWrite): a size-aware
+    // AQE REBALANCE of the output toward graft.targetFileSize. Without
+    // it, N write tasks × P live partitions can emit N×P small files
+    // per append — the classic small-file explosion a continuously-
+    // ingesting 100 TB table dies of. Rebalance (not a plain
+    // repartition(partCols)) because sizing must work in BOTH
+    // directions: AQE coalesces the many tiny shuffle partitions of a
+    // trickle append into one bin per partition value, and SPLITS a
+    // skewed 10 GB partition value across several writer tasks instead
+    // of funnelling it through one — repartition(partCols) got the
+    // first and silently lost the second (and did nothing at all for
+    // unpartitioned tables, the common streaming-sink shape).
     // ... except on a bucketed table: the bucket repartition at
     // staging overrides placement anyway (files per partition are
-    // bounded by bucketCount), so the optimizeWrite pre-shuffle
-    // would be a full shuffle whose output is immediately discarded
+    // bounded by bucketCount), so an optimizeWrite shuffle here would
+    // be immediately discarded.
+    val optimizeWriteOn = effectiveProps
+      .get(LakeTable.PROP_OPTIMIZE_WRITE).exists(_.toBoolean) &&
+      LakeTable.bucketSpecOf(effectiveProps).isEmpty
     val toWrite =
-      if (partCols.nonEmpty && effectiveProps
-          .get(LakeTable.PROP_OPTIMIZE_WRITE).exists(_.toBoolean) &&
-          LakeTable.bucketSpecOf(effectiveProps).isEmpty)
-        normalized.repartition(partCols.map(col): _*)
-      else normalized
+      if (!optimizeWriteOn) normalized
+      else if (partCols.nonEmpty) normalized.hint("rebalance", partCols: _*)
+      else normalized.hint("rebalance")
 
     // Stage the physical write, then adopt files into the table dir.
     {
-      val adds = stageAndAdopt(toWrite, tablePath, partCols, effectiveMapping,
-        effectiveProps)
+      val adds = withAdvisoryPartitionSize(spark,
+          if (optimizeWriteOn)
+            Some(LakeTable.targetFileBytes(effectiveProps))
+          else None) {
+        stageAndAdopt(toWrite, tablePath, partCols, effectiveMapping,
+          effectiveProps)
+      }
 
       // Identity high-water mark advance, read back from the WRITTEN
       // files' footer stats — the staged parquet is the only safe
@@ -749,6 +761,32 @@ object LakeWriter {
         case None => spark.conf.unset(key)
       }
     }
+
+  /** Pin AQE's advisory partition size around an optimizeWrite staged
+    * write, so the REBALANCE hint bins shuffle output toward the
+    * table's target file size instead of the session default. The
+    * advisory governs SHUFFLE bytes; parquet encoding + column
+    * compression shrink those further on disk, so the advisory is set
+    * to 2× the file target (the on-disk ratio observed for the lz4
+    * shuffle → snappy parquet pair on mixed text/numeric rows — a
+    * heuristic, like Delta's 512 MB bin for 128 MB files, erring
+    * toward files UNDER target rather than over). No-op when the
+    * write is not optimizeWrite-governed.
+    */
+  private def withAdvisoryPartitionSize[A](
+      spark: org.apache.spark.sql.SparkSession, target: Option[Long])
+      (body: => A): A = target match {
+    case None => body
+    case Some(bytes) =>
+      val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, (bytes * 2).toString)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+  }
 
   private def withMicrosTimestamps[A](
       spark: org.apache.spark.sql.SparkSession)(body: => A): A = {

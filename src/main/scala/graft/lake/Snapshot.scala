@@ -158,20 +158,26 @@ object Snapshot {
     * when one is materialized (the common in-process writer flow).
     */
   private[lake] def replayMeta(log: LakeLog, version: Long)
-      : (Metadata, Map[String, Map[String, String]]) = {
+      : (Metadata, Protocol, Map[String, Map[String, String]]) = {
     val key = (Paths.get(log.tablePath).toAbsolutePath.normalize.toString,
       version)
     val fp = fingerprint(log, version)
     val cached = cache.synchronized(Option(cache.get(key)))
       .filter(_.fingerprint == fp).flatMap(e => Option(e.ref.get))
     cached match {
-      case Some(s) => (s.metadata, s.domains)
+      case Some(s) => (s.metadata, s.protocol, s.domains)
       case None =>
         var metadata: Metadata = null
+        // Protocol folds here too: direct LakeLog.commit callers gate
+        // on it (assertWritable) — dropping it from the meta replay
+        // would let a raw commit against a table demanding unknown
+        // writer features proceed silently.
+        var protocol: Protocol = Protocol()
         val domains =
           scala.collection.mutable.HashMap.empty[String, Map[String, String]]
         def fold(a: Action): Unit = a match {
           case m: Metadata => metadata = m
+          case p: Protocol => protocol = p
           case d: DomainMetadata =>
             if (d.removed) domains.remove(d.domain)
             else domains(d.domain) = d.configuration
@@ -203,15 +209,38 @@ object Snapshot {
         }
         var v = startAt
         while (v <= version) {
-          metaOfJsonLines(log.versionFile(v))
+          // same retention-horizon translation doReplay gives: a
+          // version file removed by log cleanup must explain itself,
+          // not surface as a bare missing-file error
+          try metaOfJsonLines(log.versionFile(v))
+          catch {
+            case e: java.nio.file.NoSuchFileException =>
+              throw explainMissingVersion(log, v, e)
+          }
           v += 1
         }
         if (metadata == null)
           throw new IllegalStateException(
             s"lake table at ${log.tablePath} has no Metadata action by " +
             s"version $version")
-        (metadata, domains.toMap)
+        (metadata, protocol, domains.toMap)
     }
+  }
+
+  /** Translate a missing version file into the retention-horizon
+    * explanation when log cleanup removed it; rethrow otherwise.
+    * Shared by [[doReplay]] and [[replayMeta]].
+    */
+  private def explainMissingVersion(log: LakeLog, version: Long,
+      e: java.nio.file.NoSuchFileException): Throwable = {
+    val earliest = log.earliestReplayableVersion
+    if (version < earliest)
+      new IllegalStateException(
+        s"cannot time travel to version $version of lake " +
+        s"table ${log.tablePath}: version files below the log " +
+        s"retention horizon were removed by log cleanup " +
+        s"(earliest replayable version: $earliest)", e)
+    else e
   }
 
   private def doReplay(log: LakeLog, version: Long): Snapshot = {
@@ -257,14 +286,7 @@ object Snapshot {
           case e: java.nio.file.NoSuchFileException =>
             // log cleanup removed the prefix this replay needs: say
             // so, with the horizon, instead of a bare missing-file
-            val earliest = log.earliestReplayableVersion
-            if (version < earliest)
-              throw new IllegalStateException(
-                s"cannot time travel to version $version of lake " +
-                s"table ${log.tablePath}: version files below the log " +
-                s"retention horizon were removed by log cleanup " +
-                s"(earliest replayable version: $earliest)", e)
-            else throw e
+            throw explainMissingVersion(log, version, e)
         }
       actions.foreach {
         case m: Metadata   => metadata = m

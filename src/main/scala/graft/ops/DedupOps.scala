@@ -73,6 +73,100 @@ object DedupOps {
         col("__w.seg_idx").as("seg_idx"), col("__fp").as("seg_md5"))
   }
 
+  /** Exact-substring dedup at ~`minTokens`-token granularity (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — the ExactSubstr posture, windowed formulation): any
+    * `minTokens`-token run appearing more than once in the corpus is
+    * removed from every occurrence EXCEPT the first (ordered by
+    * (id, pos)); overlapping removed windows per doc merge into
+    * maximal spans. Returns one row per removed span:
+    * (doc_id, span_start, span_end) — token offsets, end exclusive.
+    *
+    * Distribution shape (the reason this is not a suffix array): one
+    * corpus scan emits per-position window fingerprints
+    * (md5 of the space-joined window — O(tokens) rows of SCALARS,
+    * text itself never shuffles); one fingerprint-partitioned window
+    * marks non-first occurrences; one id-partitioned window merges
+    * intervals. Same O(corpus) total work as the published suffix
+    * automaton, but in three shuffle-on-key stages a 1000-executor
+    * cluster runs without any driver-side index.
+    */
+  def exactSubstringSpans(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 50): DataFrame =
+    exactSubstringSpansOfTokens(
+      df.select(col(idCol).cast("long").as("id"),
+        nonEmptyTokens(col(textCol)).as("toks")),
+      minTokens)
+
+  /** [[exactSubstringSpans]] over a pre-tokenized (id, toks) frame —
+    * the entry point for callers that synthesize or transform token
+    * streams before deduplication.
+    */
+  def exactSubstringSpansOfTokens(t: DataFrame, minTokens: Int)
+      : DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive (got $minTokens)")
+    val k = minTokens
+    import org.apache.spark.sql.expressions.Window
+    val wins = t.select(col("id"), col("toks"),
+        size(col("toks")).as("n"))
+      .where(col("n") >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, n - $k), i -> " +
+          s"md5(encode(concat_ws(' ', slice(toks, i + 1, $k)), 'UTF-8')))")))
+      .toDF("id", "pos", "fp")
+    // both analytics share ONE window spec → one shuffle + no sort
+    val byFp = Window.partitionBy("fp")
+    val removals = wins
+      .withColumn("c", count(lit(1)).over(byFp))
+      .withColumn("wmin", min(struct(col("id"), col("pos"))).over(byFp))
+      .where(col("c") >= 2 &&
+        !(col("id") === col("wmin.id") && col("pos") === col("wmin.pos")))
+      .select(col("id"), col("pos"))
+    // gaps-and-islands interval union per doc: a window is a new
+    // island iff it starts past every earlier window's end
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevMax = max(col("pos") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    removals
+      .withColumn("ni",
+        when(prevMax.isNull || col("pos") > prevMax, 1).otherwise(0))
+      .withColumn("island", sum(col("ni"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Apply [[exactSubstringSpans]]: splice the removed spans out of
+    * each doc's token stream and re-join. Docs without spans pass
+    * through verbatim (modulo tokenization). The spans frame is
+    * grouped per doc and joined back — span counts are tiny relative
+    * to the corpus, so this is a broadcast-ish join plus one
+    * higher-order filter per row, no extra shuffle of the text.
+    */
+  def removeSpans(df: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame): DataFrame = {
+    val grouped = spans.groupBy(col("doc_id").as("__sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.withColumn("__toks", nonEmptyTokens(col(textCol)))
+      .join(grouped, col(idCol).cast("long") === col("__sid"), "left")
+      .withColumn(textCol, concat_ws(" ", expr(
+        "filter(__toks, (w, i) -> __spans IS NULL OR " +
+          "NOT exists(__spans, s -> " +
+          "i >= s.span_start AND i < s.span_end))")))
+      .drop("__toks", "__spans", "__sid")
+  }
+
+  /** Whitespace tokens with empties dropped — span OFFSETS must not
+    * shift with leading/trailing whitespace, so the substring-dedup
+    * family tokenizes through this (not raw split, whose first
+    * element is "" on leading whitespace).
+    */
+  private[ops] def nonEmptyTokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
   /** Word n-gram shingles (space-joined) of `text`. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextOps.tokens(text)

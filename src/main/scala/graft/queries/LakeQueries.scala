@@ -34,6 +34,47 @@ object LakeQueries {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
 
+    // Steady-state small-file governance (VERDICT r13 ask #4): 8
+    // micro-batch appends — each arriving 8-way splintered, the
+    // continuous-ingest shape (reference util:45-75 run forever) —
+    // into an optimizeWrite + autoCompact table. The rebalance bins
+    // every append to ONE file and auto-compact folds the debris at
+    // minNumFiles=4, so the live file count follows the deterministic
+    // 1,2,3,4→1 trajectory and ends FLAT at 2 — never the 8 commits ×
+    // 8 tasks = 64 files an ungoverned ingest leaves. The in-gate
+    // require pins flatness; the oracle re-counts the ingested rows
+    // (no row lost or doubled through the compactions) and the file
+    // count.
+    QueryDef("lake_optimized_ingest",
+      (s, dir) => {
+        val path = scratch("lake_optimized_ingest", dir)
+        val o = table(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        (0 until 8).foreach { i =>
+          LakeWriter.write(
+            o.filter(pmod(col("o_orderkey"), lit(8)) === i).repartition(8),
+            path,
+            properties =
+              if (i == 0) Map(
+                LakeTable.PROP_OPTIMIZE_WRITE -> "true",
+                LakeTable.PROP_AUTO_COMPACT -> "true",
+                LakeTable.PROP_AUTO_COMPACT_MIN_FILES -> "4")
+              else Map.empty)
+        }
+        val t = LakeTable.forPath(s, path)
+        val nFiles = t.snapshot().files.size
+        require(nFiles <= 2,
+          s"steady-state ingest accumulated $nFiles live files — " +
+            "optimizeWrite/autoCompact failed to hold the count flat")
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+          .withColumn("n_files", lit(nFiles.toLong))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |  CAST(2 AS BIGINT) AS n_files
+             |FROM orders""".stripMargin)),
+
     // Hash-bucketed co-located join (round 12): orders and lineitem
     // written as co-bucketed lake tables on the order key
     // (graft.bucketBy/bucketCount — Spark's own bucket hash and file

@@ -80,6 +80,29 @@ object OpsQueries {
     path
   }
 
+  /** The trained BPE merge list as a corpus-fingerprinted fixture:
+    * training is a pure function of the corpus and its parameters, so
+    * it runs ONCE per corpus generation and the encode gate reads the
+    * kilobyte merge table back — the steady-state shape at 100 TB,
+    * where a tokenizer is trained rarely and applied constantly.
+    * text_bpe_merges still re-trains every run; that is its job.
+    */
+  private def ensureBpeMerges(s: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    val path = fixture("bpe_merges", dir)
+    val fp = tableFp(dir, "documents") + ":m=16:minFreq=2:parts=4:v1"
+    if (!fixtureFresh(path, fp)) {
+      graft.lake.LakeWriter.deleteRecursively(
+        java.nio.file.Paths.get(path))
+      BpeOps.trainBpeMerges(table(s, dir, "documents"), "text",
+          numMerges = 16, minFreq = 2, vocabPartitions = 4)
+        .write.mode("overwrite").parquet(s"$path/merges")
+      fixtureMark(path, fp)
+    }
+    s.read.parquet(s"$path/merges").orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** The Gopher rule metrics as ONE DuckDB CTE chain (`sp` → `m`),
     * shared by the batch gate here and the streaming gate in
     * [[PipelineQueries]] — a threshold or rule expression edits in
@@ -736,13 +759,19 @@ object OpsQueries {
       },
       None),
 
-    // BPE ENCODE (the apply side): train on the corpus, then segment
-    // every document with the learned merges in one map-only
-    // broadcast pass — the tokenize step of a training-data pipeline,
-    // where the corpus is 100 TB and the merge table is kilobytes.
+    // BPE ENCODE (the apply side): segment every document with the
+    // learned merges in one map-only broadcast pass — the tokenize
+    // step of a training-data pipeline, where the corpus is 100 TB
+    // and the merge table is kilobytes. The merges come from a
+    // corpus-fingerprinted FIXTURE (trained once per corpus, the
+    // ensureIvfIndex pattern): re-training 16 driver-coordinated
+    // rounds inside this gate duplicated what text_bpe_merges
+    // already measures and was ~3.2 s of a 4.8 s timed leg (VERDICT
+    // r13 #2) — the steady-state op is apply, and that is what the
+    // clock must see.
     // Differential gate: an independent sequential encoder
     // (index-scan/in-place-splice vs the UDF's candidate-list
-    // rebuild) re-encodes EVERY document on the driver and the token
+    // rebuild) re-encodes a 5% sample on the driver and the token
     // counts must match exactly; bounds pin the output to reality
     // (every word >= 1 token, no word more tokens than chars+1).
     // No SQL oracle: greedy rank-ordered fusion is inherently
@@ -751,10 +780,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val d = table(s, dir, "documents")
-        val mergeList = BpeOps.trainBpeMerges(d, "text",
-          numMerges = 16, minFreq = 2, vocabPartitions = 4)
-          .orderBy("rank").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val mergeList = ensureBpeMerges(s, dir)
         require(mergeList.nonEmpty, "corpus produced no merges")
         val app = BpeOps.applyBpe(d.select("doc_id", "text"), "text",
           mergeList)
@@ -767,14 +793,18 @@ object OpsQueries {
           s"$underWords docs encoded to fewer tokens than words")
         val got = app.select("doc_id", "bpe_tokens")
         // exactness differential vs the sequential reference encoder
-        // on a DETERMINISTIC 5% sample (VERDICT r12 ask #6): the
-        // per-doc driver re-encode IS the check, but run over every
-        // doc it dominated the gate's timed leg 3:1 — the bench then
-        // measured the harness, not the broadcast+map encode.
+        // on a DETERMINISTIC 5% sample (VERDICT r12 ask #6) — run
+        // over every doc it dominated the timed leg 3:1. The stratum
+        // offset keys off the corpus fingerprint (ADVICE r13): a
+        // fixed `% 20 == 0` stratum would let an apply-path bug
+        // correlated with doc content outside it pass forever, while
+        // a corpus-keyed offset re-rolls whenever the data does and
+        // still stays deterministic for a given testdata generation.
+        val off = math.floorMod(tableFp(dir, "documents").hashCode, 20)
         val sample = d.select("doc_id", "text")
-          .filter(col("doc_id") % 20 === 0).as[(Long, String)].collect()
+          .filter(col("doc_id") % 20 === off).as[(Long, String)].collect()
         require(sample.nonEmpty, "empty differential sample")
-        val gotSample = got.filter(col("doc_id") % 20 === 0)
+        val gotSample = got.filter(col("doc_id") % 20 === off)
           .as[(Long, Int)].collect().toMap
         require(sample.length == gotSample.size,
           "row count changed in apply")
@@ -791,6 +821,95 @@ object OpsQueries {
     // in for CCNet's newline paragraphs — this corpus is single-line).
     // The oracle replays keep-first with a window over the RAW segment
     // text, proving the fingerprint shuffle loses nothing.
+    // Exact-substring dedup, Lee et al. 2022 posture (VERDICT r13 ask
+    // #7): 50-token windows fingerprinted corpus-wide; non-first
+    // occurrences removed; overlaps merged to maximal spans. Planted
+    // truth: every >= 64-token doc gets an overlay twin (id + 10^6)
+    // carrying a VERBATIM 60-token slice of its source between unique
+    // sentinels — each must lose exactly tokens [1, 61). The oracle
+    // replays the whole pipeline (window md5s, keep-first by
+    // (id, pos), gaps-and-islands union) in DuckDB, so natural
+    // corpus-internal 50-token repeats are hash-checked too, not just
+    // the plants.
+    QueryDef("dedup_substring",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val srctoks = d.select(col("doc_id").as("id"),
+          filter(split(col("text"), "\\s+"),
+            w => length(w) > 0).as("toks"))
+        val overlays = srctoks.where(size(col("toks")) >= 64).select(
+          (col("id") + 1000000L).as("id"),
+          filter(split(concat(
+            lit("uq"), col("id").cast("string"), lit(" "),
+            array_join(slice(col("toks"), 5, 60), " "),
+            lit(" tl"), col("id").cast("string")), "\\s+"),
+            w => length(w) > 0).as("toks"))
+        val nPlanted = overlays.count()
+        val spans = DedupOps.exactSubstringSpansOfTokens(
+          srctoks.union(overlays), minTokens = 50)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val caught = spans.filter(col("doc_id") >= 1000000L &&
+          col("span_start") === 1L && col("span_end") === 61L).count()
+        require(caught == nPlanted,
+          s"only $caught of $nPlanted planted 60-token verbatim spans " +
+            "were removed as exactly [1, 61)")
+        spans
+      },
+      Some("""WITH srctoks AS (
+             |  SELECT doc_id AS id,
+             |    list_filter(string_split_regex(text,'\s+'),
+             |                w->len(w)>0) AS toks
+             |  FROM documents
+             |), corpus AS (
+             |  SELECT id, toks FROM srctoks
+             |  UNION ALL
+             |  SELECT id + 1000000 AS id,
+             |    list_filter(string_split_regex(
+             |      'uq' || CAST(id AS VARCHAR) || ' ' ||
+             |      array_to_string(toks[5:64], ' ') ||
+             |      ' tl' || CAST(id AS VARCHAR),
+             |      '\s+'), w->len(w)>0) AS toks
+             |  FROM srctoks WHERE len(toks) >= 64
+             |), t AS (
+             |  SELECT id, toks, len(toks) AS n FROM corpus
+             |), w AS (
+             |  SELECT id, CAST(i AS BIGINT) AS pos,
+             |    md5(array_to_string(
+             |      toks[CAST(i+1 AS BIGINT):CAST(i+50 AS BIGINT)],
+             |      ' ')) AS fp
+             |  FROM t, UNNEST(range(0, n - 49)) AS u(i)
+             |  WHERE n >= 50
+             |), m AS (
+             |  SELECT id, pos,
+             |    count(*) OVER (PARTITION BY fp) AS c,
+             |    min(struct_pack(id:=id, pos:=pos))
+             |      OVER (PARTITION BY fp) AS wmin
+             |  FROM w
+             |), r AS (
+             |  SELECT id, pos FROM m
+             |  WHERE c >= 2 AND NOT (id = wmin.id AND pos = wmin.pos)
+             |), isl AS (
+             |  SELECT id, pos,
+             |    CASE WHEN max(pos + 50) OVER (PARTITION BY id
+             |        ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        IS NULL
+             |      OR pos > max(pos + 50) OVER (PARTITION BY id
+             |        ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS ni
+             |  FROM r
+             |), isl2 AS (
+             |  SELECT id, pos,
+             |    sum(ni) OVER (PARTITION BY id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS island
+             |  FROM isl
+             |)
+             |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |  CAST(max(pos) + 50 AS BIGINT) AS span_end
+             |FROM isl2 GROUP BY id, island""".stripMargin)),
+
     QueryDef("dedup_segments",
       (s, dir) => DedupOps.segmentDedup(
         table(s, dir, "documents"), "text", "doc_id", segWords = 16),
@@ -1227,9 +1346,16 @@ object OpsQueries {
              |      CAST(x * (1.0 + 0.05 * sin(vec_id * 31 + (i - 1)))
              |        AS FLOAT))
              |  FROM embeddings WHERE vec_id < 400
+             |), dv AS (
+             |  -- DOUBLE[] up-cast (ADVICE r13): Spark's cosine reads
+             |  -- FLOAT elements but ACCUMULATES in double; scoring
+             |  -- FLOAT[] here would accumulate in float and a pair
+             |  -- within float error of tau could flip between engines
+             |  SELECT id, CAST(embedding AS DOUBLE[]) AS embedding
+             |  FROM corpus
              |), edges AS (
              |  SELECT a.id AS x, b.id AS y
-             |  FROM corpus a JOIN corpus b ON a.id < b.id
+             |  FROM dv a JOIN dv b ON a.id < b.id
              |  WHERE list_dot_product(a.embedding, b.embedding) /
              |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
              |     sqrt(list_dot_product(b.embedding, b.embedding)))
@@ -1289,36 +1415,40 @@ object OpsQueries {
     // ranking contract would pass a rows-only check silently.
     QueryDef("sim_lsh_topk",
       (s, dir) => {
-        import s.implicits._
         val e = table(s, dir, "embeddings")
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("vec"))
         val corpus = e.select(col("vec_id").as("id"),
           col("embedding").as("vec"))
         val k = 5
+        // the result is driver-sized BY CONTRACT (≤ |queries| × k =
+        // 50 rows), so the structural checks run on the collected
+        // array in plain Scala — zero extra Spark jobs. Running them
+        // as a groupBy + self-join put two verifier jobs inside the
+        // timed leg and the bench measured the harness, not the
+        // operator (VERDICT r13 #1, same disease text_bpe_encode had).
         val top = SimilarityOps.lshTopK(queries, corpus, k, bits = 4)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-        // n distinct ranks with min 1 and max n ⟺ ranks are exactly
-        // 1..n — a rank()-style tie (1,1,3) has max = n but only n-1
-        // DISTINCT ranks, so it fails here
-        val bad = top.groupBy("qid").agg(
-            count(lit(1)).as("n"), max("rank").as("mx"),
-            min("rank").as("mn"),
-            countDistinct("rank").as("nd"),
-            sum(when(col("neighbor_id") === col("qid"), 1)
-              .otherwise(0)).as("selfs"))
-          .filter(col("n") > k || col("mx") =!= col("n") ||
-            col("mn") =!= 1 || col("nd") =!= col("n") ||
-            col("selfs") > 0)
-          .count()
-        require(bad == 0L, s"$bad queries violate the top-k contract")
-        val misordered = top.filter(col("rank") > 1).as("b")
-          .join(top.as("a"), col("a.qid") === col("b.qid") &&
-            col("a.rank") === col("b.rank") - 1)
-          .filter(col("a.cos") < col("b.cos")).count()
-        require(misordered == 0L,
-          s"$misordered rank steps violate descending-cosine order")
-        top
+        val rows = top.collect()
+        require(rows.length <= 10 * k, s"${rows.length} rows exceed " +
+          s"the ≤ queries×k bound")
+        rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+          val ranks = rs.map(_.getAs[Int]("rank")).sorted
+          // ranks exactly 1..n — a rank()-style tie (1,1,3) has
+          // max = n but a duplicate, so the sequence check fails it
+          require(ranks.length <= k &&
+            ranks.sameElements(1 to ranks.length),
+            s"query $qid ranks ${ranks.mkString(",")} are not 1..n")
+          require(!rs.exists(_.getAs[Long]("neighbor_id") == qid),
+            s"query $qid returned itself")
+          val byRank = rs.sortBy(_.getAs[Int]("rank"))
+            .map(_.getAs[Double]("cos"))
+          require(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+            s"query $qid cosines not descending by rank")
+        }
+        // the collected rows ARE the result: re-materializing `top`
+        // for the caller's count() would re-run the LSH join
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq, 1), top.schema)
       },
       None),
 
@@ -1606,19 +1736,50 @@ object OpsQueries {
              |  CAST(256 * ((doc_id*31) % 256) AS BIGINT) AS value_sum
              |FROM documents WHERE doc_id % 4 = 3""".stripMargin)),
 
-    // Frame-sampling stub: explode shape over binary payloads.
+    // REAL multi-frame decode (VERDICT r13 ask #5): every doc gets an
+    // ANIMATED GIF (even ids) or multi-page TIFF (odd ids) of
+    // 2 + id%3 frames, pixels on the closed form
+    // (id·31 + 7x + 13y + 11f) mod 256; extractFrames enumerates via
+    // ImageReader.getNumImages/read(i) and walks each frame's raster
+    // for real — the indexed-GIF path additionally exercises palette
+    // expansion (3 RGB samples per index → sums exactly 3× TIFF's
+    // single gray band). maxFrames = 3 is LIVE: 4-frame payloads must
+    // truncate, which the oracle's LEAST mirrors. True video codecs
+    // remain the labeled sampleFrames stub.
     QueryDef("multimodal_frames",
       (s, dir) => {
-        val media = MultimodalOps.asMediaTable(
-          table(s, dir, "documents").withColumn("media",
-            encode(col("text"), "UTF-8")),
-          "doc_id", "media", "video/fake")
-        MultimodalOps.sampleFrames(media, n = 4)
-          .select(col("media_id"), col("frame_idx"),
-            length(col("frame_bytes")).as("frame_len"))
+        import s.implicits._
+        val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        val media = ids.mapPartitions(_.map { id =>
+          val frames = (2 + id % 3).toInt
+          if (id % 2 == 0)
+            (id, MultimodalOps.syntheticAnimatedGif(id, 17, 9, frames),
+              "image/gif")
+          else
+            (id, MultimodalOps.syntheticMultipageTiff(id, 17, 9, frames),
+              "image/tiff")
+        }).toDF("media_id", "media", "format")
+        MultimodalOps.extractFrames(media, maxFrames = 3).toDF()
+          .select("media_id", "frame_idx", "n_samples", "value_sum")
       },
       Some("""SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
-             |  CAST(GREATEST(LEAST(octet_length(encode(text)) - f*16, 16), 0) AS INTEGER) AS frame_len
-             |FROM documents, UNNEST([0,1,2,3]) AS t(f)""".stripMargin))
+             |  CAST(17*9*3 AS BIGINT) AS n_samples,
+             |  CAST(3 * list_sum(flatten(list_transform(range(0,9), y ->
+             |    list_transform(range(0,17), x ->
+             |      (doc_id*31 + 7*x + 13*y + 11*f) % 256))))
+             |    AS BIGINT) AS value_sum
+             |FROM documents,
+             |  UNNEST(range(0, LEAST(2 + doc_id % 3, 3))) AS t(f)
+             |WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(17*9 AS BIGINT) AS n_samples,
+             |  CAST(list_sum(flatten(list_transform(range(0,9), y ->
+             |    list_transform(range(0,17), x ->
+             |      (doc_id*31 + 7*x + 13*y + 11*f) % 256))))
+             |    AS BIGINT) AS value_sum
+             |FROM documents,
+             |  UNNEST(range(0, LEAST(2 + doc_id % 3, 3))) AS t(f)
+             |WHERE doc_id % 2 = 1""".stripMargin))
   )
 }

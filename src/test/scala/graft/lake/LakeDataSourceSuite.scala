@@ -202,6 +202,58 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(t.toDF.where("x < 6").count() === 96L * 6L)
   }
 
+  test("INCREMENTAL OPTIMIZE rewrites O(new files) and keeps skipping " +
+      "tight") {
+    val path = tablePath("dsv2incr")
+    val rnd = new scala.util.Random(11)
+    LakeWriter.write(rnd.shuffle((0L until 20000L).toList).toDF("id")
+      .repartition(8), path)
+    val t = LakeTable.forPath(spark, path)
+    // full clustering pass → one generation of range-disjoint files
+    t.compactClustered(Seq("id"),
+      targetFileBytes = math.max(1024L * 1024,
+        t.snapshot().sizeInBytes / 8))
+    val gen1 = t.snapshot().files
+    assert(gen1.forall(_.clusterGen.isDefined),
+      "clustering OPTIMIZE must stamp a generation on its output")
+    val gen1Paths = gen1.map(_.path).toSet
+    // a trickle append lands unclustered (no generation)
+    LakeWriter.write(rnd.shuffle((20000L until 21000L).toList).toDF("id")
+      .coalesce(1), path)
+    assert(t.snapshot().files.exists(_.clusterGen.isEmpty))
+    // INCREMENTAL: rewritten set = the new file ONLY — yesterday's
+    // layout is never re-sorted to admit today's 5 %
+    t.compactClustered(Seq("id"), incremental = true)
+    val after = t.snapshot().files
+    assert(gen1Paths.subsetOf(after.map(_.path).toSet),
+      "incremental OPTIMIZE rewrote already-clustered files")
+    assert(after.size === gen1.size + 1)
+    assert(after.forall(_.clusterGen.isDefined))
+    // skipping quality holds: each generation is internally disjoint,
+    // so a narrow range opens at most one file per generation
+    val scan = scannedFiles(t.toDF.where("id >= 500 AND id < 600"))
+    assert(scan <= 2, s"narrow range scanned $scan files")
+    assert(t.toDF.where("id >= 500 AND id < 600").count() === 100L)
+    assert(t.toDF.count() === 21000L)
+    // a second INCREMENTAL with nothing new is a no-op commit-wise
+    val v = t.snapshot().version
+    t.compactClustered(Seq("id"), incremental = true)
+    assert(t.snapshot().version === v,
+      "incremental OPTIMIZE with no unclustered files must not commit")
+    // SQL surface: INCREMENTAL keyword parses and routes; the
+    // clusterGen tag round-trips the JSON log (snapshot re-read)
+    LakeWriter.write(Seq(30000L).toDF("id"), path)
+    LakeSql.sql(spark, s"OPTIMIZE `$path` BY (id) INCREMENTAL")
+    Snapshot.clearCacheForTest()
+    val again = LakeTable.forPath(spark, path).snapshot().files
+    assert(again.forall(_.clusterGen.isDefined))
+    assert(gen1Paths.subsetOf(again.map(_.path).toSet))
+    // plain compaction has no generations to skip — loud, not silent
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"OPTIMIZE `$path` INCREMENTAL")
+    }
+  }
+
   test("QuantileBucket binary search matches the when-ladder semantics") {
     // the O(bits) bucket expression must agree with the reference
     // ladder (count of boundaries STRICTLY below) on boundary-equal

@@ -178,6 +178,62 @@ class LakeTblPropertiesSuite extends SparkSuite {
     assert(LakeTable.forPath(spark, path).snapshot().files.size === 3)
   }
 
+  test("graft.optimizeWrite coalesces appends toward one bin per " +
+      "partition value") {
+    val rows = (1L to 200L).map(i => (i, s"p${i % 2}")).toDF("id", "p")
+    // trickle shape, partitioned: 16 writer tasks × 2 partition values
+    // must NOT become 32 files — the rebalance bins them to 2
+    val path = tablePath("props-ow")
+    LakeWriter.write(rows.repartition(16), path, partitionBy = Seq("p"),
+      properties = Map(LakeTable.PROP_OPTIMIZE_WRITE -> "true"))
+    assert(LakeTable.forPath(spark, path).snapshot().files.size === 2)
+    // unpartitioned (the streaming-sink shape): one file per commit
+    val upath = tablePath("props-ow-unpart")
+    LakeWriter.write(rows.drop("p").repartition(16), upath,
+      properties = Map(LakeTable.PROP_OPTIMIZE_WRITE -> "true"))
+    assert(LakeTable.forPath(spark, upath).snapshot().files.size === 1)
+    // steady state: 5 more trickle appends stay 1 file per append,
+    // never numShufflePartitions files
+    (1 to 5).foreach { i =>
+      LakeWriter.write(Seq(1000L + i).toDF("id").repartition(8), upath)
+    }
+    assert(LakeTable.forPath(spark, upath).snapshot().files.size === 6)
+    // counterfactual: without the property the same append splinters
+    val cpath = tablePath("props-ow-off")
+    LakeWriter.write(rows.drop("p").repartition(16), cpath)
+    assert(LakeTable.forPath(spark, cpath).snapshot().files.size > 1)
+  }
+
+  test("graft.optimizeWrite splits an oversized write toward " +
+      "graft.targetFileSize") {
+    val path = tablePath("props-ow-split")
+    // ~9 MB of incompressible-ish payload (hex digests) against a
+    // 1 MiB target: the single input partition must split across
+    // several writer tasks/files, not funnel into one giant file
+    val big = spark.range(0, 60000).select(col("id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.md5(col("id").cast("string")),
+        org.apache.spark.sql.functions.sha2(col("id").cast("string"), 256),
+        org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("s"),
+            col("id").cast("string")), 512)
+      ).as("payload"))
+    LakeWriter.write(big.coalesce(1), path,
+      properties = Map(
+        LakeTable.PROP_OPTIMIZE_WRITE -> "true",
+        LakeTable.PROP_TARGET_FILE_SIZE -> (1024L * 1024).toString))
+    val files = LakeTable.forPath(spark, path).snapshot().files
+    assert(files.size > 1,
+      s"a write many× the 1 MiB target stayed ${files.size} file(s)")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 60000L)
+    // a malformed size is rejected up front, not stored-and-ignored
+    intercept[IllegalArgumentException] {
+      LakeTable.validateProperties(
+        Map(LakeTable.PROP_TARGET_FILE_SIZE -> "1000"))
+    }
+  }
+
   test("generated columns: computed when omitted, checked when supplied") {
     val path = tablePath("props-gen")
     val events = Seq((1L, "2024-03-05 10:00:00"), (2L, "2024-03-06 11:30:00"))

@@ -193,6 +193,44 @@ class OpsSuite extends SparkSuite {
     assert(keptTails === Set(1L, 2L))
   }
 
+  test("exact-substring dedup: keep-first spans, overlap merge, splice") {
+    // docs of letter-tokens; k = 4. doc 2 repeats doc 1's tokens 2..7
+    // (two overlapping duplicated windows -> ONE merged span), doc 3
+    // repeats the same run (still removed: doc 1 holds the first
+    // occurrence), doc 4 shares nothing.
+    def toks(r: Range, tag: String = ""): String =
+      r.map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "a1 " + toks(0 until 8) + " z1"),
+      (2L, "b1 b2 " + toks(2 until 8) + " y1"),
+      (3L, "c1 " + toks(2 until 8)),
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8")
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.exactSubstringSpans(df, "text", "doc_id",
+      minTokens = 4)
+    val got = spans.as[(Long, Long, Long)].collect().toSet
+    // doc 2: tokens 2..7 of its stream are w2..w7 (6 tokens, 3
+    // duplicated 4-windows at pos 2,3,4 -> merged [2, 8)); doc 3:
+    // w2..w7 start at pos 1 -> [1, 7). doc 1 (first occurrence) and
+    // doc 4 lose nothing.
+    assert(got === Set((2L, 2L, 8L), (3L, 1L, 7L)))
+    // splice: removed spans cut the duplicated run, everything else
+    // survives verbatim
+    val cleaned = DedupOps.removeSpans(df, "text", "doc_id", spans)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(cleaned(2L) === "b1 b2 y1")
+    assert(cleaned(3L) === "c1")
+    assert(cleaned(1L) === "a1 " + toks(0 until 8) + " z1")
+    assert(cleaned(4L) === "d1 d2 d3 d4 d5 d6 d7 d8")
+    // sub-k docs and exact-k docs behave: two identical k-token docs
+    // -> second loses its whole stream
+    val twins = Seq((7L, "p q r s"), (8L, "p q r s"), (9L, "p q r"))
+      .toDF("doc_id", "text")
+    val ts = DedupOps.exactSubstringSpans(twins, "text", "doc_id", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ts === Set((8L, 0L, 4L)))
+  }
+
   test("semantic dedup: near-identical vectors collapse to min id, distinct survive") {
     // two duplicate groups along different axes + one singleton;
     // within-group cosine ~1, cross-group cosine ~0
