@@ -80,6 +80,181 @@ object OpsQueries {
     path
   }
 
+  /** DuckDB replay of the deterministic IVF retrieval pipeline
+    * (VERDICT r13 ask #3): centroids = first nlist corpus vectors by
+    * id (the training-free quantizer [[graft.ops.SimilarityOps
+    * .ivfTopK]] documents as oracle-friendly), assignment = per-vector
+    * argmax cosine over the 16 centroids, probes = top-4 centroids
+    * per query by (sim desc, cid asc), candidates scored at 6-decimal
+    * rounding and ranked by (cos desc, id asc) — every step the Spark
+    * side runs, re-derived in SQL. All cosine math runs over DOUBLE[]
+    * casts to match Spark's double accumulation over float inputs.
+    * The output (n_queries, n_found, recall) is tie-robust: planted
+    * sources sit at cos ≈ 0.99 vs ≈ 0.3–0.49 for everything else, so
+    * a last-ulp rounding flip deep in the ranking can never move a
+    * source across the top-k boundary.
+    *
+    * `qExtra` narrows the query-source predicate; `candFilter`
+    * filters the candidate set (the filtered-search gate).
+    */
+  private def ivfReplaySql(qExtra: String = "",
+      candFilter: String = ""): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT id AS cid, v AS cv FROM emb ORDER BY id LIMIT 16
+       |), assign AS (
+       |  SELECT e.id, any_value(e.label) AS label, any_value(e.v) AS v,
+       |    arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+       |  FROM emb e CROSS JOIN cent c GROUP BY e.id
+       |), q AS (
+       |  SELECT vec_id + 1000000 AS qid,
+       |    CAST(list_transform(embedding, (x, i) ->
+       |      CAST(x * (1.0 + 0.15 * sin(vec_id * 31 + (i - 1)))
+       |        AS FLOAT)) AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 10 = 0$qExtra
+       |), probes AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT q.qid, q.qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC)
+       |        AS pr
+       |    FROM q CROSS JOIN cent c) WHERE pr <= 4
+       |), cand AS (
+       |  SELECT p.qid, a.id,
+       |    ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos
+       |  FROM probes p JOIN assign a ON a.cell = p.cid
+       |  WHERE p.qid <> a.id$candFilter
+       |), top AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, id ASC) AS rank FROM cand)
+       |  WHERE rank <= 5
+       |), agg AS (
+       |  SELECT (SELECT count(*) FROM q) AS nq,
+       |    (SELECT count(*) FROM top WHERE id = qid - 1000000) AS nf
+       |)
+       |SELECT CAST(nq AS BIGINT) AS n_queries,
+       |  CAST(nf AS BIGINT) AS n_found,
+       |  ROUND(nf * 1.0 / nq, 4) AS recall FROM agg""".stripMargin
+
+  /** The ±1 hyperplane component table of
+    * [[graft.functions.HyperplaneBucket]] at bits=4 over 64 dims,
+    * embedded as a SQL literal: component (p, i) is the parity of
+    * XXH64(i, seed = p) — the SAME deterministic hash the Catalyst
+    * expression evaluates, emitted here once so DuckDB re-derives
+    * buckets from plain arithmetic without a compatible xxhash64.
+    */
+  private lazy val lshSignsLiteral: String =
+    (0 until 4).map { p =>
+      (0 until 64).map { i =>
+        if ((org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(i.toLong, p.toLong) & 1L) == 1L) "1.0" else "-1.0"
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+
+  /** DuckDB replay of the hyperplane-LSH retrieval pipeline: 4 sign
+    * bits per vector (dot with the embedded ±1 hyperplanes, double
+    * accumulation in element order — bit-compatible with the codegen
+    * loop), Hamming-1 multi-probe (base ∪ base⊕2^b), bucket-join,
+    * 6-decimal cosine ranking. Same tie-robustness argument as
+    * [[ivfReplaySql]].
+    */
+  private def lshReplaySql: String = {
+    def bucketExpr(vec: String): String =
+      (0 until 4).map { p =>
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> " +
+          s"$vec[i] * m[${p + 1}][i])) >= 0 " +
+          s"THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH s AS (SELECT $lshSignsLiteral AS m),
+       |emb AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), cb AS (
+       |  SELECT id, v, ${bucketExpr("v")} AS bucket FROM emb, s
+       |), q AS (
+       |  SELECT vec_id + 1000000 AS qid,
+       |    CAST(list_transform(embedding, (x, i) ->
+       |      CAST(x * (1.0 + 0.15 * sin(vec_id * 31 + (i - 1)))
+       |        AS FLOAT)) AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 10 = 0
+       |), qb AS (
+       |  SELECT qid, qv, ${bucketExpr("qv")} AS base FROM q, s
+       |), probes AS (
+       |  SELECT qid, qv, unnest([base, xor(base, 1), xor(base, 2),
+       |    xor(base, 4), xor(base, 8)]) AS bucket
+       |  FROM qb
+       |), cand AS (
+       |  SELECT p.qid, c.id,
+       |    ROUND(list_cosine_similarity(p.qv, c.v), 6) AS cos
+       |  FROM probes p JOIN cb c ON c.bucket = p.bucket
+       |  WHERE p.qid <> c.id
+       |), top AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, id ASC) AS rank FROM cand)
+       |  WHERE rank <= 5
+       |), agg AS (
+       |  SELECT (SELECT count(*) FROM q) AS nq,
+       |    (SELECT count(*) FROM top WHERE id = qid - 1000000) AS nf
+       |)
+       |SELECT CAST(nq AS BIGINT) AS n_queries,
+       |  CAST(nf AS BIGINT) AS n_found,
+       |  ROUND(nf * 1.0 / nq, 4) AS recall FROM agg""".stripMargin
+  }
+
+  /** DuckDB replay of the FULL 16-round BPE training arg-max sequence
+    * (VERDICT r13 ask #3): each round re-derives the weighted
+    * adjacent-pair counts, picks the (freq desc, left asc, right asc)
+    * arg-max, and applies the merge — so the oracle hash-checks the
+    * whole greedy trajectory, not a summary. Word symbol streams ride
+    * as strings with DOUBLE chr(31) boundaries ("␟␟a␟␟b␟␟"): the
+    * merge step is then one `replace` of ␟l␟␟r␟ → ␟lr␟, whose
+    * left-to-right non-overlapping semantics equal mergePair's
+    * adjacent fusion, the single-␟ pattern edges anchor on symbol
+    * boundaries (a pair can never match a symbol's SUFFIX), and the
+    * shared middle boundary lets back-to-back occurrences ("aaa" with
+    * a+a) fuse exactly like the sequential reference. CTEs are
+    * MATERIALIZED: round k reads w(k-1) twice, and without pinning,
+    * inlining doubles the plan per round — 2^16 by round 16. minFreq
+    * early-stop falls out of monotonicity: the best pair's frequency
+    * never increases round-over-round, so filtering emitted rows at
+    * freq >= 2 reproduces the trainer's stop exactly.
+    */
+  private def bpeMergesReplaySql(numMerges: Int = 16): String = {
+    val B = "chr(31)"
+    val head = Seq(
+      """wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0)) AS word
+        |    FROM documents) GROUP BY word)""".stripMargin,
+      s"""w0 AS MATERIALIZED (SELECT $B||$B ||
+         |  array_to_string(list_append(string_split(word, ''), '</w>'),
+         |    $B||$B) || $B||$B AS w, f FROM wf)""".stripMargin)
+    val rounds = (1 to numMerges).flatMap { k =>
+      Seq(
+        s"""b$k AS MATERIALIZED (SELECT l, r, bf FROM (
+           |    SELECT sy[j] AS l, sy[j+1] AS r, sum(f) AS bf
+           |    FROM (SELECT list_filter(string_split(w, $B||$B),
+           |        x -> x <> '') AS sy, f FROM w${k - 1}),
+           |      UNNEST(range(1, len(sy))) AS u(j)
+           |    GROUP BY 1, 2)
+           |  ORDER BY bf DESC, l ASC, r ASC LIMIT 1)""".stripMargin,
+        s"""w$k AS MATERIALIZED (SELECT CASE WHEN b.bf >= 2 THEN
+           |    replace(p.w, $B||b.l||$B||$B||b.r||$B, $B||b.l||b.r||$B)
+           |    ELSE p.w END AS w, p.f AS f
+           |  FROM w${k - 1} p LEFT JOIN b$k b ON TRUE)""".stripMargin)
+    }
+    val sel = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left", """ +
+        s"""r AS "right", CAST(bf AS BIGINT) AS freq FROM b$k """ +
+        "WHERE bf >= 2"
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (head ++ rounds).mkString(",\n") + "\n" + sel
+  }
+
   /** The trained BPE merge list as a corpus-fingerprinted fixture:
     * training is a pure function of the corpus and its parameters, so
     * it runs ONCE per corpus generation and the encode gate reads the
@@ -757,7 +932,7 @@ object OpsQueries {
         require(gotSeq.nonEmpty, "corpus produced no merges")
         got
       },
-      None),
+      Some(bpeMergesReplaySql())),
 
     // BPE ENCODE (the apply side): segment every document with the
     // learned merges in one map-only broadcast pass — the tokenize
@@ -1485,10 +1660,14 @@ object OpsQueries {
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
         require(recall >= 0.9,
           s"LSH near-dup recall $recall below 0.9 ($found/$nQueries)")
-        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+        // floor(x·10⁴ + 0.5)/10⁴ — DuckDB's ROUND(x, 4) for positive
+        // x, unlike rint (half-even), so the oracle can reproduce it
+        Seq((nQueries, found,
+            math.floor(found * 10000.0 / math.max(nQueries, 1) + 0.5)
+              / 10000))
           .toDF("n_queries", "n_found", "recall")
       },
-      None),
+      Some(lshReplaySql)),
 
     // IVF coarse-quantizer ANN (the second scale path next to LSH):
     // same planted near-dup protocol as sim_lsh_recall; recall >= 0.9
@@ -1512,10 +1691,14 @@ object OpsQueries {
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
         require(recall >= 0.9,
           s"IVF near-dup recall $recall below 0.9 ($found/$nQueries)")
-        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+        // floor(x·10⁴ + 0.5)/10⁴ — DuckDB's ROUND(x, 4) for positive
+        // x, unlike rint (half-even), so the oracle can reproduce it
+        Seq((nQueries, found,
+            math.floor(found * 10000.0 / math.max(nQueries, 1) + 0.5)
+              / 10000))
           .toDF("n_queries", "n_found", "recall")
       },
-      None),
+      Some(ivfReplaySql())),
 
     // Persisted IVF index, SPLIT into separately-benchmarked build
     // and probe gates (VERDICT r11 #1 — three rounds of creep hid in
@@ -1560,10 +1743,14 @@ object OpsQueries {
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
         require(recall >= 0.9,
           s"persisted-IVF recall $recall below 0.9 ($found/$nQueries)")
-        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+        // floor(x·10⁴ + 0.5)/10⁴ — DuckDB's ROUND(x, 4) for positive
+        // x, unlike rint (half-even), so the oracle can reproduce it
+        Seq((nQueries, found,
+            math.floor(found * 10000.0 / math.max(nQueries, 1) + 0.5)
+              / 10000))
           .toDF("n_queries", "n_found", "recall")
       },
-      None),
+      Some(ivfReplaySql())),
 
     // FILTERED ANN (round 11): vector search under a metadata
     // predicate — "nearest neighbors among label-even vectors" — the
@@ -1608,10 +1795,16 @@ object OpsQueries {
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
         require(recall >= 0.9,
           s"filtered-IVF recall $recall below 0.9 ($found/$nQueries)")
-        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+        // floor(x·10⁴ + 0.5)/10⁴ — DuckDB's ROUND(x, 4) for positive
+        // x, unlike rint (half-even), so the oracle can reproduce it
+        Seq((nQueries, found,
+            math.floor(found * 10000.0 / math.max(nQueries, 1) + 0.5)
+              / 10000))
           .toDF("n_queries", "n_found", "recall")
       },
-      None),
+      Some(ivfReplaySql(
+        qExtra = " AND label % 2 = 0",
+        candFilter = " AND a.label % 2 = 0"))),
 
     // IVF-PQ (Jégou et al., TPAMI 2011): the probe ranks candidates
     // from product-quantized residual CODES (pqM small ints + one
@@ -1660,7 +1853,11 @@ object OpsQueries {
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
         require(recall >= 0.9,
           s"IVF-PQ recall $recall below 0.9 ($found/$nQueries)")
-        Seq((nQueries, found, math.rint(recall * 10000) / 10000))
+        // floor(x·10⁴ + 0.5)/10⁴ — DuckDB's ROUND(x, 4) for positive
+        // x, unlike rint (half-even), so the oracle can reproduce it
+        Seq((nQueries, found,
+            math.floor(found * 10000.0 / math.max(nQueries, 1) + 0.5)
+              / 10000))
           .toDF("n_queries", "n_found", "recall")
       },
       None),
