@@ -1797,7 +1797,7 @@ final class LakeTable private (
       else df.repartition(numOut)
     val adds = LakeWriter.stageAndAdopt(repartitioned, tablePath,
       snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
-      snap.metadata.properties)
+      snap.metadata.properties, layoutManaged = true)
     commitRewrite(snap, toCompact.map(_.path), adds, "OPTIMIZE",
       Map("numFilesRemoved" -> toCompact.size.toString,
         "numFilesAdded" -> adds.size.toString) ++ extraParams)
@@ -2081,7 +2081,7 @@ final class LakeTable private (
     // marker, only is-set/size matter to the incremental filter)
     val adds = LakeWriter.stageAndAdopt(clustered, tablePath,
       snap.partitionColumns, ColumnMapping.overrides(snap.metadata),
-      snap.metadata.properties)
+      snap.metadata.properties, layoutManaged = true)
       .map(_.copy(clusterGen = Some(snap.version + 1)))
     commitRewrite(snap, scoped.map(_.path), adds, "OPTIMIZE",
       Map("clusterBy" -> clusterBy.mkString(","),

@@ -224,38 +224,23 @@ object LakeWriter {
       }
 
     // optimizeWrite (Delta's autoOptimize.optimizeWrite): a size-aware
-    // AQE REBALANCE of the output toward graft.targetFileSize. Without
-    // it, N write tasks × P live partitions can emit N×P small files
-    // per append — the classic small-file explosion a continuously-
-    // ingesting 100 TB table dies of. Rebalance (not a plain
+    // AQE REBALANCE of the output toward graft.targetFileSize,
+    // applied inside stageAndAdopt (the one choke point every
+    // un-managed staged frame passes — appends here, but also
+    // MERGE/DELETE/UPDATE rewrite output). Without it, N write
+    // tasks × P live partitions can emit N×P small files per append —
+    // the classic small-file explosion a continuously-ingesting
+    // 100 TB table dies of. Rebalance (not a plain
     // repartition(partCols)) because sizing must work in BOTH
     // directions: AQE coalesces the many tiny shuffle partitions of a
     // trickle append into one bin per partition value, and SPLITS a
-    // skewed 10 GB partition value across several writer tasks instead
-    // of funnelling it through one — repartition(partCols) got the
-    // first and silently lost the second (and did nothing at all for
-    // unpartitioned tables, the common streaming-sink shape).
-    // ... except on a bucketed table: the bucket repartition at
-    // staging overrides placement anyway (files per partition are
-    // bounded by bucketCount), so an optimizeWrite shuffle here would
-    // be immediately discarded.
-    val optimizeWriteOn = effectiveProps
-      .get(LakeTable.PROP_OPTIMIZE_WRITE).exists(_.toBoolean) &&
-      LakeTable.bucketSpecOf(effectiveProps).isEmpty
-    val toWrite =
-      if (!optimizeWriteOn) normalized
-      else if (partCols.nonEmpty) normalized.hint("rebalance", partCols: _*)
-      else normalized.hint("rebalance")
+    // skewed 10 GB partition value across several writer tasks
+    // instead of funnelling it through one.
 
     // Stage the physical write, then adopt files into the table dir.
     {
-      val adds = withAdvisoryPartitionSize(spark,
-          if (optimizeWriteOn)
-            Some(LakeTable.targetFileBytes(effectiveProps))
-          else None) {
-        stageAndAdopt(toWrite, tablePath, partCols, effectiveMapping,
-          effectiveProps)
-      }
+      val adds = stageAndAdopt(normalized, tablePath, partCols,
+        effectiveMapping, effectiveProps)
 
       // Identity high-water mark advance, read back from the WRITTEN
       // files' footer stats — the staged parquet is the only safe
@@ -414,7 +399,8 @@ object LakeWriter {
   private[lake] def stageAndAdopt(
       df: DataFrame, tablePath: String, partCols: Seq[String],
       physicalFor: Map[String, String] = null,
-      properties: Map[String, String] = null): Seq[AddFile] = {
+      properties: Map[String, String] = null,
+      layoutManaged: Boolean = false): Seq[AddFile] = {
     val spark = df.sparkSession
     lazy val logSnapshot = {
       val log = new LakeLog(tablePath)
@@ -464,11 +450,26 @@ object LakeWriter {
           "column — bucket columns must be data columns"))
     }
     val physDf0 = ColumnMapping.toPhysical(df, mapping)
+    // optimizeWrite (Delta's autoOptimize.optimizeWrite) applies at
+    // THIS choke point so every un-managed staged frame — appends,
+    // CTAS, streaming batches, and the kept/updated rows of
+    // MERGE/DELETE/UPDATE rewrites — gets the size-aware AQE
+    // rebalance toward graft.targetFileSize. `layoutManaged` callers
+    // (compaction's own bin repartition, clustered OPTIMIZE's
+    // range+sort — a rebalance would shuffle the sort away and
+    // destroy min/max locality) are exempt, and bucketed tables own
+    // placement outright.
+    val optimizeWriteOn = !layoutManaged && bucketSpec.isEmpty &&
+      props.get(LakeTable.PROP_OPTIMIZE_WRITE).exists(_.toBoolean)
     val physDf = bucketSpec match {
       case Some((cols, n)) =>
         val physCols = cols.map(c => ColumnMapping.physicalName(c, mapping))
         physDf0.repartition(n,
           physCols.map(org.apache.spark.sql.functions.col): _*)
+      case None if optimizeWriteOn =>
+        // partition columns are identity-mapped by invariant
+        if (partCols.nonEmpty) physDf0.hint("rebalance", partCols: _*)
+        else physDf0.hint("rebalance")
       case None => physDf0
     }
     val staging = Paths.get(tablePath, s".staging-${UUID.randomUUID()}")
@@ -482,9 +483,14 @@ object LakeWriter {
       }
       // partition columns are identity-mapped by invariant
       withBucketStablePlanning(spark, bucketSpec.isDefined) {
-        withMicrosTimestamps(spark) {
-          (if (partCols.nonEmpty) writer.partitionBy(partCols: _*)
-           else writer).parquet(staging.toString)
+        withAdvisoryPartitionSize(spark,
+            if (optimizeWriteOn)
+              Some(LakeTable.targetFileBytes(props))
+            else None) {
+          withMicrosTimestamps(spark) {
+            (if (partCols.nonEmpty) writer.partitionBy(partCols: _*)
+             else writer).parquet(staging.toString)
+          }
         }
       }
       // the empty-staging guard matters: a DML whose kept/updated

@@ -204,6 +204,47 @@ class LakeTblPropertiesSuite extends SparkSuite {
     assert(LakeTable.forPath(spark, cpath).snapshot().files.size > 1)
   }
 
+  test("graft.optimizeWrite governs DML rewrite output; clustered " +
+      "OPTIMIZE layout is exempt") {
+    val path = tablePath("props-ow-dml")
+    val rows = (1L to 4000L).map(i => (i, i % 7)).toDF("id", "v")
+    LakeWriter.write(rows.repartition(8), path,
+      properties = Map(LakeTable.PROP_OPTIMIZE_WRITE -> "true"))
+    val t = LakeTable.forPath(spark, path)
+    assert(t.snapshot().files.size === 1)
+    // a rewrite DML's kept rows pass the same choke point: the
+    // rewrite must not splinter the touched file into
+    // shuffle-partition-many outputs
+    t.delete("id % 2 = 0")
+    assert(t.snapshot().files.size === 1,
+      s"DELETE splintered to ${t.snapshot().files.size} files")
+    assert(t.toDF.count() === 2000L)
+    t.update("id < 100", Map("v" -> "v + 1"))
+    assert(t.snapshot().files.size <= 2)
+    assert(t.toDF.where("id < 100 AND id % 2 = 1").count() === 50L)
+    // clustered OPTIMIZE under the same property keeps its range+sort
+    // layout (a rebalance would shuffle the sort away): after
+    // clustering, a narrow filter must still prune to a file subset
+    val cpath = tablePath("props-ow-cluster")
+    val shuffled = new scala.util.Random(5)
+      .shuffle((0L until 20000L).toList).toDF("id")
+    LakeWriter.write(shuffled.repartition(8), cpath,
+      properties = Map(LakeTable.PROP_OPTIMIZE_WRITE -> "true",
+        LakeTable.PROP_TARGET_FILE_SIZE -> (1024L * 1024).toString))
+    val ct = LakeTable.forPath(spark, cpath)
+    ct.compactClustered(Seq("id"),
+      targetFileBytes = math.max(1024L, ct.snapshot().sizeInBytes / 8))
+    val files = ct.snapshot().files
+    assert(files.size >= 4, s"clustering produced ${files.size} files")
+    // range-disjoint layout ⟺ a 5% range hits ≤ 2 files' stat spans
+    val lo = "1000"; val hi = "2000"
+    val hit = files.count(f =>
+      f.minValues.get("id").exists(_.toLong < hi.toLong) &&
+        f.maxValues.get("id").exists(_.toLong >= lo.toLong))
+    assert(hit <= 2, s"narrow range spans $hit of ${files.size} files " +
+      "— optimizeWrite rebalance destroyed the clustered sort")
+  }
+
   test("graft.optimizeWrite splits an oversized write toward " +
       "graft.targetFileSize") {
     val path = tablePath("props-ow-split")
