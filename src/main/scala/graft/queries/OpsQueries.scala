@@ -306,6 +306,26 @@ object OpsQueries {
     s"$path/media"
   }
 
+  /** The label-carrying IVF index of the filtered-search gate as a
+    * corpus-fingerprinted fixture — built once per corpus so the
+    * gate's timed leg is the filtered PROBE, the steady-state op.
+    */
+  private def ensureFilteredIvfIndex(s: SparkSession, dir: String)
+      : String = {
+    val path = fixture("sim_ivf_filtered_index", dir)
+    val fp = tableFp(dir, "embeddings") + ":nlist=16:carry=label:v1"
+    if (!fixtureFresh(path, fp)) {
+      graft.lake.LakeWriter.deleteRecursively(
+        java.nio.file.Paths.get(path))
+      val corpus = table(s, dir, "embeddings").select(
+        col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      SimilarityOps.buildIvfIndex(corpus, path, nlist = 16,
+        carryCols = Seq("label"))
+      fixtureMark(path, fp)
+    }
+    path
+  }
+
   /** The Gopher rule metrics as ONE DuckDB CTE chain (`sp` → `m`),
     * shared by the batch gate here and the streaming gate in
     * [[PipelineQueries]] — a threshold or rule expression edits in
@@ -1805,9 +1825,12 @@ object OpsQueries {
             .as("vec"))
         val corpus = e.select(col("vec_id").as("id"),
           col("embedding").as("vec"), col("label"))
-        val indexPath = scratch("sim_ivf_filtered", dir)
-        SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 16,
-          carryCols = Seq("label"))
+        // label-carrying index from a corpus-fingerprinted fixture:
+        // builds are rare and probes are the workload (the
+        // build/probe split rule sim_ivf_index_build/probe already
+        // follows) — re-building the index per run made the clock
+        // measure the build, not the filtered probe
+        val indexPath = ensureFilteredIvfIndex(s, dir)
         val approx = SimilarityOps.ivfIndexTopK(
           queries, indexPath, k = 5, nprobe = 4,
           filter = "label % 2 = 0")

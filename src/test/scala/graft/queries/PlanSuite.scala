@@ -126,6 +126,29 @@ class PlanSuite extends SparkSuite {
     assert(aggBelow, "partial aggregate must precede the shuffle")
   }
 
+  test("exact-substring dedup shuffles scalars only — text never " +
+      "crosses an exchange") {
+    val df = graft.ops.DedupOps.exactSubstringSpans(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
+      minTokens = 20)
+    // AQE wraps the plan, so read the formatted explain's per-node
+    // detail blocks: each Exchange block's Input line lists exactly
+    // the attributes that cross that shuffle
+    val plan = df.queryExecution.explainString(FormattedMode)
+    val exBlocks = plan.split("\n\n").filter(_.linesIterator
+      .toSeq.headOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+    assert(exBlocks.nonEmpty, "span derivation must shuffle somewhere")
+    // the 100 TB property: every exchange carries (id, pos, fp,
+    // island...) scalars — the document text/token arrays stay in the
+    // scan-side stage, fingerprinted before anything moves
+    exBlocks.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input"))
+        .getOrElse("").toLowerCase
+      assert(!input.contains("text") && !input.contains("toks"),
+        s"an exchange carries corpus payload columns: $input")
+    }
+  }
+
   test("semantic dedup candidates broadcast centroids, join within clusters") {
     val df = graft.ops.DedupOps.semanticDupPairs(
       spark.read.parquet(s"$sfDir/embeddings.parquet")
