@@ -2037,20 +2037,35 @@ final class LakeTable private (
         s"(${LakeTable.PROP_BUCKET_BY}): clustering and bucketing " +
         "are mutually exclusive file-placement policies")
     // INCREMENTAL (liquid clustering's steady-state posture): touch
-    // only files that were never clustered — appends and DML-rewrite
-    // output, whose clusterGen is unset. Files a previous OPTIMIZE
-    // already laid out in range-disjoint runs are left alone:
-    // re-sorting yesterday's 100 TB to admit today's 1 % is the
-    // O(partition) cost this mode exists to avoid, and skipping stays
-    // tight because EACH generation is internally disjoint on the
-    // cluster key — a point query opens at most one file per
-    // generation. Generations fold back together on the next FULL
-    // OPTIMIZE (the periodic deep pass of a liquid maintenance
-    // schedule), which re-stamps everything into one generation.
+    // files that were never clustered — appends and DML-rewrite
+    // output, whose clusterGen is unset — plus every file of an
+    // UNSTABLE generation (total bytes under half a target file, the
+    // Delta-liquid minCubeSize idea): trickle-sized generations keep
+    // folding into the next run, so generation count stays bounded
+    // instead of growing by one per incremental pass. Stable
+    // generations — a previous OPTIMIZE's range-disjoint layout with
+    // real data behind it — are left alone: re-sorting yesterday's
+    // 100 TB to admit today's 1 % is the O(partition) cost this mode
+    // exists to avoid, and skipping stays tight because each
+    // generation is internally disjoint on the cluster key — a point
+    // query opens at most one file per (stable) generation. The
+    // periodic FULL OPTIMIZE folds everything back to one generation.
     val scoped0 = scopeFiles(snap, where)
     val scoped =
       if (!incremental) scoped0
-      else scoped0.filter(_.clusterGen.isEmpty)
+      else {
+        val genBytes = scoped0.filter(_.clusterGen.isDefined)
+          .groupBy(_.clusterGen.get)
+          .map { case (g, fs) => g -> fs.map(_.size).sum }
+        val unstable = genBytes.filter(_._2 < target / 2).keySet
+        val unstamped = scoped0.filter(_.clusterGen.isEmpty)
+        // folding a LONE unstable generation with nothing new to fold
+        // it with would rewrite the same debris into fresh debris on
+        // every cron tick — act only when the fold makes progress
+        // (new data arrived, or two+ unstable generations can merge)
+        if (unstamped.isEmpty && unstable.size <= 1) return
+        unstamped ++ scoped0.filter(_.clusterGen.exists(unstable))
+      }
     if (scoped.isEmpty) return
     clusterBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c),

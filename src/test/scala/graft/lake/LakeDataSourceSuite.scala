@@ -206,27 +206,41 @@ class LakeDataSourceSuite extends SparkSuite {
       "tight") {
     val path = tablePath("dsv2incr")
     val rnd = new scala.util.Random(11)
-    LakeWriter.write(rnd.shuffle((0L until 20000L).toList).toDF("id")
-      .repartition(8), path)
+    import org.apache.spark.sql.functions.{md5, concat, sha2, col}
+    // ~1.5 MB of payload behind gen 1 so it is STABLE against the
+    // 1 MiB target (generation total >= target/2) — a real table's
+    // clustered generations hold real data; only trickle debris folds
+    def withPayload(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("payload", concat(
+        md5(col("id").cast("string")),
+        sha2(col("id").cast("string"), 256)))
+    LakeWriter.write(
+      withPayload(rnd.shuffle((0L until 20000L).toList).toDF("id"))
+        .repartition(8), path,
+      properties = Map(
+        LakeTable.PROP_TARGET_FILE_SIZE -> (1024L * 1024).toString))
     val t = LakeTable.forPath(spark, path)
     // full clustering pass → one generation of range-disjoint files
     t.compactClustered(Seq("id"),
-      targetFileBytes = math.max(1024L * 1024,
+      targetFileBytes = math.max(64L * 1024,
         t.snapshot().sizeInBytes / 8))
     val gen1 = t.snapshot().files
     assert(gen1.forall(_.clusterGen.isDefined),
       "clustering OPTIMIZE must stamp a generation on its output")
+    assert(gen1.map(_.size).sum >= 512L * 1024,
+      "fixture too small for a stable generation — grow the payload")
     val gen1Paths = gen1.map(_.path).toSet
     // a trickle append lands unclustered (no generation)
-    LakeWriter.write(rnd.shuffle((20000L until 21000L).toList).toDF("id")
-      .coalesce(1), path)
+    LakeWriter.write(
+      withPayload(rnd.shuffle((20000L until 21000L).toList).toDF("id"))
+        .coalesce(1), path)
     assert(t.snapshot().files.exists(_.clusterGen.isEmpty))
     // INCREMENTAL: rewritten set = the new file ONLY — yesterday's
-    // layout is never re-sorted to admit today's 5 %
+    // stable layout is never re-sorted to admit today's 5 %
     t.compactClustered(Seq("id"), incremental = true)
     val after = t.snapshot().files
     assert(gen1Paths.subsetOf(after.map(_.path).toSet),
-      "incremental OPTIMIZE rewrote already-clustered files")
+      "incremental OPTIMIZE rewrote a stable generation")
     assert(after.size === gen1.size + 1)
     assert(after.forall(_.clusterGen.isDefined))
     // skipping quality holds: each generation is internally disjoint,
@@ -241,13 +255,19 @@ class LakeDataSourceSuite extends SparkSuite {
     assert(t.snapshot().version === v,
       "incremental OPTIMIZE with no unclustered files must not commit")
     // SQL surface: INCREMENTAL keyword parses and routes; the
-    // clusterGen tag round-trips the JSON log (snapshot re-read)
-    LakeWriter.write(Seq(30000L).toDF("id"), path)
+    // clusterGen tag round-trips the JSON log (snapshot re-read);
+    // and the prior trickle GENERATION — sub-half-target debris —
+    // FOLDS into this run instead of accumulating (bounded
+    // generation count, the liquid minCubeSize posture)
+    LakeWriter.write(withPayload(Seq(30000L).toDF("id")), path)
     LakeSql.sql(spark, s"OPTIMIZE `$path` BY (id) INCREMENTAL")
     Snapshot.clearCacheForTest()
     val again = LakeTable.forPath(spark, path).snapshot().files
     assert(again.forall(_.clusterGen.isDefined))
     assert(gen1Paths.subsetOf(again.map(_.path).toSet))
+    assert(again.size === gen1.size + 1,
+      s"trickle generations accumulated: ${again.size - gen1.size} " +
+        "extra files — unstable generations must fold")
     // plain compaction has no generations to skip — loud, not silent
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark, s"OPTIMIZE `$path` INCREMENTAL")
