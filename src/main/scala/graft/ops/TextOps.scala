@@ -188,6 +188,24 @@ object TextOps {
         round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4))
   }
 
+  /** The full Gopher repetition battery (Rae et al. 2021 §A1.1):
+    * duplicate line/paragraph fractions (count + character forms),
+    * top-{2,3,4}-gram character fractions, and duplicate-{5..10}-gram
+    * positional-coverage character fractions — the repetition half of
+    * the Gopher quality rules, complementing [[gopherQuality]]'s
+    * structural half and [[repetitionStats]]'s token-level ratio.
+    * One codegen'd single-pass expression per row
+    * ([[graft.functions.RepetitionSignals]]), no shuffle; fractions
+    * rounded to 4 like every quality column.
+    */
+  def gopherRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sig = graft.functions.RepetitionSignals(spark, col(textCol))
+    val flat = graft.functions.RepetitionSignals.fieldNames.map(f =>
+      round(col("_rs").getField(f), 4).as(f))
+    df.withColumn("_rs", sig).select(col("*") +: flat: _*).drop("_rs")
+  }
+
   /** Corpus-level heavy hitters: the `k` most frequent word n-grams
     * with a deterministic tiebreak (ngram ascending). The aggregation
     * is partial (map-side combine) and the top-k is

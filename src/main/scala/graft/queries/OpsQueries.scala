@@ -306,6 +306,33 @@ object OpsQueries {
     s"$path/media"
   }
 
+  /** The multimodal_video payload table (Motion-JPEG AVI clips on
+    * even ids, G.711 μ-law WAVs on odd) as a corpus-fingerprinted
+    * fixture — encoding 5k AVI containers is ingest-side work the
+    * decode benchmark must not clock.
+    */
+  private def ensureVideoFixtures(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = fixture("video_media", dir)
+    val fp = tableFp(dir, "documents") + ":avi16x16:f=2+id%3:ulaw:v1"
+    if (!fixtureFresh(path, fp)) {
+      graft.lake.LakeWriter.deleteRecursively(
+        java.nio.file.Paths.get(path))
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0)
+            (id, MultimodalOps.syntheticMjpegAvi(id, 16, 16,
+              (2 + id % 3).toInt), "video/avi")
+          else
+            (id, MultimodalOps.syntheticUlawWav(id,
+              (64 + id % 32).toInt), "audio/wav")
+        }).toDF("media_id", "media", "format")
+        .write.mode("overwrite").parquet(s"$path/media")
+      fixtureMark(path, fp)
+    }
+    s"$path/media"
+  }
+
   /** The label-carrying IVF index of the filtered-search gate as a
     * corpus-fingerprinted fixture — built once per corpus so the
     * gate's timed leg is the filtered PROBE, the steady-state op.
@@ -404,6 +431,100 @@ object OpsQueries {
       |  AND symbol_word_ratio <= 0.1
       |  AND alpha_word_frac >= 0.8
       |  AND stopword_hits >= 2""".stripMargin
+
+  /** The text_repetition_signals oracle: every one of the 13 Gopher
+    * repetition fractions replayed in DuckDB over the SAME derived
+    * text the Spark gate builds. Generated per n so the 9 n-gram
+    * replays cannot drift from each other: positions → joined n-gram
+    * (`w[i+1:i+n]`), per-doc counts, the (c DESC, g ASC) argmax for
+    * top-{2,3,4}, and the DISTINCT positional union of repeated-gram
+    * spans for {5..10}.
+    */
+  private[queries] val repetitionSignalsOracle: String = {
+    def posCte(n: Int) =
+      s"""g$n AS (
+         |  SELECT doc_id, i, array_to_string(w[i+1:i+$n], ' ') AS g
+         |  FROM words,
+         |    UNNEST(range(0, greatest(len(w) - ${n - 1}, 0))) AS r$n(i)),
+         |g${n}c AS (
+         |  SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g)"""
+        .stripMargin
+    def topCte(n: Int) =
+      s"""top$n AS (
+         |  SELECT q.doc_id,
+         |    CASE WHEN c < 2 THEN 0.0
+         |      ELSE (c * (len(g) - ${n - 1})) * 1.0 / tot END AS f
+         |  FROM (SELECT doc_id, g, c,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY c DESC, g ASC) AS rn
+         |        FROM g${n}c) q JOIN totals USING (doc_id)
+         |  WHERE rn = 1)""".stripMargin
+    def covCte(n: Int) =
+      s"""d$n AS (
+         |  SELECT doc_id, g FROM g${n}c WHERE c > 1),
+         |cov$n AS (
+         |  SELECT DISTINCT a.doc_id, j
+         |  FROM g$n a JOIN d$n USING (doc_id, g),
+         |    UNNEST(range(a.i, a.i + $n)) AS c$n(j)),
+         |f$n AS (
+         |  SELECT cov$n.doc_id, sum(len(w[j+1])) AS s
+         |  FROM cov$n JOIN words USING (doc_id)
+         |  GROUP BY cov$n.doc_id)""".stripMargin
+    def segCtes(tag: String, sep: String) =
+      s"""${tag}seg AS (
+         |  SELECT doc_id, s FROM t,
+         |    UNNEST(list_filter(string_split(tx, $sep), x -> len(x) > 0))
+         |      AS u$tag(s)),
+         |${tag}grp AS (
+         |  SELECT doc_id, s, count(*) AS c, len(s) AS l
+         |  FROM ${tag}seg GROUP BY doc_id, s),
+         |${tag}stat AS (
+         |  SELECT doc_id,
+         |    sum(c - 1) * 1.0 / sum(c) AS df,
+         |    CASE WHEN sum(c * l) = 0 THEN 0.0
+         |      ELSE sum(CASE WHEN c > 1 THEN (c - 1) * l ELSE 0 END) * 1.0
+         |        / sum(c * l) END AS dcf
+         |  FROM ${tag}grp GROUP BY doc_id)""".stripMargin
+    val ns = 2 to 10
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    text || chr(10) || substr(text, 1, 40)
+       |      || chr(10) || chr(10) || substr(text, 1, 40)
+       |      || chr(10) || chr(10) || substr(text, 1, 40) AS tx
+       |  FROM documents),
+       |${segCtes("l", "chr(10)")},
+       |${segCtes("p", "chr(10) || chr(10)")},
+       |words AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(tx, '\\s+'),
+       |                x -> len(x) > 0) AS w
+       |  FROM t),
+       |totals AS (
+       |  SELECT doc_id, list_sum(list_transform(w, x -> len(x))) AS tot
+       |  FROM words),
+       |${ns.map(posCte).mkString(",\n")},
+       |${Seq(2, 3, 4).map(topCte).mkString(",\n")},
+       |${(5 to 10).map(covCte).mkString(",\n")}
+       |SELECT t.doc_id,
+       |  round(lstat.df, 4) AS dup_line_frac,
+       |  round(lstat.dcf, 4) AS dup_line_char_frac,
+       |  round(pstat.df, 4) AS dup_para_frac,
+       |  round(pstat.dcf, 4) AS dup_para_char_frac,
+       |${Seq(2, 3, 4).map(n =>
+            s"  round(coalesce(top$n.f, 0), 4) AS top${n}gram_char_frac,")
+          .mkString("\n")}
+       |${(5 to 10).map(n =>
+            s"  round(coalesce(f$n.s * 1.0 / totals.tot, 0), 4)" +
+              s" AS dup${n}gram_char_frac").mkString(",\n")}
+       |FROM t
+       |JOIN lstat USING (doc_id)
+       |JOIN pstat USING (doc_id)
+       |JOIN totals USING (doc_id)
+       |${Seq(2, 3, 4).map(n => s"LEFT JOIN top$n USING (doc_id)")
+          .mkString("\n")}
+       |${(5 to 10).map(n => s"LEFT JOIN f$n ON f$n.doc_id = t.doc_id")
+          .mkString("\n")}""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -597,6 +718,31 @@ object OpsQueries {
              |  ROUND(1.0 - len(list_distinct(string_split(text, ' ')))
              |    / len(string_split(text, ' ')), 4) AS dup_ratio
              |FROM documents""".stripMargin)),
+
+    // The full Gopher repetition battery (Rae et al. 2021 §A1.1) —
+    // duplicate line/paragraph fractions, top-{2,3,4}-gram char
+    // fractions, duplicate-{5..10}-gram positional-coverage char
+    // fractions — over a text with REAL line/paragraph/repeat
+    // structure derived closed-form from each doc (its own 40-char
+    // prefix appended as one duplicate line + two duplicate
+    // paragraphs), so both engines build the identical input and the
+    // oracle replays every signal: per-value duplicate counts, the
+    // (count DESC, ngram ASC) argmax, and the DISTINCT positional
+    // union of repeated n-gram spans. All divisions are
+    // integer-numerator-first in both engines — doubles match
+    // bit-for-bit before the round(4).
+    QueryDef("text_repetition_signals",
+      (s, dir) => {
+        val p = substring(col("text"), 1, 40)
+        val tx = concat(col("text"), lit("\n"), p,
+          lit("\n\n"), p, lit("\n\n"), p)
+        TextOps.gopherRepetition(
+          table(s, dir, "documents").select(col("doc_id"), tx.as("text")),
+          "text")
+          .select(("doc_id" +:
+            graft.functions.RepetitionSignals.fieldNames).map(col): _*)
+      },
+      Some(repetitionSignalsOracle)),
 
     // Corpus heavy hitters: top-20 trigrams, deterministic tiebreak.
     QueryDef("text_top_ngrams",
@@ -2023,6 +2169,56 @@ object OpsQueries {
              |    AS BIGINT) AS value_sum
              |FROM documents,
              |  UNNEST(range(0, LEAST(2 + doc_id % 3, 3))) AS t(f)
-             |WHERE doc_id % 2 = 1""".stripMargin))
+             |WHERE doc_id % 2 = 1""".stripMargin)),
+
+    // REAL video + compressed-audio decode: even docs carry a
+    // Motion-JPEG AVI clip (2 + id%3 flat-field 16x16 frames, value
+    // (id·31 + 11f) mod 256 — quantization-exact at quality 1.0) that
+    // extractFrames walks through the RIFF chunk tree, decoding every
+    // 00dc chunk as a real JPEG; odd docs carry a G.711 μ-law WAV
+    // whose byte stream (id·31 + 7i) mod 256 expands to 16-bit linear
+    // through the segment/mantissa bit math the oracle replays
+    // verbatim in SQL. maxFrames = 3 is LIVE (4-frame clips truncate,
+    // mirrored by the oracle's LEAST). Only inter-frame video and
+    // perceptual audio codecs remain the labeled stub.
+    QueryDef("multimodal_video",
+      (s, dir) => {
+        val media = s.read.parquet(ensureVideoFixtures(s, dir))
+        val aviFrames = MultimodalOps.extractFrames(
+            media.where(col("format") === "video/avi"), maxFrames = 3)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"),
+            col("n_samples"), col("value_sum"))
+        val ulaw = MultimodalOps.decodeAndFeaturize(
+            media.where(col("format") === "audio/wav")).toDF()
+          .select(col("media_id"), lit(0).as("frame_idx"),
+            col("n_samples"), col("value_sum"))
+        aviFrames.unionByName(ulaw)
+      },
+      Some("""WITH ulaw AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    255 - ((doc_id*31 + 7*i) % 256) AS u
+             |  FROM documents,
+             |    UNNEST(range(0, 64 + doc_id % 32)) AS t(i)
+             |  WHERE doc_id % 2 = 1),
+             |lin AS (
+             |  SELECT doc_id,
+             |    CASE WHEN (u & 128) != 0
+             |      THEN 132 - (((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)))
+             |      ELSE (((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7))) - 132
+             |    END AS s
+             |  FROM ulaw)
+             |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(256 AS BIGINT) AS n_samples,
+             |  CAST(256 * ((doc_id*31 + 11*f) % 256) AS BIGINT)
+             |    AS value_sum
+             |FROM documents,
+             |  UNNEST(range(0, LEAST(2 + doc_id % 3, 3))) AS t(f)
+             |WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+             |  CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS value_sum
+             |FROM lin GROUP BY doc_id""".stripMargin))
   )
 }

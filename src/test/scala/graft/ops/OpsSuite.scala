@@ -91,6 +91,47 @@ class OpsSuite extends SparkSuite {
     assert(got(5L) === false)
   }
 
+  test("Gopher repetition signals: closed-form fixtures per signal") {
+    val docs = Seq(
+      // 3 lines (one duplicated pair), one paragraph; "a b" and "x y"
+      // tie at count 2 for top-2 — lexicographic tiebreak picks "a b"
+      (1L, "a b a b c\nx y\nx y"),
+      // a verbatim 6-word repeat: every word covered at n=5 and n=6,
+      // nothing duplicated at n=7
+      (2L, "p q r s t u p q r s t u"),
+      // paragraphs: 3 paras, 2 identical; inner lines all distinct
+      (3L, "aa bb\ncc\n\ndd ee\n\ndd ee")
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRepetition(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    def f(id: Long, colName: String): Double =
+      got(id).getDouble(got(id).fieldIndex(colName))
+
+    assert(f(1L, "dup_line_frac") === round4(1.0 / 3))
+    assert(f(1L, "dup_line_char_frac") === round4(3.0 / 15))
+    assert(f(1L, "dup_para_frac") === 0.0)
+    // 9 words, 9 chars; "a b" occurs twice: 2*2/9
+    assert(f(1L, "top2gram_char_frac") === round4(4.0 / 9))
+    assert(f(1L, "top3gram_char_frac") === 0.0)
+    assert(f(1L, "dup5gram_char_frac") === 0.0)
+
+    assert(f(2L, "dup5gram_char_frac") === 1.0)
+    assert(f(2L, "dup6gram_char_frac") === 1.0)
+    assert(f(2L, "dup7gram_char_frac") === 0.0)
+    // "p q r s t u" repeats: 2 occurrences x 6 chars over 12
+    assert(f(2L, "top2gram_char_frac") === round4(4.0 / 12))
+
+    assert(f(3L, "dup_para_frac") === round4(1.0 / 3))
+    // para contents: "aa bb\ncc" (8), "dd ee" (5), "dd ee" (5)
+    assert(f(3L, "dup_para_char_frac") === round4(5.0 / 18))
+    // lines: ["aa bb","cc","dd ee","dd ee"] — one duplicate of four
+    assert(f(3L, "dup_line_frac") === round4(1.0 / 4))
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("DSIR: weights separate target-like docs; resample selects them") {
     // two disjoint vocabularies: docs 0-9 speak "alpha", 10-19 "beta";
     // the target is the alpha slice, so alpha docs must score strictly
@@ -386,6 +427,66 @@ class OpsSuite extends SparkSuite {
     intercept[IllegalArgumentException] {
       MultimodalOps.decodeImage(9L, "not an image at all".getBytes, 8)
     }
+  }
+
+  test("AVI MJPEG video: RIFF tree walk + real per-frame JPEG decode") {
+    val id = 11L
+    val avi = MultimodalOps.syntheticMjpegAvi(id, 16, 16, 3)
+    val media = MultimodalOps.asMediaTable(
+      Seq((id, avi)).toDF("id", "m"), "id", "m", "video/avi")
+    // whole-clip features: all frames' decoded samples accumulate
+    val feats = MultimodalOps.decodeAndFeaturize(media).collect()(0)
+    val expSum =
+      (0 until 3).map(fr => 256L * ((id * 31 + 11L * fr) % 256)).sum
+    assert(feats.n_samples === 3 * 256L)
+    assert(feats.value_sum === expSum)
+    // per-frame rows with LIVE maxFrames truncation
+    val frames = MultimodalOps.extractFrames(media, maxFrames = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 2)
+    frames.foreach { fr =>
+      assert(fr.width === 16 && fr.height === 16)
+      assert(fr.n_samples === 256L)
+      assert(fr.value_sum === 256L * ((id * 31 + 11L * fr.frame_idx) % 256))
+    }
+    // a non-MJPEG codec is REFUSED loudly (patch the strh fccHandler),
+    // never silently stubbed as byte stats
+    val h264 = avi.clone()
+    val strh = (0 until h264.length - 16).find(o =>
+      new String(h264, o, 4, "US-ASCII") == "strh").get
+    "H264".getBytes.copyToArray(h264, strh + 12)
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.decodeAviClip(id, h264, 8)
+    }
+    assert(e.getMessage.contains("H264"))
+    // truncated container and garbage fail loudly too
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeAviClip(id, avi.take(64), 8)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeAviClip(id, "RIFFnotavi".getBytes, 8)
+    }
+  }
+
+  test("G.711 mu-law / A-law WAV decode expands to 16-bit linear") {
+    // ITU-T G.711 fixed points: both zero codes, both extremes
+    assert(MultimodalOps.ulawToLinear(0xff) === 0)
+    assert(MultimodalOps.ulawToLinear(0x7f) === 0)
+    assert(MultimodalOps.ulawToLinear(0x00) === -32124)
+    assert(MultimodalOps.ulawToLinear(0x80) === 32124)
+    assert(MultimodalOps.alawToLinear(0x55) === -8)
+    assert(MultimodalOps.alawToLinear(0xd5) === 8)
+    assert(MultimodalOps.alawToLinear(0x2a) === -32256)
+    assert(MultimodalOps.alawToLinear(0xaa) === 32256)
+    // end-to-end through the RIFF chunk walk (format 7, 8-bit)
+    val id = 5L
+    val n = 80
+    val f = MultimodalOps.decodeWav(id,
+      MultimodalOps.syntheticUlawWav(id, n), 8)
+    val exp = (0 until n).map(i =>
+      MultimodalOps.ulawToLinear(((id * 31 + 7L * i) % 256).toInt).toLong).sum
+    assert(f.n_samples === n.toLong)
+    assert(f.value_sum === exp)
   }
 
   test("LSH top-k: multi-probe widens recall; true near-dups always found") {
