@@ -184,6 +184,53 @@ object SimilarityOps {
     if (pq) buildPqTables(corpus.sparkSession, indexPath, pqM, pqK)
   }
 
+  /** Cluster-balanced downsampling — the topic-balancing curation
+    * stage (SemDeDup/DataComp posture): assign every vector to its
+    * nearest of `nlist` deterministic centroids, then thin each
+    * cluster toward `capPerCluster` rows with the engine's
+    * deterministic md5-coordinate keep rate (`min(1, cap/count)` at
+    * 1/65536 grain — the [[SampleOps.tokenBudgetMix]] selector, so
+    * the kept set is reproducible cross-engine and per-id stable
+    * across reruns). Under-represented clusters keep everything;
+    * over-represented ones converge to ~cap. Returns (id, cell) —
+    * callers semi-join the corpus by id, so document text/payloads
+    * never flow through this op.
+    *
+    * Scale shape: one broadcast-centroids assignment pass (the
+    * corpus's (id, vec) pairs shuffle once for the per-id argmax —
+    * identical to [[buildIvfIndex]]'s assignment), one O(nlist)
+    * partial-aggregated count, rates ride a broadcast join, and the
+    * selection is a codegen'd filter. Nothing driver-sized exceeds
+    * the centroid set.
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame, nlist: Int, capPerCluster: Long,
+      idCol: String = "id", vecCol: String = "vec",
+      refineIterations: Int = 0): DataFrame = {
+    require(nlist >= 1, s"need nlist >= 1, got $nlist")
+    require(capPerCluster >= 0, s"negative cap: $capPerCluster")
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+    val centroids =
+      if (refineIterations <= 0)
+        broadcast(c.orderBy("__id").limit(nlist)
+          .select(col("__id").as("__cid"), col("__cv").as("__cent")))
+      else broadcast(kmeansCentroids(c, nlist, refineIterations))
+    val assigned = assignToCells(c, centroids, Nil)
+    val rates = assigned.groupBy("cell")
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__rate",
+        least(lit(1.0), lit(capPerCluster.toDouble) / col("__n")))
+      .select(col("cell"), col("__rate"))
+    // 4-hex-digit coordinate vs floor(rate·65536); rate >= 1 keeps
+    // all ('zzzz' sorts above every hex coordinate)
+    val threshold = when(col("__rate") >= 1.0, lit("zzzz"))
+      .otherwise(format_string("%04x",
+        floor(col("__rate") * lit(65536.0)).cast("int")))
+    assigned.join(broadcast(rates), "cell")
+      .filter(substring(md5(col("id").cast("string")), 1, 4) < threshold)
+      .select(col("id"), col("cell"))
+  }
+
   /** Nearest-centroid assignment shared by [[buildIvfIndex]] and
     * [[appendToIvfIndex]] — ONE definition so an appended batch can
     * never land in a different cell than a rebuild would put it

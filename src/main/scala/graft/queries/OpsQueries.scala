@@ -2059,6 +2059,45 @@ object OpsQueries {
       },
       None),
 
+    // Cluster-balanced downsampling (topic balancing): nearest of 16
+    // deterministic centroids per vector, then each over-represented
+    // cluster thins toward the cap via the md5-coordinate keep rate.
+    // Fully DuckDB-oracled — the oracle replays assignment (the
+    // arg_max-cosine chain every sim_ivf oracle uses), the per-cell
+    // counts, the floor(rate·65536) hex threshold, and the md5
+    // selection, so the kept (id, cell) set must hash-match row for
+    // row; no in-gate requires needed (the under-cap-keeps-all /
+    // over-cap-shrinks semantics are pinned on a planted clustered
+    // corpus in OpsSuite), so the timed leg is exactly the operator.
+    QueryDef("sim_cluster_balance",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val corpus = e.select(col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        SimilarityOps.clusterBalancedSample(
+          corpus, nlist = 16, capPerCluster = 25)
+      },
+      Some("""WITH emb AS MATERIALIZED (
+             |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), cent AS (
+             |  SELECT id AS cid, v AS cv FROM emb ORDER BY id LIMIT 16
+             |), assign AS MATERIALIZED (
+             |  SELECT e.id,
+             |    arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+             |  FROM emb e CROSS JOIN cent c GROUP BY e.id
+             |), thr AS (
+             |  SELECT cell,
+             |    CASE WHEN least(1.0, 25.0 / count(*)) >= 1.0 THEN 'zzzz'
+             |      ELSE printf('%04x', CAST(floor(
+             |        least(1.0, 25.0 / count(*)) * 65536.0) AS INTEGER))
+             |    END AS th
+             |  FROM assign GROUP BY cell
+             |)
+             |SELECT a.id, a.cell FROM assign a JOIN thr USING (cell)
+             |WHERE substr(md5(CAST(a.id AS VARCHAR)), 1, 4) < th"""
+        .stripMargin)),
+
     // Multimodal plumbing: binary payloads through the batched decode
     // stub; byte accounting is oracle-checkable.
     QueryDef("multimodal_decode",

@@ -49,6 +49,80 @@ class OpsPropertySuite extends SparkSuite with TableDrivenPropertyChecks {
     }
   }
 
+  test("repetition signals == naive quadratic reference on random docs") {
+    // naive reference: re-derives every signal with plain collections
+    // code (group-by counts, brute positional scan) — a disagreement
+    // means the single-pass map/mask bookkeeping broke
+    def naive(text: String): Seq[Double] = {
+      def seg(sep: String): (Double, Double) = {
+        val s = text.split(sep).filter(_.nonEmpty)
+        if (s.isEmpty) (0.0, 0.0)
+        else {
+          val g = s.groupBy(identity).map { case (v, o) => (v, o.length) }
+          val d = g.values.map(c => (c - 1).toLong).sum
+          val dc = g.collect { case (v, c) if c > 1 =>
+            (c - 1).toLong * v.length }.sum
+          val tot = s.map(_.length.toLong).sum
+          (d.toDouble / s.length,
+            if (tot == 0) 0.0 else dc.toDouble / tot)
+        }
+      }
+      val (dlf, dlcf) = seg("\n")
+      val (dpf, dpcf) = seg("\n\n")
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      val tot = w.map(_.length.toLong).sum
+      def grams(n: Int): Seq[String] =
+        (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+      def top(n: Int): Double =
+        if (w.length < n || tot == 0) 0.0
+        else {
+          val g = grams(n).groupBy(identity)
+            .map { case (k, o) => (k, o.length) }
+          val (bg, bc) = g.toSeq.minBy { case (k, c) => (-c, k) }
+          if (bc < 2) 0.0
+          else (bc.toLong * (bg.length - (n - 1))).toDouble / tot
+        }
+      def cov(n: Int): Double =
+        if (w.length < n || tot == 0) 0.0
+        else {
+          val g = grams(n).groupBy(identity)
+            .map { case (k, o) => (k, o.length) }
+          val covered = (0 to w.length - n)
+            .filter(i => g(w.slice(i, i + n).mkString(" ")) > 1)
+            .flatMap(i => i until i + n).toSet
+          covered.toSeq.map(w(_).length.toLong).sum.toDouble / tot
+        }
+      Seq(dlf, dlcf, dpf, dpcf, top(2), top(3), top(4)) ++
+        (5 to 10).map(cov)
+    }
+    def r4(d: Double): Double =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    forAll(Table("seed", 3, 17, 59)) { seed =>
+      val rnd = new Random(seed)
+      val vocab = (0 until 12).map(i => s"t$i") // small → real repeats
+      val docs = (0 until 25).map { i =>
+        val n = 4 + rnd.nextInt(60)
+        val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+        // inject line/para structure
+        val sep = Seq(" ", " ", " ", "\n", "\n\n")
+        val text = toks.tail.foldLeft(new StringBuilder(toks.head)) {
+          (sb, t) => sb.append(sep(rnd.nextInt(sep.size))).append(t)
+        }.toString
+        (i.toLong, text)
+      }
+      val got = TextOps.gopherRepetition(docs.toDF("doc_id", "text"), "text")
+        .collect().map { r =>
+          r.getLong(r.fieldIndex("doc_id")) ->
+            graft.functions.RepetitionSignals.fieldNames
+              .map(f => r.getDouble(r.fieldIndex(f)))
+        }.toMap
+      docs.foreach { case (id, text) =>
+        val exp = naive(text).map(r4)
+        assert(got(id) === exp, s"doc $id: '$text'")
+      }
+    }
+  }
+
   test("prefix filtering is exact on a stop-phrase-skewed corpus") {
     forAll(Table(("seed", "n"), (4, 60), (19, 90))) { (seed, n) =>
       val rnd = new Random(seed)

@@ -518,6 +518,51 @@ class OpsSuite extends SparkSuite {
     assert(found.count() === 20)
   }
 
+  test("cluster-balanced sample: under-cap keeps all, over-cap thins") {
+    // 4 well-separated clusters of very different sizes; centroids are
+    // first-4-by-id, so id layout puts one corpus vector of each
+    // cluster first — every cluster gets its own cell
+    val rnd = new scala.util.Random(13)
+    val d = 16
+    def point(axis: Int): Array[Float] = {
+      val v = Array.fill(d)((rnd.nextGaussian() * 0.05).toFloat)
+      v(axis) = v(axis) + 1.0f
+      v
+    }
+    val sizes = Seq(80, 10, 60, 5)
+    // ids 0..3 are one vector per cluster (the centroid seeds), the
+    // rest follow in cluster-tagged id ranges for leak checking
+    val rows =
+      (0 until 4).map(a => (a.toLong, a, point(a))) ++
+      sizes.zipWithIndex.flatMap { case (n, a) =>
+        (0 until n).map(i => ((100 + a * 1000 + i).toLong, a, point(a)))
+      }
+    val corpus = rows.map { case (id, _, v) => (id, v) }.toDF("id", "vec")
+    val truth = rows.map { case (id, a, _) => id -> a.toLong }.toMap
+    val kept = SimilarityOps.clusterBalancedSample(
+      corpus, nlist = 4, capPerCluster = 30)
+      .as[(Long, Long)].collect()
+    // assignment is leak-free: every kept row sits in its planted cell
+    kept.foreach { case (id, cell) =>
+      assert(cell === truth(id), s"id $id landed in cell $cell")
+    }
+    val perCell = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // under-cap clusters keep every row (cluster + its seed vector)
+    assert(perCell(1L) === 11)
+    assert(perCell(3L) === 6)
+    // over-cap clusters thin toward the cap: strictly fewer than
+    // before, within the md5-grain tolerance of the target
+    assert(perCell(0L) < 81 && perCell(0L) <= 45 && perCell(0L) >= 15,
+      s"cell 0 kept ${perCell(0L)} of 81, cap 30")
+    assert(perCell(2L) < 61 && perCell(2L) <= 45 && perCell(2L) >= 15,
+      s"cell 2 kept ${perCell(2L)} of 61, cap 30")
+    // determinism: the same call selects the same ids
+    val again = SimilarityOps.clusterBalancedSample(
+      corpus, nlist = 4, capPerCluster = 30)
+      .as[(Long, Long)].collect()
+    assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("IVF on clustered data: k-means centroids rescue first-n recall") {
     // 16 clusters around orthogonal directions, corpus ids SORTED BY
     // CLUSTER — the first nlist ids all sit inside cluster 0, the
