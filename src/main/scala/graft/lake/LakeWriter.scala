@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Writes to a lake table (SURVEY §2 K1/K2, §7.1–7.2).
   *
@@ -545,6 +545,28 @@ object LakeWriter {
     }
   }
 
+  /** Delta's write-compat type rule: equal up to COMPATIBLE
+    * nullability — an incoming nested type may be STRICTER than the
+    * table's (a non-null array element writes safely into a nullable
+    * one; the round trip through schema DDL loses containsNull=false,
+    * so a frame re-derived from the exact expressions that built the
+    * table would otherwise be rejected against it) but never looser,
+    * and names/types must match exactly.
+    */
+  private def writeCompatible(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ArrayType(f, fn), ArrayType(t, tn)) =>
+        (!fn || tn) && writeCompatible(f, t)
+      case (MapType(fk, fv, fn), MapType(tk, tv, tn)) =>
+        (!fn || tn) && writeCompatible(fk, tk) && writeCompatible(fv, tv)
+      case (StructType(ff), StructType(tf)) =>
+        ff.length == tf.length && ff.zip(tf).forall { case (a, b) =>
+          a.name == b.name && (!a.nullable || b.nullable) &&
+            writeCompatible(a.dataType, b.dataType)
+        }
+      case _ => from == to
+    }
+
   /** Enforcement (D9) / evolution (D10): extra incoming columns are
     * rejected unless mergeSchema, then appended to the table schema;
     * same-name columns must keep their type; missing columns null-fill.
@@ -558,7 +580,8 @@ object LakeWriter {
     val extra = incoming.fields.filterNot(f => tableByName.contains(f.name))
     val mismatched = incoming.fields.flatMap { f =>
       tableByName.get(f.name) match {
-        case Some(tf) if tf.dataType != f.dataType => Some((f, tf))
+        case Some(tf) if !writeCompatible(f.dataType, tf.dataType) =>
+          Some((f, tf))
         case _ => None
       }
     }

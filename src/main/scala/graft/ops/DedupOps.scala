@@ -239,6 +239,123 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Build (or rebuild) a persisted MinHash SIGNATURE STORE for
+    * incremental near-dup dedup: one lake table of (id, sig) — the
+    * 32-long minhash signature per document, nothing else. This is the
+    * signatures-only posture near-dup ingest runs at corpus scale
+    * (Broder 1997's estimator; the batch operator
+    * [[minhashLshPairs]] verifies with exact Jaccard because it holds
+    * the shingles anyway — a PERSISTED store must not retain
+    * O(corpus text) state, and the signature store is a fixed ~256
+    * bytes/doc regardless of document length).
+    *
+    * One scan of `df` (shingle + sign in a single codegen'd pass),
+    * one lake write. Banding is NOT materialized: probes re-derive
+    * (band, bucket) from `sig` with a map over the store scan —
+    * storing the 8× exploded bucket rows would trade 8× store size
+    * for no asymptotic probe win.
+    */
+  def buildMinhashStore(
+      df: DataFrame, textCol: String, idCol: String, storePath: String,
+      numHashes: Int = 32, shingleN: Int = 3,
+      mode: String = "overwrite"): Unit = {
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      minhashSignature(
+        graft.functions.HashedShingles(col(textCol), shingleN),
+        numHashes).as("sig"))
+    graft.lake.LakeWriter.write(sigs, storePath, mode = mode,
+      operation = "BUILD MINHASH STORE")
+  }
+
+  /** Incremental NEAR-dup dedup of a new batch against a persisted
+    * signature store ([[buildMinhashStore]]) — the daily-ingest twin
+    * of the exact-fingerprint flow, for duplicates that are not
+    * byte-identical (re-crawls, boilerplate variants). Cost is
+    * O(batch) text scanned once + joins against O(store) COMPACT
+    * signatures; the historical corpus's text is never re-read.
+    *
+    *  1. sign the batch (one shingle+minhash pass over batch text);
+    *  2. band both sides' signatures (store side: a map over the
+    *     (id, sig) scan, no text) and join on (band, bucket) —
+    *     candidate generation shuffles scalar longs only;
+    *  3. verify candidates with the SIGNATURE-ESTIMATED Jaccard
+    *     (matching-component fraction — Broder's unbiased estimator;
+    *     the store holds no shingles to verify exactly, by design);
+    *  4. drop a batch doc if it estimates >= `minJaccard` against any
+    *     store doc, or against any LOWER-id batch doc (pessimistic
+    *     keep-first: no sequential kept-chain dependency, so the pass
+    *     stays one shuffle — same posture as [[segmentDedup]]);
+    *  5. append the SURVIVORS' signatures to the store atomically
+    *     (`appendKept`), so the next batch deduplicates against
+    *     history + this batch.
+    *
+    * Returns the kept ids (one `id` column). The kept frame is
+    * persisted before the append so the store write and the caller's
+    * consumption share one computation.
+    */
+  def incrementalMinhashDedup(
+      incoming: DataFrame, textCol: String, idCol: String,
+      storePath: String, numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, minJaccard: Double = 0.5,
+      appendKept: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val spark = incoming.sparkSession
+    def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * r + lit(1), lit(r))), b).as("bucket"))))
+        .as("__b"))
+      .select(col("id"), col("__b.band").as("band"),
+        col("__b.bucket").as("bucket"))
+    // est-Jaccard of two aligned signatures: matching-minima fraction
+    def estJ(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    val newSigs = incoming.select(col(idCol).cast("long").as("id"),
+      minhashSignature(
+        graft.functions.HashedShingles(col(textCol), shingleN),
+        numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val storeSigs = graft.lake.LakeTable.forPath(spark, storePath).toDF
+      .select(col("id"), col("sig"))
+    val newBanded = banded(newSigs)
+    // vs store: any (band, bucket) collision, then estimate on sigs
+    val candStore = newBanded.as("n").join(banded(storeSigs).as("o"),
+        col("n.band") === col("o.band") &&
+        col("n.bucket") === col("o.bucket"))
+      .select(col("n.id").as("nid"), col("o.id").as("oid"))
+      .dropDuplicates("nid", "oid")
+    val dupVsStore = candStore
+      .join(newSigs.select(col("id").as("nid"), col("sig").as("nsig")), "nid")
+      .join(storeSigs.select(col("id").as("oid"), col("sig").as("osig")),
+        "oid")
+      .filter(estJ(col("nsig"), col("osig")) >= minJaccard)
+      .select(col("nid").as("id")).distinct()
+    // in-batch: lower id wins, unconditionally (pessimistic keep-first)
+    val candBatch = newBanded.as("a").join(newBanded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("aid"), col("b.id").as("bid"))
+      .dropDuplicates("aid", "bid")
+    val dupInBatch = candBatch
+      .join(newSigs.select(col("id").as("aid"), col("sig").as("asig")), "aid")
+      .join(newSigs.select(col("id").as("bid"), col("sig").as("bsig")), "bid")
+      .filter(estJ(col("asig"), col("bsig")) >= minJaccard)
+      .select(col("bid").as("id")).distinct()
+    val kept = newSigs
+      .join(dupVsStore.unionByName(dupInBatch).distinct(), Seq("id"),
+        "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    if (appendKept) {
+      graft.lake.LakeWriter.write(kept.select(col("id"), col("sig")),
+        storePath, mode = "append", operation = "APPEND MINHASH STORE")
+    }
+    kept.select(col("id"))
+  }
+
   /** EXACT all-pairs n-gram Jaccard above a threshold, computed
     * sub-quadratically: inverted-index (share-a-shingle) candidate
     * generation + per-pair intersection counting.

@@ -353,6 +353,50 @@ object OpsQueries {
     path
   }
 
+  /** Corpus-fingerprint-keyed PQ index fixture: same build/probe split
+    * rule the plain-IVF gates follow (`sim_ivf_index_build` times the
+    * build; probes are the steady-state workload). Rebuilding the PQ
+    * tables per bench run made `sim_ivf_pq_recall`'s clock ~70% build
+    * (codebook training + the encode pass) — the r13 timed-leg-hygiene
+    * disease, one gate later.
+    */
+  private def ensurePqIvfIndex(s: SparkSession, dir: String): String = {
+    val path = fixture("sim_ivf_pq_index", dir)
+    val fp = tableFp(dir, "embeddings") + ":nlist=16:pqM=8:pqK=16:v1"
+    if (!fixtureFresh(path, fp)) {
+      graft.lake.LakeWriter.deleteRecursively(
+        java.nio.file.Paths.get(path))
+      val corpus = table(s, dir, "embeddings").select(
+        col("vec_id").as("id"), col("embedding").as("vec"))
+      val t0 = System.nanoTime()
+      SimilarityOps.buildIvfIndex(corpus, path, nlist = 16,
+        pq = true, pqM = 8, pqK = 16)
+      System.err.println(f"[fixture] sim_ivf_pq_index built in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3fs")
+      fixtureMark(path, fp)
+    }
+    path
+  }
+
+  /** Corpus-fingerprint-keyed minhash signature store (the persisted
+    * half of `dedup_incremental_minhash`): signatures of the even-id
+    * half of `documents`. Immutable — the gate probes with
+    * `appendKept = false`; store growth is suite-covered.
+    */
+  private def ensureMinhashStore(s: SparkSession, dir: String): String = {
+    val path = fixture("dedup_mh_store", dir)
+    val fp = tableFp(dir, "documents") + ":even:nh=32:n=3:v1"
+    if (!fixtureFresh(path, fp)) {
+      graft.lake.LakeWriter.deleteRecursively(
+        java.nio.file.Paths.get(path))
+      DedupOps.buildMinhashStore(
+        table(s, dir, "documents").filter("doc_id % 2 = 0"),
+        "text", "doc_id", path)
+      fixtureMark(path, fp)
+    }
+    path
+  }
+
   /** The Gopher rule metrics as ONE DuckDB CTE chain (`sp` → `m`),
     * shared by the batch gate here and the streaming gate in
     * [[PipelineQueries]] — a threshold or rule expression edits in
@@ -1332,6 +1376,66 @@ object OpsQueries {
              |WHERE f NOT IN (SELECT f FROM seen)
              |GROUP BY f""".stripMargin)),
 
+    // Incremental NEAR-dup dedup against a persisted SIGNATURE store —
+    // the re-crawl/boilerplate-variant twin of dedup_incremental:
+    // history keeps only (id, 32-long minhash sig) (~256 B/doc, never
+    // text), a new batch is signed once, banded candidates shuffle
+    // scalar longs, and verification is the signature-estimated
+    // Jaccard (Broder's matching-minima estimator — the store holds no
+    // shingles, by design). Store BUILD rides a corpus-keyed fixture
+    // (builds are one-time; batches are the workload); the appendKept
+    // store-growth path is suite-covered so the fixture stays
+    // immutable. Planted exact copies of store docs must all drop;
+    // the oracle replays the ENTIRE pipeline — FNV shingles,
+    // splitmix64 signatures, 8x4 banding, est-Jaccard >= 0.5, the
+    // pessimistic in-batch keep-first — in DuckDB bit math.
+    QueryDef("dedup_incremental_minhash",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val path = ensureMinhashStore(s, dir)
+        val planted = d.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 4000001L).as("doc_id"), col("text"))
+        val incoming = d.filter("doc_id % 2 = 1")
+          .select(col("doc_id"), col("text")).unionByName(planted)
+        val kept = DedupOps.incrementalMinhashDedup(
+          incoming, "text", "doc_id", path, minJaccard = 0.5,
+          appendKept = false)
+        val survivors = kept.filter(col("id") >= 4000000L).count()
+        require(survivors == 0,
+          s"$survivors planted store-copies survived the near-dup check")
+        kept
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 4000001, text FROM documents
+             |  WHERE doc_id % 40 = 0),
+             |${DuckSql.minhashSigCtes("corpus")},
+             |banded AS (SELECT doc_id, b,
+             |    array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS bs
+             |  FROM msig, (SELECT unnest(range(0,8)) AS b) bb),
+             |est AS MATERIALIZED (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             |    len(list_filter(range(1, 33),
+             |      i -> x.sig[i] = y.sig[i])) / 32.0 AS e
+             |  FROM (SELECT DISTINCT a.doc_id, c.doc_id AS other
+             |        FROM banded a JOIN banded c
+             |          ON a.b = c.b AND a.bs = c.bs
+             |         AND a.doc_id <> c.doc_id) cand
+             |  JOIN msig x ON x.doc_id = cand.doc_id
+             |  JOIN msig y ON y.doc_id = cand.other),
+             |dup_store AS (SELECT DISTINCT id_a AS id FROM est
+             |  WHERE (id_a % 2 = 1 OR id_a >= 4000000)
+             |    AND id_b % 2 = 0 AND id_b < 4000000 AND e >= 0.5),
+             |dup_batch AS (SELECT DISTINCT id_b AS id FROM est
+             |  WHERE (id_a % 2 = 1 OR id_a >= 4000000)
+             |    AND (id_b % 2 = 1 OR id_b >= 4000000)
+             |    AND id_a < id_b AND e >= 0.5)
+             |SELECT doc_id AS id FROM corpus
+             |WHERE (doc_id % 2 = 1 OR doc_id >= 4000000)
+             |  AND doc_id NOT IN (SELECT id FROM dup_store)
+             |  AND doc_id NOT IN (SELECT id FROM dup_batch)"""
+        .stripMargin)),
+
     // Connected-components dedup clustering (large-star/small-star):
     // CHAIN edges link consecutive ids within each duplicate-text
     // group — a path graph, the worst case for naive propagation —
@@ -2020,16 +2124,14 @@ object OpsQueries {
           expr("transform(embedding, (x, i) -> " +
             "CAST(x * (1.0d + 0.15d * sin(vec_id * 31 + i)) AS FLOAT))")
             .as("vec"))
-        val corpus = e.select(col("vec_id").as("id"),
-          col("embedding").as("vec"))
-        val indexPath = scratch("sim_ivf_pq", dir)
-        val tBuild = System.nanoTime()
-        SimilarityOps.buildIvfIndex(corpus, indexPath, nlist = 16,
-          pq = true, pqM = 8, pqK = 16)
-        val buildSec = (System.nanoTime() - tBuild) / 1e9
+        // build rides the corpus-fingerprinted fixture (built once per
+        // corpus, logged there) — the timed leg is the PROBE, the
+        // steady-state op of a 100 TB ANN service
+        val indexPath = ensurePqIvfIndex(s, dir)
         // the compressed ranking table must be a FRACTION of the
         // full-vector table the ADC scan replaces (probe bytes ∝
-        // table bytes: both scans prune to the same probed cells)
+        // table bytes: both scans prune to the same probed cells).
+        // Metadata-only: two snapshot footer sums, no data scan.
         val codesBytes = graft.lake.LakeTable
           .forPath(s, s"$indexPath/pq_codes").snapshot().sizeInBytes
         val vecBytes = graft.lake.LakeTable
@@ -2040,13 +2142,8 @@ object OpsQueries {
         val approx = SimilarityOps.ivfPqTopK(
           queries, indexPath, k = 5, nprobe = 4, rerank = 64)
         val nQueries = src.count()
-        val tProbe = System.nanoTime()
         val found = approx
           .filter(col("neighbor_id") === col("qid") - 1000000L).count()
-        val probeSec = (System.nanoTime() - tProbe) / 1e9
-        System.err.println(
-          f"[gate] sim_ivf_pq_recall build=$buildSec%.3fs " +
-          f"probe=$probeSec%.3fs codes=${codesBytes}B vecs=${vecBytes}B")
         val recall = if (nQueries == 0) 1.0 else found.toDouble / nQueries
         require(recall >= 0.9,
           s"IVF-PQ recall $recall below 0.9 ($found/$nQueries)")

@@ -234,6 +234,48 @@ class OpsSuite extends SparkSuite {
     assert(keptTails === Set(1L, 2L))
   }
 
+  test("incremental minhash store: store hits drop, batch keep-first, append") {
+    val storePath = tmpDir("mh-store")
+    // store: one real doc (40 distinct tokens so 3-gram shingles are rich)
+    val histText = (1 to 40).map(i => s"hist$i").mkString(" ")
+    val freshText = (1 to 40).map(i => s"new$i").mkString(" ")
+    val otherText = (1 to 40).map(i => s"other$i").mkString(" ")
+    DedupOps.buildMinhashStore(
+      Seq((1L, histText)).toDF("doc_id", "text"), "text", "doc_id",
+      storePath)
+    // batch 1: an exact copy of the store doc (id 10), a fresh doc
+    // (id 11), and an in-batch twin of the fresh doc (id 12 > 11)
+    val batch1 = Seq(
+      (10L, histText), (11L, freshText), (12L, freshText)
+    ).toDF("doc_id", "text")
+    val kept1 = DedupOps.incrementalMinhashDedup(
+      batch1, "text", "doc_id", storePath, minJaccard = 0.5)
+      .as[Long].collect().toSet
+    assert(kept1 === Set(11L), s"batch 1 kept $kept1")
+    // appendKept grew the store: batch 2's copy of the batch-1
+    // SURVIVOR must now drop against history, a new doc survives
+    val batch2 = Seq(
+      (20L, freshText), (21L, otherText)
+    ).toDF("doc_id", "text")
+    val kept2 = DedupOps.incrementalMinhashDedup(
+      batch2, "text", "doc_id", storePath, minJaccard = 0.5)
+      .as[Long].collect().toSet
+    assert(kept2 === Set(21L), s"batch 2 kept $kept2")
+    // near-dup, not just exact: one token changed in 40 still
+    // estimates well above 0.5 under this (deterministic) hash family
+    val perturbed = histText.replace("hist7", "HIST7")
+    val kept3 = DedupOps.incrementalMinhashDedup(
+      Seq((30L, perturbed)).toDF("doc_id", "text"),
+      "text", "doc_id", storePath, minJaccard = 0.5,
+      appendKept = false)
+      .as[Long].collect().toSet
+    assert(kept3.isEmpty, s"perturbed near-dup survived: $kept3")
+    // the store holds SIGNATURES only — fixed-width state, never text
+    val store = graft.lake.LakeTable.forPath(spark, storePath).toDF
+    assert(store.columns.toSet === Set("id", "sig"))
+    assert(store.count() === 3L) // hist + one survivor per batch
+  }
+
   test("exact-substring dedup: keep-first spans, overlap merge, splice") {
     // docs of letter-tokens; k = 4. doc 2 repeats doc 1's tokens 2..7
     // (two overlapping duplicated windows -> ONE merged span), doc 3
