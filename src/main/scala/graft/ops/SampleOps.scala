@@ -129,4 +129,35 @@ object SampleOps {
       .filter(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
       .drop("__rate")
   }
+
+  /** Deterministic global shuffle for training export: every row gets
+    * a (shard, pos) coordinate — shard = md5-derived hash of the id
+    * mod `nShards`, pos = the 0-based rank of the id's md5 coordinate
+    * within its shard. The "shuffled corpus" is the rows read in
+    * (shard, pos) order; training runs need that order REPRODUCIBLE
+    * (resume mid-epoch, re-run a job, compare loss curves), and md5
+    * keying gives the same permutation from the same ids in any
+    * engine, independent of storage or insertion order.
+    *
+    * 100 TB shape: NO global sort — one hash shuffle co-locates each
+    * shard, then each shard ranks its own corpus/nShards rows (the
+    * same sharded posture as [[graft.ops.TextOps.packOffsets]]);
+    * shards are the training loader's parallel read unit, so nothing
+    * ever orders the full corpus through one task. Selecting only
+    * (id, shard, pos) keeps payload columns out of the shuffle — the
+    * caller joins the coordinates back or writes them alongside.
+    */
+  def shuffleToShards(
+      df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val coord = md5(col(keyCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__coord"), col(keyCol))
+    df.select(col(keyCol),
+        coord.as("__coord"),
+        (conv(substring(coord, 1, 8), 16, 10).cast("long")
+          % nShards).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__coord")
+  }
 }

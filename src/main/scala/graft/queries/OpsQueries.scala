@@ -660,6 +660,24 @@ object OpsQueries {
              |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
              |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""".stripMargin)),
 
+    // Deterministic global shuffle for training export: (shard, pos)
+    // coordinates from md5(id) — the reproducible data order an LLM
+    // training run reads. No global sort: one hash shuffle per shard,
+    // each shard ranks independently. The oracle replays the exact
+    // permutation, so the full coordinate assignment hash-matches.
+    QueryDef("text_shuffle_shards",
+      (s, dir) => SampleOps.shuffleToShards(
+        table(s, dir, "documents"), "doc_id", nShards = 16),
+      Some("""WITH c AS (SELECT doc_id,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |      ::BIGINT % 16 AS shard
+             |  FROM documents)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard
+             |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+             |FROM c""".stripMargin)),
+
     // Data-mixing quota sample: per-source keep rates (books-like
     // src0 kept whole, web-like src1 at ~25%, src2 at ~6%; every
     // OTHER source dropped — unlisted domains must not leak in).

@@ -302,6 +302,126 @@ object PipelineQueries {
              |    AS value_sum_e4
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // Streaming NEAR-dup ingest: continuous document arrival with
+    // near-duplicate suppression, where the dedup state is NOT the
+    // Spark state store but the persisted minhash SIGNATURE lake table
+    // ([[graft.ops.DedupOps.incrementalMinhashDedup]]) — state
+    // restarts with the table, is shared across writers, and holds
+    // ~256 B/doc regardless of text size. Batch 1 (odd docs, %4=1)
+    // dedups against the seeded store and itself; its survivors'
+    // signatures land in the store, so batch 2 (%4=3 + planted exact
+    // copies of STORE docs) is suppressed against history AND batch
+    // 1's survivors — cross-batch suppression flows through the lake
+    // table append, not the checkpoint. The oracle replays both
+    // batches sequentially in DuckDB bit math (signatures, banding,
+    // est-Jaccard, keep-first, the store growth between batches).
+    QueryDef("streaming_neardup_ingest",
+      (s, dir) => QueryDef.pinnedShufflePartitions(s) {
+        import java.nio.file.{Files, Paths}
+        val sf = new java.io.File(dir).getName
+        val root = Paths.get(
+          sys.props("java.io.tmpdir"), "graft_stream_neardup", sf)
+        graft.lake.LakeWriter.deleteRecursively(root)
+        val landing = root.resolve("landing")
+        Files.createDirectories(landing)
+        val d = QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        // one parquet FILE per intended micro-batch (coalesce(1) +
+        // copy out of the staging dir), mtimes forced increasing so
+        // the file source's oldest-first order IS the batch order
+        def stageOne(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmp = root.resolve(s"stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          Files.copy(part, landing.resolve(name))
+          Files.setLastModifiedTime(landing.resolve(name),
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+          graft.lake.LakeWriter.deleteRecursively(tmp)
+        }
+        val planted = d.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 4000001L).as("doc_id"), col("text"))
+        stageOne(d.filter("doc_id % 4 = 1"), "a.parquet", 1000000000000L)
+        stageOne(d.filter("doc_id % 4 = 3").unionByName(planted),
+          "b.parquet", 1000000060000L)
+        val storePath = s"$root/store"
+        graft.ops.DedupOps.buildMinhashStore(
+          d.filter("doc_id % 2 = 0"), "text", "doc_id", storePath)
+        val outPath = s"$root/out"
+        val q = s.readStream
+          .schema(d.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              _: Long) =>
+            val kept = graft.ops.DedupOps.incrementalMinhashDedup(
+              batch, "text", "doc_id", storePath, minJaccard = 0.5)
+            graft.lake.LakeWriter.write(kept, outPath)
+            ()
+          }
+          .start()
+        q.awaitTermination(120000)
+        val out = graft.lake.LakeTable.forPath(s, outPath).toDF
+        // exact copies of store docs share their source's signature:
+        // every store-based drop reason transfers, so none can survive
+        val survivors = out.filter(col("id") >= 4000000L).count()
+        require(survivors == 0L,
+          s"$survivors planted store-copies survived streaming dedup")
+        out
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 4000001, text FROM documents
+             |  WHERE doc_id % 40 = 0),
+             |${DuckSql.minhashSigCtes("corpus")},
+             |banded AS (SELECT doc_id, b,
+             |    array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS bs
+             |  FROM msig, (SELECT unnest(range(0,8)) AS b) bb),
+             |est AS MATERIALIZED (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             |    len(list_filter(range(1, 33),
+             |      i -> x.sig[i] = y.sig[i])) / 32.0 AS e
+             |  FROM (SELECT DISTINCT a.doc_id, c.doc_id AS other
+             |        FROM banded a JOIN banded c
+             |          ON a.b = c.b AND a.bs = c.bs
+             |         AND a.doc_id <> c.doc_id) cand
+             |  JOIN msig x ON x.doc_id = cand.doc_id
+             |  JOIN msig y ON y.doc_id = cand.other),
+             |dup1s AS (SELECT DISTINCT id_a AS id FROM est
+             |  WHERE id_a % 4 = 1 AND id_a < 4000000
+             |    AND id_b % 2 = 0 AND id_b < 4000000 AND e >= 0.5),
+             |dup1b AS (SELECT DISTINCT id_b AS id FROM est
+             |  WHERE id_a % 4 = 1 AND id_a < 4000000
+             |    AND id_b % 4 = 1 AND id_b < 4000000
+             |    AND id_a < id_b AND e >= 0.5),
+             |kept1 AS (SELECT doc_id AS id FROM corpus
+             |  WHERE doc_id % 4 = 1 AND doc_id < 4000000
+             |    AND doc_id NOT IN (SELECT id FROM dup1s)
+             |    AND doc_id NOT IN (SELECT id FROM dup1b)),
+             |dup2h AS (SELECT DISTINCT id_a AS id FROM est
+             |  WHERE ((id_a % 4 = 3 AND id_a < 4000000)
+             |         OR id_a >= 4000000)
+             |    AND ((id_b % 2 = 0 AND id_b < 4000000)
+             |         OR id_b IN (SELECT id FROM kept1))
+             |    AND e >= 0.5),
+             |dup2b AS (SELECT DISTINCT id_b AS id FROM est
+             |  WHERE ((id_a % 4 = 3 AND id_a < 4000000)
+             |         OR id_a >= 4000000)
+             |    AND ((id_b % 4 = 3 AND id_b < 4000000)
+             |         OR id_b >= 4000000)
+             |    AND id_a < id_b AND e >= 0.5),
+             |kept2 AS (SELECT doc_id AS id FROM corpus
+             |  WHERE ((doc_id % 4 = 3 AND doc_id < 4000000)
+             |         OR doc_id >= 4000000)
+             |    AND doc_id NOT IN (SELECT id FROM dup2h)
+             |    AND doc_id NOT IN (SELECT id FROM dup2b))
+             |SELECT id FROM kept1 UNION ALL SELECT id FROM kept2"""
+        .stripMargin)),
+
     // Structured Streaming ingest (SURVEY §2.10): raw JSON-lines files
     // streamed into a lake table with AvailableNow + foreachBatch.
     // The bronze content is fully closed-form — the ingested slice is

@@ -234,6 +234,27 @@ class OpsSuite extends SparkSuite {
     assert(keptTails === Set(1L, 2L))
   }
 
+  test("shuffle-to-shards: dense per-shard positions, reproducible") {
+    val df = (1L to 200L).toDF("id")
+    val got = SampleOps.shuffleToShards(df, "id", 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === (1L to 200L).toSet) // a permutation
+    assert(got.forall(r => r._2 >= 0 && r._2 < 8))
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(0L until rows.length),
+        s"shard $shard positions not dense: ${ps.take(5).mkString(",")}")
+    }
+    val again = SampleOps.shuffleToShards(df, "id", 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet === again.toSet, "shuffle order not reproducible")
+    // order is a function of the ID, not of input row order
+    val reversed = SampleOps.shuffleToShards(
+      df.orderBy(col("id").desc), "id", 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet === reversed.toSet)
+  }
+
   test("incremental minhash store: store hits drop, batch keep-first, append") {
     val storePath = tmpDir("mh-store")
     // store: one real doc (40 distinct tokens so 3-gram shingles are rich)
