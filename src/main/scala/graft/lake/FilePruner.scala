@@ -107,6 +107,41 @@ object FilePruner {
     case other => Seq(other)
   }
 
+  /** The conjuncts of `filters` that survive a java-serialization
+    * round trip — the subset a DISTRIBUTED pruning pass may ship to
+    * executors. Catalyst expression trees are serializable case
+    * classes in the shapes [[mayMatch]] understands (attributes,
+    * literals, comparisons); planner-injected runtime shapes (dynamic
+    * pruning subqueries) are not, and dropping a conjunct is always
+    * CONSERVATIVE here (a kept file is re-tested exactly on the
+    * driver).
+    */
+  private[graft] def serializableConjuncts(
+      filters: Seq[Expression]): Seq[Expression] =
+    filters.flatMap(splitConjuncts).filter { c =>
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        new java.io.ObjectOutputStream(bos).writeObject(c)
+        true
+      } catch { case _: Throwable => false }
+    }
+
+  /** Serializable per-file form of [[pruneWithExpressions]]'s test,
+    * for evaluation INSIDE executor tasks (the columnar file index's
+    * distributed candidate pass). Same conservative semantics: every
+    * argument is plain data, [[mayMatch]] touches no session state.
+    */
+  private[graft] def mayMatchFn(
+      conjuncts: Seq[Expression], types: Map[String, DataType],
+      partCols: Set[String], physFor: Map[String, String],
+      lossyStats: Set[String]): AddFile => Boolean = {
+    // bind everything into local vals so the returned closure captures
+    // data only, never this object or a session
+    val (cs, ts, pc, pf, ls) = (conjuncts, types, partCols, physFor,
+      lossyStats)
+    (f: AddFile) => cs.forall(c => mayMatch(c, f, ts, pc, pf, ls))
+  }
+
   /** Conservative per-file test of one conjunct against stats. */
   private def mayMatch(
       e: Expression, f: AddFile,

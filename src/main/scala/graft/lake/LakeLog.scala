@@ -682,9 +682,10 @@ object LakeLog {
   /** Actions per checkpoint part; above this the checkpoint splits
     * into multi-part files. 100k JSON lines ≈ tens of MB per part —
     * bounded driver memory per write/read regardless of table size.
-    * var only so tests can exercise the multi-part path cheaply.
+    * var only so tests and the columnar-scan gate can exercise the
+    * multi-part path cheaply.
     */
-  private[lake] var CHECKPOINT_PART_MAX_ACTIONS: Int = 100000
+  private[graft] var CHECKPOINT_PART_MAX_ACTIONS: Int = 100000
 
   /** Multi-part checkpoints write parquet parts (round 10). var only
     * so the suite can pin the JSON-part writer for format-equivalence

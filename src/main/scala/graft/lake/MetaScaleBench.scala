@@ -35,8 +35,12 @@ object MetaScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // local[8]: the DRIVER-side legs (commit, replay, prune) are plain
+    // JVM and ignore it; the columnar-index legs run their part scans
+    // as Spark jobs, and decode parallelism across checkpoint parts is
+    // exactly what that path buys on a cluster.
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[1]").appName("MetaScaleBench").getOrCreate()
+      .master("local[8]").appName("MetaScaleBench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nFiles = args.headOption.map(_.toInt).getOrElse(1000000)
     val perCommit = 100000
@@ -90,6 +94,38 @@ object MetaScaleBench {
         })
     }
     val latest = tail2
+    // Columnar file index (round 14): plan point lookups WITHOUT a
+    // resident file list. Runs BEFORE any full replay so the printed
+    // RSS shows the columnar path's own footprint — the driver holds
+    // the tail plus each query's survivors, never the 10⁶ AddFiles.
+    // local[1] serializes the part scan; a cluster decodes parts in
+    // parallel, so these times are the single-core ceiling.
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    val colIdx = timed("columnar index build (cold)") {
+      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, latest).get
+    }
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      AttributeReference, EqualTo => CEq, GreaterThanOrEqual => CGe,
+      LessThan => CLt, Literal => CLit}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val pAttr = AttributeReference("p", IntegerType)()
+    val idAttr = AttributeReference("id", LongType)()
+    timed("columnar listFiles p = 500") {
+      val dirs = colIdx.listFiles(Seq(CEq(pAttr, CLit(500))), Nil)
+      val n = dirs.map(_.files.size).sum
+      require(n == nFiles / 1000, s"columnar partition prune listed $n")
+    }
+    println(s"  columnar candidates on driver: ${colIdx.lastCandidateCount}"
+      + s" of $nFiles files")
+    timed("columnar listFiles id range") {
+      val dirs = colIdx.listFiles(Nil, Seq(CAnd(
+        CGe(idAttr, CLit(1000000L)), CLt(idAttr, CLit(1010000L)))))
+      val n = dirs.map(_.files.size).sum
+      require(n > 0 && n <= 200, s"columnar stats prune listed $n")
+    }
+    println(s"  columnar candidates on driver: ${colIdx.lastCandidateCount}"
+      + s" of $nFiles files")
     Snapshot.clearCacheForTest()
     val snap = timed("cold snapshot replay") { log.snapshot(latest) }
     println(s"  files in snapshot: ${snap.files.size}")

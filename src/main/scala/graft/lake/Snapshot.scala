@@ -157,7 +157,7 @@ object Snapshot {
     * with the same prefix skip. Serves from the full snapshot cache
     * when one is materialized (the common in-process writer flow).
     */
-  private[lake] def replayMeta(log: LakeLog, version: Long)
+  private[graft] def replayMeta(log: LakeLog, version: Long)
       : (Metadata, Protocol, Map[String, Map[String, String]]) = {
     val key = (Paths.get(log.tablePath).toAbsolutePath.normalize.toString,
       version)

@@ -34,6 +34,56 @@ object LakeQueries {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
 
+    // Columnar file index (round 14, the 10⁷-file read posture): the
+    // read plans WITHOUT materializing the table's file list on the
+    // driver — checkpoint parts scan as a Spark job applying the same
+    // FilePruner test the classic index uses; only the query's
+    // candidate survivors + the post-checkpoint tail come back. This
+    // gate builds a table whose v10 auto-checkpoint is multi-part
+    // parquet (part max pinned low for the run), reads it through
+    // option("columnarIndex") with two tail commits in play, REQUIRES
+    // the plan really carries the columnar index, and oracles the
+    // aggregate — exact result parity with a plain engine scan.
+    QueryDef("lake_columnar_scan",
+      (s, dir) => {
+        val path = scratch("lake_columnar_scan", dir)
+        val l = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val prevMax = graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+        graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 8
+        try {
+          // 12 commits x 2 files: the v10 checkpoint holds >8 actions
+          // -> multi-part parquet; v11 is a tail add over it
+          (0 until 12).foreach { i =>
+            LakeWriter.write(
+              l.filter(col("l_orderkey") % 12 === i).coalesce(2), path)
+          }
+        } finally
+          graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+        val df = s.read.format("lake")
+          .option("columnarIndex", "true").load(path)
+          .filter("l_returnflag = 'R'")
+        val planned = df.queryExecution.analyzed.collectFirst {
+          case org.apache.spark.sql.execution.datasources.LogicalRelation(
+              fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation, _, _, _, _) => fs.location
+        }
+        require(planned.exists(
+          _.isInstanceOf[graft.sources.ColumnarLakeFileIndex]),
+          "read did not plan through the columnar file index")
+        df.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("l_quantity") * 100).cast("long"))
+              .as("qty_e2"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS qty_e2
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |GROUP BY 1""".stripMargin)),
+
     // Steady-state small-file governance (VERDICT r13 ask #4): 8
     // micro-batch appends — each arriving 8-way splintered, the
     // continuous-ingest shape (reference util:45-75 run forever) —

@@ -1,0 +1,234 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.{AddFile, ColumnMapping, FilePruner, LakeLog,
+  LakeProtocol, LakeTable, Metadata, Protocol, RemoveFile, Snapshot}
+
+/** Columnar-state [[FileIndex]]: answers `listFiles` WITHOUT ever
+  * materializing the table's full file list on the driver — the
+  * 10⁷-file posture, where a resident `Seq[AddFile]` is tens of GB of
+  * driver heap for state the query never touches.
+  *
+  * How: the live set of a version = (checkpoint adds not superseded
+  * since) + (post-checkpoint tail adds). The TAIL is bounded by the
+  * checkpoint cadence and stays driver-parsed, exactly as before. The
+  * CHECKPOINT — the O(table) part — is already columnar parquet
+  * ([[graft.lake.CheckpointParquet]], round 10), so the candidate scan
+  * runs as a SPARK JOB: one task per checkpoint part decodes its slice
+  * and applies the same conservative stats/partition-bound test the
+  * driver index uses ([[FilePruner.mayMatchFn]] — the identical
+  * function, shipped to executors, so the two passes cannot drift).
+  * Only the SURVIVORS of the query's own filters come back to the
+  * driver.
+  *
+  * Exactness is then delegated, not re-implemented: the survivors wrap
+  * into a synthetic [[Snapshot]] and the classic [[LakeFileIndex]]
+  * runs its full pipeline over them (exact partition predicates,
+  * bucket pruning, generated-column derivation). The distributed pass
+  * only ever needs to be CONSERVATIVE — a dropped conjunct or an
+  * unknown predicate shape keeps extra files, costing memory
+  * proportional to the slack, never correctness.
+  *
+  * Scope (the `tryBuild` gate): multi-part PARQUET checkpoints only
+  * (the 10⁷ case always has one; small tables gain nothing), no
+  * deletion vectors and no bloom sidecars in the live set (both
+  * relation features build driver-resident per-file path maps anyway,
+  * so the classic path is the honest one), reads only (DML rewrites
+  * hold full snapshots by design). Local-FS task reads mirror the data
+  * path: an object-store port routes [[graft.lake.CheckpointParquet]]
+  * through the same seam as the parquet scan itself.
+  */
+final class ColumnarLakeFileIndex private[sources] (
+    spark: SparkSession, val log: LakeLog, val version: Long,
+    meta: Metadata, protocol: Protocol,
+    domains: Map[String, Map[String, String]],
+    ckptParts: Seq[String],
+    tailAdds: Seq[AddFile], tailTouched: Set[String],
+    summary: ColumnarLakeFileIndex.Summary) extends FileIndex {
+
+  private val schema = StructType.fromDDL(meta.schemaDDL)
+
+  override val partitionSchema: StructType = {
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    StructType(meta.partitionColumns.map(byName(_)))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(log.tablePath))
+
+  /** Survivor count of the last listFiles — test/diagnostic hook for
+    * the driver-memory claim (survivors + tail, never the table).
+    */
+  @volatile private[graft] var lastCandidateCount: Long = -1L
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val survivors = candidates(partitionFilters ++ dataFilters)
+    lastCandidateCount = survivors.size
+    // exact semantics = the classic index over the survivors: its
+    // stats re-test is idempotent, its partition predicate / bucket
+    // pruning / generated-column derivation run unchanged. Bucket
+    // pruning stays per-file-sound on a subset: a parsable tag is
+    // ground truth for ITS file, untagged files are always kept.
+    new LakeFileIndex(spark, syntheticSnap(survivors))
+      .listFiles(partitionFilters, dataFilters)
+  }
+
+  private def syntheticSnap(files: Seq[AddFile]): Snapshot =
+    Snapshot(log, version, meta, files, Map.empty, protocol, domains)
+
+  /** Conservative candidate set for `filters`: distributed scan of
+    * the checkpoint parts (tail-touched paths masked — any tail
+    * action supersedes the checkpoint row) plus the driver-held tail
+    * adds, both through the same [[FilePruner]] test.
+    */
+  private def candidates(filters: Seq[Expression]): Seq[AddFile] = {
+    val conjuncts = FilePruner.serializableConjuncts(filters)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val partCols = meta.partitionColumns.toSet
+    val physFor = ColumnMapping.overrides(meta)
+    val lossy = LakeTable.lossyStatsKeys(meta.properties)
+    val fn = FilePruner.mayMatchFn(conjuncts, types, partCols, physFor,
+      lossy)
+    val fromCkpt: Seq[AddFile] =
+      if (ckptParts.isEmpty) Nil
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        val parts = ckptParts // local val: don't capture `this`
+        spark.sparkContext
+          .parallelize(parts, parts.size)
+          .flatMap { p =>
+            graft.lake.CheckpointParquet
+              .read(java.nio.file.Paths.get(p)).iterator
+              .collect { case a: AddFile => a }
+          }
+          .filter(a => !touched.value.contains(a.path) && fn(a))
+          .collect().toSeq
+      }
+    fromCkpt ++ tailAdds.filter(fn)
+  }
+
+  /** Full path listing — O(files) driver STRINGS when called (rare:
+    * `Dataset.inputFiles`); the per-file metadata still never
+    * materializes.
+    */
+  override def inputFiles: Array[String] =
+    candidates(Nil).map(f => LakeLog
+      .resolveFile(log.tablePath, f.path).toString).toArray
+
+  override def refresh(): Unit = () // versions are immutable
+
+  override def sizeInBytes: Long = summary.bytes
+
+  private[graft] def allBucketTagged: Boolean = summary.allBucketTagged
+
+  private[graft] def metadata: Metadata = meta
+}
+
+object ColumnarLakeFileIndex {
+
+  /** Table-level facts a relation needs BEFORE deciding to plan
+    * columnar, computed in the same distributed pass shape as the
+    * candidate scan and cached per (table, version) — metadata-sized.
+    */
+  final case class Summary(
+      numFiles: Long, bytes: Long,
+      dvOrBloom: Boolean, allBucketTagged: Boolean)
+
+  private val summaryCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Summary]()
+
+  /** Build the columnar index for `version` (-1 = latest) when the
+    * preconditions hold: a multi-part parquet checkpoint at or below
+    * the version, and no DV/bloom files in the live set. None
+    * otherwise — the caller falls back to the classic materialized
+    * path, which is also the honest one at those shapes.
+    */
+  def tryBuild(spark: SparkSession, log: LakeLog, requested: Long)
+      : Option[ColumnarLakeFileIndex] = {
+    if (!log.exists) return None
+    val latest = log.latestVersion
+    if (latest < 0) return None
+    val version = if (requested < 0) latest else requested
+    val ckpt = log.latestCheckpointFilesAtOrBefore(version)
+      .filter { case (_, files) =>
+        files.size > 1 &&
+          files.forall(_.getFileName.toString.endsWith(".parquet"))
+      }
+    ckpt match {
+      case None => None
+      case Some((ckptVersion, partFiles)) =>
+        val (meta, protocol, domains) = Snapshot.replayMeta(log, version)
+        // the same gate every read path honors: never expose state
+        // replayed under semantics this engine may not implement
+        LakeProtocol.assertReadable(protocol, log.tablePath)
+        // driver-parsed tail: bounded by the checkpoint cadence
+        val live = scala.collection.mutable
+          .LinkedHashMap.empty[String, AddFile]
+        val touched = scala.collection.mutable.HashSet.empty[String]
+        var v = ckptVersion + 1
+        while (v <= version) {
+          log.readVersion(v).foreach {
+            case a: AddFile => live(a.path) = a; touched += a.path
+            case r: RemoveFile => live.remove(r.path); touched += r.path
+            case _ => ()
+          }
+          v += 1
+        }
+        val tailAdds = live.values.toSeq
+        val parts = partFiles.map(_.toString)
+        val key = (java.nio.file.Paths.get(log.tablePath)
+          .toAbsolutePath.normalize.toString, version)
+        val summary = Option(summaryCache.get(key)).getOrElse {
+          val s = summarize(spark, parts, tailAdds, touched.toSet)
+          summaryCache.put(key, s)
+          s
+        }
+        if (summary.dvOrBloom) None
+        else Some(new ColumnarLakeFileIndex(spark, log, version, meta,
+          protocol, domains, parts, tailAdds, touched.toSet, summary))
+    }
+  }
+
+  /** One distributed pass over the checkpoint parts folding
+    * (count, bytes, any dv/bloom, all bucket-tagged), tail folded in
+    * on the driver. Nothing per-file survives the job.
+    */
+  private def summarize(spark: SparkSession, parts: Seq[String],
+      tailAdds: Seq[AddFile], tailTouched: Set[String]): Summary = {
+    def tagged(a: AddFile): Boolean =
+      org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(new java.io.File(a.path).getName).isDefined
+    def fold(acc: (Long, Long, Boolean, Boolean), a: AddFile)
+        : (Long, Long, Boolean, Boolean) =
+      (acc._1 + 1, acc._2 + a.size,
+        acc._3 || a.dvPath.isDefined || a.bloomPath.isDefined,
+        acc._4 && tagged(a))
+    val zero = (0L, 0L, false, true)
+    val ckptAgg =
+      if (parts.isEmpty) zero
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        spark.sparkContext.parallelize(parts, parts.size)
+          .map { p =>
+            graft.lake.CheckpointParquet
+              .read(java.nio.file.Paths.get(p)).iterator
+              .collect { case a: AddFile => a }
+              .filterNot(a => touched.value.contains(a.path))
+              .foldLeft(zero)(fold)
+          }
+          .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 || b._3,
+            a._4 && b._4))
+      }
+    val all = tailAdds.foldLeft(ckptAgg)(fold)
+    Summary(all._1, all._2, all._3, all._4)
+  }
+
+  private[graft] def clearCacheForTest(): Unit = summaryCache.clear()
+}

@@ -104,8 +104,53 @@ final class LakeDataSource extends RelationProvider
           .versionAtTimestamp(java.sql.Timestamp.valueOf(ts).getTime)
       })
       .getOrElse(-1L)
+    // Columnar file index (opt-in): plan the read without ever
+    // materializing the full file list on the driver — the 10⁷-file
+    // posture. Falls back to the classic materialized snapshot when
+    // the preconditions don't hold (no multi-part parquet checkpoint,
+    // or DV/bloom state in the live set).
+    val columnar = parameters.get("columnarIndex").map(_.toBoolean)
+      .getOrElse(spark.conf.getOption("spark.graft.columnarFileIndex")
+        .exists(_.toBoolean))
+    if (columnar) {
+      ColumnarLakeFileIndex.tryBuild(spark, new LakeLog(path), version)
+        .foreach(idx => return columnarRelationFor(spark, idx, parameters))
+    }
     val snap = new LakeLog(path).snapshot(version)
     relationFor(spark, snap, parameters, applyDvs = true)
+  }
+
+  /** Relation over a [[ColumnarLakeFileIndex]]. The tryBuild gate
+    * already excluded DV and bloom state (their relation formats
+    * carry driver-resident per-file maps, so the classic path is the
+    * honest one there); column mapping and bucketed planning apply
+    * exactly as in [[relationFor]].
+    */
+  private def columnarRelationFor(
+      spark: SparkSession, idx: ColumnarLakeFileIndex,
+      parameters: Map[String, String]): BaseRelation = {
+    val meta = idx.metadata
+    val schema = StructType.fromDDL(meta.schemaDDL)
+    val partCols = meta.partitionColumns.toSet
+    val dataSchema =
+      StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val mapping = graft.lake.ColumnMapping.overrides(meta)
+      .filter { case (l, p) => l != p }
+    val format =
+      if (mapping.isEmpty) new ParquetFileFormat
+      else new MappedParquetFileFormat(mapping)
+    val bucketSpec = graft.lake.LakeTable.bucketSpecOf(meta.properties)
+      .filter(_ => idx.allBucketTagged)
+      .map { case (cols, n) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil)
+      }
+    HadoopFsRelation(
+      location = idx,
+      partitionSchema = idx.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = bucketSpec,
+      fileFormat = format,
+      options = parameters)(spark)
   }
 
   override def createRelation(

@@ -1,0 +1,151 @@
+package graft.lake
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Columnar file index (the 10⁷-file read posture): listFiles answers
+  * from a DISTRIBUTED scan of the parquet checkpoint parts plus the
+  * driver-parsed tail, materializing only the query's surviving
+  * AddFiles on the driver. These tests pin exact result parity with
+  * the classic materialized path, the tail supersession rules, the
+  * precondition fallbacks, and the survivors-only driver contract.
+  */
+class ColumnarIndexSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def withPartMax[A](partMax: Int)(body: => A): A = {
+    val prev = LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    LakeLog.CHECKPOINT_PART_MAX_ACTIONS = partMax
+    try body finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prev
+  }
+
+  /** Partitioned table with enough commits that a MULTI-PART parquet
+    * checkpoint exists, plus post-checkpoint tail commits (appends and
+    * a delete) so the tail-masking path is exercised.
+    */
+  private def buildTable(name: String): String = withPartMax(5) {
+    val path = tablePath(name)
+    // 12 single-file commits -> checkpoint at v10 (interval 10) with
+    // >5 AddFiles => multi-part parquet; v11..v12 are tail adds
+    (0 until 13).foreach { i =>
+      LakeWriter.write(
+        Seq((i.toLong, s"row$i", i % 3)).toDF("id", "name", "p"),
+        path, partitionBy = if (i == 0) Seq("p") else Nil)
+    }
+    // tail DELETE: removes the p=2 file added at v11 (id=11 % 3 = 2)
+    LakeTable.forPath(spark, path).delete("id = 11")
+    path
+  }
+
+  private def columnarDF(path: String) =
+    spark.read.format("lake").option("columnarIndex", "true").load(path)
+
+  test("columnar read == classic read (full, filtered, partition-pruned)") {
+    val path = buildTable("col-parity")
+    val log = new LakeLog(path)
+    val idx = graft.sources.ColumnarLakeFileIndex
+      .tryBuild(spark, log, -1L)
+    assert(idx.isDefined, "expected a multi-part parquet checkpoint")
+    val classic = spark.read.format("lake").load(path)
+    val columnar = columnarDF(path)
+    assert(columnar.collect().toSet === classic.collect().toSet)
+    // filtered parity (stats + partition pruning paths)
+    assert(columnar.filter("p = 1").collect().toSet ===
+      classic.filter("p = 1").collect().toSet)
+    assert(columnar.filter("id >= 9").collect().toSet ===
+      classic.filter("id >= 9").collect().toSet)
+    // the tail-deleted row is gone on both paths
+    assert(columnar.filter("id = 11").count() === 0L)
+  }
+
+  test("columnar listFiles materializes survivors only") {
+    val path = buildTable("col-survivors")
+    val log = new LakeLog(path)
+    val total = log.snapshot().numFiles
+    // a selective partition read: candidates on the driver must be a
+    // strict subset of the table's files (each commit wrote one
+    // single-partition file, so pruning is exact here). The index
+    // instance under test is the one the RELATION planned with.
+    val pruned = columnarDF(path).filter("p = 0")
+    assert(pruned.count() > 0)
+    val idx = pruned.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        fs.location.asInstanceOf[graft.sources.ColumnarLakeFileIndex]
+    }.get
+    assert(idx.lastCandidateCount > 0 &&
+      idx.lastCandidateCount < total,
+      s"candidates ${idx.lastCandidateCount} vs $total files — the " +
+      "distributed pass returned more than the query's survivors")
+  }
+
+  test("columnar time travel: version pinned, tail replayed to it") {
+    val path = buildTable("col-tt")
+    val log = new LakeLog(path)
+    val latest = log.latestVersion
+    // pre-delete version: row 11 still visible through the columnar path
+    val v = latest - 1
+    val classic = spark.read.format("lake")
+      .option("versionAsOf", v.toString).load(path)
+    val columnar = spark.read.format("lake")
+      .option("columnarIndex", "true")
+      .option("versionAsOf", v.toString).load(path)
+    assert(graft.sources.ColumnarLakeFileIndex
+      .tryBuild(spark, log, v).isDefined)
+    assert(columnar.collect().toSet === classic.collect().toSet)
+    assert(columnar.filter("id = 11").count() === 1L)
+  }
+
+  test("preconditions fall back: no checkpoint, DV state") {
+    // small table, no checkpoint yet -> tryBuild refuses, read works
+    val p1 = tablePath("col-nockpt")
+    LakeWriter.write(Seq((1L, "a")).toDF("id", "v"), p1)
+    assert(graft.sources.ColumnarLakeFileIndex
+      .tryBuild(spark, new LakeLog(p1), -1L).isEmpty)
+    assert(columnarDF(p1).count() === 1L)
+    // DV state inside a multi-part checkpoint -> refuses, read honors DVs
+    withPartMax(5) {
+      val p2 = tablePath("col-dv")
+      // MULTI-row files: a partial-file delete must produce a DV
+      // rather than a whole-file remove
+      (0 until 12).foreach { i =>
+        LakeWriter.write(
+          (0 until 3).map(j => (i * 10L + j, s"r$i-$j")).toDF("id", "v")
+            .coalesce(1),
+          p2,
+          properties =
+            if (i == 0) Map(LakeTable.PROP_ENABLE_DV -> "true")
+            else Map.empty)
+      }
+      LakeTable.forPath(spark, p2).delete("id = 31")
+      assert(LakeTable.forPath(spark, p2).snapshot()
+        .files.exists(_.dvPath.isDefined),
+        "test integrity: the DELETE should have produced a DV")
+      // more appends so a checkpoint lands AFTER the DV commit
+      (12 until 22).foreach { i =>
+        LakeWriter.write(
+          (0 until 3).map(j => (i * 10L + j, s"r$i-$j")).toDF("id", "v")
+            .coalesce(1),
+          p2)
+      }
+      assert(graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, new LakeLog(p2), -1L).isEmpty,
+        "DV state must fall back to the classic relation")
+      val rows = columnarDF(p2).count()
+      assert(rows === 65L, s"expected 65 live rows, got $rows")
+      assert(columnarDF(p2).filter("id = 31").count() === 0L)
+    }
+  }
+
+  test("columnar index summary: counts, bytes, bucket flag") {
+    val path = buildTable("col-summary")
+    val log = new LakeLog(path)
+    val idx = graft.sources.ColumnarLakeFileIndex
+      .tryBuild(spark, log, -1L).get
+    val snap = log.snapshot()
+    assert(idx.sizeInBytes === snap.sizeInBytes)
+    // unbucketed table: files carry no bucket tags
+    assert(!idx.allBucketTagged)
+  }
+}
