@@ -27,10 +27,31 @@ final class LakeTable private (
   def snapshot(version: Long = -1): Snapshot = log.snapshot(version)
 
   /** Current-version DataFrame (SURVEY §2 S4). */
-  def toDF: DataFrame = applyAlias(snapshot().toDF(spark))
+  def toDF: DataFrame = applyAlias(readAt(-1L))
 
   /** Time-travel read (S6/D6). */
-  def asOf(version: Long): DataFrame = applyAlias(snapshot(version).toDF(spark))
+  def asOf(version: Long): DataFrame = applyAlias(readAt(version))
+
+  /** Version read, honoring the session-wide columnar-index conf
+    * (`spark.graft.columnarFileIndex`): when on and the table
+    * qualifies (multi-part parquet checkpoint, no DV/bloom state),
+    * the read — including every catalog view LakeCatalog refreshes
+    * through here — plans without materializing the file list on the
+    * driver; otherwise the classic snapshot path.
+    */
+  private def readAt(version: Long): DataFrame = {
+    val columnar = spark.conf
+      .getOption("spark.graft.columnarFileIndex").exists(_.toBoolean)
+    if (columnar) {
+      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, version)
+        .foreach { idx =>
+          return spark.baseRelationToDataFrame(
+            graft.sources.LakeDataSource.columnarRelation(
+              spark, idx, Map.empty))
+        }
+    }
+    snapshot(version).toDF(spark)
+  }
 
   /** Timestamp-based time travel: the state as of the LAST commit at
     * or before `timestampMillis` (Delta `TIMESTAMP AS OF`). Commit

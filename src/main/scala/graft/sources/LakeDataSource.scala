@@ -126,7 +126,7 @@ final class LakeDataSource extends RelationProvider
     * honest one there); column mapping and bucketed planning apply
     * exactly as in [[relationFor]].
     */
-  private def columnarRelationFor(
+  private[sources] def columnarRelationFor(
       spark: SparkSession, idx: ColumnarLakeFileIndex,
       parameters: Map[String, String]): BaseRelation = {
     val meta = idx.metadata
@@ -290,6 +290,15 @@ final class LakeDataSource extends RelationProvider
 
 object LakeDataSource {
   import org.apache.spark.sql.functions._
+
+  /** [[ColumnarLakeFileIndex]] relation entry point for internal read
+    * paths outside the DataSource dispatch (LakeTable.toDF / asOf
+    * under the session conf).
+    */
+  private[graft] def columnarRelation(
+      spark: SparkSession, idx: ColumnarLakeFileIndex,
+      parameters: Map[String, String]): BaseRelation =
+    new LakeDataSource().columnarRelationFor(spark, idx, parameters)
 
   /** Does every live file of the snapshot parse a bucket id?
     * Memoized ON the Snapshot instance (identity, not value,

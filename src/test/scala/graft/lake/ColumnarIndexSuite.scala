@@ -138,6 +138,35 @@ class ColumnarIndexSuite extends SparkSuite {
     }
   }
 
+  test("session conf routes LakeTable.toDF / SQL views through columnar") {
+    val path = buildTable("col-conf")
+    spark.conf.set("spark.graft.columnarFileIndex", "true")
+    try {
+      val df = LakeTable.forPath(spark, path).toDF
+      val planned = df.queryExecution.analyzed.collectFirst {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation, _, _, _, _) => fs.location
+      }
+      assert(planned.exists(
+        _.isInstanceOf[graft.sources.ColumnarLakeFileIndex]),
+        "toDF under the conf should plan the columnar index")
+      // result parity incl. the tail delete, through the SQL surface
+      LakeCatalog.register(spark, "col_conf_t", path)
+      val viaSql = LakeSql.sql(spark,
+        "SELECT id, name, p FROM col_conf_t").collect().toSet
+      spark.conf.unset("spark.graft.columnarFileIndex")
+      LakeCatalog.refreshView(spark, "col_conf_t")
+      val classic = LakeSql.sql(spark,
+        "SELECT id, name, p FROM col_conf_t").collect().toSet
+      assert(viaSql === classic)
+      LakeCatalog.drop(spark, "col_conf_t")
+    } finally {
+      if (spark.conf.getOption("spark.graft.columnarFileIndex").isDefined)
+        spark.conf.unset("spark.graft.columnarFileIndex")
+    }
+  }
+
   test("columnar index summary: counts, bytes, bucket flag") {
     val path = buildTable("col-summary")
     val log = new LakeLog(path)
