@@ -36,13 +36,16 @@ import graft.lake.{AddFile, ColumnMapping, FilePruner, LakeLog,
   * proportional to the slack, never correctness.
   *
   * Scope (the `tryBuild` gate): multi-part PARQUET checkpoints only
-  * (the 10⁷ case always has one; small tables gain nothing), no
-  * deletion vectors and no bloom sidecars in the live set (both
-  * relation features build driver-resident per-file path maps anyway,
-  * so the classic path is the honest one), reads only (DML rewrites
-  * hold full snapshots by design). Local-FS task reads mirror the data
-  * path: an object-store port routes [[graft.lake.CheckpointParquet]]
-  * through the same seam as the parquet scan itself.
+  * (the 10⁷ case always has one; small tables gain nothing), and
+  * reads only (DML rewrites hold full snapshots by design). DV and
+  * bloom tables ARE supported — their relation formats need a
+  * driver-resident (file → sidecar) path map by design, so the
+  * summary pass collects the pairs (bounded by SIDECAR count, never
+  * table size) and only a table whose sidecar count itself exceeds
+  * [[ColumnarLakeFileIndex.MAX_SIDECAR_PAIRS]] falls back. Local-FS
+  * task reads mirror the data path: an object-store port routes
+  * [[graft.lake.CheckpointParquet]] through the same seam as the
+  * parquet scan itself.
   */
 final class ColumnarLakeFileIndex private[sources] (
     spark: SparkSession, val log: LakeLog, val version: Long,
@@ -129,17 +132,35 @@ final class ColumnarLakeFileIndex private[sources] (
   private[graft] def allBucketTagged: Boolean = summary.allBucketTagged
 
   private[graft] def metadata: Metadata = meta
+
+  /** (file, sidecar) RELATIVE path pairs of the live set — what the
+    * DV / bloom relation formats need (bounded by sidecar count).
+    */
+  private[graft] def dvPairs: Seq[(String, String)] = summary.dvPairs
+  private[graft] def bloomPairs: Seq[(String, String)] = summary.bloomPairs
 }
 
 object ColumnarLakeFileIndex {
 
   /** Table-level facts a relation needs BEFORE deciding to plan
     * columnar, computed in the same distributed pass shape as the
-    * candidate scan and cached per (table, version) — metadata-sized.
+    * candidate scan and cached per (table, version). `dvPairs` /
+    * `bloomPairs` are the (file, sidecar) RELATIVE path pairs the
+    * DV/bloom relation formats need — their formats carry a
+    * driver-resident path map by design, so collecting the pairs
+    * (bounded by sidecar count, never table size) is the honest cost
+    * of the feature; `overflow` trips past [[MAX_SIDECAR_PAIRS]] and
+    * falls the read back to the classic path.
     */
   final case class Summary(
-      numFiles: Long, bytes: Long,
-      dvOrBloom: Boolean, allBucketTagged: Boolean)
+      numFiles: Long, bytes: Long, allBucketTagged: Boolean,
+      dvPairs: Seq[(String, String)], bloomPairs: Seq[(String, String)],
+      overflow: Boolean)
+
+  /** Sidecar-map bound: a table whose DV/bloom file count exceeds this
+    * materializes comparable driver state either way — classic path.
+    */
+  private val MAX_SIDECAR_PAIRS = 1 << 16
 
   private val summaryCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Summary]()
@@ -190,29 +211,48 @@ object ColumnarLakeFileIndex {
           summaryCache.put(key, s)
           s
         }
-        if (summary.dvOrBloom) None
+        if (summary.overflow) None
         else Some(new ColumnarLakeFileIndex(spark, log, version, meta,
           protocol, domains, parts, tailAdds, touched.toSet, summary))
     }
   }
 
+  /** Per-slice fold state for [[summarize]]: counts, bucket-tag flag,
+    * and the bounded sidecar pair lists.
+    */
+  private final case class Agg(
+      n: Long, bytes: Long, tagged: Boolean,
+      dv: Vector[(String, String)], bloom: Vector[(String, String)],
+      overflow: Boolean) {
+    def +(a: AddFile): Agg = {
+      val taggedA = org.apache.spark.sql.execution.datasources
+        .BucketingUtils
+        .getBucketId(new java.io.File(a.path).getName).isDefined
+      val dv2 = a.dvPath.fold(dv)(d => dv :+ (a.path, d))
+      val bloom2 = a.bloomPath.fold(bloom)(b => bloom :+ (a.path, b))
+      Agg(n + 1, bytes + a.size, tagged && taggedA, dv2, bloom2,
+        overflow || dv2.size > MAX_SIDECAR_PAIRS ||
+          bloom2.size > MAX_SIDECAR_PAIRS)
+    }
+    def merge(o: Agg): Agg =
+      Agg(n + o.n, bytes + o.bytes, tagged && o.tagged,
+        dv ++ o.dv, bloom ++ o.bloom,
+        overflow || o.overflow ||
+          dv.size + o.dv.size > MAX_SIDECAR_PAIRS ||
+          bloom.size + o.bloom.size > MAX_SIDECAR_PAIRS)
+  }
+  private def aggZero = Agg(0L, 0L, true, Vector.empty, Vector.empty,
+    overflow = false)
+
   /** One distributed pass over the checkpoint parts folding
-    * (count, bytes, any dv/bloom, all bucket-tagged), tail folded in
-    * on the driver. Nothing per-file survives the job.
+    * (count, bytes, bucket tags, DV/bloom sidecar pairs), tail folded
+    * in on the driver. Nothing per-file survives the job beyond the
+    * bounded sidecar lists.
     */
   private def summarize(spark: SparkSession, parts: Seq[String],
       tailAdds: Seq[AddFile], tailTouched: Set[String]): Summary = {
-    def tagged(a: AddFile): Boolean =
-      org.apache.spark.sql.execution.datasources.BucketingUtils
-        .getBucketId(new java.io.File(a.path).getName).isDefined
-    def fold(acc: (Long, Long, Boolean, Boolean), a: AddFile)
-        : (Long, Long, Boolean, Boolean) =
-      (acc._1 + 1, acc._2 + a.size,
-        acc._3 || a.dvPath.isDefined || a.bloomPath.isDefined,
-        acc._4 && tagged(a))
-    val zero = (0L, 0L, false, true)
     val ckptAgg =
-      if (parts.isEmpty) zero
+      if (parts.isEmpty) aggZero
       else {
         val touched = spark.sparkContext.broadcast(tailTouched)
         spark.sparkContext.parallelize(parts, parts.size)
@@ -221,13 +261,13 @@ object ColumnarLakeFileIndex {
               .read(java.nio.file.Paths.get(p)).iterator
               .collect { case a: AddFile => a }
               .filterNot(a => touched.value.contains(a.path))
-              .foldLeft(zero)(fold)
+              .foldLeft(aggZero)(_ + _)
           }
-          .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 || b._3,
-            a._4 && b._4))
+          .reduce(_ merge _)
       }
-    val all = tailAdds.foldLeft(ckptAgg)(fold)
-    Summary(all._1, all._2, all._3, all._4)
+    val all = tailAdds.foldLeft(ckptAgg)(_ + _)
+    Summary(all.n, all.bytes, all.tagged, all.dv, all.bloom,
+      all.overflow)
   }
 
   private[graft] def clearCacheForTest(): Unit = summaryCache.clear()

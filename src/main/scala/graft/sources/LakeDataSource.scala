@@ -120,11 +120,10 @@ final class LakeDataSource extends RelationProvider
     relationFor(spark, snap, parameters, applyDvs = true)
   }
 
-  /** Relation over a [[ColumnarLakeFileIndex]]. The tryBuild gate
-    * already excluded DV and bloom state (their relation formats
-    * carry driver-resident per-file maps, so the classic path is the
-    * honest one there); column mapping and bucketed planning apply
-    * exactly as in [[relationFor]].
+  /** Relation over a [[ColumnarLakeFileIndex]]. Column mapping,
+    * bucketed planning, and the DV/bloom formats apply exactly as in
+    * [[relationFor]] — the sidecar path maps come from the index's
+    * summary pass (bounded by sidecar count, never table size).
     */
   private[sources] def columnarRelationFor(
       spark: SparkSession, idx: ColumnarLakeFileIndex,
@@ -136,8 +135,21 @@ final class LakeDataSource extends RelationProvider
       StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
     val mapping = graft.lake.ColumnMapping.overrides(meta)
       .filter { case (l, p) => l != p }
+    val tablePath = idx.log.tablePath
+    def resolved(pairs: Seq[(String, String)]): Seq[(String, String)] =
+      pairs.map { case (f, s) =>
+        (LakeLog.resolveFile(tablePath, f).toString,
+          LakeLog.resolveFile(tablePath, s).toString)
+      }
+    def bloomPayload: Array[Byte] = graft.lake.PathMapPayload
+      .payload(spark, resolved(idx.bloomPairs))
     val format =
-      if (mapping.isEmpty) new ParquetFileFormat
+      if (idx.dvPairs.nonEmpty)
+        new DvParquetFileFormat(mapping, bloomPayload,
+          graft.lake.PathMapPayload.payload(spark, resolved(idx.dvPairs)))
+      else if (idx.bloomPairs.nonEmpty)
+        new BloomParquetFileFormat(mapping, bloomPayload)
+      else if (mapping.isEmpty) new ParquetFileFormat
       else new MappedParquetFileFormat(mapping)
     val bucketSpec = graft.lake.LakeTable.bucketSpecOf(meta.properties)
       .filter(_ => idx.allBucketTagged)

@@ -97,14 +97,16 @@ class ColumnarIndexSuite extends SparkSuite {
     assert(columnar.filter("id = 11").count() === 1L)
   }
 
-  test("preconditions fall back: no checkpoint, DV state") {
+  test("preconditions: no-checkpoint falls back; DV state plans columnar") {
     // small table, no checkpoint yet -> tryBuild refuses, read works
     val p1 = tablePath("col-nockpt")
     LakeWriter.write(Seq((1L, "a")).toDF("id", "v"), p1)
     assert(graft.sources.ColumnarLakeFileIndex
       .tryBuild(spark, new LakeLog(p1), -1L).isEmpty)
     assert(columnarDF(p1).count() === 1L)
-    // DV state inside a multi-part checkpoint -> refuses, read honors DVs
+    // DV state inside a multi-part checkpoint: the summary pass
+    // collects the (file -> dv) pairs, the relation reads through the
+    // DV format, deleted rows stay deleted
     withPartMax(5) {
       val p2 = tablePath("col-dv")
       // MULTI-row files: a partial-file delete must produce a DV
@@ -129,10 +131,20 @@ class ColumnarIndexSuite extends SparkSuite {
             .coalesce(1),
           p2)
       }
-      assert(graft.sources.ColumnarLakeFileIndex
-        .tryBuild(spark, new LakeLog(p2), -1L).isEmpty,
-        "DV state must fall back to the classic relation")
-      val rows = columnarDF(p2).count()
+      val built = graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, new LakeLog(p2), -1L)
+      assert(built.isDefined, "DV table should plan columnar")
+      assert(built.get.dvPairs.size === 1,
+        s"expected 1 dv pair, got ${built.get.dvPairs}")
+      val df = columnarDF(p2)
+      val planned = df.queryExecution.analyzed.collectFirst {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation, _, _, _, _) => fs.location
+      }
+      assert(planned.exists(
+        _.isInstanceOf[graft.sources.ColumnarLakeFileIndex]))
+      val rows = df.count()
       assert(rows === 65L, s"expected 65 live rows, got $rows")
       assert(columnarDF(p2).filter("id = 31").count() === 0L)
     }
