@@ -327,6 +327,150 @@ object MultimodalOps {
     (w.toLong * h * bands, sum, hist, w, h)
   }
 
+  /** Grayscale pixel grid of a decodable image payload in IMAGE
+    * orientation (row 0 = top): BMP through the hand parser
+    * (bottom-up storage flipped here), every ImageIO format through
+    * the same palette expansion [[imageSampleStats]] uses.
+    * gray = mean of the pixel's color channels.
+    */
+  private[ops] def grayGrid(id: Long, bytes: Array[Byte], format: String)
+      : (Int, Int, Array[Double]) = format match {
+    case "image/bmp" =>
+      require(bytes != null && bytes.length >= 54 &&
+        bytes(0) == 'B' && bytes(1) == 'M', s"media $id: not a BMP")
+      val dataOffset = i32(bytes, 10)
+      val width = i32(bytes, 18)
+      val height = i32(bytes, 22)
+      require(u16(bytes, 28) == 24 && i32(bytes, 30) == 0,
+        s"media $id: only 24-bit uncompressed BMP supported")
+      val rows = math.abs(height)
+      val stride = (((width.toLong * 3 + 3) / 4) * 4).toInt
+      require(bytes.length.toLong >= dataOffset.toLong + stride.toLong * rows,
+        s"media $id: truncated BMP pixel array")
+      val g = new Array[Double](width * rows)
+      var fy = 0
+      while (fy < rows) {
+        val imgY = if (height > 0) rows - 1 - fy else fy
+        val rowStart = dataOffset + fy * stride
+        var x = 0
+        while (x < width) {
+          val o = rowStart + x * 3
+          g(imgY * width + x) =
+            ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+              (bytes(o + 2) & 0xff)) / 3.0
+          x += 1
+        }
+        fy += 1
+      }
+      (width, rows, g)
+    case _ =>
+      require(bytes != null && bytes.length > 0, s"media $id: empty payload")
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(decoded != null, s"media $id: undecodable image payload")
+      val img = decoded.getColorModel match {
+        case _: java.awt.image.IndexColorModel =>
+          val c = new java.awt.image.BufferedImage(decoded.getWidth,
+            decoded.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gg = c.createGraphics()
+          try gg.drawImage(decoded, 0, 0, null) finally gg.dispose()
+          c
+        case _ => decoded
+      }
+      val raster = img.getRaster
+      val w = raster.getWidth
+      val h = raster.getHeight
+      val bands = raster.getNumBands
+      val colorBands = math.min(bands, 3) // alpha is not luminance
+      val row = new Array[Int](w * bands)
+      val g = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, row)
+        var x = 0
+        while (x < w) {
+          var s = 0.0
+          var c = 0
+          while (c < colorBands) { s += row(x * bands + c); c += 1 }
+          g(y * w + x) = s / colorBands
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, g)
+  }
+
+  /** 64-bit difference hash (dHash, the classic perceptual image
+    * fingerprint): average-pool the grayscale grid to 9×8, set bit
+    * (y·8 + x) when cell (x, y) is brighter than its right neighbor.
+    * Invariant to global brightness shifts and to any re-encode that
+    * preserves pixels (BMP ↔ PNG), robust to small local noise —
+    * exactly what byte-level hashing cannot see.
+    */
+  private[ops] def dHash64(id: Long, bytes: Array[Byte], format: String)
+      : Long = {
+    val (w, h, g) = grayGrid(id, bytes, format)
+    require(w >= 9 && h >= 8, s"media $id: $w x $h too small for dHash")
+    val pooled = Array.ofDim[Double](8, 9)
+    var ty = 0
+    while (ty < 8) {
+      val y0 = ty * h / 8; val y1 = (ty + 1) * h / 8
+      var tx = 0
+      while (tx < 9) {
+        val x0 = tx * w / 9; val x1 = (tx + 1) * w / 9
+        var s = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += g(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        pooled(ty)(tx) = s / n
+        tx += 1
+      }
+      ty += 1
+    }
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (pooled(by)(bx) > pooled(by)(bx + 1))
+          hash |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** (media_id, dhash) over a media table — one decode pass, same
+    * batched mapPartitions shape as [[decodeAndFeaturize]]; payload
+    * bytes never shuffle (the signature is 8 bytes/image).
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "media", "format").as(
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY, Encoders.STRING))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, format) =>
+          (id, dHash64(id, bytes, format))
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** Perceptual image near-dup pairs WITHOUT an all-pairs join: dHash
+    * each image once, then reuse the text SimHash machinery — 4×16-bit
+    * banding with pigeonhole-guaranteed recall for `maxHamming <= 3`
+    * ([[DedupOps.simhashNearPairsFromSigs]]). Catches re-encodes,
+    * brightness shifts, and light noise that exact byte dedup misses.
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 0): DataFrame =
+    DedupOps.simhashNearPairsFromSigs(
+      imageDHash(media), "dhash", "media_id", maxHamming)
+
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
 
@@ -488,6 +632,74 @@ object MultimodalOps {
       i += 1
     }
     out
+  }
+
+  /** Gray level of block (bx, by) of [[blockBmp]]/[[blockPng]]:
+    * a strong per-(id, block) mix, so every id's block PATTERN — and
+    * therefore its dHash — is far from every other id's. The smooth
+    * [[syntheticBmp]] gradient is the wrong fixture for perceptual
+    * hashing (nearby offsets pool to the same comparison signs).
+    */
+  private def blockGray(id: Long, block: Int): Int = {
+    var x = (id + 1) * 0x9E3779B97F4A7C15L + block * 0xBF58476D1CE4E5B9L
+    x ^= x >>> 31; x *= 0x94D049BB133111EBL; x ^= x >>> 29
+    (x & 0xff).toInt
+  }
+
+  /** 24-bit BMP of a deterministic 8×8 block pattern (all channels =
+    * [[blockGray]]); same pixels as [[blockPng]] — the cross-format
+    * twin fixture for perceptual image dedup.
+    */
+  def blockBmp(id: Long, width: Int, height: Int): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * height)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, 54)
+    put32(14, 40); put32(18, width); put32(22, height)
+    put16(26, 1); put16(28, 24); put32(30, 0); put32(34, stride * height)
+    var fy = 0
+    while (fy < height) {
+      val imgY = height - 1 - fy // bottom-up storage
+      val by = imgY * 8 / height
+      var x = 0
+      while (x < width) {
+        val v = blockGray(id, by * 8 + x * 8 / width).toByte
+        var c = 0
+        while (c < 3) { out(54 + fy * stride + x * 3 + c) = v; c += 1 }
+        x += 1
+      }
+      fy += 1
+    }
+    out
+  }
+
+  /** PNG twin of [[blockBmp]] — identical pixels, different container
+    * and compression, so byte-level dedup can never pair them while
+    * dHash must.
+    */
+  def blockPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      val by = y * 8 / height
+      var x = 0
+      while (x < width) {
+        val v = blockGray(id, by * 8 + x * 8 / width)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** A PNG encoding of the SAME closed-form pixels as

@@ -2294,6 +2294,38 @@ object OpsQueries {
     // single gray band). maxFrames = 3 is LIVE: 4-frame payloads must
     // truncate, which the oracle's LEAST mirrors. True video codecs
     // remain the labeled sampleFrames stub.
+    // Perceptual image near-dup (dHash): every cross-format twin —
+    // the SAME closed-form pixel grid encoded as BMP and as PNG —
+    // must collide at Hamming 0 (dHash sees pixels, not bytes; exact
+    // byte dedup can never pair these), and the 64 deterministic base
+    // gradients are pairwise distinct (suite-pinned), so the planted
+    // twins are the ENTIRE pair set and the oracle is closed-form.
+    // Candidates come banded (the SimHash 4x16 machinery), never
+    // all-pairs.
+    QueryDef("multimodal_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val n = 64
+        val rows =
+          (0 until n).map(i => (i.toLong,
+            MultimodalOps.blockBmp(i, 32, 24), "image/bmp")) ++
+          (0 until n).map(i => (i + 100000L,
+            MultimodalOps.blockPng(i, 32, 24), "image/png"))
+        val media = rows.toDF("media_id", "media", "format")
+          .repartition(8)
+        val pairs = MultimodalOps.imageNearDupPairs(media, maxHamming = 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
+        val found = planted.count()
+        require(found == n, s"cross-format twins found: $found/$n")
+        val organic = pairs.count() - found
+        require(organic == 0, s"$organic unexpected non-twin collisions")
+        planted.select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS id_a,
+             |  CAST(range + 100000 AS BIGINT) AS id_b
+             |FROM range(64)""".stripMargin)),
+
     QueryDef("multimodal_frames",
       (s, dir) => {
         // payloads come from a corpus-fingerprinted FIXTURE: encoding

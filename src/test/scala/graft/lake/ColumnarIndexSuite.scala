@@ -179,6 +179,61 @@ class ColumnarIndexSuite extends SparkSuite {
     }
   }
 
+  test("randomized op sequences: columnar == classic at every version") {
+    // three seeded runs of mixed appends / CoW deletes / updates /
+    // compactions; after the run, EVERY version that qualifies for a
+    // columnar read must return byte-identical rows to the classic
+    // path (time travel included — checkpoint + tail replay on both)
+    for (seed <- Seq(11, 23, 47)) withPartMax(4) {
+      val rnd = new scala.util.Random(seed)
+      val path = tablePath(s"col-prop-$seed")
+      // deterministic base: enough files that the v10 cadence
+      // checkpoint is always multi-part regardless of the random mix
+      (0 until 6).foreach { i =>
+        LakeWriter.write(
+          (0 until 2).map(j => (i * 1000L + j, 20 + rnd.nextInt(30)))
+            .toDF("id", "x").coalesce(1), path)
+      }
+      (0 until 14).foreach { i =>
+        val t = if (new LakeLog(path).exists)
+          Some(LakeTable.forPath(spark, path)) else None
+        rnd.nextInt(4) match {
+          case 0 | 1 =>
+            LakeWriter.write(
+              (0 until 1 + rnd.nextInt(4))
+                .map(j => (i * 100L + j, rnd.nextInt(50)))
+                .toDF("id", "x").coalesce(1), path)
+          case 2 if t.isDefined =>
+            t.get.delete(s"x < ${rnd.nextInt(12)}")
+          case 3 if t.isDefined =>
+            t.get.update(s"x > ${38 + rnd.nextInt(10)}",
+              Map("x" -> "x - 1"))
+          case _ =>
+            LakeWriter.write(
+              Seq((i * 100L, rnd.nextInt(50))).toDF("id", "x")
+                .coalesce(1), path)
+        }
+      }
+      val log = new LakeLog(path)
+      var checked = 0
+      (0L to log.latestVersion).foreach { v =>
+        graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, v)
+          .foreach { _ =>
+            val classic = spark.read.format("lake")
+              .option("versionAsOf", v.toString).load(path)
+              .collect().toSeq.map(_.toString).sorted
+            val columnar = spark.read.format("lake")
+              .option("columnarIndex", "true")
+              .option("versionAsOf", v.toString).load(path)
+              .collect().toSeq.map(_.toString).sorted
+            assert(columnar === classic, s"seed $seed version $v")
+            checked += 1
+          }
+      }
+      assert(checked > 0, s"seed $seed never qualified for columnar")
+    }
+  }
+
   test("columnar index summary: counts, bytes, bucket flag") {
     val path = buildTable("col-summary")
     val log = new LakeLog(path)

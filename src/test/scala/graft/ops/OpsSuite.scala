@@ -492,6 +492,50 @@ class OpsSuite extends SparkSuite {
     }
   }
 
+  test("image dHash: cross-format twins collide, bases distinct, noise-robust") {
+    // BMP and PNG of the SAME pixels hash identically (both fixture
+    // families: the smooth gradient and the block pattern)
+    (0 until 8).foreach { i =>
+      assert(MultimodalOps.dHash64(i.toLong,
+          MultimodalOps.syntheticBmp(i, 32, 24), "image/bmp") ===
+        MultimodalOps.dHash64(i.toLong,
+          MultimodalOps.syntheticPng(i, 32, 24), "image/png"),
+        s"gradient base $i: BMP/PNG dHash differ")
+      assert(MultimodalOps.dHash64(i.toLong,
+          MultimodalOps.blockBmp(i, 32, 24), "image/bmp") ===
+        MultimodalOps.dHash64(i.toLong,
+          MultimodalOps.blockPng(i, 32, 24), "image/png"),
+        s"block base $i: BMP/PNG dHash differ")
+    }
+    // the gate's 64 deterministic block bases are pairwise distinct at
+    // Hamming 0 — protects its organic-collision-free require
+    val hashes = (0 until 64).map(i => MultimodalOps.dHash64(i.toLong,
+      MultimodalOps.blockBmp(i, 32, 24), "image/bmp"))
+    assert(hashes.distinct.size === 64,
+      "gate bases must be pairwise dHash-distinct")
+    // small local noise: bump one pixel's channels; pooled averages
+    // barely move, so the hash stays within 1 bit
+    val noisy = MultimodalOps.blockBmp(5L, 32, 24)
+    (0 until 3).foreach { c =>
+      val o = 54 + 10 * 96 + 3 * 3 + c // file row 10, x = 3 (stride 96)
+      noisy(o) = ((noisy(o) & 0xff) ^ 0x04).toByte
+    }
+    val h0 = MultimodalOps.dHash64(5L,
+      MultimodalOps.blockBmp(5L, 32, 24), "image/bmp")
+    val h1 = MultimodalOps.dHash64(5L, noisy, "image/bmp")
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 1,
+      s"one-pixel noise moved ${java.lang.Long.bitCount(h0 ^ h1)} bits")
+    // distributed pairs: twins at Hamming 0 through the banded join
+    val media = Seq(
+      (1L, MultimodalOps.blockBmp(1, 32, 24), "image/bmp"),
+      (2L, MultimodalOps.blockPng(1, 32, 24), "image/png"),
+      (3L, MultimodalOps.blockBmp(9, 32, 24), "image/bmp")
+    ).toDF("media_id", "media", "format")
+    val got = MultimodalOps.imageNearDupPairs(media, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)), s"pairs: $got")
+  }
+
   test("AVI MJPEG video: RIFF tree walk + real per-frame JPEG decode") {
     val id = 11L
     val avi = MultimodalOps.syntheticMjpegAvi(id, 16, 16, 3)
