@@ -265,6 +265,203 @@ object MultimodalOps {
     if ((a & 0x80) != 0) t else -t
   }
 
+  /** ITU-T G.711 μ-law ENCODE (the fixture-side inverse of
+    * [[ulawToLinear]]): bias, segment search, 4-bit mantissa,
+    * complement. Monotone non-decreasing in |pcm| — the property the
+    * audio hash's level-spaced fixtures lean on.
+    */
+  private[ops] def linearToUlaw(pcm: Int): Int = {
+    val sign = if (pcm < 0) 0x80 else 0
+    val x = math.min(math.abs(pcm), 32635) + 0x84
+    var seg = 0
+    var t = x >> 8
+    while (t != 0 && seg < 7) { t >>= 1; seg += 1 }
+    val mant = (x >> (seg + 3)) & 0x0f
+    ~(sign | (seg << 4) | mant) & 0xff
+  }
+
+  /** Linear samples of a WAV payload (PCM16 or G.711 expanded): the
+    * same RIFF chunk walk + per-sample decode [[decodeWav]] runs,
+    * returned as the raw array for sample-domain consumers (the
+    * perceptual audio hash).
+    */
+  private[ops] def wavLinearSamples(id: Long, bytes: Array[Byte])
+      : Array[Int] = {
+    require(bytes != null && bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E', s"media $id: not a WAV")
+    var off = 12
+    var audioFormat = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (dataOff < 0 || audioFormat < 0)) {
+      val cid = new String(bytes, off, 4, "US-ASCII")
+      val clen = i32(bytes, off + 4)
+      require(clen >= 0 && off.toLong + 8 + clen <= bytes.length.toLong,
+        s"media $id: truncated WAV chunk $cid")
+      cid match {
+        case "fmt " =>
+          require(clen >= 16,
+            s"media $id: fmt chunk too short ($clen bytes)")
+          val fmt = u16(bytes, off + 8)
+          val bits = u16(bytes, off + 22)
+          require(
+            (fmt == 1 && bits == 16) ||
+              ((fmt == 6 || fmt == 7) && bits == 8),
+            s"media $id: only PCM16 / G.711 A-law / G.711 mu-law WAV " +
+              s"supported (format=$fmt bits=$bits)")
+          audioFormat = fmt
+        case "data" =>
+          dataOff = off + 8
+          dataLen = clen
+        case _ => ()
+      }
+      off += 8 + clen + (clen & 1)
+    }
+    require(audioFormat > 0 && dataOff >= 0,
+      s"media $id: missing fmt/data chunk")
+    val n = if (audioFormat == 1) dataLen / 2 else dataLen
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = audioFormat match {
+        case 1 => (u16(bytes, dataOff + 2 * i).toShort).toInt
+        case 7 => ulawToLinear(bytes(dataOff + i) & 0xff)
+        case 6 => alawToLinear(bytes(dataOff + i) & 0xff)
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual AUDIO hash — the waveform twin of [[dHash64]]:
+    * mean |amplitude| over 65 equal time windows, bit i set when
+    * window i is louder than window i+1. Hashes the ENVELOPE SHAPE,
+    * so it is invariant to codec re-encodes that preserve it — a
+    * G.711-companded copy of a PCM recording collides (quantization
+    * moves each window's energy a few percent; the gradient signs
+    * survive), which byte- or exact-sample dedup can never see.
+    */
+  private[ops] def audioHash64(id: Long, bytes: Array[Byte]): Long = {
+    val s = wavLinearSamples(id, bytes)
+    val n = s.length
+    require(n >= 65, s"media $id: $n samples too short for audioHash")
+    val energy = new Array[Double](65)
+    val counts = new Array[Int](65)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 65 / n).toInt
+      energy(w) += math.abs(s(i).toDouble)
+      counts(w) += 1
+      i += 1
+    }
+    var w = 0
+    while (w < 65) { energy(w) /= math.max(counts(w), 1); w += 1 }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) > energy(b + 1)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** (media_id, ahash) over a media table of WAV payloads — one
+    * decode pass, 8-byte signatures shuffle, payloads never do.
+    */
+  def audioHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "media").as(
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => (id, audioHash64(id, bytes)) }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** Perceptual audio near-dup pairs via the SimHash 4×16 banding —
+    * catches codec re-encodes (PCM ↔ G.711) and gain changes that
+    * byte dedup misses; never all-pairs.
+    */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 0): DataFrame =
+    DedupOps.simhashNearPairsFromSigs(
+      audioHash(media), "ahash", "media_id", maxHamming)
+
+  /** PCM16 WAV whose per-window amplitude envelope is level-spaced
+    * (×1.09 between adjacent levels — wider than G.711's worst
+    * quantization step, so window ORDERING survives companding
+    * exactly): 65 windows × 64 samples of an alternating ±A(w) wave,
+    * A(w) = 1200·1.09^(blockGray(id, w) >> 3). Same waveform as
+    * [[envelopeWavUlaw]] — the cross-codec twin fixture for
+    * perceptual audio dedup.
+    */
+  def envelopeWav(id: Long): Array[Byte] = {
+    val s = envelopeSamples(id)
+    val out = new Array[Byte](44 + 2 * s.length)
+    wavHeader(out, fmt = 1, bits = 16, dataLen = 2 * s.length)
+    var i = 0
+    while (i < s.length) {
+      out(44 + 2 * i) = (s(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** G.711 μ-law twin of [[envelopeWav]]: the SAME waveform companded
+    * through [[linearToUlaw]] — different codec, different bytes,
+    * same envelope shape.
+    */
+  def envelopeWavUlaw(id: Long): Array[Byte] = {
+    val s = envelopeSamples(id)
+    val out = new Array[Byte](44 + s.length)
+    wavHeader(out, fmt = 7, bits = 8, dataLen = s.length)
+    var i = 0
+    while (i < s.length) {
+      out(44 + i) = linearToUlaw(s(i)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def envelopeSamples(id: Long): Array[Int] = {
+    val out = new Array[Int](65 * 64)
+    var w = 0
+    while (w < 65) {
+      val level = blockGray(id, w) >>> 3 // 0..31
+      val amp = math.round(1200.0 * math.pow(1.09, level)).toInt
+      var j = 0
+      while (j < 64) {
+        out(w * 64 + j) = if (j % 2 == 0) amp else -amp
+        j += 1
+      }
+      w += 1
+    }
+    out
+  }
+
+  private def wavHeader(out: Array[Byte], fmt: Int, bits: Int,
+      dataLen: Int): Unit = {
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff)
+    }
+    def putTag(o: Int, t: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = t.charAt(i).toByte; i += 1 }
+    }
+    val bytesPerSample = bits / 8
+    putTag(0, "RIFF"); put32(4, out.length - 8); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16)
+    put16(20, fmt); put16(22, 1); put32(24, 8000)
+    put32(28, 8000 * bytesPerSample)
+    put16(32, bytesPerSample); put16(34, bits)
+    putTag(36, "data"); put32(40, dataLen)
+  }
+
   /** REAL compressed-image decode via the JDK's own `javax.imageio`
     * readers (JPEG/PNG/GIF/TIFF register out of the box — no native
     * install). Walks the decoded RASTER band-interleaved, one row of

@@ -2326,6 +2326,37 @@ object OpsQueries {
              |  CAST(range + 100000 AS BIGINT) AS id_b
              |FROM range(64)""".stripMargin)),
 
+    // Perceptual AUDIO near-dup (envelope hash): each PCM16 recording
+    // and its G.711 μ-law COMPANDED copy — different codec, different
+    // bytes, same waveform — must collide at Hamming 0. The fixtures'
+    // amplitude envelopes are level-spaced wider than G.711's worst
+    // quantization step, so window ordering survives companding
+    // exactly (suite-pinned); the 64 planted cross-codec pairs are
+    // the entire pair set and the oracle is closed-form.
+    QueryDef("multimodal_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val n = 64
+        val rows =
+          (0 until n).map(i => (i.toLong,
+            MultimodalOps.envelopeWav(i), "audio/wav")) ++
+          (0 until n).map(i => (i + 100000L,
+            MultimodalOps.envelopeWavUlaw(i), "audio/wav"))
+        val media = rows.toDF("media_id", "media", "format")
+          .repartition(8)
+        val pairs = MultimodalOps.audioNearDupPairs(media, maxHamming = 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
+        val found = planted.count()
+        require(found == n, s"cross-codec twins found: $found/$n")
+        val organic = pairs.count() - found
+        require(organic == 0, s"$organic unexpected non-twin collisions")
+        planted.select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS id_a,
+             |  CAST(range + 100000 AS BIGINT) AS id_b
+             |FROM range(64)""".stripMargin)),
+
     QueryDef("multimodal_frames",
       (s, dir) => {
         // payloads come from a corpus-fingerprinted FIXTURE: encoding

@@ -536,6 +536,35 @@ class OpsSuite extends SparkSuite {
     assert(got === Set((1L, 2L)), s"pairs: $got")
   }
 
+  test("audio hash: cross-codec twins collide, bases distinct, mu-law round trip") {
+    // mu-law encode/decode round trip stays within one mantissa step
+    Seq(-30000, -1333, -133, 0, 7, 133, 1999, 32635).foreach { v =>
+      val rt = MultimodalOps.ulawToLinear(MultimodalOps.linearToUlaw(v))
+      val step = math.max(8, math.abs(v) / 16 + 1)
+      assert(math.abs(rt - v) <= step, s"round trip $v -> $rt")
+    }
+    // PCM and its companded copy hash identically for EVERY gate base
+    val hashes = (0 until 64).map { i =>
+      val hp = MultimodalOps.audioHash64(i.toLong,
+        MultimodalOps.envelopeWav(i))
+      val hu = MultimodalOps.audioHash64(i.toLong,
+        MultimodalOps.envelopeWavUlaw(i))
+      assert(hp === hu, s"base $i: PCM/mu-law audio hash differ")
+      hp
+    }
+    assert(hashes.distinct.size === 64,
+      "gate bases must be pairwise audio-hash-distinct")
+    // distributed pairs: the cross-codec twin through the banded join
+    val media = Seq(
+      (1L, MultimodalOps.envelopeWav(3), "audio/wav"),
+      (2L, MultimodalOps.envelopeWavUlaw(3), "audio/wav"),
+      (3L, MultimodalOps.envelopeWav(17), "audio/wav")
+    ).toDF("media_id", "media", "format")
+    val got = MultimodalOps.audioNearDupPairs(media, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)), s"pairs: $got")
+  }
+
   test("AVI MJPEG video: RIFF tree walk + real per-frame JPEG decode") {
     val id = 11L
     val avi = MultimodalOps.syntheticMjpegAvi(id, 16, 16, 3)
