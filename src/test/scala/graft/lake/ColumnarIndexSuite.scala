@@ -234,6 +234,59 @@ class ColumnarIndexSuite extends SparkSuite {
     }
   }
 
+  test("columnar reads column-mapped and bucketed tables correctly") {
+    // column mapping: rename after data exists; the columnar relation
+    // must translate logical -> physical names exactly like relationFor
+    withPartMax(4) {
+      val p1 = tablePath("col-mapped")
+      LakeWriter.write(Seq((1L, "a")).toDF("id", "k").coalesce(1), p1,
+        properties = Map(ColumnMapping.MODE_PROP -> "name"))
+      LakeTable.forPath(spark, p1).renameColumn("k", "label")
+      (2 to 12).foreach { i =>
+        LakeWriter.write(Seq((i.toLong, s"v$i")).toDF("id", "label")
+          .coalesce(1), p1)
+      }
+      val built = graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, new LakeLog(p1), -1L)
+      assert(built.isDefined)
+      val classic = spark.read.format("lake").load(p1)
+      val columnar = columnarDF(p1)
+      assert(columnar.columns.toSeq === Seq("id", "label"))
+      assert(columnar.collect().toSet === classic.collect().toSet)
+      assert(columnar.filter("label = 'v7'").count() === 1L)
+    }
+    // bucketed table: the columnar relation must declare the SAME
+    // BucketSpec (all files tagged) and return identical rows
+    withPartMax(4) {
+      val p2 = tablePath("col-bucketed")
+      (0 until 12).foreach { i =>
+        LakeWriter.write(
+          (0 until 4).map(j => (i * 10L + j, j.toLong)).toDF("id", "k"),
+          p2,
+          properties =
+            if (i == 0) Map("graft.bucketBy" -> "k",
+              "graft.bucketCount" -> "4")
+            else Map.empty)
+      }
+      val built = graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, new LakeLog(p2), -1L)
+      assert(built.isDefined && built.get.allBucketTagged)
+      val classic = spark.read.format("lake").load(p2)
+      val columnar = columnarDF(p2)
+      assert(columnar.collect().toSet === classic.collect().toSet)
+      // co-bucketed aggregation stays shuffle-free through the
+      // columnar relation too (the BucketSpec made it to the plan)
+      val agg = columnar.groupBy("k").count()
+      val exchanges = agg.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "bucketed aggregation through the columnar index should not shuffle")
+      assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        (0L until 4L).map(k => (k, 12L)).toSet)
+    }
+  }
+
   test("columnar index summary: counts, bytes, bucket flag") {
     val path = buildTable("col-summary")
     val log = new LakeLog(path)
