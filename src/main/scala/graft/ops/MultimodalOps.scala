@@ -1043,6 +1043,160 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** MJPEG AVI whose per-frame brightness follows the strong
+    * [[blockGray]] mix (65 flat frames by default) — the video
+    * fixture for perceptual hashing, where the smooth
+    * `(id·31 + 11f) mod 256` ramp of [[syntheticMjpegAvi]] would
+    * alias across ids. Same frames as [[remuxedMjpegAvi]].
+    */
+  def levelsMjpegAvi(id: Long, width: Int, height: Int,
+      frames: Int = 65): Array[Byte] =
+    muxMjpeg((0 until frames).map(f =>
+      flatJpeg(blockGray(id, f), width, height)), width, height,
+      junk = 0)
+
+  /** Byte-DIFFERENT re-mux of [[levelsMjpegAvi]]: identical JPEG
+    * frames in a container carrying an extra skippable JUNK chunk
+    * inside `movi` — the "same video, different muxer" duplicate
+    * byte-level dedup can never pair.
+    */
+  def remuxedMjpegAvi(id: Long, width: Int, height: Int,
+      frames: Int = 65): Array[Byte] =
+    muxMjpeg((0 until frames).map(f =>
+      flatJpeg(blockGray(id, f), width, height)), width, height,
+      junk = 64)
+
+  /** Minimal MJPEG AVI muxer shared by the fixture generators:
+    * `junk > 0` inserts a JUNK chunk of that many bytes at the head
+    * of `movi` (players and [[aviMjpegFrameChunks]] skip it).
+    */
+  private def muxMjpeg(jpegs: Seq[Array[Byte]], width: Int,
+      height: Int, junk: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+    }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def tag(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+    def pad(l: Int): Int = l + (l & 1)
+    val frames = jpegs.length
+    val avihLen = 56
+    val strhLen = 56
+    val strfLen = 40
+    val strlLen = 4 + (8 + strhLen) + (8 + strfLen)
+    val hdrlLen = 4 + (8 + avihLen) + (8 + strlLen)
+    val junkLen = if (junk > 0) 8 + pad(junk) else 0
+    val moviLen = 4 + junkLen + jpegs.map(j => 8 + pad(j.length)).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    tag("RIFF"); le32(riffLen); tag("AVI ")
+    tag("LIST"); le32(hdrlLen); tag("hdrl")
+    tag("avih"); le32(avihLen)
+    le32(40000); le32(0); le32(0); le32(0)
+    le32(frames); le32(0); le32(1); le32(0)
+    le32(width); le32(height)
+    (0 until 4).foreach(_ => le32(0))
+    tag("LIST"); le32(strlLen); tag("strl")
+    tag("strh"); le32(strhLen)
+    tag("vids"); tag("MJPG")
+    le32(0); le16(0); le16(0); le32(0)
+    le32(1); le32(25); le32(0); le32(frames)
+    le32(0); le32(-1); le32(0)
+    le16(0); le16(0); le16(width); le16(height)
+    tag("strf"); le32(strfLen)
+    le32(40); le32(width); le32(height); le16(1); le16(24)
+    tag("MJPG"); le32(width * height * 3)
+    le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(moviLen); tag("movi")
+    if (junk > 0) {
+      tag("JUNK"); le32(pad(junk))
+      (0 until pad(junk)).foreach(_ => bos.write(0))
+    }
+    jpegs.foreach { j =>
+      tag("00dc"); le32(j.length); bos.write(j)
+      if ((j.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
+  /** 64-bit perceptual VIDEO hash: mean decoded brightness per frame,
+    * pooled to 65 temporal windows, one gradient-sign bit per adjacent
+    * pair — the temporal twin of [[audioHash64]], over REAL MJPEG
+    * frame decodes. Invariant to re-muxing (chunk layout, padding,
+    * index chunks) and any re-encode that preserves the brightness
+    * envelope.
+    */
+  private[ops] def videoHash64(id: Long, bytes: Array[Byte]): Long = {
+    val chunks = aviMjpegFrameChunks(id, bytes)
+    require(chunks.length >= 2,
+      s"media $id: ${chunks.length} frames too short for videoHash")
+    val means = chunks.map { case (o, l) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, o, l))
+      require(img != null, s"media $id: undecodable MJPEG frame")
+      val raster = img.getRaster
+      val w = raster.getWidth; val h = raster.getHeight
+      val bands = raster.getNumBands
+      val row = new Array[Int](w * bands)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, row)
+        var i = 0
+        while (i < w * bands) { sum += row(i); i += 1 }
+        y += 1
+      }
+      sum.toDouble / (w.toLong * h * bands)
+    }
+    val n = means.length
+    val energy = new Array[Double](65)
+    val counts = new Array[Int](65)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 65 / n).toInt
+      energy(w) += means(i)
+      counts(w) += 1
+      i += 1
+    }
+    var w = 0
+    while (w < 65) {
+      energy(w) =
+        if (counts(w) > 0) energy(w) / counts(w)
+        // empty window (fewer than 65 frames): carry the previous
+        // window's level so the comparison contributes a stable 0 bit
+        else if (w > 0) energy(w - 1)
+        else 0.0
+      w += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) > energy(b + 1)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** (media_id, vhash) over MJPEG AVI payloads — one decode pass,
+    * 8-byte signatures shuffle, clips never do.
+    */
+  def videoHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "media").as(
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => (id, videoHash64(id, bytes)) }
+      }.toDF("media_id", "vhash")
+  }
+
+  /** Perceptual video near-dup pairs via the SimHash 4×16 banding —
+    * catches re-muxed and envelope-preserving re-encoded copies;
+    * never all-pairs.
+    */
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 0): DataFrame =
+    DedupOps.simhashNearPairsFromSigs(
+      videoHash(media), "vhash", "media_id", maxHamming)
+
   /** "Resize" stub: records the target dims in metadata; payload is
     * passed through untouched (a codec would re-encode here). Keeps
     * the schema contract a real resize operator needs.

@@ -2357,6 +2357,36 @@ object OpsQueries {
              |  CAST(range + 100000 AS BIGINT) AS id_b
              |FROM range(64)""".stripMargin)),
 
+    // Perceptual VIDEO near-dup (temporal envelope hash): each MJPEG
+    // clip and its RE-MUXED copy — identical frames, different
+    // container bytes (an extra skippable JUNK chunk) — must collide
+    // at Hamming 0; envelope discrimination comes from 65 real frame
+    // decodes per clip. Same closed-form-twin oracle shape as the
+    // image and audio gates: the 64 planted pairs are the entire set.
+    QueryDef("multimodal_video_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val n = 64
+        val rows =
+          (0 until n).map(i => (i.toLong,
+            MultimodalOps.levelsMjpegAvi(i, 16, 16), "video/avi")) ++
+          (0 until n).map(i => (i + 100000L,
+            MultimodalOps.remuxedMjpegAvi(i, 16, 16), "video/avi"))
+        val media = rows.toDF("media_id", "media", "format")
+          .repartition(16)
+        val pairs = MultimodalOps.videoNearDupPairs(media, maxHamming = 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
+        val found = planted.count()
+        require(found == n, s"re-muxed twins found: $found/$n")
+        val organic = pairs.count() - found
+        require(organic == 0, s"$organic unexpected non-twin collisions")
+        planted.select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS id_a,
+             |  CAST(range + 100000 AS BIGINT) AS id_b
+             |FROM range(64)""".stripMargin)),
+
     QueryDef("multimodal_frames",
       (s, dir) => {
         // payloads come from a corpus-fingerprinted FIXTURE: encoding

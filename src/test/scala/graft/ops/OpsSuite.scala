@@ -565,6 +565,38 @@ class OpsSuite extends SparkSuite {
     assert(got === Set((1L, 2L)), s"pairs: $got")
   }
 
+  test("video hash: re-muxed twins collide, bases distinct, junk skipped") {
+    // identical frames, byte-different container -> identical hash
+    val hashes = (0 until 64).map { i =>
+      val h0 = MultimodalOps.videoHash64(i.toLong,
+        MultimodalOps.levelsMjpegAvi(i, 16, 16))
+      val h1 = MultimodalOps.videoHash64(i.toLong,
+        MultimodalOps.remuxedMjpegAvi(i, 16, 16))
+      assert(h0 === h1, s"base $i: re-mux changed the video hash")
+      h0
+    }
+    assert(hashes.distinct.size === 64,
+      "gate bases must be pairwise video-hash-distinct")
+    // the remux really IS byte-different (JUNK chunk present)
+    assert(!java.util.Arrays.equals(
+      MultimodalOps.levelsMjpegAvi(1, 16, 16),
+      MultimodalOps.remuxedMjpegAvi(1, 16, 16)))
+    // short clips hash too (empty windows carry the previous level)
+    val short = MultimodalOps.videoHash64(7L,
+      MultimodalOps.levelsMjpegAvi(7, 16, 16, frames = 5))
+    assert(short === MultimodalOps.videoHash64(7L,
+      MultimodalOps.remuxedMjpegAvi(7, 16, 16, frames = 5)))
+    // distributed pairs through the banded join
+    val media = Seq(
+      (1L, MultimodalOps.levelsMjpegAvi(2, 16, 16), "video/avi"),
+      (2L, MultimodalOps.remuxedMjpegAvi(2, 16, 16), "video/avi"),
+      (3L, MultimodalOps.levelsMjpegAvi(40, 16, 16), "video/avi")
+    ).toDF("media_id", "media", "format")
+    val got = MultimodalOps.videoNearDupPairs(media, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)), s"pairs: $got")
+  }
+
   test("AVI MJPEG video: RIFF tree walk + real per-frame JPEG decode") {
     val id = 11L
     val avi = MultimodalOps.syntheticMjpegAvi(id, 16, 16, 3)
