@@ -18,7 +18,7 @@ final class LakeLog(val tablePath: String) {
     * default preserves POSIX semantics; an object-store port swaps
     * [[LogStore.current]] without touching this class.
     */
-  private[lake] def store: LogStore = LogStore.current
+  private[graft] def store: LogStore = LogStore.current
 
   val logDir: Path = Paths.get(tablePath, LOG_DIR)
 

@@ -162,8 +162,13 @@ object ColumnarLakeFileIndex {
     */
   private val MAX_SIDECAR_PAIRS = 1 << 16
 
-  private val summaryCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Summary]()
+  /** Keyed like the snapshot cache: (path, version) PLUS the version
+    * file's (size, mtime) fingerprint — a table deleted and recreated
+    * at the same path (fixture rebuilds, scratch reuse) restarts its
+    * version numbers and must never serve the old table's summary.
+    */
+  private val summaryCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Option[(Long, Long)]), Summary]()
 
   /** Build the columnar index for `version` (-1 = latest) when the
     * preconditions hold: a multi-part parquet checkpoint at or below
@@ -205,7 +210,8 @@ object ColumnarLakeFileIndex {
         val tailAdds = live.values.toSeq
         val parts = partFiles.map(_.toString)
         val key = (java.nio.file.Paths.get(log.tablePath)
-          .toAbsolutePath.normalize.toString, version)
+          .toAbsolutePath.normalize.toString, version,
+          log.store.stat(log.versionFile(version)))
         val summary = Option(summaryCache.get(key)).getOrElse {
           val s = summarize(spark, parts, tailAdds, touched.toSet)
           summaryCache.put(key, s)
