@@ -34,10 +34,11 @@ final class LakeTable private (
 
   /** Version read, honoring the session-wide columnar-index conf
     * (`spark.graft.columnarFileIndex`): when on and the table
-    * qualifies (multi-part parquet checkpoint, no DV/bloom state),
-    * the read — including every catalog view LakeCatalog refreshes
-    * through here — plans without materializing the file list on the
-    * driver; otherwise the classic snapshot path.
+    * qualifies (multi-part parquet checkpoint; DV/bloom tables
+    * included as long as their sidecar count stays under the index's
+    * bound), the read — including every catalog view LakeCatalog
+    * refreshes through here — plans without materializing the file
+    * list on the driver; otherwise the classic snapshot path.
     */
   private def readAt(version: Long): DataFrame = {
     val columnar = spark.conf

@@ -349,12 +349,32 @@ object DedupOps {
       .join(dupVsStore.unionByName(dupInBatch).distinct(), Seq("id"),
         "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // Cache lifetime: materialize `kept` (the append, or a count when
+    // the caller opted out of it) so `newSigs` can be released HERE —
+    // kept's cached blocks no longer depend on it. `kept` itself must
+    // outlive the return (the caller consumes the projection below),
+    // so it is released on the NEXT call against the same store: in
+    // the steady state — a foreachBatch loop calling this per
+    // micro-batch — at most one batch's signature blocks stay cached
+    // instead of accumulating for the job's lifetime.
     if (appendKept) {
       graft.lake.LakeWriter.write(kept.select(col("id"), col("sig")),
         storePath, mode = "append", operation = "APPEND MINHASH STORE")
+    } else {
+      kept.count()
     }
+    newSigs.unpersist(false)
+    Option(lastIncrementalKept.put(storePath, kept))
+      .foreach(_.unpersist(false))
     kept.select(col("id"))
   }
+
+  /** Per-store handle to the previous [[incrementalMinhashDedup]]
+    * batch's persisted survivor frame, released when the next batch
+    * supersedes it (see the cache-lifetime note in the method).
+    */
+  private val lastIncrementalKept =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** EXACT all-pairs n-gram Jaccard above a threshold, computed
     * sub-quadratically: inverted-index (share-a-shingle) candidate

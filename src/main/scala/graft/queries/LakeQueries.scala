@@ -52,6 +52,32 @@ object LakeQueries {
     path
   }
 
+  /** Corpus-fingerprinted fixture for `streaming_apply_changes`: the
+    * CDC SOURCE table with its full v0–v3 DML trajectory (two append
+    * halves, an expression UPDATE, a predicate DELETE). Deterministic
+    * from `customer`, consumed read-only by the gate — each run
+    * replicates its change feed into a fresh dst/checkpoint.
+    */
+  private def ensureApplyChangesSource(s: SparkSession, dir: String)
+      : String = {
+    val src = QueryDef.fixture("apply_changes_src", dir)
+    val fp = QueryDef.tableFp(dir, "customer") + ":v0-v3:v1"
+    if (!QueryDef.fixtureFresh(src, fp)) {
+      LakeWriter.deleteRecursively(java.nio.file.Paths.get(src))
+      val c = table(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      LakeWriter.write(c.filter("c_custkey % 2 = 0"), src) // v0
+      LakeWriter.write(c.filter("c_custkey % 2 = 1"), src) // v1
+      LakeTable.forPath(s, src).update(
+        "c_mktsegment = 'MACHINERY'",
+        Map("c_acctbal" -> "c_acctbal + 1000"))            // v2
+      LakeTable.forPath(s, src)
+        .delete("c_mktsegment = 'BUILDING'")               // v3
+      QueryDef.fixtureMark(src, fp)
+    }
+    src
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // K1/K2/S4/D11: create + append, snapshot read.
@@ -838,19 +864,17 @@ object LakeQueries {
     // the original parquet. Proves insert/update/delete change
     // routing end to end — not just that changes are emitted
     // (streaming_lake_cdf) but that they RECONSTRUCT the table.
+    // The v0–v3 SOURCE trajectory is setup, not the operator under
+    // measurement: it is built once as a corpus-fingerprinted fixture
+    // and consumed READ-ONLY (the stream's checkpoint/dst are fresh
+    // per run), so the timed leg is the applyChanges replication
+    // itself (r14 VERDICT #4 — the same split lake_columnar_scan and
+    // the IVF probes use).
     QueryDef("streaming_apply_changes",
       (s, dir) => QueryDef.pinnedShufflePartitions(s) {
+        val src = ensureApplyChangesSource(s, dir)
         val root = scratch("streaming_apply_changes", dir)
-        val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
-        val c = table(s, dir, "customer")
-          .select("c_custkey", "c_mktsegment", "c_acctbal")
-        LakeWriter.write(c.filter("c_custkey % 2 = 0"), src) // v0
-        LakeWriter.write(c.filter("c_custkey % 2 = 1"), src) // v1
-        LakeTable.forPath(s, src).update(
-          "c_mktsegment = 'MACHINERY'",
-          Map("c_acctbal" -> "c_acctbal + 1000"))            // v2
-        LakeTable.forPath(s, src)
-          .delete("c_mktsegment = 'BUILDING'")               // v3
+        val (dst, ckpt) = (s"$root/dst", s"$root/ckpt")
         graft.streaming.LakeStreaming
           .applyChanges(s, src, dst, ckpt, Seq("c_custkey"))
           .awaitTermination(180000)

@@ -89,9 +89,13 @@ final class ColumnarLakeFileIndex private[sources] (
   /** Conservative candidate set for `filters`: distributed scan of
     * the checkpoint parts (tail-touched paths masked — any tail
     * action supersedes the checkpoint row) plus the driver-held tail
-    * adds, both through the same [[FilePruner]] test.
+    * adds, both through the same [[FilePruner]] test. `project` maps
+    * each surviving AddFile ON THE EXECUTOR, so a caller that needs
+    * only a projection of the survivors (paths, say) never brings the
+    * AddFiles themselves to the driver.
     */
-  private def candidates(filters: Seq[Expression]): Seq[AddFile] = {
+  private def candidatesAs[T: scala.reflect.ClassTag](
+      filters: Seq[Expression])(project: AddFile => T): Seq[T] = {
     val conjuncts = FilePruner.serializableConjuncts(filters)
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val partCols = meta.partitionColumns.toSet
@@ -99,7 +103,7 @@ final class ColumnarLakeFileIndex private[sources] (
     val lossy = LakeTable.lossyStatsKeys(meta.properties)
     val fn = FilePruner.mayMatchFn(conjuncts, types, partCols, physFor,
       lossy)
-    val fromCkpt: Seq[AddFile] =
+    val fromCkpt: Seq[T] =
       if (ckptParts.isEmpty) Nil
       else {
         val touched = spark.sparkContext.broadcast(tailTouched)
@@ -112,18 +116,25 @@ final class ColumnarLakeFileIndex private[sources] (
               .collect { case a: AddFile => a }
           }
           .filter(a => !touched.value.contains(a.path) && fn(a))
+          .map(project)
           .collect().toSeq
       }
-    fromCkpt ++ tailAdds.filter(fn)
+    fromCkpt ++ tailAdds.filter(fn).map(project)
   }
 
+  private def candidates(filters: Seq[Expression]): Seq[AddFile] =
+    candidatesAs(filters)(identity)
+
   /** Full path listing — O(files) driver STRINGS when called (rare:
-    * `Dataset.inputFiles`); the per-file metadata still never
-    * materializes.
+    * `Dataset.inputFiles`); AddFiles are projected to resolved path
+    * strings inside the Spark job, so the per-file metadata (stat and
+    * partition maps) never materializes on the driver.
     */
-  override def inputFiles: Array[String] =
-    candidates(Nil).map(f => LakeLog
-      .resolveFile(log.tablePath, f.path).toString).toArray
+  override def inputFiles: Array[String] = {
+    val root = log.tablePath // no `this` in the task closure
+    candidatesAs(Nil)(f =>
+      LakeLog.resolveFile(root, f.path).toString).toArray
+  }
 
   override def refresh(): Unit = () // versions are immutable
 
@@ -166,15 +177,36 @@ object ColumnarLakeFileIndex {
     * file's (size, mtime) fingerprint — a table deleted and recreated
     * at the same path (fixture rebuilds, scratch reuse) restarts its
     * version numbers and must never serve the old table's summary.
+    * Bounded exactly like [[Snapshot]]'s cache (access-ordered LRU of
+    * soft references): a long-lived process reading many versions of
+    * many DV/bloom tables would otherwise pin up to 2×65536
+    * path-string pairs PER ENTRY for its lifetime.
     */
-  private val summaryCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Option[(Long, Long)]), Summary]()
+  private val MAX_CACHED_SUMMARIES = 64
+  private val summaryCache = new java.util.LinkedHashMap[
+      (String, Long, Option[(Long, Long)]),
+      java.lang.ref.SoftReference[Summary]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long, Option[(Long, Long)]),
+          java.lang.ref.SoftReference[Summary]]): Boolean =
+      size() > MAX_CACHED_SUMMARIES
+  }
+  private def cachedSummary(
+      key: (String, Long, Option[(Long, Long)])): Option[Summary] =
+    summaryCache.synchronized(Option(summaryCache.get(key)))
+      .flatMap(r => Option(r.get))
+  private def cacheSummary(
+      key: (String, Long, Option[(Long, Long)]), s: Summary): Unit =
+    summaryCache.synchronized {
+      summaryCache.put(key, new java.lang.ref.SoftReference(s)); ()
+    }
 
   /** Build the columnar index for `version` (-1 = latest) when the
     * preconditions hold: a multi-part parquet checkpoint at or below
-    * the version, and no DV/bloom files in the live set. None
-    * otherwise — the caller falls back to the classic materialized
-    * path, which is also the honest one at those shapes.
+    * the version, and (for DV/bloom tables) a sidecar count under
+    * [[MAX_SIDECAR_PAIRS]]. None otherwise — the caller falls back to
+    * the classic materialized path, which is also the honest one at
+    * those shapes.
     */
   def tryBuild(spark: SparkSession, log: LakeLog, requested: Long)
       : Option[ColumnarLakeFileIndex] = {
@@ -212,9 +244,9 @@ object ColumnarLakeFileIndex {
         val key = (java.nio.file.Paths.get(log.tablePath)
           .toAbsolutePath.normalize.toString, version,
           log.store.stat(log.versionFile(version)))
-        val summary = Option(summaryCache.get(key)).getOrElse {
+        val summary = cachedSummary(key).getOrElse {
           val s = summarize(spark, parts, tailAdds, touched.toSet)
-          summaryCache.put(key, s)
+          cacheSummary(key, s)
           s
         }
         if (summary.overflow) None
@@ -224,7 +256,11 @@ object ColumnarLakeFileIndex {
   }
 
   /** Per-slice fold state for [[summarize]]: counts, bucket-tag flag,
-    * and the bounded sidecar pair lists.
+    * and the bounded sidecar pair lists. Once `overflow` trips the
+    * pair vectors STOP accumulating (the summary's only remaining job
+    * is to report the fallback) — a heavily DV'd 10⁷-file table must
+    * not transiently materialize all sidecar pairs on its way to the
+    * classic path the bound exists to protect.
     */
   private final case class Agg(
       n: Long, bytes: Long, tagged: Boolean,
@@ -234,18 +270,25 @@ object ColumnarLakeFileIndex {
       val taggedA = org.apache.spark.sql.execution.datasources
         .BucketingUtils
         .getBucketId(new java.io.File(a.path).getName).isDefined
+      if (overflow)
+        return Agg(n + 1, bytes + a.size, tagged && taggedA,
+          Vector.empty, Vector.empty, overflow = true)
       val dv2 = a.dvPath.fold(dv)(d => dv :+ (a.path, d))
       val bloom2 = a.bloomPath.fold(bloom)(b => bloom :+ (a.path, b))
-      Agg(n + 1, bytes + a.size, tagged && taggedA, dv2, bloom2,
-        overflow || dv2.size > MAX_SIDECAR_PAIRS ||
-          bloom2.size > MAX_SIDECAR_PAIRS)
+      val over = dv2.size > MAX_SIDECAR_PAIRS ||
+        bloom2.size > MAX_SIDECAR_PAIRS
+      Agg(n + 1, bytes + a.size, tagged && taggedA,
+        if (over) Vector.empty else dv2,
+        if (over) Vector.empty else bloom2, over)
     }
-    def merge(o: Agg): Agg =
+    def merge(o: Agg): Agg = {
+      val over = overflow || o.overflow ||
+        dv.size + o.dv.size > MAX_SIDECAR_PAIRS ||
+        bloom.size + o.bloom.size > MAX_SIDECAR_PAIRS
       Agg(n + o.n, bytes + o.bytes, tagged && o.tagged,
-        dv ++ o.dv, bloom ++ o.bloom,
-        overflow || o.overflow ||
-          dv.size + o.dv.size > MAX_SIDECAR_PAIRS ||
-          bloom.size + o.bloom.size > MAX_SIDECAR_PAIRS)
+        if (over) Vector.empty else dv ++ o.dv,
+        if (over) Vector.empty else bloom ++ o.bloom, over)
+    }
   }
   private def aggZero = Agg(0L, 0L, true, Vector.empty, Vector.empty,
     overflow = false)
@@ -276,5 +319,6 @@ object ColumnarLakeFileIndex {
       all.overflow)
   }
 
-  private[graft] def clearCacheForTest(): Unit = summaryCache.clear()
+  private[graft] def clearCacheForTest(): Unit =
+    summaryCache.synchronized(summaryCache.clear())
 }

@@ -104,11 +104,11 @@ final class LakeDataSource extends RelationProvider
           .versionAtTimestamp(java.sql.Timestamp.valueOf(ts).getTime)
       })
       .getOrElse(-1L)
-    // Columnar file index (opt-in): plan the read without ever
-    // materializing the full file list on the driver — the 10⁷-file
-    // posture. Falls back to the classic materialized snapshot when
-    // the preconditions don't hold (no multi-part parquet checkpoint,
-    // or DV/bloom state in the live set).
+    // Columnar file index: plan the read without ever materializing
+    // the full file list on the driver — the 10⁷-file posture. Falls
+    // back to the classic materialized snapshot when the
+    // preconditions don't hold (no multi-part parquet checkpoint, or
+    // a DV/bloom sidecar count past the index's bound).
     val columnar = parameters.get("columnarIndex").map(_.toBoolean)
       .getOrElse(spark.conf.getOption("spark.graft.columnarFileIndex")
         .exists(_.toBoolean))
