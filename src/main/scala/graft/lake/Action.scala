@@ -272,19 +272,25 @@ object Action {
   }
 
   /** Cheap envelope sniff: does this log line carry a
-    * metadata-bearing action (Metadata / Protocol / DomainMetadata)?
-    * Both writers emit the envelope field FIRST (json4s writes
-    * declaration order with Nones omitted; the fast paths emit their
-    * key literally), so a prefix check skips a commit's 10⁵ add
-    * lines without JSON-parsing any of them.
+    * metadata-bearing action (Metadata / Protocol / DomainMetadata /
+    * Txn — everything the metadata-light replay folds)? Both writers
+    * emit the envelope field FIRST (json4s writes declaration order
+    * with Nones omitted; the fast paths emit their key literally), so
+    * a prefix check skips a commit's 10⁵ add lines without
+    * JSON-parsing any of them.
     */
   private[lake] def isMetaLine(s: String): Boolean =
     s.startsWith("{\"metaData\"") || s.startsWith("{\"protocol\"") ||
-      s.startsWith("{\"domainMetadata\"")
+      s.startsWith("{\"domainMetadata\"") || s.startsWith("{\"txn\"")
 
   def fromJson(line: String): Action = {
     val e = Serialization.read[LogEntry](line)
-    e.metaData.orElse(e.add).orElse(e.remove).orElse(e.commitInfo)
+    // AddFile is the BULK type: rebuild its stat/partition maps
+    // compact and interned ([[Interned]]) — a replayed 10⁶-file
+    // snapshot must not hold 10⁶ private copies of the column-name
+    // strings and map structures json4s builds per line.
+    e.metaData.orElse(e.add.map(Interned.addFile)).orElse(e.remove)
+      .orElse(e.commitInfo)
       .orElse(e.txn).orElse(e.cdc).orElse(e.protocol)
       .orElse(e.domainMetadata)
       .getOrElse(throw new IllegalArgumentException(

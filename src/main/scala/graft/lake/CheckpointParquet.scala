@@ -180,7 +180,12 @@ object CheckpointParquet {
   private def fromGroup(g: Group): Action =
     if (g.getFieldRepetitionCount("add") > 0) {
       val a = g.getGroup("add", 0)
-      AddFile(
+      // bulk decode goes through [[Interned.addFile]] (shared key
+      // arrays, interned column names / partition values, primitive
+      // null counts) — the checkpoint is the O(table) volume, and
+      // this runs on executors in the columnar index's distributed
+      // scans too (per-JVM intern tables there)
+      Interned.addFile(AddFile(
         path = a.getString("path", 0),
         partitionValues = readMap(a, "partitionValues"),
         size = a.getLong("size", 0),
@@ -202,7 +207,7 @@ object CheckpointParquet {
         clusterGen =
           if (a.getFieldRepetitionCount("clusterGen") > 0)
             Some(a.getLong("clusterGen", 0))
-          else None)
+          else None))
     } else if (g.getFieldRepetitionCount("domainMetadata") > 0) {
       val d = g.getGroup("domainMetadata", 0)
       DomainMetadata(
@@ -304,6 +309,10 @@ object CheckpointParquet {
         repeated binary readerFeatures (STRING);
         repeated binary writerFeatures (STRING);
       }
+      optional group txn {
+        required binary appId (STRING);
+        required int64 version;
+      }
     }""")
 
   def readMeta(p: Path): Seq[Action] = {
@@ -340,6 +349,12 @@ object CheckpointParquet {
           domain = d.getString("domain", 0),
           configuration = readMap(d, "configuration"),
           removed = d.getBoolean("removed", 0)))
+      } else if (g.getFieldRepetitionCount("txn") > 0) {
+        // Txn rides the checkpoint head prefix too: the metadata-light
+        // replay folds idempotent-writer watermarks so columnar DML
+        // planning gets `transactions` without a full replay
+        val t = g.getGroup("txn", 0)
+        Some(Txn(t.getString("appId", 0), t.getLong("version", 0)))
       } else None
     try Iterator.continually(reader.read())
       .takeWhile(_ != null).flatMap(fromMetaGroup).toVector

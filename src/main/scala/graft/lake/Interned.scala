@@ -70,9 +70,32 @@ private[graft] object Interned {
     if (prev == null) ks else prev
   }
 
+  /** WHOLE-MAP instance interning for maps whose full CONTENT is
+    * low-cardinality across files: partition values (10⁶ files share
+    * ~10³ partitions → ~10³ distinct maps) and null counts (the
+    * all-zeros map is the overwhelmingly common row). Keyed by the
+    * interleaved content as a List (structural equality over already
+    * interned keys).
+    */
+  private val mapInstances =
+    new ConcurrentHashMap[List[Any], Map[String, _]]()
+  private def internInstance[V](content: List[Any], m: Map[String, V])
+      : Map[String, V] = {
+    if (mapInstances.size > MAX_ENTRIES) mapInstances.clear()
+    val prev = mapInstances.putIfAbsent(content, m)
+    (if (prev == null) m else prev).asInstanceOf[Map[String, V]]
+  }
+
   /** Compact rebuild of a String→String map. `internValues` is for
-    * the low-cardinality case (partition values); stat min/max values
-    * are per-file unique and must NOT churn the intern table.
+    * the low-cardinality case (partition values, where the whole map
+    * INSTANCE is interned too). Stat min/max maps — per-file-unique
+    * values that must NOT churn the intern tables — byte-pack instead:
+    * one shared key array + one UTF-8 blob + an offset array
+    * ([[PackedStrMap]]), ~3× smaller than value-string arrays (each
+    * java String costs ~40 B of header/padding around its ~10 bytes
+    * of content); strings materialize on access. Maps carrying null
+    * VALUES (legal in partition values; never written by our stats
+    * recorder) keep the array form, which represents null directly.
     */
   def strMap(m: Map[String, String],
       internValues: Boolean = false): Map[String, String] = {
@@ -81,16 +104,38 @@ private[graft] object Interned {
     val ks = new Array[String](n)
     val vs = new Array[String](n)
     var i = 0
+    var hasNull = false
     m.foreach { case (k, v) =>
       ks(i) = str(k)
+      if (v == null) hasNull = true
       vs(i) = if (internValues) str(v) else v
       i += 1
     }
-    new StrArrayMap(keys(ks), vs)
+    if (internValues) {
+      val out = new StrArrayMap(keys(ks), vs)
+      internInstance((ks.toList: List[Any]) ::: (vs.toList: List[Any]), out)
+    } else if (hasNull) {
+      new StrArrayMap(keys(ks), vs)
+    } else {
+      val enc = vs.map(
+        _.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val starts = new Array[Int](n + 1)
+      i = 0
+      while (i < n) { starts(i + 1) = starts(i) + enc(i).length; i += 1 }
+      val blob = new Array[Byte](starts(n))
+      i = 0
+      while (i < n) {
+        System.arraycopy(enc(i), 0, blob, starts(i), enc(i).length)
+        i += 1
+      }
+      new PackedStrMap(keys(ks), blob, starts)
+    }
   }
 
   /** Compact rebuild of a String→Long map (null counts): primitive
-    * value storage, shared key array.
+    * value storage, shared key array, and whole-instance interning
+    * (identical count vectors — all-zeros above all — collapse to one
+    * object process-wide).
     */
   def longMap(m: Map[String, Long]): Map[String, Long] = {
     if (m.isEmpty) return Map.empty
@@ -99,7 +144,8 @@ private[graft] object Interned {
     val vs = new Array[Long](n)
     var i = 0
     m.foreach { case (k, v) => ks(i) = str(k); vs(i) = v; i += 1 }
-    new LongArrayMap(keys(ks), vs)
+    val out = new LongArrayMap(keys(ks), vs)
+    internInstance((ks.toList: List[Any]) ::: (vs.toList: List[Any]), out)
   }
 
   /** [[AddFile]] with its maps rebuilt compact/interned — applied at
@@ -114,7 +160,7 @@ private[graft] object Interned {
     nullCounts = longMap(a.nullCounts))
 
   private[lake] def clearForTest(): Unit = {
-    strings.clear(); keyArrays.clear()
+    strings.clear(); keyArrays.clear(); mapInstances.clear()
   }
 
   /** Immutable Map over parallel arrays: one shared key array per
@@ -127,7 +173,8 @@ private[graft] object Interned {
     * map.
     */
   private final class StrArrayMap(ks: Array[String], vs: Array[String])
-      extends scala.collection.immutable.AbstractMap[String, String] {
+      extends scala.collection.immutable.AbstractMap[String, String]
+      with java.io.Serializable {
     private def idx(key: String): Int = {
       var i = 0
       while (i < ks.length) {
@@ -157,9 +204,50 @@ private[graft] object Interned {
     }
   }
 
+  /** [[StrArrayMap]] with the values byte-packed: one UTF-8 blob +
+    * offsets instead of n String objects — the stat min/max shape
+    * (never-null, per-file-unique values read a handful at a time by
+    * the pruner). Strings materialize on access.
+    */
+  private final class PackedStrMap(
+      ks: Array[String], blob: Array[Byte], starts: Array[Int])
+      extends scala.collection.immutable.AbstractMap[String, String]
+      with java.io.Serializable {
+    private def idx(key: String): Int = {
+      var i = 0
+      while (i < ks.length) {
+        if (ks(i).eq(key) || ks(i) == key) return i
+        i += 1
+      }
+      -1
+    }
+    private def valueAt(i: Int): String = new String(
+      blob, starts(i), starts(i + 1) - starts(i),
+      java.nio.charset.StandardCharsets.UTF_8)
+    override def get(key: String): Option[String] = {
+      val i = idx(key); if (i < 0) None else Some(valueAt(i))
+    }
+    override def contains(key: String): Boolean = idx(key) >= 0
+    override def size: Int = ks.length
+    override def knownSize: Int = ks.length
+    override def iterator: Iterator[(String, String)] =
+      ks.indices.iterator.map(i => (ks(i), valueAt(i)))
+    override def updated[V1 >: String](key: String, value: V1)
+        : scala.collection.immutable.Map[String, V1] =
+      iterator.toMap.updated(key, value)
+    override def removed(key: String)
+        : scala.collection.immutable.Map[String, String] =
+      iterator.toMap.removed(key)
+    override def foreachEntry[U](f: (String, String) => U): Unit = {
+      var i = 0
+      while (i < ks.length) { f(ks(i), valueAt(i)); i += 1 }
+    }
+  }
+
   /** [[StrArrayMap]] with primitive long values (null counts). */
   private final class LongArrayMap(ks: Array[String], vs: Array[Long])
-      extends scala.collection.immutable.AbstractMap[String, Long] {
+      extends scala.collection.immutable.AbstractMap[String, Long]
+      with java.io.Serializable {
     private def idx(key: String): Int = {
       var i = 0
       while (i < ks.length) {

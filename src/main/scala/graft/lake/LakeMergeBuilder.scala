@@ -166,7 +166,10 @@ final class LakeMergeBuilder private[lake] (
       "merge needs at least one WHEN MATCHED / WHEN NOT MATCHED / " +
       "WHEN NOT MATCHED BY SOURCE clause")
     if (schemaEvolution) {
-      val tgt = table.snapshot().schema.fieldNames
+      // metadata-light: the widen decision needs the schema only
+      val tgt = org.apache.spark.sql.types.StructType.fromDDL(
+        Snapshot.replayMeta(table.log, table.log.latestVersion)
+          ._1.schemaDDL).fieldNames
         .map(_.toLowerCase).toSet
       val newCols = source.schema.fields
         .filterNot(f => tgt.contains(f.name.toLowerCase))
@@ -193,10 +196,12 @@ final class LakeMergeBuilder private[lake] (
       // (both merges touch the same files, and the file-conflict
       // check fires before any closure re-check can) — same verdict
       // iff the txn is now recorded; a conflict with any OTHER
-      // writer stays loud
+      // writer stays loud. Metadata-light: the watermark check needs
+      // txns only, never the file list.
       case e: ConflictingCommitException
           if txn.exists { case (a, v) =>
-            table.snapshot().transactions.get(a).exists(_ >= v) } => ()
+            Snapshot.replayMetaTxns(table.log, table.log.latestVersion)
+              ._4.get(a).exists(_ >= v) } => ()
     }
     finally { src.unpersist(false); () }
   }
@@ -229,18 +234,23 @@ final class LakeMergeBuilder private[lake] (
       aliasTgt: DataFrame => DataFrame, src: DataFrame,
       materializeIfNonDeterministic: DataFrame => DataFrame): Unit = {
     val spark = table.spark
-    val snap = table.snapshot()
+    // DML plan (VERDICT r14 #2): under the columnar conf the
+    // touched-file discovery, the insert anti-join, and the touched
+    // AddFile fetch all run through the distributed checkpoint scan —
+    // a MERGE against a 10⁷-file table never materializes the live
+    // list on the driver; only the touched subset does.
+    val plan = table.dmlPlan()
     // idempotence: this app already committed through this version —
     // the merge's effect is in the table, replaying it would not be
     if (txn.exists { case (a, v) =>
-        snap.transactions.get(a).exists(_ >= v) })
+        plan.transactions.get(a).exists(_ >= v) })
       return
     // insert-only merges are appends; matched / by-source clauses
     // rewrite rows
     if (matchedClauses.nonEmpty || bySourceClauses.nonEmpty)
-      LakeTable.assertNotAppendOnly(snap, "MERGE with matched clauses",
-        table.tablePath)
-    val fields = snap.schema.fields.toSeq
+      LakeTable.assertNotAppendOnly(plan.metadata,
+        "MERGE with matched clauses", table.tablePath)
+    val fields = plan.schema.fields.toSeq
     val condExpr = expr(condition)
     val FILE = "__graft_file"
     val RID = "__graft_rid"
@@ -253,14 +263,14 @@ final class LakeMergeBuilder private[lake] (
     // are soft-deleted via DV sidecars and only the UPDATED versions
     // and inserts are written — write volume O(clause-hit rows)
     // instead of O(touched files).
-    val dvMode = LakeTable.dvEnabled(snap)
+    val dvMode = LakeTable.dvEnabled(plan.metadata)
     // Row-tracked tables ([[RowTracking]]): target-derived rewrite
     // rows (updates AND untouched keep-side rows) carry their ids
     // into the new files; merge-INSERTED rows are new logical rows
     // and read fresh ids from the new file's baseRowId block (their
     // materialized id is null, so the read-side coalesce falls
     // through to base + row_index).
-    val rt = RowTracking.enabled(snap.metadata.properties)
+    val rt = RowTracking.enabled(plan.metadata.properties)
 
     // Single-evaluation discipline: each side's combined frame feeds up
     // to three consumers (dup fail-fast, table rewrite, CDC). A
@@ -317,7 +327,11 @@ final class LakeMergeBuilder private[lake] (
     // against the target plan; unresolvable ⇒ loud failure before any
     // job runs.
     if (bySourceClauses.nonEmpty) {
-      val tgtOnly = aliasTgt(snap.toDF(spark))
+      // analysis only — an empty frame with the table schema resolves
+      // identically and costs no planning against the file index
+      val tgtOnly = aliasTgt(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        plan.schema))
       val exprs = bySourceClauses.flatMap {
         case UpdateClause(c, set) => c.toSeq ++ set.values
         case DeleteClause(c) => c.toSeq
@@ -342,29 +356,31 @@ final class LakeMergeBuilder private[lake] (
     // all-files-with-unmatched-rows, which is what the semantics
     // require.
     try {
-    // snapshotDFWithMeta (not toDF): `_metadata` is materialized as a
-    // real column so file identity survives the deletion-vector
+    // the with-meta frame (not toDF): `_metadata` is materialized as
+    // a real column so file identity survives the deletion-vector
     // anti-join/union on DV-carrying tables.
     val withFile = aliasTgt(
-      graft.sources.LakeDataSource.snapshotDFWithMeta(spark, snap)
-        .withColumn(FILE, col("_metadata.file_path")))
+      plan.withMetaDF.withColumn(FILE, col("_metadata.file_path")))
     val bySourceHit: Column = bySourceClauses
       .map(cl => clauseCond(cl.cond))
       .reduceOption(_ || _).getOrElse(lit(false))
     val touchedMatched: Seq[String] =
-      if (matchedClauses.isEmpty || snap.files.isEmpty) Nil
+      if (matchedClauses.isEmpty || plan.isEmpty) Nil
       else withFile
         .join(src, condExpr, "left_semi")
         .select(col(FILE)).distinct().collect()
         .map(r => table.relativize(r.getString(0))).toSeq
     val touchedBySource: Seq[String] =
-      if (bySourceClauses.isEmpty || snap.files.isEmpty) Nil
+      if (bySourceClauses.isEmpty || plan.isEmpty) Nil
       else withFile
         .join(src, condExpr, "left_anti")
         .filter(bySourceHit)
         .select(col(FILE)).distinct().collect()
         .map(r => table.relativize(r.getString(0))).toSeq
     val touched: Seq[String] = (touchedMatched ++ touchedBySource).distinct
+    // rewrite phase anchors on the TOUCHED-subset snapshot — under a
+    // columnar plan this is the only point AddFiles reach the driver
+    val snap = plan.subset(touched)
 
     var cdcMatched: Option[DataFrame] = None
     var dvPairs: Option[DataFrame] = None
@@ -507,8 +523,8 @@ final class LakeMergeBuilder private[lake] (
     // ---- not-matched side: anti-join → inserts ---------------------------
     val inserts: Option[DataFrame] = if (insertClauses.isEmpty) None else {
       val unmatched =
-        if (snap.files.isEmpty) src
-        else src.join(aliasTgt(snap.toDF(spark)), condExpr, "left_anti")
+        if (plan.isEmpty) src
+        else src.join(aliasTgt(plan.toDF), condExpr, "left_anti")
       val insertIdx = insertClauses.zipWithIndex.foldLeft(
         when(lit(false), lit(0))) { case (acc, (cl, i)) =>
           acc.when(clauseCond(cl.cond), lit(i + 1))
@@ -544,7 +560,7 @@ final class LakeMergeBuilder private[lake] (
     val cdcInserts = inserts.map(
       _.withColumn("_change_type", lit("insert")))
     val cdcDf =
-      if (!LakeTable.cdfEnabled(snap)) None
+      if (!LakeTable.cdfEnabled(plan.metadata)) None
       else (cdcMatched.toSeq ++ cdcInserts.toSeq)
         .reduceOption(_.unionByName(_))
     // The scratch dir is allocated HERE, not inside the task, so the
@@ -604,16 +620,19 @@ final class LakeMergeBuilder private[lake] (
           conflictPaths) { _ =>
           // Same metadata conflict rule as commitRewrite: a racing
           // mapped RENAME/ADD COLUMN invalidates files staged under
-          // the read snapshot's mapping epoch.
+          // the read snapshot's mapping epoch. Metadata-light reads —
+          // the conflict check must not itself replay the file list.
           if (table.log.latestVersion > snap.version &&
-              table.log.snapshot().metadata != snap.metadata)
+              Snapshot.replayMeta(table.log, table.log.latestVersion)
+                ._1 != snap.metadata)
             throw new ConflictingCommitException(
               s"table metadata of ${table.tablePath} changed " +
               s"concurrently with this MERGE (read version " +
               s"${snap.version}); re-run the operation")
           txn.foreach { case (a, v) =>
-            if (table.log.latestVersion > snap.version && table.log
-                .snapshot().transactions.get(a).exists(_ >= v))
+            if (table.log.latestVersion > snap.version &&
+                Snapshot.replayMetaTxns(table.log,
+                  table.log.latestVersion)._4.get(a).exists(_ >= v))
               throw new TxnAlreadyCommittedException(a, v)
           }
           Seq(CommitInfo(now, "MERGE",

@@ -588,22 +588,47 @@ final class LakeTable private (
 
   // ---- DML ---------------------------------------------------------------
 
+  /** DML planning state (VERDICT r14 #2): columnar when the session
+    * conf is on and the table qualifies (multi-part parquet
+    * checkpoint, sidecar bound — [[graft.sources.ColumnarLakeFileIndex
+    * .tryBuild]]'s gate) so touched-file discovery and the touched
+    * AddFile fetch run through the distributed checkpoint scan and the
+    * driver never materializes the live list; the classic materialized
+    * snapshot otherwise. Row-tracked tables stay classic: their DV
+    * paths scan the full table `withRowIds`, whose (file → baseRowId)
+    * broadcast map is O(table) driver state either way.
+    */
+  private[lake] def dmlPlan(): DmlPlan = {
+    val columnar = spark.conf
+      .getOption("spark.graft.columnarFileIndex").exists(_.toBoolean)
+    if (columnar) {
+      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, -1)
+        .filterNot(idx => RowTracking.enabled(idx.metadata.properties))
+        .foreach { idx => return new DmlPlan.Columnar(this, idx) }
+    }
+    new DmlPlan.Classic(this, snapshot())
+  }
+
   /** Predicate DELETE (D5). Partition-only predicates are metadata-only:
     * whole files are dropped from the log without reading data.
     */
   def delete(condition: String): Unit = {
-    val snap = snapshot()
-    LakeTable.assertNotAppendOnly(snap, "DELETE", tablePath)
+    val plan = dmlPlan()
+    LakeTable.assertNotAppendOnly(plan.metadata, "DELETE", tablePath)
     val cond = expr(condition)
-    FilePruner.partitionOnlyMatches(snap, condition, Some(spark)) match {
-      case Some(matchedFiles) => // metadata-only path
-        commitRewrite(snap, matchedFiles.map(_.path), Nil, "DELETE",
+    plan.partitionOnlyMatches(condition) match {
+      case Some(matchedPaths) => // metadata-only path
+        commitRewrite(plan.subset(Nil), matchedPaths, Nil, "DELETE",
           Map("predicate" -> condition))
-      case None if LakeTable.dvEnabled(snap) =>
-        deleteWithDv(snap, cond, condition)
+      case None if LakeTable.dvEnabled(plan.metadata) =>
+        deleteWithDv(plan, cond, condition)
       case None =>
-        val touched = touchedFiles(snap, cond)
+        val touched = plan.touchedPaths(cond)
         if (touched.nonEmpty) {
+          // rewrite phase operates on the TOUCHED-subset snapshot —
+          // under the columnar plan the driver first materializes
+          // AddFiles here, and only for the touched set
+          val snap = plan.subset(touched)
           // readForRewrite: on row-tracked tables the KEPT rows carry
           // their ids into the rewritten files
           val kept = readForRewrite(snap, touched)
@@ -655,20 +680,20 @@ final class LakeTable private (
     * outright instead of carrying a full-file DV.
     */
   private def deleteWithDv(
-      snap: Snapshot, cond: Column, condition: String): Unit = {
+      plan: DmlPlan, cond: Column, condition: String): Unit = {
     import org.apache.spark.storage.StorageLevel
-    if (snap.files.isEmpty) return
-    val fields = snap.schema.fields.toSeq
+    if (plan.isEmpty) return
+    val fields = plan.schema.fields.toSeq
     val FILE = "__graft_dv_file"
     val IDX = "__graft_dv_idx"
     // ONE full scan feeds everything: unlike copy-on-write (which
     // needs a touched-file list up front to rewrite whole files), a DV
     // delete only needs the MATCHING rows — so the touched set is
     // derived from the cached hits instead of a separate
-    // touchedFiles() pass, halving the table scans per DELETE.
-    // Existing DVs are already applied by snapshotDFWithMeta, so
+    // touchedPaths() pass, halving the table scans per DELETE.
+    // Existing DVs are already applied by the with-meta frame, so
     // re-deleting a soft-deleted row is impossible by construction.
-    val hits = graft.sources.LakeDataSource.snapshotDFWithMeta(spark, snap)
+    val hits = plan.withMetaDF
       .filter(coalesce(cond, lit(false)))
       .select(fields.map(f => col(quoted(f.name))) ++ Seq(
         col("_metadata.file_path").as(FILE),
@@ -677,6 +702,7 @@ final class LakeTable private (
     val touched: Seq[String] = hits.select(col(FILE)).distinct()
       .collect().map(r => relativize(r.getString(0))).toSeq
     if (touched.isEmpty) { hits.unpersist(false); return }
+    val snap = plan.subset(touched)
     val dvRelsWritten =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
@@ -798,25 +824,24 @@ final class LakeTable private (
     * copy-on-write UPDATE: one projection feeds the appended data, the
     * CDC pre/postimage, and the DV index pairs.
     */
-  private def updateWithDv(snap: Snapshot, cond: Column,
+  private def updateWithDv(plan: DmlPlan, cond: Column,
       condition: String, set: Map[String, String]): Unit = {
     import org.apache.spark.storage.StorageLevel
-    if (snap.files.isEmpty) return
-    val fields = snap.schema.fields.toSeq
+    if (plan.isEmpty) return
+    val fields = plan.schema.fields.toSeq
     def newName(n: String) = s"_graft_upd_$n"
     val FILE = "__graft_dv_file"
     val IDX = "__graft_dv_idx"
     // Matching rows only, in ONE full scan (the touched set falls out
     // of the materialized projection below — no separate
-    // touchedFiles() pass; see deleteWithDv): old values for CDC,
+    // touchedPaths() pass; see deleteWithDv): old values for CDC,
     // SET-applied new values, (file, idx) identity for the DV.
     // Existing DVs are applied by the scan. Row-tracked tables also
     // carry RowTracking.COL so the updated copies keep their ids.
-    val rt = RowTracking.enabled(snap.metadata.properties)
+    val rt = RowTracking.enabled(plan.metadata.properties)
     val rtCols =
       if (rt) Seq(col(quoted(RowTracking.COL))) else Nil
-    val raw = graft.sources.LakeDataSource
-      .snapshotDFWithMeta(spark, snap, withRowIds = rt)
+    val raw = plan.withMetaDF(withRowIds = rt)
       .filter(coalesce(cond, lit(false)))
       .select(fields.map(f => col(quoted(f.name))) ++
         fields.map { f =>
@@ -843,6 +868,10 @@ final class LakeTable private (
       val touched: Seq[String] = projected.select(col(FILE)).distinct()
         .collect().map(r => relativize(r.getString(0))).toSeq
       if (touched.isEmpty) return
+      // rewrite phase anchors on the TOUCHED-subset snapshot (under a
+      // columnar plan this is the first — and only — point AddFiles
+      // materialize on the driver)
+      val snap = plan.subset(touched)
       val updated = projected.select(
         fields.map(f => col(quoted(newName(f.name))).as(f.name)) ++
           rtCols: _*)
@@ -896,18 +925,19 @@ final class LakeTable private (
   }
 
   def update(condition: String, set: Map[String, String]): Unit = {
-    val snap = snapshot()
-    LakeTable.assertNotAppendOnly(snap, "UPDATE", tablePath)
+    val plan = dmlPlan()
+    LakeTable.assertNotAppendOnly(plan.metadata, "UPDATE", tablePath)
     val identityTargets = set.keySet.intersect(
-      LakeTable.identityColumns(snap.metadata.properties).keySet)
+      LakeTable.identityColumns(plan.metadata.properties).keySet)
     require(identityTargets.isEmpty,
       s"cannot UPDATE identity column(s) ${identityTargets.mkString(", ")}" +
       s" of $tablePath (GENERATED ALWAYS AS IDENTITY)")
     val cond = expr(condition)
-    if (LakeTable.dvEnabled(snap))
-      return updateWithDv(snap, cond, condition, set)
-    val touched = touchedFiles(snap, cond)
+    if (LakeTable.dvEnabled(plan.metadata))
+      return updateWithDv(plan, cond, condition, set)
+    val touched = plan.touchedPaths(cond)
     if (touched.isEmpty) return
+    val snap = plan.subset(touched)
     val matchedFlag = coalesce(cond, lit(false))
     val fields = snap.schema.fields.toSeq
     def newName(n: String) = s"_graft_upd_$n"
@@ -2273,7 +2303,7 @@ final class LakeTable private (
   private def assertMetadataUnchanged(
       snap: Snapshot, operation: String): Unit =
     if (log.latestVersion > snap.version &&
-        log.snapshot().metadata != snap.metadata)
+        Snapshot.replayMeta(log, log.latestVersion)._1 != snap.metadata)
       throw new ConflictingCommitException(
         s"table metadata of $tablePath changed concurrently with " +
         s"this $operation (read version ${snap.version}); re-run " +
@@ -2293,10 +2323,12 @@ final class LakeTable private (
         assertMetadataUnchanged(snap, operation)
         // idempotent-writer re-check on every attempt (mirrors
         // LakeWriter.write): a concurrent twin of the same app landing
-        // this txn mid-stage means its commit IS this one's effect
+        // this txn mid-stage means its commit IS this one's effect.
+        // Metadata-light read — never replays the file list.
         txn.foreach { case (a, v) =>
           if (log.latestVersion > snap.version &&
-              log.snapshot().transactions.get(a).exists(_ >= v))
+              Snapshot.replayMetaTxns(log, log.latestVersion)
+                ._4.get(a).exists(_ >= v))
             throw new TxnAlreadyCommittedException(a, v)
         }
         Seq(CommitInfo(now, operation, params)) ++
@@ -2568,20 +2600,28 @@ object LakeTable {
 
   /** Whether DML on this snapshot's table should persist CDC files. */
   private[lake] def cdfEnabled(snap: Snapshot): Boolean =
-    snap.metadata.properties
-      .get(PROP_ENABLE_CDF).forall(_.toBoolean)
+    cdfEnabled(snap.metadata)
+
+  private[lake] def cdfEnabled(meta: Metadata): Boolean =
+    meta.properties.get(PROP_ENABLE_CDF).forall(_.toBoolean)
 
   /** Whether DELETE on this snapshot's table writes deletion vectors
     * (merge-on-read) instead of rewriting files (copy-on-write).
     */
   private[lake] def dvEnabled(snap: Snapshot): Boolean =
-    snap.metadata.properties
-      .get(PROP_ENABLE_DV).exists(_.toBoolean)
+    dvEnabled(snap.metadata)
+
+  private[lake] def dvEnabled(meta: Metadata): Boolean =
+    meta.properties.get(PROP_ENABLE_DV).exists(_.toBoolean)
 
   /** Throws if the table forbids row-removing operations. */
   private[graft] def assertNotAppendOnly(
       snap: Snapshot, op: String, tablePath: String): Unit =
-    if (snap.metadata.properties.get(PROP_APPEND_ONLY).exists(_.toBoolean))
+    assertNotAppendOnly(snap.metadata, op, tablePath)
+
+  private[graft] def assertNotAppendOnly(
+      meta: Metadata, op: String, tablePath: String): Unit =
+    if (meta.properties.get(PROP_APPEND_ONLY).exists(_.toBoolean))
       throw new UnsupportedOperationException(
         s"$op is not allowed on append-only table $tablePath " +
         s"($PROP_APPEND_ONLY=true); unset the property first if this " +

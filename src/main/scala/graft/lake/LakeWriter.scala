@@ -402,16 +402,20 @@ object LakeWriter {
       properties: Map[String, String] = null,
       layoutManaged: Boolean = false): Seq[AddFile] = {
     val spark = df.sparkSession
-    lazy val logSnapshot = {
+    // metadata-light: every fallback below needs the Metadata action
+    // only, never the file list
+    lazy val logMeta: Option[Metadata] = {
       val log = new LakeLog(tablePath)
-      if (log.exists) Some(log.snapshot()) else None
+      if (log.exists && log.latestVersion >= 0)
+        Some(Snapshot.replayMeta(log, log.latestVersion)._1)
+      else None
     }
     val mapping = Option(physicalFor).getOrElse {
-      logSnapshot.map(s => ColumnMapping.overrides(s.metadata))
+      logMeta.map(ColumnMapping.overrides)
         .getOrElse(Map.empty[String, String])
     }
     val props = Option(properties).getOrElse {
-      logSnapshot.map(_.metadata.properties)
+      logMeta.map(_.properties)
         .getOrElse(Map.empty[String, String])
     }
     val bloomLogicalCols = BloomIndex.indexedColumns(props)
@@ -421,8 +425,10 @@ object LakeWriter {
     // absent from this frame — a pre-evolution write — is fine and
     // skipped per-file by buildSidecars.)
     if (bloomLogicalCols.nonEmpty) {
-      val known = logSnapshot.map(_.schema.fieldNames.toSet)
-        .getOrElse(Set.empty) ++ df.columns
+      val known = logMeta
+        .map(m => org.apache.spark.sql.types.StructType
+          .fromDDL(m.schemaDDL).fieldNames.toSet)
+        .getOrElse(Set.empty[String]) ++ df.columns
       bloomLogicalCols.foreach { c =>
         require(known.contains(c),
           s"${BloomIndex.PROP_COLUMNS} names unknown column $c; " +
@@ -910,9 +916,11 @@ object LakeWriter {
     // Writer protocol gate — centralized here so EVERY commit path
     // (write, DML rewrite, DDL, maintenance) refuses a table whose log
     // demands writer semantics this engine does not implement.
+    // Metadata-light: the gate needs the Protocol action only — a
+    // full replay here would make every commit O(table) again.
     if (log.exists && log.latestVersion >= 0)
       LakeProtocol.assertWritable(
-        log.snapshot().protocol, log.tablePath)
+        Snapshot.replayMeta(log, log.latestVersion)._2, log.tablePath)
     while (true) {
       val latest = log.latestVersion
       if (readVersion >= 0 && ours.nonEmpty && latest > readVersion) {

@@ -47,10 +47,34 @@ object MetaScaleBench {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-metascale").toString
     val log = new LakeLog(dir)
+    // Realistic stat width: LakeWriter records min/max/nullCount for
+    // every leaf column, so a 10⁶-file table of a TPC-H-ish 12-column
+    // schema carries ~12 entries per stat map per file — the shape the
+    // ~5 GB/10⁶-file driver number (SCALE.md) actually comes from. A
+    // 1-column fixture would flatter or hide the representation cost
+    // either way.
+    val dataCols = Seq("id", "k1", "k2", "qty", "price", "disc", "tax",
+      "flag", "status", "shipdate", "commitdate")
+    val schemaDDL = "id BIGINT, " +
+      dataCols.drop(1).map(c => s"$c STRING").mkString(", ") + ", p INT"
     log.commit(0L, Seq(
       CommitInfo(1L, "CREATE", Map.empty),
-      Metadata("id BIGINT, p INT", Seq("p"), 1L),
+      Metadata(schemaDDL, Seq("p"), 1L),
       Protocol()))
+    def addFor(i: Int): AddFile = {
+      val mins = dataCols.map {
+        case "id" => "id" -> (i.toLong * 100).toString
+        case c => c -> s"${c}_${i % 7}min"
+      }.toMap
+      val maxs = dataCols.map {
+        case "id" => "id" -> (i.toLong * 100 + 99).toString
+        case c => c -> s"${c}_${i % 7}max"
+      }.toMap
+      AddFile(s"p=${i % 1000}/f$i.parquet",
+        Map("p" -> (i % 1000).toString),
+        1024L * 1024 * 100, 100L, mins, maxs,
+        dataCols.map(_ -> 0L).toMap)
+    }
     val nCommits = (nFiles + perCommit - 1) / perCommit
     timed(s"commit ${nFiles / 1000}k adds") {
       (1 to nCommits).foreach { cNum =>
@@ -58,14 +82,7 @@ object MetaScaleBench {
         val hi = math.min(cNum * perCommit, nFiles)
         log.commit(cNum.toLong,
           CommitInfo(cNum + 1L, "APPEND", Map.empty) +:
-            (lo until hi).map { i =>
-              AddFile(s"p=${i % 1000}/f$i.parquet",
-                Map("p" -> (i % 1000).toString),
-                1024L * 1024 * 100, 100L,
-                Map("id" -> (i.toLong * 100).toString),
-                Map("id" -> (i.toLong * 100 + 99).toString),
-                Map("id" -> 0L)): Action
-            })
+            (lo until hi).map(addFor(_): Action))
       }
     }
     // versions above are below the 10-commit cadence for small runs;
@@ -129,6 +146,49 @@ object MetaScaleBench {
     Snapshot.clearCacheForTest()
     val snap = timed("cold snapshot replay") { log.snapshot(latest) }
     println(s"  files in snapshot: ${snap.files.size}")
+    // Snapshot HEAP leg (VERDICT r14 #1): retained bytes of the
+    // materialized file list under the interned/compact AddFile
+    // representation ([[Interned]]) vs the pre-round-15 shape —
+    // per-file private key AND value strings (what the JSON/parquet
+    // decoders produced per line before interning), standard hash
+    // maps, boxed null counts. Three GC-pumped marks: interned = the
+    // replayed snapshot's own delta; plain = the delta of a faithful
+    // old-representation rebuild stacked on top (it shares only the
+    // path strings with the snapshot — a bias AGAINST the interned
+    // side, which carries them). Δ at 10⁶ files is GBs, far above
+    // GC-measurement noise.
+    locally {
+      def usedHeap(): Long = {
+        (1 to 3).foreach { _ => System.gc(); Thread.sleep(100) }
+        val rt = Runtime.getRuntime
+        rt.totalMemory() - rt.freeMemory()
+      }
+      Snapshot.clearCacheForTest()
+      var snapH: Snapshot = null
+      val h0 = usedHeap()
+      snapH = log.snapshot(latest)
+      val h1 = usedHeap()
+      val internedBytes = h1 - h0
+      def fresh(s: String) = if (s == null) null else new String(s)
+      val plain = snapH.files.map { a =>
+        a.copy(
+          partitionValues = a.partitionValues.map { case (k, v) =>
+            (fresh(k), fresh(v)) },
+          minValues = a.minValues.map { case (k, v) =>
+            (fresh(k), fresh(v)) },
+          maxValues = a.maxValues.map { case (k, v) =>
+            (fresh(k), fresh(v)) },
+          nullCounts = a.nullCounts.map { case (k, v) =>
+            (new String(k), v) })
+      }.toVector
+      val h2 = usedHeap()
+      val plainBytes = h2 - h1
+      printf("%-28s %8.1f MB plain  vs %8.1f MB interned  (%.1fx)%n",
+        "snapshot heap (files)", plainBytes / 1e6, internedBytes / 1e6,
+        plainBytes.toDouble / math.max(internedBytes, 1L))
+      // keep both alive past the second measurement
+      require(plain.size == snapH.files.size)
+    }
     timed("partition prune (1/1000)") {
       val hit = FilePruner.prune(snap, "p = 500")
       require(hit.size == nFiles / 1000,
@@ -148,6 +208,39 @@ object MetaScaleBench {
     // state of a fresh driver planning against an old big table
     Snapshot.clearCacheForTest()
     timed("warm-fs snapshot replay") { log.snapshot(latest) }
+    // Filesystem legs (VERDICT r14 #5, opt-in via the `fs` arg: they
+    // create one physical file per AddFile first): VACUUM's candidate
+    // listing — distributed over top-level partition directories
+    // above [[LakeTable.DISTRIBUTED_VACUUM_LIST_MIN_FILES]] — timed
+    // against FSCK's distributed existence probe, the posture the
+    // listing was modeled on. Both are dry runs: the cost under
+    // measurement is the 10⁶-entry walk/stat fan-out, not deletion.
+    if (args.contains("fs")) {
+      val tableDir = dir
+      val paths = snap.files.map(_.path)
+      timed(s"create ${paths.size / 1000}k physical files") {
+        spark.sparkContext.parallelize(paths, 64).foreachPartition { it =>
+          it.foreach { rel =>
+            val p = java.nio.file.Paths.get(tableDir, rel)
+            java.nio.file.Files.createDirectories(p.getParent)
+            try { java.nio.file.Files.createFile(p); () }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => ()
+            }
+          }
+        }
+      }
+      val tbl = LakeTable.forPath(spark, dir)
+      timed("fsck dry-run (probe)") {
+        val missing = tbl.fsckRepair(dryRun = true)
+        require(missing.isEmpty, s"fsck found ${missing.size} missing")
+      }
+      timed("vacuum dry-run (listing)") {
+        val deletable = tbl.vacuum(dryRun = true)
+        require(deletable.isEmpty,
+          s"vacuum flagged ${deletable.size} live files")
+      }
+    }
     LakeWriter.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()
   }

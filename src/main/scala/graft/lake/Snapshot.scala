@@ -112,6 +112,11 @@ object Snapshot {
 
   /** Test hook: count of replays served from the cache. */
   private[lake] val cacheHits = new java.util.concurrent.atomic.AtomicLong
+  /** Test hook: count of FULL replays (file list materializations) —
+    * the columnar-DML tests assert a MERGE/DELETE/UPDATE planned
+    * through the distributed checkpoint scan never increments it.
+    */
+  private[graft] val fullReplays = new java.util.concurrent.atomic.AtomicLong
   private[lake] def clearCacheForTest(): Unit =
     cache.synchronized(cache.clear())
 
@@ -159,13 +164,28 @@ object Snapshot {
     */
   private[graft] def replayMeta(log: LakeLog, version: Long)
       : (Metadata, Protocol, Map[String, Map[String, String]]) = {
+    val (m, p, d, _) = replayMetaTxns(log, version)
+    (m, p, d)
+  }
+
+  /** [[replayMeta]] plus the idempotent-writer watermark map
+    * (Txn actions): checkpoint txns ride the head prefix (strictly
+    * before any add — [[LakeLog.writeCheckpoint]]'s contract) and the
+    * tail's txn lines pass the same [[Action.isMetaLine]] prefix
+    * sniff, so the fold stays O(head + tail), never O(files). The
+    * columnar DML planner needs `transactions` for MERGE idempotence
+    * without paying a full replay.
+    */
+  private[graft] def replayMetaTxns(log: LakeLog, version: Long)
+      : (Metadata, Protocol, Map[String, Map[String, String]],
+         Map[String, Long]) = {
     val key = (Paths.get(log.tablePath).toAbsolutePath.normalize.toString,
       version)
     val fp = fingerprint(log, version)
     val cached = cache.synchronized(Option(cache.get(key)))
       .filter(_.fingerprint == fp).flatMap(e => Option(e.ref.get))
     cached match {
-      case Some(s) => (s.metadata, s.protocol, s.domains)
+      case Some(s) => (s.metadata, s.protocol, s.domains, s.transactions)
       case None =>
         var metadata: Metadata = null
         // Protocol folds here too: direct LakeLog.commit callers gate
@@ -175,12 +195,20 @@ object Snapshot {
         var protocol: Protocol = Protocol()
         val domains =
           scala.collection.mutable.HashMap.empty[String, Map[String, String]]
+        val txns = scala.collection.mutable.HashMap.empty[String, Long]
+        var inCheckpoint = true
         def fold(a: Action): Unit = a match {
           case m: Metadata => metadata = m
           case p: Protocol => protocol = p
           case d: DomainMetadata =>
             if (d.removed) domains.remove(d.domain)
             else domains(d.domain) = d.configuration
+          case t: Txn =>
+            // same semantics as doReplay: checkpoint rows assign,
+            // tail lines max-fold
+            if (inCheckpoint) txns(t.appId) = t.version
+            else txns(t.appId) =
+              math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
           case _ => ()
         }
         def metaOfJsonLines(p: java.nio.file.Path): Unit =
@@ -207,6 +235,7 @@ object Snapshot {
             ckptVersion + 1
           case None => 0L
         }
+        inCheckpoint = false
         var v = startAt
         while (v <= version) {
           // same retention-horizon translation doReplay gives: a
@@ -223,7 +252,7 @@ object Snapshot {
           throw new IllegalStateException(
             s"lake table at ${log.tablePath} has no Metadata action by " +
             s"version $version")
-        (metadata, protocol, domains.toMap)
+        (metadata, protocol, domains.toMap, txns.toMap)
     }
   }
 
@@ -244,6 +273,7 @@ object Snapshot {
   }
 
   private def doReplay(log: LakeLog, version: Long): Snapshot = {
+    fullReplays.incrementAndGet()
     var metadata: Metadata = null
     var protocol: Protocol = Protocol()
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]

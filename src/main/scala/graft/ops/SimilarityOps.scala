@@ -314,9 +314,12 @@ object SimilarityOps {
     *    cosine against the reconstruction.
     *
     * Codebook training is deterministic and driver-side on a bounded
-    * sample (max(8·pqK, 256) residuals by xxhash64 order — the same
-    * metadata-sized-collect posture as [[kmeansCentroids]]): greedy
-    * farthest-point seeding then 3 Lloyd iterations per subspace.
+    * sample (max(8·pqK, 256) residuals by md5-coordinate order — the
+    * engine's standard deterministic selector, chosen over xxhash64
+    * because a DuckDB oracle can replay `md5(id)` but not Spark's
+    * xxhash64; same metadata-sized-collect posture as
+    * [[kmeansCentroids]]): greedy farthest-point seeding then 3 Lloyd
+    * iterations per subspace.
     * ENCODING is distributed: one mapPartitions pass over the
     * committed assignments with the codebooks riding a broadcast —
     * per-task init (decode codebooks once) is the point, the
@@ -338,7 +341,7 @@ object SimilarityOps {
     val assignments = graft.lake.LakeTable
       .forPath(spark, s"$indexPath/assignments").toDF
     val sample = assignments
-      .withColumn("__h", xxhash64(col("id")))
+      .withColumn("__h", md5(col("id").cast("string")))
       .orderBy(col("__h"), col("id"))
       .limit(math.max(8 * pqK, 256))
       .select(col("vec"), col("cell"))

@@ -139,6 +139,163 @@ object OpsQueries {
        |  CAST(nf AS BIGINT) AS n_found,
        |  ROUND(nf * 1.0 / nq, 4) AS recall FROM agg""".stripMargin
 
+  /** DuckDB replay of the FULL IVF-PQ pipeline (VERDICT r14 #6 —
+    * collapses the gate's no_oracle): centroids/assignment exactly as
+    * [[ivfReplaySql]]; the 256-row residual training sample by
+    * md5-coordinate order (buildPqTables' selector, switched from
+    * xxhash64 for exactly this replayability); per-subspace codebook
+    * training UNROLLED — pqK−1 greedy farthest-point seeding rounds
+    * then 3 Lloyd iterations, the [[bpeMergesReplaySql]] posture —
+    * with Scala's exact tie rules (first max on seeding, first min on
+    * assignment, empty Lloyd cluster keeps its center, per-dim means
+    * cast through FLOAT); the distributed encode (argmin code per
+    * subspace, reconstruction vhat, float-cast reconstruction norm);
+    * ADC scoring dot(q, vhat)/(|q|·norm_hat) over the probed cells;
+    * rerank-64 exact re-rank at 6-decimal rounding; top-k recall.
+    * Tie-robustness: planted sources re-rank at cos ≈ 0.99 vs
+    * ≈ 0.3–0.5 noise, so a last-ulp summation-order difference deep
+    * in codebook training can shift individual codes but cannot move
+    * a source across the rerank-64 or top-5 boundary.
+    */
+  private def pqReplaySql(pqM: Int = 8, pqK: Int = 16, dim: Int = 64,
+      sampleN: Int = 256, nprobe: Int = 4, k: Int = 5,
+      rerank: Int = 64): String = {
+    val sub = dim / pqM
+    // L2 over one subspace slice (double math over DOUBLE[] casts —
+    // same values the Scala loop folds)
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${sub + 1}), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+    val head = Seq(
+      s"""emb AS MATERIALIZED (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)""".stripMargin,
+      s"""cent AS MATERIALIZED (
+         |  SELECT id AS cid, v AS cv FROM emb ORDER BY id LIMIT 16)"""
+        .stripMargin,
+      s"""assign AS MATERIALIZED (
+         |  SELECT e.id, any_value(e.v) AS v,
+         |    arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+         |  FROM emb e CROSS JOIN cent c GROUP BY e.id)""".stripMargin,
+      s"""res AS MATERIALIZED (
+         |  SELECT a.id, a.cell, a.v,
+         |    list_transform(range(1, ${dim + 1}),
+         |      i -> a.v[i] - c.cv[i]) AS r
+         |  FROM assign a JOIN cent c ON c.cid = a.cell)""".stripMargin,
+      s"""samp AS MATERIALIZED (
+         |  SELECT mm.m, s.sidx,
+         |    s.r[mm.m*$sub+1 : mm.m*$sub+$sub] AS sv
+         |  FROM (SELECT r, ROW_NUMBER() OVER (
+         |          ORDER BY md5(CAST(id AS VARCHAR)), id) AS sidx
+         |        FROM res QUALIFY sidx <= $sampleN) s,
+         |       (SELECT unnest(range(0, $pqM)) AS m) mm)""".stripMargin,
+      """seeds1 AS MATERIALIZED (
+        |  SELECT m, [sv] AS ss FROM samp WHERE sidx = 1)""".stripMargin)
+    val seeding = (2 to pqK).map { j =>
+      s"""seeds$j AS MATERIALIZED (
+         |  SELECT m, list_append(ss, sv) AS ss FROM (
+         |    SELECT t.m, s.ss, t.sv, ROW_NUMBER() OVER (
+         |      PARTITION BY t.m ORDER BY
+         |        list_min(list_transform(s.ss,
+         |          c -> ${l2("t.sv", "c")})) DESC,
+         |        t.sidx ASC) AS rk
+         |    FROM samp t JOIN seeds${j - 1} s USING (m))
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val meanList = (1 to sub)
+      .map(i => s"CAST(CAST(sum(sv[$i])/count(*) AS FLOAT) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val lloyd = Seq(
+      s"lloyd0 AS (SELECT m, ss AS cs FROM seeds$pqK)") ++
+      (1 to 3).flatMap { j =>
+        Seq(
+          s"""asg$j AS (
+             |  SELECT m, sidx, sv, list_indexof(dl, list_min(dl)) AS ci
+             |  FROM (SELECT t.m, t.sidx, t.sv,
+             |      list_transform(l.cs, c -> ${l2("t.sv", "c")}) AS dl
+             |    FROM samp t JOIN lloyd${j - 1} l USING (m)))"""
+            .stripMargin,
+          s"""grp$j AS (
+             |  SELECT m, ci, $meanList AS nc
+             |  FROM asg$j GROUP BY m, ci)""".stripMargin,
+          s"""lloyd$j AS MATERIALIZED (
+             |  SELECT s.m, list(coalesce(g.nc, s.cs[kk.k])
+             |    ORDER BY kk.k) AS cs
+             |  FROM lloyd${j - 1} s
+             |  CROSS JOIN (SELECT unnest(range(1, ${pqK + 1})) AS k) kk
+             |  LEFT JOIN grp$j g ON g.m = s.m AND g.ci = kk.k
+             |  GROUP BY s.m)""".stripMargin)
+      }
+    val tail = Seq(
+      s"""pick AS MATERIALIZED (
+         |  SELECT id, m, cs[list_indexof(dl, list_min(dl))] AS cc
+         |  FROM (SELECT r.id, l.m, l.cs,
+         |      list_transform(l.cs, c ->
+         |        list_sum(list_transform(range(1, ${sub + 1}),
+         |          i -> (r.r[l.m*$sub+i]-c[i])
+         |             * (r.r[l.m*$sub+i]-c[i])))) AS dl
+         |    FROM res r CROSS JOIN lloyd3 l))""".stripMargin,
+      s"""pickagg AS MATERIALIZED (
+         |  SELECT id, flatten(list(cc ORDER BY m)) AS rc
+         |  FROM pick GROUP BY id)""".stripMargin,
+      s"""encn AS MATERIALIZED (
+         |  SELECT r.id, r.cell,
+         |    list_transform(range(1, ${dim + 1}),
+         |      i -> c.cv[i] + p.rc[i]) AS vhat
+         |  FROM res r JOIN cent c ON c.cid = r.cell
+         |  JOIN pickagg p ON p.id = r.id)""".stripMargin,
+      s"""encn2 AS MATERIALIZED (
+         |  SELECT id, cell, vhat,
+         |    CAST(CAST(sqrt(list_sum(list_transform(vhat, x -> x*x)))
+         |      AS FLOAT) AS DOUBLE) AS nh
+         |  FROM encn)""".stripMargin,
+      s"""q AS MATERIALIZED (
+         |  SELECT vec_id + 1000000 AS qid,
+         |    CAST(list_transform(embedding, (x, i) ->
+         |      CAST(x * (1.0 + 0.15 * sin(vec_id * 31 + (i - 1)))
+         |        AS FLOAT)) AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin,
+      s"""probes AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT q.qid, q.qv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC)
+         |        AS pr
+         |    FROM q CROSS JOIN cent c) WHERE pr <= $nprobe)"""
+        .stripMargin,
+      s"""cand AS (
+         |  SELECT p.qid, e.id,
+         |    list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> p.qv[i] * e.vhat[i])) /
+         |      (sqrt(list_sum(list_transform(p.qv, x -> x*x))) * e.nh)
+         |      AS approx
+         |  FROM probes p JOIN encn2 e ON e.cell = p.cid
+         |  WHERE p.qid <> e.id)""".stripMargin,
+      s"""rr AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY approx DESC, id ASC) AS ar FROM cand)
+         |  WHERE ar <= $rerank)""".stripMargin,
+      s"""ex AS (
+         |  SELECT rr.qid, rr.id,
+         |    ROUND(list_cosine_similarity(q.qv, a.v), 6) AS cos
+         |  FROM rr JOIN q ON q.qid = rr.qid
+         |  JOIN assign a ON a.id = rr.id)""".stripMargin,
+      s"""top AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, id ASC) AS rank FROM ex)
+         |  WHERE rank <= $k)""".stripMargin,
+      """agg AS (
+        |  SELECT (SELECT count(*) FROM q) AS nq,
+        |    (SELECT count(*) FROM top WHERE id = qid - 1000000) AS nf)"""
+        .stripMargin)
+    (head ++ seeding ++ lloyd ++ tail).mkString("WITH ", ",\n", "\n") +
+      """SELECT CAST(nq AS BIGINT) AS n_queries,
+        |  CAST(nf AS BIGINT) AS n_found,
+        |  ROUND(nf * 1.0 / nq, 4) AS recall FROM agg""".stripMargin
+  }
+
   /** The ±1 hyperplane component table of
     * [[graft.functions.HyperplaneBucket]] at bits=4 over 64 dims,
     * embedded as a SQL literal: component (p, i) is the parity of
@@ -362,7 +519,7 @@ object OpsQueries {
     */
   private def ensurePqIvfIndex(s: SparkSession, dir: String): String = {
     val path = fixture("sim_ivf_pq_index", dir)
-    val fp = tableFp(dir, "embeddings") + ":nlist=16:pqM=8:pqK=16:v1"
+    val fp = tableFp(dir, "embeddings") + ":nlist=16:pqM=8:pqK=16:v2"
     if (!fixtureFresh(path, fp)) {
       graft.lake.LakeWriter.deleteRecursively(
         java.nio.file.Paths.get(path))
@@ -2172,7 +2329,7 @@ object OpsQueries {
               / 10000))
           .toDF("n_queries", "n_found", "recall")
       },
-      None),
+      Some(pqReplaySql())),
 
     // Cluster-balanced downsampling (topic balancing): nearest of 16
     // deterministic centroids per vector, then each over-represented

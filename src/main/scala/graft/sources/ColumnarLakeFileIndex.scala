@@ -51,6 +51,7 @@ final class ColumnarLakeFileIndex private[sources] (
     spark: SparkSession, val log: LakeLog, val version: Long,
     meta: Metadata, protocol: Protocol,
     domains: Map[String, Map[String, String]],
+    transactions: Map[String, Long],
     ckptParts: Seq[String],
     tailAdds: Seq[AddFile], tailTouched: Set[String],
     summary: ColumnarLakeFileIndex.Summary) extends FileIndex {
@@ -83,8 +84,8 @@ final class ColumnarLakeFileIndex private[sources] (
       .listFiles(partitionFilters, dataFilters)
   }
 
-  private def syntheticSnap(files: Seq[AddFile]): Snapshot =
-    Snapshot(log, version, meta, files, Map.empty, protocol, domains)
+  private[graft] def syntheticSnap(files: Seq[AddFile]): Snapshot =
+    Snapshot(log, version, meta, files, transactions, protocol, domains)
 
   /** Conservative candidate set for `filters`: distributed scan of
     * the checkpoint parts (tail-touched paths masked — any tail
@@ -125,6 +126,47 @@ final class ColumnarLakeFileIndex private[sources] (
   private def candidates(filters: Seq[Expression]): Seq[AddFile] =
     candidatesAs(filters)(identity)
 
+  /** Conservative candidate AddFiles for already-parsed predicates —
+    * the DML planner's metadata-only entry point (partition-only
+    * DELETE). Driver memory is bounded by the predicate's match
+    * superset, never the table.
+    */
+  private[graft] def candidatesFor(filters: Seq[Expression]): Seq[AddFile] =
+    candidates(filters)
+
+  /** The AddFile entries of exactly `relPaths` (a DML's touched set),
+    * fetched through the distributed checkpoint scan — the driver
+    * holds O(touched) AddFiles, never the live list. Throws if any
+    * requested path is not live at this version (same contract as
+    * [[graft.lake.LakeTable]]'s `fileSubset`).
+    */
+  private[graft] def addsForPaths(relPaths: Seq[String]): Seq[AddFile] = {
+    if (relPaths.isEmpty) return Nil
+    val wanted = relPaths.toSet
+    val fromCkpt: Seq[AddFile] =
+      if (ckptParts.isEmpty) Nil
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        val want = spark.sparkContext.broadcast(wanted)
+        val parts = ckptParts // local val: don't capture `this`
+        spark.sparkContext
+          .parallelize(parts, parts.size)
+          .flatMap { p =>
+            graft.lake.CheckpointParquet
+              .read(java.nio.file.Paths.get(p)).iterator
+              .collect { case a: AddFile => a }
+          }
+          .filter(a => !touched.value.contains(a.path) &&
+            want.value.contains(a.path))
+          .collect().toSeq
+      }
+    val all = fromCkpt ++ tailAdds.filter(a => wanted(a.path))
+    require(all.size == wanted.size,
+      s"addsForPaths: ${wanted.size - all.size} of ${wanted.size} " +
+      s"paths not live at version $version of ${log.tablePath}")
+    all
+  }
+
   /** Full path listing — O(files) driver STRINGS when called (rare:
     * `Dataset.inputFiles`); AddFiles are projected to resolved path
     * strings inside the Spark job, so the per-file metadata (stat and
@@ -143,6 +185,10 @@ final class ColumnarLakeFileIndex private[sources] (
   private[graft] def allBucketTagged: Boolean = summary.allBucketTagged
 
   private[graft] def metadata: Metadata = meta
+  private[graft] def tableProtocol: Protocol = protocol
+  private[graft] def tableDomains: Map[String, Map[String, String]] = domains
+  private[graft] def tableTransactions: Map[String, Long] = transactions
+  private[graft] def numFiles: Long = summary.numFiles
 
   /** (file, sidecar) RELATIVE path pairs of the live set — what the
     * DV / bloom relation formats need (bounded by sidecar count).
@@ -222,7 +268,8 @@ object ColumnarLakeFileIndex {
     ckpt match {
       case None => None
       case Some((ckptVersion, partFiles)) =>
-        val (meta, protocol, domains) = Snapshot.replayMeta(log, version)
+        val (meta, protocol, domains, txns) =
+          Snapshot.replayMetaTxns(log, version)
         // the same gate every read path honors: never expose state
         // replayed under semantics this engine may not implement
         LakeProtocol.assertReadable(protocol, log.tablePath)
@@ -251,7 +298,8 @@ object ColumnarLakeFileIndex {
         }
         if (summary.overflow) None
         else Some(new ColumnarLakeFileIndex(spark, log, version, meta,
-          protocol, domains, parts, tailAdds, touched.toSet, summary))
+          protocol, domains, txns, parts, tailAdds, touched.toSet,
+          summary))
     }
   }
 

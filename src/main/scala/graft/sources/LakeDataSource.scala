@@ -124,10 +124,14 @@ final class LakeDataSource extends RelationProvider
     * bucketed planning, and the DV/bloom formats apply exactly as in
     * [[relationFor]] — the sidecar path maps come from the index's
     * summary pass (bounded by sidecar count, never table size).
+    * `applyDvs = false` mirrors [[relationFor]]'s internal mode: raw
+    * rows through the non-filtering format, for callers that attach
+    * [[graft.lake.DvRowDeleted]] themselves and need `_metadata`.
     */
   private[sources] def columnarRelationFor(
       spark: SparkSession, idx: ColumnarLakeFileIndex,
-      parameters: Map[String, String]): BaseRelation = {
+      parameters: Map[String, String],
+      applyDvs: Boolean = true): BaseRelation = {
     val meta = idx.metadata
     val schema = StructType.fromDDL(meta.schemaDDL)
     val partCols = meta.partitionColumns.toSet
@@ -144,7 +148,7 @@ final class LakeDataSource extends RelationProvider
     def bloomPayload: Array[Byte] = graft.lake.PathMapPayload
       .payload(spark, resolved(idx.bloomPairs))
     val format =
-      if (idx.dvPairs.nonEmpty)
+      if (applyDvs && idx.dvPairs.nonEmpty)
         new DvParquetFileFormat(mapping, bloomPayload,
           graft.lake.PathMapPayload.payload(spark, resolved(idx.dvPairs)))
       else if (idx.bloomPairs.nonEmpty)
@@ -311,6 +315,32 @@ object LakeDataSource {
       spark: SparkSession, idx: ColumnarLakeFileIndex,
       parameters: Map[String, String]): BaseRelation =
     new LakeDataSource().columnarRelationFor(spark, idx, parameters)
+
+  /** Columnar twin of [[snapshotDFWithMeta]] (no row-id variant: the
+    * DML planner gates row-tracked tables back to the classic path):
+    * full-table frame with `_metadata` materialized and deletion
+    * vectors applied via the same codegen'd [[graft.lake.DvRowDeleted]]
+    * filter, planned through the [[ColumnarLakeFileIndex]] so the
+    * driver never materializes the file list. The DV path map comes
+    * from the index's summary (bounded by sidecar count).
+    */
+  private[graft] def columnarDFWithMeta(
+      spark: SparkSession, idx: ColumnarLakeFileIndex): DataFrame = {
+    val tablePath = idx.log.tablePath
+    val df0 = spark.baseRelationToDataFrame(
+        new LakeDataSource().columnarRelationFor(spark, idx, Map.empty,
+          applyDvs = false))
+      .withColumn(META, col(META))
+    if (idx.dvPairs.isEmpty) df0
+    else {
+      val dvFor = idx.dvPairs.map { case (f, s) =>
+        (LakeLog.resolveFile(tablePath, f).toString,
+          LakeLog.resolveFile(tablePath, s).toString)
+      }
+      df0.filter(!graft.lake.DvRowDeleted(df0.sparkSession,
+        col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
+    }
+  }
 
   /** Does every live file of the snapshot parse a bucket id?
     * Memoized ON the Snapshot instance (identity, not value,

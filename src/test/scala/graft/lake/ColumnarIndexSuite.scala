@@ -287,6 +287,144 @@ class ColumnarIndexSuite extends SparkSuite {
     }
   }
 
+  test("columnar DML: MERGE/DELETE/UPDATE plan without a full replay") {
+    val path = buildTable("col-dml-noreplay")
+    spark.conf.set("spark.graft.columnarFileIndex", "true")
+    try {
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+      val before = Snapshot.fullReplays.get()
+      val t = LakeTable.forPath(spark, path)
+      // copy-on-write DELETE through the columnar plan
+      t.delete("id = 3")
+      // UPDATE through the columnar plan
+      t.update("id = 5", Map("name" -> "'updated'"))
+      // MERGE (update + insert) through the columnar plan
+      t.as("t").merge(
+          Seq((7L, "merged", 1), (100L, "new", 1))
+            .toDF("id", "name", "p").as("s"),
+          "t.id = s.id")
+        .whenMatchedUpdate(Map("name" -> "s.name"))
+        .whenNotMatchedInsert(
+          Map("id" -> "s.id", "name" -> "s.name", "p" -> "s.p"))
+        .execute()
+      assert(Snapshot.fullReplays.get() === before,
+        "a columnar-planned DML materialized the full file list " +
+        "(Snapshot.doReplay ran)")
+      // and the results are right (read back classic, cross-path)
+      spark.conf.unset("spark.graft.columnarFileIndex")
+      val rows = spark.read.format("lake").load(path)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(!rows.contains(3L))
+      assert(rows(5L) === "updated")
+      assert(rows(7L) === "merged")
+      assert(rows(100L) === "new")
+    } finally {
+      if (spark.conf.getOption("spark.graft.columnarFileIndex").isDefined)
+        spark.conf.unset("spark.graft.columnarFileIndex")
+    }
+  }
+
+  test("columnar DML: partition-only DELETE stays metadata-only") {
+    withPartMax(5) {
+      val path = tablePath("col-dml-partdel")
+      (0 until 13).foreach { i =>
+        LakeWriter.write(
+          Seq((i.toLong, s"row$i", i % 3)).toDF("id", "name", "p"),
+          path, partitionBy = if (i == 0) Seq("p") else Nil)
+      }
+      spark.conf.set("spark.graft.columnarFileIndex", "true")
+      try {
+        Snapshot.clearCacheForTest()
+        graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+        val before = Snapshot.fullReplays.get()
+        LakeTable.forPath(spark, path).delete("p = 2")
+        assert(Snapshot.fullReplays.get() === before,
+          "partition-only columnar DELETE did a full replay")
+        // metadata-only: the DELETE commit added no files
+        val log = new LakeLog(path)
+        val actions = log.readVersion(log.latestVersion)
+        assert(!actions.exists(_.isInstanceOf[AddFile]),
+          "metadata-only DELETE must not write data")
+        assert(actions.count(_.isInstanceOf[RemoveFile]) > 0)
+      } finally spark.conf.unset("spark.graft.columnarFileIndex")
+      assert(spark.read.format("lake").load(path)
+        .filter("p = 2").count() === 0L)
+      assert(spark.read.format("lake").load(path).count() > 0L)
+    }
+  }
+
+  test("randomized DML through columnar == classic (3 seeds)") {
+    // the SAME seeded op sequence applied to two tables — one with
+    // every DML planned through the columnar index, one classic —
+    // must produce identical rows at EVERY version (the r14 parity
+    // matrix, extended from reads to the DML write paths)
+    for (seed <- Seq(5, 19, 31)) withPartMax(4) {
+      val rnd = new scala.util.Random(seed)
+      val ops: Seq[(String, Seq[(Long, Long)])] = {
+        // pre-generate so both tables see the identical sequence
+        val base: Seq[(String, Seq[(Long, Long)])] = (0 until 6).map { i =>
+          ("seed", (0 until 2).map(j => (i * 1000L + j,
+            (20 + rnd.nextInt(30)).toLong)).toSeq)
+        }
+        val mixed: Seq[(String, Seq[(Long, Long)])] = (0 until 12).map { i =>
+          rnd.nextInt(5) match {
+            case 0 | 1 => ("append", (0 until 1 + rnd.nextInt(3))
+              .map(j => (i * 100L + j, rnd.nextInt(50).toLong)).toSeq)
+            case 2 => ("delete", Seq((rnd.nextInt(12).toLong, 0L)))
+            case 3 => ("update", Seq(((38 + rnd.nextInt(10)).toLong, 0L)))
+            case _ => ("merge", (0 until 2)
+              .map(j => (i * 100L + j, rnd.nextInt(50).toLong)).toSeq)
+          }
+        }
+        base ++ mixed
+      }
+      def run(path: String, columnar: Boolean): Unit = {
+        if (columnar) spark.conf.set("spark.graft.columnarFileIndex", "true")
+        else spark.conf.unset("spark.graft.columnarFileIndex")
+        try ops.foreach {
+          case (op, rows) if op == "seed" || op == "append" =>
+            LakeWriter.write(
+              rows.map { case (a, b) => (a, b.toInt) }.toDF("id", "x")
+                .coalesce(1), path)
+          case ("delete", Seq((v, _))) =>
+            LakeTable.forPath(spark, path).delete(s"x < $v")
+          case ("update", Seq((v, _))) =>
+            LakeTable.forPath(spark, path)
+              .update(s"x > $v", Map("x" -> "x - 1"))
+          case ("merge", rows) =>
+            LakeTable.forPath(spark, path).as("t").merge(
+                rows.map { case (a, b) => (a, b.toInt) }.toDF("id", "x")
+                  .as("s"),
+                "t.id = s.id")
+              .whenMatchedUpdate(Map("x" -> "s.x + 1"))
+              .whenNotMatchedInsert(Map("id" -> "s.id", "x" -> "s.x"))
+              .execute()
+        } finally {
+          if (spark.conf.getOption("spark.graft.columnarFileIndex").isDefined)
+            spark.conf.unset("spark.graft.columnarFileIndex")
+        }
+      }
+      val pCol = tablePath(s"col-dml-prop-c-$seed")
+      val pCls = tablePath(s"col-dml-prop-x-$seed")
+      run(pCol, columnar = true)
+      run(pCls, columnar = false)
+      val logCol = new LakeLog(pCol)
+      val logCls = new LakeLog(pCls)
+      assert(logCol.latestVersion === logCls.latestVersion,
+        s"seed $seed: version drift")
+      (0L to logCol.latestVersion).foreach { v =>
+        val a = spark.read.format("lake")
+          .option("versionAsOf", v.toString).load(pCol)
+          .collect().toSeq.map(_.toString).sorted
+        val b = spark.read.format("lake")
+          .option("versionAsOf", v.toString).load(pCls)
+          .collect().toSeq.map(_.toString).sorted
+        assert(a === b, s"seed $seed version $v: columnar-DML drift")
+      }
+    }
+  }
+
   test("columnar index summary: counts, bytes, bucket flag") {
     val path = buildTable("col-summary")
     val log = new LakeLog(path)

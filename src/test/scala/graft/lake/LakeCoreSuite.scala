@@ -45,6 +45,33 @@ class LakeCoreSuite extends SparkSuite {
     }
   }
 
+  test("interned AddFile maps behave as plain immutable Maps") {
+    val a = AddFile("p=1/f.parquet",
+      Map("p" -> "1", "q" -> null),
+      123L, 10L,
+      Map("id" -> "0", "name" -> "aa"),
+      Map("id" -> "99", "name" -> "zz"),
+      Map("id" -> 0L, "name" -> 3L))
+    val i = Interned.addFile(a)
+    // structural equality BOTH directions, and hashCode agreement
+    assert(i === a); assert(a === i)
+    assert(i.minValues === a.minValues)
+    assert(i.minValues.hashCode === a.minValues.hashCode)
+    assert(i.partitionValues("q") === null)
+    assert(i.nullCounts("name") === 3L)
+    assert(i.minValues.get("absent") === None)
+    // cold mutation paths fall back to standard maps, preserving value
+    assert((i.minValues + ("x" -> "1")).size === 3)
+    assert((i.nullCounts - "id") === Map("name" -> 3L))
+    assert(i.maxValues.iterator.toMap === a.maxValues)
+    // key arrays are shared across files with the same key set
+    val j = Interned.addFile(a.copy(path = "p=2/g.parquet"))
+    assert(j.minValues.keys.toSeq === i.minValues.keys.toSeq)
+    // serialization round-trips through both writers
+    assert(Action.fromJson(Action.toJson(i)) === a)
+    assert(Action.fromJson(Action.toJsonReflect(i)) === a)
+  }
+
   test("append creates version 0 with metadata and reads back") {
     val path = tablePath("t0")
     val res = LakeWriter.write(users, path, partitionBy = Seq("p_date"))
