@@ -33,16 +33,17 @@ final class LakeTable private (
   def asOf(version: Long): DataFrame = applyAlias(readAt(version))
 
   /** Version read, honoring the session-wide columnar-index conf
-    * (`spark.graft.columnarFileIndex`): when on and the table
-    * qualifies (multi-part parquet checkpoint; DV/bloom tables
-    * included as long as their sidecar count stays under the index's
-    * bound), the read — including every catalog view LakeCatalog
-    * refreshes through here — plans without materializing the file
-    * list on the driver; otherwise the classic snapshot path.
+    * (`spark.graft.columnarFileIndex`, DEFAULT ON since round 15 —
+    * set `false` to opt out): when the table qualifies (multi-part
+    * parquet checkpoint; DV/bloom tables included as long as their
+    * sidecar count stays under the index's bound), the read —
+    * including every catalog view LakeCatalog refreshes through
+    * here — plans without materializing the file list on the driver;
+    * otherwise the classic snapshot path.
     */
   private def readAt(version: Long): DataFrame = {
     val columnar = spark.conf
-      .getOption("spark.graft.columnarFileIndex").exists(_.toBoolean)
+      .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
     if (columnar) {
       graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, version)
         .foreach { idx =>
@@ -589,18 +590,19 @@ final class LakeTable private (
   // ---- DML ---------------------------------------------------------------
 
   /** DML planning state (VERDICT r14 #2): columnar when the session
-    * conf is on and the table qualifies (multi-part parquet
-    * checkpoint, sidecar bound — [[graft.sources.ColumnarLakeFileIndex
-    * .tryBuild]]'s gate) so touched-file discovery and the touched
-    * AddFile fetch run through the distributed checkpoint scan and the
-    * driver never materializes the live list; the classic materialized
-    * snapshot otherwise. Row-tracked tables stay classic: their DV
-    * paths scan the full table `withRowIds`, whose (file → baseRowId)
-    * broadcast map is O(table) driver state either way.
+    * conf allows (default ON) and the table qualifies (multi-part
+    * parquet checkpoint, sidecar bound — [[graft.sources
+    * .ColumnarLakeFileIndex.tryBuild]]'s gate) so touched-file
+    * discovery and the touched AddFile fetch run through the
+    * distributed checkpoint scan and the driver never materializes
+    * the live list; the classic materialized snapshot otherwise.
+    * Row-tracked tables stay classic: their DV paths scan the full
+    * table `withRowIds`, whose (file → baseRowId) broadcast map is
+    * O(table) driver state either way.
     */
   private[lake] def dmlPlan(): DmlPlan = {
     val columnar = spark.conf
-      .getOption("spark.graft.columnarFileIndex").exists(_.toBoolean)
+      .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
     if (columnar) {
       graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, -1)
         .filterNot(idx => RowTracking.enabled(idx.metadata.properties))

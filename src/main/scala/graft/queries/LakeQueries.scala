@@ -78,6 +78,24 @@ object LakeQueries {
     src
   }
 
+  /** Recursive tree copy (fixture → per-run mutable table). */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s0 = java.nio.file.Paths.get(src)
+    val d0 = java.nio.file.Paths.get(dst)
+    val st = java.nio.file.Files.walk(s0)
+    try st.forEach { p =>
+      val t = d0.resolve(s0.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(t); ()
+      } else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally st.close()
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // K1/K2/S4/D11: create + append, snapshot read.
@@ -130,6 +148,100 @@ object LakeQueries {
              |    AS BIGINT) AS qty_e2
              |FROM lineitem WHERE l_returnflag = 'R'
              |GROUP BY 1""".stripMargin)),
+
+    // Columnar DML (round 15, VERDICT r14 #2): MERGE + DELETE against
+    // a multi-part-checkpointed table plan their touched-file
+    // discovery through the distributed checkpoint scan — the driver
+    // NEVER materializes the live file list (pinned by the
+    // fullReplays require: zero Snapshot.doReplay calls across both
+    // statements). The table is a fresh copy of the columnar-scan
+    // fixture (DML mutates, so each run gets its own; the copy is
+    // setup and reported on the in-gate timing split), the DELETE is
+    // a copy-on-write rewrite, the MERGE exercises update + insert
+    // clauses, and the oracle recomputes the final state from the
+    // original parquet.
+    QueryDef("lake_columnar_dml",
+      (s, dir) => {
+        val src = ensureColumnarScanTable(s, dir)
+        val root = scratch("lake_columnar_dml", dir)
+        val path = s"$root/t"
+        val tSetup = System.nanoTime()
+        copyTree(src, path)
+        val setupSec = (System.nanoTime() - tSetup) / 1e9
+        val tDml = System.nanoTime()
+        val prevConf = s.conf.getOption("spark.graft.columnarFileIndex")
+        s.conf.set("spark.graft.columnarFileIndex", "true")
+        try {
+          val before = graft.lake.Snapshot.fullReplays.get()
+          val t = LakeTable.forPath(s, path)
+          t.delete("l_returnflag = 'R'")
+          // the synthetic lineitem does NOT have a unique
+          // (orderkey, linenumber) — dedupe the merge source on the
+          // key (MERGE's multi-match rule demands it; the oracle
+          // replays the same MAX dedup)
+          val srcDf = table(s, dir, "lineitem")
+            .filter("l_orderkey % 100 = 0")
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(max("l_quantity").as("l_quantity"),
+              max("l_returnflag").as("l_returnflag"))
+          t.as("t").merge(srcDf.as("s"),
+              "t.l_orderkey = s.l_orderkey AND " +
+              "t.l_linenumber = s.l_linenumber")
+            .whenMatchedUpdate(Map("l_quantity" -> "s.l_quantity + 100"))
+            .whenNotMatchedInsert(Map(
+              "l_orderkey" -> "s.l_orderkey",
+              "l_linenumber" -> "s.l_linenumber",
+              "l_quantity" -> "s.l_quantity + 100",
+              "l_returnflag" -> "s.l_returnflag"))
+            .execute()
+          require(graft.lake.Snapshot.fullReplays.get() == before,
+            "columnar DML materialized the full file list " +
+            "(Snapshot.doReplay ran during DELETE/MERGE)")
+          System.err.println(f"[gate] lake_columnar_dml " +
+            f"setup=$setupSec%.3fs " +
+            f"dml=${(System.nanoTime() - tDml) / 1e9}%.3fs")
+          t.toDF.groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("l_quantity") * 100).cast("long"))
+                .as("qty_e2"),
+              sum(col("l_orderkey") * col("l_linenumber"))
+                .cast("long").as("key_sum"))
+        } finally {
+          prevConf match {
+            case Some(v) => s.conf.set("spark.graft.columnarFileIndex", v)
+            case None =>
+              s.conf.unset("spark.graft.columnarFileIndex")
+          }
+        }
+      },
+      Some("""WITH kept AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |  FROM lineitem WHERE l_returnflag <> 'R'
+             |), src AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    MAX(l_quantity) AS q, MAX(l_returnflag) AS f
+             |  FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1, 2
+             |), updated AS (
+             |  SELECT k.l_orderkey, k.l_linenumber,
+             |    CASE WHEN s.l_orderkey IS NOT NULL THEN s.q + 100
+             |         ELSE k.l_quantity END AS l_quantity,
+             |    k.l_returnflag
+             |  FROM kept k LEFT JOIN src s
+             |    ON s.l_orderkey = k.l_orderkey
+             |   AND s.l_linenumber = k.l_linenumber
+             |), inserted AS (
+             |  SELECT s.l_orderkey, s.l_linenumber,
+             |    s.q + 100 AS l_quantity, s.f AS l_returnflag
+             |  FROM src s ANTI JOIN kept k
+             |    ON s.l_orderkey = k.l_orderkey
+             |   AND s.l_linenumber = k.l_linenumber
+             |), final AS (
+             |  SELECT * FROM updated UNION ALL SELECT * FROM inserted)
+             |SELECT l_returnflag, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS qty_e2,
+             |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS key_sum
+             |FROM final GROUP BY 1""".stripMargin)),
 
     // Steady-state small-file governance (VERDICT r13 ask #4): 8
     // micro-batch appends — each arriving 8-way splintered, the

@@ -104,14 +104,16 @@ final class LakeDataSource extends RelationProvider
           .versionAtTimestamp(java.sql.Timestamp.valueOf(ts).getTime)
       })
       .getOrElse(-1L)
-    // Columnar file index: plan the read without ever materializing
-    // the full file list on the driver — the 10⁷-file posture. Falls
-    // back to the classic materialized snapshot when the
-    // preconditions don't hold (no multi-part parquet checkpoint, or
-    // a DV/bloom sidecar count past the index's bound).
+    // Columnar file index (DEFAULT ON since round 15 — opt out via
+    // the reader option or the session conf): plan the read without
+    // ever materializing the full file list on the driver — the
+    // 10⁷-file posture. Falls back to the classic materialized
+    // snapshot when the preconditions don't hold (no multi-part
+    // parquet checkpoint, or a DV/bloom sidecar count past the
+    // index's bound).
     val columnar = parameters.get("columnarIndex").map(_.toBoolean)
       .getOrElse(spark.conf.getOption("spark.graft.columnarFileIndex")
-        .exists(_.toBoolean))
+        .forall(_.toBoolean))
     if (columnar) {
       ColumnarLakeFileIndex.tryBuild(spark, new LakeLog(path), version)
         .foreach(idx => return columnarRelationFor(spark, idx, parameters))

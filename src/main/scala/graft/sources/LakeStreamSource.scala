@@ -93,14 +93,20 @@ final class LakeStreamSource(
     "withRowIds and readChangeFeed are mutually exclusive (change-feed " +
     "rows describe row VERSIONS, not live rows)")
 
-  override val schema: StructType =
-    if (readChangeFeed) graft.lake.Cdf.schema(log.snapshot().schema)
+  override val schema: StructType = {
+    // metadata-light (round 15): the declared schema needs the
+    // Metadata action only — a full replay here held the entire file
+    // list of a 10⁶-file table just to start a stream
+    val tableSchema = StructType.fromDDL(
+      graft.lake.Snapshot.replayMeta(log, log.latestVersion)._1.schemaDDL)
+    if (readChangeFeed) graft.lake.Cdf.schema(tableSchema)
     else if (withRowIds)
-      StructType(log.snapshot().schema.fields :+
+      StructType(tableSchema.fields :+
         org.apache.spark.sql.types.StructField(
           graft.lake.RowTracking.COL,
           org.apache.spark.sql.types.LongType))
-    else log.snapshot().schema
+    else tableSchema
+  }
 
   private val explicitStart: Option[Long] = {
     require(!(options.contains("startingVersion") &&
@@ -321,7 +327,13 @@ final class LakeStreamSource(
       // rows in dataSchema ++ partitionSchema order — re-select into
       // DECLARED order before the positional streaming relabel, or a
       // partition column anywhere but last silently swaps columns.
-      val snapAt = log.snapshot(toInclusive)
+      // Metadata-light (round 15): this ran log.snapshot(toInclusive)
+      // — a FULL file-list replay per micro-batch just for the
+      // version's metadata/protocol; the pseudo snapshot only ever
+      // carries THIS BATCH's files.
+      val (metaAt, protocolAt, domainsAt) =
+        graft.lake.Snapshot.replayMeta(log, toInclusive)
+      graft.lake.LakeProtocol.assertReadable(protocolAt, tablePath)
       // the pinned schema must stay the TABLE schema — the row-id
       // column is computed by the read path, never a stored column
       val tableSchema =
@@ -331,8 +343,9 @@ final class LakeStreamSource(
       // (narrowing parquet reads are unsupported) — stop with a clear
       // schema-changed signal instead of a mid-batch decode crash.
       // Additive evolution keeps the existing null-fill contract.
+      val schemaAt = StructType.fromDDL(metaAt.schemaDDL)
       tableSchema.fields.foreach { f =>
-        snapAt.schema.fields.find(_.name == f.name).foreach { cur =>
+        schemaAt.fields.find(_.name == f.name).foreach { cur =>
           if (cur.dataType != f.dataType)
             throw new IllegalStateException(
               s"lake streaming source: column ${f.name} changed type " +
@@ -341,9 +354,9 @@ final class LakeStreamSource(
               "the new schema")
         }
       }
-      val pseudo = snapAt.copy(
-        metadata = snapAt.metadata.copy(schemaDDL = tableSchema.toDDL),
-        files = files)
+      val pseudo = graft.lake.Snapshot(log, toInclusive,
+        metaAt.copy(schemaDDL = tableSchema.toDDL), files,
+        Map.empty, protocolAt, domainsAt)
       val batch0 =
         if (withRowIds) LakeDataSource.snapshotDFWithRowIds(spark, pseudo)
         else LakeDataSource.snapshotDF(spark, pseudo)

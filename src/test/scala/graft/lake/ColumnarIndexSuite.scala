@@ -46,7 +46,8 @@ class ColumnarIndexSuite extends SparkSuite {
     val idx = graft.sources.ColumnarLakeFileIndex
       .tryBuild(spark, log, -1L)
     assert(idx.isDefined, "expected a multi-part parquet checkpoint")
-    val classic = spark.read.format("lake").load(path)
+    val classic = spark.read.format("lake")
+      .option("columnarIndex", "false").load(path)
     val columnar = columnarDF(path)
     assert(columnar.collect().toSet === classic.collect().toSet)
     // filtered parity (stats + partition pruning paths)
@@ -87,6 +88,7 @@ class ColumnarIndexSuite extends SparkSuite {
     // pre-delete version: row 11 still visible through the columnar path
     val v = latest - 1
     val classic = spark.read.format("lake")
+      .option("columnarIndex", "false")
       .option("versionAsOf", v.toString).load(path)
     val columnar = spark.read.format("lake")
       .option("columnarIndex", "true")
@@ -220,6 +222,7 @@ class ColumnarIndexSuite extends SparkSuite {
         graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, v)
           .foreach { _ =>
             val classic = spark.read.format("lake")
+              .option("columnarIndex", "false")
               .option("versionAsOf", v.toString).load(path)
               .collect().toSeq.map(_.toString).sorted
             val columnar = spark.read.format("lake")
@@ -249,7 +252,8 @@ class ColumnarIndexSuite extends SparkSuite {
       val built = graft.sources.ColumnarLakeFileIndex
         .tryBuild(spark, new LakeLog(p1), -1L)
       assert(built.isDefined)
-      val classic = spark.read.format("lake").load(p1)
+      val classic = spark.read.format("lake")
+        .option("columnarIndex", "false").load(p1)
       val columnar = columnarDF(p1)
       assert(columnar.columns.toSeq === Seq("id", "label"))
       assert(columnar.collect().toSet === classic.collect().toSet)
@@ -271,7 +275,8 @@ class ColumnarIndexSuite extends SparkSuite {
       val built = graft.sources.ColumnarLakeFileIndex
         .tryBuild(spark, new LakeLog(p2), -1L)
       assert(built.isDefined && built.get.allBucketTagged)
-      val classic = spark.read.format("lake").load(p2)
+      val classic = spark.read.format("lake")
+        .option("columnarIndex", "false").load(p2)
       val columnar = columnarDF(p2)
       assert(columnar.collect().toSet === classic.collect().toSet)
       // co-bucketed aggregation stays shuffle-free through the
@@ -380,8 +385,9 @@ class ColumnarIndexSuite extends SparkSuite {
         base ++ mixed
       }
       def run(path: String, columnar: Boolean): Unit = {
-        if (columnar) spark.conf.set("spark.graft.columnarFileIndex", "true")
-        else spark.conf.unset("spark.graft.columnarFileIndex")
+        // the conf defaults ON (round 15) — the classic side must opt
+        // out EXPLICITLY or both sides would plan columnar
+        spark.conf.set("spark.graft.columnarFileIndex", columnar.toString)
         try ops.foreach {
           case (op, rows) if op == "seed" || op == "append" =>
             LakeWriter.write(
