@@ -1036,14 +1036,16 @@ final class LakeTable private (
     * evaluations satisfy, per the SQL standard.
     */
   def addConstraint(name: String, checkExpr: String): Unit = {
-    val snap = snapshot()
-    require(!snap.metadata.constraints.contains(name),
+    // metadata-light + columnar-aware: the validation pass reads the
+    // table through readAt (no driver file list on qualifying tables)
+    val meta0 = Snapshot.replayMeta(log, log.latestVersion)._1
+    require(!meta0.constraints.contains(name),
       s"constraint $name already exists on $tablePath")
     expr(checkExpr) // must parse
     LakeWriter.enforceConstraints(
-      snap.toDF(spark), Map(name -> checkExpr), tablePath)
-    val meta = snap.metadata.copy(
-      constraints = snap.metadata.constraints + (name -> checkExpr))
+      toDF, Map(name -> checkExpr), tablePath)
+    val meta = meta0.copy(
+      constraints = meta0.constraints + (name -> checkExpr))
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "ADD CONSTRAINT",
         Map("name" -> name, "expr" -> checkExpr)), meta)
@@ -1053,11 +1055,11 @@ final class LakeTable private (
 
   /** DROP CONSTRAINT. */
   def dropConstraint(name: String): Unit = {
-    val snap = snapshot()
-    require(snap.metadata.constraints.contains(name),
+    val meta0 = Snapshot.replayMeta(log, log.latestVersion)._1
+    require(meta0.constraints.contains(name),
       s"no constraint $name on $tablePath")
-    val meta = snap.metadata.copy(
-      constraints = snap.metadata.constraints - name)
+    val meta = meta0.copy(
+      constraints = meta0.constraints - name)
     LakeWriter.commitWithRetry(log) { _ =>
       Seq(CommitInfo(System.currentTimeMillis(), "DROP CONSTRAINT",
         Map("name" -> name)), meta)
@@ -1375,8 +1377,13 @@ final class LakeTable private (
     // Tables ingested before the size-keyed identity carry ledger
     // entries under the legacy `copy-into:<uri>` key; those must keep
     // skipping (not silently re-load), so the filter honors EITHER key.
+    // metadata-light: the ledger is the txn watermark map — a COPY
+    // INTO against a 10⁶-file table must not replay the file list to
+    // decide which source files are new
     val recorded: Map[String, Long] =
-      if (log.exists) snapshot().transactions else Map.empty
+      if (log.exists && log.latestVersion >= 0)
+        Snapshot.replayMetaTxns(log, log.latestVersion)._4
+      else Map.empty
     // A source file can vanish between the directory listing and the
     // per-file stat (compaction jobs, aggressive retention): stat
     // inside Try and drop vanished files from this run instead of
@@ -1403,7 +1410,7 @@ final class LakeTable private (
     // inference must not get to redefine an established table.
     if (log.exists && format != "parquet")
       reader = reader.schema(StructType.fromDDL(
-        snapshot().metadata.schemaDDL))
+        Snapshot.replayMeta(log, log.latestVersion)._1.schemaDDL))
     val df = reader.load(toLoad.map(_._1.toString): _*)
     val res = LakeWriter.write(df, tablePath,
       mode = "append",
@@ -1413,7 +1420,8 @@ final class LakeTable private (
         "numSourceFiles" -> toLoad.size.toString,
         "force" -> force.toString),
       transactions = toLoad.map { case (_, id, v) => (id, v) })
-    val nowRecorded = log.snapshot().transactions
+    val nowRecorded =
+      Snapshot.replayMetaTxns(log, log.latestVersion)._4
     val unrecorded = toLoad.filterNot { case (_, id, v) =>
       nowRecorded.get(id).exists(_ >= v) }
     if (res.added.isEmpty && unrecorded.nonEmpty) {
@@ -2584,7 +2592,11 @@ object LakeTable {
   /** Throws if `name` is tombstoned as dropped on this snapshot. */
   private[lake] def assertNotDropped(
       snap: Snapshot, name: String, tablePath: String): Unit =
-    if (droppedColumns(snap.metadata.properties)
+    assertNotDropped(snap.metadata, name, tablePath)
+
+  private[lake] def assertNotDropped(
+      meta: Metadata, name: String, tablePath: String): Unit =
+    if (droppedColumns(meta.properties)
         .exists(_.equalsIgnoreCase(name)))
       throw new IllegalArgumentException(
         s"column $name was previously dropped from $tablePath and " +

@@ -53,10 +53,22 @@ object LakeWriter {
       "replaceWhere requires SaveMode.Overwrite")
     val spark = df.sparkSession
     val log = new LakeLog(tablePath)
-    val existing = if (log.exists) Some(log.snapshot()) else None
+    // Metadata-light (round 15): an APPEND — the highest-frequency
+    // operation a table sees — needs only metadata + txn watermarks
+    // from the existing state, never its file list. The full snapshot
+    // is forced lazily and ONLY by the paths that genuinely consume
+    // files: replaceWhere's touched-file rewrite, and overwrite's
+    // tombstones (O(live files) Remove actions are inherent to what
+    // overwrite writes).
+    val readVersion = if (log.exists) log.latestVersion else -1L
+    val existingMeta: Option[Metadata] =
+      if (readVersion >= 0)
+        Some(Snapshot.replayMeta(log, readVersion)._1)
+      else None
+    lazy val existingSnap: Snapshot = log.snapshot(readVersion)
 
     if (mode == "overwrite")
-      existing.foreach(
+      existingMeta.foreach(
         LakeTable.assertNotAppendOnly(_, "overwrite write", tablePath))
     if (properties.nonEmpty) {
       LakeTable.validateProperties(properties)
@@ -66,10 +78,11 @@ object LakeWriter {
       // tables skip this: `properties` may legitimately be a partial
       // restatement, and the clash check below pins it to the stored
       // (already-coherent) map.
-      if (existing.isEmpty) LakeTable.validatePropertyCoherence(properties)
-      existing.foreach { s =>
+      if (existingMeta.isEmpty)
+        LakeTable.validatePropertyCoherence(properties)
+      existingMeta.foreach { m =>
         val clash = properties.filter { case (k, v) =>
-          !s.metadata.properties.get(k).contains(v) }
+          !m.properties.get(k).contains(v) }
         if (clash.nonEmpty) throw new IllegalArgumentException(
           s"write properties ${clash.keys.mkString(", ")} differ from " +
           s"the table's stored values at $tablePath; use " +
@@ -83,22 +96,24 @@ object LakeWriter {
     // overlap must go to commit-time conflict so the caller can
     // re-plan around the subset a concurrent writer took.
     val allTxns = transaction.toSeq ++ transactions
-    if (allTxns.nonEmpty && existing.exists(s => allTxns.forall {
-        case (appId, v) => s.transactions.get(appId).exists(_ >= v) }))
+    if (allTxns.nonEmpty && readVersion >= 0 && {
+        val txns = Snapshot.replayMetaTxns(log, readVersion)._4
+        allTxns.forall {
+          case (appId, v) => txns.get(appId).exists(_ >= v) } })
       return WriteResult(log.latestVersion, Nil) // already committed
 
 
-    val partCols: Seq[String] = existing match {
-      case Some(s) =>
-        if (partitionBy.nonEmpty && partitionBy != s.partitionColumns)
+    val partCols: Seq[String] = existingMeta match {
+      case Some(m) =>
+        if (partitionBy.nonEmpty && partitionBy != m.partitionColumns)
           throw new IllegalArgumentException(
             s"partitioning ${partitionBy.mkString(",")} does not match " +
-            s"table partitioning ${s.partitionColumns.mkString(",")}")
-        s.partitionColumns
+            s"table partitioning ${m.partitionColumns.mkString(",")}")
+        m.partitionColumns
       case None => partitionBy
     }
 
-    val effectiveProps = existing.map(_.metadata.properties)
+    val effectiveProps = existingMeta.map(_.properties)
       .getOrElse(Map.empty) ++ properties
 
     // Generated columns (Delta GENERATED ALWAYS AS): a write that
@@ -137,29 +152,32 @@ object LakeWriter {
     }
 
     val mappingOn = ColumnMapping.enabled(effectiveProps)
-    val finalSchema = existing match {
-      case Some(s) =>
+    val existingSchema: Option[org.apache.spark.sql.types.StructType] =
+      existingMeta.map(m =>
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL))
+    val finalSchema = (existingMeta, existingSchema) match {
+      case (Some(m), Some(sch)) =>
         // a mergeSchema write must not re-introduce a dropped column —
         // same resurrection hazard ADD COLUMN guards against. Under
         // column mapping the hazard does not exist: the re-added
         // column gets a fresh physical name, so old bytes stay dark.
         if (!mappingOn)
           withIdentity.schema.fieldNames
-            .filterNot(s.schema.fieldNames.contains)
-            .foreach(LakeTable.assertNotDropped(s, _, tablePath))
-        reconcileSchema(s.schema, withIdentity.schema, mergeSchema, tablePath)
-      case None => withIdentity.schema
+            .filterNot(sch.fieldNames.contains)
+            .foreach(LakeTable.assertNotDropped(m, _, tablePath))
+        reconcileSchema(sch, withIdentity.schema, mergeSchema, tablePath)
+      case _ => withIdentity.schema
     }
     // Column-mapped evolution: columns this commit INTRODUCES get
     // fresh physical names, recorded in the same metadata action the
     // schema change rides (a crash can never leave files whose
     // physical names the log does not explain).
-    val curOverrides = existing.map(s => ColumnMapping.overrides(s.metadata))
+    val curOverrides = existingMeta.map(ColumnMapping.overrides)
       .getOrElse(Map.empty[String, String])
     val newMappingEntries: Map[String, String] =
       if (!mappingOn) Map.empty
       else finalSchema.fieldNames
-        .filterNot(existing.map(_.schema.fieldNames.toSet)
+        .filterNot(existingSchema.map(_.fieldNames.toSet)
           .getOrElse(finalSchema.fieldNames.toSet))
         .map(n => n -> ColumnMapping.freshPhysical()).toMap
     val effectiveMapping: Map[String, String] =
@@ -188,7 +206,7 @@ object LakeWriter {
     if (genChecks.nonEmpty)
       enforceConstraints(normalized, genChecks, tablePath)
 
-    existing.map(_.metadata.constraints).filter(_.nonEmpty).foreach {
+    existingMeta.map(_.constraints).filter(_.nonEmpty).foreach {
       cs => enforceConstraints(normalized, cs, tablePath)
     }
 
@@ -199,10 +217,12 @@ object LakeWriter {
     // arbitrary predicates rewrite the boundary files' kept rows, like
     // DELETE. Incoming rows must all satisfy the predicate (a row
     // outside the replaced region would silently survive the next
-    // idempotent re-run — rejected up front, Delta's default).
+    // idempotent re-run — rejected up front, Delta's default). This
+    // path consumes the file list — it forces the lazy snapshot.
     val replaceInfo: Option[(Seq[String], Seq[AddFile])] =
       replaceWhere.flatMap { pred =>
-        existing.map { snap =>
+        existingMeta.map { _ =>
+          val snap = existingSnap
           enforceConstraints(normalized,
             Map("replaceWhere" -> pred), tablePath)
           val t = LakeTable.forPath(spark, tablePath)
@@ -261,24 +281,26 @@ object LakeWriter {
       }
 
       val schemaChanged =
-        existing.forall(_.metadata.schemaDDL != finalSchema.toDDL)
+        existingMeta.forall(_.schemaDDL != finalSchema.toDDL)
       val op = Option(operation).getOrElse(
-        if (existing.isEmpty) "CREATE TABLE AS" else mode.toUpperCase)
+        if (existingMeta.isEmpty) "CREATE TABLE AS" else mode.toUpperCase)
 
       try {
       // replaceWhere rewrites specific files → participate in rewrite
       // conflict detection (a concurrent DML superseding one of them
       // must abort this commit, like any other rewrite)
       val version = commitWithRetry(log,
-        readVersion = if (replaceInfo.isDefined) existing.get.version else -1L,
+        readVersion = if (replaceInfo.isDefined) readVersion else -1L,
         removedRelPaths = replaceInfo.map(_._1).getOrElse(Nil)) { version =>
         allTxns.foreach { case (appId, txnVersion) =>
           // Re-check on every attempt: a concurrent writer of the same
           // app may have landed this txn while we were staging. ANY
           // overlap aborts — committing the rest here could double-load
           // files whose txns raced; the caller re-filters and retries.
-          if (version > 0 && log.snapshot()
-              .transactions.get(appId).exists(_ >= txnVersion))
+          // Metadata-light read — never replays the file list.
+          if (version > 0 && Snapshot
+              .replayMetaTxns(log, log.latestVersion)._4
+              .get(appId).exists(_ >= txnVersion))
             throw new TxnAlreadyCommittedException(appId, txnVersion)
         }
         // Identity allocation conflict: a concurrent identity write
@@ -287,7 +309,8 @@ object LakeWriter {
         // (the caller re-runs the write against the new mark) rather
         // than commit duplicates. Re-checked on every retry attempt.
         if (hwmUpdates.nonEmpty && version > 0) {
-          val cur = log.snapshot().metadata.properties
+          val cur = Snapshot.replayMeta(log, log.latestVersion)
+            ._1.properties
           idCols.keys.foreach { n =>
             val key = LakeTable.identityHwmKey(n)
             if (cur.get(key).map(_.toLong) != baseHwm(n))
@@ -300,7 +323,11 @@ object LakeWriter {
         val removes = replaceInfo match {
           case Some((paths, _)) =>
             paths.map(RemoveFile(_, System.currentTimeMillis()))
-          case None if mode == "overwrite" && existing.nonEmpty =>
+          case None if mode == "overwrite" && existingMeta.nonEmpty =>
+            // overwrite tombstones every live file: O(live) actions
+            // are WHAT an overwrite commit is — the one write shape
+            // that legitimately reads the file list (re-resolved per
+            // attempt so a racing append's files are tombstoned too)
             log.snapshot().files.map(f =>
               RemoveFile(f.path, System.currentTimeMillis()))
           case None => Nil
@@ -312,9 +339,9 @@ object LakeWriter {
         // plain append staged under the old schema would land files
         // whose columns the new schema reads as null (e.g. racing a
         // rewrite-mode rename). Loud abort — the caller re-runs
-        // against the new state.
-        if (version > 0 && !existing.map(_.metadata)
-            .contains(log.snapshot().metadata))
+        // against the new state. Metadata-light read.
+        if (version > 0 && !existingMeta
+            .contains(Snapshot.replayMeta(log, log.latestVersion)._1))
           throw new ConflictingCommitException(
             s"table metadata of $tablePath changed concurrently with " +
             "this write; re-run the write")
@@ -323,8 +350,8 @@ object LakeWriter {
               mappingProps.nonEmpty)
             Seq(Metadata(finalSchema.toDDL, partCols,
               System.currentTimeMillis(),
-              existing.map(_.metadata.constraints).getOrElse(Map.empty),
-              existing.map(_.metadata.properties)
+              existingMeta.map(_.constraints).getOrElse(Map.empty),
+              existingMeta.map(_.properties)
                 .getOrElse(Map.empty) ++ properties ++ hwmUpdates ++
                 mappingProps))
           else Nil

@@ -110,7 +110,24 @@ object MetaScaleBench {
             Map("id" -> "0"), Map("id" -> "0"), Map("id" -> 0L)): Action
         })
     }
-    val latest = tail2
+    // full write path (stage + commit) against the 10⁶-file table,
+    // cold cache: APPEND is metadata-light since round 15 — this leg
+    // must stay O(commit); before the change it replayed the full
+    // file list (seconds + GBs) per append
+    Snapshot.clearCacheForTest()
+    timed(s"LakeWriter 100-row append on ${nFiles / 1000}k-file (cold)") {
+      import org.apache.spark.sql.functions.lit
+      val df = dataCols.drop(1)
+        .foldLeft(spark.range(100).toDF("id"))(
+          (d, c) => d.withColumn(c, lit(c)))
+        .withColumn("p", lit(0))
+      val fr0 = Snapshot.fullReplays.get()
+      LakeWriter.write(df, dir)
+      require(Snapshot.fullReplays.get() == fr0,
+        "append replayed the full file list")
+      ()
+    }
+    val latest = tail2 + 1
     // Columnar file index (round 14): plan point lookups WITHOUT a
     // resident file list. Runs BEFORE any full replay so the printed
     // RSS shows the columnar path's own footprint — the driver holds
