@@ -1641,9 +1641,33 @@ final class LakeTable private (
               s"${snap.partitionColumns.mkString(", ")}), got: $pred"))
     }
 
+  /** Snapshot a WHERE-scoped maintenance pass (compact / REORG PURGE /
+    * bloom or stats rebuild / clustered OPTIMIZE) operates on: under
+    * the columnar conf on a qualifying table, its `files` are the
+    * predicate's CANDIDATES from the distributed checkpoint scan — a
+    * conservative superset the exact [[scopeFiles]] test then
+    * filters — so a partition-scoped maintenance job on a 10⁷-file
+    * table holds the scope on the driver, not the table. Unscoped
+    * passes (`where = None`) rewrite table-wide and legitimately hold
+    * the full inventory; they keep the classic snapshot.
+    */
+  private def maintenanceSnap(where: Option[String]): Snapshot = {
+    if (where.isDefined && spark.conf
+        .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)) {
+      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, -1)
+        .foreach { idx =>
+          val parsed = spark.sessionState.sqlParser
+            .parseExpression(where.get)
+          return idx.syntheticSnap(idx.candidatesFor(
+            FilePruner.serializableConjuncts(Seq(parsed))))
+        }
+    }
+    snapshot()
+  }
+
   def compact(targetFileBytes: Long = -1L,
       where: Option[String] = None): Unit = {
-    val snap = snapshot()
+    val snap = maintenanceSnap(where)
     // -1 = "the table's configured target" (graft.targetFileSize,
     // 128 MiB default) — an explicit argument still wins
     val target =
@@ -1666,7 +1690,7 @@ final class LakeTable private (
     * files off the ingest path.
     */
   def purgeDeletionVectors(where: Option[String] = None): Int = {
-    val snap = snapshot()
+    val snap = maintenanceSnap(where)
     val dvFiles = scopeFiles(snap, where).filter(_.dvPath.isDefined)
     if (dvFiles.isEmpty) return 0
     val df = readForRewrite(snap, dvFiles.map(_.path))
@@ -1701,7 +1725,7 @@ final class LakeTable private (
     * Returns the number of files indexed (0 = all covered already).
     */
   def rebuildBloomIndexes(where: Option[String] = None): Int = {
-    val snap = snapshot()
+    val snap = maintenanceSnap(where)
     val props = snap.metadata.properties
     val logicalCols = BloomIndex.indexedColumns(props)
     require(logicalCols.nonEmpty,
@@ -1782,7 +1806,7 @@ final class LakeTable private (
     * covered already).
     */
   def rebuildStats(where: Option[String] = None): Int = {
-    val snap = snapshot()
+    val snap = maintenanceSnap(where)
     val missing = scopeFiles(snap, where).filter(_.numRecords < 0L)
     if (missing.isEmpty) return 0
     val confB = spark.sparkContext.broadcast(
@@ -1876,14 +1900,28 @@ final class LakeTable private (
   private[lake] def autoCompactAfterWrite(
       written: Seq[AddFile],
       targetFileBytes: Long = -1L): Unit = {
-    val snap = snapshot()
+    val touched = written.map(_.partitionValues).toSet
+    // Partition-scoped inventory: this rides EVERY auto-compact write
+    // commit, so on a qualifying columnar table the file list of the
+    // just-touched partitions comes from the distributed checkpoint
+    // scan — the steady-state ingest never re-materializes a 10⁶-file
+    // table to fold a handful of fresh small files.
+    val snap: Snapshot = {
+      val columnar = spark.conf
+        .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
+      val viaIdx =
+        if (!columnar) None
+        else graft.sources.ColumnarLakeFileIndex
+          .tryBuild(spark, log, -1)
+          .map(idx => idx.syntheticSnap(idx.addsForPartitions(touched)))
+      viaIdx.getOrElse(snapshot())
+    }
     val target =
       if (targetFileBytes > 0) targetFileBytes
       else LakeTable.targetFileBytes(snap.metadata.properties)
     val minFiles = snap.metadata.properties
       .get(LakeTable.PROP_AUTO_COMPACT_MIN_FILES).map(_.toInt)
       .getOrElse(LakeTable.AUTO_COMPACT_DEFAULT_MIN_FILES)
-    val touched = written.map(_.partitionValues).toSet
     val byPartition = snap.files
       .filter(f => touched.contains(f.partitionValues) &&
         f.size < target)
@@ -2087,7 +2125,7 @@ final class LakeTable private (
       where: Option[String] = None,
       incremental: Boolean = false): Unit = {
     require(clusterBy.nonEmpty, "compactClustered needs cluster columns")
-    val snap = snapshot()
+    val snap = maintenanceSnap(where)
     val target =
       if (targetFileBytes > 0) targetFileBytes
       else LakeTable.targetFileBytes(snap.metadata.properties)

@@ -134,6 +134,34 @@ final class ColumnarLakeFileIndex private[sources] (
   private[graft] def candidatesFor(filters: Seq[Expression]): Seq[AddFile] =
     candidates(filters)
 
+  /** The AddFile entries of the given PARTITIONS — what a
+    * partition-scoped maintenance pass (auto-compact after a write)
+    * needs: driver memory bounded by the touched partitions' file
+    * count, never the table.
+    */
+  private[graft] def addsForPartitions(
+      pvs: Set[Map[String, String]]): Seq[AddFile] = {
+    if (pvs.isEmpty) return Nil
+    val fromCkpt: Seq[AddFile] =
+      if (ckptParts.isEmpty) Nil
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        val want = spark.sparkContext.broadcast(pvs)
+        val parts = ckptParts // local val: don't capture `this`
+        spark.sparkContext
+          .parallelize(parts, parts.size)
+          .flatMap { p =>
+            graft.lake.CheckpointParquet
+              .read(java.nio.file.Paths.get(p)).iterator
+              .collect { case a: AddFile => a }
+          }
+          .filter(a => !touched.value.contains(a.path) &&
+            want.value.contains(a.partitionValues))
+          .collect().toSeq
+      }
+    fromCkpt ++ tailAdds.filter(a => pvs(a.partitionValues))
+  }
+
   /** The AddFile entries of exactly `relPaths` (a DML's touched set),
     * fetched through the distributed checkpoint scan — the driver
     * holds O(touched) AddFiles, never the live list. Throws if any

@@ -431,6 +431,27 @@ class ColumnarIndexSuite extends SparkSuite {
     }
   }
 
+  test("columnar maintenance: scoped compact plans without a full replay") {
+    val path = buildTable("col-maint")
+    spark.conf.set("spark.graft.columnarFileIndex", "true")
+    try {
+      val rowsBefore = spark.read.format("lake").load(path)
+        .collect().map(_.toString).sorted
+      val filesBefore = new LakeLog(path).snapshot().numFiles
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+      val before = Snapshot.fullReplays.get()
+      LakeTable.forPath(spark, path).compact(where = Some("p = 0"))
+      assert(Snapshot.fullReplays.get() === before,
+        "WHERE-scoped compact materialized the full file list")
+      val after = new LakeLog(path).snapshot()
+      assert(after.numFiles < filesBefore, "compact folded nothing")
+      assert(spark.read.format("lake").load(path)
+        .collect().map(_.toString).sorted === rowsBefore,
+        "compaction must be an identity rewrite")
+    } finally spark.conf.unset("spark.graft.columnarFileIndex")
+  }
+
   test("columnar index summary: counts, bytes, bucket flag") {
     val path = buildTable("col-summary")
     val log = new LakeLog(path)
