@@ -311,6 +311,55 @@ object OpsQueries {
       }.mkString("[", ",", "]")
     }.mkString("[", ",", "]")
 
+  /** The 4-bit hyperplane bucket of `vec` as DuckDB arithmetic over
+    * the embedded sign table — shared by the LSH recall and top-k
+    * replays so the two oracles can never drift.
+    */
+  private def lshBucketExpr(vec: String): String =
+    (0 until 4).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> " +
+        s"$vec[i] * m[${p + 1}][i])) >= 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB replay of the LSH TOP-K pipeline itself (row-level, the
+    * sim_bruteforce_topk precedent): same bucket/multiprobe/join
+    * chain as [[lshReplaySql]], queries = the first 10 corpus vectors
+    * verbatim, output = the (qid, rank, neighbor_id, cos) rows at
+    * 6-decimal rounding with the id tiebreak — deterministic on both
+    * engines, so the hash gate applies to the actual result rows, not
+    * just a recall aggregate.
+    */
+  private def lshTopKReplaySql(k: Int = 5): String = {
+    def bucketExpr(vec: String): String = lshBucketExpr(vec)
+    s"""WITH s AS (SELECT $lshSignsLiteral AS m),
+       |emb AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), cb AS (
+       |  SELECT id, v, ${bucketExpr("v")} AS bucket FROM emb, s
+       |), q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 10
+       |), qb AS (
+       |  SELECT qid, qv, ${bucketExpr("qv")} AS base FROM q, s
+       |), probes AS (
+       |  SELECT qid, qv, unnest([base, xor(base, 1), xor(base, 2),
+       |    xor(base, 4), xor(base, 8)]) AS bucket
+       |  FROM qb
+       |), cand AS (
+       |  SELECT p.qid, c.id,
+       |    ROUND(list_cosine_similarity(p.qv, c.v), 6) AS cos
+       |  FROM probes p JOIN cb c ON c.bucket = p.bucket
+       |  WHERE p.qid <> c.id
+       |)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, id AS neighbor_id,
+       |  cos FROM (
+       |  SELECT qid, id, cos, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, id ASC) AS rank FROM cand)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** DuckDB replay of the hyperplane-LSH retrieval pipeline: 4 sign
     * bits per vector (dot with the embedded ±1 hyperplanes, double
     * accumulation in element order — bit-compatible with the codegen
@@ -319,12 +368,7 @@ object OpsQueries {
     * [[ivfReplaySql]].
     */
   private def lshReplaySql: String = {
-    def bucketExpr(vec: String): String =
-      (0 until 4).map { p =>
-        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> " +
-          s"$vec[i] * m[${p + 1}][i])) >= 0 " +
-          s"THEN ${1 << p} ELSE 0 END)"
-      }.mkString(" + ")
+    def bucketExpr(vec: String): String = lshBucketExpr(vec)
     s"""WITH s AS (SELECT $lshSignsLiteral AS m),
        |emb AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -2098,7 +2142,13 @@ object OpsQueries {
         s.createDataFrame(
           s.sparkContext.parallelize(rows.toIndexedSeq, 1), top.schema)
       },
-      None),
+      // Round 15: full row-level oracle (was no_oracle with structural
+      // requires only) — the whole bucket/multiprobe/rank pipeline is
+      // deterministic, so DuckDB replays it and the hash gate pins the
+      // actual top-k rows. The in-gate structural requires stay: they
+      // run on the collected array at zero job cost and catch contract
+      // breaks with a clearer message than a hash mismatch.
+      Some(lshTopKReplaySql())),
 
     // ANN recall, measured at the gate's own settings (bits=4,
     // Hamming-1 multi-probe) on the retrieval task LSH actually serves
