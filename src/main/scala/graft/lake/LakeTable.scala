@@ -138,13 +138,27 @@ final class LakeTable private (
   def addColumn(name: String, ddlType: String): Unit =
     addColumns(Seq(name -> ddlType))
 
+  /** Files-empty snapshot carrying the LATEST metadata / protocol /
+    * domains / txn watermarks — the state a METADATA-ONLY DDL commit
+    * (ADD/DROP/WIDEN COLUMN, mapped RENAME) needs, via the
+    * metadata-light replay: an ALTER TABLE against a 10⁷-file table
+    * must not replay the file list to edit its schema. Callers MUST
+    * NOT consult `files` (empty by construction); any path that needs
+    * the inventory takes `snapshot()`.
+    */
+  private def metaSnapshot(): Snapshot = {
+    val v = log.latestVersion
+    val (m, p, d, t) = Snapshot.replayMetaTxns(log, v)
+    Snapshot(log, v, m, Nil, t, p, d)
+  }
+
   /** Add several nullable columns in ONE metadata commit (used by
     * MERGE schema evolution so an N-column source widens the table in
     * a single atomic step, not N racing commits).
     */
   def addColumns(cols: Seq[(String, String)]): Unit = {
     require(cols.nonEmpty, "addColumns needs at least one column")
-    val snap = snapshot()
+    val snap = metaSnapshot()
     val mapped = ColumnMapping.enabled(snap.metadata)
     cols.foreach { case (name, _) =>
       require(!snap.schema.fieldNames.contains(name),
@@ -156,7 +170,7 @@ final class LakeTable private (
     LakeWriter.commitWithRetry(log) { _ =>
       // re-derived per attempt so a retry composes with (instead of
       // reverting) any metadata a concurrent commit landed
-      val cur = snapshot()
+      val cur = metaSnapshot()
       cols.foreach { case (name, _) =>
         require(!cur.schema.fieldNames.contains(name),
           s"column $name appeared concurrently on $tablePath")
@@ -220,9 +234,10 @@ final class LakeTable private (
         s"${newDt.sql}: only lossless widenings " +
         "(byte->short->int->long, float->double) are supported")
     }
-    check(snapshot())
+    check(metaSnapshot())
     LakeWriter.commitWithRetry(log) { _ =>
-      val cur = snapshot() // re-derived per attempt (compose, not revert)
+      // re-derived per attempt (compose, not revert); metadata-light
+      val cur = metaSnapshot()
       check(cur)
       val fromDt = cur.schema.fields.find(_.name == name).get.dataType
       val newSchema = StructType(cur.schema.fields.map(f =>
@@ -261,7 +276,7 @@ final class LakeTable private (
     * constraint or a generation expression cannot be dropped.
     */
   def dropColumn(name: String): Unit = {
-    val snap = snapshot()
+    val snap = metaSnapshot()
     require(snap.schema.fieldNames.contains(name),
       s"no column $name on $tablePath " +
       s"(columns: ${snap.schema.fieldNames.mkString(", ")})")
@@ -290,8 +305,8 @@ final class LakeTable private (
         "bucket column")
     LakeWriter.commitWithRetry(log) { _ =>
       // re-derived per attempt (see addColumns): compose with, never
-      // revert, concurrently-landed metadata
-      val cur = snapshot()
+      // revert, concurrently-landed metadata; metadata-light
+      val cur = metaSnapshot()
       require(cur.schema.fieldNames.contains(name),
         s"column $name disappeared concurrently on $tablePath")
       val newSchema = org.apache.spark.sql.types.StructType(
@@ -341,7 +356,14 @@ final class LakeTable private (
     * `setTblProperties(Map("graft.columnMapping.mode" -> "name"))`.
     */
   def renameColumn(oldName: String, newName: String): Unit = {
-    val snap = snapshot()
+    // mapped tables rename metadata-only (the 100 TB path) and must
+    // not replay the file list even once; unmapped tables need the
+    // inventory anyway (empty-table check, or the full rewrite)
+    val snap =
+      if (ColumnMapping.enabled(
+          Snapshot.replayMeta(log, log.latestVersion)._1))
+        metaSnapshot()
+      else snapshot()
     require(snap.schema.fieldNames.contains(oldName),
       s"no column $oldName on $tablePath " +
       s"(columns: ${snap.schema.fieldNames.mkString(", ")})")
@@ -405,13 +427,18 @@ final class LakeTable private (
       // name and only the override table moves — no file touched,
       // O(1) at any table size. (An empty table is trivially the
       // same commit shape.)
+      val wasMapped = ColumnMapping.enabled(snap.metadata)
       LakeWriter.commitWithRetry(log) { _ =>
-        val cur = snapshot()
         // the branch condition must still hold on retry: an append
         // that raced onto a bare (unmapped, was-empty) table makes a
         // metadata-only rename unsound — its files store the old
-        // name, a pure-metadata flip would null the column
-        if (!(ColumnMapping.enabled(cur.metadata) || cur.files.isEmpty))
+        // name, a pure-metadata flip would null the column. A MAPPED
+        // entry stays mapped (one-way door), so its retry check is
+        // metadata-light; the was-empty entry must re-verify
+        // emptiness, which needs the inventory.
+        val cur = if (wasMapped) metaSnapshot() else snapshot()
+        if (!(ColumnMapping.enabled(cur.metadata) ||
+            (!wasMapped && cur.files.isEmpty)))
           throw new ConflictingCommitException(
             s"rename of $oldName on $tablePath raced a concurrent " +
             "append onto an unmapped table; re-run (the rewrite path " +

@@ -117,8 +117,10 @@ object Snapshot {
     * through the distributed checkpoint scan never increments it.
     */
   private[graft] val fullReplays = new java.util.concurrent.atomic.AtomicLong
-  private[lake] def clearCacheForTest(): Unit =
+  private[lake] def clearCacheForTest(): Unit = {
     cache.synchronized(cache.clear())
+    metaCache.synchronized(metaCache.clear())
+  }
 
   /** (size, mtime) of the version file — the cheap identity check
     * that catches a table DELETED AND RECREATED at the same path
@@ -176,6 +178,24 @@ object Snapshot {
     * columnar DML planner needs `transactions` for MERGE idempotence
     * without paying a full replay.
     */
+  /** Metadata-light results memoized like the snapshot cache (same
+    * keying incl. the version-file fingerprint; bounded LRU of soft
+    * refs): the commit path's protocol gate, conflict re-checks, DML
+    * planning, and metadata-only DDL all ask repeatedly, and each
+    * cold walk re-reads the checkpoint head + the tail's meta lines.
+    */
+  private type MetaTuple = (Metadata, Protocol,
+    Map[String, Map[String, String]], Map[String, Long])
+  private val MAX_CACHED_META = 64
+  private val metaCache = new java.util.LinkedHashMap[
+      ((String, Long), Option[(Long, Long)]),
+      java.lang.ref.SoftReference[MetaTuple]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[((String, Long), Option[(Long, Long)]),
+          java.lang.ref.SoftReference[MetaTuple]]): Boolean =
+      size() > MAX_CACHED_META
+  }
+
   private[graft] def replayMetaTxns(log: LakeLog, version: Long)
       : (Metadata, Protocol, Map[String, Map[String, String]],
          Map[String, Long]) = {
@@ -187,6 +207,9 @@ object Snapshot {
     cached match {
       case Some(s) => (s.metadata, s.protocol, s.domains, s.transactions)
       case None =>
+        metaCache.synchronized(Option(metaCache.get((key, fp))))
+          .flatMap(r => Option(r.get))
+          .foreach(return _)
         var metadata: Metadata = null
         // Protocol folds here too: direct LakeLog.commit callers gate
         // on it (assertWritable) — dropping it from the meta replay
@@ -252,7 +275,12 @@ object Snapshot {
           throw new IllegalStateException(
             s"lake table at ${log.tablePath} has no Metadata action by " +
             s"version $version")
-        (metadata, protocol, domains.toMap, txns.toMap)
+        val out = (metadata, protocol, domains.toMap, txns.toMap)
+        metaCache.synchronized {
+          metaCache.put((key, fp), new java.lang.ref.SoftReference(out))
+          ()
+        }
+        out
     }
   }
 
