@@ -55,17 +55,16 @@ object LakeWriter {
     val log = new LakeLog(tablePath)
     // Metadata-light (round 15): an APPEND — the highest-frequency
     // operation a table sees — needs only metadata + txn watermarks
-    // from the existing state, never its file list. The full snapshot
-    // is forced lazily and ONLY by the paths that genuinely consume
-    // files: replaceWhere's touched-file rewrite, and overwrite's
-    // tombstones (O(live files) Remove actions are inherent to what
-    // overwrite writes).
+    // from the existing state, never its file list. replaceWhere
+    // plans its touched set through the DML planner (columnar on
+    // qualifying tables); only overwrite's tombstones (O(live files)
+    // Remove actions are inherent to what overwrite writes) replay a
+    // full snapshot, inside the commit closure.
     val readVersion = if (log.exists) log.latestVersion else -1L
     val existingMeta: Option[Metadata] =
       if (readVersion >= 0)
         Some(Snapshot.replayMeta(log, readVersion)._1)
       else None
-    lazy val existingSnap: Snapshot = log.snapshot(readVersion)
 
     if (mode == "overwrite")
       existingMeta.foreach(
@@ -217,22 +216,26 @@ object LakeWriter {
     // arbitrary predicates rewrite the boundary files' kept rows, like
     // DELETE. Incoming rows must all satisfy the predicate (a row
     // outside the replaced region would silently survive the next
-    // idempotent re-run — rejected up front, Delta's default). This
-    // path consumes the file list — it forces the lazy snapshot.
+    // idempotent re-run — rejected up front, Delta's default). Plans
+    // through [[graft.lake.LakeTable.dmlPlan]] — on a qualifying
+    // columnar table the partition-reload of one partition of a
+    // 10⁷-file table holds that partition's files on the driver, not
+    // the table's.
     val replaceInfo: Option[(Seq[String], Seq[AddFile])] =
       replaceWhere.flatMap { pred =>
         existingMeta.map { _ =>
-          val snap = existingSnap
           enforceConstraints(normalized,
             Map("replaceWhere" -> pred), tablePath)
           val t = LakeTable.forPath(spark, tablePath)
-          FilePruner.partitionOnlyMatches(snap, pred, Some(spark)) match {
-            case Some(matched) => (matched.map(_.path), Seq.empty[AddFile])
+          val plan = t.dmlPlan()
+          plan.partitionOnlyMatches(pred) match {
+            case Some(matchedPaths) => (matchedPaths, Seq.empty[AddFile])
             case None =>
               val cond = org.apache.spark.sql.functions.expr(pred)
-              val touched = t.touchedFiles(snap, cond)
+              val touched = plan.touchedPaths(cond)
               if (touched.isEmpty) (Nil, Nil)
               else {
+                val snap = plan.subset(touched)
                 val kept = t.readFiles(snap, touched).filter(
                   !org.apache.spark.sql.functions.coalesce(cond, lit(false)))
                 (touched,

@@ -452,6 +452,28 @@ class ColumnarIndexSuite extends SparkSuite {
     } finally spark.conf.unset("spark.graft.columnarFileIndex")
   }
 
+  test("metadata-only DDL and appends never replay the file list") {
+    val path = buildTable("col-ddl-noreplay")
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    val before = Snapshot.fullReplays.get()
+    val t = LakeTable.forPath(spark, path)
+    // plain append (the highest-frequency operation)
+    LakeWriter.write(Seq((100L, "x", 1)).toDF("id", "name", "p"), path)
+    // metadata-only DDL battery
+    t.addColumns(Seq("extra" -> "INT"))
+    t.widenColumn("extra", "BIGINT")
+    t.dropColumn("extra")
+    t.addConstraint("pos_id", "id >= 0")
+    t.dropConstraint("pos_id")
+    assert(Snapshot.fullReplays.get() === before,
+      "an append / metadata-only DDL replayed the full file list")
+    // the state is right: new column gone, data intact + appended row
+    val rows = spark.read.format("lake").load(path)
+    assert(rows.columns.toSeq === Seq("id", "name", "p"))
+    assert(rows.filter("id = 100").count() === 1L)
+  }
+
   test("columnar index summary: counts, bytes, bucket flag") {
     val path = buildTable("col-summary")
     val log = new LakeLog(path)
