@@ -94,8 +94,9 @@ private[graft] object Interned {
     * ([[PackedStrMap]]), ~3× smaller than value-string arrays (each
     * java String costs ~40 B of header/padding around its ~10 bytes
     * of content); strings materialize on access. Maps carrying null
-    * VALUES (legal in partition values; never written by our stats
-    * recorder) keep the array form, which represents null directly.
+    * or surrogate-bearing VALUES keep the array form, which stores
+    * the String object as-is (null has no byte encoding; UTF-8 is
+    * lossy for unpaired surrogates).
     */
   def strMap(m: Map[String, String],
       internValues: Boolean = false): Map[String, String] = {
@@ -104,17 +105,25 @@ private[graft] object Interned {
     val ks = new Array[String](n)
     val vs = new Array[String](n)
     var i = 0
-    var hasNull = false
+    var unpackable = false
     m.foreach { case (k, v) =>
       ks(i) = str(k)
-      if (v == null) hasNull = true
+      // nulls have no byte encoding, and UTF-8 is LOSSY for invalid
+      // UTF-16 (an unpaired surrogate encodes to '?') — such values
+      // keep the array form, which stores the String as-is. Valid
+      // surrogate PAIRS are also routed there: distinguishing them
+      // needs pair-walking the string, and surrogate-bearing stat
+      // values are rare enough that the compact win doesn't matter.
+      if (v == null || v.exists(c => c >= 0xD800.toChar &&
+          c <= 0xDFFF.toChar))
+        unpackable = true
       vs(i) = if (internValues) str(v) else v
       i += 1
     }
     if (internValues) {
       val out = new StrArrayMap(keys(ks), vs)
       internInstance((ks.toList: List[Any]) ::: (vs.toList: List[Any]), out)
-    } else if (hasNull) {
+    } else if (unpackable) {
       new StrArrayMap(keys(ks), vs)
     } else {
       val enc = vs.map(

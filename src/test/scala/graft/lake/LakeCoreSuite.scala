@@ -72,6 +72,54 @@ class LakeCoreSuite extends SparkSuite {
     assert(Action.fromJson(Action.toJsonReflect(i)) === a)
   }
 
+  test("interned maps: randomized equivalence with plain maps") {
+    // seeded sweep over sizes, unicode/multibyte values, null
+    // partition values, and long-value ranges: every interned
+    // representation (Map1 shortcut, byte-packed blob, array-backed
+    // null-carrying, primitive-long) must be INDISTINGUISHABLE from
+    // the standard map it replaced — equality both ways, lookups,
+    // iteration order count, serialization, and JSON round-trips
+    val rnd = new scala.util.Random(42)
+    val alphabets =
+      Seq("abcdefgh", "αβγδε", "日本語中文", "aé☃😀")
+    def randStr(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.size))
+      (0 until 1 + rnd.nextInt(12))
+        .map(_ => a.charAt(rnd.nextInt(a.length))).mkString
+    }
+    (1 to 200).foreach { i =>
+      val n = rnd.nextInt(20)
+      val sm = (0 until n).map(j => s"c$j" -> randStr()).toMap
+      val pm = (0 until n).map(j =>
+        s"p$j" -> (if (rnd.nextInt(5) == 0) null else randStr())).toMap
+      val lm = (0 until n).map(j => s"c$j" ->
+        (rnd.nextLong() >> rnd.nextInt(48))).toMap
+      val a = AddFile(s"f$i.parquet", pm, i.toLong, n.toLong,
+        sm, sm.map { case (k, v) => k -> (v + "z") }, lm)
+      val in = Interned.addFile(a)
+      assert(in === a && a === in, s"case $i: structural equality")
+      assert(in.minValues.hashCode === a.minValues.hashCode)
+      sm.keys.foreach { k =>
+        assert(in.minValues(k) === sm(k), s"case $i: lookup $k")
+        assert(in.nullCounts(k) === lm(k))
+      }
+      pm.keys.foreach(k => assert(in.partitionValues(k) === pm(k)))
+      assert(in.minValues.get("__absent") === None)
+      assert(in.maxValues.iterator.size === n)
+      // java serialization (the executor boundary)
+      val bos = new java.io.ByteArrayOutputStream()
+      new java.io.ObjectOutputStream(bos).writeObject(in)
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[AddFile]
+      assert(back === a, s"case $i: java-serialization round trip")
+      // both JSON writers
+      assert(Action.fromJson(Action.toJson(in)) === a, s"case $i: fast")
+      assert(Action.fromJson(Action.toJsonReflect(in)) === a,
+        s"case $i: reflective")
+    }
+  }
+
   test("append creates version 0 with metadata and reads back") {
     val path = tablePath("t0")
     val res = LakeWriter.write(users, path, partitionBy = Seq("p_date"))
