@@ -64,7 +64,7 @@ object BpeOps {
     var words: Dataset[(Seq[String], Long)] = freq
       .as[(String, Long)]
       .map { case (w, f) => ((w.map(_.toString) :+ EOW): Seq[String], f) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var rank = 0

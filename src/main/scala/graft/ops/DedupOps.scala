@@ -107,12 +107,18 @@ object DedupOps {
     require(minTokens > 0, s"minTokens must be positive (got $minTokens)")
     val k = minTokens
     import org.apache.spark.sql.expressions.Window
+    // Fingerprints shuffle as 16-byte BINARY (unhex of the md5 hex),
+    // not 32-char hex strings: the fp column is the dominant shuffle
+    // payload at corpus scale and never appears in the output, so
+    // halving its width is free. md5 (vs xxhash64) is kept so the
+    // DuckDB oracle can replay the identical fingerprint stream.
     val wins = t.select(col("id"), col("toks"),
         size(col("toks")).as("n"))
       .where(col("n") >= k)
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, n - $k), i -> " +
-          s"md5(encode(concat_ws(' ', slice(toks, i + 1, $k)), 'UTF-8')))")))
+          s"unhex(md5(encode(concat_ws(' ', slice(toks, i + 1, $k)), " +
+          "'UTF-8'))))")))
       .toDF("id", "pos", "fp")
     // both analytics share ONE window spec → one shuffle + no sort
     val byFp = Window.partitionBy("fp")
@@ -207,14 +213,17 @@ object DedupOps {
     // realistic corpus size)
     // The shingled frame feeds three consumers (banding, and both
     // sides of the verification join); without a cache each re-runs
-    // tokenize+hash over the full corpus. MEMORY_ONLY: blocks are
-    // evictable under pressure and recompute byte-identically — at
-    // real scale a pipeline would stage this frame explicitly, but a
-    // cache keeps the operator self-contained (and Spark dedupes the
-    // entry by plan identity across repeated calls).
+    // tokenize+hash over the full corpus. MEMORY_AND_DISK, not
+    // MEMORY_ONLY: under memory pressure an evicted MEMORY_ONLY block
+    // silently recomputes its whole lineage per consumer (r15 bench
+    // showed ~5x run-to-run swings from exactly this), while a
+    // spilled block costs one bounded disk read. At real scale a
+    // pipeline would stage this frame explicitly, but a cache keeps
+    // the operator self-contained (and Spark dedupes the entry by
+    // plan identity across repeated calls).
     val docs = df.select(col(idCol).as("__id"),
       graft.functions.HashedShingles(col(textCol), shingleN).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = docs
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
     val banded = withSig.select(col("__id"),
@@ -317,7 +326,7 @@ object DedupOps {
       minhashSignature(
         graft.functions.HashedShingles(col(textCol), shingleN),
         numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val storeSigs = graft.lake.LakeTable.forPath(spark, storePath).toDF
       .select(col("id"), col("sig"))
     val newBanded = banded(newSigs)
@@ -348,7 +357,7 @@ object DedupOps {
     val kept = newSigs
       .join(dupVsStore.unionByName(dupInBatch).distinct(), Seq("id"),
         "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Cache lifetime: materialize `kept` (the append, or a count when
     // the caller opted out of it) so `newSigs` can be released HERE —
     // kept's cached blocks no longer depend on it. `kept` itself must
@@ -432,7 +441,7 @@ object DedupOps {
     val docs = df.select(
       (col(idCol).as("__id") +: grp.map(col(_).as("__g")).toSeq) :+
         graft.functions.HashedShingles(col(textCol), n).as("__sh"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = docs.select(
       (Seq(col("__id"), size(col("__sh")).as("__sz")) ++
         grp.map(_ => col("__g")).toSeq) :+ explode(col("__sh")).as("__s"): _*)
@@ -448,7 +457,7 @@ object DedupOps {
     val withF = exploded.withColumn("__f",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(postingKeys: _*)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pairJoin(index: DataFrame): DataFrame = {
       val joinCond = grp.foldLeft(
         col("a.__s") === col("b.__s") && col("a.__id") < col("b.__id"))(

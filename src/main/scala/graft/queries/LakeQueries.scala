@@ -36,7 +36,7 @@ object LakeQueries {
       val l = table(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_returnflag")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val prevMax = graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS
       graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 8
       try {

@@ -1154,7 +1154,7 @@ object OpsQueries {
         def run() = DsirOps.dsirResampleFromWeights(wts, "doc_id",
           k, temperature = 0.5)
         val sel = run()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ids = sel.select("doc_id").as[Long].collect().toSet
         require(ids.size == k, s"expected $k selected, got ${ids.size}")
         // joins, not isin(ids): an isin over k collected ids compiles
@@ -1228,7 +1228,7 @@ object OpsQueries {
         val trainSec = (System.nanoTime() - tTrain) / 1e9
         val tScore = System.nanoTime()
         val scored = QualityModelOps.scoreQuality(heldOut, model)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nEval = scored.count()
         System.err.println(f"[gate] text_quality_classifier " +
           f"train=$trainSec%.3fs score=" +
@@ -1479,7 +1479,7 @@ object OpsQueries {
         val nPlanted = overlays.count()
         val spans = DedupOps.exactSubstringSpansOfTokens(
           srctoks.union(overlays), minTokens = 50)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val caught = spans.filter(col("doc_id") >= 1000000L &&
           col("span_start") === 1L && col("span_end") === 61L).count()
         require(caught == nPlanted,
@@ -1506,9 +1506,9 @@ object OpsQueries {
              |  SELECT id, toks, len(toks) AS n FROM corpus
              |), w AS (
              |  SELECT id, CAST(i AS BIGINT) AS pos,
-             |    md5(array_to_string(
+             |    unhex(md5(array_to_string(
              |      toks[CAST(i+1 AS BIGINT):CAST(i+50 AS BIGINT)],
-             |      ' ')) AS fp
+             |      ' '))) AS fp
              |  FROM t, UNNEST(range(0, n - 49)) AS u(i)
              |  WHERE n >= 50
              |), m AS (
@@ -1784,7 +1784,7 @@ object OpsQueries {
         val pairs = TextOps.passageOverlapPairs(
           docs.union(composite), "text", "doc_id",
           n = 3, window = 4, minShared = 2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPlanted = base.count()
         val planted = pairs
           .filter(col("id_b") === col("id_a") + 2000000L &&
@@ -1831,7 +1831,7 @@ object OpsQueries {
         val kept = TextOps.decontaminateAgainst(
           docs.union(composite), "text", "doc_id", base, "text",
           n = 3, window = 4, minShared = 2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nBase = base.count()
         val plantedIds = base.select(col("doc_id"))
           .union(base.select((col("doc_id") + 3000000L).as("doc_id")))
@@ -1871,7 +1871,7 @@ object OpsQueries {
         // evaluate the banded self-join (see passage-overlap note)
         val pairs = DedupOps.simhashNearPairsFromSigs(
           sigs.union(planted), "sig", "doc_id", maxHamming = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nPlanted = sigs.count()
         val nRecovered = pairs
           .filter(col("id_b") === col("id_a") + 1000000L &&
@@ -2521,7 +2521,7 @@ object OpsQueries {
         val media = rows.toDF("media_id", "media", "format")
           .repartition(8)
         val pairs = MultimodalOps.imageNearDupPairs(media, maxHamming = 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
         val found = planted.count()
         require(found == n, s"cross-format twins found: $found/$n")
@@ -2552,7 +2552,7 @@ object OpsQueries {
         val media = rows.toDF("media_id", "media", "format")
           .repartition(8)
         val pairs = MultimodalOps.audioNearDupPairs(media, maxHamming = 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
         val found = planted.count()
         require(found == n, s"cross-codec twins found: $found/$n")
@@ -2582,7 +2582,7 @@ object OpsQueries {
         val media = rows.toDF("media_id", "media", "format")
           .repartition(16)
         val pairs = MultimodalOps.videoNearDupPairs(media, maxHamming = 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
         val found = planted.count()
         require(found == n, s"re-muxed twins found: $found/$n")
