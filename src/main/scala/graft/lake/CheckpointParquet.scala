@@ -272,6 +272,60 @@ object CheckpointParquet {
     finally reader.close()
   }
 
+  /** All actions of the part behind a [[LogStore]] read handle — THE
+    * entry point for executor-side checkpoint scans (and any driver
+    * read that should honor the store's GET semantics). A
+    * locally-backed handle keeps the streaming file read; a remote
+    * handle GETs the object once and decodes the footer/pages from
+    * the buffered body — the same one-GET cost an object-store
+    * parquet client pays, bounded by the part-size cadence
+    * ([[LakeLog.CHECKPOINT_PART_MAX_ACTIONS]]).
+    */
+  def read(r: LogFileReader): Seq[Action] = r.localPath match {
+    case Some(lp) => read(java.nio.file.Paths.get(lp))
+    case None =>
+      val reader = new GroupBuilder(new BytesInputFile(r.readAllBytes()))
+        .withConf(new Configuration())
+        .build()
+      try Iterator.continually(reader.read())
+        .takeWhile(_ != null).map(fromGroup).toVector
+      finally reader.close()
+  }
+
+  /** [[ParquetReader.Builder]] over an arbitrary [[InputFile]] with
+    * the example Group read support — parquet-java only exposes the
+    * (ReadSupport, hadoop Path) static factory; the InputFile
+    * constructor is protected for subclasses.
+    */
+  private final class GroupBuilder(in: org.apache.parquet.io.InputFile)
+      extends ParquetReader.Builder[Group](in) {
+    override protected def getReadSupport()
+        : org.apache.parquet.hadoop.api.ReadSupport[Group] =
+      new GroupReadSupport()
+  }
+
+  /** One GET'd object body as a random-access [[InputFile]]: parquet
+    * needs footer-then-pages seeks, which a byte array serves without
+    * further I/O. ByteArrayInputStream's `available` is (length −
+    * position), so position tracking is arithmetic, and `reset` +
+    * `skip` implement seek exactly.
+    */
+  private final class BytesInputFile(bytes: Array[Byte])
+      extends org.apache.parquet.io.InputFile {
+    override def getLength: Long = bytes.length.toLong
+    override def newStream(): org.apache.parquet.io.SeekableInputStream = {
+      val s = new java.io.ByteArrayInputStream(bytes)
+      new org.apache.parquet.io.DelegatingSeekableInputStream(s) {
+        override def getPos: Long = (bytes.length - s.available()).toLong
+        override def seek(newPos: Long): Unit = {
+          s.reset()
+          var left = newPos
+          while (left > 0) left -= s.skip(left)
+        }
+      }
+    }
+  }
+
   /** Metadata / Protocol / DomainMetadata rows of the part at `p`,
     * read under a PROJECTION that never decodes the add columns —
     * the add group's 10⁶ paths and stats maps are the entire byte
@@ -315,6 +369,26 @@ object CheckpointParquet {
       }
     }""")
 
+  /** [[readMeta]] through a [[LogStore]] read handle — same dispatch
+    * as [[read(r:graft\.lake\.LogFileReader)*]]: streaming + projected
+    * when the store is locally backed, buffered GET otherwise (the
+    * projection still skips decoding the add columns either way; only
+    * the transport bytes differ).
+    */
+  def readMeta(r: LogFileReader): Seq[Action] = r.localPath match {
+    case Some(lp) => readMeta(java.nio.file.Paths.get(lp))
+    case None =>
+      val conf = new Configuration()
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport
+        .PARQUET_READ_SCHEMA, META_SCHEMA.toString)
+      val reader = new GroupBuilder(new BytesInputFile(r.readAllBytes()))
+        .withConf(conf)
+        .build()
+      try Iterator.continually(reader.read())
+        .takeWhile(_ != null).flatMap(fromMetaGroup).toVector
+      finally reader.close()
+  }
+
   def readMeta(p: Path): Seq[Action] = {
     val conf = new Configuration()
     conf.set(org.apache.parquet.hadoop.api.ReadSupport
@@ -324,10 +398,15 @@ object CheckpointParquet {
         new org.apache.hadoop.fs.Path(p.toString))
       .withConf(conf)
       .build()
-    // fromGroup probes the `add` field, which the projection dropped
-    // from the record schema — convert against the projected fields
-    // only (add/remove/txn rows project to all-absent groups: skip)
-    def fromMetaGroup(g: Group): Option[Action] =
+    try Iterator.continually(reader.read())
+      .takeWhile(_ != null).flatMap(fromMetaGroup).toVector
+    finally reader.close()
+  }
+
+  // fromGroup probes the `add` field, which the projection dropped
+  // from the record schema — convert against the projected fields
+  // only (add/remove/txn rows project to all-absent groups: skip)
+  private def fromMetaGroup(g: Group): Option[Action] =
       if (g.getFieldRepetitionCount("metaData") > 0) {
         val m = g.getGroup("metaData", 0)
         Some(Metadata(
@@ -356,8 +435,4 @@ object CheckpointParquet {
         val t = g.getGroup("txn", 0)
         Some(Txn(t.getString("appId", 0), t.getLong("version", 0)))
       } else None
-    try Iterator.continually(reader.read())
-      .takeWhile(_ != null).flatMap(fromMetaGroup).toVector
-    finally reader.close()
-  }
 }

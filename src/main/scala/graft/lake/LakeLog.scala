@@ -576,7 +576,7 @@ final class LakeLog(val tablePath: String) {
     */
   def readCheckpointPart(p: Path): Seq[Action] =
     if (p.getFileName.toString.endsWith(".parquet"))
-      CheckpointParquet.read(p)
+      CheckpointParquet.read(store.fileReader(p))
     else store.readLines(p).iterator
       .map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toSeq
 

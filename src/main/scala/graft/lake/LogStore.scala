@@ -98,6 +98,45 @@ trait LogStore {
     * throw: it runs on commit-side maintenance paths.
     */
   def cleanupStaging(dir: Path, horizonMs: Long): Unit = ()
+
+  /** SERIALIZABLE read handle for a published binary log file (a
+    * parquet checkpoint part). The handle is built on the DRIVER —
+    * capturing whatever the store needs (key, credentials, endpoint)
+    * — and shipped inside Spark task closures, so executor-side
+    * checkpoint scans go through the store's own GET semantics
+    * instead of assuming the driver's filesystem is mounted on every
+    * executor. The default handle is correct for any store whose
+    * objects are directly readable as local files on all nodes
+    * (POSIX, NFS, HDFS mounts); an object-store port returns a
+    * GET-backed handle with [[LogFileReader.localPath]] = None.
+    */
+  def fileReader(p: Path): LogFileReader =
+    new LocalLogFileReader(p.toString)
+}
+
+/** Byte-level reader for one published binary log file, shippable to
+  * executors. Callers prefer [[localPath]] when present (zero-copy
+  * streaming/projected parquet reads against the local filesystem)
+  * and fall back to [[readAllBytes]] — the single-object GET every
+  * store can serve — otherwise.
+  */
+trait LogFileReader extends Serializable {
+
+  /** The entire object body — one GET. Always available. */
+  def readAllBytes(): Array[Byte]
+
+  /** Local filesystem path of the object when the store is
+    * locally/POSIX-backed on every node; None for a remote store,
+    * telling the caller to parse [[readAllBytes]] instead.
+    */
+  def localPath: Option[String]
+}
+
+/** Handle for locally-readable stores: the path string IS the handle. */
+final class LocalLogFileReader(path: String) extends LogFileReader {
+  override def readAllBytes(): Array[Byte] =
+    Files.readAllBytes(java.nio.file.Paths.get(path))
+  override def localPath: Option[String] = Some(path)
 }
 
 /** POSIX/HDFS implementation: exclusive hard-link publish, tmp-file +

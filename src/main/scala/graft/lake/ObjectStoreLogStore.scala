@@ -166,6 +166,30 @@ final class ObjectStoreLogStore extends LogStore {
     Files.readAllLines(p).asScala.toSeq
   }
 
+  /** One unit of read-fault budget for `p`, spent from a TASK — the
+    * GET-reader handles below call back through the registry so an
+    * executor-side checkpoint scan exercises the same transient-GET
+    * failures as driver reads (Spark's task retry is the recovery
+    * under test).
+    */
+  private[lake] def maybeFailRead(p: Path): Unit =
+    if (inScope(p) && consume(failReadsRemaining))
+      throw new IOException(s"injected fault: GET of $p failed")
+
+  /** Register on first use so task-side readers can find this store's
+    * fault budgets in the same JVM (tests run local[*]).
+    */
+  private[lake] val storeId: String =
+    ObjectStoreLogStore.register(this)
+
+  /** GET-backed handle: [[LogFileReader.localPath]] is None even
+    * though the emulated bucket IS a local directory — the point of
+    * this store is certifying the byte-buffered GET path (and its
+    * fault injection), not inheriting the local fast path.
+    */
+  override def fileReader(p: Path): LogFileReader =
+    new ObjectStoreLogStore.GetReader(storeId, p.toString)
+
   override def exists(p: Path): Boolean = Files.exists(p)
 
   override def delete(p: Path): Boolean = Files.deleteIfExists(p)
@@ -196,4 +220,34 @@ object ObjectStoreLogStore {
     * same filesystem as the targets so the publish move stays atomic.
     */
   private[lake] val STAGING_DIR = ".objstore-staging"
+
+  /** storeId → live store, weakly held: a task-side [[GetReader]]
+    * looks its store back up to spend fault budgets (same JVM under
+    * local[*]); a reader deserialized into a JVM without the store —
+    * the real-cluster shape — reads without injection. Weak values so
+    * test-created stores are not pinned for the process lifetime.
+    */
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[ObjectStoreLogStore]]()
+
+  private def register(s: ObjectStoreLogStore): String = {
+    val id = java.util.UUID.randomUUID().toString
+    registry.put(id, new java.lang.ref.WeakReference(s))
+    id
+  }
+
+  /** The emulated single-object GET: whole body or an injected
+    * transient failure — never a torn read (real stores return the
+    * object atomically or error).
+    */
+  private final class GetReader(storeId: String, key: String)
+      extends LogFileReader {
+    override def localPath: Option[String] = None
+    override def readAllBytes(): Array[Byte] = {
+      val p = java.nio.file.Paths.get(key)
+      Option(registry.get(storeId)).flatMap(r => Option(r.get()))
+        .foreach(_.maybeFailRead(p))
+      Files.readAllBytes(p)
+    }
+  }
 }

@@ -249,7 +249,7 @@ object Snapshot {
               val p = it.next()
               val metaActions =
                 if (p.getFileName.toString.endsWith(".parquet"))
-                  CheckpointParquet.readMeta(p)
+                  CheckpointParquet.readMeta(log.store.fileReader(p))
                 else log.store.readLines(p).iterator.map(_.trim)
                   .filter(Action.isMetaLine).map(Action.fromJson).toSeq
               metaActions.foreach(fold)

@@ -42,10 +42,11 @@ import graft.lake.{AddFile, ColumnMapping, FilePruner, LakeLog,
   * driver-resident (file → sidecar) path map by design, so the
   * summary pass collects the pairs (bounded by SIDECAR count, never
   * table size) and only a table whose sidecar count itself exceeds
-  * [[ColumnarLakeFileIndex.MAX_SIDECAR_PAIRS]] falls back. Local-FS
-  * task reads mirror the data path: an object-store port routes
-  * [[graft.lake.CheckpointParquet]] through the same seam as the
-  * parquet scan itself.
+  * [[ColumnarLakeFileIndex.MAX_SIDECAR_PAIRS]] falls back. Task
+  * reads go through DRIVER-built [[graft.lake.LogFileReader]] handles
+  * from the table's [[graft.lake.LogStore]] — the same seam as every
+  * other log read — so the columnar path holds on an object store,
+  * not just a shared POSIX mount.
   */
 final class ColumnarLakeFileIndex private[sources] (
     spark: SparkSession, val log: LakeLog, val version: Long,
@@ -108,12 +109,15 @@ final class ColumnarLakeFileIndex private[sources] (
       if (ckptParts.isEmpty) Nil
       else {
         val touched = spark.sparkContext.broadcast(tailTouched)
-        val parts = ckptParts // local val: don't capture `this`
+        // DRIVER-built read handles: the task closure carries the
+        // store's own GET handle per part, never a bare filesystem
+        // path — the columnar scan works wherever the LogStore does
+        val readers = ckptParts.map(p =>
+          log.store.fileReader(java.nio.file.Paths.get(p)))
         spark.sparkContext
-          .parallelize(parts, parts.size)
-          .flatMap { p =>
-            graft.lake.CheckpointParquet
-              .read(java.nio.file.Paths.get(p)).iterator
+          .parallelize(readers, readers.size)
+          .flatMap { r =>
+            graft.lake.CheckpointParquet.read(r).iterator
               .collect { case a: AddFile => a }
           }
           .filter(a => !touched.value.contains(a.path) && fn(a))
@@ -147,12 +151,12 @@ final class ColumnarLakeFileIndex private[sources] (
       else {
         val touched = spark.sparkContext.broadcast(tailTouched)
         val want = spark.sparkContext.broadcast(pvs)
-        val parts = ckptParts // local val: don't capture `this`
+        val readers = ckptParts.map(p =>
+          log.store.fileReader(java.nio.file.Paths.get(p)))
         spark.sparkContext
-          .parallelize(parts, parts.size)
-          .flatMap { p =>
-            graft.lake.CheckpointParquet
-              .read(java.nio.file.Paths.get(p)).iterator
+          .parallelize(readers, readers.size)
+          .flatMap { r =>
+            graft.lake.CheckpointParquet.read(r).iterator
               .collect { case a: AddFile => a }
           }
           .filter(a => !touched.value.contains(a.path) &&
@@ -176,12 +180,12 @@ final class ColumnarLakeFileIndex private[sources] (
       else {
         val touched = spark.sparkContext.broadcast(tailTouched)
         val want = spark.sparkContext.broadcast(wanted)
-        val parts = ckptParts // local val: don't capture `this`
+        val readers = ckptParts.map(p =>
+          log.store.fileReader(java.nio.file.Paths.get(p)))
         spark.sparkContext
-          .parallelize(parts, parts.size)
-          .flatMap { p =>
-            graft.lake.CheckpointParquet
-              .read(java.nio.file.Paths.get(p)).iterator
+          .parallelize(readers, readers.size)
+          .flatMap { r =>
+            graft.lake.CheckpointParquet.read(r).iterator
               .collect { case a: AddFile => a }
           }
           .filter(a => !touched.value.contains(a.path) &&
@@ -320,7 +324,8 @@ object ColumnarLakeFileIndex {
           .toAbsolutePath.normalize.toString, version,
           log.store.stat(log.versionFile(version)))
         val summary = cachedSummary(key).getOrElse {
-          val s = summarize(spark, parts, tailAdds, touched.toSet)
+          val s = summarize(spark,
+            partFiles.map(log.store.fileReader), tailAdds, touched.toSet)
           cacheSummary(key, s)
           s
         }
@@ -374,16 +379,16 @@ object ColumnarLakeFileIndex {
     * in on the driver. Nothing per-file survives the job beyond the
     * bounded sidecar lists.
     */
-  private def summarize(spark: SparkSession, parts: Seq[String],
+  private def summarize(spark: SparkSession,
+      readers: Seq[graft.lake.LogFileReader],
       tailAdds: Seq[AddFile], tailTouched: Set[String]): Summary = {
     val ckptAgg =
-      if (parts.isEmpty) aggZero
+      if (readers.isEmpty) aggZero
       else {
         val touched = spark.sparkContext.broadcast(tailTouched)
-        spark.sparkContext.parallelize(parts, parts.size)
-          .map { p =>
-            graft.lake.CheckpointParquet
-              .read(java.nio.file.Paths.get(p)).iterator
+        spark.sparkContext.parallelize(readers, readers.size)
+          .map { r =>
+            graft.lake.CheckpointParquet.read(r).iterator
               .collect { case a: AddFile => a }
               .filterNot(a => touched.value.contains(a.path))
               .foldLeft(aggZero)(_ + _)

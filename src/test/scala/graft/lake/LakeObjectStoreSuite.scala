@@ -239,6 +239,51 @@ class LakeObjectStoreSuite extends StoreContractSuite {
     assert(objHash.nonEmpty)
   }
 
+  test("columnar scan GETs checkpoint parts through the store — an " +
+      "injected read fault surfaces, then parity") {
+    // Negative certification of the read seam: if the columnar task
+    // scan read parts via bare filesystem paths, a fault injected at
+    // the store's GET of a part could never reach it. Scope the fault
+    // to the LAST part — the metadata head prefix never reads it, so
+    // the failure must come from the distributed checkpoint scan.
+    val path = tablePath("objcolumnar")
+    val prevMax = LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 5
+    try {
+      (0 until 13).foreach { i =>
+        LakeWriter.write(
+          Seq((100L + i, s"k$i", i * 1.0)).toDF("id", "k", "v"), path)
+      }
+      val log = new LakeLog(path)
+      val parts = log.latestCheckpointFilesAtOrBefore(Long.MaxValue)
+        .map(_._2).getOrElse(Nil)
+      assert(parts.size > 1, "expected a multi-part parquet checkpoint")
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+      objStore.faultScope = parts.last.toAbsolutePath.toString
+      try {
+        objStore.failReadsRemaining.set(1)
+        val ex = intercept[Exception] {
+          spark.read.format("lake").option("columnarIndex", "true")
+            .load(path).collect()
+        }
+        val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+        assert(chain.contains("injected fault"),
+          s"columnar scan bypassed the store's GET path: $chain")
+      } finally {
+        objStore.faultScope = ""
+        objStore.failReadsRemaining.set(0)
+      }
+      // budget spent: the same read now succeeds, with classic parity
+      val classic = spark.read.format("lake")
+        .option("columnarIndex", "false").load(path)
+      val columnar = spark.read.format("lake")
+        .option("columnarIndex", "true").load(path)
+      assert(columnar.collect().toSet === classic.collect().toSet)
+    } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+  }
+
   test("conditional PUT refuses an existing key; replace swaps atomically") {
     // direct store-contract check, no engine on top
     val dir = java.nio.file.Paths.get(tmpDir("objstore-contract"))

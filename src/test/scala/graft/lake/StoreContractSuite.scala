@@ -251,4 +251,37 @@ abstract class StoreContractSuite extends SparkSuite with BeforeAndAfterAll {
     t.restoreTo(0L)
     assert(t.toDF.count() === 100L)
   }
+
+  test("columnar checkpoint scan answers through this store's read " +
+      "handles (parity with classic)") {
+    // The columnar file index reads parquet checkpoint parts from
+    // SPARK TASKS via driver-built LogStore read handles — this leg
+    // certifies the scan against each store's transport (local path
+    // vs buffered GET), not just POSIX file reads.
+    val path = tablePath("colstore")
+    val prevMax = LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 5
+    try {
+      // 13 single-file commits -> multi-part parquet checkpoint at
+      // v10 (interval 10, >5 adds), v11..v12 tail; then a tail DELETE
+      (0 until 13).foreach { i =>
+        LakeWriter.write(
+          Seq((100L + i, s"k$i", i * 1.0)).toDF("id", "k", "v"), path)
+      }
+      LakeTable.forPath(spark, path).delete("id = 111")
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+      val idx = graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, new LakeLog(path), -1L)
+      assert(idx.isDefined, "expected a multi-part parquet checkpoint")
+      val classic = spark.read.format("lake")
+        .option("columnarIndex", "false").load(path)
+      val columnar = spark.read.format("lake")
+        .option("columnarIndex", "true").load(path)
+      assert(columnar.collect().toSet === classic.collect().toSet)
+      assert(columnar.filter("id >= 105").collect().toSet ===
+        classic.filter("id >= 105").collect().toSet)
+      assert(columnar.filter("id = 111").count() === 0L)
+    } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+  }
 }
