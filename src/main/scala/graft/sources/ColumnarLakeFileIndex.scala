@@ -199,6 +199,15 @@ final class ColumnarLakeFileIndex private[sources] (
     all
   }
 
+  /** (relative path, size) projection of the live set — the streaming
+    * source's initial-snapshot chunk index. O(files) strings+longs on
+    * the driver (released once the initial snapshot is delivered),
+    * never stats-bearing AddFiles; the projection runs on the
+    * executors like every other candidate scan.
+    */
+  private[graft] def pathSizes(): Seq[(String, Long)] =
+    candidatesAs(Nil)(f => (f.path, f.size))
+
   /** Full path listing — O(files) driver STRINGS when called (rare:
     * `Dataset.inputFiles`); AddFiles are projected to resolved path
     * strings inside the Spark job, so the per-file metadata (stat and

@@ -12,6 +12,19 @@ final case class LakeStreamOffset(version: Long) extends OffsetV1 {
   override def json(): String = version.toString
 }
 
+/** Offset INSIDE the initial snapshot: "files [0, fileIndex) of the
+  * snapshot at `version` (path-sorted) delivered". Produced only when
+  * a rate limit (`maxFilesPerTrigger`/`maxBytesPerTrigger`) chunks
+  * the initial snapshot — the Delta initial-snapshot batching shape —
+  * and parsed back from the engine's checkpoint on restart. Plain
+  * version offsets stay bare longs, so existing checkpoints replay
+  * unchanged.
+  */
+final case class LakeStreamInitOffset(version: Long, fileIndex: Long)
+    extends OffsetV1 {
+  override def json(): String = s"$version#$fileIndex"
+}
+
 /** `spark.readStream.format("lake")` — incremental consumption of a
   * lake table's appends, the engine's Delta-streaming-source analog.
   *
@@ -147,18 +160,82 @@ final class LakeStreamSource(
     */
   @volatile private var deliveredThrough: Long = startingVersion - 1
 
+  /** Highest initial-snapshot file index already handed out — the
+    * within-snapshot twin of [[deliveredThrough]], advanced by the
+    * chunked init batches; [[deliveredThrough]] itself only reaches
+    * the snapshot version once the LAST chunk is delivered.
+    */
+  @volatile private var initIndexDelivered: Long = -1L
+
+  /** The pinned initial snapshot's (path, size) chunk index, sorted
+    * by path so offsets are deterministic across triggers AND across
+    * restarts (the snapshot at a version is immutable). Built through
+    * the columnar file index when the table has one — distributed
+    * checkpoint decode, paths+sizes only on the driver — and released
+    * once the initial snapshot is fully delivered.
+    */
+  @volatile private var initState
+      : Option[(Long, IndexedSeq[(String, Long)])] = None
+
+  private def initStateFor(version: Long): IndexedSeq[(String, Long)] =
+    initState match {
+      case Some((v, files)) if v == version => files
+      case _ =>
+        val files = (ColumnarLakeFileIndex.tryBuild(spark, log, version)
+          match {
+            case Some(idx) => idx.pathSizes()
+            case None => log.snapshot(version).files.map(f => (f.path, f.size))
+          }).sortBy(_._1).toIndexedSeq
+        initState = Some((version, files))
+        files
+    }
+
+  /** The AddFiles of exactly `paths` at `version` — columnar when the
+    * table has a multi-part checkpoint (driver holds O(chunk)
+    * AddFiles), classic snapshot filter otherwise.
+    */
+  private def addsForChunk(version: Long, paths: Seq[String]): Seq[AddFile] =
+    ColumnarLakeFileIndex.tryBuild(spark, log, version) match {
+      case Some(idx) => idx.addsForPaths(paths)
+      case None =>
+        val want = paths.toSet
+        log.snapshot(version).files.filter(f => want(f.path))
+    }
+
   override def getOffset: Option[OffsetV1] = {
     val latest = math.min(log.latestVersion, availableNowCap)
     if (latest < 0) return None
     val cursor = math.max(deliveredThrough, startingVersion - 1)
     // A table older than its log retention has no version files below
     // the replay floor; the surviving effect of those versions is the
-    // snapshot AT the floor, delivered wholesale as the first batch
-    // (the Delta initial-snapshot shape). One unavoidable unit — the
-    // per-version budget applies from the floor on.
+    // snapshot AT the floor, delivered as the initial batch (the
+    // Delta initial-snapshot shape) — wholesale when unthrottled, or
+    // in maxFilesPerTrigger/maxBytesPerTrigger-bounded CHUNKS when a
+    // rate limit is set (a 10⁶-file mature table must not land as one
+    // giant first micro-batch). The per-version budget applies from
+    // the floor on.
     val floor = log.earliestReplayableVersion
-    if (cursor + 1 < floor)
-      return Some(LakeStreamOffset(math.min(floor, latest)))
+    if (cursor + 1 < floor) {
+      val initV = math.min(floor, latest)
+      if ((maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) ||
+          readChangeFeed)
+        return Some(LakeStreamOffset(initV))
+      val files = initStateFor(initV)
+      if (files.isEmpty) return Some(LakeStreamOffset(initV))
+      val from = math.max(initIndexDelivered, 0L)
+      if (from >= files.size) return None // last chunk not committed yet
+      val maxFiles = maxFilesPerTrigger.getOrElse(Int.MaxValue).toLong
+      val maxBytes = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+      var j = from
+      var bytes = 0L
+      // always at least one file per chunk, whatever the byte budget
+      while (j < files.size && (j - from) < maxFiles &&
+          (j == from || bytes + files(j.toInt)._2 <= maxBytes)) {
+        bytes += files(j.toInt)._2
+        j += 1
+      }
+      return Some(LakeStreamInitOffset(initV, j))
+    }
     if (latest <= cursor) return None // nothing past the start yet
     if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
       return Some(LakeStreamOffset(latest))
@@ -198,6 +275,27 @@ final class LakeStreamSource(
       startingVersion - 1)
     val toInclusive = versionOf(end)
     if (readChangeFeed) return changeFeedBatch(fromExclusive, toInclusive)
+    // A chunked initial-snapshot batch: deliver files [fromIdx, toIdx)
+    // of the path-sorted snapshot at the pinned version, fetched
+    // through the columnar index (O(chunk) driver AddFiles).
+    initIndexOf(end) match {
+      case Some(toIdx) =>
+        val initV = toInclusive
+        val fromIdx = start.flatMap(initIndexOf).getOrElse(0L)
+        val all = initStateFor(initV)
+        val chunk = addsForChunk(initV,
+          all.slice(fromIdx.toInt, toIdx.toInt).map(_._1))
+        initIndexDelivered = math.max(initIndexDelivered, toIdx)
+        if (toIdx >= all.size) {
+          // snapshot fully delivered: advance the version cursor and
+          // release the chunk index — steady state retains nothing
+          deliveredThrough = math.max(deliveredThrough, initV)
+          initState = None
+        }
+        return deliverFiles(chunk, initV,
+          s"initial snapshot files [$fromIdx, $toIdx) at version $initV")
+      case None => ()
+    }
     val adds = Seq.newBuilder[AddFile]
     // Versions below the replay floor have no log files (log
     // retention); their surviving effect is the snapshot at the floor.
@@ -210,7 +308,13 @@ final class LakeStreamSource(
     var replayFrom = fromExclusive
     if (fromExclusive + 1 < floor) {
       if (start.isEmpty && toInclusive >= floor) {
-        adds ++= log.snapshot(floor).files
+        // wholesale (unthrottled) initial snapshot: list through the
+        // columnar index when the table has a multi-part checkpoint —
+        // distributed part decode instead of a driver replay
+        adds ++= (ColumnarLakeFileIndex.tryBuild(spark, log, floor) match {
+          case Some(idx) => idx.candidatesFor(Nil)
+          case None => log.snapshot(floor).files
+        })
         replayFrom = floor
       } else if (start.isEmpty) {
         // Restart replay of a batch delivered BEFORE retention aged
@@ -285,6 +389,16 @@ final class LakeStreamSource(
     // the checkpointed range before our internal state knows about it.
     deliveredThrough =
       math.max(deliveredThrough, math.max(fromExclusive, toInclusive))
+    deliverFiles(adds.result(), toInclusive,
+      s"versions (${fromExclusive + 1}..$toInclusive]")
+  }
+
+  /** Materialize one micro-batch from `allAdds` at `toInclusive`:
+    * vacuum-loss probe, schema pin + evolution guards, pseudo-snapshot
+    * scan. `rangeDesc` names the delivered range in data-loss errors.
+    */
+  private def deliverFiles(allAdds: Seq[AddFile], toInclusive: Long,
+      rangeDesc: String): DataFrame = {
     // A lagging consumer can reference files VACUUM already deleted.
     // Surface that as an explicit data-loss decision, not a mid-scan
     // task failure: fail by default, or skip with failOnDataLoss=false.
@@ -292,7 +406,6 @@ final class LakeStreamSource(
     // above the threshold (an unthrottled first batch over a large
     // backlog) the probe distributes — O(table) serial driver stats
     // is the cost Snapshot.toDF explicitly avoids for current reads.
-    val allAdds = adds.result()
     val missingPaths: Set[String] =
       if (allAdds.size <= LakeStreamSource.DISTRIBUTED_PROBE_MIN_FILES)
         allAdds.iterator.map(_.path).filterNot(p =>
@@ -310,7 +423,7 @@ final class LakeStreamSource(
     if (missing.nonEmpty && failOnDataLoss) {
       throw new IllegalStateException(
         s"lake streaming source at $tablePath: ${missing.size} file(s) " +
-        s"in versions (${fromExclusive + 1}..$toInclusive] no longer " +
+        s"in $rangeDesc no longer " +
         s"exist (first: ${missing.head.path}) — likely removed by " +
         "VACUUM while this consumer lagged. Set failOnDataLoss=false " +
         "to skip the lost files and continue.")
@@ -392,7 +505,23 @@ final class LakeStreamSource(
 
   private def versionOf(o: OffsetV1): Long = o match {
     case LakeStreamOffset(v) => v
-    case other => other.json().trim.toLong // SerializedOffset on restart
+    case LakeStreamInitOffset(v, _) => v
+    case other => // SerializedOffset on restart: "v" or "v#fileIndex"
+      val s = other.json().trim
+      val h = s.indexOf('#')
+      (if (h >= 0) s.substring(0, h) else s).toLong
+  }
+
+  /** The initial-snapshot file index of a chunked offset; None for a
+    * plain version offset.
+    */
+  private def initIndexOf(o: OffsetV1): Option[Long] = o match {
+    case LakeStreamInitOffset(_, i) => Some(i)
+    case LakeStreamOffset(_) => None
+    case other =>
+      val s = other.json().trim
+      val h = s.indexOf('#')
+      if (h >= 0) Some(s.substring(h + 1).toLong) else None
   }
 
   override def commit(end: OffsetV1): Unit = ()

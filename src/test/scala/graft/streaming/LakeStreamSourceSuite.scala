@@ -281,6 +281,60 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(ids === (1L to 160L).toArray)
   }
 
+  test("rate-limited initial snapshot arrives in bounded chunks, " +
+      "listed through the columnar index (no full replay)") {
+    val src = tablePath("ss-init-chunk-src")
+    val dst = tablePath("ss-init-chunk-dst")
+    val prevMax = graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 4
+    try {
+      // 10 single-file commits v0..v9, then aged below the retention
+      // floor: the fresh stream's first deliverable is the 10-file
+      // snapshot at the floor
+      (0 until 10).foreach { i =>
+        LakeWriter.write(
+          ((i * 10 + 1L) to (i * 10 + 10L)).toDF("id").coalesce(1), src,
+          properties = if (i == 0)
+            Map(graft.lake.LakeLog.LOG_RETENTION_PROP -> "0")
+          else Map.empty)
+      }
+      padLog(src, 10L, 29L)
+      LakeWriter.write((101L to 110L).toDF("id").coalesce(1), src) // v30
+      val log = new graft.lake.LakeLog(src)
+      assert(log.earliestReplayableVersion === 10L)
+      assert(graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, log, 10L).isDefined,
+        "expected a multi-part parquet checkpoint at the floor")
+      val replaysBefore = graft.lake.Snapshot.fullReplays.get()
+      runAvailableNow(src, dst, tmpDir("ss-init-chunk-ck"),
+        Map("maxFilesPerTrigger" -> "2"))
+      assert(graft.lake.Snapshot.fullReplays.get() === replaysBefore,
+        "chunked initial snapshot must list through the columnar " +
+        "index, never a full snapshot replay")
+      // every pre-floor row arrives exactly once, plus the tail append
+      val ids = LakeTable.forPath(spark, dst).toDF
+        .select("id").as[Long].collect().sorted
+      assert(ids === (1L to 110L).toArray)
+      // ...in MULTIPLE bounded micro-batches: 10 floor files at 2 per
+      // trigger = 5 chunks, then the tail versions as one more batch
+      val streamingCommits = LakeTable.forPath(spark, dst).history()
+        .filter(org.apache.spark.sql.functions.col("operation") ===
+          "STREAMING UPDATE").count()
+      assert(streamingCommits === 6L,
+        s"expected 5 snapshot chunks + 1 tail batch, got $streamingCommits")
+      // Mid-snapshot restart contract: the engine hands the
+      // checkpointed "version#fileIndex" json back as a
+      // SerializedOffset; a FRESH source instance must replay that
+      // chunk and resume from its index, not restart the snapshot.
+      import org.apache.spark.sql.execution.streaming.SerializedOffset
+      val fresh = new graft.sources.LakeStreamSource(spark, src,
+        Map("maxFilesPerTrigger" -> "2"))
+      fresh.getBatch(Some(SerializedOffset("10#2")), SerializedOffset("10#4"))
+      assert(fresh.getOffset.map(_.json()) === Some("10#6"),
+        "restart replay of a mid-snapshot chunk must resume AFTER it")
+    } finally graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+  }
+
   test("restart below the retention floor: loud data-loss error, or " +
       "resume from the floor with failOnDataLoss=false") {
     val src = tablePath("ss-ret-lag-src")
