@@ -57,9 +57,10 @@ object LakeWriter {
     // operation a table sees — needs only metadata + txn watermarks
     // from the existing state, never its file list. replaceWhere
     // plans its touched set through the DML planner (columnar on
-    // qualifying tables); only overwrite's tombstones (O(live files)
-    // Remove actions are inherent to what overwrite writes) replay a
-    // full snapshot, inside the commit closure.
+    // qualifying tables); overwrite's tombstones (O(live files)
+    // Remove actions are inherent to what overwrite writes) come from
+    // the columnar index's path projection on multi-part-checkpointed
+    // tables (round 16), a full replay only on small/classic ones.
     val readVersion = if (log.exists) log.latestVersion else -1L
     val existingMeta: Option[Metadata] =
       if (readVersion >= 0)
@@ -328,11 +329,21 @@ object LakeWriter {
             paths.map(RemoveFile(_, System.currentTimeMillis()))
           case None if mode == "overwrite" && existingMeta.nonEmpty =>
             // overwrite tombstones every live file: O(live) actions
-            // are WHAT an overwrite commit is — the one write shape
-            // that legitimately reads the file list (re-resolved per
-            // attempt so a racing append's files are tombstoned too)
-            log.snapshot().files.map(f =>
-              RemoveFile(f.path, System.currentTimeMillis()))
+            // are WHAT an overwrite commit is (re-resolved per
+            // attempt so a racing append's files are tombstoned too).
+            // But the tombstones need only PATHS — on a multi-part-
+            // checkpointed table they come from the columnar index's
+            // path projection (distributed decode, path strings on
+            // the driver), never a full replay materializing
+            // stats-bearing AddFiles for files this write only buries
+            val now = System.currentTimeMillis()
+            graft.sources.ColumnarLakeFileIndex
+              .tryBuild(df.sparkSession, log, -1) match {
+              case Some(idx) =>
+                idx.pathSizes().map { case (p, _) => RemoveFile(p, now) }
+              case None =>
+                log.snapshot().files.map(f => RemoveFile(f.path, now))
+            }
           case None => Nil
         }
         // Metadata conflict detection (Delta's rule: ANY transaction

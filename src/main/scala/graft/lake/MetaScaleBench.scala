@@ -258,6 +258,33 @@ object MetaScaleBench {
           s"vacuum flagged ${deletable.size} live files")
       }
     }
+    // OVERWRITE leg (VERDICT r15 #4) — LAST: it buries the live set.
+    // The tombstones are O(live) Remove actions by definition, but
+    // their paths must come from the columnar index's projection, not
+    // a full replay materializing 10⁶ stats-bearing AddFiles on the
+    // driver just to read their path fields.
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    timed(s"LakeWriter overwrite of ${nFiles / 1000}k-file table (cold)") {
+      import org.apache.spark.sql.functions.lit
+      val df = dataCols.drop(1)
+        .foldLeft(spark.range(100).toDF("id"))(
+          (d, c) => d.withColumn(c, lit(c)))
+        .withColumn("p", lit(0))
+      val fr0 = Snapshot.fullReplays.get()
+      LakeWriter.write(df, dir, mode = "overwrite")
+      require(Snapshot.fullReplays.get() == fr0,
+        "overwrite tombstones replayed the full file list")
+      ()
+    }
+    locally {
+      val finalV = log.latestVersion
+      val removes = log.readVersion(finalV)
+        .count(_.isInstanceOf[RemoveFile])
+      println(s"  overwrite tombstoned $removes files at v$finalV")
+      require(removes >= nFiles,
+        s"overwrite tombstoned only $removes of $nFiles+ live files")
+    }
     LakeWriter.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()
   }
