@@ -547,19 +547,37 @@ final class LakeTable private (
       .toDF("version", "timestamp", "operation", "operationParameters")
   }
 
-  /** DESCRIBE DETAIL (K12). */
+  /** DESCRIBE DETAIL (K12). Every field is table-level metadata or a
+    * summary aggregate, so on a multi-part-checkpointed table it is
+    * answered from the columnar index's summary pass — counts, bytes,
+    * DV totals folded on the executors — never a full file-list
+    * replay; the classic snapshot serves small tables.
+    */
   def detail(): DataFrame = {
     import spark.implicits._
-    val s = snapshot()
-    Seq((
-      "lake", tablePath, s.version, s.partitionColumns, s.numFiles.toLong,
-      s.sizeInBytes, s.schema.toDDL,
-      s.metadata.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" },
-      s.metadata.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" },
-      s.files.count(_.dvPath.isDefined).toLong,
-      s.files.map(_.dvCardinality).sum
-    )).toDF("format", "location", "version", "partitionColumns", "numFiles",
-      "sizeInBytes", "schema", "constraints", "properties",
+    val row = graft.sources.ColumnarLakeFileIndex
+      .tryBuild(spark, log, -1) match {
+      case Some(idx) =>
+        val m = idx.metadata
+        ("lake", tablePath, idx.version, m.partitionColumns,
+          idx.numFiles, idx.sizeInBytes,
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL).toDDL,
+          m.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" },
+          m.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" },
+          idx.dvPairs.size.toLong, idx.dvDeletedRows)
+      case None =>
+        val s = snapshot()
+        ("lake", tablePath, s.version, s.partitionColumns,
+          s.numFiles.toLong, s.sizeInBytes, s.schema.toDDL,
+          s.metadata.constraints.toSeq.sorted
+            .map { case (n, e) => s"$n: $e" },
+          s.metadata.properties.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" },
+          s.files.count(_.dvPath.isDefined).toLong,
+          s.files.map(_.dvCardinality).sum)
+    }
+    Seq(row).toDF("format", "location", "version", "partitionColumns",
+      "numFiles", "sizeInBytes", "schema", "constraints", "properties",
       "numDeletionVectors", "numDeletedRows")
   }
 

@@ -236,6 +236,12 @@ final class ColumnarLakeFileIndex private[sources] (
     */
   private[graft] def dvPairs: Seq[(String, String)] = summary.dvPairs
   private[graft] def bloomPairs: Seq[(String, String)] = summary.bloomPairs
+
+  /** Total rows buried by deletion vectors across the live set —
+    * DESCRIBE DETAIL's numDeletedRows, folded in the same summary
+    * pass (never a per-file driver walk).
+    */
+  private[graft] def dvDeletedRows: Long = summary.dvRows
 }
 
 object ColumnarLakeFileIndex {
@@ -253,7 +259,7 @@ object ColumnarLakeFileIndex {
   final case class Summary(
       numFiles: Long, bytes: Long, allBucketTagged: Boolean,
       dvPairs: Seq[(String, String)], bloomPairs: Seq[(String, String)],
-      overflow: Boolean)
+      dvRows: Long, overflow: Boolean)
 
   /** Sidecar-map bound: a table whose DV/bloom file count exceeds this
     * materializes comparable driver state either way — classic path.
@@ -355,21 +361,23 @@ object ColumnarLakeFileIndex {
   private final case class Agg(
       n: Long, bytes: Long, tagged: Boolean,
       dv: Vector[(String, String)], bloom: Vector[(String, String)],
-      overflow: Boolean) {
+      dvRows: Long, overflow: Boolean) {
     def +(a: AddFile): Agg = {
       val taggedA = org.apache.spark.sql.execution.datasources
         .BucketingUtils
         .getBucketId(new java.io.File(a.path).getName).isDefined
       if (overflow)
         return Agg(n + 1, bytes + a.size, tagged && taggedA,
-          Vector.empty, Vector.empty, overflow = true)
+          Vector.empty, Vector.empty, dvRows + a.dvCardinality,
+          overflow = true)
       val dv2 = a.dvPath.fold(dv)(d => dv :+ (a.path, d))
       val bloom2 = a.bloomPath.fold(bloom)(b => bloom :+ (a.path, b))
       val over = dv2.size > MAX_SIDECAR_PAIRS ||
         bloom2.size > MAX_SIDECAR_PAIRS
       Agg(n + 1, bytes + a.size, tagged && taggedA,
         if (over) Vector.empty else dv2,
-        if (over) Vector.empty else bloom2, over)
+        if (over) Vector.empty else bloom2,
+        dvRows + a.dvCardinality, over)
     }
     def merge(o: Agg): Agg = {
       val over = overflow || o.overflow ||
@@ -377,11 +385,12 @@ object ColumnarLakeFileIndex {
         bloom.size + o.bloom.size > MAX_SIDECAR_PAIRS
       Agg(n + o.n, bytes + o.bytes, tagged && o.tagged,
         if (over) Vector.empty else dv ++ o.dv,
-        if (over) Vector.empty else bloom ++ o.bloom, over)
+        if (over) Vector.empty else bloom ++ o.bloom,
+        dvRows + o.dvRows, over)
     }
   }
   private def aggZero = Agg(0L, 0L, true, Vector.empty, Vector.empty,
-    overflow = false)
+    0L, overflow = false)
 
   /** One distributed pass over the checkpoint parts folding
     * (count, bytes, bucket tags, DV/bloom sidecar pairs), tail folded
@@ -406,7 +415,7 @@ object ColumnarLakeFileIndex {
       }
     val all = tailAdds.foldLeft(ckptAgg)(_ + _)
     Summary(all.n, all.bytes, all.tagged, all.dv, all.bloom,
-      all.overflow)
+      all.dvRows, all.overflow)
   }
 
   private[graft] def clearCacheForTest(): Unit =

@@ -484,4 +484,50 @@ class ColumnarIndexSuite extends SparkSuite {
     // unbucketed table: files carry no bucket tags
     assert(!idx.allBucketTagged)
   }
+
+  test("detail() answers from the columnar summary — no full replay") {
+    // DV-bearing fixture so numDeletionVectors/numDeletedRows flow
+    // through the summary fold, not a per-file driver walk
+    withPartMax(5) {
+      val path = tablePath("col-detail")
+      (0 until 12).foreach { i =>
+        LakeWriter.write(
+          (0 until 3).map(j => (i * 10L + j, s"r$i-$j")).toDF("id", "v")
+            .coalesce(1),
+          path,
+          properties =
+            if (i == 0) Map(LakeTable.PROP_ENABLE_DV -> "true")
+            else Map.empty)
+      }
+      LakeTable.forPath(spark, path).delete("id = 31")
+      (12 until 22).foreach { i =>
+        LakeWriter.write(
+          (0 until 3).map(j => (i * 10L + j, s"r$i-$j")).toDF("id", "v")
+            .coalesce(1),
+          path)
+      }
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+      val t = LakeTable.forPath(spark, path)
+      val fr0 = Snapshot.fullReplays.get()
+      val d = t.detail().collect().head
+      assert(Snapshot.fullReplays.get() === fr0,
+        "detail() on a multi-part-checkpointed table replayed the " +
+        "full file list")
+      // field parity with the classic snapshot's answer
+      val s = new LakeLog(path).snapshot(-1)
+      assert(d.getAs[Long]("version") === s.version)
+      assert(d.getAs[Long]("numFiles") === s.numFiles.toLong)
+      assert(d.getAs[Long]("sizeInBytes") === s.sizeInBytes)
+      assert(d.getAs[Seq[String]]("partitionColumns") ===
+        s.partitionColumns)
+      assert(d.getAs[String]("schema") === s.schema.toDDL)
+      assert(d.getAs[Long]("numDeletionVectors") ===
+        s.files.count(_.dvPath.isDefined).toLong)
+      assert(d.getAs[Long]("numDeletionVectors") === 1L)
+      assert(d.getAs[Long]("numDeletedRows") ===
+        s.files.map(_.dvCardinality).sum)
+      assert(d.getAs[Long]("numDeletedRows") === 1L)
+    }
+  }
 }
