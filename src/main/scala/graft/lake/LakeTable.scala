@@ -2337,8 +2337,7 @@ final class LakeTable private (
     * plan shape). The id column is null for files written before the
     * feature was enabled and never backfilled.
     */
-  def toDFWithRowIds: DataFrame =
-    graft.sources.LakeDataSource.snapshotDFWithRowIds(spark, snapshot())
+  def toDFWithRowIds: DataFrame = readWithRowIdsAt(-1L)
 
   /** Time-traveled [[toDFWithRowIds]]: the ids a row carried AT THAT
     * VERSION — which, by the preservation guarantee, equal its ids at
@@ -2347,8 +2346,27 @@ final class LakeTable private (
     * CDF answers with data reads.
     */
   def asOfWithRowIds(version: Long): DataFrame =
+    readWithRowIdsAt(version)
+
+  /** Row-id read routing, mirroring [[readAt]]: on a multi-part-
+    * checkpointed table the scan AND the (file → baseRowId) base map
+    * plan through the columnar index — the base map is a projection
+    * decoded on executors, so the driver never materializes the file
+    * list for a row-tracked read; classic snapshot otherwise.
+    */
+  private def readWithRowIdsAt(version: Long): DataFrame = {
+    val columnar = spark.conf
+      .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
+    if (columnar) {
+      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, version)
+        .foreach { idx =>
+          return graft.sources.LakeDataSource
+            .columnarDFWithRowIds(spark, idx)
+        }
+    }
     graft.sources.LakeDataSource.snapshotDFWithRowIds(spark,
       snapshot(version))
+  }
 
   /** [[readFiles]] carrying [[RowTracking.COL]] — what reorganizing
     * rewrites read so the ids of the rows they carry land MATERIALIZED

@@ -208,6 +208,13 @@ final class ColumnarLakeFileIndex private[sources] (
   private[graft] def pathSizes(): Seq[(String, Long)] =
     candidatesAs(Nil)(f => (f.path, f.size))
 
+  /** (relative path, baseRowId) projection of the live set — the
+    * row-tracking read path's base map, projected on the executors so
+    * the driver holds (path, long) pairs, never AddFiles.
+    */
+  private[graft] def pathBases(): Seq[(String, Option[Long])] =
+    candidatesAs(Nil)(f => (f.path, f.baseRowId))
+
   /** Full path listing — O(files) driver STRINGS when called (rare:
     * `Dataset.inputFiles`); AddFiles are projected to resolved path
     * strings inside the Spark job, so the per-file metadata (stat and

@@ -133,12 +133,18 @@ final class LakeDataSource extends RelationProvider
   private[sources] def columnarRelationFor(
       spark: SparkSession, idx: ColumnarLakeFileIndex,
       parameters: Map[String, String],
-      applyDvs: Boolean = true): BaseRelation = {
+      applyDvs: Boolean = true,
+      extraCols: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : BaseRelation = {
     val meta = idx.metadata
     val schema = StructType.fromDDL(meta.schemaDDL)
     val partCols = meta.partitionColumns.toSet
+    // extraCols: physical-only columns outside the table schema (the
+    // materialized row-id column) — parquet null-fills files that
+    // lack them, same contract as relationFor
     val dataSchema =
-      StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+      StructType(schema.fields.filterNot(f => partCols.contains(f.name))
+        ++ extraCols)
     val mapping = graft.lake.ColumnMapping.overrides(meta)
       .filter { case (l, p) => l != p }
     val tablePath = idx.log.tablePath
@@ -342,6 +348,55 @@ object LakeDataSource {
       df0.filter(!graft.lake.DvRowDeleted(df0.sparkSession,
         col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
     }
+  }
+
+  /** Columnar twin of [[snapshotDFWithRowIds]]: table columns plus
+    * the stable row id, planned through the [[ColumnarLakeFileIndex]].
+    * Same resolution order (materialized physical column wins, else
+    * baseRowId + row_index via one broadcast join), but the base map
+    * is the index's (path, baseRowId) PROJECTION — executors decode
+    * the checkpoint parts; the driver holds path/long pairs, never
+    * the stats-bearing file list.
+    */
+  private[graft] def columnarDFWithRowIds(
+      spark: SparkSession, idx: ColumnarLakeFileIndex): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val tablePath = idx.log.tablePath
+    val rtCol = graft.lake.RowTracking.COL
+    val schema = StructType.fromDDL(idx.metadata.schemaDDL)
+    if (idx.numFiles == 0L) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields :+ StructField(rtCol, LongType)))
+    }
+    val df0 = spark.baseRelationToDataFrame(
+        new LakeDataSource().columnarRelationFor(spark, idx, Map.empty,
+          applyDvs = false,
+          extraCols = Seq(StructField(rtCol, LongType, nullable = true))))
+      .withColumn(META, col(META))
+    val df =
+      if (idx.dvPairs.isEmpty) df0
+      else {
+        val dvFor = idx.dvPairs.map { case (f, s) =>
+          (LakeLog.resolveFile(tablePath, f).toString,
+            LakeLog.resolveFile(tablePath, s).toString)
+        }
+        df0.filter(!graft.lake.DvRowDeleted(df0.sparkSession,
+          col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
+      }
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val bases = idx.pathBases().map { case (p, b) =>
+      (LakeLog.resolveFile(tablePath, p).toString, b)
+    }
+    df.join(broadcast(bases.toDF("__rt_file_path", "__rt_base")),
+        col(s"$META.file_path") === col("__rt_file_path"), "left")
+      .withColumn(rtCol,
+        coalesce(col(s"`$rtCol`"),
+          col("__rt_base") + col(s"$META.row_index")))
+      .drop("__rt_file_path", "__rt_base")
+      .select(schema.fieldNames.map(n => col(s"`$n`"))
+        :+ col(s"`$rtCol`"): _*)
   }
 
   /** Does every live file of the snapshot parse a bucket id?

@@ -485,6 +485,48 @@ class ColumnarIndexSuite extends SparkSuite {
     assert(!idx.allBucketTagged)
   }
 
+  test("toDFWithRowIds plans columnar: parity with classic, no full " +
+      "replay") {
+    withPartMax(5) {
+      val path = tablePath("col-rowids")
+      // row-tracked multi-row files, a DV mid-history, then enough
+      // appends for a multi-part checkpoint past the DV commit
+      (0 until 12).foreach { i =>
+        LakeWriter.write(
+          (0 until 3).map(j => (i * 10L + j, s"r$i-$j")).toDF("id", "v")
+            .coalesce(1),
+          path,
+          properties =
+            if (i == 0) Map(RowTracking.PROP -> "true",
+              LakeTable.PROP_ENABLE_DV -> "true")
+            else Map.empty)
+      }
+      LakeTable.forPath(spark, path).delete("id = 31")
+      (12 until 22).foreach { i =>
+        LakeWriter.write(
+          (0 until 3).map(j => (i * 10L + j, s"r$i-$j")).toDF("id", "v")
+            .coalesce(1),
+          path)
+      }
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+      val t = LakeTable.forPath(spark, path)
+      val fr0 = Snapshot.fullReplays.get()
+      val viaColumnar = t.toDFWithRowIds.collect().toSet
+      assert(Snapshot.fullReplays.get() === fr0,
+        "columnar row-id read replayed the full file list")
+      // exact parity with the classic snapshot path (ids included)
+      val classic = graft.sources.LakeDataSource
+        .snapshotDFWithRowIds(spark, new LakeLog(path).snapshot(-1))
+        .collect().toSet
+      assert(viaColumnar === classic)
+      // the DV'd row is gone and every live row carries a non-null id
+      assert(!viaColumnar.exists(_.getLong(0) == 31L))
+      assert(viaColumnar.forall(!_.isNullAt(2)))
+      assert(viaColumnar.size === 65)
+    }
+  }
+
   test("detail() answers from the columnar summary — no full replay") {
     // DV-bearing fixture so numDeletionVectors/numDeletedRows flow
     // through the summary fold, not a per-file driver walk
