@@ -1133,7 +1133,11 @@ final class LakeTable private (
     */
   def setTblProperties(props: Map[String, String]): Unit = {
     LakeTable.validateProperties(props)
-    val snap = snapshot()
+    // metadata-light: a property set needs metadata + protocol; the
+    // file list matters ONLY to prove emptiness when the bucket spec
+    // changes, and that single bit comes from the columnar summary on
+    // multi-part-checkpointed tables
+    val snap = metaSnapshot()
     // column mapping is a one-way door: files already written under
     // override physical names would be misread the moment the
     // translation stops
@@ -1145,7 +1149,7 @@ final class LakeTable private (
       // a retry composes with, never reverts, a concurrent commit —
       // and the one-way door re-checks against the COMPOSED state (a
       // concurrent enable must not be disabled by this retry)
-      val cur = snapshot()
+      val cur = metaSnapshot()
       require(!(ColumnMapping.enabled(cur.metadata) &&
           props.get(ColumnMapping.MODE_PROP).exists(_ != "name")),
         s"${ColumnMapping.MODE_PROP} cannot be disabled once enabled")
@@ -1155,8 +1159,14 @@ final class LakeTable private (
       // files were PLACED under the current spec, and a different
       // declared spec makes Spark's bucketed scan silently drop
       // out-of-range bucket files or prune to the wrong bucket
+      def tableIsEmpty: Boolean =
+        graft.sources.ColumnarLakeFileIndex
+          .tryBuild(spark, log, -1) match {
+          case Some(idx) => idx.numFiles == 0L
+          case None => snapshot().files.isEmpty
+        }
       require(LakeTable.bucketSpecOf(cur.metadata.properties) ==
-          LakeTable.bucketSpecOf(merged) || cur.files.isEmpty,
+          LakeTable.bucketSpecOf(merged) || tableIsEmpty,
         "bucketing cannot be changed on a populated table (files " +
           "are placed under the existing spec); rewrite into a new " +
           "table instead")
@@ -1189,14 +1199,16 @@ final class LakeTable private (
     * Delta's IF EXISTS behavior.
     */
   def unsetTblProperties(keys: Seq[String]): Unit = {
-    val snap = snapshot()
+    // metadata-light, mirroring setTblProperties: only the bucket
+    // one-way door ever needs the file list, and only its emptiness
+    val snap = metaSnapshot()
     require(!(ColumnMapping.enabled(snap.metadata) &&
         keys.exists(k => k == ColumnMapping.MODE_PROP ||
           k == ColumnMapping.TABLE_PROP)),
       "column mapping properties cannot be removed once enabled " +
       "(files already carry physical column names)")
     LakeWriter.commitWithRetry(log) { _ =>
-      val cur = snapshot()
+      val cur = metaSnapshot()
       // re-check against the CURRENT state: a concurrent enable must
       // not have its mapping properties stripped by this retry
       require(!(ColumnMapping.enabled(cur.metadata) &&
@@ -1210,8 +1222,14 @@ final class LakeTable private (
       // populated table leaves bucket-placed files behind a scan that
       // no longer knows it (correct but slow) and, worse, allows a
       // later RE-declare with a different count over the old files
+      def tableIsEmpty: Boolean =
+        graft.sources.ColumnarLakeFileIndex
+          .tryBuild(spark, log, -1) match {
+          case Some(idx) => idx.numFiles == 0L
+          case None => snapshot().files.isEmpty
+        }
       require(LakeTable.bucketSpecOf(cur.metadata.properties) ==
-          LakeTable.bucketSpecOf(merged) || cur.files.isEmpty,
+          LakeTable.bucketSpecOf(merged) || tableIsEmpty,
         "bucketing cannot be removed from a populated table")
       Seq(CommitInfo(System.currentTimeMillis(), "UNSET TBLPROPERTIES",
         Map("keys" -> keys.mkString(","))),
@@ -1220,8 +1238,9 @@ final class LakeTable private (
     ()
   }
 
-  /** Current table properties (SHOW TBLPROPERTIES). */
-  def tblProperties: Map[String, String] = snapshot().metadata.properties
+  /** Current table properties (SHOW TBLPROPERTIES) — metadata-light. */
+  def tblProperties: Map[String, String] =
+    Snapshot.replayMeta(log, log.latestVersion)._1.properties
 
   /** MERGE builder (D1–D4). `condition` may be any expression —
     * including non-equi / RLIKE (J5) — resolved against the aliased

@@ -474,6 +474,29 @@ class ColumnarIndexSuite extends SparkSuite {
     assert(rows.filter("id = 100").count() === 1L)
   }
 
+  test("SET/UNSET TBLPROPERTIES never replay the file list — the " +
+      "bucket one-way door answers emptiness from the summary") {
+    val path = buildTable("col-props-noreplay") // v0..v13, ckpt at v10
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    val before = Snapshot.fullReplays.get()
+    val t = LakeTable.forPath(spark, path)
+    t.setTblProperties(Map(LakeLog.LOG_RETENTION_PROP -> "720"))
+    assert(t.tblProperties.get(LakeLog.LOG_RETENTION_PROP) ===
+      Some("720"))
+    t.unsetTblProperties(Seq(LakeLog.LOG_RETENTION_PROP))
+    assert(!t.tblProperties.contains(LakeLog.LOG_RETENTION_PROP))
+    // declaring a bucket spec on a POPULATED table must still refuse —
+    // the emptiness bit comes from the columnar summary, not a replay
+    intercept[IllegalArgumentException] {
+      t.setTblProperties(Map(
+        LakeTable.PROP_BUCKET_BY -> "id",
+        LakeTable.PROP_BUCKET_COUNT -> "4"))
+    }
+    assert(Snapshot.fullReplays.get() === before,
+      "a property set/unset replayed the full file list")
+  }
+
   test("columnar index summary: counts, bytes, bucket flag") {
     val path = buildTable("col-summary")
     val log = new LakeLog(path)
