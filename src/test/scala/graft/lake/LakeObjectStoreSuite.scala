@@ -284,6 +284,52 @@ class LakeObjectStoreSuite extends StoreContractSuite {
     } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
   }
 
+  test("chunked initial-snapshot streaming composes with object-store " +
+      "semantics") {
+    // retention-aged multi-part table: the fresh stream's first
+    // deliverable is the floor snapshot, chunked under
+    // maxFilesPerTrigger, with every checkpoint-part read riding this
+    // store's GET handles — end-to-end through the engine's
+    // micro-batch loop, exactly once
+    val src = tablePath("objstream-src")
+    val dst = tablePath("objstream-dst")
+    val prevMax = LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 4
+    try {
+      (0 until 10).foreach { i =>
+        LakeWriter.write(
+          ((i * 10 + 1L) to (i * 10 + 10L)).toDF("id").coalesce(1), src,
+          properties = if (i == 0)
+            Map(LakeLog.LOG_RETENTION_PROP -> "0")
+          else Map.empty)
+      }
+      val log = new LakeLog(src)
+      (10L to 29L).foreach { v =>
+        log.commit(v, Seq(CommitInfo(
+          System.currentTimeMillis(), "EMPTY", Map.empty)))
+      }
+      LakeWriter.write((101L to 110L).toDF("id").coalesce(1), src) // v30
+      assert(log.earliestReplayableVersion === 10L)
+      assert(graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, log, 10L).isDefined)
+      val q = spark.readStream.format("lake")
+        .option("maxFilesPerTrigger", "3").load(src)
+        .writeStream.format("lake")
+        .option("checkpointLocation", tmpDir("objstream-ck"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(120000)
+      val ids = LakeTable.forPath(spark, dst).toDF
+        .select("id").as[Long].collect().sorted
+      assert(ids === (1L to 110L).toArray)
+      // chunked: 10 floor files at 3 per trigger = 4 chunks + 1 tail
+      val commits = LakeTable.forPath(spark, dst).history()
+        .filter(org.apache.spark.sql.functions.col("operation") ===
+          "STREAMING UPDATE").count()
+      assert(commits === 5L, s"expected 4 chunks + 1 tail, got $commits")
+    } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+  }
+
   test("conditional PUT refuses an existing key; replace swaps atomically") {
     // direct store-contract check, no engine on top
     val dir = java.nio.file.Paths.get(tmpDir("objstore-contract"))

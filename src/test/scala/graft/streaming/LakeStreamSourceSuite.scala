@@ -335,6 +335,73 @@ class LakeStreamSourceSuite extends SparkSuite {
     } finally graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
   }
 
+  test("initial snapshot chunking survives a restart at EVERY chunk " +
+      "boundary; byte budget admits at least one file") {
+    val src = tablePath("ss-init-restart-src")
+    val prevMax = graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 4
+    try {
+      (0 until 10).foreach { i =>
+        LakeWriter.write(
+          ((i * 10 + 1L) to (i * 10 + 10L)).toDF("id").coalesce(1), src,
+          properties = if (i == 0)
+            Map(graft.lake.LakeLog.LOG_RETENTION_PROP -> "0")
+          else Map.empty)
+      }
+      padLog(src, 10L, 29L)
+      LakeWriter.write((101L to 110L).toDF("id").coalesce(1), src) // v30
+      assert(new graft.lake.LakeLog(src).earliestReplayableVersion === 10L)
+      import org.apache.spark.sql.execution.streaming.SerializedOffset
+
+      // Drive the source the way a crash-looping engine would: a
+      // FRESH instance per trigger, replaying the last committed
+      // batch from serialized offsets before asking for the next.
+      def driveToEnd(opts: Map[String, String]): Seq[(String, Long)] = {
+        var prev: Option[String] = None
+        var cur: Option[String] = None
+        val out = Seq.newBuilder[(String, Long)]
+        var spins = 0
+        while (spins < 40) {
+          val s = new graft.sources.LakeStreamSource(spark, src, opts)
+          cur.foreach { c => // restart replay of the committed batch
+            s.getBatch(prev.map(SerializedOffset(_)), SerializedOffset(c))
+          }
+          s.getOffset match {
+            case None => spins = 40
+            case Some(o) =>
+              val df = s.getBatch(cur.map(SerializedOffset(_)), o)
+              // count the delivered rows off the batch's own RDD (a
+              // bare streaming frame rejects batch execution)
+              val n = df.queryExecution.logical.collectFirst {
+                case l: org.apache.spark.sql.execution.LogicalRDD =>
+                  l.rdd.count()
+              }.getOrElse(sys.error("expected a LogicalRDD batch"))
+              out += ((o.json(), n))
+              prev = cur
+              cur = Some(o.json())
+              spins += 1
+          }
+        }
+        out.result()
+      }
+
+      // files budget 3 over a 10-file snapshot: [3,3,3,1] chunks,
+      // then the tail versions as one more batch — with a restart
+      // BETWEEN EVERY pair, no chunk is lost or re-delivered
+      val byFiles = driveToEnd(Map("maxFilesPerTrigger" -> "3"))
+      assert(byFiles.map(_._1) ===
+        Seq("10#3", "10#6", "10#9", "10#10", "30"))
+      assert(byFiles.map(_._2) === Seq(30L, 30L, 30L, 10L, 10L))
+
+      // byte budget below one file's size: the at-least-one-file rule
+      // yields exactly one file per chunk, ten chunks
+      val byBytes = driveToEnd(Map("maxBytesPerTrigger" -> "1"))
+      assert(byBytes.map(_._1) ===
+        (1 to 10).map(i => s"10#$i") :+ "30")
+      assert(byBytes.map(_._2).sum === 110L)
+    } finally graft.lake.LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+  }
+
   test("restart below the retention floor: loud data-loss error, or " +
       "resume from the floor with failOnDataLoss=false") {
     val src = tablePath("ss-ret-lag-src")
