@@ -285,8 +285,13 @@ final class LakeStreamSource(
         val all = initStateFor(initV)
         val chunk = addsForChunk(initV,
           all.slice(fromIdx.toInt, toIdx.toInt).map(_._1))
-        initIndexDelivered = math.max(initIndexDelivered, toIdx)
-        if (toIdx >= all.size) {
+        // catch the cursor up to BOTH ends (the version-offset rule):
+        // a restart replay may hand a start at or past the end, and
+        // the cursor must recover from it rather than re-offer
+        // already-committed chunks
+        val through = math.max(fromIdx, toIdx)
+        initIndexDelivered = math.max(initIndexDelivered, through)
+        if (through >= all.size) {
           // snapshot fully delivered: advance the version cursor and
           // release the chunk index — steady state retains nothing
           deliveredThrough = math.max(deliveredThrough, initV)
