@@ -2041,7 +2041,14 @@ final class LakeTable private (
       s"cannot read changes of $tablePath from version $fromVersion: " +
       s"version files below the log retention horizon were removed by " +
       s"log cleanup (earliest available version: $earliest)")
-    val snapAtTo = snapshot(to)
+    // metadata-light carrier at `to`: the feed needs schema/mapping/
+    // protocol from the end state, never its file list (per-version
+    // reads below fetch exactly each commit's own files)
+    val snapAtTo = {
+      val (m, p, d) = Snapshot.replayMeta(log, to)
+      LakeProtocol.assertReadable(p, tablePath)
+      Snapshot(log, to, m, Nil, Map.empty, p, d)
+    }
     val schema = snapAtTo.schema
     def readRel(files: Seq[AddFile]): DataFrame = {
       val missing = files.filterNot(f =>
@@ -2095,7 +2102,9 @@ final class LakeTable private (
           // relation, whose mapping translation already handles
           // this.) A column the end schema lacks is dropped; one the
           // writing version lacked null-fills.
-          val snapV = snapshot(v)
+          val metaV = Snapshot.replayMeta(log, v)._1
+          val snapV = Snapshot(log, v, metaV, Nil, Map.empty,
+            snapAtTo.protocol, Map.empty)
           val mapV = ColumnMapping.overrides(snapV.metadata)
           val mapTo = ColumnMapping.overrides(snapAtTo.metadata)
           val physToLogicalV: Map[String, String] = snapV.schema.fields
@@ -2127,10 +2136,18 @@ final class LakeTable private (
             actions.collect { case r: RemoveFile => r.path }.toSet ++
               dvChanged
           // removed files' AddFile entries (with partition values)
-          // come from the pre-commit snapshot
+          // come from the pre-commit state — through the columnar
+          // index's path-filtered scan on multi-part-checkpointed
+          // tables (O(removed) driver AddFiles), a snapshot replay
+          // only on small/classic ones
           val removes =
             if (removePaths.isEmpty) Nil
-            else snapshot(v - 1).files.filter(f => removePaths(f.path))
+            else graft.sources.ColumnarLakeFileIndex
+              .tryBuild(spark, log, v - 1) match {
+              case Some(idx) => idx.addsForPaths(removePaths.toSeq)
+              case None =>
+                snapshot(v - 1).files.filter(f => removePaths(f.path))
+            }
           if (removes.isEmpty) {
             if (adds.isEmpty) Nil
             else Seq(readRel(adds)
