@@ -42,15 +42,10 @@ final class LakeTable private (
     * otherwise the classic snapshot path.
     */
   private def readAt(version: Long): DataFrame = {
-    val columnar = spark.conf
-      .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
-    if (columnar) {
-      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, version)
-        .foreach { idx =>
-          return spark.baseRelationToDataFrame(
-            graft.sources.LakeDataSource.columnarRelation(
-              spark, idx, Map.empty))
-        }
+    columnarIdx(version).foreach { idx =>
+      return spark.baseRelationToDataFrame(
+        graft.sources.LakeDataSource.columnarRelation(
+          spark, idx, Map.empty))
     }
     snapshot(version).toDF(spark)
   }
@@ -150,6 +145,21 @@ final class LakeTable private (
     val v = log.latestVersion
     val (m, p, d, t) = Snapshot.replayMetaTxns(log, v)
     Snapshot(log, v, m, Nil, t, p, d)
+  }
+
+  /** The columnar file index for `version` iff the session conf
+    * allows (default ON — `spark.graft.columnarFileIndex=false` is
+    * the uniform opt-out) AND the table qualifies. Every
+    * metadata/maintenance path that can answer from the index routes
+    * through here so the opt-out works everywhere, not just on scans.
+    */
+  private[lake] def columnarIdx(version: Long = -1)
+      : Option[graft.sources.ColumnarLakeFileIndex] = {
+    val enabled = spark.conf
+      .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
+    if (enabled)
+      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, version)
+    else None
   }
 
   /** Add several nullable columns in ONE metadata commit (used by
@@ -555,8 +565,7 @@ final class LakeTable private (
     */
   def detail(): DataFrame = {
     import spark.implicits._
-    val row = graft.sources.ColumnarLakeFileIndex
-      .tryBuild(spark, log, -1) match {
+    val row = columnarIdx() match {
       case Some(idx) =>
         val m = idx.metadata
         ("lake", tablePath, idx.version, m.partitionColumns,
@@ -593,15 +602,24 @@ final class LakeTable private (
     * concurrent writer's commit wins a retry, never a lost update.
     */
   def fsckRepair(dryRun: Boolean = false): Seq[String] = {
-    val snap = snapshot()
     // probe the data file AND its deletion-vector sidecar: a file
     // whose DV is gone cannot be read safely (its deleted rows would
     // resurrect) — Delta's FSCK removes those entries too. Bloom
     // sidecars are deliberately NOT probed: the bloom read path is
     // conservative on a missing sidecar (opens the file), so losing
-    // one costs speed, not correctness.
-    val live: Seq[(String, Option[String])] =
-      snap.files.map(f => (f.path, f.dvPath))
+    // one costs speed, not correctness. The probe and the repair
+    // commit need only PATHS, so on a multi-part-checkpointed table
+    // the inventory is the columnar index's sidecar projection —
+    // never a driver-resident file list.
+    val (version, live): (Long, Seq[(String, Option[String])]) =
+      columnarIdx() match {
+        case Some(idx) =>
+          (idx.version, idx.pathSidecars().map { case (p, dv, _) =>
+            (p, dv) })
+        case None =>
+          val snap = snapshot()
+          (snap.version, snap.files.map(f => (f.path, f.dvPath)))
+      }
     def damaged(p: String, dv: Option[String]): Boolean =
       !java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, p)) ||
         dv.exists(d =>
@@ -622,7 +640,7 @@ final class LakeTable private (
       }
     if (missing.nonEmpty && !dryRun) {
       val now = System.currentTimeMillis()
-      LakeWriter.commitWithRetry(log, snap.version, missing) { _ =>
+      LakeWriter.commitWithRetry(log, version, missing) { _ =>
         CommitInfo(now, "FSCK",
           Map("numRemovedFiles" -> missing.size.toString)) +:
           missing.map(p => RemoveFile(p, now): Action)
@@ -646,13 +664,9 @@ final class LakeTable private (
     * O(table) driver state either way.
     */
   private[lake] def dmlPlan(): DmlPlan = {
-    val columnar = spark.conf
-      .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
-    if (columnar) {
-      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, -1)
-        .filterNot(idx => RowTracking.enabled(idx.metadata.properties))
-        .foreach { idx => return new DmlPlan.Columnar(this, idx) }
-    }
+    columnarIdx()
+      .filterNot(idx => RowTracking.enabled(idx.metadata.properties))
+      .foreach { idx => return new DmlPlan.Columnar(this, idx) }
     new DmlPlan.Classic(this, snapshot())
   }
 
@@ -1159,12 +1173,10 @@ final class LakeTable private (
       // files were PLACED under the current spec, and a different
       // declared spec makes Spark's bucketed scan silently drop
       // out-of-range bucket files or prune to the wrong bucket
-      def tableIsEmpty: Boolean =
-        graft.sources.ColumnarLakeFileIndex
-          .tryBuild(spark, log, -1) match {
-          case Some(idx) => idx.numFiles == 0L
-          case None => snapshot().files.isEmpty
-        }
+      def tableIsEmpty: Boolean = columnarIdx() match {
+        case Some(idx) => idx.numFiles == 0L
+        case None => snapshot().files.isEmpty
+      }
       require(LakeTable.bucketSpecOf(cur.metadata.properties) ==
           LakeTable.bucketSpecOf(merged) || tableIsEmpty,
         "bucketing cannot be changed on a populated table (files " +
@@ -1222,12 +1234,10 @@ final class LakeTable private (
       // populated table leaves bucket-placed files behind a scan that
       // no longer knows it (correct but slow) and, worse, allows a
       // later RE-declare with a different count over the old files
-      def tableIsEmpty: Boolean =
-        graft.sources.ColumnarLakeFileIndex
-          .tryBuild(spark, log, -1) match {
-          case Some(idx) => idx.numFiles == 0L
-          case None => snapshot().files.isEmpty
-        }
+      def tableIsEmpty: Boolean = columnarIdx() match {
+        case Some(idx) => idx.numFiles == 0L
+        case None => snapshot().files.isEmpty
+      }
       require(LakeTable.bucketSpecOf(cur.metadata.properties) ==
           LakeTable.bucketSpecOf(merged) || tableIsEmpty,
         "bucketing cannot be removed from a populated table")
@@ -1532,12 +1542,24 @@ final class LakeTable private (
     */
   def vacuum(retentionHours: Double = -1.0,
       dryRun: Boolean = false): Seq[String] = {
-    val snap0 = snapshot()
+    // the live/protection sets need only path + sidecar strings; on
+    // a multi-part-checkpointed table they come from the columnar
+    // sidecar projection — VACUUM of a 10⁶-file table never
+    // materializes its stats-bearing file list on the driver
+    val (liveTriples, liveCount)
+        : (Seq[(String, Option[String], Option[String])], Long) =
+      columnarIdx() match {
+        case Some(idx) => (idx.pathSidecars(), idx.numFiles)
+        case None =>
+          val fs = snapshot().files
+          (fs.map(f => (f.path, f.dvPath, f.bloomPath)), fs.size.toLong)
+      }
+    val props = Snapshot.replayMeta(log, log.latestVersion)._1.properties
     // The table's own retention property (Delta's
     // deletedFileRetentionDuration) is both the no-arg default and the
     // safety floor the guard compares against — a table whose owner
     // set a short retention has opted in for THAT table.
-    val tableDefault = snap0.metadata.properties
+    val tableDefault = props
       .get(LakeTable.PROP_RETENTION_HOURS).map(_.toDouble)
       .getOrElse(LakeTable.DEFAULT_RETENTION_HOURS)
     val retention = if (retentionHours < 0) tableDefault else retentionHours
@@ -1552,9 +1574,9 @@ final class LakeTable private (
         "versions (this breaks time travel to them).")
     }
     val cutoff = System.currentTimeMillis() - (retention * 3600 * 1000).toLong
-    val live = snap0.files.map(_.path).toSet ++
-      snap0.files.flatMap(_.dvPath) ++
-      snap0.files.flatMap(_.bloomPath)
+    val live = liveTriples.map(_._1).toSet ++
+      liveTriples.flatMap(_._2) ++
+      liveTriples.flatMap(_._3)
     // Tombstones/change-data of commits still inside the retention
     // window stay reachable by time travel / CDF reads — as do
     // deletion-vector and bloom sidecars referenced by in-window
@@ -1572,8 +1594,13 @@ final class LakeTable private (
         // retention horizon; the oldest REPLAYABLE version is then
         // the earliest state any reader can reach, so its sidecars
         // are the right protection set
-        snapshot(math.max(v, log.earliestReplayableVersion))
-          .files.flatMap(f => f.dvPath ++ f.bloomPath).toSet
+        val pv = math.max(v, log.earliestReplayableVersion)
+        columnarIdx(pv) match {
+          case Some(idx) => idx.pathSidecars()
+            .flatMap { case (_, dv, bl) => dv ++ bl }.toSet
+          case None => snapshot(pv)
+            .files.flatMap(f => f.dvPath ++ f.bloomPath).toSet
+        }
       }.getOrElse(Set.empty)
     // The sidecar-backed timestamp index still lists versions whose
     // files log retention deleted (short graft.logRetentionHours can
@@ -1604,7 +1631,7 @@ final class LakeTable private (
     // in driver memory and the test is pure set lookup — shipping
     // those sets to executors would cost more than it saves.
     val distributed =
-      snap0.numFiles >= LakeTable.DISTRIBUTED_VACUUM_LIST_MIN_FILES
+      liveCount >= LakeTable.DISTRIBUTED_VACUUM_LIST_MIN_FILES
     def mtimeOf(p: Path): Long =
       // vanished between listing and stat = a concurrent deleter got
       // it first; MaxValue keeps it out of the deletable set
@@ -1910,15 +1937,28 @@ final class LakeTable private (
   def dropBloomIndexes(): Int = {
     val configured = Seq(BloomIndex.PROP_COLUMNS, BloomIndex.PROP_FPP,
       BloomIndex.PROP_NUM_ITEMS)
-      .filter(snapshot().metadata.properties.contains)
+      .filter(Snapshot.replayMeta(log, log.latestVersion)._1
+        .properties.contains)
     if (configured.nonEmpty) unsetTblProperties(configured)
-    val snap = snapshot()
-    val carrying = snap.files.filter(_.bloomPath.isDefined)
+    // bloom-CARRYING entries are bounded by the sidecar count (the
+    // columnar gate's own 2¹⁶ bound): on a multi-part-checkpointed
+    // table they come by path from the summary's pairs, never from a
+    // driver-resident inventory
+    val (anchor, carrying): (Snapshot, Seq[AddFile]) =
+      columnarIdx() match {
+        case Some(idx) =>
+          val paths = idx.bloomPairs.map(_._1)
+          (metaSnapshot(),
+            if (paths.isEmpty) Nil else idx.addsForPaths(paths))
+        case None =>
+          val snap = snapshot()
+          (snap, snap.files.filter(_.bloomPath.isDefined))
+      }
     if (carrying.isEmpty) return 0
     val adds = carrying.map(_.copy(bloomPath = None))
     val now = System.currentTimeMillis()
-    LakeWriter.commitWithRetry(log, snap.version, adds.map(_.path)) { _ =>
-      assertMetadataUnchanged(snap, "DROP BLOOM INDEX")
+    LakeWriter.commitWithRetry(log, anchor.version, adds.map(_.path)) { _ =>
+      assertMetadataUnchanged(anchor, "DROP BLOOM INDEX")
       Seq(CommitInfo(now, "DROP BLOOM INDEX",
         Map("numFilesStripped" -> adds.size.toString))) ++ adds
     }
@@ -2142,8 +2182,7 @@ final class LakeTable private (
           // only on small/classic ones
           val removes =
             if (removePaths.isEmpty) Nil
-            else graft.sources.ColumnarLakeFileIndex
-              .tryBuild(spark, log, v - 1) match {
+            else columnarIdx(v - 1) match {
               case Some(idx) => idx.addsForPaths(removePaths.toSeq)
               case None =>
                 snapshot(v - 1).files.filter(f => removePaths(f.path))
@@ -2391,14 +2430,8 @@ final class LakeTable private (
     * list for a row-tracked read; classic snapshot otherwise.
     */
   private def readWithRowIdsAt(version: Long): DataFrame = {
-    val columnar = spark.conf
-      .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
-    if (columnar) {
-      graft.sources.ColumnarLakeFileIndex.tryBuild(spark, log, version)
-        .foreach { idx =>
-          return graft.sources.LakeDataSource
-            .columnarDFWithRowIds(spark, idx)
-        }
+    columnarIdx(version).foreach { idx =>
+      return graft.sources.LakeDataSource.columnarDFWithRowIds(spark, idx)
     }
     graft.sources.LakeDataSource.snapshotDFWithRowIds(spark,
       snapshot(version))

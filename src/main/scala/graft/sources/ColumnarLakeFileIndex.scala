@@ -215,6 +215,14 @@ final class ColumnarLakeFileIndex private[sources] (
   private[graft] def pathBases(): Seq[(String, Option[Long])] =
     candidatesAs(Nil)(f => (f.path, f.baseRowId))
 
+  /** (relative path, dvPath, bloomPath) projection of the live set —
+    * what FSCK's damage probe and VACUUM's protection set need:
+    * path strings on the driver, never stats-bearing AddFiles.
+    */
+  private[graft] def pathSidecars()
+      : Seq[(String, Option[String], Option[String])] =
+    candidatesAs(Nil)(f => (f.path, f.dvPath, f.bloomPath))
+
   /** Full path listing — O(files) driver STRINGS when called (rare:
     * `Dataset.inputFiles`); AddFiles are projected to resolved path
     * strings inside the Spark job, so the per-file metadata (stat and

@@ -508,6 +508,22 @@ class ColumnarIndexSuite extends SparkSuite {
     assert(!idx.allBucketTagged)
   }
 
+  test("FSCK and VACUUM dry-runs take the columnar sidecar projection " +
+      "— no full replay") {
+    val path = buildTable("col-maint-noreplay")
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    val t = LakeTable.forPath(spark, path)
+    val before = Snapshot.fullReplays.get()
+    assert(t.fsckRepair(dryRun = true).isEmpty,
+      "healthy table: FSCK must find nothing missing")
+    val deletable = t.vacuum(dryRun = true)
+    assert(deletable.forall(p => !p.endsWith(".json")),
+      "vacuum must never flag log files")
+    assert(Snapshot.fullReplays.get() === before,
+      "FSCK/VACUUM dry-runs replayed the full file list")
+  }
+
   test("toDFWithRowIds plans columnar: parity with classic, no full " +
       "replay") {
     withPartMax(5) {
