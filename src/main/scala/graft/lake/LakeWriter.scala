@@ -337,8 +337,13 @@ object LakeWriter {
             // the driver), never a full replay materializing
             // stats-bearing AddFiles for files this write only buries
             val now = System.currentTimeMillis()
-            graft.sources.ColumnarLakeFileIndex
-              .tryBuild(df.sparkSession, log, -1) match {
+            val columnar = df.sparkSession.conf
+              .getOption("spark.graft.columnarFileIndex")
+              .forall(_.toBoolean)
+            (if (columnar)
+              graft.sources.ColumnarLakeFileIndex
+                .tryBuild(df.sparkSession, log, -1)
+            else None) match {
               case Some(idx) =>
                 idx.pathSizes().map { case (p, _) => RemoveFile(p, now) }
               case None =>

@@ -177,12 +177,22 @@ final class LakeStreamSource(
   @volatile private var initState
       : Option[(Long, IndexedSeq[(String, Long)])] = None
 
+  /** Columnar index iff the session conf allows (the same uniform
+    * `spark.graft.columnarFileIndex` opt-out every batch path honors)
+    * and the table qualifies.
+    */
+  private def columnarIdx(version: Long): Option[ColumnarLakeFileIndex] = {
+    val enabled = spark.conf
+      .getOption("spark.graft.columnarFileIndex").forall(_.toBoolean)
+    if (enabled) ColumnarLakeFileIndex.tryBuild(spark, log, version)
+    else None
+  }
+
   private def initStateFor(version: Long): IndexedSeq[(String, Long)] =
     initState match {
       case Some((v, files)) if v == version => files
       case _ =>
-        val files = (ColumnarLakeFileIndex.tryBuild(spark, log, version)
-          match {
+        val files = (columnarIdx(version) match {
             case Some(idx) => idx.pathSizes()
             case None => log.snapshot(version).files.map(f => (f.path, f.size))
           }).sortBy(_._1).toIndexedSeq
@@ -195,7 +205,7 @@ final class LakeStreamSource(
     * AddFiles), classic snapshot filter otherwise.
     */
   private def addsForChunk(version: Long, paths: Seq[String]): Seq[AddFile] =
-    ColumnarLakeFileIndex.tryBuild(spark, log, version) match {
+    columnarIdx(version) match {
       case Some(idx) => idx.addsForPaths(paths)
       case None =>
         val want = paths.toSet
@@ -316,7 +326,7 @@ final class LakeStreamSource(
         // wholesale (unthrottled) initial snapshot: list through the
         // columnar index when the table has a multi-part checkpoint —
         // distributed part decode instead of a driver replay
-        adds ++= (ColumnarLakeFileIndex.tryBuild(spark, log, floor) match {
+        adds ++= (columnarIdx(floor) match {
           case Some(idx) => idx.candidatesFor(Nil)
           case None => log.snapshot(floor).files
         })

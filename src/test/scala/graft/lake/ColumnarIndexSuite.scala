@@ -563,6 +563,15 @@ class ColumnarIndexSuite extends SparkSuite {
       assert(!viaColumnar.exists(_.getLong(0) == 31L))
       assert(viaColumnar.forall(!_.isNullAt(2)))
       assert(viaColumnar.size === 65)
+      // plan shape: the (file -> baseRowId) map joins BROADCAST — a
+      // shuffled join here would exchange the whole corpus to meet a
+      // metadata-sized table
+      val plan = t.toDFWithRowIds.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"row-id base map must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        "row-id base map must not sort-merge")
     }
   }
 
