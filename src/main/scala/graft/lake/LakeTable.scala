@@ -1266,7 +1266,18 @@ final class LakeTable private (
     */
   def restoreTo(version: Long): Unit = {
     val target = snapshot(version)
-    val current = snapshot()
+    // the CURRENT side contributes only its path set, metadata, and
+    // read version — a columnar path projection on big tables; the
+    // TARGET side inherently needs full AddFiles (its entries are the
+    // re-add actions the restore commits)
+    val (curVersion, curMeta, currentPathSeq)
+        : (Long, Metadata, Seq[String]) = columnarIdx() match {
+      case Some(idx) =>
+        (idx.version, idx.metadata, idx.pathSizes().map(_._1))
+      case None =>
+        val current = snapshot()
+        (current.version, current.metadata, current.files.map(_.path))
+    }
     val missing = target.files.filterNot(f =>
       Files.exists(LakeLog.resolveFile(tablePath, f.path)))
     if (missing.nonEmpty) throw new IllegalStateException(
@@ -1274,17 +1285,16 @@ final class LakeTable private (
       s"${missing.size} of its data files were removed by VACUUM " +
       s"(first: ${missing.head.path})")
     val targetPaths = target.files.map(_.path).toSet
-    val currentPaths = current.files.map(_.path).toSet
-    val removed = current.files.map(_.path).filterNot(targetPaths.contains)
+    val currentPaths = currentPathSeq.toSet
+    val removed = currentPathSeq.filterNot(targetPaths.contains)
     val now = System.currentTimeMillis()
-    LakeWriter.commitWithRetry(log, current.version, removed) { _ =>
+    LakeWriter.commitWithRetry(log, curVersion, removed) { _ =>
       Seq(CommitInfo(now, "RESTORE",
         Map("version" -> version.toString))) ++
-        (if (target.metadata.schemaDDL != current.metadata.schemaDDL ||
-          target.partitionColumns != current.partitionColumns)
+        (if (target.metadata.schemaDDL != curMeta.schemaDDL ||
+          target.partitionColumns != curMeta.partitionColumns)
           Seq(target.metadata) else Nil) ++
-        current.files.filterNot(f => targetPaths.contains(f.path))
-          .map(f => RemoveFile(f.path, now)) ++
+        removed.map(p => RemoveFile(p, now)) ++
         target.files.filterNot(f => currentPaths.contains(f.path))
     }
   }
