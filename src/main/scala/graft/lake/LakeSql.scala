@@ -325,13 +325,14 @@ object LakeSql {
 
     case SHOW_PARTITIONS_RE(t) =>
       // answered from LOG METADATA only — no file listing, no data
-      // read; a 100k-partition table costs one snapshot replay
-      val snap = resolve(spark, clean(t)).snapshot()
-      require(snap.partitionColumns.nonEmpty,
+      // read; on multi-part-checkpointed tables the distinct runs on
+      // the executors, so the driver sees one row per PARTITION
+      val (cols, pvs, tblSchema) =
+        resolve(spark, clean(t)).livePartitionValues()
+      require(cols.nonEmpty,
         s"SHOW PARTITIONS: ${clean(t)} is not a partitioned table")
-      val cols = snap.partitionColumns
-      val tuples = snap.files.map(f => cols.map(c =>
-        f.partitionValues.get(c) match {
+      val tuples = pvs.map(pv => cols.map(c =>
+        pv.get(c) match {
           case None | Some(null) => null
           case Some(graft.sources.LakeFileIndex.HIVE_NULL) => null
           case Some(v) => v
@@ -339,7 +340,7 @@ object LakeSql {
       val stringSchema = org.apache.spark.sql.types.StructType(
         cols.map(c => org.apache.spark.sql.types.StructField(
           c, org.apache.spark.sql.types.StringType)))
-      val byName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      val byName = tblSchema.fields.map(f => f.name -> f.dataType).toMap
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(
           tuples.map(v => org.apache.spark.sql.Row(v: _*)).asJava,

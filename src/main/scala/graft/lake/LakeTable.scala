@@ -557,6 +557,25 @@ final class LakeTable private (
       .toDF("version", "timestamp", "operation", "operationParameters")
   }
 
+  /** Live partition columns, DISTINCT partition-value maps, and the
+    * table schema — SHOW PARTITIONS' metadata. On multi-part-
+    * checkpointed tables the dedupe runs on the executors; the driver
+    * holds one entry per partition, never per file.
+    */
+  private[lake] def livePartitionValues()
+      : (Seq[String], Seq[Map[String, String]],
+         org.apache.spark.sql.types.StructType) =
+    columnarIdx() match {
+      case Some(idx) =>
+        val m = idx.metadata
+        (m.partitionColumns, idx.distinctPartitionTuples(),
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL))
+      case None =>
+        val snap = snapshot()
+        (snap.partitionColumns,
+          snap.files.map(_.partitionValues).distinct, snap.schema)
+    }
+
   /** DESCRIBE DETAIL (K12). Every field is table-level metadata or a
     * summary aggregate, so on a multi-part-checkpointed table it is
     * answered from the columnar index's summary pass — counts, bytes,

@@ -215,6 +215,32 @@ final class ColumnarLakeFileIndex private[sources] (
   private[graft] def pathBases(): Seq[(String, Option[Long])] =
     candidatesAs(Nil)(f => (f.path, f.baseRowId))
 
+  /** DISTINCT partition-value maps of the live set, deduplicated ON
+    * THE EXECUTORS — SHOW PARTITIONS' answer: the driver receives one
+    * row per PARTITION (10³–10⁵ at any real layout), never one per
+    * file.
+    */
+  private[graft] def distinctPartitionTuples(): Seq[Map[String, String]] = {
+    val fromCkpt: Seq[Map[String, String]] =
+      if (ckptParts.isEmpty) Nil
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        val readers = ckptParts.map(p =>
+          log.store.fileReader(java.nio.file.Paths.get(p)))
+        spark.sparkContext
+          .parallelize(readers, readers.size)
+          .flatMap { r =>
+            graft.lake.CheckpointParquet.read(r).iterator
+              .collect { case a: AddFile => a }
+          }
+          .filter(a => !touched.value.contains(a.path))
+          .map(_.partitionValues)
+          .distinct()
+          .collect().toSeq
+      }
+    (fromCkpt ++ tailAdds.map(_.partitionValues)).distinct
+  }
+
   /** (relative path, dvPath, bloomPath) projection of the live set —
     * what FSCK's damage probe and VACUUM's protection set need:
     * path strings on the driver, never stats-bearing AddFiles.
