@@ -318,9 +318,25 @@ object CheckpointParquet {
       new org.apache.parquet.io.DelegatingSeekableInputStream(s) {
         override def getPos: Long = (bytes.length - s.available()).toLong
         override def seek(newPos: Long): Unit = {
+          // A truncated or corrupt GET body can carry a footer that
+          // directs an out-of-range seek; ByteArrayInputStream.skip
+          // returns 0 at EOF, so a blind skip loop would spin forever
+          // and defeat the task-retry recovery the GET seam exists
+          // for. Fail loudly instead.
+          if (newPos > bytes.length)
+            throw new java.io.EOFException(
+              s"seek to $newPos past the ${bytes.length}-byte " +
+              "checkpoint-part body (truncated or corrupt object read)")
           s.reset()
           var left = newPos
-          while (left > 0) left -= s.skip(left)
+          while (left > 0) {
+            val skipped = s.skip(left)
+            if (skipped <= 0)
+              throw new java.io.EOFException(
+                s"checkpoint-part body ended ${left} bytes short of " +
+                s"seek target $newPos")
+            left -= skipped
+          }
         }
       }
     }

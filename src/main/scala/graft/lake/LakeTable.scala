@@ -2208,11 +2208,15 @@ final class LakeTable private (
           // come from the pre-commit state — through the columnar
           // index's path-filtered scan on multi-part-checkpointed
           // tables (O(removed) driver AddFiles), a snapshot replay
-          // only on small/classic ones
+          // only on small/classic ones. TOLERANT fetch: a commit's
+          // DV-carrying AddFiles may name files NOT live at v-1
+          // (RESTORE re-adding DV-bearing target files lands them in
+          // dvChanged) — those contribute no pre-image, same as the
+          // classic filter below.
           val removes =
             if (removePaths.isEmpty) Nil
             else columnarIdx(v - 1) match {
-              case Some(idx) => idx.addsForPaths(removePaths.toSeq)
+              case Some(idx) => idx.addsForPathsIfLive(removePaths.toSeq)
               case None =>
                 snapshot(v - 1).files.filter(f => removePaths(f.path))
             }

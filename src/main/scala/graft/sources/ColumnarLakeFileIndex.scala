@@ -173,6 +173,23 @@ final class ColumnarLakeFileIndex private[sources] (
     * [[graft.lake.LakeTable]]'s `fileSubset`).
     */
   private[graft] def addsForPaths(relPaths: Seq[String]): Seq[AddFile] = {
+    val all = addsForPathsIfLive(relPaths)
+    require(all.size == relPaths.toSet.size,
+      s"addsForPaths: ${relPaths.toSet.size - all.size} of " +
+      s"${relPaths.toSet.size} " +
+      s"paths not live at version $version of ${log.tablePath}")
+    all
+  }
+
+  /** Tolerant twin of [[addsForPaths]]: requested paths NOT live at
+    * this version are simply absent from the result (the classic
+    * `snapshot.files.filter` contract). CDF's pre-commit remove lookup
+    * needs this — a commit's DV-carrying AddFiles may name files that
+    * were not live at v-1 (e.g. RESTORE re-adding DV-bearing target
+    * files), and those legitimately contribute no pre-image rows.
+    */
+  private[graft] def addsForPathsIfLive(
+      relPaths: Seq[String]): Seq[AddFile] = {
     if (relPaths.isEmpty) return Nil
     val wanted = relPaths.toSet
     val fromCkpt: Seq[AddFile] =
@@ -192,11 +209,7 @@ final class ColumnarLakeFileIndex private[sources] (
             want.value.contains(a.path))
           .collect().toSeq
       }
-    val all = fromCkpt ++ tailAdds.filter(a => wanted(a.path))
-    require(all.size == wanted.size,
-      s"addsForPaths: ${wanted.size - all.size} of ${wanted.size} " +
-      s"paths not live at version $version of ${log.tablePath}")
-    all
+    fromCkpt ++ tailAdds.filter(a => wanted(a.path))
   }
 
   /** (relative path, size) projection of the live set — the streaming

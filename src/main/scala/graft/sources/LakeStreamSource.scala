@@ -167,6 +167,14 @@ final class LakeStreamSource(
     */
   @volatile private var initIndexDelivered: Long = -1L
 
+  /** The snapshot version [[initIndexDelivered]] counts against. The
+    * chunk index is path-sorted PER VERSION; if the replay floor
+    * advances mid-delivery the pinned version changes and a cursor
+    * carried across versions would skip or re-deliver snapshot files
+    * against the differently-sorted new list.
+    */
+  @volatile private var initIndexVersion: Long = -1L
+
   /** The pinned initial snapshot's (path, size) chunk index, sorted
     * by path so offsets are deterministic across triggers AND across
     * restarts (the snapshot at a version is immutable). Built through
@@ -196,6 +204,14 @@ final class LakeStreamSource(
             case Some(idx) => idx.pathSizes()
             case None => log.snapshot(version).files.map(f => (f.path, f.size))
           }).sortBy(_._1).toIndexedSeq
+        // key the delivered-file cursor to the pinned version: a
+        // rebuild for a NEW version (floor advanced mid-delivery)
+        // must restart the cursor — at-least-once on this edge beats
+        // silently skipping files of the re-sorted new list
+        if (initIndexVersion != version) {
+          initIndexDelivered = -1L
+          initIndexVersion = version
+        }
         initState = Some((version, files))
         files
     }
@@ -289,9 +305,37 @@ final class LakeStreamSource(
     // of the path-sorted snapshot at the pinned version, fetched
     // through the columnar index (O(chunk) driver AddFiles).
     initIndexOf(end) match {
+      case Some(_) if start.isDefined &&
+          start.flatMap(initIndexOf).isEmpty &&
+          fromExclusive + 1 < log.earliestReplayableVersion =>
+        // A PLAIN version start below the snapshot floor is a restarted
+        // (or mid-run-lapped) consumer whose versions log retention
+        // aged out — the SAME data-loss decision the unthrottled
+        // version path makes below. Re-delivering the whole floor
+        // snapshot in chunks would silently duplicate every
+        // already-consumed row; surface the loss (or, with
+        // failOnDataLoss=false, fall through to the version path,
+        // which resumes from the floor WITHOUT snapshot re-delivery).
+        if (failOnDataLoss) {
+          val floor = log.earliestReplayableVersion
+          throw new IllegalStateException(
+            s"lake streaming source at $tablePath: versions " +
+            s"(${fromExclusive + 1}..${floor - 1}) were removed by log " +
+            "retention while this consumer lagged; their rows cannot " +
+            "be replayed. Set failOnDataLoss=false to continue from " +
+            s"the earliest replayable version ($floor).")
+        }
+        // fall to the version path below (replayFrom = floor - 1)
       case Some(toIdx) =>
         val initV = toInclusive
-        val fromIdx = start.flatMap(initIndexOf).getOrElse(0L)
+        // trust the start cursor only when it counts against THIS
+        // pinned version — a cursor from an older pinned snapshot
+        // (floor advanced between the checkpointed batch and this
+        // one) indexes a differently-sorted list; restart at 0
+        // (at-least-once) rather than skip files (loss)
+        val fromIdx = start.flatMap(initIndexOf)
+          .filter(_ => start.forall(s => versionOf(s) == initV))
+          .getOrElse(0L)
         val all = initStateFor(initV)
         val chunk = addsForChunk(initV,
           all.slice(fromIdx.toInt, toIdx.toInt).map(_._1))

@@ -620,4 +620,67 @@ class ColumnarIndexSuite extends SparkSuite {
       assert(d.getAs[Long]("numDeletedRows") === 1L)
     }
   }
+
+  test("addsForPaths is strict; addsForPathsIfLive tolerates non-live " +
+      "paths (the classic filter contract)") {
+    val path = buildTable("col-tolerant")
+    val idx = graft.sources.ColumnarLakeFileIndex
+      .tryBuild(spark, new LakeLog(path), -1L).get
+    val live = idx.pathSizes().map(_._1)
+    val one = live.head
+    assert(idx.addsForPaths(Seq(one)).map(_.path) === Seq(one))
+    intercept[IllegalArgumentException] {
+      idx.addsForPaths(Seq(one, "not-a-live-file.parquet"))
+    }
+    val tolerant =
+      idx.addsForPathsIfLive(Seq(one, "not-a-live-file.parquet"))
+    assert(tolerant.map(_.path) === Seq(one))
+    assert(idx.addsForPathsIfLive(Seq("gone.parquet")).isEmpty)
+  }
+
+  test("changes() tolerates a commit whose DV-bearing re-adds were not " +
+      "live at v-1 (RESTORE), columnar == classic") {
+    withPartMax(2) {
+      val path = tablePath("col-cdf-restore")
+      import spark.implicits._
+      // v0: one file, DVs on; v1: DV-delete buries two rows; v2: the
+      // rest of the file dies -> file removed outright
+      LakeWriter.write((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v")
+        .coalesce(1), path,
+        properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+      val t = LakeTable.forPath(spark, path)
+      t.delete("id <= 2")                                         // v1: DV
+      t.delete("id <= 10")                                        // v2: gone
+      // pad to the checkpoint boundary so v10 writes a MULTI-part
+      // parquet checkpoint (partMax 2)
+      val log = new LakeLog(path)
+      (3L to 9L).foreach { v =>
+        log.commit(v, Seq(CommitInfo(System.currentTimeMillis(),
+          "EMPTY", Map.empty)))
+      }
+      LakeWriter.write(Seq((11L, "r11")).toDF("id", "v").coalesce(1),
+        path)                                                     // v10
+      assert(graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, log, 10L).isDefined,
+        "expected a multi-part parquet checkpoint at v10")
+      // v2 removed the DV'd file outright (zero live rows) — it must
+      // NOT be live at v10, or this test exercises nothing
+      assert(log.snapshot(10L).files.size === 1)
+      // v11: RESTORE to v1 re-adds the DV-bearing file, which is NOT
+      // live at v10 — the columnar pre-image fetch must tolerate that
+      // (the classic snapshot filter always did)
+      t.restoreTo(1L)                                             // v11
+      def changed(columnar: Boolean): Set[(Long, String, String)] = {
+        spark.conf.set("spark.graft.columnarFileIndex", columnar.toString)
+        try LakeTable.forPath(spark, path).changes(11, 11)
+          .select("id", "v", "_change_type")
+          .as[(Long, String, String)].collect().toSet
+        finally spark.conf.unset("spark.graft.columnarFileIndex")
+      }
+      val classic = changed(columnar = false)
+      assert(changed(columnar = true) === classic)
+      // sanity: the restore re-surfaces the v1 rows (3..10) as inserts
+      assert(classic.filter(_._3 == "insert").map(_._1) === (3L to 10L).toSet)
+    }
+  }
 }

@@ -165,6 +165,34 @@ class LakeCheckpointSuite extends SparkSuite {
     assert(CheckpointParquet.read(f) === actions)
   }
 
+  test("a truncated GET body fails loudly instead of hanging the task") {
+    // a GET-backed read (localPath = None) of a checkpoint part whose
+    // body lost bytes MID-OBJECT: the intact trailing footer directs
+    // seeks past the (shrunken) buffer end — the read must throw so
+    // Spark's task retry can recover, never spin in seek()
+    val f = java.nio.file.Paths.get(tmpDir("ckpt-trunc"), "t.parquet")
+    val actions: Seq[Action] = (1 to 200).map(i =>
+      AddFile(s"part-$i.parquet", Map.empty, i.toLong, 1L,
+        Map("id" -> s"$i"), Map("id" -> s"$i"), Map.empty))
+    CheckpointParquet.write(f,
+      Iterator[Action](Metadata("id BIGINT", Nil, 0L, Map.empty,
+        Map.empty)) ++ actions.iterator)
+    val whole = java.nio.file.Files.readAllBytes(f)
+    // drop a slab from the middle, keep the footer bytes at the tail
+    val cut = whole.length / 3
+    val truncated = whole.take(64) ++ whole.drop(64 + cut)
+    val reader = new LogFileReader {
+      override def readAllBytes(): Array[Byte] = truncated
+      override def localPath: Option[String] = None
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempt = Future(
+      intercept[Exception] { CheckpointParquet.read(reader); () })
+    Await.result(attempt, 60.seconds) // a hang fails the await, loudly
+  }
+
   test("parquet and JSON part formats replay to identical state") {
     withPartMax(4) {
       def build(path: String, parquet: Boolean): Snapshot = {

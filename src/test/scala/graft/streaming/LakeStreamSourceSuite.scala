@@ -670,4 +670,84 @@ class LakeStreamSourceSuite extends SparkSuite {
     assert(LakeTable.forPath(spark, dst).toDF
       .where("name = 'post-reset'").count() === 1L)
   }
+
+  test("RATE-LIMITED restart below the retention floor: the chunked " +
+      "init path makes the same data-loss decision as the version path") {
+    val src = tablePath("ss-ret-lag-chunk-src")
+    val dst = tablePath("ss-ret-lag-chunk-dst")
+    val ckpt = tmpDir("ss-ret-lag-chunk-ck")
+    LakeWriter.write((1L to 50L).toDF("id").coalesce(1), src,
+      properties = Map(graft.lake.LakeLog.LOG_RETENTION_PROP -> "0"))
+    runAvailableNow(src, dst, ckpt, Map("maxFilesPerTrigger" -> "2"))
+    assert(LakeTable.forPath(spark, dst).toDF.count() === 50L)
+
+    LakeWriter.write((51L to 60L).toDF("id").coalesce(1), src)    // v1
+    padLog(src, 2L, 29L)
+    LakeWriter.write((61L to 70L).toDF("id").coalesce(1), src)    // v30
+    assert(new graft.lake.LakeLog(src).earliestReplayableVersion === 10L)
+
+    // The cursor (v0) fell below the floor while the consumer lagged.
+    // The rate limit makes getOffset produce an initial-snapshot CHUNK
+    // offset; silently delivering it would duplicate rows 1..50. The
+    // default must be the same loud error the unthrottled path throws.
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val failed =
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runAvailableNow(src, dst, ckpt, Map("maxFilesPerTrigger" -> "2"))
+      }
+    assert(messages(failed).exists(_.contains("log retention")))
+
+    // failOnDataLoss=false resumes from the floor WITHOUT snapshot
+    // re-delivery: 51..60 are lost (exactly the aged-out versions),
+    // 1..50 do NOT duplicate, 61..70 flow
+    runAvailableNow(src, dst, ckpt,
+      Map("maxFilesPerTrigger" -> "2", "failOnDataLoss" -> "false"))
+    val ids = LakeTable.forPath(spark, dst).toDF
+      .select("id").as[Long].collect().sorted
+    assert(ids === ((1L to 50L) ++ (61L to 70L)).toArray)
+  }
+
+  test("chunk cursors are keyed to the pinned snapshot version: a " +
+      "cursor from an older pinned version is not trusted") {
+    val src = tablePath("ss-init-vpin-src")
+    (0 until 10).foreach { i =>
+      LakeWriter.write(
+        ((i * 10 + 1L) to (i * 10 + 10L)).toDF("id").coalesce(1), src,
+        properties = if (i == 0)
+          Map(graft.lake.LakeLog.LOG_RETENTION_PROP -> "0")
+        else Map.empty)
+    }
+    padLog(src, 10L, 29L)
+    LakeWriter.write((101L to 110L).toDF("id").coalesce(1), src)  // v30
+    assert(new graft.lake.LakeLog(src).earliestReplayableVersion === 10L)
+    import org.apache.spark.sql.execution.streaming.SerializedOffset
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.logical.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.count()
+      }.getOrElse(sys.error("expected a LogicalRDD batch"))
+
+    // restart replay whose START offset pins an OLDER snapshot version
+    // (the floor advanced between the checkpointed batch and this one):
+    // its file index counts against a differently-sorted list — it must
+    // restart at 0 (at-least-once), never slice from the stale index
+    val s = new graft.sources.LakeStreamSource(spark, src,
+      Map("maxFilesPerTrigger" -> "2"))
+    val replayed = s.getBatch(
+      Some(SerializedOffset("8#5")), SerializedOffset("10#2"))
+    assert(rowsOf(replayed) === 20L,
+      "a stale-version cursor must not skip snapshot files")
+    assert(s.getOffset.map(_.json()) === Some("10#4"))
+
+    // mid-run floor advance on a LIVE source: the next checkpoint run
+    // ages more versions out, the pinned version changes, and the
+    // in-memory delivered-index cursor must reset with it
+    padLog(src, 31L, 39L)
+    LakeWriter.write((111L to 120L).toDF("id").coalesce(1), src)  // v40
+    assert(new graft.lake.LakeLog(src).earliestReplayableVersion === 20L)
+    assert(s.getOffset.map(_.json()) === Some("20#2"),
+      "the cursor must restart when the pinned snapshot version changes")
+  }
 }
