@@ -155,6 +155,24 @@ final case class Txn(
     appId: String,
     version: Long) extends Action
 
+/** Reference to one checkpoint SIDECAR file (Delta v2-checkpoint
+  * `sidecar` action analog): a parquet file under the log's
+  * `_sidecars/` directory holding a disjoint slice of the live
+  * AddFile set. Appears ONLY inside `<v>.checkpoint.manifest.json`
+  * manifests — never in version files — and lets an incremental
+  * checkpoint carry unchanged slices forward by reference instead of
+  * re-serializing the full 10⁷-AddFile state every cadence.
+  *
+  * @param path  log-directory-relative path (`_sidecars/<name>.parquet`)
+  * @param count AddFile entries inside (summary arithmetic + merge
+  *              planning without opening the file)
+  * @param bytes serialized size (merge planning)
+  */
+final case class SidecarRef(
+    path: String,
+    count: Long,
+    bytes: Long = 0L) extends Action
+
 /** One log line: an envelope with exactly one field set (Delta-style). */
 private[lake] final case class LogEntry(
     metaData: Option[Metadata] = None,
@@ -164,7 +182,8 @@ private[lake] final case class LogEntry(
     txn: Option[Txn] = None,
     cdc: Option[CdcFile] = None,
     protocol: Option[Protocol] = None,
-    domainMetadata: Option[DomainMetadata] = None)
+    domainMetadata: Option[DomainMetadata] = None,
+    sidecar: Option[SidecarRef] = None)
 
 object Action {
   private implicit val formats: Formats = DefaultFormats
@@ -205,6 +224,7 @@ object Action {
       case c: CdcFile    => LogEntry(cdc = Some(c))
       case p: Protocol   => LogEntry(protocol = Some(p))
       case d: DomainMetadata => LogEntry(domainMetadata = Some(d))
+      case s: SidecarRef => LogEntry(sidecar = Some(s))
     })
 
   private def appendEsc(sb: java.lang.StringBuilder, s: String): Unit = {
@@ -292,7 +312,7 @@ object Action {
     e.metaData.orElse(e.add.map(Interned.addFile)).orElse(e.remove)
       .orElse(e.commitInfo)
       .orElse(e.txn).orElse(e.cdc).orElse(e.protocol)
-      .orElse(e.domainMetadata)
+      .orElse(e.domainMetadata).orElse(e.sidecar)
       .getOrElse(throw new IllegalArgumentException(
         s"unrecognized log line: $line"))
   }

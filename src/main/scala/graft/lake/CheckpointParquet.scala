@@ -419,6 +419,45 @@ object CheckpointParquet {
     finally reader.close()
   }
 
+  /** `add.path` values only, under a projection that decodes nothing
+    * else — the incremental-checkpoint writer's dirty-sidecar probe:
+    * deciding WHICH sidecars a cadence must rewrite needs path
+    * membership against the tail's touched set, and paying the full
+    * stats/partition-map decode of every carried-forward slice per
+    * cadence would put the O(table) cost back where the manifest
+    * design removed it. Paths are the narrowest dictionary-encoded
+    * column of the part — a small fraction of its bytes.
+    */
+  private val PATH_SCHEMA: MessageType = MessageTypeParser
+    .parseMessageType("""message paths {
+      optional group add {
+        required binary path (STRING);
+      }
+    }""")
+
+  def readPaths(r: LogFileReader): Seq[String] = {
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport
+      .PARQUET_READ_SCHEMA, PATH_SCHEMA.toString)
+    val reader = r.localPath match {
+      case Some(lp) => ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(lp))
+        .withConf(conf)
+        .build()
+      case None => new GroupBuilder(new BytesInputFile(r.readAllBytes()))
+        .withConf(conf)
+        .build()
+    }
+    try Iterator.continually(reader.read())
+      .takeWhile(_ != null)
+      .flatMap(g =>
+        if (g.getFieldRepetitionCount("add") > 0)
+          Some(g.getGroup("add", 0).getString("path", 0))
+        else None)
+      .toVector
+    finally reader.close()
+  }
+
   // fromGroup probes the `add` field, which the projection dropped
   // from the record schema — convert against the projected fields
   // only (add/remove/txn rows project to all-absent groups: skip)

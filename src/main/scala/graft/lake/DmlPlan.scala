@@ -40,9 +40,11 @@ private[lake] sealed trait DmlPlan {
   def toDF: DataFrame
   /** Full-table frame with `_metadata` materialized and DVs applied —
     * the discovery scan every touched-file pass filters. The row-id
-    * variant is classic-only (its per-file base map is O(table)
-    * driver state by nature); [[LakeTable.dmlPlan]] gates row-tracked
-    * tables to the classic plan.
+    * variant carries [[RowTracking.COL]]; under the columnar plan its
+    * (file → baseRowId) base map is the index's executor-side
+    * projection (paths + longs on the driver, never stats-bearing
+    * AddFiles — the same honest cost the read path's row-id frame
+    * pays).
     */
   def withMetaDF: DataFrame = withMetaDF(withRowIds = false)
   def withMetaDF(withRowIds: Boolean): DataFrame
@@ -94,8 +96,7 @@ private[lake] object DmlPlan {
     def partitionOnlyMatches(filter: String): Option[Seq[String]] =
       FilePruner.partitionOnlyMatches(snap, filter, Some(table.spark))
         .map(_.map(_.path))
-    /** The wrapped snapshot — classic-only callers (row-tracked DV
-      * update) reach it directly. */
+    /** The wrapped snapshot, for callers that hold a Classic plan. */
     def snapshot: Snapshot = snap
   }
 
@@ -108,12 +109,9 @@ private[lake] object DmlPlan {
     def isEmpty: Boolean = idx.numFiles == 0L
     def toDF: DataFrame = spark.baseRelationToDataFrame(
       graft.sources.LakeDataSource.columnarRelation(spark, idx, Map.empty))
-    def withMetaDF(withRowIds: Boolean): DataFrame = {
-      require(!withRowIds,
-        "row-id scans are classic-only; dmlPlan gates row-tracked " +
-        "tables off the columnar plan")
-      graft.sources.LakeDataSource.columnarDFWithMeta(spark, idx)
-    }
+    def withMetaDF(withRowIds: Boolean): DataFrame =
+      graft.sources.LakeDataSource.columnarDFWithMeta(spark, idx,
+        withRowIds)
     def subset(relPaths: Seq[String]): Snapshot =
       idx.syntheticSnap(idx.addsForPaths(relPaths))
     def partitionOnlyMatches(filter: String): Option[Seq[String]] = {

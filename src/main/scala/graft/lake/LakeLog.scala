@@ -151,6 +151,69 @@ final class LakeLog(val tablePath: String) {
     }
   }
 
+  /** [[commit]] for O(table)-BULK commits (RESTORE's re-add actions):
+    * the bulk actions stream from `bulk()` straight into the
+    * version-file write — the driver holds one source chunk and one
+    * serialized line at a time, never the whole action list or its
+    * JSON. `head` carries the small actions (CommitInfo, Metadata) and
+    * must not contain AddFiles; bulk AddFiles lacking a baseRowId on
+    * row-tracked tables are carved sequentially as they stream
+    * ([[RowTracking.stampStream]] — the same fold the materialized
+    * path applies). The factory is re-invoked for the ambiguity
+    * readback and must be deterministic for a given version.
+    */
+  def commitStreamed(version: Long, head: Seq[Action],
+      bulk: () => Iterator[Action]): Unit = {
+    require(version > 0, "commitStreamed serves non-initial commits only")
+    require(!head.exists(_.isInstanceOf[AddFile]),
+      "commitStreamed: AddFiles belong in the bulk stream")
+    val target = versionFile(version)
+    if (store.exists(target)) throw new ConcurrentWriteException(version)
+    val (parentMeta, protocol, parentDomains) =
+      Snapshot.replayMeta(this, version - 1)
+    LakeProtocol.assertWritable(protocol, tablePath)
+    // same in-commit timestamp clamp as commit()
+    val prevTs = firstCommitInfoTimestamp(version - 1)
+      .orElse(store.stat(versionFile(version - 1)).map(_._2))
+      .getOrElse(Long.MinValue)
+    val headStamped = head.map {
+      case c: CommitInfo if c.timestamp <= prevTs =>
+        c.copy(timestamp = prevTs + 1)
+      case a => a
+    }
+    val commitMeta = head.collectFirst { case m: Metadata => m }
+    def lines(): Iterator[String] =
+      (headStamped.iterator ++ RowTracking.stampStream(
+        Some(parentMeta), parentDomains, commitMeta, bulk()))
+        .map(Action.toJson)
+    var published = false
+    var ioRetries = 0
+    while (!published) {
+      try { store.putIfAbsent(target, lines()); published = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // same content-based ambiguity resolution as commit(); the
+          // readback Seq is transient and only the RARE ambiguous
+          // branch pays it
+          val same = readbackWithRetry(target).iterator
+            .zipAll(lines(), null, null)
+            .forall { case (a, b) => a == b }
+          if (same) published = true
+          else throw new ConcurrentWriteException(version)
+        case _: java.io.IOException if ioRetries < MAX_PUT_RETRIES =>
+          ioRetries += 1
+      }
+    }
+    if (version % CHECKPOINT_INTERVAL == 0) {
+      try writeCheckpoint(version)
+      catch { case NonFatal(_) => () }
+      try writeHistorySidecar(version)
+      catch { case NonFatal(_) => () }
+      try cleanupAuxFiles(version)
+      catch { case NonFatal(_) => () }
+    }
+  }
+
   /** Read `target` back for ambiguity resolution, retrying transient
     * I/O failures; the final failure propagates (NOT a conflict — see
     * the call site in [[commit]]).
@@ -245,6 +308,8 @@ final class LakeLog(val tablePath: String) {
       val stale =
         (CHECKPOINT_FILE_RE.matches(n) &&
           ckptStale(n.stripSuffix(".checkpoint.json").toLong)) ||
+        (MANIFEST_FILE_RE.matches(n) &&
+          ckptStale(n.stripSuffix(".checkpoint.manifest.json").toLong)) ||
         (CHECKPOINT_PART_FILE_RE.matches(n) &&
           ckptStale(n.split("\\.")(0).toLong)) ||
         (HISTORY_FILE_RE.matches(n) && {
@@ -253,11 +318,17 @@ final class LakeLog(val tablePath: String) {
         })
       if (stale) store.delete(p)
     }
+    // sidecars a deleted manifest referenced exclusively are now
+    // unreachable — GC them (age-gated, reference-counted across ALL
+    // surviving manifests: incremental chains share slices)
+    try sweepUnreferencedSidecars()
+    catch { case NonFatal(_) => () }
     // Stores that stage tmp files sweep their own crash orphans (a
     // writer killed between write and publish leaves a tmp behind
     // forever otherwise; harmless to correctness — the version/
     // checkpoint regexes exclude them — but they accumulate).
     store.cleanupStaging(logDir, TMP_ORPHAN_HORIZON_MS)
+    store.cleanupStaging(sidecarDirPath, TMP_ORPHAN_HORIZON_MS)
   }
 
   /** Oldest version file still present (0 for an empty log). */
@@ -282,8 +353,10 @@ final class LakeLog(val tablePath: String) {
     */
   private def cleanupOldVersionFiles(latest: Long, keepFrom: Long): Unit = {
     if (keepFrom <= 0) return
-    // cached: writeCheckpoint replayed `latest` moments ago
-    val props = Snapshot.replay(this, latest).metadata.properties
+    // metadata-light: only the retention property is needed, and the
+    // incremental-checkpoint cadence no longer materializes a full
+    // snapshot this could piggyback on
+    val props = Snapshot.replayMeta(this, latest)._1.properties
     val hours = props.get(LOG_RETENTION_PROP).map(_.toDouble)
       .getOrElse(LOG_RETENTION_HOURS_DEFAULT)
     if (hours < 0) return
@@ -365,6 +438,14 @@ final class LakeLog(val tablePath: String) {
     * file; an incomplete set is simply ignored ([[checkpointVersionsIn]]).
     */
   private def writeCheckpoint(version: Long): Unit = {
+    // Incremental (Delta v2-style) manifest checkpoints are the
+    // default for big states: unchanged sidecar slices carry forward
+    // BY REFERENCE, so the cadence cost is O(tail delta + dirty
+    // slices), never a full O(table) re-serialization. Falls through
+    // to the classic writers when the form does not apply (small
+    // state, JSON-parts pin, or feature off).
+    if (INCREMENTAL_CHECKPOINTS && CHECKPOINT_PARQUET_PARTS &&
+        writeManifestCheckpoint(version)) return
     val snap = Snapshot.replay(this, version)
     val txns = expireCopyIntoLedger(snap)
     val domainActions: Seq[Action] = snap.domains.toSeq.sortBy(_._1)
@@ -441,6 +522,232 @@ final class LakeLog(val tablePath: String) {
       ext: String = "json"): Path =
     logDir.resolve(f"$version%020d.checkpoint.$part%04d.$numParts%04d.$ext")
 
+  // ------------------------------------------------------------------
+  // Incremental (manifest + sidecar) checkpoints — the Delta
+  // v2-checkpoint idea (manifest referencing immutable sidecar files),
+  // re-derived for this log. Layout:
+  //
+  //   <v>.checkpoint.manifest.json   head actions (Protocol, Metadata,
+  //                                  DomainMetadata, Txn) + one
+  //                                  SidecarRef line per sidecar
+  //   _sidecars/<v>-<seq>-<uuid>.parquet   disjoint AddFile slices
+  //
+  // INVARIANT: across the sidecars one manifest references, every live
+  // path has EXACTLY ONE entry — readers (sequential replay and the
+  // distributed columnar scan alike) need no ordering or filtering.
+  // A cadence maintains it by rewriting only the DIRTY sidecars (those
+  // holding a path the tail touched) minus the touched paths, putting
+  // every touched-and-live path's current entry in the new delta
+  // sidecar, and carrying every clean sidecar forward by reference.
+  //
+  // Crash semantics: sidecars publish first (staged, atomic, never
+  // torn), the manifest publishes LAST via one atomic replace — a
+  // manifest's existence IS the completeness marker (the count-in-name
+  // rule's single-file analog). A crash mid-write orphans unreferenced
+  // sidecars, which the age-gated [[sweepUnreferencedSidecars]] GC
+  // removes at a later boundary.
+  // ------------------------------------------------------------------
+
+  private[lake] def manifestFile(version: Long): Path =
+    logDir.resolve(f"$version%020d.checkpoint.manifest.json")
+
+  private def sidecarDirPath: Path = logDir.resolve(SIDECAR_DIR)
+
+  /** Head actions + sidecar refs of the manifest at `p`. */
+  private[lake] def readManifest(p: Path): (Seq[Action], Seq[SidecarRef]) = {
+    val actions = store.readLines(p).iterator.map(_.trim)
+      .filter(_.nonEmpty).map(Action.fromJson).toVector
+    (actions.filterNot(_.isInstanceOf[SidecarRef]),
+      actions.collect { case s: SidecarRef => s })
+  }
+
+  /** Newest manifest checkpoint at or below `version`, with its refs;
+    * None when absent or transiently unreadable (callers fall back to
+    * a full write — never fail the commit).
+    */
+  private def latestManifestAtOrBefore(
+      version: Long): Option[(Long, Seq[SidecarRef])] =
+    store.listDir(logDir).map(_.getFileName.toString)
+      .filter(MANIFEST_FILE_RE.matches)
+      .map(_.stripSuffix(".checkpoint.manifest.json").toLong)
+      .filter(_ <= version).maxOption.flatMap { v =>
+        scala.util.Try(readManifest(manifestFile(v))).toOption
+          .map { case (_, refs) => (v, refs) }
+      }
+
+  /** Write the manifest-form checkpoint at `version` — incrementally
+    * from the previous manifest when one exists and the tail since it
+    * is fully replayable, else a full bootstrap. Returns false when
+    * the form does not apply (no prior manifest and the state fits the
+    * single-file JSON checkpoint).
+    */
+  private def writeManifestCheckpoint(version: Long): Boolean = {
+    latestManifestAtOrBefore(version - 1)
+      .filter { case (pv, _) => oldestSurvivingVersion <= pv + 1 } match {
+      case Some((prevV, prevRefs)) =>
+        incrementalManifest(version, prevV, prevRefs)
+        true
+      case None =>
+        val snap = Snapshot.replay(this, version)
+        val txns = expireCopyIntoLedger(snap)
+        val head = headActions(snap.metadata, snap.protocol,
+          snap.domains, txns)
+        if (head.size + snap.files.size <= CHECKPOINT_PART_MAX_ACTIONS)
+          return false // small state: keep the single-file JSON form
+        bootstrapManifest(version, head, snap.files.toIndexedSeq)
+        if (txns.size != snap.transactions.size)
+          Snapshot.reseed(this, version, snap.copy(transactions = txns))
+        true
+    }
+  }
+
+  private def headActions(meta: Metadata, protocol: Protocol,
+      domains: Map[String, Map[String, String]],
+      txns: Map[String, Long]): Seq[Action] =
+    Seq[Action](protocol, meta) ++
+      domains.toSeq.sortBy(_._1)
+        .map { case (d, cfg) => DomainMetadata(d, cfg) } ++
+      txns.toSeq.sortBy(_._1).map { case (a, v) => Txn(a, v) }
+
+  /** First manifest for this table: the full state sliced into
+    * sidecars, written concurrently like the classic parquet parts.
+    */
+  private def bootstrapManifest(version: Long, head: Seq[Action],
+      files: IndexedSeq[AddFile]): Unit = {
+    val partMax = CHECKPOINT_PART_MAX_ACTIONS
+    val numParts = math.max(1, (files.size + partMax - 1) / partMax)
+    import scala.collection.parallel.CollectionConverters._
+    val refs = (0 until numParts).par.map { p =>
+      writeSidecar(version, p + 1, files.view
+        .slice(p * partMax, math.min((p + 1) * partMax, files.size))
+        .iterator, math.min(partMax, files.size - p * partMax).toLong)
+    }.seq
+    publishManifest(version, head, refs)
+  }
+
+  /** The incremental cadence: O(tail + dirty slices), never O(table).
+    * The only full-width pass is the PATH-PROJECTED dirty probe —
+    * deciding which carried slices contain a touched path — which
+    * decodes one dictionary column, not the stats the full rewrite
+    * used to re-encode.
+    */
+  private def incrementalManifest(version: Long, prevV: Long,
+      prevRefs: Seq[SidecarRef]): Unit = {
+    val partMax = CHECKPOINT_PART_MAX_ACTIONS
+    val liveTail =
+      scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val touched = scala.collection.mutable.HashSet.empty[String]
+    var v = prevV + 1
+    while (v <= version) {
+      readVersion(v).foreach {
+        case a: AddFile    => liveTail(a.path) = a; touched += a.path; ()
+        case r: RemoveFile => liveTail.remove(r.path); touched += r.path; ()
+        case _             => ()
+      }
+      v += 1
+    }
+    // head state via the metadata-light fold — the incremental path
+    // never materializes the file list
+    val (meta, protocol, domains, txns0) = Snapshot.replayMetaTxns(this, version)
+    val txns = expireCopyIntoLedger(meta.properties, txns0)
+    val touchedSet: Set[String] = touched.toSet
+    import scala.collection.parallel.CollectionConverters._
+    val probed: Seq[(SidecarRef, Boolean)] = prevRefs.par.map { ref =>
+      val dirty = touchedSet.nonEmpty && CheckpointParquet
+        .readPaths(store.fileReader(logDir.resolve(ref.path)))
+        .exists(touchedSet)
+      (ref, dirty)
+    }.seq
+    val dirty = probed.collect { case (r, true) => r }
+    val clean = probed.collect { case (r, false) => r }
+    // absorb the smallest clean sidecars into the delta while the
+    // combined slice fits one part: without this every cadence nets
+    // one more (possibly tiny) sidecar file forever, and the columnar
+    // scan's per-part task overhead grows with file count
+    val absorb = scala.collection.mutable.ArrayBuffer.empty[SidecarRef]
+    if (liveTail.size < partMax) {
+      var room = partMax - liveTail.size
+      clean.sortBy(_.count).foreach { r =>
+        if (r.count <= room) { absorb += r; room -= r.count.toInt }
+      }
+    }
+    val absorbSet = absorb.toSet
+    val carried = clean.filterNot(absorbSet)
+    // dirty slices rewrite minus the touched paths (their current
+    // entries, if live, ride the delta); empty remainders drop
+    val rewritten = dirty.zipWithIndex.par.flatMap { case (ref, i) =>
+      val kept = CheckpointParquet
+        .read(store.fileReader(logDir.resolve(ref.path)))
+        .iterator
+        .collect { case a: AddFile if !touchedSet(a.path) => a }.toVector
+      if (kept.isEmpty) None
+      else Some(writeSidecar(version, i + 1, kept.iterator, kept.size.toLong))
+    }.seq
+    val absorbedAdds: Seq[AddFile] = absorb.toSeq.par.map { ref =>
+      CheckpointParquet.read(store.fileReader(logDir.resolve(ref.path)))
+        .iterator.collect { case a: AddFile => a }.toVector
+    }.seq.flatten
+    val deltaAdds: IndexedSeq[AddFile] =
+      (liveTail.values ++ absorbedAdds).toIndexedSeq
+    val base = dirty.size
+    val deltaParts = (deltaAdds.size + partMax - 1) / partMax
+    val deltaRefs = (0 until deltaParts).par.map { p =>
+      writeSidecar(version, base + p + 1, deltaAdds.view
+        .slice(p * partMax, math.min((p + 1) * partMax, deltaAdds.size))
+        .iterator,
+        math.min(partMax, deltaAdds.size - p * partMax).toLong)
+    }.seq
+    publishManifest(version, headActions(meta, protocol, domains, txns),
+      carried ++ rewritten ++ deltaRefs)
+  }
+
+  /** Write one sidecar slice (staged where the store says, atomic
+    * publish), returning its log-dir-relative ref.
+    */
+  private def writeSidecar(version: Long, seq: Int,
+      adds: Iterator[AddFile], count: Long): SidecarRef = {
+    val name =
+      f"$version%020d-$seq%04d-${java.util.UUID.randomUUID()}.parquet"
+    val target = sidecarDirPath.resolve(name)
+    val tmp = store.stageFileTarget(target)
+    CheckpointParquet.write(tmp, adds.map(a => a: Action))
+    store.atomicReplaceFile(tmp, target)
+    SidecarRef(s"$SIDECAR_DIR/$name", count,
+      store.stat(target).map(_._1).getOrElse(0L))
+  }
+
+  private def publishManifest(version: Long, head: Seq[Action],
+      refs: Seq[SidecarRef]): Unit =
+    store.atomicReplace(manifestFile(version),
+      (head ++ refs).map(Action.toJson))
+
+  /** GC sidecar files no surviving manifest references. Aborts (keeps
+    * everything) when any manifest is transiently unreadable — a
+    * failed read must never cost a live manifest its slices. The
+    * staging-horizon age gate protects an in-flight checkpoint's
+    * just-published sidecars, whose manifest lands after them.
+    */
+  private def sweepUnreferencedSidecars(): Unit = {
+    val sidecars = store.listDir(sidecarDirPath)
+    if (sidecars.isEmpty) return
+    val manifests = store.listDir(logDir)
+      .filter(p => MANIFEST_FILE_RE.matches(p.getFileName.toString))
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    manifests.foreach { m =>
+      try readManifest(m)._2.foreach(r => referenced += r.path)
+      catch { case NonFatal(_) => return }
+    }
+    val cutoff = System.currentTimeMillis() - TMP_ORPHAN_HORIZON_MS
+    sidecars.foreach { p =>
+      val rel = SIDECAR_DIR + "/" + p.getFileName.toString
+      if (!referenced.contains(rel) &&
+          store.stat(p).exists(_._2 < cutoff)) {
+        store.delete(p)
+        ()
+      }
+    }
+  }
+
   /** Versions in `names` with a COMPLETE checkpoint: the single-file
     * form, or a multi-part set whose distinct part count equals the
     * declared total (a crashed writer's partial set never qualifies).
@@ -448,6 +755,10 @@ final class LakeLog(val tablePath: String) {
   private def checkpointVersionsIn(names: Seq[String]): Seq[Long] = {
     val singles = names.filter(CHECKPOINT_FILE_RE.matches)
       .map(_.stripSuffix(".checkpoint.json").toLong)
+    // a manifest is complete by existence: its sidecars published
+    // BEFORE it, and the sweep never deletes a referenced sidecar
+    val manifests = names.filter(MANIFEST_FILE_RE.matches)
+      .map(_.stripSuffix(".checkpoint.manifest.json").toLong)
     val multi = names.filter(CHECKPOINT_PART_FILE_RE.matches)
       .map { n =>
         val Array(v, _, part, numParts, ext) = n.split("\\.")
@@ -461,7 +772,7 @@ final class LakeLog(val tablePath: String) {
       .collect {
         case ((v, np, _), ps) if ps.map(_._4).distinct.size == np => v
       }
-    (singles ++ multi).distinct
+    (singles ++ manifests ++ multi).distinct
   }
 
   /** COPY INTO ledger expiry: the per-source-file Txn entries grow
@@ -480,13 +791,17 @@ final class LakeLog(val tablePath: String) {
     * Version files are never rewritten, so time travel to a
     * pre-expiry version still replays the full historical ledger.
     */
-  private def expireCopyIntoLedger(snap: Snapshot): Map[String, Long] = {
-    val hours = snap.metadata.properties
+  private def expireCopyIntoLedger(snap: Snapshot): Map[String, Long] =
+    expireCopyIntoLedger(snap.metadata.properties, snap.transactions)
+
+  private def expireCopyIntoLedger(properties: Map[String, String],
+      transactions: Map[String, Long]): Map[String, Long] = {
+    val hours = properties
       .get(COPY_INTO_RETENTION_PROP).map(_.toDouble)
       .getOrElse(COPY_INTO_RETENTION_HOURS_DEFAULT)
-    if (hours < 0) return snap.transactions // negative disables expiry
+    if (hours < 0) return transactions // negative disables expiry
     val horizon = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
-    snap.transactions.filter { case (appId, stamp) =>
+    transactions.filter { case (appId, stamp) =>
       val candidates = copyIntoLocalPaths(appId)
       !(stamp < horizon && candidates.nonEmpty &&
         candidates.forall(p => !Files.exists(p)))
@@ -544,8 +859,19 @@ final class LakeLog(val tablePath: String) {
     checkpointVersionsIn(names).filter(_ <= version)
       .sorted(Ordering[Long].reverse).iterator.map { v =>
         val single = logDir.resolve(f"$v%020d.checkpoint.json")
+        val manifest = manifestFile(v)
         val files =
-          if (store.exists(single)) Seq(single)
+          if (names.contains(manifest.getFileName.toString)) {
+            // manifest form (preferred over a coexisting legacy set at
+            // the same version): the manifest itself is the head part,
+            // its sidecars are the file parts
+            scala.util.Try(readManifest(manifest)).toOption match {
+              case Some((_, refs)) =>
+                manifest +: refs.map(r => logDir.resolve(r.path))
+              case None => Nil // vanished under us: fall to next older
+            }
+          }
+          else if (store.exists(single)) Seq(single)
           else {
             // two checkpointers at v can leave complete sets with
             // DIFFERENT part counts (ledger expiry is time-dependent)
@@ -693,8 +1019,22 @@ object LakeLog {
     */
   private[lake] var CHECKPOINT_PARQUET_PARTS: Boolean = true
 
+  /** Incremental manifest checkpoints (round 17): above the part-size
+    * threshold the cadence writes `<v>.checkpoint.manifest.json` plus
+    * `_sidecars/` slices, carrying unchanged slices forward by
+    * reference — O(tail delta) per cadence instead of re-serializing
+    * the full state. var only so the suite can pin the legacy writers
+    * for format-equivalence tests; the READER always accepts all forms.
+    */
+  private[graft] var INCREMENTAL_CHECKPOINTS: Boolean = true
+
+  /** Subdirectory of the log holding checkpoint sidecar slices. */
+  private[lake] val SIDECAR_DIR = "_sidecars"
+
   private val VERSION_FILE_RE = "\\d{20}\\.json".r
   private val CHECKPOINT_FILE_RE = "\\d{20}\\.checkpoint\\.json".r
+  private[lake] val MANIFEST_FILE_RE =
+    "\\d{20}\\.checkpoint\\.manifest\\.json".r
   private val CHECKPOINT_PART_FILE_RE =
     "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.(json|parquet)".r
   private val HISTORY_FILE_RE = "\\d{20}\\.history\\.json".r

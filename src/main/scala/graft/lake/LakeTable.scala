@@ -683,8 +683,11 @@ final class LakeTable private (
     * O(table) driver state either way.
     */
   private[lake] def dmlPlan(): DmlPlan = {
+    // row-tracked tables plan columnar too (round 17): the row-id
+    // discovery frame's base map rides the index's (path, baseRowId)
+    // executor-side projection, so a 10⁷-file tracked table no longer
+    // pays the resident O(table) snapshot per MERGE/UPDATE/DELETE
     columnarIdx()
-      .filterNot(idx => RowTracking.enabled(idx.metadata.properties))
       .foreach { idx => return new DmlPlan.Columnar(this, idx) }
     new DmlPlan.Classic(this, snapshot())
   }
@@ -1284,11 +1287,8 @@ final class LakeTable private (
     * preserved (nothing is rewritten, only log references change).
     */
   def restoreTo(version: Long): Unit = {
-    val target = snapshot(version)
     // the CURRENT side contributes only its path set, metadata, and
-    // read version — a columnar path projection on big tables; the
-    // TARGET side inherently needs full AddFiles (its entries are the
-    // re-add actions the restore commits)
+    // read version — a columnar path projection on big tables
     val (curVersion, curMeta, currentPathSeq)
         : (Long, Metadata, Seq[String]) = columnarIdx() match {
       case Some(idx) =>
@@ -1297,24 +1297,72 @@ final class LakeTable private (
         val current = snapshot()
         (current.version, current.metadata, current.files.map(_.path))
     }
-    val missing = target.files.filterNot(f =>
-      Files.exists(LakeLog.resolveFile(tablePath, f.path)))
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"cannot restore $tablePath to version $version: " +
-      s"${missing.size} of its data files were removed by VACUUM " +
-      s"(first: ${missing.head.path})")
-    val targetPaths = target.files.map(_.path).toSet
     val currentPaths = currentPathSeq.toSet
-    val removed = currentPathSeq.filterNot(targetPaths.contains)
     val now = System.currentTimeMillis()
-    LakeWriter.commitWithRetry(log, curVersion, removed) { _ =>
-      Seq(CommitInfo(now, "RESTORE",
-        Map("version" -> version.toString))) ++
-        (if (target.metadata.schemaDDL != curMeta.schemaDDL ||
-          target.partitionColumns != curMeta.partitionColumns)
-          Seq(target.metadata) else Nil) ++
-        removed.map(p => RemoveFile(p, now)) ++
-        target.files.filterNot(f => currentPaths.contains(f.path))
+    // The TARGET side's entries ARE the re-add actions — but they need
+    // not all be resident at once: with a columnar index at the target
+    // version they STREAM to the commit in bounded chunks
+    // (path-filtered distributed fetches feeding
+    // [[LakeLog.commitStreamed]], the version-file twin of the
+    // checkpoint writer's actionIterator), so restoring a 10⁷-file
+    // table holds O(chunk) AddFiles plus the path lists, never the
+    // interned target file list. Small/classic tables keep the
+    // materialized path.
+    columnarIdx(version) match {
+      case Some(tIdx) =>
+        val targetMeta = tIdx.metadata
+        val targetPathSeq = tIdx.pathSizes().map(_._1)
+        // vacuum-loss probe, distributed like FSCK's (never an
+        // O(table) serial driver stat loop at this scale)
+        val missing: Seq[String] = {
+          val tp = tablePath
+          if (targetPathSeq.size < LakeTable.DISTRIBUTED_VACUUM_MIN_FILES)
+            targetPathSeq.filterNot(p =>
+              Files.exists(LakeLog.resolveFile(tp, p))).take(1)
+          else spark.sparkContext.parallelize(targetPathSeq, 64)
+            .filter(p =>
+              !java.nio.file.Files.exists(LakeLog.resolveFile(tp, p)))
+            .take(1).toSeq
+        }
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"cannot restore $tablePath to version $version: " +
+          "data files of that version were removed by VACUUM " +
+          s"(first: ${missing.head})")
+        val targetPaths = targetPathSeq.toSet
+        val removed = currentPathSeq.filterNot(targetPaths.contains)
+        val readds = targetPathSeq.filterNot(currentPaths.contains)
+        val head = Seq(CommitInfo(now, "RESTORE",
+          Map("version" -> version.toString))) ++
+          (if (targetMeta.schemaDDL != curMeta.schemaDDL ||
+            targetMeta.partitionColumns != curMeta.partitionColumns)
+            Seq(targetMeta) else Nil)
+        LakeWriter.commitStreamedWithRetry(log, curVersion, removed)(
+          _ => head) { () =>
+          removed.iterator.map(p => RemoveFile(p, now): Action) ++
+            readds.grouped(LakeTable.RESTORE_READD_CHUNK)
+              .flatMap(chunk => tIdx.addsForPaths(chunk).iterator)
+        }
+        ()
+      case None =>
+        val target = snapshot(version)
+        val missing = target.files.filterNot(f =>
+          Files.exists(LakeLog.resolveFile(tablePath, f.path)))
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"cannot restore $tablePath to version $version: " +
+          s"${missing.size} of its data files were removed by VACUUM " +
+          s"(first: ${missing.head.path})")
+        val targetPaths = target.files.map(_.path).toSet
+        val removed = currentPathSeq.filterNot(targetPaths.contains)
+        LakeWriter.commitWithRetry(log, curVersion, removed) { _ =>
+          Seq(CommitInfo(now, "RESTORE",
+            Map("version" -> version.toString))) ++
+            (if (target.metadata.schemaDDL != curMeta.schemaDDL ||
+              target.partitionColumns != curMeta.partitionColumns)
+              Seq(target.metadata) else Nil) ++
+            removed.map(p => RemoveFile(p, now)) ++
+            target.files.filterNot(f => currentPaths.contains(f.path))
+        }
+        ()
     }
   }
 
@@ -2954,6 +3002,12 @@ object LakeTable {
   /** Below these sizes the driver loop wins (job-launch overhead). */
   private[lake] val DISTRIBUTED_HISTORY_MIN_VERSIONS = 128
   private[lake] val DISTRIBUTED_VACUUM_MIN_FILES = 64
+
+  /** Re-add actions fetched per chunk by a streamed RESTORE commit —
+    * bounds the driver-resident AddFiles of restoring a 10⁷-file
+    * table (~tens of MB per chunk at realistic stat widths).
+    */
+  private[lake] var RESTORE_READD_CHUNK: Int = 100000
   /** Live-file count above which vacuum's candidate LISTING fans out
     * as a Spark job over top-level dirs instead of a driver walk.
     * var only so tests can exercise the distributed path cheaply.

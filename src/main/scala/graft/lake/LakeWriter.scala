@@ -956,7 +956,29 @@ object LakeWriter {
       log: LakeLog,
       readVersion: Long = -1L,
       removedRelPaths: Seq[String] = Nil)(
-      actions: Long => Seq[Action]): Long = {
+      actions: Long => Seq[Action]): Long =
+    retryLoop(log, readVersion, removedRelPaths)(
+      v => log.commit(v, actions(v)))
+
+  /** [[commitWithRetry]] whose BULK actions stream
+    * ([[LakeLog.commitStreamed]]) — the O(table) commit shapes
+    * (RESTORE re-adds). Same conflict detection; `bulk` is re-invoked
+    * per attempt and for the ambiguity readback.
+    */
+  private[lake] def commitStreamedWithRetry(
+      log: LakeLog,
+      readVersion: Long,
+      removedRelPaths: Seq[String])(
+      head: Long => Seq[Action])(
+      bulk: () => Iterator[Action]): Long =
+    retryLoop(log, readVersion, removedRelPaths)(
+      v => log.commitStreamed(v, head(v), bulk))
+
+  private def retryLoop(
+      log: LakeLog,
+      readVersion: Long,
+      removedRelPaths: Seq[String])(
+      doCommit: Long => Unit): Long = {
     var attempts = 0
     val ours = removedRelPaths.toSet
     // Writer protocol gate — centralized here so EVERY commit path
@@ -996,7 +1018,7 @@ object LakeWriter {
       }
       val version = latest + 1
       try {
-        log.commit(version, actions(version))
+        doCommit(version)
         return version
       } catch {
         case _: ConcurrentWriteException if attempts < 20 => attempts += 1

@@ -35,6 +35,15 @@ trait LogStore {
     */
   def putIfAbsent(target: Path, lines: Seq[String]): Unit
 
+  /** [[putIfAbsent]] whose lines STREAM from an iterator — the
+    * O(table)-bulk commit shape (RESTORE re-adds): the caller's heap
+    * holds one chunk of actions, never the whole serialized commit.
+    * The default materializes for third-party stores; the bundled
+    * stores override with true streaming writes.
+    */
+  def putIfAbsent(target: Path, lines: Iterator[String]): Unit =
+    putIfAbsent(target, lines.toSeq)
+
   /** Write `lines` as `target` atomically, REPLACING any previous
     * content. Readers must never observe a torn file.
     */
@@ -144,14 +153,19 @@ final class LocalLogFileReader(path: String) extends LogFileReader {
   */
 object LocalLogStore extends LogStore {
 
-  override def putIfAbsent(target: Path, lines: Seq[String]): Unit = {
+  override def putIfAbsent(target: Path, lines: Seq[String]): Unit =
+    putIfAbsent(target, lines.iterator)
+
+  override def putIfAbsent(target: Path, lines: Iterator[String]): Unit = {
     val dir = target.getParent
     Files.createDirectories(dir)
     if (Files.exists(target))
       throw new java.nio.file.FileAlreadyExistsException(target.toString)
     val tmp = Files.createTempFile(dir, s".put-${target.getFileName}-", ".tmp")
     try {
-      Files.write(tmp, lines.asJava)
+      val w = Files.newBufferedWriter(tmp)
+      try lines.foreach { l => w.write(l); w.newLine() }
+      finally w.close()
       // createLink fails atomically if the name exists (rename would
       // silently REPLACE — a lost commit under concurrent writers)
       Files.createLink(target, tmp)

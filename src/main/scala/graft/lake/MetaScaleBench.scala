@@ -316,6 +316,26 @@ object MetaScaleBench {
       require(removes >= nFiles,
         s"overwrite tombstoned only $removes of $nFiles+ live files")
     }
+    // Incremental manifest cadence (round 17): the next checkpoint
+    // boundary after the overwrite is the WORST case — every carried
+    // sidecar is dirty (all its paths tombstoned) — and must still be
+    // O(tail + slices), never a full O(table) snapshot
+    // re-serialization, and must never materialize the file list.
+    Snapshot.clearCacheForTest()
+    timed("incremental ckpt cadence (cold)") {
+      val fr0 = Snapshot.fullReplays.get()
+      val from = log.latestVersion + 1
+      val to = ((from / 10) + 1) * 10
+      (from to to).foreach { v =>
+        log.commit(v, Seq(CommitInfo(v + 1L, "APPEND", Map.empty),
+          AddFile(s"p=0/cad$v.parquet", Map("p" -> "0"), 1024L, 1L,
+            Map("id" -> "0"), Map("id" -> "0"), Map("id" -> 0L))))
+      }
+      require(log.latestCheckpointFilesAtOrBefore(to).exists(_._1 == to),
+        "cadence checkpoint missing")
+      require(Snapshot.fullReplays.get() == fr0,
+        "incremental cadence replayed the full file list")
+    }
     LakeWriter.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()
   }

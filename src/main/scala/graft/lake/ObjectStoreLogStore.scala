@@ -74,7 +74,10 @@ final class ObjectStoreLogStore extends LogStore {
     false
   }
 
-  override def putIfAbsent(target: Path, lines: Seq[String]): Unit = {
+  override def putIfAbsent(target: Path, lines: Seq[String]): Unit =
+    putIfAbsent(target, lines.iterator)
+
+  override def putIfAbsent(target: Path, lines: Iterator[String]): Unit = {
     if (inScope(target) && consume(lostPutsRemaining))
       throw new IOException(
         s"injected fault: connection lost before PUT of $target reached " +
@@ -85,7 +88,9 @@ final class ObjectStoreLogStore extends LogStore {
       Files.createDirectories(target.getParent)
       val tmp = stageTmp(target)
       try {
-        Files.write(tmp, lines.asJava)
+        val w = Files.newBufferedWriter(tmp)
+        try lines.foreach { l => w.write(l); w.newLine() }
+        finally w.close()
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       } finally Files.deleteIfExists(tmp)
     }

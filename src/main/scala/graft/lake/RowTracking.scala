@@ -127,4 +127,46 @@ object RowTracking {
       else Seq(DomainMetadata(DOMAIN, Map(HWM_KEY -> next.toString)))
     stampedActions ++ domain
   }
+
+  /** Streaming twin of [[stampMeta]] for O(table)-bulk commits
+    * ([[LakeLog.commitStreamed]]): carves ids for un-stamped AddFiles
+    * sequentially AS THE STREAM IS CONSUMED and lazily appends the
+    * advanced high-water [[DomainMetadata]] iff the same fold would
+    * have — single pass, one action resident at a time. `commitMeta`
+    * is the commit's own Metadata (it can toggle the property), same
+    * as the head scan the materialized fold does.
+    */
+  def stampStream(parentMeta: Option[Metadata],
+      parentDomains: Map[String, Map[String, String]],
+      commitMeta: Option[Metadata],
+      bulk: Iterator[Action]): Iterator[Action] = {
+    val effective = commitMeta.orElse(parentMeta)
+      .map(_.properties).getOrElse(Map.empty)
+    if (!enabled(effective)) return bulk
+    val wasEnabled = parentMeta.exists(m => enabled(m.properties))
+    var hwm = highWaterMark(parentDomains)
+    val priorHwm = hwm
+    val stamped: Iterator[Action] = bulk.map {
+      case a: AddFile if a.baseRowId.isEmpty =>
+        if (a.numRecords < 0)
+          throw new IllegalStateException(
+            s"cannot assign row ids to ${a.path}: the log entry has " +
+            "no row count. Backfill stats first (ANALYZE TABLE ... " +
+            "COMPUTE DELTA STATISTICS) or rewrite the file, then retry.")
+        val s = a.copy(baseRowId = Some(hwm))
+        hwm += a.numRecords
+        s
+      case other => other
+    }
+    // the domain tail evaluates only after `stamped` is exhausted
+    // (Iterator.++ is lazy), so it sees the final high-water mark
+    stamped ++ new Iterator[Action] {
+      private var emitted = false
+      def hasNext: Boolean = !emitted && (hwm != priorHwm || !wasEnabled)
+      def next(): Action = {
+        emitted = true
+        DomainMetadata(DOMAIN, Map(HWM_KEY -> hwm.toString))
+      }
+    }
+  }
 }

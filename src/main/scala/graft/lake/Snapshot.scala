@@ -247,13 +247,17 @@ object Snapshot {
             var done = false
             while (it.hasNext && !done) {
               val p = it.next()
+              val name = p.getFileName.toString
               val metaActions =
-                if (p.getFileName.toString.endsWith(".parquet"))
+                if (name.endsWith(".parquet"))
                   CheckpointParquet.readMeta(log.store.fileReader(p))
                 else log.store.readLines(p).iterator.map(_.trim)
                   .filter(Action.isMetaLine).map(Action.fromJson).toSeq
               metaActions.foreach(fold)
-              done = metaActions.isEmpty && metadata != null
+              // a MANIFEST carries the complete head by construction —
+              // stop without probing its first (adds-only) sidecar
+              done = metadata != null && (metaActions.isEmpty ||
+                name.endsWith(".checkpoint.manifest.json"))
             }
             ckptVersion + 1
           case None => 0L

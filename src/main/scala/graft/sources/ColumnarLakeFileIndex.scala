@@ -362,9 +362,20 @@ object ColumnarLakeFileIndex {
     if (latest < 0) return None
     val version = if (requested < 0) latest else requested
     val ckpt = log.latestCheckpointFilesAtOrBefore(version)
-      .filter { case (_, files) =>
-        files.size > 1 &&
-          files.forall(_.getFileName.toString.endsWith(".parquet"))
+      .flatMap { case (v, files) =>
+        // manifest checkpoints (round 17): the head rides the manifest
+        // (read by replayMetaTxns below); the scan's part files are the
+        // adds-only parquet SIDECARS. Legacy multi-part sets scan all
+        // parts (head rows are skipped by the AddFile collect).
+        val isManifest = files.headOption.exists(
+          _.getFileName.toString.endsWith(".checkpoint.manifest.json"))
+        val parts = if (isManifest) files.drop(1) else files
+        val qualifies =
+          if (isManifest) parts.nonEmpty &&
+            parts.forall(_.getFileName.toString.endsWith(".parquet"))
+          else parts.size > 1 &&
+            parts.forall(_.getFileName.toString.endsWith(".parquet"))
+        if (qualifies) Some((v, parts)) else None
       }
     ckpt match {
       case None => None

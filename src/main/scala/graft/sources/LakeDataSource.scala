@@ -57,7 +57,17 @@ final class LakeDataSource extends RelationProvider
     require(schema.isEmpty,
       "lake streaming source does not support a user-specified schema;" +
       " the table's own schema is used")
-    val base = new LakeLog(pathOf(parameters)).snapshot().schema
+    // metadata-light: the declared stream schema needs the Metadata
+    // action only — a full snapshot() here replayed a 10⁶-file table's
+    // whole file list just to START a stream (masked pre-round-17 by
+    // the cadence checkpoint having freshly cached the same replay)
+    val log = new LakeLog(pathOf(parameters))
+    if (!log.exists)
+      throw new IllegalStateException(
+        s"not a lake table: ${log.tablePath} (no ${LakeLog.LOG_DIR} " +
+        "directory)")
+    val base = StructType.fromDDL(
+      graft.lake.Snapshot.replayMeta(log, log.latestVersion)._1.schemaDDL)
     // the change feed carries extra audit columns — one shared
     // definition (graft.lake.Cdf) keeps this relation schema and
     // LakeStreamSource.schema in lockstep, or micro-batch planning
@@ -324,55 +334,31 @@ object LakeDataSource {
       parameters: Map[String, String]): BaseRelation =
     new LakeDataSource().columnarRelationFor(spark, idx, parameters)
 
-  /** Columnar twin of [[snapshotDFWithMeta]] (no row-id variant: the
-    * DML planner gates row-tracked tables back to the classic path):
-    * full-table frame with `_metadata` materialized and deletion
-    * vectors applied via the same codegen'd [[graft.lake.DvRowDeleted]]
-    * filter, planned through the [[ColumnarLakeFileIndex]] so the
-    * driver never materializes the file list. The DV path map comes
-    * from the index's summary (bounded by sidecar count).
+  /** Columnar twin of [[snapshotDFWithMeta]]: full-table frame with
+    * `_metadata` materialized and deletion vectors applied via the
+    * same codegen'd [[graft.lake.DvRowDeleted]] filter, planned
+    * through the [[ColumnarLakeFileIndex]] so the driver never
+    * materializes the file list. The DV path map comes from the
+    * index's summary (bounded by sidecar count). `withRowIds` adds
+    * [[graft.lake.RowTracking.COL]] with the same resolution order as
+    * the classic path (materialized column wins, else baseRowId +
+    * row_index via one broadcast join) — the base map is the index's
+    * (path, baseRowId) PROJECTION, decoded on the executors, so
+    * row-tracked DML plans columnar too (round 17; previously gated
+    * classic).
     */
   private[graft] def columnarDFWithMeta(
-      spark: SparkSession, idx: ColumnarLakeFileIndex): DataFrame = {
-    val tablePath = idx.log.tablePath
-    val df0 = spark.baseRelationToDataFrame(
-        new LakeDataSource().columnarRelationFor(spark, idx, Map.empty,
-          applyDvs = false))
-      .withColumn(META, col(META))
-    if (idx.dvPairs.isEmpty) df0
-    else {
-      val dvFor = idx.dvPairs.map { case (f, s) =>
-        (LakeLog.resolveFile(tablePath, f).toString,
-          LakeLog.resolveFile(tablePath, s).toString)
-      }
-      df0.filter(!graft.lake.DvRowDeleted(df0.sparkSession,
-        col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
-    }
-  }
-
-  /** Columnar twin of [[snapshotDFWithRowIds]]: table columns plus
-    * the stable row id, planned through the [[ColumnarLakeFileIndex]].
-    * Same resolution order (materialized physical column wins, else
-    * baseRowId + row_index via one broadcast join), but the base map
-    * is the index's (path, baseRowId) PROJECTION — executors decode
-    * the checkpoint parts; the driver holds path/long pairs, never
-    * the stats-bearing file list.
-    */
-  private[graft] def columnarDFWithRowIds(
-      spark: SparkSession, idx: ColumnarLakeFileIndex): DataFrame = {
+      spark: SparkSession, idx: ColumnarLakeFileIndex,
+      withRowIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField}
     val tablePath = idx.log.tablePath
     val rtCol = graft.lake.RowTracking.COL
-    val schema = StructType.fromDDL(idx.metadata.schemaDDL)
-    if (idx.numFiles == 0L) {
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields :+ StructField(rtCol, LongType)))
-    }
+    val extra =
+      if (withRowIds) Seq(StructField(rtCol, LongType, nullable = true))
+      else Nil
     val df0 = spark.baseRelationToDataFrame(
         new LakeDataSource().columnarRelationFor(spark, idx, Map.empty,
-          applyDvs = false,
-          extraCols = Seq(StructField(rtCol, LongType, nullable = true))))
+          applyDvs = false, extraCols = extra))
       .withColumn(META, col(META))
     val df =
       if (idx.dvPairs.isEmpty) df0
@@ -384,6 +370,7 @@ object LakeDataSource {
         df0.filter(!graft.lake.DvRowDeleted(df0.sparkSession,
           col(s"$META.file_path"), col(s"$META.row_index"), dvFor))
       }
+    if (!withRowIds) return df
     val spark2 = df.sparkSession
     import spark2.implicits._
     val bases = idx.pathBases().map { case (p, b) =>
@@ -395,6 +382,22 @@ object LakeDataSource {
         coalesce(col(s"`$rtCol`"),
           col("__rt_base") + col(s"$META.row_index")))
       .drop("__rt_file_path", "__rt_base")
+  }
+
+  /** Columnar twin of [[snapshotDFWithRowIds]]: table columns plus
+    * the stable row id, planned through the [[ColumnarLakeFileIndex]].
+    */
+  private[graft] def columnarDFWithRowIds(
+      spark: SparkSession, idx: ColumnarLakeFileIndex): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val rtCol = graft.lake.RowTracking.COL
+    val schema = StructType.fromDDL(idx.metadata.schemaDDL)
+    if (idx.numFiles == 0L) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields :+ StructField(rtCol, LongType)))
+    }
+    columnarDFWithMeta(spark, idx, withRowIds = true)
       .select(schema.fieldNames.map(n => col(s"`$n`"))
         :+ col(s"`$rtCol`"): _*)
   }

@@ -330,6 +330,100 @@ class ColumnarIndexSuite extends SparkSuite {
     }
   }
 
+  test("ROW-TRACKED columnar DML: MERGE/UPDATE/DELETE plan without a " +
+      "full replay and keep row ids stable") {
+    // round 17: the row-tracked gate in dmlPlan is lifted — the row-id
+    // discovery frame's base map is the index's executor-side
+    // (path, baseRowId) projection
+    val path = withPartMax(5) {
+      val p = tablePath("col-dml-rowtrack")
+      (0 until 13).foreach { i =>
+        LakeWriter.write(
+          Seq((i.toLong, s"row$i", i % 3)).toDF("id", "name", "p"), p,
+          partitionBy = if (i == 0) Seq("p") else Nil,
+          properties = if (i == 0) Map(
+            graft.lake.RowTracking.PROP -> "true",
+            LakeTable.PROP_ENABLE_DV -> "true") else Map.empty)
+      }
+      p
+    }
+    spark.conf.set("spark.graft.columnarFileIndex", "true")
+    try {
+      val t = LakeTable.forPath(spark, path)
+      val idsBefore = t.toDFWithRowIds
+        .select("id", graft.lake.RowTracking.COL)
+        .as[(Long, Long)].collect().toMap
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+      val before = Snapshot.fullReplays.get()
+      // DV UPDATE exercises withMetaDF(withRowIds = true) — the frame
+      // the classic gate existed for
+      t.update("id = 5", Map("name" -> "'updated'"))
+      t.delete("id = 3")
+      t.as("t").merge(
+          Seq((7L, "merged", 1), (100L, "new", 1))
+            .toDF("id", "name", "p").as("s"),
+          "t.id = s.id")
+        .whenMatchedUpdate(Map("name" -> "s.name"))
+        .whenNotMatchedInsert(
+          Map("id" -> "s.id", "name" -> "s.name", "p" -> "s.p"))
+        .execute()
+      assert(Snapshot.fullReplays.get() === before,
+        "a row-tracked columnar DML materialized the full file list")
+      spark.conf.unset("spark.graft.columnarFileIndex")
+      val after = LakeTable.forPath(spark, path).toDFWithRowIds
+        .select("id", "name", graft.lake.RowTracking.COL)
+        .as[(Long, String, Long)].collect()
+      val byId = after.map(r => r._1 -> r).toMap
+      assert(!byId.contains(3L))
+      assert(byId(5L)._2 === "updated")
+      assert(byId(7L)._2 === "merged")
+      assert(byId(100L)._2 === "new")
+      // stability: surviving rows keep the ids they carried before
+      after.filter(_._1 != 100L).foreach { case (id, _, rid) =>
+        assert(rid === idsBefore(id),
+          s"row $id changed its stable id under columnar DML")
+      }
+      // the merge-inserted row got a FRESH id
+      assert(!idsBefore.values.toSet.contains(byId(100L)._3))
+    } finally {
+      if (spark.conf.getOption("spark.graft.columnarFileIndex").isDefined)
+        spark.conf.unset("spark.graft.columnarFileIndex")
+    }
+  }
+
+  test("RESTORE streams its re-add actions through the columnar " +
+      "index: no full replay, state equals the target version") {
+    val path = buildTable("col-restore-stream") // v0..v12 writes, v13 DELETE
+    val prevChunk = LakeTable.RESTORE_READD_CHUNK
+    LakeTable.RESTORE_READD_CHUNK = 2 // force multiple chunks
+    spark.conf.set("spark.graft.columnarFileIndex", "true")
+    try {
+      val expected = LakeTable.forPath(spark, path).asOf(11L)
+        .collect().toSet
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+      val fr0 = Snapshot.fullReplays.get()
+      LakeTable.forPath(spark, path).restoreTo(11L)
+      assert(Snapshot.fullReplays.get() === fr0,
+        "streamed RESTORE materialized a full file list")
+      spark.conf.unset("spark.graft.columnarFileIndex")
+      val got = spark.read.format("lake").load(path).collect().toSet
+      assert(got === expected)
+      // the restore commit carries the re-adds (v13's delete undone)
+      val log = new LakeLog(path)
+      val actions = log.readVersion(log.latestVersion)
+      assert(actions.collectFirst { case c: CommitInfo => c.operation }
+        .contains("RESTORE"))
+      assert(actions.exists(_.isInstanceOf[AddFile]),
+        "restore must re-add the deleted file")
+    } finally {
+      LakeTable.RESTORE_READD_CHUNK = prevChunk
+      if (spark.conf.getOption("spark.graft.columnarFileIndex").isDefined)
+        spark.conf.unset("spark.graft.columnarFileIndex")
+    }
+  }
+
   test("columnar DML: partition-only DELETE stays metadata-only") {
     withPartMax(5) {
       val path = tablePath("col-dml-partdel")

@@ -20,6 +20,16 @@ class LakeCheckpointSuite extends SparkSuite {
     try body finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prev
   }
 
+  /** Pin the LEGACY multi-part writer (pre-round-17): these tests
+    * verify the part-set format itself, which the reader must accept
+    * forever; the manifest-form tests below cover the default path.
+    */
+  private def withLegacyParts[A](body: => A): A = {
+    val prev = LakeLog.INCREMENTAL_CHECKPOINTS
+    LakeLog.INCREMENTAL_CHECKPOINTS = false
+    try body finally LakeLog.INCREMENTAL_CHECKPOINTS = prev
+  }
+
   private def addFile(name: String) =
     AddFile(s"$name.parquet", Map.empty, 10L, 1L, Map.empty, Map.empty,
       Map.empty)
@@ -40,7 +50,7 @@ class LakeCheckpointSuite extends SparkSuite {
   }
 
   test("multi-part checkpoint write + streamed replay equals full replay") {
-    withPartMax(5) {
+    withLegacyParts { withPartMax(5) {
       val path = tablePath("ckpt-multi")
       val log = new LakeLog(path)
       log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
@@ -81,11 +91,11 @@ class LakeCheckpointSuite extends SparkSuite {
       val before = LakeLog.readVersionCalls.get()
       log.snapshot(14L)
       assert(LakeLog.readVersionCalls.get() - before <= 4)
-    }
+    } }
   }
 
   test("a crashed writer's partial part set is ignored") {
-    withPartMax(3) {
+    withLegacyParts { withPartMax(3) {
       val path = tablePath("ckpt-partial")
       val log = new LakeLog(path)
       log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
@@ -106,11 +116,11 @@ class LakeCheckpointSuite extends SparkSuite {
       assert(log.latestCheckpointAtOrBefore(10L).isEmpty)
       val snap = log.snapshot(10L)
       assert(snap.files.map(_.path).toSet === naiveLiveSet(log, 10L))
-    }
+    } }
   }
 
   test("100k-AddFile state checkpoints in bounded parts and replays") {
-    withPartMax(30000) {
+    withLegacyParts { withPartMax(30000) {
       val path = tablePath("ckpt-100k")
       val log = new LakeLog(path)
       log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
@@ -139,7 +149,7 @@ class LakeCheckpointSuite extends SparkSuite {
       assert(snap.domains === Map(
         "app.domain.a" -> Map("k" -> "v1"),
         "app.domain.b" -> Map("x" -> "1", "y" -> "2")))
-    }
+    } }
   }
 
   test("parquet part round-trip preserves every action field") {
@@ -194,7 +204,7 @@ class LakeCheckpointSuite extends SparkSuite {
   }
 
   test("parquet and JSON part formats replay to identical state") {
-    withPartMax(4) {
+    withLegacyParts { withPartMax(4) {
       def build(path: String, parquet: Boolean): Snapshot = {
         val prev = LakeLog.CHECKPOINT_PARQUET_PARTS
         LakeLog.CHECKPOINT_PARQUET_PARTS = parquet
@@ -234,7 +244,7 @@ class LakeCheckpointSuite extends SparkSuite {
         .map(_.split("\\.").last).toSet
       assert(partExts(pq) === Set("parquet"))
       assert(partExts(js) === Set("json"))
-    }
+    } }
   }
 
   test("single-file checkpoints remain the small-state fast path") {
@@ -603,7 +613,7 @@ class LakeCheckpointSuite extends SparkSuite {
     // sibling next to every staged parquet body; the publish move
     // takes only the body, so without eager deletion the sibling
     // accretes in _log forever (one per part per checkpoint).
-    withPartMax(5) {
+    withLegacyParts { withPartMax(5) {
       val path = tablePath("ckpt-nocrc")
       val log = new LakeLog(path)
       log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
@@ -631,11 +641,11 @@ class LakeCheckpointSuite extends SparkSuite {
       LogStore.current.cleanupStaging(log.logDir, 3600 * 1000L)
       assert(!java.nio.file.Files.exists(debris),
         "aged ..rep-*.tmp.crc debris must be swept")
-    }
+    } }
   }
 
   test("stale multi-part checkpoints are cleaned up with the aux files") {
-    withPartMax(2) {
+    withLegacyParts { withPartMax(2) {
       val path = tablePath("ckpt-clean")
       val log = new LakeLog(path)
       log.commit(0L, Seq(CommitInfo(1L, "CREATE", Map.empty), meta,
@@ -651,6 +661,174 @@ class LakeCheckpointSuite extends SparkSuite {
         .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.parquet"))
         .map(_.split("\\.")(0).toLong).distinct.sorted
       assert(partVersions === Seq(30L, 40L, 50L))
+    } }
+  }
+
+  // ----- incremental manifest checkpoints (round 17) ---------------
+
+  private def manifestVersions(log: LakeLog): Seq[Long] =
+    LogStore.current.listDir(log.logDir).map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.manifest\\.json"))
+      .map(_.stripSuffix(".checkpoint.manifest.json").toLong).sorted
+
+  private def sidecarsOnDisk(log: LakeLog): Seq[java.nio.file.Path] =
+    LogStore.current.listDir(log.logDir.resolve(LakeLog.SIDECAR_DIR))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+
+  private def sidecarEntries(log: LakeLog, refs: Seq[SidecarRef]): Seq[String] =
+    refs.flatMap(r => CheckpointParquet.read(
+        LogStore.current.fileReader(log.logDir.resolve(r.path)))
+      .collect { case a: AddFile => a.path })
+
+  test("manifest checkpoints: incremental chain replays equal to " +
+      "ground truth at every version; slices stay exactly-once") {
+    withPartMax(5) {
+      val path = tablePath("ckpt-manifest-chain")
+      val log = new LakeLog(path)
+      log.commit(0L, Seq(CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty), meta,
+        Protocol()))
+      // adds every version, a remove every 4th — v10 bootstraps the
+      // first manifest, v20/v30 extend it INCREMENTALLY
+      (1L to 34L).foreach { v =>
+        log.commit(v, Seq(
+          CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"f${v}a"), addFile(s"f${v}b")) ++
+          (if (v % 4 == 0) Seq(RemoveFile(s"f${v - 2}a.parquet", v))
+           else Nil))
+      }
+      assert(manifestVersions(log) === Seq(10L, 20L, 30L))
+      // incremental proof: v20's manifest carries at least one sidecar
+      // WRITTEN AT v10 forward by reference
+      val (_, refs20) = log.readManifest(log.manifestFile(20L))
+      assert(refs20.exists(_.path.contains("00000000000000000010-")),
+        s"v20 manifest rewrote everything: ${refs20.map(_.path)}")
+      // exactly-once invariant at the newest manifest: the union of
+      // its sidecars IS the live set, no path twice, counts exact
+      val (_, refs30) = log.readManifest(log.manifestFile(30L))
+      val entries = sidecarEntries(log, refs30)
+      assert(entries.size === entries.distinct.size,
+        "duplicate entries across sidecars")
+      assert(entries.toSet === naiveLiveSet(log, 30L))
+      assert(refs30.map(_.count).sum === entries.size.toLong)
+      // replay through the manifest chain == ground truth, everywhere
+      (0L to 34L).foreach { v =>
+        Snapshot.clearCacheForTest()
+        assert(log.snapshot(v).files.map(_.path).toSet ===
+          naiveLiveSet(log, v), s"replay mismatch at version $v")
+      }
+      // the incremental cadence never materializes the file list: the
+      // next boundary commit must not bump fullReplays
+      Snapshot.clearCacheForTest()
+      val fr0 = Snapshot.fullReplays.get()
+      (35L to 40L).foreach { v =>
+        log.commit(v, Seq(CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"f${v}a")))
+      }
+      assert(manifestVersions(log).contains(40L))
+      assert(Snapshot.fullReplays.get() === fr0,
+        "incremental manifest cadence replayed the full file list")
+    }
+  }
+
+  test("manifest without its sidecars never blesses; sidecars without " +
+      "a manifest are crash debris the GC sweeps") {
+    withPartMax(3) {
+      val path = tablePath("ckpt-manifest-crash")
+      val log = new LakeLog(path)
+      log.commit(0L, Seq(CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty), meta,
+        Protocol()))
+      (1L to 10L).foreach { v =>
+        log.commit(v, Seq(CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"g$v")))
+      }
+      assert(manifestVersions(log) === Seq(10L))
+      val sidecars = sidecarsOnDisk(log)
+      assert(sidecars.nonEmpty)
+      // crash shape: the manifest never landed (it publishes LAST) —
+      // delete it; the orphaned sidecars must not count as a checkpoint
+      LogStore.current.delete(log.manifestFile(10L))
+      Snapshot.clearCacheForTest()
+      assert(log.latestCheckpointAtOrBefore(10L).isEmpty,
+        "orphan sidecars must not bless a checkpoint")
+      assert(log.snapshot(10L).files.map(_.path).toSet ===
+        naiveLiveSet(log, 10L))
+      // ...and the age-gated GC removes them once past the horizon
+      sidecars.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 24L * 3600 * 1000)))
+      log.cleanupAuxFiles(10L)
+      assert(sidecarsOnDisk(log).isEmpty,
+        "unreferenced aged sidecars must be GC'd")
+    }
+  }
+
+  test("sidecar GC: slices referenced by any surviving manifest " +
+      "survive; slices only stale manifests referenced are deleted") {
+    withPartMax(4) {
+      val path = tablePath("ckpt-manifest-gc")
+      val log = new LakeLog(path)
+      log.commit(0L, Seq(CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty), meta,
+        Protocol()))
+      // removes keep dirtying old slices, so superseded sidecar
+      // versions accumulate; five boundaries age v10/v20's manifests
+      // out (RETAINED_AUX = 3 keeps v30+)
+      (1L to 50L).foreach { v =>
+        log.commit(v, Seq(
+          CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"c${v}")) ++
+          (if (v % 3 == 0) Seq(RemoveFile(s"c${v - 2}.parquet", v))
+           else Nil))
+      }
+      assert(manifestVersions(log) === Seq(30L, 40L, 50L),
+        "stale manifests must be swept with the aux files")
+      // age everything, then GC: referenced slices must survive
+      sidecarsOnDisk(log).foreach(p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 24L * 3600 * 1000)))
+      log.cleanupAuxFiles(50L)
+      val onDisk = sidecarsOnDisk(log).map(
+        p => LakeLog.SIDECAR_DIR + "/" + p.getFileName.toString).toSet
+      val referenced = manifestVersions(log).flatMap(v =>
+        log.readManifest(log.manifestFile(v))._2.map(_.path)).toSet
+      assert(referenced.subsetOf(onDisk),
+        s"GC deleted live slices: ${referenced -- onDisk}")
+      assert(onDisk === referenced,
+        s"GC left unreferenced slices: ${onDisk -- referenced}")
+      // the surviving manifests still replay to ground truth
+      Seq(30L, 40L, 50L).foreach { v =>
+        Snapshot.clearCacheForTest()
+        assert(log.snapshot(v).files.map(_.path).toSet ===
+          naiveLiveSet(log, v), s"post-GC replay mismatch at v$v")
+      }
+    }
+  }
+
+  test("small delta slices absorb small carried sidecars: the slice " +
+      "count stays near total/partMax instead of one per cadence") {
+    withPartMax(50) {
+      val path = tablePath("ckpt-manifest-absorb")
+      val log = new LakeLog(path)
+      log.commit(0L, Seq(CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty), meta,
+        Protocol()))
+      // 2 adds per commit, 12 cadences: per-cadence delta (20 adds) is
+      // far below partMax, so without absorption the manifest would
+      // accrete ~one slice per cadence
+      (1L to 120L).foreach { v =>
+        log.commit(v, Seq(CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"a${v}x"), addFile(s"a${v}y")))
+      }
+      val (_, refs) = log.readManifest(
+        log.manifestFile(manifestVersions(log).max))
+      val total = refs.map(_.count).sum
+      assert(total === naiveLiveSet(log, 120L).size.toLong)
+      val lowerBound = (total + 49) / 50 // ceil(total/partMax)
+      assert(refs.size <= lowerBound + 2,
+        s"${refs.size} slices for $total entries (partMax 50): " +
+        "absorption is not bounding slice growth")
+      Snapshot.clearCacheForTest()
+      assert(log.snapshot(120L).files.map(_.path).toSet ===
+        naiveLiveSet(log, 120L))
     }
   }
 }

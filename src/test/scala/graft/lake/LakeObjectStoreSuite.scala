@@ -376,14 +376,23 @@ class LakeObjectStoreSuite extends StoreContractSuite {
       }
       val names = objStore.listDir(log.logDir)
         .map(_.getFileName.toString)
+      // the default big-state form is the manifest + parquet sidecars
       assert(names.exists(_.matches(
-        "\\d{20}\\.checkpoint\\.\\d{4}\\.\\d{4}\\.parquet")),
-        s"no multi-part parquet checkpoint in $names")
-      // no staging debris of any kind is a listable key
-      assert(!names.exists(n => n.endsWith(".tmp") || n.endsWith(".crc")
-          || n.startsWith(".rep-") || n.startsWith("..rep-")),
-        s"staging debris listable as bucket keys: $names")
-      // and replay through the parquet checkpoint works
+        "\\d{20}\\.checkpoint\\.manifest\\.json")),
+        s"no manifest checkpoint in $names")
+      val sidecarNames = objStore
+        .listDir(log.logDir.resolve(LakeLog.SIDECAR_DIR))
+        .map(_.getFileName.toString)
+      assert(sidecarNames.exists(_.endsWith(".parquet")),
+        s"no parquet sidecars in $sidecarNames")
+      // no staging debris of any kind is a listable key — in the log
+      // dir or the sidecar dir
+      (names ++ sidecarNames).foreach { n =>
+        assert(!(n.endsWith(".tmp") || n.endsWith(".crc")
+            || n.startsWith(".rep-") || n.startsWith("..rep-")),
+          s"staging debris listable as a bucket key: $n")
+      }
+      // and replay through the manifest checkpoint works
       assert(log.snapshot().numFiles === 28)
       // a crash between staging and publish (simulated: aged body in
       // the staging area) is swept by THIS store's cleanupStaging
