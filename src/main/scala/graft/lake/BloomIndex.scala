@@ -239,9 +239,11 @@ object BloomIndex {
         .relativize(abs.toAbsolutePath.normalize).toString
       val sidecarRel = s"$DIR/${UUID.randomUUID()}.bloom"
       val target = Paths.get(rootStr).resolve(sidecarRel)
-      Files.createDirectories(target.getParent)
+      // one DataStore PUT per sidecar body (executor-side, like the
+      // DV writer): blooms are KB–MB sized by construction
+      val buf = new java.io.ByteArrayOutputStream(4096)
       val out = new DataOutputStream(new java.io.BufferedOutputStream(
-        Files.newOutputStream(target)))
+        buf))
       try {
         out.writeInt(MAGIC)
         // v2: each bloom is LENGTH-PREFIXED. Spark's
@@ -264,6 +266,7 @@ object BloomIndex {
           i += 1
         }
       } finally out.close()
+      DataStore.current.writeBytes(target, buf.toByteArray)
       (rel, sidecarRel)
     }.collect().toMap
   }
@@ -286,7 +289,8 @@ object BloomIndex {
       cache.remove(sidecarPath, ref)
     }
     val in = new DataInputStream(new java.io.BufferedInputStream(
-      Files.newInputStream(Paths.get(sidecarPath))))
+      new java.io.ByteArrayInputStream(
+        DataStore.current.readBytes(Paths.get(sidecarPath)))))
     val m =
       try {
         require(in.readInt() == MAGIC, s"not a bloom sidecar: $sidecarPath")

@@ -31,14 +31,18 @@ object DeletionVector {
 
   /** Write `sortedIndices` as a new DV file under `tablePath`; returns
     * the table-relative path. Safe to call from executors — the file
-    * is uuid-named and unreferenced until some commit adopts it.
+    * is uuid-named and unreferenced until some commit adopts it. The
+    * body publishes as ONE [[DataStore.writeBytes]] object (a DV is
+    * O(deleted-row gaps) small by design, so buffering it is the
+    * single-PUT shape an object store wants anyway).
     */
   def write(tablePath: String, sortedIndices: Array[Long]): String = {
     require(sortedIndices.nonEmpty, "empty deletion vector")
     val rel = s"$DIR/dv-${java.util.UUID.randomUUID()}.bin"
     val target = Paths.get(tablePath).resolve(rel)
-    Files.createDirectories(target.getParent)
-    val out = new BufferedOutputStream(Files.newOutputStream(target))
+    val buf = new java.io.ByteArrayOutputStream(
+      16 + sortedIndices.length * 2)
+    val out = new BufferedOutputStream(buf)
     try {
       out.write(MAGIC)
       writeVarint(out, sortedIndices.length.toLong)
@@ -52,6 +56,7 @@ object DeletionVector {
         i += 1
       }
     } finally out.close()
+    DataStore.current.writeBytes(target, buf.toByteArray)
     rel
   }
 
@@ -61,7 +66,8 @@ object DeletionVector {
     * index array is never materialized.
     */
   def readSet(file: Path): RowIndexSet = {
-    val in = new BufferedInputStream(Files.newInputStream(file))
+    val in = new BufferedInputStream(new java.io.ByteArrayInputStream(
+      DataStore.current.readBytes(file)))
     try {
       val magic = in.readNBytes(4)
       require(java.util.Arrays.equals(magic, MAGIC),
@@ -85,7 +91,8 @@ object DeletionVector {
     * per-file form the DML merge/rewrite paths use).
     */
   def read(file: Path): Array[Long] = {
-    val in = new BufferedInputStream(Files.newInputStream(file))
+    val in = new BufferedInputStream(new java.io.ByteArrayInputStream(
+      DataStore.current.readBytes(file)))
     try {
       val magic = in.readNBytes(4)
       require(java.util.Arrays.equals(magic, MAGIC),

@@ -818,7 +818,8 @@ final class LakeTable private (
       } catch { case e: Throwable =>
         // staged DV files + CDC are unreferenced until the commit
         dvRelsWritten.forEach { rel =>
-          try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+          try { DataStore.current.deleteIfExists(
+            Paths.get(tablePath, rel)); () }
           catch { case _: java.io.IOException => () }
         }
         LakeWriter.sweepStaged(tablePath, Nil, cdcTask, Some(cdcDir))
@@ -995,7 +996,8 @@ final class LakeTable private (
         ()
       } catch { case e: Throwable =>
         dvRelsWritten.forEach { rel =>
-          try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+          try { DataStore.current.deleteIfExists(
+            Paths.get(tablePath, rel)); () }
           catch { case _: java.io.IOException => () }
         }
         LakeWriter.sweepStaged(tablePath, adds, cdcTask, Some(cdcDir))
@@ -1339,8 +1341,8 @@ final class LakeTable private (
         LakeWriter.commitStreamedWithRetry(log, curVersion, removed)(
           _ => head) { () =>
           removed.iterator.map(p => RemoveFile(p, now): Action) ++
-            readds.grouped(LakeTable.RESTORE_READD_CHUNK)
-              .flatMap(chunk => tIdx.addsForPaths(chunk).iterator)
+            tIdx.liveAddsStream()
+              .filter(a => !currentPaths.contains(a.path))
         }
         ()
       case None =>
@@ -1758,9 +1760,10 @@ final class LakeTable private (
       val tp = tablePath
       spark.sparkContext
         .parallelize(deletable, math.min(deletable.size / 32 + 1, 64))
-        .foreach(rel => Files.deleteIfExists(Paths.get(tp, rel)))
+        .foreach(rel => DataStore.current.deleteIfExists(Paths.get(tp, rel)))
     } else deletable.foreach { rel =>
-      Files.deleteIfExists(Paths.get(tablePath, rel))
+      DataStore.current.deleteIfExists(Paths.get(tablePath, rel))
+      ()
     }
     // Sweep now-empty directories (drained partitions, .staging-* and
     // cdc-* scratch) bottom-up; the deepest-first sort makes children
@@ -3002,12 +3005,6 @@ object LakeTable {
   /** Below these sizes the driver loop wins (job-launch overhead). */
   private[lake] val DISTRIBUTED_HISTORY_MIN_VERSIONS = 128
   private[lake] val DISTRIBUTED_VACUUM_MIN_FILES = 64
-
-  /** Re-add actions fetched per chunk by a streamed RESTORE commit —
-    * bounds the driver-resident AddFiles of restoring a 10⁷-file
-    * table (~tens of MB per chunk at realistic stat widths).
-    */
-  private[lake] var RESTORE_READD_CHUNK: Int = 100000
   /** Live-file count above which vacuum's candidate LISTING fans out
     * as a Spark job over top-level dirs instead of a driver walk.
     * var only so tests can exercise the distributed path cheaply.

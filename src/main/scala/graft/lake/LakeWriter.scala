@@ -761,18 +761,21 @@ object LakeWriter {
       if (bucketTag) bucketTagged(staging.relativize(f).toString)
       else staging.relativize(f).toString
     val target = tableRoot.resolve(rel)
+    // all placement I/O rides the DataStore seam (round 17): the
+    // adoption move is the staging->final placement a cloud port
+    // implements as copy+delete (or skips by writing final keys)
+    val ds = DataStore.current
     def build(source: Path): Option[AddFile] = {
       val (rows, mins, maxs, nulls) = statsOf(source)
       if (rows == 0L) { // empty output split: don't pollute the table
-        Files.deleteIfExists(source)
+        ds.deleteIfExists(source)
         None
       } else {
         if (source == f) {
-          Files.createDirectories(target.getParent)
-          try { Files.move(f, target, StandardCopyOption.ATOMIC_MOVE); () }
+          try { ds.move(f, target); () }
           catch { // a twin attempt won the move between stat and here
             case _: java.nio.file.NoSuchFileException
-              if Files.exists(target) => ()
+              if ds.exists(target) => ()
           }
         }
         Some(AddFile(
@@ -785,17 +788,17 @@ object LakeWriter {
           nullCounts = nulls))
       }
     }
-    if (Files.exists(f)) {
+    if (ds.exists(f)) {
       try build(f)
       catch {
         // the footer read raced a twin attempt: the twin either moved
         // the file into the table (re-derive from the target) or
         // deleted an empty split (nothing to adopt)
-        case _: java.io.IOException if !Files.exists(f) =>
-          if (Files.exists(target)) build(target) else None
+        case _: java.io.IOException if !ds.exists(f) =>
+          if (ds.exists(target)) build(target) else None
       }
     }
-    else if (Files.exists(target)) build(target) // already adopted
+    else if (ds.exists(target)) build(target) // already adopted
     else None // empty split a prior attempt already deleted
   }
 
@@ -1090,7 +1093,7 @@ object LakeWriter {
       cdcDir: Option[Path]): Unit = {
     cdcTask.foreach(t => try { awaitTask(t); () } catch { case _: Throwable => () })
     (adds.map(_.path) ++ adds.flatMap(_.bloomPath)).foreach { p =>
-      try { Files.deleteIfExists(Paths.get(tablePath, p)); () }
+      try { DataStore.current.deleteIfExists(Paths.get(tablePath, p)); () }
       catch { case _: java.io.IOException => () }
     }
     cdcDir.filter(Files.exists(_)).foreach { d =>

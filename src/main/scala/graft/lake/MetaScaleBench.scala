@@ -316,11 +316,65 @@ object MetaScaleBench {
       require(removes >= nFiles,
         s"overwrite tombstoned only $removes of $nFiles+ live files")
     }
+    // RESTORE leg (round 17): restore to the pre-overwrite version.
+    // The target's entries ARE the re-add actions, but they stream to
+    // the commit in bounded chunks through the columnar index — the
+    // driver must hold neither the target's full AddFile list nor the
+    // serialized commit. Heap delta is require-bounded far below the
+    // interned full-list footprint, and no full replay may run.
+    val preOverwriteV = log.latestVersion - 1
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    // the table's files are synthetic log entries; RESTORE's
+    // vacuum-loss probe needs them physically present — create empty
+    // bodies (distributed, not timed; paths via the columnar
+    // projection so this setup itself replays nothing)
+    timed(s"create ${nFiles / 1000}k physical bodies (setup)") {
+      val tp = dir
+      val paths = graft.sources.ColumnarLakeFileIndex
+        .tryBuild(spark, log, preOverwriteV).get.pathSizes().map(_._1)
+      spark.sparkContext.parallelize(paths, 64).foreachPartition { it =>
+        it.foreach { rel =>
+          val p = java.nio.file.Paths.get(tp, rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          try { java.nio.file.Files.createFile(p); () }
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      }
+    }
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    timed(s"RESTORE ${nFiles / 1000}k re-adds (streamed)") {
+      def usedHeap(): Long = {
+        (1 to 3).foreach { _ => System.gc(); Thread.sleep(100) }
+        val rt = Runtime.getRuntime
+        rt.totalMemory() - rt.freeMemory()
+      }
+      val fr0 = Snapshot.fullReplays.get()
+      val h0 = usedHeap()
+      LakeTable.forPath(spark, dir).restoreTo(preOverwriteV)
+      val dh = usedHeap() - h0
+      printf("  restore heap delta: %.1f MB%n", dh / 1e6)
+      require(Snapshot.fullReplays.get() == fr0,
+        "streamed RESTORE replayed the full file list")
+      // well under the ~700 B/file an interned resident list costs
+      // (path lists and one in-flight chunk are the design budget)
+      require(dh < math.max(256L * 1024 * 1024, nFiles.toLong * 400),
+        s"streamed RESTORE held $dh bytes on the driver")
+    }
+    locally {
+      val v = log.latestVersion
+      val readds = log.readVersion(v).count(_.isInstanceOf[AddFile])
+      println(s"  restore re-added $readds files at v$v")
+      require(readds >= nFiles,
+        s"restore re-added only $readds of $nFiles")
+    }
     // Incremental manifest cadence (round 17): the next checkpoint
-    // boundary after the overwrite is the WORST case — every carried
-    // sidecar is dirty (all its paths tombstoned) — and must still be
-    // O(tail + slices), never a full O(table) snapshot
-    // re-serialization, and must never materialize the file list.
+    // boundary after the restore is the WORST case — every carried
+    // sidecar is dirty (the overwrite tombstoned its paths, the
+    // restore re-added them) — and must still be O(tail + slices),
+    // never a full O(table) snapshot re-serialization, and must never
+    // materialize the file list.
     Snapshot.clearCacheForTest()
     timed("incremental ckpt cadence (cold)") {
       val fr0 = Snapshot.fullReplays.get()

@@ -212,6 +212,68 @@ final class ColumnarLakeFileIndex private[sources] (
     fromCkpt ++ tailAdds.filter(a => wanted(a.path))
   }
 
+  /** The ENTIRE live set as a STREAM: one distributed pass over the
+    * checkpoint parts whose entries arrive a partition at a time
+    * (`RDD.toLocalIterator`) — the driver holds at most one part's
+    * AddFiles, each part decodes exactly once, and nothing
+    * table-sized is broadcast. This feeds the streamed RESTORE's
+    * bulk iterator (the caller filters against its own path set as
+    * entries flow past); per-chunk [[addsForPaths]] calls would
+    * decode every part once PER CHUNK, and a path-set filter pushed
+    * into the tasks would broadcast O(table) strings.
+    */
+  private[graft] def liveAddsStream(): Iterator[AddFile] = {
+    val fromCkpt: Iterator[AddFile] =
+      if (ckptParts.isEmpty) Iterator.empty
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        val readers = ckptParts.map(p =>
+          log.store.fileReader(java.nio.file.Paths.get(p)))
+        val rdd = spark.sparkContext
+          .parallelize(readers, readers.size)
+          .map { r =>
+            graft.lake.CheckpointParquet.read(r).iterator
+              .collect { case a: AddFile => a }
+              .filter(a => !touched.value.contains(a.path))
+              .toArray
+          }
+        // bounded-prefetch local iterator: toLocalIterator runs one
+        // single-task job per partition SERIALLY, so the decode that
+        // replay does across cores would serialize here (measured 80 s
+        // for a 1M-entry restore). Keep PREFETCH_PARTS part-jobs in
+        // flight — decode overlaps consumption, driver heap stays
+        // bounded at PREFETCH_PARTS parts' AddFiles.
+        val n = rdd.partitions.length
+        val window = ColumnarLakeFileIndex.STREAM_PREFETCH_PARTS
+        new Iterator[Array[AddFile]] {
+          private val inflight = scala.collection.mutable.Queue
+            .empty[scala.concurrent.Future[Array[AddFile]]]
+          private var nextPart = 0
+          private def pump(): Unit =
+            while (nextPart < n && inflight.size < window) {
+              val p = nextPart
+              // the future's value is resultFunc, evaluated once the
+              // job completes — capture the single partition's array
+              // through the handler
+              val box = new java.util.concurrent.atomic.AtomicReference[
+                Array[AddFile]]()
+              inflight.enqueue(spark.sparkContext.submitJob[
+                  Array[AddFile], Array[AddFile], Array[AddFile]](
+                rdd, it => it.next(), Seq(p),
+                (_, u) => box.set(u), box.get()))
+              nextPart += 1
+            }
+          def hasNext: Boolean = { pump(); inflight.nonEmpty }
+          def next(): Array[AddFile] = {
+            pump()
+            scala.concurrent.Await.result(inflight.dequeue(),
+              scala.concurrent.duration.Duration.Inf)
+          }
+        }.flatMap(_.iterator)
+      }
+    fromCkpt ++ tailAdds.iterator
+  }
+
   /** (relative path, size) projection of the live set — the streaming
     * source's initial-snapshot chunk index. O(files) strings+longs on
     * the driver (released once the initial snapshot is delivered),
@@ -319,6 +381,12 @@ object ColumnarLakeFileIndex {
     * materializes comparable driver state either way — classic path.
     */
   private val MAX_SIDECAR_PAIRS = 1 << 16
+
+  /** Part-jobs kept in flight by [[liveAddsStream]]'s bounded-prefetch
+    * local iterator — the driver-heap bound is this many parts'
+    * AddFiles (each ≤ CHECKPOINT_PART_MAX_ACTIONS entries).
+    */
+  private val STREAM_PREFETCH_PARTS = 4
 
   /** Keyed like the snapshot cache: (path, version) PLUS the version
     * file's (size, mtime) fingerprint — a table deleted and recreated

@@ -395,8 +395,6 @@ class ColumnarIndexSuite extends SparkSuite {
   test("RESTORE streams its re-add actions through the columnar " +
       "index: no full replay, state equals the target version") {
     val path = buildTable("col-restore-stream") // v0..v12 writes, v13 DELETE
-    val prevChunk = LakeTable.RESTORE_READD_CHUNK
-    LakeTable.RESTORE_READD_CHUNK = 2 // force multiple chunks
     spark.conf.set("spark.graft.columnarFileIndex", "true")
     try {
       val expected = LakeTable.forPath(spark, path).asOf(11L)
@@ -418,7 +416,6 @@ class ColumnarIndexSuite extends SparkSuite {
       assert(actions.exists(_.isInstanceOf[AddFile]),
         "restore must re-add the deleted file")
     } finally {
-      LakeTable.RESTORE_READD_CHUNK = prevChunk
       if (spark.conf.getOption("spark.graft.columnarFileIndex").isDefined)
         spark.conf.unset("spark.graft.columnarFileIndex")
     }

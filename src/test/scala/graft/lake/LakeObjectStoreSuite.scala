@@ -15,6 +15,10 @@ class LakeObjectStoreSuite extends StoreContractSuite {
 
   override protected def makeStore(): LogStore = objStore
 
+  private val objDataStore = new ObjectStoreDataStore
+
+  override protected def makeDataStore(): DataStore = objDataStore
+
   /** Scope faults to one table's log and run `body`; always clears
     * leftover budgets so a failing test can't poison the next one.
     */
@@ -407,5 +411,60 @@ class LakeObjectStoreSuite extends StoreContractSuite {
       assert(!java.nio.file.Files.exists(orphan),
         "aged staged checkpoint body must be swept")
     } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prev
+  }
+
+  /** Scope DATA-plane faults to one table and run `body`; always
+    * clears leftover budgets.
+    */
+  private def withDataFaults[A](path: String)(body: => A): A = {
+    objDataStore.faultScope =
+      java.nio.file.Paths.get(path).toAbsolutePath.toString
+    try body
+    finally {
+      objDataStore.faultScope = ""
+      objDataStore.lostWritesRemaining.set(0)
+      objDataStore.failReadsRemaining.set(0)
+    }
+  }
+
+  test("a LOST DV-sidecar PUT fails the DELETE loudly and leaves the " +
+      "table byte-identical; the retry succeeds") {
+    val path = tablePath("objstore-dv-lostput")
+    LakeWriter.write(seed, path,
+      properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    val before = LakeTable.forPath(spark, path).toDF.collect().toSet
+    withDataFaults(path) {
+      objDataStore.lostWritesRemaining.set(1)
+      intercept[Exception] {
+        LakeTable.forPath(spark, path).delete("id <= 30")
+      }
+    }
+    assert(LakeTable.forPath(spark, path).toDF.collect().toSet === before,
+      "a failed DV DELETE must leave the table unchanged")
+    // clean retry (budget spent) goes through
+    LakeTable.forPath(spark, path).delete("id <= 30")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 70L)
+  }
+
+  test("a transient DV-sidecar GET fault surfaces as a loud failure; " +
+      "the re-read succeeds") {
+    val path = tablePath("objstore-dv-getfault")
+    LakeWriter.write(seed, path,
+      properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    LakeTable.forPath(spark, path).delete("id <= 30")
+    withDataFaults(path) {
+      objDataStore.failReadsRemaining.set(1)
+      // a real row scan (COUNT(*) alone is answered metadata-only from
+      // numRecords - dvCardinality and never decodes the sidecar)
+      intercept[Exception] {
+        LakeTable.forPath(spark, path).toDF
+          .select("id").as[Long].collect()
+      }
+      assert(objDataStore.failReadsRemaining.get() === 0,
+        "the scan must decode the DV through the DataStore GET")
+      // the fault budget is spent; the next read decodes cleanly
+      assert(LakeTable.forPath(spark, path).toDF
+        .select("id").as[Long].collect().sorted === (31L to 100L).toArray)
+    }
   }
 }

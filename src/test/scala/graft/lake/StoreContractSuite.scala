@@ -18,16 +18,27 @@ abstract class StoreContractSuite extends SparkSuite with BeforeAndAfterAll {
 
   protected def makeStore(): LogStore
 
+  /** The DATA-plane twin ([[DataStore]], round 17): concrete suites
+    * pair their log store with the matching data store so the whole
+    * contract — commits AND sidecar/adoption/vacuum I/O — runs under
+    * one storage semantics.
+    */
+  protected def makeDataStore(): DataStore = LocalDataStore
+
   private var prevStore: LogStore = _
+  private var prevDataStore: DataStore = _
 
   override def beforeAll(): Unit = {
     super.beforeAll()
     prevStore = LogStore.current
     LogStore.current = makeStore()
+    prevDataStore = DataStore.current
+    DataStore.current = makeDataStore()
   }
 
   override def afterAll(): Unit = {
     LogStore.current = prevStore
+    DataStore.current = prevDataStore
     super.afterAll()
   }
 
@@ -283,5 +294,54 @@ abstract class StoreContractSuite extends SparkSuite with BeforeAndAfterAll {
         classic.filter("id >= 105").collect().toSet)
       assert(columnar.filter("id = 111").count() === 0L)
     } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+  }
+
+  test("DATA plane rides the DataStore seam: DV sidecars write, decode " +
+      "and purge identically under this store") {
+    val path = tablePath("datastore-dv")
+    LakeWriter.write(seed, path,
+      properties = Map(LakeTable.PROP_ENABLE_DV -> "true"))
+    val t = LakeTable.forPath(spark, path)
+    t.delete("id <= 30") // DV sidecar published via DataStore.writeBytes
+    assert(t.toDF.count() === 70L)
+    val dvRel = t.snapshot().files.flatMap(_.dvPath)
+    assert(dvRel.nonEmpty, "expected a DV sidecar")
+    // decode parity through the seam's GET
+    val total = dvRel.map(rel => DeletionVector.read(
+      java.nio.file.Paths.get(path, rel)).length).sum
+    assert(total === 30)
+    // purge folds the DVs away; vacuum's physical deletes (also via
+    // the seam) then sweep the orphaned sidecars
+    t.purgeDeletionVectors()
+    spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "false")
+    try LakeTable.forPath(spark, path).vacuum(0.0)
+    finally spark.conf.set(LakeTable.RETENTION_CHECK_KEY, "true")
+    dvRel.foreach { rel =>
+      assert(!DataStore.current.exists(java.nio.file.Paths.get(path, rel)),
+        s"vacuum must sweep orphaned DV sidecar $rel")
+    }
+    assert(LakeTable.forPath(spark, path).toDF.count() === 70L)
+  }
+
+  test("DATA plane rides the DataStore seam: bloom sidecars and a " +
+      "crash-failed DML sweep behave identically under this store") {
+    val path = tablePath("datastore-bloom")
+    LakeWriter.write(seed, path,
+      properties = Map("graft.bloomFilter.columns" -> "k"))
+    val t = LakeTable.forPath(spark, path)
+    val bloomRels = t.snapshot().files.flatMap(_.bloomPath)
+    assert(bloomRels.nonEmpty, "expected bloom sidecars")
+    // the skipping read decodes sidecars through the seam's GET
+    assert(t.toDF.filter("k = 'k7'").count() === 1L)
+    // a failed DML sweeps its staged output through the seam: table
+    // byte-identical to before
+    val before = t.toDF.collect().toSet
+    // add a constraint the update will violate, forcing the staged
+    // rewrite to be swept
+    t.addConstraint("v_pos", "v >= 0")
+    intercept[ConstraintViolationException] {
+      LakeTable.forPath(spark, path).update("id = 5", Map("v" -> "-1.0"))
+    }
+    assert(LakeTable.forPath(spark, path).toDF.collect().toSet === before)
   }
 }
