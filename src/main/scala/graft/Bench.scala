@@ -304,13 +304,32 @@ object Bench {
     }
     println(s"""{"metric":"spread","unit":"sec","runs":$runs,"queries":${
       jsonMap(results.map(r => r._1 -> r._3))}}""")
+    // The driver stores only a TRUNCATED TAIL of this line in the
+    // round artifact (BENCH_r16 kept 2000 chars of a ~4k line, cutting
+    // the opening brace and most queries). The LAST fields below form
+    // a compact self-contained summary + a pointer to the committed
+    // full record, so whatever tail survives carries the verdict-grade
+    // facts: total, failure/unresolved counts, calibration quietness,
+    // host factor, and where the complete per-query data lives.
+    val medianRatio = {
+      val ratios = adjudicated.collect {
+        case (name, best, _) if best > 0 && prior.get(name).exists(_ > 0) =>
+          best / prior(name)
+      }.sorted
+      if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       jsonMap(adjudicated.map(r => r._1 -> r._2))},"failed":$failedJson,${""
       }"reran":$reranJson,"unresolved":$unresolvedJson,${""
       }"calibration":{"samples":$samplesJson,"median":${f"$calMedian%.4f"},${""
       }"max":${f"$calMax%.4f"},"ratio":${f"$calRatio%.3f"},${""
       }"contended":$contended,"probeFailures":$probeFailures},${""
-      }"hostFactor":${f"$hostFactor%.3f"},"sf":"$sfDir"}""")
+      }"hostFactor":${f"$hostFactor%.3f"},"sf":"$sfDir",${""
+      }"tailSummary":{"total":${f"$total%.1f"},"nQueries":${
+        adjudicated.size},"failedCount":${failed.size},${""
+      }"unresolvedCount":${unresolved.size},"medianRatioToFloor":${
+        f"$medianRatio%.3f"},"hostFactor":${f"$hostFactor%.3f"},${""
+      }"contended":$contended,"fullRecord":"bench_full.json (committed)"}}""")
     // Full-record artifact: the driver captures only a truncated tail
     // of stdout (BENCH_r10 hid 37 of 82 per-query numbers from
     // review), so persist the COMPLETE per-query record — adjudicated
