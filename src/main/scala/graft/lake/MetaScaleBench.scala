@@ -362,12 +362,13 @@ object MetaScaleBench {
       require(dh < math.max(256L * 1024 * 1024, nFiles.toLong * 400),
         s"streamed RESTORE held $dh bytes on the driver")
     }
-    locally {
+    val restoredV = locally {
       val v = log.latestVersion
       val readds = log.readVersion(v).count(_.isInstanceOf[AddFile])
       println(s"  restore re-added $readds files at v$v")
       require(readds >= nFiles,
         s"restore re-added only $readds of $nFiles")
+      v
     }
     // Incremental manifest cadence (round 17): the next checkpoint
     // boundary after the restore is the WORST case — every carried
@@ -389,6 +390,47 @@ object MetaScaleBench {
         "cadence checkpoint missing")
       require(Snapshot.fullReplays.get() == fr0,
         "incremental cadence replayed the full file list")
+    }
+    // STREAMING chunked initial snapshot leg (round 17 stretch): a
+    // rate-limited stream's first batches over the 10⁶-file table,
+    // driven through the source's real getBatch path with pinned
+    // "version#fileIndex" offsets (the suite's restart-replay shape).
+    // The chunk INDEX is a (path, size) list built via the columnar
+    // projection — never the interned AddFile list — and each chunk's
+    // AddFiles arrive via addsForPaths, O(chunk) on the driver, with
+    // the vacuum-loss probe fanning out as a Spark job. Zero full
+    // replays and a heap budget far under the resident snapshot are
+    // require-asserted.
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    locally {
+      import org.apache.spark.sql.execution.streaming.SerializedOffset
+      def usedHeap(): Long = {
+        (1 to 3).foreach { _ => System.gc(); Thread.sleep(100) }
+        val rt = Runtime.getRuntime
+        rt.totalMemory() - rt.freeMemory()
+      }
+      val chunkFiles = math.max(nFiles / 10, 1)
+      val src = new graft.sources.LakeStreamSource(spark, dir,
+        Map("maxFilesPerTrigger" -> chunkFiles.toString))
+      val fr0 = Snapshot.fullReplays.get()
+      val h0 = usedHeap()
+      timed("stream init chunk 1 (cold)") {
+        src.getBatch(Some(SerializedOffset(s"$restoredV#0")),
+          SerializedOffset(s"$restoredV#$chunkFiles"))
+      }
+      timed("stream init chunk 2 (warm)") {
+        src.getBatch(Some(SerializedOffset(s"$restoredV#$chunkFiles")),
+          SerializedOffset(s"$restoredV#${2L * chunkFiles}"))
+      }
+      val dh = usedHeap() - h0
+      printf("  stream chunk-state heap delta: %.1f MB%n", dh / 1e6)
+      require(Snapshot.fullReplays.get() == fr0,
+        "chunked initial snapshot replayed the full file list")
+      // budget: the (path, size) chunk index plus one in-flight chunk
+      // of AddFiles — well under the ~600 B/file interned full list
+      require(dh < math.max(192L * 1024 * 1024, nFiles.toLong * 250),
+        s"chunked initial snapshot held $dh bytes on the driver")
     }
     LakeWriter.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()

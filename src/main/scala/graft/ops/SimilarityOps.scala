@@ -652,6 +652,24 @@ object SimilarityOps {
     *     nlist × dims rows — nothing driver-sized but the centroids.
     */
   private[graft] def kmeansCentroids(
+      c: DataFrame, nlist: Int, iters: Int): DataFrame =
+    if (nlist <= sampledNlistMax(c.sparkSession))
+      kmeansCentroidsSampled(c, nlist, iters)
+    else kmeansCentroidsScalable(c, nlist, iters)
+
+  /** Ceiling for the driver-sampled seeding path. Above it the
+    * k-means|| path takes over: the sampled path's greedy
+    * farthest-point seeding is O(nlist · sample · dims) DRIVER compute
+    * over an 8·nlist driver-resident sample — fine at gate nlist,
+    * weeks of single-core work at the 10⁵–10⁶ cells a 100 TB corpus
+    * wants. Conf-overridable so suites can force either path.
+    */
+  private def sampledNlistMax(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.kmeansSampledNlistMax")
+      .map(_.toInt).getOrElse(1024)
+
+  private[graft] def kmeansCentroidsSampled(
       c: DataFrame, nlist: Int, iters: Int): DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
@@ -698,6 +716,215 @@ object SimilarityOps {
     cents.toDF("__cid", "__cent")
       .select(col("__cid"),
         transform(col("__cent"), x => x.cast("float")).as("__cent"))
+  }
+
+  /** Distributed k-means|| centroids (Bahmani, Moseley, Vattani,
+    * Kumar, Vassilvitskii, "Scalable K-Means++", VLDB 2012) — the
+    * scale path behind [[kmeansCentroids]] for nlist beyond
+    * [[sampledNlistMax]]. Every corpus-sized pass is a Spark job; the
+    * only driver/broadcast state is O(pool) ≈ 4·nlist vectors — the
+    * same order as the centroid table every caller materializes and
+    * broadcasts anyway — and no step runs O(pool²) anywhere:
+    *
+    *  1. seed with the min-xxhash corpus row;
+    *  2. `rounds` oversampling passes: each point joins the pool
+    *     independently with probability ℓ·d²(x)/φ, where d²(x) =
+    *     1 − bestCos(x, pool), φ = Σ d²(x) from a distributed agg,
+    *     and ℓ = 4·nlist/rounds. The "coin" is xxhash64(id, round)
+    *     mapped to [0,1) — deterministic, re-runnable, no RNG (same
+    *     reasoning as the sampled path's md5/xxhash selectors).
+    *     Per-point best-so-far updates fold in ONLY the round's new
+    *     candidates via a single-row collect_list broadcast, so no
+    *     shuffle ever carries a vector;
+    *  3. candidates are weighted by exact nearest-assignment counts —
+    *     one corpus pass against the broadcast pool, only (pid)
+    *     scalars shuffle;
+    *  4. weighted Lloyd over the POOL (not the corpus) re-clusters to
+    *     nlist centers, seeded by BATCHED greedy farthest-point over
+    *     the pool (≤16 distributed sort+limit rounds — sequential
+    *     greedy at gate nlist, so seeding quality matches the sampled
+    *     path; batches of remaining/16 at scale, where the pool's own
+    *     d² spread keeps within-batch redundancy low): posexplode +
+    *     partial-aggregating groupBy for the weighted means, empty
+    *     cells keep their previous center — the same update shape as
+    *     the sampled path's distributed Lloyd step.
+    *
+    * The corpus (id, vec, bestCos) state is eagerly localCheckpointed
+    * across rounds (lineage doubles per round otherwise — the
+    * standard iterative-training trade; Spark MLlib's k-means
+    * checkpoints the same state); rounds is small and each round is
+    * one narrow pass. The returned frame is collected — nlist ×
+    * dims, metadata-sized by the engine's documented centroid
+    * contract — so callers broadcast a local relation instead of
+    * dragging the training lineage behind every probe.
+    */
+  private[graft] def kmeansCentroidsScalable(
+      c: DataFrame, nlist: Int, iters: Int, rounds: Int = 4): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+
+    val corpus = c.select(col("__id"), col("__cv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed0 = corpus.withColumn("__h", xxhash64(col("__id")))
+      .orderBy(col("__h"), col("__id")).limit(1)
+      .select(col("__id"), col("__cv"))
+    require(!seed0.isEmpty, "kmeansCentroids: empty corpus")
+    val ell = math.max(4.0 * nlist / rounds, 1.0)
+
+    // max cosine of __cv against a broadcast ARRAY<ARRAY<FLOAT>> of
+    // candidate vectors — evaluated per row inside the higher-order
+    // lambda (interpreted, but over ≤ ℓ candidates per round)
+    def maxCosOver(cands: Column, vec: Column): Column =
+      aggregate(transform(cands, v => cosine(vec, v)),
+        lit(-1.0), (acc, s) => greatest(acc, s))
+
+    // Iterative loops below truncate lineage with eager
+    // localCheckpoint: each round's state references the previous
+    // round's TWICE (directly and through the new-candidate
+    // broadcast), so raw lineage doubles per round and the logical
+    // plan alone would OOM the driver — the standard iterative-ML
+    // shape (MLlib checkpoints its k-means state the same way).
+    var state = corpus.crossJoin(
+        broadcast(seed0.agg(collect_list(col("__cv")).as("__cands"))))
+      .withColumn("__best", maxCosOver(col("__cands"), col("__cv")))
+      .select(col("__id"), col("__cv"), col("__best"))
+      .localCheckpoint(true)
+    var pool = seed0
+    var r = 1
+    var covered = false
+    while (r <= rounds && !covered) {
+      val phi = state.agg(sum(lit(1.0) - col("__best")))
+        .as[Double].first()
+      if (phi <= 1e-12) covered = true // pool already covers every point
+      else {
+        val u = pmod(xxhash64(col("__id"), lit(r)), lit(1L << 20))
+          .cast("double") / (1L << 20).toDouble
+        val p = least(lit(1.0),
+          lit(ell) * (lit(1.0) - col("__best")) / lit(phi))
+        val newC = state.filter(u < p).select(col("__id"), col("__cv"))
+          .localCheckpoint(true)
+        if (!newC.isEmpty) {
+          pool = pool.union(newC)
+          state = state.crossJoin(
+              broadcast(newC.agg(collect_list(col("__cv")).as("__cands"))))
+            .withColumn("__best", greatest(col("__best"),
+              maxCosOver(col("__cands"), col("__cv"))))
+            .select(col("__id"), col("__cv"), col("__best"))
+            .localCheckpoint(true)
+        }
+        r += 1
+      }
+    }
+
+    // top up a sparse pool (tiny/degenerate corpora) from the hash
+    // order so the re-cluster can still seed nlist centers
+    val poolCount = pool.count()
+    val pooled = (
+      if (poolCount >= nlist) pool
+      else pool.union(
+        corpus.join(pool.select(col("__id")), Seq("__id"), "left_anti")
+          .withColumn("__h", xxhash64(col("__id")))
+          .orderBy(col("__h"), col("__id"))
+          .limit((nlist - poolCount).toInt)
+          .select(col("__id"), col("__cv")))
+      ).localCheckpoint(true)
+
+    // exact nearest-candidate weights: argmax via array_max over
+    // (cos, -pid) structs — ties break to the smaller pid — so the
+    // corpus pass shuffles only (pid) scalars after partial agg
+    val poolArr = broadcast(pooled.agg(collect_list(
+      struct(col("__id").as("__pid"), col("__cv").as("__pv")))
+      .as("__pool")))
+    val weights = corpus.crossJoin(poolArr)
+      .select(array_max(transform(col("__pool"), cand =>
+        struct(cosine(col("__cv"), cand.getField("__pv")).as("__s"),
+          (-cand.getField("__pid")).as("__negpid")))).as("__pick"))
+      .select((-col("__pick.__negpid")).as("__pid"))
+      .groupBy("__pid").agg(count(lit(1)).as("__w"))
+
+    val allPool = pooled
+      .join(weights, pooled("__id") === weights("__pid"), "left")
+      .select(col("__id").as("__sid"), col("__cv").as("__sv"),
+        coalesce(col("__w"), lit(0L)).as("__sw"))
+      .localCheckpoint(true)
+
+    // seeds: greedy farthest-point over the POOL, batched into at most
+    // 16 distributed rounds (top-remaining/rounds per round by lowest
+    // best-cosine, ties to the smaller id). At gate nlist the batch is
+    // 1 — exactly the sampled path's sequential greedy, so one seed
+    // per real cluster with the same high probability — while at
+    // 10⁵-cell nlist it is 16 sort+limit jobs over the (already
+    // d²-spread) pool instead of an O(pool · nlist) driver loop.
+    // Weight only picks the FIRST seed (the heaviest candidate);
+    // coverage, not mass, is what seeding must buy — Lloyd reweights.
+    val firstSeed = allPool.orderBy(col("__sw").desc, col("__sid").asc)
+      .limit(1).select(col("__sid"), col("__sv"))
+    var seeds = firstSeed
+    var seedState = allPool.crossJoin(
+        broadcast(firstSeed.agg(collect_list(col("__sv")).as("__cands"))))
+      .withColumn("__sbest", maxCosOver(col("__cands"), col("__sv")))
+      .select(col("__sid"), col("__sv"), col("__sbest"))
+      .localCheckpoint(true)
+    val seedRounds = math.min(math.max(nlist - 1, 1), 16)
+    var picked = 1
+    var sr = 0
+    while (picked < nlist && sr < seedRounds) {
+      val batch = math.min(nlist - picked,
+        ((nlist - 1) + seedRounds - 1) / seedRounds)
+      val newSeeds = seedState
+        .orderBy(col("__sbest").asc, col("__sid").asc).limit(batch)
+        .select(col("__sid"), col("__sv"))
+        .localCheckpoint(true)
+      seeds = seeds.union(newSeeds)
+      seedState = seedState.crossJoin(
+          broadcast(newSeeds.agg(collect_list(col("__sv")).as("__cands"))))
+        .withColumn("__sbest", greatest(col("__sbest"),
+          maxCosOver(col("__cands"), col("__sv"))))
+        .select(col("__sid"), col("__sv"), col("__sbest"))
+        .localCheckpoint(true)
+      picked += batch
+      sr += 1
+    }
+    val cidW = Window.orderBy(col("__sid").asc)
+    var centers = seeds.dropDuplicates("__sid")
+      .orderBy(col("__sid").asc).limit(nlist)
+      .withColumn("__cid", row_number().over(cidW).cast("long") - 1)
+      .select(col("__cid"),
+        transform(col("__sv"), x => x.cast("double")).as("__cent"))
+      .localCheckpoint(true)
+    val points = allPool.filter(col("__sw") > 0)
+
+    (1 to iters).foreach { _ =>
+      val centArr = broadcast(centers.agg(collect_list(struct(
+        col("__cid"),
+        transform(col("__cent"), x => x.cast("float")).as("__cf")))
+        .as("__cs")))
+      val updated = points.crossJoin(centArr)
+        .withColumn("__pick", array_max(transform(col("__cs"), cc =>
+          struct(cosine(col("__sv"), cc.getField("__cf")).as("__s"),
+            (-cc.getField("__cid")).as("__negcid")))))
+        .select((-col("__pick.__negcid")).as("__cid"), col("__sw"),
+          posexplode(col("__sv")))
+        .toDF("__cid", "__sw", "__pos", "__x")
+        .groupBy(col("__cid"), col("__pos"))
+        .agg((sum(col("__x") * col("__sw")) / sum(col("__sw"))).as("__m"))
+        .groupBy("__cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("__newc"))
+      centers = centers.join(updated, Seq("__cid"), "left")
+        .select(col("__cid"),
+          coalesce(col("__newc"), col("__cent")).as("__cent"))
+        .localCheckpoint(true)
+    }
+
+    val result = centers
+      .select(col("__cid"),
+        transform(col("__cent"), x => x.cast("float")).as("__cent"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    corpus.unpersist()
+    result.toDF("__cid", "__cent")
   }
 
   /** Approximate top-k: score only within the query's hyperplane

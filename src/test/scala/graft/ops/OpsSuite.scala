@@ -773,6 +773,68 @@ class OpsSuite extends SparkSuite {
       f"k-means refinement failed to hold recall: $kmeans%.3f")
   }
 
+  test("scalable k-means||: deterministic, dispatched, recall holds") {
+    // Same adversarial fixture as the sampled-path test above —
+    // clustered corpus, ids sorted by cluster — but trained through
+    // the distributed k-means|| path (driver holds nothing but the
+    // final centroids; seeding and Lloyd are Spark jobs).
+    val rnd = new scala.util.Random(7)
+    val d = 32; val kClusters = 16; val perCluster = 50
+    def point(j: Int): Array[Float] = {
+      val v = Array.fill(d)(rnd.nextGaussian() * 0.22)
+      v(j) += 1.0f
+      v.map(_.toFloat)
+    }
+    val corpusRows = (0 until kClusters).flatMap { j =>
+      (0 until perCluster).map(i => ((j * perCluster + i).toLong, point(j)))
+    }
+    val corpus = corpusRows.toDF("id", "vec")
+    val c = corpus.select(col("id").as("__id"), col("vec").as("__cv"))
+
+    // determinism: two direct invocations produce identical centroids
+    val c1 = SimilarityOps.kmeansCentroidsScalable(c, nlist = 16, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val c2 = SimilarityOps.kmeansCentroidsScalable(c, nlist = 16, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(c1.size === 16)
+    assert(c1 === c2)
+
+    // the 16 centroids separate the 16 planted clusters: each cluster
+    // direction's nearest centroid is distinct
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val owners = (0 until kClusters).map { j =>
+      val dir = Seq.tabulate(d)(i => if (i == j) 1.0f else 0.0f)
+      c1.maxBy { case (_, cent) => cos(dir, cent) }._1
+    }
+    assert(owners.distinct.size === kClusters,
+      s"centroids failed to separate the planted clusters: $owners")
+
+    // end-to-end: force the dispatcher onto the scalable path and
+    // re-assert the clustered-recall bar the sampled path holds
+    val queryRows = corpusRows.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 1000000L, v.zipWithIndex.map { case (x, i) =>
+        (x * (1.0 + 0.1 * math.sin(id * 31 + i))).toFloat })
+    }
+    val queries = queryRows.toDF("qid", "vec")
+    val truth = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.kmeansSampledNlistMax", "0")
+    try {
+      val got = SimilarityOps.ivfTopK(queries, corpus, k = 5,
+          nlist = 16, nprobe = 4, refineIterations = 3)
+        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (truth intersect got).size.toDouble / truth.size
+      info(f"clustered recall@5 via k-means||: $recall%.3f")
+      assert(recall >= 0.9,
+        f"k-means|| refinement failed to hold recall: $recall%.3f")
+    } finally spark.conf.unset("spark.graft.kmeansSampledNlistMax")
+  }
+
   test("incremental IVF append: new vectors searchable, no rewrite") {
     val rnd = new scala.util.Random(23)
     val base = (0L until 200L).map(i =>
