@@ -2522,12 +2522,17 @@ object OpsQueries {
           .repartition(8)
         val pairs = MultimodalOps.imageNearDupPairs(media, maxHamming = 0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
-        val found = planted.count()
+        val twin = col("id_b") === col("id_a") + 100000L
+        // one aggregate materializes the persist AND answers both
+        // requires — the planted/organic counts were two separate
+        // jobs over the cache before
+        val counts = pairs.agg(count(lit(1)).as("all"),
+          count(when(twin, 1)).as("planted")).head()
+        val (all, found) = (counts.getLong(0), counts.getLong(1))
         require(found == n, s"cross-format twins found: $found/$n")
-        val organic = pairs.count() - found
-        require(organic == 0, s"$organic unexpected non-twin collisions")
-        planted.select(col("id_a"), col("id_b"))
+        require(all == found,
+          s"${all - found} unexpected non-twin collisions")
+        pairs.filter(twin).select(col("id_a"), col("id_b"))
       },
       Some("""SELECT CAST(range AS BIGINT) AS id_a,
              |  CAST(range + 100000 AS BIGINT) AS id_b
@@ -2553,12 +2558,14 @@ object OpsQueries {
           .repartition(8)
         val pairs = MultimodalOps.audioNearDupPairs(media, maxHamming = 0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
-        val found = planted.count()
+        val twin = col("id_b") === col("id_a") + 100000L
+        val counts = pairs.agg(count(lit(1)).as("all"),
+          count(when(twin, 1)).as("planted")).head()
+        val (all, found) = (counts.getLong(0), counts.getLong(1))
         require(found == n, s"cross-codec twins found: $found/$n")
-        val organic = pairs.count() - found
-        require(organic == 0, s"$organic unexpected non-twin collisions")
-        planted.select(col("id_a"), col("id_b"))
+        require(all == found,
+          s"${all - found} unexpected non-twin collisions")
+        pairs.filter(twin).select(col("id_a"), col("id_b"))
       },
       Some("""SELECT CAST(range AS BIGINT) AS id_a,
              |  CAST(range + 100000 AS BIGINT) AS id_b
@@ -2583,12 +2590,14 @@ object OpsQueries {
           .repartition(16)
         val pairs = MultimodalOps.videoNearDupPairs(media, maxHamming = 0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val planted = pairs.filter(col("id_b") === col("id_a") + 100000L)
-        val found = planted.count()
+        val twin = col("id_b") === col("id_a") + 100000L
+        val counts = pairs.agg(count(lit(1)).as("all"),
+          count(when(twin, 1)).as("planted")).head()
+        val (all, found) = (counts.getLong(0), counts.getLong(1))
         require(found == n, s"re-muxed twins found: $found/$n")
-        val organic = pairs.count() - found
-        require(organic == 0, s"$organic unexpected non-twin collisions")
-        planted.select(col("id_a"), col("id_b"))
+        require(all == found,
+          s"${all - found} unexpected non-twin collisions")
+        pairs.filter(twin).select(col("id_a"), col("id_b"))
       },
       Some("""SELECT CAST(range AS BIGINT) AS id_a,
              |  CAST(range + 100000 AS BIGINT) AS id_b
