@@ -303,7 +303,30 @@ object Action {
     s.startsWith("{\"metaData\"") || s.startsWith("{\"protocol\"") ||
       s.startsWith("{\"domainMetadata\"") || s.startsWith("{\"txn\"")
 
-  def fromJson(line: String): Action = {
+  /** Parse one log line. The two BULK types take a hand-built
+    * recursive-descent parser — the READ-side twin of [[toJson]]'s
+    * round-13 writers: json4s' reflective extraction costs tens of µs
+    * per AddFile line, which at a 10⁶-line checkpoint tail or commit
+    * is MINUTES of single-core driver time (measured in the round-17
+    * 10⁷ MetaScaleBench build loop, where the incremental cadence's
+    * tail fold was json4s-bound). The fast parser is field-order
+    * independent, skips unknown fields exactly like json4s, handles
+    * every legal JSON escape, and is differentially tested against
+    * the reflective parser on hostile strings; anything it cannot
+    * shape-match (foreign whitespace, non-integer numerics) falls
+    * back to the reflective path rather than erroring.
+    */
+  def fromJson(line: String): Action =
+    if (line.startsWith("{\"add\":") || line.startsWith("{\"remove\":"))
+      try parseBulk(line)
+      catch { case _: FastParseException => fromJsonReflect(line) }
+    else fromJsonReflect(line)
+
+  /** The reflective (json4s) parser — reference implementation the
+    * fast path is differentially tested against, and the fallback for
+    * the low-volume action types.
+    */
+  private[lake] def fromJsonReflect(line: String): Action = {
     val e = Serialization.read[LogEntry](line)
     // AddFile is the BULK type: rebuild its stat/partition maps
     // compact and interned ([[Interned]]) — a replayed 10⁶-file
@@ -315,5 +338,235 @@ object Action {
       .orElse(e.domainMetadata).orElse(e.sidecar)
       .getOrElse(throw new IllegalArgumentException(
         s"unrecognized log line: $line"))
+  }
+
+  private final class FastParseException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Minimal JSON cursor over the compact lines both writers emit.
+    * Throws [[FastParseException]] on any shape surprise — the caller
+    * falls back to the reflective parser, so a legal-but-unexpected
+    * line degrades to the slow path instead of failing.
+    */
+  private final class Cursor(s: String) {
+    var i: Int = 0
+    def fail(msg: String): Nothing = throw new FastParseException(
+      s"offset $i: $msg")
+    def ws(): Unit = {
+      while (i < s.length && {
+        val c = s.charAt(i)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      }) i += 1
+    }
+    def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def tryChar(c: Char): Boolean = {
+      ws()
+      if (i < s.length && s.charAt(i) == c) { i += 1; true } else false
+    }
+    def str(): String = {
+      ws()
+      if (i >= s.length || s.charAt(i) != '"') fail("expected string")
+      i += 1
+      var j = i // fast path: scan to the closing quote, no escapes
+      while (j < s.length && s.charAt(j) != '"' && s.charAt(j) != '\\')
+        j += 1
+      if (j >= s.length) fail("unterminated string")
+      if (s.charAt(j) == '"') {
+        val out = s.substring(i, j); i = j + 1; return out
+      }
+      val sb = new java.lang.StringBuilder(j - i + 16)
+      sb.append(s, i, j)
+      i = j
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= s.length) fail("dangling escape")
+          i += 1
+          s.charAt(i) match {
+            case '"'  => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/'  => sb.append('/')
+            case 'b'  => sb.append('\b')
+            case 'f'  => sb.append('\f')
+            case 'n'  => sb.append('\n')
+            case 'r'  => sb.append('\r')
+            case 't'  => sb.append('\t')
+            case 'u' =>
+              if (i + 4 >= s.length) fail("truncated \\u escape")
+              val cp =
+                try Integer.parseInt(s.substring(i + 1, i + 5), 16)
+                catch { case _: NumberFormatException =>
+                  fail("bad \\u escape") }
+              sb.append(cp.toChar)
+              i += 4
+            case other => fail(s"bad escape \\$other")
+          }
+          i += 1
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= s.length) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    def strOrNull(): String = {
+      ws()
+      if (i < s.length && s.charAt(i) == 'n') {
+        if (!s.startsWith("null", i)) fail("expected null")
+        i += 4
+        null
+      } else str()
+    }
+    def long(): Long = {
+      ws()
+      val start = i
+      if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+'))
+        i += 1
+      while (i < s.length && {
+        val c = s.charAt(i); c >= '0' && c <= '9'
+      }) i += 1
+      if (i == start ||
+          (i == start + 1 && (s.charAt(start) < '0' || s.charAt(start) > '9')))
+        fail("expected integer")
+      if (i < s.length && {
+        val c = s.charAt(i); c == '.' || c == 'e' || c == 'E'
+      }) fail("non-integer number") // foreign writer: reflective path
+      try java.lang.Long.parseLong(s.substring(start, i))
+      catch { case _: NumberFormatException => fail("integer overflow") }
+    }
+    def strMap(): Map[String, String] = {
+      expect('{')
+      if (tryChar('}')) return Map.empty
+      val b = Map.newBuilder[String, String]
+      var done = false
+      while (!done) {
+        val k = str(); expect(':'); b += (k -> strOrNull())
+        done = !tryChar(',')
+      }
+      expect('}')
+      b.result()
+    }
+    def longMap(): Map[String, Long] = {
+      expect('{')
+      if (tryChar('}')) return Map.empty
+      val b = Map.newBuilder[String, Long]
+      var done = false
+      while (!done) {
+        val k = str(); expect(':'); b += (k -> long())
+        done = !tryChar(',')
+      }
+      expect('}')
+      b.result()
+    }
+    def skipValue(): Unit = {
+      ws()
+      if (i >= s.length) fail("expected value")
+      s.charAt(i) match {
+        case '"' => str(); ()
+        case '{' =>
+          i += 1
+          if (!tryChar('}')) {
+            var done = false
+            while (!done) {
+              str(); expect(':'); skipValue()
+              done = !tryChar(',')
+            }
+            expect('}')
+          }
+        case '[' =>
+          i += 1
+          if (!tryChar(']')) {
+            var done = false
+            while (!done) { skipValue(); done = !tryChar(',') }
+            expect(']')
+          }
+        case 't' | 'f' | 'n' =>
+          if (s.startsWith("true", i)) i += 4
+          else if (s.startsWith("false", i)) i += 5
+          else if (s.startsWith("null", i)) i += 4
+          else fail("bad literal")
+        case _ =>
+          val start = i
+          while (i < s.length && {
+            val c = s.charAt(i)
+            (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.' ||
+              c == 'e' || c == 'E'
+          }) i += 1
+          if (i == start) fail("expected value")
+      }
+    }
+  }
+
+  private def parseBulk(line: String): Action = {
+    val c = new Cursor(line)
+    c.expect('{')
+    val env = c.str()
+    c.expect(':')
+    c.expect('{')
+    val isAdd = env == "add"
+    if (!isAdd && env != "remove") c.fail(s"unexpected envelope $env")
+    if (isAdd) {
+      var path: String = null
+      var pv: Map[String, String] = Map.empty
+      var size = 0L
+      var nr = -1L
+      var mins: Map[String, String] = Map.empty
+      var maxs: Map[String, String] = Map.empty
+      var nc: Map[String, Long] = Map.empty
+      var dv: Option[String] = None
+      var dvc = 0L
+      var bloom: Option[String] = None
+      var bri: Option[Long] = None
+      var cg: Option[Long] = None
+      if (!c.tryChar('}')) {
+        var done = false
+        while (!done) {
+          val k = c.str(); c.expect(':')
+          k match {
+            case "path"            => path = c.str()
+            case "partitionValues" => pv = c.strMap()
+            case "size"            => size = c.long()
+            case "numRecords"      => nr = c.long()
+            case "minValues"       => mins = c.strMap()
+            case "maxValues"       => maxs = c.strMap()
+            case "nullCounts"      => nc = c.longMap()
+            case "dvPath"          => dv = Option(c.strOrNull())
+            case "dvCardinality"   => dvc = c.long()
+            case "bloomPath"       => bloom = Option(c.strOrNull())
+            case "baseRowId"       => bri = Some(c.long())
+            case "clusterGen"      => cg = Some(c.long())
+            case _                 => c.skipValue() // forward-compat
+          }
+          done = !c.tryChar(',')
+        }
+        c.expect('}')
+      }
+      c.expect('}')
+      if (path == null) c.fail("add without path")
+      Interned.addFile(AddFile(path, pv, size, nr, mins, maxs, nc,
+        dv, dvc, bloom, bri, cg))
+    } else {
+      var path: String = null
+      var ts = 0L
+      if (!c.tryChar('}')) {
+        var done = false
+        while (!done) {
+          val k = c.str(); c.expect(':')
+          k match {
+            case "path"              => path = c.str()
+            case "deletionTimestamp" => ts = c.long()
+            case _                   => c.skipValue()
+          }
+          done = !c.tryChar(',')
+        }
+        c.expect('}')
+      }
+      c.expect('}')
+      if (path == null) c.fail("remove without path")
+      RemoveFile(path, ts)
+    }
   }
 }

@@ -634,24 +634,26 @@ final class LakeLog(val tablePath: String) {
   private def incrementalManifest(version: Long, prevV: Long,
       prevRefs: Seq[SidecarRef]): Unit = {
     val partMax = CHECKPOINT_PART_MAX_ACTIONS
+    import scala.collection.parallel.CollectionConverters._
     val liveTail =
       scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val touched = scala.collection.mutable.HashSet.empty[String]
-    var v = prevV + 1
-    while (v <= version) {
-      readVersion(v).foreach {
-        case a: AddFile    => liveTail(a.path) = a; touched += a.path; ()
-        case r: RemoveFile => liveTail.remove(r.path); touched += r.path; ()
-        case _             => ()
-      }
-      v += 1
-    }
+    // tail version files PARSE across cores (each file is independent;
+    // the order-sensitive fold below stays sequential) — the 10⁷
+    // MetaScaleBench build loop measured this parse as the cadence's
+    // dominant cost when it ran on one core
+    val tailParsed: Seq[Seq[Action]] =
+      (prevV + 1 to version).par.map(readVersion).seq
+    tailParsed.foreach(_.foreach {
+      case a: AddFile    => liveTail(a.path) = a; touched += a.path; ()
+      case r: RemoveFile => liveTail.remove(r.path); touched += r.path; ()
+      case _             => ()
+    })
     // head state via the metadata-light fold — the incremental path
     // never materializes the file list
     val (meta, protocol, domains, txns0) = Snapshot.replayMetaTxns(this, version)
     val txns = expireCopyIntoLedger(meta.properties, txns0)
     val touchedSet: Set[String] = touched.toSet
-    import scala.collection.parallel.CollectionConverters._
     val probed: Seq[(SidecarRef, Boolean)] = prevRefs.par.map { ref =>
       val dirty = touchedSet.nonEmpty && CheckpointParquet
         .readPaths(store.fileReader(logDir.resolve(ref.path)))

@@ -340,30 +340,38 @@ object Snapshot {
         ckptVersion + 1
       case None => 0L
     }
-    var v = startAt
-    while (v <= version) {
-      val actions =
-        try log.readVersion(v)
-        catch {
-          case e: java.nio.file.NoSuchFileException =>
-            // log cleanup removed the prefix this replay needs: say
-            // so, with the horizon, instead of a bare missing-file
-            throw explainMissingVersion(log, version, e)
-        }
-      actions.foreach {
-        case m: Metadata   => metadata = m
-        case a: AddFile    => live(a.path) = a
-        case r: RemoveFile => live.remove(r.path)
-        case t: Txn        =>
-          txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
-        case p: Protocol   => protocol = p
-        case d: DomainMetadata =>
-          if (d.removed) domains.remove(d.domain)
-          else domains(d.domain) = d.configuration
-        case _ => () // CommitInfo / CdcFile: not table state
+    // tail version files PARSE across cores like the checkpoint parts
+    // above (each file independent; the order-sensitive fold stays
+    // sequential in version order — .par.map preserves ordering). A
+    // bulk-ingest tail is 10⁵ lines per version, and the parse was the
+    // single-core cost the multi-part checkpoint work already removed
+    // for the checkpoint side.
+    def readTail(v: Long): Seq[Action] =
+      try log.readVersion(v)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          // log cleanup removed the prefix this replay needs: say
+          // so, with the horizon, instead of a bare missing-file
+          throw explainMissingVersion(log, version, e)
       }
-      v += 1
-    }
+    val tailParsed: Seq[Seq[Action]] =
+      if (version - startAt < 1) (startAt to version).map(readTail)
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        (startAt to version).par.map(readTail).seq
+      }
+    tailParsed.foreach(_.foreach {
+      case m: Metadata   => metadata = m
+      case a: AddFile    => live(a.path) = a
+      case r: RemoveFile => live.remove(r.path)
+      case t: Txn        =>
+        txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case p: Protocol   => protocol = p
+      case d: DomainMetadata =>
+        if (d.removed) domains.remove(d.domain)
+        else domains(d.domain) = d.configuration
+      case _ => () // CommitInfo / CdcFile: not table state
+    })
     if (metadata == null)
       throw new IllegalStateException(
         s"lake table at ${log.tablePath} has no Metadata action by " +

@@ -42,6 +42,13 @@ class LakeCoreSuite extends SparkSuite {
       assert(Action.fromJson(fast) === a, s"fast round-trip: $fast")
       assert(Action.fromJson(Action.toJsonReflect(a)) ===
         Action.fromJson(fast), s"reflect/fast divergence: $fast")
+      // both PARSERS agree on both writers' output (the r17 fast
+      // reader vs the json4s reference)
+      assert(Action.fromJsonReflect(fast) === Action.fromJson(fast),
+        s"parser divergence on fast writer: $fast")
+      val refl = Action.toJsonReflect(a)
+      assert(Action.fromJsonReflect(refl) === Action.fromJson(refl),
+        s"parser divergence on reflective writer: $refl")
     }
   }
 
