@@ -303,6 +303,17 @@ object Action {
     s.startsWith("{\"metaData\"") || s.startsWith("{\"protocol\"") ||
       s.startsWith("{\"domainMetadata\"") || s.startsWith("{\"txn\"")
 
+  /** [[isMetaLine]] as prefix strings, for
+    * [[LogStore.readLinesWithPrefix]]'s byte-level filter.
+    */
+  private[lake] val MetaLinePrefixes: Seq[String] =
+    Seq("{\"metaData\"", "{\"protocol\"", "{\"domainMetadata\"", "{\"txn\"")
+
+  /** CommitInfo envelope prefix, for history extraction without
+    * parsing a bulk commit's add lines.
+    */
+  private[lake] val CommitInfoPrefix: Seq[String] = Seq("{\"commitInfo\"")
+
   /** Parse one log line. The two BULK types take a hand-built
     * recursive-descent parser — the READ-side twin of [[toJson]]'s
     * round-13 writers: json4s' reflective extraction costs tens of µs

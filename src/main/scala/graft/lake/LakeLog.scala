@@ -825,9 +825,16 @@ final class LakeLog(val tablePath: String) {
     // (history is bounded by log retention, as in Delta).
     val (prevV, prev) = latestHistoryAtOrBefore(version - 1)
       .getOrElse((oldestSurvivingVersion - 1L, Seq.empty[CommitInfo]))
-    val entries = prev ++ ((prevV + 1) to version).flatMap { v =>
-      readVersion(v).collect { case c: CommitInfo => c.copy(version = v) }
-    }
+    // one CommitInfo per version file: the store's byte-prefix scan
+    // skips a bulk commit's 10⁵ add lines without decoding them, and
+    // the per-version reads fan across cores (order restored by the
+    // ordered par map)
+    import scala.collection.parallel.CollectionConverters._
+    val entries = prev ++ ((prevV + 1) to version).par.map { v =>
+      store.readLinesWithPrefix(versionFile(v), Action.CommitInfoPrefix)
+        .map(Action.fromJson)
+        .collect { case c: CommitInfo => c.copy(version = v) }
+    }.seq.flatten
     store.atomicReplace(
       logDir.resolve(f"$version%020d.history.json"),
       entries.map(c => Action.toJson(c)))

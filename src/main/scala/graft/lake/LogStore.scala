@@ -55,6 +55,18 @@ trait LogStore {
   /** Lines of `p`. */
   def readLines(p: Path): Seq[String]
 
+  /** Lines of `p` starting with one of `prefixes` (ASCII) — the
+    * metadata-light replay's line filter PUSHED TO THE STORE, where a
+    * locally-backed implementation can match raw bytes: a 100k-add
+    * version file yields its two meta lines without materializing
+    * 100k Strings. Both log writers emit lines with the envelope key
+    * first and no leading whitespace, so a byte-prefix match is exact.
+    * The default decodes-then-filters, which keeps any store's fault
+    * injection on [[readLines]] in the path.
+    */
+  def readLinesWithPrefix(p: Path, prefixes: Seq[String]): Seq[String] =
+    readLines(p).filter(l => prefixes.exists(l.startsWith))
+
   def exists(p: Path): Boolean
 
   def delete(p: Path): Boolean
@@ -191,6 +203,45 @@ object LocalLogStore extends LogStore {
 
   override def readLines(p: Path): Seq[String] =
     Files.readAllLines(p).asScala.toSeq
+
+  /** Byte-level prefix scan: one read of the raw bytes, line starts
+    * located by '\n', prefixes compared byte-for-byte, and ONLY
+    * matching lines decoded to Strings — the 100k-add version file a
+    * metadata fold walks costs one buffer and two decodes, not 100k
+    * String allocations.
+    */
+  override def readLinesWithPrefix(
+      p: Path, prefixes: Seq[String]): Seq[String] = {
+    val pfx = prefixes.map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    val bytes = Files.readAllBytes(p)
+    val out = Seq.newBuilder[String]
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && bytes(j) != '\n') j += 1
+      var end = j
+      if (end > i && bytes(end - 1) == '\r') end -= 1
+      val len = end - i
+      var m = 0
+      var hit = false
+      while (!hit && m < pfx.length) {
+        val q = pfx(m)
+        if (len >= q.length) {
+          var k = 0
+          while (k < q.length && bytes(i + k) == q(k)) k += 1
+          hit = k == q.length
+        }
+        m += 1
+      }
+      if (hit)
+        out += new String(bytes, i, len,
+          java.nio.charset.StandardCharsets.UTF_8)
+      i = j + 1
+    }
+    out.result()
+  }
 
   override def exists(p: Path): Boolean = Files.exists(p)
 

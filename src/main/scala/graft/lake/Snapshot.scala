@@ -234,9 +234,13 @@ object Snapshot {
               math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
           case _ => ()
         }
+        // the line filter rides the STORE's byte-level prefix scan —
+        // a 100k-add version file yields its meta lines without
+        // materializing 100k Strings (the per-commit cost every
+        // bulk-ingest append pays through this fold)
         def metaOfJsonLines(p: java.nio.file.Path): Unit =
-          log.store.readLines(p).iterator.map(_.trim)
-            .filter(Action.isMetaLine).map(Action.fromJson).foreach(fold)
+          log.store.readLinesWithPrefix(p, Action.MetaLinePrefixes)
+            .iterator.map(Action.fromJson).foreach(fold)
         val startAt = log.latestCheckpointFilesAtOrBefore(version) match {
           case Some((ckptVersion, partFiles)) =>
             // head actions (protocol/metadata/domains/txns) are a
@@ -251,8 +255,9 @@ object Snapshot {
               val metaActions =
                 if (name.endsWith(".parquet"))
                   CheckpointParquet.readMeta(log.store.fileReader(p))
-                else log.store.readLines(p).iterator.map(_.trim)
-                  .filter(Action.isMetaLine).map(Action.fromJson).toSeq
+                else log.store
+                  .readLinesWithPrefix(p, Action.MetaLinePrefixes)
+                  .map(Action.fromJson)
               metaActions.foreach(fold)
               // a MANIFEST carries the complete head by construction —
               // stop without probing its first (adds-only) sidecar

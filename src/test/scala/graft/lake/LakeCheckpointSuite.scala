@@ -175,6 +175,46 @@ class LakeCheckpointSuite extends SparkSuite {
     assert(CheckpointParquet.read(f) === actions)
   }
 
+  test("direct parquet writer matches the Group-API reference writer") {
+    // the r17 RecordConsumer writer must produce files that read back
+    // identically to the Group-API reference on every action shape:
+    // null partition values, unicode, empty maps, all optionals, and
+    // the non-add head types
+    val rnd = new scala.util.Random(11)
+    val actions: Seq[Action] =
+      Seq[Action](
+        Protocol(2, 5, Nil, Seq("rowTracking")),
+        Metadata("id BIGINT, täxt STRING, p STRING", Seq("p"), 99L,
+          Map.empty, Map("graft.rowTracking" -> "true")),
+        Txn("app-β", 3L),
+        DomainMetadata("graft.rowTracking",
+          Map("highWaterMark" -> "12345"), removed = false),
+        DomainMetadata("gone", Map.empty, removed = true)) ++
+      (0 until 500).map { i =>
+        AddFile(s"p=${i % 7}/f-$i-日本.parquet",
+          Map("p" -> (if (i % 11 == 0) null else s"${i % 7}")),
+          rnd.nextLong().abs, i.toLong,
+          if (i % 3 == 0) Map.empty
+          else Map("id" -> s"$i", "s" -> s"αβ$i\n\"q\""),
+          if (i % 3 == 0) Map.empty else Map("id" -> s"${i + 1}"),
+          if (i % 4 == 0) Map.empty else Map("id" -> i.toLong),
+          dvPath = if (i % 5 == 0) Some(s"_dv/$i.dv") else None,
+          dvCardinality = (i % 9).toLong,
+          bloomPath = if (i % 6 == 0) Some(s"_bloom/$i") else None,
+          baseRowId = if (i % 2 == 0) Some(i * 100L) else None,
+          clusterGen = if (i % 8 == 0) Some(i.toLong) else None)
+      }
+    val dir = tmpDir("ckpt-diff")
+    val direct = java.nio.file.Paths.get(dir, "direct.parquet")
+    val viaGroups = java.nio.file.Paths.get(dir, "groups.parquet")
+    CheckpointParquet.write(direct, actions.iterator)
+    CheckpointParquet.writeViaGroups(viaGroups, actions.iterator)
+    val a = CheckpointParquet.read(direct)
+    val b = CheckpointParquet.read(viaGroups)
+    assert(a === b, "direct/group writer read-back divergence")
+    assert(a === actions, "direct writer round-trip")
+  }
+
   test("a truncated GET body fails loudly instead of hanging the task") {
     // a GET-backed read (localPath = None) of a checkpoint part whose
     // body lost bytes MID-OBJECT: the intact trailing footer directs
