@@ -140,6 +140,13 @@ final class LakeLog(val tablePath: String) {
                          // conflict + readback above resolves it
       }
     }
+    // seed the metadata-light cache at the NEW version from the
+    // parent's tuple + this commit's own actions: the next commit's
+    // parent fold — and this boundary's checkpoint meta walk — then
+    // reads no version file at all (pure optimization; a cold process
+    // walks files and re-primes the chain)
+    try Snapshot.seedMetaAfterCommit(this, version, stamped)
+    catch { case NonFatal(_) => () }
     if (version > 0 && version % CHECKPOINT_INTERVAL == 0) {
       // all three are optimizations only — never fail the commit
       try writeCheckpoint(version)

@@ -196,6 +196,60 @@ object Snapshot {
       size() > MAX_CACHED_META
   }
 
+  /** Seed the metadata-light cache at `version` by folding `actions`'
+    * meta-bearing lines onto the parent's cached tuple — the COMMIT
+    * path calls this right after publishing, so the NEXT commit's
+    * parent fold (and a checkpoint boundary's own meta walk) reads no
+    * version file at all. The fold is the same max-fold the tail walk
+    * applies, and the actions here are exactly what was published
+    * (both writers round-trip), so the seeded tuple is byte-equal to
+    * what a cold [[replayMetaTxns]] at `version` computes
+    * (suite-pinned). No-op when the parent tuple is not cached (cold
+    * process: the first fold walks files and re-primes the chain).
+    */
+  private[lake] def seedMetaAfterCommit(log: LakeLog, version: Long,
+      actions: Seq[Action]): Unit = {
+    val tableKey =
+      Paths.get(log.tablePath).toAbsolutePath.normalize.toString
+    val parent: Option[MetaTuple] =
+      if (version == 0L) Some((null, Protocol(), Map.empty, Map.empty))
+      else {
+        val parentFp = fingerprint(log, version - 1)
+        metaCache.synchronized(
+          Option(metaCache.get(((tableKey, version - 1), parentFp))))
+          .flatMap(r => Option(r.get))
+      }
+    parent.foreach { case (m0, p0, d0, t0) =>
+      var metadata = m0
+      var protocol = p0
+      val domains = scala.collection.mutable.HashMap
+        .empty[String, Map[String, String]] ++= d0
+      val txns = scala.collection.mutable.HashMap.empty[String, Long] ++= t0
+      actions.foreach {
+        case m: Metadata => metadata = m
+        case p: Protocol => protocol = p
+        case d: DomainMetadata =>
+          if (d.removed) domains.remove(d.domain)
+          else domains(d.domain) = d.configuration
+        case t: Txn =>
+          txns(t.appId) =
+            math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+        case _ => ()
+      }
+      // a v0 commit without Metadata cannot seed a valid tuple (the
+      // cold walk throws for it too — nothing to pre-answer)
+      if (metadata != null) {
+        val out: MetaTuple =
+          (metadata, protocol, domains.toMap, txns.toMap)
+        metaCache.synchronized {
+          metaCache.put(((tableKey, version), fingerprint(log, version)),
+            new java.lang.ref.SoftReference(out))
+          ()
+        }
+      }
+    }
+  }
+
   private[graft] def replayMetaTxns(log: LakeLog, version: Long)
       : (Metadata, Protocol, Map[String, Map[String, String]],
          Map[String, Long]) = {

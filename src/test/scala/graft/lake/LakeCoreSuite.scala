@@ -52,6 +52,42 @@ class LakeCoreSuite extends SparkSuite {
     }
   }
 
+  test("commit-seeded meta tuple equals a cold metadata replay") {
+    // the commit path seeds the metadata-light cache at its new
+    // version (parent tuple + own actions); the seeded answer must be
+    // indistinguishable from a cold file walk at every version,
+    // including metadata changes, domain tombstones, and txn max-folds
+    val dir = tmpDir("meta-seed")
+    val log = new LakeLog(dir)
+    log.commit(0L, Seq(
+      CommitInfo(1L, "CREATE", Map.empty),
+      Metadata("id BIGINT, p STRING", Seq("p"), 1L,
+        properties = Map("k" -> "v0")),
+      Protocol()))
+    log.commit(1L, Seq(
+      CommitInfo(2L, "APPEND", Map.empty),
+      Txn("app-a", 5L),
+      DomainMetadata("d1", Map("x" -> "1"), removed = false),
+      AddFile("p=1/a.parquet", Map("p" -> "1"), 10L, 1L)))
+    log.commit(2L, Seq(
+      CommitInfo(3L, "SET", Map.empty),
+      Metadata("id BIGINT, p STRING", Seq("p"), 1L,
+        properties = Map("k" -> "v1")),
+      Txn("app-a", 3L), // below the watermark: max-fold keeps 5
+      DomainMetadata("d1", Map.empty, removed = true)))
+    // read all three through the commit-seeded cache first, THEN
+    // clear once and re-read cold — clearing inside the loop would
+    // make every read a cold walk and test nothing
+    val seeded = (0L to 2L).map(v => Snapshot.replayMetaTxns(log, v))
+    Snapshot.clearCacheForTest()
+    val cold = (0L to 2L).map(v => Snapshot.replayMetaTxns(log, v))
+    assert(seeded === cold, "seed/cold divergence")
+    val (m, _, d, t) = Snapshot.replayMetaTxns(log, 2L)
+    assert(m.properties("k") === "v1")
+    assert(d.get("d1") === None)
+    assert(t("app-a") === 5L)
+  }
+
   test("interned AddFile maps behave as plain immutable Maps") {
     val a = AddFile("p=1/f.parquet",
       Map("p" -> "1", "q" -> null),
