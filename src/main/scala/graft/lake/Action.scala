@@ -408,10 +408,21 @@ object Action {
             case 't'  => sb.append('\t')
             case 'u' =>
               if (i + 4 >= s.length) fail("truncated \\u escape")
-              val cp =
-                try Integer.parseInt(s.substring(i + 1, i + 5), 16)
-                catch { case _: NumberFormatException =>
-                  fail("bad \\u escape") }
+              // strict hex-digit loop: Integer.parseInt(_, 16) accepts
+              // a sign ("\u+1AB"), which JSON (and json4s) rejects —
+              // non-canonical input must take the reflective fallback
+              var cp = 0
+              var d = 1
+              while (d <= 4) {
+                val hc = s.charAt(i + d)
+                val hv =
+                  if (hc >= '0' && hc <= '9') hc - '0'
+                  else if (hc >= 'a' && hc <= 'f') hc - 'a' + 10
+                  else if (hc >= 'A' && hc <= 'F') hc - 'A' + 10
+                  else fail("bad \\u escape")
+                cp = (cp << 4) | hv
+                d += 1
+              }
               sb.append(cp.toChar)
               i += 4
             case other => fail(s"bad escape \\$other")
@@ -434,7 +445,9 @@ object Action {
     def long(): Long = {
       ws()
       val start = i
-      if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+'))
+      // '-' only: JSON integers have no leading '+'; a '+' must take
+      // the reflective fallback path like any other foreign input
+      if (i < s.length && s.charAt(i) == '-')
         i += 1
       while (i < s.length && {
         val c = s.charAt(i); c >= '0' && c <= '9'

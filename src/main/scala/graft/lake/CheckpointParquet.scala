@@ -634,6 +634,79 @@ object CheckpointParquet {
     finally reader.close()
   }
 
+  /** AddFile rows under a LITE projection that drops the three stats
+    * maps (minValues/maxValues/nullCounts) — the byte bulk of a
+    * checkpoint part at realistic stat width (a 12-column table
+    * carries ~24 strings + 12 longs of stats per file vs one path and
+    * a handful of scalars). Parquet column pruning means the stats
+    * column chunks are never read off the device, not merely not
+    * decoded — the scan pays a small fraction of the part's bytes in
+    * both I/O and CPU. Callers that only need identity/placement
+    * facts (summary fold, (path, size) projections, partition tuples,
+    * sidecar maps) ride this; anything that re-commits or prunes on
+    * stats MUST use the full [[read]].
+    *
+    * CONTRACT: returned AddFiles carry EMPTY stats maps. Never hand
+    * them to a pruner or writer.
+    */
+  private val ADD_LITE_SCHEMA: MessageType = MessageTypeParser
+    .parseMessageType("""message add_lite {
+      optional group add {
+        required binary path (STRING);
+        repeated group partitionValues {
+          required binary key (STRING);
+          optional binary value (STRING);
+        }
+        required int64 size;
+        required int64 numRecords;
+        optional binary dvPath (STRING);
+        required int64 dvCardinality;
+        optional binary bloomPath (STRING);
+        optional int64 baseRowId;
+        optional int64 clusterGen;
+      }
+    }""")
+
+  def readAddsLite(r: LogFileReader): Iterator[AddFile] = {
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport
+      .PARQUET_READ_SCHEMA, ADD_LITE_SCHEMA.toString)
+    val reader = r.localPath match {
+      case Some(lp) => ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(lp))
+        .withConf(conf)
+        .build()
+      case None => new GroupBuilder(new BytesInputFile(r.readAllBytes()))
+        .withConf(conf)
+        .build()
+    }
+    try Iterator.continually(reader.read())
+      .takeWhile(_ != null)
+      .flatMap { g =>
+        if (g.getFieldRepetitionCount("add") > 0) {
+          val a = g.getGroup("add", 0)
+          Some(Interned.addFile(AddFile(
+            path = a.getString("path", 0),
+            partitionValues = readMap(a, "partitionValues"),
+            size = a.getLong("size", 0),
+            numRecords = a.getLong("numRecords", 0),
+            dvPath = optString(a, "dvPath"),
+            dvCardinality = a.getLong("dvCardinality", 0),
+            bloomPath = optString(a, "bloomPath"),
+            baseRowId =
+              if (a.getFieldRepetitionCount("baseRowId") > 0)
+                Some(a.getLong("baseRowId", 0))
+              else None,
+            clusterGen =
+              if (a.getFieldRepetitionCount("clusterGen") > 0)
+                Some(a.getLong("clusterGen", 0))
+              else None)))
+        } else None
+      }
+      .toVector.iterator
+    finally reader.close()
+  }
+
   // fromGroup probes the `add` field, which the projection dropped
   // from the record schema — convert against the projected fields
   // only (add/remove/txn rows project to all-absent groups: skip)

@@ -108,6 +108,14 @@ final class ObjectStoreDataStore extends DataStore {
   val lostWritesRemaining = new AtomicInteger(0)
   val failReadsRemaining = new AtomicInteger(0)
 
+  /** Transient NEGATIVE existence probes — the store claims an object
+    * is absent (list/HEAD inconsistency). Under test: probes routed
+    * through the seam (restore's vacuum-loss check, FSCK damage scan)
+    * observe the miss and surface it; a raw `java.nio` probe would
+    * bypass the injection and silently pass.
+    */
+  val missExistsRemaining = new AtomicInteger(0)
+
   private def inScope(p: Path): Boolean =
     faultScope.isEmpty || p.toAbsolutePath.toString.startsWith(faultScope)
 
@@ -157,7 +165,10 @@ final class ObjectStoreDataStore extends DataStore {
     try Files.deleteIfExists(p)
     catch { case _: java.nio.file.NoSuchFileException => false }
 
-  override def exists(p: Path): Boolean = Files.exists(p)
+  override def exists(p: Path): Boolean = {
+    if (inScope(p) && consume(missExistsRemaining)) return false
+    Files.exists(p)
+  }
 }
 
 object DataStore {

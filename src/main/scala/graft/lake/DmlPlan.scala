@@ -59,6 +59,20 @@ private[lake] sealed trait DmlPlan {
     */
   def partitionOnlyMatches(filter: String): Option[Seq[String]]
 
+  /** Partition-only DELETE planning with a SCALE split: None when the
+    * filter is not partition-only; Left(paths) when the matched set is
+    * small enough to enumerate on the driver (the per-path conflict
+    * detection of the classic commit applies); Right(stream) when the
+    * estimated matched file count exceeds
+    * [[LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES]] — the tombstones
+    * then STREAM into the commit and the driver never holds more than
+    * a prefetch window of paths (a full-partition DELETE on a 10⁷-file
+    * table must not drag 10⁷ path strings through the driver).
+    */
+  def partitionOnlyDelete(filter: String)
+      : Option[Either[Seq[String], () => Iterator[String]]] =
+    partitionOnlyMatches(filter).map(Left(_))
+
   /** Relative paths of live files containing ≥1 row matching `cond` —
     * shared discovery logic over [[withMetaDF]].
     */
@@ -114,7 +128,12 @@ private[lake] object DmlPlan {
         withRowIds)
     def subset(relPaths: Seq[String]): Snapshot =
       idx.syntheticSnap(idx.addsForPaths(relPaths))
-    def partitionOnlyMatches(filter: String): Option[Seq[String]] = {
+    /** EXACT matched partition tuples for a partition-only filter —
+      * evaluated over the executor-deduplicated DISTINCT tuples, so
+      * the driver holds O(partitions) state, never candidate AddFiles.
+      */
+    private def matchedTuples(filter: String)
+        : Option[(Int, Set[Map[String, String]])] = {
       if (metadata.partitionColumns.isEmpty) return None
       // cheap reference check first (parse only — no file access);
       // non-partition references fall straight to the rewrite path
@@ -125,14 +144,30 @@ private[lake] object DmlPlan {
       }
       if (refs.isEmpty || !refs.forall(metadata.partitionColumns.contains))
         return None
-      // conservative candidate fetch through the distributed scan
-      // (mayMatch on partition bounds), then the EXACT evaluation the
-      // classic path uses, over the bounded candidate list only
-      val candidates = idx.candidatesFor(
-        FilePruner.serializableConjuncts(Seq(parsed)))
-      FilePruner.partitionOnlyMatches(
-        idx.syntheticSnap(candidates), filter, Some(spark))
-        .map(_.map(_.path))
+      val tuples = idx.distinctPartitionTuples()
+      FilePruner.matchingPartitionTuples(metadata.partitionColumns,
+        schema, filter, tuples, Some(spark)).map((tuples.size, _))
     }
+
+    def partitionOnlyMatches(filter: String): Option[Seq[String]] =
+      matchedTuples(filter).map { case (_, pvs) =>
+        if (pvs.isEmpty) Nil
+        else idx.addsForPartitions(pvs).map(_.path)
+      }
+
+    override def partitionOnlyDelete(filter: String)
+        : Option[Either[Seq[String], () => Iterator[String]]] =
+      matchedTuples(filter).map { case (nTuples, pvs) =>
+        if (pvs.isEmpty) Left(Nil)
+        else {
+          // estimate matched files from the partition fan-out — the
+          // per-partition average is exact enough to pick a commit
+          // shape (both shapes are correct; only driver state differs)
+          val est = idx.numFiles * pvs.size / math.max(1L, nTuples.toLong)
+          if (est < LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES)
+            Left(idx.addsForPartitions(pvs).map(_.path))
+          else Right(() => idx.pathsForPartitionsStream(pvs))
+        }
+      }
   }
 }

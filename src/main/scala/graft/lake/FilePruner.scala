@@ -66,22 +66,57 @@ object FilePruner {
   def partitionOnlyMatches(snap: Snapshot, filter: String,
       sparkOpt: Option[org.apache.spark.sql.SparkSession] = None)
       : Option[Seq[AddFile]] = {
-    if (snap.partitionColumns.isEmpty) return None
+    matchingIndices(snap.partitionColumns, snap.schema, filter,
+      snap.files.map(_.partitionValues), sparkOpt)
+      .map { matching =>
+        snap.files.zipWithIndex.collect {
+          case (f, i) if matching.contains(i) => f
+        }
+      }
+  }
+
+  /** If `filter` references only partition columns, the EXACT matching
+    * partition-value maps out of `tuples` (one per table PARTITION —
+    * the O(partitions) twin of [[partitionOnlyMatches]], for callers
+    * that must never hold O(files) driver state). None otherwise.
+    */
+  def matchingPartitionTuples(partitionColumns: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, filter: String,
+      tuples: Seq[Map[String, String]],
+      sparkOpt: Option[org.apache.spark.sql.SparkSession] = None)
+      : Option[Set[Map[String, String]]] =
+    matchingIndices(partitionColumns, schema, filter, tuples, sparkOpt)
+      .map { matching =>
+        tuples.zipWithIndex.collect {
+          case (t, i) if matching.contains(i) => t
+        }.toSet
+      }
+
+  /** Shared exact evaluator: indices of the partition-value maps that
+    * satisfy `filter` (full Spark expression semantics via a local
+    * DataFrame), or None when `filter` is not partition-only.
+    */
+  private def matchingIndices(partitionColumns: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, filter: String,
+      values: Seq[Map[String, String]],
+      sparkOpt: Option[org.apache.spark.sql.SparkSession])
+      : Option[Set[Int]] = {
+    if (partitionColumns.isEmpty) return None
     val refs = parse(filter).collect {
       case a: UnresolvedAttribute => a.name
     }
-    if (refs.isEmpty || !refs.forall(snap.partitionColumns.contains)) return None
+    if (refs.isEmpty || !refs.forall(partitionColumns.contains)) return None
 
     // callers on the DML path thread their own session; the active
     // session is only the fallback for ad-hoc/test use
     val spark =
       sparkOpt.getOrElse(org.apache.spark.sql.SparkSession.active)
     import spark.implicits._
-    val partFields = snap.schema.fields
-      .filter(f => snap.partitionColumns.contains(f.name))
-    val rowsDF = snap.files.zipWithIndex.map { case (f, i) =>
-      (i, snap.partitionColumns.map { c =>
-        f.partitionValues.get(c) match {
+    val partFields = schema.fields
+      .filter(f => partitionColumns.contains(f.name))
+    val rowsDF = values.zipWithIndex.map { case (pv, i) =>
+      (i, partitionColumns.map { c =>
+        pv.get(c) match {
           case None | Some(null) | Some(LakeWriter.HIVE_NULL) => null
           case Some(v) => v
         }
@@ -89,17 +124,14 @@ object FilePruner {
     }.toDF("__idx", "__values")
     var typed = rowsDF
     partFields.zipWithIndex.foreach { case (f, _) =>
-      val pos = snap.partitionColumns.indexOf(f.name)
+      val pos = partitionColumns.indexOf(f.name)
       // try_cast: a malformed legacy value must not abort the scan
       // under ANSI mode — it just falls out of the metadata-only path
       typed = typed.withColumn(f.name,
         expr(s"try_cast(__values[$pos] AS ${f.dataType.sql})"))
     }
-    val matching = typed.filter(filter).select("__idx")
-      .collect().map(_.getInt(0)).toSet
-    Some(snap.files.zipWithIndex.collect {
-      case (f, i) if matching.contains(i) => f
-    })
+    Some(typed.filter(filter).select("__idx")
+      .collect().map(_.getInt(0)).toSet)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -648,14 +648,13 @@ final class LakeLog(val tablePath: String) {
     // tail version files PARSE across cores (each file is independent;
     // the order-sensitive fold below stays sequential) — the 10⁷
     // MetaScaleBench build loop measured this parse as the cadence's
-    // dominant cost when it ran on one core
-    val tailParsed: Seq[Seq[Action]] =
-      (prevV + 1 to version).par.map(readVersion).seq
-    tailParsed.foreach(_.foreach {
+    // dominant cost when it ran on one core. Chunked fold: bounded
+    // transient heap (see [[LakeLog.foldTailChunked]]).
+    LakeLog.foldTailChunked(prevV + 1, version, readVersion) {
       case a: AddFile    => liveTail(a.path) = a; touched += a.path; ()
       case r: RemoveFile => liveTail.remove(r.path); touched += r.path; ()
       case _             => ()
-    })
+    }
     // head state via the metadata-light fold — the incremental path
     // never materializes the file list
     val (meta, protocol, domains, txns0) = Snapshot.replayMetaTxns(this, version)
@@ -953,6 +952,28 @@ final class LakeLog(val tablePath: String) {
 
 object LakeLog {
   val LOG_DIR = "_lake_log"
+
+  /** Parallel-parse the version files `lo..hi` and fold them in
+    * version order — in bounded chunks, each chunk's parsed actions
+    * folded (and released) before the next chunk parses. Keeps the
+    * multi-core parse win without retaining the whole tail: a
+    * delete-heavy tail's RemoveFile and superseded AddFile actions
+    * would otherwise all be resident at peak, growing transient driver
+    * heap with CHECKPOINT_INTERVAL × commit size.
+    */
+  private[lake] def foldTailChunked(lo: Long, hi: Long,
+      read: Long => Seq[Action])(fold: Action => Unit): Unit = {
+    if (hi < lo) return
+    if (hi == lo) { read(lo).foreach(fold); return }
+    import scala.collection.parallel.CollectionConverters._
+    val chunk = math.max(2, Runtime.getRuntime.availableProcessors())
+    var v = lo
+    while (v <= hi) {
+      val end = math.min(v + chunk - 1, hi)
+      (v to end).par.map(read).seq.foreach(_.foreach(fold))
+      v = end + 1
+    }
+  }
 
   /** Process-wide count of per-version log-file reads. Tests assert
     * O(tail) claims with it (history/time-travel/vacuum must not replay

@@ -647,7 +647,7 @@ final class LakeMergeBuilder private[lake] (
     } catch { case e: Throwable =>
       dvRelsWritten.forEach { rel =>
         try {
-          java.nio.file.Files.deleteIfExists(
+          DataStore.current.deleteIfExists(
             java.nio.file.Paths.get(table.tablePath, rel)); ()
         } catch { case _: java.io.IOException => () }
       }

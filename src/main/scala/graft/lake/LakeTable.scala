@@ -640,9 +640,9 @@ final class LakeTable private (
           (snap.version, snap.files.map(f => (f.path, f.dvPath)))
       }
     def damaged(p: String, dv: Option[String]): Boolean =
-      !java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, p)) ||
+      !DataStore.current.exists(LakeLog.resolveFile(tablePath, p)) ||
         dv.exists(d =>
-          !java.nio.file.Files.exists(LakeLog.resolveFile(tablePath, d)))
+          !DataStore.current.exists(LakeLog.resolveFile(tablePath, d)))
     val missing: Seq[String] =
       if (live.size < 2048) {
         live.collect { case (p, dv) if damaged(p, dv) => p }
@@ -651,8 +651,8 @@ final class LakeTable private (
         spark.sparkContext
           .parallelize(live, math.min(live.size / 256 + 1, 64))
           .filter { case (p, dv) =>
-            !java.nio.file.Files.exists(LakeLog.resolveFile(root, p)) ||
-              dv.exists(d => !java.nio.file.Files.exists(
+            !DataStore.current.exists(LakeLog.resolveFile(root, p)) ||
+              dv.exists(d => !DataStore.current.exists(
                 LakeLog.resolveFile(root, d)))
           }
           .map(_._1).collect().toSeq
@@ -699,10 +699,31 @@ final class LakeTable private (
     val plan = dmlPlan()
     LakeTable.assertNotAppendOnly(plan.metadata, "DELETE", tablePath)
     val cond = expr(condition)
-    plan.partitionOnlyMatches(condition) match {
-      case Some(matchedPaths) => // metadata-only path
+    plan.partitionOnlyDelete(condition) match {
+      case Some(Left(matchedPaths)) => // metadata-only path
         commitRewrite(plan.subset(Nil), matchedPaths, Nil, "DELETE",
           Map("predicate" -> condition))
+      case Some(Right(pathStream)) =>
+        // STREAMED metadata-only path: the tombstones flow from the
+        // columnar index's partition-filtered part scan straight into
+        // the version-file writer — the driver holds a prefetch window
+        // of paths, never the matched set (10⁷-file tables). Conflict
+        // detection is CONSERVATIVE here: per-path checking would need
+        // the matched set resident, so ANY commit that lands after the
+        // planned read version aborts the delete (the head closure
+        // re-evaluates per attempt — airtight against the race).
+        val now = System.currentTimeMillis()
+        val readV = plan.version
+        LakeTable.streamedPartitionDeletes.incrementAndGet()
+        LakeWriter.commitStreamedWithRetry(log, readV, Nil) { v =>
+          if (v != readV + 1) throw new ConflictingCommitException(
+            s"conflicting commit: version ${v - 1} of $tablePath " +
+            s"landed after this streamed partition DELETE planned " +
+            s"against version $readV; re-run the DELETE")
+          Seq(CommitInfo(now, "DELETE", Map("predicate" -> condition,
+            "streamed" -> "true")))
+        } { () => pathStream().map(p => RemoveFile(p, now): Action) }
+        ()
       case None if LakeTable.dvEnabled(plan.metadata) =>
         deleteWithDv(plan, cond, condition)
       case None =>
@@ -888,7 +909,7 @@ final class LakeTable private (
     val removes = gone.map { case (uri, rel, _) =>
       // full-file deletion: drop the entry entirely; the just-written
       // DV is unreferenced scratch
-      try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+      try { DataStore.current.deleteIfExists(Paths.get(tablePath, rel)); () }
       catch { case _: java.io.IOException => () }
       RemoveFile(relativize(uri), now)
     }
@@ -1315,15 +1336,17 @@ final class LakeTable private (
         val targetMeta = tIdx.metadata
         val targetPathSeq = tIdx.pathSizes().map(_._1)
         // vacuum-loss probe, distributed like FSCK's (never an
-        // O(table) serial driver stat loop at this scale)
+        // O(table) serial driver stat loop at this scale); existence
+        // probes are DataStore traffic — tasks resolve the seam in
+        // their own JVM, like the vacuum/FSCK probes
         val missing: Seq[String] = {
           val tp = tablePath
           if (targetPathSeq.size < LakeTable.DISTRIBUTED_VACUUM_MIN_FILES)
             targetPathSeq.filterNot(p =>
-              Files.exists(LakeLog.resolveFile(tp, p))).take(1)
+              DataStore.current.exists(LakeLog.resolveFile(tp, p))).take(1)
           else spark.sparkContext.parallelize(targetPathSeq, 64)
             .filter(p =>
-              !java.nio.file.Files.exists(LakeLog.resolveFile(tp, p)))
+              !DataStore.current.exists(LakeLog.resolveFile(tp, p)))
             .take(1).toSeq
         }
         if (missing.nonEmpty) throw new IllegalStateException(
@@ -1348,7 +1371,7 @@ final class LakeTable private (
       case None =>
         val target = snapshot(version)
         val missing = target.files.filterNot(f =>
-          Files.exists(LakeLog.resolveFile(tablePath, f.path)))
+          DataStore.current.exists(LakeLog.resolveFile(tablePath, f.path)))
         if (missing.nonEmpty) throw new IllegalStateException(
           s"cannot restore $tablePath to version $version: " +
           s"${missing.size} of its data files were removed by VACUUM " +
@@ -1948,7 +1971,7 @@ final class LakeTable private (
       case e: ConflictingCommitException =>
         // the sidecars are this commit's ONLY products; sweep them
         bloomFor.values.foreach { rel =>
-          try { Files.deleteIfExists(Paths.get(tablePath, rel)); () }
+          try { DataStore.current.deleteIfExists(Paths.get(tablePath, rel)); () }
           catch { case _: java.io.IOException => () }
         }
         throw e
@@ -2172,7 +2195,7 @@ final class LakeTable private (
     val schema = snapAtTo.schema
     def readRel(files: Seq[AddFile]): DataFrame = {
       val missing = files.filterNot(f =>
-        Files.exists(LakeLog.resolveFile(tablePath, f.path)))
+        DataStore.current.exists(LakeLog.resolveFile(tablePath, f.path)))
       if (missing.nonEmpty) throw new IllegalStateException(
         s"cannot read changes of $tablePath: ${missing.size} file(s) " +
         s"were removed by VACUUM (first: ${missing.head.path}); change " +
@@ -2197,7 +2220,7 @@ final class LakeTable private (
       val parts: Seq[DataFrame] =
         if (metadataOnlyReadd) Nil
         else if (cdcFiles.nonEmpty && cdcFiles.forall(p =>
-            Files.exists(LakeLog.resolveFile(tablePath, p))) &&
+            DataStore.current.exists(LakeLog.resolveFile(tablePath, p))) &&
             !ColumnMapping.enabled(snapAtTo.metadata)) {
           // unmapped fast path: logical names never moved (mapping is
           // a one-way door, so end-unmapped proves every version in
@@ -2211,7 +2234,7 @@ final class LakeTable private (
             cdcFiles.map(p =>
               LakeLog.resolveFile(tablePath, p).toString): _*))
         } else if (cdcFiles.nonEmpty && cdcFiles.forall(p =>
-            Files.exists(LakeLog.resolveFile(tablePath, p)))) {
+            DataStore.current.exists(LakeLog.resolveFile(tablePath, p)))) {
           // CDC files carry the LOGICAL column names of the version
           // that wrote them; a range spanning a mapped RENAME must
           // read each version with ITS schema and conform to the
@@ -2607,7 +2630,7 @@ final class LakeTable private (
         LakeWriter.sweepStaged(tablePath, adds, None, None)
         cdc.foreach { c =>
           try {
-            java.nio.file.Files.deleteIfExists(
+            DataStore.current.deleteIfExists(
               java.nio.file.Paths.get(tablePath, c.path)); ()
           } catch { case _: java.io.IOException => () }
         }
@@ -2617,6 +2640,21 @@ final class LakeTable private (
 }
 
 object LakeTable {
+
+  /** Matched-file estimate above which a partition-only DELETE commits
+    * its tombstones as a STREAM (the driver never enumerates the
+    * matched paths) instead of the classic per-path commit. Var for
+    * suite/bench control; the default keeps every realistic
+    * interactive delete on the precise-conflict classic path.
+    */
+  private[graft] var STREAMED_PARTITION_DELETE_MIN_FILES: Long = 200000L
+
+  /** Test hook: count of partition DELETEs that took the streamed
+    * tombstone path.
+    */
+  private[graft] val streamedPartitionDeletes =
+    new java.util.concurrent.atomic.AtomicLong
+
   val DEFAULT_RETENTION_HOURS: Double = 168.0
   val RETENTION_CHECK_KEY = "spark.graft.lake.retentionDurationCheck.enabled"
   /** Per-table vacuum retention default/floor, in hours. */

@@ -407,7 +407,7 @@ object LakeWriter {
           // Lost the race to an identical writer: discard our staged
           // (still unreferenced) files and report the winner's commit.
           adds.foreach(a =>
-            Files.deleteIfExists(Paths.get(tablePath, a.path)))
+            DataStore.current.deleteIfExists(Paths.get(tablePath, a.path)))
           WriteResult(log.latestVersion, Nil)
         case e: ConflictingCommitException =>
           // Non-retryable conflict (metadata changed, replaceWhere
@@ -415,7 +415,7 @@ object LakeWriter {
           // staged files are unreferenced debris — sweep them before
           // surfacing the conflict to the caller.
           (adds ++ replaceInfo.map(_._2).getOrElse(Nil)).foreach(a =>
-            Files.deleteIfExists(Paths.get(tablePath, a.path)))
+            DataStore.current.deleteIfExists(Paths.get(tablePath, a.path)))
           throw e
       }
     }

@@ -223,20 +223,25 @@ object LocalLogStore extends LogStore {
       while (j < n && bytes(j) != '\n') j += 1
       var end = j
       if (end > i && bytes(end - 1) == '\r') end -= 1
-      val len = end - i
+      // tolerate leading space/tab the String-path readers' .trim
+      // accepted — a hand-edited or foreign-writer line must not be
+      // silently dropped from meta replay or history extraction
+      var st = i
+      while (st < end && (bytes(st) == ' ' || bytes(st) == '\t')) st += 1
+      val len = end - st
       var m = 0
       var hit = false
       while (!hit && m < pfx.length) {
         val q = pfx(m)
         if (len >= q.length) {
           var k = 0
-          while (k < q.length && bytes(i + k) == q(k)) k += 1
+          while (k < q.length && bytes(st + k) == q(k)) k += 1
           hit = k == q.length
         }
         m += 1
       }
       if (hit)
-        out += new String(bytes, i, len,
+        out += new String(bytes, st, len,
           java.nio.charset.StandardCharsets.UTF_8)
       i = j + 1
     }

@@ -57,7 +57,7 @@ final case class Snapshot(
     // at scan time, just without this message.
     if (version != log.latestVersion) {
       val missing = files.filterNot(f =>
-        Files.exists(LakeLog.resolveFile(log.tablePath, f.path)))
+        DataStore.current.exists(LakeLog.resolveFile(log.tablePath, f.path)))
       if (missing.nonEmpty) {
         throw new IllegalStateException(
           s"cannot read version $version of lake table ${log.tablePath}: " +
@@ -204,8 +204,19 @@ object Snapshot {
     * applies, and the actions here are exactly what was published
     * (both writers round-trip), so the seeded tuple is byte-equal to
     * what a cold [[replayMetaTxns]] at `version` computes
-    * (suite-pinned). No-op when the parent tuple is not cached (cold
-    * process: the first fold walks files and re-primes the chain).
+    * (suite-pinned) — with ONE documented exception: the COPY INTO
+    * ledger. Checkpoints apply the time-based
+    * `expireCopyIntoLedger` trim when they serialize txns, so a cold
+    * walk that starts from a checkpoint reads the trimmed head while
+    * a warm seeded/resumed chain carries pre-trim entries across the
+    * boundary until process restart. The divergence is deliberately
+    * left in place: it is conservative (expired source-file entries
+    * linger, so a re-COPY of a dead file is skipped rather than
+    * double-loaded), and applying the trim here would make warm
+    * answers wall-clock-dependent between commits instead of only at
+    * checkpoint cadence. No-op when the parent tuple is not cached
+    * (cold process: the first fold walks files and re-primes the
+    * chain).
     */
   private[lake] def seedMetaAfterCommit(log: LakeLog, version: Long,
       actions: Seq[Action]): Unit = {
@@ -435,7 +446,10 @@ object Snapshot {
     // sequential in version order — .par.map preserves ordering). A
     // bulk-ingest tail is 10⁵ lines per version, and the parse was the
     // single-core cost the multi-part checkpoint work already removed
-    // for the checkpoint side.
+    // for the checkpoint side. Parsed in BOUNDED chunks, each folded
+    // before the next parses: a delete-heavy tail's RemoveFile and
+    // superseded AddFile actions must not all be resident at peak
+    // (CHECKPOINT_INTERVAL × commit size of transient driver heap).
     def readTail(v: Long): Seq[Action] =
       try log.readVersion(v)
       catch {
@@ -444,24 +458,18 @@ object Snapshot {
           // so, with the horizon, instead of a bare missing-file
           throw explainMissingVersion(log, version, e)
       }
-    val tailParsed: Seq[Seq[Action]] =
-      if (version - startAt < 1) (startAt to version).map(readTail)
-      else {
-        import scala.collection.parallel.CollectionConverters._
-        (startAt to version).par.map(readTail).seq
-      }
-    tailParsed.foreach(_.foreach {
+    LakeLog.foldTailChunked(startAt, version, readTail) {
       case m: Metadata   => metadata = m
       case a: AddFile    => live(a.path) = a
-      case r: RemoveFile => live.remove(r.path)
+      case r: RemoveFile => live.remove(r.path); ()
       case t: Txn        =>
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
       case p: Protocol   => protocol = p
       case d: DomainMetadata =>
-        if (d.removed) domains.remove(d.domain)
+        if (d.removed) { domains.remove(d.domain); () }
         else domains(d.domain) = d.configuration
       case _ => () // CommitInfo / CdcFile: not table state
-    })
+    }
     if (metadata == null)
       throw new IllegalStateException(
         s"lake table at ${log.tablePath} has no Metadata action by " +

@@ -130,6 +130,35 @@ final class ColumnarLakeFileIndex private[sources] (
   private def candidates(filters: Seq[Expression]): Seq[AddFile] =
     candidatesAs(filters)(identity)
 
+  /** Stats-free distributed projection of the live set: same scan
+    * shape as [[candidatesAs]] with no pruning, but the checkpoint
+    * parts decode under [[graft.lake.CheckpointParquet.readAddsLite]]
+    * — parquet column pruning never reads the min/max/nullCount
+    * chunks (the byte bulk of a part), so identity/placement
+    * projections pay a small fraction of the part's I/O and decode.
+    * The projected AddFiles carry EMPTY stats maps by contract —
+    * every `project` passed here must not touch them.
+    */
+  private def liteProjectedAs[T: scala.reflect.ClassTag](
+      project: AddFile => T): Seq[T] = {
+    val fromCkpt: Seq[T] =
+      if (ckptParts.isEmpty) Nil
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        val readers = ckptParts.map(p =>
+          log.store.fileReader(java.nio.file.Paths.get(p)))
+        spark.sparkContext
+          .parallelize(readers, readers.size)
+          .flatMap { r =>
+            graft.lake.CheckpointParquet.readAddsLite(r)
+              .filter(a => !touched.value.contains(a.path))
+              .map(project)
+          }
+          .collect().toSeq
+      }
+    fromCkpt ++ tailAdds.map(project)
+  }
+
   /** Conservative candidate AddFiles for already-parsed predicates —
     * the DML planner's metadata-only entry point (partition-only
     * DELETE). Driver memory is bounded by the predicate's match
@@ -237,41 +266,81 @@ final class ColumnarLakeFileIndex private[sources] (
               .filter(a => !touched.value.contains(a.path))
               .toArray
           }
-        // bounded-prefetch local iterator: toLocalIterator runs one
-        // single-task job per partition SERIALLY, so the decode that
-        // replay does across cores would serialize here (measured 80 s
-        // for a 1M-entry restore). Keep PREFETCH_PARTS part-jobs in
-        // flight — decode overlaps consumption, driver heap stays
-        // bounded at PREFETCH_PARTS parts' AddFiles.
-        val n = rdd.partitions.length
-        val window = ColumnarLakeFileIndex.STREAM_PREFETCH_PARTS
-        new Iterator[Array[AddFile]] {
-          private val inflight = scala.collection.mutable.Queue
-            .empty[scala.concurrent.Future[Array[AddFile]]]
-          private var nextPart = 0
-          private def pump(): Unit =
-            while (nextPart < n && inflight.size < window) {
-              val p = nextPart
-              // the future's value is resultFunc, evaluated once the
-              // job completes — capture the single partition's array
-              // through the handler
-              val box = new java.util.concurrent.atomic.AtomicReference[
-                Array[AddFile]]()
-              inflight.enqueue(spark.sparkContext.submitJob[
-                  Array[AddFile], Array[AddFile], Array[AddFile]](
-                rdd, it => it.next(), Seq(p),
-                (_, u) => box.set(u), box.get()))
-              nextPart += 1
-            }
-          def hasNext: Boolean = { pump(); inflight.nonEmpty }
-          def next(): Array[AddFile] = {
-            pump()
-            scala.concurrent.Await.result(inflight.dequeue(),
-              scala.concurrent.duration.Duration.Inf)
-          }
-        }.flatMap(_.iterator)
+        prefetchedPartStream(rdd)
       }
     fromCkpt ++ tailAdds.iterator
+  }
+
+  /** Relative paths of the live files whose partition tuple is in
+    * `pvs`, as a bounded-prefetch STREAM of path strings — the
+    * streamed partition-DELETE's tombstone source. Parts decode LITE
+    * (the filter needs partitionValues and path only) and the
+    * partition-tuple set broadcasts (O(partitions), never O(files));
+    * the driver holds at most [[ColumnarLakeFileIndex
+    * .STREAM_PREFETCH_PARTS]] parts' matching paths at once.
+    */
+  private[graft] def pathsForPartitionsStream(
+      pvs: Set[Map[String, String]]): Iterator[String] = {
+    if (pvs.isEmpty) return Iterator.empty
+    val fromCkpt: Iterator[String] =
+      if (ckptParts.isEmpty) Iterator.empty
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        val want = spark.sparkContext.broadcast(pvs)
+        val readers = ckptParts.map(p =>
+          log.store.fileReader(java.nio.file.Paths.get(p)))
+        val rdd = spark.sparkContext
+          .parallelize(readers, readers.size)
+          .map { r =>
+            graft.lake.CheckpointParquet.readAddsLite(r)
+              .filter(a => !touched.value.contains(a.path) &&
+                want.value.contains(a.partitionValues))
+              .map(_.path)
+              .toArray
+          }
+        prefetchedPartStream(rdd)
+      }
+    fromCkpt ++ tailAdds.iterator
+      .filter(a => pvs(a.partitionValues)).map(_.path)
+  }
+
+  /** Bounded-prefetch local iterator over a one-array-per-partition
+    * RDD: toLocalIterator runs one single-task job per partition
+    * SERIALLY, so the decode that replay does across cores would
+    * serialize here (measured 80 s for a 1M-entry restore). Keep
+    * [[ColumnarLakeFileIndex.STREAM_PREFETCH_PARTS]] part-jobs in
+    * flight — decode overlaps consumption, driver heap stays bounded
+    * at the window's parts.
+    */
+  private def prefetchedPartStream[T: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[Array[T]]): Iterator[T] = {
+    val n = rdd.partitions.length
+    val window = ColumnarLakeFileIndex.STREAM_PREFETCH_PARTS
+    new Iterator[Array[T]] {
+      private val inflight = scala.collection.mutable.Queue
+        .empty[scala.concurrent.Future[Array[T]]]
+      private var nextPart = 0
+      private def pump(): Unit =
+        while (nextPart < n && inflight.size < window) {
+          val p = nextPart
+          // the future's value is resultFunc, evaluated once the
+          // job completes — capture the single partition's array
+          // through the handler
+          val box = new java.util.concurrent.atomic.AtomicReference[
+            Array[T]]()
+          inflight.enqueue(spark.sparkContext.submitJob[
+              Array[T], Array[T], Array[T]](
+            rdd, it => it.next(), Seq(p),
+            (_, u) => box.set(u), box.get()))
+          nextPart += 1
+        }
+      def hasNext: Boolean = { pump(); inflight.nonEmpty }
+      def next(): Array[T] = {
+        pump()
+        scala.concurrent.Await.result(inflight.dequeue(),
+          scala.concurrent.duration.Duration.Inf)
+      }
+    }.flatMap(_.iterator)
   }
 
   /** (relative path, size) projection of the live set — the streaming
@@ -281,14 +350,14 @@ final class ColumnarLakeFileIndex private[sources] (
     * executors like every other candidate scan.
     */
   private[graft] def pathSizes(): Seq[(String, Long)] =
-    candidatesAs(Nil)(f => (f.path, f.size))
+    liteProjectedAs(f => (f.path, f.size))
 
   /** (relative path, baseRowId) projection of the live set — the
     * row-tracking read path's base map, projected on the executors so
     * the driver holds (path, long) pairs, never AddFiles.
     */
   private[graft] def pathBases(): Seq[(String, Option[Long])] =
-    candidatesAs(Nil)(f => (f.path, f.baseRowId))
+    liteProjectedAs(f => (f.path, f.baseRowId))
 
   /** DISTINCT partition-value maps of the live set, deduplicated ON
     * THE EXECUTORS — SHOW PARTITIONS' answer: the driver receives one
@@ -305,10 +374,9 @@ final class ColumnarLakeFileIndex private[sources] (
         spark.sparkContext
           .parallelize(readers, readers.size)
           .flatMap { r =>
-            graft.lake.CheckpointParquet.read(r).iterator
-              .collect { case a: AddFile => a }
+            graft.lake.CheckpointParquet.readAddsLite(r)
+              .filter(a => !touched.value.contains(a.path))
           }
-          .filter(a => !touched.value.contains(a.path))
           .map(_.partitionValues)
           .distinct()
           .collect().toSeq
@@ -322,7 +390,7 @@ final class ColumnarLakeFileIndex private[sources] (
     */
   private[graft] def pathSidecars()
       : Seq[(String, Option[String], Option[String])] =
-    candidatesAs(Nil)(f => (f.path, f.dvPath, f.bloomPath))
+    liteProjectedAs(f => (f.path, f.dvPath, f.bloomPath))
 
   /** Full path listing — O(files) driver STRINGS when called (rare:
     * `Dataset.inputFiles`); AddFiles are projected to resolved path
@@ -331,7 +399,7 @@ final class ColumnarLakeFileIndex private[sources] (
     */
   override def inputFiles: Array[String] = {
     val root = log.tablePath // no `this` in the task closure
-    candidatesAs(Nil)(f =>
+    liteProjectedAs(f =>
       LakeLog.resolveFile(root, f.path).toString).toArray
   }
 
@@ -539,8 +607,11 @@ object ColumnarLakeFileIndex {
         val touched = spark.sparkContext.broadcast(tailTouched)
         spark.sparkContext.parallelize(readers, readers.size)
           .map { r =>
-            graft.lake.CheckpointParquet.read(r).iterator
-              .collect { case a: AddFile => a }
+            // lite decode: the fold touches no stats, and parquet
+            // column pruning skips the stats chunks' I/O entirely —
+            // the 10⁷-file summary pass reads paths and scalars, not
+            // the table's whole stat volume
+            graft.lake.CheckpointParquet.readAddsLite(r)
               .filterNot(a => touched.value.contains(a.path))
               .foldLeft(aggZero)(_ + _)
           }

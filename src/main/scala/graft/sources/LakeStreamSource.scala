@@ -468,13 +468,13 @@ final class LakeStreamSource(
     val missingPaths: Set[String] =
       if (allAdds.size <= LakeStreamSource.DISTRIBUTED_PROBE_MIN_FILES)
         allAdds.iterator.map(_.path).filterNot(p =>
-          graft.lake.LogStore.current
+          graft.lake.DataStore.current
             .exists(LakeLog.resolveFile(tablePath, p))).toSet
       else {
         val tp = tablePath
         spark.sparkContext
           .parallelize(allAdds.map(_.path), 64)
-          .filter(p => !java.nio.file.Files.exists(
+          .filter(p => !graft.lake.DataStore.current.exists(
             LakeLog.resolveFile(tp, p)))
           .collect().toSet
       }

@@ -99,6 +99,32 @@ class ColumnarIndexSuite extends SparkSuite {
     assert(columnar.filter("id = 11").count() === 1L)
   }
 
+  test("streamed partition DELETE: tombstones stream, results match") {
+    val path = buildTable("col-stream-del")
+    val before = spark.read.format("lake").load(path)
+      .filter("p != 1").collect().toSet
+    val prevMin = LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES
+    LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES = 1L
+    val n0 = LakeTable.streamedPartitionDeletes.get()
+    try LakeTable.forPath(spark, path).delete("p = 1")
+    finally LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES = prevMin
+    assert(LakeTable.streamedPartitionDeletes.get() === n0 + 1,
+      "the DELETE should have taken the streamed tombstone path")
+    // results identical to the classic path's semantics
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === before)
+    assert(columnarDF(path).filter("p = 1").count() === 0L)
+    // the commit is tagged and metadata-only (RemoveFiles, no adds)
+    val log = new LakeLog(path)
+    val actions = log.readVersion(log.latestVersion)
+    val ci = actions.collectFirst { case c: CommitInfo => c }.get
+    assert(ci.operation === "DELETE")
+    assert(ci.operationParameters.get("streamed") === Some("true"))
+    assert(actions.exists(_.isInstanceOf[RemoveFile]))
+    assert(!actions.exists(_.isInstanceOf[AddFile]),
+      "streamed partition delete must be metadata-only")
+  }
+
   test("preconditions: no-checkpoint falls back; DV state plans columnar") {
     // small table, no checkpoint yet -> tryBuild refuses, read works
     val p1 = tablePath("col-nockpt")

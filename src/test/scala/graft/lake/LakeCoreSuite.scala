@@ -52,6 +52,47 @@ class LakeCoreSuite extends SparkSuite {
     }
   }
 
+  test("fast parser rejects non-canonical JSON the reference rejects") {
+    // \u with a sign: Integer.parseInt(_, 16) accepts "+1AB"/"-1AB";
+    // strict hex digits must route such input away from the fast path
+    // so it fails like json4s instead of silently decoding a bogus char
+    // ("\\" + "u"): Scala pre-processes \u even in triple quotes
+    val signedEscape =
+      """{"add":{"path":"a""" + "\\" + """u+041b","size":1,"numRecords":1,""" +
+      """"dvCardinality":0}}"""
+    intercept[Exception](Action.fromJson(signedEscape))
+    // a leading '+' on an integer is not JSON — must not fast-parse
+    val plusInt =
+      """{"add":{"path":"a","size":+5,"numRecords":1,""" +
+      """"dvCardinality":0}}"""
+    intercept[Exception](Action.fromJson(plusInt))
+    // the canonical forms still parse on the fast path
+    val ok =
+      """{"add":{"path":"aAb","partitionValues":{},"size":-5,""" +
+      """"numRecords":1,"minValues":{},"maxValues":{},""" +
+      """"nullCounts":{},"dvCardinality":0}}"""
+    assert(Action.fromJson(ok) ===
+      AddFile("aAb", Map.empty, -5L, 1L))
+  }
+
+  test("byte-prefix scan tolerates leading whitespace on log lines") {
+    // a hand-edited / foreign-writer line with leading spaces must
+    // still surface from the prefix scan (the String readers' .trim
+    // tolerance, preserved at the byte level)
+    val dir = tmpDir("ws-prefix")
+    val p = java.nio.file.Paths.get(dir, "v.json")
+    java.nio.file.Files.write(p, java.util.Arrays.asList(
+      """  {"commitInfo":{"timestamp":1,"operation":"CREATE","parameters":{}}}""",
+      "\t" + Action.toJson(Metadata("id BIGINT", Nil, 1L)),
+      Action.toJson(AddFile("f1.parquet", Map.empty, 1L, 1L))))
+    val metaLines = LogStore.current
+      .readLinesWithPrefix(p, Action.MetaLinePrefixes)
+    assert(metaLines.exists(_.contains("\"metaData\"")),
+      s"indented metaData line dropped: $metaLines")
+    assert(Action.fromJson(metaLines.find(_.contains("metaData")).get)
+      .isInstanceOf[Metadata])
+  }
+
   test("commit-seeded meta tuple equals a cold metadata replay") {
     // the commit path seeds the metadata-light cache at its new
     // version (parent tuple + own actions); the seeded answer must be

@@ -424,7 +424,30 @@ class LakeObjectStoreSuite extends StoreContractSuite {
       objDataStore.faultScope = ""
       objDataStore.lostWritesRemaining.set(0)
       objDataStore.failReadsRemaining.set(0)
+      objDataStore.missExistsRemaining.set(0)
     }
+  }
+
+  test("restoreTo's vacuum-loss probe rides the DataStore seam: an " +
+      "injected existence miss aborts the restore; clean retry lands") {
+    val path = tablePath("objstore-restore-probe")
+    LakeWriter.write(seed, path) // v0
+    LakeWriter.write(Seq((200L, "y", 2.0)).toDF("id", "k", "v"), path) // v1
+    val t = LakeTable.forPath(spark, path)
+    withDataFaults(path) {
+      // the probe checks the TARGET version's files; one transient
+      // miss must surface as the loud vacuum-loss abort (the probe
+      // would silently pass if it bypassed the seam via raw java.nio)
+      objDataStore.missExistsRemaining.set(1)
+      val ex = intercept[IllegalStateException](t.restoreTo(0L))
+      assert(ex.getMessage.contains("removed by VACUUM"),
+        s"expected the vacuum-loss abort, got: ${ex.getMessage}")
+      assert(objDataStore.missExistsRemaining.get() === 0,
+        "the restore probe must consult DataStore.exists")
+    }
+    // budget spent: the same restore succeeds and reads back v0
+    t.restoreTo(0L)
+    assert(LakeTable.forPath(spark, path).toDF.count() === 100L)
   }
 
   test("a LOST DV-sidecar PUT fails the DELETE loudly and leaves the " +
