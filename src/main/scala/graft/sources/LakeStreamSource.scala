@@ -180,10 +180,16 @@ final class LakeStreamSource(
     * restarts (the snapshot at a version is immutable). Built through
     * the columnar file index when the table has one — distributed
     * checkpoint decode, paths+sizes only on the driver — and released
-    * once the initial snapshot is fully delivered.
+    * once the initial snapshot is fully delivered. PARALLEL PRIMITIVE
+    * arrays, not a tuple IndexedSeq: at 10⁷ entries the per-entry
+    * Tuple2 + boxed Long cost ~48 B/file of pure overhead on a
+    * structure that is BY DESIGN resident for the whole initial sync.
     */
-  @volatile private var initState
-      : Option[(Long, IndexedSeq[(String, Long)])] = None
+  private final class InitIndex(val version: Long,
+      val paths: Array[String], val sizes: Array[Long]) {
+    def size: Int = paths.length
+  }
+  @volatile private var initState: Option[InitIndex] = None
 
   /** Columnar index iff the session conf allows (the same uniform
     * `spark.graft.columnarFileIndex` opt-out every batch path honors)
@@ -196,14 +202,17 @@ final class LakeStreamSource(
     else None
   }
 
-  private def initStateFor(version: Long): IndexedSeq[(String, Long)] =
+  private def initStateFor(version: Long): InitIndex =
     initState match {
-      case Some((v, files)) if v == version => files
+      case Some(idx) if idx.version == version => idx
       case _ =>
-        val files = (columnarIdx(version) match {
+        val pairs = (columnarIdx(version) match {
             case Some(idx) => idx.pathSizes()
             case None => log.snapshot(version).files.map(f => (f.path, f.size))
-          }).sortBy(_._1).toIndexedSeq
+          }).sortBy(_._1)
+        val built = new InitIndex(version,
+          pairs.iterator.map(_._1).toArray,
+          pairs.iterator.map(_._2).toArray)
         // key the delivered-file cursor to the pinned version: a
         // rebuild for a NEW version (floor advanced mid-delivery)
         // must restart the cursor — at-least-once on this edge beats
@@ -212,8 +221,8 @@ final class LakeStreamSource(
           initIndexDelivered = -1L
           initIndexVersion = version
         }
-        initState = Some((version, files))
-        files
+        initState = Some(built)
+        built
     }
 
   /** The AddFiles of exactly `paths` at `version` — columnar when the
@@ -247,7 +256,7 @@ final class LakeStreamSource(
           readChangeFeed)
         return Some(LakeStreamOffset(initV))
       val files = initStateFor(initV)
-      if (files.isEmpty) return Some(LakeStreamOffset(initV))
+      if (files.size == 0) return Some(LakeStreamOffset(initV))
       val from = math.max(initIndexDelivered, 0L)
       if (from >= files.size) return None // last chunk not committed yet
       val maxFiles = maxFilesPerTrigger.getOrElse(Int.MaxValue).toLong
@@ -256,8 +265,8 @@ final class LakeStreamSource(
       var bytes = 0L
       // always at least one file per chunk, whatever the byte budget
       while (j < files.size && (j - from) < maxFiles &&
-          (j == from || bytes + files(j.toInt)._2 <= maxBytes)) {
-        bytes += files(j.toInt)._2
+          (j == from || bytes + files.sizes(j.toInt) <= maxBytes)) {
+        bytes += files.sizes(j.toInt)
         j += 1
       }
       return Some(LakeStreamInitOffset(initV, j))
@@ -337,8 +346,8 @@ final class LakeStreamSource(
           .filter(_ => start.forall(s => versionOf(s) == initV))
           .getOrElse(0L)
         val all = initStateFor(initV)
-        val chunk = addsForChunk(initV,
-          all.slice(fromIdx.toInt, toIdx.toInt).map(_._1))
+        val chunk = addsForChunk(initV, all.paths.view
+          .slice(fromIdx.toInt, toIdx.toInt).toSeq)
         // catch the cursor up to BOTH ends (the version-offset rule):
         // a restart replay may hand a start at or past the end, and
         // the cursor must recover from it rather than re-offer

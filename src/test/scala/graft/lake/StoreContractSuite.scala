@@ -296,6 +296,102 @@ abstract class StoreContractSuite extends SparkSuite with BeforeAndAfterAll {
     } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
   }
 
+  test("manifest-checkpoint cadence race: two writers and a live " +
+      "reader; last publish wins, no referenced slice is swept") {
+    // Two raw-commit writers interleave across several cadence
+    // boundaries (each boundary's winner writes the incremental
+    // manifest; each writer also runs aux cleanup + sidecar GC) while
+    // a reader replays the newest version continuously. Invariants:
+    // the reader NEVER observes a broken chain, the newest manifest's
+    // slice union is exactly the live set (exactly-once), every slice
+    // a surviving manifest references is still on disk after the dust
+    // settles, and the full replay equals the naive ground truth.
+    val prevMax = LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 4
+    val path = tablePath("manifest-race")
+    try {
+      val boot = new LakeLog(path)
+      boot.commit(0L, Seq(
+        CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty),
+        Metadata("id BIGINT", Nil, 1L), Protocol()))
+      val target = 60L
+      val readerErr = new java.util.concurrent.atomic.AtomicReference[
+        Throwable]()
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def add(v: Long, w: Int) = AddFile(s"w$w-v$v.parquet", Map.empty,
+        10L, 1L, Map.empty, Map.empty, Map.empty)
+      def writer(w: Int): Thread = new Thread(() => {
+        val log = new LakeLog(path) // own instance = own caches
+        var v = log.latestVersion + 1
+        while (v <= target) {
+          val actions: Seq[Action] =
+            Seq(CommitInfo(System.currentTimeMillis(), "APPEND",
+              Map.empty), add(v, w)) ++
+              (if (v % 3 == 0) Seq(RemoveFile(s"w1-v${v - 2}.parquet", v),
+                RemoveFile(s"w2-v${v - 2}.parquet", v))
+               else Nil)
+          try { log.commit(v, actions); v += 1 }
+          catch { case _: ConcurrentWriteException =>
+            v = math.max(v + 1, log.latestVersion + 1) }
+        }
+      })
+      val reader = new Thread(() => {
+        val log = new LakeLog(path)
+        while (!done.get() && readerErr.get() == null) {
+          try {
+            Snapshot.clearCacheForTest()
+            val v = log.latestVersion
+            if (v >= 0) { log.snapshot(v); () }
+          } catch { case t: Throwable => readerErr.set(t) }
+        }
+      })
+      val ws = Seq(writer(1), writer(2))
+      reader.start(); ws.foreach(_.start()); ws.foreach(_.join())
+      done.set(true); reader.join()
+      assert(readerErr.get() == null,
+        s"reader observed a broken chain: ${readerErr.get()}")
+      val log = new LakeLog(path)
+      val latest = log.latestVersion
+      assert(latest >= target, s"writers stalled at v$latest")
+      // ground truth vs replay-through-manifests
+      val naive = {
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        (0L to latest).foreach { v =>
+          log.readVersion(v).foreach {
+            case a: AddFile    => live += a.path; ()
+            case r: RemoveFile => live -= r.path; ()
+            case _             => ()
+          }
+        }
+        live.toSet
+      }
+      Snapshot.clearCacheForTest()
+      assert(log.snapshot(latest).files.map(_.path).toSet === naive)
+      // newest manifest: exactly-once slice union
+      val manifests = LogStore.current.listDir(log.logDir)
+        .map(_.getFileName.toString)
+        .filter(_.matches("\\d{20}\\.checkpoint\\.manifest\\.json"))
+        .map(_.stripSuffix(".checkpoint.manifest.json").toLong).sorted
+      assert(manifests.nonEmpty, "no manifest checkpoint landed")
+      val (_, refs) = log.readManifest(log.manifestFile(manifests.max))
+      val entries = refs.flatMap(r => CheckpointParquet.read(
+        LogStore.current.fileReader(log.logDir.resolve(r.path)))
+        .collect { case a: AddFile => a.path })
+      assert(entries.size === entries.toSet.size,
+        "a slice entry appears twice across the newest manifest's refs")
+      // every surviving manifest's slices are on disk (GC never cost a
+      // live manifest its slices, even racing a concurrent publish)
+      val onDisk = LogStore.current
+        .listDir(log.logDir.resolve(LakeLog.SIDECAR_DIR))
+        .map(p => LakeLog.SIDECAR_DIR + "/" + p.getFileName.toString)
+        .toSet
+      val referenced = manifests.flatMap(v =>
+        log.readManifest(log.manifestFile(v))._2.map(_.path)).toSet
+      assert(referenced.subsetOf(onDisk),
+        s"GC swept live slices: ${referenced -- onDisk}")
+    } finally LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+  }
+
   test("DATA plane rides the DataStore seam: DV sidecars write, decode " +
       "and purge identically under this store") {
     val path = tablePath("datastore-dv")
