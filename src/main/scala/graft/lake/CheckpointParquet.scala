@@ -436,8 +436,28 @@ object CheckpointParquet {
     }
   }
 
-  /** All actions of the parquet checkpoint part at `p`. */
+  /** All actions of the parquet checkpoint part at `p` — DIRECT
+    * materialization: converter callbacks assemble each Action
+    * straight from page values, no intermediate Group tree (the read
+    * twin of [[ActionWriteSupport]]; measured ~2-3× the Group-API
+    * decode on the checkpoint hot loop, which bounds snapshot replay
+    * and every columnar candidate scan). The Group path survives as
+    * [[readViaGroups]], the reference the direct reader is
+    * differentially tested against.
+    */
   def read(p: Path): Seq[Action] = {
+    val reader = new ActionBuilder(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), new Configuration()))
+      .withConf(new Configuration())
+      .build()
+    try Iterator.continually(reader.read())
+      .takeWhile(_ != null).toVector
+    finally reader.close()
+  }
+
+  /** Group-API reference reader (differential twin of [[read]]). */
+  private[lake] def readViaGroups(p: Path): Seq[Action] = {
     val reader = ParquetReader
       .builder(new GroupReadSupport(),
         new org.apache.hadoop.fs.Path(p.toString))
@@ -446,6 +466,317 @@ object CheckpointParquet {
     try Iterator.continually(reader.read())
       .takeWhile(_ != null).map(fromGroup).toVector
     finally reader.close()
+  }
+
+  /** [[ParquetReader.Builder]] over an [[InputFile]] with the direct
+    * Action read support.
+    */
+  private final class ActionBuilder(in: org.apache.parquet.io.InputFile)
+      extends ParquetReader.Builder[Action](in) {
+    override protected def getReadSupport()
+        : org.apache.parquet.hadoop.api.ReadSupport[Action] =
+      new ActionReadSupport()
+  }
+
+  /** Direct-materialization read support: one converter tree per file
+    * schema (built from the FILE's schema, field-by-NAME, so parts
+    * written by older engine versions — fewer optional add columns —
+    * decode through the same tree with absent fields at defaults).
+    */
+  private final class ActionReadSupport
+      extends org.apache.parquet.hadoop.api.ReadSupport[Action] {
+    import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
+    override def init(context: InitContext): ReadSupport.ReadContext =
+      new ReadSupport.ReadContext(context.getFileSchema)
+    override def prepareForRead(
+        conf: Configuration,
+        keyValueMetaData: java.util.Map[String, String],
+        fileSchema: MessageType,
+        readContext: ReadSupport.ReadContext)
+        : org.apache.parquet.io.api.RecordMaterializer[Action] =
+      new ActionMaterializer(readContext.getRequestedSchema)
+  }
+
+  private final class ActionMaterializer(schema: MessageType)
+      extends org.apache.parquet.io.api.RecordMaterializer[Action] {
+    private val root = new ActionRootConverter(schema)
+    override def getCurrentRecord: Action = root.current
+    override def getRootConverter
+        : org.apache.parquet.io.api.GroupConverter = root
+  }
+
+  import org.apache.parquet.io.api.{Binary, Converter, GroupConverter,
+    PrimitiveConverter}
+  import org.apache.parquet.schema.GroupType
+
+  private def strConv(set: String => Unit): PrimitiveConverter =
+    new PrimitiveConverter {
+      // dictionary fast path: decode each distinct binary once per
+      // page, not once per row — the path/stats columns are heavily
+      // dictionary-encoded
+      private var dict: Array[String] = _
+      override def hasDictionarySupport: Boolean = true
+      override def setDictionary(
+          d: org.apache.parquet.column.Dictionary): Unit = {
+        dict = Array.tabulate(d.getMaxId + 1)(
+          i => d.decodeToBinary(i).toStringUsingUTF8)
+      }
+      override def addValueFromDictionary(id: Int): Unit = set(dict(id))
+      override def addBinary(b: Binary): Unit = set(b.toStringUsingUTF8)
+    }
+  private def longConv(set: Long => Unit): PrimitiveConverter =
+    new PrimitiveConverter {
+      override def addLong(v: Long): Unit = set(v)
+    }
+  private def intConv(set: Int => Unit): PrimitiveConverter =
+    new PrimitiveConverter {
+      override def addInt(v: Int): Unit = set(v)
+    }
+  private def boolConv(set: Boolean => Unit): PrimitiveConverter =
+    new PrimitiveConverter {
+      override def addBoolean(v: Boolean): Unit = set(v)
+    }
+
+  /** Repeated {key, optional value} group → (key, value) appended to
+    * `buf` per occurrence (value null when absent, the strMap write
+    * contract).
+    */
+  private final class StrKvConverter(
+      buf: scala.collection.mutable.ArrayBuffer[(String, String)])
+      extends GroupConverter {
+    private var k: String = _
+    private var v: String = _
+    private val kc = strConv(k = _)
+    private val vc = strConv(v = _)
+    override def getConverter(i: Int): Converter = if (i == 0) kc else vc
+    override def start(): Unit = { k = null; v = null }
+    override def end(): Unit = { buf += ((k, v)); () }
+  }
+
+  /** Repeated {key, long value} group (nullCounts). */
+  private final class LongKvConverter(
+      buf: scala.collection.mutable.ArrayBuffer[(String, Long)])
+      extends GroupConverter {
+    private var k: String = _
+    private var v: Long = 0L
+    private val kc = strConv(k = _)
+    private val vc = longConv(v = _)
+    override def getConverter(i: Int): Converter = if (i == 0) kc else vc
+    override def start(): Unit = { k = null; v = 0L }
+    override def end(): Unit = { buf += ((k, v)); () }
+  }
+
+  private val noopConverter: PrimitiveConverter = new PrimitiveConverter {
+    override def addBinary(b: Binary): Unit = ()
+    override def addLong(v: Long): Unit = ()
+    override def addInt(v: Int): Unit = ()
+    override def addBoolean(v: Boolean): Unit = ()
+    override def addDouble(v: Double): Unit = ()
+    override def addFloat(v: Float): Unit = ()
+  }
+
+  private final class AddConverter(g: GroupType, publish: AddFile => Unit)
+      extends GroupConverter {
+    private var path: String = _
+    private val pv = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    private var size = 0L
+    private var numRecords = -1L
+    private val mins = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    private val maxs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    private val nulls = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)]
+    private var dvPath: String = _
+    private var dvCardinality = 0L
+    private var bloomPath: String = _
+    private var baseRowId = Long.MinValue
+    private var hasBase = false
+    private var clusterGen = Long.MinValue
+    private var hasGen = false
+    private val slots: Array[Converter] =
+      (0 until g.getFieldCount).map { i =>
+        g.getFieldName(i) match {
+          case "path" => strConv(path = _)
+          case "partitionValues" => new StrKvConverter(pv)
+          case "size" => longConv(size = _)
+          case "numRecords" => longConv(numRecords = _)
+          case "minValues" => new StrKvConverter(mins)
+          case "maxValues" => new StrKvConverter(maxs)
+          case "nullCounts" => new LongKvConverter(nulls)
+          case "dvPath" => strConv(dvPath = _)
+          case "dvCardinality" => longConv(dvCardinality = _)
+          case "bloomPath" => strConv(bloomPath = _)
+          case "baseRowId" => longConv(v => { baseRowId = v; hasBase = true })
+          case "clusterGen" => longConv(v => { clusterGen = v; hasGen = true })
+          case _ => noopConverter // forward-compat: unknown field
+        }
+      }.toArray
+    override def getConverter(i: Int): Converter = slots(i)
+    override def start(): Unit = {
+      path = null; pv.clear(); size = 0L; numRecords = -1L
+      mins.clear(); maxs.clear(); nulls.clear()
+      dvPath = null; dvCardinality = 0L; bloomPath = null
+      hasBase = false; hasGen = false
+    }
+    override def end(): Unit = publish(Interned.addFile(AddFile(
+      path = path,
+      partitionValues = pv.toMap,
+      size = size,
+      numRecords = numRecords,
+      minValues = mins.toMap,
+      maxValues = maxs.toMap,
+      nullCounts = nulls.toMap,
+      dvPath = Option(dvPath),
+      dvCardinality = dvCardinality,
+      bloomPath = Option(bloomPath),
+      baseRowId = if (hasBase) Some(baseRowId) else None,
+      clusterGen = if (hasGen) Some(clusterGen) else None)))
+  }
+
+  private final class MetaConverter(g: GroupType,
+      publish: Metadata => Unit) extends GroupConverter {
+    private var schemaDDL: String = _
+    private val partCols = scala.collection.mutable.ArrayBuffer
+      .empty[String]
+    private var createdTime = 0L
+    private val constraints = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    private val properties = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    private val slots: Array[Converter] =
+      (0 until g.getFieldCount).map { i =>
+        g.getFieldName(i) match {
+          case "schemaDDL" => strConv(schemaDDL = _)
+          case "partitionColumns" => strConv(c => { partCols += c; () })
+          case "createdTime" => longConv(createdTime = _)
+          case "constraints" => new StrKvConverter(constraints)
+          case "properties" => new StrKvConverter(properties)
+          case _ => noopConverter
+        }
+      }.toArray
+    override def getConverter(i: Int): Converter = slots(i)
+    override def start(): Unit = {
+      schemaDDL = null; partCols.clear(); createdTime = 0L
+      constraints.clear(); properties.clear()
+    }
+    override def end(): Unit = publish(Metadata(
+      schemaDDL = schemaDDL,
+      partitionColumns = partCols.toSeq,
+      createdTime = createdTime,
+      constraints = constraints.toMap,
+      properties = properties.toMap))
+  }
+
+  private final class ProtocolConverter(g: GroupType,
+      publish: Protocol => Unit) extends GroupConverter {
+    private var minR = 0
+    private var minW = 0
+    private val rf = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val wf = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val slots: Array[Converter] =
+      (0 until g.getFieldCount).map { i =>
+        g.getFieldName(i) match {
+          case "minReaderVersion" => intConv(minR = _)
+          case "minWriterVersion" => intConv(minW = _)
+          case "readerFeatures" => strConv(f => { rf += f; () })
+          case "writerFeatures" => strConv(f => { wf += f; () })
+          case _ => noopConverter
+        }
+      }.toArray
+    override def getConverter(i: Int): Converter = slots(i)
+    override def start(): Unit = { minR = 0; minW = 0; rf.clear(); wf.clear() }
+    override def end(): Unit =
+      publish(Protocol(minR, minW, rf.toSeq, wf.toSeq))
+  }
+
+  private final class DomainConverter(g: GroupType,
+      publish: DomainMetadata => Unit) extends GroupConverter {
+    private var domain: String = _
+    private val cfg = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    private var removed = false
+    private val slots: Array[Converter] =
+      (0 until g.getFieldCount).map { i =>
+        g.getFieldName(i) match {
+          case "domain" => strConv(domain = _)
+          case "configuration" => new StrKvConverter(cfg)
+          case "removed" => boolConv(removed = _)
+          case _ => noopConverter
+        }
+      }.toArray
+    override def getConverter(i: Int): Converter = slots(i)
+    override def start(): Unit = { domain = null; cfg.clear(); removed = false }
+    override def end(): Unit =
+      publish(DomainMetadata(domain, cfg.toMap, removed))
+  }
+
+  private final class TxnConverter(g: GroupType, publish: Txn => Unit)
+      extends GroupConverter {
+    private var appId: String = _
+    private var version = 0L
+    private val slots: Array[Converter] =
+      (0 until g.getFieldCount).map { i =>
+        g.getFieldName(i) match {
+          case "appId" => strConv(appId = _)
+          case "version" => longConv(version = _)
+          case _ => noopConverter
+        }
+      }.toArray
+    override def getConverter(i: Int): Converter = slots(i)
+    override def start(): Unit = { appId = null; version = 0L }
+    override def end(): Unit = publish(Txn(appId, version))
+  }
+
+  /** No-op group converter for unknown optional action groups written
+    * by a future engine version (the same forward-compat posture as
+    * the Group path's fromGroup, which skips unknown rows).
+    */
+  private final class NoopGroupConverter(g: GroupType)
+      extends GroupConverter {
+    private val slots: Array[Converter] =
+      (0 until g.getFieldCount).map { i =>
+        g.getType(i) match {
+          case gt: GroupType => new NoopGroupConverter(gt)
+          case _ => noopConverter
+        }
+      }.toArray
+    override def getConverter(i: Int): Converter = slots(i)
+    override def start(): Unit = ()
+    override def end(): Unit = ()
+  }
+
+  private final class ActionRootConverter(schema: MessageType)
+      extends GroupConverter {
+    var current: Action = _
+    private val slots: Array[Converter] =
+      (0 until schema.getFieldCount).map { i =>
+        val ft = schema.getType(i)
+        schema.getFieldName(i) match {
+          case "add" =>
+            new AddConverter(ft.asGroupType(), a => current = a)
+          case "metaData" =>
+            new MetaConverter(ft.asGroupType(), m => current = m)
+          case "protocol" =>
+            new ProtocolConverter(ft.asGroupType(), p => current = p)
+          case "domainMetadata" =>
+            new DomainConverter(ft.asGroupType(), d => current = d)
+          case "txn" =>
+            new TxnConverter(ft.asGroupType(), t => current = t)
+          case _ => ft match {
+            case gt: GroupType => new NoopGroupConverter(gt)
+            case _ => noopConverter
+          }
+        }
+      }.toArray
+    override def getConverter(i: Int): Converter = slots(i)
+    override def start(): Unit = current = null
+    override def end(): Unit =
+      // loud like the Group path's fromGroup: a null record would
+      // falsely signal EOF to parquet's reader loop (silent truncation)
+      if (current == null) throw new IllegalArgumentException(
+        "checkpoint parquet row with no action group set")
   }
 
   /** All actions of the part behind a [[LogStore]] read handle — THE
@@ -460,11 +791,11 @@ object CheckpointParquet {
   def read(r: LogFileReader): Seq[Action] = r.localPath match {
     case Some(lp) => read(java.nio.file.Paths.get(lp))
     case None =>
-      val reader = new GroupBuilder(new BytesInputFile(r.readAllBytes()))
+      val reader = new ActionBuilder(new BytesInputFile(r.readAllBytes()))
         .withConf(new Configuration())
         .build()
       try Iterator.continually(reader.read())
-        .takeWhile(_ != null).map(fromGroup).toVector
+        .takeWhile(_ != null).toVector
       finally reader.close()
   }
 

@@ -98,6 +98,9 @@ object ScanProfile {
         timed3("FULL decode, one part, one thread") {
           CheckpointParquet.read(oneReader).size
         }
+        timed3("FULL decode via Group API (reference)") {
+          CheckpointParquet.readViaGroups(parts.head).size
+        }
         timed3("LITE decode, one part, one thread") {
           CheckpointParquet.readAddsLite(oneReader).size
         }

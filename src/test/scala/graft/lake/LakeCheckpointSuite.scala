@@ -215,6 +215,57 @@ class LakeCheckpointSuite extends SparkSuite {
     assert(a === actions, "direct writer round-trip")
   }
 
+  test("direct parquet reader matches the Group-API reference reader " +
+      "and the lite projection agrees on its fields") {
+    // the r18 converter-tree reader must decode identically to the
+    // Group-API reference on every action shape (same fixture spread
+    // as the writer differential), from BOTH writers' files
+    val rnd = new scala.util.Random(13)
+    val actions: Seq[Action] =
+      Seq[Action](
+        Protocol(2, 5, Nil, Seq("rowTracking")),
+        Metadata("id BIGINT, täxt STRING, p STRING", Seq("p"), 99L,
+          Map("c1" -> "id >= 0"), Map("graft.rowTracking" -> "true")),
+        Txn("app-β", 3L),
+        DomainMetadata("graft.rowTracking",
+          Map("highWaterMark" -> "12345"), removed = false),
+        DomainMetadata("gone", Map.empty, removed = true)) ++
+      (0 until 500).map { i =>
+        AddFile(s"p=${i % 7}/f-$i-日本.parquet",
+          Map("p" -> (if (i % 11 == 0) null else s"${i % 7}")),
+          rnd.nextLong().abs, i.toLong,
+          if (i % 3 == 0) Map.empty
+          else Map("id" -> s"$i", "s" -> s"αβ$i\n\"q\""),
+          if (i % 3 == 0) Map.empty else Map("id" -> s"${i + 1}"),
+          if (i % 4 == 0) Map.empty else Map("id" -> i.toLong),
+          dvPath = if (i % 5 == 0) Some(s"_dv/$i.dv") else None,
+          dvCardinality = (i % 9).toLong,
+          bloomPath = if (i % 6 == 0) Some(s"_bloom/$i") else None,
+          baseRowId = if (i % 2 == 0) Some(i * 100L) else None,
+          clusterGen = if (i % 8 == 0) Some(i.toLong) else None)
+      }
+    val dir = tmpDir("ckpt-readdiff")
+    Seq(("direct", CheckpointParquet.write _),
+        ("groups", CheckpointParquet.writeViaGroups _)).foreach {
+      case (name, writeFn) =>
+        val f = java.nio.file.Paths.get(dir, s"$name.parquet")
+        writeFn(f, actions.iterator)
+        val direct = CheckpointParquet.read(f)
+        val reference = CheckpointParquet.readViaGroups(f)
+        assert(direct === reference,
+          s"direct/group READER divergence on the $name writer's file")
+        assert(direct === actions, s"direct reader round-trip ($name)")
+        // the lite projection returns the same adds with stats dropped
+        val lite = CheckpointParquet.readAddsLite(
+          LogStore.current.fileReader(f)).toVector
+        val expected = actions.collect { case a: AddFile =>
+          a.copy(minValues = Map.empty, maxValues = Map.empty,
+            nullCounts = Map.empty)
+        }
+        assert(lite === expected, s"lite projection divergence ($name)")
+    }
+  }
+
   test("a truncated GET body fails loudly instead of hanging the task") {
     // a GET-backed read (localPath = None) of a checkpoint part whose
     // body lost bytes MID-OBJECT: the intact trailing footer directs
