@@ -39,8 +39,8 @@ final class LakeLog(val tablePath: String) {
     if (!store.exists(p))
       throw new NoSuchFileException(
         s"version $version does not exist for lake table at $tablePath")
-    store.readLines(p).iterator
-      .map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toSeq
+    store.readLinesStream(p)(
+      _.map(_.trim).filter(_.nonEmpty).map(Action.fromJson).toVector)
   }
 
   /** Atomically commit `actions` as `version`. Throws

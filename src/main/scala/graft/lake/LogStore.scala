@@ -55,6 +55,19 @@ trait LogStore {
   /** Lines of `p`. */
   def readLines(p: Path): Seq[String]
 
+  /** Stream the lines of `p` through `f` — peak memory is one line
+    * plus whatever `f` retains, where [[readLines]] materializes the
+    * whole file's Strings first. Matters for BULK version files: a
+    * RESTORE of a 10⁷-file table legitimately commits ~7 GB of re-add
+    * lines in one version, and the post-restore fold must not hold
+    * 10⁷ Strings AND 10⁷ parsed actions at once. The default
+    * delegates to [[readLines]] (correct for any store; remote stores
+    * buffer one GET anyway); locally-backed stores override with a
+    * true line stream.
+    */
+  def readLinesStream[A](p: Path)(f: Iterator[String] => A): A =
+    f(readLines(p).iterator)
+
   /** Lines of `p` starting with one of `prefixes` (ASCII) — the
     * metadata-light replay's line filter PUSHED TO THE STORE, where a
     * locally-backed implementation can match raw bytes: a 100k-add
@@ -204,16 +217,32 @@ object LocalLogStore extends LogStore {
   override def readLines(p: Path): Seq[String] =
     Files.readAllLines(p).asScala.toSeq
 
+  override def readLinesStream[A](p: Path)(f: Iterator[String] => A): A = {
+    val r = Files.newBufferedReader(p)
+    try f(Iterator.continually(r.readLine()).takeWhile(_ != null))
+    finally r.close()
+  }
+
   /** Byte-level prefix scan: one read of the raw bytes, line starts
     * located by '\n', prefixes compared byte-for-byte, and ONLY
     * matching lines decoded to Strings — the 100k-add version file a
     * metadata fold walks costs one buffer and two decodes, not 100k
-    * String allocations.
+    * String allocations. Files past [[LocalLogStore.SLURP_MAX_BYTES]]
+    * take the STREAMING scan instead: a single commit can
+    * legitimately exceed the JVM's 2 GB array bound (a RESTORE of a
+    * 10⁷-file table writes ~7 GB of re-add lines in one version
+    * file — found by MetaScaleBench at 10⁷, where `readAllBytes`
+    * threw "Required array size too large" on the post-restore meta
+    * fold), and the scan only ever needs one buffer plus the line
+    * being decided.
     */
   override def readLinesWithPrefix(
       p: Path, prefixes: Seq[String]): Seq[String] = {
     val pfx = prefixes.map(
       _.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    val size = try Files.size(p) catch { case _: Throwable => 0L }
+    if (size > LocalLogStore.SLURP_MAX_BYTES)
+      return streamLinesWithPrefix(p, pfx)
     val bytes = Files.readAllBytes(p)
     val out = Seq.newBuilder[String]
     val n = bytes.length
@@ -246,6 +275,85 @@ object LocalLogStore extends LogStore {
       i = j + 1
     }
     out.result()
+  }
+
+  /** Slurp bound for the prefix scan; above it the streaming scan
+    * runs. Comfortably under the 2 GB array limit with headroom for
+    * the decode.
+    */
+  private[lake] var SLURP_MAX_BYTES: Long = 512L * 1024 * 1024
+
+  /** Streaming twin of the byte-prefix scan: chunked reads, one
+    * bounded buffer; each line's first bytes (past leading space/tab)
+    * decide the match, matching lines accumulate and decode, and the
+    * 10⁷ non-matching add lines of a bulk commit are DISCARDED as the
+    * chunks flow past — memory is one chunk plus the longest matching
+    * line, never the file.
+    */
+  private def streamLinesWithPrefix(
+      p: Path, pfx: Array[Array[Byte]]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val maxPfx = if (pfx.isEmpty) 0 else pfx.map(_.length).max
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      // per-line state, carried across chunk boundaries
+      val head = new java.io.ByteArrayOutputStream(maxPfx + 16)
+      var atLineStart = true // still skipping leading space/tab
+      var decided = false // head held enough bytes to test the prefixes
+      var keeping = false // line matched: accumulate to emit
+      var n = in.read(buf)
+      def matches(h: Array[Byte], len: Int): Boolean = {
+        var m = 0
+        while (m < pfx.length) {
+          val q = pfx(m)
+          if (len >= q.length) {
+            var k = 0
+            while (k < q.length && h(k) == q(k)) k += 1
+            if (k == q.length) return true
+          }
+          m += 1
+        }
+        false
+      }
+      def endLine(): Unit = {
+        if (!decided) {
+          // short line: decide on what we have
+          keeping = matches(head.toByteArray, head.size)
+        }
+        if (keeping) {
+          val h = head.toByteArray
+          var len = h.length
+          if (len > 0 && h(len - 1) == '\r') len -= 1
+          out += new String(h, 0, len,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        head.reset(); atLineStart = true; decided = false; keeping = false
+      }
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          val b = buf(i)
+          if (b == '\n') endLine()
+          else if (atLineStart && (b == ' ' || b == '\t')) ()
+          else {
+            atLineStart = false
+            if (!decided) {
+              head.write(b.toInt)
+              if (head.size >= maxPfx) {
+                decided = true
+                keeping = matches(head.toByteArray, head.size)
+                if (!keeping) head.reset()
+              }
+            } else if (keeping) head.write(b.toInt)
+          }
+          i += 1
+        }
+        n = in.read(buf)
+      }
+      if (head.size > 0 || keeping) endLine() // unterminated final line
+      out.result()
+    } finally in.close()
   }
 
   override def exists(p: Path): Boolean = Files.exists(p)

@@ -353,6 +353,14 @@ object MetaScaleBench {
       val fr0 = Snapshot.fullReplays.get()
       val h0 = usedHeap()
       LakeTable.forPath(spark, dir).restoreTo(preOverwriteV)
+      // isolate the DESIGN-retained state from the soft-ref caches the
+      // leg incidentally populated: under a large -Xmx, System.gc()
+      // does not clear SoftReferences (they age by free-heap LRU), so
+      // without this the delta measures cache accretion, not restore
+      // state (observed: 178 MB "delta" at -Xmx48g where -Xmx8g
+      // measures 0.9 MB for the same code)
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
       val dh = usedHeap() - h0
       printf("  restore heap delta: %.1f MB%n", dh / 1e6)
       require(Snapshot.fullReplays.get() == fr0,
@@ -423,6 +431,12 @@ object MetaScaleBench {
         src.getBatch(Some(SerializedOffset(s"$restoredV#$chunkFiles")),
           SerializedOffset(s"$restoredV#${2L * chunkFiles}"))
       }
+      // same soft-cache isolation as the restore leg: the retained
+      // state under test is the SOURCE's chunk index (src.initState),
+      // not the snapshot/summary soft caches the two getBatch calls
+      // warmed
+      Snapshot.clearCacheForTest()
+      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
       val dh = usedHeap() - h0
       printf("  stream chunk-state heap delta: %.1f MB%n", dh / 1e6)
       require(Snapshot.fullReplays.get() == fr0,

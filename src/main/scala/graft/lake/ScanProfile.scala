@@ -110,6 +110,13 @@ object ScanProfile {
             .map(r => CheckpointParquet.read(r)
               .count(_.isInstanceOf[AddFile])).sum()
         }
+        timed3("FULL via Groups, all parts, spark job") {
+          val ps = parts.map(_.toString)
+          spark.sparkContext.parallelize(ps, ps.size)
+            .map(p => CheckpointParquet
+              .readViaGroups(java.nio.file.Paths.get(p))
+              .count(_.isInstanceOf[AddFile])).sum()
+        }
         timed3("LITE decode, all parts, spark job") {
           spark.sparkContext.parallelize(readers, readers.size)
             .map(r => CheckpointParquet.readAddsLite(r).size).sum()

@@ -93,6 +93,38 @@ class LakeCoreSuite extends SparkSuite {
       .isInstanceOf[Metadata])
   }
 
+  test("streaming prefix scan equals the slurp scan (giant-commit path)") {
+    // a RESTORE of a 10⁷-file table writes a version file past the
+    // 2 GB array bound; the prefix scan must stream above the slurp
+    // threshold and return byte-identical results
+    val dir = tmpDir("stream-prefix")
+    val p = java.nio.file.Paths.get(dir, "big.json")
+    val rnd = new scala.util.Random(5)
+    val lines = new java.util.ArrayList[String]()
+    lines.add("""  {"commitInfo":{"timestamp":1,"operation":"RESTORE","parameters":{}}}""")
+    lines.add("\t" + Action.toJson(Metadata("id BIGINT", Nil, 1L)))
+    (0 until 20000).foreach { i =>
+      lines.add(Action.toJson(AddFile(s"p=1/f$i.parquet",
+        Map("p" -> "1"), rnd.nextLong().abs, 100L,
+        Map("id" -> s"$i"), Map("id" -> s"${i + 1}"), Map("id" -> 0L))))
+    }
+    lines.add(Action.toJson(Txn("app", 7L)))
+    java.nio.file.Files.write(p, lines)
+    val slurped = LogStore.current
+      .readLinesWithPrefix(p, Action.MetaLinePrefixes)
+    val prev = LocalLogStore.SLURP_MAX_BYTES
+    LocalLogStore.SLURP_MAX_BYTES = 1024L // force the streaming scan
+    val streamed =
+      try LogStore.current.readLinesWithPrefix(p, Action.MetaLinePrefixes)
+      finally LocalLogStore.SLURP_MAX_BYTES = prev
+    assert(streamed === slurped, "streaming/slurp prefix-scan divergence")
+    assert(streamed.exists(_.contains("\"metaData\"")))
+    assert(streamed.exists(_.contains("\"txn\"")))
+    // and the line-streaming reader sees every line
+    val n = LogStore.current.readLinesStream(p)(_.size)
+    assert(n === lines.size)
+  }
+
   test("commit-seeded meta tuple equals a cold metadata replay") {
     // the commit path seeds the metadata-light cache at its new
     // version (parent tuple + own actions); the seeded answer must be
