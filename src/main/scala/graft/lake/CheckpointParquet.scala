@@ -998,40 +998,95 @@ object CheckpointParquet {
       }
     }""")
 
+  /** The lite projection INTERSECTED with the part's own file schema:
+    * [[ADD_LITE_SCHEMA]] names every CURRENT add column, but parquet's
+    * `checkContains` rejects a requested field absent from the file —
+    * a part written by an older engine build (before baseRowId /
+    * clusterGen / bloomPath / numRecords / dvCardinality existed)
+    * would throw on the exact projection the direct full [[read]]
+    * tolerates by building its converter tree from the file schema.
+    * Missing columns simply drop out of the projection and decode at
+    * the same defaults the full reader uses. None when the file has
+    * no `add` group at all: parquet cannot project zero columns, so
+    * the read support falls back to the file's first column and the
+    * row mapper's `containsField` guard yields nothing.
+    */
+  private def liteProjectionFor(
+      fileSchema: MessageType): Option[MessageType] = {
+    if (!fileSchema.containsField("add")) return None
+    val fileAdd = fileSchema
+      .getType(fileSchema.getFieldIndex("add")).asGroupType()
+    val liteAdd = ADD_LITE_SCHEMA
+      .getType(ADD_LITE_SCHEMA.getFieldIndex("add")).asGroupType()
+    val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
+    liteAdd.getFields.forEach { f =>
+      if (fileAdd.containsField(f.getName)) { kept.add(f); () }
+    }
+    if (kept.isEmpty) None
+    else Some(new MessageType("add_lite",
+      new org.apache.parquet.schema.GroupType(
+        org.apache.parquet.schema.Type.Repetition.OPTIONAL, "add", kept)))
+  }
+
+  /** [[GroupReadSupport]] whose requested projection is
+    * [[liteProjectionFor]] of the ACTUAL file schema, computed in
+    * `init` where parquet hands the file schema over — older parts
+    * decode under exactly the columns they have.
+    */
+  private final class LiteReadSupport extends GroupReadSupport {
+    override def init(conf: Configuration,
+        kv: java.util.Map[String, String],
+        fileSchema: MessageType)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+        liteProjectionFor(fileSchema).getOrElse(
+          new MessageType("add_lite", fileSchema.getFields.get(0))))
+  }
+
   def readAddsLite(r: LogFileReader): Iterator[AddFile] = {
     val conf = new Configuration()
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport
-      .PARQUET_READ_SCHEMA, ADD_LITE_SCHEMA.toString)
     val reader = r.localPath match {
       case Some(lp) => ParquetReader
-        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(lp))
+        .builder(new LiteReadSupport(), new org.apache.hadoop.fs.Path(lp))
         .withConf(conf)
         .build()
-      case None => new GroupBuilder(new BytesInputFile(r.readAllBytes()))
+      case None =>
+        new ParquetReader.Builder[Group](
+            new BytesInputFile(r.readAllBytes())) {
+          override protected def getReadSupport()
+              : org.apache.parquet.hadoop.api.ReadSupport[Group] =
+            new LiteReadSupport()
+        }
         .withConf(conf)
         .build()
     }
     try Iterator.continually(reader.read())
       .takeWhile(_ != null)
       .flatMap { g =>
-        if (g.getFieldRepetitionCount("add") > 0) {
+        if (g.getType.containsField("add") &&
+            g.getFieldRepetitionCount("add") > 0) {
           val a = g.getGroup("add", 0)
+          val at = a.getType
+          def has(n: String) =
+            at.containsField(n) && a.getFieldRepetitionCount(n) > 0
+          def lng(n: String): Long = if (has(n)) a.getLong(n, 0) else 0L
+          def os(n: String): Option[String] =
+            if (has(n)) Some(a.getString(n, 0)) else None
+          def ol(n: String): Option[Long] =
+            if (has(n)) Some(a.getLong(n, 0)) else None
           Some(Interned.addFile(AddFile(
             path = a.getString("path", 0),
-            partitionValues = readMap(a, "partitionValues"),
-            size = a.getLong("size", 0),
-            numRecords = a.getLong("numRecords", 0),
-            dvPath = optString(a, "dvPath"),
-            dvCardinality = a.getLong("dvCardinality", 0),
-            bloomPath = optString(a, "bloomPath"),
-            baseRowId =
-              if (a.getFieldRepetitionCount("baseRowId") > 0)
-                Some(a.getLong("baseRowId", 0))
-              else None,
-            clusterGen =
-              if (a.getFieldRepetitionCount("clusterGen") > 0)
-                Some(a.getLong("clusterGen", 0))
-              else None)))
+            partitionValues =
+              if (at.containsField("partitionValues"))
+                readMap(a, "partitionValues")
+              else Map.empty,
+            size = lng("size"),
+            numRecords = lng("numRecords"),
+            dvPath = os("dvPath"),
+            dvCardinality = lng("dvCardinality"),
+            bloomPath = os("bloomPath"),
+            baseRowId = ol("baseRowId"),
+            clusterGen = ol("clusterGen"))))
         } else None
       }
       .toVector.iterator

@@ -266,6 +266,81 @@ class LakeCheckpointSuite extends SparkSuite {
     }
   }
 
+  test("lite projection tolerates checkpoint parts from older builds") {
+    // a part written before numRecords/dvCardinality/bloomPath/
+    // baseRowId/clusterGen existed: the lite projection must intersect
+    // with the FILE schema and decode missing columns at defaults —
+    // parquet's checkContains would otherwise reject the projection
+    // outright (the direct full read() already tolerates this by
+    // building its converter tree from the file schema)
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter,
+      GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val oldSchema = MessageTypeParser.parseMessageType("""
+      message graft_checkpoint {
+        optional group add {
+          required binary path (STRING);
+          repeated group partitionValues {
+            required binary key (STRING);
+            optional binary value (STRING);
+          }
+          required int64 size;
+          optional binary dvPath (STRING);
+        }
+      }""")
+    val f = java.nio.file.Paths.get(tmpDir("ckpt-old"), "old.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(oldSchema, conf)
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(f.toString))
+      .withConf(conf).build()
+    try (0 until 5).foreach { i =>
+      val g = new SimpleGroup(oldSchema)
+      val add = g.addGroup("add")
+      add.add("path", s"p=$i/f$i.parquet")
+      val kv = add.addGroup("partitionValues")
+      kv.add("key", "p"); kv.add("value", s"$i")
+      add.add("size", 100L + i)
+      if (i % 2 == 0) add.add("dvPath", s"_dv/$i.dv")
+      w.write(g)
+    } finally w.close()
+    val lite = CheckpointParquet
+      .readAddsLite(LogStore.current.fileReader(f)).toVector
+    assert(lite.size === 5)
+    lite.zipWithIndex.foreach { case (a, i) =>
+      assert(a.path === s"p=$i/f$i.parquet")
+      assert(a.partitionValues === Map("p" -> s"$i"))
+      assert(a.size === 100L + i)
+      assert(a.numRecords === 0L && a.dvCardinality === 0L)
+      assert(a.dvPath === (if (i % 2 == 0) Some(s"_dv/$i.dv") else None))
+      assert(a.bloomPath.isEmpty && a.baseRowId.isEmpty &&
+        a.clusterGen.isEmpty)
+    }
+    // a part with NO add group in its schema (foreign/meta-only
+    // writer): the projection fallback must yield an empty result,
+    // not a parquet error
+    val metaOnly = MessageTypeParser.parseMessageType("""
+      message graft_checkpoint {
+        optional group metaData {
+          required binary schemaDDL (STRING);
+        }
+      }""")
+    val f2 = java.nio.file.Paths.get(tmpDir("ckpt-old"), "meta.parquet")
+    val conf2 = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(metaOnly, conf2)
+    val w2 = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(f2.toString))
+      .withConf(conf2).build()
+    try {
+      val g = new SimpleGroup(metaOnly)
+      g.addGroup("metaData").add("schemaDDL", "id BIGINT")
+      w2.write(g)
+    } finally w2.close()
+    assert(CheckpointParquet
+      .readAddsLite(LogStore.current.fileReader(f2)).toVector.isEmpty)
+  }
+
   test("a truncated GET body fails loudly instead of hanging the task") {
     // a GET-backed read (localPath = None) of a checkpoint part whose
     // body lost bytes MID-OBJECT: the intact trailing footer directs
