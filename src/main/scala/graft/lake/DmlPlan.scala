@@ -129,11 +129,13 @@ private[lake] object DmlPlan {
     def subset(relPaths: Seq[String]): Snapshot =
       idx.syntheticSnap(idx.addsForPaths(relPaths))
     /** EXACT matched partition tuples for a partition-only filter —
-      * evaluated over the executor-deduplicated DISTINCT tuples, so
-      * the driver holds O(partitions) state, never candidate AddFiles.
+      * evaluated over the executor-deduplicated DISTINCT tuples (with
+      * their per-tuple live-file counts), so the driver holds
+      * O(partitions) state, never candidate AddFiles.
       */
     private def matchedTuples(filter: String)
-        : Option[(Int, Set[Map[String, String]])] = {
+        : Option[(Map[Map[String, String], Long],
+                  Set[Map[String, String]])] = {
       if (metadata.partitionColumns.isEmpty) return None
       // cheap reference check first (parse only — no file access);
       // non-partition references fall straight to the rewrite path
@@ -144,9 +146,9 @@ private[lake] object DmlPlan {
       }
       if (refs.isEmpty || !refs.forall(metadata.partitionColumns.contains))
         return None
-      val tuples = idx.distinctPartitionTuples()
+      val counts = idx.partitionTupleCounts()
       FilePruner.matchingPartitionTuples(metadata.partitionColumns,
-        schema, filter, tuples, Some(spark)).map((tuples.size, _))
+        schema, filter, counts.keys.toSeq, Some(spark)).map((counts, _))
     }
 
     def partitionOnlyMatches(filter: String): Option[Seq[String]] =
@@ -157,14 +159,16 @@ private[lake] object DmlPlan {
 
     override def partitionOnlyDelete(filter: String)
         : Option[Either[Seq[String], () => Iterator[String]]] =
-      matchedTuples(filter).map { case (nTuples, pvs) =>
+      matchedTuples(filter).map { case (counts, pvs) =>
         if (pvs.isEmpty) Left(Nil)
         else {
-          // estimate matched files from the partition fan-out — the
-          // per-partition average is exact enough to pick a commit
-          // shape (both shapes are correct; only driver state differs)
-          val est = idx.numFiles * pvs.size / math.max(1L, nTuples.toLong)
-          if (est < LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES)
+          // EXACT matched-file count from the per-tuple fold — a
+          // uniform average misroutes skewed layouts to the classic
+          // driver-path enumeration (both shapes are correct; only
+          // driver state differs, so the split must not undercount)
+          val matched = pvs.iterator
+            .map(pv => counts.getOrElse(pv, 0L)).sum
+          if (matched < LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES)
             Left(idx.addsForPartitions(pvs).map(_.path))
           else Right(() => idx.pathsForPartitionsStream(pvs))
         }

@@ -695,7 +695,10 @@ final class LakeTable private (
   /** Predicate DELETE (D5). Partition-only predicates are metadata-only:
     * whole files are dropped from the log without reading data.
     */
-  def delete(condition: String): Unit = {
+  def delete(condition: String): Unit =
+    deleteAttempt(condition, LakeTable.STREAMED_DELETE_REPLAN_ATTEMPTS)
+
+  private def deleteAttempt(condition: String, replansLeft: Int): Unit = {
     val plan = dmlPlan()
     LakeTable.assertNotAppendOnly(plan.metadata, "DELETE", tablePath)
     val cond = expr(condition)
@@ -715,15 +718,30 @@ final class LakeTable private (
         val now = System.currentTimeMillis()
         val readV = plan.version
         LakeTable.streamedPartitionDeletes.incrementAndGet()
-        LakeWriter.commitStreamedWithRetry(log, readV, Nil) { v =>
-          if (v != readV + 1) throw new ConflictingCommitException(
-            s"conflicting commit: version ${v - 1} of $tablePath " +
-            s"landed after this streamed partition DELETE planned " +
-            s"against version $readV; re-run the DELETE")
-          Seq(CommitInfo(now, "DELETE", Map("predicate" -> condition,
-            "streamed" -> "true")))
-        } { () => pathStream().map(p => RemoveFile(p, now): Action) }
-        ()
+        LakeTable.onStreamedDeletePlanned()
+        try {
+          LakeWriter.commitStreamedWithRetry(log, readV, Nil) { v =>
+            if (v != readV + 1) throw new ConflictingCommitException(
+              s"conflicting commit: version ${v - 1} of $tablePath " +
+              s"landed after this streamed partition DELETE planned " +
+              s"against version $readV; re-run the DELETE")
+            Seq(CommitInfo(now, "DELETE", Map("predicate" -> condition,
+              "streamed" -> "true")))
+          } { () => pathStream().map(p => RemoveFile(p, now): Action) }
+          ()
+        } catch {
+          // bounded REPLAN-and-retry: the conservative rule above
+          // aborts on ANY commit landing after the planned read
+          // version — including non-conflicting appends to other
+          // partitions — so under steady unrelated write traffic a
+          // one-shot streamed delete would lose the race every time
+          // (the classic path only conflicts on overlapping paths and
+          // retries inside commitWithRetry). Replanning re-reads the
+          // matched set at the new latest version, so each retry's
+          // tombstones are exact for its own read version.
+          case e: ConflictingCommitException if replansLeft > 0 =>
+            deleteAttempt(condition, replansLeft - 1)
+        }
       case None if LakeTable.dvEnabled(plan.metadata) =>
         deleteWithDv(plan, cond, condition)
       case None =>
@@ -2649,11 +2667,23 @@ object LakeTable {
     */
   private[graft] var STREAMED_PARTITION_DELETE_MIN_FILES: Long = 200000L
 
+  /** Bounded replans for a streamed partition DELETE whose
+    * conservative any-commit conflict rule lost the race to an
+    * unrelated writer (total attempts = 1 + this).
+    */
+  private[graft] var STREAMED_DELETE_REPLAN_ATTEMPTS: Int = 3
+
   /** Test hook: count of partition DELETEs that took the streamed
     * tombstone path.
     */
   private[graft] val streamedPartitionDeletes =
     new java.util.concurrent.atomic.AtomicLong
+
+  /** Test hook: invoked after a streamed partition DELETE has planned
+    * (read version pinned) and before its commit — a deterministic
+    * seam for injecting a racing commit.
+    */
+  private[graft] var onStreamedDeletePlanned: () => Unit = () => ()
 
   val DEFAULT_RETENTION_HOURS: Double = 168.0
   val RETENTION_CHECK_KEY = "spark.graft.lake.retentionDurationCheck.enabled"

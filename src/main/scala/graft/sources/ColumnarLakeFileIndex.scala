@@ -384,6 +384,42 @@ final class ColumnarLakeFileIndex private[sources] (
     (fromCkpt ++ tailAdds.map(_.partitionValues)).distinct
   }
 
+  /** [[distinctPartitionTuples]] WITH exact per-tuple live-file
+    * counts, folded inside the tasks (`reduceByKey`) so the driver
+    * still holds O(partitions) state. The streamed-vs-classic DML
+    * split routes on these counts: a uniform per-partition average
+    * misroutes skewed layouts — a matched set far above the streaming
+    * threshold could land on the classic path and drag the full path
+    * list through the driver, the exact state the streamed commit
+    * exists to avoid.
+    */
+  private[graft] def partitionTupleCounts()
+      : Map[Map[String, String], Long] = {
+    val fromCkpt: Seq[(Map[String, String], Long)] =
+      if (ckptParts.isEmpty) Nil
+      else {
+        val touched = spark.sparkContext.broadcast(tailTouched)
+        val readers = ckptParts.map(p =>
+          log.store.fileReader(java.nio.file.Paths.get(p)))
+        spark.sparkContext
+          .parallelize(readers, readers.size)
+          .flatMap { r =>
+            graft.lake.CheckpointParquet.readAddsLite(r)
+              .filter(a => !touched.value.contains(a.path))
+              .map(a => (a.partitionValues, 1L))
+          }
+          .reduceByKey(_ + _)
+          .collect().toSeq
+      }
+    val all = scala.collection.mutable.HashMap
+      .empty[Map[String, String], Long]
+    fromCkpt.foreach { case (pv, n) =>
+      all(pv) = all.getOrElse(pv, 0L) + n }
+    tailAdds.foreach { a =>
+      all(a.partitionValues) = all.getOrElse(a.partitionValues, 0L) + 1 }
+    all.toMap
+  }
+
   /** (relative path, dvPath, bloomPath) projection of the live set —
     * what FSCK's damage probe and VACUUM's protection set need:
     * path strings on the driver, never stats-bearing AddFiles.

@@ -125,6 +125,72 @@ class ColumnarIndexSuite extends SparkSuite {
       "streamed partition delete must be metadata-only")
   }
 
+  test("streamed partition DELETE replans past a racing unrelated commit") {
+    // the streamed path's conservative conflict rule aborts on ANY
+    // commit landing after the planned read version; a single racing
+    // UNRELATED append must not surface to the caller — the delete
+    // replans (bounded) and lands on the next attempt
+    val path = buildTable("col-stream-del-race")
+    val before = spark.read.format("lake").load(path)
+      .filter("p != 1").collect().toSet
+    val prevMin = LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES
+    LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES = 1L
+    val n0 = LakeTable.streamedPartitionDeletes.get()
+    // inject exactly one racing commit (to partition p=0, untouched by
+    // the delete) between planning and commit of the FIRST attempt
+    var raced = false
+    LakeTable.onStreamedDeletePlanned = () =>
+      if (!raced) {
+        raced = true
+        LakeWriter.write(
+          Seq((100L, "race", 0)).toDF("id", "name", "p"), path)
+      }
+    try LakeTable.forPath(spark, path).delete("p = 1")
+    finally {
+      LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES = prevMin
+      LakeTable.onStreamedDeletePlanned = () => ()
+    }
+    assert(raced, "the race hook never fired")
+    assert(LakeTable.streamedPartitionDeletes.get() === n0 + 2,
+      "expected the aborted first attempt plus the replanned retry")
+    // the delete landed AND the racing row (p=0) survived
+    val after = spark.read.format("lake").load(path).collect().toSet
+    assert(after.exists(_.getLong(0) == 100L), "racing append lost")
+    assert(spark.read.format("lake").load(path)
+      .filter("p = 1").count() === 0L)
+    assert(after.filter(_.getInt(2) != 1).size === before.size + 1)
+  }
+
+  test("streamed partition DELETE surfaces the conflict once replans " +
+      "are exhausted") {
+    val path = buildTable("col-stream-del-starve")
+    val prevMin = LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES
+    val prevReplans = LakeTable.STREAMED_DELETE_REPLAN_ATTEMPTS
+    LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES = 1L
+    LakeTable.STREAMED_DELETE_REPLAN_ATTEMPTS = 2
+    // EVERY attempt races a fresh commit: the bounded replan must give
+    // up loudly instead of looping forever
+    var fires = 0
+    LakeTable.onStreamedDeletePlanned = () => {
+      fires += 1
+      LakeWriter.write(
+        Seq((200L + fires, "race", 0)).toDF("id", "name", "p"), path)
+    }
+    try {
+      intercept[ConflictingCommitException] {
+        LakeTable.forPath(spark, path).delete("p = 1")
+      }
+      assert(fires === 3, s"expected 1 + 2 replanned attempts, got $fires")
+    } finally {
+      LakeTable.STREAMED_PARTITION_DELETE_MIN_FILES = prevMin
+      LakeTable.STREAMED_DELETE_REPLAN_ATTEMPTS = prevReplans
+      LakeTable.onStreamedDeletePlanned = () => ()
+    }
+    // nothing was deleted
+    assert(spark.read.format("lake").load(path)
+      .filter("p = 1").count() > 0L)
+  }
+
   test("preconditions: no-checkpoint falls back; DV state plans columnar") {
     // small table, no checkpoint yet -> tryBuild refuses, read works
     val p1 = tablePath("col-nockpt")
