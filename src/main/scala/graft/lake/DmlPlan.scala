@@ -34,6 +34,10 @@ private[lake] sealed trait DmlPlan {
   def transactions: Map[String, Long]
   /** true iff the live set is empty. */
   def isEmpty: Boolean
+  /** Live file count — the streamed-rewrite gate's cheap pre-test
+    * (metadata-resident on both plan shapes).
+    */
+  def liveFileCountHint: Long
   final def schema: StructType = StructType.fromDDL(metadata.schemaDDL)
   final def partitionColumns: Seq[String] = metadata.partitionColumns
   /** Full-table frame, external read semantics (DVs applied). */
@@ -94,6 +98,7 @@ private[lake] object DmlPlan {
     def metadata: Metadata = snap.metadata
     def transactions: Map[String, Long] = snap.transactions
     def isEmpty: Boolean = snap.files.isEmpty
+    def liveFileCountHint: Long = snap.files.size.toLong
     def toDF: DataFrame = snap.toDF(table.spark)
     def withMetaDF(withRowIds: Boolean): DataFrame =
       graft.sources.LakeDataSource.snapshotDFWithMeta(table.spark, snap,
@@ -121,6 +126,7 @@ private[lake] object DmlPlan {
     def metadata: Metadata = idx.metadata
     def transactions: Map[String, Long] = idx.tableTransactions
     def isEmpty: Boolean = idx.numFiles == 0L
+    def liveFileCountHint: Long = idx.numFiles
     def toDF: DataFrame = spark.baseRelationToDataFrame(
       graft.sources.LakeDataSource.columnarRelation(spark, idx, Map.empty))
     def withMetaDF(withRowIds: Boolean): DataFrame =

@@ -364,20 +364,286 @@ final class LakeMergeBuilder private[lake] (
     val bySourceHit: Column = bySourceClauses
       .map(cl => clauseCond(cl.cond))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val touchedMatched: Seq[String] =
-      if (matchedClauses.isEmpty || plan.isEmpty) Nil
-      else withFile
-        .join(src, condExpr, "left_semi")
-        .select(col(FILE)).distinct().collect()
-        .map(r => table.relativize(r.getString(0))).toSeq
-    val touchedBySource: Seq[String] =
-      if (bySourceClauses.isEmpty || plan.isEmpty) Nil
-      else withFile
-        .join(src, condExpr, "left_anti")
-        .filter(bySourceHit)
-        .select(col(FILE)).distinct().collect()
-        .map(r => table.relativize(r.getString(0))).toSeq
-    val touched: Seq[String] = (touchedMatched ++ touchedBySource).distinct
+
+    // ---- clause machinery, shared by the classic single-pass rewrite
+    // and the chunked path (all pure Column builders) -------------------
+    val matched = col(SRC).isNotNull
+    // One ordered clause list drives the whole rewrite: matched
+    // clauses guard on `matched`, by-source clauses on `!matched`
+    // (a target row is exactly one of the two, so the relative order
+    // across the groups never changes an outcome — within each group
+    // first-hit wins, Delta semantics).
+    val allClauses = matchedClauses ++ bySourceClauses
+    def clauseGuard(i: Int): Column =
+      if (i < matchedClauses.size) matched else !matched
+    // 0 = no clause applies (keep row as-is); i >= 1 = clause i-1 wins.
+    val clauseIdx = allClauses.zipWithIndex.foldLeft(
+      when(lit(false), lit(0))) { case (acc, (cl, i)) =>
+        acc.when(clauseGuard(i) && clauseCond(cl.cond), lit(i + 1))
+    }.otherwise(lit(0))
+    val deleteIdxs = allClauses.zipWithIndex.collect {
+      case (_: DeleteClause, i) => i + 1
+    }
+    val keep =
+      if (deleteIdxs.isEmpty) lit(true)
+      else !col(IDXC).isin(deleteIdxs: _*)
+    val updateIdxs = allClauses.zipWithIndex.collect {
+      case (_: UpdateClause, i) => i + 1
+    }
+    // clause-applied new value for a field: the winning update
+    // clause's expression, the original target value otherwise
+    def newValue(f: org.apache.spark.sql.types.StructField): Column = {
+      val updates = allClauses.zipWithIndex.collect {
+        case (UpdateClause(_, set), i) =>
+          val e = if (set == null) qualSrc(f.name)
+            else set.get(f.name).map(expr).getOrElse(qualTgt(f.name))
+          (i + 1, e)
+      }
+      updates.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
+        acc.when(col(IDXC) === i, e)
+      }.otherwise(qualTgt(f.name)).cast(f.dataType)
+    }
+    def newName(n: String) = s"_graft_mrg_$n"
+    // newSide: CDC postimages (table columns only); newSideData:
+    // the rows actually written, carrying the row id on tracked
+    // tables
+    def newSide(df: DataFrame): DataFrame =
+      df.select(fields.map(f => col(s"`${newName(f.name)}`").as(f.name)): _*)
+    def newSideData(df: DataFrame): DataFrame =
+      df.select(fields.map(f => col(s"`${newName(f.name)}`").as(f.name)) ++
+        (if (rt) Seq(col(s"`${RowTracking.COL}`")) else Nil): _*)
+    def oldSide(df: DataFrame): DataFrame =
+      df.select(fields.map(f => col(s"`${f.name}`")): _*)
+    // Delta semantics: error if one target row matches several source
+    // rows while the outcome would be nondeterministic — any update,
+    // or a conditional delete. An unconditional delete is unambiguous
+    // (deleting a row twice is still deleting it), which the GDPR
+    // RLIKE-delete (etl/05:100-107) depends on: one record can match
+    // several deletion patterns.
+    val ambiguous = matchedClauses.exists {
+      case _: UpdateClause => true
+      case DeleteClause(c) => c.isDefined
+    }
+
+    /** Touched rows of `relPaths` with (RID, DV identity) columns. */
+    def tgtTouchedFor(snapT: Snapshot, relPaths: Seq[String]): DataFrame =
+      aliasTgt(
+        table.readFilesWithMeta(snapT, relPaths, withRowIds = rt)
+        .withColumn(RID, concat_ws("#",
+          col("_metadata.file_path"), col("_metadata.row_index")))
+        .withColumn(DVFILE, col("_metadata.file_path"))
+        .withColumn(DVIDX, col("_metadata.row_index"))
+        .drop(graft.sources.LakeDataSource.META))
+
+    def joinedFor(tgtTouched: DataFrame): DataFrame =
+      if (matchedClauses.nonEmpty)
+        tgtTouched.join(src, condExpr, "left_outer")
+      else {
+        // By-source-only merge: no clause reads source values, so
+        // only a match FLAG is needed. A plain left-outer would
+        // duplicate a target row that matches k source rows (every
+        // copy kept, clause 0); semi-join + RID equi-join keeps
+        // exactly one copy per target row. (With matched clauses
+        // present the duplicate either errors via the multi-match
+        // check or is deleted, so this case is the only exposure.)
+        val matchedRids = tgtTouched.join(src, condExpr, "left_semi")
+          .select(col(RID)).withColumn(SRC, lit(true))
+        tgtTouched.join(matchedRids, Seq(RID), "left_outer")
+      }
+
+    /** The combined frame: (old values, clause-applied new values,
+      * matched flag, winning clause index) — the duplicate-match
+      * fail-fast, the rewritten data, the CDC preimage and the CDC
+      * postimage are all column-subsets of it.
+      */
+    def combinedRawFor(joined: DataFrame): DataFrame =
+      joined.withColumn(IDXC, clauseIdx).select(
+        fields.map(f => qualTgt(f.name).cast(f.dataType).as(f.name)) ++
+        fields.map(f => newValue(f).as(newName(f.name))) ++
+        Seq(col(RID), matched.as(MATCHED), col(IDXC)) ++
+        (if (rt)
+          Seq(qualTgt(RowTracking.COL).as(RowTracking.COL)) else Nil) ++
+        (if (dvMode) Seq(col(DVFILE), col(DVIDX)) else Nil): _*)
+
+    // ---- touched-file discovery, with the chunked-rewrite split --------
+    val matchedPathsDF: Option[DataFrame] =
+      if (matchedClauses.isEmpty || plan.isEmpty) None
+      else Some(withFile.join(src, condExpr, "left_semi").select(col(FILE)))
+    val bySourcePathsDF: Option[DataFrame] =
+      if (bySourceClauses.isEmpty || plan.isEmpty) None
+      else Some(withFile.join(src, condExpr, "left_anti")
+        .filter(bySourceHit).select(col(FILE)))
+    val touchedSplit: Either[Seq[String], StreamedRewrite.TouchedChunks] =
+      (matchedPathsDF.toSeq ++ bySourcePathsDF.toSeq)
+        .reduceOption(_.union(_)) match {
+        case None => Left(Nil)
+        // merge-on-read (DV) merges write O(clause-hit rows) and stage
+        // per-file DV descriptors — they keep the classic path
+        case Some(df) if dvMode =>
+          Left(df.distinct().collect()
+            .map(r => table.relativize(r.getString(0))).toSeq)
+        case Some(df) => StreamedRewrite.split(table, plan, df)
+      }
+
+    // ---- not-matched side builder (shared): anti-join → inserts --------
+    def insertsFrame(evalOnce: DataFrame => DataFrame): Option[DataFrame] =
+      if (insertClauses.isEmpty) None else {
+        val unmatched =
+          if (plan.isEmpty) src
+          else src.join(aliasTgt(plan.toDF), condExpr, "left_anti")
+        val insertIdx = insertClauses.zipWithIndex.foldLeft(
+          when(lit(false), lit(0))) { case (acc, (cl, i)) =>
+            acc.when(clauseCond(cl.cond), lit(i + 1))
+        }.otherwise(lit(0))
+        // evaluated once: the same rows feed the table write AND the
+        // CDC insert records, without re-running the anti-join
+        Some(evalOnce(
+          unmatched.withColumn(IDXC, insertIdx)
+            .filter(col(IDXC) > 0)
+            .select(fields.map { f =>
+              val values = insertClauses.zipWithIndex.map { case (cl, i) =>
+                val e = if (cl.values == null) qualSrc(f.name)
+                  else cl.values.get(f.name).map(expr).getOrElse(lit(null))
+                (i + 1, e)
+              }
+              values.foldLeft(when(lit(false), lit(null))) {
+                case (acc, (i, e)) => acc.when(col(IDXC) === i, e)
+              }.otherwise(lit(null)).cast(f.dataType).as(f.name)
+            }: _*)))
+      }
+
+    /** CHUNKED merge rewrite ([[StreamedRewrite]], non-DV): one
+      * bounded path chunk at a time — per chunk, the combined frame
+      * evaluates once (chunk-local cache, or parquet scratch when
+      * non-deterministic), feeds the dup fail-fast + data stage + CDC
+      * stage, and the staged actions spill. Inserts compute ONCE from
+      * the full-table anti-join (their semantics are global, not
+      * per-chunk), and the commit streams tombstones + spilled
+      * actions under the exact per-path conflict check. A RID (file,
+      * row) lives in exactly one chunk, so the per-chunk dup count is
+      * exact.
+      */
+    def chunkedMergeRewrite(
+        chunks: StreamedRewrite.TouchedChunks): Unit = {
+      val spill = new StreamedRewrite.ActionSpill
+      val now = System.currentTimeMillis()
+      val cdf = LakeTable.cdfEnabled(plan.metadata)
+      try {
+        try {
+          chunks.foreachChunk { (_, chunk) =>
+            val snapC = plan.subset(chunk)
+            val combinedRaw =
+              combinedRawFor(joinedFor(tgtTouchedFor(snapC, chunk)))
+            val combined = materializeIfNonDeterministic(combinedRaw)
+            val cached = combined eq combinedRaw
+            if (cached)
+              combined.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val dupTask =
+                if (!ambiguous) None
+                else Some(LakeWriter.inParallel("graft-merge-dup-check") {
+                  combined.filter(col(MATCHED)).groupBy(col(RID))
+                    .count().filter(col("count") > 1).limit(1).count()
+                })
+              val rewrittenRows = newSideData(combined.filter(keep))
+              if (plan.metadata.constraints.nonEmpty)
+                LakeWriter.enforceConstraints(
+                  rewrittenRows.drop(RowTracking.COL),
+                  plan.metadata.constraints, table.tablePath)
+              val cdcDirC = LakeWriter.newCdcDir(table.tablePath)
+              val cdcTaskC =
+                if (!cdf) None
+                else Some(LakeWriter.inParallel("graft-merge-cdc-stage") {
+                  val pre = oldSide(combined.filter(col(IDXC) > 0))
+                    .withColumn("_change_type", lit("delete"))
+                  val cdcDf =
+                    if (updateIdxs.isEmpty) pre
+                    else pre.unionByName(
+                      newSide(combined.filter(col(IDXC).isin(updateIdxs: _*)))
+                        .withColumn("_change_type", lit("insert")))
+                  LakeWriter.stageCdc(cdcDf, table.tablePath, cdcDirC)
+                })
+              spill.append(LakeWriter.stageAndAdopt(rewrittenRows,
+                table.tablePath, plan.partitionColumns,
+                ColumnMapping.overrides(plan.metadata),
+                plan.metadata.properties))
+              cdcTaskC.foreach(t => spill.append(LakeWriter.awaitTask(t)))
+              dupTask.foreach { t =>
+                if (LakeWriter.awaitTask(t) > 0)
+                  throw new IllegalStateException(
+                    "MERGE failed: a target row was matched by multiple " +
+                    "source rows with update/delete clauses present; " +
+                    "merge results would be nondeterministic. " +
+                    "Deduplicate the source on the merge key.")
+              }
+            } finally if (cached) { combined.unpersist(false); () }
+          }
+          // inserts: once, global anti-join semantics
+          insertsFrame(df => {
+            val out = materializeIfNonDeterministic(df)
+            if (out eq df) out.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            out
+          }).foreach { ins =>
+            try {
+              if (plan.metadata.constraints.nonEmpty)
+                LakeWriter.enforceConstraints(ins,
+                  plan.metadata.constraints, table.tablePath)
+              val cdcDirI = LakeWriter.newCdcDir(table.tablePath)
+              val cdcTaskI =
+                if (!cdf) None
+                else Some(LakeWriter.inParallel("graft-merge-cdc-stage") {
+                  LakeWriter.stageCdc(
+                    ins.withColumn("_change_type", lit("insert")),
+                    table.tablePath, cdcDirI)
+                })
+              spill.append(LakeWriter.stageAndAdopt(ins, table.tablePath,
+                plan.partitionColumns,
+                ColumnMapping.overrides(plan.metadata),
+                plan.metadata.properties))
+              cdcTaskI.foreach(t => spill.append(LakeWriter.awaitTask(t)))
+            } finally { ins.unpersist(false); () }
+          }
+          val params = Map("condition" -> condition,
+            "matchedClauses" -> matchedClauses.size.toString,
+            "notMatchedClauses" -> insertClauses.size.toString,
+            "notMatchedBySourceClauses" -> bySourceClauses.size.toString,
+            "streamedRewrite" -> "true")
+          LakeWriter.commitStreamedExactConflicts(table.log, plan.version,
+            () => chunks.pathIterator()) { _ =>
+            table.assertMetadataUnchangedAt(plan.version, plan.metadata,
+              "MERGE")
+            txn.foreach { case (a, v) =>
+              if (table.log.latestVersion > plan.version &&
+                  Snapshot.replayMetaTxns(table.log,
+                    table.log.latestVersion)._4.get(a).exists(_ >= v))
+                throw new TxnAlreadyCommittedException(a, v)
+            }
+            Seq(CommitInfo(now, "MERGE", params)) ++
+              txn.map { case (a, v) => Txn(a, v) }
+          } { () =>
+            chunks.pathIterator().map(p => RemoveFile(p, now): Action) ++
+              spill.iterator()
+          }
+          ()
+        } catch { case e: Throwable =>
+          spill.sweep(table.tablePath)
+          throw e
+        }
+      } finally {
+        spill.delete()
+        chunks.unpersist()
+      }
+    }
+
+    touchedSplit match {
+      case Right(chunks) =>
+        chunkedMergeRewrite(chunks)
+        return
+      case Left(_) => ()
+    }
+    val touched: Seq[String] = touchedSplit.left.getOrElse(Nil)
     // rewrite phase anchors on the TOUCHED-subset snapshot — under a
     // columnar plan this is the only point AddFiles reach the driver
     val snap = plan.subset(touched)
@@ -388,116 +654,24 @@ final class LakeMergeBuilder private[lake] (
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
     var dupCheck: Option[java.util.concurrent.FutureTask[Long]] = None
     val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
-      val tgtTouched = aliasTgt(
-        table.readFilesWithMeta(snap, touched, withRowIds = rt)
-        .withColumn(RID, concat_ws("#",
-          col("_metadata.file_path"), col("_metadata.row_index")))
-        .withColumn(DVFILE, col("_metadata.file_path"))
-        .withColumn(DVIDX, col("_metadata.row_index"))
-        .drop(graft.sources.LakeDataSource.META))
-      val joined =
-        if (matchedClauses.nonEmpty)
-          tgtTouched.join(src, condExpr, "left_outer")
-        else {
-          // By-source-only merge: no clause reads source values, so
-          // only a match FLAG is needed. A plain left-outer would
-          // duplicate a target row that matches k source rows (every
-          // copy kept, clause 0); semi-join + RID equi-join keeps
-          // exactly one copy per target row. (With matched clauses
-          // present the duplicate either errors via the multi-match
-          // check or is deleted, so this case is the only exposure.)
-          val matchedRids = tgtTouched.join(src, condExpr, "left_semi")
-            .select(col(RID)).withColumn(SRC, lit(true))
-          tgtTouched.join(matchedRids, Seq(RID), "left_outer")
-        }
-      val matched = col(SRC).isNotNull
-
-      // One ordered clause list drives the whole rewrite: matched
-      // clauses guard on `matched`, by-source clauses on `!matched`
-      // (a target row is exactly one of the two, so the relative order
-      // across the groups never changes an outcome — within each group
-      // first-hit wins, Delta semantics).
-      val allClauses = matchedClauses ++ bySourceClauses
-      def clauseGuard(i: Int): Column =
-        if (i < matchedClauses.size) matched else !matched
-
-      // 0 = no clause applies (keep row as-is); i >= 1 = clause i-1 wins.
-      val clauseIdx = allClauses.zipWithIndex.foldLeft(
-        when(lit(false), lit(0))) { case (acc, (cl, i)) =>
-          acc.when(clauseGuard(i) && clauseCond(cl.cond), lit(i + 1))
-      }.otherwise(lit(0))
-      val deleteIdxs = allClauses.zipWithIndex.collect {
-        case (_: DeleteClause, i) => i + 1
-      }
-      val keep =
-        if (deleteIdxs.isEmpty) lit(true)
-        else !col(IDXC).isin(deleteIdxs: _*)
-
-      // clause-applied new value for a field: the winning update
-      // clause's expression, the original target value otherwise
-      def newValue(f: org.apache.spark.sql.types.StructField): Column = {
-        val updates = allClauses.zipWithIndex.collect {
-          case (UpdateClause(_, set), i) =>
-            val e = if (set == null) qualSrc(f.name)
-              else set.get(f.name).map(expr).getOrElse(qualTgt(f.name))
-            (i + 1, e)
-        }
-        updates.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
-          acc.when(col(IDXC) === i, e)
-        }.otherwise(qualTgt(f.name)).cast(f.dataType)
-      }
-      def newName(n: String) = s"_graft_mrg_$n"
-
-      // ONE combined frame carries (old values, clause-applied new
-      // values, matched flag, winning clause index); the duplicate-match
-      // fail-fast, the rewritten data, the CDC preimage, and the CDC
-      // postimage are all column-subsets of it, and evaluateOnce
-      // (stage-to-parquet or cache) guarantees the target×source join
-      // runs a single time for all four consumers.
+      // ONE combined frame; evaluateOnce (stage-to-parquet or cache)
+      // guarantees the target×source join runs a single time for all
+      // four consumers.
       val combined = evaluateOnce(
-        joined.withColumn(IDXC, clauseIdx).select(
-          fields.map(f => qualTgt(f.name).cast(f.dataType).as(f.name)) ++
-          fields.map(f => newValue(f).as(newName(f.name))) ++
-          Seq(col(RID), matched.as(MATCHED), col(IDXC)) ++
-          (if (rt)
-            Seq(qualTgt(RowTracking.COL).as(RowTracking.COL)) else Nil) ++
-          (if (dvMode) Seq(col(DVFILE), col(DVIDX)) else Nil): _*))
+        combinedRawFor(joinedFor(tgtTouchedFor(snap, touched))))
 
-      // Delta semantics: error if one target row matches several source
-      // rows while the outcome would be nondeterministic — any update,
-      // or a conditional delete. An unconditional delete is unambiguous
-      // (deleting a row twice is still deleting it), which the GDPR
-      // RLIKE-delete (etl/05:100-107) depends on: one record can match
-      // several deletion patterns. The check is an agg over the shared
-      // combined frame (no second join evaluation), launched on its own
-      // thread so it OVERLAPS the rewrite write — both consumers
-      // materialize the same cache blocks under Spark's block locks.
-      // The result is awaited before anything is committed; on a dup
-      // the staged (still unreferenced) files are deleted and the
-      // operation fails exactly as an eager check would.
-      val ambiguous = matchedClauses.exists {
-        case _: UpdateClause => true
-        case DeleteClause(c) => c.isDefined
-      }
+      // The dup check is an agg over the shared combined frame (no
+      // second join evaluation), launched on its own thread so it
+      // OVERLAPS the rewrite write — both consumers materialize the
+      // same cache blocks under Spark's block locks. The result is
+      // awaited before anything is committed; on a dup the staged
+      // (still unreferenced) files are deleted and the operation
+      // fails exactly as an eager check would.
       if (ambiguous)
         dupCheck = Some(LakeWriter.inParallel("graft-merge-dup-check") {
           combined.filter(col(MATCHED)).groupBy(col(RID))
             .count().filter(col("count") > 1).limit(1).count()
         })
-
-      val updateIdxs = allClauses.zipWithIndex.collect {
-        case (_: UpdateClause, i) => i + 1
-      }
-      // newSide: CDC postimages (table columns only); newSideData:
-      // the rows actually written, carrying the row id on tracked
-      // tables
-      def newSide(df: DataFrame): DataFrame =
-        df.select(fields.map(f => col(s"`${newName(f.name)}`").as(f.name)): _*)
-      def newSideData(df: DataFrame): DataFrame =
-        df.select(fields.map(f => col(s"`${newName(f.name)}`").as(f.name)) ++
-          (if (rt) Seq(col(s"`${RowTracking.COL}`")) else Nil): _*)
-      def oldSide(df: DataFrame): DataFrame =
-        df.select(fields.map(f => col(s"`${f.name}`")): _*)
 
       // persisted CDC for the matched side: every clause-hit row's
       // preimage as delete; update-clause rows also emit a postimage
@@ -521,30 +695,7 @@ final class LakeMergeBuilder private[lake] (
     }
 
     // ---- not-matched side: anti-join → inserts ---------------------------
-    val inserts: Option[DataFrame] = if (insertClauses.isEmpty) None else {
-      val unmatched =
-        if (plan.isEmpty) src
-        else src.join(aliasTgt(plan.toDF), condExpr, "left_anti")
-      val insertIdx = insertClauses.zipWithIndex.foldLeft(
-        when(lit(false), lit(0))) { case (acc, (cl, i)) =>
-          acc.when(clauseCond(cl.cond), lit(i + 1))
-      }.otherwise(lit(0))
-      // evaluated once: the same rows feed the table write AND the
-      // CDC insert records below, without re-running the anti-join
-      Some(evaluateOnce(
-        unmatched.withColumn(IDXC, insertIdx)
-          .filter(col(IDXC) > 0)
-          .select(fields.map { f =>
-            val values = insertClauses.zipWithIndex.map { case (cl, i) =>
-              val e = if (cl.values == null) qualSrc(f.name)
-                else cl.values.get(f.name).map(expr).getOrElse(lit(null))
-              (i + 1, e)
-            }
-            values.foldLeft(when(lit(false), lit(null))) { case (acc, (i, e)) =>
-              acc.when(col(IDXC) === i, e)
-            }.otherwise(lit(null)).cast(f.dataType).as(f.name)
-          }: _*)))
-    }
+    val inserts: Option[DataFrame] = insertsFrame(evaluateOnce)
 
     val output = (rewritten, inserts) match {
       // allowMissingColumns: on tracked tables the rewrite side

@@ -745,8 +745,18 @@ final class LakeTable private (
       case None if LakeTable.dvEnabled(plan.metadata) =>
         deleteWithDv(plan, cond, condition)
       case None =>
-        val touched = plan.touchedPaths(cond)
-        if (touched.nonEmpty) {
+        val discovery =
+          if (plan.isEmpty) None
+          else Some(plan.withMetaDF
+            .filter(coalesce(cond, lit(false)))
+            .select(col("_metadata.file_path")))
+        val splitTouched = discovery
+          .map(StreamedRewrite.split(this, plan, _))
+          .getOrElse(Left(Nil))
+        splitTouched match {
+          case Right(chunks) =>
+            streamedRewriteDelete(plan, cond, condition, chunks)
+          case Left(touched) if touched.nonEmpty =>
           // rewrite phase operates on the TOUCHED-subset snapshot —
           // under the columnar plan the driver first materializes
           // AddFiles here, and only for the touched set
@@ -782,7 +792,59 @@ final class LakeTable private (
             LakeWriter.sweepStaged(tablePath, adds, cdcTask, Some(cdcDir))
             throw e
           }
+          case Left(_) => // nothing matched
         }
+    }
+  }
+
+  /** CHUNKED copy-on-write DELETE ([[StreamedRewrite]]): the touched
+    * set rewrites one bounded path chunk at a time (subset fetch,
+    * kept-rows stage, per-chunk CDC), staged actions spill to local
+    * disk, and the commit streams tombstones + spilled actions — the
+    * driver holds O(chunk) state while the touched count is
+    * table-sized.
+    */
+  private def streamedRewriteDelete(plan: DmlPlan, cond: Column,
+      condition: String, chunks: StreamedRewrite.TouchedChunks): Unit = {
+    val now = System.currentTimeMillis()
+    val spill = new StreamedRewrite.ActionSpill
+    try {
+      try {
+        chunks.foreachChunk { (_, chunk) =>
+          val snapC = plan.subset(chunk)
+          val kept = readForRewrite(snapC, chunk)
+            .filter(!coalesce(cond, lit(false)))
+          val cdcDir = LakeWriter.newCdcDir(tablePath)
+          val cdcTask =
+            if (!LakeTable.cdfEnabled(snapC)) None
+            else Some(LakeWriter.inParallel("graft-delete-cdc-stage") {
+              LakeWriter.stageCdc(
+                readFiles(snapC, chunk).filter(coalesce(cond, lit(false)))
+                  .withColumn("_change_type", lit("delete")),
+                tablePath, cdcDir)
+            })
+          spill.append(LakeWriter.stageAndAdopt(kept, tablePath,
+            snapC.partitionColumns, ColumnMapping.overrides(snapC.metadata),
+            snapC.metadata.properties))
+          cdcTask.foreach(t => spill.append(LakeWriter.awaitTask(t)))
+        }
+        LakeWriter.commitStreamedExactConflicts(log, plan.version,
+          () => chunks.pathIterator()) { _ =>
+          assertMetadataUnchangedAt(plan.version, plan.metadata, "DELETE")
+          Seq(CommitInfo(now, "DELETE", Map("predicate" -> condition,
+            "streamedRewrite" -> "true")))
+        } { () =>
+          chunks.pathIterator().map(p => RemoveFile(p, now): Action) ++
+            spill.iterator()
+        }
+        ()
+      } catch { case e: Throwable =>
+        spill.sweep(tablePath)
+        throw e
+      }
+    } finally {
+      spill.delete()
+      chunks.unpersist()
     }
   }
 
@@ -1059,7 +1121,15 @@ final class LakeTable private (
     val cond = expr(condition)
     if (LakeTable.dvEnabled(plan.metadata))
       return updateWithDv(plan, cond, condition, set)
-    val touched = plan.touchedPaths(cond)
+    if (plan.isEmpty) return
+    val touched = StreamedRewrite.split(this, plan,
+      plan.withMetaDF
+        .filter(coalesce(cond, lit(false)))
+        .select(col("_metadata.file_path"))) match {
+      case Right(chunks) =>
+        return streamedRewriteUpdate(plan, cond, condition, set, chunks)
+      case Left(t) => t
+    }
     if (touched.isEmpty) return
     val snap = plan.subset(touched)
     val matchedFlag = coalesce(cond, lit(false))
@@ -1148,6 +1218,102 @@ final class LakeTable private (
     } finally {
       if (setsDeterministic) projected.unpersist()
       scratch.foreach(LakeWriter.deleteRecursively)
+    }
+  }
+
+  /** CHUNKED copy-on-write UPDATE ([[StreamedRewrite]]) — the UPDATE
+    * twin of [[streamedRewriteDelete]]: per chunk, the one-evaluated
+    * projection (old values, SET-applied new values, matched flag)
+    * materializes with the same determinism discipline as the classic
+    * path (DISK_ONLY cache, or parquet scratch for non-deterministic
+    * SETs), feeds the data stage + CDC stage, and the staged actions
+    * spill; the commit streams tombstones + spilled actions.
+    */
+  private def streamedRewriteUpdate(plan: DmlPlan, cond: Column,
+      condition: String, set: Map[String, String],
+      chunks: StreamedRewrite.TouchedChunks): Unit = {
+    val now = System.currentTimeMillis()
+    val fields = plan.schema.fields.toSeq
+    val matchedFlag = coalesce(cond, lit(false))
+    def newName(n: String) = s"_graft_upd_$n"
+    val rt = RowTracking.enabled(plan.metadata.properties)
+    val rtCols = if (rt) Seq(col(quoted(RowTracking.COL))) else Nil
+    val spill = new StreamedRewrite.ActionSpill
+    try {
+      try {
+        chunks.foreachChunk { (_, chunk) =>
+          val snapC = plan.subset(chunk)
+          val raw = readForRewrite(snapC, chunk).select(
+            fields.map(f => col(quoted(f.name))) ++
+            fields.map { f =>
+              (set.get(f.name) match {
+                case Some(e) => when(matchedFlag, expr(e))
+                  .otherwise(col(quoted(f.name)))
+                case None => col(quoted(f.name))
+              }).cast(f.dataType).as(newName(f.name))
+            } ++ rtCols :+ matchedFlag.as("_graft_upd_matched"): _*)
+          val setsDeterministic = raw.queryExecution.analyzed
+            .expressions.forall(_.deterministic)
+          var scratch: Option[java.nio.file.Path] = None
+          val projected =
+            if (setsDeterministic)
+              raw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            else {
+              val dir = Paths.get(tablePath,
+                s".staging-upd-${java.util.UUID.randomUUID()}")
+              raw.write.mode("overwrite").parquet(dir.toString)
+              scratch = Some(dir)
+              spark.read.parquet(dir.toString)
+            }
+          try {
+            val updated = projected.select(
+              fields.map(f => col(quoted(newName(f.name))).as(f.name)) ++
+                rtCols: _*)
+            if (snapC.metadata.constraints.nonEmpty)
+              LakeWriter.enforceConstraints(updated.drop(RowTracking.COL),
+                snapC.metadata.constraints, tablePath)
+            val matchedRows = projected.filter(col("_graft_upd_matched"))
+            val pre = matchedRows
+              .select(fields.map(f => col(quoted(f.name))): _*)
+              .withColumn("_change_type", lit("delete"))
+            val post = matchedRows
+              .select(fields.map(f =>
+                col(quoted(newName(f.name))).as(f.name)): _*)
+              .withColumn("_change_type", lit("insert"))
+            val cdcDir = LakeWriter.newCdcDir(tablePath)
+            val cdcTask =
+              if (!LakeTable.cdfEnabled(snapC)) None
+              else Some(LakeWriter.inParallel("graft-update-cdc-stage") {
+                LakeWriter.stageCdc(pre.unionByName(post), tablePath,
+                  cdcDir)
+              })
+            spill.append(LakeWriter.stageAndAdopt(updated, tablePath,
+              snapC.partitionColumns,
+              ColumnMapping.overrides(snapC.metadata),
+              snapC.metadata.properties))
+            cdcTask.foreach(t => spill.append(LakeWriter.awaitTask(t)))
+          } finally {
+            if (setsDeterministic) { projected.unpersist(false); () }
+            scratch.foreach(LakeWriter.deleteRecursively)
+          }
+        }
+        LakeWriter.commitStreamedExactConflicts(log, plan.version,
+          () => chunks.pathIterator()) { _ =>
+          assertMetadataUnchangedAt(plan.version, plan.metadata, "UPDATE")
+          Seq(CommitInfo(now, "UPDATE", Map("predicate" -> condition,
+            "streamedRewrite" -> "true")))
+        } { () =>
+          chunks.pathIterator().map(p => RemoveFile(p, now): Action) ++
+            spill.iterator()
+        }
+        ()
+      } catch { case e: Throwable =>
+        spill.sweep(tablePath)
+        throw e
+      }
+    } finally {
+      spill.delete()
+      chunks.unpersist()
     }
   }
 
@@ -1326,19 +1492,39 @@ final class LakeTable private (
     * the reference's manual rollback, D12/etl/05:203-209): the file set
     * and schema of `version` become the current state; history is
     * preserved (nothing is rewritten, only log references change).
+    *
+    * The diff is per ENTRY, not per path: a file live at both versions
+    * whose mutable entry facts changed in between (a deletion vector
+    * added or replaced, a bloom/row-id/cluster re-add) is re-added
+    * with the TARGET's entry — restoring to a pre-DV-delete version
+    * really does resurrect the soft-deleted rows (Delta's semantics),
+    * and the restored state equals the target state exactly. That
+    * exact equality is what lets the restore publish a checkpoint
+    * that REUSES the target's manifest slices
+    * ([[LakeLog.checkpointAfterRestore]]), keeping the next cadence
+    * off the all-dirty worst path.
     */
   def restoreTo(version: Long): Unit = {
-    // the CURRENT side contributes only its path set, metadata, and
-    // read version — a columnar path projection on big tables
-    val (curVersion, curMeta, currentPathSeq)
-        : (Long, Metadata, Seq[String]) = columnarIdx() match {
+    // the CURRENT side contributes its (path -> mutable entry facts)
+    // map, metadata, and read version — a columnar lite projection on
+    // big tables (path strings + three optionals; never stats-bearing
+    // AddFiles)
+    type Mut = (Option[String], Option[String], Option[Long], Option[Long])
+    def mutOf(a: AddFile): Mut =
+      (a.dvPath, a.bloomPath, a.baseRowId, a.clusterGen)
+    val (curVersion, curMeta, curMut)
+        : (Long, Metadata, Map[String, Mut]) = columnarIdx() match {
       case Some(idx) =>
-        (idx.version, idx.metadata, idx.pathSizes().map(_._1))
+        (idx.version, idx.metadata,
+          idx.pathMutables()
+            .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap)
       case None =>
         val current = snapshot()
-        (current.version, current.metadata, current.files.map(_.path))
+        (current.version, current.metadata,
+          current.files.map(f => f.path -> mutOf(f)).toMap)
     }
-    val currentPaths = currentPathSeq.toSet
+    val currentPaths = curMut.keySet
+    val currentPathSeq = curMut.keysIterator.toSeq
     val now = System.currentTimeMillis()
     // The TARGET side's entries ARE the re-add actions — but they need
     // not all be resident at once: with a columnar index at the target
@@ -1373,19 +1559,20 @@ final class LakeTable private (
           s"(first: ${missing.head})")
         val targetPaths = targetPathSeq.toSet
         val removed = currentPathSeq.filterNot(targetPaths.contains)
-        val readds = targetPathSeq.filterNot(currentPaths.contains)
         val head = Seq(CommitInfo(now, "RESTORE",
           Map("version" -> version.toString))) ++
           (if (targetMeta.schemaDDL != curMeta.schemaDDL ||
             targetMeta.partitionColumns != curMeta.partitionColumns)
             Seq(targetMeta) else Nil)
-        LakeWriter.commitStreamedWithRetry(log, curVersion, removed)(
+        val rv = LakeWriter.commitStreamedWithRetry(
+          log, curVersion, removed)(
           _ => head) { () =>
           removed.iterator.map(p => RemoveFile(p, now): Action) ++
             tIdx.liveAddsStream()
-              .filter(a => !currentPaths.contains(a.path))
+              // entry diff: absent OR mutable facts changed -> re-add
+              .filter(a => !curMut.get(a.path).contains(mutOf(a)))
         }
-        ()
+        LakeTable.manifestAfterRestore(log, rv, curVersion, version)
       case None =>
         val target = snapshot(version)
         val missing = target.files.filterNot(f =>
@@ -1396,16 +1583,17 @@ final class LakeTable private (
           s"(first: ${missing.head.path})")
         val targetPaths = target.files.map(_.path).toSet
         val removed = currentPathSeq.filterNot(targetPaths.contains)
-        LakeWriter.commitWithRetry(log, curVersion, removed) { _ =>
+        val rv = LakeWriter.commitWithRetry(log, curVersion, removed) { _ =>
           Seq(CommitInfo(now, "RESTORE",
             Map("version" -> version.toString))) ++
             (if (target.metadata.schemaDDL != curMeta.schemaDDL ||
               target.partitionColumns != curMeta.partitionColumns)
               Seq(target.metadata) else Nil) ++
             removed.map(p => RemoveFile(p, now)) ++
-            target.files.filterNot(f => currentPaths.contains(f.path))
+            target.files.filterNot(f =>
+              curMut.get(f.path).contains(mutOf(f)))
         }
-        ()
+        LakeTable.manifestAfterRestore(log, rv, curVersion, version)
     }
   }
 
@@ -2607,11 +2795,19 @@ final class LakeTable private (
     */
   private def assertMetadataUnchanged(
       snap: Snapshot, operation: String): Unit =
-    if (log.latestVersion > snap.version &&
-        Snapshot.replayMeta(log, log.latestVersion)._1 != snap.metadata)
+    assertMetadataUnchangedAt(snap.version, snap.metadata, operation)
+
+  /** [[assertMetadataUnchanged]] for callers holding a (version,
+    * metadata) pair instead of a snapshot (the chunked rewrites'
+    * plans).
+    */
+  private[lake] def assertMetadataUnchangedAt(
+      readVersion: Long, meta: Metadata, operation: String): Unit =
+    if (log.latestVersion > readVersion &&
+        Snapshot.replayMeta(log, log.latestVersion)._1 != meta)
       throw new ConflictingCommitException(
         s"table metadata of $tablePath changed concurrently with " +
-        s"this $operation (read version ${snap.version}); re-run " +
+        s"this $operation (read version $readVersion); re-run " +
         "the operation")
 
   private[lake] def commitRewrite(
@@ -2667,11 +2863,42 @@ object LakeTable {
     */
   private[graft] var STREAMED_PARTITION_DELETE_MIN_FILES: Long = 200000L
 
+  /** Touched-file count above which a copy-on-write MERGE/UPDATE/
+    * DELETE rewrite goes CHUNKED ([[StreamedRewrite]]): the driver
+    * holds one chunk's paths + AddFiles at a time and the commit
+    * streams from a spill, instead of the classic whole-touched-set
+    * residency. Var for suite/bench control; the default keeps every
+    * realistic interactive rewrite on the classic single-pass path.
+    */
+  private[graft] var STREAMED_REWRITE_MIN_FILES: Long = 200000L
+
+  /** Path-chunk size of a chunked rewrite (driver residency bound). */
+  private[graft] var REWRITE_CHUNK_FILES: Long = 100000L
+
   /** Bounded replans for a streamed partition DELETE whose
     * conservative any-commit conflict rule lost the race to an
     * unrelated writer (total attempts = 1 + this).
     */
   private[graft] var STREAMED_DELETE_REPLAN_ATTEMPTS: Int = 3
+
+  /** Best-effort slice-reuse checkpoint after a RESTORE
+    * ([[LakeLog.checkpointAfterRestore]]). Published ONLY when the
+    * restore landed without an interleaving commit (rv == read + 1):
+    * a racing append's file would be live at rv but absent from the
+    * target's slices, and a manifest missing a live file is data
+    * loss — the retry-interleaved case falls back to the regular
+    * cadence. Checkpoint failure never fails the restore itself.
+    */
+  private def manifestAfterRestore(
+      log: LakeLog, rv: Long, readVersion: Long, targetV: Long): Unit =
+    if (rv == readVersion + 1) {
+      try { log.checkpointAfterRestore(rv, targetV); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[lake] post-restore checkpoint of " +
+          s"${log.tablePath} failed (cadence will recover): " +
+          e.getMessage)
+      }
+    }
 
   /** Test hook: count of partition DELETEs that took the streamed
     * tombstone path.

@@ -977,6 +977,68 @@ object LakeWriter {
     retryLoop(log, readVersion, removedRelPaths)(
       v => log.commitStreamed(v, head(v), bulk))
 
+  /** [[commitStreamedWithRetry]] whose per-path conflict check keeps
+    * the CLASSIC exactness without a driver-resident path set: the
+    * INTERLEAVED commits' touched paths are the resident side
+    * (O(their size) — interactive commits are small), and OUR paths
+    * stream chunk-buffered against them. An interleaved commit bigger
+    * than [[LakeWriter.EXACT_CONFLICT_MAX_THEIRS]] (another bulk
+    * writer) degrades to a conservative abort rather than
+    * materializing a second table-sized set.
+    */
+  private[lake] def commitStreamedExactConflicts(
+      log: LakeLog,
+      readVersion: Long,
+      ourPaths: () => Iterator[String])(
+      head: Long => Seq[Action])(
+      bulk: () => Iterator[Action]): Long = {
+    var attempts = 0
+    if (log.exists && log.latestVersion >= 0)
+      LakeProtocol.assertWritable(
+        Snapshot.replayMeta(log, log.latestVersion)._2, log.tablePath)
+    while (true) {
+      val latest = log.latestVersion
+      if (readVersion >= 0 && latest > readVersion) {
+        val theirs = scala.collection.mutable.HashSet.empty[String]
+        ((readVersion + 1) to latest).foreach { v =>
+          log.readVersion(v).foreach {
+            case r: RemoveFile => theirs += r.path; ()
+            // a DV/metadata re-add supersedes the file in place — the
+            // same conflict the classic retryLoop flags
+            case a: AddFile => theirs += a.path; ()
+            case _ => ()
+          }
+          if (theirs.size > EXACT_CONFLICT_MAX_THEIRS)
+            throw new ConflictingCommitException(
+              s"conflicting commit: version $v of ${log.tablePath} " +
+              s"touched over $EXACT_CONFLICT_MAX_THEIRS files while " +
+              s"this streamed rewrite (reading version $readVersion) " +
+              "was staging. Re-run the operation.")
+        }
+        if (theirs.nonEmpty) ourPaths().foreach { p =>
+          if (theirs.contains(p)) throw new ConflictingCommitException(
+            s"conflicting commit: a commit after version $readVersion " +
+            s"of ${log.tablePath} touched file $p, which this " +
+            "streamed rewrite also rewrites. Re-read the table and " +
+            "retry the operation.")
+        }
+      }
+      val version = latest + 1
+      try {
+        log.commitStreamed(version, head(version), bulk)
+        return version
+      } catch {
+        case _: ConcurrentWriteException if attempts < 20 => attempts += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Interleaved-commit size bound of the exact streamed conflict
+    * check (above it: conservative abort, never a resident set).
+    */
+  private[lake] var EXACT_CONFLICT_MAX_THEIRS: Long = 1000000L
+
   private def retryLoop(
       log: LakeLog,
       readVersion: Long,

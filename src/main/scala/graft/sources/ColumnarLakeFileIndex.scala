@@ -359,6 +359,18 @@ final class ColumnarLakeFileIndex private[sources] (
   private[graft] def pathBases(): Seq[(String, Option[Long])] =
     liteProjectedAs(f => (f.path, f.baseRowId))
 
+  /** (relative path, dvPath, bloomPath, baseRowId, clusterGen) — the
+    * per-path MUTABLE entry facts, i.e. everything a metadata-only
+    * re-add can change (size/stats/partition values are immutable per
+    * path because data paths are uuid-fresh per write). RESTORE's
+    * entry diff rides this: a target entry differing in any of these
+    * must be re-added even when the path is live at both versions.
+    */
+  private[graft] def pathMutables(): Seq[(String, Option[String],
+      Option[String], Option[Long], Option[Long])] =
+    liteProjectedAs(f =>
+      (f.path, f.dvPath, f.bloomPath, f.baseRowId, f.clusterGen))
+
   /** DISTINCT partition-value maps of the live set, deduplicated ON
     * THE EXECUTORS — SHOW PARTITIONS' answer: the driver receives one
     * row per PARTITION (10³–10⁵ at any real layout), never one per

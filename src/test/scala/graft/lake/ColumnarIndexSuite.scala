@@ -1,6 +1,7 @@
 package graft.lake
 
 import graft.SparkSuite
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Columnar file index (the 10⁷-file read posture): listFiles answers
@@ -123,6 +124,107 @@ class ColumnarIndexSuite extends SparkSuite {
     assert(actions.exists(_.isInstanceOf[RemoveFile]))
     assert(!actions.exists(_.isInstanceOf[AddFile]),
       "streamed partition delete must be metadata-only")
+  }
+
+  private def withChunkedRewrite[A](body: => A): A = {
+    val pm = LakeTable.STREAMED_REWRITE_MIN_FILES
+    val pc = LakeTable.REWRITE_CHUNK_FILES
+    LakeTable.STREAMED_REWRITE_MIN_FILES = 1L
+    LakeTable.REWRITE_CHUNK_FILES = 2L
+    try body finally {
+      LakeTable.STREAMED_REWRITE_MIN_FILES = pm
+      LakeTable.REWRITE_CHUNK_FILES = pc
+    }
+  }
+
+  private def latestCommitInfo(path: String): CommitInfo = {
+    val log = new LakeLog(path)
+    log.readVersion(log.latestVersion)
+      .collectFirst { case c: CommitInfo => c }.get
+  }
+
+  test("chunked DELETE rewrite: results match classic semantics") {
+    val path = buildTable("col-chunked-del")
+    val before = spark.read.format("lake").load(path).collect().toSet
+    val expect = before.filterNot(_.getLong(0) % 2 == 0)
+    val n0 = StreamedRewrite.chunkedRewrites.get()
+    withChunkedRewrite {
+      LakeTable.forPath(spark, path).delete("id % 2 = 0")
+    }
+    assert(StreamedRewrite.chunkedRewrites.get() === n0 + 1,
+      "the DELETE should have taken the chunked rewrite path")
+    assert(latestCommitInfo(path).operationParameters
+      .get("streamedRewrite") === Some("true"))
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === expect)
+    assert(spark.read.format("lake").option("columnarIndex", "false")
+      .load(path).collect().toSet === expect,
+      "classic read diverges after the chunked rewrite")
+  }
+
+  test("chunked UPDATE rewrite: results match classic semantics") {
+    val path = buildTable("col-chunked-upd")
+    val before = spark.read.format("lake").load(path).collect().toSet
+    val expect = before.map { r =>
+      if (r.getLong(0) >= 6) Row(r.getLong(0), "upd", r.getInt(2)) else r
+    }
+    val n0 = StreamedRewrite.chunkedRewrites.get()
+    withChunkedRewrite {
+      LakeTable.forPath(spark, path)
+        .update("id >= 6", Map("name" -> "'upd'"))
+    }
+    assert(StreamedRewrite.chunkedRewrites.get() === n0 + 1,
+      "the UPDATE should have taken the chunked rewrite path")
+    assert(latestCommitInfo(path).operationParameters
+      .get("streamedRewrite") === Some("true"))
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === expect)
+  }
+
+  test("chunked MERGE rewrite: upsert + by-source + dup fail-fast") {
+    val path = buildTable("col-chunked-merge")
+    val before = spark.read.format("lake").load(path).collect().toSet
+    val srcDf = Seq((5L, "five", 2), (12L, "twelve", 0),
+      (100L, "new", 1)).toDF("id", "name", "p")
+    val n0 = StreamedRewrite.chunkedRewrites.get()
+    withChunkedRewrite {
+      LakeTable.forPath(spark, path).as("t")
+        .merge(srcDf.as("s"), "t.id = s.id")
+        .whenMatchedUpdate(Map("name" -> "s.name"))
+        .whenNotMatchedInsert(Map(
+          "id" -> "s.id", "name" -> "s.name", "p" -> "s.p"))
+        .whenNotMatchedBySourceDelete("t.id >= 9")
+        .execute()
+    }
+    assert(StreamedRewrite.chunkedRewrites.get() === n0 + 1,
+      "the MERGE should have taken the chunked rewrite path")
+    assert(latestCommitInfo(path).operationParameters
+      .get("streamedRewrite") === Some("true"))
+    val srcNames = Map(5L -> "five", 12L -> "twelve")
+    val expect = before.flatMap { r =>
+      val id = r.getLong(0)
+      srcNames.get(id) match {
+        case Some(n) => Some(Row(id, n, r.getInt(2)))
+        case None if id >= 9 => None // by-source delete
+        case None => Some(r)
+      }
+    } + Row(100L, "new", 1)
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === expect)
+    // dup fail-fast: a source matching one target row twice must
+    // abort, leave the table unchanged, and sweep its staged files
+    val afterMerge = spark.read.format("lake").load(path).collect().toSet
+    val dupSrc = Seq((5L, "a", 2), (5L, "b", 2)).toDF("id", "name", "p")
+    withChunkedRewrite {
+      intercept[IllegalStateException] {
+        LakeTable.forPath(spark, path).as("t")
+          .merge(dupSrc.as("s"), "t.id = s.id")
+          .whenMatchedUpdate(Map("name" -> "s.name"))
+          .execute()
+      }
+    }
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === afterMerge, "failed chunked merge must leave the table as-is")
   }
 
   test("streamed partition DELETE replans past a racing unrelated commit") {

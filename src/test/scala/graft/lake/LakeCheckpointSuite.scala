@@ -896,6 +896,133 @@ class LakeCheckpointSuite extends SparkSuite {
     }
   }
 
+  test("all-dirty cadence: fully-touched slices drop without a full " +
+      "decode; replay stays exact") {
+    withPartMax(5) {
+      val path = tablePath("ckpt-all-dirty")
+      val log = new LakeLog(path)
+      log.commit(0L, Seq(CommitInfo(System.currentTimeMillis(), "CREATE",
+        Map.empty), meta, Protocol()))
+      (1L to 10L).foreach { v =>
+        log.commit(v, Seq(
+          CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"f${v}a"), addFile(s"f${v}b")))
+      }
+      assert(manifestVersions(log) === Seq(10L))
+      // the bulk-rewrite worst case: ONE commit tombstones every live
+      // path and adds a fresh set — every v10 slice is FULLY dirty
+      val live10 = naiveLiveSet(log, 10L)
+      log.commit(11L,
+        Seq(CommitInfo(System.currentTimeMillis(), "REWRITE", Map.empty)) ++
+        live10.toSeq.sorted.map(p =>
+          RemoveFile(p, 11L): Action) ++
+        (1 to 6).map(i => addFile(s"n$i"): Action))
+      val fd0 = LakeLog.sliceFullDecodes.get()
+      (12L to 20L).foreach { v =>
+        log.commit(v, Seq(
+          CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"t$v")))
+      }
+      assert(manifestVersions(log).contains(20L))
+      assert(LakeLog.sliceFullDecodes.get() === fd0,
+        "a fully-dirty slice paid the full stats decode its empty " +
+        "remainder makes provably unnecessary")
+      // none of the v10 slices survive into the v20 manifest
+      val (_, refs20) = log.readManifest(log.manifestFile(20L))
+      assert(refs20.forall(!_.path.contains("00000000000000000010-")),
+        s"a fully-dirtied v10 slice was carried: ${refs20.map(_.path)}")
+      // exactness: replay through the manifest == naive ground truth
+      Snapshot.clearCacheForTest()
+      assert(log.snapshot(20L).files.map(_.path).toSet ===
+        naiveLiveSet(log, 20L))
+      // and a PARTIALLY-dirty slice still pays its (necessary) decode
+      log.commit(21L, Seq(
+        CommitInfo(System.currentTimeMillis(), "DELETE", Map.empty),
+        RemoveFile("n1.parquet", 21L)))
+      (22L to 30L).foreach { v =>
+        log.commit(v, Seq(
+          CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"u$v")))
+      }
+      assert(manifestVersions(log).contains(30L))
+      assert(LakeLog.sliceFullDecodes.get() > fd0,
+        "the partial-dirty rewrite path should decode its slice")
+      Snapshot.clearCacheForTest()
+      assert(log.snapshot(30L).files.map(_.path).toSet ===
+        naiveLiveSet(log, 30L))
+    }
+  }
+
+  test("RESTORE publishes a slice-reusing manifest; the next cadence " +
+      "stays off the all-dirty path") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    withPartMax(5) {
+      val path = tablePath("ckpt-restore-manifest")
+      // 13 single-file commits -> manifest at v10, tail v11..v12
+      (0 until 13).foreach { i =>
+        LakeWriter.write(
+          Seq((i.toLong, s"row$i", i % 3)).toDF("id", "name", "p"),
+          path, partitionBy = if (i == 0) Seq("p") else Nil)
+      }
+      val log = new LakeLog(path)
+      assert(manifestVersions(log) === Seq(10L))
+      val targetV = log.latestVersion // 12
+      val expectRows = spark.read.format("lake").load(path)
+        .collect().toSet
+      // bury the live set, then restore it
+      LakeWriter.write(Seq((99L, "ow", 0)).toDF("id", "name", "p"),
+        path, mode = "overwrite")
+      val fd0 = LakeLog.sliceFullDecodes.get()
+      LakeTable.forPath(spark, path).restoreTo(targetV)
+      val rv = log.latestVersion
+      // the restore itself published a manifest at its own version,
+      // REUSING the v10 slices (carried by reference), with zero
+      // full slice decodes
+      assert(manifestVersions(log).contains(rv),
+        s"no manifest at restore version $rv: ${manifestVersions(log)}")
+      val (_, refsR) = log.readManifest(log.manifestFile(rv))
+      assert(refsR.exists(_.path.contains("00000000000000000010-")),
+        s"restore manifest carried no v10 slice: ${refsR.map(_.path)}")
+      assert(LakeLog.sliceFullDecodes.get() === fd0,
+        "the restore manifest paid full slice decodes")
+      // reads through the restored manifest are exact — entries, not
+      // just paths: ground-truth entry fold over the raw version files
+      val truth = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+        (0L to rv).foreach { v =>
+          log.readVersion(v).foreach {
+            case a: AddFile    => m(a.path) = a; ()
+            case r: RemoveFile => m.remove(r.path); ()
+            case _             => ()
+          }
+        }
+        m.values.toSet
+      }
+      Snapshot.clearCacheForTest()
+      assert(log.snapshot(rv).files.toSet === truth,
+        "manifest-replayed entries diverge from the version-file fold")
+      assert(spark.read.format("lake").load(path).collect().toSet ===
+        expectRows)
+      // next cadence folds only the small post-restore tail
+      val fr0 = Snapshot.fullReplays.get()
+      ((rv + 1) to ((rv / 10 + 1) * 10)).foreach { v =>
+        log.commit(v, Seq(
+          CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          addFile(s"post$v")))
+      }
+      assert(manifestVersions(log).exists(_ > rv))
+      assert(Snapshot.fullReplays.get() === fr0,
+        "post-restore cadence replayed the full file list")
+      assert(LakeLog.sliceFullDecodes.get() === fd0,
+        "post-restore cadence decoded carried slices it did not touch")
+      Snapshot.clearCacheForTest()
+      val latest = log.latestVersion
+      assert(log.snapshot(latest).files.map(_.path).toSet ===
+        naiveLiveSet(log, latest))
+    }
+  }
+
   test("manifest without its sidecars never blesses; sidecars without " +
       "a manifest are crash debris the GC sweeps") {
     withPartMax(3) {

@@ -21,6 +21,29 @@ class LakeDeletionVectorSuite extends SparkSuite {
     path
   }
 
+  test("RESTORE to a pre-DV-delete version resurrects soft-deleted " +
+      "rows (entry diff, not path diff)") {
+    val path = dvTable("dv-restore-entry")
+    val t = LakeTable.forPath(spark, path)
+    val v0 = new LakeLog(path).latestVersion
+    assert(t.toDF.count() === 100L)
+    // DV delete: the files stay LIVE at both versions — only their
+    // entries change (dvPath). A path-only restore diff would skip
+    // them and leave the rows dead.
+    t.delete("id < 20")
+    assert(LakeTable.forPath(spark, path).toDF.count() === 80L)
+    LakeTable.forPath(spark, path).restoreTo(v0)
+    val restored = LakeTable.forPath(spark, path)
+    assert(restored.toDF.count() === 100L,
+      "restore must undo the DV soft-delete on files live at both " +
+      "versions")
+    assert(restored.snapshot().files.forall(_.dvPath.isEmpty))
+    // and the reverse: restoring forward TO the DV state re-applies it
+    val vDeleted = restored.snapshot().version - 1
+    LakeTable.forPath(spark, path).restoreTo(vDeleted)
+    assert(LakeTable.forPath(spark, path).toDF.count() === 80L)
+  }
+
   test("codec: write/read/merge roundtrip") {
     val dir = tmpDir("dv-codec")
     val a = Array(0L, 1L, 5L, 1000L, 1000000L)
