@@ -995,7 +995,12 @@ final class LakeLog(val tablePath: String) {
       throw new IllegalStateException(s"not a lake table: $tablePath " +
         s"(no $LOG_DIR directory)")
     val v = if (version < 0) latest else version
-    if (v > latest)
+    // v > latest is validated against the version FILE, not the
+    // listing alone: on an object store a lagged LIST can under-report
+    // `latest` for a version whose file a GET already serves — a
+    // reader that just observed v must not be rejected by someone
+    // else's stale LIST (read-after-write on GET is authoritative).
+    if (v > latest && !store.exists(versionFile(v)))
       throw new IllegalArgumentException(
         s"cannot time travel to version $v; latest is $latest " +
         s"(table: $tablePath)")

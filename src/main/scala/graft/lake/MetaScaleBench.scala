@@ -504,79 +504,118 @@ object MetaScaleBench {
       require(dh < math.max(192L * 1024 * 1024, nFiles.toLong * 100),
         s"streamed partition DELETE held $dh bytes on the driver")
     }
-    // CHUNKED MERGE rewrite leg (round 19, VERDICT r18 #2) — opt-in
-    // via the `merge` arg because it first writes nFiles REAL one-row
-    // parquet files (the metadata-only main table cannot feed a
-    // rewrite's data scans). An end-to-end MERGE whose matched set is
-    // ~half the table: discovery stays distributed, the touched set
-    // exceeds [[LakeTable.STREAMED_REWRITE_MIN_FILES]] so the rewrite
-    // runs in bounded path chunks with the staged actions spilling to
-    // driver-local disk, and the commit streams tombstones + spilled
-    // adds. Requires: the chunked path actually taken, the driver's
-    // path high-water mark at O(chunk) — not O(touched) — and zero
-    // full replays. The table is UNPARTITIONED so the rewrite output
-    // stays one file per task (a 1000-way partition fan-out would
-    // explode the output file count, an orthogonal layout concern).
-    if (args.contains("merge")) {
-      import org.apache.spark.sql.functions.{col, lit}
-      val mdir = java.nio.file.Files
-        .createTempDirectory("graft-metascale-merge").toString
-      val nm = nFiles
-      val batches = 10
-      val per = nm / batches
-      timed(s"merge setup: write ${nm / 1000}k one-row files") {
-        (0 until batches).foreach { b =>
-          val df = spark.range(b.toLong * per, (b + 1).toLong * per, 1, 64)
-            .toDF("id")
-            .withColumn("p", (col("id") % 1000L).cast("int"))
-            .withColumn("v", col("id") * 2)
-            .repartitionByRange(per, col("id"))
-          LakeWriter.write(df, mdir)
-        }
-      }
-      Snapshot.clearCacheForTest()
-      graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
-      val mlog = new LakeLog(mdir)
-      val midx = graft.sources.ColumnarLakeFileIndex
-        .tryBuild(spark, mlog, mlog.latestVersion)
-      require(midx.isDefined, "merge table has no columnar index")
-      val liveFiles = midx.get.numFiles
-      println(s"  merge table live files: $liveFiles")
-      require(liveFiles >= nm * 9L / 10,
-        s"merge setup produced only $liveFiles of ~$nm files")
-      val srcDf = spark.range(nm.toLong).toDF("id")
-        .filter(col("id") % 1000L < 500L)
-        .withColumn("tag", lit("m"))
-      val fr0 = Snapshot.fullReplays.get()
-      val cr0 = StreamedRewrite.chunkedRewrites.get()
-      StreamedRewrite.peakDriverPaths.set(0L)
-      timed(s"chunked MERGE (~${nm / 2000}k touched files)") {
-        LakeTable.forPath(spark, mdir).as("t")
-          .merge(srcDf.as("s"), "t.id = s.id")
-          .whenMatchedUpdate(Map("v" -> "t.v + 1"))
-          .execute()
-      }
-      require(StreamedRewrite.chunkedRewrites.get() == cr0 + 1,
-        "the MERGE did not take the chunked rewrite path")
-      require(Snapshot.fullReplays.get() == fr0,
-        "chunked MERGE replayed the full file list")
-      val peak = StreamedRewrite.peakDriverPaths.get()
-      printf("  merge peak driver-resident paths: %d (chunk budget %d," +
-        " touched ~%d)%n", peak, LakeTable.REWRITE_CHUNK_FILES, nm / 2)
-      require(peak > 0 && peak <= (LakeTable.REWRITE_CHUNK_FILES * 5) / 4,
-        s"driver held $peak paths at once — the chunk budget is " +
-        s"${LakeTable.REWRITE_CHUNK_FILES}")
-      timed("merge verification count") {
-        val after = spark.read.format("lake").load(mdir)
-        val updated = after.filter(col("v") === col("id") * 2 + 1).count()
-        val untouched = after.filter(col("v") === col("id") * 2).count()
-        require(updated == nm / 2L && untouched == nm - nm / 2L,
-          s"merge verification: $updated updated / $untouched untouched" +
-          s" of $nm")
-      }
-      LakeWriter.deleteRecursively(java.nio.file.Paths.get(mdir))
-    }
     LakeWriter.deleteRecursively(java.nio.file.Paths.get(dir))
+    spark.stop()
+  }
+}
+
+/** CHUNKED MERGE rewrite at file-count scale (round 19, VERDICT r18
+  * #2) — its OWN main, not a MetaScaleBench leg: a rewrite needs REAL
+  * parquet bodies (the metadata-only synthetic table cannot feed data
+  * scans), and writing + scanning 10⁶ one-row files is data-path
+  * work that wants local[32], while MetaScaleBench pins local[8] for
+  * its driver-side decode comparisons.
+  *
+  * An end-to-end MERGE whose matched set is ~55% of the table:
+  * discovery stays distributed, the touched count exceeds
+  * [[LakeTable.STREAMED_REWRITE_MIN_FILES]] so the rewrite runs in
+  * bounded path chunks with the staged actions spilling to
+  * driver-local disk, and the commit streams tombstones + spilled
+  * adds under the exact per-path conflict check. Requires: the
+  * chunked path actually taken, the driver's path high-water mark at
+  * O(chunk) — not O(touched) — zero full replays, and exact row
+  * counts after the merge. The table is UNPARTITIONED so the rewrite
+  * output stays one file per task (a 1000-way partition fan-out
+  * would explode the output file count — an orthogonal layout
+  * concern).
+  *
+  * Run: `SPARK_DRIVER_MEM=8g sbt "runMain graft.lake.MergeScaleBench
+  * [nFiles]"`; results in SCALE.md.
+  */
+object MergeScaleBench {
+  private def rssMb(): Long = {
+    val s = scala.io.Source.fromFile("/proc/self/status")
+    try s.getLines().find(_.startsWith("VmRSS"))
+      .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+    finally s.close()
+  }
+
+  private def timed[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    printf("%-40s %8.2f s   rss=%d MB%n", label,
+      (System.nanoTime() - t0) / 1e9, rssMb())
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").appName("MergeScaleBench")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, lit}
+    val nm = args.headOption.map(_.toInt).getOrElse(1000000)
+    val batches = math.max(1, nm / 100000)
+    val per = nm / batches
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft-mergescale").toString
+    timed(s"setup: write ${nm / 1000}k one-row files") {
+      (0 until batches).foreach { b =>
+        val df = spark.range(b.toLong * per, (b + 1).toLong * per, 1, 64)
+          .toDF("id")
+          .withColumn("p", (col("id") % 1000L).cast("int"))
+          .withColumn("v", col("id") * 2)
+          .repartitionByRange(per, col("id"))
+        LakeWriter.write(df, mdir)
+      }
+    }
+    Snapshot.clearCacheForTest()
+    graft.sources.ColumnarLakeFileIndex.clearCacheForTest()
+    val mlog = new LakeLog(mdir)
+    val midx = graft.sources.ColumnarLakeFileIndex
+      .tryBuild(spark, mlog, mlog.latestVersion)
+    require(midx.isDefined, "merge table has no columnar index")
+    val liveFiles = midx.get.numFiles
+    println(s"  live files: $liveFiles")
+    require(liveFiles >= nm * 8L / 10,
+      s"setup produced only $liveFiles of ~$nm files")
+    // ~55% of rows match -> touched files comfortably above the
+    // streaming threshold at 10⁶ (and the 45% untouched majority
+    // proves the rewrite is bounded by TOUCHED files, not the table)
+    val srcDf = spark.range(nm.toLong).toDF("id")
+      .filter(col("id") % 1000L < 550L)
+      .withColumn("tag", lit("m"))
+    val fr0 = Snapshot.fullReplays.get()
+    val cr0 = StreamedRewrite.chunkedRewrites.get()
+    StreamedRewrite.peakDriverPaths.set(0L)
+    timed(s"chunked MERGE (~${nm * 55L / 100000}k touched files)") {
+      LakeTable.forPath(spark, mdir).as("t")
+        .merge(srcDf.as("s"), "t.id = s.id")
+        .whenMatchedUpdate(Map("v" -> "t.v + 1"))
+        .execute()
+    }
+    require(StreamedRewrite.chunkedRewrites.get() == cr0 + 1,
+      "the MERGE did not take the chunked rewrite path")
+    require(Snapshot.fullReplays.get() == fr0,
+      "chunked MERGE replayed the full file list")
+    val peak = StreamedRewrite.peakDriverPaths.get()
+    printf("  peak driver-resident paths: %d (chunk budget %d)%n",
+      peak, LakeTable.REWRITE_CHUNK_FILES)
+    require(peak > 0 && peak <= (LakeTable.REWRITE_CHUNK_FILES * 5) / 4,
+      s"driver held $peak paths at once — the chunk budget is " +
+      s"${LakeTable.REWRITE_CHUNK_FILES}")
+    timed("verification counts") {
+      val after = spark.read.format("lake").load(mdir)
+      val matched = nm / 1000L * 550L +
+        math.min(nm % 1000L, 550L) // ids with id%1000 < 550
+      val updated = after.filter(col("v") === col("id") * 2 + 1).count()
+      val untouched = after.filter(col("v") === col("id") * 2).count()
+      require(updated == matched && untouched == nm - matched,
+        s"verification: $updated updated / $untouched untouched of $nm" +
+        s" (expected $matched matched)")
+    }
+    LakeWriter.deleteRecursively(java.nio.file.Paths.get(mdir))
     spark.stop()
   }
 }

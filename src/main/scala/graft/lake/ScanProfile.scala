@@ -91,6 +91,43 @@ object ScanProfile {
         val parts = if (isManifest) files0.drop(1) else files0
         println(s"  checkpoint v$ckptV: ${parts.size} $layout parts, " +
           f"${parts.map(p => java.nio.file.Files.size(p)).sum / 1e6}%.0f MB")
+        // COLD pass (opt-in via the `cold` arg, VERDICT r18 #7): the
+        // manifest layout's real-world cost is the cache-aged carried
+        // slice — SCALE.md's honest structural note — so regression
+        // triage needs a cold datum next to the warm ones. Root-only
+        // (drops the whole page cache); single sample each, measured
+        // BEFORE any warm read of the parts.
+        if (args.contains("cold")) {
+          def dropPageCache(): Boolean =
+            try {
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get("/proc/sys/vm/drop_caches"),
+                "3\n".getBytes("UTF-8"))
+              true
+            } catch { case _: Throwable => false }
+          if (!dropPageCache())
+            println("  (cold passes skipped: cannot drop the page cache)")
+          else {
+            def timed1[A](label: String)(body: => A): Unit = {
+              val t0 = System.nanoTime()
+              body
+              printf("%-44s %8.2f s (single, COLD)%n", label,
+                (System.nanoTime() - t0) / 1e9)
+            }
+            timed1("LITE decode, all parts, spark job, cold") {
+              val rs = parts.map(log.store.fileReader)
+              spark.sparkContext.parallelize(rs, rs.size)
+                .map(r => CheckpointParquet.readAddsLite(r).size).sum()
+            }
+            dropPageCache()
+            timed1("FULL decode, all parts, spark job, cold") {
+              val rs = parts.map(log.store.fileReader)
+              spark.sparkContext.parallelize(rs, rs.size)
+                .map(r => CheckpointParquet.read(r)
+                  .count(_.isInstanceOf[AddFile])).sum()
+            }
+          }
+        }
         // warm the page cache so decode shape, not today's disk phase,
         // is what the clocks see
         parts.foreach(p => java.nio.file.Files.readAllBytes(p))

@@ -35,6 +35,127 @@ class LakeObjectStoreSuite extends StoreContractSuite {
     }
   }
 
+  test("manifest-cadence race under CONTINUOUS lagged LISTs: GC never " +
+      "sweeps a referenced slice; the chain replays exactly") {
+    // The one fault × machinery combination the store-contract race
+    // does not cross: two cadence-racing writers (each running aux
+    // cleanup + sidecar GC) while EVERY LIST may omit its
+    // lexicographically newest entry. A lagged LIST can hide the
+    // newest manifest from a concurrent GC — the staging-horizon age
+    // gate on fresh sidecars is what must keep the just-published
+    // slices alive through that window.
+    val prevMax = LakeLog.CHECKPOINT_PART_MAX_ACTIONS
+    LakeLog.CHECKPOINT_PART_MAX_ACTIONS = 4
+    val path = tablePath("obj-manifest-race-lag")
+    try {
+      val boot = new LakeLog(path)
+      boot.commit(0L, Seq(
+        CommitInfo(System.currentTimeMillis(), "CREATE", Map.empty),
+        Metadata("id BIGINT", Nil, 1L), Protocol()))
+      // seed a couple of versions BEFORE arming the lag: with a single
+      // version file, a lagged LIST legitimately shows "no table yet"
+      // (the eventual-consistency creation race, not this test's
+      // subject); with >=2 files the listing can never empty
+      (1L to 2L).foreach { v =>
+        boot.commit(v, Seq(
+          CommitInfo(System.currentTimeMillis(), "APPEND", Map.empty),
+          AddFile(s"seed$v.parquet", Map.empty, 10L, 1L,
+            Map.empty, Map.empty, Map.empty)))
+      }
+      // scope the lag to the LOG DIR: a real store's lagged LIST hides
+      // recently-PUT objects, not a years-old prefix — lagging the
+      // table-root listing would "hide" _lake_log itself, a fault no
+      // object store exhibits
+      objStore.faultScope = java.nio.file.Paths.get(path)
+        .resolve(LakeLog.LOG_DIR).toAbsolutePath.toString
+      val target = 40L
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val readerErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      def add(v: Long, w: Int) = AddFile(s"w$w-v$v.parquet", Map.empty,
+        10L, 1L, Map.empty, Map.empty, Map.empty)
+      def writer(w: Int): Thread = new Thread(() => {
+        val log = new LakeLog(path)
+        var v = log.latestVersion + 1
+        while (v <= target) {
+          val actions: Seq[Action] =
+            Seq(CommitInfo(System.currentTimeMillis(), "APPEND",
+              Map.empty), add(v, w)) ++
+              (if (v % 3 == 0) Seq(RemoveFile(s"w1-v${v - 2}.parquet", v),
+                RemoveFile(s"w2-v${v - 2}.parquet", v))
+               else Nil)
+          try { log.commit(v, actions); v += 1 }
+          catch { case _: ConcurrentWriteException =>
+            v = math.max(v + 1, log.latestVersion + 1) }
+        }
+      })
+      // one unit of LIST lag re-armed continuously for the whole run
+      val armer = new Thread(() => {
+        while (!done.get()) {
+          objStore.lagListsRemaining.set(1)
+          Thread.sleep(2)
+        }
+      })
+      val reader = new Thread(() => {
+        val log = new LakeLog(path)
+        while (!done.get() && readerErr.get() == null) {
+          try {
+            Snapshot.clearCacheForTest()
+            val v = log.latestVersion
+            if (v >= 0) { log.snapshot(v); () }
+          } catch { case t: Throwable => readerErr.set(t) }
+        }
+      })
+      val ws = Seq(writer(1), writer(2))
+      armer.start(); reader.start(); ws.foreach(_.start())
+      ws.foreach(_.join())
+      done.set(true); reader.join(); armer.join()
+      objStore.faultScope = ""
+      objStore.lagListsRemaining.set(0)
+      assert(readerErr.get() == null,
+        s"reader observed a broken chain: ${readerErr.get()}")
+      val log = new LakeLog(path)
+      val latest = log.latestVersion
+      assert(latest >= target, s"writers stalled at v$latest")
+      val naive = {
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        (0L to latest).foreach { v =>
+          log.readVersion(v).foreach {
+            case a: AddFile    => live += a.path; ()
+            case r: RemoveFile => live -= r.path; ()
+            case _             => ()
+          }
+        }
+        live.toSet
+      }
+      Snapshot.clearCacheForTest()
+      assert(log.snapshot(latest).files.map(_.path).toSet === naive)
+      val manifests = LogStore.current.listDir(log.logDir)
+        .map(_.getFileName.toString)
+        .filter(_.matches("\\d{20}\\.checkpoint\\.manifest\\.json"))
+        .map(_.stripSuffix(".checkpoint.manifest.json").toLong).sorted
+      assert(manifests.nonEmpty, "no manifest checkpoint landed")
+      val (_, refs) = log.readManifest(log.manifestFile(manifests.max))
+      val entries = refs.flatMap(r => CheckpointParquet.read(
+        LogStore.current.fileReader(log.logDir.resolve(r.path)))
+        .collect { case a: AddFile => a.path })
+      assert(entries.size === entries.toSet.size,
+        "a slice entry appears twice across the newest manifest's refs")
+      val onDisk = LogStore.current
+        .listDir(log.logDir.resolve(LakeLog.SIDECAR_DIR))
+        .map(p => LakeLog.SIDECAR_DIR + "/" + p.getFileName.toString)
+        .toSet
+      val referenced = manifests.flatMap(v =>
+        log.readManifest(log.manifestFile(v))._2.map(_.path)).toSet
+      assert(referenced.subsetOf(onDisk),
+        s"GC swept live slices under lagged LISTs: ${referenced -- onDisk}")
+    } finally {
+      LakeLog.CHECKPOINT_PART_MAX_ACTIONS = prevMax
+      objStore.faultScope = ""
+      objStore.lagListsRemaining.set(0)
+    }
+  }
+
   test("ambiguous PUT with a flaky readback still commits exactly once") {
     val path = tablePath("objflakyread")
     val log = new LakeLog(path)
