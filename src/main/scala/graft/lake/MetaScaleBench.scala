@@ -558,16 +558,39 @@ object MergeScaleBench {
     val nm = args.headOption.map(_.toInt).getOrElse(1000000)
     val batches = math.max(1, nm / 100000)
     val per = nm / batches
-    val mdir = java.nio.file.Files
-      .createTempDirectory("graft-mergescale").toString
-    timed(s"setup: write ${nm / 1000}k one-row files") {
-      (0 until batches).foreach { b =>
-        val df = spark.range(b.toLong * per, (b + 1).toLong * per, 1, 64)
-          .toDF("id")
-          .withColumn("p", (col("id") % 1000L).cast("int"))
-          .withColumn("v", col("id") * 2)
-          .repartitionByRange(per, col("id"))
-        LakeWriter.write(df, mdir)
+    // second arg: reuse an already-built table dir (the setup is the
+    // dominant cost; a failed downstream leg must not force a rebuild)
+    val mdir = args.drop(1).headOption.getOrElse {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-mergescale").toString
+      timed(s"setup: write ${nm / 1000}k one-row files") {
+        (0 until batches).foreach { b =>
+          val df = spark.range(b.toLong * per, (b + 1).toLong * per, 1, 64)
+            .toDF("id")
+            .withColumn("p", (col("id") % 1000L).cast("int"))
+            .withColumn("v", col("id") * 2)
+            .repartitionByRange(per, col("id"))
+          LakeWriter.write(df, d)
+        }
+      }
+      d
+    }
+    // the columnar index needs a multi-part checkpoint, which lands on
+    // the 10-commit cadence: pad with single-row commits (ids outside
+    // [0, nm) and v values matching neither verification predicate, so
+    // the count checks below stay exact)
+    locally {
+      val padLog = new LakeLog(mdir)
+      var pad = 1L
+      while (padLog
+          .latestCheckpointFilesAtOrBefore(padLog.latestVersion).isEmpty) {
+        LakeWriter.write(
+          spark.range(1).toDF("id")
+            .withColumn("id", lit(-pad))
+            .withColumn("p", lit(-1).cast("int"))
+            .withColumn("v", lit(1L)),
+          mdir)
+        pad += 1
       }
     }
     Snapshot.clearCacheForTest()

@@ -71,11 +71,16 @@ private[lake] object StreamedRewrite {
       rows.map(r => table.relativize(r.getString(0))).toSeq
     }
 
-    /** Run `f` over every chunk's relativized paths, one resident at
-      * a time.
+    /** Run `f` over every NON-EMPTY chunk's relativized paths, one
+      * resident at a time (hash chunking can leave a chunk empty when
+      * the chunk count is close to the path count — the suite's
+      * shrunk-budget shape; a rewrite over zero files is a no-op).
       */
     def foreachChunk(f: (Int, Seq[String]) => Unit): Unit =
-      (0 until numChunks).foreach(i => f(i, chunk(i)))
+      (0 until numChunks).foreach { i =>
+        val c = chunk(i)
+        if (c.nonEmpty) f(i, c)
+      }
 
     /** All touched paths as a chunk-buffered stream (the tombstone
       * source; resident window = one chunk).
