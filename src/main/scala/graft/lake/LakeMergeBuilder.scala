@@ -477,11 +477,6 @@ final class LakeMergeBuilder private[lake] (
       (matchedPathsDF.toSeq ++ bySourcePathsDF.toSeq)
         .reduceOption(_.union(_)) match {
         case None => Left(Nil)
-        // merge-on-read (DV) merges write O(clause-hit rows) and stage
-        // per-file DV descriptors — they keep the classic path
-        case Some(df) if dvMode =>
-          Left(df.distinct().collect()
-            .map(r => table.relativize(r.getString(0))).toSeq)
         case Some(df) => StreamedRewrite.split(table, plan, df)
       }
 
@@ -526,6 +521,12 @@ final class LakeMergeBuilder private[lake] (
     def chunkedMergeRewrite(
         chunks: StreamedRewrite.TouchedChunks): Unit = {
       val spill = new StreamedRewrite.ActionSpill
+      // merge-on-read: per-chunk DV descriptors (full-dead removes +
+      // DV re-adds) spill separately — their sweep must only delete
+      // the staged DV sidecars, never the live data files they re-add
+      val dvSpill: Option[StreamedRewrite.ActionSpill] =
+        if (dvMode) Some(new StreamedRewrite.ActionSpill) else None
+      var dvAddCount = 0L
       val now = System.currentTimeMillis()
       val cdf = LakeTable.cdfEnabled(plan.metadata)
       try {
@@ -546,11 +547,19 @@ final class LakeMergeBuilder private[lake] (
                   combined.filter(col(MATCHED)).groupBy(col(RID))
                     .count().filter(col("count") > 1).limit(1).count()
                 })
-              val rewrittenRows = newSideData(combined.filter(keep))
-              if (plan.metadata.constraints.nonEmpty)
-                LakeWriter.enforceConstraints(
-                  rewrittenRows.drop(RowTracking.COL),
-                  plan.metadata.constraints, table.tablePath)
+              // copy-on-write rewrites the chunk's surviving rows;
+              // merge-on-read appends only the update-clause rows
+              // (clause hits are soft-deleted via the chunk's DVs)
+              val rewrittenRows: Option[DataFrame] =
+                if (!dvMode) Some(newSideData(combined.filter(keep)))
+                else if (updateIdxs.isEmpty) None
+                else Some(newSideData(
+                  combined.filter(col(IDXC).isin(updateIdxs: _*))))
+              rewrittenRows.foreach { rr =>
+                if (plan.metadata.constraints.nonEmpty)
+                  LakeWriter.enforceConstraints(rr.drop(RowTracking.COL),
+                    plan.metadata.constraints, table.tablePath)
+              }
               val cdcDirC = LakeWriter.newCdcDir(table.tablePath)
               val cdcTaskC =
                 if (!cdf) None
@@ -564,11 +573,17 @@ final class LakeMergeBuilder private[lake] (
                         .withColumn("_change_type", lit("insert")))
                   LakeWriter.stageCdc(cdcDf, table.tablePath, cdcDirC)
                 })
-              spill.append(LakeWriter.stageAndAdopt(rewrittenRows,
-                table.tablePath, plan.partitionColumns,
-                ColumnMapping.overrides(plan.metadata),
-                plan.metadata.properties))
+              rewrittenRows.foreach { rr =>
+                spill.append(LakeWriter.stageAndAdopt(rr,
+                  table.tablePath, plan.partitionColumns,
+                  ColumnMapping.overrides(plan.metadata),
+                  plan.metadata.properties))
+              }
               cdcTaskC.foreach(t => spill.append(LakeWriter.awaitTask(t)))
+              // the dup verdict lands BEFORE DV staging (classic
+              // order): duplicate RIDs would write duplicate DV
+              // indices and fail inside the staging job instead of
+              // with the canonical error
               dupTask.foreach { t =>
                 if (LakeWriter.awaitTask(t) > 0)
                   throw new IllegalStateException(
@@ -576,6 +591,11 @@ final class LakeMergeBuilder private[lake] (
                     "source rows with update/delete clauses present; " +
                     "merge results would be nondeterministic. " +
                     "Deduplicate the source on the merge key.")
+              }
+              dvSpill.foreach { ds =>
+                dvAddCount += table.stageDvChunkToSpill(snapC, chunk,
+                  combined.filter(col(IDXC) > 0)
+                    .select(col(DVFILE), col(DVIDX)), ds)
               }
             } finally if (cached) { combined.unpersist(false); () }
           }
@@ -609,8 +629,11 @@ final class LakeMergeBuilder private[lake] (
             "matchedClauses" -> matchedClauses.size.toString,
             "notMatchedClauses" -> insertClauses.size.toString,
             "notMatchedBySourceClauses" -> bySourceClauses.size.toString,
-            "streamedRewrite" -> "true")
-          LakeWriter.commitStreamedExactConflicts(table.log, plan.version,
+            "streamedRewrite" -> "true") ++
+            (if (dvMode) Map("deletionVectors" -> dvAddCount.toString)
+             else Map.empty)
+          StreamedRewrite.onBeforeStreamedCommit()
+        LakeWriter.commitStreamedExactConflicts(table.log, plan.version,
             () => chunks.pathIterator()) { _ =>
             table.assertMetadataUnchangedAt(plan.version, plan.metadata,
               "MERGE")
@@ -623,16 +646,24 @@ final class LakeMergeBuilder private[lake] (
             Seq(CommitInfo(now, "MERGE", params)) ++
               txn.map { case (a, v) => Txn(a, v) }
           } { () =>
-            chunks.pathIterator().map(p => RemoveFile(p, now): Action) ++
-              spill.iterator()
+            // merge-on-read supersedes touched entries in place (DV
+            // re-adds; full-dead files became removes at DV staging) —
+            // only copy-on-write tombstones every touched path
+            (dvSpill match {
+              case Some(ds) => ds.iterator()
+              case None =>
+                chunks.pathIterator().map(p => RemoveFile(p, now): Action)
+            }) ++ spill.iterator()
           }
           ()
         } catch { case e: Throwable =>
           spill.sweep(table.tablePath)
+          dvSpill.foreach(_.sweep(table.tablePath, dvOnly = true))
           throw e
         }
       } finally {
         spill.delete()
+        dvSpill.foreach(_.delete())
         chunks.unpersist()
       }
     }

@@ -828,6 +828,7 @@ final class LakeTable private (
             snapC.metadata.properties))
           cdcTask.foreach(t => spill.append(LakeWriter.awaitTask(t)))
         }
+        StreamedRewrite.onBeforeStreamedCommit()
         LakeWriter.commitStreamedExactConflicts(log, plan.version,
           () => chunks.pathIterator()) { _ =>
           assertMetadataUnchangedAt(plan.version, plan.metadata, "DELETE")
@@ -883,8 +884,16 @@ final class LakeTable private (
         col("_metadata.file_path").as(FILE),
         col("_metadata.row_index").as(IDX)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val touched: Seq[String] = hits.select(col(FILE)).distinct()
-      .collect().map(r => relativize(r.getString(0))).toSeq
+    val touched: Seq[String] =
+      StreamedRewrite.split(this, plan, hits.select(col(FILE))) match {
+        case Right(chunks) =>
+          // bulk shape: the touched set clears the chunked-rewrite
+          // threshold — per-chunk DV staging, O(chunk) driver state
+          try chunkedDvDelete(plan, condition, hits, FILE, IDX, chunks)
+          finally { hits.unpersist(false); () }
+          return
+        case Left(t) => t
+      }
     if (touched.isEmpty) { hits.unpersist(false); return }
     val snap = plan.subset(touched)
     val dvRelsWritten =
@@ -927,6 +936,122 @@ final class LakeTable private (
         throw e
       }
     } finally { hits.unpersist(false); () }
+  }
+
+  /** Chunked merge-on-read DELETE ([[StreamedRewrite]]): above the
+    * chunked-rewrite threshold the touched set never lands on the
+    * driver — per path chunk, the chunk's (file, row) hits stage into
+    * DV sidecars and the resulting full-dead removes + DV re-adds
+    * SPILL; CDC stages per chunk too, so CdcFile lists stay O(chunk).
+    * The commit streams the spills under the exact per-path conflict
+    * check (our side re-derives from the persisted path frame).
+    */
+  private def chunkedDvDelete(plan: DmlPlan, condition: String,
+      hits: DataFrame, FILE: String, IDX: String,
+      chunks: StreamedRewrite.TouchedChunks): Unit = {
+    val fields = plan.schema.fields.toSeq
+    val dvSpill = new StreamedRewrite.ActionSpill
+    val cdcSpill = new StreamedRewrite.ActionSpill
+    var dvAddCount = 0L
+    val cdf = LakeTable.cdfEnabled(plan.metadata)
+    val now = System.currentTimeMillis()
+    try {
+      try {
+        chunks.foreachChunk { (i, chunk) =>
+          val snapC = plan.subset(chunk)
+          val hitsC = hits.filter(chunks.memberOf(col(FILE), i))
+          if (cdf) {
+            val cdcDir = LakeWriter.newCdcDir(tablePath)
+            cdcSpill.append(LakeWriter.stageCdc(
+              hitsC.select(fields.map(f => col(quoted(f.name))): _*)
+                .withColumn("_change_type", lit("delete")),
+              tablePath, cdcDir))
+          }
+          dvAddCount += stageDvChunkToSpill(snapC, chunk,
+            hitsC.select(col(FILE), col(IDX)), dvSpill)
+        }
+        StreamedRewrite.onBeforeStreamedCommit()
+        LakeWriter.commitStreamedExactConflicts(log, plan.version,
+          () => chunks.pathIterator()) { _ =>
+          assertMetadataUnchangedAt(plan.version, plan.metadata, "DELETE")
+          Seq(CommitInfo(now, "DELETE",
+            Map("predicate" -> condition,
+              "deletionVectors" -> dvAddCount.toString,
+              "streamedRewrite" -> "true")))
+        } { () => dvSpill.iterator() ++ cdcSpill.iterator() }
+        ()
+      } catch { case e: Throwable =>
+        dvSpill.sweep(tablePath, dvOnly = true)
+        cdcSpill.sweep(tablePath)
+        throw e
+      }
+    } finally {
+      dvSpill.delete(); cdcSpill.delete(); chunks.unpersist()
+    }
+  }
+
+  /** Chunked merge-on-read UPDATE: the DV twin of
+    * [[chunkedDvDelete]] — per chunk, the SET-applied rows stage as
+    * fresh files (spilled), the chunk's (file, row) identities stage
+    * into DV sidecars, and CDC pre/postimages stage chunk-local.
+    */
+  private def chunkedDvUpdate(plan: DmlPlan, condition: String,
+      projected: DataFrame, FILE: String, IDX: String, rt: Boolean,
+      newName: String => String,
+      chunks: StreamedRewrite.TouchedChunks): Unit = {
+    val fields = plan.schema.fields.toSeq
+    val rtCols = if (rt) Seq(col(quoted(RowTracking.COL))) else Nil
+    val spill = new StreamedRewrite.ActionSpill
+    val dvSpill = new StreamedRewrite.ActionSpill
+    var dvAddCount = 0L
+    val cdf = LakeTable.cdfEnabled(plan.metadata)
+    val now = System.currentTimeMillis()
+    try {
+      try {
+        chunks.foreachChunk { (i, chunk) =>
+          val snapC = plan.subset(chunk)
+          val projC = projected.filter(chunks.memberOf(col(FILE), i))
+          val updatedC = projC.select(
+            fields.map(f => col(quoted(newName(f.name))).as(f.name)) ++
+              rtCols: _*)
+          if (plan.metadata.constraints.nonEmpty)
+            LakeWriter.enforceConstraints(updatedC.drop(RowTracking.COL),
+              plan.metadata.constraints, tablePath)
+          if (cdf) {
+            val pre = projC
+              .select(fields.map(f => col(quoted(f.name))): _*)
+              .withColumn("_change_type", lit("delete"))
+            val post = updatedC.drop(RowTracking.COL)
+              .withColumn("_change_type", lit("insert"))
+            val cdcDir = LakeWriter.newCdcDir(tablePath)
+            spill.append(LakeWriter.stageCdc(pre.unionByName(post),
+              tablePath, cdcDir))
+          }
+          spill.append(LakeWriter.stageAndAdopt(updatedC, tablePath,
+            snapC.partitionColumns,
+            ColumnMapping.overrides(snapC.metadata),
+            snapC.metadata.properties))
+          dvAddCount += stageDvChunkToSpill(snapC, chunk,
+            projC.select(col(FILE), col(IDX)), dvSpill)
+        }
+        StreamedRewrite.onBeforeStreamedCommit()
+        LakeWriter.commitStreamedExactConflicts(log, plan.version,
+          () => chunks.pathIterator()) { _ =>
+          assertMetadataUnchangedAt(plan.version, plan.metadata, "UPDATE")
+          Seq(CommitInfo(now, "UPDATE",
+            Map("predicate" -> condition,
+              "deletionVectors" -> dvAddCount.toString,
+              "streamedRewrite" -> "true")))
+        } { () => dvSpill.iterator() ++ spill.iterator() }
+        ()
+      } catch { case e: Throwable =>
+        spill.sweep(tablePath)
+        dvSpill.sweep(tablePath, dvOnly = true)
+        throw e
+      }
+    } finally {
+      spill.delete(); dvSpill.delete(); chunks.unpersist()
+    }
   }
 
   /** DV-staging core shared by merge-on-read DELETE and UPDATE: write
@@ -1000,6 +1125,33 @@ final class LakeTable private (
     (removes, dvAdds, results.map { case (uri, _, _) => relativize(uri) })
   }
 
+  /** Chunked merge-on-read staging ([[StreamedRewrite]]): stage ONE
+    * path chunk's deletion vectors and spill the resulting
+    * full-dead removes + DV re-adds — driver residency stays
+    * O(chunk) descriptors. The crash window between the distributed
+    * DV write and the spill append is covered by a chunk-local rel
+    * queue (spilled rels are swept later by the caller's
+    * `sweep(dvOnly = true)`). Returns the chunk's DV re-add count.
+    */
+  private[lake] def stageDvChunkToSpill(snapC: Snapshot,
+      chunk: Seq[String], pairs: DataFrame,
+      dvSpill: StreamedRewrite.ActionSpill): Long = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val (removes, dvAdds, _) = stageDeletionVectors(snapC, chunk,
+        pairs, q)
+      dvSpill.append(removes ++ dvAdds)
+      dvAdds.size.toLong
+    } catch { case e: Throwable =>
+      q.forEach { rel =>
+        try { DataStore.current.deleteIfExists(
+          Paths.get(tablePath, rel)); () }
+        catch { case _: java.io.IOException => () }
+      }
+      throw e
+    }
+  }
+
   /** Merge-on-read UPDATE (deletion-vector tables): soft-delete the
     * OLD versions of matching rows via DV sidecars and append only the
     * UPDATED rows as new files. Write volume is O(matching rows) —
@@ -1050,8 +1202,16 @@ final class LakeTable private (
     val dvRelsWritten =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
-      val touched: Seq[String] = projected.select(col(FILE)).distinct()
-        .collect().map(r => relativize(r.getString(0))).toSeq
+      val touched: Seq[String] =
+        StreamedRewrite.split(this, plan, projected.select(col(FILE))) match {
+          case Right(chunks) =>
+            // bulk shape: per-chunk DV + data staging, O(chunk) driver
+            // state (the outer finally unpersists the projection)
+            chunkedDvUpdate(plan, condition, projected, FILE, IDX, rt,
+              newName, chunks)
+            return
+          case Left(t) => t
+        }
       if (touched.isEmpty) return
       // rewrite phase anchors on the TOUCHED-subset snapshot (under a
       // columnar plan this is the first — and only — point AddFiles
@@ -1297,6 +1457,7 @@ final class LakeTable private (
             scratch.foreach(LakeWriter.deleteRecursively)
           }
         }
+        StreamedRewrite.onBeforeStreamedCommit()
         LakeWriter.commitStreamedExactConflicts(log, plan.version,
           () => chunks.pathIterator()) { _ =>
           assertMetadataUnchangedAt(plan.version, plan.metadata, "UPDATE")

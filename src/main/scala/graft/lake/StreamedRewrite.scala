@@ -49,6 +49,13 @@ private[lake] object StreamedRewrite {
   private[graft] val chunkedRewrites =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Test hook: runs after every chunk is staged and spilled,
+    * immediately before the streamed commit — the crash window the
+    * spill sweep exists for (StoreContractSuite kills here and
+    * asserts the table is untouched and the staged files are gone).
+    */
+  private[graft] var onBeforeStreamedCommit: () => Unit = () => ()
+
   private def notePeak(n: Long): Unit = {
     var cur = peakDriverPaths.get()
     while (n > cur && !peakDriverPaths.compareAndSet(cur, n))
@@ -87,6 +94,14 @@ private[lake] object StreamedRewrite {
       */
     def pathIterator(): Iterator[String] =
       (0 until numChunks).iterator.flatMap(chunk)
+
+    /** Predicate selecting chunk `i`'s rows of a frame keyed by the
+      * RAW scan-reported file URI — the same hash that defines path
+      * chunk membership, so a row lands with exactly its file's chunk.
+      */
+    def memberOf(pathCol: org.apache.spark.sql.Column, i: Int)
+        : org.apache.spark.sql.Column =
+      pmod(xxhash64(pathCol), lit(numChunks.toLong)) === i.toLong
 
     def unpersist(): Unit = { pathsDF.unpersist(false); () }
   }
@@ -141,10 +156,16 @@ private[lake] object StreamedRewrite {
     /** Failure sweep: delete every staged file the spill references
       * (data, bloom sidecars, cdc) — the streamed twin of
       * [[LakeWriter.sweepStaged]]. Never throws.
+      *
+      * `dvOnly` is for a spill holding merge-on-read actions
+      * (RemoveFiles + DV re-adds): a DV re-add's `path` is a LIVE
+      * pre-existing data file — only its freshly staged DV sidecar
+      * may be deleted on failure.
       */
-    def sweep(tablePath: String): Unit = {
+    def sweep(tablePath: String, dvOnly: Boolean = false): Unit = {
       try iterator().foreach { a =>
         val rels: Seq[String] = a match {
+          case add: AddFile if dvOnly => add.dvPath.toSeq
           case add: AddFile => add.path +: add.bloomPath.toSeq
           case c: CdcFile => Seq(c.path)
           case _ => Nil

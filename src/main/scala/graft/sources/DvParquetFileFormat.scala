@@ -70,7 +70,7 @@ final class DvParquetFileFormat(
       sparkSession, dataSchema, partitionSchema, augmented,
       filters, options, hadoopConf)
     val applier = new DvRowApplier(
-      dvPayload, requiredSchema, idxOrdinal, strip)
+      dvPayload, requiredSchema, partitionSchema, idxOrdinal, strip)
     file => applier(base(file), file)
   }
 
@@ -91,15 +91,26 @@ final class DvParquetFileFormat(
   * files skip the membership test but still strip when needed.
   */
 private final class DvRowApplier(
-    payload: Array[Byte], out: StructType, idxOrdinal: Int,
-    stripIdx: Boolean) extends Serializable {
+    payload: Array[Byte], out: StructType, partition: StructType,
+    idxOrdinal: Int, stripIdx: Boolean) extends Serializable {
 
   @transient private lazy val dvFor: java.util.HashMap[String, String] =
     PathMapPayload.decodePayload(payload)
 
+  // Input layout when the format appended the index column:
+  // [required..., rowIdx, partitionCols...] — the base reader appends
+  // partition values AFTER the augmented required schema. The strip
+  // must skip ONLY the index ordinal and KEEP the partition columns;
+  // truncating at `out.length` would drop them, and downstream
+  // consumers reading the partition ordinals off the narrower
+  // UnsafeRow see adjacent garbage bytes.
   @transient private lazy val strip: UnsafeProjection =
-    UnsafeProjection.create(Array.tabulate(out.length)(i =>
-      BoundReference(i, out(i).dataType, out(i).nullable)))
+    UnsafeProjection.create(
+      Array.tabulate(out.length)(i =>
+        BoundReference(i, out(i).dataType, out(i).nullable)) ++
+      Array.tabulate(partition.length)(j =>
+        BoundReference(out.length + 1 + j, partition(j).dataType,
+          partition(j).nullable)))
 
   def apply(rows: Iterator[InternalRow],
       file: PartitionedFile): Iterator[InternalRow] = {

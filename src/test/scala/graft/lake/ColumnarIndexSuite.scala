@@ -227,6 +227,141 @@ class ColumnarIndexSuite extends SparkSuite {
       === afterMerge, "failed chunked merge must leave the table as-is")
   }
 
+  /** DV-enabled twin of [[buildTable]]: 3 rows per file so a
+    * row-predicate hit soft-deletes (DV re-add) instead of removing
+    * the whole file; same multi-part checkpoint + tail shape.
+    */
+  private def buildDvTable(name: String): String = withPartMax(5) {
+    val path = tablePath(name)
+    (0 until 13).foreach { i =>
+      LakeWriter.write(
+        Seq.tabulate(3)(j => (i * 3L + j, s"row${i * 3 + j}", i % 3))
+          .toDF("id", "name", "p").coalesce(1),
+        path, partitionBy = if (i == 0) Seq("p") else Nil,
+        properties = if (i == 0)
+          Map("graft.enableDeletionVectors" -> "true") else Map.empty)
+    }
+    path
+  }
+
+  test("chunked DV DELETE: per-chunk soft-deletes, results match") {
+    val path = buildDvTable("col-chunked-dv-del")
+    val before = spark.read.format("lake").load(path).collect().toSet
+    val expect = before.filterNot(_.getLong(0) % 3 == 1)
+    val n0 = StreamedRewrite.chunkedRewrites.get()
+    withChunkedRewrite {
+      LakeTable.forPath(spark, path).delete("id % 3 = 1")
+    }
+    assert(StreamedRewrite.chunkedRewrites.get() === n0 + 1,
+      "the DV DELETE should have taken the chunked rewrite path")
+    val ci = latestCommitInfo(path)
+    assert(ci.operationParameters.get("streamedRewrite") === Some("true"))
+    assert(ci.operationParameters.get("deletionVectors") === Some("13"),
+      "every file has exactly one hit row -> 13 DV re-adds")
+    val log = new LakeLog(path)
+    val actions = log.readVersion(log.latestVersion)
+    assert(actions.collect { case a: AddFile => a }
+      .forall(_.dvPath.isDefined),
+      "a chunked DV delete must stage no fresh data files")
+    assert(!actions.exists(_.isInstanceOf[RemoveFile]),
+      "no file is fully dead at 1-of-3 rows hit")
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === expect)
+    assert(spark.read.format("lake").option("columnarIndex", "false")
+      .load(path).collect().toSet === expect,
+      "classic read diverges after the chunked DV delete")
+    // full-dead shape: deleting every remaining row drops the entries
+    val n1 = StreamedRewrite.chunkedRewrites.get()
+    withChunkedRewrite {
+      LakeTable.forPath(spark, path).delete("id >= 0")
+    }
+    assert(StreamedRewrite.chunkedRewrites.get() === n1 + 1)
+    assert(spark.read.format("lake").load(path).count() === 0L)
+    val acts2 = log.readVersion(log.latestVersion)
+    assert(acts2.count(_.isInstanceOf[RemoveFile]) === 13,
+      "all 13 files fully dead -> removes, not DV re-adds")
+    assert(!acts2.exists(_.isInstanceOf[AddFile]))
+  }
+
+  test("chunked DV UPDATE: per-chunk DVs + appended rows match") {
+    val path = buildDvTable("col-chunked-dv-upd")
+    val before = spark.read.format("lake").load(path).collect().toSet
+    val expect = before.map { r =>
+      if (r.getLong(0) % 3 == 2) Row(r.getLong(0), "upd", r.getInt(2))
+      else r
+    }
+    val n0 = StreamedRewrite.chunkedRewrites.get()
+    withChunkedRewrite {
+      LakeTable.forPath(spark, path)
+        .update("id % 3 = 2", Map("name" -> "'upd'"))
+    }
+    assert(StreamedRewrite.chunkedRewrites.get() === n0 + 1,
+      "the DV UPDATE should have taken the chunked rewrite path")
+    val ci = latestCommitInfo(path)
+    assert(ci.operationParameters.get("streamedRewrite") === Some("true"))
+    assert(ci.operationParameters.get("deletionVectors") === Some("13"))
+    val log = new LakeLog(path)
+    val actions = log.readVersion(log.latestVersion)
+    val (dvAdds, freshAdds) = actions.collect { case a: AddFile => a }
+      .partition(_.dvPath.isDefined)
+    assert(dvAdds.size === 13 && freshAdds.nonEmpty,
+      "merge-on-read UPDATE = DV re-adds + appended updated rows")
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === expect)
+    assert(spark.read.format("lake").option("columnarIndex", "false")
+      .load(path).collect().toSet === expect)
+  }
+
+  test("chunked DV MERGE: upsert + by-source + dup fail-fast") {
+    val path = buildDvTable("col-chunked-dv-merge")
+    val before = spark.read.format("lake").load(path).collect().toSet
+    val srcDf = Seq((5L, "five", 2), (12L, "twelve", 0),
+      (100L, "new", 1)).toDF("id", "name", "p")
+    val n0 = StreamedRewrite.chunkedRewrites.get()
+    withChunkedRewrite {
+      LakeTable.forPath(spark, path).as("t")
+        .merge(srcDf.as("s"), "t.id = s.id")
+        .whenMatchedUpdate(Map("name" -> "s.name"))
+        .whenNotMatchedInsert(Map(
+          "id" -> "s.id", "name" -> "s.name", "p" -> "s.p"))
+        .whenNotMatchedBySourceDelete("t.id >= 30")
+        .execute()
+    }
+    assert(StreamedRewrite.chunkedRewrites.get() === n0 + 1,
+      "the DV MERGE should have taken the chunked rewrite path")
+    val ci = latestCommitInfo(path)
+    assert(ci.operationParameters.get("streamedRewrite") === Some("true"))
+    assert(ci.operationParameters.get("deletionVectors").exists(
+      _.toInt > 0), "clause hits must stage DV re-adds")
+    val srcNames = Map(5L -> "five", 12L -> "twelve")
+    val expect = before.flatMap { r =>
+      val id = r.getLong(0)
+      srcNames.get(id) match {
+        case Some(n) => Some(Row(id, n, r.getInt(2)))
+        case None if id >= 30 => None // by-source delete
+        case None => Some(r)
+      }
+    } + Row(100L, "new", 1)
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === expect)
+    assert(spark.read.format("lake").option("columnarIndex", "false")
+      .load(path).collect().toSet === expect)
+    // dup fail-fast: per-chunk counts stay exact (a RID lives in one
+    // chunk); the failed merge must sweep DV sidecars + staged files
+    val afterMerge = spark.read.format("lake").load(path).collect().toSet
+    val dupSrc = Seq((5L, "a", 2), (5L, "b", 2)).toDF("id", "name", "p")
+    withChunkedRewrite {
+      intercept[IllegalStateException] {
+        LakeTable.forPath(spark, path).as("t")
+          .merge(dupSrc.as("s"), "t.id = s.id")
+          .whenMatchedUpdate(Map("name" -> "s.name"))
+          .execute()
+      }
+    }
+    assert(spark.read.format("lake").load(path).collect().toSet
+      === afterMerge, "failed chunked DV merge must leave the table as-is")
+  }
+
   test("streamed partition DELETE replans past a racing unrelated commit") {
     // the streamed path's conservative conflict rule aborts on ANY
     // commit landing after the planned read version; a single racing

@@ -417,6 +417,32 @@ class LakeDataSourceSuite extends SparkSuite {
       (150000L until 160000L).filter(_ % 1000 != 0).sum)
   }
 
+  test("DV read on a PARTITIONED table keeps partition values") {
+    // regression: DvParquetFileFormat's strip projection truncated at
+    // requiredSchema.length, dropping the partition columns the base
+    // reader appends AFTER the row-index column — downstream read the
+    // partition ordinals off the narrower UnsafeRow as garbage bytes.
+    // Unpartitioned DV tables never hit it.
+    val path = tablePath("dsv2dvpartread")
+    (0 until 4).foreach { i =>
+      LakeWriter.write(
+        Seq.tabulate(3)(j => (i * 3L + j, s"row${i * 3 + j}", i % 2))
+          .toDF("id", "name", "p").coalesce(1),
+        path, partitionBy = if (i == 0) Seq("p") else Nil,
+        properties = if (i == 0)
+          Map("graft.enableDeletionVectors" -> "true") else Map.empty)
+    }
+    LakeTable.forPath(spark, path).delete("id % 3 = 1")
+    val rows = spark.read.format("lake").load(path)
+      .orderBy("id").collect().toSeq
+    assert(rows.map(_.getLong(0)) === (0L until 12L).filter(_ % 3 != 1))
+    assert(rows.forall(r => r.getInt(2) === (r.getLong(0) / 3 % 2).toInt),
+      s"partition values corrupted: $rows")
+    // projecting ONLY the partition column survives too
+    assert(spark.read.format("lake").load(path)
+      .where("p = 1").count() === 4L)
+  }
+
   test("COUNT(*) answers from log metadata without scanning files") {
     import org.apache.spark.sql.functions.{count, lit}
     val path = tablePath("dsv2metacount")
