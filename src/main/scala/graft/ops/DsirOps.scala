@@ -76,7 +76,38 @@ object DsirOps {
       idCol: String, buckets: Int = 8192,
       smoothing: Double = 1.0,
       scratchDir: Option[String] = None,
-      scratchMinDocs: Long = 1000000L): DataFrame = {
+      scratchMinDocs: Long = 1000000L): DataFrame =
+    dsirWeightsImpl(raw, Left(target), textCol, idCol, buckets,
+      smoothing, scratchDir, scratchMinDocs)
+
+  /** [[dsirWeights]] when the target corpus is a PREDICATE-SELECTED
+    * SUBSET of `raw` (the dominant production shape: "docs that look
+    * like our curated slice", selected by language/source/label).
+    * Featurization is a deterministic pure function of the text, so
+    * the target histogram equals the raw per-doc histogram restricted
+    * to target ids — derived here by a semi-join of the staged raw
+    * histogram against the target's id set instead of a second
+    * tokenize + md5-bucket pass over the target's text. Weights are
+    * bit-identical to `dsirWeights(raw, raw.filter(pred), ...)`
+    * (OpsSuite pins this); the saving is one full featurize of the
+    * target slice — at 100 TB, reading ids+predicate columns instead
+    * of re-reading and re-hashing the target's text.
+    */
+  def dsirWeightsForSubset(raw: DataFrame, targetPred: Column,
+      textCol: String, idCol: String, buckets: Int = 8192,
+      smoothing: Double = 1.0,
+      scratchDir: Option[String] = None,
+      scratchMinDocs: Long = 1000000L): DataFrame =
+    dsirWeightsImpl(raw,
+      Right(raw.filter(targetPred).select(col(idCol))),
+      textCol, idCol, buckets, smoothing, scratchDir, scratchMinDocs)
+
+  private def dsirWeightsImpl(raw: DataFrame,
+      target: Either[DataFrame, DataFrame], textCol: String,
+      idCol: String, buckets: Int,
+      smoothing: Double,
+      scratchDir: Option[String],
+      scratchMinDocs: Long): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(smoothing > 0, "add-lambda smoothing must be positive")
     // the raw histogram feeds BOTH the distribution estimate and the
@@ -120,8 +151,10 @@ object DsirOps {
     }
     try {
     val rawCnt = rawB.groupBy("__b").agg(sum("__c").as("__cr"))
-    val tgtCnt = docBuckets(target, textCol, idCol, buckets)
-      .groupBy("__b").agg(sum("__c").as("__ct"))
+    val tgtCnt = (target match {
+      case Left(t) => docBuckets(t, textCol, idCol, buckets)
+      case Right(ids) => rawB.join(ids, Seq(idCol), "left_semi")
+    }).groupBy("__b").agg(sum("__c").as("__ct"))
     // totals as a one-row cross join (no driver collect); every bucket
     // a raw doc can hit is present in rawCnt by construction, so the
     // left join only ever smooths the TARGET side

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache backs every
+  // createImageInput/OutputStream with a TEMP FILE on disk — one
+  // create+delete per encode or decode call, pure I/O plumbing with
+  // zero effect on the produced bytes. Under the concurrency this
+  // module actually runs at (32 decode tasks, parallel fixture
+  // encoders) the temp-dir churn serializes in the filesystem and
+  // measured SLOWER than the single-threaded path (r20 focused bench:
+  // multimodal_decode_real 0.76→2.99 s when scan parallelism rose).
+  // Memory-backed cache streams remove the files entirely. JVM-global
+  // and idempotent; set on first touch of this object in driver and
+  // executor alike.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media row: payload + typed metadata. */
   case class MediaRow(
       media_id: Long,

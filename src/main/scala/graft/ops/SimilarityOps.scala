@@ -215,7 +215,15 @@ object SimilarityOps {
         broadcast(c.orderBy("__id").limit(nlist)
           .select(col("__id").as("__cid"), col("__cv").as("__cent")))
       else broadcast(kmeansCentroids(c, nlist, refineIterations))
+    // the (id, cell) assignment feeds BOTH the per-cell rate estimate
+    // and the final keep filter; without materialization Spark plans
+    // the whole assign subtree (corpus scan × nlist cosine BNLJ +
+    // max_by shuffle) TWICE — plans/r20/sim_cluster_balance_before.txt
+    // shows the duplicated subtree. Checkpointing the scalars-only
+    // assignment (id, cell — ~16 B/doc, distributed) halves the
+    // corpus passes: 2 scans + 2 cosine×nlist sweeps → 1.
     val assigned = assignToCells(c, centroids, Nil)
+      .select(col("id"), col("cell")).localCheckpoint(true)
     val rates = assigned.groupBy("cell")
       .agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__rate",

@@ -659,15 +659,23 @@ object CoreQueries {
         // two separate single-pass aggregates: mixing countDistinct
         // with the percentile sketches in ONE agg makes Spark plan an
         // Expand (one duplicated input lane per distinct group) under
-        // sort aggregates — measured 16 s vs ~3 s split at sf0.1
+        // sort aggregates — measured 16 s vs ~3 s split at sf0.1.
+        // The two aggregates are INDEPENDENT jobs over the same scan,
+        // so they run concurrently (guide §2.6): the second job's
+        // tasks back-fill executors freed by the first one's tail
+        // instead of serializing two full scan+agg walls.
+        val pFut = scala.concurrent.Future {
+          l.agg(
+            expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+              .as("approx_p50")).head()
+        }(scala.concurrent.ExecutionContext.global)
         val d = l.agg(
           countDistinct($"l_orderkey").as("exact_distinct"),
           approx_count_distinct($"l_orderkey", 0.02)
             .as("approx_distinct")).head()
-        val p = l.agg(
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-            .as("approx_p50")).head()
+        val p = scala.concurrent.Await.result(pFut,
+          scala.concurrent.duration.Duration.Inf)
         val (ed, ad) = (d.getLong(0), d.getLong(1))
         require(math.abs(ad - ed).toDouble / ed <= 0.05,
           s"HLL distinct off by ${math.abs(ad - ed)} of $ed (> 5%)")

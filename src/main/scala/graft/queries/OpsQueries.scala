@@ -479,6 +479,24 @@ object OpsQueries {
       .map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
+  /** Driver-side fixture payloads built in PARALLEL (guide §1.2 "the
+    * distributed algorithm" applied to the driver too): the neardup
+    * gates synthesize 128 media payloads per run, and the video gate's
+    * 65-frame clips cost 65 JPEG encodes each — 8,320 serial ImageIO
+    * encodes was the single largest leg of its bench time. Each `gen`
+    * call is independent and allocates its own encoder (flatJpeg and
+    * friends construct a fresh writer per call), so a parallel stream
+    * produces byte-identical payloads in deterministic index order;
+    * only WHEN each payload is built changes, never its bytes.
+    */
+  private def parPayloads(n: Int, base: Long)(gen: Int => Array[Byte])
+      : Seq[(Long, Array[Byte])] = {
+    val out = new Array[Array[Byte]](n)
+    java.util.stream.IntStream.range(0, n).parallel()
+      .forEach(i => out(i) = gen(i))
+    (0 until n).map(i => (base + i, out(i)))
+  }
+
   /** The multimodal_frames payload table (animated GIF / multi-page
     * TIFF per doc, closed-form pixels) as a corpus-fingerprinted
     * fixture: built once per corpus generation, so the gate's timed
@@ -1122,7 +1140,10 @@ object OpsQueries {
     QueryDef("text_dsir_weights",
       (s, dir) => {
         val d = table(s, dir, "documents")
-        DsirOps.dsirWeights(d, d.filter("lang = 'en'"),
+        // target = predicate subset of raw → the subset path derives
+        // the target histogram from the single staged featurize pass
+        // (bit-identical weights, one tokenize+md5 pass instead of two)
+        DsirOps.dsirWeightsForSubset(d, expr("lang = 'en'"),
           "text", "doc_id", buckets = 1024)
       },
       Some(s"""WITH $DSIR_WEIGHTS_CTES
@@ -1145,12 +1166,19 @@ object OpsQueries {
         import s.implicits._
         val d = table(s, dir, "documents")
         val en = d.filter("lang = 'en'")
-        val total = d.count()
+        // one pass for both corpus counts (they fed two separate
+        // count() jobs; the enrichment require uses them identically)
+        val cnts = d.agg(count(lit(1)).as("n"),
+          count(when(col("lang") === "en", 1)).as("n_en")).head()
+        val (total, enCnt) = (cnts.getLong(0), cnts.getLong(1))
         val k = (total / 5).toInt
         // weights are the expensive leg (and their determinism is
         // already oracle-proven above) — computed once (dsirWeights
-        // returns a materialized frame), ranked twice
-        val wts = DsirOps.dsirWeights(d, en, "text", "doc_id", 1024)
+        // returns a materialized frame), ranked twice; subset path:
+        // en ⊂ d, so the target histogram derives from the one staged
+        // featurize pass (bit-identical, half the featurize cost)
+        val wts = DsirOps.dsirWeightsForSubset(d, expr("lang = 'en'"),
+          "text", "doc_id", 1024)
         def run() = DsirOps.dsirResampleFromWeights(wts, "doc_id",
           k, temperature = 0.5)
         val sel = run()
@@ -1161,15 +1189,22 @@ object OpsQueries {
         // a k-literal predicate per require — the join keeps the
         // check plan-side and k-independent
         val selIds = sel.select(col("doc_id"))
-        val enFrac = en.count().toDouble / total
+        val enFrac = enCnt.toDouble / total
         val selEn = en.join(selIds, "doc_id").count()
         val selEnFrac = selEn.toDouble / k
         require(selEnFrac > enFrac + 0.05,
           f"no target enrichment: selected en-frac $selEnFrac%.3f vs " +
           f"base $enFrac%.3f")
-        val meanAll = wts.agg(avg("log_weight")).head().getDouble(0)
-        val meanSel = wts.join(selIds, "doc_id")
-          .agg(avg("log_weight")).head().getDouble(0)
+        // both weight means in ONE pass over the checkpointed weights:
+        // a left-join marker + conditional avg replaces the separate
+        // all-docs agg and selected-docs join+agg (identical numbers —
+        // avg ignores the unmarked rows' nulls)
+        val means = wts.join(
+            selIds.withColumn("__sel", lit(1)), Seq("doc_id"), "left")
+          .agg(avg("log_weight").as("all"),
+            avg(when(col("__sel") === 1, col("log_weight"))).as("sel"))
+          .head()
+        val (meanAll, meanSel) = (means.getDouble(0), means.getDouble(1))
         require(meanSel > meanAll,
           s"selection does not prefer high weights: $meanSel <= $meanAll")
         val ids2 = run().select("doc_id").as[Long].collect().toSet
@@ -2514,10 +2549,10 @@ object OpsQueries {
         import s.implicits._
         val n = 64
         val rows =
-          (0 until n).map(i => (i.toLong,
-            MultimodalOps.blockBmp(i, 32, 24), "image/bmp")) ++
-          (0 until n).map(i => (i + 100000L,
-            MultimodalOps.blockPng(i, 32, 24), "image/png"))
+          parPayloads(n, 0L)(i => MultimodalOps.blockBmp(i, 32, 24))
+            .map { case (id, b) => (id, b, "image/bmp") } ++
+          parPayloads(n, 100000L)(i => MultimodalOps.blockPng(i, 32, 24))
+            .map { case (id, b) => (id, b, "image/png") }
         val media = rows.toDF("media_id", "media", "format")
           .repartition(8)
         val pairs = MultimodalOps.imageNearDupPairs(media, maxHamming = 0)
@@ -2550,10 +2585,10 @@ object OpsQueries {
         import s.implicits._
         val n = 64
         val rows =
-          (0 until n).map(i => (i.toLong,
-            MultimodalOps.envelopeWav(i), "audio/wav")) ++
-          (0 until n).map(i => (i + 100000L,
-            MultimodalOps.envelopeWavUlaw(i), "audio/wav"))
+          parPayloads(n, 0L)(i => MultimodalOps.envelopeWav(i))
+            .map { case (id, b) => (id, b, "audio/wav") } ++
+          parPayloads(n, 100000L)(i => MultimodalOps.envelopeWavUlaw(i))
+            .map { case (id, b) => (id, b, "audio/wav") }
         val media = rows.toDF("media_id", "media", "format")
           .repartition(8)
         val pairs = MultimodalOps.audioNearDupPairs(media, maxHamming = 0)
@@ -2582,10 +2617,12 @@ object OpsQueries {
         import s.implicits._
         val n = 64
         val rows =
-          (0 until n).map(i => (i.toLong,
-            MultimodalOps.levelsMjpegAvi(i, 16, 16), "video/avi")) ++
-          (0 until n).map(i => (i + 100000L,
-            MultimodalOps.remuxedMjpegAvi(i, 16, 16), "video/avi"))
+          parPayloads(n, 0L)(i =>
+            MultimodalOps.levelsMjpegAvi(i, 16, 16))
+            .map { case (id, b) => (id, b, "video/avi") } ++
+          parPayloads(n, 100000L)(i =>
+            MultimodalOps.remuxedMjpegAvi(i, 16, 16))
+            .map { case (id, b) => (id, b, "video/avi") }
         val media = rows.toDF("media_id", "media", "format")
           .repartition(16)
         val pairs = MultimodalOps.videoNearDupPairs(media, maxHamming = 0)

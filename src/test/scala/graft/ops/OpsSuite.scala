@@ -181,6 +181,26 @@ class OpsSuite extends SparkSuite {
     assert(kept.forall(_ < 100L), s"junk leaked through the filter: $kept")
   }
 
+  test("DSIR subset path matches the general path bit for bit") {
+    // dsirWeightsForSubset derives the target histogram from the one
+    // staged raw featurize (semi-join on target ids) instead of a
+    // second tokenize+md5 pass; the weights must be IDENTICAL to
+    // dsirWeights(raw, raw.filter(pred), ...) — including n_feats and
+    // 4-decimal log_weight — on every doc
+    val docs = ((0L until 10L).map(i => (i, s"alpha$i common alpha a${i % 3}")) ++
+      (10L until 20L).map(i => (i, s"beta$i common beta b${i % 3}")))
+      .toDF("id", "text")
+    val general = graft.ops.DsirOps.dsirWeights(
+      docs, docs.filter($"id" < 10), "text", "id", buckets = 512)
+      .select("id", "n_feats", "log_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val subset = graft.ops.DsirOps.dsirWeightsForSubset(
+      docs, $"id" < 10, "text", "id", buckets = 512)
+      .select("id", "n_feats", "log_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(subset === general)
+  }
+
   test("DSIR scratch-table spill path produces identical weights") {
     // the scale path stages the corpus histogram through a scratch
     // lake table instead of the executor cache; weights must be
