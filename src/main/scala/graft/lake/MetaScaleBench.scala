@@ -564,13 +564,33 @@ object MergeScaleBench {
       val d = java.nio.file.Files
         .createTempDirectory("graft-mergescale").toString
       timed(s"setup: write ${nm / 1000}k one-row files") {
-        (0 until batches).foreach { b =>
-          val df = spark.range(b.toLong * per, (b + 1).toLong * per, 1, 64)
-            .toDF("id")
-            .withColumn("p", (col("id") % 1000L).cast("int"))
-            .withColumn("v", col("id") * 2)
-            .repartitionByRange(per, col("id"))
-          LakeWriter.write(df, d)
+        // one-row files WITHOUT one-task-per-file: the original
+        // repartitionByRange(per, id) scheduled `per` (100k) write
+        // tasks per batch — ~18 min/batch of pure task-scheduling on
+        // local[32] (~3 h for 10⁶ files; the reason this measurement
+        // stayed un-run through r19). FileFormatWriter rolls a new
+        // file every `maxRecordsPerFile` rows, so 64 range-sorted
+        // tasks emit the IDENTICAL set of one-row files (same rows,
+        // one row per file) in minutes.
+        val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+        try {
+          (0 until batches).foreach { b =>
+            val df = spark.range(b.toLong * per, (b + 1).toLong * per, 1, 64)
+              .toDF("id")
+              .withColumn("p", (col("id") % 1000L).cast("int"))
+              .withColumn("v", col("id") * 2)
+              .repartitionByRange(64, col("id"))
+              .sortWithinPartitions("id")
+            LakeWriter.write(df, d)
+          }
+        } finally {
+          prev match {
+            case Some(v) =>
+              spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+            case None =>
+              spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+          }
         }
       }
       d

@@ -727,7 +727,12 @@ object LakeQueries {
           col("l_orderkey"), col("l_linenumber"),
           expr("parse_json(to_json(struct(" +
             "l_quantity AS q, l_returnflag AS f)))").as("v"))
-        LakeWriter.write(l.repartition(4), path)
+        // parse_json(to_json(...)) per row is the gate's heaviest leg
+        // and runs in the WRITE tasks — partition to the session's
+        // parallelism (scale-adaptive, not a constant) instead of 4
+        // so the variant encode spreads across cores; rows unchanged
+        LakeWriter.write(
+          l.repartition(s.sparkContext.defaultParallelism), path)
         LakeTable.forPath(s, path).delete("l_linenumber > 4")
         LakeTable.forPath(s, path).toDF.select(
           col("l_orderkey"), col("l_linenumber"),
